@@ -1,13 +1,329 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.offline.OfflineStore
+import graft.operators.{AsofJoin, Sessionize, WindowedFeatures}
+import graft.operators.WindowedFeatures.dsum
+import graft.stats.Profiler
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Oracle-determinism rules (SURVEY §5): 2-decimal money values are
+  * accumulated as DECIMAL(18,2) (order-independent, exact in Spark and
+  * DuckDB alike) and surfaced as doubles; order-dependent double aggs
+  * (stddev) are rounded; ranks are tie-broken by unique ids; times are
+  * compared as epoch millis (bigint).
+  */
 object SparkEntry {
+
+  /** The anchor "now" for the events table (data spans Jan 2024). */
+  private val T0 = "2024-02-01 00:00:00"
+  private val FeatureNames = Seq("click", "view", "error", "signup")
+  private val AllEventTypes = Seq("click", "view", "error", "signup", "purchase")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------------
+  // Core feature-store queries
+  // -------------------------------------------------------------------
+
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec("l_extendedprice")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(dec("l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  def qWindowedFeatures(s: SparkSession, d: String): DataFrame =
+    WindowedFeatures.windowed(Tables.events(s, d),
+      "user_id", "ts", "value", "event_type", "2024-01-18 00:00:00", T0)
+
+  def qMultiWindow(s: SparkSession, d: String): DataFrame =
+    WindowedFeatures.multiWindow(Tables.events(s, d),
+      "user_id", "ts", "value", T0,
+      Seq("d7" -> "2024-01-25 00:00:00",
+          "d14" -> "2024-01-18 00:00:00",
+          "d30" -> "2024-01-02 00:00:00"))
+
+  def qVelocity(s: SparkSession, d: String): DataFrame =
+    WindowedFeatures.velocity(Tables.events(s, d), "user_id", "ts", "value",
+      "2024-01-01 00:00:00", "2024-01-16 00:00:00", "2024-01-31 00:00:00")
+
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val features = Tables.featureRecords(s, d).select(
+      col("entity_id"), col("event_time").as("ts"),
+      col("feature_name"), col("value_float"))
+    val labels = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("entity_id"), col("ts"),
+              col("event_id"), col("value"))
+    AsofJoin.pointInTime(features, labels,
+      entityCol = "entity_id", tsCol = "ts", nameCol = "feature_name",
+      valueCol = "value_float", labelIdCol = "event_id", labelCol = "value",
+      featureNames = FeatureNames, default = 0.0)
+  }
+
+  def qLatestSnapshot(s: SparkSession, d: String): DataFrame =
+    OfflineStore.latestSnapshot(Tables.featureRecords(s, d))
+      .select(col("entity_id"), col("feature_name"), col("value_float"),
+              unix_millis(col("event_time")).as("ts_ms"), col("commit_id"))
+
+  def qMaterializeVectors(s: SparkSession, d: String): DataFrame =
+    OfflineStore.materializeVectors(
+      Tables.featureRecords(s, d), AllEventTypes, default = 0.0)
+
+  def qStaleness(s: SparkSession, d: String): DataFrame =
+    OfflineStore.staleness(Tables.featureRecords(s, d), T0,
+      Map("click" -> 604800000L, "view" -> 604800000L, "error" -> 86400000L,
+          "signup" -> 2592000000L, "purchase" -> 2592000000L))
+
+  def qFeatureStats(s: SparkSession, d: String): DataFrame =
+    Profiler.profile(Tables.featureRecords(s, d), "feature_name", "value_float")
+
+  def qTimeTravel(s: SparkSession, d: String): DataFrame =
+    OfflineStore.timeTravel(Tables.featureRecords(s, d), asOfCommit = 5000L)
+      .select(col("entity_id"), col("feature_name"), col("value_float"),
+              unix_millis(col("event_time")).as("ts_ms"), col("commit_id"))
+
+  def qDrift(s: SparkSession, d: String): DataFrame =
+    OfflineStore.drift(Tables.featureRecords(s, d),
+      "2024-01-01 00:00:00", "2024-01-16 00:00:00", T0)
+
+  def qSessionize(s: SparkSession, d: String): DataFrame =
+    Sessionize.sessions(Tables.events(s, d), "user_id", "ts", "value",
+      gapSeconds = 7200L)
+
+  // -------------------------------------------------------------------
+  // Contract maps
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q_windowed_features" -> (qWindowedFeatures _),
+    "q_multi_window" -> (qMultiWindow _),
+    "q_velocity" -> (qVelocity _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_latest_snapshot" -> (qLatestSnapshot _),
+    "q_materialize_vectors" -> (qMaterializeVectors _),
+    "q_staleness" -> (qStaleness _),
+    "q_feature_stats" -> (qFeatureStats _),
+    "q_time_travel" -> (qTimeTravel _),
+    "q_drift" -> (qDrift _),
+    "q_sessionize" -> (qSessionize _)
+  )
+
+  // DuckDB oracle SQL. Bare table names resolve to the same parquet files.
+  def oracleSql: Map[String, String] = {
+    val latestCte =
+      """WITH latest AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS entity_id, event_type AS feature_name,
+        |         value AS value_float, epoch_ms(ts) AS ts_ms, event_id AS commit_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |)""".stripMargin
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+          |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+          |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+          |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_windowed_features" ->
+        """SELECT user_id AS entity_id,
+          |  count(*) AS txn_count,
+          |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_value,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_value,
+          |  count(DISTINCT CAST(ts AS DATE)) AS active_days,
+          |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+          |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click_count
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-18 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY user_id""".stripMargin,
+
+      "q_multi_window" ->
+        """SELECT user_id AS entity_id,
+          |  count(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' THEN 1 END) AS txn_count_d7,
+          |  CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_value_d7,
+          |  count(CASE WHEN ts >= TIMESTAMP '2024-01-18 00:00:00' THEN 1 END) AS txn_count_d14,
+          |  CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-18 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_value_d14,
+          |  count(CASE WHEN ts >= TIMESTAMP '2024-01-02 00:00:00' THEN 1 END) AS txn_count_d30,
+          |  CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-02 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS total_value_d30
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY user_id""".stripMargin,
+
+      "q_velocity" ->
+        """SELECT user_id AS entity_id,
+          |  CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS recent_value,
+          |  CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS prior_value,
+          |  round((CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+          |       - CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE))
+          |      / (CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END), 0) AS DOUBLE) + 1.0), 6) AS velocity_pct
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+          |GROUP BY user_id""".stripMargin,
+
+      "q_asof_join" ->
+        """WITH u AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, 0 AS kind,
+          |         CAST(-1 AS BIGINT) AS label_id, CAST(NULL AS DOUBLE) AS label,
+          |         CASE WHEN event_type = 'click'  THEN value END AS v_click,
+          |         CASE WHEN event_type = 'view'   THEN value END AS v_view,
+          |         CASE WHEN event_type = 'error'  THEN value END AS v_error,
+          |         CASE WHEN event_type = 'signup' THEN value END AS v_signup
+          |  FROM events WHERE event_type <> 'purchase'
+          |  UNION ALL
+          |  SELECT CAST(user_id AS VARCHAR), ts, 1, event_id, value,
+          |         NULL, NULL, NULL, NULL
+          |  FROM events WHERE event_type = 'purchase'
+          |), w AS (
+          |  SELECT entity_id, kind, label_id, label,
+          |    last_value(v_click  IGNORE NULLS) OVER win AS c_click,
+          |    last_value(v_view   IGNORE NULLS) OVER win AS c_view,
+          |    last_value(v_error  IGNORE NULLS) OVER win AS c_error,
+          |    last_value(v_signup IGNORE NULLS) OVER win AS c_signup
+          |  FROM u
+          |  WINDOW win AS (PARTITION BY entity_id ORDER BY ts, kind, label_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |)
+          |SELECT entity_id, label_id, label,
+          |  coalesce(c_click, 0.0)  AS f_click,
+          |  coalesce(c_view, 0.0)   AS f_view,
+          |  coalesce(c_error, 0.0)  AS f_error,
+          |  coalesce(c_signup, 0.0) AS f_signup
+          |FROM w WHERE kind = 1""".stripMargin,
+
+      "q_latest_snapshot" ->
+        (latestCte +
+        """
+          |SELECT entity_id, feature_name, value_float, ts_ms, commit_id
+          |FROM latest WHERE rn = 1""".stripMargin),
+
+      "q_materialize_vectors" ->
+        (latestCte +
+        """
+          |SELECT entity_id,
+          |  coalesce(max(CASE WHEN feature_name = 'click'    THEN value_float END), 0.0) AS f_click,
+          |  coalesce(max(CASE WHEN feature_name = 'view'     THEN value_float END), 0.0) AS f_view,
+          |  coalesce(max(CASE WHEN feature_name = 'error'    THEN value_float END), 0.0) AS f_error,
+          |  coalesce(max(CASE WHEN feature_name = 'signup'   THEN value_float END), 0.0) AS f_signup,
+          |  coalesce(max(CASE WHEN feature_name = 'purchase' THEN value_float END), 0.0) AS f_purchase,
+          |  (CASE WHEN max(CASE WHEN feature_name = 'click'    THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'view'     THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'error'    THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'signup'   THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'purchase' THEN value_float END) IS NULL THEN 1 ELSE 0 END) AS n_default
+          |FROM latest WHERE rn = 1
+          |GROUP BY entity_id""".stripMargin),
+
+      "q_staleness" ->
+        (latestCte +
+        """
+          |SELECT entity_id, feature_name,
+          |  epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - ts_ms AS age_ms,
+          |  CAST(CASE feature_name
+          |    WHEN 'click' THEN 604800000 WHEN 'view' THEN 604800000
+          |    WHEN 'error' THEN 86400000
+          |    WHEN 'signup' THEN 2592000000 WHEN 'purchase' THEN 2592000000
+          |  END AS BIGINT) AS sla_ms,
+          |  CASE WHEN epoch_ms(TIMESTAMP '2024-02-01 00:00:00') - ts_ms <=
+          |    CASE feature_name
+          |      WHEN 'click' THEN 604800000 WHEN 'view' THEN 604800000
+          |      WHEN 'error' THEN 86400000
+          |      WHEN 'signup' THEN 2592000000 WHEN 'purchase' THEN 2592000000
+          |    END THEN 1 ELSE 0 END AS fresh
+          |FROM latest WHERE rn = 1""".stripMargin),
+
+      "q_feature_stats" ->
+        """SELECT event_type AS feature_name,
+          |  count(*) AS n,
+          |  count(*) - count(value) AS null_count,
+          |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value), 6) AS mean,
+          |  round(stddev(value), 4) AS stddev,
+          |  min(value) AS min_value,
+          |  max(value) AS max_value,
+          |  round(quantile_cont(value, 0.25), 4) AS p25,
+          |  round(quantile_cont(value, 0.5),  4) AS p50,
+          |  round(quantile_cont(value, 0.75), 4) AS p75,
+          |  round(quantile_cont(value, 0.95), 4) AS p95,
+          |  round(quantile_cont(value, 0.99), 4) AS p99
+          |FROM events
+          |GROUP BY event_type""".stripMargin,
+
+      "q_time_travel" ->
+        """WITH latest AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS entity_id, event_type AS feature_name,
+          |         value AS value_float, epoch_ms(ts) AS ts_ms, event_id AS commit_id,
+          |         row_number() OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events WHERE event_id <= 5000
+          |)
+          |SELECT entity_id, feature_name, value_float, ts_ms, commit_id
+          |FROM latest WHERE rn = 1""".stripMargin,
+
+      "q_drift" ->
+        """SELECT event_type AS feature_name,
+          |  count(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 END) AS count_a,
+          |  count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 END) AS count_b,
+          |  round(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+          |        / count(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 END), 6) AS mean_a,
+          |  round(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+          |        / count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 END), 6) AS mean_b,
+          |  round(stddev(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value END), 4) AS std_a,
+          |  round(stddev(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN value END), 4) AS std_b,
+          |  round(abs(
+          |      round(CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+          |            / count(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 END), 6)
+          |    - round(CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+          |            / count(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 END), 6))
+          |    / (round(stddev(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN value END), 4) + 1.0), 6) AS drift_score
+          |FROM events
+          |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |GROUP BY event_type""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, value, event_id,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 7200000
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sess AS (
+          |  SELECT user_id, ts, value,
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+          |  FROM g
+          |)
+          |SELECT user_id AS entity_id, session_seq,
+          |  count(*) AS n_events,
+          |  min(epoch_ms(ts)) AS start_ms,
+          |  max(epoch_ms(ts)) AS end_ms,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+          |FROM sess
+          |GROUP BY user_id, session_seq""".stripMargin
+    )
+  }
 }

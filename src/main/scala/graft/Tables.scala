@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated TPC-H-ish tables plus the EAV
+  * feature-record view derived from `events`.
+  *
+  * The reference stores offline feature data in EAV form
+  * (entity_id, feature_name, value_float, event_time) — see
+  * /root/reference .../store/offline/IcebergOfflineStore.java:42-53.
+  * Here the `events` table plays that role: entity_id := user_id,
+  * feature_name := event_type, value_float := value, event_time := ts.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos
+    * long (legacy conf) and rebuild a micros TimestampType column —
+    * identical values to DuckDB's native ns read at ms/µs granularity.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events` reshaped to the reference's EAV feature-record schema. */
+  def featureRecords(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+      lit("user").as("entity_type"),
+      col("user_id").cast("string").as("entity_id"),
+      col("event_type").as("feature_name"),
+      col("value").as("value_float"),
+      col("ts").as("event_time"),
+      col("event_id").as("commit_id") // arrival-order surrogate for created_at
+    )
+}

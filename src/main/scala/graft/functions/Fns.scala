@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar feature-store functions, all pure `functions._` compositions
+  * so they stay inside whole-stage codegen (no UDFs).
+  */
+object Fns {
+
+  /** Deterministic 31-bit hash of an md5 hex prefix — the reference's
+    * schema/categorical hash: `int(md5(key)[:8], 16) % 2^31`.
+    * (reference python/gbdt_example/dataset.py:50,
+    * python/criteo_example/dataset.py:103).
+    */
+  def md5Hash31(key: Column): Column =
+    (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 2147483648L)
+      .as("md5hash31")
+
+  /** Categorical hash-bucketing (criteo-style): md5-based bucket in
+    * [0, nBuckets). Empty / null values map to bucket 0.
+    */
+  def hashBucket(value: Column, nBuckets: Int): Column =
+    when(value.isNull || value === "", lit(0L))
+      .otherwise(md5Hash31(value) % nBuckets)
+
+  /** Schema hash of an ordered feature-name list (comma-joined). */
+  def schemaHash(featureNames: Column): Column =
+    md5Hash31(array_join(featureNames, ","))
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double precision with left-to-right accumulation (deterministic).
+    */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Whitespace word-split (single-space tokenizer, matching the
+    * synthetic corpus).
+    */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles of a text column as a deduplicated array. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+  }
+
+  /** 64-bit SimHash over the words of a text column: for each of the 64
+    * bits, sign of the sum over words of (+1/-1) from that word's
+    * xxhash64 bit. Pure SQL-function composition: explode-free
+    * (aggregate over the word array).
+    */
+  def simHash(text: Column): Column = {
+    val w = words(text)
+    val bitCols = (0 until 64).map { bit =>
+      val contrib = aggregate(
+        w, lit(0L),
+        (acc, word) =>
+          acc + when(shiftright(xxhash64(word), bit).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L))
+      when(contrib > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

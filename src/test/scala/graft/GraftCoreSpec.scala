@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import graft.operators.{AsofJoin, Sessionize}
+  import org.apache.spark.sql.functions._
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("every declared query returns rows and matching columns on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, TestSpark.sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql covers every query (or is intentionally rows-only)") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val known = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh")
+    assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
+  }
+
+  test("asof join: floor semantics, equal-ts inclusion, default fill") {
+    val features = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), "f", 1.0),
+      ("u1", ts("2024-01-03 00:00:00"), "f", 3.0),
+      ("u2", ts("2024-01-05 00:00:00"), "f", 5.0)
+    ).toDF("entity_id", "ts", "feature_name", "value_float")
+    val labels = Seq(
+      ("u1", ts("2024-01-02 00:00:00"), 10L, 1.0), // between f=1 and f=3
+      ("u1", ts("2024-01-03 00:00:00"), 11L, 0.0), // exactly at f=3 → included
+      ("u2", ts("2024-01-04 00:00:00"), 12L, 1.0), // before any feature → default
+      ("u3", ts("2024-01-04 00:00:00"), 13L, 1.0)  // entity with no features
+    ).toDF("entity_id", "ts", "event_id", "value")
+
+    val out = AsofJoin.pointInTime(features, labels,
+      "entity_id", "ts", "feature_name", "value_float", "event_id", "value",
+      Seq("f"), default = -1.0)
+      .collect().map(r => r.getAs[Long]("label_id") -> r.getAs[Double]("f_f"))
+      .toMap
+    assert(out(10L) == 1.0)
+    assert(out(11L) == 3.0)
+    assert(out(12L) == -1.0)
+    assert(out(13L) == -1.0)
+  }
+
+  test("sessionize: gap splits sessions, aggregates are per-session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, "click", 1.0, ""),
+      (2L, ts("2024-01-01 00:10:00"), 7L, "click", 2.0, ""),
+      (3L, ts("2024-01-01 05:00:00"), 7L, "click", 4.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Sessionize.sessions(ev, "user_id", "ts", "value", 3600L)
+      .orderBy("session_seq").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(0).getAs[Double]("session_value") == 3.0)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("md5Hash31 matches the reference hash algorithm") {
+    import graft.functions.Fns
+    // reference: int(hashlib.md5(key).hexdigest()[:8], 16) % 2**31
+    def ref(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 2147483648L
+    }
+    val keys = Seq("click,view,error,signup", "merchant", "a", "")
+    val got = keys.toDF("k").select(Fns.md5Hash31(col("k"))).as[Long].collect()
+    keys.zip(got).foreach { case (k, g) => assert(g == ref(k), s"key=$k") }
+  }
+
+  test("materializeVectors: defaults counted, schema order fixed") {
+    import graft.offline.OfflineStore
+    val recs = Seq(
+      ("user", "u1", "a", 1.0, ts("2024-01-01 00:00:00"), 1L),
+      ("user", "u1", "a", 2.0, ts("2024-01-02 00:00:00"), 2L),
+      ("user", "u1", "b", 9.0, ts("2024-01-01 00:00:00"), 3L)
+    ).toDF("entity_type", "entity_id", "feature_name", "value_float",
+           "event_time", "commit_id")
+    val out = OfflineStore.materializeVectors(recs, Seq("a", "b", "c"), 0.0)
+      .collect().head
+    assert(out.getAs[Double]("f_a") == 2.0) // latest wins
+    assert(out.getAs[Double]("f_b") == 9.0)
+    assert(out.getAs[Double]("f_c") == 0.0) // default
+    assert(out.getAs[Int]("n_default") == 1)
+  }
+}
