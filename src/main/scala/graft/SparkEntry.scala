@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.offline.OfflineStore
-import graft.operators.{AsofJoin, Sessionize, WindowedFeatures}
+import graft.online.OnlineStore
+import graft.operators.{AsofJoin, FeatureEng, Sessionize, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
+import graft.registry.Registry
 import graft.stats.Profiler
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -106,6 +108,39 @@ object SparkEntry {
     Sessionize.sessions(Tables.events(s, d), "user_id", "ts", "value",
       gapSeconds = 7200L)
 
+  def qSchemaHash(s: SparkSession, d: String): DataFrame =
+    Registry.datasetSchemaHash(Tables.featureRecords(s, d))
+
+  def qServingLookup(s: SparkSession, d: String): DataFrame = {
+    val vectors = OfflineStore.materializeVectors(
+      Tables.featureRecords(s, d), AllEventTypes, default = 0.0)
+    val keys = Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id").cast("string").as("entity_id"))
+    OnlineStore.batchLookup(vectors, keys)
+  }
+
+  // -------------------------------------------------------------------
+  // Feature engineering / training export
+  // -------------------------------------------------------------------
+
+  def qEnrichStar(s: SparkSession, d: String): DataFrame =
+    FeatureEng.enrichStar(Tables.lineitem(s, d), Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))
+
+  def qCategoricalHash(s: SparkSession, d: String): DataFrame =
+    FeatureEng.categoricalHash(Tables.customer(s, d))
+
+  def qQuantileLabel(s: SparkSession, d: String): DataFrame =
+    FeatureEng.quantileLabel(Tables.orders(s, d), "o_custkey", "o_totalprice",
+      pct = 0.92)
+
+  def qTrainTestSplit(s: SparkSession, d: String): DataFrame =
+    FeatureEng.trainTestSplit(Tables.customer(s, d), "c_custkey", trainPct = 80)
+
+  def qRankingAggs(s: SparkSession, d: String): DataFrame =
+    FeatureEng.rankingAggs(Tables.orders(s, d), "o_custkey", "o_totalprice")
+
   // -------------------------------------------------------------------
   // Contract maps
   // -------------------------------------------------------------------
@@ -122,7 +157,14 @@ object SparkEntry {
     "q_feature_stats" -> (qFeatureStats _),
     "q_time_travel" -> (qTimeTravel _),
     "q_drift" -> (qDrift _),
-    "q_sessionize" -> (qSessionize _)
+    "q_sessionize" -> (qSessionize _),
+    "q_schema_hash" -> (qSchemaHash _),
+    "q_serving_lookup" -> (qServingLookup _),
+    "q_enrich_star" -> (qEnrichStar _),
+    "q_categorical_hash" -> (qCategoricalHash _),
+    "q_quantile_label" -> (qQuantileLabel _),
+    "q_train_test_split" -> (qTrainTestSplit _),
+    "q_ranking_aggs" -> (qRankingAggs _)
   )
 
   // DuckDB oracle SQL. Bare table names resolve to the same parquet files.
@@ -323,7 +365,101 @@ object SparkEntry {
           |  max(epoch_ms(ts)) AS end_ms,
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
           |FROM sess
-          |GROUP BY user_id, session_seq""".stripMargin
+          |GROUP BY user_id, session_seq""".stripMargin,
+
+      "q_schema_hash" ->
+        """WITH f AS (
+          |  SELECT DISTINCT 'user' AS entity_type, event_type AS feature_name
+          |  FROM events
+          |), s AS (
+          |  SELECT entity_type,
+          |         string_agg(feature_name, ',' ORDER BY feature_name) AS schema_str
+          |  FROM f GROUP BY entity_type
+          |)
+          |SELECT entity_type, schema_str,
+          |  ('0x' || substr(md5(schema_str), 1, 8))::BIGINT % 2147483648 AS schema_hash
+          |FROM s""".stripMargin,
+
+      "q_serving_lookup" ->
+        """WITH latest AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS entity_id, event_type AS feature_name,
+          |         value AS value_float,
+          |         row_number() OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY ts DESC, event_id DESC) AS rn
+          |  FROM events
+          |)
+          |SELECT entity_id,
+          |  coalesce(max(CASE WHEN feature_name = 'click'    THEN value_float END), 0.0) AS f_click,
+          |  coalesce(max(CASE WHEN feature_name = 'view'     THEN value_float END), 0.0) AS f_view,
+          |  coalesce(max(CASE WHEN feature_name = 'error'    THEN value_float END), 0.0) AS f_error,
+          |  coalesce(max(CASE WHEN feature_name = 'signup'   THEN value_float END), 0.0) AS f_signup,
+          |  coalesce(max(CASE WHEN feature_name = 'purchase' THEN value_float END), 0.0) AS f_purchase,
+          |  (CASE WHEN max(CASE WHEN feature_name = 'click'    THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'view'     THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'error'    THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'signup'   THEN value_float END) IS NULL THEN 1 ELSE 0 END
+          | + CASE WHEN max(CASE WHEN feature_name = 'purchase' THEN value_float END) IS NULL THEN 1 ELSE 0 END) AS n_default
+          |FROM latest WHERE rn = 1 AND CAST(entity_id AS BIGINT) % 10 = 0
+          |GROUP BY entity_id""".stripMargin,
+
+      "q_enrich_star" ->
+        """SELECT r_name, n_name, c_mktsegment,
+          |  count(*) AS n_items,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation   ON c_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name, c_mktsegment""".stripMargin,
+
+      "q_categorical_hash" ->
+        """SELECT c_custkey AS entity_id, c_mktsegment AS segment,
+          |  CASE WHEN c_mktsegment IS NULL OR c_mktsegment = '' THEN 0
+          |       ELSE (('0x' || substr(md5(c_mktsegment), 1, 8))::BIGINT % 2147483648) % 100
+          |  END AS segment_bucket,
+          |  CASE WHEN c_name IS NULL OR c_name = '' THEN 0
+          |       ELSE (('0x' || substr(md5(c_name), 1, 8))::BIGINT % 2147483648) % 1000
+          |  END AS name_bucket
+          |FROM customer""".stripMargin,
+
+      "q_quantile_label" ->
+        """WITH g AS (
+          |  SELECT o_custkey AS entity_id,
+          |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gmv
+          |  FROM orders GROUP BY o_custkey
+          |)
+          |SELECT entity_id, gmv,
+          |  round(percent_rank() OVER (ORDER BY gmv), 6) AS pr,
+          |  CASE WHEN round(percent_rank() OVER (ORDER BY gmv), 6) >= 0.92
+          |       THEN 1 ELSE 0 END AS risk_label
+          |FROM g""".stripMargin,
+
+      "q_train_test_split" ->
+        """SELECT c_custkey AS entity_id,
+          |  ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2147483648 % 100 AS hash_bucket,
+          |  CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2147483648 % 100 < 80
+          |       THEN 'train' ELSE 'test' END AS split
+          |FROM customer""".stripMargin,
+
+      "q_ranking_aggs" ->
+        """WITH g AS (
+          |  SELECT o_custkey AS group_id,
+          |    count(*) AS n,
+          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+          |    min(o_totalprice) AS min_v,
+          |    max(o_totalprice) AS max_v,
+          |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) *
+          |                  CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sumsq_v
+          |  FROM orders GROUP BY o_custkey
+          |)
+          |SELECT group_id, n, sum_v, min_v, max_v,
+          |  round(sum_v / n, 6) AS mean_v,
+          |  CASE WHEN n > 1
+          |       THEN round((sumsq_v - sum_v * sum_v / n) / (n - 1), -4)
+          |  END AS var_v
+          |FROM g""".stripMargin
     )
   }
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+import graft.operators.WindowedFeatures.dsum
+
+/** Feature-engineering operators mirroring the reference's Python
+  * training pipelines (reference python/criteo_example/dataset.py,
+  * python/gbdt_example/dataset.py, python/mslr_example/dataset.py),
+  * re-expressed as declarative Spark plans.
+  */
+object FeatureEng {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Star-schema enrichment: fact ⋈ dims with small dims broadcast so
+    * the fact table never shuffles for them. The orders/customer joins
+    * shuffle on their keys (at 100 TB these are the genuinely large
+    * sides; AQE may still broadcast customer when it fits). nation and
+    * region are always tiny → explicit broadcast.
+    */
+  def enrichStar(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                 nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name", "c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+
+  /** Categorical hash-bucketing (reference
+    * python/criteo_example/dataset.py:103): md5-based bucket ids for
+    * low- and high-cardinality categoricals. Pure codegen'd column
+    * expressions — no shuffle at all, embarrassingly parallel.
+    */
+  def categoricalHash(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey").as("entity_id"),
+      col("c_mktsegment").as("segment"),
+      Fns.hashBucket(col("c_mktsegment"), 100).as("segment_bucket"),
+      Fns.hashBucket(col("c_name"), 1000).as("name_bucket"))
+
+  /** Rank-quantile threshold label (reference
+    * python/gbdt_example/dataset.py:119 — top-p% risk label): per-key
+    * exact money total, then percent_rank over the aggregated keys.
+    *
+    * Scale note: the rank window is over the AGGREGATED key space
+    * (customers, not raw orders), typically 3+ orders of magnitude
+    * smaller than the fact table. For key spaces too big for a global
+    * sort, swap the window for an approx_percentile threshold — kept
+    * exact here because the oracle demands determinism.
+    */
+  def quantileLabel(orders: DataFrame, keyCol: String, valCol: String,
+                    pct: Double): DataFrame = {
+    val g = orders.groupBy(col(keyCol).as("entity_id"))
+      .agg(dsum(col(valCol)).as("gmv"))
+    g.withColumn("pr", round(percent_rank().over(Window.orderBy(col("gmv"))), 6))
+      .withColumn("risk_label", when(col("pr") >= pct, 1).otherwise(0))
+      .select("entity_id", "gmv", "pr", "risk_label")
+  }
+
+  /** Deterministic key-hash train/test split (reference
+    * gbdt_example/dataset.py train/test split): stable across runs and
+    * engines because the bucket is md5-derived from the key, not
+    * random. No shuffle; survives any reshuffling of input data.
+    */
+  def trainTestSplit(df: DataFrame, keyCol: String, trainPct: Int): DataFrame =
+    df.select(
+      col(keyCol).as("entity_id"),
+      (Fns.md5Hash31(col(keyCol).cast("string")) % 100).as("hash_bucket"))
+      .withColumn("split",
+        when(col("hash_bucket") < trainPct, "train").otherwise("test"))
+
+  /** Per-group ranking-feature variants (reference
+    * python/mslr_example/dataset.py:30-45 — sum/min/max/mean/var of
+    * each raw feature within the query group). One shuffle with
+    * map-side partial aggregation; variance is computed from exact
+    * decimal power sums so it is order-independent (deterministic on
+    * any cluster size), unlike a naive double `var_samp`.
+    */
+  def rankingAggs(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val v = col(valCol)
+    val grouped = df.groupBy(col(keyCol).as("group_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(v).as("sum_v"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+        sum((dec(v) * dec(v)).cast("decimal(38,4)")).cast("double").as("sumsq_v"))
+    grouped.select(
+      col("group_id"), col("n"), col("sum_v"), col("min_v"), col("max_v"),
+      round(col("sum_v") / col("n"), 6).as("mean_v"),
+      // var is rounded at -4 digits: the decimal(38,4) power sum exceeds
+      // 2^53, so its double conversion can differ by 1 ulp across
+      // engines — coarse rounding absorbs that while keeping 7 sig figs.
+      when(col("n") > 1,
+        round((col("sumsq_v") - col("sum_v") * col("sum_v") / col("n")) /
+              (col("n") - 1), -4)).as("var_v"))
+  }
+}

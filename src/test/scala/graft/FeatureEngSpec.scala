@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FeatureEngSpec extends AnyFunSuite {
+  import graft.operators.FeatureEng
+  import graft.registry.Registry
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rankingAggs: exact variance on a known group") {
+    val df = Seq((1L, 2.0), (1L, 4.0), (1L, 6.0), (2L, 5.0))
+      .toDF("k", "v")
+    val out = FeatureEng.rankingAggs(df, "k", "v").collect()
+      .map(r => r.getAs[Long]("group_id") -> r).toMap
+    assert(out(1L).getAs[Double]("mean_v") == 4.0)
+    // var({2,4,6}) = 4, rounded at -4 digits → 0.0
+    assert(out(1L).getAs[Double]("var_v") == 0.0)
+    assert(out(2L).getAs[Any]("var_v") == null) // n=1 → undefined
+    assert(out(2L).getAs[Double]("sum_v") == 5.0)
+  }
+
+  test("trainTestSplit: deterministic and ~80/20") {
+    val df = (1L to 1000L).toDF("k")
+    val out = FeatureEng.trainTestSplit(df, "k", 80)
+    val frac = out.filter(col("split") === "train").count() / 1000.0
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    // deterministic: same result twice
+    val a = out.orderBy("entity_id").collect().toSeq
+    val b = FeatureEng.trainTestSplit(df, "k", 80).orderBy("entity_id")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("quantileLabel: top-8% labeled") {
+    val orders = (1L to 100L).map(i => (i, i * 10.0))
+      .toDF("o_custkey", "o_totalprice")
+    val out = FeatureEng.quantileLabel(orders, "o_custkey", "o_totalprice", 0.92)
+    assert(out.filter(col("risk_label") === 1).count() == 8)
+    assert(out.filter(col("risk_label") === 1)
+      .agg(min("entity_id")).head().getLong(0) == 93L)
+  }
+
+  test("enrichStar plan broadcasts the tiny dims") {
+    val plan = SparkEntry.qEnrichStar(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins")
+  }
+
+  test("registry schema hash matches distributed hash and reference algo") {
+    val names = Seq("click", "error", "purchase", "signup", "view")
+    val driverHash = Registry.schemaHash(names)
+    val view = Registry.makeView("user_view", "user", 1, names)
+    assert(view.schemaHash == driverHash)
+    val dist = SparkEntry.qSchemaHash(spark, TestSpark.sfDir).head()
+    // distributed hash over events' distinct feature names agrees
+    assert(dist.getAs[String]("schema_str") == names.mkString(","))
+    assert(dist.getAs[Long]("schema_hash") == driverHash)
+  }
+
+  test("registry round-trips view defs through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
+    val views = Seq(
+      Registry.makeView("v1", "user", 1, Seq("a", "b")),
+      Registry.makeView("v2", "user", 2, Seq("a", "b", "c"))).toDS()
+    Registry.save(views, s"$dir/views")
+    val loaded = Registry.loadViews(spark, s"$dir/views").collect().sortBy(_.name)
+    assert(loaded.toSeq == views.collect().toSeq.sortBy(_.name))
+  }
+}
