@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
-import graft.operators.{AsofJoin, FeatureEng, Sessionize, WindowedFeatures}
+import graft.operators.{Ann, AsofJoin, Dedup, FeatureEng, MultiModal, Sessionize, TextAnalysis, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
 import graft.registry.Registry
 import graft.stats.Profiler
@@ -142,6 +142,54 @@ object SparkEntry {
     FeatureEng.rankingAggs(Tables.orders(s, d), "o_custkey", "o_totalprice")
 
   // -------------------------------------------------------------------
+  // LLM-data-pipeline queries (documents / embeddings)
+  // -------------------------------------------------------------------
+
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+
+  def qDedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
+  def qDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+
+  def qDedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 6)
+
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4)
+
+  def qAnnTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.bruteTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5)
+  }
+
+  def qAnnLsh(s: SparkSession, d: String): DataFrame =
+    Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      nPlanes = 8, dim = 64, k = 3)
+
+  def qTextQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+
+  def qLangId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
+
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCount(Tables.documents(s, d), "doc_id", "text")
+
+  def qFingerprint(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
+
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
+
+  // -------------------------------------------------------------------
   // Contract maps
   // -------------------------------------------------------------------
 
@@ -164,7 +212,19 @@ object SparkEntry {
     "q_categorical_hash" -> (qCategoricalHash _),
     "q_quantile_label" -> (qQuantileLabel _),
     "q_train_test_split" -> (qTrainTestSplit _),
-    "q_ranking_aggs" -> (qRankingAggs _)
+    "q_ranking_aggs" -> (qRankingAggs _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _)
   )
 
   // DuckDB oracle SQL. Bare table names resolve to the same parquet files.
@@ -459,7 +519,131 @@ object SparkEntry {
           |  CASE WHEN n > 1
           |       THEN round((sumsq_v - sum_v * sum_v / n) / (n - 1), -4)
           |  END AS var_v
-          |FROM g""".stripMargin
+          |FROM g""".stripMargin,
+
+      "q_dedup_exact" ->
+        """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
+          |       count(*) AS n_docs
+          |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      "q_dedup_ngram" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          |p AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |)
+          |SELECT doc_a, doc_b,
+          |       round(common / (x.sz + y.sz - common), 6) AS jaccard
+          |FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+          |WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8""".stripMargin,
+
+      "q_dedup_embedding" ->
+        """WITH p AS (
+          |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+          |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+          |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) AS dab,
+          |    list_reduce(list_transform(a.embedding,
+          |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) AS daa,
+          |    list_reduce(list_transform(b.embedding,
+          |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) AS dbb
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |)
+          |SELECT doc_a, doc_b, round(dab / (sqrt(daa) * sqrt(dbb)), 6) AS cosine
+          |FROM p WHERE round(dab / (sqrt(daa) * sqrt(dbb)), 6) >= 0.4""".stripMargin,
+
+      "q_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+          |           FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+          |p AS (
+          |  SELECT query_id, neighbor_id,
+          |    list_reduce(list_transform(list_zip(qv, cv),
+          |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
+          |    / (sqrt(list_reduce(list_transform(qv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+          |     * sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cos_raw
+          |  FROM q JOIN c ON query_id <> neighbor_id
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cos_raw,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+          |  FROM p
+          |)
+          |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
+          |FROM r WHERE "rank" <= 5""".stripMargin,
+
+      "q_text_quality" ->
+        """WITH b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits,
+          |    len(regexp_extract_all(text, '[0-9]')) AS digits,
+          |    len(regexp_extract_all(text, '[a-z]')) AS alphas
+          |  FROM documents
+          |), r AS (
+          |  SELECT doc_id, n_chars, n_words,
+          |    round((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
+          |    round(stop_hits / n_words, 6) AS stopword_ratio,
+          |    round(digits / n_chars, 6) AS digit_ratio,
+          |    round(alphas / n_chars, 6) AS alpha_ratio
+          |  FROM b
+          |)
+          |SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
+          |  digit_ratio, alpha_ratio,
+          |  round(least(n_words / 100.0, 1.0) * (1.0 - stopword_ratio), 6)
+          |    AS quality_score
+          |FROM r""".stripMargin,
+
+      "q_lang_id" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('el', 'los'))) AS hits_es,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('le', 'les'))) AS hits_fr,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und'))) AS hits_de,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS hits_en
+          |  FROM documents
+          |)
+          |SELECT doc_id, hits_es, hits_fr, hits_de, hits_en,
+          |  CASE
+          |    WHEN hits_es > 0 AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_en THEN 'es'
+          |    WHEN hits_fr > 0 AND hits_fr >= hits_es AND hits_fr >= hits_de AND hits_fr >= hits_en THEN 'fr'
+          |    WHEN hits_de > 0 AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_en THEN 'de'
+          |    WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+          |    ELSE 'und'
+          |  END AS pred_lang
+          |FROM h""".stripMargin,
+
+      "q_token_count" ->
+        """SELECT doc_id, len(text) AS n_chars,
+          |  len(string_split(text, ' ')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+          |  (len(text) + 3) // 4 AS est_bpe_tokens
+          |FROM documents""".stripMargin,
+
+      "q_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
+          |FROM documents""".stripMargin,
+
+      "q_multimodal_meta" ->
+        """WITH b AS (
+          |  SELECT doc_id, octet_length(encode(text)) AS byte_len FROM documents
+          |)
+          |SELECT doc_id, byte_len,
+          |  byte_len % 640 AS width,
+          |  (byte_len * 7) % 480 AS height,
+          |  (byte_len % 30) + 1 AS n_frames,
+          |  CASE WHEN byte_len % 3 = 0 THEN 'jpeg'
+          |       WHEN byte_len % 3 = 1 THEN 'png'
+          |       ELSE 'webp' END AS format
+          |FROM b""".stripMargin
     )
   }
 }

@@ -44,13 +44,18 @@ object Fns {
     */
   def words(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles of a text column as a deduplicated array. */
+  /** Word n-gram shingles of a text column as a deduplicated array.
+    * Documents shorter than n words yield an empty array (Spark's
+    * `sequence(1, 0)` would otherwise count DOWN — guard against it).
+    */
   def shingles(text: Column, n: Int): Column = {
     val w = words(text)
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(w) - (n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+    when(size(w) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** 64-bit SimHash over the words of a text column: for each of the 64

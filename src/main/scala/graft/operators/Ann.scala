@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - bruteTopK: exact cosine top-k for a SMALL query set — the query
+  *    side is broadcast so the corpus never shuffles; per-partition
+  *    cosine + a window ranked within each query id.
+  *  - lshTopK: random-hyperplane LSH — both sides bucketed by sign
+  *    bits, candidates generated per bucket only. The scale path: at
+  *    100 TB the bucket join replaces the corpus×queries cross
+  *    product with |bucket| joins.
+  */
+object Ann {
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1] —
+    * md5-derived like the reference's hash family, no RNG state so
+    * every executor regenerates identical planes.
+    */
+  private def planeComponent(j: Int, i: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane_${j}_$i".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
+  }
+
+  /** Exact cosine top-k: `queries` broadcast against `corpus`. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", Fns.cosineSim(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
+      val dot = aggregate(
+        zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: same-bucket pairs ranked by cosine within each
+    * query. Recall is tunable via nPlanes (fewer planes → bigger
+    * buckets → higher recall, more compute).
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              nPlanes: Int, dim: Int, k: Int): DataFrame = {
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        col("a.bucket").as("bucket"),
+        Fns.cosineSim(col("a.v"), col("b.v")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+  }
+}

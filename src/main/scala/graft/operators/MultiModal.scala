@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads are opaque BINARY
+  * columns with typed metadata alongside. Decode / feature-extract
+  * runs partition-wise over batches (the Scala analogue of
+  * mapInPandas): one decoder instantiation per partition, streaming
+  * iterator, no driver collect.
+  *
+  * The byte-level decode itself is a STUB — the image/audio codecs
+  * are not in this container — producing deterministic metadata from
+  * the payload bytes. The Spark-side plumbing (schema, binary column,
+  * partition-wise batch shape, typed output) is real and tested; swap
+  * `StubDecoder.decode` for a real codec binding in production.
+  */
+object MultiModal {
+
+  case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
+                       height: Long, n_frames: Long, format: String)
+
+  /** STUB decoder: deterministic fake metadata derived from payload
+    * length. Replace with a real codec (e.g. JNI image decode) — the
+    * call shape (bytes in, metadata out, batched per partition) is
+    * the production contract.
+    */
+  object StubDecoder {
+    def decode(id: Long, payload: Array[Byte]): MediaMeta = {
+      val len = payload.length.toLong
+      MediaMeta(id, len,
+        width = len % 640L,
+        height = len * 7L % 480L,
+        n_frames = len % 30L + 1,
+        format = (len % 3L) match {
+          case 0L => "jpeg"; case 1L => "png"; case _ => "webp"
+        })
+    }
+  }
+
+  /** Attach a binary payload column (here: the UTF-8 text bytes — in
+    * production the raw media bytes read from the lake).
+    */
+  def withPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** Partition-wise batch decode: binary in → typed metadata out.
+    * Iterator-to-iterator so a partition never fully materializes.
+    */
+  def decodeMeta(withPayloadDf: DataFrame): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here (real codec handle)
+        rows.map(r => StubDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+  }
+
+  /** Columnar (codegen) twin of the stub decode for the oracle path:
+    * identical output computed as pure SQL functions — demonstrates
+    * the metadata contract and stays inside whole-stage codegen.
+    */
+  def metaColumns(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withPayload(docs, idCol, textCol)
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .select(
+        col("doc_id"), col("byte_len"),
+        (col("byte_len") % 640).as("width"),
+        (col("byte_len") * 7 % 480).as("height"),
+        ((col("byte_len") % 30) + 1).as("n_frames"),
+        when(col("byte_len") % 3 === 0, "jpeg")
+          .when(col("byte_len") % 3 === 1, "png")
+          .otherwise("webp").as("format"))
+}

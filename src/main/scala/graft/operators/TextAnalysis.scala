@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Text analysis for training-data curation: quality scoring,
+  * heuristic language ID, token counting, and document
+  * fingerprinting. All pure `functions._` compositions — codegen'd,
+  * no UDFs, embarrassingly parallel (zero shuffles).
+  */
+object TextAnalysis {
+
+  // Counts are cast to long: Spark size()/length() return int32 while
+  // the DuckDB oracle emits int64 — the compare is dtype-sensitive.
+  private def countIn(ws: Column, vals: Seq[String]): Column =
+    size(filter(ws, w => vals.map(w === _).reduce(_ || _))).cast("long")
+
+  /** Per-document quality signals: size, word stats, stopword /
+    * digit / alpha ratios, and a composite score. Ratios are plain
+    * double divisions of exact longs → deterministic, rounded 6dp.
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = Fns.words(t)
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      size(ws).cast("long").as("n_words"),
+      countIn(ws, Seq("the", "a")).as("stop_hits"),
+      size(regexp_extract_all(t, lit("[0-9]"), lit(0))).cast("long").as("digits"),
+      size(regexp_extract_all(t, lit("[a-z]"), lit(0))).cast("long").as("alphas"))
+      .withColumn("avg_word_len",
+        round((col("n_chars") - (col("n_words") - 1)) / col("n_words"), 6))
+      .withColumn("stopword_ratio", round(col("stop_hits") / col("n_words"), 6))
+      .withColumn("digit_ratio", round(col("digits") / col("n_chars"), 6))
+      .withColumn("alpha_ratio", round(col("alphas") / col("n_chars"), 6))
+      .withColumn("quality_score",
+        round(least(col("n_words") / lit(100.0), lit(1.0)) *
+              (lit(1.0) - col("stopword_ratio")), 6))
+      .drop("stop_hits", "digits", "alphas")
+  }
+
+  /** Heuristic language ID by per-language stopword hits with a
+    * deterministic priority tie-break. (The synthetic corpus is
+    * English-vocabulary word salad, so this returns 'en' or 'und' —
+    * the operator shape is what matters: swap the stopword lists for
+    * real fastText-style wordlists in production.)
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = Fns.words(col(textCol))
+    val langSets = Seq(
+      "es" -> Seq("el", "los"), "fr" -> Seq("le", "les"),
+      "de" -> Seq("der", "und"), "en" -> Seq("the", "a"))
+    val hitCols = langSets.map { case (l, stops) =>
+      l -> countIn(ws, stops)
+    }
+    val base = docs.select(
+      (col(idCol).as("doc_id") +: hitCols.map { case (l, c) => c.as(s"hits_$l") }): _*)
+    val pred = hitCols.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"hits_$l") > 0 &&
+           hitCols.map(_._1).filter(_ != l)
+             .map(o => col(s"hits_$l") >= col(s"hits_$o"))
+             .reduce(_ && _), l).otherwise(acc)
+    }
+    base.withColumn("pred_lang", pred)
+  }
+
+  /** Token counting: whitespace tokens, a BPE-ish regex token count
+    * (letter runs / digit runs / single punctuation), and the
+    * chars/4 heuristic LLM-token estimate.
+    */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(t).cast("long").as("n_chars"),
+      size(Fns.words(t)).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("re_tokens"),
+      floor((length(t) + 3) / 4).cast("long").as("est_bpe_tokens"))
+  }
+
+  /** Normalized document fingerprint: lowercase, collapse whitespace,
+    * trim, md5 — the canonical near-exact-dup key.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      md5(trim(regexp_replace(lower(col(textCol)), " +", " ")))
+        .as("fingerprint"))
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmPipelineSpec extends AnyFunSuite {
+  import graft.operators.{Ann, Dedup, MultiModal, TextAnalysis}
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ngramJaccard finds injected near-dups and excludes distant docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),   // one shingle off → high jaccard
+      (3L, "z y x w v u t s")    // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("minhashLsh candidates include true near-dups") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k m"),
+      (3L, "q r s t u v w x y z a0 a1")
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 3L)) || !cand.contains((2L, 3L)))
+  }
+
+  test("simhashPairs: near-identical docs collide, distant do not") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12 z13 z14 z15 z16")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("bruteTopK: self excluded, ranks deterministic, k respected") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.bruteTopK(emb, emb.filter($"vec_id" === 1), "vec_id",
+      "embedding", 2).collect()
+    assert(out.length == 2)
+    assert(out.map(_.getLong(1)).toSet == Set(4L, 2L)) // nearest two
+    assert(out.forall(_.getLong(1) != 1L))
+  }
+
+  test("lsh buckets are deterministic across invocations") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val a = SparkEntry.qAnnLsh(spark, TestSpark.sfDir)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = SparkEntry.qAnnLsh(spark, TestSpark.sfDir)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("multimodal: mapPartitions decode path equals codegen path") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val viaPartitions = MultiModal
+      .decodeMeta(MultiModal.withPayload(docs, "doc_id", "text"))
+      .toDF().orderBy("doc_id").collect().toSeq
+    val viaColumns = MultiModal.metaColumns(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(viaPartitions == viaColumns)
+  }
+
+  test("tokenCount consistent with quality word counts") {
+    val docs = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCount(docs, "doc_id", "text").head()
+    assert(tc.getAs[Long]("ws_tokens") == 6L)
+    assert(tc.getAs[Long]("re_tokens") == 6L)
+    val q = TextAnalysis.quality(docs, "doc_id", "text").head()
+    assert(q.getAs[Long]("n_words") == 6L)
+    assert(q.getAs[Double]("stopword_ratio") == math.round(2.0 / 6 * 1e6) / 1e6)
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val docs = Seq((1L, "Hello  World"), (2L, " hello world "))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(docs, "doc_id", "text")
+      .select("fingerprint").distinct().count()
+    assert(fps == 1L)
+  }
+}
