@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass word-shingle hasher: text → array of DISTINCT 64-bit
+  * hashes of its n-word shingles.
+  *
+  * Replaces the `transform(sequence(...), i -> concat_ws(...))` +
+  * `array_distinct` + `xxhash64` pipeline, which runs interpreted
+  * per element and dominated the dedup queries. One pass over the
+  * bytes, zero intermediate strings: word hashes are FNV-1a over the
+  * word bytes, shingle hashes a murmur-style mix of n consecutive
+  * word hashes. Any deterministic 64-bit family works here — the
+  * hash only needs to agree with itself across the join sides.
+  */
+case class ShingleHash(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash"
+
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    // 1. hash each word (single-space tokenizer, matching Fns.words)
+    val wordHashes = new java.util.ArrayList[java.lang.Long]()
+    var h = ShingleHash.FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { wordHashes.add(h); h = ShingleHash.FnvOffset }
+      else h = (h ^ (bytes(i) & 0xffL)) * ShingleHash.FnvPrime
+      i += 1
+    }
+    wordHashes.add(h) // final word (empty text still yields one "word",
+                      // matching split(text, ' ') semantics)
+    val nw = wordHashes.size
+    if (nw < n) return new GenericArrayData(Array.empty[Long])
+    // 2. mix n consecutive word hashes per shingle, dedup
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j <= nw - n) {
+      var acc = ShingleHash.Seed
+      var k = 0
+      while (k < n) {
+        acc = ShingleHash.mix(acc, wordHashes.get(j + k))
+        k += 1
+      }
+      seen.add(acc)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHasher", this, classOf[ShingleHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+    copy(child = newChild)
+}
+
+/** Single-pass 64-bit SimHash over the words of a text column: per
+  * word an FNV-1a hash, each of whose 64 bits votes +1/-1; signature
+  * bits are the positive vote counts. One tight loop per row inside
+  * whole-stage codegen — replaces 64 interpreted array folds (scalar
+  * path) or a 64-aggregate shuffle (columnar path).
+  */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  def compute(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var h = ShingleHash.FnvOffset
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+        h = ShingleHash.FnvOffset
+      } else {
+        h = (h ^ (bytes(i) & 0xffL)) * ShingleHash.FnvPrime
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHasher", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def simhash64(text: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+}
+
+object ShingleHash {
+  val FnvOffset: Long = 0xcbf29ce484222325L
+  val FnvPrime: Long = 0x100000001b3L
+  val Seed: Long = 0x2545F4914F6CDD1DL
+
+  /** murmur3-fmix-style combine — fast, well-distributed, stateless. */
+  def mix(acc: Long, v: Long): Long = {
+    var h = acc ^ (v * 0x87c37b91114253d5L)
+    h = java.lang.Long.rotateLeft(h, 31) * 0x4cf5ad432745937fL
+    h ^= h >>> 33
+    h
+  }
+
+  def shingles(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHash(GraftColumnBridge.expression(text), n))
+}

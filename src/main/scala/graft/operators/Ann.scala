@@ -33,12 +33,16 @@ object Ann {
   /** Exact cosine top-k: `queries` broadcast against `corpus`. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    import graft.functions.VectorExpressions.dotF
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Fns.l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Fns.l2Norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw", Fns.cosineSim(col("qv"), col("cv")))
+      .withColumn("cos_raw",
+        dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -63,8 +67,10 @@ object Ann {
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               nPlanes: Int, dim: Int, k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
+      Fns.l2Norm(col(vecCol)).as("nrm"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     bucketed.as("a")
@@ -72,7 +78,8 @@ object Ann {
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
         col("a.bucket").as("bucket"),
-        Fns.cosineSim(col("a.v"), col("b.v")).as("cos_raw"))
+        (dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cos_raw"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"),

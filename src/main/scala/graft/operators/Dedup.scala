@@ -28,15 +28,15 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** Exploded (doc_id, shingle) inverted index. `maxDf` drops shingles
-    * appearing in more than that many docs — the classic stop-shingle
-    * cap that bounds per-bucket join fan-out at corpus scale (disabled
-    * when 0).
+  /** Exploded (doc_id, shingle_hash) inverted index, built by the
+    * codegen'd single-pass ShingleHash expression — distinct 64-bit
+    * shingle hashes straight from the text bytes, no intermediate
+    * shingle strings.
     */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(Fns.shingles(col(textCol), n)).as("s"))
+        explode(graft.functions.ShingleHash.shingles(col(textCol), n)).as("s"))
 
   /** N-gram Jaccard near-dup pairs at-or-above `threshold`.
     * Plan: explode shingles → self-join on shingle (the inverted
@@ -45,6 +45,8 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
+    // Joining on 64-bit shingle hashes: collisions (~1e-10 at 1e5
+    // distinct shingles) are the standard trade for this at scale.
     val sh = shingleIndex(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = sh.as("a")
@@ -97,10 +99,17 @@ object Dedup {
     * hamming filter. Candidate generation is a band-key equi-join, not
     * an all-pairs scan.
     */
+  /** Per-doc 64-bit SimHash signatures via the single-pass codegen'd
+    * SimHash64 expression — no explode, no shuffle, one loop per row.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("sig"))
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
-    val withSig = docs.select(col(idCol).as("doc_id"),
-      Fns.simHash(col(textCol)).as("sig"))
+    val withSig = simhashSignatures(docs, idCol, textCol)
     val banded = withSig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -126,10 +135,17 @@ object Dedup {
     */
   def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("vb"))
+    import graft.functions.VectorExpressions.dotF
+    // Norms are computed ONCE per vector (n rows), not per pair (n²):
+    // cosine(a,b) = dot(a,b)/(norm_a*norm_b) with norm = sqrt(dot(v,v))
+    // — the same doubles the per-pair formula yields, 3× less work.
+    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("va"),
+      Fns.l2Norm(col(vecCol)).as("norm_a"))
+    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("vb"),
+      Fns.l2Norm(col(vecCol)).as("norm_b"))
     a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("cosine", round(Fns.cosineSim(col("va"), col("vb")), 6))
+      .withColumn("cosine",
+        round(dotF(col("va"), col("vb")) / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
   }

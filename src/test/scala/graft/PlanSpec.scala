@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical properties: filter
+  * pushdown, column pruning, broadcast joins, and shuffle counts.
+  * These are what keep the operators viable at 100 TB — a regression
+  * here is a performance bug even when results stay correct.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("q1_agg: shipdate filter pushed to parquet, columns pruned") {
+    val plan = formatted(SparkEntry.q1Agg(spark, TestSpark.sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    // projection needs 7 of 11 lineitem columns — partkey/suppkey/
+    // linenumber/tax must NOT be read
+    assert(!plan.contains("l_partkey"), "column pruning lost: l_partkey read")
+  }
+
+  test("q_multi_window: all horizons in exactly one shuffle") {
+    assert(countShuffles(SparkEntry.qMultiWindow(spark, TestSpark.sfDir)) == 1)
+  }
+
+  test("q_asof_join: one shuffle for the window, no join blowup") {
+    val df = SparkEntry.qAsofJoin(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      "asof must not be a join")
+    assert(countShuffles(df) == 1, s"expected 1 shuffle:\n$plan")
+  }
+
+  test("q_serving_lookup: key set broadcast, snapshot not shuffled for the join") {
+    val plan = SparkEntry.qServingLookup(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q_windowed_features: time filter pushed to scan") {
+    val plan = formatted(SparkEntry.qWindowedFeatures(spark, TestSpark.sfDir))
+    // events.ts is read as raw nanos (legacy conf) and rebuilt, so the
+    // filter applies post-scan — but the scan must prune to the four
+    // needed columns (no props / event_id).
+    assert(!plan.contains("props"), "column pruning lost: props read")
+  }
+
+  test("dedup/ann hot paths: no cartesian ngram, codegen dot in plan") {
+    val ngram = SparkEntry.qDedupNgram(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!ngram.contains("CartesianProduct"),
+      "ngram dedup must use the inverted-index join, not all-pairs")
+    val emb = formatted(SparkEntry.qDedupEmbedding(spark, TestSpark.sfDir))
+    assert(emb.contains("graft_dot"), s"custom codegen dot not in plan:\n$emb")
+    // the custom expression must actually compile into codegen'd Java —
+    // CodegenFallback would silently interpret it
+    assert(!classOf[graft.functions.FloatVecDot].getInterfaces
+      .exists(_.getSimpleName == "CodegenFallback"))
+  }
+}
