@@ -27,18 +27,23 @@ object OfflineStore {
       .parquet(path)
 
   /** Latest record per (entity, feature): the online-store snapshot.
-    * Ties broken by commit_id (arrival order) — deterministic.
-    * One shuffle; at scale this is the materialization pre-pass.
+    * Ties broken by commit_id (arrival order) — deterministic because
+    * commit_id is unique per key.
+    *
+    * Implemented as a max_by hash AGGREGATE, not a row_number window:
+    * partial aggregation collapses each map partition to one row per
+    * key BEFORE the shuffle, so at 100 TB the exchange carries
+    * O(distinct keys), not O(records) — and no per-partition sort.
     */
   def latestSnapshot(records: DataFrame, asOfCommit: Long = Long.MaxValue)
   : DataFrame = {
-    val w = Window.partitionBy("entity_id", "feature_name")
-      .orderBy(col("event_time").desc, col("commit_id").desc)
+    val ordKey = struct(col("event_time"), col("commit_id"))
+    val payload = struct(records.columns.map(col): _*)
     records
       .filter(col("commit_id") <= asOfCommit)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy("entity_id", "feature_name")
+      .agg(max_by(payload, ordKey).as("r"))
+      .select(records.columns.map(c => col(s"r.$c")): _*)
   }
 
   /** Materialize fixed-schema feature vectors: latest scalar per

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.registry.Registry
+import graft.validation.Validation
+
+class ValidationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("validateView: schema ok, fill + stale rates, gate") {
+    val recs = Seq(
+      // u1 has both features fresh; u2 misses 'b' and 'a' is stale
+      ("user", "u1", "a", 1.0, ts("2024-01-30 00:00:00"), 1L),
+      ("user", "u1", "b", 2.0, ts("2024-01-30 00:00:00"), 2L),
+      ("user", "u2", "a", 3.0, ts("2024-01-01 00:00:00"), 3L)
+    ).toDF("entity_type", "entity_id", "feature_name", "value_float",
+           "event_time", "commit_id")
+    val view = Registry.makeView("v", "user", 1, Seq("a", "b"))
+    val out = Validation.validateView(recs, view, "2024-02-01 00:00:00",
+      Map("a" -> 7L * 86400000L, "b" -> 7L * 86400000L)).head()
+
+    assert(out.getAs[Boolean]("schema_ok"))
+    assert(out.getAs[Long]("n_entities") == 2L)
+    assert(out.getAs[Int]("vector_length") == 2)
+    assert(out.getAs[Double]("default_fill_rate") == 0.25) // 1 of 4 slots
+    assert(out.getAs[Double]("stale_rate") == 0.25)        // u2.a is 31d old
+    assert(out.getAs[Boolean]("validation_pass"))
+  }
+
+  test("validateView: schema mismatch fails the gate") {
+    val recs = Seq(
+      ("user", "u1", "a", 1.0, ts("2024-01-30 00:00:00"), 1L)
+    ).toDF("entity_type", "entity_id", "feature_name", "value_float",
+           "event_time", "commit_id")
+    // view declares features (a, b) but the data only ever has 'a'
+    val view = Registry.makeView("v", "user", 1, Seq("a", "b"))
+    val out = Validation.validateView(recs, view, "2024-02-01 00:00:00",
+      Map.empty).head()
+    assert(!out.getAs[Boolean]("schema_ok"))
+    assert(!out.getAs[Boolean]("validation_pass"))
+  }
+
+  test("metricGate: thresholds enforced") {
+    assert(Validation.metricGate(
+      Map("auc" -> 0.91, "pr_auc" -> 0.5), Map("auc" -> 0.9)))
+    assert(!Validation.metricGate(
+      Map("auc" -> 0.85), Map("auc" -> 0.9)))
+    assert(!Validation.metricGate(Map.empty, Map("auc" -> 0.9)))
+  }
+}
