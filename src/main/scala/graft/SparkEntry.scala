@@ -87,6 +87,10 @@ object SparkEntry {
     OfflineStore.materializeVectors(
       Tables.featureRecords(s, d), AllEventTypes, default = 0.0)
 
+  def qMaterializeAges(s: SparkSession, d: String): DataFrame =
+    OfflineStore.materializeFull(
+      Tables.featureRecords(s, d), AllEventTypes, default = 0.0, asOf = T0)
+
   def qStaleness(s: SparkSession, d: String): DataFrame =
     OfflineStore.staleness(Tables.featureRecords(s, d), T0,
       Map("click" -> 604800000L, "view" -> 604800000L, "error" -> 86400000L,
@@ -201,6 +205,7 @@ object SparkEntry {
     "q_asof_join" -> (qAsofJoin _),
     "q_latest_snapshot" -> (qLatestSnapshot _),
     "q_materialize_vectors" -> (qMaterializeVectors _),
+    "q_materialize_ages" -> (qMaterializeAges _),
     "q_staleness" -> (qStaleness _),
     "q_feature_stats" -> (qFeatureStats _),
     "q_time_travel" -> (qTimeTravel _),
@@ -339,6 +344,23 @@ object SparkEntry {
           | + CASE WHEN max(CASE WHEN feature_name = 'purchase' THEN value_float END) IS NULL THEN 1 ELSE 0 END) AS n_default
           |FROM latest WHERE rn = 1
           |GROUP BY entity_id""".stripMargin),
+
+      "q_materialize_ages" ->
+        (latestCte + {
+          val t0ms = "epoch_ms(TIMESTAMP '2024-02-01 00:00:00')"
+          val per = AllEventTypes.map { f =>
+            val v = s"max(CASE WHEN feature_name = '$f' THEN value_float END)"
+            val t = s"max(CASE WHEN feature_name = '$f' THEN ts_ms END)"
+            s"""|  coalesce($v, 0.0) AS f_$f,
+                |  CAST(CASE WHEN $v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_default_$f,
+                |  CAST(CASE WHEN $v IS NOT NULL THEN $t0ms - $t ELSE -1 END AS BIGINT) AS age_ms_$f""".stripMargin
+          }.mkString(",\n")
+          s"""
+             |SELECT entity_id,
+             |$per
+             |FROM latest WHERE rn = 1
+             |GROUP BY entity_id""".stripMargin
+        }),
 
       "q_staleness" ->
         (latestCte +

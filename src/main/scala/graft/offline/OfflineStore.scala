@@ -69,6 +69,35 @@ object OfflineStore {
       Seq(nDefault.as("n_default")): _*)
   }
 
+  /** Full-fidelity vector materialization matching the reference's
+    * FeatureVector proto fields (reference src/main/proto/
+    * feature_store.proto:61-62): per slot the value, is_default flag,
+    * and value_age_ms at serve time (-1 for default-filled slots).
+    * Same single-aggregate shape as materializeVectors.
+    */
+  def materializeFull(records: DataFrame, featureNames: Seq[String],
+                      default: Double, asOf: String): DataFrame = {
+    val latest = latestSnapshot(records)
+    val asOfMs = unix_millis(lit(asOf).cast("timestamp"))
+    val aggs = featureNames.flatMap { f =>
+      Seq(
+        max(when(col("feature_name") === f, col("value_float")))
+          .as(s"raw_$f"),
+        max(when(col("feature_name") === f, unix_millis(col("event_time"))))
+          .as(s"ts_$f"))
+    }
+    val grouped = latest.groupBy("entity_id").agg(aggs.head, aggs.tail: _*)
+    grouped.select(
+      col("entity_id") +:
+      featureNames.flatMap { f =>
+        Seq(
+          coalesce(col(s"raw_$f"), lit(default)).as(s"f_$f"),
+          when(col(s"raw_$f").isNull, 1L).otherwise(0L).as(s"is_default_$f"),
+          when(col(s"raw_$f").isNotNull, asOfMs - col(s"ts_$f"))
+            .otherwise(lit(-1L)).as(s"age_ms_$f"))
+      }: _*)
+  }
+
   /** Staleness validation vs per-feature max-age SLA (the reference's
     * ValidationService.validateStaleness): age of the latest value of
     * each (entity, feature) at `asOf`, flagged fresh/stale.

@@ -45,6 +45,27 @@ class ValidationSpec extends AnyFunSuite {
     assert(!out.getAs[Boolean]("validation_pass"))
   }
 
+  test("batchLookupWithWarnings: stale + default slots flagged") {
+    import graft.online.OnlineStore
+    val recs = Seq(
+      ("user", "u1", "a", 1.0, ts("2024-01-31 00:00:00"), 1L), // fresh
+      ("user", "u1", "b", 2.0, ts("2024-01-01 00:00:00"), 2L), // stale
+      ("user", "u2", "a", 3.0, ts("2024-01-31 00:00:00"), 3L)  // b missing
+    ).toDF("entity_type", "entity_id", "feature_name", "value_float",
+           "event_time", "commit_id")
+    val keys = Seq("u1", "u2", "u404").toDF("entity_id")
+    val out = OnlineStore.batchLookupWithWarnings(recs, keys, Seq("a", "b"),
+      0.0, "2024-02-01 00:00:00", maxAgeMs = 7L * 86400000L)
+      .collect().map(r => r.getAs[String]("entity_id") -> r).toMap
+    assert(out.size == 2) // u404 is a complete miss → no row
+    assert(out("u1").getAs[Long]("n_stale") == 1L)  // b is 31d old
+    assert(out("u1").getAs[Long]("n_default") == 0L)
+    assert(out("u2").getAs[Long]("n_default") == 1L)
+    assert(out("u2").getAs[Double]("f_b") == 0.0)
+    assert(out("u2").getAs[Long]("age_ms_b") == -1L)
+    assert(out("u1").getAs[Boolean]("warn") && out("u2").getAs[Boolean]("warn"))
+  }
+
   test("metricGate: thresholds enforced") {
     assert(Validation.metricGate(
       Map("auc" -> 0.91, "pr_auc" -> 0.5), Map("auc" -> 0.9)))
