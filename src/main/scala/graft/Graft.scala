@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.offline.OfflineStore
+import graft.online.OnlineStore
+import graft.operators._
+import graft.registry.{FeatureViewDef, Registry}
+import graft.stats.Profiler
+import graft.validation.Validation
+
+/** One-stop facade over the graft engine — the API surface a user of
+  * the reference feature store maps onto:
+  *
+  *  reference call                        → graft call
+  *  generateTrainingDataset               → Graft.pointInTimeJoin
+  *  MaterializationService.materialize    → Graft.materialize / materializeFull
+  *  OnlineServingService.getBatch         → Graft.serve / serveWithWarnings
+  *  FeatureRegistryService.*              → Graft.registerView / Registry.*
+  *  ValidationService.validate            → Graft.validate
+  *  FeatureStatistics                     → Graft.profile
+  *  (new) LLM-data pipeline               → Graft.dedup* / ann* / text*
+  *
+  * Every method returns a lazy DataFrame plan — callers compose,
+  * Catalyst optimizes, nothing executes until an action.
+  */
+object Graft {
+
+  // --- training data -------------------------------------------------
+  def pointInTimeJoin(features: DataFrame, labels: DataFrame,
+                      featureNames: Seq[String], default: Double = 0.0,
+                      lookbackDays: Int = 180): DataFrame =
+    AsofJoin.pointInTime(features, labels, "entity_id", "ts",
+      "feature_name", "value_float", "event_id", "value",
+      featureNames, default, lookbackDays)
+
+  def windowedFeatures(events: DataFrame, entity: String, ts: String,
+                       value: String, typeCol: String,
+                       start: String, end: String): DataFrame =
+    WindowedFeatures.windowed(events, entity, ts, value, typeCol, start, end)
+
+  def trainTestSplit(df: DataFrame, keyCol: String, trainPct: Int = 80)
+  : DataFrame = FeatureEng.trainTestSplit(df, keyCol, trainPct)
+
+  // --- offline store --------------------------------------------------
+  def writeOffline(records: DataFrame, path: String): Unit =
+    OfflineStore.write(records, path)
+
+  def latestSnapshot(records: DataFrame): DataFrame =
+    OfflineStore.latestSnapshot(records)
+
+  def materialize(records: DataFrame, view: FeatureViewDef,
+                  default: Double = 0.0): DataFrame =
+    OfflineStore.materializeVectors(records, view.featureNames, default)
+
+  def materializeFull(records: DataFrame, view: FeatureViewDef,
+                      default: Double, asOf: String): DataFrame =
+    OfflineStore.materializeFull(records, view.featureNames, default, asOf)
+
+  def timeTravel(records: DataFrame, asOfCommit: Long): DataFrame =
+    OfflineStore.timeTravel(records, asOfCommit)
+
+  // --- serving --------------------------------------------------------
+  def serve(vectors: DataFrame, keys: DataFrame): DataFrame =
+    OnlineStore.batchLookup(vectors, keys)
+
+  def serveWithWarnings(records: DataFrame, keys: DataFrame,
+                        view: FeatureViewDef, default: Double, asOf: String,
+                        maxAgeMs: Long): DataFrame =
+    OnlineStore.batchLookupWithWarnings(records, keys, view.featureNames,
+      default, asOf, maxAgeMs)
+
+  // --- registry / validation / stats ---------------------------------
+  def registerView(name: String, entity: String, version: Int,
+                   featureNames: Seq[String]): FeatureViewDef =
+    Registry.makeView(name, entity, version, featureNames)
+
+  def validate(records: DataFrame, view: FeatureViewDef, asOf: String,
+               slaMs: Map[String, Long]): DataFrame =
+    Validation.validateView(records, view, asOf, slaMs)
+
+  def profile(records: DataFrame): DataFrame =
+    Profiler.profile(records, "feature_name", "value_float")
+
+  def drift(records: DataFrame, aStart: String, mid: String, bEnd: String)
+  : DataFrame = OfflineStore.drift(records, aStart, mid, bEnd)
+
+  // --- LLM data pipeline ----------------------------------------------
+  def dedupExact(docs: DataFrame): DataFrame =
+    Dedup.exact(docs, "doc_id", "text")
+
+  def dedupNearNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.8)
+  : DataFrame = Dedup.ngramJaccard(docs, "doc_id", "text", n, threshold)
+
+  def dedupMinhash(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4)
+  : DataFrame = Dedup.minhashLsh(docs, "doc_id", "text", n, k, bands)
+
+  def dedupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming)
+
+  def dedupEmbedding(emb: DataFrame, threshold: Double): DataFrame =
+    Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold)
+
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Ann.bruteTopK(corpus, queries, "vec_id", "embedding", k)
+
+  def annLsh(emb: DataFrame, nPlanes: Int, dim: Int, k: Int): DataFrame =
+    Ann.lshTopK(emb, "vec_id", "embedding", nPlanes, dim, k)
+
+  def textQuality(docs: DataFrame): DataFrame =
+    TextAnalysis.quality(docs, "doc_id", "text")
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    TextAnalysis.tokenCount(docs, "doc_id", "text")
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    TextAnalysis.fingerprint(docs, "doc_id", "text")
+}

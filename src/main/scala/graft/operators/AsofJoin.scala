@@ -52,9 +52,12 @@ object AsofJoin {
     val unioned = featSide.unionByName(labelSide)
     // Feature rows sort before label rows at equal ts (kind 0 < 1), so a
     // feature stamped exactly at the label time IS visible — matching the
-    // reference's floorEntry (<=) semantics.
+    // reference's floorEntry (<=) semantics. fname/fval complete the
+    // ordering so equal-timestamp duplicate feature rows resolve
+    // deterministically (greatest value wins) on any cluster layout.
     val w = Window.partitionBy("entity_id")
-      .orderBy(col("ts"), col("kind"), col("label_id"))
+      .orderBy(col("ts"), col("kind"), col("label_id"),
+               col("fname"), col("fval"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withAsof = featureNames.foldLeft(unioned) { (df, f) =>
       df.withColumn(s"f_$f",
