@@ -43,14 +43,29 @@ object Dedup {
     * index) → per-pair intersection count → join per-doc sizes →
     * |A∩B| / (|A|+|B|-|A∩B|). Three shuffles total, no cross join.
     */
+  /** @param maxDf when > 0, shingles occurring in more than `maxDf`
+    *   docs are dropped from the PAIR-GENERATION join only (sizes and
+    *   the Jaccard denominator still use all shingles). The classic
+    *   stop-shingle cap: per-shingle join fan-out is O(df²), so one
+    *   boilerplate sentence shared by a million docs would otherwise
+    *   dominate the whole job. Lowers recall only for pairs whose
+    *   entire overlap is stop-shingles. 0 = exact (the oracle path).
+    */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
+                   n: Int, threshold: Double, maxDf: Long = 0): DataFrame = {
     // Joining on 64-bit shingle hashes: collisions (~1e-10 at 1e5
     // distinct shingles) are the standard trade for this at scale.
     val sh = shingleIndex(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") &&
+    val joinSide =
+      if (maxDf <= 0) sh
+      else {
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("s")
+        sh.join(rare, "s")
+      }
+    val common = joinSide.as("a")
+      .join(joinSide.as("b"), col("a.s") === col("b.s") &&
                         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))

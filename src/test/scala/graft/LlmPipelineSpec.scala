@@ -19,6 +19,20 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("ngramJaccard maxDf caps stop-shingle fan-out but keeps real dups") {
+    val boiler = "x1 x2 x3 x4"  // shared by every doc (stop-shingles)
+    val docs = Seq(
+      (1L, s"$boiler a b c d e f g h"),
+      (2L, s"$boiler a b c d e f g i"),
+      (3L, s"$boiler q r s t u v w z")
+    ).toDF("doc_id", "text")
+    // df cap of 2 drops the 3-doc boilerplate shingles from pair
+    // generation; the (1,2) near-dup still surfaces via its own overlap
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.3, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("minhashLsh candidates include true near-dups") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),
