@@ -67,6 +67,24 @@ object FeatureEng {
       .select("entity_id", "gmv", "pr", "risk_label")
   }
 
+  /** Scale-path twin of quantileLabel: the threshold comes from
+    * approx_percentile (t-digest, fully distributed — no global sort,
+    * no single-partition window), so it works on key spaces where an
+    * exact global rank is impractical. Labels can differ from the
+    * exact variant only for keys within the sketch's error bound of
+    * the threshold.
+    */
+  def quantileLabelApprox(orders: DataFrame, keyCol: String, valCol: String,
+                          pct: Double, accuracy: Int = 10000): DataFrame = {
+    val g = orders.groupBy(col(keyCol).as("entity_id"))
+      .agg(dsum(col(valCol)).as("gmv"))
+    val thr = g.agg(
+      percentile_approx(col("gmv"), lit(pct), lit(accuracy)).as("thr"))
+    g.crossJoin(broadcast(thr))
+      .withColumn("risk_label", when(col("gmv") >= col("thr"), 1).otherwise(0))
+      .select("entity_id", "gmv", "risk_label")
+  }
+
   /** Deterministic key-hash train/test split (reference
     * gbdt_example/dataset.py train/test split): stable across runs and
     * engines because the bucket is md5-derived from the key, not

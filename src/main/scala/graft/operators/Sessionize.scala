@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
   def sessions(events: DataFrame, entity: String, ts: String, value: String,
-               gapSeconds: Long): DataFrame = {
+               gapSeconds: Long, idCol: String = "event_id"): DataFrame = {
     import graft.operators.WindowedFeatures.dsum
-    val w = Window.partitionBy(entity).orderBy(col(ts), col("event_id"))
+    val w = Window.partitionBy(entity).orderBy(col(ts), col(idCol))
     val gapped = events
       .withColumn("prev_ts", lag(col(ts), 1).over(w))
       .withColumn("new_session",

@@ -43,6 +43,30 @@ class FeatureEngSpec extends AnyFunSuite {
       .agg(min("entity_id")).head().getLong(0) == 93L)
   }
 
+  test("quantileLabelApprox: sketch threshold tracks the exact one") {
+    val orders = (1L to 100L).map(i => (i, i * 10.0))
+      .toDF("o_custkey", "o_totalprice")
+    val n = FeatureEng.quantileLabelApprox(orders, "o_custkey",
+      "o_totalprice", 0.92).filter(col("risk_label") === 1).count()
+    assert(n >= 7 && n <= 10, s"approx top-8% labeled $n of 100")
+  }
+
+  test("profileApprox: exact aggregates identical, sketch percentiles close") {
+    import graft.stats.Profiler
+    val recs = Tables.featureRecords(spark, TestSpark.sfDir)
+    val exact = Profiler.profile(recs, "feature_name", "value_float")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profiler.profileApprox(recs, "feature_name", "value_float")
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (f, e) =>
+      val a = approx(f)
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"))
+      assert(a.getAs[Double]("mean") == e.getAs[Double]("mean"))
+      assert(math.abs(a.getAs[Double]("p50") - e.getAs[Double]("p50")) <=
+        0.05 * math.max(1.0, math.abs(e.getAs[Double]("p50"))), s"p50 off for $f")
+    }
+  }
+
   test("enrichStar plan broadcasts the tiny dims") {
     val plan = SparkEntry.qEnrichStar(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString

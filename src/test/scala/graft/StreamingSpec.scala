@@ -72,6 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming dedup: first arrival wins, across and within batches") {
+    import graft.streaming.StreamingDedup
+    import graft.streaming.StreamingDedup.Doc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val query = StreamingDedup.firstArrivals(input.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Doc(3L, "Hello  World"), Doc(1L, " hello world "), // dup pair in batch
+      Doc(2L, "something else"))
+    query.processAllAvailable()
+    input.addData(
+      Doc(4L, "HELLO WORLD"),   // dup of batch-1 content → dropped
+      Doc(5L, "genuinely new"))
+    query.processAllAvailable()
+
+    val ids = spark.table("dedup").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L, 5L)) // min doc_id of the dup pair kept
+    query.stop()
+  }
+
   test("offline store writer partitions by (entity_type, event_date)") {
     import graft.offline.OfflineStore
     val dir = java.nio.file.Files.createTempDirectory("graft_off").toString
