@@ -14,7 +14,8 @@ import graft.functions.Fns
   */
 case class EntityDef(name: String, keyColumn: String, description: String)
 case class FeatureDef(name: String, entity: String, dtype: String,
-                      defaultValue: Double, maxAgeSeconds: Long)
+                      defaultValue: Double, maxAgeSeconds: Long,
+                      active: Boolean = true)
 case class FeatureViewDef(name: String, entity: String, version: Int,
                           featureNames: Seq[String], schemaHash: Long)
 
@@ -45,6 +46,18 @@ object Registry {
     import spark.implicits._
     spark.read.parquet(path).as[FeatureDef]
   }
+
+  /** Soft-delete a feature (the reference's deprecation flow): views
+    * referencing it keep working, but new views must not include it.
+    */
+  def deprecateFeature(features: Dataset[FeatureDef], name: String)
+  : Dataset[FeatureDef] = {
+    import features.sparkSession.implicits._
+    features.map(f => if (f.name == name) f.copy(active = false) else f)
+  }
+
+  def activeFeatures(features: Dataset[FeatureDef]): Dataset[FeatureDef] =
+    features.filter(_.active)
 
   /** Distributed schema-hash over EAV records: per entity_type, the
     * sorted distinct feature list and its hash — used to validate a

@@ -84,6 +84,20 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(dist.getAs[Long]("schema_hash") == driverHash)
   }
 
+  test("registry deprecation: soft delete survives persistence") {
+    import graft.registry.{FeatureDef, Registry}
+    val dir = java.nio.file.Files.createTempDirectory("graft_feat").toString
+    val feats = Seq(
+      FeatureDef("gmv_30d", "user", "float", 0.0, 86400L),
+      FeatureDef("txn_count", "user", "float", 0.0, 86400L)).toDS()
+    val updated = Registry.deprecateFeature(feats, "gmv_30d")
+    Registry.save(updated, s"$dir/features")
+    val loaded = Registry.loadFeatures(spark, s"$dir/features")
+    assert(Registry.activeFeatures(loaded).collect().map(_.name).toSeq ==
+      Seq("txn_count"))
+    assert(loaded.count() == 2) // soft delete: row retained
+  }
+
   test("registry round-trips view defs through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
     val views = Seq(
