@@ -178,6 +178,10 @@ object SparkEntry {
     Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       nPlanes = 8, dim = 64, k = 3)
 
+  def qAnnIvf(s: SparkSession, d: String): DataFrame =
+    Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      nCentroids = 16, nProbe = 4, k = 5)
+
   def qTextQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
 
@@ -225,6 +229,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_text_quality" -> (qTextQuality _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),

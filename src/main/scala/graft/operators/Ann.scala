@@ -8,7 +8,7 @@ import graft.functions.Fns
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths:
+  * Three paths:
   *  - bruteTopK: exact cosine top-k for a SMALL query set — the query
   *    side is broadcast so the corpus never shuffles; per-partition
   *    cosine + a window ranked within each query id.
@@ -16,6 +16,10 @@ import graft.functions.Fns
   *    bits, candidates generated per bucket only. The scale path: at
   *    100 TB the bucket join replaces the corpus×queries cross
   *    product with |bucket| joins.
+  *  - ivfTopK: IVF with a k-means coarse quantizer — corpus sharded
+  *    by nearest centroid, queries probe their nProbe nearest cells.
+  *    Better recall/compute trade than LSH when the data is
+  *    clustered; recall tunable via nProbe.
   */
 object Ann {
 
@@ -59,6 +63,59 @@ object Ann {
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** IVF (inverted-file) self-ANN: a k-means coarse quantizer shards
+    * the corpus into cells; each query probes its `nProbe` nearest
+    * cells only. The centroid table is tiny (k rows) → broadcast; the
+    * corpus is touched once for assignment and once per probe join.
+    * Training samples at most `trainSample` rows — at 100 TB the
+    * quantizer never sees the full corpus.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              nCentroids: Int, nProbe: Int, k: Int,
+              trainSample: Int = 100000): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.limit(trainSample))
+    val assigned = model.transform(base).drop("fv")
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    val centroidDf = spark.createDataFrame(centroids.toSeq)
+      .toDF("c_cell", "cv")
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+
+    // nProbe nearest cells per query by L2 == max (dot - |c|²/2)
+    val wProbe = Window.partitionBy("id").orderBy(
+      (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
+      col("c_cell"))
+    val probes = assigned.drop("cell").crossJoin(broadcast(centroidDf))
+      .withColumn("probe_rank", row_number().over(wProbe))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("c_cell").as("cell"))
+
+    val wk = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    probes
+      .join(assigned.select(col("id").as("neighbor_id"), col("v").as("cv2"),
+        col("nrm").as("cn"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", dotF(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
   }
 
   /** LSH-bucketed ANN: same-bucket pairs ranked by cosine within each

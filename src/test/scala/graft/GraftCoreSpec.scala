@@ -44,7 +44,8 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("oracleSql covers every query (or is intentionally rows-only)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val known = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh")
+    val known = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
+      "q_ann_ivf")
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 

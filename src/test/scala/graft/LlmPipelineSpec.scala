@@ -69,6 +69,20 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) != 1L))
   }
 
+  test("ivfTopK: sane shape and useful recall vs brute force") {
+    import graft.operators.Ann
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val ivf = Ann.ivfTopK(emb, "vec_id", "embedding", 16, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val brute = Ann.bruteTopK(emb, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    // probing 4/16 cells of near-uniform random data ⇒ ~25% expected
+    assert(recall > 0.1, s"IVF recall@5 vs brute force = $recall")
+    assert(ivf.forall { case (q, n) => q != n })
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val a = SparkEntry.qAnnLsh(spark, TestSpark.sfDir)
