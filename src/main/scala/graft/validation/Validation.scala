@@ -36,6 +36,11 @@ object Validation {
           .otherwise(0L)).as("n_stale"))
 
     val expectedLen = view.featureNames.size
+    // datasetSchemaHash canonicalizes by SORTING distinct names (the
+    // stored data has no inherent feature order), so the expected hash
+    // must be over the sorted declared list too. The view's identity
+    // hash (declared order, view.schemaHash) is reported separately.
+    val expectedSetHash = Registry.schemaHash(view.featureNames.sorted)
     val actualHash = Registry.datasetSchemaHash(
       inView.withColumn("entity_type", lit(view.entity)))
       .select("schema_hash")
@@ -50,9 +55,9 @@ object Validation {
       .select(
         lit(view.name).as("view_name"),
         lit(view.version).as("view_version"),
-        lit(view.schemaHash).as("schema_hash_expected"),
+        lit(expectedSetHash).as("schema_hash_expected"),
         col("schema_hash").as("schema_hash_actual"),
-        (col("schema_hash") === view.schemaHash).as("schema_ok"),
+        (col("schema_hash") === expectedSetHash).as("schema_ok"),
         lit(expectedLen).as("vector_length"),
         col("n_entities"),
         round(col("n_defaults") / (col("n_entities") * expectedLen), 6)
