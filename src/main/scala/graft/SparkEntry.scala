@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
-import graft.operators.{Ann, AsofJoin, Dedup, FeatureEng, MultiModal, Sessionize, TextAnalysis, WindowedFeatures}
+import graft.operators.{Analytics, Ann, AsofJoin, Dedup, FeatureEng, MultiModal, Sessionize, TextAnalysis, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
 import graft.registry.Registry
 import graft.stats.Profiler
@@ -112,6 +112,18 @@ object SparkEntry {
     Sessionize.sessions(Tables.events(s, d), "user_id", "ts", "value",
       gapSeconds = 7200L)
 
+  def qRollingAvg(s: SparkSession, d: String): DataFrame =
+    Analytics.rollingAvg(Tables.events(s, d), "user_id", "ts", "value",
+      "event_id", nPrev = 2)
+
+  def qCumulative(s: SparkSession, d: String): DataFrame =
+    Analytics.cumulative(Tables.events(s, d), "user_id", "ts", "value",
+      "event_id")
+
+  def qTopPerGroup(s: SparkSession, d: String): DataFrame =
+    Analytics.topNPerGroup(Tables.events(s, d), "user_id", "value",
+      "event_id", n = 3)
+
   def qSchemaHash(s: SparkSession, d: String): DataFrame =
     Registry.datasetSchemaHash(Tables.featureRecords(s, d))
 
@@ -215,6 +227,9 @@ object SparkEntry {
     "q_time_travel" -> (qTimeTravel _),
     "q_drift" -> (qDrift _),
     "q_sessionize" -> (qSessionize _),
+    "q_rolling_avg" -> (qRollingAvg _),
+    "q_cumulative" -> (qCumulative _),
+    "q_top_per_group" -> (qTopPerGroup _),
     "q_schema_hash" -> (qSchemaHash _),
     "q_serving_lookup" -> (qServingLookup _),
     "q_enrich_star" -> (qEnrichStar _),
@@ -453,6 +468,32 @@ object SparkEntry {
           |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
           |FROM sess
           |GROUP BY user_id, session_seq""".stripMargin,
+
+      "q_rolling_avg" ->
+        """SELECT user_id AS entity_id, event_id, epoch_ms(ts) AS ts_ms, value,
+          |  round(CAST(avg(CAST(value AS DECIMAL(18,2)))
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+          |    AS rolling_avg
+          |FROM events""".stripMargin,
+
+      "q_cumulative" ->
+        """SELECT user_id AS entity_id, event_id, epoch_ms(ts) AS ts_ms,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+          |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          |    AS running_total,
+          |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS event_ordinal
+          |FROM events""".stripMargin,
+
+      "q_top_per_group" ->
+        """SELECT user_id AS entity_id, event_id, value,
+          |  row_number() OVER (PARTITION BY user_id
+          |                     ORDER BY value DESC, event_id) AS rnk
+          |FROM events
+          |QUALIFY rnk <= 3""".stripMargin,
 
       "q_schema_hash" ->
         """WITH f AS (

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedAgg == direct aggregate, including a pathological hot key") {
+    // hot key: one entity with 10k rows, cold keys with a handful
+    val hot = (1 to 10000).map(i => ("whale", (i % 97) / 100.0 + 1.0))
+    val cold = (1 to 50).map(i => (s"u$i", i / 100.0))
+    val df = (hot ++ cold).toDF("k", "v")
+
+    val salted = Skew.saltedAgg(df, "k", "v", salts = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = df.groupBy(col("k").as("entity_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(salted == direct) // decimal partials merge losslessly
+    assert(salted("whale")._1 == 10000L)
+  }
+
+  test("saltedAgg stage-1 actually spreads the hot key") {
+    val df = (1 to 1000).map(i => ("whale", 1.0)).toDF("k", "v")
+    val salts = df.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(8)))
+      .select("_salt").distinct().count()
+    assert(salts > 1, "salt must distribute a single key over reducers")
+  }
+}
