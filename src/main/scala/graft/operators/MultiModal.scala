@@ -58,6 +58,21 @@ object MultiModal {
       }
   }
 
+  /** Frame sampling: one row per sampled frame of each media payload
+    * (every `stride`-th frame of the stub-decoded n_frames). The
+    * explode is columnar; the per-frame feature extraction is the
+    * stubbed step — in production the frame decoder slots into the
+    * same (doc_id, frame_idx) → features contract.
+    */
+  def sampleFrames(docs: DataFrame, idCol: String, textCol: String,
+                   stride: Int): DataFrame =
+    metaColumns(docs, idCol, textCol)
+      .select(col("doc_id"), col("byte_len"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      // stub frame feature: deterministic hash of (payload id, frame)
+      .withColumn("frame_sig", xxhash64(col("doc_id"), col("frame_idx")))
+
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates
     * the metadata contract and stays inside whole-stage codegen.

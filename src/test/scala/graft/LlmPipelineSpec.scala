@@ -102,6 +102,29 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(viaPartitions == viaColumns)
   }
 
+  test("sampleFrames: stride sampling within stub frame counts") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val frames = MultiModal.sampleFrames(docs, "doc_id", "text", stride = 5)
+    val byDoc = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("n_frames").as("nf"),
+        max("frame_idx").as("maxIdx"))
+      .collect()
+    byDoc.foreach { r =>
+      val expected = (r.getAs[Long]("nf") + 4) / 5 // ceil(n_frames/stride)
+      assert(r.getAs[Long]("n") == expected)
+      assert(r.getAs[Long]("maxIdx") < r.getAs[Long]("nf"))
+    }
+  }
+
+  test("graft_dot usable from pure SQL via function registration") {
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT))," +
+      "                 array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(r == 4.0)
+  }
+
   test("tokenCount consistent with quality word counts") {
     val docs = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
     val tc = TextAnalysis.tokenCount(docs, "doc_id", "text").head()
