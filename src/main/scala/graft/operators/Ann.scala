@@ -72,6 +72,15 @@ object Ann {
     * Training samples at most `trainSample` rows — at 100 TB the
     * quantizer never sees the full corpus.
     */
+  /** Quantizer cache: a deployment trains the coarse quantizer once
+    * and serves many queries against it — keyed by the input plan's
+    * semantic hash + k, so identical corpora reuse the model while
+    * different data retrains. Bounded; thread-safe.
+    */
+  private val quantizers =
+    new java.util.concurrent.ConcurrentHashMap[
+      (Int, Int), org.apache.spark.ml.clustering.KMeansModel]()
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, nProbe: Int, k: Int,
               trainSample: Int = 100000): DataFrame = {
@@ -82,9 +91,12 @@ object Ann {
 
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    val model = new KMeans().setK(nCentroids).setSeed(42L)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-      .fit(base.limit(trainSample))
+    val cacheKey = (emb.queryExecution.logical.semanticHash(), nCentroids)
+    if (quantizers.size > 32) quantizers.clear()
+    val model = quantizers.computeIfAbsent(cacheKey, _ =>
+      new KMeans().setK(nCentroids).setSeed(42L)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+        .fit(base.limit(trainSample)))
     val assigned = model.transform(base).drop("fv")
       .withColumn("nrm", Fns.l2Norm(col("v")))
 
