@@ -95,6 +95,39 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming sessionize: gap closes a session via event-time timeout") {
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.SessionEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingSessionize.sessions(input.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      SessionEvent(7L, ts("2024-01-01 00:00:00"), 1.0),
+      SessionEvent(7L, ts("2024-01-01 00:00:30"), 2.0))
+    query.processAllAvailable()
+    // event 2 minutes later: past the 60s gap → closes session inline
+    input.addData(SessionEvent(7L, ts("2024-01-01 00:02:30"), 4.0))
+    query.processAllAvailable()
+    val closed = spark.table("sess").collect()
+    assert(closed.length == 1)
+    assert(closed.head.getAs[Long]("n_events") == 2L)
+    assert(closed.head.getAs[Double]("session_value") == 3.0)
+
+    // advance the watermark far ahead → the open session times out
+    input.addData(SessionEvent(99L, ts("2024-01-01 01:00:00"), 0.5))
+    query.processAllAvailable()
+    input.addData(SessionEvent(99L, ts("2024-01-01 02:00:00"), 0.5))
+    query.processAllAvailable()
+    val after = spark.table("sess").collect()
+      .filter(_.getAs[Long]("user_id") == 7L)
+    assert(after.length == 2, s"timeout should close user 7's last session")
+    assert(after.map(_.getAs[Double]("session_value")).toSet == Set(3.0, 4.0))
+    query.stop()
+  }
+
   test("offline store writer partitions by (entity_type, event_date)") {
     import graft.offline.OfflineStore
     val dir = java.nio.file.Files.createTempDirectory("graft_off").toString
