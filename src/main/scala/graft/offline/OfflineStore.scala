@@ -54,11 +54,17 @@ object OfflineStore {
     */
   def materializeVectors(records: DataFrame, featureNames: Seq[String],
                          default: Double): DataFrame = {
-    val latest = latestSnapshot(records)
+    // ONE shuffle on entity_id: per-feature latest via max_by with a
+    // conditional ordering key (null ordering keys are ignored by
+    // max_by, so each aggregate only sees its own feature's rows) —
+    // no (entity, feature) pre-shuffle, partial aggregation intact.
     val valueCols = featureNames.map { f =>
-      max(when(col("feature_name") === f, col("value_float"))).as(s"raw_$f")
+      max_by(
+        when(col("feature_name") === f, col("value_float")),
+        when(col("feature_name") === f,
+          struct(col("event_time"), col("commit_id")))).as(s"raw_$f")
     }
-    val grouped = latest.groupBy("entity_id")
+    val grouped = records.groupBy("entity_id")
       .agg(valueCols.head, valueCols.tail: _*)
     val nDefault = featureNames
       .map(f => when(col(s"raw_$f").isNull, 1).otherwise(0))
@@ -77,16 +83,18 @@ object OfflineStore {
     */
   def materializeFull(records: DataFrame, featureNames: Seq[String],
                       default: Double, asOf: String): DataFrame = {
-    val latest = latestSnapshot(records)
+    // Same single-shuffle max_by shape as materializeVectors.
     val asOfMs = unix_millis(lit(asOf).cast("timestamp"))
     val aggs = featureNames.flatMap { f =>
+      val ord = when(col("feature_name") === f,
+        struct(col("event_time"), col("commit_id")))
       Seq(
-        max(when(col("feature_name") === f, col("value_float")))
+        max_by(when(col("feature_name") === f, col("value_float")), ord)
           .as(s"raw_$f"),
         max(when(col("feature_name") === f, unix_millis(col("event_time"))))
           .as(s"ts_$f"))
     }
-    val grouped = latest.groupBy("entity_id").agg(aggs.head, aggs.tail: _*)
+    val grouped = records.groupBy("entity_id").agg(aggs.head, aggs.tail: _*)
     grouped.select(
       col("entity_id") +:
       featureNames.flatMap { f =>

@@ -41,6 +41,10 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(df) == 1, s"expected 1 shuffle:\n$plan")
   }
 
+  test("q_materialize_vectors: fused to exactly one shuffle") {
+    assert(countShuffles(SparkEntry.qMaterializeVectors(spark, TestSpark.sfDir)) == 1)
+  }
+
   test("q_serving_lookup: key set broadcast, snapshot not shuffled for the join") {
     val plan = SparkEntry.qServingLookup(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
