@@ -142,6 +142,22 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The dedup ACTION: which documents survive. A document is dropped
+    * when it has any near-dup partner with a smaller doc_id (the
+    * partner is the canonical copy) — the standard keep-min rule,
+    * applied as a broadcast-able anti-join of the corpus against the
+    * pair list's right side. At 100 TB the pair list is orders of
+    * magnitude smaller than the corpus, so the corpus never shuffles.
+    */
+  def keepList(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, threshold: Double): DataFrame = {
+    val dropIds = ngramJaccard(docs, idCol, textCol, n, threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    docs.select(col(idCol).as("doc_id"))
+      .join(broadcast(dropIds.withColumnRenamed(idCol, "doc_id")),
+        Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`. This is the
     * exact (quadratic) variant — the scale path is Ann.lshTopK which
     * buckets both sides first. Kept exact here as the oracle-checked

@@ -33,6 +33,12 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(SparkEntry.qMultiWindow(spark, TestSpark.sfDir)) == 1)
   }
 
+  test("q_sessionize: session aggregate reuses the entity partitioning") {
+    // window shuffles on entity; the (entity, session_seq) groupBy must
+    // NOT re-shuffle because HashPartitioning(entity) already clusters it
+    assert(countShuffles(SparkEntry.qSessionize(spark, TestSpark.sfDir)) == 1)
+  }
+
   test("q_asof_join: one shuffle for the window, no join blowup") {
     val df = SparkEntry.qAsofJoin(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
