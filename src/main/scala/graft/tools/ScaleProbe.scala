@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.offline.OfflineStore
+import graft.operators.{AsofJoin, Dedup, Sessionize}
+
+/** Synthetic scale-up probe: replicates the sf0.1 tables K× (ids
+  * shifted so keys stay unique where they must) and times the
+  * operators whose cost curves matter most. Evidence that the plans
+  * hold past bench scale — not a substitute for a real cluster, but
+  * it catches anything super-linear early.
+  */
+object ScaleProbe {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[scale] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def replicate(df: DataFrame, k: Int, idCols: Map[String, Long]): DataFrame =
+    (0 until k).map { i =>
+      idCols.foldLeft(df) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + lit(i * stride))
+      }
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // events xK: new users per replica (entity cardinality grows with
+    // data — the realistic 100 TB shape), unique event ids
+    val ev = replicate(Tables.events(spark, d), k,
+      Map("event_id" -> 10000000L, "user_id" -> 100000L)).cache()
+    println(s"[scale] events rows: ${ev.count()}  (k=$k)")
+
+    val features = ev.filter(col("event_type") =!= "purchase").select(
+      col("user_id").cast("string").as("entity_id"), col("ts"),
+      col("event_type").as("feature_name"), col("value").as("value_float"))
+    val labels = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").cast("string").as("entity_id"), col("ts"),
+      col("event_id"), col("value"))
+    time("asof_join xK")(AsofJoin.pointInTime(features, labels,
+      "entity_id", "ts", "feature_name", "value_float", "event_id", "value",
+      Seq("click", "view", "error", "signup"), 0.0).count())
+
+    val records = ev.select(lit("user").as("entity_type"),
+      col("user_id").cast("string").as("entity_id"),
+      col("event_type").as("feature_name"), col("value").as("value_float"),
+      col("ts").as("event_time"), col("event_id").as("commit_id"))
+    time("materialize xK")(OfflineStore.materializeVectors(records,
+      Seq("click", "view", "error", "signup", "purchase"), 0.0).count())
+    time("sessionize xK")(Sessionize.sessions(ev, "user_id", "ts", "value",
+      7200L).count())
+    ev.unpersist()
+
+    // documents xK: unique doc ids, same text → every doc gains k-1
+    // exact near-dups (worst-case pair pressure on the dedup joins)
+    val docs = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 1000000L)).cache()
+    println(s"[scale] documents rows: ${docs.count()}")
+    time("minhash xK")(Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4).count())
+    time("simhash xK")(Dedup.simhashPairs(docs, "doc_id", "text", 6).count())
+    time("ngram xK (maxDf capped)")(
+      Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = 200).count())
+    // production order: exact dedup FIRST collapses identical copies
+    // (k replicas → 1 canonical) before the quadratic-in-dup-cluster
+    // pair join — the inverted index then only sees distinct content.
+    time("ngram after exact-dedup")({
+      val canonical = docs.withColumn("h", md5(col("text")))
+        .groupBy("h").agg(min(col("doc_id")).as("doc_id"),
+          first(col("text")).as("text"))
+      Dedup.ngramJaccard(canonical, "doc_id", "text", 3, 0.8).count()
+    })
+    docs.unpersist()
+    spark.stop()
+  }
+}
