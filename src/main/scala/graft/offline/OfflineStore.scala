@@ -75,6 +75,16 @@ object OfflineStore {
       Seq(nDefault.as("n_default")): _*)
   }
 
+  /** Incremental snapshot refresh: fold a delta of new EAV records
+    * into an existing snapshot. Union + latest keeps the merge
+    * idempotent and order-insensitive (same max_by tie-break), so
+    * replayed or out-of-order deltas cannot regress the snapshot —
+    * the batch analogue of StreamingMaterialize.latestSnapshot.
+    * Cost scales with |snapshot| + |delta|, not history.
+    */
+  def mergeSnapshot(snapshot: DataFrame, delta: DataFrame): DataFrame =
+    latestSnapshot(snapshot.unionByName(delta))
+
   /** Full-fidelity vector materialization matching the reference's
     * FeatureVector proto fields (reference src/main/proto/
     * feature_store.proto:61-62): per slot the value, is_default flag,

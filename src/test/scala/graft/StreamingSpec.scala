@@ -128,6 +128,54 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("stream-static enrichment joins live events to materialized vectors") {
+    import graft.streaming.StreamingEnrich
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val vectors = Seq(("7", 1.5, 0.0), ("8", 2.5, 1.0))
+      .toDF("entity_id", "f_click", "f_view")
+    case class Ev(entity_id: String, value: Double)
+    val input = MemoryStream[(String, Double)]
+    val query = StreamingEnrich.enrich(
+      input.toDF().toDF("entity_id", "value"), vectors)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(("7", 10.0), ("99", 20.0)) // 99 has no vector
+    query.processAllAvailable()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getAs[String]("entity_id") -> Option(r.get(2))).toMap
+    assert(rows("7").contains(1.5))
+    assert(rows("99").isEmpty) // kept, null features
+    query.stop()
+  }
+
+  test("mergeSnapshot: idempotent incremental refresh") {
+    import graft.offline.OfflineStore
+    val base = Seq(
+      ("user", "u1", "a", 1.0, ts("2024-01-01 00:00:00"), 1L)
+    ).toDF("entity_type", "entity_id", "feature_name", "value_float",
+           "event_time", "commit_id")
+    val snap0 = OfflineStore.latestSnapshot(base)
+    val delta = Seq(
+      ("user", "u1", "a", 5.0, ts("2024-01-02 00:00:00"), 2L), // newer
+      ("user", "u1", "a", 9.0, ts("2023-12-01 00:00:00"), 3L), // older
+      ("user", "u2", "b", 7.0, ts("2024-01-02 00:00:00"), 4L)  // new key
+    ).toDF("entity_type", "entity_id", "feature_name", "value_float",
+           "event_time", "commit_id")
+    val merged = OfflineStore.mergeSnapshot(snap0, delta)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(merged(("u1", "a")) == 5.0) // newer wins, older ignored
+    assert(merged(("u2", "b")) == 7.0)
+    // idempotent: merging the same delta again changes nothing
+    val twice = OfflineStore.mergeSnapshot(
+      OfflineStore.mergeSnapshot(snap0, delta), delta)
+      .collect().map(r => (r.getString(1), r.getString(2)) -> r.getDouble(3))
+      .toMap
+    assert(twice == merged)
+  }
+
   test("offline store writer partitions by (entity_type, event_date)") {
     import graft.offline.OfflineStore
     val dir = java.nio.file.Files.createTempDirectory("graft_off").toString
