@@ -142,6 +142,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list (doc_a, doc_b):
+    * every document labeled with the smallest doc id in its dup
+    * cluster — the true canonical assignment (keepList's drop-right
+    * rule under-merges transitive chains a~b~c).
+    *
+    * Iterative smallest-label propagation: each round every node
+    * adopts the minimum label among itself and its neighbors;
+    * converges in O(diameter) rounds ≤ O(log n) for typical dup
+    * clusters. Each round is one join + one aggregate — all
+    * distributed, no driver-side graph.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** The dedup ACTION: which documents survive. A document is dropped
     * when it has any near-dup partner with a smaller doc_id (the
     * partner is the canonical copy) — the standard keep-min rule,

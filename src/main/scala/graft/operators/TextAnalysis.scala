@@ -82,6 +82,23 @@ object TextAnalysis {
       floor((length(t) + 3) / 4).cast("long").as("est_bpe_tokens"))
   }
 
+  /** C4-style cleaning filter: keep documents passing all quality
+    * gates (word-count band, mean word length band, bounded digit /
+    * stopword ratios). Pure narrow transformation — composes with
+    * dedup keep-lists for the full curation pipeline. Returns the
+    * surviving doc ids with their quality row.
+    */
+  def cleanFilter(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 10, maxWords: Int = 100000,
+                  minAvgWordLen: Double = 2.0, maxAvgWordLen: Double = 12.0,
+                  maxDigitRatio: Double = 0.3,
+                  maxStopwordRatio: Double = 0.6): DataFrame =
+    quality(docs, idCol, textCol)
+      .filter(col("n_words").between(minWords, maxWords) &&
+        col("avg_word_len").between(minAvgWordLen, maxAvgWordLen) &&
+        col("digit_ratio") <= maxDigitRatio &&
+        col("stopword_ratio") <= maxStopwordRatio)
+
   /** Normalized document fingerprint: lowercase, collapse whitespace,
     * trim, md5 — the canonical near-exact-dup key.
     */

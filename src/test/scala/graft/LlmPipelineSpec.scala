@@ -57,6 +57,25 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("clusters: transitive chains collapse to the min id") {
+    // chain 1~2~3 plus isolated pair 10~11: components {1,2,3} {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("cleanFilter: gates drop short and digit-heavy docs") {
+    val docs = Seq(
+      (1L, "this is a reasonable document with enough words to pass the gate easily today"),
+      (2L, "too short"),
+      (3L, "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.cleanFilter(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("bruteTopK: self excluded, ranks deterministic, k respected") {
     val emb = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
