@@ -49,6 +49,9 @@ object Graft {
   def latestSnapshot(records: DataFrame): DataFrame =
     OfflineStore.latestSnapshot(records)
 
+  def mergeSnapshot(snapshot: DataFrame, delta: DataFrame): DataFrame =
+    OfflineStore.mergeSnapshot(snapshot, delta)
+
   def materialize(records: DataFrame, view: FeatureViewDef,
                   default: Double = 0.0): DataFrame =
     OfflineStore.materializeVectors(records, view.featureNames, default)
@@ -100,6 +103,17 @@ object Graft {
 
   def dedupEmbedding(emb: DataFrame, threshold: Double): DataFrame =
     Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold)
+
+  def dedupKeepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.8)
+  : DataFrame = Dedup.keepList(docs, "doc_id", "text", n, threshold)
+
+  def dedupClusters(pairs: DataFrame): DataFrame = Dedup.clusters(pairs)
+
+  def cleanFilter(docs: DataFrame): DataFrame =
+    TextAnalysis.cleanFilter(docs, "doc_id", "text")
+
+  def annIvf(emb: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame =
+    Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids, nProbe, k)
 
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Ann.bruteTopK(corpus, queries, "vec_id", "embedding", k)

@@ -38,12 +38,13 @@ object OfflineStore {
   def latestSnapshot(records: DataFrame, asOfCommit: Long = Long.MaxValue)
   : DataFrame = {
     val ordKey = struct(col("event_time"), col("commit_id"))
-    val payload = struct(records.columns.map(col): _*)
+    val cols = records.columns.toIndexedSeq
+    val payload = struct(cols.map(col): _*)
     records
       .filter(col("commit_id") <= asOfCommit)
       .groupBy("entity_id", "feature_name")
       .agg(max_by(payload, ordKey).as("r"))
-      .select(records.columns.map(c => col(s"r.$c")): _*)
+      .select(cols.map(c => col(s"r.$c")): _*)
   }
 
   /** Materialize fixed-schema feature vectors: latest scalar per
