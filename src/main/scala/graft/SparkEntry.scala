@@ -201,6 +201,11 @@ object SparkEntry {
   def qTextQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
 
+  def qCleanFilter(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.cleanFilter(Tables.documents(s, d), "doc_id", "text",
+      minWords = 20, maxWords = 100000, minAvgWordLen = 2.0,
+      maxAvgWordLen = 12.0, maxDigitRatio = 0.3, maxStopwordRatio = 0.12)
+
   def qLangId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
 
@@ -251,6 +256,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_text_quality" -> (qTextQuality _),
+    "q_clean_filter" -> (qCleanFilter _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
