@@ -92,8 +92,9 @@ object Graft {
   def dedupExact(docs: DataFrame): DataFrame =
     Dedup.exact(docs, "doc_id", "text")
 
-  def dedupNearNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.8)
-  : DataFrame = Dedup.ngramJaccard(docs, "doc_id", "text", n, threshold)
+  def dedupNearNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                     maxDf: Long = 100)
+  : DataFrame = Dedup.ngramJaccard(docs, "doc_id", "text", n, threshold, maxDf)
 
   def dedupMinhash(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4)
   : DataFrame = Dedup.minhashLsh(docs, "doc_id", "text", n, k, bands)
@@ -104,8 +105,18 @@ object Graft {
   def dedupEmbedding(emb: DataFrame, threshold: Double): DataFrame =
     Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold)
 
-  def dedupKeepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.8)
-  : DataFrame = Dedup.keepList(docs, "doc_id", "text", n, threshold)
+  def dedupKeepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+                    maxDf: Long = 100)
+  : DataFrame = Dedup.keepList(docs, "doc_id", "text", n, threshold, maxDf)
+
+  /** Exact-first → MinHash candidates → exact-verify: the production
+    * dedup order (docs/SCALE_NOTES.md). */
+  def dedupPipeline(docs: DataFrame, n: Int = 3, threshold: Double = 0.8)
+  : DataFrame = Dedup.pipeline(docs, "doc_id", "text", n, threshold)
+
+  def dedupEmbeddingLsh(emb: DataFrame, threshold: Double, dim: Int)
+  : DataFrame = Dedup.embeddingCosineLsh(emb, "vec_id", "embedding",
+    threshold, dim)
 
   def dedupClusters(pairs: DataFrame): DataFrame = Dedup.clusters(pairs)
 

@@ -164,13 +164,18 @@ object SparkEntry {
   def qDedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
+  // maxDf=100: the stop-shingle cap that keeps the per-shingle join
+  // fan-out bounded at scale (docs/SCALE_NOTES.md measured 70s → 3.2s
+  // at ×10 duplication). Provably identity-preserving on the gate
+  // corpora — the max shingle df there is 25 (sf0.1), so no shingle
+  // is dropped and the result equals the uncapped oracle exactly.
   def qDedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.8)
+      n = 3, threshold = 0.8, maxDf = 100)
 
   def qDedupKeeplist(s: SparkSession, d: String): DataFrame =
     Dedup.keepList(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.8)
+      n = 3, threshold = 0.8, maxDf = 100)
 
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
@@ -699,6 +704,33 @@ object SparkEntry {
           |  round(least(n_words / 100.0, 1.0) * (1.0 - stopword_ratio), 6)
           |    AS quality_score
           |FROM r""".stripMargin,
+
+      "q_clean_filter" ->
+        """WITH b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits,
+          |    len(regexp_extract_all(text, '[0-9]')) AS digits,
+          |    len(regexp_extract_all(text, '[a-z]')) AS alphas
+          |  FROM documents
+          |), r AS (
+          |  SELECT doc_id, n_chars, n_words,
+          |    round((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
+          |    round(stop_hits / n_words, 6) AS stopword_ratio,
+          |    round(digits / n_chars, 6) AS digit_ratio,
+          |    round(alphas / n_chars, 6) AS alpha_ratio
+          |  FROM b
+          |)
+          |SELECT doc_id, n_chars, n_words, avg_word_len, stopword_ratio,
+          |  digit_ratio, alpha_ratio,
+          |  round(least(n_words / 100.0, 1.0) * (1.0 - stopword_ratio), 6)
+          |    AS quality_score
+          |FROM r
+          |WHERE n_words BETWEEN 20 AND 100000
+          |  AND avg_word_len BETWEEN 2.0 AND 12.0
+          |  AND digit_ratio <= 0.3
+          |  AND stopword_ratio <= 0.12""".stripMargin,
 
       "q_lang_id" ->
         """WITH h AS (

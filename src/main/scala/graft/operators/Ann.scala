@@ -53,14 +53,19 @@ object Ann {
         round(col("cos_raw"), 6).as("cosine"), col("rank"))
   }
 
-  /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column = {
-    val bits = (0 until nPlanes).map { j =>
+  /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes.
+    * `planeOffset` selects a disjoint plane family, so multi-table
+    * LSH callers get independent tables from the same hash scheme.
+    */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int,
+                planeOffset: Int = 0): Column = {
+    val bits = (0 until nPlanes).map { jj =>
+      val j = jj + planeOffset
       val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
       val dot = aggregate(
         zip_with(vec, plane, (x, p) => x.cast("double") * p),
         lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+      when(dot > 0, lit(1L << jj)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }

@@ -108,12 +108,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** SimHash near-dup pairs: 64-bit signature per doc, banded into
-    * four 16-bit segments (any equal segment ⇒ candidate — guaranteed
-    * to catch every pair with hamming ≤ 3 segments' worth), then exact
-    * hamming filter. Candidate generation is a band-key equi-join, not
-    * an all-pairs scan.
-    */
   /** Per-doc 64-bit SimHash signatures via the single-pass codegen'd
     * SimHash64 expression — no explode, no shuffle, one loop per row.
     */
@@ -122,14 +116,30 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       graft.functions.SimHash64.simhash64(col(textCol)).as("sig"))
 
+  /** SimHash near-dup pairs: 64-bit signature per doc, banded into
+    * `maxHamming + 1` segments (pigeonhole: a pair differing in at
+    * most `maxHamming` bits leaves at least one segment untouched, so
+    * it always collides on that band key — recall 1.0 by construction
+    * for the declared threshold), then an exact hamming filter for
+    * precision. Candidate generation is a band-key equi-join, not an
+    * all-pairs scan.
+    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val nBands = maxHamming + 1
+    // Segment widths: 64 bits split as evenly as possible — e.g.
+    // maxHamming=6 → 7 bands of 10,9,9,9,9,9,9 bits.
+    val widths = (0 until nBands).map(b =>
+      64 / nBands + (if (b < 64 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSig = simhashSignatures(docs, idCol, textCol)
     val banded = withSig.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b =>
+      explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(0xFFFFL)
-            .as("key"))): _*)).as("bk"))
+          shiftrightunsigned(col("sig"), offsets(b))
+            .bitwiseAND((1L << widths(b)) - 1).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a")
@@ -189,31 +199,123 @@ object Dedup {
     * magnitude smaller than the corpus, so the corpus never shuffles.
     */
   def keepList(docs: DataFrame, idCol: String, textCol: String,
-               n: Int, threshold: Double): DataFrame = {
-    val dropIds = ngramJaccard(docs, idCol, textCol, n, threshold)
+               n: Int, threshold: Double, maxDf: Long = 0): DataFrame = {
+    val dropIds = ngramJaccard(docs, idCol, textCol, n, threshold, maxDf)
       .select(col("doc_b").as(idCol)).distinct()
     docs.select(col(idCol).as("doc_id"))
       .join(broadcast(dropIds.withColumnRenamed(idCol, "doc_id")),
         Seq("doc_id"), "left_anti")
   }
 
-  /** Embedding-cosine near-dup pairs above `threshold`. This is the
-    * exact (quadratic) variant — the scale path is Ann.lshTopK which
-    * buckets both sides first. Kept exact here as the oracle-checked
-    * baseline; cosine accumulates left-to-right in double so results
-    * are bit-identical across engines.
+  /** The production dedup pipeline in the order the scale probe proves
+    * out (docs/SCALE_NOTES.md): exact dedup FIRST collapses identical
+    * copies (removing the df² dup-cluster pressure), MinHash+LSH
+    * generates candidate pairs on the survivors, and an exact n-gram
+    * Jaccard computed ONLY over candidate pairs verifies them. Returns
+    * the surviving doc ids (keep-min rule, same contract as keepList).
+    *
+    * Every stage is an equi-join: no all-pairs scan anywhere, and the
+    * exact verification touches O(|candidates| · shingles/doc) rows
+    * instead of the inverted index's O(Σ df²).
+    */
+  def pipeline(docs: DataFrame, idCol: String, textCol: String,
+               n: Int, threshold: Double, k: Int = 32,
+               bands: Int = 16): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // Stage 1: exact — keep the min doc id per content hash.
+    val exactKeep = base.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val survivors = base.join(exactKeep, Seq("doc_id"), "left_semi")
+    // Stage 2: MinHash+LSH candidates over distinct content only.
+    val cand = minhashLsh(survivors, "doc_id", "text", n, k, bands)
+      .select("doc_a", "doc_b")
+    // Stage 3: exact Jaccard verify restricted to candidate pairs.
+    val sh = shingleIndex(survivors, "doc_id", "text", n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(sh.toDF("doc_a", "s"), "doc_a")
+      .join(sh.toDF("doc_b", "s"), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    val nearDrops = common
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+      .filter(round(col("common") /
+        (col("sz_a") + col("sz_b") - col("common")), 6) >= threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    survivors.select("doc_id")
+      .join(broadcast(nearDrops), Seq("doc_id"), "left_anti")
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold` — exact, via a
+    * block-partitioned self-join instead of a broadcast nested loop.
+    * Each side is split into `nBlocks` id-hash blocks; the left side
+    * is replicated across partner blocks and joined on the composite
+    * (block_a, block_b) key, so the O(n²) compare distributes evenly
+    * over nBlocks² equi-join buckets with n/nBlocks rows a side — no
+    * driver broadcast of the corpus, bounded executor memory, and the
+    * plan is a shuffle join Catalyst can run at any n.
+    *
+    * Why exact and not LSH here: at moderate thresholds (the declared
+    * 0.4) a sign-LSH bit agrees with prob 0.63 for a qualifying pair
+    * vs 0.5 for background — no useful pruning exists, so candidate
+    * generation degenerates to all pairs anyway. For high thresholds
+    * (≥ ~0.8) use embeddingCosineLsh, which prunes hard.
+    *
+    * Norms are computed ONCE per vector (n rows), not per pair (n²):
+    * cosine(a,b) = dot(a,b)/(norm_a*norm_b) with norm = sqrt(dot(v,v))
+    * — the same doubles the per-pair formula yields, 3× less work.
     */
   def embeddingCosine(emb: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, nBlocks: Int = 16): DataFrame = {
     import graft.functions.VectorExpressions.dotF
-    // Norms are computed ONCE per vector (n rows), not per pair (n²):
-    // cosine(a,b) = dot(a,b)/(norm_a*norm_b) with norm = sqrt(dot(v,v))
-    // — the same doubles the per-pair formula yields, 3× less work.
-    val a = emb.select(col(idCol).as("doc_a"), col(vecCol).as("va"),
-      Fns.l2Norm(col(vecCol)).as("norm_a"))
-    val b = emb.select(col(idCol).as("doc_b"), col(vecCol).as("vb"),
-      Fns.l2Norm(col(vecCol)).as("norm_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Fns.l2Norm(col(vecCol)).as("nrm"),
+      pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
+    val partners = array((0 until nBlocks).map(lit(_)): _*)
+    val left = base.select(col("id").as("doc_a"), col("v").as("va"),
+      col("nrm").as("norm_a"), col("blk").as("blk_a"),
+      explode(partners).as("blk_b"))
+    val right = base.select(col("id").as("doc_b"), col("v").as("vb"),
+      col("nrm").as("norm_b"), explode(partners).as("blk_a"),
+      col("blk").as("blk_b"))
+    left.join(right, Seq("blk_a", "blk_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine",
+        round(dotF(col("va"), col("vb")) / (col("norm_a") * col("norm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cosine")
+  }
+
+  /** Embedding near-dup pairs via multi-table sign-LSH candidates plus
+    * exact cosine verification — the scale path for HIGH thresholds
+    * (cosine ≥ ~0.8), where each deterministic hyperplane bit agrees
+    * with probability ≥ 0.8 for a true pair vs 0.5 for background, so
+    * an `nBits` bucket prunes ~2^nBits while `nTables` independent
+    * tables multiply recall. Candidates are verified with the exact
+    * cosine, so precision is 1.0; recall for a pair at cosine c is
+    * 1-(1-p^nBits)^nTables with p = 1-acos(c)/π.
+    */
+  def embeddingCosineLsh(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, dim: Int, nTables: Int = 16,
+                         nBits: Int = 8): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Fns.l2Norm(col(vecCol)).as("nrm"))
+    val tabled = emb.select(col(idCol).as("id"),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"),
+          Ann.lshBucket(col(vecCol), nBits, dim, planeOffset = t * nBits)
+            .as("b"))): _*)).as("tb"))
+      .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val pairs = tabled.as("x")
+      .join(tabled.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
+    pairs
+      .join(base.toDF("doc_a", "va", "norm_a"), "doc_a")
+      .join(base.toDF("doc_b", "vb", "norm_b"), "doc_b")
       .withColumn("cosine",
         round(dotF(col("va"), col("vb")) / (col("norm_a") * col("norm_b")), 6))
       .filter(col("cosine") >= threshold)

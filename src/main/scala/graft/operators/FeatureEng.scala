@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fns
@@ -50,19 +49,53 @@ object FeatureEng {
 
   /** Rank-quantile threshold label (reference
     * python/gbdt_example/dataset.py:119 — top-p% risk label): per-key
-    * exact money total, then percent_rank over the aggregated keys.
+    * exact money total, then an exact global percent_rank — WITHOUT a
+    * single-partition window.
     *
-    * Scale note: the rank window is over the AGGREGATED key space
-    * (customers, not raw orders), typically 3+ orders of magnitude
-    * smaller than the fact table. For key spaces too big for a global
-    * sort, swap the window for an approx_percentile threshold — kept
-    * exact here because the oracle demands determinism.
+    * percent_rank(x) = |rows with gmv < x| / (n - 1), so the global
+    * sort reduces to counting rows strictly below each value: distinct
+    * gmv counts are range-partitioned by gmv, one tiny driver job
+    * collects the per-partition totals (rangeParts longs), their
+    * running sums seed each partition's cumulative offset, and a
+    * partition-local running sum finishes the exact below-count. All
+    * heavy data stays distributed; ties share a rank by construction
+    * (they collapse into one distinct-gmv row). The small offsets job
+    * runs eagerly at plan construction — the price of an exact global
+    * rank with no SinglePartition exchange.
     */
   def quantileLabel(orders: DataFrame, keyCol: String, valCol: String,
-                    pct: Double): DataFrame = {
+                    pct: Double, rangeParts: Int = 32): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
     val g = orders.groupBy(col(keyCol).as("entity_id"))
       .agg(dsum(col(valCol)).as("gmv"))
-    g.withColumn("pr", round(percent_rank().over(Window.orderBy(col("gmv"))), 6))
+    // localCheckpoint pins the sampled range boundaries: the pid ->
+    // offset map below must never be recomputed against a re-sampled
+    // partitioning.
+    val counts = g.groupBy("gmv").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(rangeParts, col("gmv"))
+      .sortWithinPartitions("gmv")
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val partSums = counts.groupBy("pid").agg(sum("cnt").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = partSums.values.sum
+    val offsets = (0 until rangeParts)
+      .scanLeft(0L)((acc, p) => acc + partSums.getOrElse(p, 0L)).toArray
+    val offB = spark.sparkContext.broadcast(offsets)
+    val below = counts.select("gmv", "cnt", "pid").as[(Double, Long, Int)]
+      .mapPartitions { it =>
+        var run = -1L
+        it.map { case (gmv, cnt, pid) =>
+          if (run < 0) run = offB.value(pid)
+          val b = run; run += cnt; (gmv, b)
+        }
+      }.toDF("gmv", "below")
+    g.join(below, "gmv")
+      .withColumn("pr",
+        round(when(lit(total) > 1L,
+          col("below") / (lit(total) - 1).cast("double"))
+          .otherwise(lit(0.0)), 6))
       .withColumn("risk_label", when(col("pr") >= pct, 1).otherwise(0))
       .select("entity_id", "gmv", "pr", "risk_label")
   }

@@ -57,6 +57,54 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("simhashPairs banding recall: EVERY pair within maxHamming found (vs brute force)") {
+    // The pigeonhole contract: banding into maxHamming+1 segments must
+    // recover exactly the pairs an all-pairs hamming scan finds. Run
+    // against the real corpus so the signature distribution is adversarial
+    // (near-dup clusters + background), at the declared threshold 6.
+    import graft.functions.Fns
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter(Fns.hamming64($"a.sig", $"b.sig") <= 6)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+    assert(brute.nonEmpty)
+  }
+
+  test("pipeline (exact→minhash→verify) equals the exact keepList") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val exact = Dedup.keepList(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val piped = Dedup.pipeline(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(piped == exact,
+      s"extraKept=${(piped -- exact).take(5)} extraDropped=${(exact -- piped).take(5)}")
+  }
+
+  test("embeddingCosineLsh: candidates+verify equals exact at high threshold") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val background = (0 until 100).map(i => (i.toLong, vec()))
+    val dups = (0 until 10).flatMap { i =>
+      val v = vec()
+      val w = v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
+      Seq((1000L + i, v), (2000L + i, w)) // cosine ≈ 0.999
+    }
+    val emb = (background ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingCosineLsh(emb, "vec_id", "embedding", 0.9, dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 10)
+    assert(lsh == exact, s"missed=${(exact -- lsh).take(5)}")
+  }
+
   test("clusters: transitive chains collapse to the min id") {
     // chain 1~2~3 plus isolated pair 10~11: components {1,2,3} {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -65,6 +65,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("props"), "column pruning lost: props read")
   }
 
+  test("q_quantile_label: exact global rank without a SinglePartition exchange") {
+    val plan = SparkEntry.qQuantileLabel(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global rank must not funnel through one partition:\n$plan")
+  }
+
+  test("q_dedup_embedding: block equi-join, no nested-loop / cartesian") {
+    val plan = SparkEntry.qDedupEmbedding(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"embedding dedup must be a partitioned equi-join:\n$plan")
+  }
+
   test("dedup/ann hot paths: no cartesian ngram, codegen dot in plan") {
     val ngram = SparkEntry.qDedupNgram(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
