@@ -104,6 +104,13 @@ object SparkEntry {
       .select(col("entity_id"), col("feature_name"), col("value_float"),
               unix_millis(col("event_time")).as("ts_ms"), col("commit_id"))
 
+  def qHistogram(s: SparkSession, d: String): DataFrame =
+    Profiler.histogram(Tables.events(s, d), "event_type", "value", nBins = 10)
+
+  def qPsiDrift(s: SparkSession, d: String): DataFrame =
+    Profiler.psiDrift(Tables.events(s, d), "event_type", "value", "ts",
+      "2024-01-01 00:00:00", "2024-01-16 00:00:00", T0)
+
   def qDrift(s: SparkSession, d: String): DataFrame =
     OfflineStore.drift(Tables.featureRecords(s, d),
       "2024-01-01 00:00:00", "2024-01-16 00:00:00", T0)
@@ -240,6 +247,8 @@ object SparkEntry {
     "q_feature_stats" -> (qFeatureStats _),
     "q_time_travel" -> (qTimeTravel _),
     "q_drift" -> (qDrift _),
+    "q_histogram" -> (qHistogram _),
+    "q_psi_drift" -> (qPsiDrift _),
     "q_sessionize" -> (qSessionize _),
     "q_rolling_avg" -> (qRollingAvg _),
     "q_cumulative" -> (qCumulative _),
@@ -332,6 +341,7 @@ object SparkEntry {
         """WITH u AS (
           |  SELECT CAST(user_id AS VARCHAR) AS entity_id, ts, 0 AS kind,
           |         CAST(-1 AS BIGINT) AS label_id, CAST(NULL AS DOUBLE) AS label,
+          |         event_type AS fname, value AS fval,
           |         CASE WHEN event_type = 'click'  THEN value END AS v_click,
           |         CASE WHEN event_type = 'view'   THEN value END AS v_view,
           |         CASE WHEN event_type = 'error'  THEN value END AS v_error,
@@ -339,7 +349,7 @@ object SparkEntry {
           |  FROM events WHERE event_type <> 'purchase'
           |  UNION ALL
           |  SELECT CAST(user_id AS VARCHAR), ts, 1, event_id, value,
-          |         NULL, NULL, NULL, NULL
+          |         NULL, NULL, NULL, NULL, NULL, NULL
           |  FROM events WHERE event_type = 'purchase'
           |), w AS (
           |  SELECT entity_id, kind, label_id, label,
@@ -348,7 +358,8 @@ object SparkEntry {
           |    last_value(v_error  IGNORE NULLS) OVER win AS c_error,
           |    last_value(v_signup IGNORE NULLS) OVER win AS c_signup
           |  FROM u
-          |  WINDOW win AS (PARTITION BY entity_id ORDER BY ts, kind, label_id
+          |  WINDOW win AS (PARTITION BY entity_id
+          |                 ORDER BY ts, kind, label_id, fname, fval
           |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
           |)
           |SELECT entity_id, label_id, label,
@@ -462,6 +473,56 @@ object SparkEntry {
           |FROM events
           |WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-02-01 00:00:00'
           |GROUP BY event_type""".stripMargin,
+
+      "q_histogram" ->
+        """WITH m AS (
+          |  SELECT event_type AS feature_name,
+          |    CAST(min(value) AS DOUBLE) AS vmin,
+          |    CAST(max(value) AS DOUBLE) AS vmax
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1
+          |), b AS (
+          |  SELECT e.event_type AS feature_name,
+          |    CAST(CASE WHEN vmax = vmin THEN 0
+          |      ELSE least(floor((value - vmin) / ((vmax - vmin) / 10)), 9)
+          |    END AS BIGINT) AS bin, vmin, vmax
+          |  FROM events e JOIN m ON e.event_type = m.feature_name
+          |  WHERE value IS NOT NULL
+          |)
+          |SELECT feature_name, bin,
+          |  round(vmin + bin * ((vmax - vmin) / 10), 6) AS bin_lo,
+          |  round(vmin + (bin + 1) * ((vmax - vmin) / 10), 6) AS bin_hi,
+          |  count(*) AS n
+          |FROM b GROUP BY feature_name, bin, vmin, vmax""".stripMargin,
+
+      "q_psi_drift" ->
+        """WITH base AS (
+          |  SELECT event_type AS feature_name, value AS v,
+          |         (ts < TIMESTAMP '2024-01-16 00:00:00') AS in_a
+          |  FROM events
+          |  WHERE value IS NOT NULL
+          |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          |    AND ts < TIMESTAMP '2024-02-01 00:00:00'
+          |), m AS (
+          |  SELECT feature_name, min(v) AS vmin, max(v) AS vmax
+          |  FROM base GROUP BY 1
+          |), b AS (
+          |  SELECT base.feature_name,
+          |    CAST(CASE WHEN vmax = vmin THEN 0
+          |      ELSE least(floor((v - vmin) / ((vmax - vmin) / 10)), 9)
+          |    END AS BIGINT) AS bin,
+          |    sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+          |    sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS cb
+          |  FROM base JOIN m ON base.feature_name = m.feature_name
+          |  GROUP BY 1, 2
+          |), t AS (
+          |  SELECT feature_name, sum(ca) AS ta, sum(cb) AS tb FROM b GROUP BY 1
+          |)
+          |SELECT b.feature_name,
+          |  round(sum(((ca + 0.5) / (ta + 5.0) - (cb + 0.5) / (tb + 5.0))
+          |          * ln(((ca + 0.5) / (ta + 5.0)) / ((cb + 0.5) / (tb + 5.0)))), 6)
+          |    AS psi
+          |FROM b JOIN t ON b.feature_name = t.feature_name
+          |GROUP BY 1""".stripMargin,
 
       "q_sessionize" ->
         """WITH g AS (

@@ -120,6 +120,10 @@ object OfflineStore {
   /** Staleness validation vs per-feature max-age SLA (the reference's
     * ValidationService.validateStaleness): age of the latest value of
     * each (entity, feature) at `asOf`, flagged fresh/stale.
+    *
+    * SLA semantics (shared with Validation.validateView): a feature
+    * with NO configured SLA is exempt — it can never be stale, so
+    * `fresh` is 1 and `sla_ms` is null.
     */
   def staleness(records: DataFrame, asOf: String,
                 slaMs: Map[String, Long]): DataFrame = {
@@ -131,7 +135,8 @@ object OfflineStore {
         unix_millis(lit(asOf).cast("timestamp")) - unix_millis(col("event_time")))
       .withColumn("sla_ms", slaExpr)
       .withColumn("fresh",
-        when(col("age_ms") <= col("sla_ms"), 1).otherwise(0))
+        when(col("sla_ms").isNull || col("age_ms") <= col("sla_ms"), 1)
+          .otherwise(0))
       .select("entity_id", "feature_name", "age_ms", "sla_ms", "fresh")
   }
 

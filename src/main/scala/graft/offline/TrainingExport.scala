@@ -1,0 +1,90 @@
+package graft.offline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+import graft.registry.Registry
+
+/** Training-dataset export: the Spark slice of the reference's
+  * TrainingExecutionService import/export/preview flow (reference
+  * src/main/java/.../service/TrainingExecutionService.java:165-298) —
+  * write the train/test artifact with a manifest a consumer can
+  * validate against the registry.
+  *
+  * ONE pass over the data: the deterministic key-hash split column
+  * routes rows through `partitionBy("split")` into train=/test=
+  * subdirectories, so the export never scans the dataset twice (the
+  * two-filtered-writes alternative would). Consumers read one split
+  * with partition pruning — the scan lists only that subdirectory.
+  */
+object TrainingExport {
+
+  case class ExportManifest(schemaHash: Long, columns: Seq[String],
+                            keyCol: String, trainPct: Int,
+                            trainRows: Long, testRows: Long)
+
+  private val mapper = new ObjectMapper()
+
+  private def dataDir(root: String) = new Path(root, "data").toString
+
+  def export(df: DataFrame, root: String, keyCol: String,
+             trainPct: Int = 80): ExportManifest = {
+    val spark = df.sparkSession
+    val withSplit = df.withColumn("split",
+      when(Fns.md5Hash31(col(keyCol).cast("string")) % 100 < trainPct,
+        "train").otherwise("test"))
+    withSplit.write.mode("overwrite").partitionBy("split")
+      .parquet(dataDir(root))
+    // Footer-driven counts over the freshly written artifact.
+    val counts = spark.read.parquet(dataDir(root))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val manifest = ExportManifest(
+      schemaHash = Registry.schemaHash(df.columns.toSeq.sorted),
+      columns = df.columns.toSeq, keyCol = keyCol, trainPct = trainPct,
+      trainRows = counts.getOrElse("train", 0L),
+      testRows = counts.getOrElse("test", 0L))
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("schemaHash", java.lang.Long.valueOf(manifest.schemaHash))
+    m.put("columns", manifest.columns.asJava)
+    m.put("keyCol", keyCol)
+    m.put("trainPct", java.lang.Integer.valueOf(trainPct))
+    m.put("trainRows", java.lang.Long.valueOf(manifest.trainRows))
+    m.put("testRows", java.lang.Long.valueOf(manifest.testRows))
+    val p = new Path(root, "manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+    manifest
+  }
+
+  def readManifest(spark: SparkSession, root: String): ExportManifest = {
+    val p = new Path(root, "manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toByteArray
+    } finally in.close()
+    val m = mapper.readValue(bytes, classOf[java.util.Map[String, Object]])
+    ExportManifest(
+      m.get("schemaHash").toString.toLong,
+      m.get("columns").asInstanceOf[java.util.List[String]].asScala.toSeq,
+      m.get("keyCol").toString,
+      m.get("trainPct").toString.toInt,
+      m.get("trainRows").toString.toLong,
+      m.get("testRows").toString.toLong)
+  }
+
+  /** Read one split with partition pruning (the filter is a partition
+    * column, so only that subdirectory is listed and scanned). */
+  def readSplit(spark: SparkSession, root: String, split: String)
+  : DataFrame =
+    spark.read.parquet(dataDir(root)).filter(col("split") === split)
+}

@@ -1,0 +1,171 @@
+package graft.offline
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table with storage-level time travel — the
+  * Spark-native analogue of the reference's Iceberg snapshot store
+  * (reference src/main/java/.../store/offline/IcebergOfflineStore
+  * .java:42-59: every write commits a snapshot, historical reads open
+  * a snapshot by id), built from public parts only: immutable parquet
+  * data files plus an append-only JSON commit log of file manifests.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_graft_log/v00000042.json      one manifest per version
+  *   <root>/data/<uuid>/part-*.parquet     immutable data files
+  * }}}
+  *
+  * Scale properties:
+  *  - A manifest lists EVERY file in its snapshot, so reading version
+  *    v opens exactly those files — O(|snapshot|), never O(|history|);
+  *    no filter over a commit column, no tombstone reconciliation.
+  *  - Commits are optimistic: the manifest is created with
+  *    `create(overwrite = false)` (atomic on HDFS and local file
+  *    systems), so concurrent writers race on the version number and
+  *    the loser retries against the new head. Readers see a complete
+  *    manifest or none — snapshot isolation by construction.
+  *  - Data files are immutable; `merge` is copy-on-write over the
+  *    current snapshot. (A production refinement would rewrite only
+  *    the files whose key ranges intersect the updates, driven by
+  *    per-file min/max stats in the manifest.)
+  */
+object VersionedStore {
+
+  case class VersionInfo(version: Long, op: String, nFiles: Int, rows: Long)
+
+  private val mapper = new ObjectMapper()
+
+  private def fileSystem(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(root: String) = new Path(root, "_graft_log")
+
+  private def manifestPath(root: String, v: Long) =
+    new Path(logDir(root), f"v$v%08d.json")
+
+  /** Highest committed version, or -1 for a non-existent table. */
+  def latestVersion(spark: SparkSession, root: String): Long = {
+    val dir = logDir(root)
+    val fs = fileSystem(spark, dir)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def readManifest(spark: SparkSession, root: String, v: Long)
+  : (String, Seq[String], Long) = {
+    val p = manifestPath(root, v)
+    val fs = fileSystem(spark, p)
+    require(fs.exists(p), s"version $v does not exist under $root")
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toByteArray
+    } finally in.close()
+    val m = mapper.readValue(bytes, classOf[java.util.Map[String, Object]])
+    val files = m.get("files").asInstanceOf[java.util.List[String]]
+      .asScala.toSeq
+    (m.get("op").toString, files, m.get("rows").toString.toLong)
+  }
+
+  /** Read a snapshot: the latest version, or `versionAsOf` — opening
+    * ONLY that manifest's files.
+    */
+  def read(spark: SparkSession, root: String, versionAsOf: Long = -1L)
+  : DataFrame = {
+    val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val (_, files, _) = readManifest(spark, root, v)
+    require(files.nonEmpty, s"version $v of $root is an empty snapshot")
+    spark.read.parquet(files.map(f => new Path(root, f).toString): _*)
+  }
+
+  def versions(spark: SparkSession, root: String): Seq[VersionInfo] =
+    (0L to latestVersion(spark, root)).map { v =>
+      val (op, files, rows) = readManifest(spark, root, v)
+      VersionInfo(v, op, files.size, rows)
+    }
+
+  /** Commit `df` as a new version. `carryPrev` keeps the previous
+    * snapshot's files in the new manifest (append semantics).
+    * Returns the committed version number.
+    */
+  private def commit(df: DataFrame, root: String, op: String,
+                     carryPrev: Boolean): Long = {
+    val spark = df.sparkSession
+    val uuid = java.util.UUID.randomUUID().toString.take(12)
+    val dataRel = s"data/$uuid"
+    val dataDir = new Path(root, dataRel)
+    df.write.parquet(dataDir.toString)
+    val fs = fileSystem(spark, dataDir)
+    val newFiles = fs.listStatus(dataDir).map(_.getPath.getName)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+      .sorted.map(n => s"$dataRel/$n").toSeq
+    // Footer-driven count: parquet count(*) never deserializes rows.
+    val newRows = spark.read.parquet(dataDir.toString).count()
+    fs.mkdirs(logDir(root))
+    var attempt = 0
+    while (attempt < 10) {
+      val prev = latestVersion(spark, root)
+      val (files, rows) =
+        if (carryPrev && prev >= 0) {
+          val (_, prevFiles, prevRows) = readManifest(spark, root, prev)
+          (prevFiles ++ newFiles, prevRows + newRows)
+        } else (newFiles, newRows)
+      val next = prev + 1
+      val manifest = new java.util.LinkedHashMap[String, Object]()
+      manifest.put("version", java.lang.Long.valueOf(next))
+      manifest.put("op", op)
+      manifest.put("files", files.asJava)
+      manifest.put("rows", java.lang.Long.valueOf(rows))
+      manifest.put("schema", df.schema.json)
+      try {
+        // overwrite=false: the atomic claim on this version number.
+        val out = fs.create(manifestPath(root, next), false)
+        try out.write(mapper.writeValueAsBytes(manifest))
+        finally out.close()
+        return next
+      } catch {
+        case _: java.io.IOException => attempt += 1 // lost the race; re-read head
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit to $root after 10 attempts (concurrent writers)")
+  }
+
+  /** Create version 0 of a new table. */
+  def create(df: DataFrame, root: String): Long = {
+    require(latestVersion(df.sparkSession, root) < 0,
+      s"$root already exists — use append/overwrite/merge")
+    commit(df, root, "create", carryPrev = false)
+  }
+
+  /** Append-only commit: new files join the previous snapshot. */
+  def append(df: DataFrame, root: String): Long =
+    commit(df, root, "append", carryPrev = true)
+
+  /** Replace the snapshot (previous versions stay readable). */
+  def overwrite(df: DataFrame, root: String): Long =
+    commit(df, root, "overwrite", carryPrev = false)
+
+  /** MERGE (upsert) by key: rows in `updates` replace current rows
+    * with the same key tuple; unmatched update rows are inserted.
+    * Copy-on-write: the surviving current rows and the updates are
+    * written as a fresh snapshot, so every earlier version is
+    * untouched and still readable.
+    */
+  def merge(updates: DataFrame, root: String, keys: Seq[String]): Long = {
+    val current = read(updates.sparkSession, root)
+    val merged = current.join(updates.select(keys.map(
+        org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates)
+    commit(merged, root, "merge", carryPrev = false)
+  }
+}

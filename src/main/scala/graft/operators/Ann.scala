@@ -79,12 +79,27 @@ object Ann {
     */
   /** Quantizer cache: a deployment trains the coarse quantizer once
     * and serves many queries against it — keyed by the input plan's
-    * semantic hash + k, so identical corpora reuse the model while
-    * different data retrains. Bounded; thread-safe.
+    * semantic hash + nCentroids + trainSample, so identical plans
+    * reuse the model while different data or training configs retrain.
+    * Bounded LRU (access-order, 32 entries, eldest evicted — never a
+    * full clear). NOTE the key is the PLAN, not the data: overwriting
+    * the same source path in place keeps the plan hash — call
+    * clearQuantizerCache() after rewriting a corpus under the same
+    * path.
     */
   private val quantizers =
-    new java.util.concurrent.ConcurrentHashMap[
-      (Int, Int), org.apache.spark.ml.clustering.KMeansModel]()
+    new java.util.LinkedHashMap[
+      (Int, Int, Int), org.apache.spark.ml.clustering.KMeansModel](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+        e: java.util.Map.Entry[(Int, Int, Int),
+          org.apache.spark.ml.clustering.KMeansModel]): Boolean = size > 32
+    }
+
+  /** Drop all cached IVF quantizers (use after rewriting a corpus in
+    * place, which keeps the logical-plan cache key unchanged). */
+  def clearQuantizerCache(): Unit =
+    quantizers.synchronized { quantizers.clear() }
 
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, nProbe: Int, k: Int,
@@ -96,14 +111,26 @@ object Ann {
 
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
-    val cacheKey = (emb.queryExecution.logical.semanticHash(), nCentroids)
-    if (quantizers.size > 32) quantizers.clear()
-    val model = quantizers.computeIfAbsent(cacheKey, _ =>
-      new KMeans().setK(nCentroids).setSeed(42L)
+    val cacheKey =
+      (emb.queryExecution.logical.semanticHash(), nCentroids, trainSample)
+    val cached = quantizers.synchronized { quantizers.get(cacheKey) }
+    val model = if (cached != null) cached else {
+      // Deterministic training sample: global ascending-id head, not
+      // an arbitrary-partition limit() (TakeOrdered — distributed).
+      val trained = new KMeans().setK(nCentroids).setSeed(42L)
         .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(base.limit(trainSample)))
+        .fit(base.orderBy("id").limit(trainSample))
+      quantizers.synchronized { quantizers.put(cacheKey, trained) }
+      trained
+    }
+    // Assignment (KMeans transform + norm) feeds BOTH sides of the
+    // probe join — a LAZY localCheckpoint materializes it once at
+    // first action instead of running the quantizer twice over the
+    // corpus (and, unlike cache(), is reclaimed by the ContextCleaner
+    // when the result DataFrame is dropped).
     val assigned = model.transform(base).drop("fv")
       .withColumn("nrm", Fns.l2Norm(col("v")))
+      .localCheckpoint(false)
 
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))

@@ -27,16 +27,33 @@ object AsofJoin {
     * @param labels   label rows (entityCol, tsCol, labelIdCol, labelCol)
     * @param featureNames fixed, ordered feature list (the view schema)
     * @param default  value used when no feature row precedes the label
+    * @param labelWindowStart when the caller knows the earliest label
+    *   time, pass it to prune feature history with a constant the scan
+    *   can push down. When None, the bound is derived LAZILY from a
+    *   broadcast single-row min — no job runs until the plan executes,
+    *   honoring the facade's "nothing executes until an action"
+    *   contract (at the cost of pruning post-scan instead of at the
+    *   parquet reader).
     */
   def pointInTime(features: DataFrame, labels: DataFrame,
                   entityCol: String, tsCol: String, nameCol: String,
                   valueCol: String, labelIdCol: String, labelCol: String,
                   featureNames: Seq[String], default: Double,
-                  lookbackDays: Int = 180): DataFrame = {
-    val minLabelTs = lit(labels.agg(min(col(tsCol))).head().getTimestamp(0))
-    val featSide = features
+                  lookbackDays: Int = 180,
+                  labelWindowStart: Option[java.sql.Timestamp] = None)
+  : DataFrame = {
+    val lookback = expr(s"INTERVAL $lookbackDays DAYS")
+    val pruned = labelWindowStart match {
+      case Some(start) =>
+        features.filter(col(tsCol) >= lit(start) - lookback)
+      case None =>
+        val minTs = labels.agg(min(col(tsCol)).as("__min_label_ts"))
+        features.crossJoin(broadcast(minTs))
+          .filter(col(tsCol) >= col("__min_label_ts") - lookback)
+          .drop("__min_label_ts")
+    }
+    val featSide = pruned
       .filter(col(nameCol).isin(featureNames: _*)) // prune non-view features at scan
-      .filter(col(tsCol) >= minLabelTs - expr(s"INTERVAL $lookbackDays DAYS"))
       .select(
         col(entityCol).as("entity_id"), col(tsCol).as("ts"),
         lit(0).as("kind"), lit(-1L).as("label_id"),

@@ -157,37 +157,58 @@ object Dedup {
     * cluster — the true canonical assignment (keepList's drop-right
     * rule under-merges transitive chains a~b~c).
     *
-    * Iterative smallest-label propagation: each round every node
-    * adopts the minimum label among itself and its neighbors;
-    * converges in O(diameter) rounds ≤ O(log n) for typical dup
-    * clusters. Each round is one join + one aggregate — all
-    * distributed, no driver-side graph.
+    * Iterative smallest-label propagation with pointer jumping: each
+    * round every node adopts the minimum label among itself and its
+    * neighbors, then jumps to its label's label (path halving), so a
+    * component of diameter d converges in O(log d) rounds instead of
+    * O(d) — a 1000-node chain closes in ~11 rounds. Per round: two
+    * equi-joins and ONE job (the convergence aggregate doubles as the
+    * cache materializer). Superseded caches are unpersisted and
+    * lineage is truncated with localCheckpoint every 5 rounds, so
+    * memory and plan depth stay bounded at any round count.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+      .withColumn("label", col("id")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
+          Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+      val propagated = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      // pointer jump: label <- label(label). Labels are always node
+      // ids, so the self-join resolves every pointer one more hop.
+      val jumped = propagated.join(
+          propagated.select(col("id").as("label"), col("label").as("plabel")),
+          Seq("label"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("plabel"), col("label")))
+            .as("label"))
+      val next =
+        if ((i + 1) % 5 == 0) jumped.localCheckpoint() else jumped.cache()
+      // One job: materializes the cache AND counts changed labels.
+      val changedRow = next
+        .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L))).head()
+      val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      labels.unpersist()
+      labels = next.drop("old")
       converged = changed == 0
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Dedup.clusters: label propagation did NOT converge within " +
+        s"$maxIters rounds — returned cluster ids may be non-canonical " +
+        s"for components of diameter > 2^$maxIters")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -19,6 +19,15 @@ case class FeatureDef(name: String, entity: String, dtype: String,
 case class FeatureViewDef(name: String, entity: String, version: Int,
                           featureNames: Seq[String], schemaHash: Long)
 
+/** One append-only audit record per registry mutation — the
+  * reference's FeatureLifecycleEvent (reference src/main/java/.../
+  * service/FeatureRegistryService.java:261-273 records an event on
+  * every create/update/deprecate). `atMs` is caller-supplied so event
+  * time is explicit and replayable, not wall-clock-implicit.
+  */
+case class LifecycleEvent(objectType: String, name: String, action: String,
+                          detail: String, atMs: Long)
+
 object Registry {
 
   /** Driver-side schema hash (same algorithm as Fns.schemaHash). */
@@ -56,6 +65,32 @@ object Registry {
     features.map(f => if (f.name == name) f.copy(active = false) else f)
   }
 
+  // --- lifecycle-audited mutations ------------------------------------
+  // Each mutation returns (new state, audit event); the caller appends
+  // the event to the AuditLog — registry state stays a pure value.
+
+  def createFeature(features: Dataset[FeatureDef], f: FeatureDef,
+                    atMs: Long): (Dataset[FeatureDef], LifecycleEvent) = {
+    import features.sparkSession.implicits._
+    (features.unionByName(Seq(f).toDS()),
+     LifecycleEvent("feature", f.name, "CREATED",
+       s"entity=${f.entity} dtype=${f.dtype}", atMs))
+  }
+
+  def deprecateFeatureLogged(features: Dataset[FeatureDef], name: String,
+                             atMs: Long)
+  : (Dataset[FeatureDef], LifecycleEvent) =
+    (deprecateFeature(features, name),
+     LifecycleEvent("feature", name, "DEPRECATED", "", atMs))
+
+  def registerViewLogged(name: String, entity: String, version: Int,
+                         featureNames: Seq[String], atMs: Long)
+  : (FeatureViewDef, LifecycleEvent) = {
+    val view = makeView(name, entity, version, featureNames)
+    (view, LifecycleEvent("view", name, "REGISTERED",
+      s"version=$version schemaHash=${view.schemaHash}", atMs))
+  }
+
   def activeFeatures(features: Dataset[FeatureDef]): Dataset[FeatureDef] =
     features.filter(_.active)
 
@@ -69,4 +104,29 @@ object Registry {
       .agg(array_join(array_sort(collect_set(col("feature_name"))), ",")
         .as("schema_str"))
       .withColumn("schema_hash", Fns.md5Hash31(col("schema_str")))
+}
+
+/** Append-only lifecycle audit log persisted as parquet. Append-mode
+  * writes are the storage analogue of the reference's event table —
+  * nothing is ever rewritten, so the log is a faithful history.
+  */
+object AuditLog {
+  def append(events: Seq[LifecycleEvent], spark: SparkSession, path: String)
+  : Unit = {
+    import spark.implicits._
+    events.toDS().write.mode("append").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): Dataset[LifecycleEvent] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[LifecycleEvent]
+  }
+
+  /** The mutation history of one object, in event-time order. */
+  def history(spark: SparkSession, path: String, name: String)
+  : Dataset[LifecycleEvent] = {
+    import spark.implicits._
+    read(spark, path).filter(_.name == name)
+      .orderBy(col("atMs"))
+  }
 }

@@ -28,6 +28,74 @@ object Profiler {
         round(percentile(v, lit(0.99)), 4).as("p99"))
   }
 
+  /** Fixed-width histogram per feature — the reference profile's
+    * histogram_bins field (reference src/main/java/.../domain/
+    * FeatureStatistics.java:49). Two aggregation passes: per-feature
+    * min/max (tiny result, broadcast back), then a single groupBy on
+    * (feature, bin) with bin = floor((v - min) / width) clamped to the
+    * last bin. Bin ids and counts are exact integers, so the result is
+    * engine-deterministic; bounds are rounded 6dp.
+    */
+  def histogram(records: DataFrame, nameCol: String, valueCol: String,
+                nBins: Int = 10): DataFrame = {
+    val v = col(valueCol)
+    val ranges = records.filter(v.isNotNull)
+      .groupBy(col(nameCol).as("feature_name"))
+      .agg(min(v).cast("double").as("vmin"), max(v).cast("double").as("vmax"))
+    val width = (col("vmax") - col("vmin")) / nBins
+    records.filter(v.isNotNull)
+      .select(col(nameCol).as("feature_name"), v.cast("double").as("v"))
+      .join(broadcast(ranges), "feature_name")
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(floor((col("v") - col("vmin")) / width),
+            lit(nBins - 1).cast("long"))).cast("long"))
+      .groupBy(col("feature_name"), col("bin"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("feature_name"), col("bin"),
+        round(col("vmin") + col("bin") * width, 6).as("bin_lo"),
+        round(col("vmin") + (col("bin") + 1) * width, 6).as("bin_hi"),
+        col("n"))
+  }
+
+  /** Population-stability-index drift between two event-time windows,
+    * over the shared fixed-width histogram (bins from the combined
+    * min/max): psi = Σ_bins (pA - pB) · ln(pA / pB), with additive
+    * 0.5 smoothing so empty bins stay finite. This is the PSI-proper
+    * companion to OfflineStore.drift's mean-shift score — the drift
+    * signal the reference's histogram_bins exist for.
+    */
+  def psiDrift(records: DataFrame, nameCol: String, valueCol: String,
+               tsCol: String, aStart: String, mid: String, bEnd: String,
+               nBins: Int = 10): DataFrame = {
+    val v = col(valueCol)
+    val ts = col(tsCol)
+    val inWin = ts >= lit(aStart).cast("timestamp") &&
+                ts < lit(bEnd).cast("timestamp")
+    val isA = ts < lit(mid).cast("timestamp")
+    val base = records.filter(v.isNotNull && inWin)
+      .select(col(nameCol).as("feature_name"), v.cast("double").as("v"),
+        isA.as("in_a"))
+    val ranges = base.groupBy("feature_name")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val width = (col("vmax") - col("vmin")) / nBins
+    val binned = base.join(broadcast(ranges), "feature_name")
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(floor((col("v") - col("vmin")) / width),
+            lit(nBins - 1).cast("long"))).cast("long"))
+      .groupBy("feature_name", "bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+           sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    val totals = binned.groupBy("feature_name")
+      .agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val pa = (col("ca") + 0.5) / (col("ta") + 0.5 * nBins)
+    val pb = (col("cb") + 0.5) / (col("tb") + 0.5 * nBins)
+    binned.join(broadcast(totals), "feature_name")
+      .groupBy("feature_name")
+      .agg(round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
+  }
+
   /** Scale-path twin: approx_percentile (t-digest) instead of exact
     * interpolated percentiles. Exact percentile buffers every value
     * per group; the sketch is O(accuracy) per group regardless of

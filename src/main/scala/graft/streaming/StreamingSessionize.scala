@@ -22,11 +22,19 @@ object StreamingSessionize {
   case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
                            n_events: Long, session_value: Double)
 
-  def sessions(events: Dataset[SessionEvent], gapMs: Long)
-  : Dataset[ClosedSession] = {
+  /** @param watermarkDelayMs how long to admit late events before the
+    *   watermark closes a session; defaults to half the session gap
+    *   (floored at 1s) so lateness tolerance scales with the gap
+    *   instead of a fixed literal.
+    */
+  def sessions(events: Dataset[SessionEvent], gapMs: Long,
+               watermarkDelayMs: Long = -1L): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val delay =
+      if (watermarkDelayMs >= 0) watermarkDelayMs
+      else math.max(gapMs / 2, 1000L)
     events
-      .withWatermark("ts", "10 seconds")
+      .withWatermark("ts", s"$delay milliseconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -24,7 +24,9 @@ object Validation {
                    maxDefaultFillRate: Double = 0.5): DataFrame = {
     val inView = records.filter(col("feature_name").isin(view.featureNames: _*))
     val latest = OfflineStore.latestSnapshot(inView)
-    val slaExpr = slaMs.foldLeft(lit(Long.MaxValue)) { case (acc, (f, ms)) =>
+    // Same SLA semantics as OfflineStore.staleness: no configured SLA
+    // means the feature is exempt (never counted stale).
+    val slaExpr = slaMs.foldLeft(lit(null).cast("long")) { case (acc, (f, ms)) =>
       when(col("feature_name") === f, ms).otherwise(acc)
     }
     val asOfMs = unix_millis(lit(asOf).cast("timestamp"))
@@ -32,7 +34,8 @@ object Validation {
     val perEntity = latest.groupBy("entity_id")
       .agg(
         count(lit(1)).as("n_present"),
-        sum(when(asOfMs - unix_millis(col("event_time")) > slaExpr, 1L)
+        sum(when(slaExpr.isNotNull &&
+            asOfMs - unix_millis(col("event_time")) > slaExpr, 1L)
           .otherwise(0L)).as("n_stale"))
 
     val expectedLen = view.featureNames.size

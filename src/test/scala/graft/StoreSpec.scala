@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.offline.{TrainingExport, VersionedStore}
+import graft.registry.{AuditLog, FeatureDef, LifecycleEvent, Registry}
+
+class StoreSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  test("VersionedStore: append creates versions, versionAsOf reads old snapshots unchanged") {
+    val root = tmp("vstore")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((3L, "c")).toDF("id", "v")
+    assert(VersionedStore.create(a, root) == 0L)
+    assert(VersionedStore.append(b, root) == 1L)
+    val v0 = VersionedStore.read(spark, root, versionAsOf = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0 == Set((1L, "a"), (2L, "b")), "v0 must be unchanged by the append")
+    val latest = VersionedStore.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val infos = VersionedStore.versions(spark, root)
+    assert(infos.map(i => (i.version, i.op, i.rows)) ==
+      Seq((0L, "create", 2L), (1L, "append", 3L)))
+  }
+
+  test("VersionedStore: merge upserts by key, copy-on-write keeps history readable") {
+    val root = tmp("vmerge")
+    VersionedStore.create(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), root)
+    val ver = VersionedStore.merge(
+      Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v"), root, Seq("id"))
+    assert(ver == 1L)
+    val merged = VersionedStore.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(merged == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+    val v0 = VersionedStore.read(spark, root, versionAsOf = 0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(v0 == Map(1L -> 10.0, 2L -> 20.0))
+  }
+
+  test("VersionedStore: read opens ONLY the requested snapshot's files") {
+    val root = tmp("vprune")
+    VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
+    VersionedStore.append(Seq((2L, "b")).toDF("id", "v"), root)
+    VersionedStore.append(Seq((3L, "c")).toDF("id", "v"), root)
+    // v0 has one data dir; the plan's file listing must not include
+    // later versions' files (no full-history scan).
+    val scanned = VersionedStore.read(spark, root, versionAsOf = 0)
+      .inputFiles
+    assert(scanned.length == VersionedStore.versions(spark, root).head.nFiles)
+    val all = VersionedStore.read(spark, root).inputFiles
+    assert(all.length > scanned.length)
+  }
+
+  test("VersionedStore: create refuses an existing table") {
+    val root = tmp("vdup")
+    VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
+    intercept[IllegalArgumentException] {
+      VersionedStore.create(Seq((2L, "b")).toDF("id", "v"), root)
+    }
+  }
+
+  test("TrainingExport: one-pass artifact, manifest matches, split pruning works") {
+    val root = tmp("texport")
+    val df = Tables.customer(spark, TestSpark.sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val manifest = TrainingExport.export(df, root, "c_custkey", trainPct = 80)
+    assert(manifest.trainRows + manifest.testRows == df.count())
+    assert(manifest.schemaHash ==
+      Registry.schemaHash(df.columns.toSeq.sorted))
+    val back = TrainingExport.readManifest(spark, root)
+    assert(back == manifest)
+    // the split must agree with the declared deterministic hash split
+    val train = TrainingExport.readSplit(spark, root, "train")
+    assert(train.count() == manifest.trainRows)
+    val expected = graft.operators.FeatureEng
+      .trainTestSplit(df, "c_custkey", 80)
+      .filter(col("split") === "train").count()
+    assert(train.count() == expected)
+    // partition pruning: the split predicate must land in the scan's
+    // PartitionFilters (inputFiles ignores pruning, so inspect the plan)
+    val plan = train.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("split"),
+      s"split filter not pushed to partition pruning:\n$plan")
+  }
+
+  test("Registry lifecycle: mutations emit events, audit log is append-only history") {
+    val root = tmp("audit")
+    val f0 = Seq(FeatureDef("click", "user", "float", 0.0, 3600L)).toDS()
+    val (f1, e1) = Registry.createFeature(f0,
+      FeatureDef("view", "user", "float", 0.0, 3600L), atMs = 1000L)
+    val (f2, e2) = Registry.deprecateFeatureLogged(f1, "view", atMs = 2000L)
+    val (_, e3) = Registry.registerViewLogged("v1", "user", 1,
+      Seq("click"), atMs = 3000L)
+    AuditLog.append(Seq(e1, e2), spark, root)
+    AuditLog.append(Seq(e3), spark, root) // second append must not clobber
+    val events = AuditLog.read(spark, root).collect()
+    assert(events.length == 3)
+    val viewHistory = AuditLog.history(spark, root, "view").collect()
+    assert(viewHistory.map(_.action).toSeq == Seq("CREATED", "DEPRECATED"))
+    assert(f2.filter(_.name == "view").head().active == false)
+    assert(Registry.activeFeatures(f2).count() == 1)
+  }
+
+  test("clusters: 1k-node chain converges fast via pointer jumping") {
+    // diameter-1000 path graph: plain min-label propagation needs 1000
+    // rounds; the jump makes it O(log d) — must finish in default 20.
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = graft.operators.Dedup.clusters(pairs, maxIters = 20)
+    val labels = out.select("cluster_id").distinct().collect()
+    assert(labels.length == 1 && labels.head.getLong(0) == 1L,
+      "every chain node must collapse to the minimum id")
+    assert(out.count() == 1000L)
+  }
+
+  test("staleness: feature without an SLA is exempt (fresh), matching validateView") {
+    import java.sql.Timestamp
+    val recs = Seq(
+      ("user", "u1", "click", 1.0, Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+      ("user", "u1", "mystery", 2.0, Timestamp.valueOf("2020-01-01 00:00:00"), 2L)
+    ).toDF("entity_type", "entity_id", "feature_name", "value_float",
+           "event_time", "commit_id")
+    val st = graft.offline.OfflineStore
+      .staleness(recs, "2024-02-01 00:00:00", Map("click" -> 1L))
+      .collect().map(r => r.getString(1) -> r.getInt(4)).toMap
+    assert(st("click") == 0)    // SLA 1ms, month old → stale
+    assert(st("mystery") == 1)  // no SLA → exempt → fresh
+    val report = graft.validation.Validation.validateView(recs,
+      Registry.makeView("v", "user", 1, Seq("click", "mystery")),
+      "2024-02-01 00:00:00", Map("click" -> 1L)).head()
+    // only click counts stale; mystery is exempt in BOTH paths
+    assert(report.getAs[Double]("stale_rate") == 0.5)
+  }
+
+  test("asof pointInTime builds its plan lazily (no job at construction)") {
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val features = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        "f", 1.0)).toDF("entity_id", "ts", "feature_name", "value_float")
+      val labels = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"),
+        10L, 1.0)).toDF("entity_id", "ts", "event_id", "value")
+      val df = graft.operators.AsofJoin.pointInTime(features, labels,
+        "entity_id", "ts", "feature_name", "value_float", "event_id",
+        "value", Seq("f"), 0.0)
+      Thread.sleep(1000) // let listener-bus events drain
+      assert(jobs == 0, "plan construction must not run a Spark job")
+      assert(df.count() == 1) // and the lazy min-bound still prunes right
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
