@@ -85,8 +85,35 @@ object Graft {
   def profile(records: DataFrame): DataFrame =
     Profiler.profile(records, "feature_name", "value_float")
 
+  def histogram(records: DataFrame, nBins: Int = 10): DataFrame =
+    Profiler.histogram(records, "feature_name", "value_float", nBins)
+
   def drift(records: DataFrame, aStart: String, mid: String, bEnd: String)
   : DataFrame = OfflineStore.drift(records, aStart, mid, bEnd)
+
+  def psiDrift(records: DataFrame, aStart: String, mid: String,
+               bEnd: String, nBins: Int = 10): DataFrame =
+    Profiler.psiDrift(records, "feature_name", "value_float", "event_time",
+      aStart, mid, bEnd, nBins)
+
+  // --- versioned storage / artifacts ----------------------------------
+  def createTable(records: DataFrame, path: String): Long =
+    graft.offline.VersionedStore.create(records, path)
+
+  def appendTable(records: DataFrame, path: String): Long =
+    graft.offline.VersionedStore.append(records, path)
+
+  def mergeTable(updates: DataFrame, path: String, keys: Seq[String]): Long =
+    graft.offline.VersionedStore.merge(updates, path, keys)
+
+  def readTable(spark: SparkSession, path: String,
+                versionAsOf: Long = -1L): DataFrame =
+    graft.offline.VersionedStore.read(spark, path, versionAsOf)
+
+  def exportTraining(df: DataFrame, path: String, keyCol: String,
+                     trainPct: Int = 80)
+  : graft.offline.TrainingExport.ExportManifest =
+    graft.offline.TrainingExport.export(df, path, keyCol, trainPct)
 
   // --- LLM data pipeline ----------------------------------------------
   def dedupExact(docs: DataFrame): DataFrame =
@@ -101,6 +128,10 @@ object Graft {
 
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame =
     Dedup.simhashPairs(docs, "doc_id", "text", maxHamming)
+
+  def dedupSimhashWide(docs: DataFrame, maxHamming: Int = 6,
+                       words: Int = 2): DataFrame =
+    Dedup.simhashPairsWide(docs, "doc_id", "text", maxHamming, words)
 
   def dedupEmbedding(emb: DataFrame, threshold: Double): DataFrame =
     Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold)

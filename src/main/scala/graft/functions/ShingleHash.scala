@@ -78,8 +78,12 @@ case class ShingleHash(child: Expression, n: Int)
   * bits are the positive vote counts. One tight loop per row inside
   * whole-stage codegen — replaces 64 interpreted array folds (scalar
   * path) or a 64-aggregate shuffle (columnar path).
+  *
+  * `seed` offsets the word-hash basin, yielding an INDEPENDENT 64-bit
+  * signature family — wide-simhash callers concatenate several seeds'
+  * signatures for bigger (more selective) band keys.
   */
-case class SimHash64(child: Expression)
+case class SimHash64(child: Expression, seed: Long = ShingleHash.FnvOffset)
   extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[DataType] = Seq(StringType)
@@ -89,7 +93,7 @@ case class SimHash64(child: Expression)
   def compute(s: UTF8String): Long = {
     val bytes = s.getBytes
     val votes = new Array[Int](64)
-    var h = ShingleHash.FnvOffset
+    var h = seed
     var i = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
@@ -98,7 +102,7 @@ case class SimHash64(child: Expression)
           votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
           b += 1
         }
-        h = ShingleHash.FnvOffset
+        h = seed
       } else {
         h = (h ^ (bytes(i) & 0xffL)) * ShingleHash.FnvPrime
       }
@@ -128,6 +132,13 @@ case class SimHash64(child: Expression)
 object SimHash64 {
   def simhash64(text: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+
+  /** Independent signature family for wide-simhash banding. Family 0
+    * is the canonical simhash64. */
+  def simhash64(text: Column, family: Int): Column =
+    if (family == 0) simhash64(text)
+    else GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text),
+      ShingleHash.mix(ShingleHash.FnvOffset, family.toLong)))
 }
 
 object ShingleHash {

@@ -70,8 +70,10 @@ object ScaleProbe {
     println(s"[scale] documents rows: ${docs.count()}")
     time("minhash xK")(Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4).count())
     time("simhash xK")(Dedup.simhashPairs(docs, "doc_id", "text", 6).count())
-    time("ngram xK (maxDf capped)")(
-      Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = 200).count())
+    time("simhash wide (128-bit) xK")(
+      Dedup.simhashPairsWide(docs, "doc_id", "text", 6, words = 2).count())
+    time("ngram xK (declared maxDf=100)")(
+      Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = 100).count())
     // production order: exact dedup FIRST collapses identical copies
     // (k replicas → 1 canonical) before the quadratic-in-dup-cluster
     // pair join — the inverted index then only sees distinct content.
@@ -81,7 +83,30 @@ object ScaleProbe {
           first(col("text")).as("text"))
       Dedup.ngramJaccard(canonical, "doc_id", "text", 3, 0.8).count()
     })
+    // the packaged pipeline: exact -> minhash candidates -> exact verify
+    time("Dedup.pipeline xK")(
+      Dedup.pipeline(docs, "doc_id", "text", 3, 0.8).count())
+    // near-dup graph -> connected components (pointer-jump propagation)
+    time("clusters over minhash pairs xK")({
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+        .select("doc_a", "doc_b")
+      Dedup.clusters(pairs).count()
+    })
     docs.unpersist()
+
+    // embeddings xK: unique vec ids, duplicated vectors — the blocked
+    // equi-join's O(n²) work grows k², so this curve is the honest cost
+    // of the exact moderate-threshold path
+    val emb = replicate(Tables.embeddings(spark, d), k,
+      Map("vec_id" -> 1000000L)).cache()
+    println(s"[scale] embeddings rows: ${emb.count()}")
+    time("embedding blocked-exact xK")(
+      Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.4, nBlocks = 32)
+        .count())
+    time("embedding LSH+verify xK (thr 0.9)")(
+      Dedup.embeddingCosineLsh(emb, "vec_id", "embedding", 0.9, dim = 64)
+        .count())
+    emb.unpersist()
     spark.stop()
   }
 }

@@ -76,6 +76,24 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("simhashPairsWide recall: banding equals brute force on the wide signature") {
+    import graft.functions.{Fns, SimHash64}
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val sigs = docs.select($"doc_id",
+      SimHash64.simhash64($"text", 0).as("s0"),
+      SimHash64.simhash64($"text", 1).as("s1"))
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .filter((Fns.hamming64($"a.s0", $"b.s0") +
+               Fns.hamming64($"a.s1", $"b.s1")) <= 6)
+      .select($"a.doc_id", $"b.doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.simhashPairsWide(docs, "doc_id", "text",
+      maxHamming = 6, words = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
+  }
+
   test("pipeline (exact→minhash→verify) equals the exact keepList") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val exact = Dedup.keepList(docs, "doc_id", "text", 3, 0.8)

@@ -192,4 +192,42 @@ class StreamingSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("event_date") === day)
     assert(pruned.count() > 0)
   }
+
+  test("StreamingDrift: shifted live distribution scores higher PSI than matching one") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingDrift
+    implicit val sqlCtx = spark.sqlContext
+
+    // baseline: feature 'f' roughly uniform on [0, 10)
+    val baseRecords = (0 until 100)
+      .map(i => ("f", i % 10 + 0.5)).toDF("feature_name", "value_float")
+    val hist = graft.stats.Profiler
+      .histogram(baseRecords, "feature_name", "value_float", nBins = 10)
+    val baseline = StreamingDrift.baselineFromHistogram(hist, 10)
+    assert(baseline.count() == 1)
+
+    val input = MemoryStream[(String, Double, Timestamp)]
+    val events = input.toDF()
+      .toDF("feature_name", "value", "event_time")
+    val query = StreamingDrift
+      .psi(events, baseline, 10, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("psidrift")
+      .outputMode(OutputMode.Update()).start()
+
+    // window 1: matches the baseline; window 2: everything in one bin
+    input.addData((0 until 50).map(i =>
+      ("f", i % 10 + 0.5, ts("2024-01-01 10:05:00"))): _*)
+    input.addData((0 until 50).map(_ =>
+      ("f", 9.5, ts("2024-01-01 12:05:00"))): _*)
+    query.processAllAvailable()
+    val rows = spark.table("psidrift")
+      .orderBy("window").collect()
+    assert(rows.length == 2)
+    val psiMatch = rows.head.getAs[Double]("psi")
+    val psiShift = rows.last.getAs[Double]("psi")
+    assert(psiMatch < 0.1, s"matching window should be calm, got $psiMatch")
+    assert(psiShift > 1.0, s"collapsed window should alarm, got $psiShift")
+    assert(rows.forall(_.getAs[Long]("n_window") == 50L))
+    query.stop()
+  }
 }
