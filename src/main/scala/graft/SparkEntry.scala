@@ -277,6 +277,45 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _)
   )
 
+  /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
+    * plain constants, so they inline as SQL array literals — the LSH
+    * bucketing, bucket self-join, and per-query ranking are then
+    * ordinary SQL. Fold shapes mirror the Spark side exactly
+    * (DuckDB list_reduce's first-element init == Spark aggregate's
+    * 0.0 init, bit-for-bit for IEEE addition).
+    */
+  private def annLshOracle(nPlanes: Int, dim: Int, k: Int): String = {
+    def planeLit(j: Int) = (0 until dim)
+      .map(i => f"${graft.operators.Ann.planeComponent(j, i)}%.3f")
+      .mkString("[", ", ", "]")
+    val bucketExpr = (0 until nPlanes).map { j =>
+      s"""CASE WHEN list_reduce(list_transform(
+         |      list_zip(embedding, ${planeLit(j)}),
+         |      x -> x[1]::DOUBLE * x[2]), (x, y) -> x + y) > 0
+         |    THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("\n    + ")
+    s"""WITH b AS (
+       |  SELECT vec_id AS id, embedding AS v,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS nrm,
+       |    CAST($bucketExpr AS BIGINT) AS bucket
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT a.id AS query_id, bb.id AS neighbor_id, a.bucket AS bucket,
+       |    list_reduce(list_transform(list_zip(a.v, bb.v),
+       |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
+       |      / (a.nrm * bb.nrm) AS cos_raw
+       |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id <> bb.id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, bucket, cos_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+       |  FROM p
+       |)
+       |SELECT query_id, neighbor_id, bucket, round(cos_raw, 6) AS cosine, "rank"
+       |FROM r WHERE "rank" <= $k""".stripMargin
+  }
+
   // DuckDB oracle SQL. Bare table names resolve to the same parquet files.
   def oracleSql: Map[String, String] = {
     val latestCte =
@@ -742,6 +781,8 @@ object SparkEntry {
           |)
           |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
           |FROM r WHERE "rank" <= 5""".stripMargin,
+
+      "q_ann_lsh" -> annLshOracle(nPlanes = 8, dim = 64, k = 3),
 
       "q_text_quality" ->
         """WITH b AS (

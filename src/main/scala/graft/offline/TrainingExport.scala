@@ -87,4 +87,31 @@ object TrainingExport {
   def readSplit(spark: SparkSession, root: String, split: String)
   : DataFrame =
     spark.read.parquet(dataDir(root)).filter(col("split") === split)
+
+  /** Dataset discovery: scan a storage root for exported training
+    * datasets and return their manifests as a catalog — the Spark
+    * slice of the reference's DatasetDiscoveryService manifest scan
+    * (reference src/main/java/.../service/DatasetDiscoveryService
+    * .java:25-124). Pure metadata: only `manifest.json` files are
+    * opened, never data.
+    */
+  def discover(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val found =
+      if (!fs.exists(rootPath)) Seq.empty
+      else fs.listStatus(rootPath).toSeq.filter(_.isDirectory).flatMap { d =>
+        val mp = new Path(d.getPath, "manifest.json")
+        if (fs.exists(mp))
+          Some((d.getPath.toString,
+            readManifest(spark, d.getPath.toString)))
+        else None
+      }
+    found.map { case (p, m) =>
+      (p, m.schemaHash, m.columns, m.keyCol, m.trainPct, m.trainRows,
+        m.testRows)
+    }.toDF("path", "schema_hash", "columns", "key_col", "train_pct",
+      "train_rows", "test_rows")
+  }
 }

@@ -27,7 +27,7 @@ object Ann {
     * md5-derived like the reference's hash family, no RNG state so
     * every executor regenerates identical planes.
     */
-  private def planeComponent(j: Int, i: Int): Double = {
+  private[graft] def planeComponent(j: Int, i: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"plane_${j}_$i".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)

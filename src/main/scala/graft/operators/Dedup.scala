@@ -351,18 +351,26 @@ object Dedup {
       Fns.l2Norm(col(vecCol)).as("nrm"),
       pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
     val partners = array((0 until nBlocks).map(lit(_)): _*)
-    val left = base.select(col("id").as("doc_a"), col("v").as("va"),
-      col("nrm").as("norm_a"), col("blk").as("blk_a"),
-      explode(partners).as("blk_b"))
-    val right = base.select(col("id").as("doc_b"), col("v").as("vb"),
-      col("nrm").as("norm_b"), explode(partners).as("blk_a"),
+    // Triangular block pairing over unordered keys {i ≤ j}: the A side
+    // covers buckets (blk, j ≥ blk), the B side (i ≤ blk, blk) — each
+    // unordered row pair meets in exactly ONE bucket, so no duplicate
+    // dot products and half the replication of the full B×B grid. The
+    // diagonal bucket (i, i) self-pairs a block; the id inequality
+    // there keeps each pair once.
+    val left = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("nrm_a"), col("blk").as("blk_a"),
+      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
+    val right = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrm_b"),
+      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
       col("blk").as("blk_b"))
     left.join(right, Seq("blk_a", "blk_b"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(dotF(col("va"), col("vb")) / (col("norm_a") * col("norm_b")), 6))
+        round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
-      .select("doc_a", "doc_b", "cosine")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
   }
 
   /** Embedding near-dup pairs via multi-table sign-LSH candidates plus

@@ -44,8 +44,9 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("oracleSql covers every query (or is intentionally rows-only)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val known = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
-      "q_ann_ivf")
+    // minhash needs xxhash64, simhash an FNV word fold, ivf a trained
+    // KMeans — none expressible in portable DuckDB SQL; spec-tested.
+    val known = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf")
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 

@@ -91,6 +91,21 @@ class StoreSpec extends AnyFunSuite {
       s"split filter not pushed to partition pruning:\n$plan")
   }
 
+  test("TrainingExport.discover catalogs exported datasets by manifest only") {
+    val root = tmp("discover").stripSuffix("/t")
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, "z")).toDF("id", "v")
+    TrainingExport.export(a, s"$root/ds_a", "id", 80)
+    TrainingExport.export(b, s"$root/ds_b", "id", 50)
+    // a non-dataset directory must be ignored
+    new java.io.File(s"$root/not_a_dataset").mkdirs()
+    val catalog = TrainingExport.discover(spark, root)
+      .orderBy("path").collect()
+    assert(catalog.length == 2)
+    assert(catalog.map(r => r.getAs[Long]("train_rows") +
+      r.getAs[Long]("test_rows")).sameElements(Array(2L, 1L)))
+  }
+
   test("Registry lifecycle: mutations emit events, audit log is append-only history") {
     val root = tmp("audit")
     val f0 = Seq(FeatureDef("click", "user", "float", 0.0, 3600L)).toDS()
