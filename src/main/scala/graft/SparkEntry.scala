@@ -184,6 +184,15 @@ object SparkEntry {
     Dedup.keepList(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.8, maxDf = 100)
 
+  /** The production dedup path (exact-first → minhash candidates →
+    * exact verify). Oracle-checked against the SAME exact-ngram drop
+    * SQL as q_dedup_keeplist: a hash match proves the scale pipeline
+    * loses nothing on this corpus (candidate recall 1.0).
+    */
+  def qDedupPipeline(s: SparkSession, d: String): DataFrame =
+    Dedup.pipeline(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.8)
+
   def qDedupMinhash(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 16, bands = 4)
@@ -263,6 +272,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
+    "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -729,6 +739,26 @@ object SparkEntry {
           |WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8""".stripMargin,
 
       "q_dedup_keeplist" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          |p AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), drops AS (
+          |  SELECT DISTINCT doc_b
+          |  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+          |  WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8
+          |)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id NOT IN (SELECT doc_b FROM drops)""".stripMargin,
+
+      "q_dedup_pipeline" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |sh AS (
           |  SELECT doc_id, unnest(list_distinct(list_transform(
