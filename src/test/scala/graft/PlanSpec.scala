@@ -91,6 +91,21 @@ class PlanSpec extends AnyFunSuite {
       s"embedding dedup must be a partitioned equi-join:\n$plan")
   }
 
+  test("q_histogram: range side broadcast, no single-partition funnel") {
+    val plan = SparkEntry.qHistogram(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-feature ranges must broadcast, not shuffle the data:\n$plan")
+  }
+
+  test("q_dedup_pipeline: candidate joins only, no cartesian anywhere") {
+    val plan = SparkEntry.qDedupPipeline(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"pipeline must stay equi-join end to end:\n$plan")
+  }
+
   test("dedup/ann hot paths: no cartesian ngram, codegen dot in plan") {
     val ngram = SparkEntry.qDedupNgram(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
