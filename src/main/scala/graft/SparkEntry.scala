@@ -164,6 +164,12 @@ object SparkEntry {
   def qRankingAggs(s: SparkSession, d: String): DataFrame =
     FeatureEng.rankingAggs(Tables.orders(s, d), "o_custkey", "o_totalprice")
 
+  def qNormalize(s: SparkSession, d: String): DataFrame =
+    FeatureEng.normalize(Tables.featureRecords(s, d),
+      "feature_name", "value_float")
+      .select("entity_id", "feature_name", "commit_id", "value_float",
+        "z", "mm")
+
   // -------------------------------------------------------------------
   // LLM-data-pipeline queries (documents / embeddings)
   // -------------------------------------------------------------------
@@ -269,6 +275,7 @@ object SparkEntry {
     "q_quantile_label" -> (qQuantileLabel _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_ranking_aggs" -> (qRankingAggs _),
+    "q_normalize" -> (qNormalize _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
@@ -714,6 +721,25 @@ object SparkEntry {
           |       THEN round((sumsq_v - sum_v * sum_v / n) / (n - 1), -4)
           |  END AS var_v
           |FROM g""".stripMargin,
+
+      "q_normalize" ->
+        """WITH s AS (
+          |  SELECT event_type AS feature_name,
+          |    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+          |          / count(value), 6) AS f_mean,
+          |    round(stddev(value), 4) AS f_sd,
+          |    min(value) AS f_min,
+          |    max(value) AS f_max
+          |  FROM events GROUP BY 1
+          |)
+          |SELECT CAST(user_id AS VARCHAR) AS entity_id,
+          |  event_type AS feature_name,
+          |  event_id AS commit_id, value AS value_float,
+          |  CASE WHEN f_sd = 0 THEN 0.0
+          |       ELSE round((value - f_mean) / f_sd, 6) END AS z,
+          |  CASE WHEN f_max = f_min THEN 0.0
+          |       ELSE round((value - f_min) / (f_max - f_min), 6) END AS mm
+          |FROM events e JOIN s ON e.event_type = s.feature_name""".stripMargin,
 
       "q_dedup_exact" ->
         """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,

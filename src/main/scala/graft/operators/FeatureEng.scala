@@ -118,6 +118,35 @@ object FeatureEng {
       .select("entity_id", "gmv", "risk_label")
   }
 
+  /** Per-feature normalization for training prep: z-score and min-max
+    * scaled columns in one pass — the standard-scaler step of the
+    * reference's Python pipelines (reference python/criteo_example/
+    * dataset.py normalization), EAV-shaped. The per-feature stats are
+    * a tiny aggregate broadcast back onto the records, so the data
+    * itself never shuffles. Stats are rounded before use (mean 6dp,
+    * stddev 4dp) so the scaled values are engine-deterministic.
+    */
+  def normalize(records: DataFrame, nameCol: String, valCol: String)
+  : DataFrame = {
+    import graft.operators.WindowedFeatures.dsum
+    val v = col(valCol)
+    val stats = records.groupBy(col(nameCol))
+      .agg(
+        round(dsum(v) / count(v), 6).as("f_mean"),
+        round(stddev(v), 4).as("f_sd"),
+        min(v).as("f_min"),
+        max(v).as("f_max"))
+    records.join(broadcast(stats), nameCol)
+      .withColumn("z",
+        when(col("f_sd") === 0, 0.0)
+          .otherwise(round((v - col("f_mean")) / col("f_sd"), 6)))
+      .withColumn("mm",
+        when(col("f_max") === col("f_min"), 0.0)
+          .otherwise(round((v - col("f_min")) /
+            (col("f_max") - col("f_min")), 6)))
+      .drop("f_mean", "f_sd", "f_min", "f_max")
+  }
+
   /** Deterministic key-hash train/test split (reference
     * gbdt_example/dataset.py train/test split): stable across runs and
     * engines because the bucket is md5-derived from the key, not
