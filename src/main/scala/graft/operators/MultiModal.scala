@@ -73,6 +73,46 @@ object MultiModal {
       // stub frame feature: deterministic hash of (payload id, frame)
       .withColumn("frame_sig", xxhash64(col("doc_id"), col("frame_idx")))
 
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** Batched partition-wise feature extraction: binary payloads →
+    * fixed-dim embeddings, with rows grouped into `batchSize` chunks
+    * inside each partition — the exact batch shape a GPU inference
+    * binding needs (the mapInPandas batch contract, in Scala). One
+    * "model" instantiation per partition, one forward call per chunk,
+    * iterator-to-iterator throughout (grouped() is lazy, so a
+    * partition never fully materializes).
+    *
+    * The model itself is a STUB (deterministic hash-derived vectors —
+    * no inference runtime in this container); the partitioning, batch
+    * assembly, and typed output schema are the production contract.
+    */
+  def extractEmbeddings(withPayloadDf: DataFrame, dim: Int = 16,
+                        batchSize: Int = 64): Dataset[MediaEmbedding] = {
+    implicit val enc = Encoders.product[MediaEmbedding]
+    withPayloadDf
+      .select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition model init would go here (session/handle)
+        rows.grouped(batchSize).flatMap { batch =>
+          // one batched "forward pass" over the chunk
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val v = new Array[Float](dim)
+            var h = bytes.length.toLong * 0x9E3779B97F4A7C15L + id
+            var i = 0
+            while (i < dim) {
+              h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 29
+              v(i) = (h % 1000L) / 1000.0f
+              i += 1
+            }
+            MediaEmbedding(id, v)
+          }
+        }
+      }
+  }
+
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates
     * the metadata contract and stays inside whole-stage codegen.

@@ -187,6 +187,19 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(viaPartitions == viaColumns)
   }
 
+  test("extractEmbeddings: batched partition-wise, fixed dim, deterministic") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val payloads = MultiModal.withPayload(docs, "doc_id", "text")
+    val a = MultiModal.extractEmbeddings(payloads, dim = 16, batchSize = 8)
+      .collect().map(e => e.doc_id -> e.embedding.toSeq).toMap
+    val b = MultiModal.extractEmbeddings(payloads, dim = 16, batchSize = 64)
+      .collect().map(e => e.doc_id -> e.embedding.toSeq).toMap
+    assert(a.size == docs.count())
+    assert(a.values.forall(_.length == 16))
+    // batch size is an execution detail — results must not depend on it
+    assert(a == b)
+  }
+
   test("sampleFrames: stride sampling within stub frame counts") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val frames = MultiModal.sampleFrames(docs, "doc_id", "text", stride = 5)

@@ -193,6 +193,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("StreamingVersionedSink: micro-batches become versions, old snapshots stay pinned") {
+    import graft.offline.VersionedStore
+    import graft.streaming.StreamingVersionedSink
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("vsink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("vsink_ck").toString
+
+    val input = MemoryStream[(Long, Double)]
+    val query = StreamingVersionedSink.start(
+      input.toDF().toDF("entity_id", "value"), table, ckpt)
+
+    input.addData((1L, 1.0), (2L, 2.0))
+    query.processAllAvailable()
+    input.addData((3L, 3.0))
+    query.processAllAvailable()
+    query.stop()
+
+    assert(VersionedStore.latestVersion(spark, table) == 1L)
+    assert(VersionedStore.read(spark, table).count() == 3L)
+    // the version committed by batch 0 is still readable as it was
+    assert(VersionedStore.read(spark, table, versionAsOf = 0).count() == 2L)
+  }
+
   test("StreamingDrift: shifted live distribution scores higher PSI than matching one") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingDrift
