@@ -164,6 +164,10 @@ object SparkEntry {
   def qRankingAggs(s: SparkSession, d: String): DataFrame =
     FeatureEng.rankingAggs(Tables.orders(s, d), "o_custkey", "o_totalprice")
 
+  def qSupplierPart(s: SparkSession, d: String): DataFrame =
+    FeatureEng.supplierPartFeatures(Tables.lineitem(s, d), Tables.part(s, d),
+      Tables.supplier(s, d), Tables.nation(s, d))
+
   def qNormalize(s: SparkSession, d: String): DataFrame =
     FeatureEng.normalize(Tables.featureRecords(s, d),
       "feature_name", "value_float")
@@ -276,6 +280,7 @@ object SparkEntry {
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_ranking_aggs" -> (qRankingAggs _),
     "q_normalize" -> (qNormalize _),
+    "q_supplier_part" -> (qSupplierPart _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
@@ -721,6 +726,19 @@ object SparkEntry {
           |       THEN round((sumsq_v - sum_v * sum_v / n) / (n - 1), -4)
           |  END AS var_v
           |FROM g""".stripMargin,
+
+      "q_supplier_part" ->
+        """SELECT n_name AS supplier_nation, p_brand,
+          |  count(*) AS n_items,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          |           (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+          |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+          |        / count(p_retailprice), 6) AS avg_retail
+          |FROM lineitem
+          |JOIN part     ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation   ON s_nationkey = n_nationkey
+          |GROUP BY n_name, p_brand""".stripMargin,
 
       "q_normalize" ->
         """WITH s AS (

@@ -118,6 +118,30 @@ object FeatureEng {
       .select("entity_id", "gmv", "risk_label")
   }
 
+  /** Supplier×part-brand revenue features: fact ⋈ part ⋈ supplier ⋈
+    * nation with every dimension broadcast (part and supplier are
+    * O(SF·200k) rows — far under the broadcast threshold at any SF;
+    * at true 100 TB part would exceed it and AQE demotes that one to
+    * a shuffle join while the others stay broadcast). The fact table
+    * is scanned once and never shuffles before the aggregate.
+    */
+  def supplierPartFeatures(lineitem: DataFrame, part: DataFrame,
+                           supplier: DataFrame, nation: DataFrame)
+  : DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("supplier_nation"), col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        // decimal-accumulated mean (order-independent across partitions)
+        round(dsum(col("p_retailprice")) / count(col("p_retailprice")), 6)
+          .as("avg_retail"))
+
   /** Per-feature normalization for training prep: z-score and min-max
     * scaled columns in one pass — the standard-scaler step of the
     * reference's Python pipelines (reference python/criteo_example/
