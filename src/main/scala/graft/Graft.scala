@@ -119,8 +119,15 @@ object Graft {
   def dedupExact(docs: DataFrame): DataFrame =
     Dedup.exact(docs, "doc_id", "text")
 
+  /** Exact by default (maxDf = 0). At scale, set maxDf (stop-shingle
+    * cap) to bound the per-shingle join fan-out, or use dedupPipeline
+    * — an uncapped exact ngram is quadratic in duplicate-cluster size
+    * (docs/SCALE_NOTES.md). Defaulting the cap ON would silently drop
+    * pairs whose only overlap is high-df boilerplate, so the recall
+    * trade is the caller's explicit choice.
+    */
   def dedupNearNgram(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                     maxDf: Long = 100)
+                     maxDf: Long = 0)
   : DataFrame = Dedup.ngramJaccard(docs, "doc_id", "text", n, threshold, maxDf)
 
   def dedupMinhash(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4)
@@ -136,8 +143,9 @@ object Graft {
   def dedupEmbedding(emb: DataFrame, threshold: Double): DataFrame =
     Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold)
 
+  /** Exact by default — see dedupNearNgram for the maxDf trade. */
   def dedupKeepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                    maxDf: Long = 100)
+                    maxDf: Long = 0)
   : DataFrame = Dedup.keepList(docs, "doc_id", "text", n, threshold, maxDf)
 
   /** Exact-first → MinHash candidates → exact-verify: the production

@@ -753,7 +753,7 @@ object SparkEntry {
           |SELECT CAST(user_id AS VARCHAR) AS entity_id,
           |  event_type AS feature_name,
           |  event_id AS commit_id, value AS value_float,
-          |  CASE WHEN f_sd = 0 THEN 0.0
+          |  CASE WHEN f_sd IS NULL OR f_sd = 0 THEN 0.0
           |       ELSE round((value - f_mean) / f_sd, 6) END AS z,
           |  CASE WHEN f_max = f_min THEN 0.0
           |       ELSE round((value - f_min) / (f_max - f_min), 6) END AS mm

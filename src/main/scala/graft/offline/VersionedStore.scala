@@ -93,12 +93,33 @@ object VersionedStore {
       VersionInfo(v, op, files.size, rows)
     }
 
+  /** Race lost on an expected version number — the caller must re-read
+    * the head and recompute before retrying. */
+  class CommitConflict(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  // Only an existence conflict on the manifest means "lost the race";
+  // anything else (permissions, disk) must surface as-is.
+  private def isVersionConflict(e: Throwable): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case io: java.io.IOException =>
+      Option(io.getMessage).exists(_.toLowerCase.contains("already exists"))
+    case _ => false
+  }
+
   /** Commit `df` as a new version. `carryPrev` keeps the previous
-    * snapshot's files in the new manifest (append semantics).
-    * Returns the committed version number.
+    * snapshot's files in the new manifest (append semantics). When
+    * `expectedVersion` >= 0 the commit claims EXACTLY that version or
+    * throws CommitConflict — required whenever the content was derived
+    * from a snapshot read (create/merge), because blindly re-claiming
+    * the next number would publish stale content over a racing
+    * writer's commit. Append/overwrite content is head-independent
+    * (append re-reads the head's file list on every attempt), so those
+    * retry internally. Returns the committed version number.
     */
   private def commit(df: DataFrame, root: String, op: String,
-                     carryPrev: Boolean): Long = {
+                     carryPrev: Boolean, expectedVersion: Long = -1L): Long = {
     val spark = df.sparkSession
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/$uuid"
@@ -119,7 +140,7 @@ object VersionedStore {
           val (_, prevFiles, prevRows) = readManifest(spark, root, prev)
           (prevFiles ++ newFiles, prevRows + newRows)
         } else (newFiles, newRows)
-      val next = prev + 1
+      val next = if (expectedVersion >= 0) expectedVersion else prev + 1
       val manifest = new java.util.LinkedHashMap[String, Object]()
       manifest.put("version", java.lang.Long.valueOf(next))
       manifest.put("op", op)
@@ -133,18 +154,23 @@ object VersionedStore {
         finally out.close()
         return next
       } catch {
-        case _: java.io.IOException => attempt += 1 // lost the race; re-read head
+        case e if isVersionConflict(e) =>
+          if (expectedVersion >= 0)
+            throw new CommitConflict(
+              s"version $expectedVersion of $root was claimed concurrently")
+          attempt += 1 // content is head-independent; re-read and retry
       }
     }
     throw new IllegalStateException(
       s"could not commit to $root after 10 attempts (concurrent writers)")
   }
 
-  /** Create version 0 of a new table. */
+  /** Create version 0 of a new table (atomic: a racing create loses
+    * with CommitConflict rather than stacking a version on top). */
   def create(df: DataFrame, root: String): Long = {
     require(latestVersion(df.sparkSession, root) < 0,
       s"$root already exists — use append/overwrite/merge")
-    commit(df, root, "create", carryPrev = false)
+    commit(df, root, "create", carryPrev = false, expectedVersion = 0L)
   }
 
   /** Append-only commit: new files join the previous snapshot. */
@@ -160,12 +186,30 @@ object VersionedStore {
     * Copy-on-write: the surviving current rows and the updates are
     * written as a fresh snapshot, so every earlier version is
     * untouched and still readable.
+    *
+    * Optimistic concurrency done right: the merged content is bound to
+    * the head it was computed from (commit claims exactly head+1); if
+    * a racing writer lands first, the merge is RECOMPUTED against the
+    * new head instead of publishing stale content over it.
     */
   def merge(updates: DataFrame, root: String, keys: Seq[String]): Long = {
-    val current = read(updates.sparkSession, root)
-    val merged = current.join(updates.select(keys.map(
-        org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
-      .unionByName(updates)
-    commit(merged, root, "merge", carryPrev = false)
+    val spark = updates.sparkSession
+    var attempt = 0
+    while (attempt < 10) {
+      val head = latestVersion(spark, root)
+      require(head >= 0, s"no committed version under $root")
+      val current = read(spark, root, head)
+      val merged = current.join(updates.select(keys.map(
+          org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
+        .unionByName(updates)
+      try {
+        return commit(merged, root, "merge", carryPrev = false,
+          expectedVersion = head + 1)
+      } catch {
+        case _: CommitConflict => attempt += 1 // recompute vs new head
+      }
+    }
+    throw new IllegalStateException(
+      s"could not merge into $root after 10 attempts (concurrent writers)")
   }
 }

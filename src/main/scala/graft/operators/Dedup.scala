@@ -87,10 +87,15 @@ object Dedup {
     * Entirely stateless — no fitted model, survives any data size.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int, k: Int, bands: Int): DataFrame = {
+                 n: Int, k: Int, bands: Int): DataFrame =
+    minhashLshFromIndex(shingleIndex(docs, idCol, textCol, n), k, bands)
+
+  /** Same, over a pre-built (doc_id, s) shingle index — lets pipeline
+    * callers share one ShingleHash pass between candidate generation
+    * and exact verification. */
+  def minhashLshFromIndex(sh: DataFrame, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sh = shingleIndex(docs, idCol, textCol, n)
     val minAggs = (0 until k).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"mh_$i"))
     val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
@@ -139,7 +144,10 @@ object Dedup {
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), offsets(b))
-            .bitwiseAND((1L << widths(b)) - 1).as("key"))): _*)).as("bk"))
+            // width 64 (maxHamming=0): Scala shifts are mod 64, so
+            // (1L<<64)-1 would be 0 — the full-signature band needs -1L
+            .bitwiseAND(if (widths(b) == 64) -1L else (1L << widths(b)) - 1)
+            .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("a")
@@ -300,16 +308,28 @@ object Dedup {
                n: Int, threshold: Double, k: Int = 32,
                bands: Int = 16): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // Docs shorter than n words produce no shingles, so the exact path
+    // can never pair them — they bypass EVERY stage (including the
+    // exact-hash dedup: dropping identical short docs here would
+    // diverge from keepList's contract, which keeps both).
+    val isShort = size(Fns.words(col("text"))) < n
+    val shortDocs = base.filter(isShort)
+    val longDocs = base.filter(!isShort)
     // Stage 1: exact — keep the min doc id per content hash.
-    val exactKeep = base.groupBy(md5(col("text")).as("h"))
+    val exactKeep = longDocs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val survivors = base.join(exactKeep, Seq("doc_id"), "left_semi")
-    // Stage 2: MinHash+LSH candidates over distinct content only.
-    val cand = minhashLsh(survivors, "doc_id", "text", n, k, bands)
-      .select("doc_a", "doc_b")
-    // Stage 3: exact Jaccard verify restricted to candidate pairs.
+    // Lazy localCheckpoints: survivors feeds the shingle index AND the
+    // final anti-join; the index feeds candidates, sizes, and both
+    // verify sides — materialized once at first action, reclaimed by
+    // the ContextCleaner (unlike cache(), which pins until unpersist).
+    val survivors = longDocs.join(exactKeep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
     val sh = shingleIndex(survivors, "doc_id", "text", n)
+      .localCheckpoint(false)
+    // Stage 2: MinHash+LSH candidates over distinct content only.
+    val cand = minhashLshFromIndex(sh, k, bands).select("doc_a", "doc_b")
+    // Stage 3: exact Jaccard verify restricted to candidate pairs.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = cand
       .join(sh.toDF("doc_a", "s"), "doc_a")
@@ -323,6 +343,7 @@ object Dedup {
       .select(col("doc_b").as("doc_id")).distinct()
     survivors.select("doc_id")
       .join(broadcast(nearDrops), Seq("doc_id"), "left_anti")
+      .unionByName(shortDocs.select("doc_id"))
   }
 
   /** Embedding-cosine near-dup pairs above `threshold` — exact, via a

@@ -161,8 +161,12 @@ object FeatureEng {
         min(v).as("f_min"),
         max(v).as("f_max"))
     records.join(broadcast(stats), nameCol)
+      // degenerate spread → z = 0. Spark stddev of ONE value is NaN
+      // where DuckDB's is NULL — both are folded into the zero branch
+      // so the engines agree (the memory-noted NaN≠NULL oracle trap).
       .withColumn("z",
-        when(col("f_sd") === 0, 0.0)
+        when(col("f_sd").isNull || isnan(col("f_sd")) || col("f_sd") === 0,
+          0.0)
           .otherwise(round((v - col("f_mean")) / col("f_sd"), 6)))
       .withColumn("mm",
         when(col("f_max") === col("f_min"), 0.0)

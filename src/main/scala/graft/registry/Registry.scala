@@ -72,6 +72,11 @@ object Registry {
   def createFeature(features: Dataset[FeatureDef], f: FeatureDef,
                     atMs: Long): (Dataset[FeatureDef], LifecycleEvent) = {
     import features.sparkSession.implicits._
+    // Duplicate registration is rejected like the reference's registry
+    // (one definition per name). Registry datasets are tiny; the
+    // existence check is a deliberate eager action.
+    require(features.filter(_.name == f.name).isEmpty,
+      s"feature '${f.name}' is already registered")
     (features.unionByName(Seq(f).toDS()),
      LifecycleEvent("feature", f.name, "CREATED",
        s"entity=${f.entity} dtype=${f.dtype}", atMs))

@@ -94,6 +94,32 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"missed=${(brute -- banded).take(5)} extra=${(banded -- brute).take(5)}")
   }
 
+  test("pipeline keeps identical SHORT docs, matching keepList's contract") {
+    // docs under n words have no shingles: the exact path can never
+    // pair them, so the pipeline's exact-hash stage must not drop them
+    val docs = Seq(
+      (1L, "hello world"), (2L, "hello world"),          // short dups
+      (3L, "a b c d e f g h"), (4L, "a b c d e f g h")   // long dups
+    ).toDF("doc_id", "text")
+    val keep = Dedup.keepList(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    val piped = Dedup.pipeline(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 2L, 3L))
+    assert(piped == keep)
+  }
+
+  test("simhashPairs maxHamming=0: full-signature band, exact-sig pairs only") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o p"), // identical → same sig
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("pipeline (exact→minhash→verify) equals the exact keepList") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val exact = Dedup.keepList(docs, "doc_id", "text", 3, 0.8)

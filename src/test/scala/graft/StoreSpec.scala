@@ -122,6 +122,24 @@ class StoreSpec extends AnyFunSuite {
     assert(viewHistory.map(_.action).toSeq == Seq("CREATED", "DEPRECATED"))
     assert(f2.filter(_.name == "view").head().active == false)
     assert(Registry.activeFeatures(f2).count() == 1)
+    // duplicate registration is rejected (one definition per name)
+    intercept[IllegalArgumentException] {
+      Registry.createFeature(f1,
+        FeatureDef("view", "user", "float", 0.0, 3600L), atMs = 4000L)
+    }
+  }
+
+  test("normalize: single-value feature yields z=0 on both engines (NaN/NULL trap)") {
+    val recs = Seq(
+      ("only", 5.0), ("multi", 1.0), ("multi", 3.0)
+    ).toDF("feature_name", "value_float")
+    val out = graft.operators.FeatureEng
+      .normalize(recs, "feature_name", "value_float")
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3)))
+    val only = out.filter(_._1 == "only").head
+    assert(only._3 == 0.0, "stddev of one value must normalize to z=0, not NaN")
+    assert(out.filter(_._1 == "multi").forall(r => !r._3.isNaN))
   }
 
   test("clusters: 1k-node chain converges fast via pointer jumping") {
