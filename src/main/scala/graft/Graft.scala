@@ -165,6 +165,11 @@ object Graft {
   def annIvf(emb: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame =
     Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids, nProbe, k)
 
+  def annIvfSearch(corpus: DataFrame, queries: DataFrame, nCentroids: Int,
+                   nProbe: Int, k: Int): DataFrame =
+    Ann.ivfSearch(corpus, queries, "vec_id", "embedding", nCentroids,
+      nProbe, k)
+
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Ann.bruteTopK(corpus, queries, "vec_id", "embedding", k)
 

@@ -101,18 +101,31 @@ object Ann {
   def clearQuantizerCache(): Unit =
     quantizers.synchronized { quantizers.clear() }
 
+  /** Self-ANN over one table: every vector queries the rest. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, nProbe: Int, k: Int,
-              trainSample: Int = 100000): DataFrame = {
+              trainSample: Int = 100000): DataFrame =
+    ivfSearch(emb, emb, idCol, vecCol, nCentroids, nProbe, k, trainSample)
+
+  /** IVF search of `queries` against `corpus` (the serving shape: a
+    * small query batch probing a big indexed corpus). The quantizer
+    * trains on the CORPUS sample; the corpus is assigned once (lazy
+    * localCheckpoint — at serving scale this is the precomputed
+    * index); queries only rank the broadcast centroid table and join
+    * their nProbe cells.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
+                trainSample: Int = 100000): DataFrame = {
     import graft.functions.VectorExpressions.dotF
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
+    val spark = corpus.sparkSession
 
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
     val cacheKey =
-      (emb.queryExecution.logical.semanticHash(), nCentroids, trainSample)
+      (corpus.queryExecution.logical.semanticHash(), nCentroids, trainSample)
     val cached = quantizers.synchronized { quantizers.get(cacheKey) }
     val model = if (cached != null) cached else {
       // Deterministic training sample: global ascending-id head, not
@@ -123,11 +136,10 @@ object Ann {
       quantizers.synchronized { quantizers.put(cacheKey, trained) }
       trained
     }
-    // Assignment (KMeans transform + norm) feeds BOTH sides of the
-    // probe join — a LAZY localCheckpoint materializes it once at
-    // first action instead of running the quantizer twice over the
-    // corpus (and, unlike cache(), is reclaimed by the ContextCleaner
-    // when the result DataFrame is dropped).
+    // Corpus assignment (KMeans transform + norm) is the IVF index —
+    // a LAZY localCheckpoint materializes it once at first action
+    // (and, unlike cache(), is reclaimed by the ContextCleaner when
+    // the result DataFrame is dropped).
     val assigned = model.transform(base).drop("fv")
       .withColumn("nrm", Fns.l2Norm(col("v")))
       .localCheckpoint(false)
@@ -140,10 +152,12 @@ object Ann {
       .withColumn("cnrm", Fns.l2Norm(col("cv")))
 
     // nProbe nearest cells per query by L2 == max (dot - |c|²/2)
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Fns.l2Norm(col("v")))
     val wProbe = Window.partitionBy("id").orderBy(
       (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
       col("c_cell"))
-    val probes = assigned.drop("cell").crossJoin(broadcast(centroidDf))
+    val probes = qBase.crossJoin(broadcast(centroidDf))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"),

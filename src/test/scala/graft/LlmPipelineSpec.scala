@@ -194,6 +194,19 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(ivf.forall { case (q, n) => q != n })
   }
 
+  test("ivfSearch: query batch vs corpus matches brute force for its probed cells") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val out = Ann.ivfSearch(emb, queries, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 8, k = 5) // probing ALL cells == exact
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val brute = Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.sorted.sameElements(brute.sorted),
+      "nProbe = nCentroids must reduce IVF to exact search")
+    assert(out.map(_._1).distinct.length == 10)
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val a = SparkEntry.qAnnLsh(spark, TestSpark.sfDir)
