@@ -113,7 +113,7 @@ object Graft {
   def exportTraining(df: DataFrame, path: String, keyCol: String,
                      trainPct: Int = 80)
   : graft.offline.TrainingExport.ExportManifest =
-    graft.offline.TrainingExport.export(df, path, keyCol, trainPct)
+    graft.offline.TrainingExport.exportDataset(df, path, keyCol, trainPct)
 
   // --- LLM data pipeline ----------------------------------------------
   def dedupExact(docs: DataFrame): DataFrame =

@@ -32,8 +32,8 @@ object TrainingExport {
 
   private def dataDir(root: String) = new Path(root, "data").toString
 
-  def export(df: DataFrame, root: String, keyCol: String,
-             trainPct: Int = 80): ExportManifest = {
+  def exportDataset(df: DataFrame, root: String, keyCol: String,
+                    trainPct: Int = 80): ExportManifest = {
     val spark = df.sparkSession
     val withSplit = df.withColumn("split",
       when(Fns.md5Hash31(col(keyCol).cast("string")) % 100 < trainPct,

@@ -71,7 +71,7 @@ class StoreSpec extends AnyFunSuite {
     val root = tmp("texport")
     val df = Tables.customer(spark, TestSpark.sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val manifest = TrainingExport.export(df, root, "c_custkey", trainPct = 80)
+    val manifest = TrainingExport.exportDataset(df, root, "c_custkey", trainPct = 80)
     assert(manifest.trainRows + manifest.testRows == df.count())
     assert(manifest.schemaHash ==
       Registry.schemaHash(df.columns.toSeq.sorted))
@@ -95,8 +95,8 @@ class StoreSpec extends AnyFunSuite {
     val root = tmp("discover").stripSuffix("/t")
     val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
     val b = Seq((3L, "z")).toDF("id", "v")
-    TrainingExport.export(a, s"$root/ds_a", "id", 80)
-    TrainingExport.export(b, s"$root/ds_b", "id", 50)
+    TrainingExport.exportDataset(a, s"$root/ds_a", "id", 80)
+    TrainingExport.exportDataset(b, s"$root/ds_b", "id", 50)
     // a non-dataset directory must be ignored
     new java.io.File(s"$root/not_a_dataset").mkdirs()
     val catalog = TrainingExport.discover(spark, root)
