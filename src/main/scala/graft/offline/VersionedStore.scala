@@ -108,6 +108,29 @@ object VersionedStore {
     case _ => false
   }
 
+  /** Atomically publish `bytes` at `path`, failing if it exists.
+    * Hadoop's create(overwrite = false) is atomic on HDFS but an
+    * exists-then-truncate TOCTOU on LocalFileSystem, so on file://
+    * the claim is a hard link instead: content is staged to a temp
+    * file and linked into place — link creation is O_EXCL-atomic on
+    * POSIX, and the manifest is never visible partially written.
+    */
+  private def atomicCreate(fs: FileSystem, path: Path,
+                           bytes: Array[Byte]): Unit =
+    if (fs.getScheme == "file") {
+      val target = java.nio.file.Paths.get(path.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, ".manifest_", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.createLink(target, tmp) // throws FileAlreadyExists
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out = fs.create(path, false)
+      try out.write(bytes) finally out.close()
+    }
+
   /** Commit `df` as a new version. `carryPrev` keeps the previous
     * snapshot's files in the new manifest (append semantics). When
     * `expectedVersion` >= 0 the commit claims EXACTLY that version or
@@ -148,19 +171,21 @@ object VersionedStore {
       manifest.put("rows", java.lang.Long.valueOf(rows))
       manifest.put("schema", df.schema.json)
       try {
-        // overwrite=false: the atomic claim on this version number.
-        val out = fs.create(manifestPath(root, next), false)
-        try out.write(mapper.writeValueAsBytes(manifest))
-        finally out.close()
+        atomicCreate(fs, manifestPath(root, next),
+          mapper.writeValueAsBytes(manifest))
         return next
       } catch {
         case e if isVersionConflict(e) =>
-          if (expectedVersion >= 0)
+          if (expectedVersion >= 0) {
+            // the staged snapshot will never be referenced — reclaim it
+            fs.delete(dataDir, true)
             throw new CommitConflict(
               s"version $expectedVersion of $root was claimed concurrently")
+          }
           attempt += 1 // content is head-independent; re-read and retry
       }
     }
+    fs.delete(dataDir, true) // unreferenced after exhausting retries
     throw new IllegalStateException(
       s"could not commit to $root after 10 attempts (concurrent writers)")
   }

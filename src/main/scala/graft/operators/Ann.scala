@@ -151,9 +151,13 @@ object Ann {
       .toDF("c_cell", "cv")
       .withColumn("cnrm", Fns.l2Norm(col("cv")))
 
-    // nProbe nearest cells per query by L2 == max (dot - |c|²/2)
-    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("nrm", Fns.l2Norm(col("v")))
+    // nProbe nearest cells per query by L2 == max (dot - |c|²/2).
+    // Self-ANN reuses the checkpointed corpus assignment — a separate
+    // query plan would re-scan the corpus and recompute every norm.
+    val qBase =
+      if (queries eq corpus) assigned.drop("cell")
+      else queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", Fns.l2Norm(col("v")))
     val wProbe = Window.partitionBy("id").orderBy(
       (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
       col("c_cell"))

@@ -308,11 +308,14 @@ object Dedup {
                n: Int, threshold: Double, k: Int = 32,
                bands: Int = 16): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // Docs shorter than n words produce no shingles, so the exact path
-    // can never pair them — they bypass EVERY stage (including the
-    // exact-hash dedup: dropping identical short docs here would
-    // diverge from keepList's contract, which keeps both).
-    val isShort = size(Fns.words(col("text"))) < n
+    // Docs shorter than n words (or with NULL text) produce no
+    // shingles, so the exact path can never pair them — they bypass
+    // EVERY stage (including the exact-hash dedup: dropping identical
+    // short docs here would diverge from keepList's contract, which
+    // keeps both). NULL text must be routed explicitly: size(NULL) is
+    // NULL, which fails BOTH a filter and its negation.
+    val isShort =
+      col("text").isNull || size(Fns.words(col("text"))) < n
     val shortDocs = base.filter(isShort)
     val longDocs = base.filter(!isShort)
     // Stage 1: exact — keep the min doc id per content hash.

@@ -109,6 +109,16 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(piped == keep)
   }
 
+  test("pipeline keeps NULL-text docs (size(NULL) fails both filter branches)") {
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "a b c d e f g h"), (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val piped = Dedup.pipeline(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(piped == Set(1L, 2L), "null-text doc must not silently vanish")
+  }
+
   test("simhashPairs maxHamming=0: full-signature band, exact-sig pairs only") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),

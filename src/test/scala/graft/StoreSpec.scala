@@ -59,6 +59,23 @@ class StoreSpec extends AnyFunSuite {
     assert(all.length > scanned.length)
   }
 
+  test("VersionedStore: concurrent appends never lose a commit (atomic claim)") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = tmp("vrace")
+    VersionedStore.create(Seq((0L, 0.0)).toDF("id", "v"), root)
+    // six writers race the version counter; a TOCTOU claim would let
+    // two of them publish the same version and silently drop rows
+    val futures = (1 to 6).map(i => Future {
+      VersionedStore.append(Seq((i.toLong, i.toDouble)).toDF("id", "v"), root)
+    })
+    Await.result(Future.sequence(futures), 180.seconds)
+    assert(VersionedStore.latestVersion(spark, root) == 6L)
+    assert(VersionedStore.read(spark, root).count() == 7L,
+      "every racing append must survive in the final snapshot")
+  }
+
   test("VersionedStore: create refuses an existing table") {
     val root = tmp("vdup")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
