@@ -43,6 +43,35 @@ class FeatureEngSpec extends AnyFunSuite {
       .agg(min("entity_id")).head().getLong(0) == 93L)
   }
 
+  test("quantileLabel: distributed rank equals percent_rank window on random tied data") {
+    import org.apache.spark.sql.expressions.Window
+    // heavily quantized values → many gmv ties across entities; the
+    // offsets-based rank must reproduce percent_rank's tie semantics
+    val rnd = new scala.util.Random(11)
+    val orders = (1 to 500)
+      .map(i => (i.toLong, (rnd.nextInt(40) * 100).toDouble))
+      .toDF("o_custkey", "o_totalprice")
+    val got = FeatureEng.quantileLabel(orders, "o_custkey", "o_totalprice",
+        pct = 0.9, rangeParts = 7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    val ref = FeatureEng
+      .quantileLabelApprox(orders, "o_custkey", "o_totalprice", 0.9) // reuse agg
+      .select("entity_id", "gmv")
+      .withColumn("pr", round(percent_rank().over(Window.orderBy($"gmv")), 6))
+      .withColumn("risk_label", when($"pr" >= 0.9, 1).otherwise(0))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(got == ref)
+  }
+
+  test("quantileLabel: single-key input gets pr 0 (no divide-by-zero)") {
+    val orders = Seq((7L, 123.0)).toDF("o_custkey", "o_totalprice")
+    val row = FeatureEng.quantileLabel(orders, "o_custkey", "o_totalprice",
+      0.5).head()
+    assert(row.getDouble(2) == 0.0 && row.getInt(3) == 0)
+  }
+
   test("quantileLabelApprox: sketch threshold tracks the exact one") {
     val orders = (1L to 100L).map(i => (i, i * 10.0))
       .toDF("o_custkey", "o_totalprice")
