@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -60,6 +60,58 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-LSH bucket id in one codegen pass: dot the input vector with
+  * `nPlanes` hyperplanes (flattened row-major into `planes`) and pack
+  * the sign bits into a long.
+  *
+  * The composed route (`aggregate(zip_with(...))` per plane) runs
+  * every fold interpreted — multi-table LSH callers evaluate up to
+  * 128 planes per ROW, which dominates candidate generation. Each
+  * per-plane accumulation here is double, left-to-right from 0.0 —
+  * bit-identical to the interpreted fold and to the DuckDB oracle's
+  * list_reduce (0.0 + v0 == v0), so swapping it in cannot change
+  * which side of a hyperplane any vector lands on.
+  */
+case class PlaneSignBucket(child: Expression, planes: Array[Double],
+                           nPlanes: Int, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.length == nPlanes * dim, "planes must be nPlanes*dim flat")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_plane_signs"
+
+  def compute(v: ArrayData): Long = {
+    val n = math.min(v.numElements(), dim)
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val off = j * dim
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * planes(off + i)
+        i += 1
+      }
+      if (acc > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planeSigns", this,
+      classOf[PlaneSignBucket].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : PlaneSignBucket = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-level entry point for the codegen'd dot product. */
@@ -67,6 +119,12 @@ object VectorExpressions {
     GraftColumnBridge.column(
       FloatVecDot(GraftColumnBridge.expression(a),
                   GraftColumnBridge.expression(b)))
+
+  /** Column-level entry point for the codegen'd sign-LSH bucket. */
+  def planeSigns(vec: Column, planes: Array[Double], nPlanes: Int,
+                 dim: Int): Column =
+    GraftColumnBridge.column(PlaneSignBucket(
+      GraftColumnBridge.expression(vec), planes, nPlanes, dim))
 
   /** Register `graft_dot` for SQL use in an existing session. */
   def register(spark: SparkSession): Unit =

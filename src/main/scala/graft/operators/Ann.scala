@@ -56,18 +56,19 @@ object Ann {
   /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes.
     * `planeOffset` selects a disjoint plane family, so multi-table
     * LSH callers get independent tables from the same hash scheme.
+    *
+    * Computed by the codegen'd PlaneSignBucket expression: one tight
+    * loop over all planes per row, instead of nPlanes interpreted
+    * `aggregate(zip_with(...))` folds (HigherOrderFunctions are
+    * CodegenFallback — at 128 planes per row in multi-table callers
+    * the interpretation dominated candidate generation). Accumulation
+    * order matches the fold exactly, so bucket ids are unchanged.
     */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int,
                 planeOffset: Int = 0): Column = {
-    val bits = (0 until nPlanes).map { jj =>
-      val j = jj + planeOffset
-      val plane = array((0 until dim).map(i => lit(planeComponent(j, i))): _*)
-      val dot = aggregate(
-        zip_with(vec, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << jj)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val flat = Array.tabulate(nPlanes * dim)(idx =>
+      planeComponent(idx / dim + planeOffset, idx % dim))
+    graft.functions.VectorExpressions.planeSigns(vec, flat, nPlanes, dim)
   }
 
   /** IVF (inverted-file) self-ANN: a k-means coarse quantizer shards

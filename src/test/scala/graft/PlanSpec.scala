@@ -113,9 +113,14 @@ class PlanSpec extends AnyFunSuite {
       "ngram dedup must use the inverted-index join, not all-pairs")
     val emb = formatted(SparkEntry.qDedupEmbedding(spark, TestSpark.sfDir))
     assert(emb.contains("graft_dot"), s"custom codegen dot not in plan:\n$emb")
-    // the custom expression must actually compile into codegen'd Java —
-    // CodegenFallback would silently interpret it
+    // the custom expressions must actually compile into codegen'd Java —
+    // CodegenFallback would silently interpret them
     assert(!classOf[graft.functions.FloatVecDot].getInterfaces
       .exists(_.getSimpleName == "CodegenFallback"))
+    assert(!classOf[graft.functions.PlaneSignBucket].getInterfaces
+      .exists(_.getSimpleName == "CodegenFallback"))
+    val lsh = formatted(SparkEntry.qAnnLsh(spark, TestSpark.sfDir))
+    assert(lsh.contains("graft_plane_signs"),
+      s"lsh bucketing must use the codegen expression:\n$lsh")
   }
 }
