@@ -307,8 +307,11 @@ object SparkEntry {
     * 0.0 init, bit-for-bit for IEEE addition).
     */
   private def annLshOracle(nPlanes: Int, dim: Int, k: Int): String = {
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // which would render comma decimals (invalid SQL) on e.g. de_DE.
     def planeLit(j: Int) = (0 until dim)
-      .map(i => f"${graft.operators.Ann.planeComponent(j, i)}%.3f")
+      .map(i => String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(graft.operators.Ann.planeComponent(j, i))))
       .mkString("[", ", ", "]")
     val bucketExpr = (0 until nPlanes).map { j =>
       s"""CASE WHEN list_reduce(list_transform(

@@ -82,14 +82,23 @@ case class PlaneSignBucket(child: Expression, planes: Array[Double],
   override def prettyName: String = "graft_plane_signs"
 
   def compute(v: ArrayData): Long = {
-    val n = math.min(v.numElements(), dim)
+    // Parity with the interpreted fold it replaced: zip_with null-pads
+    // a length-mismatched vector and propagates null elements, so the
+    // fold was null and EVERY plane test failed → bucket 0. Keep that
+    // exact behavior for ragged/null-element vectors.
+    if (v.numElements() != dim) return 0L
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return 0L
+      i += 1
+    }
     var bucket = 0L
     var j = 0
     while (j < nPlanes) {
       val off = j * dim
       var acc = 0.0
-      var i = 0
-      while (i < n) {
+      i = 0
+      while (i < dim) {
         acc += v.getFloat(i).toDouble * planes(off + i)
         i += 1
       }

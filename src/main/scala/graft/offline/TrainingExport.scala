@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Fns
+import graft.operators.FeatureEng
 import graft.registry.Registry
 
 /** Training-dataset export: the Spark slice of the reference's
@@ -35,9 +35,12 @@ object TrainingExport {
   def exportDataset(df: DataFrame, root: String, keyCol: String,
                     trainPct: Int = 80): ExportManifest = {
     val spark = df.sparkSession
-    val withSplit = df.withColumn("split",
-      when(Fns.md5Hash31(col(keyCol).cast("string")) % 100 < trainPct,
-        "train").otherwise("test"))
+    // 'split' is the artifact's partition column; silently overwriting
+    // a user column of that name would destroy data in the export
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column — rename it before export")
+    val withSplit =
+      df.withColumn("split", FeatureEng.splitColumn(keyCol, trainPct))
     withSplit.write.mode("overwrite").partitionBy("split")
       .parquet(dataDir(root))
     // Footer-driven counts over the freshly written artifact.
@@ -66,12 +69,7 @@ object TrainingExport {
   def readManifest(spark: SparkSession, root: String): ExportManifest = {
     val p = new Path(root, "manifest.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val bytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      out.toByteArray
-    } finally in.close()
+    val bytes = StorageUtil.readAllBytes(fs, p)
     val m = mapper.readValue(bytes, classOf[java.util.Map[String, Object]])
     ExportManifest(
       m.get("schemaHash").toString.toLong,

@@ -33,6 +33,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the files whose key ranges intersect the updates, driven by
   *    per-file min/max stats in the manifest.)
   */
+/** Shared manifest-file plumbing for the offline stores. */
+private[offline] object StorageUtil {
+  def readAllBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toByteArray
+    } finally in.close()
+  }
+}
+
 object VersionedStore {
 
   case class VersionInfo(version: Long, op: String, nFiles: Int, rows: Long)
@@ -63,12 +75,7 @@ object VersionedStore {
     val p = manifestPath(root, v)
     val fs = fileSystem(spark, p)
     require(fs.exists(p), s"version $v does not exist under $root")
-    val in = fs.open(p)
-    val bytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
-      out.toByteArray
-    } finally in.close()
+    val bytes = StorageUtil.readAllBytes(fs, p)
     val m = mapper.readValue(bytes, classOf[java.util.Map[String, Object]])
     val files = m.get("files").asInstanceOf[java.util.List[String]]
       .asScala.toSeq
@@ -127,8 +134,19 @@ object VersionedStore {
         java.nio.file.Files.createLink(target, tmp) // throws FileAlreadyExists
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
-      val out = fs.create(path, false)
+      // A direct create() would be LISTABLE before its bytes land —
+      // readers could parse a truncated manifest. Stage the full
+      // content, then rename: atomic on HDFS, and rename FAILS when
+      // the target exists, which doubles as the version-claim check.
+      val tmp = new Path(path.getParent,
+        s".${path.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
       try out.write(bytes) finally out.close()
+      if (!fs.rename(tmp, path)) {
+        fs.delete(tmp, false)
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          path.toString)
+      }
     }
 
   /** Commit `df` as a new version. `carryPrev` keeps the previous

@@ -114,10 +114,17 @@ object Ann {
     * localCheckpoint — at serving scale this is the precomputed
     * index); queries only rank the broadcast centroid table and join
     * their nProbe cells.
+    *
+    * @param excludeSelf drop corpus rows whose id equals the query id
+    *   (bruteTopK parity — right when queries are drawn from the
+    *   corpus). Set false when the two tables have UNRELATED id
+    *   spaces: an accidental id match would silently drop a true
+    *   neighbor.
     */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
-                trainSample: Int = 100000): DataFrame = {
+                trainSample: Int = 100000,
+                excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.VectorExpressions.dotF
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -170,10 +177,13 @@ object Ann {
 
     val wk = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    probes
+    val hits = probes
       .join(assigned.select(col("id").as("neighbor_id"), col("v").as("cv2"),
         col("nrm").as("cn"), col("cell")), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val candidates =
+      if (excludeSelf) hits.filter(col("query_id") =!= col("neighbor_id"))
+      else hits
+    candidates
       .withColumn("cos_raw", dotF(col("qv"), col("cv2")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter(col("rank") <= k)

@@ -238,6 +238,10 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    // unpersist must target the EXACT cached frame: a projection of it
+    // (labels.drop below) would not sameResult() the cached plan and
+    // the uncache silently no-ops, pinning every round's cache.
+    var cachedHandle = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -257,13 +261,17 @@ object Dedup {
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("plabel"), col("label")))
             .as("label"))
+      // LAZY checkpoint: the convergence aggregate below materializes
+      // it inside the SAME job (an eager checkpoint would be a second
+      // full pass on those rounds).
       val next =
-        if ((i + 1) % 5 == 0) jumped.localCheckpoint() else jumped.cache()
+        if ((i + 1) % 5 == 0) jumped.localCheckpoint(false) else jumped.cache()
       // One job: materializes the cache AND counts changed labels.
       val changedRow = next
         .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L))).head()
       val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
-      labels.unpersist()
+      cachedHandle.unpersist()
+      cachedHandle = next
       labels = next.drop("old")
       converged = changed == 0
       i += 1

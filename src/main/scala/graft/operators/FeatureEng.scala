@@ -180,12 +180,18 @@ object FeatureEng {
     * engines because the bucket is md5-derived from the key, not
     * random. No shuffle; survives any reshuffling of input data.
     */
+  /** THE split-routing rule — single definition shared by
+    * trainTestSplit and TrainingExport so an exported artifact can
+    * never disagree with the declared split. */
+  def splitColumn(keyCol: String, trainPct: Int): Column =
+    when(Fns.md5Hash31(col(keyCol).cast("string")) % 100 < trainPct,
+      "train").otherwise("test")
+
   def trainTestSplit(df: DataFrame, keyCol: String, trainPct: Int): DataFrame =
     df.select(
       col(keyCol).as("entity_id"),
-      (Fns.md5Hash31(col(keyCol).cast("string")) % 100).as("hash_bucket"))
-      .withColumn("split",
-        when(col("hash_bucket") < trainPct, "train").otherwise("test"))
+      (Fns.md5Hash31(col(keyCol).cast("string")) % 100).as("hash_bucket"),
+      splitColumn(keyCol, trainPct).as("split"))
 
   /** Per-group ranking-feature variants (reference
     * python/mslr_example/dataset.py:30-45 — sum/min/max/mean/var of
