@@ -159,6 +159,20 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(lsh == exact, s"missed=${(exact -- lsh).take(5)}")
   }
 
+  test("embeddingCosine: block count is an execution detail, not a semantic") {
+    val rnd = new scala.util.Random(3)
+    val emb = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    def pairs(nb: Int) = Dedup.embeddingCosine(emb, "vec_id", "embedding",
+      0.3, nBlocks = nb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p1 = pairs(1)
+    assert(pairs(4) == p1 && pairs(16) == p1)
+    // a threshold above every pair yields an empty (not failing) result
+    assert(Dedup.embeddingCosine(emb, "vec_id", "embedding", 1.01).count() == 0)
+  }
+
   test("clusters: transitive chains collapse to the min id") {
     // chain 1~2~3 plus isolated pair 10~11: components {1,2,3} {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

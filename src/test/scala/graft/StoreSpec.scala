@@ -76,6 +76,52 @@ class StoreSpec extends AnyFunSuite {
       "every racing append must survive in the final snapshot")
   }
 
+  test("VersionedStore: overwrite replaces the snapshot, history intact") {
+    val root = tmp("vover")
+    VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
+    VersionedStore.overwrite(Seq((9L, "z")).toDF("id", "v"), root)
+    val latest = VersionedStore.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((9L, "z")))
+    val v0 = VersionedStore.read(spark, root, versionAsOf = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(v0 == Set((1L, "a")))
+    assert(VersionedStore.versions(spark, root).map(_.op) ==
+      Seq("create", "overwrite"))
+  }
+
+  test("psiDrift: identical windows score ~0, shifted windows score high") {
+    import java.sql.Timestamp
+    val a = (0 until 200).map(i => ("f", (i % 10).toDouble,
+      Timestamp.valueOf("2024-01-05 00:00:00")))
+    val bSame = (0 until 200).map(i => ("f", (i % 10).toDouble,
+      Timestamp.valueOf("2024-01-20 00:00:00")))
+    val same = graft.stats.Profiler.psiDrift(
+      (a ++ bSame).toDF("feature_name", "value_float", "event_time"),
+      "feature_name", "value_float", "event_time",
+      "2024-01-01 00:00:00", "2024-01-16 00:00:00", "2024-02-01 00:00:00")
+      .head().getAs[Double]("psi")
+    assert(math.abs(same) < 0.01, s"identical distributions must be calm: $same")
+    val bShift = (0 until 200).map(_ => ("f", 9.0,
+      Timestamp.valueOf("2024-01-20 00:00:00")))
+    val shifted = graft.stats.Profiler.psiDrift(
+      (a ++ bShift).toDF("feature_name", "value_float", "event_time"),
+      "feature_name", "value_float", "event_time",
+      "2024-01-01 00:00:00", "2024-01-16 00:00:00", "2024-02-01 00:00:00")
+      .head().getAs[Double]("psi")
+    assert(shifted > 1.0, s"collapsed distribution must alarm: $shifted")
+  }
+
+  test("normalize: min-max column bounded in [0,1], extremes hit the bounds") {
+    val recs = Seq(("f", 2.0), ("f", 5.0), ("f", 8.0))
+      .toDF("feature_name", "value_float")
+    val mm = graft.operators.FeatureEng
+      .normalize(recs, "feature_name", "value_float")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(mm(2.0) == 0.0 && mm(8.0) == 1.0)
+    assert(mm(5.0) == 0.5)
+  }
+
   test("VersionedStore: create refuses an existing table") {
     val root = tmp("vdup")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
