@@ -187,6 +187,19 @@ object Graft {
   def textQuality(docs: DataFrame): DataFrame =
     TextAnalysis.quality(docs, "doc_id", "text")
 
+  // --- multimodal -----------------------------------------------------
+  def mediaMeta(docs: DataFrame): DataFrame =
+    MultiModal.metaColumns(docs, "doc_id", "text")
+
+  def mediaFrames(docs: DataFrame, stride: Int): DataFrame =
+    MultiModal.sampleFrames(docs, "doc_id", "text", stride)
+
+  def mediaEmbeddings(docs: DataFrame, dim: Int = 16,
+                      batchSize: Int = 64)
+  : org.apache.spark.sql.Dataset[MultiModal.MediaEmbedding] =
+    MultiModal.extractEmbeddings(
+      MultiModal.withPayload(docs, "doc_id", "text"), dim, batchSize)
+
   def tokenCounts(docs: DataFrame): DataFrame =
     TextAnalysis.tokenCount(docs, "doc_id", "text")
 
