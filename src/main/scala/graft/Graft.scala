@@ -173,10 +173,18 @@ object Graft {
   def annIvf(emb: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame =
     Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids, nProbe, k)
 
+  /** IVF serving search of `queries` against `corpus`. The two tables
+    * may have unrelated id spaces, so `excludeSelf` defaults to FALSE
+    * here: an accidental query_id == vec_id collision must not drop a
+    * true neighbor. Pass true only when queries are drawn from the
+    * corpus (or use [[annIvf]], the self-ANN shape, which always
+    * excludes self-matches).
+    */
   def annIvfSearch(corpus: DataFrame, queries: DataFrame, nCentroids: Int,
-                   nProbe: Int, k: Int): DataFrame =
+                   nProbe: Int, k: Int,
+                   excludeSelf: Boolean = false): DataFrame =
     Ann.ivfSearch(corpus, queries, "vec_id", "embedding", nCentroids,
-      nProbe, k)
+      nProbe, k, excludeSelf = excludeSelf)
 
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Ann.bruteTopK(corpus, queries, "vec_id", "embedding", k)

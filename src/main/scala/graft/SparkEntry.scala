@@ -183,9 +183,12 @@ object SparkEntry {
 
   // maxDf=100: the stop-shingle cap that keeps the per-shingle join
   // fan-out bounded at scale (docs/SCALE_NOTES.md measured 70s → 3.2s
-  // at ×10 duplication). Provably identity-preserving on the gate
-  // corpora — the max shingle df there is 25 (sf0.1), so no shingle
-  // is dropped and the result equals the uncapped oracle exactly.
+  // at ×10 duplication). Identity-preserving on the gate corpora —
+  // max shingle df there is 25 (sf0.1), so no shingle is dropped and
+  // the result equals the uncapped oracle exactly. That precondition
+  // is SELF-CHECKING: GraftCoreSpec "ngram oracle precondition"
+  // recomputes max df on every gate corpus and fails if a data
+  // refresh ever pushes it past the cap.
   def qDedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.8, maxDf = 100)

@@ -61,8 +61,9 @@ object TrainingExport {
     m.put("testRows", java.lang.Long.valueOf(manifest.testRows))
     val p = new Path(root, "manifest.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(mapper.writeValueAsBytes(m)) finally out.close()
+    // Staged + renamed into place: a concurrent discover()/readManifest
+    // sees the previous manifest or this one, never a torn write.
+    StorageUtil.atomicOverwrite(fs, p, mapper.writeValueAsBytes(m))
     manifest
   }
 

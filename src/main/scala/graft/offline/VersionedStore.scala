@@ -43,6 +43,44 @@ private[offline] object StorageUtil {
       out.toByteArray
     } finally in.close()
   }
+
+  /** Atomically publish `bytes` at `path`, REPLACING any existing file
+    * (last-writer-wins — for metadata like an export manifest that is
+    * regenerated whole on every write). A direct `fs.create(p, true)`
+    * truncates first, so a concurrent reader can observe an empty or
+    * partial file; here the content is staged to a sibling temp file
+    * and moved into place, so readers see the old manifest or the new
+    * one, never a torn write.
+    */
+  def atomicOverwrite(fs: FileSystem, path: Path,
+                      bytes: Array[Byte]): Unit =
+    if (fs.getScheme == "file") {
+      val target = java.nio.file.Paths.get(path.toUri.getPath)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, s".${target.getFileName}_", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      // HDFS-style: stage, then rename over the target. Plain
+      // FileSystem.rename refuses an existing destination, so go
+      // through FileContext with Rename.OVERWRITE (atomic on HDFS).
+      val tmp = new Path(path.getParent,
+        s".${path.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try { out.write(bytes) } finally out.close()
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          path.toUri, fs.getConf)
+        fc.rename(tmp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
+    }
 }
 
 object VersionedStore {
@@ -106,12 +144,14 @@ object VersionedStore {
     extends java.util.ConcurrentModificationException(msg)
 
   // Only an existence conflict on the manifest means "lost the race";
-  // anything else (permissions, disk) must surface as-is.
+  // anything else (permissions, disk) must surface as-is. Both claim
+  // sites in atomicCreate throw a TYPED already-exists exception
+  // (Files.createLink on file://, an explicit hadoop
+  // FileAlreadyExistsException on the rename path), so no message
+  // sniffing: an unrelated IOException must not be silently retried.
   private def isVersionConflict(e: Throwable): Boolean = e match {
     case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
     case _: java.nio.file.FileAlreadyExistsException => true
-    case io: java.io.IOException =>
-      Option(io.getMessage).exists(_.toLowerCase.contains("already exists"))
     case _ => false
   }
 
@@ -174,6 +214,7 @@ object VersionedStore {
     val newRows = spark.read.parquet(dataDir.toString).count()
     fs.mkdirs(logDir(root))
     var attempt = 0
+    var lastConflict: Throwable = null
     while (attempt < 10) {
       val prev = latestVersion(spark, root)
       val (files, rows) =
@@ -197,15 +238,19 @@ object VersionedStore {
           if (expectedVersion >= 0) {
             // the staged snapshot will never be referenced — reclaim it
             fs.delete(dataDir, true)
-            throw new CommitConflict(
+            val c = new CommitConflict(
               s"version $expectedVersion of $root was claimed concurrently")
+            c.initCause(e)
+            throw c
           }
+          lastConflict = e
           attempt += 1 // content is head-independent; re-read and retry
       }
     }
     fs.delete(dataDir, true) // unreferenced after exhausting retries
     throw new IllegalStateException(
-      s"could not commit to $root after 10 attempts (concurrent writers)")
+      s"could not commit to $root after 10 attempts (concurrent writers)",
+      lastConflict)
   }
 
   /** Create version 0 of a new table (atomic: a racing create loses

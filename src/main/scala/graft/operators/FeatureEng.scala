@@ -53,44 +53,55 @@ object FeatureEng {
     * single-partition window.
     *
     * percent_rank(x) = |rows with gmv < x| / (n - 1), so the global
-    * sort reduces to counting rows strictly below each value: distinct
-    * gmv counts are range-partitioned by gmv, one tiny driver job
-    * collects the per-partition totals (rangeParts longs), their
-    * running sums seed each partition's cumulative offset, and a
-    * partition-local running sum finishes the exact below-count. All
-    * heavy data stays distributed; ties share a rank by construction
-    * (they collapse into one distinct-gmv row). The small offsets job
-    * runs eagerly at plan construction — the price of an exact global
-    * rank with no SinglePartition exchange.
+    * sort reduces to counting rows strictly below each value. The
+    * value space is cut into `rangeParts` buckets at approximate
+    * quantile boundaries — collected ONCE and pinned as literals, so
+    * every downstream job sees identical bucketing no matter how
+    * approx_percentile would re-merge on a recompute. One tiny driver
+    * job sums each bucket (rangeParts longs → running-sum offsets, also
+    * literals), and a per-bucket window finishes the exact
+    * within-bucket cumulative — partitioned by bucket, so no
+    * SinglePartition exchange anywhere and each window task holds
+    * ~1/rangeParts of the DISTINCT values (raise rangeParts with
+    * scale). Ties share a rank by construction (they collapse into one
+    * distinct-gmv row). The per-key aggregate is lazily
+    * localCheckpoint'd: the boundary job, the offsets job and the
+    * final plan all reuse one materialization instead of re-scanning
+    * the fact table three times.
     */
   def quantileLabel(orders: DataFrame, keyCol: String, valCol: String,
                     pct: Double, rangeParts: Int = 32): DataFrame = {
-    val spark = orders.sparkSession
-    import spark.implicits._
     val g = orders.groupBy(col(keyCol).as("entity_id"))
       .agg(dsum(col(valCol)).as("gmv"))
-    // localCheckpoint pins the sampled range boundaries: the pid ->
-    // offset map below must never be recomputed against a re-sampled
-    // partitioning.
+      .localCheckpoint(false)
+    val boundsRow = g.agg(percentile_approx(col("gmv"),
+        lit((1 until rangeParts).map(_.toDouble / rangeParts).toArray),
+        lit(10000)).as("bs"))
+      .head()
+    val bounds: Seq[Double] =
+      if (boundsRow.isNullAt(0)) Seq.empty
+      else boundsRow.getSeq[Double](0)
+    // Monotone step function of gmv — codegen'd when-chain, no
+    // higher-order array functions (those fall out of codegen).
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b => when(col("gmv") > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
     val counts = g.groupBy("gmv").agg(count(lit(1)).as("cnt"))
-      .repartitionByRange(rangeParts, col("gmv"))
-      .sortWithinPartitions("gmv")
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val partSums = counts.groupBy("pid").agg(sum("cnt").as("c"))
+      .withColumn("bkt", bucketOf)
+    val perBucket = counts.groupBy("bkt").agg(sum("cnt").as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = partSums.values.sum
+    val total = perBucket.values.sum
     val offsets = (0 until rangeParts)
-      .scanLeft(0L)((acc, p) => acc + partSums.getOrElse(p, 0L)).toArray
-    val offB = spark.sparkContext.broadcast(offsets)
-    val below = counts.select("gmv", "cnt", "pid").as[(Double, Long, Int)]
-      .mapPartitions { it =>
-        var run = -1L
-        it.map { case (gmv, cnt, pid) =>
-          if (run < 0) run = offB.value(pid)
-          val b = run; run += cnt; (gmv, b)
-        }
-      }.toDF("gmv", "below")
+      .scanLeft(0L)((acc, b) => acc + perBucket.getOrElse(b, 0L))
+    val offsetArr = array(offsets.take(rangeParts).map(lit(_)): _*)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("gmv")
+      .rowsBetween(Long.MinValue, 0)
+    val below = counts
+      .withColumn("below", element_at(offsetArr, col("bkt") + 1) +
+        sum("cnt").over(wB) - col("cnt"))
+      .select("gmv", "below")
     g.join(below, "gmv")
       .withColumn("pr",
         round(when(lit(total) > 1L,

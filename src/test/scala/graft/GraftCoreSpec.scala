@@ -50,6 +50,29 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 
+  test("ngram oracle precondition: gate corpora max shingle df <= declared maxDf") {
+    // qDedupNgram/qDedupKeeplist declare maxDf=100 while their DuckDB
+    // oracles are uncapped; they agree only while NO shingle in the
+    // gate corpus exceeds the cap. Assert that here so a test-data
+    // refresh with heavier duplication fails loudly instead of
+    // silently diverging query from oracle.
+    val declaredMaxDf = 100L // keep in sync with SparkEntry.qDedupNgram
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/documents.parquet").exists()) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val maxDf = docs.select(explode(
+            graft.functions.ShingleHash.shingles(col("text"), 3)).as("s"))
+          .groupBy("s").count().agg(max("count")).head().getLong(0)
+        assert(maxDf <= declaredMaxDf,
+          s"$sf: max shingle df $maxDf exceeds declared maxDf " +
+            s"$declaredMaxDf — the capped queries would diverge from " +
+            "their uncapped oracles; raise maxDf in SparkEntry (and " +
+            "here) or regenerate the corpus")
+      }
+    }
+  }
+
   test("asof join: floor semantics, equal-ts inclusion, default fill") {
     val features = Seq(
       ("u1", ts("2024-01-01 00:00:00"), "f", 1.0),
