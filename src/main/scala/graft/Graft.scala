@@ -110,6 +110,20 @@ object Graft {
                 versionAsOf: Long = -1L): DataFrame =
     graft.offline.VersionedStore.read(spark, path, versionAsOf)
 
+  /** Data-skipping read: opens only the files whose footer stats
+    * intersect [lo, hi] on `column` (see VersionedStore.readRange). */
+  def readTableRange(spark: SparkSession, path: String, column: String,
+                     lo: Double, hi: Double,
+                     versionAsOf: Long = -1L): DataFrame =
+    graft.offline.VersionedStore.readRange(spark, path, column, lo, hi,
+      versionAsOf)
+
+  /** Small-file compaction; with `sortBy`, lays files out in disjoint
+    * key ranges so readTableRange prunes near-perfectly. */
+  def compactTable(spark: SparkSession, path: String, numFiles: Int,
+                   sortBy: Seq[String] = Nil): Long =
+    graft.offline.VersionedStore.compact(spark, path, numFiles, sortBy)
+
   def exportTraining(df: DataFrame, path: String, keyCol: String,
                      trainPct: Int = 80)
   : graft.offline.TrainingExport.ExportManifest =

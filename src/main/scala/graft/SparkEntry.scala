@@ -214,6 +214,15 @@ object SparkEntry {
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 6)
 
+  // The corpus-scale simhash path: 64·2-bit signatures and ~18-bit
+  // band keys (vs ~9-bit for the 64-bit variant above — random band
+  // collisions scale as n²/2^keybits, so at 1e9+ docs the narrow keys
+  // are the bottleneck). maxHamming=6 on the 128-bit scale ≈ hamming 3
+  // on the 64-bit scale: the tight near-dup band.
+  def qDedupSimhashWide(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairsWide(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 6, words = 2)
+
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.4)
@@ -290,6 +299,7 @@ object SparkEntry {
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_simhash_wide" -> (qDedupSimhashWide _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),

@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.{Column, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -135,22 +134,8 @@ object VectorExpressions {
     GraftColumnBridge.column(PlaneSignBucket(
       GraftColumnBridge.expression(vec), planes, nPlanes, dim))
 
-  /** Register `graft_dot` for SQL use in an existing session. */
+  /** Register the full graft SQL surface in an existing session
+    * (kept for source compatibility — see [[GraftSqlFunctions]]). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1)))
-}
-
-/** Session extension for cluster deployments:
-  * `spark.sql.extensions=graft.functions.GraftExtensions` exposes
-  * graft_dot to pure-SQL users.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "graft_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    GraftSqlFunctions.register(spark)
 }

@@ -87,6 +87,12 @@ object VersionedStore {
 
   case class VersionInfo(version: Long, op: String, nFiles: Int, rows: Long)
 
+  /** One snapshot's manifest: the exact file list, row count, schema,
+    * and per-file column ranges for data skipping. */
+  private case class Snapshot(op: String, files: Seq[String], rows: Long,
+                              schemaJson: String,
+                              stats: Map[String, Map[String, (Double, Double)]])
+
   private val mapper = new ObjectMapper()
 
   private def fileSystem(spark: SparkSession, p: Path): FileSystem =
@@ -109,7 +115,7 @@ object VersionedStore {
   }
 
   private def readManifest(spark: SparkSession, root: String, v: Long)
-  : (String, Seq[String], Long) = {
+  : Snapshot = {
     val p = manifestPath(root, v)
     val fs = fileSystem(spark, p)
     require(fs.exists(p), s"version $v does not exist under $root")
@@ -117,7 +123,103 @@ object VersionedStore {
     val m = mapper.readValue(bytes, classOf[java.util.Map[String, Object]])
     val files = m.get("files").asInstanceOf[java.util.List[String]]
       .asScala.toSeq
-    (m.get("op").toString, files, m.get("rows").toString.toLong)
+    val stats: Map[String, Map[String, (Double, Double)]] =
+      m.get("stats") match {
+        case null => Map.empty // manifests written before data skipping
+        case s: java.util.Map[_, _] =>
+          s.asInstanceOf[java.util.Map[String, java.util.Map[String,
+              java.util.List[Number]]]]
+            .asScala.map { case (f, cols) =>
+              f -> cols.asScala.map { case (c, mm) =>
+                c -> (mm.get(0).doubleValue(), mm.get(1).doubleValue())
+              }.toMap
+            }.toMap
+      }
+    Snapshot(m.get("op").toString, files, m.get("rows").toString.toLong,
+      Option(m.get("schema")).map(_.toString).getOrElse(""), stats)
+  }
+
+  // --- footer-driven file statistics ---------------------------------
+
+  /** Per-file row counts and [min, max] ranges for top-level
+    * int/long/float/double/decimal/timestamp columns, read from the
+    * parquet FOOTERS of the freshly written files — pure metadata, no
+    * data pages touched, no extra Spark job. Ranges are normalized to
+    * the `cast(col AS double)` scale (decimals unscaled/10^scale,
+    * timestamps epoch SECONDS) so a reader can compare them against
+    * one double predicate, and widened one ulp each way so the
+    * double conversion can never un-conservatively narrow a range.
+    * A column missing usable stats in ANY row group of a file simply
+    * has no entry for that file — readers must treat "no stats" as
+    * "may match".
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          dataDir: Path, names: Seq[String])
+  : (Long, Map[String, Map[String, (Double, Double)]]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    var totalRows = 0L
+    val perFile = names.map { n =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(dataDir, n), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        totalRows += blocks.map(_.getRowCount).sum
+        // col -> (min, max, usable-in-every-row-group-so-far)
+        val acc = scala.collection.mutable.Map
+          .empty[String, (Double, Double, Boolean)]
+        blocks.foreach { b =>
+          b.getColumns.asScala.foreach { cc =>
+            if (cc.getPath.size == 1) {
+              val name = cc.getPath.iterator.next()
+              val pt = cc.getPrimitiveType
+              val logical = pt.getLogicalTypeAnnotation
+              // value -> double on the cast(AS double) scale
+              val toD: Option[Any => Double] =
+                (pt.getPrimitiveTypeName, logical) match {
+                  case (_, d: LogicalTypeAnnotation
+                      .DecimalLogicalTypeAnnotation) =>
+                    val div = math.pow(10, d.getScale)
+                    Some(v => v.asInstanceOf[Number].doubleValue() / div)
+                  case (INT64, t: LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation) =>
+                    import LogicalTypeAnnotation.TimeUnit._
+                    val div = t.getUnit match {
+                      case MILLIS => 1e3
+                      case MICROS => 1e6
+                      case NANOS  => 1e9
+                    }
+                    Some(v => v.asInstanceOf[Number].doubleValue() / div)
+                  case (INT32 | INT64 | FLOAT | DOUBLE, null) =>
+                    Some(v => v.asInstanceOf[Number].doubleValue())
+                  case (INT32 | INT64,
+                        _: LogicalTypeAnnotation.IntLogicalTypeAnnotation) =>
+                    Some(v => v.asInstanceOf[Number].doubleValue())
+                  case _ => None // strings, dates, int96, nested...
+                }
+              val st = cc.getStatistics
+              val usable = toD.isDefined && st != null &&
+                st.hasNonNullValue
+              val prev = acc.getOrElse(name,
+                (Double.PositiveInfinity, Double.NegativeInfinity, true))
+              acc(name) =
+                if (!usable || !prev._3) (0d, 0d, false)
+                else {
+                  val lo = toD.get(st.genericGetMin)
+                  val hi = toD.get(st.genericGetMax)
+                  if (lo.isNaN || hi.isNaN) (0d, 0d, false)
+                  else (math.min(prev._1, lo), math.max(prev._2, hi), true)
+                }
+            }
+          }
+        }
+        n -> acc.collect { case (c, (lo, hi, true)) =>
+          c -> (Math.nextDown(lo), Math.nextUp(hi))
+        }.toMap
+      } finally reader.close()
+    }.toMap
+    (totalRows, perFile.filter(_._2.nonEmpty))
   }
 
   /** Read a snapshot: the latest version, or `versionAsOf` — opening
@@ -127,15 +229,56 @@ object VersionedStore {
   : DataFrame = {
     val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
-    val (_, files, _) = readManifest(spark, root, v)
-    require(files.nonEmpty, s"version $v of $root is an empty snapshot")
-    spark.read.parquet(files.map(f => new Path(root, f).toString): _*)
+    val snap = readManifest(spark, root, v)
+    require(snap.files.nonEmpty, s"version $v of $root is an empty snapshot")
+    spark.read.parquet(snap.files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Range-predicate read with MANIFEST-level data skipping: only
+    * files whose footer [min, max] range for `column` intersects
+    * [lo, hi] are opened — files outside the range never reach the
+    * scan's file list (no listing, no tasks), which is what predicate
+    * pushdown alone cannot do. Surviving files are then row-filtered
+    * exactly, so the result equals `read(...).where(col between)`.
+    *
+    * `lo`/`hi` are on the `cast(column AS double)` scale: plain
+    * numerics as-is, decimals as their numeric value, timestamps as
+    * epoch seconds. Files with no usable stats for `column` are
+    * conservatively kept. Pair with [[compact]]`(sortBy = column)` to
+    * make ranges disjoint and skipping near-perfect.
+    */
+  def readRange(spark: SparkSession, root: String, column: String,
+                lo: Double, hi: Double, versionAsOf: Long = -1L)
+  : DataFrame = {
+    require(lo <= hi, s"empty range [$lo, $hi]")
+    val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val snap = readManifest(spark, root, v)
+    require(snap.files.nonEmpty, s"version $v of $root is an empty snapshot")
+    val kept = snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats recorded — may match
+      }
+    }
+    val pred = org.apache.spark.sql.functions.col(column)
+      .cast("double").between(lo, hi)
+    if (kept.isEmpty) {
+      // every file pruned: an empty frame with the snapshot's schema
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    } else
+      spark.read.parquet(kept.map(f => new Path(root, f).toString): _*)
+        .where(pred)
   }
 
   def versions(spark: SparkSession, root: String): Seq[VersionInfo] =
     (0L to latestVersion(spark, root)).map { v =>
-      val (op, files, rows) = readManifest(spark, root, v)
-      VersionInfo(v, op, files.size, rows)
+      val snap = readManifest(spark, root, v)
+      VersionInfo(v, snap.op, snap.files.size, snap.rows)
     }
 
   /** Race lost on an expected version number — the caller must re-read
@@ -207,21 +350,25 @@ object VersionedStore {
     val dataDir = new Path(root, dataRel)
     df.write.parquet(dataDir.toString)
     val fs = fileSystem(spark, dataDir)
-    val newFiles = fs.listStatus(dataDir).map(_.getPath.getName)
+    val newNames = fs.listStatus(dataDir).map(_.getPath.getName)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
-      .sorted.map(n => s"$dataRel/$n").toSeq
-    // Footer-driven count: parquet count(*) never deserializes rows.
-    val newRows = spark.read.parquet(dataDir.toString).count()
+      .sorted.toSeq
+    val newFiles = newNames.map(n => s"$dataRel/$n")
+    // Rows AND per-file column ranges straight from the parquet
+    // footers — one metadata pass, no Spark job, no data pages.
+    val (newRows, newStatsByName) = footerStats(
+      spark.sparkContext.hadoopConfiguration, dataDir, newNames)
+    val newStats = newStatsByName.map { case (n, s) => s"$dataRel/$n" -> s }
     fs.mkdirs(logDir(root))
     var attempt = 0
     var lastConflict: Throwable = null
     while (attempt < 10) {
       val prev = latestVersion(spark, root)
-      val (files, rows) =
+      val (files, rows, stats) =
         if (carryPrev && prev >= 0) {
-          val (_, prevFiles, prevRows) = readManifest(spark, root, prev)
-          (prevFiles ++ newFiles, prevRows + newRows)
-        } else (newFiles, newRows)
+          val p = readManifest(spark, root, prev)
+          (p.files ++ newFiles, p.rows + newRows, p.stats ++ newStats)
+        } else (newFiles, newRows, newStats)
       val next = if (expectedVersion >= 0) expectedVersion else prev + 1
       val manifest = new java.util.LinkedHashMap[String, Object]()
       manifest.put("version", java.lang.Long.valueOf(next))
@@ -229,6 +376,18 @@ object VersionedStore {
       manifest.put("files", files.asJava)
       manifest.put("rows", java.lang.Long.valueOf(rows))
       manifest.put("schema", df.schema.json)
+      val statsM = new java.util.LinkedHashMap[String, Object]()
+      files.foreach { f =>
+        stats.get(f).filter(_.nonEmpty).foreach { cols =>
+          val colsM = new java.util.LinkedHashMap[String, Object]()
+          cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            colsM.put(c, java.util.List.of(
+              java.lang.Double.valueOf(mn), java.lang.Double.valueOf(mx)))
+          }
+          statsM.put(f, colsM)
+        }
+      }
+      manifest.put("stats", statsM)
       try {
         atomicCreate(fs, manifestPath(root, next),
           mapper.writeValueAsBytes(manifest))
@@ -299,5 +458,42 @@ object VersionedStore {
     }
     throw new IllegalStateException(
       s"could not merge into $root after 10 attempts (concurrent writers)")
+  }
+
+  /** Rewrite the current snapshot into `numFiles` files — the
+    * small-file compaction every long-lived table needs (a year of
+    * 15-minute appends is ~35k manifests' worth of part files; scans
+    * pay per-file open cost and the driver pays per-file planning).
+    * With `sortBy`, rows are range-partitioned and sorted on those
+    * columns, so each output file covers a DISJOINT value range and
+    * the footer stats become tight — [[readRange]] then opens
+    * ~1/numFiles of the table instead of all of it (the Z-order-lite
+    * layout step). Earlier versions remain readable (copy-on-write);
+    * a racing writer wins the version race and the compaction
+    * recomputes against the new head.
+    */
+  def compact(spark: SparkSession, root: String, numFiles: Int,
+              sortBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles > 0, "numFiles must be positive")
+    var attempt = 0
+    while (attempt < 10) {
+      val head = latestVersion(spark, root)
+      require(head >= 0, s"no committed version under $root")
+      val current = read(spark, root, head)
+      val arranged =
+        if (sortBy.isEmpty) current.repartition(numFiles)
+        else current
+          .repartitionByRange(numFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      try {
+        return commit(arranged, root, "compact", carryPrev = false,
+          expectedVersion = head + 1)
+      } catch {
+        case _: CommitConflict => attempt += 1 // recompute vs new head
+      }
+    }
+    throw new IllegalStateException(
+      s"could not compact $root after 10 attempts (concurrent writers)")
   }
 }

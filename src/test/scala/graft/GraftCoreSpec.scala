@@ -46,7 +46,8 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // minhash needs xxhash64, simhash an FNV word fold, ivf a trained
     // KMeans — none expressible in portable DuckDB SQL; spec-tested.
-    val known = Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_ivf")
+    val known = Set("q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_simhash_wide", "q_ann_ivf")
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 

@@ -286,6 +286,58 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(r == 4.0)
   }
 
+  test("graft SQL surface: shingles/simhash64 parity with the DataFrame API") {
+    import graft.functions.{GraftSqlFunctions, ShingleHash, SimHash64}
+    GraftSqlFunctions.register(spark)
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("graft_sql_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash64(text)     AS sig,
+        |       graft_simhash64(text, 1)  AS sig1,
+        |       sort_array(graft_shingles(text, 3)) AS sh
+        |FROM graft_sql_docs""".stripMargin).head()
+    val viaApi = df.select(
+      SimHash64.simhash64(col("text")).as("sig"),
+      SimHash64.simhash64(col("text"), 1).as("sig1"),
+      sort_array(ShingleHash.shingles(col("text"), 3)).as("sh")).head()
+    assert(viaSql == viaApi)
+    assert(viaSql.getLong(0) != viaSql.getLong(1),
+      "family 1 must be an independent signature")
+    // constructor-parameter args must be literals — a column there is
+    // a planning error, not a silent misplan
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles(text, CAST(doc_id AS INT)) " +
+        "FROM graft_sql_docs").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("GraftExtensions injects the SQL surface at session build") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    // getOrCreate returns the active session unless cleared; clearing
+    // lets the builder construct a sibling session (same SparkContext)
+    // with the extensions applied — the cluster-config path.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val extended = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions())
+        .getOrCreate()
+      assert(extended ne base, "builder must have created a new session")
+      val sig = extended.sql(
+        "SELECT graft_simhash64('hello world') AS s").head().getLong(0)
+      val expected = Seq("hello world").toDF("t")
+        .select(graft.functions.SimHash64.simhash64(col("t"))).head().getLong(0)
+      assert(sig == expected)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("tokenCount consistent with quality word counts") {
     val docs = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
     val tc = TextAnalysis.tokenCount(docs, "doc_id", "text").head()

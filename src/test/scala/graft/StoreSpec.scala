@@ -59,6 +59,66 @@ class StoreSpec extends AnyFunSuite {
     assert(all.length > scanned.length)
   }
 
+  test("VersionedStore: readRange prunes files by footer stats after sorted compaction") {
+    val root = tmp("vskip")
+    // Three appends with interleaved id ranges: every file overlaps
+    // every range, so readRange on the raw table can prune nothing.
+    VersionedStore.create(
+      (1L to 300L by 3).map(i => (i, i * 1.5)).toDF("id", "v")
+        .repartition(2), root)
+    VersionedStore.append(
+      (2L to 300L by 3).map(i => (i, i * 1.5)).toDF("id", "v")
+        .repartition(2), root)
+    VersionedStore.append(
+      (3L to 300L by 3).map(i => (i, i * 1.5)).toDF("id", "v")
+        .repartition(2), root)
+    val full = VersionedStore.read(spark, root)
+    val expected = full.where(col("id").between(40, 60))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val preCompact = VersionedStore.readRange(spark, root, "id", 40, 60)
+    assert(preCompact.collect().map(_.getLong(0)).sorted.toSeq == expected,
+      "row-exact before compaction (even with zero skipping)")
+    // Sorted compaction: 6 files with disjoint id ranges...
+    val cv = VersionedStore.compact(spark, root, numFiles = 6,
+      sortBy = Seq("id"))
+    assert(VersionedStore.versions(spark, root).last.op == "compact")
+    val post = VersionedStore.readRange(spark, root, "id", 40, 60,
+      versionAsOf = cv)
+    assert(post.collect().map(_.getLong(0)).sorted.toSeq == expected)
+    // ...so the [40, 60] probe must OPEN a strict subset of the table
+    val allFiles = VersionedStore.read(spark, root, cv).inputFiles.length
+    assert(allFiles == 6, s"compaction should yield 6 files, got $allFiles")
+    val opened = post.inputFiles.length
+    assert(opened <= 2,
+      s"range covers ~1/7 of sorted ids; expected <= 2 of 6 files, got $opened")
+    // history untouched: the pre-compaction snapshot still reads whole
+    assert(VersionedStore.read(spark, root, cv - 1).count() == full.count())
+  }
+
+  test("VersionedStore: readRange keeps files without stats and skips all-pruned cleanly") {
+    val root = tmp("vskip2")
+    VersionedStore.create(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "s"), root)
+    // range far outside the data: every file pruned by stats → empty
+    // frame, schema preserved
+    val none = VersionedStore.readRange(spark, root, "id", 1e6, 2e6)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "s"))
+    // a column with no recorded stats (string) must not prune anything
+    val all = VersionedStore.readRange(spark, root, "id", 1, 2)
+    assert(all.count() == 2)
+    // timestamps: stats are epoch seconds, matching cast-to-double
+    val troot = tmp("vskipts")
+    VersionedStore.create(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+          (java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 2L))
+        .toDF("ts", "id"), troot)
+    val lo = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+      .getTime / 1000.0
+    val ts = VersionedStore.readRange(spark, troot, "ts", lo, 2e9)
+    assert(ts.collect().map(_.getLong(1)).toSeq == Seq(2L))
+  }
+
   test("VersionedStore: concurrent appends never lose a commit (atomic claim)") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
