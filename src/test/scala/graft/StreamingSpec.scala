@@ -253,4 +253,106 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("n_window") == 50L))
     query.stop()
   }
+
+  test("StreamingAsof: floor semantics, equal-ts inclusion, exactly-once under out-of-order arrival") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.{FeatureUpdate, LabelEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val feats = MemoryStream[FeatureUpdate]
+    val labs = MemoryStream[LabelEvent]
+    val query = StreamingAsof.enrich(feats.toDS(), labs.toDS(),
+        watermarkDelay = "1 second", featureNames = Seq("f"),
+        default = -1.0)
+      .writeStream.format("memory").queryName("sasof")
+      .outputMode(OutputMode.Append()).start()
+
+    // Out-of-order batch: the label arrives BEFORE the feature that
+    // precedes it in event time.
+    labs.addData(
+      LabelEvent("u1", ts("2024-01-01 10:01:00"), 1L, 1.0),
+      LabelEvent("u1", ts("2024-01-01 10:02:00"), 2L, 0.0),
+      LabelEvent("u2", ts("2024-01-01 10:01:00"), 3L, 1.0))
+    feats.addData(
+      FeatureUpdate("u1", ts("2024-01-01 10:00:00"), "f", 1.0),
+      FeatureUpdate("u1", ts("2024-01-01 10:02:00"), "f", 3.0))
+    query.processAllAvailable()
+    // watermark after batch 1 = 10:02:00 - 1s: labels 1 and 3 are
+    // already final, but the 10:02:00 label sits exactly AT the max
+    // event time and must WAIT (an equal-ts feature could still come)
+    assert(!spark.table("sasof").collect()
+      .exists(_.getAs[Long]("label_id") == 2L),
+      "label at the watermark boundary must not emit yet")
+
+    // Advance both streams' watermarks past every label.
+    feats.addData(FeatureUpdate("u9", ts("2024-01-01 11:00:00"), "f", 0.0))
+    labs.addData(LabelEvent("u9", ts("2024-01-01 11:00:00"), 99L, 0.0))
+    query.processAllAvailable()
+    // one more advance so timed-out state (if any) flushes
+    feats.addData(FeatureUpdate("u9", ts("2024-01-01 12:00:00"), "f", 0.0))
+    labs.addData(LabelEvent("u9", ts("2024-01-01 12:00:00"), 98L, 0.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("sasof").collect()
+      .map(r => r.getAs[Long]("label_id") ->
+        r.getAs[Map[String, Double]]("features")("f")).toMap
+    assert(rows(1L) == 1.0, "label at 10:01 sees the 10:00 feature")
+    assert(rows(2L) == 3.0, "feature stamped AT the label ts is visible")
+    assert(rows(3L) == -1.0, "entity with no features gets the default")
+    assert(spark.table("sasof").count() ==
+      spark.table("sasof").dropDuplicates("label_id").count(),
+      "every label must be emitted exactly once")
+    query.stop()
+  }
+
+  test("StreamingAsof matches batch pointInTime on a randomized history") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.{FeatureUpdate, LabelEvent}
+    import graft.operators.AsofJoin
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 10:00:00").getTime
+    val names = Seq("a", "b")
+    val fRows = (1 to 40).map { _ =>
+      FeatureUpdate(s"u${rnd.nextInt(3)}",
+        new Timestamp(base + rnd.nextInt(60) * 60000L),
+        names(rnd.nextInt(2)), (rnd.nextInt(10) + 1).toDouble)
+    }
+    val lRows = (1 to 12).map { i =>
+      LabelEvent(s"u${rnd.nextInt(3)}",
+        new Timestamp(base + rnd.nextInt(60) * 60000L), i.toLong,
+        rnd.nextInt(2).toDouble)
+    }
+    val expected = AsofJoin.pointInTime(
+        fRows.toDF("entity_id", "ts", "feature_name", "value_float"),
+        lRows.toDF("entity_id", "ts", "event_id", "value"),
+        "entity_id", "ts", "feature_name", "value_float",
+        "event_id", "value", names, default = -1.0)
+      .collect().map(r => (r.getAs[Long]("label_id"),
+        r.getAs[Double]("f_a"), r.getAs[Double]("f_b"))).toSet
+
+    val feats = MemoryStream[FeatureUpdate]
+    val labs = MemoryStream[LabelEvent]
+    val out = StreamingAsof.enrich(feats.toDS(), labs.toDS(),
+      "1 second", names, default = -1.0)
+    val query = StreamingAsof.widen(out, names)
+      .writeStream.format("memory").queryName("sasof_rand")
+      .outputMode(OutputMode.Append()).start()
+    feats.addData(fRows: _*)
+    labs.addData(lRows: _*)
+    query.processAllAvailable()
+    feats.addData(FeatureUpdate("zz", ts("2024-01-02 10:00:00"), "a", 0.0))
+    labs.addData(LabelEvent("zz", ts("2024-01-02 10:00:00"), 999L, 0.0))
+    query.processAllAvailable()
+    feats.addData(FeatureUpdate("zz", ts("2024-01-03 10:00:00"), "a", 0.0))
+    labs.addData(LabelEvent("zz", ts("2024-01-03 10:00:00"), 998L, 0.0))
+    query.processAllAvailable()
+
+    val got = spark.table("sasof_rand")
+      .filter($"label_id" < 900)
+      .collect().map(r => (r.getAs[Long]("label_id"),
+        r.getAs[Double]("f_a"), r.getAs[Double]("f_b"))).toSet
+    assert(got == expected,
+      s"streaming/batch asof divergence:\nstream=$got\nbatch=$expected")
+    query.stop()
+  }
 }
