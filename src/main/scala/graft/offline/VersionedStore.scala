@@ -156,16 +156,37 @@ object VersionedStore {
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           dataDir: Path, names: Seq[String])
   : (Long, Map[String, Map[String, (Double, Double)]]) = {
+    // Footer opens are storage round-trips; serially they would make
+    // the commit O(nFiles × RTT) on the driver. A bounded pool keeps
+    // a 50k-file append's metadata pass in seconds, not minutes. (The
+    // production refinement is collecting these during the WRITE, via
+    // task-side commit messages — then this pass disappears.)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(32, names.size)))
+    try {
+      val futures = names.map(n => n -> pool.submit(
+        new java.util.concurrent.Callable[
+            (Long, Map[String, (Double, Double)])] {
+          def call() = fileFooterStats(conf, new Path(dataDir, n))
+        }))
+      val results = futures.map { case (n, f) => n -> f.get() }
+      (results.map(_._2._1).sum,
+        results.collect { case (n, (_, s)) if s.nonEmpty => n -> s }.toMap)
+    } finally pool.shutdown()
+  }
+
+  private def fileFooterStats(conf: org.apache.hadoop.conf.Configuration,
+                              file: Path)
+  : (Long, Map[String, (Double, Double)]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    var totalRows = 0L
-    val perFile = names.map { n =>
+    {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(dataDir, n), conf))
+          file, conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        totalRows += blocks.map(_.getRowCount).sum
+        val totalRows = blocks.map(_.getRowCount).sum
         // col -> (min, max, usable-in-every-row-group-so-far)
         val acc = scala.collection.mutable.Map
           .empty[String, (Double, Double, Boolean)]
@@ -178,7 +199,11 @@ object VersionedStore {
               // value -> double on the cast(AS double) scale
               val toD: Option[Any => Double] =
                 (pt.getPrimitiveTypeName, logical) match {
-                  case (_, d: LogicalTypeAnnotation
+                  // decimal ONLY on int32/int64 physicals: precision
+                  // > 18 is FIXED_LEN_BYTE_ARRAY whose stats are
+                  // Binary, not Number — those fall through to the
+                  // conservative no-stats path instead of crashing
+                  case (INT32 | INT64, d: LogicalTypeAnnotation
                       .DecimalLogicalTypeAnnotation) =>
                     val div = math.pow(10, d.getScale)
                     Some(v => v.asInstanceOf[Number].doubleValue() / div)
@@ -214,12 +239,11 @@ object VersionedStore {
             }
           }
         }
-        n -> acc.collect { case (c, (lo, hi, true)) =>
+        (totalRows, acc.collect { case (c, (lo, hi, true)) =>
           c -> (Math.nextDown(lo), Math.nextUp(hi))
-        }.toMap
+        }.toMap)
       } finally reader.close()
-    }.toMap
-    (totalRows, perFile.filter(_._2.nonEmpty))
+    }
   }
 
   /** Read a snapshot: the latest version, or `versionAsOf` — opening

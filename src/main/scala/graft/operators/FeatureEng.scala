@@ -74,7 +74,13 @@ object FeatureEng {
     val g = orders.groupBy(col(keyCol).as("entity_id"))
       .agg(dsum(col(valCol)).as("gmv"))
       .localCheckpoint(false)
-    val boundsRow = g.agg(percentile_approx(col("gmv"),
+    val distinctCounts = g.groupBy("gmv").agg(count(lit(1)).as("cnt"))
+    // Boundaries are quantiles of the DISTINCT-value frame, not the
+    // entity rows: the window below partitions distinct values, so
+    // balance must be in distinct-value space — entity-row quantiles
+    // would collapse every value outside a heavy-tie region into one
+    // bucket (one giant window task).
+    val boundsRow = distinctCounts.agg(percentile_approx(col("gmv"),
         lit((1 until rangeParts).map(_.toDouble / rangeParts).toArray),
         lit(10000)).as("bs"))
       .head()
@@ -87,8 +93,7 @@ object FeatureEng {
       if (bounds.isEmpty) lit(0)
       else bounds.map(b => when(col("gmv") > lit(b), 1).otherwise(0))
         .reduce(_ + _)
-    val counts = g.groupBy("gmv").agg(count(lit(1)).as("cnt"))
-      .withColumn("bkt", bucketOf)
+    val counts = distinctCounts.withColumn("bkt", bucketOf)
     val perBucket = counts.groupBy("bkt").agg(sum("cnt").as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = perBucket.values.sum

@@ -9,9 +9,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming point-in-time (ASOF) enrichment — the continuous twin of
   * AsofJoin.pointInTime: every label event is emitted exactly once,
   * carrying the latest value of each feature at-or-before its event
-  * time, with the SAME floor/tie semantics as the batch operator
-  * (feature at exactly the label ts is visible; equal-ts duplicate
-  * features resolve to the greatest value).
+  * time, with the batch operator's floor/tie semantics (feature at
+  * exactly the label ts is visible; equal-ts duplicate features
+  * resolve to the greatest value). One divergence to mind: the batch
+  * operator prunes features older than `lookbackDays` before the
+  * earliest label, while the stream's floor value has no age unless
+  * `maxFeatureAgeMs` is set — set it to the same horizon when
+  * training (batch) and serving (stream) must agree on entities whose
+  * features have gone stale.
   *
   * Shape: both streams are tagged and unioned, then
   * flatMapGroupsWithState per entity holds (a) the pending labels not
@@ -53,10 +58,16 @@ object StreamingAsof {
     *   last feature is older than this (vs the watermark) is dropped
     *   from state — bounded memory under key churn; a label arriving
     *   after the TTL sees `default`, exactly as if the history expired
+    * @param maxFeatureAgeMs when > 0, a feature older than this at the
+    *   label's event time does not count as its floor (the label sees
+    *   `default`) — the streaming analogue of the batch lookback
+    *   horizon, and a staleness SLA: a silent upstream must not keep
+    *   serving its last value forever
     */
   def enrich(features: Dataset[FeatureUpdate], labels: Dataset[LabelEvent],
              watermarkDelay: String, featureNames: Seq[String],
-             default: Double, idleTtlMs: Long = -1L): Dataset[Enriched] = {
+             default: Double, idleTtlMs: Long = -1L,
+             maxFeatureAgeMs: Long = -1L): Dataset[Enriched] = {
     val spark = features.sparkSession
     import spark.implicits._
     val wanted = featureNames.toSet
@@ -97,7 +108,8 @@ object StreamingAsof {
                 // floor semantics: latest ts <= label ts; tie on ts →
                 // greatest value (matches the batch window's ordering)
                 val v = st.features.iterator
-                  .filter(fr => fr._2 == n && fr._1 <= lt)
+                  .filter(fr => fr._2 == n && fr._1 <= lt &&
+                    (maxFeatureAgeMs <= 0 || lt - fr._1 <= maxFeatureAgeMs))
                   .foldLeft(Option.empty[(Long, Double)]) { (best, fr) =>
                     best match {
                       case Some((bt, bv)) if bt > fr._1 ||
@@ -111,12 +123,16 @@ object StreamingAsof {
           }
           // Timeline pruning: per name, the single dominant value
           // at-or-before the watermark, plus everything still ahead.
+          // Under a feature-age SLA, values already older than the
+          // horizon at the watermark can never serve a future label
+          // (future labels have ts >= wm) — drop them too.
           val keep = st.features.groupBy(_._2).iterator.flatMap {
             case (_, frs) =>
               val (past, future) = frs.partition(_._1 <= wm)
               val floor = past.sortBy(fr => (fr._1, fr._3)).lastOption
               future ++ floor.toList
-          }.toList
+          }.filter(fr =>
+            maxFeatureAgeMs <= 0 || wm - fr._1 <= maxFeatureAgeMs).toList
           val idle = pending.isEmpty && idleTtlMs > 0 &&
             keep.forall(_._1 + idleTtlMs <= wm)
           if ((keep.isEmpty && pending.isEmpty) || idle) state.remove()

@@ -119,6 +119,29 @@ class StoreSpec extends AnyFunSuite {
     assert(ts.collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("VersionedStore: decimal(38) columns commit fine, stats fall back conservatively") {
+    val root = tmp("vdec")
+    // precision > 18 → FIXED_LEN_BYTE_ARRAY physical: no numeric
+    // footer stats exist; the commit must still succeed and readRange
+    // must keep the file (no stats = may match) with the row filter
+    // doing the exact work.
+    val df = Seq((1L, "12345678901234567890.1234"))
+      .toDF("id", "d")
+      .withColumn("d", col("d").cast("decimal(38,4)"))
+    VersionedStore.create(df, root)
+    assert(VersionedStore.read(spark, root).count() == 1)
+    assert(VersionedStore.readRange(spark, root, "d", 0, 1).count() == 0,
+      "kept conservatively but row-filtered out")
+    assert(VersionedStore.readRange(spark, root, "d", 1e18, 1e20).count() == 1)
+    // int64-backed decimal(18,2) DOES get stats and prunes
+    val root2 = tmp("vdec2")
+    VersionedStore.create(
+      Seq((1L, "10.50"), (2L, "99.25")).toDF("id", "m")
+        .withColumn("m", col("m").cast("decimal(18,2)")), root2)
+    assert(VersionedStore.readRange(spark, root2, "m", 10, 11)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("VersionedStore: concurrent appends never lose a commit (atomic claim)") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._

@@ -304,6 +304,36 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("StreamingAsof: maxFeatureAgeMs expires stale floors to the default") {
+    import graft.streaming.StreamingAsof
+    import graft.streaming.StreamingAsof.{FeatureUpdate, LabelEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val feats = MemoryStream[FeatureUpdate]
+    val labs = MemoryStream[LabelEvent]
+    val query = StreamingAsof.enrich(feats.toDS(), labs.toDS(),
+        "1 second", Seq("f"), default = -1.0,
+        maxFeatureAgeMs = 30000L)
+      .writeStream.format("memory").queryName("sasof_age")
+      .outputMode(OutputMode.Append()).start()
+    feats.addData(FeatureUpdate("u1", ts("2024-01-01 10:00:00"), "f", 5.0))
+    labs.addData(
+      LabelEvent("u1", ts("2024-01-01 10:00:20"), 1L, 1.0), // age 20s
+      LabelEvent("u1", ts("2024-01-01 10:05:00"), 2L, 1.0)) // age 5min
+    query.processAllAvailable()
+    feats.addData(FeatureUpdate("zz", ts("2024-01-01 11:00:00"), "f", 0.0))
+    labs.addData(LabelEvent("zz", ts("2024-01-01 11:00:00"), 9L, 0.0))
+    query.processAllAvailable()
+    feats.addData(FeatureUpdate("zz", ts("2024-01-01 12:00:00"), "f", 0.0))
+    labs.addData(LabelEvent("zz", ts("2024-01-01 12:00:00"), 8L, 0.0))
+    query.processAllAvailable()
+    val rows = spark.table("sasof_age").collect()
+      .map(r => r.getAs[Long]("label_id") ->
+        r.getAs[Map[String, Double]]("features")("f")).toMap
+    assert(rows(1L) == 5.0, "within the age horizon: floor serves")
+    assert(rows(2L) == -1.0, "past the age horizon: default, not stale value")
+    query.stop()
+  }
+
   test("StreamingAsof matches batch pointInTime on a randomized history") {
     import graft.streaming.StreamingAsof
     import graft.streaming.StreamingAsof.{FeatureUpdate, LabelEvent}
