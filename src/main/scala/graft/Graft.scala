@@ -227,4 +227,7 @@ object Graft {
 
   def fingerprints(docs: DataFrame): DataFrame =
     TextAnalysis.fingerprint(docs, "doc_id", "text")
+
+  def tfidfKeywords(docs: DataFrame, topK: Int = 5): DataFrame =
+    TextAnalysis.tfidf(docs, "doc_id", "text", topK)
 }

@@ -258,6 +258,9 @@ object SparkEntry {
   def qFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
 
+  def qTfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
+
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
 
@@ -309,6 +312,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_tfidf" -> (qTfidf _),
     "q_multimodal_meta" -> (qMultimodalMeta _)
   )
 
@@ -954,6 +958,39 @@ object SparkEntry {
         """SELECT doc_id,
           |  md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
+
+      // Mirrors TextAnalysis.tfidf exactly: same tokenization (split
+      // on single space, drop empties), df from the (doc, term) pairs,
+      // smoothed idf, identical double op order, round 6dp BEFORE the
+      // rank so rounded ties break on term on both engines.
+      "q_tfidf" ->
+        """WITH words AS (
+          |  SELECT doc_id, w AS term
+          |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+          |  WHERE w <> ''
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+          |), dlen AS (
+          |  SELECT doc_id, count(*) AS dlen FROM words GROUP BY 1
+          |), dfreq AS (
+          |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+          |), n AS (
+          |  SELECT count(*) AS n_docs FROM documents
+          |), scored AS (
+          |  SELECT tf.doc_id, tf.term,
+          |    round((tf.tf::DOUBLE / dlen.dlen) *
+          |          (ln((n.n_docs + 1)::DOUBLE / (dfreq.df + 1)) + 1), 6)
+          |      AS tfidf
+          |  FROM tf
+          |  JOIN dfreq USING (term)
+          |  JOIN dlen USING (doc_id)
+          |  CROSS JOIN n
+          |)
+          |SELECT doc_id, term, tfidf FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          |  FROM scored)
+          |WHERE rk <= 5""".stripMargin,
 
       "q_multimodal_meta" ->
         """WITH b AS (

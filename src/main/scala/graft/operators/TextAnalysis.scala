@@ -99,6 +99,45 @@ object TextAnalysis {
         col("digit_ratio") <= maxDigitRatio &&
         col("stopword_ratio") <= maxStopwordRatio)
 
+  /** TF-IDF keyword extraction: the `topK` most characteristic terms
+    * per document, scored (tf / doc_len) · (ln((N+1)/(df+1)) + 1)
+    * (the smoothed-idf form, so corpus-universal terms score low but
+    * never negative). The relevance/keyword primitive of a curation
+    * pipeline — cluster labeling, topic filtering, index building.
+    *
+    * Scale shape: one explode pass; term frequencies and doc lengths
+    * are map-side-combining aggregates; document frequency comes from
+    * the (doc, term) pairs (no count-distinct shuffle); the corpus
+    * size is a broadcast scalar. The term-df join shuffles on term,
+    * then everything else stays on the doc_id partitioning — the
+    * final window reuses the dlen join's exchange.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String,
+            topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val words = base
+      .select(col("doc_id"), explode(Fns.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    // df per term: tf already holds one row per (doc, term)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        (col("tf") / col("dlen")) *
+          (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select("doc_id", "term", "tfidf")
+  }
+
   /** Normalized document fingerprint: lowercase, collapse whitespace,
     * trim, md5 — the canonical near-exact-dup key.
     */

@@ -338,6 +338,21 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tfidf: hand-computed scores, rarest terms rank first, ties break on term") {
+    val docs = Seq(
+      (1L, "cat sat mat"), (2L, "cat ran"), (3L, "dog barks loud"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", topK = 2)
+      .collect().groupBy(_.getLong(0))
+    // doc 1: mat/sat are unique (df=1): (1/3)·(ln(4/2)+1) = 0.564382;
+    // cat (df=2) scores (1/3)·(ln(4/3)+1) = 0.429227 and is cut by
+    // topK=2. Tie between mat/sat breaks alphabetically.
+    val d1 = out(1L).map(r => (r.getString(1), r.getDouble(2))).toSeq
+    assert(d1 == Seq(("mat", 0.564382), ("sat", 0.564382)))
+    val d2 = out(2L).map(_.getString(1)).toSet
+    assert(d2 == Set("cat", "ran"), "doc 2 has only two terms")
+  }
+
   test("tokenCount consistent with quality word counts") {
     val docs = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
     val tc = TextAnalysis.tokenCount(docs, "doc_id", "text").head()
