@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.offline.OfflineStore
-import graft.operators.{AsofJoin, Dedup, Sessionize}
+import graft.operators.{AsofJoin, Dedup, FeatureEng, Sessionize, TextAnalysis}
 
 /** Synthetic scale-up probe: replicates the sf0.1 tables K× (ids
   * shifted so keys stay unique where they must) and times the
@@ -63,6 +63,16 @@ object ScaleProbe {
       7200L).count())
     ev.unpersist()
 
+    // orders xK: new customers per replica — exercises the exact
+    // global-rank path (literal-pinned quantile buckets + per-bucket
+    // windows); watch for any single-task window stage
+    val ord = replicate(Tables.orders(spark, d), k,
+      Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L)).cache()
+    println(s"[scale] orders rows: ${ord.count()}")
+    time("quantile_label xK")(FeatureEng.quantileLabel(
+      ord, "o_custkey", "o_totalprice", 0.9).count())
+    ord.unpersist()
+
     // documents xK: unique doc ids, same text → every doc gains k-1
     // exact near-dups (worst-case pair pressure on the dedup joins)
     val docs = replicate(Tables.documents(spark, d), k,
@@ -86,6 +96,8 @@ object ScaleProbe {
     // the packaged pipeline: exact -> minhash candidates -> exact verify
     time("Dedup.pipeline xK")(
       Dedup.pipeline(docs, "doc_id", "text", 3, 0.8).count())
+    time("tfidf xK")(
+      TextAnalysis.tfidf(docs, "doc_id", "text", 5).count())
     // near-dup graph -> connected components (pointer-jump propagation)
     time("clusters over minhash pairs xK")({
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
