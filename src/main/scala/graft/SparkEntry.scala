@@ -164,6 +164,19 @@ object SparkEntry {
   def qRankingAggs(s: SparkSession, d: String): DataFrame =
     FeatureEng.rankingAggs(Tables.orders(s, d), "o_custkey", "o_totalprice")
 
+  // Downsample finished orders to 10%, keep open orders whole, halve
+  // the rest — the class-rebalance step of training prep, md5-keyed so
+  // the sample is identical on any cluster and in the oracle.
+  def qClassSample(s: SparkSession, d: String): DataFrame =
+    FeatureEng.classBalanceSample(Tables.orders(s, d), "o_orderkey",
+        "o_orderstatus", Map("F" -> 1000, "O" -> 10000, "P" -> 5000))
+      .select(col("o_orderkey").as("entity_id"),
+        col("o_orderstatus").as("class"), col("sample_bucket"))
+
+  def qFeatureCorr(s: SparkSession, d: String): DataFrame =
+    graft.stats.Profiler.featureCorr(Tables.featureRecords(s, d),
+      "entity_id", "feature_name", "value_float")
+
   def qSupplierPart(s: SparkSession, d: String): DataFrame =
     FeatureEng.supplierPartFeatures(Tables.lineitem(s, d), Tables.part(s, d),
       Tables.supplier(s, d), Tables.nation(s, d))
@@ -291,6 +304,8 @@ object SparkEntry {
     "q_serving_lookup" -> (qServingLookup _),
     "q_enrich_star" -> (qEnrichStar _),
     "q_categorical_hash" -> (qCategoricalHash _),
+    "q_class_sample" -> (qClassSample _),
+    "q_feature_corr" -> (qFeatureCorr _),
     "q_quantile_label" -> (qQuantileLabel _),
     "q_train_test_split" -> (qTrainTestSplit _),
     "q_ranking_aggs" -> (qRankingAggs _),
@@ -728,6 +743,52 @@ object SparkEntry {
           |  CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2147483648 % 100 < 80
           |       THEN 'train' ELSE 'test' END AS split
           |FROM customer""".stripMargin,
+
+      "q_class_sample" ->
+        """WITH s AS (
+          |  SELECT o_orderkey AS entity_id, o_orderstatus AS class,
+          |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+          |      % 2147483648 % 10000 AS sample_bucket
+          |  FROM orders)
+          |SELECT entity_id, class, sample_bucket FROM s
+          |WHERE sample_bucket < CASE class
+          |  WHEN 'F' THEN 1000 WHEN 'O' THEN 10000 WHEN 'P' THEN 5000
+          |  ELSE 0 END""".stripMargin,
+
+      // Mirrors Profiler.featureCorr: per-entity decimal totals, exact
+      // decimal sufficient statistics, identical double formula. The
+      // decimal → double casts see the SAME exact decimal on both
+      // engines, so the 6dp round is safely past any representation
+      // noise.
+      "q_feature_corr" ->
+        """WITH pe AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS e, event_type AS f,
+          |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+          |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+          |), p AS (
+          |  SELECT a.f AS feature_a, b.f AS feature_b, a.v AS x, b.v AS y
+          |  FROM pe a JOIN pe b ON a.e = b.e AND a.f < b.f
+          |), s AS (
+          |  SELECT feature_a, feature_b, count(*) AS n_entities,
+          |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          |    CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          |    CAST(sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))
+          |      AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+          |    CAST(sum(CAST(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))
+          |      AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+          |    CAST(sum(CAST(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2))
+          |      AS DECIMAL(38,4))) AS DOUBLE) AS syy
+          |  FROM p GROUP BY 1, 2
+          |)
+          |SELECT feature_a, feature_b, n_entities,
+          |  CASE WHEN n_entities > 1
+          |        AND (n_entities * sxx - sx * sx) > 0
+          |        AND (n_entities * syy - sy * sy) > 0
+          |    THEN round((n_entities * sxy - sx * sy) /
+          |      sqrt((n_entities * sxx - sx * sx) *
+          |           (n_entities * syy - sy * sy)), 6)
+          |  END AS corr
+          |FROM s""".stripMargin,
 
       "q_ranking_aggs" ->
         """WITH g AS (

@@ -209,6 +209,28 @@ object FeatureEng {
       (Fns.md5Hash31(col(keyCol).cast("string")) % 100).as("hash_bucket"),
       splitColumn(keyCol, trainPct).as("split"))
 
+  /** Deterministic class-balanced sampling for training prep: each
+    * row survives iff its key's md5 bucket (0..9999) falls under its
+    * class's rate in basis points — downsample the majority class,
+    * keep the rare one, reproducibly on any cluster and across reruns
+    * (same md5 family as trainTestSplit, so a row's fate never
+    * depends on partitioning, order, or an RNG seed). Classes absent
+    * from `ratesBp` are dropped. Pure codegen filter: no shuffle, no
+    * driver state, embarrassingly parallel.
+    */
+  def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
+                         ratesBp: Map[String, Int]): DataFrame = {
+    require(ratesBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      "rates are basis points in [0, 10000]")
+    val rate = ratesBp.toSeq.sortBy(_._1)
+      .foldLeft(lit(0): Column) { case (acc, (cls, bp)) =>
+        when(col(classCol) === cls, lit(bp)).otherwise(acc)
+      }
+    df.withColumn("sample_bucket",
+        Fns.md5Hash31(col(keyCol).cast("string")) % 10000)
+      .filter(col("sample_bucket") < rate)
+  }
+
   /** Per-group ranking-feature variants (reference
     * python/mslr_example/dataset.py:30-45 — sum/min/max/mean/var of
     * each raw feature within the query group). One shuffle with

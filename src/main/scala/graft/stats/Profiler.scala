@@ -96,6 +96,52 @@ object Profiler {
       .agg(round(sum((pa - pb) * log(pa / pb)), 6).as("psi"))
   }
 
+  /** Pairwise Pearson correlation between features — the
+    * feature-selection signal (drop one of two near-duplicates, flag
+    * target leakage). Observations are per-entity feature TOTALS, and
+    * a pair's sample is the entities carrying both features.
+    *
+    * Deterministic on any cluster: every sufficient statistic
+    * (Σx, Σy, Σxy, Σx², Σy²) accumulates as exact decimal, so the
+    * double formula at the end sees identical inputs regardless of
+    * partitioning or add order — a naive `corr(x, y)` would drift in
+    * the last ulps across engines and cluster layouts.
+    *
+    * Scale shape: one EAV aggregate (map-side combining), a per-entity
+    * self-join that fans out only f²/2 rows per entity (f = feature
+    * count, single digits), then one tiny aggregate keyed by the pair.
+    */
+  def featureCorr(records: DataFrame, entityCol: String, nameCol: String,
+                  valueCol: String): DataFrame = {
+    import graft.operators.WindowedFeatures.dsum
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+    val perEnt = records.filter(col(valueCol).isNotNull)
+      .groupBy(col(entityCol).as("e"), col(nameCol).as("f"))
+      .agg(dsum(col(valueCol)).as("v"))
+    val pairs = perEnt.select(col("e"), col("f").as("feature_a"),
+        col("v").as("x"))
+      .join(perEnt.select(col("e"), col("f").as("feature_b"),
+        col("v").as("y")), "e")
+      .filter(col("feature_a") < col("feature_b"))
+    val s = pairs.groupBy("feature_a", "feature_b").agg(
+      count(lit(1)).as("n_entities"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum((dec(col("x")) * dec(col("y"))).cast("decimal(38,4)"))
+        .cast("double").as("sxy"),
+      sum((dec(col("x")) * dec(col("x"))).cast("decimal(38,4)"))
+        .cast("double").as("sxx"),
+      sum((dec(col("y")) * dec(col("y"))).cast("decimal(38,4)"))
+        .cast("double").as("syy"))
+    val n = col("n_entities")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    s.select(col("feature_a"), col("feature_b"), n,
+      when(n > 1 && varx > 0 && vary > 0,
+        round((n * col("sxy") - col("sx") * col("sy")) /
+          sqrt(varx * vary), 6)).as("corr"))
+  }
+
   /** Scale-path twin: approx_percentile (t-digest) instead of exact
     * interpolated percentiles. Exact percentile buffers every value
     * per group; the sketch is O(accuracy) per group regardless of

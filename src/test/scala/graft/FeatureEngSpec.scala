@@ -127,6 +127,42 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(loaded.count() == 2) // soft delete: row retained
   }
 
+  test("classBalanceSample: deterministic, per-class rates honored, unlisted classes dropped") {
+    val df = (1L to 2000L).map(i =>
+      (i, if (i % 4 == 0) "rare" else if (i % 4 == 1) "common" else "junk"))
+      .toDF("k", "cls")
+    val out = FeatureEng.classBalanceSample(df, "k", "cls",
+      Map("rare" -> 10000, "common" -> 1000))
+    val byClass = out.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass("rare") == 500L, "rate 10000bp keeps every rare row")
+    val common = byClass("common")
+    assert(common > 20 && common < 110, s"~10% of 500 expected, got $common")
+    assert(!byClass.contains("junk"), "unlisted class must be dropped")
+    // deterministic: the same rows survive on a re-run
+    val again = FeatureEng.classBalanceSample(df, "k", "cls",
+      Map("rare" -> 10000, "common" -> 1000))
+    assert(out.select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("k").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("featureCorr: known perfect/inverse correlations, constant feature guarded to null") {
+    import graft.stats.Profiler
+    val rows = (1 to 50).flatMap { i =>
+      Seq((s"e$i", "a", i.toDouble), (s"e$i", "b", 2.0 * i + 3),
+        (s"e$i", "c", -i.toDouble), (s"e$i", "d", 7.0))
+    }
+    val df = rows.toDF("entity_id", "feature_name", "value_float")
+    val out = Profiler.featureCorr(df, "entity_id", "feature_name",
+        "value_float")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("a", "b")) == Some(1.0), "y = 2x + 3 is corr 1")
+    assert(out(("a", "c")) == Some(-1.0))
+    assert(out(("a", "d")) == None, "zero-variance pair must be null, not NaN")
+    assert(out.size == 6, "all feature pairs present")
+  }
+
   test("registry round-trips view defs through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
     val views = Seq(
