@@ -203,6 +203,11 @@ object Graft {
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Ann.bruteTopK(corpus, queries, "vec_id", "embedding", k)
 
+  /** Quantized (SQ8) exact-scan top-k: 4× less corpus memory/IO,
+    * recall bounded by the per-dimension grid step. */
+  def annTopKSq8(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Ann.bruteTopKSq8(corpus, queries, "vec_id", "embedding", k)
+
   def annLsh(emb: DataFrame, nPlanes: Int, dim: Int, k: Int): DataFrame =
     Ann.lshTopK(emb, "vec_id", "embedding", nPlanes, dim, k)
 

@@ -246,6 +246,12 @@ object SparkEntry {
       k = 5)
   }
 
+  def qAnnSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.bruteTopKSq8(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", k = 5)
+  }
+
   def qAnnLsh(s: SparkSession, d: String): DataFrame =
     Ann.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       nPlanes = 8, dim = 64, k = 3)
@@ -320,6 +326,7 @@ object SparkEntry {
     "q_dedup_simhash_wide" -> (qDedupSimhashWide _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_text_quality" -> (qTextQuality _),
@@ -938,6 +945,53 @@ object SparkEntry {
           |FROM r WHERE "rank" <= 5""".stripMargin,
 
       "q_ann_lsh" -> annLshOracle(nPlanes = 8, dim = 64, k = 3),
+
+      // Mirrors bruteTopKSq8 bit-for-bit: the grid (per-dim min,
+      // (max-min)/255) is double arithmetic on exact float inputs on
+      // both engines; encode is floor(x+0.5) == Java Math.round; the
+      // dequantized dot folds left-to-right like the Spark loop.
+      "q_ann_sq8" ->
+        """WITH grid AS (
+          |  SELECT list(mn ORDER BY pos) AS mns, list(s ORDER BY pos) AS ss
+          |  FROM (
+          |    SELECT pos, min(x)::DOUBLE AS mn,
+          |      (max(x)::DOUBLE - min(x)::DOUBLE) / 255.0 AS s
+          |    FROM (SELECT unnest(embedding) AS x,
+          |            generate_subscripts(embedding, 1) AS pos
+          |          FROM embeddings)
+          |    GROUP BY pos)
+          |), d AS (
+          |  SELECT vec_id AS id,
+          |    list_transform(embedding, (x, i) ->
+          |      CASE WHEN g.ss[i] <= 0 THEN g.mns[i]
+          |           ELSE g.mns[i] + LEAST(255, GREATEST(0,
+          |             floor((x::DOUBLE - g.mns[i]) / g.ss[i] + 0.5))) * g.ss[i]
+          |      END) AS dv
+          |  FROM embeddings, grid g
+          |), dn AS (
+          |  SELECT id, dv,
+          |    sqrt(list_reduce(list_transform(dv, x -> x * x),
+          |      (x, y) -> x + y)) AS cn
+          |  FROM d
+          |), q AS (
+          |  SELECT vec_id AS id, embedding AS v,
+          |    sqrt(list_reduce(list_transform(embedding,
+          |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS qn
+          |  FROM embeddings WHERE vec_id < 20
+          |), p AS (
+          |  SELECT q.id AS query_id, dn.id AS neighbor_id,
+          |    list_reduce(list_transform(list_zip(q.v, dn.dv),
+          |      x -> x[1]::DOUBLE * x[2]), (x, y) -> x + y)
+          |      / (q.qn * dn.cn) AS cos_raw
+          |  FROM q JOIN dn ON q.id <> dn.id
+          |), r AS (
+          |  SELECT query_id, neighbor_id, cos_raw,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+          |  FROM p
+          |)
+          |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
+          |FROM r WHERE "rank" <= 5""".stripMargin,
 
       "q_text_quality" ->
         """WITH b AS (

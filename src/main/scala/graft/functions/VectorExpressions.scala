@@ -120,6 +120,131 @@ case class PlaneSignBucket(child: Expression, planes: Array[Double],
   : PlaneSignBucket = copy(child = newChild)
 }
 
+/** SQ8 scalar quantization: a float vector becomes one byte per
+  * dimension on the per-dimension [min, max] grid — 4× less memory
+  * and scan I/O for a 100 TB embedding corpus, the standard first
+  * compression step before IVF/HNSW-class indexing. code[i] =
+  * round((v[i]−min[i]) / scale[i]) clamped to [0,255], with
+  * scale[i] = (max[i]−min[i]) / 255. Null/ragged elements encode as
+  * 0 (the grid minimum) — deterministic, never poisons a whole code.
+  */
+case class Sq8Encode(child: Expression, mins: Array[Double],
+                     scales: Array[Double])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(mins.length == scales.length, "mins/scales must align")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_sq8_encode"
+
+  def compute(v: ArrayData): Array[Byte] = {
+    val dim = mins.length
+    val out = new Array[Byte](dim)
+    val n = math.min(v.numElements(), dim)
+    var i = 0
+    while (i < n) {
+      val q =
+        if (v.isNullAt(i) || scales(i) <= 0d) 0
+        else {
+          // double end-to-end (floor(x+0.5) == Math.round(double)) so
+          // the DuckDB oracle can reproduce every bit of the grid
+          val r = math.round((v.getFloat(i).toDouble - mins(i)) / scales(i))
+          if (r < 0L) 0 else if (r > 255L) 255 else r.toInt
+        }
+      out(i) = q.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8enc", this, classOf[Sq8Encode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : Sq8Encode = copy(child = newChild)
+}
+
+/** Fused asymmetric SQ8 dot: float query · dequantized corpus code in
+  * one loop — the decoded float vector is never materialized, so the
+  * per-pair scan stays allocation-free inside whole-stage codegen.
+  */
+case class Sq8Dot(left: Expression, right: Expression,
+                  mins: Array[Double], scales: Array[Double])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_dot"
+
+  def compute(q: ArrayData, code: Array[Byte]): Double = {
+    val n = math.min(q.numElements(), math.min(code.length, mins.length))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!q.isNullAt(i))
+        acc += q.getFloat(i).toDouble *
+          (mins(i) + (code(i) & 0xff) * scales(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8dot", this, classOf[Sq8Dot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a dequantized SQ8 code — computed once per corpus row
+  * at index build, so query-time ranking divides by a stored scalar.
+  */
+case class Sq8Norm(child: Expression, mins: Array[Double],
+                   scales: Array[Double])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sq8_norm"
+
+  def compute(code: Array[Byte]): Double = {
+    val n = math.min(code.length, mins.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = mins(i) + (code(i) & 0xff) * scales(i)
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sq8norm", this, classOf[Sq8Norm].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : Sq8Norm = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-level entry point for the codegen'd dot product. */
@@ -133,6 +258,21 @@ object VectorExpressions {
                  dim: Int): Column =
     GraftColumnBridge.column(PlaneSignBucket(
       GraftColumnBridge.expression(vec), planes, nPlanes, dim))
+
+  def sq8Encode(vec: Column, mins: Array[Double],
+                scales: Array[Double]): Column =
+    GraftColumnBridge.column(
+      Sq8Encode(GraftColumnBridge.expression(vec), mins, scales))
+
+  def sq8Dot(query: Column, code: Column, mins: Array[Double],
+             scales: Array[Double]): Column =
+    GraftColumnBridge.column(Sq8Dot(GraftColumnBridge.expression(query),
+      GraftColumnBridge.expression(code), mins, scales))
+
+  def sq8Norm(code: Column, mins: Array[Double],
+              scales: Array[Double]): Column =
+    GraftColumnBridge.column(
+      Sq8Norm(GraftColumnBridge.expression(code), mins, scales))
 
   /** Register the full graft SQL surface in an existing session
     * (kept for source compatibility — see [[GraftSqlFunctions]]). */

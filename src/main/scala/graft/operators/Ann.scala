@@ -53,6 +53,67 @@ object Ann {
         round(col("cos_raw"), 6).as("cosine"), col("rank"))
   }
 
+  /** Per-dimension SQ8 quantization grid (see functions.Sq8Encode). */
+  case class Sq8Params(mins: Array[Double], scales: Array[Double]) {
+    def dim: Int = mins.length
+  }
+
+  /** Train the SQ8 grid: per-dimension [min, max] over the corpus.
+    * One explode + map-side-combining aggregate keyed by the `dim`
+    * positions — O(dim) result rows regardless of corpus size.
+    */
+  def sq8Train(emb: DataFrame, vecCol: String): Sq8Params = {
+    val rows = emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .collect()
+    require(rows.nonEmpty, "cannot train SQ8 on an empty corpus")
+    val dim = rows.iterator.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val scales = new Array[Double](dim)
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      mins(p) = r.getFloat(1).toDouble
+      scales(p) = (r.getFloat(2).toDouble - r.getFloat(1).toDouble) / 255.0
+    }
+    Sq8Params(mins, scales)
+  }
+
+  /** Quantized exact-scan top-k: the corpus is SQ8-encoded (one byte
+    * per dimension — 4× less memory and scan I/O than float32, the
+    * lever that matters when the corpus IS the 100 TB), queries stay
+    * float, and ranking uses the fused asymmetric dot (query ·
+    * dequantized code, no float array materialized per pair). Same
+    * plan shape as [[bruteTopK]]: queries broadcast, corpus never
+    * shuffles. Recall loss is bounded by the grid step (≤ half a
+    * scale unit per dimension); ranks of vectors closer than the
+    * quantization noise may swap — spec-measured recall ≥ 0.9 @ 10
+    * on the test corpus.
+    */
+  def bruteTopKSq8(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int,
+                   params: Sq8Params = null): DataFrame = {
+    import graft.functions.VectorExpressions
+    val p = Option(params).getOrElse(sq8Train(corpus, vecCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        VectorExpressions.sq8Encode(col(vecCol), p.mins, p.scales)
+          .as("code"))
+      .withColumn("cn",
+        VectorExpressions.sq8Norm(col("code"), p.mins, p.scales))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Fns.l2Norm(col(vecCol)).as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw",
+        VectorExpressions.sq8Dot(col("qv"), col("code"), p.mins, p.scales) /
+          (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+  }
+
   /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes.
     * `planeOffset` selects a disjoint plane family, so multi-table
     * LSH callers get independent tables from the same hash scheme.

@@ -338,6 +338,33 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 quantized ANN: high recall vs float brute force, reconstruction within half a grid step") {
+    val emb = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = topSets(Ann.bruteTopK(emb, queries, "vec_id", "embedding", 10))
+    val quant = topSets(Ann.bruteTopKSq8(emb, queries, "vec_id", "embedding", 10))
+    val recalls = exact.map { case (q, s) =>
+      (s intersect quant.getOrElse(q, Set.empty)).size.toDouble / s.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean < 0.9")
+    // reconstruction: every dequantized component within half a grid
+    // step of the original (the SQ8 contract the recall rests on)
+    val p = Ann.sq8Train(emb, "embedding")
+    val v = emb.head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val enc = graft.functions.Sq8Encode(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), p.mins, p.scales)
+    val code = enc.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
+    v.indices.foreach { i =>
+      val d = p.mins(i) + (code(i) & 0xff) * p.scales(i)
+      assert(math.abs(d - v(i)) <= p.scales(i) / 2 + 1e-4f,
+        s"dim $i: decoded $d vs ${v(i)} exceeds half-step ${p.scales(i) / 2}")
+    }
+  }
+
   test("tfidf: hand-computed scores, rarest terms rank first, ties break on term") {
     val docs = Seq(
       (1L, "cat sat mat"), (2L, "cat ran"), (3L, "dog barks loud"))
