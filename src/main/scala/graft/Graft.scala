@@ -235,4 +235,7 @@ object Graft {
 
   def tfidfKeywords(docs: DataFrame, topK: Int = 5): DataFrame =
     TextAnalysis.tfidf(docs, "doc_id", "text", topK)
+
+  def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    TextAnalysis.chunk(docs, "doc_id", "text", window, stride)
 }

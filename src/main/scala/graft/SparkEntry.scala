@@ -280,6 +280,10 @@ object SparkEntry {
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
 
+  def qChunk(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
+      window = 40, stride = 20)
+
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
 
@@ -335,6 +339,7 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf" -> (qTfidf _),
+    "q_chunk" -> (qChunk _),
     "q_multimodal_meta" -> (qMultimodalMeta _)
   )
 
@@ -796,6 +801,24 @@ object SparkEntry {
           |           (n_entities * syy - sy * sy)), 6)
           |  END AS corr
           |FROM s""".stripMargin,
+
+      "q_chunk" ->
+        """WITH w AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws,
+          |    len(string_split(text, ' ')) AS n
+          |  FROM documents WHERE text IS NOT NULL
+          |), c AS (
+          |  SELECT doc_id, ws, n,
+          |    unnest(generate_series(0,
+          |      GREATEST(CAST(ceil((n - 40)::DOUBLE / 20) AS INT), 0)))
+          |      AS chunk_idx
+          |  FROM w WHERE n > 0
+          |)
+          |SELECT doc_id, chunk_idx,
+          |  array_to_string(list_slice(ws, chunk_idx * 20 + 1,
+          |    chunk_idx * 20 + 40), ' ') AS chunk_text,
+          |  LEAST(40, n - chunk_idx * 20) AS n_tokens
+          |FROM c WHERE chunk_idx * 20 < n""".stripMargin,
 
       "q_ranking_aggs" ->
         """WITH g AS (

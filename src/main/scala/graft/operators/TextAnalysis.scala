@@ -99,6 +99,33 @@ object TextAnalysis {
         col("digit_ratio") <= maxDigitRatio &&
         col("stopword_ratio") <= maxStopwordRatio)
 
+  /** Sliding-window document chunking — the RAG / pretraining prep
+    * step: each document becomes ceil(max(n−window,0)/stride)+1
+    * chunks of up to `window` whitespace tokens, consecutive chunks
+    * overlapping by `window − stride` tokens so no span is lost at a
+    * boundary. Pure generate-and-project (explode over a sequence
+    * literal): no shuffle, no state, linear in corpus size — each
+    * task chunks its own documents.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    docs.select(col(idCol).as("doc_id"), Fns.words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0) // NULL text → NULL n → dropped here
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        greatest(ceil((col("n") - window).cast("double") / stride)
+          .cast("int"), lit(0)))))
+      .withColumn("start", col("chunk_idx") * stride)
+      .filter(col("start") < col("n"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(slice(col("ws"), col("start") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), col("n") - col("start")).cast("long")
+          .as("n_tokens"))
+  }
+
   /** TF-IDF keyword extraction: the `topK` most characteristic terms
     * per document, scored (tf / doc_len) · (ln((N+1)/(df+1)) + 1)
     * (the smoothed-idf form, so corpus-universal terms score low but

@@ -365,6 +365,29 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk: windows cover every token, overlap by window-stride, short docs get one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(docs, "doc_id", "text",
+        window = 4, stride = 2)
+      .collect().groupBy(_.getLong(0))
+    assert(!out.contains(3L), "null text produces no chunks")
+    assert(out(2L).map(_.getString(2)).toSeq == Seq("only three tokens"),
+      "doc shorter than the window is one whole chunk")
+    val c1 = out(1L).sortBy(_.getLong(1))
+    // 10 tokens, window 4, stride 2 → starts 0,2,4,6 → 4 chunks
+    assert(c1.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(c1.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L, 4L))
+    // stride-spaced union reconstructs the document exactly
+    val rebuilt = c1.map(_.getString(2).split(" ").take(2)).flatten ++
+      c1.last.getString(2).split(" ").drop(2)
+    assert(rebuilt.toSeq == (1 to 10).map(i => s"w$i"))
+  }
+
   test("tfidf: hand-computed scores, rarest terms rank first, ties break on term") {
     val docs = Seq(
       (1L, "cat sat mat"), (2L, "cat ran"), (3L, "dog barks loud"))
