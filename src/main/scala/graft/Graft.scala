@@ -238,4 +238,13 @@ object Graft {
 
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
     TextAnalysis.chunk(docs, "doc_id", "text", window, stride)
+
+  /** Deterministic per-class downsampling (rates in basis points). */
+  def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
+                         ratesBp: Map[String, Int]): DataFrame =
+    FeatureEng.classBalanceSample(df, keyCol, classCol, ratesBp)
+
+  def featureCorrelations(records: DataFrame): DataFrame =
+    graft.stats.Profiler.featureCorr(records, "entity_id",
+      "feature_name", "value_float")
 }

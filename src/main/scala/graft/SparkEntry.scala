@@ -798,7 +798,7 @@ object SparkEntry {
           |        AND (n_entities * syy - sy * sy) > 0
           |    THEN round((n_entities * sxy - sx * sy) /
           |      sqrt((n_entities * sxx - sx * sx) *
-          |           (n_entities * syy - sy * sy)), 6)
+          |           (n_entities * syy - sy * sy)), 4)
           |  END AS corr
           |FROM s""".stripMargin,
 
@@ -818,7 +818,7 @@ object SparkEntry {
           |  array_to_string(list_slice(ws, chunk_idx * 20 + 1,
           |    chunk_idx * 20 + 40), ' ') AS chunk_text,
           |  LEAST(40, n - chunk_idx * 20) AS n_tokens
-          |FROM c WHERE chunk_idx * 20 < n""".stripMargin,
+          |FROM c""".stripMargin,
 
       "q_ranking_aggs" ->
         """WITH g AS (
@@ -969,10 +969,13 @@ object SparkEntry {
 
       "q_ann_lsh" -> annLshOracle(nPlanes = 8, dim = 64, k = 3),
 
-      // Mirrors bruteTopKSq8 bit-for-bit: the grid (per-dim min,
+      // Mirrors bruteTopKSq8 bit-for-bit on null-free fixed-dim
+      // vectors (the gate corpora): the grid (per-dim min,
       // (max-min)/255) is double arithmetic on exact float inputs on
       // both engines; encode is floor(x+0.5) == Java Math.round; the
       // dequantized dot folds left-to-right like the Spark loop.
+      // A NULL vector element would diverge (Sq8Encode clamps it to
+      // the grid minimum; SQL NULL propagates through the lambda).
       "q_ann_sq8" ->
         """WITH grid AS (
           |  SELECT list(mn ORDER BY pos) AS mns, list(s ORDER BY pos) AS ss

@@ -34,6 +34,24 @@ object Ann {
     (java.lang.Long.parseLong(hex, 16) % 2001L - 1000L) / 1000.0
   }
 
+  /** Shared scan-and-rank scaffold for the brute-force paths: queries
+    * broadcast against the (float or quantized) corpus, cosine from
+    * `cosRaw`, per-query row_number top-k with the id tie-break. One
+    * definition so a change to ranking/rounding can never drift
+    * between the float and SQ8 variants.
+    */
+  private def rankByCosine(q: DataFrame, c: DataFrame,
+                           cosRaw: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", cosRaw)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+  }
+
   /** Exact cosine top-k: `queries` broadcast against `corpus`. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
@@ -42,15 +60,8 @@ object Ann {
       Fns.l2Norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       Fns.l2Norm(col(vecCol)).as("cn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw",
-        dotF(col("qv"), col("cv")) / (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+    rankByCosine(q, c,
+      dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), k)
   }
 
   /** Per-dimension SQ8 quantization grid (see functions.Sq8Encode). */
@@ -92,9 +103,9 @@ object Ann {
     */
   def bruteTopKSq8(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int,
-                   params: Sq8Params = null): DataFrame = {
+                   params: Option[Sq8Params] = None): DataFrame = {
     import graft.functions.VectorExpressions
-    val p = Option(params).getOrElse(sq8Train(corpus, vecCol))
+    val p = params.getOrElse(sq8Train(corpus, vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         VectorExpressions.sq8Encode(col(vecCol), p.mins, p.scales)
           .as("code"))
@@ -102,16 +113,9 @@ object Ann {
         VectorExpressions.sq8Norm(col("code"), p.mins, p.scales))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Fns.l2Norm(col(vecCol)).as("qn"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_raw",
-        VectorExpressions.sq8Dot(col("qv"), col("code"), p.mins, p.scales) /
-          (col("qn") * col("cn")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cosine"), col("rank"))
+    rankByCosine(q, c,
+      VectorExpressions.sq8Dot(col("qv"), col("code"), p.mins, p.scales) /
+        (col("qn") * col("cn")), k)
   }
 
   /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes.

@@ -117,8 +117,10 @@ object TextAnalysis {
       .withColumn("chunk_idx", explode(sequence(lit(0),
         greatest(ceil((col("n") - window).cast("double") / stride)
           .cast("int"), lit(0)))))
+      // every generated start is in-bounds: the last chunk_idx is
+      // ceil((n−window)/stride), whose start is ≤ n−window+stride−1
+      // ≤ n−1 because stride ≤ window (enforced above)
       .withColumn("start", col("chunk_idx") * stride)
-      .filter(col("start") < col("n"))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         array_join(slice(col("ws"), col("start") + 1, lit(window)), " ")
           .as("chunk_text"),
@@ -132,12 +134,12 @@ object TextAnalysis {
     * never negative). The relevance/keyword primitive of a curation
     * pipeline — cluster labeling, topic filtering, index building.
     *
-    * Scale shape: one explode pass; term frequencies and doc lengths
-    * are map-side-combining aggregates; document frequency comes from
-    * the (doc, term) pairs (no count-distinct shuffle); the corpus
-    * size is a broadcast scalar. The term-df join shuffles on term,
-    * then everything else stays on the doc_id partitioning — the
-    * final window reuses the dlen join's exchange.
+    * Scale shape: ONE tokenize/explode pass feeding one (doc, term)
+    * aggregate, from which doc lengths and document frequencies both
+    * derive (no count-distinct, no second explode); the corpus size
+    * is a broadcast scalar. The term-df join shuffles on term, then
+    * everything else stays on the doc_id partitioning — the final
+    * window reuses the dlen join's exchange.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String,
             topK: Int = 5): DataFrame = {
@@ -147,8 +149,10 @@ object TextAnalysis {
       .select(col("doc_id"), explode(Fns.words(col("text"))).as("term"))
       .filter(col("term") =!= "")
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dlen = words.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
-    // df per term: tf already holds one row per (doc, term)
+    // dlen and df both derive from the (doc, term) aggregate, NOT from
+    // a second pass over `words`: the corpus is tokenized once, and the
+    // three consumers of `tf` share its exchange (ReusedExchange).
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
     val scored = tf

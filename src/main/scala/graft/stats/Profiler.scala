@@ -136,10 +136,14 @@ object Profiler {
     val n = col("n_entities")
     val varx = n * col("sxx") - col("sx") * col("sx")
     val vary = n * col("syy") - col("sy") * col("sy")
+    // corr rounds at 4dp, not 6: the decimal(38,4) power sums can
+    // exceed 2^53, where the decimal→double conversion may differ by
+    // 1 ulp across engines, and the n·Σx² − (Σx)² cancellation
+    // amplifies that — the same reason rankingAggs rounds var at -4.
     s.select(col("feature_a"), col("feature_b"), n,
       when(n > 1 && varx > 0 && vary > 0,
         round((n * col("sxy") - col("sx") * col("sy")) /
-          sqrt(varx * vary), 6)).as("corr"))
+          sqrt(varx * vary), 4)).as("corr"))
   }
 
   /** Scale-path twin: approx_percentile (t-digest) instead of exact
