@@ -247,4 +247,8 @@ object Graft {
   def featureCorrelations(records: DataFrame): DataFrame =
     graft.stats.Profiler.featureCorr(records, "entity_id",
       "feature_name", "value_float")
+
+  /** GPT-style contiguous sequence packing (bin/offset per document). */
+  def packSequences(docs: DataFrame, budgetTokens: Long): DataFrame =
+    FeatureEng.packSequences(docs, "doc_id", "text", budgetTokens)
 }

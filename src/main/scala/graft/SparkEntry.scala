@@ -284,6 +284,10 @@ object SparkEntry {
     TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
       window = 40, stride = 20)
 
+  def qPackSequences(s: SparkSession, d: String): DataFrame =
+    FeatureEng.packSequences(Tables.documents(s, d), "doc_id", "text",
+      budgetTokens = 1024L)
+
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
 
@@ -340,6 +344,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf" -> (qTfidf _),
     "q_chunk" -> (qChunk _),
+    "q_pack_sequences" -> (qPackSequences _),
     "q_multimodal_meta" -> (qMultimodalMeta _)
   )
 
@@ -819,6 +824,23 @@ object SparkEntry {
           |    chunk_idx * 20 + 40), ' ') AS chunk_text,
           |  LEAST(40, n - chunk_idx * 20) AS n_tokens
           |FROM c""".stripMargin,
+
+      // Oracle cumsum is one global window; the Spark side distributes
+      // it (literal-pinned buckets + offsets) — values must agree.
+      "q_pack_sequences" ->
+        """WITH t AS (
+          |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+          |  FROM documents WHERE text IS NOT NULL
+          |), r AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
+          |  FROM t
+          |)
+          |SELECT doc_id, n_tokens,
+          |  CAST((rt - n_tokens) // 1024 AS BIGINT) AS bin,
+          |  CAST((rt - n_tokens) % 1024 AS BIGINT) AS bin_offset
+          |FROM r""".stripMargin,
 
       "q_ranking_aggs" ->
         """WITH g AS (

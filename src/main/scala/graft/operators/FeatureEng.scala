@@ -209,6 +209,72 @@ object FeatureEng {
       (Fns.md5Hash31(col(keyCol).cast("string")) % 100).as("hash_bucket"),
       splitColumn(keyCol, trainPct).as("split"))
 
+  /** Exact global running total of `valCol` in ascending `orderCol`
+    * order WITHOUT a single-partition window: `orderCol`'s value
+    * space is cut at approximate quantile boundaries (collected once,
+    * pinned as literals), one tiny driver job turns per-bucket sums
+    * into literal offsets, and a per-bucket window finishes the
+    * within-bucket prefix — the same shape as [[quantileLabel]]'s
+    * exact rank, generalized to any monotone accumulation. `orderCol`
+    * must be unique (it is the total order). Returns
+    * (ord, val, running_total) with `running_total` INCLUSIVE of the
+    * current row.
+    */
+  def runningTotal(df: DataFrame, orderCol: String, valCol: String,
+                   buckets: Int = 32): DataFrame = {
+    val base = df.select(col(orderCol).as("ord"),
+        col(valCol).cast("long").as("val"))
+      .localCheckpoint(false)
+    val boundsRow = base.agg(percentile_approx(
+        col("ord").cast("double"),
+        lit((1 until buckets).map(_.toDouble / buckets).toArray),
+        lit(10000)).as("bs"))
+      .head()
+    val bounds: Seq[Double] =
+      if (boundsRow.isNullAt(0)) Seq.empty
+      else boundsRow.getSeq[Double](0)
+    val bucketOf: Column =
+      if (bounds.isEmpty) lit(0)
+      else bounds.map(b =>
+        when(col("ord").cast("double") > lit(b), 1).otherwise(0))
+        .reduce(_ + _)
+    val bucketed = base.withColumn("bkt", bucketOf)
+    val perBucket = bucketed.groupBy("bkt").agg(sum("val").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets)
+      .scanLeft(0L)((acc, b) => acc + perBucket.getOrElse(b, 0L))
+    val offsetArr = array(offsets.take(buckets).map(lit(_)): _*)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy("ord")
+      .rowsBetween(Long.MinValue, 0)
+    bucketed
+      .withColumn("running_total",
+        element_at(offsetArr, col("bkt") + 1) + sum("val").over(wB))
+      .select("ord", "val", "running_total")
+  }
+
+  /** GPT-style sequence packing: documents are concatenated in
+    * doc-id order into one global token stream cut into fixed
+    * `budgetTokens` bins; each document is assigned the bin and
+    * offset where its first token lands (a document may straddle its
+    * bin's end — continuation into the next bin is the downstream
+    * loader's truncate/wrap policy). The assignment is pure
+    * arithmetic over the exact distributed [[runningTotal]], so it is
+    * identical on any cluster layout.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        size(Fns.words(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0) // NULL text → NULL size → dropped
+    runningTotal(toks, "doc_id", "n_tokens")
+      .select(col("ord").as("doc_id"), col("val").as("n_tokens"),
+        expr(s"(running_total - val) DIV $budgetTokens").as("bin"),
+        pmod(col("running_total") - col("val"), lit(budgetTokens))
+          .as("bin_offset"))
+  }
+
   /** Deterministic class-balanced sampling for training prep: each
     * row survives iff its key's md5 bucket (0..9999) falls under its
     * class's rate in basis points — downsample the majority class,

@@ -163,6 +163,35 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(out.size == 6, "all feature pairs present")
   }
 
+  test("runningTotal: distributed prefix sum equals the single-window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    val df = (1L to 500L).map(i => (i * 7 % 1000, rnd.nextInt(50) + 1))
+      .toMap.toSeq // unique keys
+      .map { case (k, v) => (k, v.toLong) }.toDF("k", "v")
+    val got = FeatureEng.runningTotal(df, "k", "v", buckets = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = df.withColumn("rt", sum("v").over(
+        Window.orderBy("k").rowsBetween(Long.MinValue, 0)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == ref)
+  }
+
+  test("packSequences: greedy contiguous bins by start offset, straddle allowed") {
+    val docs = Seq(
+      (1L, "a b c d e"),          // 5 tokens → bin 0, offset 0
+      (2L, "a b c d e"),          // 5 tokens → bin 0, offset 5 (straddles)
+      (3L, "a b c"),              // 3 tokens → bin 1, offset 2
+      (4L, "a b c d"),            // 4 tokens → bin 1, offset 5
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = FeatureEng.packSequences(docs, "doc_id", "text", 8L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(1L -> (0L, 0L), 2L -> (0L, 5L),
+      3L -> (1L, 2L), 4L -> (1L, 5L)))
+  }
+
   test("registry round-trips view defs through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
     val views = Seq(
