@@ -98,6 +98,8 @@ object ScaleProbe {
       Dedup.pipeline(docs, "doc_id", "text", 3, 0.8).count())
     time("tfidf xK")(
       TextAnalysis.tfidf(docs, "doc_id", "text", 5).count())
+    time("pack_sequences xK")(
+      FeatureEng.packSequences(docs, "doc_id", "text", 1024L).count())
     // near-dup graph -> connected components (pointer-jump propagation)
     time("clusters over minhash pairs xK")({
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)

@@ -83,6 +83,20 @@ class PlanSpec extends AnyFunSuite {
       s"global rank must not funnel through one partition:\n$plan")
   }
 
+  test("q_pack_sequences: exact prefix sum without a SinglePartition exchange") {
+    val plan = SparkEntry.qPackSequences(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"distributed running total must not funnel through one partition:\n$plan")
+  }
+
+  test("q_tfidf: rank pushes a partial top-k (WindowGroupLimit) below the exchange") {
+    val plan = SparkEntry.qTfidf(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-k should prune before the window exchange:\n$plan")
+  }
+
   test("q_dedup_embedding: block equi-join, no nested-loop / cartesian") {
     val plan = SparkEntry.qDedupEmbedding(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
