@@ -39,7 +39,8 @@ object GraftSqlFunctions {
       s"$fn takes ${n.mkString(" or ")} arguments, got ${c.size}")
 
   private def info(name: String, clazz: Class[_], usage: String) =
-    new ExpressionInfo(clazz.getName, null, name, usage, "")
+    new ExpressionInfo(clazz.getName, null, name, usage,
+      "", "", "", "misc_funcs", "", "", "built-in")
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
                 Seq[Expression] => Expression)] = Seq(

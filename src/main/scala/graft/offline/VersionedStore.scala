@@ -223,7 +223,8 @@ object VersionedStore {
                     Some(v => v.asInstanceOf[Number].doubleValue())
                   case _ => None // strings, dates, int96, nested...
                 }
-              val st = cc.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                cc.getStatistics
               val usable = toD.isDefined && st != null &&
                 st.hasNonNullValue
               val prev = acc.getOrElse(name,
