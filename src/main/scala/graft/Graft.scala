@@ -124,6 +124,12 @@ object Graft {
                    sortBy: Seq[String] = Nil): Long =
     graft.offline.VersionedStore.compact(spark, path, numFiles, sortBy)
 
+  /** Retention cleanup: drop versions below the newest `keepVersions`
+    * and reclaim their unshared data files (see VersionedStore.vacuum). */
+  def vacuumTable(spark: SparkSession, path: String,
+                  keepVersions: Int): Seq[Long] =
+    graft.offline.VersionedStore.vacuum(spark, path, keepVersions)
+
   def exportTraining(df: DataFrame, path: String, keyCol: String,
                      trainPct: Int = 80)
   : graft.offline.TrainingExport.ExportManifest =

@@ -301,9 +301,15 @@ object VersionedStore {
   }
 
   def versions(spark: SparkSession, root: String): Seq[VersionInfo] =
-    (0L to latestVersion(spark, root)).map { v =>
-      val snap = readManifest(spark, root, v)
-      VersionInfo(v, snap.op, snap.files.size, snap.rows)
+    (0L to latestVersion(spark, root)).flatMap { v =>
+      // versions below the vacuum retention horizon are gone — a
+      // contiguous log is not guaranteed after vacuum()
+      val p = manifestPath(root, v)
+      if (!fileSystem(spark, p).exists(p)) None
+      else {
+        val snap = readManifest(spark, root, v)
+        Some(VersionInfo(v, snap.op, snap.files.size, snap.rows))
+      }
     }
 
   /** Race lost on an expected version number — the caller must re-read
@@ -520,5 +526,62 @@ object VersionedStore {
     }
     throw new IllegalStateException(
       s"could not compact $root after 10 attempts (concurrent writers)")
+  }
+
+  /** Retention cleanup — the copy-on-write store's VACUUM. Keeps the
+    * newest `keepVersions` snapshots readable; versions below that
+    * horizon lose first their manifest, then every data file no
+    * SURVIVING snapshot references (append-carried files shared with
+    * kept versions are untouched). Deletion order is crash-safe for
+    * the retention contract: a manifest disappears before its files,
+    * so a crash mid-vacuum never leaves a readable version with
+    * missing data — only orphan files, which the next vacuum's sweep
+    * reclaims.
+    *
+    * The sweep also removes data directories referenced by NO
+    * manifest at all (debris from failed commits and interrupted
+    * vacuums) — but only those older than `orphanAgeMs`, because a
+    * concurrent writer stages its data directory BEFORE publishing
+    * the manifest; age is the only safe discriminator (same design as
+    * Delta's retention-guarded VACUUM).
+    *
+    * Returns the version numbers whose manifests were removed.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int,
+             orphanAgeMs: Long = 7L * 24 * 3600 * 1000): Seq[Long] = {
+    require(keepVersions >= 1, "must keep at least the head version")
+    val head = latestVersion(spark, root)
+    require(head >= 0, s"no committed version under $root")
+    val fs = fileSystem(spark, new Path(root))
+    val cutoff = head - keepVersions + 1
+    val survivors = (math.max(cutoff, 0L) to head)
+      .filter(v => fs.exists(manifestPath(root, v)))
+    val referenced = survivors
+      .flatMap(v => readManifest(spark, root, v).files).toSet
+    val dropped = (0L until math.max(cutoff, 0L))
+      .filter(v => fs.exists(manifestPath(root, v)))
+    // 1. manifests go first — those versions are no longer readable
+    val droppedFiles = dropped.flatMap { v =>
+      val files = readManifest(spark, root, v).files
+      fs.delete(manifestPath(root, v), false)
+      files
+    }.toSet
+    // 2. their now-unreferenced data files
+    (droppedFiles -- referenced).foreach { f =>
+      fs.delete(new Path(root, f), false)
+    }
+    // 3. age-guarded orphan sweep over data/: directories with no
+    // referenced file and an old modification time
+    val dataRoot = new Path(root, "data")
+    if (fs.exists(dataRoot)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(dataRoot).foreach { d =>
+        val rel = s"data/${d.getPath.getName}"
+        val hasRef = referenced.exists(_.startsWith(s"$rel/"))
+        if (!hasRef && now - d.getModificationTime > orphanAgeMs)
+          fs.delete(d.getPath, true)
+      }
+    }
+    dropped
   }
 }

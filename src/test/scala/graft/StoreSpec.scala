@@ -119,6 +119,39 @@ class StoreSpec extends AnyFunSuite {
     assert(ts.collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("VersionedStore: vacuum drops old versions, keeps shared files, sweeps aged orphans") {
+    val root = tmp("vvac")
+    VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)    // v0: A
+    VersionedStore.append(Seq((2L, "b")).toDF("id", "v"), root)    // v1: A+B
+    VersionedStore.overwrite(Seq((3L, "c")).toDF("id", "v"), root) // v2: C
+    VersionedStore.append(Seq((4L, "d")).toDF("id", "v"), root)    // v3: C+D
+    val dropped = VersionedStore.vacuum(spark, root, keepVersions = 2,
+      orphanAgeMs = Long.MaxValue)
+    assert(dropped == Seq(0L, 1L))
+    // survivors fully readable (v3 carries v2's files)
+    assert(VersionedStore.read(spark, root, versionAsOf = 2).count() == 1)
+    assert(VersionedStore.read(spark, root, versionAsOf = 3).count() == 2)
+    intercept[IllegalArgumentException](
+      VersionedStore.read(spark, root, versionAsOf = 0))
+    assert(VersionedStore.versions(spark, root).map(_.version) ==
+      Seq(2L, 3L))
+    // every parquet file on disk is referenced by the surviving head
+    val v3Files = VersionedStore.versions(spark, root).last.nFiles
+    val onDisk = new java.io.File(s"$root/data").listFiles
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .count(_.getName.endsWith(".parquet"))
+    assert(onDisk == v3Files,
+      s"unreferenced files must be gone: $onDisk on disk vs $v3Files referenced")
+    // orphan debris (failed commit): swept only past the age guard
+    val orphan = new java.io.File(s"$root/data/orphan_debris")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-junk.parquet").createNewFile()
+    VersionedStore.vacuum(spark, root, 2, orphanAgeMs = Long.MaxValue)
+    assert(orphan.exists, "fresh directory must survive (in-flight commit)")
+    VersionedStore.vacuum(spark, root, 2, orphanAgeMs = -1L)
+    assert(!orphan.exists, "aged orphan must be reclaimed")
+  }
+
   test("VersionedStore: decimal(38) columns commit fine, stats fall back conservatively") {
     val root = tmp("vdec")
     // precision > 18 → FIXED_LEN_BYTE_ARRAY physical: no numeric
