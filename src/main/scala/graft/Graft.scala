@@ -130,6 +130,11 @@ object Graft {
                   keepVersions: Int): Seq[Long] =
     graft.offline.VersionedStore.vacuum(spark, path, keepVersions)
 
+  /** Wall-clock time travel: the table as of a commit timestamp. */
+  def readTableAt(spark: SparkSession, path: String,
+                  tsMillis: Long): DataFrame =
+    graft.offline.VersionedStore.readAt(spark, path, tsMillis)
+
   def exportTraining(df: DataFrame, path: String, keyCol: String,
                      trainPct: Int = 80)
   : graft.offline.TrainingExport.ExportManifest =

@@ -91,7 +91,8 @@ object VersionedStore {
     * and per-file column ranges for data skipping. */
   private case class Snapshot(op: String, files: Seq[String], rows: Long,
                               schemaJson: String,
-                              stats: Map[String, Map[String, (Double, Double)]])
+                              stats: Map[String, Map[String, (Double, Double)]],
+                              commitTsMs: Long)
 
   private val mapper = new ObjectMapper()
 
@@ -136,8 +137,29 @@ object VersionedStore {
             }.toMap
       }
     Snapshot(m.get("op").toString, files, m.get("rows").toString.toLong,
-      Option(m.get("schema")).map(_.toString).getOrElse(""), stats)
+      Option(m.get("schema")).map(_.toString).getOrElse(""), stats,
+      Option(m.get("ts")).map(_.toString.toLong).getOrElse(0L))
   }
+
+  /** The newest version committed at-or-before `tsMillis` — Delta's
+    * `timestampAsOf` semantic (commit wall-clock, recorded in the
+    * manifest). Manifests written before timestamps existed count as
+    * ts 0, i.e. always eligible. */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val head = latestVersion(spark, root)
+    require(head >= 0, s"no committed version under $root")
+    val fs = fileSystem(spark, manifestPath(root, 0))
+    val eligible = (0L to head)
+      .filter(v => fs.exists(manifestPath(root, v)))
+      .filter(v => readManifest(spark, root, v).commitTsMs <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $root existed at $tsMillis")
+    eligible.max
+  }
+
+  /** Snapshot read by wall-clock: the table as it was at `tsMillis`. */
+  def readAt(spark: SparkSession, root: String, tsMillis: Long): DataFrame =
+    read(spark, root, versionAt(spark, root, tsMillis))
 
   // --- footer-driven file statistics ---------------------------------
 
@@ -398,6 +420,26 @@ object VersionedStore {
       val (files, rows, stats) =
         if (carryPrev && prev >= 0) {
           val p = readManifest(spark, root, prev)
+          // A carried snapshot mixes old and new files in ONE logical
+          // table, so their schemas must agree (name+type; nullability
+          // may differ) — a silent mismatch would surface only at read
+          // time, as parquet dropping whichever columns the first
+          // footer lacks.
+          if (p.schemaJson.nonEmpty) {
+            def shape(json: String) = org.apache.spark.sql.types.DataType
+              .fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fields.map(f => (f.name, f.dataType)).toSet
+            val prevShape = shape(p.schemaJson)
+            val newShape = shape(df.schema.json)
+            if (prevShape != newShape) {
+              fs.delete(dataDir, true) // staged files never referenced
+              throw new IllegalArgumentException(
+                s"append schema mismatch for $root: table has " +
+                  s"${prevShape.toSeq.sortBy(_._1).mkString(", ")} but the " +
+                  s"append carries ${newShape.toSeq.sortBy(_._1).mkString(", ")}" +
+                  " — use overwrite/merge for schema changes")
+            }
+          }
           (p.files ++ newFiles, p.rows + newRows, p.stats ++ newStats)
         } else (newFiles, newRows, newStats)
       val next = if (expectedVersion >= 0) expectedVersion else prev + 1
@@ -407,6 +449,7 @@ object VersionedStore {
       manifest.put("files", files.asJava)
       manifest.put("rows", java.lang.Long.valueOf(rows))
       manifest.put("schema", df.schema.json)
+      manifest.put("ts", java.lang.Long.valueOf(System.currentTimeMillis()))
       val statsM = new java.util.LinkedHashMap[String, Object]()
       files.foreach { f =>
         stats.get(f).filter(_.nonEmpty).foreach { cols =>

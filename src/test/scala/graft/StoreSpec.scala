@@ -119,6 +119,28 @@ class StoreSpec extends AnyFunSuite {
     assert(ts.collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("VersionedStore: timestampAsOf maps wall-clock to versions; append rejects schema drift") {
+    val root = tmp("vts")
+    VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    VersionedStore.append(Seq((2L, "b")).toDF("id", "v"), root)
+    // as-of between the commits resolves to v0; as-of now resolves to v1
+    assert(VersionedStore.versionAt(spark, root, t0) == 0L)
+    assert(VersionedStore.readAt(spark, root, t0).count() == 1)
+    assert(VersionedStore.versionAt(spark, root,
+      System.currentTimeMillis()) == 1L)
+    intercept[IllegalArgumentException](
+      VersionedStore.versionAt(spark, root, 1L)) // before the table
+    // appending a different shape must fail loudly, not corrupt reads
+    val e = intercept[IllegalArgumentException](
+      VersionedStore.append(
+        Seq((3L, 1.5)).toDF("id", "score"), root))
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    assert(VersionedStore.read(spark, root).count() == 2,
+      "failed append must leave the table untouched")
+  }
+
   test("VersionedStore: vacuum drops old versions, keeps shared files, sweeps aged orphans") {
     val root = tmp("vvac")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)    // v0: A
