@@ -141,20 +141,53 @@ object VersionedStore {
       Option(m.get("ts")).map(_.toString.toLong).getOrElse(0L))
   }
 
+  /** Tolerant manifest read: None when the manifest has vanished —
+    * a concurrent [[vacuum]] deletes old manifests, and callers that
+    * enumerate history must skip those instead of crashing. */
+  private def readManifestOpt(spark: SparkSession, root: String, v: Long)
+  : Option[Snapshot] =
+    try Some(readManifest(spark, root, v)) catch {
+      case _: IllegalArgumentException => None
+      case _: java.io.FileNotFoundException => None
+    }
+
   /** The newest version committed at-or-before `tsMillis` — Delta's
     * `timestampAsOf` semantic (commit wall-clock, recorded in the
     * manifest). Manifests written before timestamps existed count as
-    * ts 0, i.e. always eligible. */
+    * ts 0, i.e. always eligible.
+    *
+    * One directory listing + O(log history) manifest reads: a binary
+    * search over the surviving versions, valid because commit
+    * timestamps are nondecreasing in version order for any
+    * reasonably synchronized writer fleet (like Delta, severe clock
+    * skew between concurrent writers can blur which of two
+    * near-simultaneous commits a timestamp resolves to — never which
+    * DATA is returned, since version order itself is authoritative).
+    * A version vacuumed mid-search is treated as old-and-eligible,
+    * matching vacuum's oldest-first deletion order.
+    */
   def versionAt(spark: SparkSession, root: String, tsMillis: Long): Long = {
-    val head = latestVersion(spark, root)
-    require(head >= 0, s"no committed version under $root")
-    val fs = fileSystem(spark, manifestPath(root, 0))
-    val eligible = (0L to head)
-      .filter(v => fs.exists(manifestPath(root, v)))
-      .filter(v => readManifest(spark, root, v).commitTsMs <= tsMillis)
-    require(eligible.nonEmpty,
-      s"no version of $root existed at $tsMillis")
-    eligible.max
+    val dir = logDir(root)
+    val fs = fileSystem(spark, dir)
+    require(fs.exists(dir), s"no committed version under $root")
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+    require(vs.nonEmpty, s"no committed version under $root")
+    var lo = 0
+    var hi = vs.length - 1
+    var ans = -1L
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      readManifestOpt(spark, root, vs(mid)).map(_.commitTsMs) match {
+        case Some(ts) if ts <= tsMillis => ans = vs(mid); lo = mid + 1
+        case Some(_) => hi = mid - 1
+        case None => lo = mid + 1 // vacuumed: old, hence eligible
+      }
+    }
+    require(ans >= 0, s"no version of $root existed at $tsMillis")
+    ans
   }
 
   /** Snapshot read by wall-clock: the table as it was at `tsMillis`. */
@@ -324,14 +357,11 @@ object VersionedStore {
 
   def versions(spark: SparkSession, root: String): Seq[VersionInfo] =
     (0L to latestVersion(spark, root)).flatMap { v =>
-      // versions below the vacuum retention horizon are gone — a
-      // contiguous log is not guaranteed after vacuum()
-      val p = manifestPath(root, v)
-      if (!fileSystem(spark, p).exists(p)) None
-      else {
-        val snap = readManifest(spark, root, v)
-        Some(VersionInfo(v, snap.op, snap.files.size, snap.rows))
-      }
+      // versions below the vacuum retention horizon are gone (and can
+      // vanish mid-listing under a concurrent vacuum) — a contiguous
+      // log is not guaranteed; skip, don't crash
+      readManifestOpt(spark, root, v)
+        .map(snap => VersionInfo(v, snap.op, snap.files.size, snap.rows))
     }
 
   /** Race lost on an expected version number — the caller must re-read
@@ -426,9 +456,23 @@ object VersionedStore {
           // time, as parquet dropping whichever columns the first
           // footer lacks.
           if (p.schemaJson.nonEmpty) {
-            def shape(json: String) = org.apache.spark.sql.types.DataType
-              .fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType]
-              .fields.map(f => (f.name, f.dataType)).toSet
+            import org.apache.spark.sql.types._
+            // nullability is erased at EVERY level: array containsNull /
+            // map valueContainsNull / nested struct fields differ freely
+            // between literal-built and parquet-read frames of the same
+            // logical shape
+            def norm(dt: DataType): DataType = dt match {
+              case s: StructType => StructType(s.fields.map(f =>
+                StructField(f.name, norm(f.dataType), nullable = true)))
+              case a: ArrayType =>
+                ArrayType(norm(a.elementType), containsNull = true)
+              case m: MapType => MapType(norm(m.keyType),
+                norm(m.valueType), valueContainsNull = true)
+              case o => o
+            }
+            def shape(json: String) = DataType.fromJson(json)
+              .asInstanceOf[StructType]
+              .fields.map(f => (f.name, norm(f.dataType))).toSet
             val prevShape = shape(p.schemaJson)
             val newShape = shape(df.schema.json)
             if (prevShape != newShape) {

@@ -74,39 +74,16 @@ object FeatureEng {
     val g = orders.groupBy(col(keyCol).as("entity_id"))
       .agg(dsum(col(valCol)).as("gmv"))
       .localCheckpoint(false)
-    val distinctCounts = g.groupBy("gmv").agg(count(lit(1)).as("cnt"))
-    // Boundaries are quantiles of the DISTINCT-value frame, not the
-    // entity rows: the window below partitions distinct values, so
-    // balance must be in distinct-value space — entity-row quantiles
-    // would collapse every value outside a heavy-tie region into one
-    // bucket (one giant window task).
-    val boundsRow = distinctCounts.agg(percentile_approx(col("gmv"),
-        lit((1 until rangeParts).map(_.toDouble / rangeParts).toArray),
-        lit(10000)).as("bs"))
-      .head()
-    val bounds: Seq[Double] =
-      if (boundsRow.isNullAt(0)) Seq.empty
-      else boundsRow.getSeq[Double](0)
-    // Monotone step function of gmv — codegen'd when-chain, no
-    // higher-order array functions (those fall out of codegen).
-    val bucketOf: Column =
-      if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(col("gmv") > lit(b), 1).otherwise(0))
-        .reduce(_ + _)
-    val counts = distinctCounts.withColumn("bkt", bucketOf)
-    val perBucket = counts.groupBy("bkt").agg(sum("cnt").as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = perBucket.values.sum
-    val offsets = (0 until rangeParts)
-      .scanLeft(0L)((acc, b) => acc + perBucket.getOrElse(b, 0L))
-    val offsetArr = array(offsets.take(rangeParts).map(lit(_)): _*)
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("bkt").orderBy("gmv")
-      .rowsBetween(Long.MinValue, 0)
-    val below = counts
-      .withColumn("below", element_at(offsetArr, col("bkt") + 1) +
-        sum("cnt").over(wB) - col("cnt"))
-      .select("gmv", "below")
+    // |rows strictly below x| = inclusive prefix sum of the
+    // DISTINCT-value counts minus the value's own count — ONE shared
+    // implementation with packSequences etc. (runningTotal balances
+    // its buckets in distinct-value space by construction, exactly
+    // what the per-bucket windows need under heavy ties).
+    val counts = g.groupBy("gmv").agg(count(lit(1)).as("cnt"))
+    val rt = runningTotal(counts, "gmv", "cnt", rangeParts)
+    val total = g.count()
+    val below = rt.select(col("ord").as("gmv"),
+      (col("running_total") - col("val")).as("below"))
     g.join(below, "gmv")
       .withColumn("pr",
         round(when(lit(total) > 1L,
@@ -216,12 +193,22 @@ object FeatureEng {
     * into literal offsets, and a per-bucket window finishes the
     * within-bucket prefix — the same shape as [[quantileLabel]]'s
     * exact rank, generalized to any monotone accumulation. `orderCol`
-    * must be unique (it is the total order). Returns
-    * (ord, val, running_total) with `running_total` INCLUSIVE of the
-    * current row.
+    * must be unique (it is the total order) and NUMERIC or timestamp:
+    * bucket boundaries are compared on the double scale, which must
+    * agree with the native sort order (a string "10" sorts before "2"
+    * lexicographically but after it numerically — rejected rather
+    * than silently mis-summed). Null values contribute 0 to the
+    * running total (their rows still appear, with `val` null).
+    * Returns (ord, val, running_total) with `running_total` INCLUSIVE
+    * of the current row.
     */
   def runningTotal(df: DataFrame, orderCol: String, valCol: String,
                    buckets: Int = 32): DataFrame = {
+    val ordType = df.schema(orderCol).dataType
+    require(ordType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+        ordType == org.apache.spark.sql.types.TimestampType,
+      s"orderCol must be numeric or timestamp (its sort order must " +
+        s"match its double cast); got $ordType")
     val base = df.select(col(orderCol).as("ord"),
         col(valCol).cast("long").as("val"))
       .localCheckpoint(false)
@@ -240,7 +227,9 @@ object FeatureEng {
         .reduce(_ + _)
     val bucketed = base.withColumn("bkt", bucketOf)
     val perBucket = bucketed.groupBy("bkt").agg(sum("val").as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .toMap
     val offsets = (0 until buckets)
       .scanLeft(0L)((acc, b) => acc + perBucket.getOrElse(b, 0L))
     val offsetArr = array(offsets.take(buckets).map(lit(_)): _*)
@@ -249,7 +238,8 @@ object FeatureEng {
       .rowsBetween(Long.MinValue, 0)
     bucketed
       .withColumn("running_total",
-        element_at(offsetArr, col("bkt") + 1) + sum("val").over(wB))
+        element_at(offsetArr, col("bkt") + 1) +
+          coalesce(sum("val").over(wB), lit(0L))) // all-null prefix = 0
       .select("ord", "val", "running_total")
   }
 

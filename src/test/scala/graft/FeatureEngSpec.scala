@@ -177,6 +177,21 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("runningTotal: rejects non-numeric order columns; null values contribute 0") {
+    // string order would bucket numerically but window lexicographically
+    val bad = Seq(("2", 1L), ("10", 2L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      FeatureEng.runningTotal(bad, "k", "v"))
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+    val withNulls = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("k", "v")
+    val rt = FeatureEng.runningTotal(withNulls, "k", "v")
+      .orderBy("ord").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2)))
+    assert(rt.toSeq == Seq((1L, 5L, 5L), (2L, -1L, 5L), (3L, 7L, 12L)))
+  }
+
   test("packSequences: greedy contiguous bins by start offset, straddle allowed") {
     val docs = Seq(
       (1L, "a b c d e"),          // 5 tokens → bin 0, offset 0

@@ -139,6 +139,14 @@ class StoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema mismatch"), e.getMessage)
     assert(VersionedStore.read(spark, root).count() == 2,
       "failed append must leave the table untouched")
+    // nested nullability is NOT drift: array(lit) builds
+    // containsNull=false, the Seq encoder builds containsNull=true —
+    // same logical shape, both directions must append
+    val root2 = tmp("vnest")
+    VersionedStore.create(
+      Seq(1L).toDF("id").withColumn("tags", array(lit("a"))), root2)
+    VersionedStore.append(Seq((2L, Seq("b"))).toDF("id", "tags"), root2)
+    assert(VersionedStore.read(spark, root2).count() == 2)
   }
 
   test("VersionedStore: vacuum drops old versions, keeps shared files, sweeps aged orphans") {
