@@ -124,6 +124,13 @@ object Graft {
                    sortBy: Seq[String] = Nil): Long =
     graft.offline.VersionedStore.compact(spark, path, numFiles, sortBy)
 
+  /** Multi-dimensional clustering: Morton-interleaved rewrite so
+    * readTableRange prunes on every `zorderBy` column at once. */
+  def compactTableZOrder(spark: SparkSession, path: String, numFiles: Int,
+                         zorderBy: Seq[String]): Long =
+    graft.offline.VersionedStore.compactZOrder(spark, path, numFiles,
+      zorderBy)
+
   /** Retention cleanup: drop versions below the newest `keepVersions`
     * and reclaim their unshared data files (see VersionedStore.vacuum). */
   def vacuumTable(spark: SparkSession, path: String,

@@ -119,6 +119,32 @@ class StoreSpec extends AnyFunSuite {
     assert(ts.collect().map(_.getLong(1)).toSeq == Seq(2L))
   }
 
+  test("VersionedStore: z-order compaction prunes on EVERY clustered dimension") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 8000L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val root = tmp("vz")
+    VersionedStore.create(rows.toDF("id", "x", "y").repartition(4), root)
+    // single-column layout first: perfect on x, blind on y
+    VersionedStore.compact(spark, root, numFiles = 16, sortBy = Seq("x"))
+    val xOnlyY = VersionedStore.readRange(spark, root, "y", 100, 160)
+    assert(xOnlyY.inputFiles.length == 16,
+      "x-sorted layout cannot prune a y predicate")
+    // z-order on (x, y): tiles — BOTH dimensions prune
+    val zv = VersionedStore.compactZOrder(spark, root, numFiles = 16,
+      zorderBy = Seq("x", "y"))
+    assert(VersionedStore.versions(spark, root).last.op == "zorder")
+    val expectX = rows.count { case (_, x, _) => x >= 100 && x <= 160 }
+    val expectY = rows.count { case (_, _, y) => y >= 100 && y <= 160 }
+    val zx = VersionedStore.readRange(spark, root, "x", 100, 160, zv)
+    val zy = VersionedStore.readRange(spark, root, "y", 100, 160, zv)
+    assert(zx.count() == expectX && zy.count() == expectY, "row-exact")
+    assert(zx.inputFiles.length < 16,
+      s"x band should skip tiles, opened ${zx.inputFiles.length}/16")
+    assert(zy.inputFiles.length < 16,
+      s"y band should skip tiles, opened ${zy.inputFiles.length}/16")
+  }
+
   test("VersionedStore: timestampAsOf maps wall-clock to versions; append rejects schema drift") {
     val root = tmp("vts")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
