@@ -657,7 +657,11 @@ object VersionedStore {
             max(col(c).cast("double")).as(s"mx_$c")))
           val r = current.agg(aggs.head, aggs.tail: _*).head()
           missing.zipWithIndex.map { case (c, i) =>
-            c -> (r.getDouble(2 * i), r.getDouble(2 * i + 1)) }.toMap
+            // an all-null column has no range: degenerate (0,0) maps
+            // every row to rank 0 — clustering ignores the column
+            c -> (if (r.isNullAt(2 * i)) (0.0, 0.0)
+                  else (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+          }.toMap
         }
       val ranges = fromStats ++ fromAgg
       // 16-bit normalized rank per column, bits interleaved into one
