@@ -304,6 +304,24 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("stateless text operators (chunk) run unchanged on a stream") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // the SAME batch operator: pure generate-and-project, no state —
+    // structured streaming accepts it as-is
+    val query = TextAnalysis.chunk(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 2)
+      .writeStream.format("memory").queryName("schunk")
+      .outputMode(OutputMode.Append()).start()
+    input.addData((1L, (1 to 6).map(i => s"w$i").mkString(" ")))
+    query.processAllAvailable()
+    val chunks = spark.table("schunk").orderBy("chunk_idx").collect()
+      .map(_.getString(2))
+    assert(chunks.toSeq == Seq("w1 w2 w3 w4", "w3 w4 w5 w6"))
+    query.stop()
+  }
+
   test("StreamingAsof: maxFeatureAgeMs expires stale floors to the default") {
     import graft.streaming.StreamingAsof
     import graft.streaming.StreamingAsof.{FeatureUpdate, LabelEvent}
