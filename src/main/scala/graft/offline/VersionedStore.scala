@@ -28,10 +28,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    systems), so concurrent writers race on the version number and
   *    the loser retries against the new head. Readers see a complete
   *    manifest or none — snapshot isolation by construction.
-  *  - Data files are immutable; `merge` is copy-on-write over the
-  *    current snapshot. (A production refinement would rewrite only
-  *    the files whose key ranges intersect the updates, driven by
-  *    per-file min/max stats in the manifest.)
+  *  - Data files are immutable; `merge` is copy-on-write over ONLY
+  *    the files whose key ranges intersect the updates — driven by the
+  *    per-file min/max footer stats in the manifest; provably
+  *    unmatched files are carried into the new snapshot by reference.
   */
 /** Shared manifest-file plumbing for the offline stores. */
 private[offline] object StorageUtil {
@@ -88,11 +88,14 @@ object VersionedStore {
   case class VersionInfo(version: Long, op: String, nFiles: Int, rows: Long)
 
   /** One snapshot's manifest: the exact file list, row count, schema,
-    * and per-file column ranges for data skipping. */
+    * per-file column ranges for data skipping, and per-file row counts
+    * (fileRows — used by partial merge to carry untouched files without
+    * recounting them; empty for manifests written before it existed). */
   private case class Snapshot(op: String, files: Seq[String], rows: Long,
                               schemaJson: String,
                               stats: Map[String, Map[String, (Double, Double)]],
-                              commitTsMs: Long)
+                              commitTsMs: Long,
+                              fileRows: Map[String, Long])
 
   private val mapper = new ObjectMapper()
 
@@ -136,9 +139,15 @@ object VersionedStore {
               }.toMap
             }.toMap
       }
+    val fileRows: Map[String, Long] = m.get("fileRows") match {
+      case null => Map.empty // manifests written before partial merge
+      case fr: java.util.Map[_, _] =>
+        fr.asInstanceOf[java.util.Map[String, Number]].asScala
+          .map { case (f, n) => f -> n.longValue() }.toMap
+    }
     Snapshot(m.get("op").toString, files, m.get("rows").toString.toLong,
       Option(m.get("schema")).map(_.toString).getOrElse(""), stats,
-      Option(m.get("ts")).map(_.toString.toLong).getOrElse(0L))
+      Option(m.get("ts")).map(_.toString.toLong).getOrElse(0L), fileRows)
   }
 
   /** Tolerant manifest read: None when the manifest has vanished —
@@ -210,7 +219,7 @@ object VersionedStore {
     */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           dataDir: Path, names: Seq[String])
-  : (Long, Map[String, Map[String, (Double, Double)]]) = {
+  : (Map[String, Long], Map[String, Map[String, (Double, Double)]]) = {
     // Footer opens are storage round-trips; serially they would make
     // the commit O(nFiles × RTT) on the driver. A bounded pool keeps
     // a 50k-file append's metadata pass in seconds, not minutes. (The
@@ -224,8 +233,14 @@ object VersionedStore {
             (Long, Map[String, (Double, Double)])] {
           def call() = fileFooterStats(conf, new Path(dataDir, n))
         }))
-      val results = futures.map { case (n, f) => n -> f.get() }
-      (results.map(_._2._1).sum,
+      val results = futures.map { case (n, f) =>
+        // surface the worker's real failure, not the pool's wrapper
+        n -> (try f.get() catch {
+          case e: java.util.concurrent.ExecutionException
+            if e.getCause != null => throw e.getCause
+        })
+      }
+      (results.map { case (n, (rows, _)) => n -> rows }.toMap,
         results.collect { case (n, (_, s)) if s.nonEmpty => n -> s }.toMap)
     } finally pool.shutdown()
   }
@@ -415,6 +430,36 @@ object VersionedStore {
       }
     }
 
+  /** Name+type "shape" of a schema with nullability erased at EVERY
+    * nesting level (array containsNull / map valueContainsNull / nested
+    * struct fields differ freely between literal-built and parquet-read
+    * frames of the same logical shape) — the compatibility unit for
+    * mixing files in one snapshot. */
+  private def schemaShape(json: String)
+  : Set[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types._
+    def norm(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, norm(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(norm(a.elementType), containsNull = true)
+      case m: MapType => MapType(norm(m.keyType),
+        norm(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+    DataType.fromJson(json).asInstanceOf[StructType]
+      .fields.map(f => (f.name, norm(f.dataType))).toSet
+  }
+
+  /** Files carried by reference from the head snapshot into a partial
+    * (file-pruned) commit, with their stats and row counts. Only valid
+    * with `expectedVersion` >= 0: the carry is bound to the head it was
+    * computed from, and a racing commit invalidates it (CommitConflict
+    * → caller recomputes). */
+  private case class Carry(files: Seq[String], rows: Long,
+                           stats: Map[String, Map[String, (Double, Double)]],
+                           fileRows: Map[String, Long])
+
   /** Commit `df` as a new version. `carryPrev` keeps the previous
     * snapshot's files in the new manifest (append semantics). When
     * `expectedVersion` >= 0 the commit claims EXACTLY that version or
@@ -426,7 +471,10 @@ object VersionedStore {
     * retry internally. Returns the committed version number.
     */
   private def commit(df: DataFrame, root: String, op: String,
-                     carryPrev: Boolean, expectedVersion: Long = -1L): Long = {
+                     carryPrev: Boolean, expectedVersion: Long = -1L,
+                     carry: Option[Carry] = None): Long = {
+    require(carry.isEmpty || expectedVersion >= 0,
+      "a partial carry must be pinned to the head it was computed from")
     val spark = df.sparkSession
     val uuid = java.util.UUID.randomUUID().toString.take(12)
     val dataRel = s"data/$uuid"
@@ -439,16 +487,22 @@ object VersionedStore {
     val newFiles = newNames.map(n => s"$dataRel/$n")
     // Rows AND per-file column ranges straight from the parquet
     // footers — one metadata pass, no Spark job, no data pages.
-    val (newRows, newStatsByName) = footerStats(
+    val (newRowsByName, newStatsByName) = footerStats(
       spark.sparkContext.hadoopConfiguration, dataDir, newNames)
+    val newRows = newRowsByName.values.sum
     val newStats = newStatsByName.map { case (n, s) => s"$dataRel/$n" -> s }
+    val newFileRows = newRowsByName.map { case (n, r) => s"$dataRel/$n" -> r }
     fs.mkdirs(logDir(root))
     var attempt = 0
     var lastConflict: Throwable = null
     while (attempt < 10) {
       val prev = latestVersion(spark, root)
-      val (files, rows, stats) =
-        if (carryPrev && prev >= 0) {
+      val (files, rows, stats, fileRows) =
+        if (carry.isDefined) {
+          val c = carry.get
+          (c.files ++ newFiles, c.rows + newRows, c.stats ++ newStats,
+            c.fileRows ++ newFileRows)
+        } else if (carryPrev && prev >= 0) {
           val p = readManifest(spark, root, prev)
           // A carried snapshot mixes old and new files in ONE logical
           // table, so their schemas must agree (name+type; nullability
@@ -456,25 +510,8 @@ object VersionedStore {
           // time, as parquet dropping whichever columns the first
           // footer lacks.
           if (p.schemaJson.nonEmpty) {
-            import org.apache.spark.sql.types._
-            // nullability is erased at EVERY level: array containsNull /
-            // map valueContainsNull / nested struct fields differ freely
-            // between literal-built and parquet-read frames of the same
-            // logical shape
-            def norm(dt: DataType): DataType = dt match {
-              case s: StructType => StructType(s.fields.map(f =>
-                StructField(f.name, norm(f.dataType), nullable = true)))
-              case a: ArrayType =>
-                ArrayType(norm(a.elementType), containsNull = true)
-              case m: MapType => MapType(norm(m.keyType),
-                norm(m.valueType), valueContainsNull = true)
-              case o => o
-            }
-            def shape(json: String) = DataType.fromJson(json)
-              .asInstanceOf[StructType]
-              .fields.map(f => (f.name, norm(f.dataType))).toSet
-            val prevShape = shape(p.schemaJson)
-            val newShape = shape(df.schema.json)
+            val prevShape = schemaShape(p.schemaJson)
+            val newShape = schemaShape(df.schema.json)
             if (prevShape != newShape) {
               fs.delete(dataDir, true) // staged files never referenced
               throw new IllegalArgumentException(
@@ -484,8 +521,9 @@ object VersionedStore {
                   " — use overwrite/merge for schema changes")
             }
           }
-          (p.files ++ newFiles, p.rows + newRows, p.stats ++ newStats)
-        } else (newFiles, newRows, newStats)
+          (p.files ++ newFiles, p.rows + newRows, p.stats ++ newStats,
+            p.fileRows ++ newFileRows)
+        } else (newFiles, newRows, newStats, newFileRows)
       val next = if (expectedVersion >= 0) expectedVersion else prev + 1
       val manifest = new java.util.LinkedHashMap[String, Object]()
       manifest.put("version", java.lang.Long.valueOf(next))
@@ -506,6 +544,12 @@ object VersionedStore {
         }
       }
       manifest.put("stats", statsM)
+      val fileRowsM = new java.util.LinkedHashMap[String, Object]()
+      files.foreach { f =>
+        fileRows.get(f).foreach(r =>
+          fileRowsM.put(f, java.lang.Long.valueOf(r)))
+      }
+      manifest.put("fileRows", fileRowsM)
       try {
         atomicCreate(fs, manifestPath(root, next),
           mapper.writeValueAsBytes(manifest))
@@ -548,9 +592,21 @@ object VersionedStore {
 
   /** MERGE (upsert) by key: rows in `updates` replace current rows
     * with the same key tuple; unmatched update rows are inserted.
-    * Copy-on-write: the surviving current rows and the updates are
-    * written as a fresh snapshot, so every earlier version is
-    * untouched and still readable.
+    * Copy-on-write over the TOUCHED files only: the manifest's
+    * per-file [min, max] footer stats on the merge keys split the
+    * snapshot into files whose key ranges intersect the updates'
+    * bounds (rewritten) and files that provably cannot hold a matched
+    * key (carried by reference, byte-for-byte). On a compacted table a
+    * narrow-key-range merge — the streaming upsert pattern — rewrites
+    * O(|touched|), not O(|snapshot|); every earlier version remains
+    * readable. Matches the Iceberg copy-on-write MERGE file-pruning
+    * model (reference store/offline/IcebergOfflineStore.java:42-59
+    * snapshot semantics).
+    *
+    * Falls back to the full rewrite when pruning cannot be proven
+    * safe: no numeric/timestamp key with stats on both sides (string
+    * keys record no footer ranges), or union type-widening drifting
+    * the merged schema away from the carried files' shape.
     *
     * Optimistic concurrency done right: the merged content is bound to
     * the head it was computed from (commit claims exactly head+1); if
@@ -558,18 +614,88 @@ object VersionedStore {
     * new head instead of publishing stale content over it.
     */
   def merge(updates: DataFrame, root: String, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.types.{NumericType, TimestampType, StructType, DataType}
     val spark = updates.sparkSession
+    // [min, max] of each prunable merge key over the updates, on the
+    // cast-to-double scale the manifest stats use (timestamps = epoch
+    // seconds). Non-numeric keys yield no bounds (and under ANSI mode
+    // a string→double cast would throw, so they are never cast).
+    // O(|updates|) — one small agg, paid once, head-independent.
+    val prunableKeys = updates.schema.fields
+      .filter(f => keys.contains(f.name) && (f.dataType match {
+        case _: NumericType | _: TimestampType => true
+        case _ => false
+      })).map(_.name).toSeq
+    val updBounds: Map[String, (Double, Double)] =
+      if (prunableKeys.isEmpty) Map.empty
+      else {
+        val aggs = prunableKeys.flatMap(k => Seq(
+          min(col(k).cast("double")).as(s"mn_$k"),
+          max(col(k).cast("double")).as(s"mx_$k")))
+        val r = updates.agg(aggs.head, aggs.tail: _*).head()
+        prunableKeys.zipWithIndex.collect {
+          case (k, i) if !r.isNullAt(2 * i) =>
+            // widened one ulp each way, mirroring the footer stats
+            k -> (Math.nextDown(r.getDouble(2 * i)),
+                  Math.nextUp(r.getDouble(2 * i + 1)))
+        }.toMap
+      }
     var attempt = 0
     while (attempt < 10) {
       val head = latestVersion(spark, root)
       require(head >= 0, s"no committed version under $root")
-      val current = read(spark, root, head)
-      val merged = current.join(updates.select(keys.map(
-          org.apache.spark.sql.functions.col): _*).distinct(), keys, "left_anti")
-        .unionByName(updates)
+      val snap = readManifest(spark, root, head)
+      // a file is untouchable iff SOME key's file range provably
+      // misses every update key (null keys never equality-match, and
+      // footer ranges cover non-null values only, so null rows on
+      // either side cannot defeat the proof)
+      val (untouched, touched) = snap.files.partition { f =>
+        updBounds.exists { case (k, (uLo, uHi)) =>
+          snap.stats.get(f).flatMap(_.get(k)) match {
+            case Some((fLo, fHi)) => fHi < uLo || fLo > uHi
+            case None => false
+          }
+        }
+      }
+      val updateKeys = updates.select(keys.map(col): _*).distinct()
+      def fullMerged = read(spark, root, head)
+        .join(updateKeys, keys, "left_anti").unionByName(updates)
+      val (merged, carry) =
+        if (untouched.isEmpty) (fullMerged, None)
+        else {
+          val survivors =
+            if (touched.isEmpty) updates
+            else spark.read
+              .parquet(touched.map(f => new Path(root, f).toString): _*)
+              .join(updateKeys, keys, "left_anti").unionByName(updates)
+          // union type-widening (e.g. int updates over a long table)
+          // would drift the snapshot schema away from the carried
+          // files — only carry when the shape is provably unchanged
+          if (snap.schemaJson.nonEmpty &&
+              schemaShape(survivors.schema.json) == schemaShape(snap.schemaJson)) {
+            // align column order to the table's (shape equality is
+            // set-based; a pure-insert path takes the updates' order)
+            val tableCols = DataType.fromJson(snap.schemaJson)
+              .asInstanceOf[StructType].fieldNames.toSeq
+            val aligned =
+              if (survivors.columns.toSeq == tableCols) survivors
+              else survivors.select(tableCols.map(col): _*)
+            val untouchedSet = untouched.toSet
+            val carriedRows = untouched.map(f =>
+              snap.fileRows.getOrElse(f,
+                // pre-fileRows manifest: count from the footer (pure
+                // metadata, no Spark job)
+                fileFooterStats(spark.sparkContext.hadoopConfiguration,
+                  new Path(root, f))._1)).sum
+            (aligned, Some(Carry(untouched, carriedRows,
+              snap.stats.filter { case (f, _) => untouchedSet(f) },
+              snap.fileRows.filter { case (f, _) => untouchedSet(f) })))
+          } else (fullMerged, None)
+        }
       try {
         return commit(merged, root, "merge", carryPrev = false,
-          expectedVersion = head + 1)
+          expectedVersion = head + 1, carry = carry)
       } catch {
         case _: CommitConflict => attempt += 1 // recompute vs new head
       }
@@ -721,18 +847,24 @@ object VersionedStore {
     require(head >= 0, s"no committed version under $root")
     val fs = fileSystem(spark, new Path(root))
     val cutoff = head - keepVersions + 1
+    // readManifestOpt throughout: a RACING vacuum can delete any of
+    // these manifests between our exists() check and the read — skip
+    // vanished ones instead of crashing (same hardening as versions())
     val survivors = (math.max(cutoff, 0L) to head)
       .filter(v => fs.exists(manifestPath(root, v)))
     val referenced = survivors
-      .flatMap(v => readManifest(spark, root, v).files).toSet
-    val dropped = (0L until math.max(cutoff, 0L))
+      .flatMap(v => readManifestOpt(spark, root, v)
+        .map(_.files).getOrElse(Nil)).toSet
+    val droppedCandidates = (0L until math.max(cutoff, 0L))
       .filter(v => fs.exists(manifestPath(root, v)))
     // 1. manifests go first — those versions are no longer readable
-    val droppedFiles = dropped.flatMap { v =>
-      val files = readManifest(spark, root, v).files
-      fs.delete(manifestPath(root, v), false)
-      files
-    }.toSet
+    val (dropped, droppedFileSeqs) = droppedCandidates.flatMap { v =>
+      readManifestOpt(spark, root, v).map { snap =>
+        fs.delete(manifestPath(root, v), false)
+        (v, snap.files)
+      }
+    }.unzip
+    val droppedFiles = droppedFileSeqs.flatten.toSet
     // 2. their now-unreferenced data files
     (droppedFiles -- referenced).foreach { f =>
       fs.delete(new Path(root, f), false)

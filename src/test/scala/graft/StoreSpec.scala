@@ -45,6 +45,49 @@ class StoreSpec extends AnyFunSuite {
     assert(v0 == Map(1L -> 10.0, 2L -> 20.0))
   }
 
+  test("VersionedStore: merge rewrites ONLY files intersecting the update key range") {
+    val root = tmp("vpmerge")
+    VersionedStore.create(
+      (1L to 600L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(4), root)
+    // sorted compaction → 6 files with disjoint id ranges and stats
+    val cv = VersionedStore.compact(spark, root, numFiles = 6,
+      sortBy = Seq("id"))
+    val before = VersionedStore.read(spark, root, cv).inputFiles.toSet
+    assert(before.size == 6)
+    // updates confined to ids [40, 60]: at most 1-2 of 6 files overlap
+    val mv = VersionedStore.merge(
+      (40L to 60L).map(i => (i, -1.0)).toDF("id", "v"), root, Seq("id"))
+    val after = VersionedStore.read(spark, root, mv).inputFiles.toSet
+    val carried = before intersect after
+    assert(carried.size >= 4,
+      s"untouched files must be carried by reference: only ${carried.size}/6 survived")
+    // correctness: updated range replaced, rest untouched, rows metadata right
+    val got = VersionedStore.read(spark, root, mv)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 600)
+    assert((40L to 60L).forall(i => got(i) == -1.0))
+    assert(got(39L) == 39.0 && got(61L) == 61.0)
+    assert(VersionedStore.versions(spark, root).last.rows == 600L)
+    // history intact
+    assert(VersionedStore.read(spark, root, cv).count() == 600)
+    // an out-of-range merge (pure insert) carries EVERY current file
+    val iv = VersionedStore.merge(
+      Seq((1000L, 0.5)).toDF("id", "v"), root, Seq("id"))
+    val afterInsert = VersionedStore.read(spark, root, iv).inputFiles.toSet
+    assert((after -- afterInsert).isEmpty,
+      "pure insert must not rewrite any existing file")
+    assert(VersionedStore.read(spark, root, iv).count() == 601)
+    // a string-keyed table has no footer ranges → full COW, still correct
+    val sroot = tmp("vpmerge_s")
+    VersionedStore.create(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), sroot)
+    VersionedStore.merge(Seq(("b", 9.0), ("c", 3.0)).toDF("k", "v"),
+      sroot, Seq("k"))
+    assert(VersionedStore.read(spark, sroot)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap ==
+      Map("a" -> 1.0, "b" -> 9.0, "c" -> 3.0))
+  }
+
   test("VersionedStore: read opens ONLY the requested snapshot's files") {
     val root = tmp("vprune")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
