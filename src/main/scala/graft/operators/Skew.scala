@@ -14,13 +14,25 @@ import org.apache.spark.sql.functions._
   * reducer's load at 1/salts of the hottest key. Sums here are
   * decimal-exact, so re-aggregating partials is lossless and
   * order-independent.
+  *
+  * The salt MUST be deterministic in row content. Salting on
+  * monotonically_increasing_id (or rand) re-assigns rows to different
+  * salts when a fetch failure recomputes a map task — reducers that
+  * already consumed the old output then double-count or drop rows,
+  * the hazard class SPARK-23207 fixed for round-robin repartition
+  * (groupBy on a nondeterministic key gets no such protection). So
+  * the salt hashes EVERY column of the row: a hot key still spreads
+  * because its non-key columns vary. Rows identical in every column
+  * collapse onto one salt — correct, just unspread; with real event
+  * data (timestamps, ids) full-row duplicates are the rare case, and
+  * exact duplicates of a hot key are a dedup problem, not a skew one.
   */
 object Skew {
 
   def saltedAgg(df: DataFrame, key: String, value: String, salts: Int)
   : DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(

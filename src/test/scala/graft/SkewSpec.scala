@@ -24,13 +24,36 @@ class SkewSpec extends AnyFunSuite {
 
     assert(salted == direct) // decimal partials merge losslessly
     assert(salted("whale")._1 == 10000L)
+
+    // determinism across runs: a retry-recomputed stage must land every
+    // row on the SAME salt, so repeated evaluations agree exactly
+    val again = Skew.saltedAgg(df, "k", "v", salts = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == salted)
   }
 
   test("saltedAgg stage-1 actually spreads the hot key") {
-    val df = (1 to 1000).map(i => ("whale", 1.0)).toDF("k", "v")
+    // content-derived salt: the hot key's varying value column spreads it
+    val df = (1 to 1000).map(i => ("whale", (i % 97) / 100.0)).toDF("k", "v")
     val salts = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8)))
+      pmod(xxhash64(col("k"), col("v")), lit(8)))
       .select("_salt").distinct().count()
     assert(salts > 1, "salt must distribute a single key over reducers")
+  }
+
+  test("saltedAgg's plan contains no nondeterministic expression") {
+    // the retry-correctness guarantee: every expression in the analyzed
+    // plan is deterministic, so a recomputed map task reproduces the
+    // exact same (key, salt) assignment
+    val df = (1 to 100).map(i => ("k", i / 10.0)).toDF("k", "v")
+    val plan = Skew.saltedAgg(df, "k", "v", salts = 8)
+      .queryExecution.analyzed
+    val nondet = plan.collect {
+      case node => node.expressions.flatMap(_.collect {
+        case e if !e.deterministic => e
+      })
+    }.flatten
+    assert(nondet.isEmpty,
+      s"nondeterministic expressions in salted plan: $nondet")
   }
 }
