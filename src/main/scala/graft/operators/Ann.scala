@@ -143,29 +143,44 @@ object Ann {
     * Training samples at most `trainSample` rows — at 100 TB the
     * quantizer never sees the full corpus.
     */
-  /** Quantizer cache: a deployment trains the coarse quantizer once
-    * and serves many queries against it — keyed by the input plan's
+  /** One trained IVF index: the coarse quantizer plus the assigned
+    * corpus (cell + norm per vector, localCheckpointed — the
+    * materialized inverted file). */
+  private case class IvfIndex(
+    model: org.apache.spark.ml.clustering.KMeansModel,
+    assigned: DataFrame)
+
+  /** Index cache: a deployment trains the coarse quantizer once and
+    * serves many queries against it — keyed by the input plan's
     * semantic hash + nCentroids + trainSample, so identical plans
-    * reuse the model while different data or training configs retrain.
-    * Bounded LRU (access-order, 32 entries, eldest evicted — never a
-    * full clear). NOTE the key is the PLAN, not the data: overwriting
-    * the same source path in place keeps the plan hash — call
-    * clearQuantizerCache() after rewriting a corpus under the same
-    * path.
+    * reuse the model AND the materialized corpus assignment (the
+    * expensive per-call piece: without it every search re-scans the
+    * corpus, re-predicts every cell, and re-checkpoints) while
+    * different data or training configs rebuild. Bounded LRU
+    * (access-order, 32 entries, eldest evicted — never a full clear;
+    * evicted checkpoints are reclaimed by the ContextCleaner once
+    * unreferenced). NOTE the key is the PLAN, not the data:
+    * overwriting the same source path in place keeps the plan hash —
+    * call clearQuantizerCache() after rewriting a corpus under the
+    * same path.
     */
   private val quantizers =
-    new java.util.LinkedHashMap[
-      (Int, Int, Int), org.apache.spark.ml.clustering.KMeansModel](
-      16, 0.75f, true) {
+    new java.util.LinkedHashMap[(Int, Int, Int), IvfIndex](16, 0.75f, true) {
       override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, Int, Int),
-          org.apache.spark.ml.clustering.KMeansModel]): Boolean = size > 32
+        e: java.util.Map.Entry[(Int, Int, Int), IvfIndex]): Boolean =
+        size > 32
     }
 
   /** Drop all cached IVF quantizers (use after rewriting a corpus in
     * place, which keeps the logical-plan cache key unchanged). */
   def clearQuantizerCache(): Unit =
     quantizers.synchronized { quantizers.clear() }
+
+  /** Number of k-means trainings actually run (cache misses) — lets
+    * specs assert that repeated searches over the same plan reuse the
+    * quantizer instead of silently retraining. */
+  private[graft] val quantizerTrainings =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Self-ANN over one table: every vector queries the rest. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -200,22 +215,27 @@ object Ann {
     val cacheKey =
       (corpus.queryExecution.logical.semanticHash(), nCentroids, trainSample)
     val cached = quantizers.synchronized { quantizers.get(cacheKey) }
-    val model = if (cached != null) cached else {
+    val index = if (cached != null) cached else {
+      quantizerTrainings.incrementAndGet()
       // Deterministic training sample: global ascending-id head, not
       // an arbitrary-partition limit() (TakeOrdered — distributed).
       val trained = new KMeans().setK(nCentroids).setSeed(42L)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(base.orderBy("id").limit(trainSample))
-      quantizers.synchronized { quantizers.put(cacheKey, trained) }
-      trained
+      // Corpus assignment (KMeans transform + norm) is the IVF
+      // index — a LAZY localCheckpoint materializes it once at first
+      // action, and caching it WITH the model means repeated searches
+      // pay zero corpus re-scans/re-predictions (the dominant
+      // steady-state cost when only the model was cached).
+      val assigned = trained.transform(base).drop("fv")
+        .withColumn("nrm", Fns.l2Norm(col("v")))
+        .localCheckpoint(false)
+      val built = IvfIndex(trained, assigned)
+      quantizers.synchronized { quantizers.put(cacheKey, built) }
+      built
     }
-    // Corpus assignment (KMeans transform + norm) is the IVF index —
-    // a LAZY localCheckpoint materializes it once at first action
-    // (and, unlike cache(), is reclaimed by the ContextCleaner when
-    // the result DataFrame is dropped).
-    val assigned = model.transform(base).drop("fv")
-      .withColumn("nrm", Fns.l2Norm(col("v")))
-      .localCheckpoint(false)
+    val model = index.model
+    val assigned = index.assigned
 
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
