@@ -144,8 +144,8 @@ object Ann {
     * quantizer never sees the full corpus.
     */
   /** One trained IVF index: the coarse quantizer plus the assigned
-    * corpus (cell + norm per vector, localCheckpointed — the
-    * materialized inverted file). */
+    * corpus (cell + norm per vector, persisted — the materialized
+    * inverted file). */
   private case class IvfIndex(
     model: org.apache.spark.ml.clustering.KMeansModel,
     assigned: DataFrame)
@@ -157,9 +157,13 @@ object Ann {
     * expensive per-call piece: without it every search re-scans the
     * corpus, re-predicts every cell, and re-checkpoints) while
     * different data or training configs rebuild. Bounded LRU
-    * (access-order, 32 entries, eldest evicted — never a full clear;
-    * evicted checkpoints are reclaimed by the ContextCleaner once
-    * unreferenced). NOTE the key is the PLAN, not the data:
+    * (access-order, 32 entries, eldest evicted and its cached blocks
+    * unpersisted — never a full clear). The assignment is persist()ed,
+    * not checkpointed: lineage survives, so an executor loss (or a
+    * dynamic-allocation decommission) just recomputes the lost blocks
+    * instead of failing every later search against the entry with
+    * missing-checkpoint-block errors. NOTE the key is the PLAN, not
+    * the data:
     * overwriting the same source path in place keeps the plan hash —
     * call clearQuantizerCache() after rewriting a corpus under the
     * same path.
@@ -167,14 +171,21 @@ object Ann {
   private val quantizers =
     new java.util.LinkedHashMap[(Int, Int, Int), IvfIndex](16, 0.75f, true) {
       override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, Int, Int), IvfIndex]): Boolean =
-        size > 32
+        e: java.util.Map.Entry[(Int, Int, Int), IvfIndex]): Boolean = {
+        val evict = size > 32
+        if (evict) e.getValue.assigned.unpersist(blocking = false)
+        evict
+      }
     }
 
   /** Drop all cached IVF quantizers (use after rewriting a corpus in
     * place, which keeps the logical-plan cache key unchanged). */
   def clearQuantizerCache(): Unit =
-    quantizers.synchronized { quantizers.clear() }
+    quantizers.synchronized {
+      quantizers.values.forEach(ix =>
+        ix.assigned.unpersist(blocking = false))
+      quantizers.clear()
+    }
 
   /** Number of k-means trainings actually run (cache misses) — lets
     * specs assert that repeated searches over the same plan reuse the
@@ -223,13 +234,16 @@ object Ann {
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(base.orderBy("id").limit(trainSample))
       // Corpus assignment (KMeans transform + norm) is the IVF
-      // index — a LAZY localCheckpoint materializes it once at first
-      // action, and caching it WITH the model means repeated searches
-      // pay zero corpus re-scans/re-predictions (the dominant
-      // steady-state cost when only the model was cached).
+      // index — persist() materializes it at first action, and
+      // caching it WITH the model means repeated searches pay zero
+      // corpus re-scans/re-predictions (the dominant steady-state
+      // cost when only the model was cached). persist, NOT
+      // localCheckpoint: a long-lived cache entry must survive
+      // executor loss, which checkpointed (lineage-truncated) blocks
+      // cannot — they fail unrecoverably until a manual cache clear.
       val assigned = trained.transform(base).drop("fv")
         .withColumn("nrm", Fns.l2Norm(col("v")))
-        .localCheckpoint(false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val built = IvfIndex(trained, assigned)
       quantizers.synchronized { quantizers.put(cacheKey, built) }
       built

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Manual skew mitigation for aggregations whose key distribution is
   * pathological (one entity producing a large share of all events —
@@ -21,18 +22,45 @@ import org.apache.spark.sql.functions._
   * already consumed the old output then double-count or drop rows,
   * the hazard class SPARK-23207 fixed for round-robin repartition
   * (groupBy on a nondeterministic key gets no such protection). So
-  * the salt hashes EVERY column of the row: a hot key still spreads
-  * because its non-key columns vary. Rows identical in every column
-  * collapse onto one salt — correct, just unspread; with real event
-  * data (timestamps, ids) full-row duplicates are the rare case, and
-  * exact duplicates of a hot key are a dedup problem, not a skew one.
+  * the salt hashes the row's HASHABLE columns (maps are excluded —
+  * xxhash64 on MapType is an AnalysisException since Spark 3.0): a
+  * hot key still spreads because its non-key columns vary. Rows
+  * identical in every hashed column collapse onto one salt — correct,
+  * just unspread; callers whose hot keys repeat whole rows (e.g. a
+  * pure (key, 1.0) count shape) should pass `saltCols` naming
+  * high-cardinality columns to restore the spread, and with real
+  * event data (timestamps, ids) full-row duplicates are the rare
+  * case — exact duplicates of a hot key are a dedup problem, not a
+  * skew one.
   */
 object Skew {
 
-  def saltedAgg(df: DataFrame, key: String, value: String, salts: Int)
-  : DataFrame = {
+  /** xxhash64 (like groupBy) rejects MapType at any nesting depth. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType         => false
+    case ArrayType(et, _)   => hashable(et)
+    case s: StructType      => s.fields.forall(f => hashable(f.dataType))
+    case _                  => true
+  }
+
+  /** @param saltCols columns to derive the salt from; empty (default)
+    *   means every hashable column of the row. Pass explicit
+    *   high-cardinality columns when hot keys duplicate whole rows.
+    */
+  def saltedAgg(df: DataFrame, key: String, value: String, salts: Int,
+                saltCols: Seq[String] = Nil): DataFrame = {
+    val hashIn: Seq[Column] =
+      if (saltCols.nonEmpty) saltCols.map(col)
+      else {
+        val ok = df.schema.fields.collect {
+          case f if hashable(f.dataType) => col(f.name)
+        }.toIndexedSeq
+        // degenerate all-map schema: the value column is still
+        // summable hence hashable — salt on it alone
+        if (ok.nonEmpty) ok else Seq(col(value))
+      }
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+      pmod(xxhash64(hashIn: _*), lit(salts)))
     salted
       .groupBy(col(key), col("_salt"))
       .agg(
