@@ -168,14 +168,26 @@ object Ann {
     * call clearQuantizerCache() after rewriting a corpus under the
     * same path.
     */
+  /** LRU capacity — var (not final) so specs can shrink it to exercise
+    * eviction without 32 real k-means trainings. */
+  @volatile private[graft] var maxCacheEntries: Int = 32
+
   private val quantizers =
     new java.util.LinkedHashMap[(Int, Int, Int), IvfIndex](16, 0.75f, true) {
       override def removeEldestEntry(
         e: java.util.Map.Entry[(Int, Int, Int), IvfIndex]): Boolean = {
-        val evict = size > 32
+        val evict = size > maxCacheEntries
         if (evict) e.getValue.assigned.unpersist(blocking = false)
         evict
       }
+    }
+
+  /** Cached corpus assignments, eldest first (test hook: lets specs
+    * assert cache size and that live entries stay persisted). */
+  private[graft] def cachedAssignments: Seq[DataFrame] =
+    quantizers.synchronized {
+      import scala.jdk.CollectionConverters._
+      quantizers.values.asScala.map(_.assigned).toSeq
     }
 
   /** Drop all cached IVF quantizers (use after rewriting a corpus in
@@ -201,10 +213,10 @@ object Ann {
 
   /** IVF search of `queries` against `corpus` (the serving shape: a
     * small query batch probing a big indexed corpus). The quantizer
-    * trains on the CORPUS sample; the corpus is assigned once (lazy
-    * localCheckpoint — at serving scale this is the precomputed
-    * index); queries only rank the broadcast centroid table and join
-    * their nProbe cells.
+    * trains on the CORPUS sample; the corpus is assigned once and
+    * persisted (MEMORY_AND_DISK — at serving scale this is the
+    * precomputed index); queries only rank the broadcast centroid
+    * table and join their nProbe cells.
     *
     * @param excludeSelf drop corpus rows whose id equals the query id
     *   (bruteTopK parity — right when queries are drawn from the
@@ -245,8 +257,22 @@ object Ann {
         .withColumn("nrm", Fns.l2Norm(col("v")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val built = IvfIndex(trained, assigned)
-      quantizers.synchronized { quantizers.put(cacheKey, built) }
-      built
+      // Double-checked put: a concurrent miss on the same key may have
+      // trained and persisted its own index while we were outside the
+      // lock. Persisted plans are held strongly by CacheManager until
+      // explicit unpersist (unlike checkpoint blocks, which the
+      // ContextCleaner reclaims), so the losing build must unpersist
+      // or its blocks leak for the life of the serving process.
+      quantizers.synchronized {
+        val winner = quantizers.get(cacheKey)
+        if (winner != null) {
+          built.assigned.unpersist(blocking = false)
+          winner
+        } else {
+          quantizers.put(cacheKey, built)
+          built
+        }
+      }
     }
     val model = index.model
     val assigned = index.assigned
@@ -259,7 +285,7 @@ object Ann {
       .withColumn("cnrm", Fns.l2Norm(col("cv")))
 
     // nProbe nearest cells per query by L2 == max (dot - |c|²/2).
-    // Self-ANN reuses the checkpointed corpus assignment — a separate
+    // Self-ANN reuses the persisted corpus assignment — a separate
     // query plan would re-scan the corpus and recompute every norm.
     val qBase =
       if (queries eq corpus) assigned.drop("cell")

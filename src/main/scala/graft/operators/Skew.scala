@@ -55,9 +55,12 @@ object Skew {
         val ok = df.schema.fields.collect {
           case f if hashable(f.dataType) => col(f.name)
         }.toIndexedSeq
-        // degenerate all-map schema: the value column is still
-        // summable hence hashable — salt on it alone
-        if (ok.nonEmpty) ok else Seq(col(value))
+        // If every column is a map, there is nothing xxhash64 accepts
+        // (a summable value column would already be in `ok`) — the
+        // caller must name salt columns explicitly.
+        require(ok.nonEmpty,
+          "no hashable columns to salt on — pass saltCols explicitly")
+        ok
       }
     val salted = df.withColumn("_salt",
       pmod(xxhash64(hashIn: _*), lit(salts)))

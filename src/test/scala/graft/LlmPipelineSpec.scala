@@ -231,6 +231,48 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(out.map(_._1).distinct.length == 10)
   }
 
+  test("IVF cache: LRU evict unpersists the evicted assignment; rebuild retrains") {
+    // round-5 behavior, previously untested: evicted entries must
+    // release their persisted blocks (CacheManager holds them strongly
+    // until explicit unpersist), live entries must stay persisted, and
+    // a re-request of an evicted key must retrain (counter moves).
+    import org.apache.spark.storage.StorageLevel
+    Ann.clearQuantizerCache()
+    val oldCap = Ann.maxCacheEntries
+    Ann.maxCacheEntries = 2
+    try {
+      val emb = (1 to 40).map(i =>
+        (i.toLong, Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat)))
+        .toDF("vec_id", "embedding")
+      def search(trainSample: Int): Unit =
+        Ann.ivfSearch(emb, emb, "vec_id", "embedding",
+          nCentroids = 2, nProbe = 1, k = 2,
+          trainSample = trainSample).count()
+      val t0 = Ann.quantizerTrainings.get()
+      search(1001) // entry A
+      val aAssigned = Ann.cachedAssignments.head
+      assert(aAssigned.storageLevel != StorageLevel.NONE,
+        "live entry must be persisted")
+      search(1002) // entry B
+      search(1003) // entry C — evicts A (capacity 2)
+      assert(Ann.cachedAssignments.size == 2)
+      assert(aAssigned.storageLevel == StorageLevel.NONE,
+        "evicted entry's cached blocks must be released")
+      assert(Ann.cachedAssignments.forall(_.storageLevel != StorageLevel.NONE),
+        "surviving entries must remain persisted")
+      assert(Ann.quantizerTrainings.get() == t0 + 3)
+      search(1002) // hit — no retrain
+      assert(Ann.quantizerTrainings.get() == t0 + 3,
+        "cache hit must not retrain")
+      search(1001) // A was evicted — must retrain
+      assert(Ann.quantizerTrainings.get() == t0 + 4,
+        "re-request of an evicted key must retrain")
+    } finally {
+      Ann.maxCacheEntries = oldCap
+      Ann.clearQuantizerCache()
+    }
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val a = SparkEntry.qAnnLsh(spark, TestSpark.sfDir)

@@ -41,6 +41,51 @@ class SkewSpec extends AnyFunSuite {
     assert(salts > 1, "salt must distribute a single key over reducers")
   }
 
+  test("saltedAgg tolerates map-typed columns (excluded from the salt hash)") {
+    // xxhash64 rejects MapType since Spark 3.0 — a map column in the
+    // frame must be skipped, not fed to the hash (round-5 behavior,
+    // previously untested)
+    val df = (1 to 200).map(i => ("whale", (i % 13) / 10.0, Map("a" -> i)))
+      .toDF("k", "v", "m")
+    val out = Skew.saltedAgg(df, "k", "v", salts = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = df.groupBy(col("k").as("entity_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == direct)
+  }
+
+  test("saltCols override restores spread when hot-key rows are whole-row duplicates") {
+    // a pure (key, 1.0) count shape: content-derived salt collapses all
+    // duplicate rows onto one salt; an explicit high-cardinality column
+    // restores the spread
+    val df = (1 to 1000).map(i => ("whale", 1.0, i.toLong))
+      .toDF("k", "v", "event_id")
+    val collapsed = df.withColumn("_salt",
+        pmod(xxhash64(col("k"), col("v"), col("event_id")), lit(8)))
+      .select("_salt").distinct().count()
+    assert(collapsed > 1)
+    val out = Skew.saltedAgg(df, "k", "v", salts = 8,
+      saltCols = Seq("event_id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map("whale" -> (1000L, 1000.0)))
+    // and the spread actually happens on the named column alone
+    val spread = df.withColumn("_salt",
+        pmod(xxhash64(col("event_id")), lit(8)))
+      .select("_salt").distinct().count()
+    assert(spread > 1, "saltCols column must distribute the hot key")
+  }
+
+  test("all-map schema fails fast with a saltCols hint") {
+    val df = (1 to 10).map(i => (Map("k" -> "x"), Map("v" -> i.toDouble)))
+      .toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(df, "k", "v", salts = 4)
+    }
+    assert(e.getMessage.contains("saltCols"))
+  }
+
   test("saltedAgg's plan contains no nondeterministic expression") {
     // the retry-correctness guarantee: every expression in the analyzed
     // plan is deterministic, so a recomputed map task reproduces the
