@@ -317,8 +317,30 @@ object VersionedStore {
     }
   }
 
+  /** The snapshot's recorded schema, if the manifest has one (empty
+    * only for manifests written before schemas were recorded). */
+  private def snapshotStruct(snap: Snapshot)
+  : Option[org.apache.spark.sql.types.StructType] =
+    if (snap.schemaJson.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Open a subset of a snapshot's files AS the snapshot's schema.
+    * Pinning the read schema to the manifest (instead of inferring
+    * from an arbitrary footer) is what makes add-column schema
+    * evolution readable: files written before a column existed
+    * null-backfill it, and no footer-sampling race can drop an
+    * evolved column. Also skips the schema-inference footer read. */
+  private def readFiles(spark: SparkSession, root: String, snap: Snapshot,
+                        files: Seq[String]): DataFrame = {
+    val reader = snapshotStruct(snap).fold(spark.read)(spark.read.schema)
+    reader.parquet(files.map(f => new Path(root, f).toString): _*)
+  }
+
   /** Read a snapshot: the latest version, or `versionAsOf` — opening
-    * ONLY that manifest's files.
+    * ONLY that manifest's files, as that manifest's schema (files
+    * predating an added column null-backfill it; reading an OLD
+    * version returns the old schema unchanged).
     */
   def read(spark: SparkSession, root: String, versionAsOf: Long = -1L)
   : DataFrame = {
@@ -326,7 +348,7 @@ object VersionedStore {
     require(v >= 0, s"no committed version under $root")
     val snap = readManifest(spark, root, v)
     require(snap.files.nonEmpty, s"version $v of $root is an empty snapshot")
-    spark.read.parquet(snap.files.map(f => new Path(root, f).toString): _*)
+    readFiles(spark, root, snap, snap.files)
   }
 
   /** Range-predicate read with MANIFEST-level data skipping: only
@@ -366,8 +388,7 @@ object VersionedStore {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         schema)
     } else
-      spark.read.parquet(kept.map(f => new Path(root, f).toString): _*)
-        .where(pred)
+      readFiles(spark, root, snap, kept).where(pred)
   }
 
   def versions(spark: SparkSession, root: String): Seq[VersionInfo] =
@@ -497,6 +518,7 @@ object VersionedStore {
     var lastConflict: Throwable = null
     while (attempt < 10) {
       val prev = latestVersion(spark, root)
+      var schemaOut = df.schema.json
       val (files, rows, stats, fileRows) =
         if (carry.isDefined) {
           val c = carry.get
@@ -505,21 +527,41 @@ object VersionedStore {
         } else if (carryPrev && prev >= 0) {
           val p = readManifest(spark, root, prev)
           // A carried snapshot mixes old and new files in ONE logical
-          // table, so their schemas must agree (name+type; nullability
-          // may differ) — a silent mismatch would surface only at read
-          // time, as parquet dropping whichever columns the first
-          // footer lacks.
+          // table. Shared columns must agree on name+type (nullability
+          // free); columns NEW to the table are accepted — add-column
+          // schema evolution, the Delta `mergeSchema` semantic: the
+          // snapshot schema grows and every pre-evolution file
+          // null-backfills the added columns at read time (readFiles
+          // pins the manifest schema, so no footer-sampling race can
+          // drop them). Dropping or retyping a column still requires
+          // overwrite/merge.
           if (p.schemaJson.nonEmpty) {
-            val prevShape = schemaShape(p.schemaJson)
-            val newShape = schemaShape(df.schema.json)
-            if (prevShape != newShape) {
+            val prevFields = schemaShape(p.schemaJson).toMap
+            val newFields = schemaShape(df.schema.json).toMap
+            val missing = prevFields.keySet -- newFields.keySet
+            val retyped = (prevFields.keySet & newFields.keySet)
+              .filter(n => prevFields(n) != newFields(n))
+            if (missing.nonEmpty || retyped.nonEmpty) {
               fs.delete(dataDir, true) // staged files never referenced
               throw new IllegalArgumentException(
-                s"append schema mismatch for $root: table has " +
-                  s"${prevShape.toSeq.sortBy(_._1).mkString(", ")} but the " +
-                  s"append carries ${newShape.toSeq.sortBy(_._1).mkString(", ")}" +
-                  " — use overwrite/merge for schema changes")
+                s"append schema mismatch for $root: " +
+                  (if (missing.nonEmpty) s"append drops table columns " +
+                    s"${missing.toSeq.sorted.mkString(", ")}; " else "") +
+                  (if (retyped.nonEmpty) s"append retypes " +
+                    retyped.toSeq.sorted.map(n =>
+                      s"$n (${prevFields(n).simpleString} -> " +
+                        s"${newFields(n).simpleString})").mkString(", ") + "; "
+                   else "") +
+                  "appends may only ADD columns — use overwrite/merge " +
+                  "for drops or type changes")
             }
+            val added = newFields.keySet -- prevFields.keySet
+            if (added.nonEmpty)
+              // added columns are null in every pre-evolution file, so
+              // the evolved snapshot schema must declare them nullable
+              schemaOut = org.apache.spark.sql.types.StructType(
+                df.schema.fields.map(f =>
+                  if (added(f.name)) f.copy(nullable = true) else f)).json
           }
           (p.files ++ newFiles, p.rows + newRows, p.stats ++ newStats,
             p.fileRows ++ newFileRows)
@@ -530,7 +572,7 @@ object VersionedStore {
       manifest.put("op", op)
       manifest.put("files", files.asJava)
       manifest.put("rows", java.lang.Long.valueOf(rows))
-      manifest.put("schema", df.schema.json)
+      manifest.put("schema", schemaOut)
       manifest.put("ts", java.lang.Long.valueOf(System.currentTimeMillis()))
       val statsM = new java.util.LinkedHashMap[String, Object]()
       files.foreach { f =>
@@ -582,7 +624,13 @@ object VersionedStore {
     commit(df, root, "create", carryPrev = false, expectedVersion = 0L)
   }
 
-  /** Append-only commit: new files join the previous snapshot. */
+  /** Append-only commit: new files join the previous snapshot.
+    * Accepts add-column schema evolution: `df` may carry columns the
+    * table has never seen (they join the snapshot schema as nullable,
+    * and every pre-evolution file null-backfills them on read — the
+    * Delta `mergeSchema` semantic, motivated by the reference's
+    * mutable feature definitions, FeatureRegistryService.java:261-273).
+    * Dropping or retyping a column is still rejected. */
   def append(df: DataFrame, root: String): Long =
     commit(df, root, "append", carryPrev = true)
 
@@ -666,8 +714,7 @@ object VersionedStore {
         else {
           val survivors =
             if (touched.isEmpty) updates
-            else spark.read
-              .parquet(touched.map(f => new Path(root, f).toString): _*)
+            else readFiles(spark, root, snap, touched)
               .join(updateKeys, keys, "left_anti").unionByName(updates)
           // union type-widening (e.g. int updates over a long table)
           // would drift the snapshot schema away from the carried
@@ -682,12 +729,18 @@ object VersionedStore {
               if (survivors.columns.toSeq == tableCols) survivors
               else survivors.select(tableCols.map(col): _*)
             val untouchedSet = untouched.toSet
+            // pre-fileRows manifests: count from the footers (pure
+            // metadata, no Spark job) — through the bounded pool, not
+            // serially: this sits inside the optimistic retry loop, and
+            // O(untouched × storage RTT) per attempt would dominate
+            // merges into old long-lived tables
+            val uncounted = untouched.filterNot(snap.fileRows.contains)
+            val footerRows: Map[String, Long] =
+              if (uncounted.isEmpty) Map.empty
+              else footerStats(spark.sparkContext.hadoopConfiguration,
+                new Path(root), uncounted)._1
             val carriedRows = untouched.map(f =>
-              snap.fileRows.getOrElse(f,
-                // pre-fileRows manifest: count from the footer (pure
-                // metadata, no Spark job)
-                fileFooterStats(spark.sparkContext.hadoopConfiguration,
-                  new Path(root, f))._1)).sum
+              snap.fileRows.getOrElse(f, footerRows(f))).sum
             (aligned, Some(Carry(untouched, carriedRows,
               snap.stats.filter { case (f, _) => untouchedSet(f) },
               snap.fileRows.filter { case (f, _) => untouchedSet(f) })))

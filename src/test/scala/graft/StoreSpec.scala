@@ -218,6 +218,78 @@ class StoreSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, root2).count() == 2)
   }
 
+  test("VersionedStore: add-column schema evolution — appends may grow the schema, old files null-backfill") {
+    val root = tmp("vevo")
+    VersionedStore.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)          // v0: (id, v)
+    // evolved append: a column the table has never seen
+    VersionedStore.append(
+      Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score"), root)
+    val head = VersionedStore.read(spark, root)
+    assert(head.columns.toSeq == Seq("id", "v", "score"))
+    // the evolved column must be nullable in the snapshot schema (old
+    // files produce nulls for it)
+    assert(head.schema("score").nullable)
+    val rows = head.collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set(
+      (1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5)), (4L, "d", Some(0.7))),
+      "pre-evolution files must null-backfill the added column")
+    // time travel: the pre-evolution snapshot keeps its old schema
+    val v0 = VersionedStore.read(spark, root, versionAsOf = 0)
+    assert(v0.columns.toSeq == Seq("id", "v"))
+    assert(v0.count() == 2)
+    // a second same-shape append after evolution still works, and the
+    // schema stays evolved
+    VersionedStore.append(
+      Seq((5L, "e", 0.9)).toDF("id", "v", "score"), root)
+    assert(VersionedStore.read(spark, root).count() == 5)
+    // dropping a column is still rejected (superset-only evolution)
+    val eDrop = intercept[IllegalArgumentException](
+      VersionedStore.append(Seq((6L, 1.0)).toDF("id", "score"), root))
+    assert(eDrop.getMessage.contains("drops table columns"), eDrop.getMessage)
+    // retyping a shared column is still rejected
+    val eType = intercept[IllegalArgumentException](
+      VersionedStore.append(
+        Seq((7, "f", 0.1)).toDF("id", "v", "score"), root)) // id: int
+    assert(eType.getMessage.contains("retypes"), eType.getMessage)
+    assert(VersionedStore.read(spark, root).count() == 5,
+      "failed appends must leave the table untouched")
+  }
+
+  test("VersionedStore: merge and range reads stay correct across an evolved schema") {
+    val root = tmp("vevo2")
+    VersionedStore.create(
+      (1L to 100L).map(i => (i, i * 1.0)).toDF("id", "v"), root)
+    VersionedStore.append(
+      (101L to 120L).map(i => (i, i * 1.0, s"s$i")).toDF("id", "v", "tag"),
+      root)
+    // merge over the mixed-schema snapshot: updates in the evolved shape
+    val mv = VersionedStore.merge(
+      Seq((50L, -1.0, "hit"), (200L, -2.0, "new")).toDF("id", "v", "tag"),
+      root, Seq("id"))
+    val merged = VersionedStore.read(spark, root, mv)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), Option(r.getString(2)))))
+      .toMap
+    assert(merged(50L) == (-1.0, Some("hit")))
+    assert(merged(200L) == (-2.0, Some("new")))
+    assert(merged(1L) == (1.0, None), "old rows null-backfill through merge")
+    assert(merged.size == 121)
+    // readRange across old and new files: pruning + backfill together
+    val band = VersionedStore.readRange(spark, root, "id", 95.0, 105.0, mv)
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(band.keySet == (95L to 105L).toSet)
+    assert(band(95L).isEmpty && band(105L).contains("s105"))
+    // compaction collapses the evolution back to one physical schema
+    val cv = VersionedStore.compact(spark, root, numFiles = 2)
+    val compacted = VersionedStore.read(spark, root, cv)
+    assert(compacted.count() == 121)
+    assert(compacted.columns.toSeq == Seq("id", "v", "tag"))
+  }
+
   test("VersionedStore: vacuum drops old versions, keeps shared files, sweeps aged orphans") {
     val root = tmp("vvac")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)    // v0: A
