@@ -291,6 +291,20 @@ object Ann {
       if (queries eq corpus) assigned.drop("cell")
       else queries.select(col(idCol).as("id"), col(vecCol).as("v"))
         .withColumn("nrm", Fns.l2Norm(col("v")))
+    probeAndRank(qBase, centroidDf, assigned, nProbe, k, excludeSelf)
+  }
+
+  /** The IVF query stage, shared by the in-memory and persisted-index
+    * paths: each query ranks the broadcast centroid table to pick its
+    * `nProbe` cells (L2 argmin == argmax of dot − |c|²/2), joins its
+    * cells' corpus vectors, and keeps the cosine top-k. `qBase` must
+    * carry (id, v, nrm); `centroidDf` (c_cell, cv, cnrm); `assigned`
+    * (id, v, cell, nrm).
+    */
+  private def probeAndRank(qBase: DataFrame, centroidDf: DataFrame,
+                           assigned: DataFrame, nProbe: Int, k: Int,
+                           excludeSelf: Boolean): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
     val wProbe = Window.partitionBy("id").orderBy(
       (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
       col("c_cell"))
@@ -314,6 +328,92 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos_raw"), 6).as("cosine"), col("rank"))
+  }
+
+  // --- persisted IVF index (serving) ---------------------------------
+
+  private def centroidTable(indexRoot: String) = s"$indexRoot/centroids"
+  private def assignmentTable(indexRoot: String) = s"$indexRoot/assignment"
+
+  /** Train an IVF index and PERSIST it as two VersionedStore tables
+    * under `indexRoot`: `centroids` (c_cell, cv) and `assignment`
+    * (id, v, cell, nrm — the inverted file). The in-JVM cache dies
+    * with the session; a persisted index is the serving shape
+    * (reference OnlineServingService.java batch lookup): any later
+    * job [[ivfServe]]s against it without retraining or re-assigning
+    * the corpus, and refreshes ride [[ivfIndexUpsert]] (a keyed
+    * MERGE) instead of a rebuild. Rebuilding in place is an
+    * overwrite — both tables stay time-travelable.
+    */
+  def ivfBuildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, indexRoot: String,
+                    trainSample: Int = 100000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.offline.VersionedStore
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    quantizerTrainings.incrementAndGet()
+    val trained = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.orderBy("id").limit(trainSample))
+    val assigned = trained.transform(base).drop("fv")
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+    val centroids = trained.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    VersionedStore.overwrite(
+      spark.createDataFrame(centroids.toSeq).toDF("c_cell", "cv"),
+      centroidTable(indexRoot))
+    VersionedStore.overwrite(assigned, assignmentTable(indexRoot))
+  }
+
+  /** Serve ANN queries from a PERSISTED index (built by
+    * [[ivfBuildIndex]]): no training, no corpus scan beyond the probed
+    * cells — the centroid table (k rows) broadcasts and the
+    * assignment table is an ordinary columnar scan, so a fresh
+    * session serves immediately. Result contract matches
+    * [[ivfSearch]] exactly (same probe ordering, cosine, tie-breaks).
+    */
+  def ivfServe(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
+               queries: DataFrame, idCol: String, vecCol: String,
+               nProbe: Int, k: Int, excludeSelf: Boolean = true)
+  : DataFrame = {
+    import graft.offline.VersionedStore
+    val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    val assigned = VersionedStore.read(spark, assignmentTable(indexRoot))
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+    probeAndRank(qBase, centroidDf, assigned, nProbe, k, excludeSelf)
+  }
+
+  /** Refresh a persisted index with new or changed vectors: assign
+    * each update to its nearest EXISTING centroid (same L2-argmin the
+    * probe stage uses; no retraining) and MERGE into the assignment
+    * table by id — a partial copy-on-write commit, not a rebuild.
+    * Centroids drift from optimal as the corpus grows; rebuild with
+    * [[ivfBuildIndex]] when recall degrades.
+    */
+  def ivfIndexUpsert(updates: DataFrame, indexRoot: String,
+                     idCol: String, vecCol: String): Long = {
+    import graft.functions.VectorExpressions.dotF
+    import graft.offline.VersionedStore
+    val spark = updates.sparkSession
+    val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    val w = Window.partitionBy("id").orderBy(
+      (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
+      col("c_cell"))
+    val assignedNew = updates
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("id"), col("v"), col("c_cell").as("cell"),
+        Fns.l2Norm(col("v")).as("nrm"))
+    VersionedStore.merge(assignedNew, assignmentTable(indexRoot), Seq("id"))
   }
 
   /** LSH-bucketed ANN: same-bucket pairs ranked by cosine within each

@@ -101,7 +101,7 @@ class LlmPipelineSpec extends AnyFunSuite {
       (1L, "hello world"), (2L, "hello world"),          // short dups
       (3L, "a b c d e f g h"), (4L, "a b c d e f g h")   // long dups
     ).toDF("doc_id", "text")
-    val keep = Dedup.keepList(docs, "doc_id", "text", 3, 0.8)
+    val keep = Dedup.keepList(docs, "doc_id", "text", 3, 0.8, exact = true)
       .collect().map(_.getLong(0)).toSet
     val piped = Dedup.pipeline(docs, "doc_id", "text", 3, 0.8)
       .collect().map(_.getLong(0)).toSet
@@ -132,7 +132,7 @@ class LlmPipelineSpec extends AnyFunSuite {
 
   test("pipeline (exact→minhash→verify) equals the exact keepList") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
-    val exact = Dedup.keepList(docs, "doc_id", "text", 3, 0.8)
+    val exact = Dedup.keepList(docs, "doc_id", "text", 3, 0.8, exact = true)
       .collect().map(_.getLong(0)).toSet
     val piped = Dedup.pipeline(docs, "doc_id", "text", 3, 0.8)
       .collect().map(_.getLong(0)).toSet
@@ -271,6 +271,40 @@ class LlmPipelineSpec extends AnyFunSuite {
       Ann.maxCacheEntries = oldCap
       Ann.clearQuantizerCache()
     }
+  }
+
+  test("IVF persisted index: serve matches in-memory search, no retraining; refresh is a merge") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val indexRoot =
+      java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    Ann.ivfBuildIndex(emb, "vec_id", "embedding", nCentroids = 8, indexRoot)
+    val queries = emb.filter($"vec_id" < 10)
+    val t0 = Ann.quantizerTrainings.get()
+    // a "fresh session" shape: serving touches only the on-disk tables
+    // (no quantizer cache involvement — the trainings counter is flat)
+    val served = Ann.ivfServe(spark, indexRoot, queries,
+      "vec_id", "embedding", nProbe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(Ann.quantizerTrainings.get() == t0, "serving must not retrain")
+    val inMem = Ann.ivfSearch(emb, queries, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(served == inMem,
+      "persisted-index serving must equal the in-memory search")
+    // refresh = merge, not rebuild: upsert a vector identical to
+    // vec_id 0's — it must surface as that query's nearest neighbor
+    val t1 = Ann.quantizerTrainings.get() // ivfSearch above may train
+    val v0 = emb.filter($"vec_id" === 0)
+    val newId = 10000000L
+    Ann.ivfIndexUpsert(v0.select(lit(newId).as("vec_id"), $"embedding"),
+      indexRoot, "vec_id", "embedding")
+    assert(Ann.quantizerTrainings.get() == t1, "upsert must not retrain")
+    val after = Ann.ivfServe(spark, indexRoot, v0,
+      "vec_id", "embedding", nProbe = 8, k = 1).collect()
+    assert(after.length == 1)
+    assert(after.head.getLong(1) == newId,
+      "the upserted duplicate must be the top neighbor")
+    assert(after.head.getDouble(2) == 1.0)
   }
 
   test("lsh buckets are deterministic across invocations") {
