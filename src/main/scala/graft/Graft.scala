@@ -183,10 +183,12 @@ object Graft {
   def dedupEmbedding(emb: DataFrame, threshold: Double): DataFrame =
     Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold)
 
-  /** Exact by default — see dedupNearNgram for the maxDf trade. */
+  /** Scale pipeline by default; `exact = true` for the quadratic
+    * inverted-index baseline (maxDf applies to that path only). */
   def dedupKeepList(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-                    maxDf: Long = 0)
-  : DataFrame = Dedup.keepList(docs, "doc_id", "text", n, threshold, maxDf)
+                    maxDf: Long = 0, exact: Boolean = false)
+  : DataFrame =
+    Dedup.keepList(docs, "doc_id", "text", n, threshold, maxDf, exact)
 
   /** Exact-first → MinHash candidates → exact-verify: the production
     * dedup order (docs/SCALE_NOTES.md). */

@@ -206,9 +206,13 @@ object SparkEntry {
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.8, maxDf = 100)
 
+  /** Declared with exact = true: the oracle SQL is the uncapped exact
+    * inverted-index drop list, so the declaration must stay on that
+    * path. Production callers get the scale pipeline by default
+    * (Dedup.keepList / Graft.dedupKeepList). */
   def qDedupKeeplist(s: SparkSession, d: String): DataFrame =
     Dedup.keepList(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.8, maxDf = 100)
+      n = 3, threshold = 0.8, maxDf = 100, exact = true)
 
   /** The production dedup path (exact-first → minhash candidates →
     * exact verify). Oracle-checked against the SAME exact-ngram drop

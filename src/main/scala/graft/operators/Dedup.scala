@@ -226,11 +226,15 @@ object Dedup {
     * round every node adopts the minimum label among itself and its
     * neighbors, then jumps to its label's label (path halving), so a
     * component of diameter d converges in O(log d) rounds instead of
-    * O(d) — a 1000-node chain closes in ~11 rounds. Per round: two
-    * equi-joins and ONE job (the convergence aggregate doubles as the
-    * cache materializer). Superseded caches are unpersisted and
-    * lineage is truncated with localCheckpoint every 5 rounds, so
-    * memory and plan depth stay bounded at any round count.
+    * O(d) — a 1000-node chain closes in ~11 rounds. TWO propagate+jump
+    * rounds are fused into every job: at the probe scale the dominant
+    * cost was per-round job LAUNCH (~2s flat, not data), so halving
+    * the job count halves the fixed overhead while the per-job work
+    * (four equi-joins) stays far from any memory limit. The
+    * convergence aggregate doubles as the cache materializer — still
+    * ONE job per fused round. Superseded caches are unpersisted and
+    * lineage is truncated with localCheckpoint every 3 fused rounds,
+    * so memory and plan depth stay bounded at any round count.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -238,6 +242,26 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
+    // One propagate+jump round over (id, old, label), preserving the
+    // round-start `old` column for the convergence count.
+    def halfRound(lbl: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(lbl.select(col("id").as("dst"), col("label").as("nlabel")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val propagated = lbl.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: label <- label(label). Labels are always node
+      // ids, so the self-join resolves every pointer one more hop.
+      propagated.join(
+          propagated.select(col("id").as("label"), col("label").as("plabel")),
+          Seq("label"), "left_outer")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("plabel"), col("label")))
+            .as("label"))
+    }
     // unpersist must target the EXACT cached frame: a projection of it
     // (labels.drop below) would not sameResult() the cached plan and
     // the uncache silently no-ops, pinning every round's cache.
@@ -245,27 +269,13 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nlabel")),
-          Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nmin"))
-      val propagated = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // pointer jump: label <- label(label). Labels are always node
-      // ids, so the self-join resolves every pointer one more hop.
-      val jumped = propagated.join(
-          propagated.select(col("id").as("label"), col("label").as("plabel")),
-          Seq("label"), "left_outer")
-        .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("plabel"), col("label")))
-            .as("label"))
+      val fused = halfRound(halfRound(
+        labels.select(col("id"), col("label").as("old"), col("label"))))
       // LAZY checkpoint: the convergence aggregate below materializes
       // it inside the SAME job (an eager checkpoint would be a second
       // full pass on those rounds).
       val next =
-        if ((i + 1) % 5 == 0) jumped.localCheckpoint(false) else jumped.cache()
+        if ((i + 1) % 3 == 0) fused.localCheckpoint(false) else fused.cache()
       // One job: materializes the cache AND counts changed labels.
       val changedRow = next
         .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L))).head()
@@ -280,8 +290,9 @@ object Dedup {
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Dedup.clusters: label propagation did NOT converge within " +
-        s"$maxIters rounds — returned cluster ids may be non-canonical " +
-        s"for components of diameter > 2^$maxIters")
+        s"$maxIters fused rounds (${2 * maxIters} propagate+jump " +
+        "iterations) — returned cluster ids may be non-canonical for " +
+        s"components of diameter > 2^${2 * maxIters}")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -289,17 +300,29 @@ object Dedup {
     * when it has any near-dup partner with a smaller doc_id (the
     * partner is the canonical copy) — the standard keep-min rule,
     * applied as a broadcast-able anti-join of the corpus against the
-    * pair list's right side. At 100 TB the pair list is orders of
-    * magnitude smaller than the corpus, so the corpus never shuffles.
+    * drop list. At 100 TB the drop list is orders of magnitude
+    * smaller than the corpus, so the corpus never shuffles.
+    *
+    * By DEFAULT drops come from [[pipeline]] (exact-hash →
+    * MinHash+LSH candidates → exact-Jaccard verify): every stage an
+    * equi-join, no Σdf² inverted-index blowup — the path that holds
+    * at corpus scale. `exact = true` instead derives drops from the
+    * full exact [[ngramJaccard]] inverted index — the oracle
+    * baseline, quadratic in per-shingle document frequency; `maxDf`
+    * applies to that path only. The two agree whenever LSH candidate
+    * recall is 1.0 (spec- and oracle-proven on the gate corpora).
     */
   def keepList(docs: DataFrame, idCol: String, textCol: String,
-               n: Int, threshold: Double, maxDf: Long = 0): DataFrame = {
-    val dropIds = ngramJaccard(docs, idCol, textCol, n, threshold, maxDf)
-      .select(col("doc_b").as(idCol)).distinct()
-    docs.select(col(idCol).as("doc_id"))
-      .join(broadcast(dropIds.withColumnRenamed(idCol, "doc_id")),
-        Seq("doc_id"), "left_anti")
-  }
+               n: Int, threshold: Double, maxDf: Long = 0,
+               exact: Boolean = false): DataFrame =
+    if (!exact) pipeline(docs, idCol, textCol, n, threshold)
+    else {
+      val dropIds = ngramJaccard(docs, idCol, textCol, n, threshold, maxDf)
+        .select(col("doc_b").as(idCol)).distinct()
+      docs.select(col(idCol).as("doc_id"))
+        .join(broadcast(dropIds.withColumnRenamed(idCol, "doc_id")),
+          Seq("doc_id"), "left_anti")
+    }
 
   /** The production dedup pipeline in the order the scale probe proves
     * out (docs/SCALE_NOTES.md): exact dedup FIRST collapses identical
