@@ -41,17 +41,21 @@ object TrainingExport {
       "input already has a 'split' column — rename it before export")
     val withSplit =
       df.withColumn("split", FeatureEng.splitColumn(keyCol, trainPct))
-    withSplit.write.mode("overwrite").partitionBy("split")
+    // Split counts ride the WRITE pass as observed metrics — no second
+    // scan of the artifact (count(cond) so an empty split yields 0,
+    // where sum(when) would yield null).
+    val obs = org.apache.spark.sql.Observation()
+    withSplit.observe(obs,
+        count(when(col("split") === "train", 1)).as("train_rows"),
+        count(when(col("split") === "test", 1)).as("test_rows"))
+      .write.mode("overwrite").partitionBy("split")
       .parquet(dataDir(root))
-    // Footer-driven counts over the freshly written artifact.
-    val counts = spark.read.parquet(dataDir(root))
-      .groupBy("split").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = obs.get
     val manifest = ExportManifest(
       schemaHash = Registry.schemaHash(df.columns.toSeq.sorted),
       columns = df.columns.toSeq, keyCol = keyCol, trainPct = trainPct,
-      trainRows = counts.getOrElse("train", 0L),
-      testRows = counts.getOrElse("test", 0L))
+      trainRows = counts("train_rows").asInstanceOf[Long],
+      testRows = counts("test_rows").asInstanceOf[Long])
     val m = new java.util.LinkedHashMap[String, Object]()
     m.put("schemaHash", java.lang.Long.valueOf(manifest.schemaHash))
     m.put("columns", manifest.columns.asJava)

@@ -421,7 +421,29 @@ class StoreSpec extends AnyFunSuite {
     val root = tmp("texport")
     val df = Tables.customer(spark, TestSpark.sfDir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val manifest = TrainingExport.exportDataset(df, root, "c_custkey", trainPct = 80)
+    // "one-pass" is literal: split counts ride the write as observed
+    // metrics, so the export runs exactly one Spark job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val manifest =
+      try {
+        val m = TrainingExport.exportDataset(df, root, "c_custkey",
+          trainPct = 80)
+        // listener events are async: wait for the write job's start
+        // event, then settle briefly to catch any unexpected second job
+        val deadline = System.currentTimeMillis() + 5000
+        while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+        Thread.sleep(250)
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 1,
+      s"export must be one scan (one job), ran ${jobs.get()}")
     assert(manifest.trainRows + manifest.testRows == df.count())
     assert(manifest.schemaHash ==
       Registry.schemaHash(df.columns.toSeq.sorted))
