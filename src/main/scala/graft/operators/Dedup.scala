@@ -233,8 +233,8 @@ object Dedup {
     * (four equi-joins) stays far from any memory limit. The
     * convergence aggregate doubles as the cache materializer — still
     * ONE job per fused round. Superseded caches are unpersisted and
-    * lineage is truncated with localCheckpoint every 3 fused rounds,
-    * so memory and plan depth stay bounded at any round count.
+    * lineage is truncated with a lazy localCheckpoint every fused
+    * round, so memory and plan depth stay bounded at any round count.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -269,17 +269,29 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val fused = halfRound(halfRound(
-        labels.select(col("id"), col("label").as("old"), col("label"))))
-      // LAZY checkpoint: the convergence aggregate below materializes
-      // it inside the SAME job (an eager checkpoint would be a second
-      // full pass on those rounds).
-      val next =
-        if ((i + 1) % 3 == 0) fused.localCheckpoint(false) else fused.cache()
+      // The intermediate half-round MUST be cached: the outer round's
+      // pointer-jump self-join references its input twice, and an
+      // uncached intermediate would be recomputed down both branches —
+      // multiplying the inner round's joins instead of halving job
+      // count (measured 6× slower at the ×10 probe). The cache fills
+      // lazily inside the same convergence job, so this adds no job.
+      val once = halfRound(
+        labels.select(col("id"), col("label").as("old"), col("label")))
+        .cache()
+      val fused = halfRound(once)
+      // LAZY checkpoint EVERY round: materialized by the convergence
+      // aggregate inside the SAME job (an eager checkpoint would be a
+      // second full pass), and lineage truncation is mandatory, not
+      // periodic — a fused round multiplies plan TEXT ~16× (each
+      // self-join prints its subtree twice), and letting rounds
+      // compound made AQE's per-stage plan rendering OOM the driver
+      // building the explain string at the ×10 probe.
+      val next = fused.localCheckpoint(false)
       // One job: materializes the cache AND counts changed labels.
       val changedRow = next
         .agg(sum(when(col("label") =!= col("old"), 1L).otherwise(0L))).head()
       val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      once.unpersist()
       cachedHandle.unpersist()
       cachedHandle = next
       labels = next.drop("old")

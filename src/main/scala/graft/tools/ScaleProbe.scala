@@ -30,6 +30,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional third arg: comma-separated section filter out of
+    // events,orders,docs,emb — lets a single section re-run during
+    // iteration without paying the full probe
+    val sections = args.lift(2).map(_.split(",").toSet)
+      .getOrElse(Set("events", "orders", "docs", "emb"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -39,6 +44,7 @@ object ScaleProbe {
 
     // events xK: new users per replica (entity cardinality grows with
     // data — the realistic 100 TB shape), unique event ids
+    if (sections("events")) {
     val ev = replicate(Tables.events(spark, d), k,
       Map("event_id" -> 10000000L, "user_id" -> 100000L)).cache()
     println(s"[scale] events rows: ${ev.count()}  (k=$k)")
@@ -62,7 +68,9 @@ object ScaleProbe {
     time("sessionize xK")(Sessionize.sessions(ev, "user_id", "ts", "value",
       7200L).count())
     ev.unpersist()
+    }
 
+    if (sections("orders")) {
     // orders xK: new customers per replica — exercises the exact
     // global-rank path (literal-pinned quantile buckets + per-bucket
     // windows); watch for any single-task window stage
@@ -72,7 +80,9 @@ object ScaleProbe {
     time("quantile_label xK")(FeatureEng.quantileLabel(
       ord, "o_custkey", "o_totalprice", 0.9).count())
     ord.unpersist()
+    }
 
+    if (sections("docs")) {
     // documents xK: unique doc ids, same text → every doc gains k-1
     // exact near-dups (worst-case pair pressure on the dedup joins)
     val docs = replicate(Tables.documents(spark, d), k,
@@ -107,7 +117,9 @@ object ScaleProbe {
       Dedup.clusters(pairs).count()
     })
     docs.unpersist()
+    }
 
+    if (sections("emb")) {
     // embeddings xK: unique vec ids, duplicated vectors — the blocked
     // equi-join's O(n²) work grows k², so this curve is the honest cost
     // of the exact moderate-threshold path
@@ -121,6 +133,7 @@ object ScaleProbe {
       Dedup.embeddingCosineLsh(emb, "vec_id", "embedding", 0.9, dim = 64)
         .count())
     emb.unpersist()
+    }
     spark.stop()
   }
 }
