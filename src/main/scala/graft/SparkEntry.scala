@@ -281,6 +281,21 @@ object SparkEntry {
   def qFingerprint(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")
 
+  def qRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+
+  /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
+    * deterministic, 10% of the corpus): training docs sharing >= 5
+    * distinct 3-gram shingles with any eval doc. */
+  def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      n = 3, minOverlap = 5L)
+  }
+
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
 
@@ -349,7 +364,9 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
-    "q_multimodal_meta" -> (qMultimodalMeta _)
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_repetition" -> (qRepetition _),
+    "q_decontaminate" -> (qDecontaminate _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1113,6 +1130,42 @@ object SparkEntry {
           |    ELSE 'und'
           |  END AS pred_lang
           |FROM h""".stripMargin,
+
+      "q_repetition" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |we AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+          |wg AS (SELECT doc_id, wd, count(*) AS c FROM we GROUP BY 1, 2),
+          |wm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+          |         max(c) AS top_word, count(*) AS n_distinct
+          |       FROM wg GROUP BY 1),
+          |be AS (SELECT doc_id, unnest(list_transform(
+          |         generate_series(1, greatest(len(ws) - 1, 0)),
+          |         i -> concat_ws(' ', ws[i], ws[i+1]))) AS bg FROM w),
+          |bgr AS (SELECT doc_id, bg, count(*) AS c FROM be GROUP BY 1, 2),
+          |bm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |         max(c) AS top_bigram
+          |       FROM bgr GROUP BY 1)
+          |SELECT d.doc_id,
+          |  coalesce(n_words, 0) AS n_words,
+          |  round(coalesce(top_word * 1.0 / n_words, 0.0), 6) AS top_word_ratio,
+          |  round(coalesce(n_distinct * 1.0 / n_words, 0.0), 6) AS distinct_word_ratio,
+          |  round(coalesce(top_bigram * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_ratio
+          |FROM documents d
+          |LEFT JOIN wm ON d.doc_id = wm.doc_id
+          |LEFT JOIN bm ON d.doc_id = bm.doc_id""".stripMargin,
+
+      "q_decontaminate" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0)
+          |SELECT sh.doc_id, count(*) AS n_overlap
+          |FROM sh JOIN es USING (s)
+          |WHERE sh.doc_id % 10 <> 0
+          |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
 
       "q_token_count" ->
         """SELECT doc_id, len(text) AS n_chars,

@@ -392,6 +392,37 @@ object Dedup {
       .unionByName(shortDocs.select("doc_id"))
   }
 
+  /** Training-data DECONTAMINATION: find training documents whose
+    * word-n-gram overlap with a benchmark/eval set is at least
+    * `minOverlap` distinct shingles — the standard guard against eval
+    * leakage in a pretraining corpus (the eval set's n-grams must not
+    * be memorizable from training data).
+    *
+    * Scale shape: the EVAL side is small (benchmarks are thousands of
+    * docs, the corpus is billions), so its distinct shingle set is
+    * broadcast and the corpus-side shingle stream equi-joins it
+    * map-side — the corpus never shuffles until the per-doc overlap
+    * count, which only carries matched rows. Shingles are the same
+    * codegen'd 64-bit hashes the dedup family uses (ShingleHash):
+    * per-doc distinct, so count(*) IS the distinct-overlap count.
+    *
+    * Returns (doc_id, n_overlap) for contaminated training docs; anti-
+    * join the corpus against it to scrub.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    evalDocs: DataFrame, evalIdCol: String,
+                    evalTextCol: String, n: Int,
+                    minOverlap: Long = 1L): DataFrame = {
+    val evalShingles = evalDocs.select(
+      explode(graft.functions.ShingleHash.shingles(col(evalTextCol), n))
+        .as("s")).distinct()
+    val docShingles = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleHash.shingles(col(textCol), n)).as("s"))
+    docShingles.join(broadcast(evalShingles), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` — exact, via a
     * block-partitioned self-join instead of a broadcast nested loop.
     * Each side is split into `nBlocks` id-hash blocks; the left side

@@ -67,6 +67,54 @@ object TextAnalysis {
     base.withColumn("pred_lang", pred)
   }
 
+  /** Gopher-style REPETITION metrics per document — the quality
+    * signals a pretraining filter thresholds to drop degenerate
+    * (looping, boilerplate, template) text:
+    *  - top_word_ratio: occurrences of the most frequent word / total
+    *    words (Gopher drops > 0.2-ish);
+    *  - distinct_word_ratio: vocabulary size / total words (low =
+    *    repetitive);
+    *  - top_bigram_ratio: occurrences of the most frequent word
+    *    bigram / total bigrams (the strongest loop detector).
+    *
+    * Plan: one whitespace split, two explodes (words, bigrams), and
+    * per-(doc, term) → per-doc aggregate pairs — every aggregate is
+    * map-side combinable and keyed by doc_id, so the work is linear
+    * in corpus size and shuffles only (doc_id, term, count) rows.
+    * Docs with no bigrams (or empty text) report ratio 0, not null.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      Fns.words(col(textCol)).as("ws"))
+    val wordCounts = base.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val wordMetrics = wordCounts.groupBy("doc_id").agg(
+      sum("c").as("n_words"), max("c").as("top_word"),
+      count(lit(1)).as("n_distinct"))
+    // sequence(0, -1) counts DOWN — guard short docs to an empty array
+    val bigramArr = when(size(col("ws")) >= 2,
+      expr("transform(sequence(0, size(ws) - 2), " +
+        "i -> concat_ws(' ', ws[i], ws[i + 1]))"))
+      .otherwise(array().cast("array<string>"))
+    val bigramMetrics = base.select(col("doc_id"),
+        explode(bigramArr).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(wordMetrics, Seq("doc_id"), "left_outer")
+      .join(bigramMetrics, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        round(coalesce(col("top_word") / col("n_words"), lit(0.0)), 6)
+          .as("top_word_ratio"),
+        round(coalesce(col("n_distinct") / col("n_words"), lit(0.0)), 6)
+          .as("distinct_word_ratio"),
+        round(coalesce(col("top_bigram") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_ratio"))
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation), and the
     * chars/4 heuristic LLM-token estimate.

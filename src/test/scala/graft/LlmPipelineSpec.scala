@@ -140,6 +140,45 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"extraKept=${(piped -- exact).take(5)} extraDropped=${(exact -- piped).take(5)}")
   }
 
+  test("repetitionMetrics: hand-computed ratios, short and degenerate docs") {
+    val docs = Seq(
+      (1L, "x x x y"),        // top word 3/4, distinct 2/4, top bigram 2/3
+      (2L, "hi"),             // one word, no bigrams
+      (3L, "a b a b a b a b") // perfect loop: top bigram ("a b") 4/7
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(m(1L) == ((4L, 0.75, 0.5, 0.666667)))
+    assert(m(2L) == ((1L, 1.0, 1.0, 0.0)),
+      "a doc with no bigrams must report ratio 0, not null")
+    assert(m(3L) == ((8L, 0.5, 0.25, 0.571429))) // top bigram "a b" 4/7
+  }
+
+  test("decontaminate: overlap counts against the eval set, threshold respected") {
+    val evalDocs = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d e f g"),  // exact copy: all 5 shingles overlap
+      (2L, "a b c d x y z"),  // 2 shared shingles (a b c, b c d)
+      (3L, "p q r s t u v")   // disjoint
+    ).toDF("doc_id", "text")
+    def hits(minOverlap: Long) =
+      Dedup.decontaminate(train, "doc_id", "text",
+        evalDocs, "doc_id", "text", n = 3, minOverlap = minOverlap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) == Map(1L -> 5L, 2L -> 2L))
+    assert(hits(5L) == Map(1L -> 5L),
+      "minOverlap must gate out incidental overlap")
+    // the eval-side shingle set is broadcast: the corpus side must not
+    // shuffle before the equi-join
+    val plan = Dedup.decontaminate(train, "doc_id", "text",
+      evalDocs, "doc_id", "text", n = 3, minOverlap = 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$plan")
+  }
+
   test("embeddingCosineLsh: candidates+verify equals exact at high threshold") {
     val rnd = new scala.util.Random(7)
     val dim = 16
