@@ -284,6 +284,9 @@ object SparkEntry {
   def qRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
 
+  def qLmScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
+
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5
     * distinct 3-gram shingles with any eval doc. */
@@ -366,7 +369,8 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_repetition" -> (qRepetition _),
-    "q_decontaminate" -> (qDecontaminate _)
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_lm_score" -> (qLmScore _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1153,6 +1157,16 @@ object SparkEntry {
           |FROM documents d
           |LEFT JOIN wm ON d.doc_id = wm.doc_id
           |LEFT JOIN bm ON d.doc_id = bm.doc_id""".stripMargin,
+
+      "q_lm_score" ->
+        """WITH we AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          |), f AS (SELECT w, count(*) AS cnt FROM we GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |  round(avg(-ln(cnt * 1.0 / tot)), 4) AS lm_score
+          |FROM we JOIN f USING (w) CROSS JOIN t
+          |GROUP BY 1""".stripMargin,
 
       "q_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

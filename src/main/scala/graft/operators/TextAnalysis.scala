@@ -115,6 +115,37 @@ object TextAnalysis {
           .as("top_bigram_ratio"))
   }
 
+  /** CCNet-style unigram language-model quality score: each document's
+    * mean word surprise, avg(-ln p(w)), under the corpus's own unigram
+    * distribution. Low = templated/common text, high = rare-word soup;
+    * pretraining filters keep the middle band. (CCNet uses a 5-gram
+    * KenLM; the unigram variant is the same signal family computable
+    * exactly in one pass, with no external model artifact.)
+    *
+    * Plan: one explode, word frequencies via a map-side-combinable
+    * aggregate, a (word)-keyed equi-join back to the token stream
+    * (Spark broadcasts the frequency table when the vocabulary is
+    * small; at corpus scale it degrades gracefully to a shuffle join —
+    * vocabulary grows ~O(corpus^0.5), Heaps' law, so it is never the
+    * big side), and a per-doc aggregate. The corpus total rides a
+    * broadcast 1-row frame, not a driver collect.
+    *
+    * Scores round to 4 decimals: the per-doc avg is an order-dependent
+    * double sum, and 6 decimals would sit close enough to the
+    * cross-engine summation noise to flake a hash comparison.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(Fns.words(col(textCol))).as("w"))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").as("tot"))
+    words.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(-log(col("cnt") / col("tot"))), 4).as("lm_score"))
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation), and the
     * chars/4 heuristic LLM-token estimate.

@@ -156,6 +156,20 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(m(3L) == ((8L, 0.5, 0.25, 0.571429))) // top bigram "a b" 4/7
   }
 
+  test("lmScore: hand-computed unigram surprise, common text scores lower") {
+    // corpus: "a a a b" + "a c" → counts a:4, b:1, c:1, total 6
+    val docs = Seq((1L, "a a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = TextAnalysis.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val pa = 4.0 / 6; val pb = 1.0 / 6
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    assert(m(1L) == ((4L, r4((3 * -math.log(pa) - math.log(pb)) / 4))))
+    assert(m(2L) == ((2L, r4((-math.log(pa) - math.log(pb)) / 2))))
+    // the all-common-words doc is less surprising than the rare-word one
+    assert(m(1L)._2 < m(2L)._2)
+  }
+
   test("decontaminate: overlap counts against the eval set, threshold respected") {
     val evalDocs = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
     val train = Seq(
