@@ -137,7 +137,14 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(Fns.words(col(textCol))).as("w"))
+    // Lazy checkpoint: the frequency table feeds BOTH the token-stream
+    // join and the corpus-total aggregate, and Spark's exchange reuse
+    // does not unify the duplicated subtrees (fresh expr ids) — without
+    // it the corpus is scanned a third time just to sum the vocabulary.
+    // Materialized once at first action (vocab-sized, ~sqrt(corpus)),
+    // reclaimed by the ContextCleaner.
     val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val total = freq.agg(sum("cnt").as("tot"))
     words.join(freq, "w")
       .crossJoin(broadcast(total))

@@ -90,6 +90,31 @@ class PlanSpec extends AnyFunSuite {
       s"distributed running total must not funnel through one partition:\n$plan")
   }
 
+  test("q_lm_score: the vocabulary total does not re-scan the corpus") {
+    // the corpus total is sum(cnt) over the frequency table, whose
+    // subtree appears twice (join side + total side) and is NOT
+    // unified by exchange reuse (fresh expr ids) — the operator must
+    // share one materialization, keeping corpus scans at 2 (token
+    // stream + frequency build)
+    val df = SparkEntry.qLmScore(spark, TestSpark.sfDir)
+    df.count() // materialize so the final adaptive plan is inspectable
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+           "Scan parquet".r.findAllIn(plan).length <= 2,
+      s"vocabulary total re-scans the corpus:\n$plan")
+  }
+
+  test("q_decontaminate: eval shingle set broadcast, corpus side not shuffled for the join") {
+    val df = SparkEntry.qDecontaminate(spark, TestSpark.sfDir)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast:\n$plan")
+    // one real shuffle for the eval-side distinct + one for the
+    // per-doc overlap count; the corpus token stream itself never
+    // exchanges before the join
+    assert(countShuffles(df) <= 2, s"corpus side shuffled:\n$plan")
+  }
+
   test("q_tfidf: rank pushes a partial top-k (WindowGroupLimit) below the exchange") {
     val plan = SparkEntry.qTfidf(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
