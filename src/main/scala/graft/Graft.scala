@@ -204,6 +204,39 @@ object Graft {
   def cleanFilter(docs: DataFrame): DataFrame =
     TextAnalysis.cleanFilter(docs, "doc_id", "text")
 
+  /** Train/eval decontamination: training docs sharing >= minOverlap
+    * distinct n-gram shingles with the eval set (broadcast). */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                    minOverlap: Long = 1L): DataFrame =
+    Dedup.decontaminate(docs, "doc_id", "text",
+      evalDocs, "doc_id", "text", n, minOverlap)
+
+  /** Gopher-style repetition quality metrics per document. */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+
+  /** CCNet-style unigram LM quality score per document. */
+  def lmScore(docs: DataFrame): DataFrame =
+    TextAnalysis.lmScore(docs, "doc_id", "text")
+
+  /** Persist an IVF index for serving (centroids + inverted file as
+    * VersionedStore tables under `indexRoot`). */
+  def annIvfBuild(corpus: DataFrame, nCentroids: Int,
+                  indexRoot: String): Unit =
+    Ann.ivfBuildIndex(corpus, "vec_id", "embedding", nCentroids, indexRoot)
+
+  /** Serve ANN queries from a persisted index — no retraining; see
+    * [[annIvfSearch]] for the excludeSelf default rationale. */
+  def annIvfServe(spark: SparkSession, indexRoot: String,
+                  queries: DataFrame, nProbe: Int, k: Int,
+                  excludeSelf: Boolean = false): DataFrame =
+    Ann.ivfServe(spark, indexRoot, queries, "vec_id", "embedding",
+      nProbe, k, excludeSelf)
+
+  /** Refresh a persisted IVF index by keyed merge (no rebuild). */
+  def annIvfUpsert(updates: DataFrame, indexRoot: String): Long =
+    Ann.ivfIndexUpsert(updates, indexRoot, "vec_id", "embedding")
+
   def annIvf(emb: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame =
     Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids, nProbe, k)
 

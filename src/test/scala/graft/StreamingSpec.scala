@@ -216,6 +216,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, table, versionAsOf = 0).count() == 2L)
   }
 
+  test("StreamingVersionedSink: a producer restart with an evolved schema keeps ingesting") {
+    // the add-column evolution case a long-lived ingestion hits: the
+    // upstream producer gains a field, the stream restarts with the
+    // wider schema, and the sink must keep appending — pre-evolution
+    // versions null-backfill the new column on read
+    import graft.offline.VersionedStore
+    import graft.streaming.StreamingVersionedSink
+    implicit val sqlCtx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("vevo_sink").toString + "/t"
+
+    val in0 = MemoryStream[(Long, Double)]
+    val q0 = StreamingVersionedSink.start(
+      in0.toDF().toDF("entity_id", "value"), table,
+      java.nio.file.Files.createTempDirectory("vevo_ck0").toString)
+    in0.addData((1L, 1.0), (2L, 2.0))
+    q0.processAllAvailable()
+    q0.stop()
+
+    val in1 = MemoryStream[(Long, Double, String)]
+    val q1 = StreamingVersionedSink.start(
+      in1.toDF().toDF("entity_id", "value", "source"), table,
+      java.nio.file.Files.createTempDirectory("vevo_ck1").toString)
+    in1.addData((3L, 3.0, "s3"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val head = VersionedStore.read(spark, table)
+    assert(head.columns.toSeq == Seq("entity_id", "value", "source"))
+    val rows = head.collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some("s3")))
+    // the pre-evolution snapshot still reads with its own schema
+    assert(VersionedStore.read(spark, table, versionAsOf = 0)
+      .columns.toSeq == Seq("entity_id", "value"))
+  }
+
   test("StreamingDrift: shifted live distribution scores higher PSI than matching one") {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamingDrift
