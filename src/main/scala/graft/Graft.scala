@@ -237,6 +237,21 @@ object Graft {
   def annIvfUpsert(updates: DataFrame, indexRoot: String): Long =
     Ann.ivfIndexUpsert(updates, indexRoot, "vec_id", "embedding")
 
+  /** SQ8-compressed persisted IVF index (FAISS IVF,SQ8 shape): 4× less
+    * index storage/scan I/O, recall bounded by the grid step. */
+  def annIvfBuildSq8(corpus: DataFrame, nCentroids: Int,
+                     indexRoot: String): Unit =
+    Ann.ivfBuildIndexSq8(corpus, "vec_id", "embedding", nCentroids,
+      indexRoot)
+
+  /** Serve from an SQ8-compressed persisted index; see [[annIvfSearch]]
+    * for the excludeSelf default rationale. */
+  def annIvfServeSq8(spark: SparkSession, indexRoot: String,
+                     queries: DataFrame, nProbe: Int, k: Int,
+                     excludeSelf: Boolean = false): DataFrame =
+    Ann.ivfServeSq8(spark, indexRoot, queries, "vec_id", "embedding",
+      nProbe, k, excludeSelf)
+
   def annIvf(emb: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame =
     Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids, nProbe, k)
 

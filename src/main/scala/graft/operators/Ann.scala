@@ -305,6 +305,23 @@ object Ann {
                            assigned: DataFrame, nProbe: Int, k: Int,
                            excludeSelf: Boolean): DataFrame = {
     import graft.functions.VectorExpressions.dotF
+    probeAndRankOn(qBase, centroidDf,
+      assigned.select(col("id").as("neighbor_id"), col("v").as("cv2"),
+        col("nrm").as("cn"), col("cell")),
+      dotF(col("qv"), col("cv2")) / (col("qn") * col("cn")),
+      nProbe, k, excludeSelf)
+  }
+
+  /** probeAndRank generalized over the corpus payload: `corpusSide`
+    * must carry (neighbor_id, cell, cn, <payload>), and `cosRaw`
+    * computes the raw cosine from (qv, qn, cn, payload) — float
+    * vectors and SQ8 codes share every other line of the query path.
+    */
+  private def probeAndRankOn(qBase: DataFrame, centroidDf: DataFrame,
+                             corpusSide: DataFrame, cosRaw: Column,
+                             nProbe: Int, k: Int,
+                             excludeSelf: Boolean): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
     val wProbe = Window.partitionBy("id").orderBy(
       (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
       col("c_cell"))
@@ -316,14 +333,12 @@ object Ann {
 
     val wk = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
-    val hits = probes
-      .join(assigned.select(col("id").as("neighbor_id"), col("v").as("cv2"),
-        col("nrm").as("cn"), col("cell")), Seq("cell"))
+    val hits = probes.join(corpusSide, Seq("cell"))
     val candidates =
       if (excludeSelf) hits.filter(col("query_id") =!= col("neighbor_id"))
       else hits
     candidates
-      .withColumn("cos_raw", dotF(col("qv"), col("cv2")) / (col("qn") * col("cn")))
+      .withColumn("cos_raw", cosRaw)
       .withColumn("rank", row_number().over(wk).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -387,6 +402,84 @@ object Ann {
     val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Fns.l2Norm(col("v")))
     probeAndRank(qBase, centroidDf, assigned, nProbe, k, excludeSelf)
+  }
+
+  private def sq8GridTable(indexRoot: String) = s"$indexRoot/sq8_grid"
+  private def sq8AssignmentTable(indexRoot: String) = s"$indexRoot/assignment_sq8"
+
+  /** SQ8-compressed persisted IVF index (the FAISS IVFx,SQ8 shape):
+    * the inverted file stores one BYTE per dimension instead of a
+    * float32 — 4× less index storage and probe-scan I/O, the lever
+    * that matters when the inverted file IS the corpus. Queries stay
+    * float; ranking uses the fused asymmetric dot (query · dequantized
+    * code, no float array materialized per pair). Three tables under
+    * `indexRoot`: `centroids`, `sq8_grid` (per-dimension min/scale),
+    * `assignment_sq8` (id, code, cell, nrm). Recall loss vs
+    * [[ivfBuildIndex]] is bounded by the grid step, same as
+    * [[bruteTopKSq8]] vs [[bruteTopK]].
+    */
+  def ivfBuildIndexSq8(corpus: DataFrame, idCol: String, vecCol: String,
+                       nCentroids: Int, indexRoot: String,
+                       trainSample: Int = 100000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.VectorExpressions
+    import graft.offline.VersionedStore
+    val spark = corpus.sparkSession
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    quantizerTrainings.incrementAndGet()
+    val trained = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.orderBy("id").limit(trainSample))
+    val p = sq8Train(corpus, vecCol)
+    // norms from the DEQUANTIZED codes, not the float originals —
+    // ranking must be self-consistent with what serving can compute
+    val assigned = trained.transform(base).drop("fv")
+      .select(col("id"),
+        VectorExpressions.sq8Encode(col("v"), p.mins, p.scales).as("code"),
+        col("cell"))
+      .withColumn("nrm",
+        VectorExpressions.sq8Norm(col("code"), p.mins, p.scales))
+    val centroids = trained.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    VersionedStore.overwrite(
+      spark.createDataFrame(centroids.toSeq).toDF("c_cell", "cv"),
+      centroidTable(indexRoot))
+    VersionedStore.overwrite(
+      spark.createDataFrame(
+        (0 until p.dim).map(i => (i, p.mins(i), p.scales(i))))
+        .toDF("pos", "mn", "scale"),
+      sq8GridTable(indexRoot))
+    VersionedStore.overwrite(assigned, sq8AssignmentTable(indexRoot))
+  }
+
+  /** Serve from an SQ8-compressed persisted index: probe like
+    * [[ivfServe]], rank with the asymmetric quantized dot. Result
+    * contract matches [[bruteTopKSq8]] when every cell is probed.
+    */
+  def ivfServeSq8(spark: org.apache.spark.sql.SparkSession,
+                  indexRoot: String, queries: DataFrame, idCol: String,
+                  vecCol: String, nProbe: Int, k: Int,
+                  excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorExpressions
+    import graft.offline.VersionedStore
+    val gridRows = VersionedStore.read(spark, sq8GridTable(indexRoot))
+      .collect().sortBy(_.getInt(0))
+    val p = Sq8Params(gridRows.map(_.getDouble(1)),
+      gridRows.map(_.getDouble(2)))
+    val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    val assigned = VersionedStore.read(spark, sq8AssignmentTable(indexRoot))
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+    probeAndRankOn(qBase, centroidDf,
+      assigned.select(col("id").as("neighbor_id"), col("code"),
+        col("nrm").as("cn"), col("cell")),
+      VectorExpressions.sq8Dot(col("qv"), col("code"), p.mins, p.scales) /
+        (col("qn") * col("cn")),
+      nProbe, k, excludeSelf)
   }
 
   /** Refresh a persisted index with new or changed vectors: assign

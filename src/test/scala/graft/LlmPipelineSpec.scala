@@ -360,6 +360,33 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(after.head.getDouble(2) == 1.0)
   }
 
+  test("IVF-SQ8 persisted index: full-probe serve equals the quantized brute scan; code is 1 byte/dim") {
+    import org.apache.spark.sql.types.BinaryType
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val indexRoot =
+      java.nio.file.Files.createTempDirectory("ivfsq8").toString + "/idx"
+    Ann.ivfBuildIndexSq8(emb, "vec_id", "embedding", nCentroids = 8,
+      indexRoot)
+    val queries = emb.filter($"vec_id" < 10)
+    val served = Ann.ivfServeSq8(spark, indexRoot, queries,
+      "vec_id", "embedding", nProbe = 8, k = 5)
+    // probing every cell reduces IVF-SQ8 to the exact quantized scan —
+    // same grid (deterministic per-dimension min/max), same asymmetric
+    // dot, same tie-breaks, so results are bit-equal
+    val brute = Ann.bruteTopKSq8(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(served.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getLong(3))).toSet == brute)
+    // the 4x compression claim is structural: 1 byte per dimension
+    val assigned = graft.offline.VersionedStore
+      .read(spark, s"$indexRoot/assignment_sq8")
+    assert(assigned.schema("code").dataType == BinaryType)
+    val dim = emb.select($"embedding").head().getSeq[Float](0).length
+    assert(assigned.select($"code").head().getAs[Array[Byte]](0).length
+      == dim)
+  }
+
   test("lsh buckets are deterministic across invocations") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val a = SparkEntry.qAnnLsh(spark, TestSpark.sfDir)
