@@ -290,6 +290,57 @@ class StoreSpec extends AnyFunSuite {
     assert(compacted.columns.toSeq == Seq("id", "v", "tag"))
   }
 
+  test("schema evolution end-to-end: a feature view gains a feature, the training table grows") {
+    // the reference's motivating flow (FeatureRegistryService
+    // definitions mutate): a wide training table materialized from a
+    // 2-feature view keeps appending after the view gains a third
+    // feature — no rewrite of history, old rows null-backfill
+    import graft.operators.AsofJoin
+    val root = tmp("vview")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val features = Seq(
+      ("u1", ts("2024-01-01 00:00:00"), "f1", 1.0),
+      ("u1", ts("2024-01-02 00:00:00"), "f2", 2.0),
+      ("u1", ts("2024-01-03 00:00:00"), "f3", 3.0)
+    ).toDF("entity_id", "ts", "feature_name", "value_float")
+    val labels = Seq(("u1", ts("2024-01-05 00:00:00"), 100L, 1.0))
+      .toDF("entity_id", "ts", "event_id", "value")
+    def train(featureList: Seq[String]) =
+      AsofJoin.pointInTime(features, labels, "entity_id", "ts",
+        "feature_name", "value_float", "event_id", "value",
+        featureList, 0.0)
+    VersionedStore.create(train(Seq("f1", "f2")), root)        // v0: 2 features
+    VersionedStore.append(train(Seq("f1", "f2", "f3")), root)  // v1: +f3
+    val head = VersionedStore.read(spark, root)
+    assert(head.columns.contains("f_f3"))
+    assert(head.count() == 2)
+    val f3Vals = head.select("f_f3").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSet
+    assert(f3Vals == Set(None, Some(3.0)),
+      "pre-evolution training rows must null-backfill the new feature")
+    assert(!VersionedStore.read(spark, root, versionAsOf = 0)
+      .columns.contains("f_f3"))
+  }
+
+  test("VersionedStore: z-order compaction tolerates nulls in an evolved column") {
+    val root = tmp("vzevo")
+    VersionedStore.create(
+      (1L to 200L).map(i => (i, i * 1.0)).toDF("id", "x"), root)
+    VersionedStore.append(
+      (201L to 400L).map(i => (i, i * 1.0, (i % 50) * 1.0))
+        .toDF("id", "x", "y"), root)
+    // z-order on (x, y) where half the rows have y = null
+    val zv = VersionedStore.compactZOrder(spark, root, numFiles = 4,
+      zorderBy = Seq("x", "y"))
+    val z = VersionedStore.read(spark, root, zv)
+    assert(z.count() == 400)
+    assert(z.filter(col("y").isNull).count() == 200,
+      "null rows must survive the Morton rewrite")
+    // range reads on both dimensions still correct over the mix
+    val band = VersionedStore.readRange(spark, root, "x", 100.0, 120.0, zv)
+    assert(band.count() == 21)
+  }
+
   test("VersionedStore: vacuum drops old versions, keeps shared files, sweeps aged orphans") {
     val root = tmp("vvac")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)    // v0: A
