@@ -341,6 +341,63 @@ class StoreSpec extends AnyFunSuite {
     assert(band.count() == 21)
   }
 
+  test("schema evolution property: random add-column append sequences read back exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val root = tmp(s"vprop$trial")
+      var cols = Vector[(String, DataType)]("id" -> LongType, "c0" -> DoubleType)
+      val pool = Vector[(String, DataType)](
+        "c1" -> DoubleType, "c2" -> StringType, "c3" -> LongType)
+      var poolIdx = 0
+      var nextId = 0L
+      val expected = scala.collection.mutable.Map[Long, Map[String, Any]]()
+      var colsAt = Vector.empty[Seq[String]]
+      for (step <- 0 until 5) {
+        if (step > 0 && poolIdx < pool.size && rnd.nextBoolean()) {
+          cols = cols :+ pool(poolIdx); poolIdx += 1
+        }
+        val schema = StructType(cols.map { case (n, t) =>
+          StructField(n, t, nullable = true) })
+        val rows = (0 until 1 + rnd.nextInt(3)).map { _ =>
+          val id = nextId; nextId += 1
+          val vals: Seq[Any] = cols.map {
+            case ("id", _) => id
+            case (_, DoubleType) => rnd.nextInt(100) / 10.0
+            case (_, StringType) => s"s${rnd.nextInt(100)}"
+            case (_, _) => rnd.nextInt(1000).toLong
+          }
+          expected(id) = cols.map(_._1).zip(vals).toMap
+          Row(vals: _*)
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), schema)
+        if (step == 0) VersionedStore.create(df, root)
+        else VersionedStore.append(df, root)
+        colsAt = colsAt :+ cols.map(_._1)
+      }
+      val headCols = colsAt.last
+      val head = VersionedStore.read(spark, root)
+      assert(head.columns.toSeq == headCols, s"trial $trial head schema")
+      val got = head.collect().map { r =>
+        r.getLong(r.fieldIndex("id")) -> headCols.map(c =>
+          c -> (if (r.isNullAt(r.fieldIndex(c))) null
+                else r.get(r.fieldIndex(c)))).toMap
+      }.toMap
+      assert(got.keySet == expected.keySet)
+      expected.foreach { case (id, vals) =>
+        val full = headCols.map(c => c -> vals.getOrElse(c, null)).toMap
+        assert(got(id) == full, s"trial $trial row $id: ${got(id)} != $full")
+      }
+      // any earlier version keeps exactly the column set it was
+      // committed with
+      val v = rnd.nextInt(colsAt.size)
+      assert(VersionedStore.read(spark, root, v).columns.toSeq == colsAt(v),
+        s"trial $trial version $v schema")
+    }
+  }
+
   test("VersionedStore: vacuum drops old versions, keeps shared files, sweeps aged orphans") {
     val root = tmp("vvac")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)    // v0: A
