@@ -211,6 +211,12 @@ object Graft {
     Dedup.decontaminate(docs, "doc_id", "text",
       evalDocs, "doc_id", "text", n, minOverlap)
 
+  /** Exact substring overlap spans (Lee et al. substring dedup):
+    * maximal shared runs of >= minTokens consecutive tokens. */
+  def overlapSpans(docs: DataFrame, n: Int = 3, minTokens: Int = 8,
+                   maxDf: Long = 0): DataFrame =
+    Dedup.overlapSpans(docs, "doc_id", "text", n, minTokens, maxDf)
+
   /** Gopher-style repetition quality metrics per document. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionMetrics(docs, "doc_id", "text")

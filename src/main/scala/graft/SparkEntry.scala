@@ -287,6 +287,10 @@ object SparkEntry {
   def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
 
+  def qOverlapSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.overlapSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 3, minTokens = 8)
+
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5
     * distinct 3-gram shingles with any eval doc. */
@@ -370,7 +374,8 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
-    "q_lm_score" -> (qLmScore _)
+    "q_lm_score" -> (qLmScore _),
+    "q_overlap_spans" -> (qOverlapSpans _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1167,6 +1172,26 @@ object SparkEntry {
           |  round(avg(-ln(cnt * 1.0 / tot)), 4) AS lm_score
           |FROM we JOIN f USING (w) CROSS JOIN t
           |GROUP BY 1""".stripMargin,
+
+      "q_overlap_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, i, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+          |  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+          |), m AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |         a.i AS pa, b.i AS pb, a.i - b.i AS diag
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |), isl AS (
+          |  SELECT doc_a, doc_b, diag, pa, pb,
+          |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+          |                            ORDER BY pa) AS island
+          |  FROM m
+          |)
+          |SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+          |       CAST(count(*) + 2 AS BIGINT) AS match_len
+          |FROM isl GROUP BY doc_a, doc_b, diag, island
+          |HAVING count(*) + 2 >= 8""".stripMargin,
 
       "q_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -392,6 +392,63 @@ object Dedup {
       .unionByName(shortDocs.select("doc_id"))
   }
 
+  /** Positional shingle stream: one row per (doc, 1-based token
+    * position, 64-bit hash of the n words starting there) — NOT
+    * deduplicated, unlike [[shingleIndex]]: span detection needs every
+    * occurrence with its position.
+    */
+  private def positionalShingles(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
+    val refs = (0 until n).map(j => s"ws[i - 1 + $j]").mkString(", ")
+    docs.select(col(idCol).as("doc_id"), Fns.words(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> struct(i AS pos, xxhash64(concat_ws(' ', $refs)) AS s))"))
+        .as("ps"))
+      .select(col("doc_id"), col("ps.pos").as("pos"), col("ps.s").as("s"))
+  }
+
+  /** EXACT SUBSTRING overlap spans: maximal runs of >= `minTokens`
+    * consecutive shared tokens between document pairs — the operator
+    * behind substring-level dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": remove repeated spans, not
+    * whole near-dup docs). Returns (doc_a, doc_b, start_a, start_b,
+    * match_len) with 1-based token starts.
+    *
+    * Spark-first shape instead of a suffix array: positional n-gram
+    * hashes equi-join on the hash, and a shared run of consecutive
+    * tokens is a run of consecutive positions on one DIAGONAL
+    * (pos_a - pos_b constant) — the classic gaps-and-islands trick
+    * (pos - row_number per diagonal) merges each diagonal's matches
+    * into maximal spans in one window pass. Every step is an
+    * equi-join / window keyed by (pair, diagonal); nothing is
+    * quadratic beyond the per-shingle match fan-out, capped by
+    * `maxDf` occurrences exactly like [[ngramJaccard]].
+    */
+  def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minTokens: Int, maxDf: Long = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = positionalShingles(docs, idCol, textCol, n)
+    val joinSide =
+      if (maxDf <= 0) sh
+      else sh.join(sh.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("s"), "s")
+    val m = joinSide.as("a").join(joinSide.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    m.withColumn("island", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "island")
+      .agg(min("pa").cast("long").as("start_a"),
+        min("pb").cast("long").as("start_b"),
+        (count(lit(1)) + (n - 1)).as("match_len"))
+      .filter(col("match_len") >= minTokens)
+      .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
+  }
+
   /** Training-data DECONTAMINATION: find training documents whose
     * word-n-gram overlap with a benchmark/eval set is at least
     * `minOverlap` distinct shingles — the standard guard against eval

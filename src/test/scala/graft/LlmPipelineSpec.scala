@@ -170,6 +170,30 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(m(1L)._2 < m(2L)._2)
   }
 
+  test("overlapSpans: maximal shared token runs with exact positions, islands split on gaps") {
+    val docs = Seq(
+      // docs 1/2 share "p q r s t" (5 tokens): doc1 pos 1-5, doc2 pos 3-7
+      (1L, "p q r s t u v w"),
+      (2L, "x y p q r s t z"),
+      // doc 3 shares nothing long enough with either
+      (3L, "a b c d e f g h"),
+      // docs 4/5: TWO disjoint shared runs, must come back as two spans
+      (4L, "m n o p q GAP1 GAP2 r s t u v"),
+      (5L, "m n o p q DIFF1 DIFF2 r s t u v")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.overlapSpans(docs, "doc_id", "text",
+      n = 3, minTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(spans.contains((1L, 2L, 1L, 3L, 5L)),
+      s"expected the 5-token run at (1,3), got $spans")
+    assert(!spans.exists(s => s._1 == 3L || s._2 == 3L))
+    assert(spans.contains((4L, 5L, 1L, 1L, 5L)), s"first run: $spans")
+    assert(spans.contains((4L, 5L, 8L, 8L, 5L)), s"second run: $spans")
+    // nothing longer than the constructed runs
+    assert(spans.forall(_._5 == 5L), s"unexpected span lengths: $spans")
+  }
+
   test("decontaminate: overlap counts against the eval set, threshold respected") {
     val evalDocs = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
     val train = Seq(
