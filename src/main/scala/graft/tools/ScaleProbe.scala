@@ -103,6 +103,10 @@ object ScaleProbe {
           first(col("text")).as("text"))
       Dedup.ngramJaccard(canonical, "doc_id", "text", 3, 0.8).count()
     })
+    // substring spans: positional-shingle fan-out is df² like ngram;
+    // the dup-bomb multiplies occurrence df 10x, so the cap carries it
+    time("overlap spans xK (maxDf=100)")(
+      Dedup.overlapSpans(docs, "doc_id", "text", 3, 8, maxDf = 100).count())
     // the packaged pipeline: exact -> minhash candidates -> exact verify
     time("Dedup.pipeline xK")(
       Dedup.pipeline(docs, "doc_id", "text", 3, 0.8).count())
