@@ -258,6 +258,11 @@ object Graft {
     Ann.ivfServeSq8(spark, indexRoot, queries, "vec_id", "embedding",
       nProbe, k, excludeSelf)
 
+  /** Refresh an SQ8 persisted index by keyed merge, encoding updates
+    * with the index's stored grid. */
+  def annIvfUpsertSq8(updates: DataFrame, indexRoot: String): Long =
+    Ann.ivfIndexUpsertSq8(updates, indexRoot, "vec_id", "embedding")
+
   def annIvf(emb: DataFrame, nCentroids: Int, nProbe: Int, k: Int): DataFrame =
     Ann.ivfTopK(emb, "vec_id", "embedding", nCentroids, nProbe, k)
 

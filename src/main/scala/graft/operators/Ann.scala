@@ -482,6 +482,23 @@ object Ann {
       nProbe, k, excludeSelf)
   }
 
+  /** Nearest existing centroid per update row: (id, v, cell) via the
+    * same L2-argmin (argmax of dot − |c|²/2, ties to the lowest cell)
+    * the probe stage uses. */
+  private def assignToCentroids(updates: DataFrame, idCol: String,
+                                vecCol: String, centroidDf: DataFrame)
+  : DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val w = Window.partitionBy("id").orderBy(
+      (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
+      col("c_cell"))
+    updates.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroidDf))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("id"), col("v"), col("c_cell").as("cell"))
+  }
+
   /** Refresh a persisted index with new or changed vectors: assign
     * each update to its nearest EXISTING centroid (same L2-argmin the
     * probe stage uses; no retraining) and MERGE into the assignment
@@ -491,22 +508,40 @@ object Ann {
     */
   def ivfIndexUpsert(updates: DataFrame, indexRoot: String,
                      idCol: String, vecCol: String): Long = {
-    import graft.functions.VectorExpressions.dotF
     import graft.offline.VersionedStore
     val spark = updates.sparkSession
     val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
       .withColumn("cnrm", Fns.l2Norm(col("cv")))
-    val w = Window.partitionBy("id").orderBy(
-      (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
-      col("c_cell"))
-    val assignedNew = updates
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") === 1)
-      .select(col("id"), col("v"), col("c_cell").as("cell"),
-        Fns.l2Norm(col("v")).as("nrm"))
+    val assignedNew = assignToCentroids(updates, idCol, vecCol, centroidDf)
+      .withColumn("nrm", Fns.l2Norm(col("v")))
     VersionedStore.merge(assignedNew, assignmentTable(indexRoot), Seq("id"))
+  }
+
+  /** Refresh an SQ8-compressed persisted index: encode updates with
+    * the index's STORED quantization grid (codes must stay comparable
+    * to the existing inverted file — re-deriving the grid from the
+    * updates would silently shift every dot product), assign to
+    * existing centroids, MERGE by id.
+    */
+  def ivfIndexUpsertSq8(updates: DataFrame, indexRoot: String,
+                        idCol: String, vecCol: String): Long = {
+    import graft.functions.VectorExpressions
+    import graft.offline.VersionedStore
+    val spark = updates.sparkSession
+    val gridRows = VersionedStore.read(spark, sq8GridTable(indexRoot))
+      .collect().sortBy(_.getInt(0))
+    val p = Sq8Params(gridRows.map(_.getDouble(1)),
+      gridRows.map(_.getDouble(2)))
+    val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    val assignedNew = assignToCentroids(updates, idCol, vecCol, centroidDf)
+      .select(col("id"),
+        VectorExpressions.sq8Encode(col("v"), p.mins, p.scales).as("code"),
+        col("cell"))
+      .withColumn("nrm",
+        VectorExpressions.sq8Norm(col("code"), p.mins, p.scales))
+    VersionedStore.merge(assignedNew, sq8AssignmentTable(indexRoot),
+      Seq("id"))
   }
 
   /** LSH-bucketed ANN: same-bucket pairs ranked by cosine within each

@@ -409,6 +409,17 @@ class LlmPipelineSpec extends AnyFunSuite {
     val dim = emb.select($"embedding").head().getSeq[Float](0).length
     assert(assigned.select($"code").head().getAs[Array[Byte]](0).length
       == dim)
+    // refresh: an upserted duplicate of vec_id 0, encoded with the
+    // STORED grid, must surface as its top neighbor at the same
+    // rounded cosine a self-match scores under quantization
+    val v0 = emb.filter($"vec_id" === 0)
+    val newId = 20000000L
+    Ann.ivfIndexUpsertSq8(v0.select(lit(newId).as("vec_id"), $"embedding"),
+      indexRoot, "vec_id", "embedding")
+    val after = Ann.ivfServeSq8(spark, indexRoot, v0,
+      "vec_id", "embedding", nProbe = 8, k = 1).collect()
+    assert(after.length == 1 && after.head.getLong(1) == newId,
+      s"upserted duplicate must be the top neighbor: ${after.toSeq}")
   }
 
   test("lsh buckets are deterministic across invocations") {
