@@ -206,10 +206,13 @@ object SparkEntry {
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.8, maxDf = 100)
 
-  /** Declared with exact = true: the oracle SQL is the uncapped exact
-    * inverted-index drop list, so the declaration must stay on that
-    * path. Production callers get the scale pipeline by default
-    * (Dedup.keepList / Graft.dedupKeepList). */
+  /** Declared with exact = true: the oracle SQL is the UNCAPPED exact
+    * inverted-index drop list, while this side passes maxDf = 100 —
+    * they agree only because no gate-corpus shingle exceeds df 100
+    * (max observed 25), a precondition GraftCoreSpec re-asserts on
+    * every corpus ("ngram oracle precondition"). Production callers
+    * get the scale pipeline by default (Dedup.keepList /
+    * Graft.dedupKeepList). */
   def qDedupKeeplist(s: SparkSession, d: String): DataFrame =
     Dedup.keepList(Tables.documents(s, d), "doc_id", "text",
       n = 3, threshold = 0.8, maxDf = 100, exact = true)

@@ -556,12 +556,22 @@ object VersionedStore {
                   "for drops or type changes")
             }
             val added = newFields.keySet -- prevFields.keySet
-            if (added.nonEmpty)
-              // added columns are null in every pre-evolution file, so
-              // the evolved snapshot schema must declare them nullable
-              schemaOut = org.apache.spark.sql.types.StructType(
-                df.schema.fields.map(f =>
-                  if (added(f.name)) f.copy(nullable = true) else f)).json
+            // Added columns are null in every pre-evolution file, so
+            // the evolved snapshot schema must declare them nullable —
+            // and once a column is nullable in the table it must STAY
+            // nullable on every later append (the old null-bearing
+            // files don't go away because a new batch happens to carry
+            // the column non-null). Nullability is the OR of the
+            // table's and the batch's, per column.
+            val prevNullable = org.apache.spark.sql.types.DataType
+              .fromJson(p.schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+              .fields.map(f => f.name -> f.nullable).toMap
+            schemaOut = org.apache.spark.sql.types.StructType(
+              df.schema.fields.map(f =>
+                if (added(f.name)) f.copy(nullable = true)
+                else f.copy(nullable =
+                  f.nullable || prevNullable.getOrElse(f.name, false)))).json
           }
           (p.files ++ newFiles, p.rows + newRows, p.stats ++ newStats,
             p.fileRows ++ newFileRows)

@@ -390,10 +390,15 @@ object Ann {
     * assignment table is an ordinary columnar scan, so a fresh
     * session serves immediately. Result contract matches
     * [[ivfSearch]] exactly (same probe ordering, cosine, tie-breaks).
+    *
+    * `excludeSelf` defaults to FALSE: served queries usually come
+    * from an id space unrelated to the corpus, where an accidental
+    * query_id == corpus id collision must not drop a true neighbor.
+    * Pass true when queries are drawn from the indexed corpus.
     */
   def ivfServe(spark: org.apache.spark.sql.SparkSession, indexRoot: String,
                queries: DataFrame, idCol: String, vecCol: String,
-               nProbe: Int, k: Int, excludeSelf: Boolean = true)
+               nProbe: Int, k: Int, excludeSelf: Boolean = false)
   : DataFrame = {
     import graft.offline.VersionedStore
     val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))

@@ -327,8 +327,15 @@ object Dedup {
   def keepList(docs: DataFrame, idCol: String, textCol: String,
                n: Int, threshold: Double, maxDf: Long = 0,
                exact: Boolean = false): DataFrame =
-    if (!exact) pipeline(docs, idCol, textCol, n, threshold)
-    else {
+    if (!exact) {
+      // the pipeline has no stop-shingle cap (LSH banding absorbs
+      // boilerplate without df² joins) — silently dropping a
+      // caller-supplied cap would be a behavior surprise, so refuse it
+      require(maxDf == 0,
+        "maxDf applies only to the exact inverted-index path — pass " +
+          "exact = true, or drop maxDf for the pipeline path")
+      pipeline(docs, idCol, textCol, n, threshold)
+    } else {
       val dropIds = ngramJaccard(docs, idCol, textCol, n, threshold, maxDf)
         .select(col("doc_b").as(idCol)).distinct()
       docs.select(col(idCol).as("doc_id"))
@@ -424,7 +431,12 @@ object Dedup {
     * into maximal spans in one window pass. Every step is an
     * equi-join / window keyed by (pair, diagonal); nothing is
     * quadratic beyond the per-shingle match fan-out, capped by
-    * `maxDf` occurrences exactly like [[ngramJaccard]].
+    * `maxDf`. NOTE the cap counts OCCURRENCES of a shingle across the
+    * corpus (the positional stream is deliberately not per-doc
+    * deduplicated), not document frequency as in [[ngramJaccard]] —
+    * occurrences are what the join fans out on, so this bound is the
+    * strictly tighter one, but a shingle repeated heavily inside few
+    * documents trips it where ngramJaccard's doc-df cap would not.
     */
   def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minTokens: Int, maxDf: Long = 0): DataFrame = {

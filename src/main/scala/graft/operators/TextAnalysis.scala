@@ -77,11 +77,17 @@ object TextAnalysis {
     *  - top_bigram_ratio: occurrences of the most frequent word
     *    bigram / total bigrams (the strongest loop detector).
     *
-    * Plan: one whitespace split, two explodes (words, bigrams), and
-    * per-(doc, term) → per-doc aggregate pairs — every aggregate is
-    * map-side combinable and keyed by doc_id, so the work is linear
-    * in corpus size and shuffles only (doc_id, term, count) rows.
-    * Docs with no bigrams (or empty text) report ratio 0, not null.
+    * Plan: two passes over the text — the word explode and the bigram
+    * explode are independent subtrees, each a codegen split-scan, plus
+    * a doc_id-only (column-pruned) spine scan so docs with
+    * unparseable/NULL text still get a row. Each explode feeds
+    * per-(doc, term) → per-doc aggregate pairs, all map-side
+    * combinable and keyed by doc_id, so the work is linear in corpus
+    * size and shuffles only (doc_id, term, count) rows. (Sharing one
+    * tokenized pass would mean either caching the corpus-sized token
+    * array or shuffling the full token stream through a window — both
+    * cost more than the second columnar scan.) Docs with no bigrams
+    * (or empty text) report ratio 0, not null.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame = {

@@ -360,7 +360,7 @@ class LlmPipelineSpec extends AnyFunSuite {
     // a "fresh session" shape: serving touches only the on-disk tables
     // (no quantizer cache involvement — the trainings counter is flat)
     val served = Ann.ivfServe(spark, indexRoot, queries,
-      "vec_id", "embedding", nProbe = 8, k = 5)
+      "vec_id", "embedding", nProbe = 8, k = 5, excludeSelf = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(Ann.quantizerTrainings.get() == t0, "serving must not retrain")
     val inMem = Ann.ivfSearch(emb, queries, "vec_id", "embedding",
@@ -377,7 +377,8 @@ class LlmPipelineSpec extends AnyFunSuite {
       indexRoot, "vec_id", "embedding")
     assert(Ann.quantizerTrainings.get() == t1, "upsert must not retrain")
     val after = Ann.ivfServe(spark, indexRoot, v0,
-      "vec_id", "embedding", nProbe = 8, k = 1).collect()
+      "vec_id", "embedding", nProbe = 8, k = 1, excludeSelf = true)
+      .collect()
     assert(after.length == 1)
     assert(after.head.getLong(1) == newId,
       "the upserted duplicate must be the top neighbor")
@@ -393,7 +394,7 @@ class LlmPipelineSpec extends AnyFunSuite {
       indexRoot)
     val queries = emb.filter($"vec_id" < 10)
     val served = Ann.ivfServeSq8(spark, indexRoot, queries,
-      "vec_id", "embedding", nProbe = 8, k = 5)
+      "vec_id", "embedding", nProbe = 8, k = 5, excludeSelf = true)
     // probing every cell reduces IVF-SQ8 to the exact quantized scan —
     // same grid (deterministic per-dimension min/max), same asymmetric
     // dot, same tie-breaks, so results are bit-equal
@@ -417,7 +418,8 @@ class LlmPipelineSpec extends AnyFunSuite {
     Ann.ivfIndexUpsertSq8(v0.select(lit(newId).as("vec_id"), $"embedding"),
       indexRoot, "vec_id", "embedding")
     val after = Ann.ivfServeSq8(spark, indexRoot, v0,
-      "vec_id", "embedding", nProbe = 8, k = 1).collect()
+      "vec_id", "embedding", nProbe = 8, k = 1, excludeSelf = true)
+      .collect()
     assert(after.length == 1 && after.head.getLong(1) == newId,
       s"upserted duplicate must be the top neighbor: ${after.toSeq}")
   }

@@ -241,11 +241,23 @@ class StoreSpec extends AnyFunSuite {
     val v0 = VersionedStore.read(spark, root, versionAsOf = 0)
     assert(v0.columns.toSeq == Seq("id", "v"))
     assert(v0.count() == 2)
-    // a second same-shape append after evolution still works, and the
-    // schema stays evolved
+    // a second same-shape append after evolution still works, the
+    // schema stays evolved, and — critically — the evolved column
+    // STAYS nullable even though this batch carries it non-null
+    // (v0's null-bearing files don't go away)
     VersionedStore.append(
       Seq((5L, "e", 0.9)).toDF("id", "v", "score"), root)
-    assert(VersionedStore.read(spark, root).count() == 5)
+    val afterSecond = VersionedStore.read(spark, root)
+    assert(afterSecond.count() == 5)
+    // assert on the MANIFEST's schema, not a file read (Spark relaxes
+    // file-read schemas to nullable, which would mask a manifest
+    // regression): the all-pruned readRange branch builds its empty
+    // frame from the manifest schema verbatim
+    val manifestSchema =
+      VersionedStore.readRange(spark, root, "id", 1e9, 2e9).schema
+    assert(manifestSchema("score").nullable,
+      "a later non-null batch must not flip the evolved column back " +
+        "to non-nullable in the manifest")
     // dropping a column is still rejected (superset-only evolution)
     val eDrop = intercept[IllegalArgumentException](
       VersionedStore.append(Seq((6L, 1.0)).toDF("id", "score"), root))
