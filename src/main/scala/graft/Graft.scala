@@ -217,6 +217,11 @@ object Graft {
                    maxDf: Long = 0): DataFrame =
     Dedup.overlapSpans(docs, "doc_id", "text", n, minTokens, maxDf)
 
+  /** Span-level dedup action: strip overlap spans from each pair's
+    * higher doc id, keeping documents (only duplicated substrings go). */
+  def stripSpans(docs: DataFrame, spans: DataFrame): DataFrame =
+    Dedup.stripSpans(docs, "doc_id", "text", spans)
+
   /** Gopher-style repetition quality metrics per document. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionMetrics(docs, "doc_id", "text")

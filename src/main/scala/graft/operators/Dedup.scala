@@ -461,6 +461,46 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
   }
 
+  /** The substring-dedup ACTION: remove [[overlapSpans]] matches from
+    * each pair's HIGHER doc id (keep-min convention — doc_a keeps its
+    * copy, doc_b loses the span), returning (doc_id, text_clean) for
+    * every input document. This is span-level dedup per Lee et al.:
+    * the document survives, only its duplicated substrings go.
+    *
+    * Per-doc overlapping/adjacent cut ranges are merged with a
+    * running-max gaps-and-islands window (a token covered by two
+    * different partners is removed once), then tokens are filtered by
+    * position in one codegen-friendly higher-order expression — no
+    * per-row UDF, no driver loop. Docs with no spans pass through
+    * with text unchanged (left join).
+    */
+  def stripSpans(docs: DataFrame, idCol: String, textCol: String,
+                 spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranges = spans.select(col("doc_b").as("doc_id"),
+      col("start_b").as("s"),
+      (col("start_b") + col("match_len")).as("e")) // [s, e) token range
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    val merged = ranges
+      .withColumn("maxe",
+        max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1).otherwise(0))
+      .withColumn("island", sum("fresh").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("s").as("s"), max("e").as("e"))
+    val perDoc = merged.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("cuts"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .withColumn("text_clean",
+        when(col("cuts").isNull, col("text")).otherwise(concat_ws(" ",
+          expr("filter(transform(split(text, ' '), " +
+            "(t, i) -> IF(exists(cuts, c -> i + 1 >= c.s AND i + 1 < c.e), " +
+            "NULL, t)), t -> t IS NOT NULL)"))))
+      .select(col("doc_id"), col("text_clean"))
+  }
+
   /** Training-data DECONTAMINATION: find training documents whose
     * word-n-gram overlap with a benchmark/eval set is at least
     * `minOverlap` distinct shingles — the standard guard against eval

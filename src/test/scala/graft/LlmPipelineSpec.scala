@@ -194,6 +194,38 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(spans.forall(_._5 == 5L), s"unexpected span lengths: $spans")
   }
 
+  test("stripSpans: removes matched runs from the higher doc id, merges overlapping cuts") {
+    val docs = Seq(
+      (4L, "m n o p q GAP1 GAP2 r s t u v"),
+      (5L, "m n o p q DIFF1 DIFF2 r s t u v"),
+      (6L, "untouched doc stays whole")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.overlapSpans(docs, "doc_id", "text",
+      n = 3, minTokens = 5)
+    val cleaned = Dedup.stripSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(4L) == "m n o p q GAP1 GAP2 r s t u v",
+      "the lower doc id keeps its copy")
+    assert(cleaned(5L) == "DIFF1 DIFF2",
+      s"both shared runs must be stripped from doc 5: '${cleaned(5L)}'")
+    assert(cleaned(6L) == "untouched doc stays whole")
+    // overlapping cuts collapse: two partners covering overlapping
+    // ranges of one doc must not double-remove or corrupt positions
+    val docs2 = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),   // full overlap with 1
+      (3L, "c d e f g h i j k l")    // overlaps 1 and 2 mid-span
+    ).toDF("doc_id", "text")
+    val spans2 = Dedup.overlapSpans(docs2, "doc_id", "text",
+      n = 3, minTokens = 5)
+    val cleaned2 = Dedup.stripSpans(docs2, "doc_id", "text", spans2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned2(1L) == "a b c d e f g h i j", "lowest id untouched")
+    assert(cleaned2(2L) == "", "exact copy fully stripped")
+    assert(cleaned2(3L) == "k l",
+      s"merged overlapping cuts leave only the novel tail: '${cleaned2(3L)}'")
+  }
+
   test("decontaminate: overlap counts against the eval set, threshold respected") {
     val evalDocs = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
     val train = Seq(
