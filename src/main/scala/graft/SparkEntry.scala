@@ -290,9 +290,16 @@ object SparkEntry {
   def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
 
+  /** Declared WITH the occurrence cap (maxDf = 100): the positional
+    * self-join fans out O(occurrences²) per shingle, so an uncapped
+    * declaration detonates on any corpus slice with heavily repeated
+    * boilerplate. GraftCoreSpec's "overlap-spans oracle precondition"
+    * proves no gate-corpus shingle exceeds the cap, so the capped
+    * query hash-matches the uncapped DuckDB oracle.
+    */
   def qOverlapSpans(s: SparkSession, d: String): DataFrame =
     Dedup.overlapSpans(Tables.documents(s, d), "doc_id", "text",
-      n = 3, minTokens = 8)
+      n = 3, minTokens = 8, maxDf = 100)
 
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5

@@ -74,6 +74,37 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("overlap-spans oracle precondition: gate corpora max shingle occurrences <= declared maxDf") {
+    // qOverlapSpans declares maxDf=100 while its DuckDB oracle is
+    // uncapped; overlapSpans' cap counts OCCURRENCES of a shingle
+    // across the corpus (the positional stream is NOT per-doc
+    // deduplicated — see Dedup.overlapSpans scaladoc), a strictly
+    // tighter bound than ngram's per-doc df. Assert the gate corpora
+    // stay under it so a test-data refresh fails loudly instead of
+    // silently diverging query from oracle.
+    val declaredMaxDf = 100L // keep in sync with SparkEntry.qOverlapSpans
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/documents.parquet").exists()) {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        // Mirror Dedup.positionalShingles: every occurrence counts.
+        val maxOcc = docs
+          .select(org.apache.spark.sql.functions.split(col("text"), " ").as("ws"))
+          .where(org.apache.spark.sql.functions.size(col("ws")) >= 3)
+          .select(explode(org.apache.spark.sql.functions.expr(
+            "transform(sequence(1, size(ws) - 2), " +
+              "i -> xxhash64(concat_ws(' ', ws[i - 1], ws[i], ws[i + 1])))"))
+            .as("s"))
+          .groupBy("s").count().agg(max("count")).head().getLong(0)
+        assert(maxOcc <= declaredMaxDf,
+          s"$sf: max shingle occurrence count $maxOcc exceeds declared " +
+            s"maxDf $declaredMaxDf — q_overlap_spans would diverge from " +
+            "its uncapped oracle; raise maxDf in SparkEntry (and here) " +
+            "or regenerate the corpus")
+      }
+    }
+  }
+
   test("asof join: floor semantics, equal-ts inclusion, default fill") {
     val features = Seq(
       ("u1", ts("2024-01-01 00:00:00"), "f", 1.0),
