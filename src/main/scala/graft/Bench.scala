@@ -4,6 +4,13 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: one warm-up execution per query (parquet
   * decode + codegen JIT), then the measured run — steady-state
   * throughput, which is what a long-lived cluster job sees.
+  *
+  * Emits TWO measured passes in one JVM ("queries" = pass 1, same
+  * methodology as every prior round; "queries_pass2" = an immediate
+  * re-measure of the already-warm query). Round 6 saw seven untouched
+  * queries jump 3-5x simultaneously across rounds; a same-session A/B
+  * is the only way to separate box noise from regression (cross-round
+  * wall-clock on this infra varies 2-4x on unchanged code).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,14 +27,19 @@ object Bench {
       fn(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val pass1 = SparkEntry.queries.map { case (name, fn) =>
       val t = try { once(fn); once(fn) } catch { case _: Throwable => -1.0 }
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val pass2 = SparkEntry.queries.map { case (name, fn) =>
+      val t = try once(fn) catch { case _: Throwable => -1.0 }
+      name -> t
+    }
+    def js(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = if (pass1.nonEmpty) pass1.values.sum else 0.0
+    val total2 = if (pass2.nonEmpty) pass2.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(pass1)},"value_pass2":$total2,"queries_pass2":${js(pass2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
