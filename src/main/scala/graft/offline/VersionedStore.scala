@@ -391,6 +391,47 @@ object VersionedStore {
       readFiles(spark, root, snap, kept).where(pred)
   }
 
+  /** Point-set read with the same MANIFEST-level data skipping as
+    * [[readRange]], for predicates of the form `column IN (values)`:
+    * only files whose footer [min, max] contains at least one of the
+    * `values` are opened, then rows are filtered exactly — the result
+    * equals `read(...).where(col(column).isin(values))`. The serving
+    * shape behind it: an IVF probe touches nProbe of nCentroids
+    * cells, and after [[compact]]`(sortBy = cell)` lays the inverted
+    * file into disjoint cell ranges, this read opens ~nProbe files of
+    * the whole table instead of scanning it.
+    *
+    * `values` are on the `cast(column AS double)` scale, same as
+    * [[readRange]]. Files with no usable stats are conservatively
+    * kept.
+    */
+  def readValues(spark: SparkSession, root: String, column: String,
+                 values: Seq[Double], versionAsOf: Long = -1L)
+  : DataFrame = {
+    require(values.nonEmpty, "empty value set")
+    val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val snap = readManifest(spark, root, v)
+    require(snap.files.nonEmpty, s"version $v of $root is an empty snapshot")
+    val sorted = values.distinct.sorted
+    val kept = snap.files.filter { f =>
+      snap.stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => sorted.exists(x => x >= mn && x <= mx)
+        case None => true // no stats recorded — may match
+      }
+    }
+    val pred = org.apache.spark.sql.functions.col(column)
+      .cast("double").isin(sorted: _*)
+    if (kept.isEmpty) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    } else
+      readFiles(spark, root, snap, kept).where(pred)
+  }
+
   def versions(spark: SparkSession, root: String): Seq[VersionInfo] =
     (0L to latestVersion(spark, root)).flatMap { v =>
       // versions below the vacuum retention horizon are gone (and can

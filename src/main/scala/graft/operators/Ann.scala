@@ -320,17 +320,35 @@ object Ann {
   private def probeAndRankOn(qBase: DataFrame, centroidDf: DataFrame,
                              corpusSide: DataFrame, cosRaw: Column,
                              nProbe: Int, k: Int,
-                             excludeSelf: Boolean): DataFrame = {
+                             excludeSelf: Boolean): DataFrame =
+    rankStage(probeStage(qBase, centroidDf, nProbe), corpusSide, cosRaw,
+      k, excludeSelf)
+
+  /** The probe half: each query ranks the broadcast centroid table and
+    * keeps its `nProbe` cells (L2 argmin == argmax of dot − |c|²/2,
+    * ties to the lowest cell). Returns (query_id, qv, qn, cell). Split
+    * out so the persisted-index serve path can materialize it once,
+    * collect the distinct probed-cell set for storage-level file
+    * pruning, and then rank against only those cells' files.
+    */
+  private def probeStage(qBase: DataFrame, centroidDf: DataFrame,
+                         nProbe: Int): DataFrame = {
     import graft.functions.VectorExpressions.dotF
     val wProbe = Window.partitionBy("id").orderBy(
       (dotF(col("v"), col("cv")) - col("cnrm") * col("cnrm") / 2).desc,
       col("c_cell"))
-    val probes = qBase.crossJoin(broadcast(centroidDf))
+    qBase.crossJoin(broadcast(centroidDf))
       .withColumn("probe_rank", row_number().over(wProbe))
       .filter(col("probe_rank") <= nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("c_cell").as("cell"))
+  }
 
+  /** The rank half: probes (query_id, qv, qn, cell) equi-join their
+    * cells' corpus rows, cosine top-k per query. */
+  private def rankStage(probes: DataFrame, corpusSide: DataFrame,
+                        cosRaw: Column, k: Int,
+                        excludeSelf: Boolean): DataFrame = {
     val wk = Window.partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     val hits = probes.join(corpusSide, Seq("cell"))
@@ -382,14 +400,55 @@ object Ann {
       spark.createDataFrame(centroids.toSeq).toDF("c_cell", "cv"),
       centroidTable(indexRoot))
     VersionedStore.overwrite(assigned, assignmentTable(indexRoot))
+    // Lay the inverted file into disjoint cell ranges (~1 cell/file)
+    // so a serve probing nProbe cells opens ~nProbe files via manifest
+    // stats instead of scanning the whole table.
+    VersionedStore.compact(spark, assignmentTable(indexRoot),
+      numFiles = nCentroids, sortBy = Seq("cell"))
+  }
+
+  /** Re-sort a persisted index's inverted file by cell. Build already
+    * does this; [[ivfIndexUpsert]] MERGEs write files spanning many
+    * cells (wide footer [min, max] → never pruned), so serve-side
+    * file pruning degrades as upserts accumulate — run this
+    * periodically to restore ~1-file-per-cell layout. Both index
+    * variants (float and SQ8) accepted via `sq8`.
+    */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                      indexRoot: String, nFiles: Int,
+                      sq8: Boolean = false): Long = {
+    import graft.offline.VersionedStore
+    val table = if (sq8) sq8AssignmentTable(indexRoot)
+                else assignmentTable(indexRoot)
+    VersionedStore.compact(spark, table, numFiles = nFiles,
+      sortBy = Seq("cell"))
+  }
+
+  /** Collect the distinct probed-cell set (bounded by nCentroids — a
+    * small driver scalar, like the SQ8 grid reads) and materialize the
+    * probes once: localCheckpoint so the probe stage's upstream query
+    * plan runs a single time even though probes feed both the cell
+    * collect and the rank join.
+    */
+  private def probedCellsAndProbes(qBase: DataFrame, centroidDf: DataFrame,
+                                   nProbe: Int): (Seq[Double], DataFrame) = {
+    val probes = probeStage(qBase, centroidDf, nProbe).localCheckpoint()
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toDouble).toSeq
+    (cells, probes)
   }
 
   /** Serve ANN queries from a PERSISTED index (built by
-    * [[ivfBuildIndex]]): no training, no corpus scan beyond the probed
-    * cells — the centroid table (k rows) broadcasts and the
-    * assignment table is an ordinary columnar scan, so a fresh
-    * session serves immediately. Result contract matches
-    * [[ivfSearch]] exactly (same probe ordering, cosine, tie-breaks).
+    * [[ivfBuildIndex]]): no training, and no corpus scan beyond the
+    * probed cells — the centroid table (k rows) broadcasts, and the
+    * inverted-file read is pruned at the FILE level to the query
+    * batch's probed cell set ([[graft.offline.VersionedStore.readValues]]
+    * over the cell-sorted layout the build commits), so a batch
+    * probing nProbe of nCentroids cells opens ~that fraction of the
+    * files — the batch multi-get serving shape (reference
+    * OnlineServingService.java), not a table scan. Result contract
+    * matches [[ivfSearch]] exactly (same probe ordering, cosine,
+    * tie-breaks).
     *
     * `excludeSelf` defaults to FALSE: served queries usually come
     * from an id space unrelated to the corpus, where an accidental
@@ -400,13 +459,20 @@ object Ann {
                queries: DataFrame, idCol: String, vecCol: String,
                nProbe: Int, k: Int, excludeSelf: Boolean = false)
   : DataFrame = {
+    import graft.functions.VectorExpressions.dotF
     import graft.offline.VersionedStore
     val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
       .withColumn("cnrm", Fns.l2Norm(col("cv")))
-    val assigned = VersionedStore.read(spark, assignmentTable(indexRoot))
     val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Fns.l2Norm(col("v")))
-    probeAndRank(qBase, centroidDf, assigned, nProbe, k, excludeSelf)
+    val (cells, probes) = probedCellsAndProbes(qBase, centroidDf, nProbe)
+    val assigned = VersionedStore.readValues(spark,
+      assignmentTable(indexRoot), "cell", cells)
+    rankStage(probes,
+      assigned.select(col("id").as("neighbor_id"), col("v").as("cv2"),
+        col("nrm").as("cn"), col("cell")),
+      dotF(col("qv"), col("cv2")) / (col("qn") * col("cn")),
+      k, excludeSelf)
   }
 
   private def sq8GridTable(indexRoot: String) = s"$indexRoot/sq8_grid"
@@ -458,16 +524,26 @@ object Ann {
         .toDF("pos", "mn", "scale"),
       sq8GridTable(indexRoot))
     VersionedStore.overwrite(assigned, sq8AssignmentTable(indexRoot))
+    VersionedStore.compact(spark, sq8AssignmentTable(indexRoot),
+      numFiles = nCentroids, sortBy = Seq("cell"))
   }
 
   /** Serve from an SQ8-compressed persisted index: probe like
-    * [[ivfServe]], rank with the asymmetric quantized dot. Result
-    * contract matches [[bruteTopKSq8]] when every cell is probed.
+    * [[ivfServe]] (including the file-level probed-cell pruning), rank
+    * with the asymmetric quantized dot. Result contract matches
+    * [[bruteTopKSq8]] when every cell is probed — note bruteTopKSq8
+    * itself ALWAYS excludes self, so full-probe parity checks must
+    * pass `excludeSelf = true` explicitly.
+    *
+    * `excludeSelf` defaults to FALSE, same as [[ivfServe]]: serving
+    * queries usually come from an id space unrelated to the corpus,
+    * where an accidental query_id == corpus id collision must not
+    * silently drop a true neighbor.
     */
   def ivfServeSq8(spark: org.apache.spark.sql.SparkSession,
                   indexRoot: String, queries: DataFrame, idCol: String,
                   vecCol: String, nProbe: Int, k: Int,
-                  excludeSelf: Boolean = true): DataFrame = {
+                  excludeSelf: Boolean = false): DataFrame = {
     import graft.functions.VectorExpressions
     import graft.offline.VersionedStore
     val gridRows = VersionedStore.read(spark, sq8GridTable(indexRoot))
@@ -476,15 +552,17 @@ object Ann {
       gridRows.map(_.getDouble(2)))
     val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
       .withColumn("cnrm", Fns.l2Norm(col("cv")))
-    val assigned = VersionedStore.read(spark, sq8AssignmentTable(indexRoot))
     val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", Fns.l2Norm(col("v")))
-    probeAndRankOn(qBase, centroidDf,
+    val (cells, probes) = probedCellsAndProbes(qBase, centroidDf, nProbe)
+    val assigned = VersionedStore.readValues(spark,
+      sq8AssignmentTable(indexRoot), "cell", cells)
+    rankStage(probes,
       assigned.select(col("id").as("neighbor_id"), col("code"),
         col("nrm").as("cn"), col("cell")),
       VectorExpressions.sq8Dot(col("qv"), col("code"), p.mins, p.scales) /
         (col("qn") * col("cn")),
-      nProbe, k, excludeSelf)
+      k, excludeSelf)
   }
 
   /** Nearest existing centroid per update row: (id, v, cell) via the

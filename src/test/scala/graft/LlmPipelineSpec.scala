@@ -417,6 +417,38 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(after.head.getDouble(2) == 1.0)
   }
 
+  test("IVF persisted index: serve opens only the probed cells' files") {
+    import graft.offline.VersionedStore
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val indexRoot =
+      java.nio.file.Files.createTempDirectory("ivfprune").toString + "/idx"
+    Ann.ivfBuildIndex(emb, "vec_id", "embedding", nCentroids = 8, indexRoot)
+    val allFiles = VersionedStore.read(spark, s"$indexRoot/assignment")
+      .inputFiles.toSet
+    assert(allFiles.size >= 4,
+      s"cell-sorted build should spread 8 cells over several files, " +
+        s"got ${allFiles.size}")
+    val queries = emb.filter($"vec_id" < 3)
+    val served = Ann.ivfServe(spark, indexRoot, queries,
+      "vec_id", "embedding", nProbe = 2, k = 5, excludeSelf = true)
+    // the probe stage is localCheckpoint'ed, so the serve plan's only
+    // file scan is the inverted file — its list IS the pruning proof
+    val centroidFiles = VersionedStore.read(spark, s"$indexRoot/centroids")
+      .inputFiles.toSet
+    val opened = served.inputFiles.toSet -- centroidFiles
+    assert(opened.nonEmpty && opened.subsetOf(allFiles))
+    assert(opened.size < allFiles.size,
+      s"serve probing 2/8 cells must open a strict subset of the " +
+        s"inverted file: opened ${opened.size} of ${allFiles.size}")
+    // and pruning must not change results: same probes, same top-k
+    val inMem = Ann.ivfSearch(emb, queries, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(served.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == inMem,
+      "file-pruned serve must equal the in-memory search")
+  }
+
   test("IVF-SQ8 persisted index: full-probe serve equals the quantized brute scan; code is 1 byte/dim") {
     import org.apache.spark.sql.types.BinaryType
     val emb = Tables.embeddings(spark, TestSpark.sfDir)

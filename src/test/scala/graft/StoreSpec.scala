@@ -138,6 +138,28 @@ class StoreSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, root, cv - 1).count() == full.count())
   }
 
+  test("VersionedStore: readValues prunes to the files containing the value set") {
+    val root = tmp("vvals")
+    // 8 "cells" of 20 rows; sorted compaction to 8 files → ~1 cell/file
+    VersionedStore.create(
+      (0L until 160L).map(i => (i, (i / 20).toInt)).toDF("id", "cell"),
+      root)
+    VersionedStore.compact(spark, root, numFiles = 8, sortBy = Seq("cell"))
+    val full = VersionedStore.read(spark, root)
+    assert(full.inputFiles.length == 8)
+    val expected = full.where(col("cell").isin(1, 6))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val got = VersionedStore.readValues(spark, root, "cell", Seq(1.0, 6.0))
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == expected,
+      "readValues must equal read().where(isin)")
+    assert(got.inputFiles.length <= 3,
+      s"2 of 8 cells must open a strict file subset, got " +
+        s"${got.inputFiles.length}")
+    // values outside every file's range: empty frame, schema kept
+    val none = VersionedStore.readValues(spark, root, "cell", Seq(99.0))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "cell"))
+  }
+
   test("VersionedStore: readRange keeps files without stats and skips all-pruned cleanly") {
     val root = tmp("vskip2")
     VersionedStore.create(
