@@ -301,6 +301,17 @@ object SparkEntry {
     Dedup.overlapSpans(Tables.documents(s, d), "doc_id", "text",
       n = 3, minTokens = 8, maxDf = 100)
 
+  /** The span-level dedup ACTION end-to-end: detect overlap spans
+    * (same declaration as q_overlap_spans) and strip each pair's
+    * higher-id copy — every document survives with its duplicated
+    * substrings removed. */
+  def qStripSpans(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.stripSpans(docs, "doc_id", "text",
+      Dedup.overlapSpans(docs, "doc_id", "text",
+        n = 3, minTokens = 8, maxDf = 100))
+  }
+
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5
     * distinct 3-gram shingles with any eval doc. */
@@ -385,7 +396,8 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_lm_score" -> (qLmScore _),
-    "q_overlap_spans" -> (qOverlapSpans _)
+    "q_overlap_spans" -> (qOverlapSpans _),
+    "q_strip_spans" -> (qStripSpans _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1202,6 +1214,68 @@ object SparkEntry {
           |       CAST(count(*) + 2 AS BIGINT) AS match_len
           |FROM isl GROUP BY doc_a, doc_b, diag, island
           |HAVING count(*) + 2 >= 8""".stripMargin,
+
+      // Same span detection as q_overlap_spans, then the strip action:
+      // doc_b's cut ranges [start_b, start_b+match_len) merged with a
+      // running-max gaps-and-islands window, tokens filtered by 1-based
+      // position, rejoined on single spaces. Docs with cuts but zero
+      // surviving tokens yield '', docs with no cuts pass through.
+      "q_strip_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, i, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+          |  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+          |), m AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |         a.i AS pa, b.i AS pb, a.i - b.i AS diag
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |), isl AS (
+          |  SELECT doc_a, doc_b, diag, pa, pb,
+          |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+          |                            ORDER BY pa) AS island
+          |  FROM m
+          |), spans AS (
+          |  SELECT doc_b AS doc_id, min(pb) AS s,
+          |         min(pb) + count(*) + 2 AS e
+          |  FROM isl GROUP BY doc_a, doc_b, diag, island
+          |  HAVING count(*) + 2 >= 8
+          |), r2 AS (
+          |  SELECT doc_id, s, e,
+          |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS maxe
+          |  FROM spans
+          |), r3 AS (
+          |  SELECT doc_id, s, e,
+          |    sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY s
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS island
+          |  FROM r2
+          |), merged AS (
+          |  SELECT doc_id, island, min(s) AS s, max(e) AS e
+          |  FROM r3 GROUP BY 1, 2
+          |), cut_docs AS (SELECT DISTINCT doc_id FROM merged),
+          |tokens AS (
+          |  SELECT w.doc_id, i, ws[i] AS t
+          |  FROM w JOIN cut_docs USING (doc_id),
+          |       unnest(generate_series(1, len(ws))) AS g(i)
+          |), kept AS (
+          |  SELECT tk.doc_id, tk.i, tk.t
+          |  FROM tokens tk
+          |  WHERE NOT EXISTS (SELECT 1 FROM merged mg
+          |                    WHERE mg.doc_id = tk.doc_id
+          |                      AND tk.i >= mg.s AND tk.i < mg.e)
+          |), rebuilt AS (
+          |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_clean
+          |  FROM kept GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |  CASE WHEN cd.doc_id IS NULL THEN d.text
+          |       ELSE coalesce(r.text_clean, '') END AS text_clean
+          |FROM documents d
+          |LEFT JOIN cut_docs cd ON d.doc_id = cd.doc_id
+          |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
 
       "q_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
