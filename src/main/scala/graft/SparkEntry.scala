@@ -267,6 +267,22 @@ object SparkEntry {
     Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       nCentroids = 16, nProbe = 4, k = 5)
 
+  /** Full-probe serve from a freshly built persisted SQ8 index: with
+    * nProbe = nCentroids every cell is probed, which reduces IVF-SQ8
+    * exactly to the quantized brute scan — so this entry rides
+    * q_ann_sq8's bit-exact dequantized oracle, turning the spec-level
+    * "full-probe serve bit-equals brute" claim into corpus hash
+    * equality. excludeSelf = true for bruteTopKSq8 parity (the brute
+    * scan always excludes self). */
+  def qAnnIvfSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val root = java.nio.file.Files.createTempDirectory("q_ann_ivf_sq8")
+      .toString + "/idx"
+    Ann.ivfBuildIndexSq8(emb, "vec_id", "embedding", nCentroids = 16, root)
+    Ann.ivfServeSq8(s, root, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", nProbe = 16, k = 5, excludeSelf = true)
+  }
+
   def qTextQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
 
@@ -384,6 +400,7 @@ object SparkEntry {
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
     "q_text_quality" -> (qTextQuality _),
     "q_clean_filter" -> (qCleanFilter _),
     "q_lang_id" -> (qLangId _),
@@ -443,6 +460,58 @@ object SparkEntry {
   }
 
   // DuckDB oracle SQL. Bare table names resolve to the same parquet files.
+  /** Shared by q_ann_sq8 and q_ann_ivf_sq8 (full-probe IVF-SQ8 serve
+    * == the quantized brute scan): mirrors bruteTopKSq8 bit-for-bit on
+    * null-free fixed-dim vectors (the gate corpora) — the grid
+    * (per-dim min, (max-min)/255) is double arithmetic on exact float
+    * inputs on both engines; encode is floor(x+0.5) == Java
+    * Math.round; the dequantized dot folds left-to-right like the
+    * Spark loop. A NULL vector element would diverge (Sq8Encode
+    * clamps it to the grid minimum; SQL NULL propagates through the
+    * lambda). */
+  private val annSq8OracleSql: String =
+    """WITH grid AS (
+      |  SELECT list(mn ORDER BY pos) AS mns, list(s ORDER BY pos) AS ss
+      |  FROM (
+      |    SELECT pos, min(x)::DOUBLE AS mn,
+      |      (max(x)::DOUBLE - min(x)::DOUBLE) / 255.0 AS s
+      |    FROM (SELECT unnest(embedding) AS x,
+      |            generate_subscripts(embedding, 1) AS pos
+      |          FROM embeddings)
+      |    GROUP BY pos)
+      |), d AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding, (x, i) ->
+      |      CASE WHEN g.ss[i] <= 0 THEN g.mns[i]
+      |           ELSE g.mns[i] + LEAST(255, GREATEST(0,
+      |             floor((x::DOUBLE - g.mns[i]) / g.ss[i] + 0.5))) * g.ss[i]
+      |      END) AS dv
+      |  FROM embeddings, grid g
+      |), dn AS (
+      |  SELECT id, dv,
+      |    sqrt(list_reduce(list_transform(dv, x -> x * x),
+      |      (x, y) -> x + y)) AS cn
+      |  FROM d
+      |), q AS (
+      |  SELECT vec_id AS id, embedding AS v,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS qn
+      |  FROM embeddings WHERE vec_id < 20
+      |), p AS (
+      |  SELECT q.id AS query_id, dn.id AS neighbor_id,
+      |    list_reduce(list_transform(list_zip(q.v, dn.dv),
+      |      x -> x[1]::DOUBLE * x[2]), (x, y) -> x + y)
+      |      / (q.qn * dn.cn) AS cos_raw
+      |  FROM q JOIN dn ON q.id <> dn.id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos_raw,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
+      |FROM r WHERE "rank" <= 5""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val latestCte =
       """WITH latest AS (
@@ -1043,55 +1112,12 @@ object SparkEntry {
 
       "q_ann_lsh" -> annLshOracle(nPlanes = 8, dim = 64, k = 3),
 
-      // Mirrors bruteTopKSq8 bit-for-bit on null-free fixed-dim
-      // vectors (the gate corpora): the grid (per-dim min,
-      // (max-min)/255) is double arithmetic on exact float inputs on
-      // both engines; encode is floor(x+0.5) == Java Math.round; the
-      // dequantized dot folds left-to-right like the Spark loop.
-      // A NULL vector element would diverge (Sq8Encode clamps it to
-      // the grid minimum; SQL NULL propagates through the lambda).
-      "q_ann_sq8" ->
-        """WITH grid AS (
-          |  SELECT list(mn ORDER BY pos) AS mns, list(s ORDER BY pos) AS ss
-          |  FROM (
-          |    SELECT pos, min(x)::DOUBLE AS mn,
-          |      (max(x)::DOUBLE - min(x)::DOUBLE) / 255.0 AS s
-          |    FROM (SELECT unnest(embedding) AS x,
-          |            generate_subscripts(embedding, 1) AS pos
-          |          FROM embeddings)
-          |    GROUP BY pos)
-          |), d AS (
-          |  SELECT vec_id AS id,
-          |    list_transform(embedding, (x, i) ->
-          |      CASE WHEN g.ss[i] <= 0 THEN g.mns[i]
-          |           ELSE g.mns[i] + LEAST(255, GREATEST(0,
-          |             floor((x::DOUBLE - g.mns[i]) / g.ss[i] + 0.5))) * g.ss[i]
-          |      END) AS dv
-          |  FROM embeddings, grid g
-          |), dn AS (
-          |  SELECT id, dv,
-          |    sqrt(list_reduce(list_transform(dv, x -> x * x),
-          |      (x, y) -> x + y)) AS cn
-          |  FROM d
-          |), q AS (
-          |  SELECT vec_id AS id, embedding AS v,
-          |    sqrt(list_reduce(list_transform(embedding,
-          |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS qn
-          |  FROM embeddings WHERE vec_id < 20
-          |), p AS (
-          |  SELECT q.id AS query_id, dn.id AS neighbor_id,
-          |    list_reduce(list_transform(list_zip(q.v, dn.dv),
-          |      x -> x[1]::DOUBLE * x[2]), (x, y) -> x + y)
-          |      / (q.qn * dn.cn) AS cos_raw
-          |  FROM q JOIN dn ON q.id <> dn.id
-          |), r AS (
-          |  SELECT query_id, neighbor_id, cos_raw,
-          |    row_number() OVER (PARTITION BY query_id
-          |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
-          |  FROM p
-          |)
-          |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
-          |FROM r WHERE "rank" <= 5""".stripMargin,
+      "q_ann_sq8" -> annSq8OracleSql,
+
+      // Full-probe IVF-SQ8 serving reduces to the same quantized brute
+      // scan — one oracle, two engines-side paths (scan vs persisted
+      // index), corpus hash equality for both.
+      "q_ann_ivf_sq8" -> annSq8OracleSql,
 
       "q_text_quality" ->
         """WITH b AS (
