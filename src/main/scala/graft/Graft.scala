@@ -169,16 +169,15 @@ object Graft {
     Dedup.simhashPairs(docs, "doc_id", "text", maxHamming)
 
   /** Wide-signature scale path. NOTE the threshold is on the
-    * 64·words-bit scale (per-word hammings sum), so the default is
-    * 6·words — numerically matching dedupSimhash's 6 would be ~2×
-    * stricter for the same pair. Pass maxHamming explicitly to
-    * override.
+    * 64·words-bit scale (per-word hammings sum), so the words-scaled
+    * default is 6·words — numerically matching dedupSimhash's 6 would
+    * be ~2× stricter for the same pair. Pass `maxHamming =
+    * Some(threshold)` to override.
     */
-  def dedupSimhashWide(docs: DataFrame, maxHamming: Int = -1,
-                       words: Int = 2): DataFrame = {
-    val mh = if (maxHamming < 0) 6 * words else maxHamming
-    Dedup.simhashPairsWide(docs, "doc_id", "text", mh, words)
-  }
+  def dedupSimhashWide(docs: DataFrame, maxHamming: Option[Int] = None,
+                       words: Int = 2): DataFrame =
+    Dedup.simhashPairsWide(docs, "doc_id", "text",
+      maxHamming.getOrElse(6 * words), words)
 
   def dedupEmbedding(emb: DataFrame, threshold: Double): DataFrame =
     Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold)

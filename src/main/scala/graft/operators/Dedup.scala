@@ -323,6 +323,13 @@ object Dedup {
     * baseline, quadratic in per-shingle document frequency; `maxDf`
     * applies to that path only. The two agree whenever LSH candidate
     * recall is 1.0 (spec- and oracle-proven on the gate corpora).
+    *
+    * @note BEHAVIOR CHANGE (round 6): the default path switched from
+    *   the exact inverted-index drop list to the MinHash+LSH pipeline.
+    *   On corpora where LSH candidate recall < 1.0 the pipeline can
+    *   keep a document the exact path would drop — callers that need
+    *   the provably-exact decision (oracle baselines, audits) must now
+    *   pass `exact = true` at the call site.
     */
   def keepList(docs: DataFrame, idCol: String, textCol: String,
                n: Int, threshold: Double, maxDf: Long = 0,

@@ -576,12 +576,12 @@ class StoreSpec extends AnyFunSuite {
       try {
         val m = TrainingExport.exportDataset(df, root, "c_custkey",
           trainPct = 80)
-        // listener events are async: wait for the write job's start
-        // event, then settle briefly to catch any unexpected second job
-        val deadline = System.currentTimeMillis() + 5000
-        while (jobs.get() < 1 && System.currentTimeMillis() < deadline)
-          Thread.sleep(20)
-        Thread.sleep(250)
+        // listener events are async, but every job the export ran was
+        // POSTED to the bus before exportDataset returned — draining
+        // the bus is therefore a deterministic barrier (no fixed
+        // settle sleep, which flaked both ways on slow boxes)
+        org.apache.spark.GraftSparkTestAccess
+          .waitListenerBusEmpty(spark.sparkContext, 30000)
         m
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs.get() == 1,
