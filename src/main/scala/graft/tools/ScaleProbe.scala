@@ -107,6 +107,19 @@ object ScaleProbe {
     // the dup-bomb multiplies occurrence df 10x, so the cap carries it
     time("overlap spans xK (maxDf=100)")(
       Dedup.overlapSpans(docs, "doc_id", "text", 3, 8, maxDf = 100).count())
+    // the strip ACTION end-to-end: per-doc cut lists are bounded by
+    // partner count x spans/pair — confirm no per-doc blowup when
+    // every doc has k-1 full-length dup partners (worst case: each
+    // doc's whole text is one giant merged cut)
+    // NOT .count(): the strip output is docs LEFT JOIN an aggregated
+    // cut list, which Catalyst's join elimination would reduce to
+    // docs.count() — aggregate over text_clean forces the whole strip
+    time("strip spans xK (maxDf=100)")({
+      val spans = Dedup.overlapSpans(docs, "doc_id", "text", 3, 8,
+        maxDf = 100)
+      Dedup.stripSpans(docs, "doc_id", "text", spans)
+        .agg(sum(length(col("text_clean")))).head()
+    })
     // the packaged pipeline: exact -> minhash candidates -> exact verify
     time("Dedup.pipeline xK")(
       Dedup.pipeline(docs, "doc_id", "text", 3, 0.8).count())
