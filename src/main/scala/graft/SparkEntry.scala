@@ -340,6 +340,20 @@ object SparkEntry {
       n = 3, minOverlap = 5L)
   }
 
+  /** Composite keep/drop quality decision over the engine's own
+    * signals (size/ratio stats + Gopher repetition + CCNet lm band).
+    * The lm band [3.39, 3.43] is the gate corpus's p5–p95-ish band —
+    * corpus-relative by design, like a real pretraining filter. */
+  def qQualityFilter(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityClassifier(Tables.documents(s, d), "doc_id", "text",
+      TextAnalysis.QualityThresholds(
+        minWords = 20L, maxWords = 100000L,
+        minAvgWordLen = 3.0, maxAvgWordLen = 10.0,
+        minAlphaRatio = 0.6, minStopwordRatio = 0.01,
+        maxTopWordRatio = 0.2, maxTopBigramRatio = 0.18,
+        minDistinctRatio = 0.3,
+        minLmScore = 3.39, maxLmScore = 3.43))
+
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
 
@@ -414,7 +428,8 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_lm_score" -> (qLmScore _),
     "q_overlap_spans" -> (qOverlapSpans _),
-    "q_strip_spans" -> (qStripSpans _)
+    "q_strip_spans" -> (qStripSpans _),
+    "q_quality_filter" -> (qQualityFilter _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1302,6 +1317,78 @@ object SparkEntry {
           |FROM documents d
           |LEFT JOIN cut_docs cd ON d.doc_id = cd.doc_id
           |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
+
+      // Mirrors qualityClassifier: the quality / repetition / lm CTEs
+      // are verbatim copies of those queries' oracles (same rounding),
+      // joined on doc_id, with the same fixed-order CASE. Thresholds
+      // inline — keep in sync with qQualityFilter.
+      "q_quality_filter" ->
+        """WITH b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits,
+          |    len(regexp_extract_all(text, '[a-z]')) AS alphas
+          |  FROM documents
+          |), qr AS (
+          |  SELECT doc_id, n_words,
+          |    round((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
+          |    round(stop_hits / n_words, 6) AS stopword_ratio,
+          |    round(alphas / n_chars, 6) AS alpha_ratio
+          |  FROM b
+          |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |we AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+          |wg AS (SELECT doc_id, wd, count(*) AS c FROM we GROUP BY 1, 2),
+          |wm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+          |         max(c) AS top_word, count(*) AS n_distinct
+          |       FROM wg GROUP BY 1),
+          |be AS (SELECT doc_id, unnest(list_transform(
+          |         generate_series(1, greatest(len(ws) - 1, 0)),
+          |         i -> concat_ws(' ', ws[i], ws[i+1]))) AS bg FROM w),
+          |bgr AS (SELECT doc_id, bg, count(*) AS c FROM be GROUP BY 1, 2),
+          |bm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+          |         max(c) AS top_bigram
+          |       FROM bgr GROUP BY 1),
+          |rep AS (
+          |  SELECT d.doc_id,
+          |    round(coalesce(top_word * 1.0 / nw, 0.0), 6) AS top_word_ratio,
+          |    round(coalesce(n_distinct * 1.0 / nw, 0.0), 6) AS distinct_word_ratio,
+          |    round(coalesce(top_bigram * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_ratio
+          |  FROM documents d
+          |  LEFT JOIN wm ON d.doc_id = wm.doc_id
+          |  LEFT JOIN bm ON d.doc_id = bm.doc_id
+          |), f AS (SELECT wd, count(*) AS cnt FROM we GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f),
+          |lm AS (
+          |  SELECT doc_id, round(avg(-ln(cnt * 1.0 / tot)), 4) AS lm_score
+          |  FROM we JOIN f USING (wd) CROSS JOIN t
+          |  GROUP BY 1
+          |), j AS (
+          |  SELECT qr.doc_id, qr.n_words, qr.avg_word_len,
+          |    qr.stopword_ratio, qr.alpha_ratio,
+          |    rep.top_word_ratio, rep.distinct_word_ratio,
+          |    rep.top_bigram_ratio, lm.lm_score
+          |  FROM qr
+          |  LEFT JOIN rep ON qr.doc_id = rep.doc_id
+          |  LEFT JOIN lm ON qr.doc_id = lm.doc_id
+          |), jr AS (
+          |  SELECT *,
+          |    CASE
+          |      WHEN n_words IS NULL OR n_words < 20 OR n_words > 100000
+          |        THEN 'word_count'
+          |      WHEN avg_word_len < 3.0 OR avg_word_len > 10.0
+          |        THEN 'word_length'
+          |      WHEN alpha_ratio < 0.6 THEN 'alpha_ratio'
+          |      WHEN stopword_ratio < 0.01 THEN 'stopword_ratio'
+          |      WHEN top_word_ratio > 0.2 THEN 'top_word'
+          |      WHEN top_bigram_ratio > 0.18 THEN 'top_bigram'
+          |      WHEN distinct_word_ratio < 0.3 THEN 'distinct_words'
+          |      WHEN lm_score IS NULL OR lm_score < 3.39 OR lm_score > 3.43
+          |        THEN 'lm_score'
+          |      ELSE NULL END AS drop_reason
+          |  FROM j
+          |)
+          |SELECT *, drop_reason IS NULL AS keep FROM jr""".stripMargin,
 
       "q_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -159,6 +159,69 @@ object TextAnalysis {
         round(avg(-log(col("cnt") / col("tot"))), 4).as("lm_score"))
   }
 
+  /** Thresholds for [[qualityClassifier]] — Gopher/C4-flavored
+    * defaults; every bound is explicit so a pipeline's keep/drop
+    * policy is reviewable configuration, not code. `maxLmScore`
+    * defaults unbounded (the lm band is corpus-relative — callers set
+    * it from their corpus's distribution).
+    */
+  case class QualityThresholds(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      minAlphaRatio: Double = 0.6, minStopwordRatio: Double = 0.0,
+      maxTopWordRatio: Double = 0.2, maxTopBigramRatio: Double = 0.18,
+      minDistinctRatio: Double = 0.3,
+      minLmScore: Double = 0.0,
+      maxLmScore: Double = Double.PositiveInfinity)
+
+  /** Composite quality CLASSIFIER — the keep/drop decision a
+    * pretraining pipeline actually executes, folding the engine's
+    * per-doc signals ([[quality]] size/ratio stats, Gopher-style
+    * [[repetitionMetrics]], the CCNet-style [[lmScore]] band) into one
+    * boolean plus the FIRST failing rule as `drop_reason` (fixed
+    * evaluation order → deterministic attribution; null when kept).
+    *
+    * All comparisons run on the component operators' ROUNDED outputs,
+    * so the decision is bit-reproducible across engines wherever the
+    * component oracles are. Plan: three linear corpus passes (quality;
+    * word + bigram explodes; lm explode+join), then doc_id equi-joins
+    * of per-doc aggregates — no all-pairs work, map-side combinable
+    * throughout, same scale shape as the components. Docs whose
+    * signals are missing (NULL text never reaches the lm explode)
+    * fail the word_count rule rather than passing silently.
+    */
+  def qualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                        th: QualityThresholds = QualityThresholds())
+  : DataFrame = {
+    val q = quality(docs, idCol, textCol)
+      .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+        "alpha_ratio")
+    val r = repetitionMetrics(docs, idCol, textCol)
+      .select("doc_id", "top_word_ratio", "distinct_word_ratio",
+        "top_bigram_ratio")
+    val l = lmScore(docs, idCol, textCol).select("doc_id", "lm_score")
+    val reason =
+      when(col("n_words").isNull ||
+        col("n_words") < th.minWords || col("n_words") > th.maxWords,
+        "word_count")
+      .when(col("avg_word_len") < th.minAvgWordLen ||
+        col("avg_word_len") > th.maxAvgWordLen, "word_length")
+      .when(col("alpha_ratio") < th.minAlphaRatio, "alpha_ratio")
+      .when(col("stopword_ratio") < th.minStopwordRatio, "stopword_ratio")
+      .when(col("top_word_ratio") > th.maxTopWordRatio, "top_word")
+      .when(col("top_bigram_ratio") > th.maxTopBigramRatio, "top_bigram")
+      .when(col("distinct_word_ratio") < th.minDistinctRatio,
+        "distinct_words")
+      .when(col("lm_score").isNull ||
+        col("lm_score") < th.minLmScore || col("lm_score") > th.maxLmScore,
+        "lm_score")
+      .otherwise(lit(null).cast("string"))
+    q.join(r, Seq("doc_id"), "left_outer")
+      .join(l, Seq("doc_id"), "left_outer")
+      .withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason").isNull)
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation), and the
     * chars/4 heuristic LLM-token estimate.

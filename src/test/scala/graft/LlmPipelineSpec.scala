@@ -170,6 +170,42 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(m(1L)._2 < m(2L)._2)
   }
 
+  test("qualityClassifier: each rule fires, fixed-order attribution, good doc keeps") {
+    val th = TextAnalysis.QualityThresholds(
+      minWords = 3L, maxWords = 100L,
+      minAvgWordLen = 1.0, maxAvgWordLen = 10.0,
+      minAlphaRatio = 0.5, minStopwordRatio = 0.0,
+      maxTopWordRatio = 0.5, maxTopBigramRatio = 0.9,
+      minDistinctRatio = 0.25)
+    val docs = Seq(
+      (1L, "aa bb"),                                      // 2 words
+      (2L, "a" * 40 + " bb cc"),                          // avg word len 14.7
+      (3L, "123 456 789 012"),                            // no alphas
+      (4L, "zz zz zz zz zz aa bb cc dd"),                 // top word 5/9
+      (5L, "ee ee ee ee ee ff ff ff ff ff"),              // distinct 2/10
+      (6L, "the quick brown fox jumps over a lazy dog"),  // clean
+      (7L, "qq qq")  // fails word_count AND top_word -> first rule wins
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityClassifier(docs, "doc_id", "text", th)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("drop_reason")), r.getBoolean(
+          r.fieldIndex("keep"))))).toMap
+    assert(out(1L) == ((Some("word_count"), false)))
+    assert(out(2L) == ((Some("word_length"), false)))
+    assert(out(3L) == ((Some("alpha_ratio"), false)))
+    assert(out(4L) == ((Some("top_word"), false)))
+    assert(out(5L) == ((Some("distinct_words"), false)))
+    assert(out(6L) == ((None, true)))
+    assert(out(7L) == ((Some("word_count"), false)),
+      "evaluation order must attribute the FIRST failing rule")
+    // the lm band is corpus-relative: an impossible band drops the
+    // otherwise-clean doc with reason lm_score
+    val strict = TextAnalysis.qualityClassifier(docs, "doc_id", "text",
+      th.copy(minLmScore = 100.0))
+      .filter(col("doc_id") === 6L).head()
+    assert(strict.getAs[String]("drop_reason") == "lm_score")
+  }
+
   test("overlapSpans: maximal shared token runs with exact positions, islands split on gaps") {
     val docs = Seq(
       // docs 1/2 share "p q r s t" (5 tokens): doc1 pos 1-5, doc2 pos 3-7
