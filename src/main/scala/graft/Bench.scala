@@ -22,9 +22,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop sink, NOT count(): count() lets Catalyst prune every column
+    // and eliminate aggregated-right-side outer joins, so narrow
+    // transform queries (text scoring, strip_spans, repetition) would
+    // measure little more than parquet row counting. The noop write
+    // materializes every output column through the whole plan — the
+    // honest cost — at zero sink I/O. (Methodology change in round 7;
+    // totals are not comparable to rounds 1-6.)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     val pass1 = SparkEntry.queries.map { case (name, fn) =>
