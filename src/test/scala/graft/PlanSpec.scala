@@ -145,6 +145,35 @@ class PlanSpec extends AnyFunSuite {
       s"pipeline must stay equi-join end to end:\n$plan")
   }
 
+  test("q_strip_spans: equi-joins and doc-keyed windows only, no cartesian") {
+    val plan = SparkEntry.qStripSpans(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"span detect + strip must stay equi-join end to end:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-doc cut merging must not funnel to one partition:\n$plan")
+  }
+
+  test("q_quality_filter: doc_id equi-joins of per-doc aggregates, no cartesian, no funnel") {
+    val df = SparkEntry.qQualityFilter(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"classifier joins must be doc_id equi-joins:\n$plan")
+    // the ONE allowed nested-loop join is lmScore's 1-row corpus-total
+    // broadcast cross join — anything else is an all-pairs bug
+    val bnlj = plan.split("\n").filter(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj.forall(_.contains("BuildRight, Cross")),
+      s"non-total nested-loop join in classifier plan:\n$plan")
+    // the only SinglePartition allowed is the lm corpus-total 1-row
+    // aggregate (broadcast back, never a data funnel). Count DISTINCT
+    // plan ids: a shared subtree prints once per parent reference.
+    val singles = "Exchange SinglePartition[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(singles.size <= 1,
+      s"unexpected single-partition funnel ($singles):\n$plan")
+  }
+
   test("dedup/ann hot paths: no cartesian ngram, codegen dot in plan") {
     val ngram = SparkEntry.qDedupNgram(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
