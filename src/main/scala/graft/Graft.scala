@@ -229,6 +229,14 @@ object Graft {
   def lmScore(docs: DataFrame): DataFrame =
     TextAnalysis.lmScore(docs, "doc_id", "text")
 
+  /** Composite keep/drop quality decision (size/ratio + repetition +
+    * lm band) with first-failing-rule attribution in `drop_reason`. */
+  def qualityFilter(docs: DataFrame,
+                    th: graft.operators.TextAnalysis.QualityThresholds =
+                      graft.operators.TextAnalysis.QualityThresholds())
+  : DataFrame =
+    TextAnalysis.qualityClassifier(docs, "doc_id", "text", th)
+
   /** Persist an IVF index for serving (centroids + inverted file as
     * VersionedStore tables under `indexRoot`). */
   def annIvfBuild(corpus: DataFrame, nCentroids: Int,
@@ -261,6 +269,13 @@ object Graft {
                      excludeSelf: Boolean = false): DataFrame =
     Ann.ivfServeSq8(spark, indexRoot, queries, "vec_id", "embedding",
       nProbe, k, excludeSelf)
+
+  /** Re-sort a persisted index's inverted file by cell: MERGE upserts
+    * write files spanning many cells, which degrades serve-side file
+    * pruning until the next compaction. */
+  def annIvfCompact(spark: SparkSession, indexRoot: String, nFiles: Int,
+                    sq8: Boolean = false): Long =
+    Ann.ivfIndexCompact(spark, indexRoot, nFiles, sq8)
 
   /** Refresh an SQ8 persisted index by keyed merge, encoding updates
     * with the index's stored grid. */

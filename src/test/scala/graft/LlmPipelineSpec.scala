@@ -485,6 +485,42 @@ class LlmPipelineSpec extends AnyFunSuite {
       "file-pruned serve must equal the in-memory search")
   }
 
+  test("IVF persisted index: upsert degrades file pruning, compact restores it") {
+    import graft.offline.VersionedStore
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val indexRoot =
+      java.nio.file.Files.createTempDirectory("ivfcomp").toString + "/idx"
+    Ann.ivfBuildIndex(emb, "vec_id", "embedding", nCentroids = 8, indexRoot)
+    val queries = emb.filter($"vec_id" < 3)
+    def servedFiles(): Set[String] = {
+      val centroidFiles = VersionedStore
+        .read(spark, s"$indexRoot/centroids").inputFiles.toSet
+      Ann.ivfServe(spark, indexRoot, queries, "vec_id", "embedding",
+        nProbe = 2, k = 5, excludeSelf = true).inputFiles.toSet -- centroidFiles
+    }
+    def result(): Set[(Long, Long, Long)] =
+      Ann.ivfServe(spark, indexRoot, queries, "vec_id", "embedding",
+        nProbe = 2, k = 5, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val prunedBefore = servedFiles().size
+    // a wide upsert: vectors landing in MANY cells -> one merge commit
+    // whose new files span the cell range and are never pruned
+    Graft.annIvfUpsert(
+      emb.filter($"vec_id" >= 100 && $"vec_id" < 200)
+        .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"),
+      indexRoot)
+    val prunedAfterUpsert = servedFiles().size
+    assert(prunedAfterUpsert > prunedBefore,
+      s"merge-written files should defeat pruning until compaction " +
+        s"($prunedBefore -> $prunedAfterUpsert)")
+    val afterUpsert = result()
+    Graft.annIvfCompact(spark, indexRoot, nFiles = 8)
+    assert(servedFiles().size <= prunedBefore + 1,
+      "cell-sorted compaction must restore ~per-cell file pruning")
+    assert(result() == afterUpsert,
+      "compaction must not change serve results")
+  }
+
   test("IVF-SQ8 persisted index: full-probe serve equals the quantized brute scan; code is 1 byte/dim") {
     import org.apache.spark.sql.types.BinaryType
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
