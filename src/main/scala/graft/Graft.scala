@@ -237,6 +237,17 @@ object Graft {
   : DataFrame =
     TextAnalysis.qualityClassifier(docs, "doc_id", "text", th)
 
+  /** Streaming-safe quality decision against a FROZEN offline
+    * vocabulary (word -> count + corpus total): pure projection, zero
+    * state — apply the same policy to a `readStream` source. */
+  def qualityFilterFrozen(docs: DataFrame, vocab: Map[String, Long],
+                          totalTokens: Long, oovCount: Long = 1L,
+                          th: graft.operators.TextAnalysis.QualityThresholds =
+                            graft.operators.TextAnalysis.QualityThresholds())
+  : DataFrame =
+    TextAnalysis.qualityClassifierFrozen(docs, "doc_id", "text", vocab,
+      totalTokens, oovCount, th)
+
   /** Persist an IVF index for serving (centroids + inverted file as
     * VersionedStore tables under `indexRoot`). */
   def annIvfBuild(corpus: DataFrame, nCentroids: Int,

@@ -200,6 +200,16 @@ object TextAnalysis {
       .select("doc_id", "top_word_ratio", "distinct_word_ratio",
         "top_bigram_ratio")
     val l = lmScore(docs, idCol, textCol).select("doc_id", "lm_score")
+    attachDecision(
+      q.join(r, Seq("doc_id"), "left_outer")
+        .join(l, Seq("doc_id"), "left_outer"), th)
+  }
+
+  /** The shared keep/drop CASE over identically-named signal columns —
+    * one rule order for the batch and frozen classifiers, so the two
+    * can never drift. */
+  private def attachDecision(signals: DataFrame, th: QualityThresholds)
+  : DataFrame = {
     val reason =
       when(col("n_words").isNull ||
         col("n_words") < th.minWords || col("n_words") > th.maxWords,
@@ -216,10 +226,75 @@ object TextAnalysis {
         col("lm_score") < th.minLmScore || col("lm_score") > th.maxLmScore,
         "lm_score")
       .otherwise(lit(null).cast("string"))
-    q.join(r, Seq("doc_id"), "left_outer")
-      .join(l, Seq("doc_id"), "left_outer")
-      .withColumn("drop_reason", reason)
+    signals.withColumn("drop_reason", reason)
       .withColumn("keep", col("drop_reason").isNull)
+  }
+
+  /** STREAMING-SAFE variant of [[qualityClassifier]]: the same policy
+    * as a pure per-row projection — no explode, no per-doc aggregation
+    * state, no shuffle — so it applies to a Structured Streaming
+    * source in append mode with ZERO state, the shape a production
+    * filter takes when new shards arrive continuously.
+    *
+    * The corpus-relative lm signal scores against a FROZEN vocabulary
+    * `(word -> count, totalTokens)` derived OFFLINE (the CCNet shape:
+    * the scoring model is a versioned artifact, not recomputed per
+    * shard); unseen words fall back to `oovCount`. The vocabulary
+    * inlines as a map literal, so size it like a model artifact
+    * (top-K words + OOV), not a full open vocabulary. Repetition
+    * signals compute per-row from the words array (O(distinct ×
+    * words) per doc — fine at document sizes). Signal formulas and
+    * rounding mirror the batch operators; the decision CASE is
+    * literally shared, so frozen(batch-vocab) == batch on every
+    * signal except lm_score's summation order (both round to 4dp —
+    * spec-proven equal on the gate corpus).
+    */
+  def qualityClassifierFrozen(docs: DataFrame, idCol: String,
+                              textCol: String, vocab: Map[String, Long],
+                              totalTokens: Long, oovCount: Long = 1L,
+                              th: QualityThresholds = QualityThresholds())
+  : DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    val t = col(textCol)
+    val vocabMap = typedLit(vocab)
+    val base = docs.select(
+      col(idCol).as("doc_id"), t.as("_text"),
+      Fns.words(t).as("ws"),
+      length(t).cast("long").as("n_chars"),
+      size(Fns.words(t)).cast("long").as("n_words"),
+      countIn(Fns.words(t), Seq("the", "a")).as("stop_hits"),
+      size(regexp_extract_all(t, lit("[a-z]"), lit(0))).cast("long")
+        .as("alphas"))
+    val bg = when(size(col("ws")) >= 2,
+      expr("transform(sequence(0, size(ws) - 2), " +
+        "i -> concat_ws(' ', ws[i], ws[i + 1]))"))
+      .otherwise(array().cast("array<string>"))
+    val sig = base
+      .withColumn("avg_word_len",
+        round((col("n_chars") - (col("n_words") - 1)) / col("n_words"), 6))
+      .withColumn("stopword_ratio",
+        round(col("stop_hits") / col("n_words"), 6))
+      .withColumn("alpha_ratio", round(col("alphas") / col("n_chars"), 6))
+      .withColumn("top_word_ratio", round(coalesce(
+        expr("array_max(transform(array_distinct(ws), " +
+          "w -> size(filter(ws, x -> x = w))))") / col("n_words"),
+        lit(0.0)), 6))
+      .withColumn("distinct_word_ratio", round(coalesce(
+        expr("size(array_distinct(ws))") / col("n_words"), lit(0.0)), 6))
+      .withColumn("bg", bg)
+      .withColumn("top_bigram_ratio", round(coalesce(
+        expr("array_max(transform(array_distinct(bg), " +
+          "b -> size(filter(bg, x -> x = b))))") / size(col("bg")),
+        lit(0.0)), 6))
+      .withColumn("lm_score", round(
+        aggregate(transform(col("ws"),
+            w => -log(coalesce(element_at(vocabMap, w), lit(oovCount))
+              / lit(totalTokens.toDouble))),
+          lit(0.0), (acc, x) => acc + x) / size(col("ws")), 4))
+    attachDecision(sig, th)
+      .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+        "alpha_ratio", "top_word_ratio", "distinct_word_ratio",
+        "top_bigram_ratio", "lm_score", "drop_reason", "keep")
   }
 
   /** Token counting: whitespace tokens, a BPE-ish regex token count

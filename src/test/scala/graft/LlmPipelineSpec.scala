@@ -206,6 +206,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(strict.getAs[String]("drop_reason") == "lm_score")
   }
 
+  test("qualityClassifierFrozen(batch vocab) equals the batch classifier on the gate corpus") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val th = TextAnalysis.QualityThresholds(
+      minWords = 20L, minStopwordRatio = 0.01,
+      minLmScore = 3.39, maxLmScore = 3.43)
+    // freeze the batch corpus's own unigram table -> the frozen scorer
+    // must reproduce the batch decision on every doc, signal for signal
+    val freq = docs.select(explode(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = freq.values.sum
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+          "alpha_ratio", "top_word_ratio", "distinct_word_ratio",
+          "top_bigram_ratio", "lm_score", "drop_reason", "keep")
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val batch = canon(
+      TextAnalysis.qualityClassifier(docs, "doc_id", "text", th))
+    val frozen = canon(TextAnalysis.qualityClassifierFrozen(
+      docs, "doc_id", "text", freq, total, th = th))
+    assert(frozen.keySet == batch.keySet)
+    val diffs = batch.keys.filter(k => frozen(k) != batch(k))
+    assert(diffs.isEmpty,
+      s"frozen != batch for docs ${diffs.take(3).map(k =>
+        s"$k: ${batch(k)} vs ${frozen(k)}")}")
+  }
+
   test("overlapSpans: maximal shared token runs with exact positions, islands split on gaps") {
     val docs = Seq(
       // docs 1/2 share "p q r s t" (5 tokens): doc1 pos 1-5, doc2 pos 3-7

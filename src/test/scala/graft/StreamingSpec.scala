@@ -439,4 +439,45 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming/batch asof divergence:\nstream=$got\nbatch=$expected")
     query.stop()
   }
+
+  test("frozen quality classifier runs stateless on a stream, equals batch application") {
+    implicit val sqlCtx = spark.sqlContext
+    val th = graft.operators.TextAnalysis.QualityThresholds(
+      minWords = 3L, minAvgWordLen = 1.0, minAlphaRatio = 0.3,
+      maxTopWordRatio = 0.6, maxTopBigramRatio = 0.5,
+      minDistinctRatio = 0.2)
+    val vocab = Map("the" -> 50L, "a" -> 30L, "cat" -> 5L, "sat" -> 5L,
+      "mat" -> 5L, "on" -> 10L)
+    val total = 105L
+    val rows = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zz zz"),                       // word_count
+      (3L, "the the the the the the a cat")) // top word 6/8 -> top_word
+    val input = MemoryStream[(Long, String)]
+    // append mode with NO watermark: starting at all proves the plan
+    // carries no stateful aggregation — pure projection end to end
+    val query = graft.operators.TextAnalysis.qualityClassifierFrozen(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text",
+        vocab, total, th = th)
+      .writeStream.format("memory").queryName("squality")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("squality").collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("drop_reason")), r.getAs[Double]("lm_score"))))
+      .toMap
+    query.stop()
+    val batch = graft.operators.TextAnalysis.qualityClassifierFrozen(
+        rows.toDF("doc_id", "text"), "doc_id", "text", vocab, total,
+        th = th)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("drop_reason")), r.getAs[Double]("lm_score"))))
+      .toMap
+    assert(streamed == batch,
+      s"stream/batch divergence:\n$streamed\n$batch")
+    assert(streamed(2L)._1.contains("word_count"))
+    assert(streamed(3L)._1.contains("top_word"))
+    assert(streamed(1L)._1.isEmpty, s"clean doc dropped: ${streamed(1L)}")
+  }
 }
