@@ -50,4 +50,57 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(report.getAs[Boolean]("schema_ok"))
     assert(report.getAs[Boolean]("validation_pass"))
   }
+
+  test("LLM curation pipeline: dedup → strip spans → quality filter → decontaminate → pack") {
+    import graft.operators.{Dedup, TextAnalysis, FeatureEng}
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val n = docs.count()
+
+    // 1. doc-level dedup: the production keep list (exact → LSH → verify)
+    val kept = Graft.dedupKeepList(docs)
+    val keptDocs = docs.join(kept, Seq("doc_id"), "left_semi")
+    assert(kept.count() <= n && kept.count() > 0)
+
+    // 2. span-level dedup on the survivors: strip duplicated substrings
+    val spans = Dedup.overlapSpans(keptDocs, "doc_id", "text",
+      n = 3, minTokens = 8, maxDf = 100)
+    val stripped = Dedup.stripSpans(keptDocs, "doc_id", "text", spans)
+      .withColumnRenamed("text_clean", "text")
+    assert(stripped.count() == keptDocs.count(),
+      "span-level dedup keeps every document")
+    // stripping only removes tokens: no doc grows
+    val grew = stripped.as("s")
+      .join(keptDocs.select(col("doc_id"), col("text").as("orig")), "doc_id")
+      .filter(length(col("s.text")) > length(col("orig"))).count()
+    assert(grew == 0, s"$grew docs grew after stripSpans")
+
+    // 3. quality filter on the cleaned text
+    val scored = TextAnalysis.qualityClassifier(stripped, "doc_id", "text",
+      TextAnalysis.QualityThresholds(minWords = 10L))
+    val quality = stripped.join(
+      scored.filter(col("keep")).select("doc_id"), Seq("doc_id"),
+      "left_semi")
+    assert(quality.count() > 0 && quality.count() <= stripped.count())
+
+    // 4. decontaminate against a pseudo-eval slice
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val contaminated = Dedup.decontaminate(
+      quality.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      evalDocs, "doc_id", "text", n = 3, minOverlap = 5L)
+    val clean = quality.filter(col("doc_id") % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    assert(clean.join(contaminated, Seq("doc_id"), "left_semi").count() == 0,
+      "no contaminated doc may survive the anti-join")
+
+    // 5. pack into training sequences under a token budget
+    val packed = FeatureEng.packSequences(clean, "doc_id", "text",
+      budgetTokens = 512L)
+    assert(packed.count() == clean.count(),
+      "every surviving doc lands in exactly one sequence")
+    // packing is by exact running start offset: every doc STARTS
+    // inside its bin's budget (a straddling doc may extend past it)
+    assert(packed.filter(col("bin_offset") >= 512L).count() == 0,
+      "every doc must start within its bin's token budget")
+    assert(packed.filter(col("bin") < 0).count() == 0)
+  }
 }
