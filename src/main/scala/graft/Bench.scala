@@ -46,7 +46,7 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (pass1.nonEmpty) pass1.values.sum else 0.0
     val total2 = if (pass2.nonEmpty) pass2.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(pass1)},"value_pass2":$total2,"queries_pass2":${js(pass2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop_write","queries":${js(pass1)},"value_pass2":$total2,"queries_pass2":${js(pass2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
