@@ -399,12 +399,15 @@ object Ann {
     VersionedStore.overwrite(
       spark.createDataFrame(centroids.toSeq).toDF("c_cell", "cv"),
       centroidTable(indexRoot))
-    VersionedStore.overwrite(assigned, assignmentTable(indexRoot))
     // Lay the inverted file into disjoint cell ranges (~1 cell/file)
-    // so a serve probing nProbe cells opens ~nProbe files via manifest
-    // stats instead of scanning the whole table.
-    VersionedStore.compact(spark, assignmentTable(indexRoot),
-      numFiles = nCentroids, sortBy = Seq("cell"))
+    // in the FIRST commit — a serve probing nProbe cells then opens
+    // ~nProbe files via manifest stats instead of scanning the table.
+    // Sorted at write time, not via a post-hoc compact: at inverted-
+    // file scale a second rewrite pass doubles the build I/O.
+    VersionedStore.overwrite(
+      assigned.repartitionByRange(nCentroids, col("cell"))
+        .sortWithinPartitions("cell"),
+      assignmentTable(indexRoot))
   }
 
   /** Re-sort a persisted index's inverted file by cell. Build already
@@ -523,9 +526,10 @@ object Ann {
         (0 until p.dim).map(i => (i, p.mins(i), p.scales(i))))
         .toDF("pos", "mn", "scale"),
       sq8GridTable(indexRoot))
-    VersionedStore.overwrite(assigned, sq8AssignmentTable(indexRoot))
-    VersionedStore.compact(spark, sq8AssignmentTable(indexRoot),
-      numFiles = nCentroids, sortBy = Seq("cell"))
+    VersionedStore.overwrite(
+      assigned.repartitionByRange(nCentroids, col("cell"))
+        .sortWithinPartitions("cell"),
+      sq8AssignmentTable(indexRoot))
   }
 
   /** Serve from an SQ8-compressed persisted index: probe like
