@@ -189,6 +189,15 @@ object Graft {
   : DataFrame =
     Dedup.keepList(docs, "doc_id", "text", n, threshold, maxDf, exact)
 
+  /** The provably-exact keep list under its own name — the quadratic
+    * inverted-index path for audits and oracle baselines, so call
+    * sites needing exactness don't depend on a boolean flag reading. */
+  def dedupKeepListExact(docs: DataFrame, n: Int = 3,
+                         threshold: Double = 0.8, maxDf: Long = 0)
+  : DataFrame =
+    Dedup.keepList(docs, "doc_id", "text", n, threshold, maxDf,
+      exact = true)
+
   /** Exact-first → MinHash candidates → exact-verify: the production
     * dedup order (docs/SCALE_NOTES.md). */
   def dedupPipeline(docs: DataFrame, n: Int = 3, threshold: Double = 0.8)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.offline.OfflineStore
-import graft.operators.{AsofJoin, Dedup, FeatureEng, Sessionize, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Dedup, FeatureEng, Sessionize, TextAnalysis}
 
 /** Synthetic scale-up probe: replicates the sf0.1 tables K× (ids
   * shifted so keys stay unique where they must) and times the
@@ -149,6 +149,22 @@ object ScaleProbe {
     time("embedding LSH+verify xK (thr 0.9)")(
       Dedup.embeddingCosineLsh(emb, "vec_id", "embedding", 0.9, dim = 64)
         .count())
+    // persisted-index serving at xK: build once (timed separately),
+    // then the serve path 100 queries probe 4/64 cells — the number
+    // that matters is the SERVE, which file-prunes to probed cells
+    val ivfRoot = java.nio.file.Files
+      .createTempDirectory("probe_ivf").toString + "/idx"
+    time("ivf index build xK (64 cells)")(
+      Ann.ivfBuildIndex(emb, "vec_id", "embedding", 64, ivfRoot))
+    val queries = emb.filter(col("vec_id") < 100).cache()
+    queries.count()
+    time("ivf serve 100q nProbe=4")(
+      Ann.ivfServe(spark, ivfRoot, queries, "vec_id", "embedding",
+        nProbe = 4, k = 10).count())
+    time("ivf serve 100q nProbe=4 (2nd)")(
+      Ann.ivfServe(spark, ivfRoot, queries, "vec_id", "embedding",
+        nProbe = 4, k = 10).count())
+    queries.unpersist()
     emb.unpersist()
     }
     spark.stop()
