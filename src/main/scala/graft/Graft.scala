@@ -246,6 +246,12 @@ object Graft {
   : DataFrame =
     TextAnalysis.qualityClassifier(docs, "doc_id", "text", th)
 
+  /** Derive the frozen scoring artifact (top-K word counts + exact
+    * corpus total) for [[qualityFilterFrozen]]. */
+  def freezeVocabulary(docs: DataFrame, topK: Int)
+  : (Map[String, Long], Long) =
+    TextAnalysis.freezeVocabulary(docs, "doc_id", "text", topK)
+
   /** Streaming-safe quality decision against a FROZEN offline
     * vocabulary (word -> count + corpus total): pure projection, zero
     * state — apply the same policy to a `readStream` source. */

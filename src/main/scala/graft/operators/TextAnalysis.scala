@@ -249,6 +249,26 @@ object TextAnalysis {
     * signal except lm_score's summation order (both round to 4dp —
     * spec-proven equal on the gate corpus).
     */
+  /** Derive the frozen scoring artifact for
+    * [[qualityClassifierFrozen]]: the corpus's `topK` words by count
+    * plus the FULL corpus token total (the total covers every token,
+    * truncated or not, so frequent-word probabilities stay exact and
+    * dropped tail words fall back to the OOV count). One aggregate
+    * over the corpus, a topK-bounded driver collect — the artifact is
+    * model-sized, version it like one.
+    */
+  def freezeVocabulary(docs: DataFrame, idCol: String, textCol: String,
+                       topK: Int): (Map[String, Long], Long) = {
+    require(topK > 0, "topK must be positive")
+    val freq = docs.select(explode(Fns.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val total = freq.agg(sum("cnt")).head().getLong(0)
+    val top = freq.orderBy(col("cnt").desc, col("w")).limit(topK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (top, total)
+  }
+
   def qualityClassifierFrozen(docs: DataFrame, idCol: String,
                               textCol: String, vocab: Map[String, Long],
                               totalTokens: Long, oovCount: Long = 1L,

@@ -206,6 +206,27 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(strict.getAs[String]("drop_reason") == "lm_score")
   }
 
+  test("freezeVocabulary: top-K by count, exact full-corpus total") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a d")).toDF("doc_id", "text")
+    val (vocab, total) = TextAnalysis.freezeVocabulary(
+      docs, "doc_id", "text", topK = 2)
+    assert(total == 8L, "total must cover ALL tokens, not just top-K")
+    assert(vocab == Map("a" -> 4L, "b" -> 2L))
+    // the frozen classifier with this artifact scores 'a' exactly and
+    // tail words via the OOV fallback — same decision machinery
+    val scored = TextAnalysis.qualityClassifierFrozen(
+      docs, "doc_id", "text", vocab, total, oovCount = 1L,
+      th = TextAnalysis.QualityThresholds(minWords = 1L,
+        minAvgWordLen = 0.0, minAlphaRatio = 0.0,
+        maxTopWordRatio = 1.0, maxTopBigramRatio = 1.0,
+        minDistinctRatio = 0.0))
+    val lm = scored.collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("lm_score")).toMap
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 2: "a d" -> -ln(4/8), -ln(1/8 OOV)
+    assert(lm(2L) == r4((-math.log(4.0 / 8) - math.log(1.0 / 8)) / 2))
+  }
+
   test("qualityClassifierFrozen(batch vocab) equals the batch classifier on the gate corpus") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val th = TextAnalysis.QualityThresholds(
