@@ -246,6 +246,11 @@ object Graft {
   : DataFrame =
     TextAnalysis.qualityClassifier(docs, "doc_id", "text", th)
 
+  /** CCNet head/middle/tail split by exact lm-score percent rank. */
+  def perplexityBuckets(docs: DataFrame, loCut: Double = 1.0 / 3,
+                        hiCut: Double = 2.0 / 3): DataFrame =
+    TextAnalysis.perplexityBuckets(docs, "doc_id", "text", loCut, hiCut)
+
   /** Derive the frozen scoring artifact (top-K word counts + exact
     * corpus total) for [[qualityFilterFrozen]]. */
   def freezeVocabulary(docs: DataFrame, topK: Int)

@@ -364,6 +364,11 @@ object SparkEntry {
         minDistinctRatio = 0.3,
         minLmScore = 3.39, maxLmScore = 3.43))
 
+  /** CCNet head/middle/tail corpus split by exact lm-score percent
+    * rank (terciles). */
+  def qPplBuckets(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id", "text")
+
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
 
@@ -439,7 +444,8 @@ object SparkEntry {
     "q_lm_score" -> (qLmScore _),
     "q_overlap_spans" -> (qOverlapSpans _),
     "q_strip_spans" -> (qStripSpans _),
-    "q_quality_filter" -> (qQualityFilter _)
+    "q_quality_filter" -> (qQualityFilter _),
+    "q_ppl_buckets" -> (qPplBuckets _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1265,6 +1271,32 @@ object SparkEntry {
           |       CAST(count(*) + 2 AS BIGINT) AS match_len
           |FROM isl GROUP BY doc_a, doc_b, diag, island
           |HAVING count(*) + 2 >= 8""".stripMargin,
+
+      // lm CTEs verbatim from q_lm_score; pr = PERCENT_RANK (the Spark
+      // side computes |strictly below|/(n-1) by distributed prefix
+      // sum — definitionally the same), rounded 6dp on both sides
+      // before the tercile CASE.
+      "q_ppl_buckets" ->
+        """WITH we AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          |), f AS (SELECT w, count(*) AS cnt FROM we GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f),
+          |lm AS (
+          |  SELECT doc_id, round(avg(-ln(cnt * 1.0 / tot)), 4) AS lm_score
+          |  FROM we JOIN f USING (w) CROSS JOIN t
+          |  GROUP BY 1
+          |), pr AS (
+          |  SELECT doc_id, lm_score,
+          |    round(CASE WHEN count(*) OVER () > 1
+          |               THEN percent_rank() OVER (ORDER BY lm_score)
+          |               ELSE 0.0 END, 6) AS pr
+          |  FROM lm
+          |)
+          |SELECT doc_id, lm_score, pr,
+          |  CASE WHEN pr < 1.0/3 THEN 'head'
+          |       WHEN pr < 2.0/3 THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM pr""".stripMargin,
 
       // Same span detection as q_overlap_spans, then the strip action:
       // doc_b's cut ranges [start_b, start_b+match_len) merged with a

@@ -317,6 +317,42 @@ object TextAnalysis {
         "top_bigram_ratio", "lm_score", "drop_reason", "keep")
   }
 
+  /** CCNet-style perplexity bucketing: each document's EXACT percent
+    * rank of [[lmScore]] over the corpus, split into head (most
+    * fluent / lowest surprise), middle, and tail at the given
+    * percent-rank cuts — the standard corpus partition for
+    * quality-weighted sampling (CCNet trains on the head/middle).
+    *
+    * Rank is the distributed prefix sum over DISTINCT score values
+    * (FeatureEng.runningTotal — the same machinery as quantileLabel:
+    * no global sort window, no SinglePartition funnel), with pr =
+    * |strictly below| / (n-1), i.e. SQL PERCENT_RANK exactly, so the
+    * oracle is a plain window. Ties share one pr by construction.
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        loCut: Double = 1.0 / 3, hiCut: Double = 2.0 / 3)
+  : DataFrame = {
+    require(0 <= loCut && loCut <= hiCut && hiCut <= 1.0,
+      s"cuts must satisfy 0 <= lo <= hi <= 1, got [$loCut, $hiCut]")
+    // consumed twice (total count + the rank join) — one materialization
+    val scores = lmScore(docs, idCol, textCol).localCheckpoint(false)
+    val counts = scores.groupBy("lm_score").agg(count(lit(1)).as("cnt"))
+    val rt = FeatureEng.runningTotal(counts, "lm_score", "cnt")
+    val total = scores.count()
+    val below = rt.select(col("ord").as("lm_score"),
+      (col("running_total") - col("val")).as("below"))
+    scores.join(below, "lm_score")
+      .withColumn("pr", round(
+        when(lit(total) > 1L,
+          col("below") / (lit(total) - 1).cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("ppl_bucket",
+        when(col("pr") < loCut, "head")
+          .when(col("pr") < hiCut, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lm_score"), col("pr"), col("ppl_bucket"))
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation), and the
     * chars/4 heuristic LLM-token estimate.

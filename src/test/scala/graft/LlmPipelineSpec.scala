@@ -227,6 +227,30 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(lm(2L) == r4((-math.log(4.0 / 8) - math.log(1.0 / 8)) / 2))
   }
 
+  test("perplexityBuckets: percent-rank semantics, ties share a bucket, single doc is head") {
+    // lm scores are corpus-relative; construct docs whose ROUNDED
+    // scores produce known ranks: identical docs tie exactly
+    val docs = Seq(
+      (1L, "a a a a"), (2L, "a a a a"),  // tied lowest surprise
+      (3L, "a b"), (4L, "c d e")         // increasingly rare words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("pr"), r.getString(3)))).toMap
+    // n=4: pr = below/3. Docs 1,2 tie at below=0 -> pr 0 (head);
+    // doc 3 below=2 -> 0.666667 (tail, >= 2/3); doc 4 below=3 -> 1 (tail)
+    assert(out(1L) == ((0.0, "head")) && out(2L) == ((0.0, "head")),
+      s"ties must share rank and bucket: $out")
+    assert(out(3L)._1 == 0.666667 && out(3L)._2 == "tail")
+    assert(out(4L) == ((1.0, "tail")))
+    // a single-doc corpus cannot divide by n-1 = 0: pr 0, head
+    val one = TextAnalysis.perplexityBuckets(
+      Seq((9L, "x y z")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(one.getAs[Double]("pr") == 0.0 &&
+      one.getString(3) == "head")
+  }
+
   test("qualityClassifierFrozen(batch vocab) equals the batch classifier on the gate corpus") {
     val docs = Tables.documents(spark, TestSpark.sfDir)
     val th = TextAnalysis.QualityThresholds(
