@@ -356,13 +356,30 @@ object SparkEntry {
     * corpus-relative by design, like a real pretraining filter. */
   def qQualityFilter(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityClassifier(Tables.documents(s, d), "doc_id", "text",
-      TextAnalysis.QualityThresholds(
-        minWords = 20L, maxWords = 100000L,
-        minAvgWordLen = 3.0, maxAvgWordLen = 10.0,
-        minAlphaRatio = 0.6, minStopwordRatio = 0.01,
-        maxTopWordRatio = 0.2, maxTopBigramRatio = 0.18,
-        minDistinctRatio = 0.3,
-        minLmScore = 3.39, maxLmScore = 3.43))
+      declaredQualityThresholds)
+
+  /** The STREAMING-SAFE frozen classifier, declared with the FULL
+    * corpus vocabulary as its frozen artifact: with nothing truncated
+    * it must hash-match q_quality_filter's oracle exactly — corpus
+    * hash equality for the pure-projection path a stream runs. */
+  def qQualityFilterFrozen(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (vocab, total) = TextAnalysis.freezeVocabulary(
+      docs, "doc_id", "text", topK = 1000000)
+    TextAnalysis.qualityClassifierFrozen(docs, "doc_id", "text", vocab,
+      total, th = declaredQualityThresholds)
+  }
+
+  /** Shared by q_quality_filter and q_quality_filter_frozen — one
+    * policy, two execution paths. */
+  private val declaredQualityThresholds =
+    TextAnalysis.QualityThresholds(
+      minWords = 20L, maxWords = 100000L,
+      minAvgWordLen = 3.0, maxAvgWordLen = 10.0,
+      minAlphaRatio = 0.6, minStopwordRatio = 0.01,
+      maxTopWordRatio = 0.2, maxTopBigramRatio = 0.18,
+      minDistinctRatio = 0.3,
+      minLmScore = 3.39, maxLmScore = 3.43)
 
   /** CCNet head/middle/tail corpus split by exact lm-score percent
     * rank (terciles). */
@@ -445,6 +462,7 @@ object SparkEntry {
     "q_overlap_spans" -> (qOverlapSpans _),
     "q_strip_spans" -> (qStripSpans _),
     "q_quality_filter" -> (qQualityFilter _),
+    "q_quality_filter_frozen" -> (qQualityFilterFrozen _),
     "q_ppl_buckets" -> (qPplBuckets _)
   )
 
@@ -542,6 +560,81 @@ object SparkEntry {
       |)
       |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
       |FROM r WHERE "rank" <= 5""".stripMargin
+
+  /** Shared by q_quality_filter and q_quality_filter_frozen (the
+    * full-vocab frozen classifier reduces to the batch one — spec-
+    * proven signal for signal). Mirrors qualityClassifier: the
+    * quality / repetition / lm CTEs are verbatim copies of those
+    * queries' oracles (same rounding), joined on doc_id, with the
+    * same fixed-order CASE. Thresholds inline — keep in sync with
+    * declaredQualityThresholds. */
+  private val qualityFilterOracleSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, len(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(list_filter(string_split(text, ' '),
+      |        w -> w IN ('the', 'a'))) AS stop_hits,
+      |    len(regexp_extract_all(text, '[a-z]')) AS alphas
+      |  FROM documents
+      |), qr AS (
+      |  SELECT doc_id, n_words,
+      |    round((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
+      |    round(stop_hits / n_words, 6) AS stopword_ratio,
+      |    round(alphas / n_chars, 6) AS alpha_ratio
+      |  FROM b
+      |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |we AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+      |wg AS (SELECT doc_id, wd, count(*) AS c FROM we GROUP BY 1, 2),
+      |wm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
+      |         max(c) AS top_word, count(*) AS n_distinct
+      |       FROM wg GROUP BY 1),
+      |be AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, greatest(len(ws) - 1, 0)),
+      |         i -> concat_ws(' ', ws[i], ws[i+1]))) AS bg FROM w),
+      |bgr AS (SELECT doc_id, bg, count(*) AS c FROM be GROUP BY 1, 2),
+      |bm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |         max(c) AS top_bigram
+      |       FROM bgr GROUP BY 1),
+      |rep AS (
+      |  SELECT d.doc_id,
+      |    round(coalesce(top_word * 1.0 / nw, 0.0), 6) AS top_word_ratio,
+      |    round(coalesce(n_distinct * 1.0 / nw, 0.0), 6) AS distinct_word_ratio,
+      |    round(coalesce(top_bigram * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_ratio
+      |  FROM documents d
+      |  LEFT JOIN wm ON d.doc_id = wm.doc_id
+      |  LEFT JOIN bm ON d.doc_id = bm.doc_id
+      |), f AS (SELECT wd, count(*) AS cnt FROM we GROUP BY 1),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f),
+      |lm AS (
+      |  SELECT doc_id, round(avg(-ln(cnt * 1.0 / tot)), 4) AS lm_score
+      |  FROM we JOIN f USING (wd) CROSS JOIN t
+      |  GROUP BY 1
+      |), j AS (
+      |  SELECT qr.doc_id, qr.n_words, qr.avg_word_len,
+      |    qr.stopword_ratio, qr.alpha_ratio,
+      |    rep.top_word_ratio, rep.distinct_word_ratio,
+      |    rep.top_bigram_ratio, lm.lm_score
+      |  FROM qr
+      |  LEFT JOIN rep ON qr.doc_id = rep.doc_id
+      |  LEFT JOIN lm ON qr.doc_id = lm.doc_id
+      |), jr AS (
+      |  SELECT *,
+      |    CASE
+      |      WHEN n_words IS NULL OR n_words < 20 OR n_words > 100000
+      |        THEN 'word_count'
+      |      WHEN avg_word_len < 3.0 OR avg_word_len > 10.0
+      |        THEN 'word_length'
+      |      WHEN alpha_ratio < 0.6 THEN 'alpha_ratio'
+      |      WHEN stopword_ratio < 0.01 THEN 'stopword_ratio'
+      |      WHEN top_word_ratio > 0.2 THEN 'top_word'
+      |      WHEN top_bigram_ratio > 0.18 THEN 'top_bigram'
+      |      WHEN distinct_word_ratio < 0.3 THEN 'distinct_words'
+      |      WHEN lm_score IS NULL OR lm_score < 3.39 OR lm_score > 3.43
+      |        THEN 'lm_score'
+      |      ELSE NULL END AS drop_reason
+      |  FROM j
+      |)
+      |SELECT *, drop_reason IS NULL AS keep FROM jr""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val latestCte =
@@ -1360,77 +1453,13 @@ object SparkEntry {
           |LEFT JOIN cut_docs cd ON d.doc_id = cd.doc_id
           |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
 
-      // Mirrors qualityClassifier: the quality / repetition / lm CTEs
-      // are verbatim copies of those queries' oracles (same rounding),
-      // joined on doc_id, with the same fixed-order CASE. Thresholds
-      // inline — keep in sync with qQualityFilter.
-      "q_quality_filter" ->
-        """WITH b AS (
-          |  SELECT doc_id, len(text) AS n_chars,
-          |    len(string_split(text, ' ')) AS n_words,
-          |    len(list_filter(string_split(text, ' '),
-          |        w -> w IN ('the', 'a'))) AS stop_hits,
-          |    len(regexp_extract_all(text, '[a-z]')) AS alphas
-          |  FROM documents
-          |), qr AS (
-          |  SELECT doc_id, n_words,
-          |    round((n_chars - (n_words - 1)) / n_words, 6) AS avg_word_len,
-          |    round(stop_hits / n_words, 6) AS stopword_ratio,
-          |    round(alphas / n_chars, 6) AS alpha_ratio
-          |  FROM b
-          |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          |we AS (SELECT doc_id, unnest(ws) AS wd FROM w),
-          |wg AS (SELECT doc_id, wd, count(*) AS c FROM we GROUP BY 1, 2),
-          |wm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nw,
-          |         max(c) AS top_word, count(*) AS n_distinct
-          |       FROM wg GROUP BY 1),
-          |be AS (SELECT doc_id, unnest(list_transform(
-          |         generate_series(1, greatest(len(ws) - 1, 0)),
-          |         i -> concat_ws(' ', ws[i], ws[i+1]))) AS bg FROM w),
-          |bgr AS (SELECT doc_id, bg, count(*) AS c FROM be GROUP BY 1, 2),
-          |bm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-          |         max(c) AS top_bigram
-          |       FROM bgr GROUP BY 1),
-          |rep AS (
-          |  SELECT d.doc_id,
-          |    round(coalesce(top_word * 1.0 / nw, 0.0), 6) AS top_word_ratio,
-          |    round(coalesce(n_distinct * 1.0 / nw, 0.0), 6) AS distinct_word_ratio,
-          |    round(coalesce(top_bigram * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_ratio
-          |  FROM documents d
-          |  LEFT JOIN wm ON d.doc_id = wm.doc_id
-          |  LEFT JOIN bm ON d.doc_id = bm.doc_id
-          |), f AS (SELECT wd, count(*) AS cnt FROM we GROUP BY 1),
-          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f),
-          |lm AS (
-          |  SELECT doc_id, round(avg(-ln(cnt * 1.0 / tot)), 4) AS lm_score
-          |  FROM we JOIN f USING (wd) CROSS JOIN t
-          |  GROUP BY 1
-          |), j AS (
-          |  SELECT qr.doc_id, qr.n_words, qr.avg_word_len,
-          |    qr.stopword_ratio, qr.alpha_ratio,
-          |    rep.top_word_ratio, rep.distinct_word_ratio,
-          |    rep.top_bigram_ratio, lm.lm_score
-          |  FROM qr
-          |  LEFT JOIN rep ON qr.doc_id = rep.doc_id
-          |  LEFT JOIN lm ON qr.doc_id = lm.doc_id
-          |), jr AS (
-          |  SELECT *,
-          |    CASE
-          |      WHEN n_words IS NULL OR n_words < 20 OR n_words > 100000
-          |        THEN 'word_count'
-          |      WHEN avg_word_len < 3.0 OR avg_word_len > 10.0
-          |        THEN 'word_length'
-          |      WHEN alpha_ratio < 0.6 THEN 'alpha_ratio'
-          |      WHEN stopword_ratio < 0.01 THEN 'stopword_ratio'
-          |      WHEN top_word_ratio > 0.2 THEN 'top_word'
-          |      WHEN top_bigram_ratio > 0.18 THEN 'top_bigram'
-          |      WHEN distinct_word_ratio < 0.3 THEN 'distinct_words'
-          |      WHEN lm_score IS NULL OR lm_score < 3.39 OR lm_score > 3.43
-          |        THEN 'lm_score'
-          |      ELSE NULL END AS drop_reason
-          |  FROM j
-          |)
-          |SELECT *, drop_reason IS NULL AS keep FROM jr""".stripMargin,
+      "q_quality_filter" -> qualityFilterOracleSql,
+
+      // The frozen full-vocab declaration reduces to the batch
+      // classifier exactly (spec-proven signal for signal) — one
+      // oracle, two engine paths (corpus-relative batch vs the
+      // pure-projection stream shape).
+      "q_quality_filter_frozen" -> qualityFilterOracleSql,
 
       "q_decontaminate" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
