@@ -174,6 +174,15 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected single-partition funnel ($singles):\n$plan")
   }
 
+  test("frozen quality classifier: zero shuffles — pure projection end to end") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+    val df = graft.operators.TextAnalysis.qualityClassifierFrozen(
+      docs, "doc_id", "text", Map("the" -> 10L, "a" -> 5L), 20L)
+    assert(countShuffles(df) == 0,
+      "the streaming-safe classifier must not exchange at all:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("dedup/ann hot paths: no cartesian ngram, codegen dot in plan") {
     val ngram = SparkEntry.qDedupNgram(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
