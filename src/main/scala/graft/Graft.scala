@@ -73,6 +73,20 @@ object Graft {
     OnlineStore.batchLookupWithWarnings(records, keys, view.featureNames,
       default, asOf, maxAgeMs)
 
+  /** Publish a materialized snapshot hash-bucketed and sorted for
+    * point-read serving (files opened ∝ key batch at lookup time). */
+  def publishServingSnapshot(vectors: DataFrame, root: String,
+                             keyCol: String = "entity_id",
+                             nBuckets: Int = 256, numFiles: Int = 64)
+  : Long =
+    OnlineStore.publishSnapshot(vectors, root, keyCol, nBuckets, numFiles)
+
+  /** Batch multi-get against a published snapshot with file-level
+    * pruning to the requested keys' buckets. */
+  def servePoint(spark: SparkSession, root: String, keys: DataFrame)
+  : DataFrame =
+    OnlineStore.pointLookup(spark, root, keys)
+
   // --- registry / validation / stats ---------------------------------
   def registerView(name: String, entity: String, version: Int,
                    featureNames: Seq[String]): FeatureViewDef =

@@ -21,6 +21,61 @@ object OnlineStore {
   def batchLookup(vectors: DataFrame, keys: DataFrame): DataFrame =
     vectors.join(broadcast(keys.select("entity_id").distinct()), Seq("entity_id"))
 
+  // --- persisted point-read serving ---------------------------------
+
+  private val BucketCol = "_kb"
+  private def dataTable(root: String) = s"$root/data"
+  private def metaTable(root: String) = s"$root/meta"
+
+  /** PERSIST a materialized snapshot for point-read serving: rows gain
+    * a stable hash bucket of the key column and are laid out sorted by
+    * it (~contiguous bucket ranges per file), so a later
+    * [[pointLookup]] prunes the read to the files whose bucket range
+    * contains a requested key — the reference's RocksDB multi-get
+    * shape (OnlineServingService.java batch lookup) re-expressed as
+    * manifest-stat point reads: files opened ∝ key batch, not table
+    * size. Repeated publishes overwrite (old versions stay
+    * time-travelable); `nBuckets`/`keyCol` persist in a 1-row meta
+    * table so serving needs no out-of-band config.
+    */
+  def publishSnapshot(vectors: DataFrame, root: String, keyCol: String,
+                      nBuckets: Int = 256, numFiles: Int = 64): Long = {
+    import graft.offline.VersionedStore
+    require(nBuckets > 0 && numFiles > 0, "nBuckets/numFiles must be positive")
+    val spark = vectors.sparkSession
+    val bucketed = vectors.withColumn(BucketCol,
+        pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong)))
+      .repartitionByRange(numFiles, col(BucketCol))
+      .sortWithinPartitions(BucketCol)
+    VersionedStore.overwrite(
+      spark.createDataFrame(Seq((keyCol, nBuckets))).toDF("key_col", "n_buckets"),
+      metaTable(root))
+    VersionedStore.overwrite(bucketed, dataTable(root))
+  }
+
+  /** Point-read batch multi-get from a [[publishSnapshot]] table: the
+    * requested keys' buckets (computed with the same persisted hash
+    * config) prune the snapshot read at the FILE level via
+    * VersionedStore.readValues, then the usual broadcast semi-join
+    * keeps exactly the requested entities. Result contract matches
+    * [[batchLookup]] over the published frame.
+    */
+  def pointLookup(spark: SparkSession, root: String, keys: DataFrame)
+  : DataFrame = {
+    import graft.offline.VersionedStore
+    val meta = VersionedStore.read(spark, metaTable(root)).head()
+    val keyCol = meta.getString(0)
+    val nBuckets = meta.getInt(1)
+    val wanted = keys.select(col(keyCol)).distinct().localCheckpoint()
+    val buckets = wanted.select(
+        pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))
+          .as("b"))
+      .distinct().collect().map(_.getLong(0).toDouble).toSeq
+    VersionedStore.readValues(spark, dataTable(root), BucketCol, buckets)
+      .join(broadcast(wanted), Seq(keyCol))
+      .drop(BucketCol)
+  }
+
   /** Batch multi-get with the reference's staleness warnings
     * (OnlineServingService.checkStaleness: any value older than
     * `maxAgeMs` at serve time): assembles vectors straight from the

@@ -66,6 +66,38 @@ class ValidationSpec extends AnyFunSuite {
     assert(out("u1").getAs[Boolean]("warn") && out("u2").getAs[Boolean]("warn"))
   }
 
+  test("pointLookup: file-pruned multi-get equals the broadcast batch lookup") {
+    import graft.online.OnlineStore
+    import graft.offline.VersionedStore
+    // 512 entities over 32 buckets / 16 files -> a 3-key batch must
+    // open a strict subset of files and return exactly batchLookup
+    val vectors = (0 until 512)
+      .map(i => (s"u$i", i.toDouble, i * 2.0))
+      .toDF("entity_id", "f_a", "f_b")
+    val root = java.nio.file.Files
+      .createTempDirectory("pointlk").toString + "/snap"
+    OnlineStore.publishSnapshot(vectors, root, "entity_id",
+      nBuckets = 32, numFiles = 16)
+    val allFiles = VersionedStore.read(spark, s"$root/data")
+      .inputFiles.toSet
+    assert(allFiles.size >= 8, s"expected ~16 files, got ${allFiles.size}")
+    val keys = Seq("u7", "u300", "u999").toDF("entity_id") // u999 missing
+    val served = OnlineStore.pointLookup(spark, root, keys)
+    val metaFiles = VersionedStore.read(spark, s"$root/meta")
+      .inputFiles.toSet
+    val opened = served.inputFiles.toSet -- metaFiles
+    assert(opened.nonEmpty && opened.subsetOf(allFiles))
+    assert(opened.size < allFiles.size,
+      s"3-key batch must prune: opened ${opened.size}/${allFiles.size}")
+    val expected = OnlineStore.batchLookup(vectors, keys)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(served.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet == expected, "point lookup must equal the broadcast lookup")
+    assert(expected.size == 2, "missing key yields no row")
+  }
+
   test("metricGate: thresholds enforced") {
     assert(Validation.metricGate(
       Map("auc" -> 0.91, "pr_auc" -> 0.5), Map("auc" -> 0.9)))
