@@ -87,6 +87,16 @@ object Graft {
   : DataFrame =
     OnlineStore.pointLookup(spark, root, keys)
 
+  /** Keyed-MERGE refresh of a published serving snapshot (no
+    * republish); compact periodically to restore file pruning. */
+  def servingUpsert(updates: DataFrame, root: String): Long =
+    OnlineStore.upsertSnapshot(updates, root)
+
+  /** Re-sort a published serving snapshot by bucket after upserts. */
+  def servingCompact(spark: SparkSession, root: String,
+                     numFiles: Int): Long =
+    OnlineStore.compactSnapshot(spark, root, numFiles)
+
   // --- registry / validation / stats ---------------------------------
   def registerView(name: String, entity: String, version: Int,
                    featureNames: Seq[String]): FeatureViewDef =

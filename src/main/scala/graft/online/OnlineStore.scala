@@ -53,6 +53,34 @@ object OnlineStore {
     VersionedStore.overwrite(bucketed, dataTable(root))
   }
 
+  /** Refresh a published snapshot with new/changed vectors: a keyed
+    * MERGE (partial copy-on-write — only files containing updated
+    * buckets rewrite), not a republish. Updates are bucketed with the
+    * PERSISTED hash config so lookups stay correct; like the IVF
+    * inverted file, merge-written files can span buckets and degrade
+    * [[pointLookup]]'s file pruning until [[compactSnapshot]].
+    */
+  def upsertSnapshot(updates: DataFrame, root: String): Long = {
+    import graft.offline.VersionedStore
+    val spark = updates.sparkSession
+    val meta = VersionedStore.read(spark, metaTable(root)).head()
+    val keyCol = meta.getString(0)
+    val nBuckets = meta.getInt(1)
+    VersionedStore.merge(
+      updates.withColumn(BucketCol,
+        pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))),
+      dataTable(root), Seq(keyCol))
+  }
+
+  /** Re-sort a published snapshot by bucket to restore ~per-bucket
+    * file pruning after accumulated upserts. */
+  def compactSnapshot(spark: SparkSession, root: String,
+                      numFiles: Int): Long = {
+    import graft.offline.VersionedStore
+    VersionedStore.compact(spark, dataTable(root), numFiles,
+      sortBy = Seq(BucketCol))
+  }
+
   /** Point-read batch multi-get from a [[publishSnapshot]] table: the
     * requested keys' buckets (computed with the same persisted hash
     * config) prune the snapshot read at the FILE level via

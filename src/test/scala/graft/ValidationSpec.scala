@@ -98,6 +98,31 @@ class ValidationSpec extends AnyFunSuite {
     assert(expected.size == 2, "missing key yields no row")
   }
 
+  test("upsertSnapshot: merge refresh serves new values; compact restores pruning") {
+    import graft.online.OnlineStore
+    import graft.offline.VersionedStore
+    val vectors = (0 until 256)
+      .map(i => (s"u$i", i.toDouble)).toDF("entity_id", "f_a")
+    val root = java.nio.file.Files
+      .createTempDirectory("snapup").toString + "/snap"
+    OnlineStore.publishSnapshot(vectors, root, "entity_id",
+      nBuckets = 32, numFiles = 8)
+    // update one entity, insert a new one
+    OnlineStore.upsertSnapshot(
+      Seq(("u7", -1.0), ("u9999", 42.0)).toDF("entity_id", "f_a"), root)
+    val keys = Seq("u7", "u9999", "u3").toDF("entity_id")
+    val got = OnlineStore.pointLookup(spark, root, keys)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("u7" -> -1.0, "u9999" -> 42.0, "u3" -> 3.0),
+      s"merge refresh must serve updated + inserted + untouched: $got")
+    // compaction restores layout and changes nothing observable
+    OnlineStore.compactSnapshot(spark, root, numFiles = 8)
+    val after = OnlineStore.pointLookup(spark, root, keys)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(after == got)
+    assert(VersionedStore.read(spark, s"$root/data").inputFiles.length <= 8)
+  }
+
   test("metricGate: thresholds enforced") {
     assert(Validation.metricGate(
       Map("auc" -> 0.91, "pr_auc" -> 0.5), Map("auc" -> 0.9)))
