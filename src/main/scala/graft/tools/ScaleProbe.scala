@@ -67,6 +67,25 @@ object ScaleProbe {
       Seq("click", "view", "error", "signup", "purchase"), 0.0).count())
     time("sessionize xK")(Sessionize.sessions(ev, "user_id", "ts", "value",
       7200L).count())
+    // point-read serving at xK: publish the materialized snapshot
+    // bucket-sorted, then a 100-key multi-get — warm serve cost should
+    // track the key batch (pruned files), not the snapshot size
+    val vectors = OfflineStore.materializeVectors(records,
+      Seq("click", "view", "error", "signup", "purchase"), 0.0)
+    val snapRoot = java.nio.file.Files
+      .createTempDirectory("probe_snap").toString + "/snap"
+    time("serving publish xK (256 buckets)")(
+      graft.online.OnlineStore.publishSnapshot(vectors, snapRoot,
+        "entity_id", nBuckets = 256, numFiles = 64))
+    val keyBatch = vectors.select("entity_id").limit(100).cache()
+    keyBatch.count()
+    time("serving pointLookup 100 keys")(
+      graft.online.OnlineStore.pointLookup(spark, snapRoot, keyBatch)
+        .count())
+    time("serving pointLookup 100 keys (2nd)")(
+      graft.online.OnlineStore.pointLookup(spark, snapRoot, keyBatch)
+        .count())
+    keyBatch.unpersist()
     ev.unpersist()
     }
 
