@@ -440,6 +440,36 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming serving: micro-batch upserts reach point lookups, latest wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.online.OnlineStore
+    val root = java.nio.file.Files
+      .createTempDirectory("sserve").toString + "/snap"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("sserve_ck").toString
+    OnlineStore.publishSnapshot(
+      Seq(("u1", 1.0), ("u2", 2.0)).toDF("entity_id", "f_a"),
+      root, "entity_id", nBuckets = 8, numFiles = 4)
+    val input = MemoryStream[(String, Double)]
+    val query = graft.streaming.StreamingServing.start(
+      input.toDS().toDF("entity_id", "f_a"), root, ckpt)
+    def lookup(): Map[String, Double] =
+      OnlineStore.pointLookup(spark, root,
+        Seq("u1", "u2", "u3").toDF("entity_id"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    input.addData(("u2", 20.0), ("u3", 3.0)) // update + insert
+    query.processAllAvailable()
+    assert(lookup() == Map("u1" -> 1.0, "u2" -> 20.0, "u3" -> 3.0))
+    input.addData(("u2", 200.0)) // second batch: latest wins
+    query.processAllAvailable()
+    assert(lookup() == Map("u1" -> 1.0, "u2" -> 200.0, "u3" -> 3.0))
+    query.stop()
+    // history is intact: the pre-stream publish is still readable
+    val v0 = graft.offline.VersionedStore
+      .read(spark, s"$root/data", versionAsOf = 0L)
+    assert(v0.count() == 2)
+  }
+
   test("frozen quality classifier runs stateless on a stream, equals batch application") {
     implicit val sqlCtx = spark.sqlContext
     val th = graft.operators.TextAnalysis.QualityThresholds(
