@@ -388,6 +388,14 @@ object SparkEntry {
       minDistinctRatio = 0.3,
       minLmScore = 3.39, maxLmScore = 3.43)
 
+  /** Dolma-style domain mixing: four sources at 40/30/20/10 token
+    * shares, the rest dropped — rates derive from actual per-source
+    * token counts, application is the deterministic md5 filter. */
+  def qDomainMix(s: SparkSession, d: String): DataFrame =
+    FeatureEng.domainMix(Tables.documents(s, d), "doc_id", "text",
+      "source", Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+        "src3" -> 0.1))
+
   /** CCNet head/middle/tail corpus split by exact lm-score percent
     * rank (terciles). */
   def qPplBuckets(s: SparkSession, d: String): DataFrame =
@@ -470,7 +478,8 @@ object SparkEntry {
     "q_strip_spans" -> (qStripSpans _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_quality_filter_frozen" -> (qQualityFilterFrozen _),
-    "q_ppl_buckets" -> (qPplBuckets _)
+    "q_ppl_buckets" -> (qPplBuckets _),
+    "q_domain_mix" -> (qDomainMix _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1371,6 +1380,38 @@ object SparkEntry {
           |       CAST(count(*) + 2 AS BIGINT) AS match_len
           |FROM isl GROUP BY doc_a, doc_b, diag, island
           |HAVING count(*) + 2 >= 8""".stripMargin,
+
+      // Mirrors FeatureEng.domainMix: same share CASE, same double op
+      // order for the rate derivation (((scale*share)/src_tokens)*1e4,
+      // floored, least-guarded), same md5 bucket as q_class_sample.
+      "q_domain_mix" ->
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), ps AS (
+          |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+          |    CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+          |                WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+          |                ELSE NULL END AS share
+          |  FROM b GROUP BY 1
+          |), shf AS (
+          |  SELECT * FROM ps WHERE share IS NOT NULL AND share > 0
+          |), sc AS (
+          |  SELECT min(src_tokens / share) AS scale FROM shf
+          |), r AS (
+          |  SELECT source,
+          |    CAST(least(10000, floor(sc.scale * share / src_tokens * 10000))
+          |      AS BIGINT) AS rate_bp
+          |  FROM shf, sc
+          |)
+          |SELECT doc_id, b.source, n_tokens,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |    % 2147483648 % 10000 AS sample_bucket,
+          |  rate_bp
+          |FROM b JOIN r ON b.source = r.source
+          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |    % 2147483648 % 10000 < rate_bp""".stripMargin,
 
       // lm CTEs verbatim from q_lm_score; pr = PERCENT_RANK (the Spark
       // side computes |strictly below|/(n-1) by distributed prefix

@@ -287,6 +287,52 @@ object FeatureEng {
       .filter(col("sample_bucket") < rate)
   }
 
+  /** Dolma/Pile-style DOMAIN MIXING: downsample each source to a
+    * target share of the output TOKEN budget. Per-source token counts
+    * come from one aggregate; the binding source (smallest
+    * tokens/share) keeps ~100% and every other source's keep rate
+    * derives so output token shares hit the target — the largest
+    * corpus achievable at that mix with no upsampling. Sources absent
+    * from `targetShares` are dropped.
+    *
+    * Application is the deterministic md5-bucket filter (same hash
+    * family as [[classBalanceSample]]/[[trainTestSplit]] — a doc's
+    * fate never depends on partitioning, order, or an RNG seed): the
+    * corpus is scanned once and never shuffles; the per-source rate
+    * table (|sources| rows) broadcasts. Rates floor to basis points,
+    * so realized shares sit within 1e-4 of the target; the binding
+    * source may floor to 9999 under double rounding (guarded by
+    * least(10000, …) on both engine and oracle, identically).
+    */
+  def domainMix(docs: DataFrame, keyCol: String, textCol: String,
+                srcCol: String, targetShares: Map[String, Double])
+  : DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ >= 0) &&
+      targetShares.values.sum > 0, "shares must be non-negative, sum > 0")
+    val base = docs.select(col(keyCol).as("doc_id"),
+      col(srcCol).as("source"),
+      size(Fns.words(col(textCol))).cast("long").as("n_tokens"))
+    val shareCol = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("double")) { case (acc, (s, w)) =>
+        when(col("source") === s, lit(w)).otherwise(acc)
+      }
+    val perSrc = base.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("share", shareCol)
+      .filter(col("share").isNotNull && col("share") > 0)
+    val scale = perSrc.agg(min(col("src_tokens") / col("share")).as("scale"))
+    val rates = perSrc.crossJoin(broadcast(scale))
+      .select(col("source"),
+        least(lit(10000L),
+          floor(col("scale") * col("share") / col("src_tokens") * 10000))
+          .as("rate_bp"))
+    base.join(broadcast(rates), Seq("source"))
+      .withColumn("sample_bucket",
+        Fns.md5Hash31(col("doc_id").cast("string")) % 10000)
+      .filter(col("sample_bucket") < col("rate_bp"))
+      .select("doc_id", "source", "n_tokens", "sample_bucket", "rate_bp")
+  }
+
   /** Per-group ranking-feature variants (reference
     * python/mslr_example/dataset.py:30-45 — sum/min/max/mean/var of
     * each raw feature within the query group). One shuffle with

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class LlmPipelineSpec extends AnyFunSuite {
-  import graft.operators.{Ann, Dedup, MultiModal, TextAnalysis}
+  import graft.operators.{Ann, Dedup, FeatureEng, MultiModal, TextAnalysis}
 
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -204,6 +204,30 @@ class LlmPipelineSpec extends AnyFunSuite {
       th.copy(minLmScore = 100.0))
       .filter(col("doc_id") === 6L).head()
     assert(strict.getAs[String]("drop_reason") == "lm_score")
+  }
+
+  test("domainMix: rates derive from token counts, binding source keeps all, others downsample") {
+    // srcA: 100 tokens, srcB: 400 tokens, shares 50/50 ->
+    // scale = min(100/.5, 400/.5) = 200; rateA = 200*.5/100 = 1.0
+    // (binding, keeps everything), rateB = 200*.5/400 = 0.25 (2500 bp)
+    val docs = (0 until 10).map(i => (i.toLong, ("w " * 10).trim, "srcA")) ++
+      (10 until 50).map(i => (i.toLong, ("w " * 10).trim, "srcB")) ++
+      (50 until 60).map(i => (i.toLong, ("w " * 10).trim, "srcC")) // unlisted
+    val out = FeatureEng.domainMix(docs.toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", Map("srcA" -> 0.5, "srcB" -> 0.5))
+    val rows = out.collect()
+    assert(!rows.exists(_.getString(1) == "srcC"),
+      "sources without a share must be dropped")
+    val rates = rows.map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(rates("srcA") == 10000L, s"binding source keeps all: $rates")
+    assert(rates("srcB") == 2500L, s"derived rate: $rates")
+    assert(rows.count(_.getString(1) == "srcA") == 10,
+      "rate 10000 must keep every binding-source doc")
+    // determinism: same input, same kept set
+    val again = FeatureEng.domainMix(docs.toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", Map("srcA" -> 0.5, "srcB" -> 0.5))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == rows.map(_.getLong(0)).sorted.toSeq)
   }
 
   test("freezeVocabulary: top-K by count, exact full-corpus total") {
