@@ -23,9 +23,28 @@ object OnlineStore {
 
   // --- persisted point-read serving ---------------------------------
 
-  private val BucketCol = "_kb"
-  private def dataTable(root: String) = s"$root/data"
-  private def metaTable(root: String) = s"$root/meta"
+  // The hash config travels IN the data schema: the bucket column is
+  // named `_kb_<keyCol>_<nBuckets>`, so every snapshot VERSION is
+  // self-describing and a republish with a different config is one
+  // atomic commit — no separate meta table whose update could race or
+  // fail apart from the data and leave lookups hashing with the wrong
+  // bucket count (which silently MISSES rows, the worst failure mode
+  // a serving store can have).
+  private val BucketPrefix = "_kb_"
+  private def bucketColName(keyCol: String, nBuckets: Int) =
+    s"$BucketPrefix${keyCol}_$nBuckets"
+  private def parseBucketCol(schema: org.apache.spark.sql.types.StructType)
+  : (String, String, Int) = {
+    val name = schema.fieldNames.filter(_.startsWith(BucketPrefix)) match {
+      case Array(one) => one
+      case other => throw new IllegalArgumentException(
+        s"not a published serving snapshot: expected exactly one " +
+          s"$BucketPrefix column, found ${other.mkString("[", ",", "]")}")
+    }
+    val body = name.stripPrefix(BucketPrefix)
+    val idx = body.lastIndexOf('_')
+    (name, body.substring(0, idx), body.substring(idx + 1).toInt)
+  }
 
   /** PERSIST a materialized snapshot for point-read serving: rows gain
     * a stable hash bucket of the key column and are laid out sorted by
@@ -34,42 +53,40 @@ object OnlineStore {
     * contains a requested key — the reference's RocksDB multi-get
     * shape (OnlineServingService.java batch lookup) re-expressed as
     * manifest-stat point reads: files opened ∝ key batch, not table
-    * size. Repeated publishes overwrite (old versions stay
-    * time-travelable); `nBuckets`/`keyCol` persist in a 1-row meta
-    * table so serving needs no out-of-band config.
+    * size. Repeated publishes overwrite atomically (old versions stay
+    * time-travelable); the key/bucket config is encoded in the bucket
+    * column's name, so serving needs no out-of-band config and config
+    * can never diverge from data.
     */
   def publishSnapshot(vectors: DataFrame, root: String, keyCol: String,
                       nBuckets: Int = 256, numFiles: Int = 64): Long = {
     import graft.offline.VersionedStore
     require(nBuckets > 0 && numFiles > 0, "nBuckets/numFiles must be positive")
-    val spark = vectors.sparkSession
-    val bucketed = vectors.withColumn(BucketCol,
+    val kb = bucketColName(keyCol, nBuckets)
+    val bucketed = vectors.withColumn(kb,
         pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong)))
-      .repartitionByRange(numFiles, col(BucketCol))
-      .sortWithinPartitions(BucketCol)
-    VersionedStore.overwrite(
-      spark.createDataFrame(Seq((keyCol, nBuckets))).toDF("key_col", "n_buckets"),
-      metaTable(root))
-    VersionedStore.overwrite(bucketed, dataTable(root))
+      .repartitionByRange(numFiles, col(kb))
+      .sortWithinPartitions(kb)
+    VersionedStore.overwrite(bucketed, root)
   }
 
   /** Refresh a published snapshot with new/changed vectors: a keyed
     * MERGE (partial copy-on-write — only files containing updated
     * buckets rewrite), not a republish. Updates are bucketed with the
-    * PERSISTED hash config so lookups stay correct; like the IVF
-    * inverted file, merge-written files can span buckets and degrade
-    * [[pointLookup]]'s file pruning until [[compactSnapshot]].
+    * snapshot's OWN hash config (read from its schema) so lookups stay
+    * correct; like the IVF inverted file, merge-written files can span
+    * buckets and degrade [[pointLookup]]'s file pruning until
+    * [[compactSnapshot]].
     */
   def upsertSnapshot(updates: DataFrame, root: String): Long = {
     import graft.offline.VersionedStore
     val spark = updates.sparkSession
-    val meta = VersionedStore.read(spark, metaTable(root)).head()
-    val keyCol = meta.getString(0)
-    val nBuckets = meta.getInt(1)
+    val (kb, keyCol, nBuckets) =
+      parseBucketCol(VersionedStore.read(spark, root).schema)
     VersionedStore.merge(
-      updates.withColumn(BucketCol,
+      updates.withColumn(kb,
         pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))),
-      dataTable(root), Seq(keyCol))
+      root, Seq(keyCol))
   }
 
   /** Re-sort a published snapshot by bucket to restore ~per-bucket
@@ -77,12 +94,12 @@ object OnlineStore {
   def compactSnapshot(spark: SparkSession, root: String,
                       numFiles: Int): Long = {
     import graft.offline.VersionedStore
-    VersionedStore.compact(spark, dataTable(root), numFiles,
-      sortBy = Seq(BucketCol))
+    val (kb, _, _) = parseBucketCol(VersionedStore.read(spark, root).schema)
+    VersionedStore.compact(spark, root, numFiles, sortBy = Seq(kb))
   }
 
   /** Point-read batch multi-get from a [[publishSnapshot]] table: the
-    * requested keys' buckets (computed with the same persisted hash
+    * requested keys' buckets (computed with the snapshot's own hash
     * config) prune the snapshot read at the FILE level via
     * VersionedStore.readValues, then the usual broadcast semi-join
     * keeps exactly the requested entities. Result contract matches
@@ -91,17 +108,16 @@ object OnlineStore {
   def pointLookup(spark: SparkSession, root: String, keys: DataFrame)
   : DataFrame = {
     import graft.offline.VersionedStore
-    val meta = VersionedStore.read(spark, metaTable(root)).head()
-    val keyCol = meta.getString(0)
-    val nBuckets = meta.getInt(1)
+    val (kb, keyCol, nBuckets) =
+      parseBucketCol(VersionedStore.read(spark, root).schema)
     val wanted = keys.select(col(keyCol)).distinct().localCheckpoint()
     val buckets = wanted.select(
         pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))
           .as("b"))
       .distinct().collect().map(_.getLong(0).toDouble).toSeq
-    VersionedStore.readValues(spark, dataTable(root), BucketCol, buckets)
+    VersionedStore.readValues(spark, root, kb, buckets)
       .join(broadcast(wanted), Seq(keyCol))
-      .drop(BucketCol)
+      .drop(kb)
   }
 
   /** Batch multi-get with the reference's staleness warnings

@@ -466,7 +466,7 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
     // history is intact: the pre-stream publish is still readable
     val v0 = graft.offline.VersionedStore
-      .read(spark, s"$root/data", versionAsOf = 0L)
+      .read(spark, root, versionAsOf = 0L)
     assert(v0.count() == 2)
   }
 

@@ -78,14 +78,11 @@ class ValidationSpec extends AnyFunSuite {
       .createTempDirectory("pointlk").toString + "/snap"
     OnlineStore.publishSnapshot(vectors, root, "entity_id",
       nBuckets = 32, numFiles = 16)
-    val allFiles = VersionedStore.read(spark, s"$root/data")
-      .inputFiles.toSet
+    val allFiles = VersionedStore.read(spark, root).inputFiles.toSet
     assert(allFiles.size >= 8, s"expected ~16 files, got ${allFiles.size}")
     val keys = Seq("u7", "u300", "u999").toDF("entity_id") // u999 missing
     val served = OnlineStore.pointLookup(spark, root, keys)
-    val metaFiles = VersionedStore.read(spark, s"$root/meta")
-      .inputFiles.toSet
-    val opened = served.inputFiles.toSet -- metaFiles
+    val opened = served.inputFiles.toSet
     assert(opened.nonEmpty && opened.subsetOf(allFiles))
     assert(opened.size < allFiles.size,
       s"3-key batch must prune: opened ${opened.size}/${allFiles.size}")
@@ -120,7 +117,7 @@ class ValidationSpec extends AnyFunSuite {
     val after = OnlineStore.pointLookup(spark, root, keys)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(after == got)
-    assert(VersionedStore.read(spark, s"$root/data").inputFiles.length <= 8)
+    assert(VersionedStore.read(spark, root).inputFiles.length <= 8)
   }
 
   test("metricGate: thresholds enforced") {
