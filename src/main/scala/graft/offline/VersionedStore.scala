@@ -408,7 +408,8 @@ object VersionedStore {
   def readValues(spark: SparkSession, root: String, column: String,
                  values: Seq[Double], versionAsOf: Long = -1L)
   : DataFrame = {
-    require(values.nonEmpty, "empty value set")
+    // empty IN-set == IN () == no rows — callers like an empty serve
+    // batch must get an empty frame, not a crash
     val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
     val snap = readManifest(spark, root, v)

@@ -158,6 +158,9 @@ class StoreSpec extends AnyFunSuite {
     // values outside every file's range: empty frame, schema kept
     val none = VersionedStore.readValues(spark, root, "cell", Seq(99.0))
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "cell"))
+    // empty IN-set == no rows, not a crash (empty serve batches)
+    val empty = VersionedStore.readValues(spark, root, "cell", Nil)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "cell"))
   }
 
   test("VersionedStore: readRange keeps files without stats and skips all-pruned cleanly") {
