@@ -393,6 +393,13 @@ object Graft {
     TextAnalysis.chunk(docs, "doc_id", "text", window, stride)
 
   /** Deterministic per-class downsampling (rates in basis points). */
+  /** Dolma-style domain mixing: downsample sources to target token
+    * shares (rates derived from actual counts, deterministic md5
+    * application, no upsampling). */
+  def domainMix(docs: DataFrame, targetShares: Map[String, Double],
+                srcCol: String = "source"): DataFrame =
+    FeatureEng.domainMix(docs, "doc_id", "text", srcCol, targetShares)
+
   def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
                          ratesBp: Map[String, Int]): DataFrame =
     FeatureEng.classBalanceSample(df, keyCol, classCol, ratesBp)
