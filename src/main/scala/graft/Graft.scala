@@ -233,6 +233,14 @@ object Graft {
 
   def dedupClusters(pairs: DataFrame): DataFrame = Dedup.clusters(pairs)
 
+  /** Incremental dedup of a newly-arrived shard against persisted
+    * state (first-seen wins; first call initializes). Equals the
+    * batch pipeline when shards arrive in ascending doc_id order. */
+  def dedupIncremental(newDocs: DataFrame, stateRoot: String,
+                       n: Int = 3, threshold: Double = 0.8): DataFrame =
+    Dedup.dedupIncremental(newDocs, "doc_id", "text", stateRoot, n,
+      threshold)
+
   def cleanFilter(docs: DataFrame): DataFrame =
     TextAnalysis.cleanFilter(docs, "doc_id", "text")
 

@@ -94,6 +94,21 @@ object Dedup {
     * callers share one ShingleHash pass between candidate generation
     * and exact verification. */
   def minhashLshFromIndex(sh: DataFrame, k: Int, bands: Int): DataFrame = {
+    val banded = bandKeys(sh, k, bands)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** MinHash LSH band keys per doc: (doc_id, band, key). The shared
+    * signature machinery behind [[minhashLshFromIndex]] and the
+    * incremental-dedup state (band keys persist; new shards equi-join
+    * them). */
+  private[operators] def bandKeys(sh: DataFrame, k: Int,
+                                  bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val minAggs = (0 until k).map(i =>
@@ -101,16 +116,10 @@ object Dedup {
     val sigs = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bandKey = (b: Int) =>
       xxhash64(lit(b) +: (0 until rows).map(r => col(s"mh_${b * rows + r}")): _*)
-    val banded = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_bands"))
   }
 
   /** Per-doc 64-bit SimHash signatures via the single-pass codegen'd
@@ -404,6 +413,122 @@ object Dedup {
     survivors.select("doc_id")
       .join(broadcast(nearDrops), Seq("doc_id"), "left_anti")
       .unionByName(shortDocs.select("doc_id"))
+  }
+
+  // --- incremental dedup against persisted state ---------------------
+
+  private def stateHashes(root: String) = s"$root/hashes"
+  private def stateBands(root: String) = s"$root/bands"
+  private def stateShingles(root: String) = s"$root/shingles"
+
+  /** INCREMENTAL dedup: dedup a newly-arrived shard against persisted
+    * state WITHOUT rescanning the corpus — the shape a continuously-
+    * ingesting 100 TB pipeline actually needs (a daily shard must not
+    * cost a full-corpus pipeline run). State under `stateRoot` is
+    * three VersionedStore tables, appended per shard:
+    *   - `hashes`   (h, doc_id): exact content hash per canonical doc
+    *   - `bands`    (doc_id, band, key): MinHash LSH band keys
+    *   - `shingles` (doc_id, s): distinct shingle hashes (the verify
+    *     side — sizes derive from it)
+    * The first call (no state yet) initializes from the shard.
+    *
+    * Semantics: first-seen wins — a new doc drops if it exact- or
+    * near-dups anything already in state, or a smaller-id doc in its
+    * own shard. State keeps EVERY exact-canonical new doc (including
+    * near-dup-dropped ones), because the batch keep-min rule drops a
+    * doc against ANY smaller-id partner, surviving or not. With
+    * shards arriving in ascending doc_id order this reproduces the
+    * batch [[pipeline]] over the union EXACTLY (spec-proven).
+    *
+    * Scale shape: every stage is an equi-join keyed on hash/band/
+    * shingle; the new shard never joins old CORPUS rows, only the
+    * state tables (hashes ~1 row/doc, bands ~`bands` rows/doc,
+    * shingles ~tokens/doc — the inverted index, the honest price of
+    * exact verification). Returns the surviving new doc ids.
+    */
+  def dedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                       stateRoot: String, n: Int, threshold: Double,
+                       k: Int = 32, bands: Int = 16): DataFrame = {
+    import graft.offline.VersionedStore
+    val spark = newDocs.sparkSession
+    val base = newDocs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    // same short-doc bypass as pipeline (no shingles → no pairing)
+    val isShort = col("text").isNull || size(Fns.words(col("text"))) < n
+    val shortDocs = base.filter(isShort)
+    val longDocs = base.filter(!isShort)
+    val exactKeep = longDocs
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(false)
+    val haveState =
+      VersionedStore.latestVersion(spark, stateHashes(stateRoot)) >= 0
+    // exact-vs-state: a new canonical whose hash is already known is
+    // dropped and NOT re-registered (its cluster's canonical — bands,
+    // shingles — is already in state, exactly as one batch exact
+    // stage would have collapsed it)
+    val activeH =
+      if (!haveState) exactKeep
+      else exactKeep.join(
+        VersionedStore.read(spark, stateHashes(stateRoot)).select("h"),
+        Seq("h"), "left_anti")
+    val active = longDocs
+      .join(activeH.select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val shNew = shingleIndex(active, "doc_id", "text", n)
+      .localCheckpoint(false)
+    val bandedNew = bandKeys(shNew, k, bands).localCheckpoint(false)
+    // candidates among the shard (a < b) ...
+    val candNew = bandedNew.as("a").join(bandedNew.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // ... plus shard-vs-state (state side always wins — first seen)
+    val candOld =
+      if (!haveState) spark.emptyDataFrame.select(lit(0L).as("doc_a"),
+        lit(0L).as("doc_b")).limit(0)
+      else VersionedStore.read(spark, stateBands(stateRoot)).as("a")
+        .join(bandedNew.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+    // exact Jaccard verify, candidate pairs only (doc_b is always new)
+    def verify(cand: DataFrame, shA: DataFrame): DataFrame = {
+      val sizesA = shA.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .toDF("doc_a", "sz_a")
+      val sizesB = shNew.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        .toDF("doc_b", "sz_b")
+      cand
+        .join(shA.toDF("doc_a", "s"), "doc_a")
+        .join(shNew.toDF("doc_b", "s"), Seq("doc_b", "s"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+        .join(sizesA, "doc_a").join(sizesB, "doc_b")
+        .filter(round(col("common") /
+          (col("sz_a") + col("sz_b") - col("common")), 6) >= threshold)
+        .select(col("doc_b").as("doc_id")).distinct()
+    }
+    val dropsNew = verify(candNew, shNew)
+    val dropsOld =
+      if (!haveState) dropsNew.limit(0)
+      else verify(candOld,
+        VersionedStore.read(spark, stateShingles(stateRoot)))
+    val survivors = active.select("doc_id")
+      .join(broadcast(dropsNew.unionByName(dropsOld).distinct()),
+        Seq("doc_id"), "left_anti")
+      .unionByName(shortDocs.select("doc_id"))
+    // register the shard's canonicals (drops included — see scaladoc);
+    // nothing to commit for an all-short or fully-replayed shard (and
+    // an empty create would poison later reads)
+    def appendTo(df: DataFrame, root: String): Unit =
+      if (!df.isEmpty) {
+        if (VersionedStore.latestVersion(spark, root) < 0)
+          VersionedStore.create(df, root)
+        else VersionedStore.append(df, root)
+      }
+    appendTo(activeH.select("h", "doc_id"), stateHashes(stateRoot))
+    appendTo(bandedNew, stateBands(stateRoot))
+    appendTo(shNew, stateShingles(stateRoot))
+    survivors
   }
 
   /** Positional shingle stream: one row per (doc, 1-based token

@@ -206,6 +206,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(strict.getAs[String]("drop_reason") == "lm_score")
   }
 
+  test("dedupIncremental: shard-by-shard equals the batch pipeline; replay drops everything") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val mid = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    val a = docs.filter($"doc_id" <= mid)
+    val b = docs.filter($"doc_id" > mid)
+    val root = java.nio.file.Files
+      .createTempDirectory("dstate").toString + "/state"
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    // shard 1 (initializes state) must equal the batch pipeline on it
+    val s1 = ids(Dedup.dedupIncremental(a, "doc_id", "text", root,
+      n = 3, threshold = 0.8))
+    assert(s1 == ids(Dedup.pipeline(a, "doc_id", "text", 3, 0.8)))
+    // shard 2 dedups against state; union must equal batch on the union
+    val s2 = ids(Dedup.dedupIncremental(b, "doc_id", "text", root,
+      n = 3, threshold = 0.8))
+    val batch = ids(Dedup.pipeline(docs, "doc_id", "text", 3, 0.8))
+    assert((s1 ++ s2) == batch,
+      s"incremental union diverged from batch: " +
+        s"extra=${(s1 ++ s2) -- batch}, missing=${batch -- (s1 ++ s2)}")
+    // replayed shard: every long doc exact-matches state -> dropped
+    // (the corpus has no sub-n-word docs, so the survivor set is empty)
+    val s2replay = ids(Dedup.dedupIncremental(b, "doc_id", "text", root,
+      n = 3, threshold = 0.8))
+    assert(s2replay.isEmpty,
+      s"replayed shard must fully dedup against state: $s2replay")
+  }
+
   test("domainMix: rates derive from token counts, binding source keeps all, others downsample") {
     // srcA: 100 tokens, srcB: 400 tokens, shares 50/50 ->
     // scale = min(100/.5, 400/.5) = 200; rateA = 200*.5/100 = 1.0
