@@ -146,6 +146,19 @@ object ScaleProbe {
       TextAnalysis.tfidf(docs, "doc_id", "text", 5).count())
     time("pack_sequences xK")(
       FeatureEng.packSequences(docs, "doc_id", "text", 1024L).count())
+    // incremental dedup: init state from 90% of the corpus, then
+    // dedup a 10% shard against it — the shard cost is what a daily
+    // ingest pays, and it must be shard-shaped, not corpus-shaped
+    val dstate = java.nio.file.Files
+      .createTempDirectory("probe_dstate").toString + "/state"
+    val bulk = docs.filter(col("doc_id") % 10 =!= 0)
+    val shard = docs.filter(col("doc_id") % 10 === 0)
+    time("dedup state init (90% corpus)")(
+      Dedup.dedupIncremental(bulk, "doc_id", "text", dstate, 3, 0.8)
+        .count())
+    time("dedup incremental shard (10%)")(
+      Dedup.dedupIncremental(shard, "doc_id", "text", dstate, 3, 0.8)
+        .count())
     // near-dup graph -> connected components (pointer-jump propagation)
     time("clusters over minhash pairs xK")({
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
