@@ -400,7 +400,6 @@ object Graft {
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
     TextAnalysis.chunk(docs, "doc_id", "text", window, stride)
 
-  /** Deterministic per-class downsampling (rates in basis points). */
   /** Dolma-style domain mixing: downsample sources to target token
     * shares (rates derived from actual counts, deterministic md5
     * application, no upsampling). */
@@ -408,6 +407,7 @@ object Graft {
                 srcCol: String = "source"): DataFrame =
     FeatureEng.domainMix(docs, "doc_id", "text", srcCol, targetShares)
 
+  /** Deterministic per-class downsampling (rates in basis points). */
   def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
                          ratesBp: Map[String, Int]): DataFrame =
     FeatureEng.classBalanceSample(df, keyCol, classCol, ratesBp)

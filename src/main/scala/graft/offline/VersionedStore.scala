@@ -433,6 +433,20 @@ object VersionedStore {
       readFiles(spark, root, snap, kept).where(pred)
   }
 
+  /** The snapshot's schema from the manifest alone — no file listing,
+    * no scan DataFrame. The cheap path for callers that only need
+    * column names/types (e.g. parsing serving config encoded in a
+    * column name) before a pruned read. */
+  def schemaOf(spark: SparkSession, root: String,
+               versionAsOf: Long = -1L)
+  : org.apache.spark.sql.types.StructType = {
+    val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    org.apache.spark.sql.types.DataType
+      .fromJson(readManifest(spark, root, v).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   def versions(spark: SparkSession, root: String): Seq[VersionInfo] =
     (0L to latestVersion(spark, root)).flatMap { v =>
       // versions below the vacuum retention horizon are gone (and can

@@ -82,11 +82,18 @@ object OnlineStore {
     import graft.offline.VersionedStore
     val spark = updates.sparkSession
     val (kb, keyCol, nBuckets) =
-      parseBucketCol(VersionedStore.read(spark, root).schema)
+      parseBucketCol(VersionedStore.schemaOf(spark, root))
+    // merge on (bucket, key), not the key alone: the key is usually a
+    // STRING, which records no footer ranges, so a key-only merge
+    // could never prune and would rewrite the whole snapshot per
+    // upsert. The bucket is a deterministic numeric function of the
+    // key (matching semantics unchanged) with tight per-file ranges
+    // after the sorted publish — merge rewrites only the updated
+    // buckets' files.
     VersionedStore.merge(
       updates.withColumn(kb,
         pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))),
-      root, Seq(keyCol))
+      root, Seq(kb, keyCol))
   }
 
   /** Re-sort a published snapshot by bucket to restore ~per-bucket
@@ -94,7 +101,7 @@ object OnlineStore {
   def compactSnapshot(spark: SparkSession, root: String,
                       numFiles: Int): Long = {
     import graft.offline.VersionedStore
-    val (kb, _, _) = parseBucketCol(VersionedStore.read(spark, root).schema)
+    val (kb, _, _) = parseBucketCol(VersionedStore.schemaOf(spark, root))
     VersionedStore.compact(spark, root, numFiles, sortBy = Seq(kb))
   }
 
@@ -109,7 +116,7 @@ object OnlineStore {
   : DataFrame = {
     import graft.offline.VersionedStore
     val (kb, keyCol, nBuckets) =
-      parseBucketCol(VersionedStore.read(spark, root).schema)
+      parseBucketCol(VersionedStore.schemaOf(spark, root))
     val wanted = keys.select(col(keyCol)).distinct().localCheckpoint()
     val buckets = wanted.select(
         pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))

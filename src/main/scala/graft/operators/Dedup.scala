@@ -487,7 +487,14 @@ object Dedup {
     val candOld =
       if (!haveState) spark.emptyDataFrame.select(lit(0L).as("doc_a"),
         lit(0L).as("doc_b")).limit(0)
-      else VersionedStore.read(spark, stateBands(stateRoot)).as("a")
+      // the state side excludes the CURRENT shard's ids: after a
+      // crashed registration a shard's bands may already sit in state
+      // when it replays, and pairing a doc with itself (self-drop) or
+      // with a same-shard sibling (first-seen would trump the batch
+      // keep-min order) must not happen — with the filter, the replay
+      // behaves exactly as if the crashed attempt never registered
+      else VersionedStore.read(spark, stateBands(stateRoot))
+        .join(active.select("doc_id"), Seq("doc_id"), "left_anti").as("a")
         .join(bandedNew.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -516,18 +523,30 @@ object Dedup {
       .join(broadcast(dropsNew.unionByName(dropsOld).distinct()),
         Seq("doc_id"), "left_anti")
       .unionByName(shortDocs.select("doc_id"))
-    // register the shard's canonicals (drops included — see scaladoc);
-    // nothing to commit for an all-short or fully-replayed shard (and
-    // an empty create would poison later reads)
-    def appendTo(df: DataFrame, root: String): Unit =
+    // Register the shard's canonicals (drops included — see scaladoc).
+    // The three commits are not atomic, so ORDER is the crash story:
+    // hashes commit LAST — they are the exact-match guard that makes a
+    // replayed doc skip re-registration, so a crash mid-registration
+    // must leave hashes unwritten or replays would permanently lose
+    // the shard's bands/shingles. Re-appends after a partial crash are
+    // made idempotent by filtering to doc_ids the table doesn't
+    // already hold (ids are globally unique, so presence == a prior
+    // attempt registered them). Nothing commits for an all-short or
+    // fully-replayed shard (an empty create would poison later reads).
+    def appendFresh(df: DataFrame, root: String): Unit =
       if (!df.isEmpty) {
         if (VersionedStore.latestVersion(spark, root) < 0)
           VersionedStore.create(df, root)
-        else VersionedStore.append(df, root)
+        else {
+          val fresh = df.join(
+            VersionedStore.read(spark, root).select("doc_id").distinct(),
+            Seq("doc_id"), "left_anti")
+          if (!fresh.isEmpty) VersionedStore.append(fresh, root)
+        }
       }
-    appendTo(activeH.select("h", "doc_id"), stateHashes(stateRoot))
-    appendTo(bandedNew, stateBands(stateRoot))
-    appendTo(shNew, stateShingles(stateRoot))
+    appendFresh(shNew, stateShingles(stateRoot))
+    appendFresh(bandedNew, stateBands(stateRoot))
+    appendFresh(activeH.select("h", "doc_id"), stateHashes(stateRoot))
     survivors
   }
 

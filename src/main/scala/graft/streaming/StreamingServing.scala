@@ -14,7 +14,9 @@ import graft.online.OnlineStore
   *
   * The snapshot must be [[graft.online.OnlineStore.publishSnapshot]]'d
   * once before the stream starts — the key/bucket config the upserts
-  * need lives in its meta table. The keyed MERGE makes foreachBatch's
+  * need is encoded in the snapshot's own schema (the bucket column's
+  * name), so there is no separate config to keep in sync. The keyed
+  * MERGE makes foreachBatch's
   * at-least-once replay idempotent (same batch re-merged → same
   * state), the same argument as StreamingVersionedSink's merge mode;
   * run [[graft.online.OnlineStore.compactSnapshot]] periodically to

@@ -105,6 +105,27 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("frozen-vocab oracle precondition: gate corpora distinct words <= declared topK") {
+    // q_quality_filter_frozen shares q_quality_filter's oracle ONLY
+    // while freezeVocabulary(topK = 1,000,000) truncates nothing — a
+    // corpus refresh with a larger vocabulary would silently shift
+    // truncated words onto the OOV fallback and diverge lm scores.
+    val declaredTopK = 1000000L // keep in sync with qQualityFilterFrozen
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(s"$dir/documents.parquet").exists()) {
+        val distinctWords = spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(org.apache.spark.sql.functions
+            .split(col("text"), " ")).as("w"))
+          .distinct().count()
+        assert(distinctWords <= declaredTopK,
+          s"$sf: $distinctWords distinct words exceed the declared " +
+            s"topK $declaredTopK — the frozen classifier would " +
+            "truncate and diverge from the shared batch oracle")
+      }
+    }
+  }
+
   test("asof join: floor semantics, equal-ts inclusion, default fill") {
     val features = Seq(
       ("u1", ts("2024-01-01 00:00:00"), "f", 1.0),
