@@ -104,9 +104,17 @@ class ValidationSpec extends AnyFunSuite {
       .createTempDirectory("snapup").toString + "/snap"
     OnlineStore.publishSnapshot(vectors, root, "entity_id",
       nBuckets = 32, numFiles = 8)
+    val filesBefore = VersionedStore.read(spark, root).inputFiles.toSet
     // update one entity, insert a new one
     OnlineStore.upsertSnapshot(
       Seq(("u7", -1.0), ("u9999", 42.0)).toDF("entity_id", "f_a"), root)
+    // partial copy-on-write: merging on the numeric bucket prunes, so
+    // the files NOT containing the two touched buckets carry over
+    // untouched (a string-key-only merge would rewrite all 8)
+    val filesAfter = VersionedStore.read(spark, root).inputFiles.toSet
+    assert((filesBefore & filesAfter).size >= filesBefore.size - 3,
+      s"merge must carry untouched files: kept " +
+        s"${(filesBefore & filesAfter).size} of ${filesBefore.size}")
     val keys = Seq("u7", "u9999", "u3").toDF("entity_id")
     val got = OnlineStore.pointLookup(spark, root, keys)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
