@@ -278,6 +278,17 @@ object Graft {
   : DataFrame =
     TextAnalysis.qualityClassifier(docs, "doc_id", "text", th)
 
+  /** Ingest a JSONL corpus with quarantine semantics: (clean,
+    * corrupt) — malformed lines retained, never silently dropped. */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType)
+  : (DataFrame, DataFrame) =
+    graft.sources.Sources.readJsonlQuarantined(spark, path, schema)
+
+  /** Export as JSONL, the tokenizer/training interchange format. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    graft.sources.Sources.writeJsonl(df, path)
+
   /** CCNet head/middle/tail split by exact lm-score percent rank. */
   def perplexityBuckets(docs: DataFrame, loCut: Double = 1.0 / 3,
                         hiCut: Double = 2.0 / 3): DataFrame =
