@@ -442,8 +442,12 @@ object VersionedStore {
   : org.apache.spark.sql.types.StructType = {
     val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
     require(v >= 0, s"no committed version under $root")
-    org.apache.spark.sql.types.DataType
-      .fromJson(readManifest(spark, root, v).schemaJson)
+    val json = readManifest(spark, root, v).schemaJson
+    // manifests written before schemas were recorded carry "" — fall
+    // back to the footer-inferred schema (the cost the fast path
+    // avoids), not a Jackson parse error
+    if (json.isEmpty) read(spark, root, v).schema
+    else org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
   }
 
@@ -755,19 +759,37 @@ object VersionedStore {
                   Math.nextUp(r.getDouble(2 * i + 1)))
         }.toMap
       }
+    // EXACT value sets for low-cardinality prunable keys: a batch
+    // touching buckets {0, 31} has range [0, 31] — which intersects
+    // every file — but its value SET misses every file strictly
+    // between, so set pruning carries those files where range pruning
+    // rewrites the world. Capped: a high-cardinality key falls back
+    // to its range (the set would cost more than it prunes).
+    val setCap = 1024
+    val updValueSets: Map[String, Array[Double]] =
+      updBounds.keys.flatMap { k =>
+        val vs = updates.select(col(k).cast("double").as("v"))
+          .filter(col("v").isNotNull).distinct().limit(setCap + 1)
+          .collect().map(_.getDouble(0))
+        if (vs.length > setCap) None else Some(k -> vs.sorted)
+      }.toMap
     var attempt = 0
     while (attempt < 10) {
       val head = latestVersion(spark, root)
       require(head >= 0, s"no committed version under $root")
       val snap = readManifest(spark, root, head)
       // a file is untouchable iff SOME key's file range provably
-      // misses every update key (null keys never equality-match, and
-      // footer ranges cover non-null values only, so null rows on
-      // either side cannot defeat the proof)
+      // misses every update key — by range, or by the exact value set
+      // when we have it (null keys never equality-match, and footer
+      // ranges cover non-null values only, so null rows on either
+      // side cannot defeat the proof)
       val (untouched, touched) = snap.files.partition { f =>
         updBounds.exists { case (k, (uLo, uHi)) =>
           snap.stats.get(f).flatMap(_.get(k)) match {
-            case Some((fLo, fHi)) => fHi < uLo || fLo > uHi
+            case Some((fLo, fHi)) =>
+              fHi < uLo || fLo > uHi ||
+                updValueSets.get(k)
+                  .exists(vs => !vs.exists(v => v >= fLo && v <= fHi))
             case None => false
           }
         }

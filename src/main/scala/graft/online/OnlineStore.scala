@@ -88,8 +88,10 @@ object OnlineStore {
     // could never prune and would rewrite the whole snapshot per
     // upsert. The bucket is a deterministic numeric function of the
     // key (matching semantics unchanged) with tight per-file ranges
-    // after the sorted publish — merge rewrites only the updated
-    // buckets' files.
+    // after the sorted publish, and merge prunes low-cardinality keys
+    // by their exact VALUE SET — so even a batch touching scattered
+    // buckets (e.g. {0, 31}) rewrites only those buckets' files, not
+    // everything the overall range spans.
     VersionedStore.merge(
       updates.withColumn(kb,
         pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))),

@@ -487,14 +487,17 @@ object Dedup {
     val candOld =
       if (!haveState) spark.emptyDataFrame.select(lit(0L).as("doc_a"),
         lit(0L).as("doc_b")).limit(0)
-      // the state side excludes the CURRENT shard's ids: after a
-      // crashed registration a shard's bands may already sit in state
-      // when it replays, and pairing a doc with itself (self-drop) or
-      // with a same-shard sibling (first-seen would trump the batch
-      // keep-min order) must not happen — with the filter, the replay
-      // behaves exactly as if the crashed attempt never registered
+      // the state side excludes ALL of the CURRENT shard's ids (base,
+      // not just active — an interleaving shard can have registered a
+      // shard doc's exact hash, de-activating it while its stale
+      // crashed-attempt bands remain): after a crashed registration a
+      // shard's bands may already sit in state when it replays, and
+      // pairing a doc with itself (self-drop) or with a same-shard
+      // sibling (first-seen would trump the batch keep-min order)
+      // must not happen — with the filter, the replay behaves exactly
+      // as if the crashed attempt never registered
       else VersionedStore.read(spark, stateBands(stateRoot))
-        .join(active.select("doc_id"), Seq("doc_id"), "left_anti").as("a")
+        .join(base.select("doc_id"), Seq("doc_id"), "left_anti").as("a")
         .join(bandedNew.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -533,14 +536,31 @@ object Dedup {
     // already hold (ids are globally unique, so presence == a prior
     // attempt registered them). Nothing commits for an all-short or
     // fully-replayed shard (an empty create would poison later reads).
+    // The happy path must NOT pay a state-table scan per shard: the
+    // crash-residue check reads only the files whose doc_id footer
+    // range intersects the shard's id range (readRange — pure manifest
+    // metadata when there is no overlap, which is every non-crash
+    // shard under ascending-id arrival).
+    lazy val idBounds: Option[(Double, Double)] = {
+      val r = active.agg(min(col("doc_id")).cast("double"),
+        max(col("doc_id")).cast("double")).head()
+      if (r.isNullAt(0)) None else Some((r.getDouble(0), r.getDouble(1)))
+    }
     def appendFresh(df: DataFrame, root: String): Unit =
       if (!df.isEmpty) {
         if (VersionedStore.latestVersion(spark, root) < 0)
           VersionedStore.create(df, root)
         else {
-          val fresh = df.join(
-            VersionedStore.read(spark, root).select("doc_id").distinct(),
-            Seq("doc_id"), "left_anti")
+          val residue = idBounds.map { case (lo, hi) =>
+            VersionedStore.readRange(spark, root, "doc_id", lo, hi)
+              .select("doc_id").distinct().localCheckpoint(false)
+          }
+          val fresh = residue match {
+            case Some(seen) if !seen.isEmpty =>
+              df.join(seen, Seq("doc_id"), "left_anti")
+                .localCheckpoint(false)
+            case _ => df
+          }
           if (!fresh.isEmpty) VersionedStore.append(fresh, root)
         }
       }

@@ -23,30 +23,35 @@ object Sources {
 
   private val CorruptCol = "_corrupt_record"
 
-  /** Read a JSONL corpus and split it into (clean, corrupt): clean
-    * rows carry `schema`'s columns, corrupt rows the raw offending
-    * line. The parsed frame is lazily checkpointed — Spark cannot
-    * filter on the corrupt-record column of an un-materialized JSON
-    * scan (SPARK-26228), and one materialization also means the file
-    * is parsed once, not once per side.
-    */
-  def readJsonlQuarantined(spark: SparkSession, path: String,
-                           schema: StructType): (DataFrame, DataFrame) = {
+  /** The shared quarantine split: parse PERMISSIVE with a corrupt-
+    * record column, materialize once (Spark cannot filter on the
+    * corrupt column of an un-materialized scan — SPARK-26228 — and
+    * one lazy checkpoint also means the file parses once, not once
+    * per side), then split into (clean, corrupt). */
+  private def quarantined(schema: StructType,
+                          parse: StructType => DataFrame)
+  : (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not declare $CorruptCol — the reader adds it")
     val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
-    val parsed = spark.read
-      .schema(withCorrupt)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", CorruptCol)
-      .json(path)
-      .localCheckpoint(false)
+    val parsed = parse(withCorrupt).localCheckpoint(false)
     val clean = parsed.filter(col(CorruptCol).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
     val corrupt = parsed.filter(col(CorruptCol).isNotNull)
       .select(col(CorruptCol).as("raw_line"))
     (clean, corrupt)
   }
+
+  /** Read a JSONL corpus and split it into (clean, corrupt): clean
+    * rows carry `schema`'s columns, corrupt rows the raw offending
+    * line. */
+  def readJsonlQuarantined(spark: SparkSession, path: String,
+                           schema: StructType): (DataFrame, DataFrame) =
+    quarantined(schema, s => spark.read
+      .schema(s)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path))
 
   /** Read a JSONL corpus, aborting on the first malformed line — the
     * ingestion-gate mode. */
@@ -55,25 +60,19 @@ object Sources {
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
   /** Read a CSV sidecar (header expected, schema explicit), same
-    * quarantine split as JSONL. */
+    * quarantine split as JSONL. `enforceSchema` is OFF: the file's
+    * header NAMES are validated against the schema instead of being
+    * skipped positionally — a reordered or renamed header fails
+    * loudly rather than silently mismapping same-typed columns. */
   def readCsvQuarantined(spark: SparkSession, path: String,
-                         schema: StructType): (DataFrame, DataFrame) = {
-    require(!schema.fieldNames.contains(CorruptCol),
-      s"schema must not declare $CorruptCol — the reader adds it")
-    val withCorrupt = schema.add(CorruptCol, StringType, nullable = true)
-    val parsed = spark.read
-      .schema(withCorrupt)
+                         schema: StructType): (DataFrame, DataFrame) =
+    quarantined(schema, s => spark.read
+      .schema(s)
       .option("header", "true")
+      .option("enforceSchema", "false")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
-      .csv(path)
-      .localCheckpoint(false)
-    val clean = parsed.filter(col(CorruptCol).isNull)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    val corrupt = parsed.filter(col(CorruptCol).isNotNull)
-      .select(col(CorruptCol).as("raw_line"))
-    (clean, corrupt)
-  }
+      .csv(path))
 
   /** Export as JSONL (one document per line) — the interchange format
     * downstream tokenizer/training jobs read. */

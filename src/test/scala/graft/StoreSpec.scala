@@ -163,6 +163,28 @@ class StoreSpec extends AnyFunSuite {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "cell"))
   }
 
+  test("VersionedStore: merge prunes by exact key-value set, not just the range") {
+    val root = tmp("vmset")
+    VersionedStore.create(
+      (0L until 160L).map(i => (i, s"v$i")).toDF("id", "v"), root)
+    VersionedStore.compact(spark, root, numFiles = 8, sortBy = Seq("id"))
+    val before = VersionedStore.read(spark, root).inputFiles.toSet
+    assert(before.size == 8)
+    // the update batch's RANGE [0, 159] spans every file, but its
+    // value SET {0, 159} touches only the first and last — the six
+    // middle files must carry untouched
+    VersionedStore.merge(
+      Seq((0L, "x"), (159L, "y")).toDF("id", "v"), root, Seq("id"))
+    val after = VersionedStore.read(spark, root).inputFiles.toSet
+    assert((before & after).size >= 6,
+      s"scattered-key merge must carry the files between: kept " +
+        s"${(before & after).size} of ${before.size}")
+    val got = VersionedStore.read(spark, root)
+      .filter(col("id").isin(0L, 159L, 80L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "x", 159L -> "y", 80L -> "v80"))
+  }
+
   test("VersionedStore: readRange keeps files without stats and skips all-pruned cleanly") {
     val root = tmp("vskip2")
     VersionedStore.create(
