@@ -244,6 +244,21 @@ object Graft {
   def cleanFilter(docs: DataFrame): DataFrame =
     TextAnalysis.cleanFilter(docs, "doc_id", "text")
 
+  /** RefinedWeb-style repeated-line removal: cut lines occurring in
+    * >= maxDf distinct documents (boilerplate), keep everything else
+    * in original order; every input doc comes back (possibly empty). */
+  def lineDedup(docs: DataFrame, maxDf: Int = 10, minChars: Int = 5)
+  : DataFrame =
+    Dedup.lineDedup(docs, "doc_id", "text", maxDf, minChars)
+
+  /** PII redaction (anonymization): staged regex rule chain — email,
+    * IPv4, phone, long digit runs — each match replaced by its marker
+    * token, per-rule counts reported. */
+  def redactPii(docs: DataFrame,
+                rules: Seq[(String, String, String)] =
+                  TextAnalysis.PiiRules): DataFrame =
+    TextAnalysis.redactPii(docs, "doc_id", "text", rules)
+
   /** Train/eval decontamination: training docs sharing >= minOverlap
     * distinct n-gram shingles with the eval set (broadcast). */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,

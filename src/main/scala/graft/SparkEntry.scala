@@ -313,6 +313,48 @@ object SparkEntry {
   def qRepetition(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
 
+  /** PII corpus for q_pii_redact: deterministic contact blurbs built
+    * from the customer table so every redaction rule genuinely fires —
+    * a synthetic email / IPv4 / phone / account number per row, plus
+    * c_name's own 9-digit run hitting the id rule on real data.
+    */
+  private def piiDocs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("doc_id"),
+      concat(
+        lit("contact "), col("c_name"),
+        lit(" mail user"), col("c_custkey").cast("string"),
+        lit("@example.com ip 10."),
+        pmod(col("c_custkey"), lit(200)).cast("string"),
+        lit(".0."), pmod(col("c_nationkey"), lit(250)).cast("string"),
+        lit(" call 010-"),
+        lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"),
+        lit("-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" acct "),
+        (col("c_custkey") + lit(1000000000L)).cast("string")).as("text"))
+
+  def qPiiRedact(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.redactPii(piiDocs(s, d), "doc_id", "text")
+
+  /** Multi-line corpus for q_line_dedup: every document gets a global
+    * footer line (df = corpus), a per-source copyright line (df = docs
+    * per source), and a unique trailer — so the repeated-line pass has
+    * real boilerplate to cut and real content to keep.
+    */
+  private def multiLineDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat_ws("\n",
+        coalesce(col("text"), lit("")),
+        lit("subscribe to our newsletter today"),
+        concat(lit("copyright "), col("source"),
+          lit(" all rights reserved")),
+        concat(lit("doc "), col("doc_id").cast("string"), lit(" of "),
+          col("lang"))).as("text"))
+
+  def qLineDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.lineDedup(multiLineDocs(s, d), "doc_id", "text",
+      maxDf = 10, minChars = 5)
+
   def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
 
@@ -479,7 +521,9 @@ object SparkEntry {
     "q_quality_filter" -> (qQualityFilter _),
     "q_quality_filter_frozen" -> (qQualityFilterFrozen _),
     "q_ppl_buckets" -> (qPplBuckets _),
-    "q_domain_mix" -> (qDomainMix _)
+    "q_domain_mix" -> (qDomainMix _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_line_dedup" -> (qLineDedup _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1578,7 +1622,75 @@ object SparkEntry {
           |  CASE WHEN byte_len % 3 = 0 THEN 'jpeg'
           |       WHEN byte_len % 3 = 1 THEN 'png'
           |       ELSE 'webp' END AS format
-          |FROM b""".stripMargin
+          |FROM b""".stripMargin,
+
+      // Mirrors TextAnalysis.redactPii: same rule chain, same order,
+      // counts taken against the text as each rule saw it (so the
+      // counts sum to replacements actually made). DuckDB's RE2 and
+      // Spark's Java regex agree on these patterns by construction —
+      // character classes + bounded repetition only.
+      "q_pii_redact" ->
+        """WITH t0 AS (
+          |  SELECT c_custkey AS doc_id,
+          |    'contact ' || c_name || ' mail user' ||
+          |    CAST(c_custkey AS VARCHAR) || '@example.com ip 10.' ||
+          |    CAST(c_custkey % 200 AS VARCHAR) || '.0.' ||
+          |    CAST(c_nationkey % 250 AS VARCHAR) || ' call 010-' ||
+          |    lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+          |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+          |    ' acct ' || CAST(c_custkey + 1000000000 AS VARCHAR) AS s
+          |  FROM customer),
+          |t1 AS (SELECT *, regexp_replace(s,
+          |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |  '<EMAIL>', 'g') AS s1 FROM t0),
+          |t2 AS (SELECT *, regexp_replace(s1,
+          |  '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}',
+          |  '<IP>', 'g') AS s2 FROM t1),
+          |t3 AS (SELECT *, regexp_replace(s2,
+          |  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS s3 FROM t2)
+          |SELECT doc_id,
+          |  regexp_replace(s3, '[0-9]{9,}', '<ID>', 'g') AS text_redacted,
+          |  len(regexp_extract_all(s,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+          |  len(regexp_extract_all(s1,
+          |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ip,
+          |  len(regexp_extract_all(s2,
+          |    '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+          |  len(regexp_extract_all(s3, '[0-9]{9,}')) AS n_id
+          |FROM t3""".stripMargin,
+
+      // Mirrors Dedup.lineDedup on the same constructed corpus: split
+      // on newline, frequency by md5(line) over DISTINCT docs with the
+      // minChars guard, cut lines with df >= 10, reassemble in line
+      // order; docs losing every line come back empty, not dropped.
+      "q_line_dedup" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    coalesce(text, '') || chr(10) ||
+          |    'subscribe to our newsletter today' || chr(10) ||
+          |    'copyright ' || source || ' all rights reserved' ||
+          |    chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' of ' ||
+          |    lang AS t
+          |  FROM documents),
+          |l AS (
+          |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+          |    generate_subscripts(string_split(t, chr(10)), 1) AS pos
+          |  FROM d),
+          |f AS (
+          |  SELECT md5(line) AS lk FROM l WHERE len(line) >= 5
+          |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+          |a AS (
+          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+          |      AS text_clean,
+          |    count(*) AS n_kept
+          |  FROM l WHERE md5(line) NOT IN (SELECT lk FROM f)
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(a.text_clean, '') AS text_clean,
+          |  len(string_split(d.t, chr(10))) AS n_lines,
+          |  len(string_split(d.t, chr(10))) - coalesce(a.n_kept, 0)
+          |    AS n_dropped
+          |FROM d LEFT JOIN a USING (doc_id)""".stripMargin
     )
   }
 }

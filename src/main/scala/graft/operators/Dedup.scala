@@ -703,6 +703,50 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Repeated-line removal — the RefinedWeb/CCNet boilerplate pass:
+    * a line occurring in >= `maxDf` DISTINCT documents (nav bars,
+    * cookie banners, "subscribe" footers, copyright lines) is cut
+    * from every document; everything else survives with its original
+    * line order. Lines shorter than `minChars` are never cut — blank
+    * separators and one-word lines are hyper-frequent but structural,
+    * not boilerplate. Emits one row per input document (docs whose
+    * every line was cut come back with empty text, not dropped):
+    * (doc_id, text_clean, n_lines, n_dropped).
+    *
+    * Scale shape: frequency is aggregated on md5(line) — a fixed
+    * 32-char shuffle key instead of arbitrary-length line text — and
+    * the frequent-line set is bounded above by total_lines/maxDf, a
+    * tiny fraction of the corpus, so AQE broadcasts the anti-join at
+    * any realistic maxDf. Two real shuffles: the line-frequency agg
+    * (map-side combinable) and the per-document reassembly; per-doc
+    * state is one line array — bounded by document size, not corpus.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                maxDf: Int = 10, minChars: Int = 5): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val spine = docs.select(col(idCol).as("doc_id"),
+      split(coalesce(col(textCol), lit("")), "\n", -1).as("ls"))
+    val lines = spine
+      .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+      .withColumn("lk", md5(col("line")))
+    val frequent = lines.filter(length(col("line")) >= minChars)
+      .groupBy("lk").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDf).select("lk")
+    val rebuilt = lines.join(frequent, Seq("lk"), "left_anti")
+      .groupBy("doc_id").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), "\n").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    spine.select(col("doc_id"), size(col("ls")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` — exact, via a
     * block-partitioned self-join instead of a broadcast nested loop.
     * Each side is split into `nBlocks` id-hash blocks; the left side

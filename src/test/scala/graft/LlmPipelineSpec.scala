@@ -874,4 +874,68 @@ class LlmPipelineSpec extends AnyFunSuite {
       .select("fingerprint").distinct().count()
     assert(fps == 1L)
   }
+
+  test("redactPii: staged rules, counts match replacements, idempotent") {
+    val docs = Seq(
+      (1L, "mail a.b+c@x-corp.io or admin@a.b.co ip 10.2.30.4 " +
+        "call 555-123-4567 acct 123456789012"),
+      (2L, "nothing sensitive here"),
+      (3L, "10.0.0.1 10.0.0.2")  // two IPs, nothing else
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[String]("text_redacted") ==
+      "mail <EMAIL> or <EMAIL> ip <IP> call <PHONE> acct <ID>")
+    assert(r1.getAs[Long]("n_email") == 2L &&
+      r1.getAs[Long]("n_ip") == 1L && r1.getAs[Long]("n_phone") == 1L &&
+      r1.getAs[Long]("n_id") == 1L)
+    assert(out(2L).getAs[String]("text_redacted") ==
+      "nothing sensitive here")
+    assert(out(3L).getAs[Long]("n_ip") == 2L)
+    // the 12-digit account number was counted by the id rule only —
+    // staged counting: the ip rule saw it, but 12 digits with no dots
+    // don't match, and the id count runs on phone-redacted text
+    assert(r1.getAs[Long]("n_ip") == 1L)
+    // idempotent: a second pass over redacted text finds nothing
+    val again = TextAnalysis.redactPii(
+      TextAnalysis.redactPii(docs, "doc_id", "text")
+        .select(col("doc_id"), col("text_redacted").as("text")),
+      "doc_id", "text")
+      .agg(sum(col("n_email") + col("n_ip") + col("n_phone") +
+        col("n_id"))).head().getLong(0)
+    assert(again == 0L)
+  }
+
+  test("lineDedup: cuts corpus-frequent lines, keeps short and unique ones, order preserved") {
+    val boiler = "subscribe to our newsletter"
+    val docs = (1L to 12L).map { i =>
+      (i, s"unique opening $i\n$boiler\n-\nclosing line $i")
+    } :+ (13L, s"$boiler")  // doc that is ONLY boilerplate
+    val out = Dedup.lineDedup(docs.toDF("doc_id", "text"),
+        "doc_id", "text", maxDf = 10, minChars = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 13, "every input doc comes back")
+    val r1 = out(1L)
+    // boilerplate (df=13 >= 10) cut; "-" is frequent but < minChars →
+    // kept; unique lines kept in original order
+    assert(r1.getAs[String]("text_clean") ==
+      "unique opening 1\n-\nclosing line 1")
+    assert(r1.getAs[Long]("n_lines") == 4L &&
+      r1.getAs[Long]("n_dropped") == 1L)
+    val r13 = out(13L)
+    assert(r13.getAs[String]("text_clean") == "" &&
+      r13.getAs[Long]("n_lines") == 1L &&
+      r13.getAs[Long]("n_dropped") == 1L)
+  }
+
+  test("lineDedup below maxDf leaves documents untouched") {
+    val docs = Seq((1L, "shared line here\nown 1"),
+      (2L, "shared line here\nown 2")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text",
+        maxDf = 3, minChars = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "shared line here\nown 1")
+    assert(out(2L) == "shared line here\nown 2")
+  }
 }

@@ -200,4 +200,22 @@ class PlanSpec extends AnyFunSuite {
     assert(lsh.contains("graft_plane_signs"),
       s"lsh bucketing must use the codegen expression:\n$lsh")
   }
+
+  test("q_pii_redact: pure projection — zero shuffles") {
+    assert(countShuffles(SparkEntry.qPiiRedact(spark, TestSpark.sfDir)) == 0,
+      "the redaction pass must run at scan speed, no exchange")
+  }
+
+  test("q_line_dedup: equi-joins only, frequency agg + reassembly are the only wide stages") {
+    val df = SparkEntry.qLineDedup(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must stay equi-join shaped:\n$plan")
+    // line-frequency agg (2 for the distinct-doc count) + per-doc
+    // reassembly + the anti-join/spine alignment — bounded small; the
+    // point is no O(n²) stage and no single-partition funnel
+    assert(!plan.contains("SinglePartition"),
+      s"no single-partition funnel allowed:\n$plan")
+  }
 }
