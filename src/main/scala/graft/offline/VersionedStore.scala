@@ -95,7 +95,8 @@ object VersionedStore {
                               schemaJson: String,
                               stats: Map[String, Map[String, (Double, Double)]],
                               commitTsMs: Long,
-                              fileRows: Map[String, Long])
+                              fileRows: Map[String, Long],
+                              strStats: Map[String, Map[String, (String, String)]])
 
   private val mapper = new ObjectMapper()
 
@@ -145,9 +146,22 @@ object VersionedStore {
         fr.asInstanceOf[java.util.Map[String, Number]].asScala
           .map { case (f, n) => f -> n.longValue() }.toMap
     }
+    val strStats: Map[String, Map[String, (String, String)]] =
+      m.get("strStats") match {
+        case null => Map.empty // manifests written before string stats
+        case s: java.util.Map[_, _] =>
+          s.asInstanceOf[java.util.Map[String, java.util.Map[String,
+              java.util.List[String]]]]
+            .asScala.map { case (f, cols) =>
+              f -> cols.asScala.map { case (c, mm) =>
+                c -> (mm.get(0), mm.get(1))
+              }.toMap
+            }.toMap
+      }
     Snapshot(m.get("op").toString, files, m.get("rows").toString.toLong,
       Option(m.get("schema")).map(_.toString).getOrElse(""), stats,
-      Option(m.get("ts")).map(_.toString.toLong).getOrElse(0L), fileRows)
+      Option(m.get("ts")).map(_.toString.toLong).getOrElse(0L), fileRows,
+      strStats)
   }
 
   /** Tolerant manifest read: None when the manifest has vanished —
@@ -219,7 +233,8 @@ object VersionedStore {
     */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           dataDir: Path, names: Seq[String])
-  : (Map[String, Long], Map[String, Map[String, (Double, Double)]]) = {
+  : (Map[String, Long], Map[String, Map[String, (Double, Double)]],
+     Map[String, Map[String, (String, String)]]) = {
     // Footer opens are storage round-trips; serially they would make
     // the commit O(nFiles × RTT) on the driver. A bounded pool keeps
     // a 50k-file append's metadata pass in seconds, not minutes. (The
@@ -230,7 +245,8 @@ object VersionedStore {
     try {
       val futures = names.map(n => n -> pool.submit(
         new java.util.concurrent.Callable[
-            (Long, Map[String, (Double, Double)])] {
+            (Long, Map[String, (Double, Double)],
+             Map[String, (String, String)])] {
           def call() = fileFooterStats(conf, new Path(dataDir, n))
         }))
       val results = futures.map { case (n, f) =>
@@ -240,14 +256,15 @@ object VersionedStore {
             if e.getCause != null => throw e.getCause
         })
       }
-      (results.map { case (n, (rows, _)) => n -> rows }.toMap,
-        results.collect { case (n, (_, s)) if s.nonEmpty => n -> s }.toMap)
+      (results.map { case (n, (rows, _, _)) => n -> rows }.toMap,
+        results.collect { case (n, (_, s, _)) if s.nonEmpty => n -> s }.toMap,
+        results.collect { case (n, (_, _, b)) if b.nonEmpty => n -> b }.toMap)
     } finally pool.shutdown()
   }
 
   private def fileFooterStats(conf: org.apache.hadoop.conf.Configuration,
                               file: Path)
-  : (Long, Map[String, (Double, Double)]) = {
+  : (Long, Map[String, (Double, Double)], Map[String, (String, String)]) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     {
@@ -260,6 +277,15 @@ object VersionedStore {
         // col -> (min, max, usable-in-every-row-group-so-far)
         val acc = scala.collection.mutable.Map
           .empty[String, (Double, Double, Boolean)]
+        // string col -> (min bytes, max bytes, usable) — parquet
+        // orders STRING stats by UNSIGNED byte comparison (the same
+        // total order Spark's UTF8String uses), and a truncating
+        // writer keeps min a lower bound / max an upper bound, so
+        // these are always safe conservative ranges
+        val bacc = scala.collection.mutable.Map
+          .empty[String, (Array[Byte], Array[Byte], Boolean)]
+        def bCmp(a: Array[Byte], b: Array[Byte]): Int =
+          java.util.Arrays.compareUnsigned(a, b)
         blocks.foreach { b =>
           b.getColumns.asScala.foreach { cc =>
             if (cc.getPath.size == 1) {
@@ -297,6 +323,26 @@ object VersionedStore {
                 cc.getStatistics
               val usable = toD.isDefined && st != null &&
                 st.hasNonNullValue
+              val isString = pt.getPrimitiveTypeName == BINARY &&
+                logical.isInstanceOf[LogicalTypeAnnotation
+                  .StringLogicalTypeAnnotation]
+              if (isString) {
+                val bUsable = st != null && st.hasNonNullValue
+                val prev = bacc.get(name)
+                bacc(name) =
+                  if (!bUsable || prev.exists(!_._3))
+                    (Array.emptyByteArray, Array.emptyByteArray, false)
+                  else {
+                    val lo = st.getMinBytes
+                    val hi = st.getMaxBytes
+                    prev match {
+                      case None => (lo, hi, true)
+                      case Some((plo, phi, _)) =>
+                        (if (bCmp(lo, plo) < 0) lo else plo,
+                          if (bCmp(hi, phi) > 0) hi else phi, true)
+                    }
+                  }
+              }
               val prev = acc.getOrElse(name,
                 (Double.PositiveInfinity, Double.NegativeInfinity, true))
               acc(name) =
@@ -310,8 +356,11 @@ object VersionedStore {
             }
           }
         }
+        val b64 = java.util.Base64.getEncoder
         (totalRows, acc.collect { case (c, (lo, hi, true)) =>
           c -> (Math.nextDown(lo), Math.nextUp(hi))
+        }.toMap, bacc.collect { case (c, (lo, hi, true)) =>
+          c -> (b64.encodeToString(lo), b64.encodeToString(hi))
         }.toMap)
       } finally reader.close()
     }
@@ -433,6 +482,48 @@ object VersionedStore {
       readFiles(spark, root, snap, kept).where(pred)
   }
 
+  /** [[readValues]] for a STRING column: file pruning against the
+    * manifest's string footer ranges (unsigned UTF-8 byte order —
+    * parquet's STRING stat order, which Spark's string comparisons
+    * share), then exact row filtering. The result equals
+    * `read(...).where(col(column).isin(values))`; files written
+    * before string stats existed are conservatively kept. Lets
+    * string-keyed serving tables point-read without a derived
+    * numeric bucket column.
+    */
+  def readValuesStr(spark: SparkSession, root: String, column: String,
+                    values: Seq[String], versionAsOf: Long = -1L)
+  : DataFrame = {
+    val v = if (versionAsOf >= 0) versionAsOf else latestVersion(spark, root)
+    require(v >= 0, s"no committed version under $root")
+    val snap = readManifest(spark, root, v)
+    require(snap.files.nonEmpty, s"version $v of $root is an empty snapshot")
+    val utf8 = values.distinct.map(
+      _.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def cmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    val dec64 = java.util.Base64.getDecoder
+    val kept = snap.files.filter { f =>
+      snap.strStats.get(f).flatMap(_.get(column)) match {
+        case Some((mnB, mxB)) =>
+          val mn = dec64.decode(mnB)
+          val mx = dec64.decode(mxB)
+          utf8.exists(x => cmp(x, mn) >= 0 && cmp(x, mx) <= 0)
+        case None => true // no stats recorded — may match
+      }
+    }
+    val pred = org.apache.spark.sql.functions.col(column)
+      .isin(values.distinct: _*)
+    if (kept.isEmpty) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    } else
+      readFiles(spark, root, snap, kept).where(pred)
+  }
+
   /** The snapshot's schema from the manifest alone — no file listing,
     * no scan DataFrame. The cheap path for callers that only need
     * column names/types (e.g. parsing serving config encoded in a
@@ -539,7 +630,8 @@ object VersionedStore {
     * → caller recomputes). */
   private case class Carry(files: Seq[String], rows: Long,
                            stats: Map[String, Map[String, (Double, Double)]],
-                           fileRows: Map[String, Long])
+                           fileRows: Map[String, Long],
+                           strStats: Map[String, Map[String, (String, String)]])
 
   /** Commit `df` as a new version. `carryPrev` keeps the previous
     * snapshot's files in the new manifest (append semantics). When
@@ -568,10 +660,12 @@ object VersionedStore {
     val newFiles = newNames.map(n => s"$dataRel/$n")
     // Rows AND per-file column ranges straight from the parquet
     // footers — one metadata pass, no Spark job, no data pages.
-    val (newRowsByName, newStatsByName) = footerStats(
+    val (newRowsByName, newStatsByName, newStrStatsByName) = footerStats(
       spark.sparkContext.hadoopConfiguration, dataDir, newNames)
     val newRows = newRowsByName.values.sum
     val newStats = newStatsByName.map { case (n, s) => s"$dataRel/$n" -> s }
+    val newStrStats =
+      newStrStatsByName.map { case (n, s) => s"$dataRel/$n" -> s }
     val newFileRows = newRowsByName.map { case (n, r) => s"$dataRel/$n" -> r }
     fs.mkdirs(logDir(root))
     var attempt = 0
@@ -579,11 +673,11 @@ object VersionedStore {
     while (attempt < 10) {
       val prev = latestVersion(spark, root)
       var schemaOut = df.schema.json
-      val (files, rows, stats, fileRows) =
+      val (files, rows, stats, fileRows, strStats) =
         if (carry.isDefined) {
           val c = carry.get
           (c.files ++ newFiles, c.rows + newRows, c.stats ++ newStats,
-            c.fileRows ++ newFileRows)
+            c.fileRows ++ newFileRows, c.strStats ++ newStrStats)
         } else if (carryPrev && prev >= 0) {
           val p = readManifest(spark, root, prev)
           // A carried snapshot mixes old and new files in ONE logical
@@ -634,8 +728,8 @@ object VersionedStore {
                   f.nullable || prevNullable.getOrElse(f.name, false)))).json
           }
           (p.files ++ newFiles, p.rows + newRows, p.stats ++ newStats,
-            p.fileRows ++ newFileRows)
-        } else (newFiles, newRows, newStats, newFileRows)
+            p.fileRows ++ newFileRows, p.strStats ++ newStrStats)
+        } else (newFiles, newRows, newStats, newFileRows, newStrStats)
       val next = if (expectedVersion >= 0) expectedVersion else prev + 1
       val manifest = new java.util.LinkedHashMap[String, Object]()
       manifest.put("version", java.lang.Long.valueOf(next))
@@ -656,6 +750,17 @@ object VersionedStore {
         }
       }
       manifest.put("stats", statsM)
+      val strStatsM = new java.util.LinkedHashMap[String, Object]()
+      files.foreach { f =>
+        strStats.get(f).filter(_.nonEmpty).foreach { cols =>
+          val colsM = new java.util.LinkedHashMap[String, Object]()
+          cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+            colsM.put(c, java.util.List.of(mn, mx))
+          }
+          strStatsM.put(f, colsM)
+        }
+      }
+      manifest.put("strStats", strStatsM)
       val fileRowsM = new java.util.LinkedHashMap[String, Object]()
       files.foreach { f =>
         fileRows.get(f).foreach(r =>
@@ -721,10 +826,13 @@ object VersionedStore {
     * model (reference store/offline/IcebergOfflineStore.java:42-59
     * snapshot semantics).
     *
-    * Falls back to the full rewrite when pruning cannot be proven
-    * safe: no numeric/timestamp key with stats on both sides (string
-    * keys record no footer ranges), or union type-widening drifting
-    * the merged schema away from the carried files' shape.
+    * Prunes on numeric/timestamp keys (double-scale ranges) AND
+    * string keys (unsigned-UTF-8-byte ranges from the parquet STRING
+    * footer stats — the same total order Spark's string min/max
+    * uses). Falls back to the full rewrite when pruning cannot be
+    * proven safe: no key with stats on both sides, or union
+    * type-widening drifting the merged schema away from the carried
+    * files' shape.
     *
     * Optimistic concurrency done right: the merged content is bound to
     * the head it was computed from (commit claims exactly head+1); if
@@ -773,6 +881,39 @@ object VersionedStore {
           .collect().map(_.getDouble(0))
         if (vs.length > setCap) None else Some(k -> vs.sorted)
       }.toMap
+    // String merge keys prune too, against the manifest's strStats:
+    // parquet STRING footer stats and Spark's min/max on strings both
+    // order by unsigned UTF-8 byte comparison, so file [min, max]
+    // ranges and update bounds live in one total order. Bounds are
+    // exact update values (no ulp widening needed — the comparison is
+    // exact); the capped exact value set carries scattered-key
+    // batches past files strictly between their values.
+    def bCmp(a: Array[Byte], b: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(a, b)
+    def utf8(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val strKeys = updates.schema.fields
+      .filter(f => keys.contains(f.name) &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    val strBounds: Map[String, (Array[Byte], Array[Byte])] =
+      if (strKeys.isEmpty) Map.empty
+      else {
+        val aggs = strKeys.flatMap(k => Seq(
+          min(col(k)).as(s"mn_$k"), max(col(k)).as(s"mx_$k")))
+        val r = updates.agg(aggs.head, aggs.tail: _*).head()
+        strKeys.zipWithIndex.collect {
+          case (k, i) if !r.isNullAt(2 * i) =>
+            k -> (utf8(r.getString(2 * i)), utf8(r.getString(2 * i + 1)))
+        }.toMap
+      }
+    val strValueSets: Map[String, Array[Array[Byte]]] =
+      strBounds.keys.flatMap { k =>
+        val vs = updates.select(col(k).as("v"))
+          .filter(col("v").isNotNull).distinct().limit(setCap + 1)
+          .collect().map(r => utf8(r.getString(0)))
+        if (vs.length > setCap) None else Some(k -> vs)
+      }.toMap
     var attempt = 0
     while (attempt < 10) {
       val head = latestVersion(spark, root)
@@ -783,6 +924,7 @@ object VersionedStore {
       // when we have it (null keys never equality-match, and footer
       // ranges cover non-null values only, so null rows on either
       // side cannot defeat the proof)
+      val dec64 = java.util.Base64.getDecoder
       val (untouched, touched) = snap.files.partition { f =>
         updBounds.exists { case (k, (uLo, uHi)) =>
           snap.stats.get(f).flatMap(_.get(k)) match {
@@ -790,6 +932,16 @@ object VersionedStore {
               fHi < uLo || fLo > uHi ||
                 updValueSets.get(k)
                   .exists(vs => !vs.exists(v => v >= fLo && v <= fHi))
+            case None => false
+          }
+        } || strBounds.exists { case (k, (uLo, uHi)) =>
+          snap.strStats.get(f).flatMap(_.get(k)) match {
+            case Some((fLoB, fHiB)) =>
+              val fLo = dec64.decode(fLoB)
+              val fHi = dec64.decode(fHiB)
+              bCmp(fHi, uLo) < 0 || bCmp(fLo, uHi) > 0 ||
+                strValueSets.get(k).exists(vs =>
+                  !vs.exists(v => bCmp(v, fLo) >= 0 && bCmp(v, fHi) <= 0))
             case None => false
           }
         }
@@ -831,7 +983,8 @@ object VersionedStore {
               snap.fileRows.getOrElse(f, footerRows(f))).sum
             (aligned, Some(Carry(untouched, carriedRows,
               snap.stats.filter { case (f, _) => untouchedSet(f) },
-              snap.fileRows.filter { case (f, _) => untouchedSet(f) })))
+              snap.fileRows.filter { case (f, _) => untouchedSet(f) },
+              snap.strStats.filter { case (f, _) => untouchedSet(f) })))
           } else (fullMerged, None)
         }
       try {

@@ -185,6 +185,67 @@ class StoreSpec extends AnyFunSuite {
     assert(got == Map(0L -> "x", 159L -> "y", 80L -> "v80"))
   }
 
+  test("VersionedStore: string-keyed merge prunes by footer ranges and value set") {
+    val root = tmp("vstr")
+    VersionedStore.create(
+      (0 until 160).map(i => (f"id-$i%03d", s"v$i")).toDF("id", "v"), root)
+    VersionedStore.compact(spark, root, numFiles = 8, sortBy = Seq("id"))
+    val before = VersionedStore.read(spark, root).inputFiles.toSet
+    assert(before.size == 8)
+    // zero-padded ids sort lexicographically == numerically, so the
+    // update range [id-000, id-159] spans every file but the value
+    // SET hits only the first and last
+    VersionedStore.merge(
+      Seq(("id-000", "x"), ("id-159", "y")).toDF("id", "v"),
+      root, Seq("id"))
+    val after = VersionedStore.read(spark, root).inputFiles.toSet
+    assert((before & after).size >= 6,
+      s"string-keyed scattered merge must carry the files between: " +
+        s"kept ${(before & after).size} of ${before.size}")
+    val got = VersionedStore.read(spark, root)
+      .filter(col("id").isin("id-000", "id-159", "id-080"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("id-000" -> "x", "id-159" -> "y", "id-080" -> "v80"))
+  }
+
+  test("VersionedStore: string merge pruning is unicode-safe; narrow-range merge carries the rest") {
+    val root = tmp("vstru")
+    // multi-byte keys: unsigned UTF-8 byte order puts "é" and "😀"
+    // above every ASCII key — pruning must use byte order, not
+    // anything locale- or UTF-16-shaped
+    VersionedStore.create(
+      Seq(("alpha", 1), ("beta", 2), ("é-accent", 3), ("😀-emoji", 4))
+        .toDF("k", "n"), root)
+    VersionedStore.compact(spark, root, numFiles = 4, sortBy = Seq("k"))
+    val before = VersionedStore.read(spark, root).inputFiles.toSet
+    VersionedStore.merge(Seq(("😀-emoji", 40)).toDF("k", "n"),
+      root, Seq("k"))
+    val after = VersionedStore.read(spark, root).inputFiles.toSet
+    assert((before & after).size >= before.size - 1,
+      "a single-key merge must rewrite at most one file")
+    val got = VersionedStore.read(spark, root)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("alpha" -> 1, "beta" -> 2, "é-accent" -> 3,
+      "😀-emoji" -> 40))
+  }
+
+  test("VersionedStore: readValuesStr opens only matching files, equals the isin filter") {
+    val root = tmp("vrvs")
+    VersionedStore.create(
+      (0 until 120).map(i => (f"key-$i%03d", i)).toDF("k", "n"), root)
+    VersionedStore.compact(spark, root, numFiles = 6, sortBy = Seq("k"))
+    val hit = VersionedStore.readValuesStr(spark, root, "k",
+      Seq("key-000", "key-001"))
+    assert(hit.inputFiles.length == 1,
+      s"adjacent keys live in one sorted file, opened " +
+        s"${hit.inputFiles.length}")
+    val got = hit.collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(got == Set(("key-000", 0), ("key-001", 1)))
+    val empty = VersionedStore.readValuesStr(spark, root, "k",
+      Seq("zzz-not-there"))
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "n"))
+  }
+
   test("VersionedStore: readRange keeps files without stats and skips all-pruned cleanly") {
     val root = tmp("vskip2")
     VersionedStore.create(
