@@ -146,6 +146,28 @@ object ScaleProbe {
       TextAnalysis.tfidf(docs, "doc_id", "text", 5).count())
     time("pack_sequences xK")(
       FeatureEng.packSequences(docs, "doc_id", "text", 1024L).count())
+    // repeated-line removal under the dup-bomb: every line's df is
+    // multiplied k-fold AND a corpus-wide boilerplate line is
+    // injected, so the frequent set catches both the footer and every
+    // replicated content line — worst-case cut volume. Aggregate over
+    // text_clean (takeaway 13: a count() would be join-eliminated).
+    time("line dedup xK")({
+      val ml = docs.select(col("doc_id"), concat_ws("\n",
+        col("text"), lit("subscribe to our newsletter today"),
+        concat(lit("doc "), col("doc_id").cast("string"))).as("text"))
+      Dedup.lineDedup(ml, "doc_id", "text", maxDf = 10, minChars = 5)
+        .agg(sum(length(col("text_clean")))).head()
+    })
+    // PII redaction: pure projection — the probe just confirms it
+    // stays scan-shaped at xK (no shuffle can appear by accident)
+    time("redact pii xK")({
+      val pd = docs.select(col("doc_id"), concat(col("text"),
+        lit(" user"), col("doc_id").cast("string"),
+        lit("@example.com 10.0.0.7 555-123-4567 acct 9876543210"))
+        .as("text"))
+      TextAnalysis.redactPii(pd, "doc_id", "text")
+        .agg(sum(length(col("text_redacted")))).head()
+    })
     // incremental dedup: init state from 90% of the corpus, then
     // dedup a 10% shard against it — the shard cost is what a daily
     // ingest pays, and it must be shard-shaped, not corpus-shaped
