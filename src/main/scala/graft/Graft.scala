@@ -251,6 +251,12 @@ object Graft {
   : DataFrame =
     Dedup.lineDedup(docs, "doc_id", "text", maxDf, minChars)
 
+  /** Corpus-level frequent n-gram mining: the top-k n-grams by
+    * document frequency (boilerplate discovery, pairs with
+    * lineDedup/overlapSpans). */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame =
+    TextAnalysis.topNgrams(docs, "doc_id", "text", n, k)
+
   /** PII redaction (anonymization): staged regex rule chain — email,
     * IPv4, phone, long digit runs — each match replaced by its marker
     * token, per-rule counts reported. */

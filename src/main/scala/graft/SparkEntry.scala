@@ -355,6 +355,10 @@ object SparkEntry {
     Dedup.lineDedup(multiLineDocs(s, d), "doc_id", "text",
       maxDf = 10, minChars = 5)
 
+  def qTopNgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.topNgrams(Tables.documents(s, d), "doc_id", "text",
+      n = 3, k = 50)
+
   def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
 
@@ -523,7 +527,8 @@ object SparkEntry {
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_domain_mix" -> (qDomainMix _),
     "q_pii_redact" -> (qPiiRedact _),
-    "q_line_dedup" -> (qLineDedup _)
+    "q_line_dedup" -> (qLineDedup _),
+    "q_top_ngrams" -> (qTopNgrams _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1690,7 +1695,27 @@ object SparkEntry {
           |  len(string_split(d.t, chr(10))) AS n_lines,
           |  len(string_split(d.t, chr(10))) - coalesce(a.n_kept, 0)
           |    AS n_dropped
-          |FROM d LEFT JOIN a USING (doc_id)""".stripMargin
+          |FROM d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+      // Mirrors TextAnalysis.topNgrams: same tokenization (split on
+      // single space, drop empties), inclusive slice = Spark's
+      // 1-based slice(ws, i, n), identical (df, cnt, ngram) total
+      // order so the LIMIT boundary is deterministic on both engines.
+      "q_top_ngrams" ->
+        """WITH w AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS ngram
+          |  FROM w, unnest(generate_series(1, greatest(len(ws)-2, 0)))
+          |    AS t(i)),
+          |c AS (
+          |  SELECT ngram, count(DISTINCT doc_id) AS df,
+          |    count(*) AS cnt
+          |  FROM g GROUP BY 1)
+          |SELECT * FROM c ORDER BY df DESC, cnt DESC, ngram
+          |LIMIT 50""".stripMargin
     )
   }
 }

@@ -464,6 +464,36 @@ object TextAnalysis {
       md5(trim(regexp_replace(lower(col(textCol)), " +", " ")))
         .as("fingerprint"))
 
+  /** Corpus-level frequent n-gram mining — the boilerplate DISCOVERY
+    * diagnostic that pairs with the cutting passes (lineDedup /
+    * overlapSpans): the k n-grams appearing in the most documents,
+    * with document frequency and total occurrence count, tie-broken
+    * (df desc, count desc, ngram asc) so the result is a total order.
+    *
+    * Scale shape: one explode + one map-side-combinable aggregate;
+    * the global top-k runs as orderBy+limit, which Spark executes as
+    * TakeOrderedAndProject — each partition keeps its own k and the
+    * driver merges k·partitions rows, never a single-partition sort
+    * of the full n-gram table.
+    */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+    val ws = filter(Fns.words(col(textCol)), w => w =!= "")
+    // guard short docs explicitly: sequence(1, 0) DESCENDS in Spark,
+    // so the no-gram case must be an empty array, not a bad range
+    val idx = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array())
+    docs.select(col(idCol).as("doc_id"),
+        explode(transform(idx, i => array_join(slice(ws, i, lit(n)), " ")))
+          .as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("df").desc, col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** The default PII rule chain: (name, pattern, replacement), applied
     * IN ORDER — emails first so their digit runs can't be half-eaten
     * by the numeric rules, IPv4 before the bare digit-run rule for the

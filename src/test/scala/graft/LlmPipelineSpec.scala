@@ -929,6 +929,24 @@ class LlmPipelineSpec extends AnyFunSuite {
       r13.getAs[Long]("n_dropped") == 1L)
   }
 
+  test("topNgrams: df-ranked with deterministic tie-break, short docs contribute nothing") {
+    val docs = Seq(
+      (1L, "a b c a b c x"),
+      (2L, "a b c z z"),
+      (3L, "a b"), // shorter than n → no grams
+      (4L, "")     // empty → no grams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(docs, "doc_id", "text", n = 3, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b c": df 2 (docs 1, 2), 3 occurrences; every other gram df 1
+    // and the df-1 tie breaks (cnt desc, ngram asc) → "b c a" (cnt 1
+    // ties with the rest, lexicographically first)
+    assert(out.head == ("a b c", 2L, 3L))
+    // df-1 cnt-1 tie breaks lexicographically: "b c a" beats
+    // "b c x"/"b c z"/"c a b"/"c z z"
+    assert(out.length == 2 && out(1) == ("b c a", 1L, 1L))
+  }
+
   test("lineDedup below maxDf leaves documents untouched") {
     val docs = Seq((1L, "shared line here\nown 1"),
       (2L, "shared line here\nown 2")).toDF("doc_id", "text")

@@ -206,6 +206,15 @@ class PlanSpec extends AnyFunSuite {
       "the redaction pass must run at scan speed, no exchange")
   }
 
+  test("q_top_ngrams: global top-k via TakeOrderedAndProject, no full sort") {
+    val plan = SparkEntry.qTopNgrams(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be partition-local heaps + driver merge:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no single-partition funnel for the ranking:\n$plan")
+  }
+
   test("q_line_dedup: equi-joins only, frequency agg + reassembly are the only wide stages") {
     val df = SparkEntry.qLineDedup(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
