@@ -251,6 +251,19 @@ object Graft {
   : DataFrame =
     Dedup.lineDedup(docs, "doc_id", "text", maxDf, minChars)
 
+  /** Derive the frozen frequent-line artifact for
+    * [[lineDedupFrozen]] (md5 keys of lines in >= maxDf docs). */
+  def freezeFrequentLines(docs: DataFrame, maxDf: Int = 10,
+                          minChars: Int = 5): Array[String] =
+    Dedup.freezeFrequentLines(docs, "doc_id", "text", maxDf, minChars)
+
+  /** Streaming-safe line dedup: cut lines whose md5 is in the frozen
+    * set — pure projection, equals [[lineDedup]] when the set comes
+    * from the same corpus. */
+  def lineDedupFrozen(docs: DataFrame,
+                      frozenLineKeys: Array[String]): DataFrame =
+    Dedup.lineDedupFrozen(docs, "doc_id", "text", frozenLineKeys)
+
   /** Corpus-level frequent n-gram mining: the top-k n-grams by
     * document frequency (boilerplate discovery, pairs with
     * lineDedup/overlapSpans). */

@@ -359,6 +359,23 @@ object SparkEntry {
     TextAnalysis.topNgrams(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 50)
 
+  /** The STREAMING-SAFE frozen line-dedup, declared with the frozen
+    * frequent-line set derived from the same corpus (same maxDf /
+    * minChars as q_line_dedup) — the pure-projection apply path a
+    * stream runs must hash-match q_line_dedup's oracle exactly. */
+  // Frozen OFFLINE artifact, derived once per (corpus dir, JVM) —
+  // same pattern as the frozen vocabulary: repeats time the apply.
+  private val frozenLineSets =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  def qLineDedupFrozen(s: SparkSession, d: String): DataFrame = {
+    val docs = multiLineDocs(s, d)
+    val frozen = frozenLineSets.computeIfAbsent(d,
+      _ => Dedup.freezeFrequentLines(docs, "doc_id", "text",
+        maxDf = 10, minChars = 5))
+    Dedup.lineDedupFrozen(docs, "doc_id", "text", frozen)
+  }
+
   def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
 
@@ -528,6 +545,7 @@ object SparkEntry {
     "q_domain_mix" -> (qDomainMix _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_line_dedup" -> (qLineDedup _),
+    "q_line_dedup_frozen" -> (qLineDedupFrozen _),
     "q_top_ngrams" -> (qTopNgrams _)
   )
 
@@ -633,6 +651,41 @@ object SparkEntry {
     * queries' oracles (same rounding), joined on doc_id, with the
     * same fixed-order CASE. Thresholds inline — keep in sync with
     * declaredQualityThresholds. */
+  /** Mirrors Dedup.lineDedup on the constructed multi-line corpus:
+    * split on newline, frequency by md5(line) over DISTINCT docs with
+    * the minChars guard, cut lines with df >= 10, reassemble in line
+    * order; docs losing every line come back empty, not dropped.
+    * Shared by q_line_dedup and q_line_dedup_frozen — one semantic,
+    * two execution paths. */
+  private val lineDedupOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    coalesce(text, '') || chr(10) ||
+      |    'subscribe to our newsletter today' || chr(10) ||
+      |    'copyright ' || source || ' all rights reserved' ||
+      |    chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' of ' ||
+      |    lang AS t
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+      |    generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      |  FROM d),
+      |f AS (
+      |  SELECT md5(line) AS lk FROM l WHERE len(line) >= 5
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+      |a AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+      |      AS text_clean,
+      |    count(*) AS n_kept
+      |  FROM l WHERE md5(line) NOT IN (SELECT lk FROM f)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(a.text_clean, '') AS text_clean,
+      |  len(string_split(d.t, chr(10))) AS n_lines,
+      |  len(string_split(d.t, chr(10))) - coalesce(a.n_kept, 0)
+      |    AS n_dropped
+      |FROM d LEFT JOIN a USING (doc_id)""".stripMargin
+
   private val qualityFilterOracleSql: String =
     """WITH b AS (
       |  SELECT doc_id, len(text) AS n_chars,
@@ -1664,38 +1717,13 @@ object SparkEntry {
           |  len(regexp_extract_all(s3, '[0-9]{9,}')) AS n_id
           |FROM t3""".stripMargin,
 
-      // Mirrors Dedup.lineDedup on the same constructed corpus: split
-      // on newline, frequency by md5(line) over DISTINCT docs with the
-      // minChars guard, cut lines with df >= 10, reassemble in line
-      // order; docs losing every line come back empty, not dropped.
-      "q_line_dedup" ->
-        """WITH d AS (
-          |  SELECT doc_id,
-          |    coalesce(text, '') || chr(10) ||
-          |    'subscribe to our newsletter today' || chr(10) ||
-          |    'copyright ' || source || ' all rights reserved' ||
-          |    chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' of ' ||
-          |    lang AS t
-          |  FROM documents),
-          |l AS (
-          |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
-          |    generate_subscripts(string_split(t, chr(10)), 1) AS pos
-          |  FROM d),
-          |f AS (
-          |  SELECT md5(line) AS lk FROM l WHERE len(line) >= 5
-          |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
-          |a AS (
-          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
-          |      AS text_clean,
-          |    count(*) AS n_kept
-          |  FROM l WHERE md5(line) NOT IN (SELECT lk FROM f)
-          |  GROUP BY doc_id)
-          |SELECT d.doc_id,
-          |  coalesce(a.text_clean, '') AS text_clean,
-          |  len(string_split(d.t, chr(10))) AS n_lines,
-          |  len(string_split(d.t, chr(10))) - coalesce(a.n_kept, 0)
-          |    AS n_dropped
-          |FROM d LEFT JOIN a USING (doc_id)""".stripMargin,
+      "q_line_dedup" -> lineDedupOracleSql,
+
+      // The frozen apply path must reproduce the batch pass exactly
+      // when the frozen set comes from the same corpus — so it is
+      // held to the SAME oracle, proving corpus hash equality of the
+      // pure-projection path a stream runs.
+      "q_line_dedup_frozen" -> lineDedupOracleSql,
 
       // Mirrors TextAnalysis.topNgrams: same tokenization (split on
       // single space, drop empties), inclusive slice = Spark's

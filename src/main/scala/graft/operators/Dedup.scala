@@ -747,6 +747,52 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Derive [[lineDedup]]'s frequent-line set as a FROZEN artifact:
+    * the md5 keys of every line occurring in >= `maxDf` distinct
+    * documents (minChars-short lines excluded, matching the batch
+    * pass). Sorted for determinism. Bounded above by
+    * total_lines/maxDf — the same bounded-artifact caveat as
+    * freezeVocabulary: fine as a broadcast literal at any realistic
+    * maxDf, and the knob to shrink it is raising maxDf.
+    */
+  def freezeFrequentLines(docs: DataFrame, idCol: String,
+                          textCol: String, maxDf: Int = 10,
+                          minChars: Int = 5): Array[String] = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(coalesce(col(textCol), lit("")), "\n", -1))
+          .as("line"))
+      .filter(length(col("line")) >= minChars)
+      .groupBy(md5(col("line")).as("lk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= maxDf)
+      .select("lk").collect().map(_.getString(0)).sorted
+  }
+
+  /** The STREAMING-SAFE twin of [[lineDedup]]: cut lines whose md5 is
+    * in the frozen frequent-line set. Pure projection — no
+    * frequency aggregate, no reassembly shuffle, no state — so it
+    * runs per micro-batch in Structured Streaming and at parquet-scan
+    * speed in batch. Given the frozen set derived from the same
+    * corpus (same maxDf/minChars), the output equals [[lineDedup]]'s
+    * row for row.
+    */
+  def lineDedupFrozen(docs: DataFrame, idCol: String, textCol: String,
+                      frozenLineKeys: Array[String]): DataFrame = {
+    val frozen = typedLit(frozenLineKeys.toSeq)
+    docs.select(col(idCol).as("doc_id"),
+        split(coalesce(col(textCol), lit("")), "\n", -1).as("ls"))
+      .select(col("doc_id"),
+        filter(col("ls"), l => !array_contains(frozen, md5(l)))
+          .as("kept"),
+        size(col("ls")).cast("long").as("n_lines"))
+      .select(col("doc_id"),
+        array_join(col("kept"), "\n").as("text_clean"),
+        col("n_lines"),
+        (col("n_lines") - size(col("kept")).cast("long"))
+          .as("n_dropped"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold` — exact, via a
     * block-partitioned self-join instead of a broadcast nested loop.
     * Each side is split into `nBlocks` id-hash blocks; the left side

@@ -956,4 +956,22 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(out(1L) == "shared line here\nown 1")
     assert(out(2L) == "shared line here\nown 2")
   }
+
+  test("lineDedupFrozen equals the batch pass given the same corpus's frozen set") {
+    val boiler = "repeated across the corpus"
+    val docs = (1L to 12L)
+      .map(i => (i, s"own line $i\n$boiler\ntail $i"))
+      .toDF("doc_id", "text")
+    val frozen = Dedup.freezeFrequentLines(docs, "doc_id", "text",
+      maxDf = 10, minChars = 5)
+    assert(frozen.length == 1, "exactly the boilerplate line freezes")
+    val batch = Dedup.lineDedup(docs, "doc_id", "text", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viaFrozen = Dedup.lineDedupFrozen(docs, "doc_id", "text", frozen)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaFrozen == batch)
+    assert(batch.head._2.nonEmpty) // sanity: something survived
+  }
 }

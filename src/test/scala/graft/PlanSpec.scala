@@ -215,6 +215,16 @@ class PlanSpec extends AnyFunSuite {
       s"no single-partition funnel for the ranking:\n$plan")
   }
 
+  test("frozen line dedup: zero shuffles — pure projection end to end") {
+    val docs = graft.Tables.documents(spark, TestSpark.sfDir)
+      .selectExpr("doc_id", "text")
+    val df = graft.operators.Dedup.lineDedupFrozen(docs, "doc_id",
+      "text", Array("d41d8cd98f00b204e9800998ecf8427e"))
+    assert(countShuffles(df) == 0,
+      "the streaming-safe line pass must not exchange at all:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("q_line_dedup: equi-joins only, frequency agg + reassembly are the only wide stages") {
     val df = SparkEntry.qLineDedup(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -510,4 +510,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(3L)._1.contains("top_word"))
     assert(streamed(1L)._1.isEmpty, s"clean doc dropped: ${streamed(1L)}")
   }
+
+  test("frozen line dedup runs stateless on a stream, equals batch application") {
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "click here to subscribe"
+    val rows = Seq(
+      (1L, s"real content one\n$boiler\ntail one"),
+      (2L, s"$boiler"),
+      (3L, s"real content three"))
+    // the frozen artifact comes from an OFFLINE pass (here: just the
+    // boilerplate line's md5); the stream applies it statelessly
+    val frozen = graft.operators.Dedup.freezeFrequentLines(
+      (1L to 12L).map(i => (i, s"own $i\n$boiler")).toDF("doc_id", "text"),
+      "doc_id", "text", maxDf = 10, minChars = 5)
+    val input = MemoryStream[(Long, String)]
+    // append mode with NO watermark: starting at all proves the plan
+    // carries no stateful aggregation — pure projection end to end
+    val query = graft.operators.Dedup.lineDedupFrozen(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", frozen)
+      .writeStream.format("memory").queryName("slinededup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("slinededup").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    query.stop()
+    assert(streamed(1L) == (("real content one\ntail one", 1L)))
+    assert(streamed(2L) == (("", 1L)), "all-boilerplate doc comes back empty")
+    assert(streamed(3L) == (("real content three", 0L)))
+    val batch = graft.operators.Dedup.lineDedupFrozen(
+        rows.toDF("doc_id", "text"), "doc_id", "text", frozen)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3))))
+      .toMap
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
+  }
 }
