@@ -51,10 +51,24 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(report.getAs[Boolean]("validation_pass"))
   }
 
-  test("LLM curation pipeline: dedup → strip spans → quality filter → decontaminate → pack") {
+  test("LLM curation pipeline: line dedup → redact → dedup → strip spans → quality filter → decontaminate → pack") {
     import graft.operators.{Dedup, TextAnalysis, FeatureEng}
-    val docs = Tables.documents(spark, TestSpark.sfDir)
-    val n = docs.count()
+    val raw = Tables.documents(spark, TestSpark.sfDir)
+    val n = raw.count()
+
+    // 0a. boilerplate pass: cut corpus-frequent lines first (cheap,
+    // improves every downstream dedup/quality signal); on this
+    // single-line corpus with maxDf above the dup-cluster sizes it
+    // must be a no-op — which is itself worth pinning
+    val lined = Dedup.lineDedup(raw, "doc_id", "text",
+        maxDf = 50, minChars = 5)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    assert(lined.count() == n, "line dedup keeps every document")
+
+    // 0b. anonymize before anything persists or pairs
+    val docs = TextAnalysis.redactPii(lined, "doc_id", "text")
+      .select(col("doc_id"), col("text_redacted").as("text"))
+    assert(docs.count() == n)
 
     // 1. doc-level dedup: the production keep list (exact → LSH → verify)
     val kept = Graft.dedupKeepList(docs)
