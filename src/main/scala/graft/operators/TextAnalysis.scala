@@ -470,11 +470,15 @@ object TextAnalysis {
     * with document frequency and total occurrence count, tie-broken
     * (df desc, count desc, ngram asc) so the result is a total order.
     *
-    * Scale shape: one explode + one map-side-combinable aggregate;
-    * the global top-k runs as orderBy+limit, which Spark executes as
-    * TakeOrderedAndProject — each partition keeps its own k and the
-    * driver merges k·partitions rows, never a single-partition sort
-    * of the full n-gram table.
+    * Scale shape: one explode, then TWO-LEVEL aggregation — per
+    * (ngram, doc) occurrence counts first (map-side combine collapses
+    * a document's repeats before anything shuffles), then per-ngram
+    * (df, cnt) from the pair counts. This carries strictly less
+    * shuffle volume than count_distinct, whose Expand doubles every
+    * occurrence row. The global top-k runs as orderBy+limit, which
+    * Spark executes as TakeOrderedAndProject — each partition keeps
+    * its own k and the driver merges k·partitions rows, never a
+    * single-partition sort of the full n-gram table.
     */
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 3, k: Int = 20): DataFrame = {
@@ -487,9 +491,9 @@ object TextAnalysis {
     docs.select(col(idCol).as("doc_id"),
         explode(transform(idx, i => array_join(slice(ws, i, lit(n)), " ")))
           .as("ngram"))
+      .groupBy("ngram", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("ngram")
-      .agg(countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("df"), sum(col("occ")).as("cnt"))
       .orderBy(col("df").desc, col("cnt").desc, col("ngram").asc)
       .limit(k)
   }
