@@ -528,6 +528,12 @@ object TextAnalysis {
                 rules: Seq[(String, String, String)] = PiiRules)
   : DataFrame = {
     require(rules.nonEmpty, "need at least one redaction rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique — each emits its own n_<name> column")
+    // replacements are literal tokens: Spark's regexp_replace treats
+    // $<digit> in the replacement as a group reference
+    require(rules.forall(!_._3.contains("$")),
+      "replacement tokens must not contain '$' (group-reference syntax)")
     val staged = rules.scanLeft(col(textCol)) { case (t, (_, pat, repl)) =>
       regexp_replace(t, lit(pat), lit(repl))
     }
