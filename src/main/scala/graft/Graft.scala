@@ -285,6 +285,13 @@ object Graft {
     Dedup.decontaminate(docs, "doc_id", "text",
       evalDocs, "doc_id", "text", n, minOverlap)
 
+  /** Graded decontamination: per-doc (n_shingles, n_overlap,
+    * contam_frac) vs the eval set — threshold on the fraction. */
+  def decontaminationScores(docs: DataFrame, evalDocs: DataFrame,
+                            n: Int = 3): DataFrame =
+    Dedup.decontaminationScores(docs, "doc_id", "text",
+      evalDocs, "doc_id", "text", n)
+
   /** Exact substring overlap spans (Lee et al. substring dedup):
     * maximal shared runs of >= minTokens consecutive tokens. */
   def overlapSpans(docs: DataFrame, n: Int = 3, minTokens: Int = 8,

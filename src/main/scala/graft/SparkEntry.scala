@@ -413,6 +413,16 @@ object SparkEntry {
       n = 3, minOverlap = 5L)
   }
 
+  /** Graded decontamination: per-doc overlap fraction vs the same
+    * pseudo-eval slice q_decontaminate gates on. */
+  def qDecontamScores(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminationScores(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 3)
+  }
+
   /** Composite keep/drop quality decision over the engine's own
     * signals (size/ratio stats + Gopher repetition + CCNet lm band).
     * The lm band [3.39, 3.43] is the gate corpus's p5–p95-ish band —
@@ -536,6 +546,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontam_scores" -> (qDecontamScores _),
     "q_lm_score" -> (qLmScore _),
     "q_overlap_spans" -> (qOverlapSpans _),
     "q_strip_spans" -> (qStripSpans _),
@@ -1623,6 +1634,30 @@ object SparkEntry {
           |FROM sh JOIN es USING (s)
           |WHERE sh.doc_id % 10 <> 0
           |GROUP BY 1 HAVING count(*) >= 5""".stripMargin,
+
+      // The graded variant: same shingle construction, overlap as a
+      // fraction of the doc's distinct shingles; zero-overlap docs
+      // keep a row (fraction 0), shingle-less docs have none.
+      "q_decontam_scores" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+          |t AS (
+          |  SELECT doc_id, count(*) AS n_shingles FROM sh
+          |  WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |o AS (
+          |  SELECT sh.doc_id, count(*) AS n_overlap
+          |  FROM sh JOIN es USING (s)
+          |  WHERE sh.doc_id % 10 <> 0 GROUP BY 1)
+          |SELECT t.doc_id, t.n_shingles,
+          |  coalesce(o.n_overlap, 0) AS n_overlap,
+          |  round(coalesce(o.n_overlap, 0) / t.n_shingles, 6)
+          |    AS contam_frac
+          |FROM t LEFT JOIN o USING (doc_id)""".stripMargin,
 
       "q_token_count" ->
         """SELECT doc_id, len(text) AS n_chars,

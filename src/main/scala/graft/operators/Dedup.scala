@@ -747,6 +747,39 @@ object Dedup {
           .as("n_dropped"))
   }
 
+  /** Per-document decontamination SCORES — the graded companion to
+    * [[decontaminate]]'s absolute gate: every training doc that has
+    * shingles gets (n_shingles, n_overlap, contam_frac), where
+    * contam_frac = shared distinct n-grams / the doc's distinct
+    * n-grams — the quantity real pipelines threshold on ("drop if
+    * >10% of the doc overlaps eval"). Docs shorter than n words have
+    * no shingles and no row, same as the gate.
+    *
+    * Same asymmetric shape as the gate: the eval shingle set is tiny
+    * and broadcast, the corpus side computes its per-doc totals
+    * map-side-combinably and never shuffles for the probe join.
+    */
+  def decontaminationScores(docs: DataFrame, idCol: String,
+                            textCol: String, evalDocs: DataFrame,
+                            evalIdCol: String, evalTextCol: String,
+                            n: Int): DataFrame = {
+    val evalShingles = evalDocs.select(
+      explode(graft.functions.ShingleHash.shingles(col(evalTextCol), n))
+        .as("s")).distinct()
+    // per-doc DISTINCT shingles by construction (ShingleHash dedupes)
+    val docShingles = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.ShingleHash.shingles(col(textCol), n)).as("s"))
+    val totals = docShingles.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
+    val overlaps = docShingles.join(broadcast(evalShingles), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / col("n_shingles"), 6)
+          .as("contam_frac"))
+  }
+
   /** Derive [[lineDedup]]'s frequent-line set as a FROZEN artifact:
     * the md5 keys of every line occurring in >= `maxDf` distinct
     * documents (minChars-short lines excluded, matching the batch

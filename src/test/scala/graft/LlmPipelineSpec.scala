@@ -929,6 +929,23 @@ class LlmPipelineSpec extends AnyFunSuite {
       r13.getAs[Long]("n_dropped") == 1L)
   }
 
+  test("decontaminationScores: graded overlap fraction, zero-overlap docs keep a row") {
+    val train = Seq(
+      (1L, "a b c d e f"),    // shares shingles with eval doc
+      (2L, "q r s t u v"),    // disjoint from eval
+      (3L, "x y")             // too short for 3-grams → no row
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val out = Dedup.decontaminationScores(train, "doc_id", "text",
+        eval_, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 4 distinct 3-grams, shares "a b c" and "b c d" → 2/4
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+    assert(!out.contains(3L), "shingle-less docs have no score row")
+  }
+
   test("topNgrams: df-ranked with deterministic tie-break, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b c a b c x"),
