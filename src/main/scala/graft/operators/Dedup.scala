@@ -729,8 +729,12 @@ object Dedup {
     val lines = spine
       .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
       .withColumn("lk", md5(col("line")))
+    // two-level distinct-doc count (no count_distinct Expand): the
+    // (lk, doc) partial collapses a document's repeated lines
+    // map-side before anything shuffles
     val frequent = lines.filter(length(col("line")) >= minChars)
-      .groupBy("lk").agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy("lk", "doc_id").agg(count(lit(1)).as("occ"))
+      .groupBy("lk").agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxDf).select("lk")
     val rebuilt = lines.join(frequent, Seq("lk"), "left_anti")
       .groupBy("doc_id").agg(
@@ -796,8 +800,9 @@ object Dedup {
         explode(split(coalesce(col(textCol), lit("")), "\n", -1))
           .as("line"))
       .filter(length(col("line")) >= minChars)
-      .groupBy(md5(col("line")).as("lk"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(md5(col("line")).as("lk"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy("lk").agg(count(lit(1)).as("df"))
       .filter(col("df") >= maxDf)
       .select("lk").collect().map(_.getString(0)).sorted
   }
