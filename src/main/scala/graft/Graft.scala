@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
@@ -463,6 +463,13 @@ object Graft {
   def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
                          ratesBp: Map[String, Int]): DataFrame =
     FeatureEng.classBalanceSample(df, keyCol, classCol, ratesBp)
+
+  /** Soft quality filtering: keep each row with probability equal to
+    * `weight` (clamped to [0, 1]), decided by the deterministic
+    * md5-bucket coin; distinct seeds draw independent samples. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     seed: String = "graft"): DataFrame =
+    FeatureEng.weightedSample(df, keyCol, weight, seed)
 
   def featureCorrelations(records: DataFrame): DataFrame =
     graft.stats.Profiler.featureCorr(records, "entity_id",

@@ -173,6 +173,17 @@ object SparkEntry {
       .select(col("o_orderkey").as("entity_id"),
         col("o_orderstatus").as("class"), col("sample_bucket"))
 
+  // Soft quality filtering: each document survives with probability
+  // equal to its quality score (md5-keyed coin, seed "graft"), so the
+  // output is the score-tilted corpus — DCLM-style downsampling of
+  // borderline docs instead of a hard threshold cut.
+  def qQualitySample(s: SparkSession, d: String): DataFrame =
+    FeatureEng.weightedSample(
+        TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", col("quality_score"))
+      .select("doc_id", "n_words", "quality_score", "keep_bp",
+        "sample_bucket")
+
   def qFeatureCorr(s: SparkSession, d: String): DataFrame =
     graft.stats.Profiler.featureCorr(Tables.featureRecords(s, d),
       "entity_id", "feature_name", "value_float")
@@ -516,6 +527,7 @@ object SparkEntry {
     "q_enrich_star" -> (qEnrichStar _),
     "q_categorical_hash" -> (qCategoricalHash _),
     "q_class_sample" -> (qClassSample _),
+    "q_quality_sample" -> (qQualitySample _),
     "q_feature_corr" -> (qFeatureCorr _),
     "q_quantile_label" -> (qQuantileLabel _),
     "q_train_test_split" -> (qTrainTestSplit _),
@@ -1145,6 +1157,32 @@ object SparkEntry {
           |WHERE sample_bucket < CASE class
           |  WHEN 'F' THEN 1000 WHEN 'O' THEN 10000 WHEN 'P' THEN 5000
           |  ELSE 0 END""".stripMargin,
+
+      // Same quality formula as q_text_quality (both sides round(6),
+      // so the keep_bp floor sees bit-identical doubles), same md5
+      // bucket family as q_class_sample with the "graft:" seed prefix.
+      "q_quality_sample" ->
+        """WITH b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits
+          |  FROM documents
+          |), q AS (
+          |  SELECT doc_id, n_words,
+          |    round(least(n_words / 100.0, 1.0) *
+          |          (1.0 - round(stop_hits / n_words, 6)), 6)
+          |      AS quality_score
+          |  FROM b
+          |), s AS (
+          |  SELECT doc_id, n_words, quality_score,
+          |    CAST(floor(least(greatest(quality_score, 0.0), 1.0) * 10000)
+          |      AS BIGINT) AS keep_bp,
+          |    ('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          |      ::BIGINT % 2147483648 % 10000 AS sample_bucket
+          |  FROM q
+          |)
+          |SELECT * FROM s WHERE sample_bucket < keep_bp""".stripMargin,
 
       // Mirrors Profiler.featureCorr: per-entity decimal totals, exact
       // decimal sufficient statistics, identical double formula. The

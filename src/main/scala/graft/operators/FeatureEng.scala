@@ -333,6 +333,30 @@ object FeatureEng {
       .select("doc_id", "source", "n_tokens", "sample_bucket", "rate_bp")
   }
 
+  /** DCLM/FineWeb-style SOFT quality filtering: instead of a hard
+    * keep/drop threshold, each row survives with probability equal to
+    * its `weight` column (a keep probability — e.g. a quality score),
+    * so the output is the weight-tilted corpus: borderline documents
+    * are downsampled rather than eliminated, preserving distributional
+    * diversity that a hard cut destroys. The coin flip is the same
+    * deterministic md5-bucket family as [[classBalanceSample]] /
+    * [[trainTestSplit]]: a row's fate is a pure function of
+    * (seed, key), reproducible across reruns, partitionings and
+    * cluster sizes. Distinct seeds draw independent samples from the
+    * same corpus (epoch re-rolls). Weights clamp to [0, 1] and floor
+    * to basis points; NULL weight drops the row (vacuous ≤ NULL).
+    * Pure codegen filter: no shuffle, no driver state.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     seed: String = "graft"): DataFrame =
+    df.withColumn("keep_bp",
+        floor(least(greatest(weight, lit(0.0)), lit(1.0)) * 10000)
+          .cast("long"))
+      .withColumn("sample_bucket",
+        Fns.md5Hash31(concat(lit(seed), lit(":"),
+          col(keyCol).cast("string"))) % 10000)
+      .filter(col("sample_bucket") < col("keep_bp"))
+
   /** Per-group ranking-feature variants (reference
     * python/mslr_example/dataset.py:30-45 — sum/min/max/mean/var of
     * each raw feature within the query group). One shuffle with

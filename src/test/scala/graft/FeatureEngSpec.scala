@@ -146,6 +146,40 @@ class FeatureEngSpec extends AnyFunSuite {
       again.select("k").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("weightedSample: keep rate tracks weight, clamps, NULL drops, seeds independent") {
+    val df = (1L to 4000L).map { i =>
+      val w: java.lang.Double =
+        if (i % 10 == 0) null
+        else if (i % 3 == 0) 2.5  // clamps to 1.0
+        else if (i % 3 == 1) -0.3 // clamps to 0.0
+        else 0.5
+      (i, w)
+    }.toDF("k", "w")
+    val out = FeatureEng.weightedSample(df, "k", col("w"))
+    val kept = out.select("k").collect().map(_.getLong(0)).toSet
+    // w>=1 rows all survive; w<=0 and NULL rows never do
+    assert((1L to 4000L).filter(i => i % 10 != 0 && i % 3 == 0)
+      .forall(kept.contains), "weight >= 1 must keep every row")
+    assert(!(1L to 4000L).exists(i =>
+      (i % 10 == 0 || i % 3 == 1) && kept.contains(i)),
+      "NULL and weight <= 0 must drop")
+    // w=0.5 keeps roughly half
+    val half = (1L to 4000L).count(i =>
+      i % 10 != 0 && i % 3 == 2 && kept.contains(i))
+    val n = (1L to 4000L).count(i => i % 10 != 0 && i % 3 == 2)
+    assert(half > n * 0.4 && half < n * 0.6, s"~50% expected, got $half/$n")
+    // deterministic on rerun; a different seed draws a different sample
+    val again = FeatureEng.weightedSample(df, "k", col("w"))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+    val reseeded = FeatureEng.weightedSample(df, "k", col("w"), seed = "e2")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(reseeded != kept, "a new seed must re-roll the sample")
+    // the re-roll is unbiased too: w>=1 rows still all survive
+    assert((1L to 4000L).filter(i => i % 10 != 0 && i % 3 == 0)
+      .forall(reseeded.contains))
+  }
+
   test("featureCorr: known perfect/inverse correlations, constant feature guarded to null") {
     import graft.stats.Profiler
     val rows = (1 to 50).flatMap { i =>
