@@ -471,6 +471,13 @@ object Graft {
                      seed: String = "graft"): DataFrame =
     FeatureEng.weightedSample(df, keyCol, weight, seed)
 
+  /** Deterministic training-order shuffle: reproducible
+    * (shard, position) permutation of a corpus; a new seed is a new
+    * epoch order. Size nShards so one shard fits one task. */
+  def shuffleShard(docs: DataFrame, nShards: Int,
+                   seed: String = "graft"): DataFrame =
+    FeatureEng.shuffleShard(docs, "doc_id", nShards, seed)
+
   def featureCorrelations(records: DataFrame): DataFrame =
     graft.stats.Profiler.featureCorr(records, "entity_id",
       "feature_name", "value_float")

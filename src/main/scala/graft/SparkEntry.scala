@@ -184,6 +184,12 @@ object SparkEntry {
       .select("doc_id", "n_words", "quality_score", "keep_bp",
         "sample_bucket")
 
+  // Training-order shuffle: every document gets a reproducible
+  // (shard, position) under seed "graft" — the corpus permutation a
+  // data loader consumes, with 8 shards at this scale.
+  def qShuffleShard(s: SparkSession, d: String): DataFrame =
+    FeatureEng.shuffleShard(Tables.documents(s, d), "doc_id", nShards = 8)
+
   def qFeatureCorr(s: SparkSession, d: String): DataFrame =
     graft.stats.Profiler.featureCorr(Tables.featureRecords(s, d),
       "entity_id", "feature_name", "value_float")
@@ -528,6 +534,7 @@ object SparkEntry {
     "q_categorical_hash" -> (qCategoricalHash _),
     "q_class_sample" -> (qClassSample _),
     "q_quality_sample" -> (qQualitySample _),
+    "q_shuffle_shard" -> (qShuffleShard _),
     "q_feature_corr" -> (qFeatureCorr _),
     "q_quantile_label" -> (qQuantileLabel _),
     "q_train_test_split" -> (qTrainTestSplit _),
@@ -1183,6 +1190,25 @@ object SparkEntry {
           |  FROM q
           |)
           |SELECT * FROM s WHERE sample_bucket < keep_bp""".stripMargin,
+
+      // md5 hex strings compare identically (ASCII lexicographic) in
+      // DuckDB and Spark; row_number cast to BIGINT on both sides.
+      "q_shuffle_shard" ->
+        """WITH s AS (
+          |  SELECT doc_id,
+          |    md5('graft:' || CAST(doc_id AS VARCHAR)) AS sort_key
+          |  FROM documents
+          |), h AS (
+          |  SELECT doc_id, sort_key,
+          |    ('0x' || substr(sort_key, 1, 8))::BIGINT
+          |      % 2147483648 % 8 AS shard
+          |  FROM s
+          |)
+          |SELECT doc_id, shard,
+          |  CAST(row_number() OVER (
+          |    PARTITION BY shard ORDER BY sort_key, doc_id) AS BIGINT)
+          |    AS shard_pos
+          |FROM h""".stripMargin,
 
       // Mirrors Profiler.featureCorr: per-entity decimal totals, exact
       // decimal sufficient statistics, identical double formula. The

@@ -357,6 +357,37 @@ object FeatureEng {
           col(keyCol).cast("string"))) % 10000)
       .filter(col("sample_bucket") < col("keep_bp"))
 
+  /** Deterministic TRAINING-ORDER SHUFFLE + SHARDING: the last step
+    * before a corpus feeds a data loader. Each row gets a seeded md5
+    * sort key; its shard is the md5Hash31 bucket of that key's prefix
+    * and its position within the shard is the rank of the full key —
+    * a reproducible global permutation (pure function of (seed, id):
+    * same result on any cluster layout; a new seed = a fresh epoch
+    * order) with none of the coordination a random shuffle needs.
+    *
+    * One shuffle: rows hash-partition by shard, then a per-shard
+    * window numbers them. Size `nShards` so a shard fits one task
+    * (~the output-file granularity a loader wants anyway — at 100 TB
+    * and 1 GB shards that is ~100k shards, each numbered
+    * independently). The write-side twin is
+    * `repartition(col("shard")).sortWithinPartitions("sort_key")` →
+    * one ordered file per shard.
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, nShards: Int,
+                   seed: String = "graft"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("sort_key", "doc_id")
+    docs.select(col(idCol).as("doc_id"),
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+          .as("sort_key"))
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 8), 16, 10).cast("long")
+          % 2147483648L % nShards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "shard_pos")
+  }
+
   /** Per-group ranking-feature variants (reference
     * python/mslr_example/dataset.py:30-45 — sum/min/max/mean/var of
     * each raw feature within the query group). One shuffle with

@@ -180,6 +180,33 @@ class FeatureEngSpec extends AnyFunSuite {
       .forall(reseeded.contains))
   }
 
+  test("shuffleShard: reproducible permutation, dense per-shard positions, seeded epochs differ") {
+    val df = (1L to 3000L).map(i => (i, s"text $i")).toDF("id", "text")
+    val out = FeatureEng.shuffleShard(df, "id", nShards = 7)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3000 && rows.map(_._1).distinct.length == 3000,
+      "every doc exactly once")
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 7 })
+    // positions are dense 1..n within every shard
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq,
+        s"shard $s positions must be dense from 1")
+    }
+    // no degenerate balance: each shard gets a nontrivial slice
+    assert(rows.groupBy(_._2).values.map(_.length).min > 200)
+    // identical rerun; different seed = different permutation
+    val again = FeatureEng.shuffleShard(df, "id", nShards = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val epoch2 = FeatureEng.shuffleShard(df, "id", nShards = 7, seed = "e2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq != epoch2.sortBy(_._1).toSeq,
+      "a new seed must produce a new order")
+    assert(epoch2.map(_._1).distinct.length == 3000,
+      "the re-rolled epoch is still a permutation")
+  }
+
   test("featureCorr: known perfect/inverse correlations, constant feature guarded to null") {
     import graft.stats.Profiler
     val rows = (1 to 50).flatMap { i =>
