@@ -285,6 +285,16 @@ object Graft {
     Dedup.decontaminate(docs, "doc_id", "text",
       evalDocs, "doc_id", "text", n, minOverlap)
 
+  /** Freeze the eval shingle set once offline, then tag contamination
+    * statelessly — the streaming-safe decontamination pair. */
+  def freezeEvalShingles(evalDocs: DataFrame, n: Int = 3): Array[Long] =
+    Dedup.freezeEvalShingles(evalDocs, "text", n)
+
+  def decontaminateFrozen(docs: DataFrame, frozenShingles: Array[Long],
+                          n: Int = 3, minOverlap: Long = 1L): DataFrame =
+    Dedup.decontaminateFrozen(docs, "doc_id", "text", frozenShingles, n,
+      minOverlap)
+
   /** Graded decontamination: per-doc (n_shingles, n_overlap,
     * contam_frac) vs the eval set — threshold on the fraction. */
   def decontaminationScores(docs: DataFrame, evalDocs: DataFrame,

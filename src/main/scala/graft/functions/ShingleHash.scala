@@ -27,33 +27,7 @@ case class ShingleHash(child: Expression, n: Int)
   override def prettyName: String = "graft_shingle_hash"
 
   def compute(s: UTF8String): ArrayData = {
-    val bytes = s.getBytes
-    // 1. hash each word (single-space tokenizer, matching Fns.words)
-    val wordHashes = new java.util.ArrayList[java.lang.Long]()
-    var h = ShingleHash.FnvOffset
-    var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') { wordHashes.add(h); h = ShingleHash.FnvOffset }
-      else h = (h ^ (bytes(i) & 0xffL)) * ShingleHash.FnvPrime
-      i += 1
-    }
-    wordHashes.add(h) // final word (empty text still yields one "word",
-                      // matching split(text, ' ') semantics)
-    val nw = wordHashes.size
-    if (nw < n) return new GenericArrayData(Array.empty[Long])
-    // 2. mix n consecutive word hashes per shingle, dedup
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    var j = 0
-    while (j <= nw - n) {
-      var acc = ShingleHash.Seed
-      var k = 0
-      while (k < n) {
-        acc = ShingleHash.mix(acc, wordHashes.get(j + k))
-        k += 1
-      }
-      seen.add(acc)
-      j += 1
-    }
+    val seen = ShingleHash.distinctShingleHashes(s, n)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var m = 0
@@ -154,7 +128,92 @@ object ShingleHash {
     h
   }
 
+  /** The single-pass loop behind [[ShingleHash]] and
+    * [[ShingleOverlap]]: distinct 64-bit shingle hashes of `s`, in
+    * first-occurrence order (word hashes FNV-1a, shingle hashes the
+    * [[mix]] of n consecutive word hashes — any change here changes
+    * BOTH the array and the overlap-count expressions identically,
+    * which is the point of sharing it).
+    */
+  def distinctShingleHashes(s: UTF8String, n: Int)
+  : java.util.LinkedHashSet[java.lang.Long] = {
+    val bytes = s.getBytes
+    // 1. hash each word (single-space tokenizer, matching Fns.words)
+    val wordHashes = new java.util.ArrayList[java.lang.Long]()
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { wordHashes.add(h); h = FnvOffset }
+      else h = (h ^ (bytes(i) & 0xffL)) * FnvPrime
+      i += 1
+    }
+    wordHashes.add(h) // final word (empty text still yields one "word",
+                      // matching split(text, ' ') semantics)
+    val nw = wordHashes.size
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nw < n) return seen
+    // 2. mix n consecutive word hashes per shingle, dedup
+    var j = 0
+    while (j <= nw - n) {
+      var acc = Seed
+      var k = 0
+      while (k < n) {
+        acc = mix(acc, wordHashes.get(j + k))
+        k += 1
+      }
+      seen.add(acc)
+      j += 1
+    }
+    seen
+  }
+
   def shingles(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       ShingleHash(GraftColumnBridge.expression(text), n))
+
+  def overlapCount(text: Column, n: Int, frozen: Seq[Long]): Column =
+    GraftColumnBridge.column(
+      ShingleOverlap(GraftColumnBridge.expression(text), n, frozen))
+}
+
+/** Count of a text's distinct n-word shingles that fall in a FROZEN
+  * hash set — the stateless (streaming-safe) form of eval-set
+  * decontamination: the eval corpus's shingle set is derived once
+  * offline, shipped as part of the expression, and each document is
+  * scored in one pass with a hash-set probe per shingle. Shares the
+  * exact loop of [[ShingleHash]], so
+  * `overlapCount(text) == |shingles(text) ∩ frozen|` bit-for-bit.
+  */
+case class ShingleOverlap(child: Expression, n: Int, frozen: Seq[Long])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_shingle_overlap"
+
+  @transient private lazy val frozenSet: java.util.HashSet[java.lang.Long] = {
+    val s = new java.util.HashSet[java.lang.Long](frozen.size * 2)
+    frozen.foreach(v => s.add(v))
+    s
+  }
+
+  def compute(s: UTF8String): Long = {
+    val it = ShingleHash.distinctShingleHashes(s, n).iterator()
+    var c = 0L
+    while (it.hasNext) if (frozenSet.contains(it.next())) c += 1
+    c
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleOverlap", this,
+      classOf[ShingleOverlap].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : ShingleOverlap = copy(child = newChild)
 }

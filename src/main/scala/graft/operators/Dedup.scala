@@ -703,6 +703,39 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Derive the FROZEN decontamination artifact for
+    * [[decontaminateFrozen]]: the eval corpus's distinct shingle-hash
+    * set (same ShingleHash family as [[decontaminate]]'s join keys).
+    * Eval sets are small by nature (benchmarks are thousands of docs
+    * — the broadcast assumption [[decontaminate]] already makes), so
+    * the set collects to the driver; sorted for a deterministic
+    * artifact that can be persisted and diffed.
+    */
+  def freezeEvalShingles(evalDocs: DataFrame, evalTextCol: String,
+                         n: Int): Array[Long] =
+    evalDocs.select(
+        explode(graft.functions.ShingleHash.shingles(col(evalTextCol), n))
+          .as("s")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** Streaming-safe decontamination twin: score each document against
+    * a frozen eval shingle set ([[freezeEvalShingles]]) in ONE pass —
+    * a codegen'd hash-set probe per shingle (ShingleOverlap), no
+    * explode, no join, no aggregation — so the plan is a pure
+    * projection that runs identically on a stream (ingest-time
+    * contamination tagging) and in batch. Given the same eval set,
+    * output rows equal [[decontaminate]]'s exactly: both count
+    * per-doc DISTINCT shingle hashes in the eval set. NULL text
+    * yields no row, matching the batch explode semantics.
+    */
+  def decontaminateFrozen(docs: DataFrame, idCol: String, textCol: String,
+                          frozenShingles: Array[Long], n: Int,
+                          minOverlap: Long = 1L): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHash.overlapCount(col(textCol), n,
+          frozenShingles.toSeq).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+
   /** Repeated-line removal — the RefinedWeb/CCNet boilerplate pass:
     * a line occurring in >= `maxDf` DISTINCT documents (nav bars,
     * cookie banners, "subscribe" footers, copyright lines) is cut

@@ -168,6 +168,26 @@ object ScaleProbe {
       TextAnalysis.redactPii(pd, "doc_id", "text")
         .agg(sum(length(col("text_redacted")))).head()
     })
+    // training-order shuffle: one shuffle + per-shard window
+    // numbering; aggregate over shard_pos so column pruning can't
+    // drop the window (takeaway 13)
+    time("shuffle shard xK (256 shards)")(
+      FeatureEng.shuffleShard(docs, "doc_id", 256)
+        .agg(sum(col("shard_pos"))).head())
+    // soft quality sampling: codegen filter over the quality frame —
+    // confirm it stays scan-shaped (the filter forces the scores)
+    time("quality-weighted sample xK")(
+      FeatureEng.weightedSample(
+        TextAnalysis.quality(docs, "doc_id", "text"), "doc_id",
+        col("quality_score")).count())
+    // frozen decontamination: freeze a benchmark-sized eval slice,
+    // then the one-pass hash-set probe over the dup-bombed corpus
+    time("decontaminate frozen xK")({
+      val frozen = Dedup.freezeEvalShingles(
+        docs.filter(col("doc_id") % 997 === 0), "text", 3)
+      Dedup.decontaminateFrozen(docs, "doc_id", "text", frozen, 3)
+        .agg(sum(col("n_overlap"))).head()
+    })
     // incremental dedup: init state from 90% of the corpus, then
     // dedup a 10% shard against it — the shard cost is what a daily
     // ingest pays, and it must be shard-shaped, not corpus-shaped

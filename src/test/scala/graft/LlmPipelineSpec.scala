@@ -410,6 +410,29 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"eval shingles must broadcast:\n$plan")
   }
 
+  test("decontaminateFrozen equals batch decontaminate on the corpus; plan is join-free") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    // any real slice works as an "eval set" — overlap is guaranteed
+    // because eval docs are drawn from the corpus itself
+    val evalDocs = docs.filter(col("doc_id") % 17 === 0)
+      .select("doc_id", "text")
+    val frozen = Dedup.freezeEvalShingles(evalDocs, "text", n = 3)
+    val batch = Dedup.decontaminate(docs, "doc_id", "text",
+        evalDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFrozen = Dedup.decontaminateFrozen(docs, "doc_id", "text",
+        frozen, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.nonEmpty && viaFrozen == batch,
+      s"frozen/batch divergence: ${viaFrozen.size} vs ${batch.size} rows")
+    // the frozen path is one projection: no join, no agg, no exchange
+    val plan = Dedup.decontaminateFrozen(docs, "doc_id", "text",
+      frozen, n = 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+      !plan.contains("Aggregate"),
+      s"frozen decontamination must be a pure projection:\n$plan")
+  }
+
   test("embeddingCosineLsh: candidates+verify equals exact at high threshold") {
     val rnd = new scala.util.Random(7)
     val dim = 16

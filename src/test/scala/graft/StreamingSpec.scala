@@ -544,4 +544,33 @@ class StreamingSpec extends AnyFunSuite {
       .toMap
     assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
   }
+
+  test("frozen decontamination runs stateless on a stream, equals batch decontaminate") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the quick brown fox jumps high today"), // 2 shared shingles
+      (2L, "completely unrelated corpus text here now"),
+      (3L, "quick brown fox jumps over lazy dogs indeed")) // heavy overlap
+    val frozen = graft.operators.Dedup.freezeEvalShingles(eval, "text", n = 3)
+    val input = MemoryStream[(Long, String)]
+    // append mode with NO watermark: proves the plan carries no
+    // stateful aggregation — one codegen projection end to end
+    val query = graft.operators.Dedup.decontaminateFrozen(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", frozen, n = 3)
+      .writeStream.format("memory").queryName("sdecontam")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("sdecontam").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    query.stop()
+    assert(streamed.contains(3L) && !streamed.contains(2L))
+    val batch = graft.operators.Dedup.decontaminate(
+        rows.toDF("doc_id", "text"), "doc_id", "text",
+        eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
+  }
 }
