@@ -171,6 +171,13 @@ object Graft {
   : graft.offline.TrainingExport.ExportManifest =
     graft.offline.TrainingExport.exportDataset(df, path, keyCol, trainPct)
 
+  /** Materialize the corpus in deterministic shuffled training order:
+    * one sorted file per shard; a new seed = the next epoch. */
+  def exportShuffled(docs: DataFrame, path: String, nShards: Int,
+                     seed: String = "graft"): Long =
+    graft.offline.TrainingExport.exportShuffled(docs, path, "doc_id",
+      nShards, seed)
+
   // --- LLM data pipeline ----------------------------------------------
   def dedupExact(docs: DataFrame): DataFrame =
     Dedup.exact(docs, "doc_id", "text")

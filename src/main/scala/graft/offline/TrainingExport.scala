@@ -91,6 +91,61 @@ object TrainingExport {
   : DataFrame =
     spark.read.parquet(dataDir(root)).filter(col("split") === split)
 
+  /** Write a corpus in deterministic SHUFFLED TRAINING ORDER — the
+    * materialized form of [[graft.operators.FeatureEng.shuffleShard]]
+    * and the last step before a data loader: each row's shard and
+    * in-shard position come from the seeded md5 permutation, rows
+    * land in `shard=N` subdirectories, and every shard's file is
+    * sorted by the shuffle key, so a loader streaming shard files
+    * start-to-finish reads the corpus in the epoch's random order.
+    * A new seed re-rolls the permutation for the next epoch.
+    *
+    * ONE pass: `repartition(col("shard"))` puts each shard in exactly
+    * one task (hash of the shard VALUE — shards never split), the
+    * sort orders it, `partitionBy` routes it to its directory (one
+    * file per shard), and the row count rides the write as an
+    * observed metric. Size nShards so a shard fits one task — at
+    * 100 TB that is ~1 GB shards, the file granularity loaders want.
+    */
+  def exportShuffled(docs: DataFrame, root: String, keyCol: String,
+                     nShards: Int, seed: String = "graft"): Long = {
+    require(nShards > 0, "nShards must be positive")
+    require(!docs.columns.contains("shard") &&
+      !docs.columns.contains("sort_key"),
+      "input already has a 'shard'/'sort_key' column — rename before export")
+    val spark = docs.sparkSession
+    val keyed = docs
+      .withColumn("sort_key",
+        md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("sort_key"), 1, 8), 16, 10).cast("long")
+          % 2147483648L % nShards)
+    val obs = org.apache.spark.sql.Observation()
+    keyed.repartition(col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(dataDir(root))
+    val rows = obs.get("rows").asInstanceOf[Long]
+    val m = new java.util.LinkedHashMap[String, Object]()
+    m.put("schemaHash", java.lang.Long.valueOf(
+      Registry.schemaHash(docs.columns.toSeq.sorted)))
+    m.put("columns", docs.columns.toSeq.asJava)
+    m.put("keyCol", keyCol)
+    m.put("seed", seed)
+    m.put("nShards", java.lang.Integer.valueOf(nShards))
+    m.put("rows", java.lang.Long.valueOf(rows))
+    val p = new Path(root, "shuffle_manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StorageUtil.atomicOverwrite(fs, p, mapper.writeValueAsBytes(m))
+    rows
+  }
+
+  /** Read one shard of a shuffled export with partition pruning; rows
+    * arrive in the epoch's shuffled order (file sort order). */
+  def readShard(spark: SparkSession, root: String, shard: Long): DataFrame =
+    spark.read.parquet(dataDir(root)).filter(col("shard") === shard)
+
   /** Dataset discovery: scan a storage root for exported training
     * datasets and return their manifests as a catalog — the Spark
     * slice of the reference's DatasetDiscoveryService manifest scan

@@ -706,6 +706,37 @@ class StoreSpec extends AnyFunSuite {
       r.getAs[Long]("test_rows")).sameElements(Array(2L, 1L)))
   }
 
+  test("exportShuffled: one sorted file per shard, agrees with shuffleShard, epoch reroll") {
+    val root = tmp("shuffled").stripSuffix("/t")
+    val docs = (1L to 500L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    val rows = TrainingExport.exportShuffled(docs, root, "id", nShards = 5)
+    assert(rows == 500L)
+    // every shard directory holds exactly one data file
+    (0L until 5L).foreach { s =>
+      val dir = new java.io.File(s"$root/data/shard=$s")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"shard $s must be one file, got ${files.length}")
+    }
+    // shards partition the corpus, assignments match the query operator
+    val expected = graft.operators.FeatureEng.shuffleShard(docs, "id", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val back = spark.read.parquet(s"$root/data").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("shard")).toMap
+    assert(back == expected)
+    // within a shard, file row order IS the sort-key order (single
+    // small file → single scan partition, so collect preserves it)
+    val s0 = TrainingExport.readShard(spark, root, 0L)
+      .select(md5(concat(lit("graft:"), col("id").cast("string"))))
+      .collect().map(_.getString(0))
+    assert(s0.length > 30 && s0.sameElements(s0.sorted),
+      "shard file must be sorted by the shuffle key")
+    // a new seed re-rolls the permutation
+    TrainingExport.exportShuffled(docs, s"$root/e2", "id", 5, seed = "e2")
+    val e2 = spark.read.parquet(s"$root/e2/data").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("shard")).toMap
+    assert(e2 != back, "epoch seed must change shard assignments")
+  }
+
   test("Registry lifecycle: mutations emit events, audit log is append-only history") {
     val root = tmp("audit")
     val f0 = Seq(FeatureDef("click", "user", "float", 0.0, 3600L)).toDS()
