@@ -469,6 +469,12 @@ object Graft {
   def chunkDocuments(docs: DataFrame, window: Int, stride: Int): DataFrame =
     TextAnalysis.chunk(docs, "doc_id", "text", window, stride)
 
+  /** Winnowing fingerprints: any >= k+w-1 shared words guarantees a
+    * shared fingerprint, at ~1/w full-shingle density. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4)
+  : DataFrame =
+    TextAnalysis.winnow(docs, "doc_id", "text", k, w)
+
   /** Dolma-style domain mixing: downsample sources to target token
     * shares (rates derived from actual counts, deterministic md5
     * application, no upsampling). */

@@ -376,6 +376,12 @@ object SparkEntry {
     TextAnalysis.topNgrams(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 50)
 
+  // Winnowing fingerprints: any >= 8 shared words (k+w-1) between two
+  // docs guarantees a shared fingerprint at 1/4 shingle density.
+  def qWinnow(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.winnow(Tables.documents(s, d), "doc_id", "text",
+      k = 5, w = 4)
+
   /** The STREAMING-SAFE frozen line-dedup, declared with the frozen
     * frequent-line set derived from the same corpus (same maxDf /
     * minChars as q_line_dedup) — the pure-projection apply path a
@@ -576,7 +582,8 @@ object SparkEntry {
     "q_pii_redact" -> (qPiiRedact _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_frozen" -> (qLineDedupFrozen _),
-    "q_top_ngrams" -> (qTopNgrams _)
+    "q_top_ngrams" -> (qTopNgrams _),
+    "q_winnow" -> (qWinnow _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1842,7 +1849,24 @@ object SparkEntry {
           |    count(*) AS cnt
           |  FROM g GROUP BY 1)
           |SELECT * FROM c ORDER BY df DESC, cnt DESC, ngram
-          |LIMIT 50""".stripMargin
+          |LIMIT 50""".stripMargin,
+
+      // Winnowing k=5 w=4: md5 hex minima are lexicographic in both
+      // engines; list(… ORDER BY i) pins gram order before windowing.
+      "q_winnow" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    list(md5(array_to_string(ws[i:i+4], ' ')) ORDER BY i) AS gs
+          |  FROM t, unnest(generate_series(1, greatest(len(ws)-4, 0)))
+          |    AS u(i)
+          |  GROUP BY doc_id)
+          |SELECT DISTINCT doc_id, list_min(gs[j:j+3]) AS fp
+          |FROM g, unnest(generate_series(1, greatest(len(gs)-3, 1)))
+          |  AS v(j)""".stripMargin
     )
   }
 }

@@ -464,6 +464,41 @@ object TextAnalysis {
       md5(trim(regexp_replace(lower(col(textCol)), " +", " ")))
         .as("fingerprint"))
 
+  /** MOSS-style WINNOWING fingerprints (Schleimer et al., SIGMOD
+    * 2003): md5 each k-word gram, slide a w-gram window over the gram
+    * sequence, and keep each window's MINIMUM hash. The winnowing
+    * guarantee: any run of >= k+w-1 shared words between two
+    * documents yields at least one shared fingerprint — full
+    * shingling's detection floor at ~1/w of its fingerprint volume,
+    * which is what makes fingerprint indexes tractable at corpus
+    * scale. Documents shorter than k words emit nothing; documents
+    * with fewer than w grams emit their single overall minimum.
+    *
+    * Returns one row per distinct (doc_id, fp). Pure projection +
+    * explode — no join, no shuffle; candidate pairs come from the
+    * same inverted-index equi-join the other dedup families use
+    * (group by fp, cap hyper-frequent fps like ngramJaccard's maxDf).
+    * md5 hex minima are portable (lexicographic ASCII order in any
+    * engine) — swap ShingleHash in production when oracle portability
+    * is not needed.
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val ws = filter(Fns.words(col(textCol)), x => x =!= "")
+    // guard short docs: sequence(1, 0) DESCENDS in Spark
+    val gIdx = when(size(ws) >= k, sequence(lit(1), size(ws) - (k - 1)))
+      .otherwise(array())
+    val grams = transform(gIdx,
+      i => md5(array_join(slice(ws, i, lit(k)), " ")))
+    docs.select(col(idCol).as("doc_id"), grams.as("g"))
+      .withColumn("wi", when(size(col("g")) >= 1,
+        sequence(lit(1), greatest(lit(1), size(col("g")) - (w - 1))))
+        .otherwise(array()))
+      .select(col("doc_id"), explode(array_distinct(transform(col("wi"),
+        j => array_min(slice(col("g"), j, lit(w)))))).as("fp"))
+  }
+
   /** Corpus-level frequent n-gram mining — the boilerplate DISCOVERY
     * diagnostic that pairs with the cutting passes (lineDedup /
     * overlapSpans): the k n-grams appearing in the most documents,

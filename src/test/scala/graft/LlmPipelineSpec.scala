@@ -969,6 +969,37 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(!out.contains(3L), "shingle-less docs have no score row")
   }
 
+  test("winnow: shared-run guarantee, short-doc edges, 1/w density") {
+    val sharedRun = "alpha beta gamma delta epsilon zeta eta theta" // 8 words = k+w-1
+    val docs = Seq(
+      (1L, s"one two three four five six seven $sharedRun"),
+      (2L, s"$sharedRun nine ten eleven twelve thirteen fourteen"),
+      (3L, "completely different words with no common runs at all today"),
+      (4L, "tiny doc"),                    // < k words: no fingerprints
+      (5L, "exactly five words here now"), // 5 words = 1 gram: 1 fp
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // winnowing guarantee: >= k+w-1 shared words -> shared fingerprint
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "docs sharing an 8-word run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "no shared runs, no overlap")
+    assert(!byDoc.contains(4L) && !byDoc.contains(6L),
+      "docs shorter than k words emit nothing")
+    assert(byDoc(5L).size == 1, "k..k+w-2 grams emit the single minimum")
+    // density: far fewer fingerprints than grams for a long doc
+    val longDoc = Seq((9L, (1 to 400).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nFps = TextAnalysis.winnow(longDoc, "doc_id", "text", 5, 4).count()
+    assert(nFps < 396 / 2, s"winnowing must thin fingerprints, got $nFps")
+    // determinism
+    val again = TextAnalysis.winnow(docs, "doc_id", "text", k = 5, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(fps.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("topNgrams: df-ranked with deterministic tie-break, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b c a b c x"),
