@@ -475,6 +475,12 @@ object Graft {
   : DataFrame =
     TextAnalysis.winnow(docs, "doc_id", "text", k, w)
 
+  /** Near-dup pairs from winnowing fingerprints: guaranteed recall on
+    * contiguous copies, df-capped inverted-index join. */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4,
+                  minShared: Long = 2L, maxDf: Long = 100L): DataFrame =
+    Dedup.winnowPairs(docs, "doc_id", "text", k, w, minShared, maxDf)
+
   /** Dolma-style domain mixing: downsample sources to target token
     * shares (rates derived from actual counts, deterministic md5
     * application, no upsampling). */

@@ -382,6 +382,12 @@ object SparkEntry {
     TextAnalysis.winnow(Tables.documents(s, d), "doc_id", "text",
       k = 5, w = 4)
 
+  // The pair detector over those fingerprints — guaranteed recall on
+  // >= 8-word contiguous copies at ~1/16 of ngramJaccard's join work.
+  def qWinnowPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+      k = 5, w = 4, minShared = 2L, maxDf = 100L)
+
   /** The STREAMING-SAFE frozen line-dedup, declared with the frozen
     * frequent-line set derived from the same corpus (same maxDf /
     * minChars as q_line_dedup) — the pure-projection apply path a
@@ -583,7 +589,8 @@ object SparkEntry {
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_frozen" -> (qLineDedupFrozen _),
     "q_top_ngrams" -> (qTopNgrams _),
-    "q_winnow" -> (qWinnow _)
+    "q_winnow" -> (qWinnow _),
+    "q_winnow_pairs" -> (qWinnowPairs _)
   )
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
@@ -1866,7 +1873,29 @@ object SparkEntry {
           |  GROUP BY doc_id)
           |SELECT DISTINCT doc_id, list_min(gs[j:j+3]) AS fp
           |FROM g, unnest(generate_series(1, greatest(len(gs)-3, 1)))
-          |  AS v(j)""".stripMargin
+          |  AS v(j)""".stripMargin,
+
+      "q_winnow_pairs" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    list(md5(array_to_string(ws[i:i+4], ' ')) ORDER BY i) AS gs
+          |  FROM t, unnest(generate_series(1, greatest(len(ws)-4, 0)))
+          |    AS u(i)
+          |  GROUP BY doc_id),
+          |f AS (
+          |  SELECT DISTINCT doc_id, list_min(gs[j:j+3]) AS fp
+          |  FROM g, unnest(generate_series(1, greatest(len(gs)-3, 1)))
+          |    AS v(j)),
+          |r AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 100),
+          |jf AS (SELECT f.doc_id, f.fp FROM f JOIN r USING (fp))
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  count(*) AS shared_fps
+          |FROM jf a JOIN jf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
     )
   }
 }

@@ -80,6 +80,37 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Near-dup candidate pairs from WINNOWING fingerprints
+    * ([[TextAnalysis.winnow]]): docs sharing >= `minShared` window-
+    * minimum fingerprints. The winnowing guarantee makes this a
+    * principled detector, not a heuristic: any shared run of
+    * >= k+w-1 words forces a shared fingerprint, so contiguous-copy
+    * pairs cannot be missed — while the ~1/w fingerprint density
+    * makes the inverted-index join w× lighter per side (w² per pair)
+    * than full-shingle ngramJaccard. `maxDf` caps hyper-frequent
+    * fingerprints (boilerplate minima) exactly like ngramJaccard's
+    * cap, bounding per-key join fan-out; every stage is an equi-join
+    * or map-side-combinable aggregate.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                  maxDf: Long = 100L): DataFrame = {
+    val fps = TextAnalysis.winnow(docs, idCol, textCol, k, w)
+    val joinSide =
+      if (maxDf <= 0) fps
+      else {
+        val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("fp")
+        fps.join(rare, "fp")
+      }
+    joinSide.as("a")
+      .join(joinSide.as("b"), col("a.fp") === col("b.fp") &&
+                        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** MinHash signature + LSH banding candidate pairs.
     * k hash functions realized as xxhash64 with distinct seeds folded
     * per doc (one shuffle); signatures cut into `bands` bands of

@@ -168,6 +168,12 @@ object ScaleProbe {
       TextAnalysis.redactPii(pd, "doc_id", "text")
         .agg(sum(length(col("text_redacted")))).head()
     })
+    // winnowing pairs under the dup-bomb: k replicas of every doc
+    // share ALL fingerprints, so pair pressure is k² per content
+    // cluster on 1/w-density fps — the honest stress for the capped
+    // inverted-index join
+    time("winnow pairs xK (maxDf=100)")(
+      Dedup.winnowPairs(docs, "doc_id", "text", 5, 4, 2L, 100L).count())
     // training-order shuffle: one shuffle + per-shard window
     // numbering; aggregate over shard_pos so column pruning can't
     // drop the window (takeaway 13)

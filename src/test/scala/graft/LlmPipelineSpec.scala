@@ -1000,6 +1000,32 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(fps.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("winnowPairs: finds contiguous-copy pairs, df cap silences boilerplate") {
+    val copied = (1 to 30).map(i => s"c$i").mkString(" ")
+    val boiler = "all rights reserved contact us for more information today ok"
+    val base = Seq(
+      (1L, s"intro words here $copied trailing text one"),
+      (2L, s"$copied completely other tail for doc two"),
+      (3L, "unrelated document content with nothing shared at all here"))
+    // 12 docs sharing ONLY the boilerplate line (plus unique filler
+    // long enough to fingerprint)
+    val noise = (10L to 21L).map(i =>
+      (i, s"$boiler unique$i filler$i words$i extra$i more$i tail$i"))
+    val docs = (base ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 2L, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "a 30-word contiguous copy must be detected")
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L),
+      s"boilerplate-only overlap above maxDf must produce no pairs: $pairs")
+    // uncapped, the boilerplate fps come back and link the noise docs
+    val uncapped = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 5, w = 4, minShared = 2L, maxDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.exists(p => p._1 >= 10L && p._2 >= 10L))
+  }
+
   test("topNgrams: df-ranked with deterministic tie-break, short docs contribute nothing") {
     val docs = Seq(
       (1L, "a b c a b c x"),
