@@ -237,4 +237,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"no single-partition funnel allowed:\n$plan")
   }
+
+  test("q_quality_sample: zero shuffles — the soft filter runs at scan speed") {
+    assert(countShuffles(SparkEntry.qQualitySample(spark, TestSpark.sfDir))
+      == 0)
+  }
+
+  test("q_winnow: zero shuffles — fingerprinting is a pure projection") {
+    assert(countShuffles(SparkEntry.qWinnow(spark, TestSpark.sfDir)) == 0)
+  }
+
+  test("q_shuffle_shard: exactly one exchange, no single-partition funnel") {
+    val df = SparkEntry.qShuffleShard(spark, TestSpark.sfDir)
+    assert(countShuffles(df) == 1,
+      "shard numbering must be the permutation's only shuffle")
+    assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "per-shard windows, never a global one")
+  }
+
+  test("q_winnow_pairs: equi-join shaped, no cartesian") {
+    val plan = SparkEntry.qWinnowPairs(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"winnow pairs must stay an inverted-index equi-join:\n$plan")
+  }
 }

@@ -358,6 +358,27 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("weightedSample runs unchanged on a stream, equals batch") {
+    import graft.operators.FeatureEng
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 300L).map(i => (i, if (i % 2 == 0) 0.5 else 1.0))
+    val input = MemoryStream[(Long, Double)]
+    // the SAME batch operator: the md5 coin is a pure projection
+    val query = FeatureEng.weightedSample(
+        input.toDF().toDF("k", "w"), "k", col("w"))
+      .writeStream.format("memory").queryName("swsample")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("swsample").collect()
+      .map(_.getLong(0)).toSet
+    query.stop()
+    val batch = FeatureEng.weightedSample(rows.toDF("k", "w"), "k", col("w"))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("StreamingAsof: maxFeatureAgeMs expires stale floors to the default") {
     import graft.streaming.StreamingAsof
     import graft.streaming.StreamingAsof.{FeatureUpdate, LabelEvent}

@@ -106,15 +106,34 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(clean.join(contaminated, Seq("doc_id"), "left_semi").count() == 0,
       "no contaminated doc may survive the anti-join")
 
-    // 5. pack into training sequences under a token budget
-    val packed = FeatureEng.packSequences(clean, "doc_id", "text",
+    // 5. soft quality sampling: tilt the surviving corpus by score —
+    // weight >= 1 docs are certain, nothing outside `clean` can enter
+    val sampled = FeatureEng.weightedSample(
+      clean.join(TextAnalysis.quality(clean, "doc_id", "text")
+        .select("doc_id", "quality_score"), Seq("doc_id")),
+      "doc_id", col("quality_score"))
+    assert(sampled.count() <= clean.count())
+
+    // 6. pack into training sequences under a token budget
+    val packed = FeatureEng.packSequences(sampled, "doc_id", "text",
       budgetTokens = 512L)
-    assert(packed.count() == clean.count(),
+    assert(packed.count() == sampled.count(),
       "every surviving doc lands in exactly one sequence")
     // packing is by exact running start offset: every doc STARTS
     // inside its bin's budget (a straddling doc may extend past it)
     assert(packed.filter(col("bin_offset") >= 512L).count() == 0,
       "every doc must start within its bin's token budget")
     assert(packed.filter(col("bin") < 0).count() == 0)
+
+    // 7. materialize the epoch in shuffled training order
+    val outRoot = java.nio.file.Files
+      .createTempDirectory("curated").toString + "/epoch0"
+    val rows = graft.offline.TrainingExport.exportShuffled(
+      sampled, outRoot, "doc_id", nShards = 4)
+    assert(rows == sampled.count(),
+      "the exported epoch holds exactly the sampled corpus")
+    val back = spark.read.parquet(outRoot + "/data")
+    assert(back.count() == rows &&
+      back.select("shard").distinct().count() == 4L)
   }
 }
