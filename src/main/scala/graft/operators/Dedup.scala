@@ -658,7 +658,14 @@ object Dedup {
   def overlapSpans(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minTokens: Int, maxDf: Long = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // repartition(s): the positional-shingle explode feeds the df cap
+    // and both self-join sides; without an exchange below it each
+    // consumer recomputes the projection (same fan-out-recompute
+    // pattern as ngramJaccard/winnowPairs, same fix — the exchange is
+    // the shuffle the inverted-index join needs anyway, and AQE's
+    // skew-join split still applies on the reused shuffle reads).
     val sh = positionalShingles(docs, idCol, textCol, n)
+      .repartition(col("s"))
     val joinSide =
       if (maxDf <= 0) sh
       else sh.join(sh.groupBy("s").agg(count(lit(1)).as("df"))
