@@ -980,12 +980,17 @@ object Dedup {
     import graft.functions.VectorExpressions.dotF
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Fns.l2Norm(col(vecCol)).as("nrm"))
+    // repartition(t, b): the bucket table (nTables × nBits hyperplane
+    // dots per vector) feeds both self-join sides; one exchange on
+    // the join key shares the computation (the fan-out-recompute fix
+    // proven on ngramJaccard/winnowPairs/overlapSpans).
     val tabled = emb.select(col(idCol).as("id"),
       explode(array((0 until nTables).map(t =>
         struct(lit(t).as("t"),
           Ann.lshBucket(col(vecCol), nBits, dim, planeOffset = t * nBits)
             .as("b"))): _*)).as("tb"))
       .select(col("id"), col("tb.t").as("t"), col("tb.b").as("b"))
+      .repartition(col("t"), col("b"))
     val pairs = tabled.as("x")
       .join(tabled.as("y"),
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
