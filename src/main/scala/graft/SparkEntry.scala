@@ -184,6 +184,15 @@ object SparkEntry {
       .select("doc_id", "n_words", "quality_score", "keep_bp",
         "sample_bucket")
 
+  // Token-budget data selection: the best-scoring documents, in
+  // (quality_score desc, doc_id) order, until 10k tokens are spent —
+  // the DCLM "top-N tokens by classifier score" training-set cut.
+  def qSelectBudget(s: SparkSession, d: String): DataFrame =
+    FeatureEng.selectToBudget(
+      TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text"),
+      "doc_id", col("quality_score"), col("n_words"),
+      budgetTokens = 10000L)
+
   // Training-order shuffle: every document gets a reproducible
   // (shard, position) under seed "graft" — the corpus permutation a
   // data loader consumes, with 8 shards at this scale.
@@ -546,6 +555,7 @@ object SparkEntry {
     "q_categorical_hash" -> (qCategoricalHash _),
     "q_class_sample" -> (qClassSample _),
     "q_quality_sample" -> (qQualitySample _),
+    "q_select_budget" -> (qSelectBudget _),
     "q_shuffle_shard" -> (qShuffleShard _),
     "q_feature_corr" -> (qFeatureCorr _),
     "q_quantile_label" -> (qQuantileLabel _),
@@ -1204,6 +1214,35 @@ object SparkEntry {
           |  FROM q
           |)
           |SELECT * FROM s WHERE sample_bucket < keep_bp""".stripMargin,
+
+      // Same quality formula as q_text_quality (bit-identical rounded
+      // doubles both sides); the cumulative is a sum of BIGINTs over
+      // the same (score desc, doc_id) total order — exact on both
+      // engines, no float-order sensitivity.
+      "q_select_budget" ->
+        """WITH b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits
+          |  FROM documents
+          |), q AS (
+          |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+          |    round(least(n_words / 100.0, 1.0) *
+          |          (1.0 - round(stop_hits / n_words, 6)), 6)
+          |      AS score
+          |  FROM b
+          |  WHERE n_words > 0
+          |), c AS (
+          |  SELECT doc_id, score, n_tokens,
+          |    CAST(sum(n_tokens) OVER (
+          |      ORDER BY score DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM q WHERE score IS NOT NULL
+          |)
+          |SELECT doc_id, score, n_tokens, cum_tokens
+          |FROM c WHERE cum_tokens <= 10000""".stripMargin,
 
       // md5 hex strings compare identically (ASCII lexicographic) in
       // DuckDB and Spark; row_number cast to BIGINT on both sides.

@@ -388,6 +388,51 @@ object FeatureEng {
       .select("doc_id", "shard", "shard_pos")
   }
 
+  /** DCLM-style TOKEN-BUDGET DATA SELECTION: keep the best-scoring
+    * documents until a global token budget is spent — the "train on
+    * the top-N tokens by classifier score" step that turns a scored
+    * corpus into a fixed-size training set. Returns (doc_id, score,
+    * n_tokens, cum_tokens) for every doc whose INCLUSIVE cumulative
+    * token count, in (score desc, doc_id asc) order, fits the budget
+    * — the straddling document is dropped, so the output never
+    * exceeds `budgetTokens`.
+    *
+    * Exact global selection WITHOUT a single-partition sort: the
+    * cumulative splits into (tokens in strictly-better scores) +
+    * (within-tie prefix). The first term is [[runningTotal]] over
+    * DISTINCT negated scores — the shared prefix-sum machinery, range-
+    * balanced in distinct-value space; the second is a window
+    * partitioned BY score, so its partitions are the tie groups.
+    * Caveat: a tie group is one window partition — classifier scores
+    * are near-continuous so groups stay tiny, but a degenerate
+    * constant score funnels the corpus into one partition; round
+    * scores no coarser than you can afford ties. NULL scores and
+    * non-positive/NULL token counts are dropped (they can't be
+    * ranked / cost nothing).
+    */
+  def selectToBudget(docs: DataFrame, idCol: String, score: Column,
+                     tokens: Column, budgetTokens: Long,
+                     rangeParts: Int = 32): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val base = docs.select(col(idCol).as("doc_id"), score.as("score"),
+        tokens.cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0 && col("score").isNotNull)
+      .localCheckpoint(false) // feeds the score totals AND the join
+    val counts = base.groupBy(negate(col("score")).as("negscore"))
+      .agg(sum("n_tokens").as("tie_tokens"))
+    val above = runningTotal(counts, "negscore", "tie_tokens", rangeParts)
+      .select(negate(col("ord")).as("score"),
+        (col("running_total") - col("val")).as("above_tokens"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy("score").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    base.join(above, "score")
+      .withColumn("cum_tokens",
+        col("above_tokens") + sum("n_tokens").over(wTie))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "score", "n_tokens", "cum_tokens")
+  }
+
   /** Per-group ranking-feature variants (reference
     * python/mslr_example/dataset.py:30-45 — sum/min/max/mean/var of
     * each raw feature within the query group). One shuffle with

@@ -180,6 +180,31 @@ class FeatureEngSpec extends AnyFunSuite {
       .forall(reseeded.contains))
   }
 
+  test("selectToBudget: greedy best-first prefix, tie order by id, straddler dropped") {
+    val df = Seq[(Long, Option[Double], Long)](
+      (1L, Some(0.8), 5L), (2L, Some(0.9), 10L), (3L, Some(0.8), 3L),
+      (4L, Some(0.7), 4L),
+      (5L, None, 100L),      // NULL score drops
+      (6L, Some(0.95), 0L)   // zero tokens drops
+    ).toDF("id", "sc", "tok")
+    // order: 2 (10) -> 1 (15) -> 3 (18) -> 4 (22); budget 17:
+    // doc 3 straddles (cum 18 > 17) and everything after it is out
+    val out = FeatureEng.selectToBudget(df, "id", col("sc"), col("tok"),
+        budgetTokens = 17L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out == Map(2L -> 10L, 1L -> 15L))
+    // a budget past the corpus keeps every rankable doc, exact cums
+    val all = FeatureEng.selectToBudget(df, "id", col("sc"), col("tok"),
+        budgetTokens = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(all == Map(2L -> 10L, 1L -> 15L, 3L -> 18L, 4L -> 22L))
+    // within a tie, smaller id wins the budget: 1 before 3
+    val tie = FeatureEng.selectToBudget(df, "id", col("sc"), col("tok"),
+        budgetTokens = 15L)
+      .collect().map(_.getLong(0)).toSet
+    assert(tie == Set(2L, 1L))
+  }
+
   test("shuffleShard: reproducible permutation, dense per-shard positions, seeded epochs differ") {
     val df = (1L to 3000L).map(i => (i, s"text $i")).toDF("id", "text")
     val out = FeatureEng.shuffleShard(df, "id", nShards = 7)

@@ -255,6 +255,14 @@ class PlanSpec extends AnyFunSuite {
       "per-shard windows, never a global one")
   }
 
+  test("q_select_budget: no single-partition funnel — the global " +
+    "prefix sum stays distributed") {
+    val plan = SparkEntry.qSelectBudget(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"budget selection must not global-sort:\n$plan")
+  }
+
   test("q_winnow_pairs: equi-join shaped, no cartesian") {
     val plan = SparkEntry.qWinnowPairs(spark, TestSpark.sfDir)
       .queryExecution.executedPlan.toString
