@@ -23,15 +23,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos
-    * long (legacy conf) and rebuild a micros TimestampType column —
-    * identical values to DuckDB's native ns read at ms/µs granularity.
+  /** `events.ts` has drifted across driver testdata generations:
+    * parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+    * rejects — [PARQUET_TYPE_ILLEGAL]) and plain TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false. Normalize BOTH to the same micros
+    * TimestampType column, session-timezone-independently:
+    * nanos read as a raw long (legacy conf) and rebuilt as µs = ns
+    * DIV 1000; micros read as TimestampType directly by disabling
+    * NTZ inference, so the stored int64 is taken as UTC epoch micros
+    * — exactly the values DuckDB's naive read gives the oracle.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // reached only if a session read the file before the conf was
+        // set; UTC-pinned sessions make this cast value-identical
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
