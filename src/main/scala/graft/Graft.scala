@@ -242,11 +242,21 @@ object Graft {
 
   /** Incremental dedup of a newly-arrived shard against persisted
     * state (first-seen wins; first call initializes). Equals the
-    * batch pipeline when shards arrive in ascending doc_id order. */
+    * batch pipeline when shards arrive in ascending doc_id order.
+    * `pruneStateDocs` > 0 turns on the micro-shard fast path: state
+    * files are pruned to the shard's own key ranges instead of
+    * scanned linearly (pair with [[compactDedupState]]). */
   def dedupIncremental(newDocs: DataFrame, stateRoot: String,
-                       n: Int = 3, threshold: Double = 0.8): DataFrame =
+                       n: Int = 3, threshold: Double = 0.8,
+                       pruneStateDocs: Int = 0): DataFrame =
     Dedup.dedupIncremental(newDocs, "doc_id", "text", stateRoot, n,
-      threshold)
+      threshold, pruneStateDocs = pruneStateDocs)
+
+  /** Key-sort + compact the incremental-dedup state tables so the
+    * micro-shard fast path prunes state files by footer stats. */
+  def compactDedupState(spark: SparkSession, stateRoot: String,
+                        numFiles: Int = 64): Unit =
+    Dedup.compactDedupState(spark, stateRoot, numFiles)
 
   def cleanFilter(docs: DataFrame): DataFrame =
     TextAnalysis.cleanFilter(docs, "doc_id", "text")

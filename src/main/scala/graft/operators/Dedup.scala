@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fns
@@ -491,10 +491,26 @@ object Dedup {
     * state tables (hashes ~1 row/doc, bands ~`bands` rows/doc,
     * shingles ~tokens/doc — the inverted index, the honest price of
     * exact verification). Returns the surviving new doc ids.
+    *
+    * @param pruneStateDocs micro-shard fast path: when > 0 and the
+    *   shard has at most this many canonical docs, each state join
+    *   reads only the state FILES whose footer key ranges intersect
+    *   the keys the shard itself brings (hashes by the shard's md5
+    *   set, bands by its band-key hashes, shingles by the candidate
+    *   old doc ids) instead of scanning state linearly. Results are
+    *   identical — each prune is a superset of what its exact
+    *   equi-join can consume — but state I/O becomes shard-shaped,
+    *   not state-shaped, once [[compactDedupState]] has laid the
+    *   tables out key-sorted. Costs one driver collect per state
+    *   table, bounded by the gate (~1 + `bands` keys per doc), so
+    *   keep it to genuinely small shards (streaming micro-batches,
+    *   near-real-time ingestion) and leave 0 for bulk shards, where
+    *   a linear state scan is the better plan anyway.
     */
   def dedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                        stateRoot: String, n: Int, threshold: Double,
-                       k: Int = 32, bands: Int = 16): DataFrame = {
+                       k: Int = 32, bands: Int = 16,
+                       pruneStateDocs: Int = 0): DataFrame = {
     import graft.offline.VersionedStore
     val spark = newDocs.sparkSession
     val base = newDocs.select(col(idCol).as("doc_id"),
@@ -508,15 +524,27 @@ object Dedup {
       .localCheckpoint(false)
     val haveState =
       VersionedStore.latestVersion(spark, stateHashes(stateRoot)) >= 0
+    // Micro-shard pruning gate (see scaladoc). Key values ride
+    // readValues' cast-to-double scale; the cast is monotone, so
+    // footer pruning never drops a true match, and a 64-bit hash that
+    // collides in double space merely survives the prune and falls
+    // out of the exact long/string equi-join downstream.
+    val pruned = pruneStateDocs > 0 && haveState &&
+      exactKeep.count() <= pruneStateDocs
     // exact-vs-state: a new canonical whose hash is already known is
     // dropped and NOT re-registered (its cluster's canonical — bands,
     // shingles — is already in state, exactly as one batch exact
     // stage would have collapsed it)
     val activeH =
       if (!haveState) exactKeep
-      else exactKeep.join(
-        VersionedStore.read(spark, stateHashes(stateRoot)).select("h"),
-        Seq("h"), "left_anti")
+      else {
+        val stateH =
+          if (pruned)
+            VersionedStore.readValuesStr(spark, stateHashes(stateRoot), "h",
+              exactKeep.select("h").collect().map(_.getString(0)).toSeq)
+          else VersionedStore.read(spark, stateHashes(stateRoot))
+        exactKeep.join(stateH.select("h"), Seq("h"), "left_anti")
+      }
     val active = longDocs
       .join(activeH.select("doc_id"), Seq("doc_id"), "left_semi")
       .localCheckpoint(false)
@@ -542,12 +570,20 @@ object Dedup {
       // sibling (first-seen would trump the batch keep-min order)
       // must not happen — with the filter, the replay behaves exactly
       // as if the crashed attempt never registered
-      else VersionedStore.read(spark, stateBands(stateRoot))
-        .join(base.select("doc_id"), Seq("doc_id"), "left_anti").as("a")
-        .join(bandedNew.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      else {
+        val stateB =
+          if (pruned)
+            VersionedStore.readValues(spark, stateBands(stateRoot), "key",
+              bandedNew.select("key").distinct().collect()
+                .map(_.getLong(0).toDouble).toSeq)
+          else VersionedStore.read(spark, stateBands(stateRoot))
+        stateB
+          .join(base.select("doc_id"), Seq("doc_id"), "left_anti").as("a")
+          .join(bandedNew.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      }
     // exact Jaccard verify, candidate pairs only (doc_b is always new)
     def verify(cand: DataFrame, shA: DataFrame): DataFrame = {
       val sizesA = shA.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -566,6 +602,17 @@ object Dedup {
     val dropsNew = verify(candNew, shNew)
     val dropsOld =
       if (!haveState) dropsNew.limit(0)
+      else if (pruned) {
+        // the verify join keys state shingles by doc_a, so the prune
+        // set is the candidate OLD doc ids — usually a handful, and
+        // state appends arrive in ascending id order, so the shingle
+        // table is naturally id-clustered even before compaction
+        val cand = candOld.localCheckpoint(false)
+        verify(cand, VersionedStore.readValues(spark,
+          stateShingles(stateRoot), "doc_id",
+          cand.select("doc_a").distinct().collect()
+            .map(_.getLong(0).toDouble).toSeq))
+      }
       else verify(candOld,
         VersionedStore.read(spark, stateShingles(stateRoot)))
     val survivors = active.select("doc_id")
@@ -614,6 +661,30 @@ object Dedup {
     appendFresh(bandedNew, stateBands(stateRoot))
     appendFresh(activeH.select("h", "doc_id"), stateHashes(stateRoot))
     survivors
+  }
+
+  /** Maintenance for [[dedupIncremental]] state: compact each table
+    * sorted by its JOIN key — hashes by `h`, bands by `key`, shingles
+    * by `doc_id` — so the footer [min, max] ranges become disjoint
+    * and the `pruneStateDocs` fast path opens only the files a
+    * micro-shard's keys can live in. Also collapses per-shard append
+    * fragmentation. Run periodically, between shards.
+    *
+    * Sorting bands by `key` leaves each file's doc_id range wide;
+    * that does not regress the happy-path registration guard, which
+    * prunes on the NEW shard's id range sitting above all historical
+    * ids under ascending-id arrival — only a crashed-shard replay
+    * (overlapping ids) pays a wider residue read, and stays correct.
+    */
+  def compactDedupState(spark: SparkSession, stateRoot: String,
+                        numFiles: Int = 64): Unit = {
+    import graft.offline.VersionedStore
+    def go(root: String, key: String): Unit =
+      if (VersionedStore.latestVersion(spark, root) >= 0)
+        VersionedStore.compact(spark, root, numFiles, sortBy = Seq(key))
+    go(stateHashes(stateRoot), "h")
+    go(stateBands(stateRoot), "key")
+    go(stateShingles(stateRoot), "doc_id")
   }
 
   /** Positional shingle stream: one row per (doc, 1-based token

@@ -207,6 +207,25 @@ object ScaleProbe {
     time("dedup incremental shard (10%)")(
       Dedup.dedupIncremental(shard, "doc_id", "text", dstate, 3, 0.8)
         .count())
+    // micro-shard fast path: key-sort the state, then a 50-doc batch
+    // full-scan vs pruned — the pruned read must be batch-shaped, not
+    // state-shaped. Two disjoint fresh-id batches (registration
+    // mutates state between the runs).
+    val microBase = Tables.documents(spark, d).limit(100).cache()
+    microBase.count()
+    val micro1 = microBase.filter(col("doc_id") % 2 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(100000000L))
+    val micro2 = microBase.filter(col("doc_id") % 2 === 1)
+      .withColumn("doc_id", col("doc_id") + lit(200000000L))
+    time("compact dedup state (key-sorted)")(
+      Dedup.compactDedupState(spark, dstate, numFiles = 64))
+    time("micro-shard 50 docs, full scan")(
+      Dedup.dedupIncremental(micro1, "doc_id", "text", dstate, 3, 0.8)
+        .count())
+    time("micro-shard 50 docs, pruned")(
+      Dedup.dedupIncremental(micro2, "doc_id", "text", dstate, 3, 0.8,
+        pruneStateDocs = 10000).count())
+    microBase.unpersist()
     // near-dup graph -> connected components (pointer-jump propagation)
     time("clusters over minhash pairs xK")({
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)

@@ -234,6 +234,60 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"replayed shard must fully dedup against state: $s2replay")
   }
 
+  test("dedupIncremental micro-shard: key-sorted state prunes files, identical survivors") {
+    import graft.offline.VersionedStore
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val mx = docs.agg(max($"doc_id")).head().getLong(0)
+    val bulk = docs.filter($"doc_id" <= mx - 25)
+    val shard = docs.filter($"doc_id" > mx - 25)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    // registration mutates state, so the pruned and full-scan shard
+    // runs each dedup against their own (identical) state
+    val r1 = java.nio.file.Files
+      .createTempDirectory("dstateP").toString + "/state"
+    val r2 = java.nio.file.Files
+      .createTempDirectory("dstateF").toString + "/state"
+    val s1 = ids(Dedup.dedupIncremental(bulk, "doc_id", "text", r1,
+      n = 3, threshold = 0.8))
+    val s2 = ids(Dedup.dedupIncremental(bulk, "doc_id", "text", r2,
+      n = 3, threshold = 0.8))
+    assert(s1 == s2, "same bulk must build equivalent state")
+    Dedup.compactDedupState(spark, r1, numFiles = 8)
+    // primitive proof: on the key-sorted tables a point-set read opens
+    // a strict subset of files (bands pruned by a band-key hash,
+    // hashes pruned by an md5 string — the string-stats path)
+    val bandsAll = VersionedStore.read(spark, s"$r1/bands").inputFiles.toSet
+    assert(bandsAll.size == 8, s"compaction should spread to 8 files")
+    val someKey = VersionedStore.read(spark, s"$r1/bands")
+      .select("key").limit(1).head().getLong(0)
+    val bandsOpened = VersionedStore.readValues(spark, s"$r1/bands", "key",
+      Seq(someKey.toDouble)).inputFiles.toSet
+    assert(bandsOpened.nonEmpty && bandsOpened.subsetOf(bandsAll) &&
+      bandsOpened.size < bandsAll.size,
+      s"one band key must open <8 band files, got ${bandsOpened.size}")
+    val hashesAll = VersionedStore.read(spark, s"$r1/hashes").inputFiles.toSet
+    val someH = VersionedStore.read(spark, s"$r1/hashes")
+      .select("h").limit(1).head().getString(0)
+    val hashesOpened = VersionedStore.readValuesStr(spark, s"$r1/hashes",
+      "h", Seq(someH)).inputFiles.toSet
+    assert(hashesOpened.nonEmpty && hashesOpened.subsetOf(hashesAll) &&
+      hashesOpened.size < hashesAll.size,
+      s"one md5 must open <${hashesAll.size} hash files, " +
+        s"got ${hashesOpened.size}")
+    // end-to-end: the fast path equals the full-scan path equals the
+    // batch pipeline over the union
+    val fast = ids(Dedup.dedupIncremental(shard, "doc_id", "text", r1,
+      n = 3, threshold = 0.8, pruneStateDocs = 1000))
+    val full = ids(Dedup.dedupIncremental(shard, "doc_id", "text", r2,
+      n = 3, threshold = 0.8))
+    assert(fast == full,
+      s"pruned fast path diverged: extra=${fast -- full}, " +
+        s"missing=${full -- fast}")
+    assert((s1 ++ fast) == ids(Dedup.pipeline(docs, "doc_id", "text", 3, 0.8)),
+      "incremental union must still equal the batch pipeline")
+  }
+
   test("domainMix: rates derive from token counts, binding source keeps all, others downsample") {
     // srcA: 100 tokens, srcB: 400 tokens, shares 50/50 ->
     // scale = min(100/.5, 400/.5) = 200; rateA = 200*.5/100 = 1.0
