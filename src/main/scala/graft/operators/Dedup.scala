@@ -506,11 +506,23 @@ object Dedup {
     *   keep it to genuinely small shards (streaming micro-batches,
     *   near-real-time ingestion) and leave 0 for bulk shards, where
     *   a linear state scan is the better plan anyway.
+    * @param beforeRegister invoked with the final survivor frame
+    *   AFTER the dedup is fully determined but BEFORE any state
+    *   registration commits. This is the exactly-once hook for an
+    *   at-least-once caller (foreachBatch): commit your output here,
+    *   idempotently (e.g. MERGE by doc id). A replay that crashed
+    *   before registration recomputes the identical survivors (every
+    *   state read pins the pre-registration version, and the dedup is
+    *   deterministic), so the re-commit merges the same rows; a
+    *   replay that crashed after registration dedups to nothing and
+    *   the re-commit is a no-op — either way the output lands exactly
+    *   once. See streaming.StreamingNearDedup.
     */
   def dedupIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                        stateRoot: String, n: Int, threshold: Double,
                        k: Int = 32, bands: Int = 16,
-                       pruneStateDocs: Int = 0): DataFrame = {
+                       pruneStateDocs: Int = 0,
+                       beforeRegister: DataFrame => Unit = null): DataFrame = {
     import graft.offline.VersionedStore
     val spark = newDocs.sparkSession
     val base = newDocs.select(col(idCol).as("doc_id"),
@@ -657,6 +669,7 @@ object Dedup {
           if (!fresh.isEmpty) VersionedStore.append(fresh, root)
         }
       }
+    if (beforeRegister != null) beforeRegister(survivors)
     appendFresh(shNew, stateShingles(stateRoot))
     appendFresh(bandedNew, stateBands(stateRoot))
     appendFresh(activeH.select("h", "doc_id"), stateHashes(stateRoot))

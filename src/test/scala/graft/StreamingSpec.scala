@@ -594,4 +594,49 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
   }
+
+  test("StreamingNearDedup: survivors land exactly once, equal the batch pipeline") {
+    import graft.offline.VersionedStore
+    import graft.operators.Dedup
+    import graft.streaming.StreamingNearDedup
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("snd").toString
+    val state = s"$tmp/state"; val out = s"$tmp/out"
+    val b1 = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g x"), // near-dups
+      (3L, "z y x w v u t s"))
+    val b2 = Seq((4L, "a b c d e f g h"),  // exact dup of 1 (state hash)
+      (5L, "z y x w v u t q"),             // near-dup of 3 (state bands)
+      (6L, "m n o p q r s t"))             // fresh
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingNearDedup.start(input.toDF().toDF("doc_id", "text"),
+      state, out, s"$tmp/ckpt", n = 3, threshold = 0.5,
+      pruneStateDocs = 1000)
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    def outIds(): Set[Long] = VersionedStore.read(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = outIds()
+    val batchIds = Dedup.pipeline((b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 0.5).collect().map(_.getLong(0)).toSet
+    assert(got == batchIds,
+      s"stream survivors $got != batch pipeline $batchIds")
+    // full rows rode along, one row per survivor (merge, not append)
+    val rows = VersionedStore.read(spark, out).collect()
+    assert(rows.length == got.size)
+    assert(rows.map(_.getString(1)).forall(_.nonEmpty))
+    // a replayed stream over already-registered content (fresh
+    // checkpoint, same state) must leave the out table unchanged —
+    // the post-registration half of the exactly-once story
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingNearDedup.start(input2.toDF().toDF("doc_id", "text"),
+      state, out, s"$tmp/ckpt2", n = 3, threshold = 0.5,
+      pruneStateDocs = 1000)
+    input2.addData(b1 ++ b2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(outIds() == got, "replay must not change the out table")
+  }
 }
