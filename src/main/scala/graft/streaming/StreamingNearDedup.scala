@@ -40,11 +40,21 @@ object StreamingNearDedup {
   /** Attach the near-dedup foreachBatch to a stream with `doc_id`
     * (long, globally unique, ascending across batches) and `text`
     * columns. Extra columns ride along into the out table.
+    *
+    * @param compactEvery when > 0, every `compactEvery`-th batch ends
+    *   by key-sorting + compacting the state tables
+    *   (Dedup.compactDedupState) — each batch appends three state
+    *   fragments, and the `pruneStateDocs` fast path only prunes well
+    *   over key-sorted files, so a long-running stream needs this
+    *   cadence (or an external maintenance job) to keep micro-batch
+    *   cost batch-shaped. The compacting batch pays the rewrite;
+    *   replayed compactions are idempotent (a fresh sorted rewrite).
     */
   def writer(docs: DataFrame, stateRoot: String, outTable: String,
              n: Int = 3, threshold: Double = 0.8,
-             pruneStateDocs: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+             pruneStateDocs: Int = 0, compactEvery: Int = 0,
+             compactFiles: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
         Dedup.dedupIncremental(batch, "doc_id", "text", stateRoot,
@@ -57,6 +67,8 @@ object StreamingNearDedup {
               else VersionedStore.merge(keep, outTable, Seq("doc_id"))
             }
           })
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Dedup.compactDedupState(spark, stateRoot, compactFiles)
         ()
       }
     }
@@ -64,9 +76,11 @@ object StreamingNearDedup {
   /** Convenience: start the sink with a processing-time trigger. */
   def start(docs: DataFrame, stateRoot: String, outTable: String,
             checkpoint: String, n: Int = 3, threshold: Double = 0.8,
-            pruneStateDocs: Int = 0,
+            pruneStateDocs: Int = 0, compactEvery: Int = 0,
+            compactFiles: Int = 64,
             trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    writer(docs, stateRoot, outTable, n, threshold, pruneStateDocs)
+    writer(docs, stateRoot, outTable, n, threshold, pruneStateDocs,
+      compactEvery, compactFiles)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -608,14 +608,20 @@ class StreamingSpec extends AnyFunSuite {
       (5L, "z y x w v u t q"),             // near-dup of 3 (state bands)
       (6L, "m n o p q r s t"))             // fresh
     val input = MemoryStream[(Long, String)]
+    // compactEvery=1: every batch ends key-sorting the state, so
+    // batch 2's exact/near lookups run against COMPACTED state — the
+    // long-running-stream shape
     val query = StreamingNearDedup.start(input.toDF().toDF("doc_id", "text"),
       state, out, s"$tmp/ckpt", n = 3, threshold = 0.5,
-      pruneStateDocs = 1000)
+      pruneStateDocs = 1000, compactEvery = 1, compactFiles = 2)
     input.addData(b1: _*)
     query.processAllAvailable()
     input.addData(b2: _*)
     query.processAllAvailable()
     query.stop()
+    assert(graft.offline.VersionedStore
+      .read(spark, s"$state/bands").inputFiles.length <= 2,
+      "maintenance cadence must leave the state compacted")
     def outIds(): Set[Long] = VersionedStore.read(spark, out)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val got = outIds()
