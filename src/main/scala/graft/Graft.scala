@@ -238,6 +238,14 @@ object Graft {
   : DataFrame = Dedup.embeddingCosineLsh(emb, "vec_id", "embedding",
     threshold, dim)
 
+  /** SemDeDup: k-means-cell-blocked exact cosine pairs — the
+    * moderate-threshold scale path (work ~n²/nCells, true cosines,
+    * recall bounded by cross-cell splits; nCells=1 == the exact
+    * blocked join). */
+  def dedupEmbeddingSemdedup(emb: DataFrame, threshold: Double,
+                             nCells: Int): DataFrame =
+    Dedup.embeddingSemdedup(emb, "vec_id", "embedding", threshold, nCells)
+
   def dedupClusters(pairs: DataFrame): DataFrame = Dedup.clusters(pairs)
 
   /** Incremental dedup of a newly-arrived shard against persisted

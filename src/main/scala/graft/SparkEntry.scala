@@ -273,6 +273,16 @@ object SparkEntry {
     Dedup.embeddingCosine(Tables.embeddings(s, d), "vec_id", "embedding",
       threshold = 0.4)
 
+  // SemDeDup (k-means-cell-blocked exact cosine): the scale twin of
+  // q_dedup_embedding at the SAME moderate threshold — work n²/cells,
+  // precision 1.0, recall = co-located fraction (rows-only: a trained
+  // k-means is not expressible in portable SQL; the nCells=1 ==
+  // embeddingCosine equivalence and precision/determinism are
+  // spec-proven, LlmPipelineSpec).
+  def qDedupSemdedup(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingSemdedup(Tables.embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4, nCells = 8)
+
   def qAnnTopk(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Ann.bruteTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding",
@@ -571,6 +581,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_wide" -> (qDedupSimhashWide _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_dedup_semdedup" -> (qDedupSemdedup _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_lsh" -> (qAnnLsh _),

@@ -146,7 +146,7 @@ object Ann {
   /** One trained IVF index: the coarse quantizer plus the assigned
     * corpus (cell + norm per vector, persisted — the materialized
     * inverted file). */
-  private case class IvfIndex(
+  private[operators] case class IvfIndex(
     model: org.apache.spark.ml.clustering.KMeansModel,
     assigned: DataFrame)
 
@@ -224,21 +224,22 @@ object Ann {
     *   spaces: an accidental id match would silently drop a true
     *   neighbor.
     */
-  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
-                vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
-                trainSample: Int = 100000,
-                excludeSelf: Boolean = true): DataFrame = {
-    import graft.functions.VectorExpressions.dotF
+  /** Train-or-reuse the coarse quantizer plus the persisted corpus
+    * cell assignment (id, v, cell, nrm) — the shared substrate of
+    * [[ivfSearch]] and Dedup.embeddingSemdedup, cached by corpus plan
+    * hash (see the cache scaladoc above).
+    */
+  private[operators] def cellIndex(corpus: DataFrame, idCol: String,
+                                   vecCol: String, nCentroids: Int,
+                                   trainSample: Int): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = corpus.sparkSession
-
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("fv", array_to_vector(col("v")))
     val cacheKey =
       (corpus.queryExecution.logical.semanticHash(), nCentroids, trainSample)
     val cached = quantizers.synchronized { quantizers.get(cacheKey) }
-    val index = if (cached != null) cached else {
+    if (cached != null) cached else {
       quantizerTrainings.incrementAndGet()
       // Deterministic training sample: global ascending-id head, not
       // an arbitrary-partition limit() (TakeOrdered — distributed).
@@ -274,6 +275,15 @@ object Ann {
         }
       }
     }
+  }
+
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
+                trainSample: Int = 100000,
+                excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val spark = corpus.sparkSession
+    val index = cellIndex(corpus, idCol, vecCol, nCentroids, trainSample)
     val model = index.model
     val assigned = index.assigned
 

@@ -1088,4 +1088,54 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("doc_a", "doc_b", "cosine")
   }
+
+  /** SemDeDup-style embedding near-dup pairs: k-means cells block the
+    * exact cosine compare, so the O(n²) work of [[embeddingCosine]]
+    * drops to ~n²/nCells while each returned pair carries the TRUE
+    * cosine (precision 1.0). This is the published scale path for
+    * MODERATE thresholds (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"), where
+    * sign-LSH cannot prune (a hyperplane bit agrees with prob ~0.63 at
+    * cosine 0.4 vs 0.5 background — see [[embeddingCosine]]'s note)
+    * but cluster-blocking still can: semantically-near vectors
+    * co-locate in k-means cells far more often than background pairs.
+    *
+    * Recall caveat, stated honestly: a qualifying pair SPLIT across
+    * two cells is missed — the published tradeoff. nCells=1 reduces
+    * exactly to [[embeddingCosine]]'s full pair set (spec-proven),
+    * which is also the oracle baseline for measuring a corpus' recall
+    * before committing to a cell count. The quantizer and corpus
+    * assignment are shared with (and cached by) the IVF machinery —
+    * a deployment that both searches and dedups the same table trains
+    * k-means once.
+    *
+    * Scale shape: one k-means (sampled train + one corpus predict,
+    * PERSISTED by the shared IVF cache — both self-join sides read
+    * the cached assignment, so the prediction never recomputes,
+    * unlike the uncached fan-out projections ngram/winnow had to
+    * repartition for), per-cell triangular equi-join on the cell
+    * key — the biggest cell bounds the worst task, and AQE's skew
+    * split applies to the join's exchanges.
+    */
+  def embeddingSemdedup(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nCells: Int,
+                        trainSample: Int = 100000): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    // nCells=1: no quantizer (KMeans needs k >= 2) — a constant cell
+    // sends every pair through the same join/cosine path, which is
+    // the exact-equivalence oracle mode (and a single-bucket O(n²)
+    // join: test scale only)
+    val assigned =
+      if (nCells <= 1)
+        emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+          lit(0).as("cell"), Fns.l2Norm(col(vecCol)).as("nrm"))
+      else Ann.cellIndex(emb, idCol, vecCol, nCells, trainSample).assigned
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        round(dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("cosine"))
+  }
 }

@@ -248,6 +248,13 @@ object ScaleProbe {
     time("embedding LSH+verify xK (thr 0.9)")(
       Dedup.embeddingCosineLsh(emb, "vec_id", "embedding", 0.9, dim = 64)
         .count())
+    // SemDeDup at the same moderate threshold the exact path pays
+    // n² for: cell-blocked work is ~n²/nCells plus one k-means — the
+    // honest scale answer where LSH cannot prune (probe includes the
+    // training, which the quantizer cache amortizes in steady state)
+    time("embedding semdedup xK (64 cells)")(
+      Dedup.embeddingSemdedup(emb, "vec_id", "embedding", 0.4, 64)
+        .count())
     // persisted-index serving at xK: build once (timed separately),
     // then the serve path 100 queries probe 4/64 cells — the number
     // that matters is the SERVE, which file-prunes to probed cells

@@ -44,10 +44,11 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("oracleSql covers every query (or is intentionally rows-only)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // minhash needs xxhash64, simhash an FNV word fold, ivf a trained
-    // KMeans — none expressible in portable DuckDB SQL; spec-tested.
+    // minhash needs xxhash64, simhash an FNV word fold, ivf and
+    // semdedup a trained KMeans — none expressible in portable DuckDB
+    // SQL; spec-tested.
     val known = Set("q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_simhash_wide", "q_ann_ivf")
+      "q_dedup_simhash_wide", "q_ann_ivf", "q_dedup_semdedup")
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 

@@ -288,6 +288,34 @@ class LlmPipelineSpec extends AnyFunSuite {
       "incremental union must still equal the batch pipeline")
   }
 
+  test("embeddingSemdedup: nCells=1 equals the exact blocked join; cells keep true cosines") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = pairSet(
+      Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.4, 8))
+    assert(exact.nonEmpty, "gate corpus must contain qualifying pairs")
+    // one cell == no blocking: complete equivalence with the exact
+    // triangular join, pair for pair, cosine for cosine
+    val one = pairSet(
+      Dedup.embeddingSemdedup(emb, "vec_id", "embedding", 0.4, 1))
+    assert(one == exact,
+      s"nCells=1 must reduce to embeddingCosine: " +
+        s"extra=${(one -- exact).take(3)}, missing=${(exact -- one).take(3)}")
+    // blocked: every returned pair is a TRUE pair with its exact
+    // cosine (precision 1.0); recall is the published cell-split
+    // tradeoff — record it, require it nonzero, and require
+    // determinism run to run
+    val cells = pairSet(
+      Dedup.embeddingSemdedup(emb, "vec_id", "embedding", 0.4, 8))
+    assert(cells.subsetOf(exact), "cell-blocked pairs must be exact")
+    assert(cells.nonEmpty, "co-located near-dups must be found")
+    assert(pairSet(
+      Dedup.embeddingSemdedup(emb, "vec_id", "embedding", 0.4, 8)) == cells)
+    info(f"semdedup recall at 8 cells: " +
+      f"${cells.size.toDouble / exact.size}%.2f (${cells.size}/${exact.size})")
+  }
+
   test("domainMix: rates derive from token counts, binding source keeps all, others downsample") {
     // srcA: 100 tokens, srcB: 400 tokens, shares 50/50 ->
     // scale = min(100/.5, 400/.5) = 200; rateA = 200*.5/100 = 1.0

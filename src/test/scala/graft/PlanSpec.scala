@@ -270,4 +270,20 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"winnow pairs must stay an inverted-index equi-join:\n$plan")
   }
+
+  test("q_dedup_semdedup: cell equi-join over the cached assignment, never all-pairs") {
+    val df = SparkEntry.qDedupSemdedup(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semdedup must join on the cell key:\n$plan")
+    // both self-join sides must read the PERSISTED assignment (the
+    // shared IVF cache), never re-run the k-means prediction from
+    // parquet per side
+    // (the InMemoryRelation subtree still PRINTS its parquet lineage,
+    // so asserting the absence of FileScan would false-fail — the
+    // InMemoryTableScan on both sides is the reuse proof)
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"self-join sides must reuse the cached cell assignment:\n$plan")
+  }
 }
