@@ -246,6 +246,15 @@ object Graft {
                              nCells: Int): DataFrame =
     Dedup.embeddingSemdedup(emb, "vec_id", "embedding", threshold, nCells)
 
+  /** Incremental SemDeDup of a new vector batch against a persisted
+    * IVF index (annIvfBuildIndex) used as dedup state: batch-shaped
+    * cost (reads only the batch's cells' files), first-seen wins,
+    * registers the batch via keyed MERGE. */
+  def dedupEmbeddingIncremental(newEmb: DataFrame, indexRoot: String,
+                                threshold: Double): DataFrame =
+    Dedup.embeddingSemdedupIncremental(newEmb, "vec_id", "embedding",
+      indexRoot, threshold)
+
   def dedupClusters(pairs: DataFrame): DataFrame = Dedup.clusters(pairs)
 
   /** Incremental dedup of a newly-arrived shard against persisted

@@ -375,8 +375,8 @@ object Ann {
 
   // --- persisted IVF index (serving) ---------------------------------
 
-  private def centroidTable(indexRoot: String) = s"$indexRoot/centroids"
-  private def assignmentTable(indexRoot: String) = s"$indexRoot/assignment"
+  private[operators] def centroidTable(indexRoot: String) = s"$indexRoot/centroids"
+  private[operators] def assignmentTable(indexRoot: String) = s"$indexRoot/assignment"
 
   /** Train an IVF index and PERSIST it as two VersionedStore tables
     * under `indexRoot`: `centroids` (c_cell, cv) and `assignment`
@@ -582,7 +582,7 @@ object Ann {
   /** Nearest existing centroid per update row: (id, v, cell) via the
     * same L2-argmin (argmax of dot − |c|²/2, ties to the lowest cell)
     * the probe stage uses. */
-  private def assignToCentroids(updates: DataFrame, idCol: String,
+  private[operators] def assignToCentroids(updates: DataFrame, idCol: String,
                                 vecCol: String, centroidDf: DataFrame)
   : DataFrame = {
     import graft.functions.VectorExpressions.dotF

@@ -1138,4 +1138,73 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("cosine"))
   }
+
+  /** INCREMENTAL SemDeDup: dedup a batch of NEW vectors against the
+    * vectors registered in a persisted IVF index
+    * ([[Ann.ivfBuildIndex]]) without rescanning the corpus — the
+    * embedding twin of [[dedupIncremental]], with the same first-seen
+    * semantics and the same exactly-once `beforeRegister` hook.
+    *
+    * The index IS the dedup state. The frozen centroids give every
+    * vector a stable cell, so incremental results are reproducible:
+    * a new vector drops iff it has a same-cell partner at cosine >=
+    * `threshold` that is either already registered or a smaller-id
+    * batch sibling — exactly [[embeddingSemdedup]] over the union
+    * UNDER THE INDEX'S ASSIGNMENT (spec-proven; a from-scratch batch
+    * run would retrain k-means on the union and may cell vectors
+    * differently). Recall carries SemDeDup's published cross-cell
+    * caveat.
+    *
+    * Scale shape: the batch assigns against the broadcast centroid
+    * table, reads ONLY its own cells' state files (the probed-cell
+    * file pruning [[Ann.ivfServe]] uses — cell-sorted layout), joins
+    * within cell, and registers every batch vector (drops included —
+    * a dropped vector can still be a future vector's nearest partner
+    * under keep-min semantics) via the keyed MERGE. A crashed batch
+    * replays identically: partially-merged rows are excluded from the
+    * state side by id, the recomputed survivors are the same frame,
+    * and the MERGE re-registers idempotently.
+    */
+  def embeddingSemdedupIncremental(newEmb: DataFrame, idCol: String,
+                                   vecCol: String, indexRoot: String,
+                                   threshold: Double,
+                                   beforeRegister: DataFrame => Unit = null)
+  : DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    import graft.offline.VersionedStore
+    val spark = newEmb.sparkSession
+    val centroidDf = VersionedStore
+      .read(spark, Ann.centroidTable(indexRoot))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    val assignedNew = Ann
+      .assignToCentroids(newEmb, idCol, vecCol, centroidDf)
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+      .localCheckpoint(false)
+    // state side: only the batch's cells (bounded by nCentroids — a
+    // small driver scalar), file-pruned via the cell-sorted layout;
+    // exclude the batch's own ids so a crashed partial MERGE cannot
+    // self-pair its rows on replay
+    val cells = assignedNew.select("cell").distinct()
+      .collect().map(_.getInt(0).toDouble).toSeq
+    val state = VersionedStore
+      .readValues(spark, Ann.assignmentTable(indexRoot), "cell", cells)
+      .join(newEmb.select(col(idCol).as("id")), Seq("id"), "left_anti")
+    def drops(cand: DataFrame): DataFrame = cand
+      .withColumn("cosine", round(
+        dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("b.id").as("id")).distinct()
+    val dropNew = drops(assignedNew.as("a").join(assignedNew.as("b"),
+      col("a.cell") === col("b.cell") && col("a.id") < col("b.id")))
+    val dropOld = drops(state.as("a").join(assignedNew.as("b"),
+      col("a.cell") === col("b.cell")))
+    val survivors = assignedNew.select(col("id"))
+      .join(broadcast(dropNew.unionByName(dropOld).distinct()),
+        Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    if (beforeRegister != null) beforeRegister(survivors)
+    VersionedStore.merge(assignedNew, Ann.assignmentTable(indexRoot),
+      Seq("id"))
+    survivors
+  }
 }

@@ -270,6 +270,15 @@ object ScaleProbe {
     time("ivf serve 100q nProbe=4 (2nd)")(
       Ann.ivfServe(spark, ivfRoot, queries, "vec_id", "embedding",
         nProbe = 4, k = 10).count())
+    // incremental semdedup: a 50-vector batch dedup'd against the xK
+    // index used as state — cost must be batch-shaped (cell-pruned
+    // state read + broadcast centroid assign), not index-shaped
+    val incBatch = Tables.embeddings(spark, d).limit(50)
+      .select((col("vec_id") + lit(100000000L)).as("vec_id"),
+        col("embedding"))
+    time("semdedup incremental 50 vecs")(
+      Dedup.embeddingSemdedupIncremental(incBatch, "vec_id", "embedding",
+        ivfRoot, 0.4).count())
     queries.unpersist()
     emb.unpersist()
     }

@@ -316,6 +316,66 @@ class LlmPipelineSpec extends AnyFunSuite {
       f"${cells.size.toDouble / exact.size}%.2f (${cells.size}/${exact.size})")
   }
 
+  test("embeddingSemdedupIncremental: frozen-cell equality, pruned reads, idempotent replay") {
+    import graft.offline.VersionedStore
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val mx = emb.agg(max($"vec_id")).head().getLong(0)
+    val bulk = emb.filter($"vec_id" <= mx - 3)
+    val batch = emb.filter($"vec_id" > mx - 3)
+    val root = java.nio.file.Files
+      .createTempDirectory("isem").toString + "/idx"
+    Ann.ivfBuildIndex(bulk, "vec_id", "embedding", nCentroids = 8, root)
+    val allFiles = VersionedStore.read(spark, s"$root/assignment")
+      .inputFiles.toSet
+    val got = Dedup.embeddingSemdedupIncremental(batch, "vec_id",
+      "embedding", root, threshold = 0.4)
+    val gotIds = got.collect().map(_.getLong(0)).toSet
+    // pruning proof: the survivors plan opens only the batch's cells'
+    // state files (3 vectors -> at most 3 of 8 cells)
+    val opened = got.inputFiles.toSet.intersect(allFiles)
+    assert(opened.nonEmpty && opened.size < allFiles.size,
+      s"batch must read a strict subset of the inverted file: " +
+        s"${opened.size}/${allFiles.size}")
+    // independent driver-side expectation under the FROZEN cells:
+    // replicate assignToCentroids' argmax(dot - |c|^2/2, tie -> low
+    // cell) and the operator's 6-dp rounded cosine
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val cents = VersionedStore.read(spark, s"$root/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def cellOf(v: Array[Float]): Int =
+      cents.map { case (c, cv) => (c, dot(v, cv) - dot(cv, cv) / 2) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val all = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val withCell = all.map { case (id, v) => (id, v, cellOf(v)) }
+    val batchRows = withCell.filter(_._1 > mx - 3)
+    val expected = batchRows.filter { case (bId, bv, bc) =>
+      !withCell.exists { case (aId, av, ac) =>
+        ac == bc && (aId <= mx - 3 || aId < bId) && aId != bId &&
+          cos(av, bv) >= 0.4
+      }
+    }.map(_._1).toSet
+    assert(gotIds == expected,
+      s"frozen-cell expectation mismatch: got $gotIds expected $expected")
+    // replay of the registered batch recomputes the identical frame
+    // (its own ids are excluded from the state side)
+    val again = Dedup.embeddingSemdedupIncremental(batch, "vec_id",
+      "embedding", root, threshold = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == gotIds, "replay must reproduce the survivors")
+    // the state grew: an exact duplicate of a REGISTERED batch vector
+    // (survivor or not, drops register too) must now drop
+    val dup = batch.orderBy("vec_id").limit(1)
+      .select(lit(mx + 100L).as("vec_id"), $"embedding")
+    val s2 = Dedup.embeddingSemdedupIncremental(dup, "vec_id",
+      "embedding", root, threshold = 0.4)
+    assert(s2.isEmpty, "an exact dup of registered state must drop")
+  }
+
   test("domainMix: rates derive from token counts, binding source keeps all, others downsample") {
     // srcA: 100 tokens, srcB: 400 tokens, shares 50/50 ->
     // scale = min(100/.5, 400/.5) = 200; rateA = 200*.5/100 = 1.0
