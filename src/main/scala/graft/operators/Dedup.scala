@@ -522,7 +522,7 @@ object Dedup {
                        stateRoot: String, n: Int, threshold: Double,
                        k: Int = 32, bands: Int = 16,
                        pruneStateDocs: Int = 0,
-                       beforeRegister: DataFrame => Unit = null): DataFrame = {
+                       beforeRegister: DataFrame => Unit = _ => ()): DataFrame = {
     import graft.offline.VersionedStore
     val spark = newDocs.sparkSession
     val base = newDocs.select(col(idCol).as("doc_id"),
@@ -669,7 +669,7 @@ object Dedup {
           if (!fresh.isEmpty) VersionedStore.append(fresh, root)
         }
       }
-    if (beforeRegister != null) beforeRegister(survivors)
+    beforeRegister(survivors)
     appendFresh(shNew, stateShingles(stateRoot))
     appendFresh(bandedNew, stateBands(stateRoot))
     appendFresh(activeH.select("h", "doc_id"), stateHashes(stateRoot))
@@ -1168,7 +1168,8 @@ object Dedup {
   def embeddingSemdedupIncremental(newEmb: DataFrame, idCol: String,
                                    vecCol: String, indexRoot: String,
                                    threshold: Double,
-                                   beforeRegister: DataFrame => Unit = null)
+                                   beforeRegister: DataFrame => Unit =
+                                     _ => ())
   : DataFrame = {
     import graft.functions.VectorExpressions.dotF
     import graft.offline.VersionedStore
@@ -1202,7 +1203,7 @@ object Dedup {
       .join(broadcast(dropNew.unionByName(dropOld).distinct()),
         Seq("id"), "left_anti")
       .select(col("id").as(idCol))
-    if (beforeRegister != null) beforeRegister(survivors)
+    beforeRegister(survivors)
     VersionedStore.merge(assignedNew, Ann.assignmentTable(indexRoot),
       Seq("id"))
     survivors
