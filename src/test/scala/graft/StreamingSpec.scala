@@ -645,4 +645,51 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
     assert(outIds() == got, "replay must not change the out table")
   }
+
+  test("StreamingVectorDedup: survivors land exactly once against the growing index") {
+    import graft.offline.VersionedStore
+    import graft.operators.Ann
+    import graft.streaming.StreamingVectorDedup
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("svd").toString
+    val root = s"$tmp/idx"; val out = s"$tmp/out"
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // seed corpus: two well-separated directions -> 2 stable cells
+    val seed = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.9, 0.1, 0, 0)),
+      (3L, v(0, 0, 1, 0)), (4L, v(0, 0.1, 0.9, 0))
+    ).toDF("vec_id", "embedding")
+    Ann.ivfBuildIndex(seed, "vec_id", "embedding", nCentroids = 2, root)
+    val b1 = Seq(
+      (10L, v(1, 0, 0, 0)),        // exact dup of seed 1 -> drop
+      (11L, v(0, 1, 0, 0)),        // fresh direction -> keep
+      (12L, v(0, 1, 0, 0)))        // within-batch dup of 11 -> drop
+    val b2 = Seq(
+      (20L, v(0, 1, 0, 0)),        // dup of 11 (registered in b1) -> drop
+      (21L, v(0, 0, 0, 1)))        // fresh -> keep
+    val input = MemoryStream[(Long, Array[Float])]
+    val query = StreamingVectorDedup.start(
+      input.toDF().toDF("vec_id", "embedding"), root, out,
+      s"$tmp/ckpt", threshold = 0.9, compactEvery = 1, compactFiles = 2)
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    def outIds(): Set[Long] = VersionedStore.read(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = outIds()
+    assert(got == Set(11L, 21L),
+      s"expected {11, 21} to survive, got $got")
+    // replay the full content through a fresh stream: survivors
+    // recompute identically and the MERGE is idempotent
+    val input2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingVectorDedup.start(
+      input2.toDF().toDF("vec_id", "embedding"), root, out,
+      s"$tmp/ckpt2", threshold = 0.9)
+    input2.addData(b1 ++ b2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(outIds() == got, "replay must not change the out table")
+  }
 }
