@@ -414,6 +414,11 @@ object Graft {
   def annIvfUpsert(updates: DataFrame, indexRoot: String): Long =
     Ann.ivfIndexUpsert(updates, indexRoot, "vec_id", "embedding")
 
+  /** Per-cell health of a persisted IVF index (counts + cosine-to-
+    * centroid) — the rebuild signal under upsert-driven drift. */
+  def annIvfStats(spark: SparkSession, indexRoot: String): DataFrame =
+    Ann.ivfIndexStats(spark, indexRoot)
+
   /** SQ8-compressed persisted IVF index (FAISS IVF,SQ8 shape): 4× less
     * index storage/scan I/O, recall bounded by the grid step. */
   def annIvfBuildSq8(corpus: DataFrame, nCentroids: Int,

@@ -614,6 +614,34 @@ object Ann {
     VersionedStore.merge(assignedNew, assignmentTable(indexRoot), Seq("id"))
   }
 
+  /** Health report for a persisted float IVF index: one row per cell
+    * with its vector count and cosine-to-centroid stats — the rebuild
+    * signal behind the documented centroid-drift caveat on
+    * [[ivfIndexUpsert]] and Dedup.embeddingSemdedupIncremental.
+    * Upserts assign to FROZEN centroids, so as the corpus drifts,
+    * cells bloat unevenly and their members sit further from the
+    * centroid; watch `n` skew and falling `avg_cos` / `min_cos`, and
+    * rebuild with [[ivfBuildIndex]] when they degrade. One broadcast
+    * join + one aggregate over the inverted file — run it as cheaply
+    * as any count.
+    */
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    indexRoot: String): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    import graft.offline.VersionedStore
+    val centroids = VersionedStore.read(spark, centroidTable(indexRoot))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    VersionedStore.read(spark, assignmentTable(indexRoot))
+      .join(broadcast(centroids), col("cell") === col("c_cell"))
+      .withColumn("cos_c", round(
+        dotF(col("v"), col("cv")) / (col("nrm") * col("cnrm")), 6))
+      .groupBy("cell").agg(
+        count(lit(1)).as("n"),
+        round(avg(col("cos_c")), 6).as("avg_cos"),
+        min(col("cos_c")).as("min_cos"))
+      .orderBy("cell")
+  }
+
   /** Refresh an SQ8-compressed persisted index: encode updates with
     * the index's STORED quantization grid (codes must stay comparable
     * to the existing inverted file — re-deriving the grid from the

@@ -743,6 +743,30 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(after.head.getDouble(2) == 1.0)
   }
 
+  test("ivfIndexStats: per-cell counts and the centroid-drift signal") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivfstats").toString + "/idx"
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val seed = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.95, 0.05, 0, 0)),
+      (3L, v(0, 0, 1, 0)), (4L, v(0, 0, 0.95, 0.05))
+    ).toDF("vec_id", "embedding")
+    Ann.ivfBuildIndex(seed, "vec_id", "embedding", nCentroids = 2, tmp)
+    val s0 = Ann.ivfIndexStats(spark, tmp).collect()
+    assert(s0.length == 2)
+    assert(s0.map(_.getLong(1)).sum == 4L)
+    assert(s0.forall(_.getDouble(2) > 0.9),
+      s"cells must be tight after a fresh build: ${s0.mkString(",")}")
+    // upsert a vector far from every centroid: its cell's min_cos
+    // must expose the drift the rebuild caveat warns about
+    Ann.ivfIndexUpsert(Seq((99L, v(0.5, 0, 0.5, 0.7)))
+      .toDF("vec_id", "embedding"), tmp, "vec_id", "embedding")
+    val s1 = Ann.ivfIndexStats(spark, tmp).collect()
+    assert(s1.map(_.getLong(1)).sum == 5L)
+    assert(s1.exists(_.getDouble(3) < 0.9),
+      s"the drifted member must surface in min_cos: ${s1.mkString(",")}")
+  }
+
   test("IVF persisted index: serve opens only the probed cells' files") {
     import graft.offline.VersionedStore
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
