@@ -238,6 +238,12 @@ object Graft {
   : DataFrame = Dedup.embeddingCosineLsh(emb, "vec_id", "embedding",
     threshold, dim)
 
+  /** Exact embedding dedup (distinct vector -> canonical min id +
+    * count): run FIRST on replica-heavy corpora — see the scaladoc's
+    * LSH-blowup rationale. */
+  def dedupEmbeddingExact(emb: DataFrame): DataFrame =
+    Dedup.embeddingExact(emb, "vec_id", "embedding")
+
   /** SemDeDup: k-means-cell-blocked exact cosine pairs — the
     * moderate-threshold scale path (work ~n²/nCells, true cosines,
     * recall bounded by cross-cell splits; nCells=1 == the exact

@@ -1089,6 +1089,25 @@ object Dedup {
       .select("doc_a", "doc_b", "cosine")
   }
 
+  /** Exact embedding dedup: one row per DISTINCT vector with the
+    * canonical (minimum) id and the duplicate count — the embedding
+    * analogue of [[exact]], and the stage that must run BEFORE any
+    * embedding near-dup candidate scheme on corpora with heavy exact
+    * replication. The two-point probe curve (docs/SCALE_NOTES.md,
+    * round 7) shows why: identical replicas ALL collide in every LSH
+    * bucket, so candidate pairs grow quadratically in the duplicate
+    * multiplicity with no pruning possible — collapsing them to one
+    * canonical first (a single shuffle) removes that blowup for every
+    * downstream scheme. Groups by the vector VALUE itself (Spark
+    * group-by array equality — no 64-bit-hash collision risk; NaN
+    * and -0.0/0.0 normalize per Spark grouping semantics).
+    */
+  def embeddingExact(emb: DataFrame, idCol: String, vecCol: String)
+  : DataFrame =
+    emb.groupBy(col(vecCol).as(vecCol))
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_vecs"))
+
   /** SemDeDup-style embedding near-dup pairs: k-means cells block the
     * exact cosine compare, so the O(n²) work of [[embeddingCosine]]
     * drops to ~n²/nCells while each returned pair carries the TRUE

@@ -248,6 +248,16 @@ object ScaleProbe {
     time("embedding LSH+verify xK (thr 0.9)")(
       Dedup.embeddingCosineLsh(emb, "vec_id", "embedding", 0.9, dim = 64)
         .count())
+    // exact-first, then LSH on the canonicals: the text pipeline's
+    // stage order applied to vectors — the dup-bomb's k-fold replicas
+    // collapse in one shuffle, removing the k² bucket blowup the
+    // plain LSH row above pays
+    time("embedding exact+LSH canon xK")({
+      val canon = Dedup.embeddingExact(emb, "vec_id", "embedding")
+        .select(col("canonical_id").as("vec_id"), col("embedding"))
+      Dedup.embeddingCosineLsh(canon, "vec_id", "embedding", 0.9,
+        dim = 64).count()
+    })
     // SemDeDup at the same moderate threshold the exact path pays
     // n² for: cell-blocked work is ~n²/nCells plus one k-means — the
     // honest scale answer where LSH cannot prune (probe includes the

@@ -316,6 +316,17 @@ class LlmPipelineSpec extends AnyFunSuite {
       f"${cells.size.toDouble / exact.size}%.2f (${cells.size}/${exact.size})")
   }
 
+  test("embeddingExact: identical vectors collapse to the min id") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq((5L, v(1, 0)), (2L, v(1, 0)), (9L, v(1, 0)),
+      (3L, v(0, 1))).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingExact(emb, "vec_id", "embedding").collect()
+      .map(r => (r.getSeq[Float](0).toList, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((List(1f, 0f), 2L, 3L), (List(0f, 1f), 3L, 1L)),
+      s"got $got")
+  }
+
   test("embeddingSemdedupIncremental: frozen-cell equality, pruned reads, idempotent replay") {
     import graft.offline.VersionedStore
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
