@@ -244,6 +244,13 @@ object Graft {
   def dedupEmbeddingExact(emb: DataFrame): DataFrame =
     Dedup.embeddingExact(emb, "vec_id", "embedding")
 
+  /** The packaged embedding dedup keep list: exact replica collapse →
+    * SemDeDup pairs among canonicals → keep-min. The vector analogue
+    * of dedupPipeline; nCells=1 is the exact oracle mode. */
+  def dedupEmbeddingKeepList(emb: DataFrame, threshold: Double,
+                             nCells: Int): DataFrame =
+    Dedup.embeddingKeepList(emb, "vec_id", "embedding", threshold, nCells)
+
   /** SemDeDup: k-means-cell-blocked exact cosine pairs — the
     * moderate-threshold scale path (work ~n²/nCells, true cosines,
     * recall bounded by cross-cell splits; nCells=1 == the exact

@@ -1158,6 +1158,28 @@ object Dedup {
         col("cosine"))
   }
 
+  /** The packaged embedding dedup KEEP LIST — the vector analogue of
+    * the text [[pipeline]], with the same stage order and drop rule:
+    * exact replica collapse first ([[embeddingExact]] — one linear
+    * shuffle, removes the LSH/cell k² blowup), then near-dup pairs
+    * among the CANONICALS ([[embeddingSemdedup]]), then keep-min — a
+    * canonical drops if ANY smaller-id canonical pairs with it at or
+    * above `threshold`. Returns the surviving ids (one per kept
+    * content). nCells=1 makes the near-dup stage exact, which is the
+    * oracle mode; at scale pick nCells ∝ corpus size.
+    */
+  def embeddingKeepList(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, nCells: Int,
+                        trainSample: Int = 100000): DataFrame = {
+    val canon = embeddingExact(emb, idCol, vecCol)
+      .select(col("canonical_id").as(idCol), col(vecCol))
+      .localCheckpoint(false)
+    val drops = embeddingSemdedup(canon, idCol, vecCol, threshold,
+      nCells, trainSample)
+      .select(col("doc_b").as(idCol)).distinct()
+    canon.select(col(idCol)).join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   /** INCREMENTAL SemDeDup: dedup a batch of NEW vectors against the
     * vectors registered in a persisted IVF index
     * ([[Ann.ivfBuildIndex]]) without rescanning the corpus — the

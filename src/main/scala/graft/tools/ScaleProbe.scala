@@ -265,6 +265,12 @@ object ScaleProbe {
     time("embedding semdedup xK (64 cells)")(
       Dedup.embeddingSemdedup(emb, "vec_id", "embedding", 0.4, 64)
         .count())
+    // the packaged keep list: exact collapse -> semdedup on the
+    // canonicals -> keep-min; near-k-independent (only the linear
+    // exact stage sees all n rows)
+    time("embedding keepList xK (64 cells)")(
+      Dedup.embeddingKeepList(emb, "vec_id", "embedding", 0.4, 64)
+        .count())
     // persisted-index serving at xK: build once (timed separately),
     // then the serve path 100 queries probe 4/64 cells — the number
     // that matters is the SERVE, which file-prunes to probed cells

@@ -327,6 +327,27 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("embeddingKeepList: replicas collapse, keep-min over canonical near-dups") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+      .select("vec_id", "embedding")
+    // inject exact replicas with shifted ids — none may survive
+    val withReps = emb.unionByName(
+      emb.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val keep = Dedup.embeddingKeepList(withReps, "vec_id", "embedding",
+      threshold = 0.4, nCells = 1)
+      .collect().map(_.getLong(0)).toSet
+    // independent expectation: canonicals are the original ids (they
+    // are smaller than every replica), and a canonical drops iff it
+    // appears as doc_b in the exact blocked join's pair set
+    val dropB = Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.4, 8)
+      .collect().map(_.getLong(1)).toSet
+    val expected =
+      emb.select("vec_id").collect().map(_.getLong(0)).toSet -- dropB
+    assert(keep == expected,
+      s"extra=${(keep -- expected).take(3)} missing=${(expected -- keep).take(3)}")
+    assert(keep.forall(_ < 1000000L), "no replica may survive")
+  }
+
   test("embeddingSemdedupIncremental: frozen-cell equality, pruned reads, idempotent replay") {
     import graft.offline.VersionedStore
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
