@@ -533,6 +533,20 @@ object Graft {
                 srcCol: String = "source"): DataFrame =
     FeatureEng.domainMix(docs, "doc_id", "text", srcCol, targetShares)
 
+  /** DSIR (Xie et al. 2023) domain matching: per-doc log importance
+    * weight of the target-vs-raw hashed-ngram models. `isTarget`
+    * marks the target slice of `docs` (e.g. `col("source") === ...`). */
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  nBuckets: Int = 10000, alpha: Double = 1.0): DataFrame =
+    Dsir.importanceWeights(docs, "doc_id", "text", isTarget, nBuckets,
+      alpha)
+
+  /** DSIR selection: seeded Gumbel top-k over [[dsirWeights]] output —
+    * k docs sampled without replacement ∝ exp(weight). */
+  def dsirSelect(weights: DataFrame, k: Int,
+                 seed: String = "graft"): DataFrame =
+    Dsir.resample(weights, k, seed)
+
   /** Deterministic per-class downsampling (rates in basis points). */
   def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
                          ratesBp: Map[String, Int]): DataFrame =

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
-import graft.operators.{Analytics, Ann, AsofJoin, Dedup, FeatureEng, MultiModal, Sessionize, TextAnalysis, WindowedFeatures}
+import graft.operators.{Analytics, Ann, AsofJoin, Dedup, Dsir, FeatureEng, MultiModal, Sessionize, TextAnalysis, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
 import graft.registry.Registry
 import graft.stats.Profiler
@@ -536,6 +536,28 @@ object SparkEntry {
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
 
+  /** Connected components over the exact n-gram near-dup pairs: every
+    * clustered doc labeled with the min doc id of its TRANSITIVE dup
+    * cluster (a~b~c chains merge, unlike keepList's pairwise drop
+    * rule). Same maxDf=100 declaration as q_dedup_ngram, covered by
+    * the same self-checking oracle precondition; the DuckDB oracle
+    * closes the transitive reachability with a recursive CTE. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
+    Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d), "doc_id",
+      "text", n = 3, threshold = 0.8, maxDf = 100))
+
+  /** DSIR importance weights against a two-source target slice
+    * (src0+src1 ≈ 10% of the corpus): hashed unigram+bigram models,
+    * 10k buckets (the paper's feature space), add-1 smoothing. */
+  def qDsir(s: SparkSession, d: String): DataFrame =
+    Dsir.importanceWeights(Tables.documents(s, d), "doc_id", "text",
+      col("source").isin("src0", "src1"), nBuckets = 10000, alpha = 1.0)
+
+  /** The selection step: Gumbel top-k resample of 100 docs from the
+    * q_dsir weights (seeded, deterministic). */
+  def qDsirSample(s: SparkSession, d: String): DataFrame =
+    Dsir.resample(qDsir(s, d), k = 100, seed = "graft")
+
   // -------------------------------------------------------------------
   // Contract maps
   // -------------------------------------------------------------------
@@ -610,6 +632,9 @@ object SparkEntry {
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_frozen" -> (qLineDedupFrozen _),
     "q_top_ngrams" -> (qTopNgrams _),
+    "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dsir" -> (qDsir _),
+    "q_dsir_sample" -> (qDsirSample _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _)
   )
@@ -722,6 +747,51 @@ object SparkEntry {
     * order; docs losing every line come back empty, not dropped.
     * Shared by q_line_dedup and q_line_dedup_frozen — one semantic,
     * two execution paths. */
+  /** DSIR weight oracle, shared by q_dsir and q_dsir_sample: the base
+    * SQL ends in a `res` CTE (doc_id, n_grams, dsir_weight); `suffix`
+    * either selects it directly or appends the Gumbel top-k step. */
+  private def dsirOracleSql(suffix: String): String = {
+    val tail = if (suffix.isEmpty) "\nSELECT * FROM res" else suffix
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(ws || CASE WHEN len(ws) >= 2
+      |    THEN list_transform(generate_series(1, len(ws) - 1),
+      |           i -> concat_ws(' ', ws[i], ws[i+1]))
+      |    ELSE [] END) AS gram
+      |  FROM w),
+      |f AS (
+      |  SELECT doc_id,
+      |    (('0x' || substr(md5(gram), 1, 8))::BIGINT % 2147483648)
+      |      % 10000 AS bucket,
+      |    count(*) AS cnt
+      |  FROM g GROUP BY 1, 2),
+      |tgt AS (SELECT doc_id FROM documents
+      |        WHERE source IN ('src0', 'src1')),
+      |ct AS (SELECT bucket, sum(cnt) AS c FROM f GROUP BY 1),
+      |tt AS (SELECT bucket, sum(cnt) AS t FROM f JOIN tgt USING (doc_id)
+      |       GROUP BY 1),
+      |tot AS (SELECT
+      |  (SELECT sum(cnt) FROM f) AS raw_total,
+      |  (SELECT coalesce(sum(cnt), 0) FROM f JOIN tgt USING (doc_id))
+      |    AS tgt_total),
+      |lr AS (
+      |  SELECT ct.bucket,
+      |    CAST(round(
+      |      ln((coalesce(tt.t, 0) + 1.0) / (tot.tgt_total + 1.0 * 10000))
+      |      - ln((ct.c + 1.0) / (tot.raw_total + 1.0 * 10000)), 6)
+      |      AS DECIMAL(20,6)) AS lr
+      |  FROM ct LEFT JOIN tt USING (bucket) CROSS JOIN tot),
+      |res AS (
+      |  SELECT f.doc_id, CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+      |    CAST(sum(CAST(f.cnt AS DECIMAL(12,0)) * lr.lr) AS DOUBLE)
+      |      AS dsir_weight
+      |  FROM f JOIN lr USING (bucket)
+      |  GROUP BY 1)""".stripMargin + tail
+  }
+
   private val lineDedupOracleSql: String =
     """WITH d AS (
       |  SELECT doc_id,
@@ -1907,6 +1977,59 @@ object SparkEntry {
           |  FROM g GROUP BY 1)
           |SELECT * FROM c ORDER BY df DESC, cnt DESC, ngram
           |LIMIT 50""".stripMargin,
+
+      // Transitive closure of the SAME uncapped exact ngram pairs
+      // q_dedup_ngram's oracle emits (the maxDf=100 declaration is
+      // covered by the ngram oracle-precondition spec); the recursive
+      // CTE reaches every same-cluster node, so min(reached ∪ self)
+      // is the cluster's canonical id — what pointer-jump label
+      // propagation converges to.
+      "q_dedup_clusters" ->
+        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          |p AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2
+          |), pr AS (
+          |  SELECT doc_a, doc_b
+          |  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+          |  WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8
+          |), e AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pr
+          |  UNION SELECT doc_b, doc_a FROM pr
+          |), reach(src, dst) AS (
+          |  SELECT src, dst FROM e
+          |  UNION
+          |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+          |)
+          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+          |FROM reach GROUP BY src""".stripMargin,
+
+      // Mirrors Dsir.importanceWeights exactly: same tokenization
+      // (split on space, drop empties), unigrams+bigrams, md5hash31
+      // buckets, add-1 smoothing over 10k buckets, per-bucket log
+      // ratio rounded 6dp THEN summed as exact decimal — the dot
+      // product is order-independent on both engines.
+      "q_dsir" -> dsirOracleSql(""),
+
+      // Weights + seeded Gumbel perturbation, top-100 by (key desc,
+      // doc_id) — the LIMIT boundary is deterministic because both
+      // engines rank the identical rounded keys.
+      "q_dsir_sample" -> dsirOracleSql(
+        """, s AS (
+          |  SELECT doc_id, n_grams, dsir_weight,
+          |    round(dsir_weight - ln(-ln(
+          |      ((('0x' || substr(md5('graft:' || doc_id), 1, 8))::BIGINT
+          |        % 2147483648) + 0.5) / 2147483648)), 6) AS gumbel_key
+          |  FROM res)
+          |SELECT * FROM s ORDER BY gumbel_key DESC, doc_id LIMIT 100"""
+          .stripMargin),
 
       // Winnowing k=5 w=4: md5 hex minima are lexicographic in both
       // engines; list(… ORDER BY i) pins gram order before windowing.

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * NeurIPS 2023, arXiv:2302.03169): select raw-corpus documents whose
+  * hashed-n-gram distribution resembles a target domain. The raw and
+  * target corpora are summarized as bag-of-hashed-ngram unigram
+  * models p_target / p_raw over `nBuckets` hash buckets; a document's
+  * log importance weight is Σ_b c_b · (log p_target[b] − log p_raw[b])
+  * over its own bucket counts c_b, and the selection step is Gumbel
+  * top-k resampling on those weights (sampling without replacement
+  * with probability ∝ the importance ratio).
+  *
+  * This is the domain-matching step of a pretraining curation
+  * pipeline (the reference has nothing like it — its "selection" is
+  * SQL predicates): score once against a small frozen target slice,
+  * then keep the k docs the tilted distribution picks.
+  *
+  * Scale shape: the exploded gram stream aggregates straight to
+  * (doc, bucket) counts with map-side combine; the two distribution
+  * tables are ≤ nBuckets rows each and BROADCAST back, so the corpus
+  * shuffles only twice (doc-bucket agg, per-doc weight agg) and the
+  * final selection is a distributed top-k (TakeOrderedAndProject),
+  * never a global sort. Nothing driver-side scales with corpus size.
+  *
+  * Determinism: the per-bucket log ratio is rounded to 6 dp and the
+  * per-doc dot product is summed in exact decimal, so a document's
+  * weight is a pure function of the corpus content — identical on any
+  * partitioning or cluster size. The Gumbel noise is the seeded
+  * md5-bucket family used by every sampler in this engine: a row's
+  * key is a pure function of (seed, doc_id); a new seed draws a fresh
+  * sample.
+  */
+object Dsir {
+
+  /** Per-document hashed unigram+bigram counts: one row per
+    * (doc_id, bucket) with the number of the document's grams landing
+    * in that bucket (md5-based, portable hash). Documents with no
+    * words yield no rows. `extraCols` are carried through the
+    * aggregate (they must be functionally dependent on the doc id —
+    * e.g. a target-membership flag).
+    */
+  def hashedNgramCounts(docs: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int,
+                        extraCols: Seq[(String, Column)] = Nil)
+  : DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val ws = filter(Fns.words(col(textCol)), w => w =!= lit(""))
+    // sequence(1, 0) counts DOWN in Spark — guard short docs like
+    // Fns.shingles does.
+    val bi = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .select(col(idCol).as("doc_id") +:
+        extraCols.map { case (n, c) => c.as(n) } :+
+        explode(concat(ws, bi)).as("gram"): _*)
+      .withColumn("bucket", Fns.md5Hash31(col("gram")) % nBuckets)
+      .drop("gram")
+      .groupBy(("doc_id" +: extraCols.map(_._1) :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-document DSIR log importance weight against a target slice
+    * of the SAME corpus (the common "match my curated subset" setup;
+    * for an external target corpus, fit the bucket tables there and
+    * join them in by hand — the math is identical).
+    *
+    * Returns (doc_id, n_grams, dsir_weight) for every document with
+    * at least one word — target rows included, so callers can sanity-
+    * check that the target slice itself scores high. `alpha` is the
+    * add-α smoothing applied to both models; buckets the corpus never
+    * hits contribute nothing to any document and are skipped (their
+    * smoothed mass only enters through the totals' +α·nBuckets term,
+    * which IS applied).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, nBuckets: Int = 10000,
+                        alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive (zero-count buckets)")
+    // The count table feeds four consumers (corpus totals, target
+    // totals, scalar totals, the weight join); checkpoint it so the
+    // explode+agg runs once, not four times.
+    val f = hashedNgramCounts(docs, idCol, textCol, nBuckets,
+        Seq("is_target" -> isTarget))
+      .localCheckpoint(false)
+    val corpus = f.groupBy("bucket").agg(sum("cnt").as("c"))
+    val target = f.filter(col("is_target"))
+      .groupBy("bucket").agg(sum("cnt").as("t"))
+    val totals = f.agg(
+      sum("cnt").as("raw_total"),
+      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L)))
+        .as("tgt_total"))
+    // log ratio per bucket, rounded 6 dp then held exactly as decimal:
+    // the per-doc dot product below is order-independent.
+    val lr = corpus.join(target, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("t"), lit(0L)) + alpha) /
+              (col("tgt_total") + alpha * nBuckets)) -
+          log((col("c") + alpha) / (col("raw_total") + alpha * nBuckets)),
+          6).cast("decimal(20,6)").as("lr"))
+    f.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(col("cnt").cast("decimal(12,0)") * col("lr"))
+          .cast("double").as("dsir_weight"))
+  }
+
+  /** Gumbel top-k resampling over [[importanceWeights]] output: adds
+    * a seeded Gumbel perturbation to each log weight and keeps the k
+    * largest keys — exactly sampling k documents without replacement
+    * with probability proportional to exp(dsir_weight) (Vieira 2014's
+    * Gumbel-max trick, the sampler the DSIR paper prescribes).
+    * Deterministic: the noise is a pure function of (seed, doc_id).
+    * Distributed top-k (orderBy+limit = TakeOrderedAndProject) — no
+    * global sort, no driver collection beyond the k result rows.
+    */
+  def resample(weights: DataFrame, k: Int, seed: String = "graft")
+  : DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (Fns.md5Hash31(concat(lit(seed), lit(":"),
+      col("doc_id").cast("string"))) + 0.5) / 2147483648.0
+    weights
+      .withColumn("gumbel_key",
+        round(col("dsir_weight") - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dsir
+
+/** DSIR importance resampling: hashed-ngram feature extraction,
+  * weight directionality, partition-independence, and the seeded
+  * Gumbel top-k selection contract.
+  */
+class DsirSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    // target slice: "wiki"-flavoured
+    (0L, "the solar system has eight planets orbiting the sun", true),
+    (1L, "planets orbit the sun in the solar system", true),
+    // raw docs: one solar-ish, one spam-ish, one empty
+    (2L, "the solar system contains planets and the sun", false),
+    (3L, "buy cheap pills online now best price cheap pills", false),
+    (4L, "", false)
+  ).toDF("doc_id", "text", "is_target")
+
+  test("hashedNgramCounts: unigrams + bigrams, counts exact") {
+    // huge bucket space -> collisions virtually impossible, so rows =
+    // distinct grams and sum(cnt) = total grams = 2*words - 1
+    val f = Dsir.hashedNgramCounts(
+      Seq((7L, "a b a b")).toDF("id", "txt"), "id", "txt", 1 << 30)
+    val rows = f.collect()
+    // grams: a,b,a,b + "a b","b a","a b" -> distinct {a, b, a b, b a}
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(2)).sum == 7)
+    assert(rows.map(_.getLong(2)).max == 2) // "a" x2, "b" x2, "a b" x2
+  }
+
+  test("hashedNgramCounts: short and empty docs are guarded") {
+    val f = Dsir.hashedNgramCounts(
+      Seq((1L, "solo"), (2L, ""), (3L, "  ")).toDF("id", "txt"),
+      "id", "txt", 1024)
+    val byDoc = f.groupBy("doc_id").agg(sum("cnt")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 1L)) // one unigram, no bigram, no empties
+  }
+
+  test("importanceWeights: target-like docs outweigh off-domain docs") {
+    val rows = Dsir.importanceWeights(corpus, "doc_id", "text",
+      col("is_target"), nBuckets = 10000, alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // doc 2 shares its vocabulary with the target; doc 3 shares none.
+    // Weights are length-dependent, so compare per-gram averages.
+    def perGram(id: Long) = rows(id)._2 / rows(id)._1
+    assert(perGram(2L) > perGram(3L),
+      s"solar doc must score above spam doc per-gram: $rows")
+    assert(!rows.contains(4L), "empty doc must have no weight row")
+  }
+
+  test("importanceWeights: pure function of content (partitioning-proof)") {
+    val a = Dsir.importanceWeights(corpus, "doc_id", "text",
+      col("is_target"), 512, 1.0).collect().toSet
+    val b = Dsir.importanceWeights(corpus.repartition(7), "doc_id",
+      "text", col("is_target"), 512, 1.0).collect().toSet
+    assert(a == b)
+  }
+
+  test("resample: k rows, a subset of the weights, seed-deterministic") {
+    val w = Dsir.importanceWeights(corpus, "doc_id", "text",
+      col("is_target"), 10000, 1.0)
+    val s1 = Dsir.resample(w, k = 2, seed = "epoch1").collect()
+    val s2 = Dsir.resample(w, k = 2, seed = "epoch1").collect()
+    assert(s1.length == 2 && s1.sameElements(s2),
+      "same seed must reproduce the same sample in the same order")
+    val ids = w.select("doc_id").as[Long].collect().toSet
+    assert(s1.map(_.getLong(0)).forall(ids.contains))
+    // k >= corpus: everyone selected, ordered by key
+    val all = Dsir.resample(w, k = 100, seed = "epoch1").collect()
+    assert(all.length == ids.size)
+    val keys = all.map(_.getDouble(3))
+    assert(keys.sameElements(keys.sortBy(-_)), "must be key-descending")
+  }
+
+  test("q_dsir plan: distribution tables broadcast, corpus never cartesians") {
+    val df = SparkEntry.qDsir(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian allowed:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"lr/totals tables must broadcast:\n$plan")
+    // the selection step stays a distributed top-k, not a global sort
+    val sPlan = SparkEntry.qDsirSample(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(sPlan.contains("TakeOrderedAndProject"),
+      s"resample must be TakeOrderedAndProject:\n$sPlan")
+  }
+}
