@@ -547,6 +547,19 @@ object Graft {
                  seed: String = "graft"): DataFrame =
     Dsir.resample(weights, k, seed)
 
+  /** Freeze the DSIR model offline (≤ nBuckets micro-scaled log
+    * ratios) for [[dsirScoreFrozen]] — the streaming-safe artifact. */
+  def dsirFreeze(docs: DataFrame, isTarget: Column,
+                 nBuckets: Int = 10000,
+                 alpha: Double = 1.0): Dsir.DsirModel =
+    Dsir.freezeModel(docs, "doc_id", "text", isTarget, nBuckets, alpha)
+
+  /** Streaming-safe DSIR scoring: one codegen projection against a
+    * frozen model — bit-equal to [[dsirWeights]] when the model froze
+    * from the scored corpus. */
+  def dsirScoreFrozen(docs: DataFrame, model: Dsir.DsirModel): DataFrame =
+    Dsir.scoreFrozen(docs, "doc_id", "text", model)
+
   /** Deterministic per-class downsampling (rates in basis points). */
   def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
                          ratesBp: Map[String, Int]): DataFrame =

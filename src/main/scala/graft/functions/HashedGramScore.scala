@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass scorer for a FROZEN linear bag-of-hashed-ngrams model:
+  * text → (n_grams, score in 1e-6 units), where each unigram and
+  * bigram of the single-space tokenization contributes the frozen
+  * per-bucket value of its md5 hash bucket (absent buckets contribute
+  * zero — an unseen gram is neutral by design).
+  *
+  * This is the streaming-safe form of [[graft.operators.Dsir]]
+  * importance scoring — the model (≤ nBuckets entries of micro-scaled
+  * log ratios) freezes offline like the CCNet vocabulary or the eval
+  * shingle set, and each document is scored in one projection: no
+  * explode, no join, no shuffle, exact integer arithmetic (micros sum
+  * in a long, so the result is order-independent and bit-equal to the
+  * batch path's decimal dot product after the single final division).
+  *
+  * Hashing matches the batch path EXACTLY: bucket =
+  * (first-8-hex-chars of md5(gram) as unsigned) % 2^31 % nBuckets —
+  * the same `conv(substring(md5(g),1,8),16,10) % 2^31` every md5
+  * sampler in this engine uses — computed here straight from the
+  * gram's UTF-8 bytes (a space can never occur inside a multi-byte
+  * UTF-8 sequence, so byte-level word splitting is exact). Empty
+  * words (consecutive spaces) are dropped before bigram formation,
+  * matching `filter(split(text,' '), w -> w <> '')`.
+  */
+case class HashedGramScore(child: Expression, nBuckets: Int,
+                           buckets: Array[Long], microsVals: Array[Long])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nBuckets > 0 && buckets.length == microsVals.length)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("score_micros", LongType, nullable = false)))
+  override def prettyName: String = "graft_hashed_gram_score"
+
+  @transient private lazy val model: java.util.HashMap[java.lang.Long, java.lang.Long] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Long](buckets.length * 2)
+    var i = 0
+    while (i < buckets.length) { m.put(buckets(i), microsVals(i)); i += 1 }
+    m
+  }
+
+  private def bucketOf(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    u32 % 2147483648L % nBuckets
+  }
+
+  def compute(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    // word byte-ranges, empties dropped (matches filter(split, <> ''))
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var wStart = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > wStart) { starts.add(wStart); ends.add(i) }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    val nw = starts.size
+    val md = HashedGramScore.digest.get()
+    var nGrams = 0L
+    var micros = 0L
+    def add(b: Long): Unit = {
+      val v = model.get(b)
+      if (v != null) micros += v
+    }
+    var w = 0
+    while (w < nw) {
+      md.reset()
+      md.update(bytes, starts.get(w), ends.get(w) - starts.get(w))
+      add(bucketOf(md)); nGrams += 1
+      if (w + 1 < nw) {
+        md.reset()
+        md.update(bytes, starts.get(w), ends.get(w) - starts.get(w))
+        md.update(' '.toByte)
+        md.update(bytes, starts.get(w + 1), ends.get(w + 1) - starts.get(w + 1))
+        add(bucketOf(md)); nGrams += 1
+      }
+      w += 1
+    }
+    InternalRow(nGrams, micros)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramScorer", this,
+      classOf[HashedGramScore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : HashedGramScore = copy(child = newChild)
+}
+
+object HashedGramScore {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** `(n_grams, score_micros)` struct column for a frozen
+    * (bucket → micros) model over `nBuckets` md5 hash buckets. */
+  def score(text: Column, nBuckets: Int,
+            model: Map[Long, Long]): Column = {
+    val sorted = model.toArray.sortBy(_._1)
+    GraftColumnBridge.column(HashedGramScore(
+      GraftColumnBridge.expression(text), nBuckets,
+      sorted.map(_._1), sorted.map(_._2)))
+  }
+}

@@ -79,9 +79,13 @@ object Dsir {
     * smoothed mass only enters through the totals' +α·nBuckets term,
     * which IS applied).
     */
-  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
-                        isTarget: Column, nBuckets: Int = 10000,
-                        alpha: Double = 1.0): DataFrame = {
+  /** The shared estimation pass: per-doc bucket counts (checkpointed —
+    * they feed four consumers) and the per-bucket 6dp-rounded log
+    * ratio table (≤ nBuckets rows). */
+  private def countsAndRatios(docs: DataFrame, idCol: String,
+                              textCol: String, isTarget: Column,
+                              nBuckets: Int, alpha: Double)
+  : (DataFrame, DataFrame) = {
     require(alpha > 0, "alpha must be positive (zero-count buckets)")
     // The count table feeds four consumers (corpus totals, target
     // totals, scalar totals, the weight join); checkpoint it so the
@@ -106,12 +110,59 @@ object Dsir {
               (col("tgt_total") + alpha * nBuckets)) -
           log((col("c") + alpha) / (col("raw_total") + alpha * nBuckets)),
           6).cast("decimal(20,6)").as("lr"))
+    (f, lr)
+  }
+
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, nBuckets: Int = 10000,
+                        alpha: Double = 1.0): DataFrame = {
+    val (f, lr) = countsAndRatios(docs, idCol, textCol, isTarget,
+      nBuckets, alpha)
     f.join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_grams"),
         sum(col("cnt").cast("decimal(12,0)") * col("lr"))
           .cast("double").as("dsir_weight"))
   }
+
+  /** A frozen DSIR model: the per-bucket log ratios in exact 1e-6
+    * units — ≤ nBuckets entries, the offline artifact a stream scores
+    * against (the CCNet-vocabulary shape). */
+  case class DsirModel(nBuckets: Int, micros: Map[Long, Long])
+
+  /** Fit the model once, offline: collect the log-ratio table to the
+    * driver (≤ nBuckets rows — bucket-bounded, never corpus-bounded)
+    * as exact micro units. */
+  def freezeModel(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, nBuckets: Int = 10000,
+                  alpha: Double = 1.0): DsirModel = {
+    val (_, lr) = countsAndRatios(docs, idCol, textCol, isTarget,
+      nBuckets, alpha)
+    DsirModel(nBuckets, lr.collect().map(r =>
+      r.getLong(0) -> r.getDecimal(1).movePointRight(6).longValueExact)
+      .toMap)
+  }
+
+  /** STREAMING-SAFE DSIR scoring against a [[freezeModel]] artifact:
+    * one codegen projection per document (no explode, no join, no
+    * shuffle — [[graft.functions.HashedGramScore]] hashes every
+    * unigram+bigram and sums the frozen micro log-ratios in exact
+    * integer arithmetic). When the model froze from the scored corpus
+    * itself, the output is BIT-EQUAL to [[importanceWeights]]: the
+    * integer micro sum divided by 1e6 is the same correctly-rounded
+    * double as the batch path's exact-decimal dot product cast. On
+    * NEW documents, grams whose bucket the frozen corpus never
+    * produced contribute zero (an unseen gram is neutral) but still
+    * count toward n_grams — the deliberate frozen-policy semantics.
+    */
+  def scoreFrozen(docs: DataFrame, idCol: String, textCol: String,
+                  model: DsirModel): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.HashedGramScore.score(col(textCol),
+          model.nBuckets, model.micros).as("sc"))
+      .filter(col("sc.n_grams") > 0)
+      .select(col("doc_id"), col("sc.n_grams").as("n_grams"),
+        (col("sc.score_micros") / lit(1000000L)).as("dsir_weight"))
 
   /** Gumbel top-k resampling over [[importanceWeights]] output: adds
     * a seeded Gumbel perturbation to each log weight and keeps the k

@@ -180,6 +180,15 @@ object ScaleProbe {
     time("shuffle shard xK (256 shards)")(
       FeatureEng.shuffleShard(docs, "doc_id", 256)
         .agg(sum(col("shard_pos"))).head())
+    // DSIR: the gram explode+agg is linear in tokens and the model
+    // tables are bucket-bounded (10k rows, broadcast) — under the
+    // dup-bomb every bucket count scales k-fold but table SIZE is
+    // flat, so end-to-end must track corpus size, never pairs
+    time("dsir weights + top-100 xK")({
+      val w = graft.operators.Dsir.importanceWeights(docs, "doc_id",
+        "text", col("source").isin("src0", "src1"), 10000, 1.0)
+      graft.operators.Dsir.resample(w, 100).count()
+    })
     // soft quality sampling: codegen filter over the quality frame —
     // confirm it stays scan-shaped (the filter forces the scores)
     time("quality-weighted sample xK")(

@@ -82,6 +82,68 @@ class DsirSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sortBy(-_)), "must be key-descending")
   }
 
+  test("scoreFrozen: bit-equal to importanceWeights when frozen from the corpus") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val tgt = col("source").isin("src0", "src1")
+    val model = Dsir.freezeModel(docs, "doc_id", "text", tgt, 10000, 1.0)
+    val frozen = Dsir.scoreFrozen(docs, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batch = Dsir.importanceWeights(docs, "doc_id", "text", tgt,
+      10000, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(frozen == batch,
+      s"frozen/batch divergence: ${(frozen -- batch).take(3)} vs ${(batch -- frozen).take(3)}")
+  }
+
+  test("scoreFrozen: pure projection (no join/aggregate/exchange) and unseen grams are neutral") {
+    // huge bucket space: the unseen doc's grams must not collide with
+    // an occupied bucket (model size is occupancy-bounded regardless)
+    val model = Dsir.freezeModel(corpus, "doc_id", "text",
+      col("is_target"), 1 << 26, 1.0)
+    val newDocs = Seq((10L, "the solar system"),
+      (11L, "zzqx unseen tokens only")).toDF("doc_id", "text")
+    val scored = Dsir.scoreFrozen(newDocs, "doc_id", "text", model)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Aggregate"),
+      s"frozen scoring must be one projection:\n$plan")
+    val rows = scored.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 11's grams never occur in the frozen corpus -> weight 0,
+    // but its grams still count
+    assert(rows(11L)._1 == 7L && rows(11L)._2 == 0.0, s"got $rows")
+    assert(rows(10L)._2 != 0.0)
+  }
+
+  test("scoreFrozen runs stateless on a stream, equals the batch frozen path") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val model = Dsir.freezeModel(corpus, "doc_id", "text",
+      col("is_target"), 1024, 1.0)
+    val rows = Seq((20L, "planets orbit the sun"),
+      (21L, "buy cheap pills online"), (22L, ""))
+    val input = MemoryStream[(Long, String)]
+    // append mode with NO watermark: the plan carries no state
+    val query = Dsir.scoreFrozen(input.toDS().toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .writeStream.format("memory").queryName("sdsir")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("sdsir").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    query.stop()
+    val batch = Dsir.scoreFrozen(rows.toDF("doc_id", "text"),
+        "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(streamed == batch && !streamed.exists(_._1 == 22L),
+      s"stream/batch divergence:\n$streamed\n$batch")
+  }
+
   test("q_dsir plan: distribution tables broadcast, corpus never cartesians") {
     val df = SparkEntry.qDsir(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
