@@ -48,48 +48,13 @@ case class HashedGramScore(child: Expression, nBuckets: Int,
     m
   }
 
-  private def bucketOf(md: java.security.MessageDigest): Long = {
-    val d = md.digest()
-    val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    u32 % 2147483648L % nBuckets
-  }
-
   def compute(s: UTF8String): InternalRow = {
-    val bytes = s.getBytes
-    // word byte-ranges, empties dropped (matches filter(split, <> ''))
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    var wStart = 0
-    while (i <= bytes.length) {
-      if (i == bytes.length || bytes(i) == ' ') {
-        if (i > wStart) { starts.add(wStart); ends.add(i) }
-        wStart = i + 1
-      }
-      i += 1
-    }
-    val nw = starts.size
-    val md = HashedGramScore.digest.get()
     var nGrams = 0L
     var micros = 0L
-    def add(b: Long): Unit = {
+    HashedGramScore.foreachBucket(s, nBuckets) { b =>
+      nGrams += 1
       val v = model.get(b)
       if (v != null) micros += v
-    }
-    var w = 0
-    while (w < nw) {
-      md.reset()
-      md.update(bytes, starts.get(w), ends.get(w) - starts.get(w))
-      add(bucketOf(md)); nGrams += 1
-      if (w + 1 < nw) {
-        md.reset()
-        md.update(bytes, starts.get(w), ends.get(w) - starts.get(w))
-        md.update(' '.toByte)
-        md.update(bytes, starts.get(w + 1), ends.get(w + 1) - starts.get(w + 1))
-        add(bucketOf(md)); nGrams += 1
-      }
-      w += 1
     }
     InternalRow(nGrams, micros)
   }
@@ -113,6 +78,53 @@ object HashedGramScore {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Visit the md5 hash bucket of every unigram and bigram of the
+    * single-space tokenization of `s`, in gram order (w0, w0·w1, w1,
+    * w1·w2, …). Byte-level: empties from consecutive spaces dropped
+    * before bigram formation, bucket = first-8-hex-of-md5 as unsigned
+    * % 2^31 % nBuckets — identical math to `Fns.md5Hash31(gram) %
+    * nBuckets` on the concat_ws(" ") gram string, without building a
+    * single intermediate string. Shared by the frozen scorer and the
+    * batch count path so the two can never diverge.
+    */
+  def foreachBucket(s: UTF8String, nBuckets: Int)(f: Long => Unit): Unit = {
+    val bytes = s.getBytes
+    // word byte-ranges, empties dropped (matches filter(split, <> ''))
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var wStart = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > wStart) { starts.add(wStart); ends.add(i) }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    val nw = starts.size
+    val md = digest.get()
+    def bucketOf(): Long = {
+      val d = md.digest()
+      val u32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      u32 % 2147483648L % nBuckets
+    }
+    var w = 0
+    while (w < nw) {
+      md.reset()
+      md.update(bytes, starts.get(w), ends.get(w) - starts.get(w))
+      f(bucketOf())
+      if (w + 1 < nw) {
+        md.reset()
+        md.update(bytes, starts.get(w), ends.get(w) - starts.get(w))
+        md.update(' '.toByte)
+        md.update(bytes, starts.get(w + 1), ends.get(w + 1) - starts.get(w + 1))
+        f(bucketOf())
+      }
+      w += 1
+    }
+  }
+
   /** `(n_grams, score_micros)` struct column for a frozen
     * (bucket → micros) model over `nBuckets` md5 hash buckets. */
   def score(text: Column, nBuckets: Int,
@@ -122,4 +134,49 @@ object HashedGramScore {
       GraftColumnBridge.expression(text), nBuckets,
       sorted.map(_._1), sorted.map(_._2)))
   }
+
+  /** Array of every unigram+bigram bucket (with multiplicity) — the
+    * batch-path twin of [[score]]. */
+  def buckets(text: Column, nBuckets: Int): Column =
+    GraftColumnBridge.column(HashedGramBuckets(
+      GraftColumnBridge.expression(text), nBuckets))
+}
+
+/** text → array of md5 hash buckets of every unigram and bigram
+  * (multiplicity preserved — DSIR features are counts). Same
+  * single-pass byte loop as [[HashedGramScore]]; replaces the
+  * `transform/concat_ws/md5/conv` column pipeline, whose per-gram
+  * string building and hex→decimal-string conv dominated the batch
+  * estimation pass (bench: 3.9s → the frozen twin's same hashing runs
+  * in 0.3s).
+  */
+case class HashedGramBuckets(child: Expression, nBuckets: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nBuckets > 0)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_gram_buckets"
+
+  def compute(s: UTF8String): Any = {
+    val out = new java.util.ArrayList[java.lang.Long]()
+    HashedGramScore.foreachBucket(s, nBuckets)(b => out.add(b))
+    val arr = new Array[Long](out.size)
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramBuckets", this,
+      classOf[HashedGramBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : HashedGramBuckets = copy(child = newChild)
 }

@@ -49,19 +49,16 @@ object Dsir {
                         extraCols: Seq[(String, Column)] = Nil)
   : DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val ws = filter(Fns.words(col(textCol)), w => w =!= lit(""))
-    // sequence(1, 0) counts DOWN in Spark — guard short docs like
-    // Fns.shingles does.
-    val bi = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // Single-pass codegen bucketing (HashedGramBuckets): identical
+    // math to exploding `filter(split(text,' '), <> '')` unigrams +
+    // concat_ws bigrams through Fns.md5Hash31 % nBuckets, but without
+    // building per-gram strings or round-tripping md5 through hex
+    // conv — the column pipeline was 12× slower at the bench.
     docs
       .select(col(idCol).as("doc_id") +:
         extraCols.map { case (n, c) => c.as(n) } :+
-        explode(concat(ws, bi)).as("gram"): _*)
-      .withColumn("bucket", Fns.md5Hash31(col("gram")) % nBuckets)
-      .drop("gram")
+        explode(graft.functions.HashedGramScore.buckets(col(textCol),
+          nBuckets)).as("bucket"): _*)
       .groupBy(("doc_id" +: extraCols.map(_._1) :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }
