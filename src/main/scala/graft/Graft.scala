@@ -475,6 +475,18 @@ object Graft {
     Ann.ivfSearch(corpus, queries, "vec_id", "embedding", nCentroids,
       nProbe, k, excludeSelf = excludeSelf)
 
+  /** Contrastive hard negatives: top-k most-similar different-label
+    * corpus vectors per query vector. */
+  def annHardNegatives(corpus: DataFrame, queries: DataFrame,
+                       k: Int): DataFrame =
+    Ann.hardNegatives(corpus, queries, "vec_id", "embedding", "label", k)
+
+  /** kNN label agreement per query vector (low = mislabel candidate). */
+  def annLabelAgreement(corpus: DataFrame, queries: DataFrame,
+                        k: Int): DataFrame =
+    Ann.knnLabelAgreement(corpus, queries, "vec_id", "embedding",
+      "label", k)
+
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Ann.bruteTopK(corpus, queries, "vec_id", "embedding", k)
 

@@ -289,6 +289,22 @@ object SparkEntry {
       k = 5)
   }
 
+  /** Hard negatives for the vec_id<20 anchor set: top-5 most-similar
+    * DIFFERENT-label vectors per anchor. */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.hardNegatives(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", "label", k = 5)
+  }
+
+  /** kNN label agreement over a 100-anchor slice (k=10): low
+    * agreement rows are the mislabel-review queue. */
+  def qKnnAgreement(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.knnLabelAgreement(emb, emb.filter(col("vec_id") < 100), "vec_id",
+      "embedding", "label", k = 10)
+  }
+
   def qAnnSq8(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     Ann.bruteTopKSq8(emb, emb.filter(col("vec_id") < 20), "vec_id",
@@ -622,6 +638,8 @@ object SparkEntry {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_dedup_semdedup" -> (qDedupSemdedup _),
     "q_ann_topk" -> (qAnnTopk _),
+    "q_hard_negatives" -> (qHardNegatives _),
+    "q_knn_agreement" -> (qKnnAgreement _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -1578,6 +1596,61 @@ object SparkEntry {
           |)
           |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
           |FROM r WHERE "rank" <= 5""".stripMargin,
+
+      // Same cosine/rank machinery as q_ann_topk (raw-double ranking
+      // agrees across engines: both fold the dot left-to-right) with
+      // the label mismatch in the join.
+      "q_hard_negatives" ->
+        """WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+          |             embedding AS qv
+          |           FROM embeddings WHERE vec_id < 20),
+          |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+          |        embedding AS cv FROM embeddings),
+          |p AS (
+          |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+          |    list_reduce(list_transform(list_zip(qv, cv),
+          |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
+          |    / (sqrt(list_reduce(list_transform(qv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+          |     * sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cos_raw
+          |  FROM q JOIN c ON query_id <> neighbor_id
+          |                AND query_label <> neighbor_label
+          |), r AS (
+          |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+          |    cos_raw,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+          |  FROM p
+          |)
+          |SELECT query_id, query_label, neighbor_id, neighbor_label,
+          |  round(cos_raw, 6) AS cosine, "rank"
+          |FROM r WHERE "rank" <= 5""".stripMargin,
+
+      // Agreement = mean of exact 0/1 doubles over <= k rows —
+      // order-independent on both engines.
+      "q_knn_agreement" ->
+        """WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+          |             embedding AS qv
+          |           FROM embeddings WHERE vec_id < 100),
+          |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+          |        embedding AS cv FROM embeddings),
+          |p AS (
+          |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+          |    list_reduce(list_transform(list_zip(qv, cv),
+          |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
+          |    / (sqrt(list_reduce(list_transform(qv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+          |     * sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cos_raw
+          |  FROM q JOIN c ON query_id <> neighbor_id
+          |), r AS (
+          |  SELECT query_id, query_label, neighbor_label,
+          |    row_number() OVER (PARTITION BY query_id
+          |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+          |  FROM p
+          |)
+          |SELECT query_id, query_label AS label,
+          |  CAST(count(*) AS BIGINT) AS n_neighbors,
+          |  round(avg(CASE WHEN query_label = neighbor_label
+          |            THEN 1.0 ELSE 0.0 END), 6) AS agreement
+          |FROM r WHERE "rank" <= 10 GROUP BY 1, 2""".stripMargin,
 
       "q_ann_lsh" -> annLshOracle(nPlanes = 8, dim = 64, k = 3),
 

@@ -64,6 +64,69 @@ object Ann {
       dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training data: for each
+    * query vector, the k most-cosine-similar corpus vectors with a
+    * DIFFERENT label — the "close but wrong" examples a contrastive
+    * or reranker objective needs. Same broadcast-queries shape as
+    * [[bruteTopK]] (the corpus never shuffles) with the label
+    * mismatch pushed into the join condition, so same-label pairs are
+    * pruned before any ranking work. At corpus-as-queries scale,
+    * route candidates through the IVF index ([[ivfSearch]]) and
+    * apply the same label filter to its candidate set.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("qv"),
+      Fns.l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("cv"),
+      Fns.l2Norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos_raw", dotF(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), round(col("cos_raw"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** kNN LABEL AGREEMENT (confident-learning-style noise detection):
+    * for each query vector, the fraction of its k nearest corpus
+    * neighbors (self excluded) that share its label — rows with low
+    * agreement are mislabel/outlier candidates a curation pass
+    * reviews or drops. The agreement mean is a sum of exact 0/1
+    * doubles over ≤ k values, so it is order-independent.
+    * [[bruteTopK]] shape; scale path as [[hardNegatives]].
+    */
+  def knnLabelAgreement(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, labelCol: String,
+                        k: Int): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("qv"),
+      Fns.l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("cv"),
+      Fns.l2Norm(col(vecCol)).as("cn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_raw", dotF(col("qv"), col("cv")) /
+        (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("query_label").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        round(avg(when(col("query_label") === col("neighbor_label"), 1.0)
+          .otherwise(0.0)), 6).as("agreement"))
+  }
+
   /** Per-dimension SQ8 quantization grid (see functions.Sq8Encode). */
   case class Sq8Params(mins: Array[Double], scales: Array[Double]) {
     def dim: Int = mins.length

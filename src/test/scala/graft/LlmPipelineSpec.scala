@@ -1269,4 +1269,36 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(viaFrozen == batch)
     assert(batch.head._2.nonEmpty) // sanity: something survived
   }
+
+  // Axis-aligned unit vectors make cosine exact: e0·e0=1, e0·e1=0,
+  // and a 45° mix scores 0.7071 against both axes.
+  private def labeledVecs = Seq(
+    (0L, Array(1f, 0f, 0f), 0),
+    (1L, Array(0.9f, 0.1f, 0f), 0),    // near doc 0, same label
+    (2L, Array(0.8f, 0.2f, 0f), 1),    // near doc 0, DIFFERENT label
+    (3L, Array(0f, 1f, 0f), 1),
+    (4L, Array(0f, 0f, 1f), 2)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("hardNegatives: only different-label neighbors, similarity-ranked") {
+    val out = Ann.hardNegatives(labeledVecs,
+        labeledVecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        "label", k = 2)
+      .collect().map(r => (r.getLong(2), r.getInt(3), r.getLong(5)))
+    // anchor 0 (label 0): candidates are 2 (closest), 3, 4 — top-2
+    // by cosine are 2 then 3; same-label doc 1 must never appear
+    assert(out.map(_._1).toSeq == Seq(2L, 3L), s"got ${out.toSeq}")
+    assert(out.forall(_._2 != 0))
+  }
+
+  test("knnLabelAgreement: fraction of same-label neighbors, self excluded") {
+    val out = Ann.knnLabelAgreement(labeledVecs,
+        labeledVecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // anchor 0's 3 nearest are 1 (label 0), 2 (label 1), 3 (label 1)
+    // → agreement 1/3
+    assert(out == Seq((0L, 0, 3L, 0.333333)), s"got $out")
+  }
 }
