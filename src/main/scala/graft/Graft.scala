@@ -572,6 +572,25 @@ object Graft {
   def dsirScoreFrozen(docs: DataFrame, model: Dsir.DsirModel): DataFrame =
     Dsir.scoreFrozen(docs, "doc_id", "text", model)
 
+  /** Persist the DSIR count model as VersionedStore tables (additive
+    * counts + shard ledger + params). */
+  def dsirStoreBuild(docs: DataFrame, isTarget: Column, root: String,
+                     nBuckets: Int = 10000, alpha: Double = 1.0): Unit =
+    Dsir.buildModelStore(docs, "doc_id", "text", isTarget, root,
+      nBuckets, alpha)
+
+  /** Fold one new shard into the stored model (keyed MERGE on bucket;
+    * replays of the same shardId are no-ops). */
+  def dsirStoreUpsert(shard: DataFrame, isTarget: Column, root: String,
+                      shardId: String): Boolean =
+    Dsir.upsertModelCounts(shard, "doc_id", "text", isTarget, root,
+      shardId)
+
+  /** Freeze the scoring artifact from the stored counts — no corpus
+    * scan; equals the full refit over every ingested shard. */
+  def dsirStoreFreeze(spark: SparkSession, root: String): Dsir.DsirModel =
+    Dsir.freezeFromStore(spark, root)
+
   /** Deterministic per-class downsampling (rates in basis points). */
   def classBalanceSample(df: DataFrame, keyCol: String, classCol: String,
                          ratesBp: Map[String, Int]): DataFrame =

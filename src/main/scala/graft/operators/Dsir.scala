@@ -76,38 +76,39 @@ object Dsir {
     * smoothed mass only enters through the totals' +α·nBuckets term,
     * which IS applied).
     */
+  /** (bucket, c, t) model counts from a per-doc count frame — the
+    * ADDITIVE summary the persisted store refreshes by keyed MERGE. */
+  private def bucketCounts(f: DataFrame): DataFrame =
+    f.groupBy("bucket").agg(sum("cnt").as("c"),
+      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L))).as("t"))
+
+  /** Per-bucket 6dp-rounded log ratio from (bucket, c, t) counts —
+    * the one place the model arithmetic lives, shared by the inline,
+    * frozen and persisted paths so they can never diverge. */
+  private def lrFromCounts(counts: DataFrame, nBuckets: Int,
+                           alpha: Double): DataFrame = {
+    val totals = counts.agg(sum("c").as("raw_total"),
+      sum("t").as("tgt_total"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((col("t") + alpha) / (col("tgt_total") + alpha * nBuckets)) -
+          log((col("c") + alpha) / (col("raw_total") + alpha * nBuckets)),
+          6).cast("decimal(20,6)").as("lr"))
+  }
+
   /** The shared estimation pass: per-doc bucket counts (checkpointed —
-    * they feed four consumers) and the per-bucket 6dp-rounded log
-    * ratio table (≤ nBuckets rows). */
+    * they feed the model aggregation AND the weight join) and the
+    * per-bucket 6dp-rounded log ratio table (≤ nBuckets rows). */
   private def countsAndRatios(docs: DataFrame, idCol: String,
                               textCol: String, isTarget: Column,
                               nBuckets: Int, alpha: Double)
   : (DataFrame, DataFrame) = {
     require(alpha > 0, "alpha must be positive (zero-count buckets)")
-    // The count table feeds four consumers (corpus totals, target
-    // totals, scalar totals, the weight join); checkpoint it so the
-    // explode+agg runs once, not four times.
     val f = hashedNgramCounts(docs, idCol, textCol, nBuckets,
         Seq("is_target" -> isTarget))
       .localCheckpoint(false)
-    val corpus = f.groupBy("bucket").agg(sum("cnt").as("c"))
-    val target = f.filter(col("is_target"))
-      .groupBy("bucket").agg(sum("cnt").as("t"))
-    val totals = f.agg(
-      sum("cnt").as("raw_total"),
-      sum(when(col("is_target"), col("cnt")).otherwise(lit(0L)))
-        .as("tgt_total"))
-    // log ratio per bucket, rounded 6 dp then held exactly as decimal:
-    // the per-doc dot product below is order-independent.
-    val lr = corpus.join(target, Seq("bucket"), "left_outer")
-      .crossJoin(broadcast(totals))
-      .select(col("bucket"),
-        round(
-          log((coalesce(col("t"), lit(0L)) + alpha) /
-              (col("tgt_total") + alpha * nBuckets)) -
-          log((col("c") + alpha) / (col("raw_total") + alpha * nBuckets)),
-          6).cast("decimal(20,6)").as("lr"))
-    (f, lr)
+    (f, lrFromCounts(bucketCounts(f), nBuckets, alpha))
   }
 
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
@@ -134,6 +135,98 @@ object Dsir {
                   isTarget: Column, nBuckets: Int = 10000,
                   alpha: Double = 1.0): DsirModel = {
     val (_, lr) = countsAndRatios(docs, idCol, textCol, isTarget,
+      nBuckets, alpha)
+    DsirModel(nBuckets, lr.collect().map(r =>
+      r.getLong(0) -> r.getDecimal(1).movePointRight(6).longValueExact)
+      .toMap)
+  }
+
+  // --- persisted model store (incremental refresh) -------------------
+
+  private[operators] def countsTable(root: String) = s"$root/counts"
+  private[operators] def paramsTable(root: String) = s"$root/params"
+  private[operators] def appliedTable(root: String) = s"$root/applied"
+
+  /** Build and PERSIST the DSIR count model as VersionedStore tables
+    * under `root`: `counts` (bucket, c, t — corpus and target gram
+    * counts, laid out in disjoint bucket ranges so a refresh MERGE
+    * prunes files), `params` (nBuckets, alpha) and `applied` (the
+    * shard ledger). Counts are ADDITIVE, so the store refreshes
+    * shard-at-a-time ([[upsertModelCounts]]) without ever rescanning
+    * the corpus — the model-maintenance shape of the persisted IVF
+    * index, for the distribution-estimation half of DSIR.
+    */
+  def buildModelStore(docs: DataFrame, idCol: String, textCol: String,
+                      isTarget: Column, root: String,
+                      nBuckets: Int = 10000, alpha: Double = 1.0): Unit = {
+    import graft.offline.VersionedStore
+    require(alpha > 0, "alpha must be positive (zero-count buckets)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = bucketCounts(hashedNgramCounts(docs, idCol, textCol,
+      nBuckets, Seq("is_target" -> isTarget)))
+    VersionedStore.overwrite(
+      counts.repartitionByRange(math.max(1, nBuckets / 4096),
+        col("bucket")).sortWithinPartitions("bucket"),
+      countsTable(root))
+    VersionedStore.overwrite(
+      Seq((nBuckets.toLong, alpha)).toDF("n_buckets", "alpha"),
+      paramsTable(root))
+    VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), appliedTable(root))
+  }
+
+  private def readParams(spark: org.apache.spark.sql.SparkSession,
+                         root: String): (Int, Double) = {
+    val r = graft.offline.VersionedStore
+      .read(spark, paramsTable(root)).head()
+    (r.getLong(0).toInt, r.getDouble(1))
+  }
+
+  /** Fold ONE new shard's gram counts into the stored model: a keyed
+    * MERGE on `bucket` that rewrites only the files whose bucket
+    * ranges the shard touches. `shardId` makes the refresh
+    * idempotent: a shard already in the ledger is a no-op, so a
+    * replayed ingest cannot double-count (the ledger row lands after
+    * the counts commit — a crash between the two re-applies the
+    * shard, so the refresh is at-least-once-with-dedup, same contract
+    * as the incremental dedup state). Target membership of new docs
+    * comes from `isTarget` exactly as at build time.
+    */
+  def upsertModelCounts(shardDocs: DataFrame, idCol: String,
+                        textCol: String, isTarget: Column,
+                        root: String, shardId: String): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDocs.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, appliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val (nBuckets, _) = readParams(spark, root)
+    val shard = bucketCounts(hashedNgramCounts(shardDocs, idCol, textCol,
+      nBuckets, Seq("is_target" -> isTarget)))
+    val cur = VersionedStore.read(spark, countsTable(root))
+      .withColumnRenamed("c", "c0").withColumnRenamed("t", "t0")
+    val combined = shard.join(cur, Seq("bucket"), "left_outer")
+      .select(col("bucket"),
+        (col("c") + coalesce(col("c0"), lit(0L))).as("c"),
+        (col("t") + coalesce(col("t0"), lit(0L))).as("t"))
+    VersionedStore.merge(combined, countsTable(root), Seq("bucket"))
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      appliedTable(root))
+    true
+  }
+
+  /** Freeze the scoring artifact straight from the persisted counts —
+    * no corpus scan. Bit-equal to [[freezeModel]] over the union of
+    * every ingested shard: counts are exact longs, and the log-ratio
+    * arithmetic is the same shared code path.
+    */
+  def freezeFromStore(spark: org.apache.spark.sql.SparkSession,
+                      root: String): DsirModel = {
+    val (nBuckets, alpha) = readParams(spark, root)
+    val lr = lrFromCounts(
+      graft.offline.VersionedStore.read(spark, countsTable(root)),
       nBuckets, alpha)
     DsirModel(nBuckets, lr.collect().map(r =>
       r.getLong(0) -> r.getDecimal(1).movePointRight(6).longValueExact)

@@ -144,6 +144,24 @@ class DsirSpec extends AnyFunSuite {
       s"stream/batch divergence:\n$streamed\n$batch")
   }
 
+  test("persisted model store: additive shard refresh, replay-idempotent, freeze == full refit") {
+    val root = java.nio.file.Files.createTempDirectory("dsirstore")
+      .toString + "/model"
+    val bulk = corpus.filter(col("doc_id") < 3)
+    val shard = corpus.filter(col("doc_id") >= 3)
+    Dsir.buildModelStore(bulk, "doc_id", "text", col("is_target"), root,
+      nBuckets = 2048, alpha = 1.0)
+    assert(Dsir.upsertModelCounts(shard, "doc_id", "text",
+      col("is_target"), root, "shard-1"), "first apply must ingest")
+    assert(!Dsir.upsertModelCounts(shard, "doc_id", "text",
+      col("is_target"), root, "shard-1"), "replay must be a no-op")
+    val incremental = Dsir.freezeFromStore(spark, root)
+    val full = Dsir.freezeModel(corpus, "doc_id", "text",
+      col("is_target"), 2048, 1.0)
+    assert(incremental == full,
+      "incrementally-maintained model must equal the full refit")
+  }
+
   test("q_dsir plan: distribution tables broadcast, corpus never cartesians") {
     val df = SparkEntry.qDsir(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
