@@ -162,6 +162,38 @@ class DsirSpec extends AnyFunSuite {
       "incrementally-maintained model must equal the full refit")
   }
 
+  test("StreamingDsir: micro-batch count ingest, replay-safe, freeze == full refit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("sdsir").toString
+    val root = s"$tmp/model"
+    val isTarget = col("doc_id") <= 1
+    val seed = corpus.select(col("doc_id"), col("text"))
+    Dsir.buildModelStore(seed, "doc_id", "text", isTarget, root,
+      nBuckets = 512, alpha = 1.0)
+    val b1 = Seq((5L, "planets are bright tonight"),
+      (6L, "cheap pills cheap pills"))
+    val b2 = Seq((7L, "the sun and the planets"))
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingDsir.writer(
+        input.toDS().toDF("doc_id", "text"), root, isTarget)
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    input.addData(b1: _*); query.processAllAvailable()
+    input.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    // a crash-replay of batch 0 must be a ledger no-op
+    assert(!Dsir.upsertModelCounts(b1.toDF("doc_id", "text"), "doc_id",
+      "text", isTarget, root, "batch-0"))
+    val incremental = Dsir.freezeFromStore(spark, root)
+    val full = Dsir.freezeModel(
+      seed.unionByName(b1.toDF("doc_id", "text"))
+        .unionByName(b2.toDF("doc_id", "text")),
+      "doc_id", "text", isTarget, 512, 1.0)
+    assert(incremental == full,
+      "stream-maintained model must equal the full refit over all docs")
+  }
+
   test("q_dsir plan: distribution tables broadcast, corpus never cartesians") {
     val df = SparkEntry.qDsir(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
