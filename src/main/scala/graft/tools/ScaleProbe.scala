@@ -189,6 +189,22 @@ object ScaleProbe {
         "text", col("source").isin("src0", "src1"), 10000, 1.0)
       graft.operators.Dsir.resample(w, 100).count()
     })
+    // persisted DSIR store: build cost is corpus-shaped (one explode
+    // + bucket agg); the shard upsert and the freeze must be SHARD-
+    // and BUCKET-shaped respectively — a daily refresh pays neither
+    // a corpus rescan nor a corpus-sized read
+    val dsroot = java.nio.file.Files
+      .createTempDirectory("probe_dsir").toString + "/model"
+    time("dsir store build xK")(
+      graft.operators.Dsir.buildModelStore(docs, "doc_id", "text",
+        col("source").isin("src0", "src1"), dsroot))
+    time("dsir store upsert 50 docs")(
+      graft.operators.Dsir.upsertModelCounts(
+        docs.filter(col("doc_id") % 997 === 0).limit(50),
+        "doc_id", "text", col("source").isin("src0", "src1"),
+        dsroot, "probe-shard"))
+    time("dsir store freeze")(
+      graft.operators.Dsir.freezeFromStore(spark, dsroot))
     // soft quality sampling: codegen filter over the quality frame —
     // confirm it stays scan-shaped (the filter forces the scores)
     time("quality-weighted sample xK")(
