@@ -552,6 +552,11 @@ object SparkEntry {
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
 
+  /** Corpus data-card report: composition by source × lang. */
+  def qCorpusReport(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusReport(Tables.documents(s, d), "text",
+      Seq("source", "lang"))
+
   /** Connected components over the exact n-gram near-dup pairs: every
     * clustered doc labeled with the min doc id of its TRANSITIVE dup
     * cluster (a~b~c chains merge, unlike keepList's pairwise drop
@@ -668,6 +673,7 @@ object SparkEntry {
     "q_line_dedup_frozen" -> (qLineDedupFrozen _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_corpus_report" -> (qCorpusReport _),
     "q_dsir" -> (qDsir _),
     "q_dsir_sample" -> (qDsirSample _),
     "q_dsir_frozen" -> (qDsirFrozen _),
@@ -2107,6 +2113,14 @@ object SparkEntry {
       // buckets, add-1 smoothing over 10k buckets, per-bucket log
       // ratio rounded 6dp THEN summed as exact decimal — the dot
       // product is order-independent on both engines.
+      "q_corpus_report" ->
+        """SELECT source, lang,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+          |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+          |  round(avg(len(text)), 6) AS avg_chars
+          |FROM documents GROUP BY 1, 2""".stripMargin,
+
       "q_dsir" -> dsirOracleSql(""),
 
       // The frozen scorer must reproduce the batch estimation exactly

@@ -579,4 +579,22 @@ object TextAnalysis {
       (col(idCol).as("doc_id") +: staged.last.as("text_redacted") +:
         counts): _*)
   }
+
+  /** Corpus DATA-CARD report: per-dimension-tuple (e.g. source ×
+    * lang) document count, whitespace-token and character volumes,
+    * and mean document length — the composition summary every
+    * released training corpus ships with (and the denominator table
+    * domain-mixing decisions read from). One scan, one map-side-
+    * combining shuffle, |dim tuples| result rows — at 100 TB this is
+    * the cheapest query in the suite.
+    */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "report needs at least one dimension")
+    docs.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("ws_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        round(avg(length(col(textCol))), 6).as("avg_chars"))
+  }
 }

@@ -1270,6 +1270,16 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(batch.head._2.nonEmpty) // sanity: something survived
   }
 
+  test("corpusReport: per-dimension volumes and mean length") {
+    val docs = Seq(("a", "en", "xx yy"), ("a", "en", "zz"),
+      ("b", "fr", "q")).toDF("source", "lang", "text")
+    val r = TextAnalysis.corpusReport(docs, "text", Seq("source", "lang"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(r == Set(("a", "en", 2L, 3L, 7L, 3.5),
+      ("b", "fr", 1L, 1L, 1L, 1.0)), s"got $r")
+  }
+
   // Axis-aligned unit vectors make cosine exact: e0·e0=1, e0·e1=0,
   // and a 45° mix scores 0.7071 against both axes.
   private def labeledVecs = Seq(
