@@ -481,6 +481,15 @@ object Graft {
                        k: Int): DataFrame =
     Ann.hardNegatives(corpus, queries, "vec_id", "embedding", "label", k)
 
+  /** IVF-served hard negatives (the corpus-as-queries scale path):
+    * candidates from the persisted index's probed cells, label filter
+    * after the kCand over-fetch — size kCand to the same-label crowd. */
+  def annHardNegativesIvf(spark: SparkSession, indexRoot: String,
+                          queries: DataFrame, labels: DataFrame,
+                          nProbe: Int, k: Int, kCand: Int = 0): DataFrame =
+    Ann.hardNegativesIvf(spark, indexRoot, queries, "vec_id",
+      "embedding", "label", labels, nProbe, k, kCand)
+
   /** kNN label agreement per query vector (low = mislabel candidate). */
   def annLabelAgreement(corpus: DataFrame, queries: DataFrame,
                         k: Int): DataFrame =

@@ -551,6 +551,41 @@ object Ann {
       k, excludeSelf)
   }
 
+  /** IVF-served HARD NEGATIVES — the corpus-as-queries scale path for
+    * [[hardNegatives]]: candidates come from the persisted index's
+    * probed cells (an [[ivfServe]] over-fetch of `kCand`), the label
+    * table joins onto that bounded candidate set (the candidate side
+    * broadcasts — |queries|·kCand rows — so the corpus-sized label
+    * table never shuffles), and the different-label survivors re-rank
+    * to top-k. Recall caveat, by construction: a query whose kCand
+    * nearest are ALL same-label yields fewer than k negatives — size
+    * kCand to the expected same-label crowd (default 4·k). Ranks on
+    * the served 6dp-rounded cosine (ties broken by neighbor id).
+    */
+  def hardNegativesIvf(spark: org.apache.spark.sql.SparkSession,
+                       indexRoot: String, queries: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String,
+                       labels: DataFrame, nProbe: Int, k: Int,
+                       kCand: Int = 0): DataFrame = {
+    val kc = if (kCand > 0) kCand else 4 * k
+    require(kc >= k, s"kCand $kc must be >= k $k")
+    val served = ivfServe(spark, indexRoot, queries, idCol, vecCol,
+      nProbe, kc, excludeSelf = true)
+    val qLab = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"))
+    val nLab = labels.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    nLab.join(broadcast(served.join(qLab, Seq("query_id"))),
+        Seq("neighbor_id"))
+      .filter(col("neighbor_label") =!= col("query_label"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cosine"), col("rank"))
+  }
+
   private def sq8GridTable(indexRoot: String) = s"$indexRoot/sq8_grid"
   private def sq8AssignmentTable(indexRoot: String) = s"$indexRoot/assignment_sq8"
 

@@ -1301,6 +1301,23 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(out.forall(_._2 != 0))
   }
 
+  test("hardNegativesIvf: full-probe over-fetch equals the brute miner") {
+    val root = java.nio.file.Files.createTempDirectory("hnivf")
+      .toString + "/index"
+    Ann.ivfBuildIndex(labeledVecs, "vec_id", "embedding",
+      nCentroids = 2, indexRoot = root)
+    val queries = labeledVecs.filter(col("vec_id") === 0L)
+    val viaIvf = Ann.hardNegativesIvf(spark, root, queries, "vec_id",
+        "embedding", "label", labeledVecs, nProbe = 2, k = 2, kCand = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+      .toSet
+    val brute = Ann.hardNegatives(labeledVecs, queries, "vec_id",
+        "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+      .toSet
+    assert(viaIvf == brute, s"ivf $viaIvf vs brute $brute")
+  }
+
   test("knnLabelAgreement: fraction of same-label neighbors, self excluded") {
     val out = Ann.knnLabelAgreement(labeledVecs,
         labeledVecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
