@@ -286,4 +286,24 @@ class PlanSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
       s"self-join sides must reuse the cached cell assignment:\n$plan")
   }
+
+  test("q_corpus_report: one map-side-combining shuffle, nothing else") {
+    assert(countShuffles(SparkEntry.qCorpusReport(spark,
+      TestSpark.sfDir)) == 1)
+  }
+
+  test("q_hard_negatives / q_knn_agreement: anchors broadcast, corpus never cartesians") {
+    // inequality join conditions (id + label mismatch) make this a
+    // BroadcastNestedLoopJoin with the ANCHOR side broadcast — the
+    // brute-scan shape q_ann_topk uses; the corpus side must never
+    // become the build side or a CartesianProduct
+    Seq(SparkEntry.qHardNegatives(spark, TestSpark.sfDir),
+        SparkEntry.qKnnAgreement(spark, TestSpark.sfDir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"no cartesian allowed:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"anchors must broadcast:\n$plan")
+    }
+  }
 }
