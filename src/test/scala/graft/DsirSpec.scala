@@ -144,6 +144,34 @@ class DsirSpec extends AnyFunSuite {
       s"stream/batch divergence:\n$streamed\n$batch")
   }
 
+  test("HashedGramBuckets equals the column-pipeline bucketing on tricky strings") {
+    // the byte-level tokenizer must agree with
+    // filter(split(text,' '), <> '') + concat_ws bigrams + md5Hash31
+    // on every edge: runs of spaces, leading/trailing, unicode
+    // multi-byte, non-space whitespace INSIDE a word, empty text
+    import graft.functions.{Fns, HashedGramScore}
+    val texts = Seq("a b c", "a  b", " leading", "trailing ", "",
+      " ", "héllo wörld 😀 mix",
+      "tab\tinside word", "double  space  runs  everywhere")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaExpr = df.select(col("id"),
+        explode(HashedGramScore.buckets(col("text"), 4096)).as("b"))
+      .groupBy("id", "b").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ws = filter(split(col("text"), " "), w => w =!= lit(""))
+    val bi = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val viaCols = df.select(col("id"), explode(concat(ws, bi)).as("g"))
+      .select(col("id"), (Fns.md5Hash31(col("g")) % 4096).as("b"))
+      .groupBy("id", "b").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaExpr == viaCols,
+      s"divergence: ${(viaExpr -- viaCols).take(4)} vs ${(viaCols -- viaExpr).take(4)}")
+  }
+
   test("persisted model store: additive shard refresh, replay-idempotent, freeze == full refit") {
     val root = java.nio.file.Files.createTempDirectory("dsirstore")
       .toString + "/model"
