@@ -270,6 +270,34 @@ object Graft {
 
   def dedupClusters(pairs: DataFrame): DataFrame = Dedup.clusters(pairs)
 
+  /** Quality-aware survivor selection: keep the best-scoring doc per
+    * transitive dup cluster (default score: character length — the
+    * longest variant is canonical; ties to min doc id). */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame,
+                    score: Column = org.apache.spark.sql.functions.length(
+                      org.apache.spark.sql.functions.col("text")))
+  : DataFrame =
+    Dedup.keepBest(docs, "doc_id", pairs, score)
+
+  /** Leakage-free split: whole near-dup clusters assigned to one
+    * side, so no test doc has a near-copy in train. */
+  def splitByCluster(docs: DataFrame, pairs: DataFrame,
+                     trainPct: Int = 80): DataFrame =
+    Dedup.clusterSplit(docs, "doc_id", pairs, trainPct)
+
+  /** Per-doc n-gram novelty: the fraction of a doc's distinct
+    * shingles appearing in no other document. */
+  def novelty(docs: DataFrame, n: Int = 3): DataFrame =
+    graft.operators.TextAnalysis.novelty(docs, "doc_id", "text", n)
+
+  /** Semantic decontamination: corpus embeddings cosine-close to any
+    * eval embedding (paraphrase-level leakage the shingle gate
+    * misses). Supply disjoint frames. */
+  def decontaminateSemantic(corpus: DataFrame, evalVecs: DataFrame,
+                            threshold: Double): DataFrame =
+    graft.operators.Ann.semanticDecontam(corpus, evalVecs, "vec_id",
+      "embedding", threshold)
+
   /** Incremental dedup of a newly-arrived shard against persisted
     * state (first-seen wins; first call initializes). Equals the
     * batch pipeline when shards arrive in ascending doc_id order.

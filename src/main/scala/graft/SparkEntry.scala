@@ -564,8 +564,44 @@ object SparkEntry {
     * the same self-checking oracle precondition; the DuckDB oracle
     * closes the transitive reachability with a recursive CTE. */
   def qDedupClusters(s: SparkSession, d: String): DataFrame =
-    Dedup.clusters(Dedup.ngramJaccard(Tables.documents(s, d), "doc_id",
-      "text", n = 3, threshold = 0.8, maxDf = 100))
+    Dedup.clusters(declaredNgramPairs(s, d))
+
+  /** Shared near-dup pair declaration for the cluster-family queries
+    * (q_dedup_clusters / q_keep_best / q_cluster_split): the exact
+    * n-gram detector at the oracle-checkable settings, covered by the
+    * same maxDf=100 self-checking precondition as q_dedup_ngram. */
+  private def declaredNgramPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.8, maxDf = 100)
+
+  /** Quality-aware survivor selection: per transitive dup cluster keep
+    * the LONGEST document (chars, ties to min doc id) instead of the
+    * min id — the canonical-copy policy real curation uses. */
+  def qKeepBest(s: SparkSession, d: String): DataFrame =
+    Dedup.keepBest(Tables.documents(s, d), "doc_id",
+      declaredNgramPairs(s, d), length(col("text")))
+
+  /** Leakage-free 80/20 split: whole near-dup clusters land on one
+    * side, so no test doc has a near-copy in train. */
+  def qClusterSplit(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterSplit(Tables.documents(s, d), "doc_id",
+      declaredNgramPairs(s, d), trainPct = 80)
+
+  /** Per-doc 3-gram novelty: the fraction of a doc's distinct
+    * shingles appearing in no other document. */
+  def qNovelty(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.novelty(Tables.documents(s, d), "doc_id", "text", n = 3)
+
+  /** Semantic decontamination of the corpus slice (vec_id % 10 != 0)
+    * against the pseudo-eval slice (vec_id % 10 == 0) — embedding
+    * cosine >= 0.3 flags paraphrase-level eval leakage the shingle
+    * gate (q_decontaminate) cannot see. */
+  def qSemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    Ann.semanticDecontam(emb.filter(col("vec_id") % 10 =!= 0),
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+      threshold = 0.3)
+  }
 
   /** DSIR importance weights against a two-source target slice
     * (src0+src1 ≈ 10% of the corpus): hashed unigram+bigram models,
@@ -673,6 +709,10 @@ object SparkEntry {
     "q_line_dedup_frozen" -> (qLineDedupFrozen _),
     "q_top_ngrams" -> (qTopNgrams _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_keep_best" -> (qKeepBest _),
+    "q_cluster_split" -> (qClusterSplit _),
+    "q_novelty" -> (qNovelty _),
+    "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_dsir" -> (qDsir _),
     "q_dsir_sample" -> (qDsirSample _),
@@ -930,6 +970,38 @@ object SparkEntry {
       |  FROM j
       |)
       |SELECT *, drop_reason IS NULL AS keep FROM jr""".stripMargin
+
+  /** Shared recursive-CTE prelude for the cluster-family oracles
+    * (q_dedup_clusters / q_keep_best / q_cluster_split): exact 3-gram
+    * Jaccard >= 0.8 pairs, transitive closure, and `cl`
+    * (doc_id, cluster_id) membership for every clustered doc. */
+  private val clusterCte =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, greatest(len(ws) - 2, 0)),
+      |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+      |  FROM w
+      |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pr AS (
+      |  SELECT doc_a, doc_b
+      |  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+      |  WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8
+      |), e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pr
+      |  UNION SELECT doc_b, doc_a FROM pr
+      |), reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+      |), cl AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val latestCte =
@@ -2082,31 +2154,69 @@ object SparkEntry {
       // is the cluster's canonical id — what pointer-jump label
       // propagation converges to.
       "q_dedup_clusters" ->
-        """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        s"""$clusterCte
+           |SELECT doc_id, cluster_id FROM cl""".stripMargin,
+
+      // Same transitive clusters, then the keep-best action: within
+      // each cluster rank by len(text) DESC, doc_id ASC; everything
+      // not ranked > 1 survives. len(text)/length(text) count chars
+      // identically on both engines (corpus-report-proven).
+      "q_keep_best" ->
+        s"""$clusterCte,
+           |r AS (
+           |  SELECT cl.doc_id, cl.cluster_id,
+           |    row_number() OVER (PARTITION BY cl.cluster_id
+           |                       ORDER BY len(d.text) DESC, cl.doc_id) AS rk
+           |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+           |)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM r WHERE rk > 1)""".stripMargin,
+
+      // Same clusters, then the leakage-free split: unclustered docs
+      // are their own cluster; the side is the md5 bucket of the
+      // CLUSTER id (same hash formula as q_train_test_split).
+      "q_cluster_split" ->
+        s"""$clusterCte
+           |SELECT d.doc_id,
+           |  coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+           |  CASE WHEN ('0x' || substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)), 1, 8))::BIGINT % 2147483648 % 100 < 80
+           |       THEN 'train' ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
+
+      // Same shingle CTE as q_decontam_scores; df = count(*) because
+      // shingles are per-doc distinct on both sides.
+      "q_novelty" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |sh AS (
           |  SELECT doc_id, unnest(list_distinct(list_transform(
           |    generate_series(1, greatest(len(ws) - 2, 0)),
           |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
           |  FROM w
-          |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+          |), df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+          |SELECT doc_id, count(*) AS n_shingles,
+          |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_unique,
+          |  round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    / count(*), 6) AS novelty_frac
+          |FROM sh JOIN df USING (s) GROUP BY doc_id""".stripMargin,
+
+      // Same cosine machinery as q_ann_topk (fold parity proven
+      // there); round(6) BEFORE the threshold and max on both sides.
+      "q_semantic_decontam" ->
+        """WITH e AS (SELECT vec_id AS eval_id, embedding AS ev
+          |           FROM embeddings WHERE vec_id % 10 = 0),
+          |c AS (SELECT vec_id AS doc_id, embedding AS cv
+          |      FROM embeddings WHERE vec_id % 10 <> 0),
           |p AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2
-          |), pr AS (
-          |  SELECT doc_a, doc_b
-          |  FROM p JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
-          |  WHERE round(common / (x.sz + y.sz - common), 6) >= 0.8
-          |), e AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pr
-          |  UNION SELECT doc_b, doc_a FROM pr
-          |), reach(src, dst) AS (
-          |  SELECT src, dst FROM e
-          |  UNION
-          |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+          |  SELECT doc_id, round(
+          |    list_reduce(list_transform(list_zip(cv, ev),
+          |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
+          |    / (sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+          |     * sqrt(list_reduce(list_transform(ev, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))), 6) AS cos
+          |  FROM c CROSS JOIN e
           |)
-          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-          |FROM reach GROUP BY src""".stripMargin,
+          |SELECT doc_id, count(*) AS n_close, max(cos) AS max_cos
+          |FROM p WHERE cos >= 0.3 GROUP BY doc_id""".stripMargin,
 
       // Mirrors Dsir.importanceWeights exactly: same tokenization
       // (split on space, drop empties), unigrams+bigrams, md5hash31

@@ -127,6 +127,41 @@ object Ann {
           .otherwise(0.0)), 6).as("agreement"))
   }
 
+  /** SEMANTIC decontamination: flag corpus documents whose embedding
+    * is cosine-close (>= `threshold`) to ANY held-out eval embedding —
+    * the vector-space companion to [[Dedup.decontaminate]]'s n-gram
+    * gate, catching paraphrased eval leakage that shares no shingles
+    * with the benchmark text. Returns (doc_id, n_close, max_cos) for
+    * flagged corpus rows; anti-join the corpus against it to scrub.
+    * Cosines are rounded to 6dp BEFORE thresholding and max, so the
+    * boundary decision is bit-deterministic across engines.
+    *
+    * Same asymmetric scale shape as the shingle gate: eval sets are
+    * small (thousands of vectors), so the eval side broadcasts and
+    * the corpus scores map-side — it never shuffles until the per-doc
+    * aggregate, which only carries flagged rows. The corpus×eval dot
+    * products ARE the work; at corpus-as-queries scale with a LARGE
+    * eval set, build a persisted IVF index over the eval vectors and
+    * probe it corpus-side ([[hardNegativesIvf]]'s shape) to prune the
+    * candidate set. Caller supplies disjoint frames; ids are not
+    * cross-excluded here.
+    */
+  def semanticDecontam(corpus: DataFrame, evalVecs: DataFrame,
+                       idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val e = evalVecs.select(col(idCol).as("eval_id"), col(vecCol).as("ev"),
+      Fns.l2Norm(col(vecCol)).as("en"))
+    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"),
+      Fns.l2Norm(col(vecCol)).as("cn"))
+    c.join(broadcast(e))
+      .withColumn("cos",
+        round(dotF(col("cv"), col("ev")) / (col("cn") * col("en")), 6))
+      .filter(col("cos") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_close"), max(col("cos")).as("max_cos"))
+  }
+
   /** Per-dimension SQ8 quantization grid (see functions.Sq8Encode). */
   case class Sq8Params(mins: Array[Double], scales: Array[Double]) {
     def dim: Int = mins.length

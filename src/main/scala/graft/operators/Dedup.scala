@@ -405,6 +405,67 @@ object Dedup {
           Seq("doc_id"), "left_anti")
     }
 
+  /** QUALITY-AWARE dedup survivor selection: within every TRANSITIVE
+    * near-dup cluster keep the single best document by `score`
+    * (ties broken by ascending doc id), instead of keepList's blind
+    * keep-min-id rule — the selection real curation pipelines run,
+    * where the canonical copy should be the longest / highest-quality
+    * variant, not whichever crawled first. `pairs` is any near-dup
+    * pair list (doc_a, doc_b) — [[ngramJaccard]] for the exact
+    * baseline, [[minhashLsh]]/[[pipeline]] candidates at scale.
+    * Returns the surviving doc ids (unclustered docs all survive).
+    *
+    * Scale shape: [[clusters]] resolves transitive membership in
+    * O(log diameter) pointer-jump rounds; scoring is a projection;
+    * the per-cluster argmax is a window over cluster ids (clusters
+    * are small — bounded by dup-group size, not corpus); and the drop
+    * list — strictly smaller than the clustered fraction — broadcasts
+    * into a left-anti join, so the corpus itself never shuffles.
+    */
+  def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+               score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = clusters(pairs)
+    val scored = docs.select(col(idCol).as("doc_id"), score.as("score"))
+    val ranked = cl.join(scored, Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc, col("doc_id"))))
+    val dropIds = ranked.filter(col("rk") > 1).select("doc_id")
+    docs.select(col(idCol).as("doc_id"))
+      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+  }
+
+  /** LEAKAGE-FREE train/test split: assign whole near-dup clusters to
+    * one side, so a document and its near-duplicates can never
+    * straddle the split — the guard against test-set contamination
+    * that a plain per-document hash split ([[FeatureEng
+    * .trainTestSplit]]) cannot give (a near-copy of a test doc in
+    * train IS leakage). Unclustered docs are their own cluster. The
+    * side is the md5 bucket of the CLUSTER id — same deterministic
+    * hash family as trainTestSplit, so the assignment is reproducible
+    * on any cluster, and membership is a pure function of
+    * (cluster id, trainPct). Returns (doc_id, cluster_id, split).
+    *
+    * Scale shape: [[clusters]] as in [[keepBest]]; the membership
+    * table (clustered docs only — the dup fraction of the corpus)
+    * broadcasts into a left join, so the corpus never shuffles; the
+    * bucket is a pure projection.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                   trainPct: Int): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100,
+      s"trainPct must be in [0, 100], got $trainPct")
+    val cl = clusters(pairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(broadcast(cl), Seq("doc_id"), "left_outer")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(Fns.md5Hash31(col("cluster_id").cast("string")) % 100
+          < trainPct, "train").otherwise("test"))
+      .select("doc_id", "cluster_id", "split")
+  }
+
   /** The production dedup pipeline in the order the scale probe proves
     * out (docs/SCALE_NOTES.md): exact dedup FIRST collapses identical
     * copies (removing the df² dup-cluster pressure), MinHash+LSH

@@ -597,4 +597,39 @@ object TextAnalysis {
         sum(length(col(textCol)).cast("long")).as("n_chars"),
         round(avg(length(col(textCol))), 6).as("avg_chars"))
   }
+
+  /** Per-document n-gram NOVELTY: how much of each document's distinct
+    * word-n-gram set appears NOWHERE else in the corpus (document
+    * frequency exactly 1). The data-selection signal dual to
+    * [[Dedup.decontaminationScores]]: where contamination measures
+    * overlap with a reference set, novelty measures a document's
+    * unique contribution to corpus diversity — low-novelty documents
+    * are template instantiations and boilerplate shells that survive
+    * document-level dedup, high-novelty documents carry content no
+    * other document supplies. Returns (doc_id, n_shingles, n_unique,
+    * novelty_frac); docs shorter than n words have no shingles and no
+    * row (same contract as decontaminationScores).
+    *
+    * Scale shape: shingles are per-doc distinct by construction
+    * (ShingleHash dedupes), so count(*) per shingle IS document
+    * frequency — one explode, a map-side-combinable df aggregate, and
+    * a self-equi-join on the shingle hash that reuses the aggregate's
+    * exchange (the explicit repartition below makes the df aggregate
+    * and the join's probe side read ONE shared shuffle). Everything is
+    * linear in total shingle count; no pair generation anywhere.
+    */
+  def novelty(docs: DataFrame, idCol: String, textCol: String,
+              n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ShingleHash.shingles(col(textCol), n))
+          .as("s"))
+      .repartition(col("s"))
+    val df1 = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    sh.join(df1, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_frac",
+        round(col("n_unique") / col("n_shingles"), 6))
+  }
 }

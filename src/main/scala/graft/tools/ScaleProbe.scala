@@ -251,11 +251,31 @@ object ScaleProbe {
       Dedup.dedupIncremental(micro2, "doc_id", "text", dstate, 3, 0.8,
         pruneStateDocs = 10000).count())
     microBase.unpersist()
+    // novelty: inverted-index df + probe join — must stay linear in
+    // total shingles even when the dup-bomb pushes every df to k
+    time("novelty xK")(
+      TextAnalysis.novelty(docs, "doc_id", "text", 3).count())
     // near-dup graph -> connected components (pointer-jump propagation)
     time("clusters over minhash pairs xK")({
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
         .select("doc_a", "doc_b")
       Dedup.clusters(pairs).count()
+    })
+    // the keep-best ACTION on the same pair graph: clusters + scoring
+    // + per-cluster argmax window + broadcast anti-join — the window
+    // partitions are dup clusters (size k here), never the corpus
+    time("keepBest over minhash pairs xK")({
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+        .select("doc_a", "doc_b")
+      Dedup.keepBest(docs, "doc_id", pairs, length(col("text"))).count()
+    })
+    // leakage-free split: outer join + projection — count() would
+    // join-eliminate (takeaway 13), so aggregate a produced column
+    time("clusterSplit over minhash pairs xK")({
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+        .select("doc_a", "doc_b")
+      Dedup.clusterSplit(docs, "doc_id", pairs, 80)
+        .agg(sum(length(col("split")))).head()
     })
     docs.unpersist()
     }
@@ -320,6 +340,12 @@ object ScaleProbe {
     time("semdedup incremental 50 vecs")(
       Dedup.embeddingSemdedupIncremental(incBatch, "vec_id", "embedding",
         ivfRoot, 0.4).count())
+    // semantic decontam: the xK corpus against a broadcast eval slice
+    // — cost is |corpus|·|eval| dot products, corpus never shuffles
+    time("semantic decontam xK vs eval slice")(
+      Ann.semanticDecontam(emb.filter(col("vec_id") % 10 =!= 0),
+        Tables.embeddings(spark, d).filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", 0.3).count())
     queries.unpersist()
     emb.unpersist()
     }

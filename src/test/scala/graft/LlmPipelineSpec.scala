@@ -1328,4 +1328,76 @@ class LlmPipelineSpec extends AnyFunSuite {
     // → agreement 1/3
     assert(out == Seq((0L, 0, 3L, 0.333333)), s"got $out")
   }
+
+  test("keepBest: per-cluster argmax by score, ties to min id, unclustered survive") {
+    val docs = Seq(
+      (1L, "aa"), (2L, "aaaa"), (3L, "aaa"), // transitive cluster {1,2,3}
+      (4L, "bb"), (5L, "bb"),                // tie cluster {4,5}
+      (6L, "solo")                           // unclustered
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs, length(col("text")))
+      .collect().map(_.getLong(0)).toSet
+    // 2 is the longest of {1,2,3}; the {4,5} tie breaks to min id 4
+    assert(kept == Set(2L, 4L, 6L), s"got $kept")
+  }
+
+  test("clusterSplit: whole clusters land on one side; unclustered follow their own hash") {
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusterSplit(docs, "doc_id", pairs, 80).collect()
+    assert(out.length == 40)
+    val byDoc = out.map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // transitive chain 1~2~3 shares cluster id 1 AND side
+    assert(byDoc(1L) == byDoc(2L) && byDoc(2L) == byDoc(3L))
+    assert(byDoc(1L)._1 == 1L && byDoc(10L) == byDoc(11L))
+    // unclustered docs: own id as cluster, so the side equals the
+    // plain per-doc trainTestSplit decision (the two splits agree
+    // wherever there is no dup structure)
+    val solos = graft.operators.FeatureEng.trainTestSplit(
+        docs.filter(col("doc_id") >= 20), "doc_id", 80)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    solos.foreach { case (id, side) =>
+      assert(byDoc(id) == ((id, side)), s"solo $id drifted from trainTestSplit")
+    }
+    // degenerate percentages
+    assert(Dedup.clusterSplit(docs, "doc_id", pairs, 100)
+      .filter(col("split") =!= "train").isEmpty)
+    assert(Dedup.clusterSplit(docs, "doc_id", pairs, 0)
+      .filter(col("split") =!= "test").isEmpty)
+  }
+
+  test("novelty: duplicated docs score 0, unique docs 1, short docs no row") {
+    val docs = Seq(
+      (1L, "w x y z"), (2L, "w x y z"), // every shingle df=2
+      (3L, "p q r s"),                  // every shingle df=1
+      (4L, "a b")                       // < 3 words: no shingles, no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(!out.contains(4L), "short doc must have no novelty row")
+    assert(out(1L) == ((2L, 0L, 0.0)) && out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 2L, 1.0)))
+  }
+
+  test("semanticDecontam: identical vector flags 1.0, orthogonal passes, boundary rounds first") {
+    val eval = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), // cos 1.0
+      (2L, Array(0.0f, 1.0f)), // cos 0.0 → clean
+      (3L, Array(1.0f, 1.0f))  // cos → 0.707107 after round(6)
+    ).toDF("vec_id", "embedding")
+    val out = Ann.semanticDecontam(corpus, eval, "vec_id", "embedding", 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 3L), s"got $out")
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(3L) == ((1L, 0.707107)))
+    // threshold compares the ROUNDED cosine: 0.707107 >= 0.707107
+    val atBoundary = Ann.semanticDecontam(corpus, eval, "vec_id",
+      "embedding", 0.707107).collect().map(_.getLong(0)).toSet
+    assert(atBoundary == Set(1L, 3L))
+  }
 }

@@ -292,6 +292,28 @@ class PlanSpec extends AnyFunSuite {
       TestSpark.sfDir)) == 1)
   }
 
+  test("q_novelty: inverted-index equi-join, no pair generation anywhere") {
+    val df = SparkEntry.qNovelty(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"novelty must stay equi-join shaped:\n$plan")
+    // the explicit shingle repartition is shared by the df aggregate
+    // and the probe join; the per-doc aggregate is the only other
+    // data shuffle
+    assert(countShuffles(df) <= 3, s"shingle exchange must be shared:\n$plan")
+  }
+
+  test("q_semantic_decontam: eval broadcast, corpus shuffles only for the per-doc aggregate") {
+    val df = SparkEntry.qSemanticDecontam(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the eval side must broadcast:\n$plan")
+    assert(countShuffles(df) == 1,
+      s"only the flagged-rows aggregate may shuffle:\n$plan")
+  }
+
   test("q_hard_negatives / q_knn_agreement: anchors broadcast, corpus never cartesians") {
     // inequality join conditions (id + label mismatch) make this a
     // BroadcastNestedLoopJoin with the ANCHOR side broadcast — the
