@@ -285,6 +285,16 @@ object Graft {
                      trainPct: Int = 80): DataFrame =
     Dedup.clusterSplit(docs, "doc_id", pairs, trainPct)
 
+  /** Action-path twins over a PERSISTED (doc_id, cluster_id) artifact:
+    * rerun survivor policy / resplit without re-detecting. */
+  def dedupKeepBestFromClusters(docs: DataFrame, clusterIds: DataFrame,
+                                score: Column): DataFrame =
+    Dedup.keepBestFromClusters(docs, "doc_id", clusterIds, score)
+
+  def splitByClusterFromClusters(docs: DataFrame, clusterIds: DataFrame,
+                                 trainPct: Int = 80): DataFrame =
+    Dedup.clusterSplitFromClusters(docs, "doc_id", clusterIds, trainPct)
+
   /** Per-doc n-gram novelty: the fraction of a doc's distinct
     * shingles appearing in no other document. */
   def novelty(docs: DataFrame, n: Int = 3): DataFrame =
@@ -636,6 +646,13 @@ object Graft {
   /** Soft quality filtering: keep each row with probability equal to
     * `weight` (clamped to [0, 1]), decided by the deterministic
     * md5-bucket coin; distinct seeds draw independent samples. */
+  /** Deterministic stratified draw: exactly min(k, |cell|) rows per
+    * strata cell by seeded md5 rank — eval/holdout panel building. */
+  def stratifiedSample(df: DataFrame, keyCol: String,
+                       strataCols: Seq[String], k: Int,
+                       seed: String = "graft"): DataFrame =
+    FeatureEng.stratifiedSample(df, keyCol, strataCols, k, seed)
+
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      seed: String = "graft"): DataFrame =
     FeatureEng.weightedSample(df, keyCol, weight, seed)

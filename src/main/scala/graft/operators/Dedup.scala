@@ -423,11 +423,21 @@ object Dedup {
     * into a left-anti join, so the corpus itself never shuffles.
     */
   def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
-               score: Column): DataFrame = {
+               score: Column): DataFrame =
+    keepBestFromClusters(docs, idCol, clusters(pairs), score)
+
+  /** The keep-best ACTION over a precomputed (doc_id, cluster_id)
+    * membership table — the path a production pipeline runs: clusters
+    * are the detection ARTIFACT (persist them in a VersionedStore;
+    * [[clusters]] derives them from any pair list), and survivor
+    * policy reruns against the artifact whenever the quality score
+    * changes — without paying detection again. */
+  def keepBestFromClusters(docs: DataFrame, idCol: String,
+                           clusterIds: DataFrame,
+                           score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cl = clusters(pairs)
     val scored = docs.select(col(idCol).as("doc_id"), score.as("score"))
-    val ranked = cl.join(scored, Seq("doc_id"))
+    val ranked = clusterIds.join(scored, Seq("doc_id"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cluster_id")
           .orderBy(col("score").desc, col("doc_id"))))
@@ -453,12 +463,20 @@ object Dedup {
     * bucket is a pure projection.
     */
   def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-                   trainPct: Int): DataFrame = {
+                   trainPct: Int): DataFrame =
+    clusterSplitFromClusters(docs, idCol, clusters(pairs), trainPct)
+
+  /** The split ACTION over a precomputed (doc_id, cluster_id)
+    * membership table — same artifact contract as
+    * [[keepBestFromClusters]]: resplit at any percentage without
+    * re-detecting. */
+  def clusterSplitFromClusters(docs: DataFrame, idCol: String,
+                               clusterIds: DataFrame,
+                               trainPct: Int): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100,
       s"trainPct must be in [0, 100], got $trainPct")
-    val cl = clusters(pairs)
     docs.select(col(idCol).as("doc_id"))
-      .join(broadcast(cl), Seq("doc_id"), "left_outer")
+      .join(broadcast(clusterIds), Seq("doc_id"), "left_outer")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split",
         when(Fns.md5Hash31(col("cluster_id").cast("string")) % 100

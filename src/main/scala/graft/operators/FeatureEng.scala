@@ -287,6 +287,33 @@ object FeatureEng {
       .filter(col("sample_bucket") < rate)
   }
 
+  /** Deterministic STRATIFIED sampling: exactly min(k, |cell|) rows
+    * per strata cell, chosen by ascending seeded-md5 rank of the key
+    * (ties to the key itself) — the eval/holdout-set construction
+    * primitive: a fixed-size, reproducible, uniformly-pseudo-random
+    * panel per (source × lang × ...) cell, stable across reruns,
+    * partitioning, and cluster size. Unlike [[classBalanceSample]]
+    * (per-class RATES), this draws an exact COUNT per cell.
+    *
+    * Scale shape: rank <= k over a window is planned as
+    * WindowGroupLimit (PlanSpec-asserted, same as tfidf's top-k) — a
+    * partial per-partition top-k runs below the exchange, so no cell's
+    * full membership ever funnels through one task's sort; only ~k
+    * rows per cell per input partition shuffle.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String,
+                       strataCols: Seq[String], k: Int,
+                       seed: String = "graft"): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one strata column")
+    require(k > 0, s"k must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(concat(lit(seed), lit(":"),
+        col(keyCol).cast("string"))), col(keyCol))
+    df.withColumn("strata_rank", row_number().over(w).cast("long"))
+      .filter(col("strata_rank") <= k)
+  }
+
   /** Dolma/Pile-style DOMAIN MIXING: downsample each source to a
     * target share of the output TOKEN budget. Per-source token counts
     * come from one aggregate; the binding source (smallest

@@ -302,4 +302,34 @@ class FeatureEngSpec extends AnyFunSuite {
     val loaded = Registry.loadViews(spark, s"$dir/views").collect().sortBy(_.name)
     assert(loaded.toSeq == views.collect().toSeq.sortBy(_.name))
   }
+
+  test("stratifiedSample: exact k per cell, small cells whole, deterministic, seeds differ") {
+    import org.apache.spark.sql.functions._
+    val df = ((1L to 30L).map(i => (i, "a")) ++ (31L to 35L).map(i => (i, "b")))
+      .toDF("id", "cell")
+    val out = graft.operators.FeatureEng
+      .stratifiedSample(df, "id", Seq("cell"), k = 10).cache()
+    // big cell capped at k, small cell kept whole
+    val sizes = out.groupBy("cell").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a" -> 10L, "b" -> 5L), s"got $sizes")
+    // ranks are contiguous 1..n per cell
+    val ranksA = out.filter(col("cell") === "a")
+      .select("strata_rank").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ranksA == (1L to 10L))
+    // reproducible across invocations; a different seed draws a
+    // different panel from the capped cell
+    val again = graft.operators.FeatureEng
+      .stratifiedSample(df, "id", Seq("cell"), k = 10)
+    assert(out.select("id", "strata_rank").collect().toSet ==
+      again.select("id", "strata_rank").collect().toSet)
+    val otherSeed = graft.operators.FeatureEng
+      .stratifiedSample(df, "id", Seq("cell"), k = 10, seed = "epoch2")
+      .filter(col("cell") === "a").select("id").collect()
+      .map(_.getLong(0)).toSet
+    val thisSeed = out.filter(col("cell") === "a").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(otherSeed != thisSeed, "independent seeds must draw different panels")
+    out.unpersist()
+  }
 }

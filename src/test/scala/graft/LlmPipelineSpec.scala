@@ -1368,6 +1368,25 @@ class LlmPipelineSpec extends AnyFunSuite {
       .filter(col("split") =!= "test").isEmpty)
   }
 
+  test("clusterSplit on the gate corpus: no declared near-dup pair straddles the split") {
+    // the end-to-end leakage property on real data: every q-declared
+    // near-dup pair must land on ONE side of the 80/20 split
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, 100)
+      .select("doc_a", "doc_b").cache()
+    assert(!pairs.isEmpty, "gate corpus must contain near-dup pairs")
+    val split = Dedup.clusterSplit(docs, "doc_id", pairs, 80)
+    val straddle = pairs
+      .join(split.select(col("doc_id").as("doc_a"),
+        col("split").as("side_a")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"),
+        col("split").as("side_b")), Seq("doc_b"))
+      .filter(col("side_a") =!= col("side_b"))
+    assert(straddle.isEmpty,
+      s"leaking pairs: ${straddle.collect().mkString(",")}")
+    pairs.unpersist()
+  }
+
   test("novelty: duplicated docs score 0, unique docs 1, short docs no row") {
     val docs = Seq(
       (1L, "w x y z"), (2L, "w x y z"), // every shingle df=2

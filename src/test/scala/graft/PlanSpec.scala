@@ -292,6 +292,15 @@ class PlanSpec extends AnyFunSuite {
       TestSpark.sfDir)) == 1)
   }
 
+  test("q_stratified_sample: per-cell top-k prunes below the exchange (WindowGroupLimit)") {
+    // rank <= k must plan as WindowGroupLimit so no cell's full
+    // membership funnels through one task's sort at corpus scale
+    val plan = SparkEntry.qStratifiedSample(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"stratified draw must push a partial top-k:\n$plan")
+  }
+
   test("q_novelty: inverted-index equi-join, no pair generation anywhere") {
     val df = SparkEntry.qNovelty(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
