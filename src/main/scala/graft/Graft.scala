@@ -285,6 +285,15 @@ object Graft {
                      trainPct: Int = 80): DataFrame =
     Dedup.clusterSplit(docs, "doc_id", pairs, trainPct)
 
+  /** Persist the cluster membership artifact; refresh folds a new
+    * shard's pairs in via star edges — no re-clustering of history. */
+  def buildClusterIndex(pairs: DataFrame, root: String): Unit =
+    Dedup.buildClusterIndex(pairs, root)
+
+  def refreshClusterIndex(spark: SparkSession, newPairs: DataFrame,
+                          root: String): DataFrame =
+    Dedup.refreshClusterIndex(spark, newPairs, root)
+
   /** Action-path twins over a PERSISTED (doc_id, cluster_id) artifact:
     * rerun survivor policy / resplit without re-detecting. */
   def dedupKeepBestFromClusters(docs: DataFrame, clusterIds: DataFrame,

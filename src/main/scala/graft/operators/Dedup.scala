@@ -466,6 +466,52 @@ object Dedup {
                    trainPct: Int): DataFrame =
     clusterSplitFromClusters(docs, idCol, clusters(pairs), trainPct)
 
+  /** Persist the transitive-cluster membership table as a versioned
+    * artifact: (doc_id, cluster_id) for every doc in `pairs`, the
+    * table [[keepBestFromClusters]] / [[clusterSplitFromClusters]]
+    * run policy against. Versioned (VersionedStore) so cluster
+    * assignments are time-travelable — "which cluster was this doc in
+    * when the v12 training set was cut" is a readTable(versionAsOf)
+    * away. */
+  def buildClusterIndex(pairs: DataFrame, root: String): Unit =
+    graft.offline.VersionedStore.create(clusters(pairs), root)
+
+  /** INCREMENTAL cluster-index refresh: fold a new shard's near-dup
+    * pairs into the persisted index WITHOUT re-running detection or
+    * clustering over history. The old assignment doubles as a
+    * spanning STAR of each historical component (every member points
+    * at its canonical), so running [[clusters]] over
+    * star-edges ∪ new-pairs reproduces the batch components over ALL
+    * pairs ever seen — including merges where a new doc bridges two
+    * old clusters (both stars connect through the bridge, and the
+    * min-id label is preserved because stars carry every old member).
+    * Singleton docs (self-labeled) re-enter through the id spine.
+    * Cost is |clustered history| + |new pairs| edges — clustered-
+    * fraction-shaped, never corpus-shaped. Commits as an overwrite:
+    * one version per refresh, history intact. Returns the new
+    * assignment.
+    */
+  def refreshClusterIndex(spark: SparkSession, newPairs: DataFrame,
+                          root: String): DataFrame = {
+    import graft.offline.VersionedStore
+    val state = VersionedStore.read(spark, root)
+    val starEdges = state.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val edges = starEdges.unionByName(newPairs.select("doc_a", "doc_b"))
+    val merged = clusters(edges)
+    val allIds = state.select("doc_id")
+      .unionByName(newPairs.select(col("doc_a").as("doc_id")))
+      .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val assignment = allIds
+      .join(merged, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .localCheckpoint(false)
+    VersionedStore.overwrite(assignment, root)
+    assignment
+  }
+
   /** The split ACTION over a precomputed (doc_id, cluster_id)
     * membership table — same artifact contract as
     * [[keepBestFromClusters]]: resplit at any percentage without

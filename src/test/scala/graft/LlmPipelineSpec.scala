@@ -1387,6 +1387,36 @@ class LlmPipelineSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("cluster index: star refresh equals batch clusters, bridges merge, history travels") {
+    val root = java.nio.file.Files
+      .createTempDirectory("clidx").toString + "/idx"
+    // shard 1: components {1,2} and {4,5}
+    val p1 = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    Dedup.buildClusterIndex(p1, root)
+    // shard 2: 3 joins {1,2}; {6,7} is new; 2~4 BRIDGES the two old
+    // components (the case star edges must carry)
+    val p2 = Seq((2L, 3L), (6L, 7L), (2L, 4L)).toDF("doc_a", "doc_b")
+    val refreshed = Dedup.refreshClusterIndex(spark, p2, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Dedup.clusters(p1.unionByName(p2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refreshed == batch, s"refresh=$refreshed batch=$batch")
+    assert(refreshed(5L) == 1L, "old component {4,5} must merge into 1")
+    // the persisted artifact is what the read returns, and v0 still
+    // serves the pre-merge assignment (time-travelable cuts)
+    val served = graft.offline.VersionedStore.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == refreshed)
+    val v0 = graft.offline.VersionedStore.read(spark, root, versionAsOf = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v0 == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+    // an empty refresh is a fixpoint (singletons preserved through
+    // the id spine)
+    val again = Dedup.refreshClusterIndex(spark,
+      p1.limit(0), root).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == refreshed)
+  }
+
   test("novelty: duplicated docs score 0, unique docs 1, short docs no row") {
     val docs = Seq(
       (1L, "w x y z"), (2L, "w x y z"), // every shingle df=2
