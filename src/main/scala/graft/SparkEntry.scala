@@ -564,6 +564,19 @@ object SparkEntry {
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
       Seq("source", "lang"))
 
+  /** Corpus release gates: exact-dup / null / short fractions plus
+    * per-lang coverage minimums — thresholds chosen so the report
+    * demonstrates both passing and failing gates on the gate corpus
+    * (fr and ru coverage fail; ru is absent entirely and must still
+    * report an observed-0 row). */
+  def qCorpusGates(s: SparkSession, d: String): DataFrame =
+    graft.validation.Validation.validateCorpus(Tables.documents(s, d),
+      "doc_id", "text", "lang",
+      graft.validation.Validation.CorpusGates(
+        maxExactDupFrac = 0.2, maxShortFrac = 0.1, minWords = 20,
+        maxNullTextFrac = 0.0,
+        minLangCoverage = Map("en" -> 0.3, "fr" -> 0.2, "ru" -> 0.01)))
+
   /** Connected components over the exact n-gram near-dup pairs: every
     * clustered doc labeled with the min doc id of its TRANSITIVE dup
     * cluster (a~b~c chains merge, unlike keepList's pairwise drop
@@ -741,6 +754,7 @@ object SparkEntry {
     "q_novelty" -> (qNovelty _),
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_corpus_report" -> (qCorpusReport _),
+    "q_corpus_gates" -> (qCorpusGates _),
     "q_dsir" -> (qDsir _),
     "q_dsir_sample" -> (qDsirSample _),
     "q_dsir_frozen" -> (qDsirFrozen _),
@@ -2270,6 +2284,45 @@ object SparkEntry {
           |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
           |  round(avg(len(text)), 6) AS avg_chars
           |FROM documents GROUP BY 1, 2""".stripMargin,
+
+      // Thresholds CAST AS DOUBLE so dtypes match Spark's lit doubles;
+      // the absent lang (ru) comes from the config side of the left
+      // join with coalesce-0 coverage.
+      "q_corpus_gates" ->
+        """WITH base AS (
+          |  SELECT count(*) AS n,
+          |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null,
+          |    sum(CASE WHEN text IS NOT NULL
+          |             AND len(string_split(text, ' ')) < 20
+          |        THEN 1 ELSE 0 END) AS n_short
+          |  FROM documents),
+          |d AS (SELECT count(*) AS n_distinct, sum(c) AS n_nonnull
+          |      FROM (SELECT md5(text) AS h, count(*) AS c
+          |            FROM documents WHERE text IS NOT NULL GROUP BY 1)),
+          |l AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+          |lw AS (SELECT * FROM (VALUES
+          |  ('en', CAST(0.3 AS DOUBLE)), ('fr', CAST(0.2 AS DOUBLE)),
+          |  ('ru', CAST(0.01 AS DOUBLE))) AS t(lang, threshold))
+          |SELECT 'exact_dup_frac' AS gate,
+          |  round(coalesce(1.0 - n_distinct * 1.0 / n_nonnull, 0.0), 6)
+          |    AS observed,
+          |  CAST(0.2 AS DOUBLE) AS threshold,
+          |  round(coalesce(1.0 - n_distinct * 1.0 / n_nonnull, 0.0), 6)
+          |    <= 0.2 AS pass
+          |FROM d
+          |UNION ALL
+          |SELECT 'null_text_frac', round(n_null * 1.0 / n, 6),
+          |  CAST(0.0 AS DOUBLE), round(n_null * 1.0 / n, 6) <= 0.0
+          |FROM base
+          |UNION ALL
+          |SELECT 'short_frac', round(n_short * 1.0 / n, 6),
+          |  CAST(0.1 AS DOUBLE), round(n_short * 1.0 / n, 6) <= 0.1
+          |FROM base
+          |UNION ALL
+          |SELECT 'lang_coverage:' || lw.lang,
+          |  round(coalesce(l.c, 0) * 1.0 / base.n, 6), lw.threshold,
+          |  round(coalesce(l.c, 0) * 1.0 / base.n, 6) >= lw.threshold
+          |FROM lw LEFT JOIN l USING (lang) CROSS JOIN base""".stripMargin,
 
       "q_dsir" -> dsirOracleSql(""),
 

@@ -135,4 +135,28 @@ class ValidationSpec extends AnyFunSuite {
       Map("auc" -> 0.85), Map("auc" -> 0.9)))
     assert(!Validation.metricGate(Map.empty, Map("auc" -> 0.9)))
   }
+
+  test("validateCorpus: dup/null/short/coverage gates, absent lang observes 0") {
+    val docs = Seq(
+      (1L, "a b c d e", "en"),
+      (2L, "a b c d e", "en"), // exact dup of 1
+      (3L, null.asInstanceOf[String], "de"), // null text: null gate only
+      (4L, "x y", "en"),       // short at minWords=3
+      (5L, "p q r s t", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Validation.validateCorpus(docs, "doc_id", "text", "lang",
+        Validation.CorpusGates(maxExactDupFrac = 0.1, maxShortFrac = 0.5,
+          minWords = 3, maxNullTextFrac = 0.1,
+          minLangCoverage = Map("en" -> 0.5, "ru" -> 0.1)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // 4 non-null docs, 3 distinct texts → dup frac 0.25 > 0.1
+    assert(out("exact_dup_frac") == ((0.25, 0.1, false)))
+    assert(out("null_text_frac") == ((0.2, 0.1, false)))
+    // only doc 4 is short: the null doc is NOT counted here
+    assert(out("short_frac") == ((0.2, 0.5, true)))
+    assert(out("lang_coverage:en") == ((0.6, 0.5, true)))
+    assert(out("lang_coverage:ru") == ((0.0, 0.1, false)))
+    assert(out.size == 5)
+  }
 }
