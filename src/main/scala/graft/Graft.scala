@@ -309,6 +309,20 @@ object Graft {
   def novelty(docs: DataFrame, n: Int = 3): DataFrame =
     graft.operators.TextAnalysis.novelty(docs, "doc_id", "text", n)
 
+  /** Corpus release gates: per-gate (observed, threshold, pass) rows
+    * over dup/null/short fractions + per-lang coverage minimums. */
+  def validateCorpus(docs: DataFrame,
+                     gates: graft.validation.Validation.CorpusGates)
+  : DataFrame =
+    graft.validation.Validation.validateCorpus(docs, "doc_id", "text",
+      "lang", gates)
+
+  /** Vocabulary drift (PSI over top-K words + <other>) between two
+    * slices of `docs`; `isA` selects side A. */
+  def corpusDrift(docs: DataFrame, isA: Column,
+                  topK: Int = 1000): DataFrame =
+    graft.operators.TextAnalysis.corpusDrift(docs, "text", isA, topK)
+
   /** Semantic decontamination: corpus embeddings cosine-close to any
     * eval embedding (paraphrase-level leakage the shingle gate
     * misses). Supply disjoint frames. */

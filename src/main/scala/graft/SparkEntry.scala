@@ -564,6 +564,13 @@ object SparkEntry {
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
       Seq("source", "lang"))
 
+  /** Vocabulary drift between the src0 and src1 slices: word-
+    * distribution PSI over the top-20 combined words + <other>. */
+  def qCorpusDrift(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusDrift(
+      Tables.documents(s, d).filter(col("source").isin("src0", "src1")),
+      "text", col("source") === "src0", topK = 20)
+
   /** Corpus release gates: exact-dup / null / short fractions plus
     * per-lang coverage minimums — thresholds chosen so the report
     * demonstrates both passing and failing gates on the gate corpus
@@ -755,6 +762,7 @@ object SparkEntry {
     "q_semantic_decontam" -> (qSemanticDecontam _),
     "q_corpus_report" -> (qCorpusReport _),
     "q_corpus_gates" -> (qCorpusGates _),
+    "q_corpus_drift" -> (qCorpusDrift _),
     "q_dsir" -> (qDsir _),
     "q_dsir_sample" -> (qDsirSample _),
     "q_dsir_frozen" -> (qDsirFrozen _),
@@ -2323,6 +2331,37 @@ object SparkEntry {
           |  round(coalesce(l.c, 0) * 1.0 / base.n, 6), lw.threshold,
           |  round(coalesce(l.c, 0) * 1.0 / base.n, 6) >= lw.threshold
           |FROM lw LEFT JOIN l USING (lang) CROSS JOIN base""".stripMargin,
+
+      // Per-bin PSI terms rounded 6dp then summed as exact decimal
+      // (the DSIR dot-product discipline) — bin add-order independent.
+      "q_corpus_drift" ->
+        """WITH wx AS (
+          |  SELECT (source = 'src0') AS in_a,
+          |         unnest(string_split(text, ' ')) AS w
+          |  FROM documents
+          |  WHERE source IN ('src0', 'src1') AND text IS NOT NULL),
+          |c AS (SELECT w,
+          |        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          |        CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          |      FROM wx GROUP BY 1),
+          |top AS (SELECT w FROM c ORDER BY (ca + cb) DESC, w LIMIT 20),
+          |oth AS (SELECT CAST(sum(ca) AS BIGINT) AS ca,
+          |               CAST(sum(cb) AS BIGINT) AS cb
+          |        FROM c WHERE w NOT IN (SELECT w FROM top)),
+          |bins AS (
+          |  SELECT c.w, ca, cb FROM c JOIN top USING (w)
+          |  UNION ALL
+          |  SELECT '<other>', ca, cb FROM oth WHERE ca + cb > 0),
+          |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+          |             CAST(sum(cb) AS BIGINT) AS tb,
+          |             CAST(count(*) AS BIGINT) AS nb FROM bins)
+          |SELECT nb AS n_bins, ta AS tokens_a, tb AS tokens_b,
+          |  CAST(sum(CAST(round(
+          |    ((ca + 0.5) / (ta + 0.5 * nb) - (cb + 0.5) / (tb + 0.5 * nb))
+          |    * ln(((ca + 0.5) / (ta + 0.5 * nb))
+          |       / ((cb + 0.5) / (tb + 0.5 * nb))), 6) AS DECIMAL(18,6)))
+          |    AS DOUBLE) AS psi
+          |FROM bins CROSS JOIN t GROUP BY 1, 2, 3""".stripMargin,
 
       "q_dsir" -> dsirOracleSql(""),
 

@@ -598,6 +598,55 @@ object TextAnalysis {
         round(avg(length(col(textCol))), 6).as("avg_chars"))
   }
 
+  /** VOCABULARY DRIFT between two corpus slices — the crawl-over-crawl
+    * monitoring number: Population Stability Index over the word
+    * distribution, binned to the top-K combined-count words plus one
+    * `<other>` bucket so the bin space is bounded and comparable
+    * across runs (open-vocabulary PSI would make every new hapax its
+    * own bin). Same smoothing family as [[graft.stats.Profiler
+    * .psiDrift]] (+0.5 per bin); per-bin contributions are rounded to
+    * 6dp and summed as exact decimal, so the total is independent of
+    * bin add-order on any engine (the DSIR dot-product discipline).
+    * Returns one row (n_bins, tokens_a, tokens_b, psi). Callers
+    * filter `docs` to the two slices; `isA` selects side A.
+    *
+    * Scale shape: one explode into a map-side-combinable word-count
+    * aggregate; top-K via TakeOrderedAndProject (no global sort, no
+    * single-partition funnel); the bin table is K+1 rows from there on.
+    */
+  def corpusDrift(docs: DataFrame, textCol: String, isA: Column,
+                  topK: Int = 1000): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val words = docs.filter(col(textCol).isNotNull)
+      .select(isA.as("in_a"), explode(Fns.words(col(textCol))).as("w"))
+    val counts = words.groupBy("w").agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    // localCheckpoint: the top-K set feeds both the semi and the anti
+    // join; uncheckpointed, the counts aggregate + TakeOrdered would
+    // run once per consumer
+    val top = counts.orderBy((col("ca") + col("cb")).desc, col("w"))
+      .limit(topK).select("w").localCheckpoint(false)
+    val topBins = counts.join(top, Seq("w"), "left_semi")
+    val other = counts.join(top, Seq("w"), "left_anti")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .select(lit("<other>").as("w"), col("ca"), col("cb"))
+      .filter(col("ca") + col("cb") > 0) // absent bucket adds no
+                                         // smoothing mass
+    val bins = topBins.unionByName(other)
+    val totals = bins.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+      count(lit(1)).as("nb"))
+    val pa = (col("ca") + 0.5) / (col("ta") + col("nb") * 0.5)
+    val pb = (col("cb") + 0.5) / (col("tb") + col("nb") * 0.5)
+    bins.crossJoin(broadcast(totals))
+      .select(col("ta"), col("tb"), col("nb"),
+        round((pa - pb) * log(pa / pb), 6).cast("decimal(18,6)").as("term"))
+      .groupBy("ta", "tb", "nb")
+      .agg(sum("term").cast("double").as("psi"))
+      .select(col("nb").cast("long").as("n_bins"), col("ta").as("tokens_a"),
+        col("tb").as("tokens_b"), col("psi"))
+  }
+
   /** Per-document n-gram NOVELTY: how much of each document's distinct
     * word-n-gram set appears NOWHERE else in the corpus (document
     * frequency exactly 1). The data-selection signal dual to

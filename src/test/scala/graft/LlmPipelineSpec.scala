@@ -1387,6 +1387,28 @@ class LlmPipelineSpec extends AnyFunSuite {
     pairs.unpersist()
   }
 
+  test("corpusDrift: identical slices are calm, disjoint vocabularies alarm, other-bucket bounded") {
+    // identical word distributions on both sides → psi ~ 0
+    val same = (1L to 20L).map(i => (i, "a b c d", if (i % 2 == 0) "A" else "B"))
+      .toDF("doc_id", "text", "side")
+    val calm = TextAnalysis.corpusDrift(same, "text",
+      col("side") === "A", topK = 10).head()
+    assert(math.abs(calm.getAs[Double]("psi")) < 0.01,
+      s"identical slices must be calm: $calm")
+    assert(calm.getAs[Long]("n_bins") == 4L, "vocab <= topK: no <other> bucket")
+    // disjoint vocabularies → large psi; vocab 8 > topK 4 → <other> appears
+    val moved = ((1L to 10L).map(i => (i, "a b c d", "A")) ++
+      (11L to 20L).map(i => (i, "w x y z", "B"))).toDF("doc_id", "text", "side")
+    val alarm = TextAnalysis.corpusDrift(moved, "text",
+      col("side") === "A", topK = 4).head()
+    assert(alarm.getAs[Double]("psi") > 1.0,
+      s"disjoint vocabularies must alarm: $alarm")
+    assert(alarm.getAs[Long]("n_bins") == 5L,
+      "top-4 + <other> when vocab exceeds topK")
+    assert(alarm.getAs[Long]("tokens_a") == 40L &&
+      alarm.getAs[Long]("tokens_b") == 40L)
+  }
+
   test("cluster index: star refresh equals batch clusters, bridges merge, history travels") {
     val root = java.nio.file.Files
       .createTempDirectory("clidx").toString + "/idx"
