@@ -161,6 +161,13 @@ object Graft {
                   keepVersions: Int): Seq[Long] =
     graft.offline.VersionedStore.vacuum(spark, path, keepVersions)
 
+  /** Row-level change feed between two table versions: one row per
+    * changed key, change ∈ added | removed | changed. */
+  def diffTableVersions(spark: SparkSession, path: String, keyCol: String,
+                        fromVersion: Long, toVersion: Long): DataFrame =
+    graft.offline.VersionedStore.diffVersions(spark, path, keyCol,
+      fromVersion, toVersion)
+
   /** Wall-clock time travel: the table as of a commit timestamp. */
   def readTableAt(spark: SparkSession, path: String,
                   tsMillis: Long): DataFrame =

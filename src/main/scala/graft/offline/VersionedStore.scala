@@ -1177,4 +1177,52 @@ object VersionedStore {
     }
     dropped
   }
+
+  /** Row-level DIFF between two versions keyed by `keyCol` — the
+    * change-data-feed a versioned corpus consumer asks for ("what
+    * moved between the v3 training cut and v7"): one row per changed
+    * key, change ∈ added | removed | changed. Keys with multiple rows
+    * compare as a SET: per-row xxhash64 over all columns summed per
+    * key (order- and partitioning-independent; 64-bit collision odds
+    * are the usual hash-join trade). Schema evolution is handled by
+    * null-padding the missing columns on the older side, so an
+    * add-column commit alone does not mark every row changed.
+    *
+    * Scale shape: each side is one snapshot scan into a per-key
+    * map-side-combinable hash aggregate; the diff is a single
+    * full-outer equi-join of the two key-hash tables — no row data
+    * crosses the shuffle, only (key, hash64, count).
+    */
+  def diffVersions(spark: SparkSession, root: String, keyCol: String,
+                   fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, root, versionAsOf = fromVersion)
+    val b = read(spark, root, versionAsOf = toVersion)
+    val allCols = (a.columns ++ b.columns).distinct.sorted
+    require(allCols.contains(keyCol), s"key column $keyCol not in schema")
+    val dataCols = allCols.filterNot(_ == keyCol)
+    def keyed(df: DataFrame): DataFrame = {
+      val padded = allCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      // cast-to-string per column with a NUL-prefixed sentinel:
+      // Spark's hash functions SKIP null args (the running hash passes
+      // through unchanged), which would alias (null, "x") with
+      // ("x", null); no cast of real data begins with a NUL char
+      val rowHash = xxhash64(dataCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
+      // decimal(38,0) accumulation: exact (no ANSI long overflow) and
+      // add-order independent
+      padded.groupBy(col(keyCol).as("k"))
+        .agg(sum(rowHash.cast("decimal(38,0)")).as("h"),
+          count(lit(1)).as("c"))
+    }
+    keyed(a).as("a")
+      .join(keyed(b).as("b"), col("a.k") === col("b.k"), "full_outer")
+      .select(coalesce(col("a.k"), col("b.k")).as(keyCol),
+        when(col("a.k").isNull, "added")
+          .when(col("b.k").isNull, "removed")
+          .when(col("a.h") =!= col("b.h") || col("a.c") =!= col("b.c"),
+            "changed").as("change"))
+      .filter(col("change").isNotNull)
+  }
 }

@@ -591,6 +591,37 @@ class StoreSpec extends AnyFunSuite {
       "every racing append must survive in the final snapshot")
   }
 
+  test("diffVersions: added/removed/changed keys, multiset rows, evolution-neutral") {
+    val root = tmp("vdiff")
+    VersionedStore.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (4L, "dd"))
+        .toDF("id", "v"), root) // v0
+    // v1: 2 changed, 3 removed, 5 added, 4's multiset reordered
+    // (same set → NOT changed), 1 untouched
+    VersionedStore.overwrite(
+      Seq((1L, "a"), (2L, "B"), (5L, "e"), (4L, "dd"), (4L, "d"))
+        .toDF("id", "v"), root) // v1
+    val d01 = VersionedStore.diffVersions(spark, root, "id", 0, 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d01 == Map(2L -> "changed", 3L -> "removed", 5L -> "added"),
+      s"got $d01")
+    // duplicating a row changes the multiset even though the set of
+    // distinct rows is identical (count guard)
+    VersionedStore.overwrite(
+      Seq((1L, "a"), (1L, "a"), (2L, "B"), (5L, "e"), (4L, "dd"),
+        (4L, "d")).toDF("id", "v"), root) // v2
+    val d12 = VersionedStore.diffVersions(spark, root, "id", 1, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d12 == Map(1L -> "changed"), s"got $d12")
+    // add-column evolution alone must not mark old rows changed: the
+    // older side null-pads the new column, matching the store's own
+    // null-backfill of pre-evolution files
+    VersionedStore.append(Seq((6L, "f", 1.5)).toDF("id", "v", "w"), root) // v3
+    val d23 = VersionedStore.diffVersions(spark, root, "id", 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d23 == Map(6L -> "added"), s"evolution must be neutral: $d23")
+  }
+
   test("VersionedStore: overwrite replaces the snapshot, history intact") {
     val root = tmp("vover")
     VersionedStore.create(Seq((1L, "a")).toDF("id", "v"), root)
