@@ -301,6 +301,12 @@ object Graft {
                           root: String): DataFrame =
     Dedup.refreshClusterIndex(spark, newPairs, root)
 
+  /** Per-slice dedup impact data card over a cluster artifact:
+    * (dims..., n_docs, n_dropped, drop_rate). */
+  def dedupReport(docs: DataFrame, clusterIds: DataFrame,
+                  dims: Seq[String]): DataFrame =
+    Dedup.dedupReportFromClusters(docs, "doc_id", clusterIds, dims)
+
   /** Action-path twins over a PERSISTED (doc_id, cluster_id) artifact:
     * rerun survivor policy / resplit without re-detecting. */
   def dedupKeepBestFromClusters(docs: DataFrame, clusterIds: DataFrame,

@@ -564,6 +564,12 @@ object SparkEntry {
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
       Seq("source", "lang"))
 
+  /** Per-source dedup impact: keep-min drop counts under the declared
+    * cluster artifact — "how duplicated is each source". */
+  def qDedupReport(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupReportFromClusters(Tables.documents(s, d), "doc_id",
+      declaredClusters(s, d), Seq("source"))
+
   /** Vocabulary drift between the src0 and src1 slices: word-
     * distribution PSI over the top-20 combined words + <other>. */
   def qCorpusDrift(s: SparkSession, d: String): DataFrame =
@@ -763,6 +769,7 @@ object SparkEntry {
     "q_corpus_report" -> (qCorpusReport _),
     "q_corpus_gates" -> (qCorpusGates _),
     "q_corpus_drift" -> (qCorpusDrift _),
+    "q_dedup_report" -> (qDedupReport _),
     "q_dsir" -> (qDsir _),
     "q_dsir_sample" -> (qDsirSample _),
     "q_dsir_frozen" -> (qDsirFrozen _),
@@ -2279,6 +2286,20 @@ object SparkEntry {
           |)
           |SELECT doc_id, count(*) AS n_close, max(cos) AS max_cos
           |FROM p WHERE cos >= 0.3 GROUP BY doc_id""".stripMargin,
+
+      // Same cluster CTE; drops = clustered non-canonicals; per-source
+      // counts over a left join against the drop set.
+      "q_dedup_report" ->
+        s"""$clusterCte,
+           |dr AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+           |SELECT d.source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dropped,
+           |  round(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+           |    * 1.0 / count(*), 6) AS drop_rate
+           |FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
+           |GROUP BY 1""".stripMargin,
 
       // Mirrors Dsir.importanceWeights exactly: same tokenization
       // (split on space, drop empties), unigrams+bigrams, md5hash31

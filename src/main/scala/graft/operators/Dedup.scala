@@ -466,6 +466,33 @@ object Dedup {
                    trainPct: Int): DataFrame =
     clusterSplitFromClusters(docs, idCol, clusters(pairs), trainPct)
 
+  /** Per-slice DEDUP IMPACT report — the data-card number released
+    * corpora publish ("source X is 12% near-duplicate"): for each
+    * `dims` tuple, how many docs the keep-min rule drops under the
+    * given transitive cluster assignment (every cluster member that
+    * is not its cluster's canonical). Returns
+    * (dims..., n_docs, n_dropped, drop_rate).
+    *
+    * Scale shape: the drop list (clustered non-canonicals — the dup
+    * fraction) broadcasts into a left join; the corpus never shuffles
+    * until the per-slice counter aggregate, which is map-side
+    * combinable with |dim tuples| result rows.
+    */
+  def dedupReportFromClusters(docs: DataFrame, idCol: String,
+                              clusterIds: DataFrame,
+                              dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "report needs at least one dimension")
+    val drops = clusterIds.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit(1L).as("is_drop"))
+    docs.select(col(idCol).as("doc_id") +: dims.map(col): _*)
+      .join(broadcast(drops), Seq("doc_id"), "left_outer")
+      .groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"))
+      .withColumn("drop_rate",
+        round(col("n_dropped") / col("n_docs"), 6))
+  }
+
   /** Persist the transitive-cluster membership table as a versioned
     * artifact: (doc_id, cluster_id) for every doc in `pairs`, the
     * table [[keepBestFromClusters]] / [[clusterSplitFromClusters]]

@@ -1409,6 +1409,23 @@ class LlmPipelineSpec extends AnyFunSuite {
       alarm.getAs[Long]("tokens_b") == 40L)
   }
 
+  test("dedupReportFromClusters: per-slice drop counts, canonical survives, clean slices report 0") {
+    val docs = Seq(
+      (1L, "sA"), (2L, "sA"), (3L, "sA"), // 2,3 drop (cluster canon 1)
+      (4L, "sB"), (5L, "sB"),             // 5 drops
+      (6L, "sC")                           // clean slice
+    ).toDF("doc_id", "source")
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = graft.operators.Dedup
+      .dedupReportFromClusters(docs, "doc_id", cl, Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("sA") == ((3L, 2L, 0.666667)))
+    assert(out("sB") == ((2L, 1L, 0.5)))
+    assert(out("sC") == ((1L, 0L, 0.0)), "clean slice must report 0, not vanish")
+  }
+
   test("cluster index: star refresh equals batch clusters, bridges merge, history travels") {
     val root = java.nio.file.Files
       .createTempDirectory("clidx").toString + "/idx"
