@@ -290,6 +290,61 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("StreamingCorpusGates: per-window gate decisions match the batch validator") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingCorpusGates
+    import graft.validation.Validation
+    implicit val sqlCtx = spark.sqlContext
+
+    val g = Validation.CorpusGates(maxShortFrac = 0.25, minWords = 3,
+      maxNullTextFrac = 0.25, minLangCoverage = Map("en" -> 0.5))
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "lang", "ts")
+    val query = StreamingCorpusGates
+      .gates(docs, "text", "lang", "ts", g, "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("cgates")
+      .outputMode(OutputMode.Update()).start()
+
+    // window 1 (healthy): 4 docs en-heavy, no shorts/nulls
+    input.addData(
+      (1L, "a b c d", "en", ts("2024-01-01 10:01:00")),
+      (2L, "e f g h", "en", ts("2024-01-01 10:02:00")),
+      (3L, "i j k l", "en", ts("2024-01-01 10:03:00")),
+      (4L, "m n o p", "de", ts("2024-01-01 10:04:00")))
+    // window 2 (sick): half short, one null, en-light
+    input.addData(
+      (5L, "x y", "de", ts("2024-01-01 12:01:00")),
+      (6L, null.asInstanceOf[String], "de", ts("2024-01-01 12:02:00")),
+      (7L, "q r s t", "en", ts("2024-01-01 12:03:00")),
+      (8L, "u v", "de", ts("2024-01-01 12:04:00")))
+    query.processAllAvailable()
+    val rows = spark.table("cgates").orderBy("window").collect()
+    assert(rows.length == 2)
+    val healthy = rows.head
+    assert(healthy.getAs[Boolean]("window_pass"),
+      s"healthy window must pass: $healthy")
+    assert(healthy.getAs[Double]("cov_en") == 0.75)
+    val sick = rows.last
+    assert(!sick.getAs[Boolean]("window_pass"))
+    assert(sick.getAs[Double]("short_frac") == 0.5 &&
+      !sick.getAs[Boolean]("short_pass"))
+    assert(sick.getAs[Double]("null_frac") == 0.25 &&
+      sick.getAs[Boolean]("null_pass"))
+    assert(sick.getAs[Double]("cov_en") == 0.25 &&
+      !sick.getAs[Boolean]("cov_en_pass"))
+    // the shared gates agree with the batch validator on the same slice
+    val batch = Validation.validateCorpus(
+      Seq((5L, "x y", "de"), (6L, null.asInstanceOf[String], "de"),
+        (7L, "q r s t", "en"), (8L, "u v", "de"))
+        .toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", g)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(batch("short_frac") == sick.getAs[Double]("short_frac"))
+    assert(batch("null_text_frac") == sick.getAs[Double]("null_frac"))
+    assert(batch("lang_coverage:en") == sick.getAs[Double]("cov_en"))
+    query.stop()
+  }
+
   test("StreamingAsof: floor semantics, equal-ts inclusion, exactly-once under out-of-order arrival") {
     import graft.streaming.StreamingAsof
     import graft.streaming.StreamingAsof.{FeatureUpdate, LabelEvent}
