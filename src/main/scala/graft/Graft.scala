@@ -322,6 +322,15 @@ object Graft {
   def novelty(docs: DataFrame, n: Int = 3): DataFrame =
     graft.operators.TextAnalysis.novelty(docs, "doc_id", "text", n)
 
+  /** One-call curation from raw crawl to training-ready corpus:
+    * quality filter → boilerplate line removal → exact+near dedup →
+    * eval decontamination (stage order and rationale in
+    * operators.Curate). */
+  def curateCorpus(docs: DataFrame, evalDocs: Option[DataFrame] = None,
+                   cfg: Curate.CurateConfig = Curate.CurateConfig())
+  : DataFrame =
+    Curate.corpus(docs, "doc_id", "text", evalDocs, cfg)
+
   /** Corpus release gates: per-gate (observed, threshold, pass) rows
     * over dup/null/short fractions + per-lang coverage minimums. */
   def validateCorpus(docs: DataFrame,

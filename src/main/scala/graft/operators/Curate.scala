@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The packaged END-TO-END curation pipeline — one call from raw
+  * crawl to training-ready corpus, in the stage order the published
+  * pipelines converged on (RefinedWeb / Dolma / CCNet):
+  *
+  *   1. quality filter    — drop whole documents the composite
+  *                          classifier rejects (TextAnalysis
+  *                          .qualityClassifier);
+  *   2. line dedup        — cut boilerplate lines repeated across
+  *                          documents (Dedup.lineDedup), BEFORE
+  *                          near-dup detection so shared nav/footer
+  *                          text can neither mask real near-dups nor
+  *                          manufacture false ones;
+  *   3. document dedup    — exact → MinHash candidates → exact-verify
+  *                          keep-min (Dedup.pipeline) over the
+  *                          CLEANED text;
+  *   4. decontamination   — drop documents overlapping the eval set
+  *                          (Dedup.decontaminate, broadcast shingles).
+  *
+  * Returns (doc_id, text) survivors with stage-2-cleaned text. Every
+  * stage keeps its own scale shape (each is individually probed and
+  * oracle-checked); the composition adds only id-keyed semi/anti
+  * joins, so nothing here changes a stage's plan.
+  */
+object Curate {
+
+  case class CurateConfig(
+      quality: Option[TextAnalysis.QualityThresholds] =
+        Some(TextAnalysis.QualityThresholds()),
+      lineDedup: Boolean = true,
+      lineMaxDf: Int = 10,
+      lineMinChars: Int = 5,
+      dedupN: Int = 3,
+      dedupThreshold: Double = 0.8,
+      decontamN: Int = 3,
+      decontamMinOverlap: Long = 1L)
+
+  def corpus(docs: DataFrame, idCol: String, textCol: String,
+             evalDocs: Option[DataFrame] = None,
+             cfg: CurateConfig = CurateConfig()): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val afterQuality = cfg.quality match {
+      case Some(th) =>
+        val kept = TextAnalysis.qualityClassifier(docs, idCol, textCol, th)
+          .filter(col("keep")).select("doc_id")
+        base.join(kept, Seq("doc_id"), "left_semi")
+      case None => base
+    }
+    val cleaned =
+      if (cfg.lineDedup)
+        Dedup.lineDedup(afterQuality, "doc_id", "text",
+            cfg.lineMaxDf, cfg.lineMinChars)
+          .select(col("doc_id"), col("text_clean").as("text"))
+      else afterQuality
+    val kept = Dedup.pipeline(cleaned, "doc_id", "text",
+      cfg.dedupN, cfg.dedupThreshold)
+    val deduped = cleaned.join(kept, Seq("doc_id"), "left_semi")
+    evalDocs match {
+      case Some(ev) =>
+        val contaminated = Dedup.decontaminate(deduped, "doc_id", "text",
+            ev, "doc_id", "text", cfg.decontamN, cfg.decontamMinOverlap)
+          .select("doc_id")
+        deduped.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      case None => deduped
+    }
+  }
+}

@@ -1409,6 +1409,42 @@ class LlmPipelineSpec extends AnyFunSuite {
       alarm.getAs[Long]("tokens_b") == 40L)
   }
 
+  test("Curate.corpus: quality → line dedup → near-dup → decontam, order-dependent catch proven") {
+    import graft.operators.Curate
+    val c1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val c2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val b1 = "subscribe now for updates"
+    val b2 = "follow us on social media"
+    val docs = Seq(
+      (1L, s"$c1\n$b1"), // survives; boiler b1 cut
+      // near-dup of 1 ONLY after its different boiler (b2) is cut:
+      // pre-cleaning the boiler shingles dilute Jaccard below 0.8
+      (2L, s"$c2\n$b2"),
+      (3L, s"one two three four five six seven eight nine ten eleven twelve\n$b1"),
+      (4L, s"uno dos tres quattro cinque sei sette otto nove dieci undici dodici\n$b2"),
+      (5L, "the quick brown fox jumps over lazy dogs today quietly"), // eval overlap
+      (6L, "x y") // quality drop: below minWords
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val permissive = TextAnalysis.QualityThresholds(minWords = 4L,
+      maxWords = 1000L, minAvgWordLen = 1.0, maxAvgWordLen = 30.0,
+      minAlphaRatio = 0.0, minStopwordRatio = 0.0, maxTopWordRatio = 1.0,
+      maxTopBigramRatio = 1.0, minDistinctRatio = 0.0)
+    // pre-cleaning control: with line dedup OFF, doc 2 is NOT caught
+    val noLine = Curate.corpus(docs, "doc_id", "text", Some(eval),
+        Curate.CurateConfig(quality = Some(permissive), lineDedup = false,
+          lineMaxDf = 2))
+      .collect().map(_.getLong(0)).toSet
+    assert(noLine.contains(2L),
+      "without line cleanup the boiler shingles must mask the near-dup")
+    val out = Curate.corpus(docs, "doc_id", "text", Some(eval),
+      Curate.CurateConfig(quality = Some(permissive), lineMaxDf = 2))
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 2 near-dups away post-cleaning, 5 is contaminated, 6 fails quality
+    assert(byId.keySet == Set(1L, 3L, 4L), s"got ${byId.keySet}")
+    assert(byId(1L) == c1, "survivor text must be the line-cleaned text")
+  }
+
   test("dedupReportFromClusters: per-slice drop counts, canonical survives, clean slices report 0") {
     val docs = Seq(
       (1L, "sA"), (2L, "sA"), (3L, "sA"), // 2,3 drop (cluster canon 1)
