@@ -51,12 +51,17 @@ object Curate {
         base.join(kept, Seq("doc_id"), "left_semi")
       case None => base
     }
+    // Lazy checkpoint at the composition joint: `cleaned` feeds the
+    // dedup pipeline (short/long branches), the survivor semi-join,
+    // AND the decontamination shingle stream — without it every
+    // consumer re-runs the full quality + line-dedup subtree (the
+    // ×10 probe measured 46.6s uncheckpointed vs 14.7s with it).
     val cleaned =
-      if (cfg.lineDedup)
+      (if (cfg.lineDedup)
         Dedup.lineDedup(afterQuality, "doc_id", "text",
             cfg.lineMaxDf, cfg.lineMinChars)
           .select(col("doc_id"), col("text_clean").as("text"))
-      else afterQuality
+      else afterQuality).localCheckpoint(false)
     val kept = Dedup.pipeline(cleaned, "doc_id", "text",
       cfg.dedupN, cfg.dedupThreshold)
     val deduped = cleaned.join(kept, Seq("doc_id"), "left_semi")

@@ -458,9 +458,10 @@ object Dedup {
     * (cluster id, trainPct). Returns (doc_id, cluster_id, split).
     *
     * Scale shape: [[clusters]] as in [[keepBest]]; the membership
-    * table (clustered docs only — the dup fraction of the corpus)
-    * broadcasts into a left join, so the corpus never shuffles; the
-    * bucket is a pure projection.
+    * table (clustered docs only) joins on the id — AQE broadcasts it
+    * when the dup fraction is small, and a heavily-duplicated corpus
+    * degrades to an ordinary equi-join instead of an oversized
+    * broadcast; the bucket is a pure projection.
     */
   def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                    trainPct: Int): DataFrame =
@@ -548,8 +549,13 @@ object Dedup {
                                trainPct: Int): DataFrame = {
     require(trainPct >= 0 && trainPct <= 100,
       s"trainPct must be in [0, 100], got $trainPct")
+    // no broadcast hint: the membership table is EVERY clustered doc
+    // (canonicals included), which a heavily-duplicated corpus can
+    // push to corpus order — unlike the strictly-minority DROP lists
+    // keepBest/keepList hint. AQE still broadcasts it when it is
+    // actually small; when it isn't, this is a plain id equi-join.
     docs.select(col(idCol).as("doc_id"))
-      .join(broadcast(clusterIds), Seq("doc_id"), "left_outer")
+      .join(clusterIds, Seq("doc_id"), "left_outer")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split",
         when(Fns.md5Hash31(col("cluster_id").cast("string")) % 100

@@ -255,6 +255,20 @@ object ScaleProbe {
     // total shingles even when the dup-bomb pushes every df to k
     time("novelty xK")(
       TextAnalysis.novelty(docs, "doc_id", "text", 3).count())
+    // the packaged end-to-end curation pipeline under the dup-bomb:
+    // quality signals + line dedup + Dedup.pipeline + decontam vs a
+    // 10% eval slice; aggregate over text forces the reassembly
+    // (takeaway 13 — count() would prune it)
+    // lineMaxDf above the replication factor: the dup-bomb gives every
+    // content line df = k, and a cap at-or-below k would boilerplate-
+    // cut the whole corpus — the dedup stage, not the line stage, must
+    // absorb full-document duplication
+    time("curate end-to-end xK")({
+      val eval = Tables.documents(spark, d).filter(col("doc_id") % 10 === 0)
+      graft.operators.Curate.corpus(docs, "doc_id", "text", Some(eval),
+          graft.operators.Curate.CurateConfig(lineMaxDf = 50))
+        .agg(sum(length(col("text")))).head()
+    })
     // near-dup graph -> connected components (pointer-jump propagation)
     time("clusters over minhash pairs xK")({
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
