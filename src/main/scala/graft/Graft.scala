@@ -301,6 +301,10 @@ object Graft {
                           root: String): DataFrame =
     Dedup.refreshClusterIndex(spark, newPairs, root)
 
+  /** Dup-cluster size distribution over a cluster artifact. */
+  def clusterSizes(clusterIds: DataFrame): DataFrame =
+    Dedup.clusterSizeProfile(clusterIds)
+
   /** Per-slice dedup impact data card over a cluster artifact:
     * (dims..., n_docs, n_dropped, drop_rate). */
   def dedupReport(docs: DataFrame, clusterIds: DataFrame,

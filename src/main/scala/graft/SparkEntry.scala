@@ -570,6 +570,10 @@ object SparkEntry {
     Dedup.dedupReportFromClusters(Tables.documents(s, d), "doc_id",
       declaredClusters(s, d), Seq("source"))
 
+  /** Dup-cluster size distribution under the declared artifact. */
+  def qClusterSizes(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterSizeProfile(declaredClusters(s, d))
+
   /** Vocabulary drift between the src0 and src1 slices: word-
     * distribution PSI over the top-20 combined words + <other>. */
   def qCorpusDrift(s: SparkSession, d: String): DataFrame =
@@ -770,6 +774,7 @@ object SparkEntry {
     "q_corpus_gates" -> (qCorpusGates _),
     "q_corpus_drift" -> (qCorpusDrift _),
     "q_dedup_report" -> (qDedupReport _),
+    "q_cluster_sizes" -> (qClusterSizes _),
     "q_dsir" -> (qDsir _),
     "q_dsir_sample" -> (qDsirSample _),
     "q_dsir_frozen" -> (qDsirFrozen _),
@@ -2300,6 +2305,13 @@ object SparkEntry {
            |    * 1.0 / count(*), 6) AS drop_rate
            |FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id
            |GROUP BY 1""".stripMargin,
+
+      "q_cluster_sizes" ->
+        s"""$clusterCte,
+           |cs AS (SELECT cluster_id, count(*) AS cluster_size
+           |       FROM cl GROUP BY 1)
+           |SELECT cluster_size, count(*) AS n_clusters
+           |FROM cs GROUP BY 1""".stripMargin,
 
       // Mirrors Dsir.importanceWeights exactly: same tokenization
       // (split on space, drop empties), unigrams+bigrams, md5hash31

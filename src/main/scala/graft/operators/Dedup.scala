@@ -494,6 +494,20 @@ object Dedup {
         round(col("n_dropped") / col("n_docs"), 6))
   }
 
+  /** Dup-cluster SIZE distribution — the structural data-card number
+    * ("mostly pairs, or a few megaclusters?") that decides dedup
+    * strategy: pair-heavy corpora are cheap everywhere, megaclusters
+    * are where df² detectors die and the pipeline order matters.
+    * Input is a (doc_id, cluster_id) membership table; output one row
+    * per observed size: (cluster_size, n_clusters). Two
+    * map-side-combinable aggregates, |distinct sizes| result rows.
+    */
+  def clusterSizeProfile(clusterIds: DataFrame): DataFrame =
+    clusterIds.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Persist the transitive-cluster membership table as a versioned
     * artifact: (doc_id, cluster_id) for every doc in `pairs`, the
     * table [[keepBestFromClusters]] / [[clusterSplitFromClusters]]

@@ -1445,6 +1445,16 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(byId(1L) == c1, "survivor text must be the line-cleaned text")
   }
 
+  test("clusterSizeProfile: size histogram over membership") {
+    val cl = Seq((1L, 1L), (2L, 1L), (3L, 1L), // size 3
+      (4L, 4L), (5L, 4L),                      // size 2
+      (6L, 6L), (7L, 6L)                       // size 2
+    ).toDF("doc_id", "cluster_id")
+    val out = graft.operators.Dedup.clusterSizeProfile(cl)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(3L -> 1L, 2L -> 2L))
+  }
+
   test("dedupReportFromClusters: per-slice drop counts, canonical survives, clean slices report 0") {
     val docs = Seq(
       (1L, "sA"), (2L, "sA"), (3L, "sA"), // 2,3 drop (cluster canon 1)
