@@ -692,9 +692,6 @@ object Graft {
                          ratesBp: Map[String, Int]): DataFrame =
     FeatureEng.classBalanceSample(df, keyCol, classCol, ratesBp)
 
-  /** Soft quality filtering: keep each row with probability equal to
-    * `weight` (clamped to [0, 1]), decided by the deterministic
-    * md5-bucket coin; distinct seeds draw independent samples. */
   /** Deterministic stratified draw: exactly min(k, |cell|) rows per
     * strata cell by seeded md5 rank — eval/holdout panel building. */
   def stratifiedSample(df: DataFrame, keyCol: String,
@@ -702,6 +699,9 @@ object Graft {
                        seed: String = "graft"): DataFrame =
     FeatureEng.stratifiedSample(df, keyCol, strataCols, k, seed)
 
+  /** Soft quality filtering: keep each row with probability equal to
+    * `weight` (clamped to [0, 1]), decided by the deterministic
+    * md5-bucket coin; distinct seeds draw independent samples. */
   def weightedSample(df: DataFrame, keyCol: String, weight: Column,
                      seed: String = "graft"): DataFrame =
     FeatureEng.weightedSample(df, keyCol, weight, seed)

@@ -621,12 +621,20 @@ object SparkEntry {
   private val clusterArtifacts = new java.util.concurrent.ConcurrentHashMap[
     String, DataFrame]()
 
-  private def declaredClusters(s: SparkSession, d: String): DataFrame =
-    clusterArtifacts.computeIfAbsent(d, _ => {
-      val cl = Dedup.clusters(declaredNgramPairs(s, d))
-        .localCheckpoint(true)
+  private def declaredClusters(s: SparkSession, d: String): DataFrame = {
+    // a checkpointed frame is bound to its session: a hit from a
+    // different or stopped session (Verify stops its session; tests
+    // may start another in the same JVM) must recompute, not serve
+    // dead checkpoint blocks
+    val cached = clusterArtifacts.get(d)
+    if (cached != null && (cached.sparkSession eq s) &&
+        !s.sparkContext.isStopped) cached
+    else {
+      val cl = Dedup.clusters(declaredNgramPairs(s, d)).localCheckpoint(true)
+      clusterArtifacts.put(d, cl)
       cl
-    })
+    }
+  }
 
   /** Quality-aware survivor selection: per transitive dup cluster keep
     * the LONGEST document (chars, ties to min doc id) instead of the

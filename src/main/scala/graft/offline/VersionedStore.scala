@@ -1204,23 +1204,33 @@ object VersionedStore {
     def keyed(df: DataFrame): DataFrame = {
       val padded = allCols.foldLeft(df)((d, c) =>
         if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-      // cast-to-string per column with a NUL-prefixed sentinel:
-      // Spark's hash functions SKIP null args (the running hash passes
-      // through unchanged), which would alias (null, "x") with
-      // ("x", null); no cast of real data begins with a NUL char
-      val rowHash = xxhash64(dataCols.map(c =>
-        coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
+      // per column, TWO hash args: an always-non-null null flag plus
+      // the cast-to-empty value. Spark's hash functions SKIP null args
+      // (the running hash passes through unchanged), which would alias
+      // (null, "x") with ("x", null); the explicit flag removes the
+      // ambiguity without an in-band sentinel a real string could
+      // collide with. A key-only table hashes a constant — its diff
+      // degenerates to the multiplicity/count comparison, which is
+      // all a key-only row can change.
+      val rowHash =
+        if (dataCols.isEmpty) lit(0L)
+        else xxhash64(dataCols.flatMap(c => Seq(col(c).isNull,
+          coalesce(col(c).cast("string"), lit("")))): _*)
       // decimal(38,0) accumulation: exact (no ANSI long overflow) and
       // add-order independent
       padded.groupBy(col(keyCol).as("k"))
         .agg(sum(rowHash.cast("decimal(38,0)")).as("h"),
           count(lit(1)).as("c"))
     }
+    // null-safe key match: a NULL-key group must pair with itself
+    // across versions, not diff as spurious added+removed; presence is
+    // judged on the count column (a matched null key nulls both a.k
+    // and b.k)
     keyed(a).as("a")
-      .join(keyed(b).as("b"), col("a.k") === col("b.k"), "full_outer")
+      .join(keyed(b).as("b"), col("a.k") <=> col("b.k"), "full_outer")
       .select(coalesce(col("a.k"), col("b.k")).as(keyCol),
-        when(col("a.k").isNull, "added")
-          .when(col("b.k").isNull, "removed")
+        when(col("a.c").isNull, "added")
+          .when(col("b.c").isNull, "removed")
           .when(col("a.h") =!= col("b.h") || col("a.c") =!= col("b.c"),
             "changed").as("change"))
       .filter(col("change").isNotNull)

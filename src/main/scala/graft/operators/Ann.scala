@@ -150,10 +150,15 @@ object Ann {
                        idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     import graft.functions.VectorExpressions.dotF
+    // zero-norm guard: a dead/padded all-zero vector has cos = 0/0 =
+    // NaN, and Spark orders NaN above every number — it would be
+    // flagged against the ENTIRE eval set with max_cos = NaN
     val e = evalVecs.select(col(idCol).as("eval_id"), col(vecCol).as("ev"),
-      Fns.l2Norm(col(vecCol)).as("en"))
+        Fns.l2Norm(col(vecCol)).as("en"))
+      .filter(col("en") > 0)
     val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("cv"),
-      Fns.l2Norm(col(vecCol)).as("cn"))
+        Fns.l2Norm(col(vecCol)).as("cn"))
+      .filter(col("cn") > 0)
     c.join(broadcast(e))
       .withColumn("cos",
         round(dotF(col("cv"), col("ev")) / (col("cn") * col("en")), 6))

@@ -418,9 +418,11 @@ object Dedup {
     * Scale shape: [[clusters]] resolves transitive membership in
     * O(log diameter) pointer-jump rounds; scoring is a projection;
     * the per-cluster argmax is a window over cluster ids (clusters
-    * are small — bounded by dup-group size, not corpus); and the drop
-    * list — strictly smaller than the clustered fraction — broadcasts
-    * into a left-anti join, so the corpus itself never shuffles.
+    * are small — bounded by dup-group size, not corpus); the drop
+    * list anti-joins on the id — AQE broadcasts it when the dup
+    * fraction is small, and a heavily-duplicated corpus (drop list ~
+    * corpus order) degrades to an ordinary equi-join instead of an
+    * oversized broadcast.
     */
   def keepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
                score: Column): DataFrame =
@@ -442,8 +444,11 @@ object Dedup {
         Window.partitionBy("cluster_id")
           .orderBy(col("score").desc, col("doc_id"))))
     val dropIds = ranked.filter(col("rk") > 1).select("doc_id")
+    // no broadcast hint: in a heavily-duplicated corpus the drop list
+    // is (k-1)/k of the corpus — corpus order, not a minority side.
+    // AQE broadcasts it when it is actually small.
     docs.select(col(idCol).as("doc_id"))
-      .join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
   }
 
   /** LEAKAGE-FREE train/test split: assign whole near-dup clusters to
@@ -474,10 +479,10 @@ object Dedup {
     * is not its cluster's canonical). Returns
     * (dims..., n_docs, n_dropped, drop_rate).
     *
-    * Scale shape: the drop list (clustered non-canonicals — the dup
-    * fraction) broadcasts into a left join; the corpus never shuffles
-    * until the per-slice counter aggregate, which is map-side
-    * combinable with |dim tuples| result rows.
+    * Scale shape: the drop list (clustered non-canonicals) joins on
+    * the id — AQE broadcasts it when the dup fraction is small; the
+    * per-slice counter aggregate is map-side combinable with
+    * |dim tuples| result rows.
     */
   def dedupReportFromClusters(docs: DataFrame, idCol: String,
                               clusterIds: DataFrame,
@@ -485,8 +490,11 @@ object Dedup {
     require(dims.nonEmpty, "report needs at least one dimension")
     val drops = clusterIds.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit(1L).as("is_drop"))
+    // no broadcast hint (same reasoning as keepBestFromClusters):
+    // the drop set is corpus-order under heavy duplication; AQE
+    // broadcasts it when small
     docs.select(col(idCol).as("doc_id") +: dims.map(col): _*)
-      .join(broadcast(drops), Seq("doc_id"), "left_outer")
+      .join(drops, Seq("doc_id"), "left_outer")
       .groupBy(dims.map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("is_drop"), lit(0L))).as("n_dropped"))
@@ -571,9 +579,10 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"))
       .join(clusterIds, Seq("doc_id"), "left_outer")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      // THE split-routing rule, by reference: agreement with
+      // trainTestSplit/TrainingExport is structural, not copy-paste
       .withColumn("split",
-        when(Fns.md5Hash31(col("cluster_id").cast("string")) % 100
-          < trainPct, "train").otherwise("test"))
+        FeatureEng.splitColumn("cluster_id", trainPct))
       .select("doc_id", "cluster_id", "split")
   }
 

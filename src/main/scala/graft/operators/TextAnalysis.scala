@@ -617,7 +617,11 @@ object TextAnalysis {
   def corpusDrift(docs: DataFrame, textCol: String, isA: Column,
                   topK: Int = 1000): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val words = docs.filter(col(textCol).isNotNull)
+    // rows where isA is NULL belong to neither side: without the
+    // filter their words would count into neither ca nor cb yet still
+    // occupy top-K bins as (0,0) rows, silently perturbing n_bins and
+    // the smoothing mass
+    val words = docs.filter(col(textCol).isNotNull && isA.isNotNull)
       .select(isA.as("in_a"), explode(Fns.words(col(textCol))).as("w"))
     val counts = words.groupBy("w").agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),

@@ -1533,5 +1533,11 @@ class LlmPipelineSpec extends AnyFunSuite {
     val atBoundary = Ann.semanticDecontam(corpus, eval, "vec_id",
       "embedding", 0.707107).collect().map(_.getLong(0)).toSet
     assert(atBoundary == Set(1L, 3L))
+    // zero-norm vectors are skipped, not NaN-flagged against all evals
+    val withDead = corpus.unionByName(
+      Seq((9L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val dead = Ann.semanticDecontam(withDead, eval, "vec_id",
+      "embedding", 0.5).collect().map(_.getLong(0)).toSet
+    assert(dead == Set(1L, 3L), s"zero-norm must not flag: $dead")
   }
 }

@@ -620,6 +620,29 @@ class StoreSpec extends AnyFunSuite {
     val d23 = VersionedStore.diffVersions(spark, root, "id", 2, 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d23 == Map(6L -> "added"), s"evolution must be neutral: $d23")
+    // NULL keys pair with themselves (null-safe join), and the
+    // null-flag encoding distinguishes (null, "x") from ("x", null)
+    val root2 = tmp("vdiffnull")
+    VersionedStore.create(
+      Seq((Some(1L), Some("a"), None: Option[String]),
+        (None, Some("n"), None)).toDF("id", "x", "y"), root2)
+    VersionedStore.overwrite(
+      Seq((Some(1L), None: Option[String], Some("a")),
+        (None, Some("n"), None: Option[String])).toDF("id", "x", "y"), root2)
+    val dn = VersionedStore.diffVersions(spark, root2, "id", 0, 1)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0))
+        -> r.getString(1)).toMap
+    assert(dn == Map(1L -> "changed"),
+      s"null key must not diff; null swap must: $dn")
+    // key-only table: diff degenerates to presence/multiplicity
+    val root3 = tmp("vdiffkey")
+    VersionedStore.create(Seq(Tuple1(1L), Tuple1(2L)).toDF("id"), root3)
+    VersionedStore.overwrite(
+      Seq(Tuple1(2L), Tuple1(2L), Tuple1(3L)).toDF("id"), root3)
+    val dk = VersionedStore.diffVersions(spark, root3, "id", 0, 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dk == Map(1L -> "removed", 2L -> "changed", 3L -> "added"),
+      s"got $dk")
   }
 
   test("VersionedStore: overwrite replaces the snapshot, history intact") {
