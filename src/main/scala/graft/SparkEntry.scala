@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
-import graft.operators.{Analytics, Ann, AsofJoin, Dedup, Dsir, FeatureEng, MultiModal, Sessionize, TextAnalysis, WindowedFeatures}
+import graft.operators.{Analytics, Ann, AsofJoin, Dedup, Dsir, FeatureEng, MultiModal, Search, Sessionize, TextAnalysis, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
 import graft.registry.Registry
 import graft.stats.Profiler
@@ -548,6 +548,40 @@ object SparkEntry {
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
 
+  private def bm25Queries(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("q_text"))
+
+  /** BM25 retrieval: every 20th document's first 8 words as the query
+    * batch, top-10 over the whole corpus. */
+  def qBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Search.bm25TopK(docs, "doc_id", "text",
+      bm25Queries(docs), "q_id", "q_text", k = 10)
+  }
+
+  // One persisted text index per (corpus dir, JVM): retrieval serving
+  // is build-once-serve-many, so repeat invocations (bench measured
+  // passes) time the file-pruned serve, not a rebuild. Disk artifacts
+  // are session-independent (unlike checkpointed frames).
+  private val bm25Roots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The persisted-index serve path held to q_bm25's ORACLE: the
+    * term-pruned posting read + pruned-read df derivation must
+    * reproduce the batch scorer hash-for-hash on the whole corpus. */
+  def qBm25Serve(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = bm25Roots.computeIfAbsent(d, _ => {
+      val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
+        .toString + "/idx"
+      Search.buildTextIndex(s, docs, "doc_id", "text", r)
+      r
+    })
+    Search.serveBm25(s, root, bm25Queries(docs), "q_id", "q_text", k = 10)
+  }
+
   def qChunk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
       window = 40, stride = 20)
@@ -756,6 +790,8 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
+    "q_bm25_serve" -> (qBm25Serve _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -789,6 +825,48 @@ object SparkEntry {
     "q_winnow" -> (qWinnow _),
     "q_winnow_pairs" -> (qWinnowPairs _)
   )
+
+  /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
+    * the batch scorer, so both declare the same SQL). */
+  private val bm25OracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, w AS term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      |  WHERE w <> ''
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+      |), dlen AS (
+      |  SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), stats AS (
+      |  SELECT count(*) AS n_docs, sum(dlen) AS total_len FROM dlen
+      |), qterms AS (
+      |  SELECT DISTINCT doc_id AS q_id, w AS term
+      |  FROM documents, unnest((string_split(text, ' '))[1:8]) AS t(w)
+      |  WHERE doc_id % 20 = 0 AND w <> ''
+      |), contrib AS (
+      |  SELECT q.q_id, tf.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) *
+      |      ((tf.tf * 2.2) /
+      |       (tf.tf + 1.2 * (1.0 - 0.75 +
+      |        0.75 * d.dlen / (s.total_len::DOUBLE / s.n_docs)))),
+      |      6) AS DECIMAL(38,6)) AS c
+      |  FROM tf
+      |  JOIN qterms q USING (term)
+      |  JOIN dfreq f USING (term)
+      |  JOIN dlen d ON tf.doc_id = d.doc_id
+      |  CROSS JOIN stats s
+      |), agg AS (
+      |  SELECT q_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+      |  FROM contrib GROUP BY 1, 2
+      |)
+      |SELECT q_id, doc_id, rank, score FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+      |  FROM agg)
+      |WHERE rank <= 10""".stripMargin
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
     * plain constants, so they inline as SQL array literals — the LSH
@@ -2152,6 +2230,16 @@ object SparkEntry {
           |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
           |  FROM scored)
           |WHERE rk <= 5""".stripMargin,
+
+      // Mirrors Search.bm25TopK exactly: same tokenization, idf =
+      // ln(1 + (N-df+0.5)/(df+0.5)), tf component parenthesized as a
+      // unit before the idf multiply (double * / is not associative),
+      // per-term contributions rounded 6dp then DECIMAL-summed
+      // (add-order independent), rank ties broken by doc_id.
+      "q_bm25" -> bm25OracleSql,
+      // The persisted-index serve is held to the SAME oracle — the
+      // file-pruned path must hash-equal the batch scorer.
+      "q_bm25_serve" -> bm25OracleSql,
 
       "q_multimodal_meta" ->
         """WITH b AS (

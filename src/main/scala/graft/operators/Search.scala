@@ -1,0 +1,253 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Full-text retrieval (BM25) over the document corpus — the TEXT dual
+  * of the [[Ann]] vector-serving family: a batch scorer for offline
+  * relevance jobs, plus a persisted posting-list index whose serve
+  * path reads only the query batch's terms' files (the same batch
+  * multi-get shape as the reference's online store —
+  * /root/reference feature_store/store/online/OnlineServingService.java
+  * batch lookup — applied to an inverted text index instead of a
+  * key-value snapshot).
+  *
+  * Retrieval is a first-class corpus operation in an LLM data
+  * pipeline: harvesting training examples for a topic, mining text
+  * hard-negatives for retrievers, and auditing what a corpus contains
+  * all reduce to "top-k documents for this query batch".
+  *
+  * Scoring is Robertson/Sparck-Jones BM25:
+  * `idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))` (always positive),
+  * `tf_c = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`, score =
+  * Σ_t idf·tf_c over the query's DISTINCT terms (query-side term
+  * multiplicity is ignored, the standard short-query form).
+  * Tokenization is the corpus contract everywhere else in graft:
+  * split on single space, drop empties ([[graft.functions.Fns.words]]).
+  *
+  * Determinism: per-term contributions are rounded to 6dp and summed
+  * as DECIMAL(38,6) — add-order independent — then the total is
+  * rounded back to a double, so scores (and the doc_id-tie-broken
+  * ranks) are reproducible across partitionings and match a SQL
+  * oracle exactly.
+  */
+object Search {
+
+  private def postingsTable(root: String) = s"$root/postings"
+  private def dlensTable(root: String)    = s"$root/dlens"
+  private def statsTable(root: String)    = s"$root/stats"
+
+  /** One tokenize pass → (doc_id, term, tf). Docs with NULL/empty
+    * text contribute no rows (they can never match a term query). */
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(Fns.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Query bag-of-words: DISTINCT (q_id, term). */
+  private def queryTerms(queries: DataFrame, qIdCol: String,
+                         qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).as("q_id"),
+        explode(Fns.words(col(qTextCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+  /** Shared scoring tail: `matched` must carry (q_id, doc_id, tf,
+    * dlen, df) plus broadcastable scalar columns n_docs / total_len.
+    * Output: (q_id, doc_id, rank, score). */
+  private def scoreStage(matched: DataFrame, k: Int, k1: Double,
+                         b: Double): DataFrame = {
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfc = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dlen") / avgdl))
+    val contrib = round(idf * tfc, 6).cast("decimal(38,6)")
+    val agg = matched
+      .withColumn("contrib", contrib)
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("contrib").cast("double"), 6).as("score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "doc_id", "rank", "score")
+  }
+
+  /** Batch BM25 top-k: for each query row, the `k` highest-scoring
+    * documents (ties broken by doc_id). Queries that share no term
+    * with any document return no rows.
+    *
+    * Scale shape: the corpus is tokenized ONCE into the (doc, term,
+    * tf) aggregate, then lazily localCheckpoint'ed — it fans out to
+    * FOUR consumers (the match stream, doc lengths, document
+    * frequencies, corpus stats) whose per-consumer column pruning
+    * would otherwise defeat exchange reuse and re-tokenize the corpus
+    * four times (the fan-out-joint rule, SCALE_NOTES takeaway 16).
+    * The query side broadcasts twice: the term bag restricts the
+    * posting stream map-side (no corpus shuffle to meet the queries),
+    * and the df table — restricted to query terms first, so it is
+    * query-vocabulary sized, not corpus-vocabulary sized — also joins
+    * broadcast. The only corpus-sized shuffles are the tf/df
+    * aggregates themselves and the dlen join on doc_id over the
+    * already-matched subset.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFreqs(docs, idCol, textCol).localCheckpoint(false)
+    // dlen itself feeds both the match join and the stats row
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"),
+      sum("dlen").as("total_len"))
+    // the query bag feeds both broadcasts — checkpoint so the caller's
+    // query frame (often itself a corpus slice) is scanned once
+    val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint(false)
+    val dfq = dfreq.join(broadcast(qterms.select("term").distinct()), "term")
+    val matched = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfq), "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+    scoreStage(matched, k, k1, b)
+  }
+
+  /** Build the persisted retrieval index under `indexRoot`: posting
+    * lists `(term, doc_id, tf, dlen)` — doc length DENORMALIZED into
+    * each posting so serving never joins a length table —
+    * range-partitioned and sorted by term (string footer stats →
+    * [[graft.offline.VersionedStore.readValuesStr]] file pruning),
+    * a doc-length table sorted by doc_id (drives shard-shaped stats
+    * deltas on upsert), and a one-row corpus-stats table
+    * `(n_docs, total_len)`.
+    */
+  def buildTextIndex(spark: SparkSession, docs: DataFrame, idCol: String,
+                     textCol: String, indexRoot: String,
+                     nFiles: Int = 16): Unit = {
+    import graft.offline.VersionedStore
+    // tf fans out to dlen + the postings join; dlen to the postings
+    // join + the stats row — checkpoint both joints (takeaway 16)
+    val tf = termFreqs(docs, idCol, textCol).localCheckpoint(false)
+    val dlen = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+      .localCheckpoint(false)
+    val postings = tf.join(dlen, "doc_id")
+      .select("term", "doc_id", "tf", "dlen")
+    VersionedStore.overwrite(
+      postings.repartitionByRange(nFiles, col("term"))
+        .sortWithinPartitions("term"),
+      postingsTable(indexRoot))
+    VersionedStore.overwrite(
+      dlen.repartitionByRange(math.max(nFiles / 4, 1), col("doc_id"))
+        .sortWithinPartitions("doc_id"),
+      dlensTable(indexRoot))
+    VersionedStore.overwrite(
+      dlen.agg(count(lit(1)).as("n_docs"), sum("dlen").as("total_len")),
+      statsTable(indexRoot))
+  }
+
+  /** Serve BM25 from the persisted index. The posting read is pruned
+    * at the FILE level to the query batch's distinct terms (string
+    * footer stats over the term-sorted layout), so a batch touching
+    * a small vocabulary opens ~that fraction of the inverted file —
+    * never a table scan. Document frequencies are EXACT from the
+    * pruned read (it returns every posting of each probed term), and
+    * corpus stats come from the one-row stats table, so serve results
+    * equal [[bm25TopK]] on the indexed corpus row-for-row.
+    *
+    * The distinct-term collect is a driver scalar bounded by the
+    * query batch's vocabulary — the serving assumption, same as
+    * [[Ann.ivfServe]]'s probed-cell collect.
+    */
+  def serveBm25(spark: SparkSession, indexRoot: String, queries: DataFrame,
+                qIdCol: String, qTextCol: String, k: Int = 10,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import graft.offline.VersionedStore
+    require(k > 0, s"k must be positive, got $k")
+    val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint()
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val posts = VersionedStore.readValuesStr(spark,
+      postingsTable(indexRoot), "term", terms)
+    val dfq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = posts
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfq), "term")
+      .crossJoin(broadcast(VersionedStore.read(spark, statsTable(indexRoot))))
+    scoreStage(matched, k, k1, b)
+  }
+
+  /** Refresh the index with a document shard. Replacement-correct and
+    * replay-idempotent: postings and doc lengths MERGE by doc_id
+    * (old postings of a re-ingested doc are dropped even when the new
+    * text has fewer terms), and corpus stats update by a shard-shaped
+    * delta — the old lengths of the shard's ids come from a
+    * file-pruned point read of the dlens table, never a corpus scan.
+    *
+    * When NONE of the shard's ids already exist (the append-only
+    * common case), postings APPEND instead of merging — an append
+    * never rewrites existing files. Term-sorted layout (and thus
+    * serve-side file pruning) degrades as refreshes accumulate; run
+    * [[compactTextIndex]] periodically, exactly like
+    * [[Ann.ivfIndexCompact]].
+    *
+    * Docs whose text holds no tokens are not indexed; "replace an
+    * existing doc with empty text" is a deletion, out of upsert's
+    * scope. The shard-id collect is a driver list bounded by shard
+    * size — the incremental-ingest assumption, same as
+    * [[Dedup.dedupIncremental]]'s key pruning.
+    */
+  def indexUpsert(spark: SparkSession, newDocs: DataFrame, idCol: String,
+                  textCol: String, indexRoot: String): Unit = {
+    import graft.offline.VersionedStore
+    val tf = termFreqs(newDocs, idCol, textCol).localCheckpoint()
+    val dlenNew = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
+      .localCheckpoint()
+    val ids = dlenNew.select(col("doc_id").cast("double"))
+      .collect().map(_.getDouble(0)).toSeq
+    if (ids.isEmpty) return // nothing tokenizable — no-op
+    val old = VersionedStore.readValues(spark, dlensTable(indexRoot),
+      "doc_id", ids)
+      .agg(count(lit(1)).as("c"), coalesce(sum("dlen"), lit(0L)).as("s"))
+      .first()
+    val add = dlenNew
+      .agg(count(lit(1)).as("c"), coalesce(sum("dlen"), lit(0L)).as("s"))
+      .first()
+    val prev = VersionedStore.read(spark, statsTable(indexRoot)).first()
+    val postings = tf.join(dlenNew, "doc_id")
+      .select("term", "doc_id", "tf", "dlen")
+    if (old.getLong(0) == 0L)
+      VersionedStore.append(postings, postingsTable(indexRoot))
+    else
+      VersionedStore.merge(postings, postingsTable(indexRoot),
+        keys = Seq("doc_id"))
+    VersionedStore.merge(dlenNew, dlensTable(indexRoot),
+      keys = Seq("doc_id"))
+    import spark.implicits._
+    VersionedStore.overwrite(
+      Seq((prev.getLong(0) - old.getLong(0) + add.getLong(0),
+        prev.getLong(1) - old.getLong(1) + add.getLong(1)))
+        .toDF("n_docs", "total_len"),
+      statsTable(indexRoot))
+  }
+
+  /** Restore the ~one-file-per-term-range layout after upserts (whose
+    * MERGE/append files span wide term ranges and erode serve-side
+    * pruning). Mirrors [[Ann.ivfIndexCompact]]. */
+  def compactTextIndex(spark: SparkSession, indexRoot: String,
+                       nFiles: Int = 16): Unit = {
+    import graft.offline.VersionedStore
+    VersionedStore.compact(spark, postingsTable(indexRoot), nFiles,
+      sortBy = Seq("term"))
+    VersionedStore.compact(spark, dlensTable(indexRoot),
+      math.max(nFiles / 4, 1), sortBy = Seq("doc_id"))
+  }
+}

@@ -291,6 +291,37 @@ object ScaleProbe {
       Dedup.clusterSplit(docs, "doc_id", pairs, 80)
         .agg(sum(length(col("split")))).head()
     })
+    // BM25 retrieval: the batch scorer is corpus-linear (one tokenize
+    // pass + query-broadcast joins); the persisted index's serve must
+    // be TERM-shaped (file-pruned posting read), and the upsert
+    // SHARD-shaped — the dup-bomb multiplies every df k-fold but the
+    // query-vocabulary restriction keeps the matched stream bounded
+    val bmQueries = Tables.documents(spark, d)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("q_text"))
+      .cache()
+    println(s"[scale] bm25 query batch: ${bmQueries.count()}")
+    time("bm25 batch topk xK")(
+      graft.operators.Search.bm25TopK(docs, "doc_id", "text",
+        bmQueries, "q_id", "q_text", k = 10).count())
+    val bmRoot = java.nio.file.Files
+      .createTempDirectory("probe_bm25").toString + "/idx"
+    time("bm25 index build xK")(
+      graft.operators.Search.buildTextIndex(spark, docs, "doc_id",
+        "text", bmRoot, nFiles = 64))
+    time("bm25 serve cold")(
+      graft.operators.Search.serveBm25(spark, bmRoot, bmQueries,
+        "q_id", "q_text", k = 10).count())
+    time("bm25 serve warm")(
+      graft.operators.Search.serveBm25(spark, bmRoot, bmQueries,
+        "q_id", "q_text", k = 10).count())
+    time("bm25 index upsert 50 docs")(
+      graft.operators.Search.indexUpsert(spark,
+        Tables.documents(spark, d).limit(50)
+          .withColumn("doc_id", col("doc_id") + lit(300000000L)),
+        "doc_id", "text", bmRoot))
+    bmQueries.unpersist()
     docs.unpersist()
     }
 

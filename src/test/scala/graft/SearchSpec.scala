@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.offline.VersionedStore
+import graft.operators.Search
+
+class SearchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString + "/idx"
+
+  private def rows(df: org.apache.spark.sql.DataFrame)
+  : Set[(Long, Long, Long, Double)] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  /** Corpus query batch used by the persisted-index tests: every 7th
+    * doc's first 8 words. */
+  private def corpusAndQueries() = {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val queries = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("q_id"),
+        array_join(slice(split($"text", " "), 1, 8), " ").as("q_text"))
+    (docs, queries)
+  }
+
+  test("bm25TopK: full-overlap doc outranks partial overlap; disjoint docs never match") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana pear plum quince fig"),
+      (3L, "wolf fox bear")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple banana cherry")).toDF("q_id", "q_text")
+    val got = Search.bm25TopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 matches all three query terms (incl. the rarer "cherry")
+    // and is shorter → rank 1; doc 2 matches two; doc 3 matches none
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("bm25TopK: rarer terms weigh more (idf ordering)") {
+    // "common" is in every doc (minimal idf); "rare" in one
+    val docs = Seq(
+      (1L, "common rare alpha beta"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common beta gamma delta"),
+      (4L, "common gamma delta epsilon")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "common rare")).toDF("q_id", "q_text")
+    val top = Search.bm25TopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 1).collect()
+    assert(top.length == 1 && top(0).getLong(1) == 1L,
+      "the only doc containing the rare term must rank first")
+  }
+
+  test("bm25TopK: null/empty texts and no-term queries are inert") {
+    val docs = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha"), (2L, ""), (3L, "zzz"))
+      .toDF("q_id", "q_text")
+    val got = Search.bm25TopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 5).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(1L),
+      "empty queries and unmatched vocab return no rows; null/empty " +
+        "docs never surface")
+    assert(got.map(_.getLong(1)).toSet == Set(1L))
+  }
+
+  test("persisted index: serve equals the batch scorer row-for-row") {
+    val (docs, queries) = corpusAndQueries()
+    val root = tmp("bm25idx")
+    Search.buildTextIndex(spark, docs, "doc_id", "text", root)
+    val batch = rows(Search.bm25TopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 5))
+    val served = rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5))
+    assert(batch.nonEmpty && served == batch)
+  }
+
+  test("persisted index: serve opens only the probed terms' posting files") {
+    val (docs, _) = corpusAndQueries()
+    val root = tmp("bm25prune")
+    Search.buildTextIndex(spark, docs, "doc_id", "text", root)
+    val allFiles = VersionedStore.read(spark, s"$root/postings")
+      .inputFiles.toSet
+    assert(allFiles.size >= 8,
+      s"term-sorted build should spread over several files, got " +
+        s"${allFiles.size}")
+    // a one-term query (a REAL corpus term, so at least one file must
+    // open) touches one term's range
+    val term = docs
+      .select(element_at(split($"text", " "), 1).as("t"))
+      .filter(length($"t") > 0)
+      .first().getString(0)
+    val queries = Seq((1L, term)).toDF("q_id", "q_text")
+    val statsFiles = VersionedStore.read(spark, s"$root/stats")
+      .inputFiles.toSet
+    val opened = Search.serveBm25(spark, root, queries, "q_id", "q_text",
+      k = 5).inputFiles.toSet -- statsFiles
+    assert(opened.nonEmpty && opened.subsetOf(allFiles))
+    assert(opened.size < allFiles.size,
+      s"one-term serve must open a strict subset of the inverted " +
+        s"file: opened ${opened.size} of ${allFiles.size}")
+  }
+
+  test("indexUpsert: append-shard refresh equals a full rebuild, and replays no-op") {
+    val (docs, queries) = corpusAndQueries()
+    val shard = docs.filter($"doc_id" % 10 === 3)
+    val rest = docs.filter($"doc_id" % 10 =!= 3)
+    val incRoot = tmp("bm25inc")
+    val fullRoot = tmp("bm25full")
+    Search.buildTextIndex(spark, rest, "doc_id", "text", incRoot)
+    Search.indexUpsert(spark, shard, "doc_id", "text", incRoot)
+    Search.buildTextIndex(spark, docs, "doc_id", "text", fullRoot)
+    def stats(r: String) = VersionedStore.read(spark, s"$r/stats")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(stats(incRoot) == stats(fullRoot),
+      "corpus stats must track the shard delta exactly")
+    val inc = rows(Search.serveBm25(spark, incRoot, queries,
+      "q_id", "q_text", k = 5))
+    val full = rows(Search.serveBm25(spark, fullRoot, queries,
+      "q_id", "q_text", k = 5))
+    assert(inc.nonEmpty && inc == full)
+    // replay the same shard: MERGE by doc_id + delta-vs-old stats → no-op
+    Search.indexUpsert(spark, shard, "doc_id", "text", incRoot)
+    assert(stats(incRoot) == stats(fullRoot))
+    assert(rows(Search.serveBm25(spark, incRoot, queries,
+      "q_id", "q_text", k = 5)) == full)
+  }
+
+  test("indexUpsert: re-ingesting a doc with NEW text replaces its old postings") {
+    val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val v2doc = Seq((1L, "omega psi")).toDF("doc_id", "text")
+    val incRoot = tmp("bm25repl")
+    val fullRoot = tmp("bm25repl2")
+    Search.buildTextIndex(spark, v1, "doc_id", "text", incRoot)
+    Search.indexUpsert(spark, v2doc, "doc_id", "text", incRoot)
+    Search.buildTextIndex(spark,
+      Seq((1L, "omega psi"), (2L, "delta epsilon zeta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", fullRoot)
+    val queries = Seq((1L, "alpha"), (2L, "omega"), (3L, "delta"))
+      .toDF("q_id", "q_text")
+    val inc = rows(Search.serveBm25(spark, incRoot, queries,
+      "q_id", "q_text", k = 5))
+    val full = rows(Search.serveBm25(spark, fullRoot, queries,
+      "q_id", "q_text", k = 5))
+    assert(inc == full, "stale postings must not survive replacement")
+    assert(!inc.exists(_._1 == 1L), "doc 1 no longer contains 'alpha'")
+  }
+
+  test("StreamingSearchIndex: streamed ingest converges to the batch-built index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSearchIndex
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("sbm25").toString
+    val root = s"$base/idx"
+    val seed = Seq((1L, "alpha beta gamma"), (2L, "delta beta zeta"))
+    val b1 = Seq((3L, "alpha omega"), (4L, "beta beta gamma"))
+    val b2 = Seq((5L, "zeta eta theta"))
+    Search.buildTextIndex(spark, seed.toDF("doc_id", "text"),
+      "doc_id", "text", root)
+    val input = MemoryStream[(Long, String)]
+    // compactEvery=1: every batch re-sorts the postings — the
+    // long-running-stream layout shape
+    val query = StreamingSearchIndex.start(
+      input.toDF().toDF("doc_id", "text"), root, "doc_id", "text",
+      s"$base/ckpt", compactEvery = 1, compactFiles = 2)
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val fullRoot = tmp("sbm25full")
+    Search.buildTextIndex(spark, (seed ++ b1 ++ b2).toDF("doc_id", "text"),
+      "doc_id", "text", fullRoot)
+    val queries = Seq((1L, "alpha"), (2L, "beta gamma"), (3L, "zeta"))
+      .toDF("q_id", "q_text")
+    val streamed = rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5))
+    val batch = rows(Search.serveBm25(spark, fullRoot, queries,
+      "q_id", "q_text", k = 5))
+    assert(streamed.nonEmpty && streamed == batch)
+    // a replayed stream (fresh checkpoint, same content) must leave
+    // the index unchanged — upsert idempotence carries exactly-once
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingSearchIndex.start(
+      input2.toDF().toDF("doc_id", "text"), root, "doc_id", "text",
+      s"$base/ckpt2")
+    input2.addData(b1 ++ b2: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5)) == batch,
+      "replay must not change the index")
+  }
+
+  test("compactTextIndex restores serve-side file pruning after upserts") {
+    val (docs, queries) = corpusAndQueries()
+    val root = tmp("bm25comp")
+    Search.buildTextIndex(spark, docs.filter($"doc_id" % 10 =!= 3),
+      "doc_id", "text", root)
+    Search.indexUpsert(spark, docs.filter($"doc_id" % 10 === 3),
+      "doc_id", "text", root)
+    val before = rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5))
+    Search.compactTextIndex(spark, root)
+    val allFiles = VersionedStore.read(spark, s"$root/postings")
+      .inputFiles.toSet
+    val statsFiles = VersionedStore.read(spark, s"$root/stats")
+      .inputFiles.toSet
+    val term = docs
+      .select(element_at(split($"text", " "), 1).as("t"))
+      .filter(length($"t") > 0)
+      .first().getString(0)
+    val oneTerm = Seq((1L, term)).toDF("q_id", "q_text")
+    val opened = Search.serveBm25(spark, root, oneTerm, "q_id", "q_text",
+      k = 5).inputFiles.toSet -- statsFiles
+    assert(opened.nonEmpty && opened.size < allFiles.size,
+      "compacted layout must prune a one-term serve again")
+    assert(rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5)) == before,
+      "compaction must not change serve results")
+  }
+}
