@@ -561,6 +561,28 @@ object SparkEntry {
       bm25Queries(docs), "q_id", "q_text", k = 10)
   }
 
+  /** TF-IDF cosine retrieval over the same query batch — the second
+    * lexical leg for hybrid fusion. */
+  def qTfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Search.tfidfCosineTopK(docs, "doc_id", "text",
+      bm25Queries(docs), "q_id", "q_text", k = 10)
+  }
+
+  /** Reciprocal-rank fusion of the BM25 and cosine rankings — hybrid
+    * retrieval without score calibration. */
+  def qHybridRrf(s: SparkSession, d: String): DataFrame =
+    Search.rrfFuse(Seq(qBm25(s, d), qTfidfCosine(s, d)), k = 10)
+
+  /** Retrieval evaluation: every query's source document is its own
+    * relevance target (self-retrieval), scored as first-relevant
+    * rank / reciprocal rank / hits@10 per query. */
+  def qRetrievalMetrics(s: SparkSession, d: String): DataFrame = {
+    val rel = bm25Queries(Tables.documents(s, d))
+      .select(col("q_id"), col("q_id").as("rel_doc"))
+    Search.retrievalMetrics(qBm25(s, d), rel, "q_id", "rel_doc", k = 10)
+  }
+
   // One persisted text index per (corpus dir, JVM): retrieval serving
   // is build-once-serve-many, so repeat invocations (bench measured
   // passes) time the file-pruned serve, not a rebuild. Disk artifacts
@@ -792,6 +814,9 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),
+    "q_tfidf_cosine" -> (qTfidfCosine _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_retrieval_metrics" -> (qRetrievalMetrics _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -867,6 +892,96 @@ object SparkEntry {
       |    PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
       |  FROM agg)
       |WHERE rank <= 10""".stripMargin
+
+  /** Mirrors Search.tfidfCosineTopK: same tokenization and smoothed
+    * idf as q_tfidf, norms and dot products decimal-summed over
+    * 6dp-rounded terms, unknown query terms df=0 (they still count
+    * toward the query norm). Shared by q_tfidf_cosine and (as a CTE)
+    * q_hybrid_rrf. */
+  private val tfidfCosineOracleSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, w AS term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      |  WHERE w <> ''
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+      |), qterms AS (
+      |  SELECT DISTINCT doc_id AS q_id, w AS term
+      |  FROM documents, unnest((string_split(text, ' '))[1:8]) AS t(w)
+      |  WHERE doc_id % 20 = 0 AND w <> ''
+      |), wd AS (
+      |  SELECT tf.term, tf.doc_id,
+      |    tf.tf * (ln((n.n_docs + 1)::DOUBLE / (f.df + 1)) + 1) AS w
+      |  FROM tf JOIN dfreq f USING (term) CROSS JOIN n
+      |), dnorm AS (
+      |  SELECT doc_id, sqrt(CAST(sum(CAST(round(w * w, 6)
+      |    AS DECIMAL(38,6))) AS DOUBLE)) AS dnorm
+      |  FROM wd GROUP BY 1
+      |), wq AS (
+      |  SELECT q.q_id, q.term,
+      |    ln((n.n_docs + 1)::DOUBLE / (coalesce(f.df, 0) + 1)) + 1 AS wq
+      |  FROM qterms q LEFT JOIN dfreq f USING (term) CROSS JOIN n
+      |), qnorm AS (
+      |  SELECT q_id, sqrt(CAST(sum(CAST(round(wq * wq, 6)
+      |    AS DECIMAL(38,6))) AS DOUBLE)) AS qnorm
+      |  FROM wq GROUP BY 1
+      |), dotp AS (
+      |  SELECT wq.q_id, wd.doc_id,
+      |    sum(CAST(round(wd.w * wq.wq, 6) AS DECIMAL(38,6))) AS dot
+      |  FROM wd JOIN wq USING (term) GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT d.q_id, d.doc_id,
+      |    round(CAST(d.dot AS DOUBLE) / (dn.dnorm * qn.qnorm), 6) AS score
+      |  FROM dotp d JOIN dnorm dn USING (doc_id) JOIN qnorm qn USING (q_id)
+      |)
+      |SELECT q_id, doc_id, rank, score FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 10""".stripMargin
+
+  /** RRF fusion of the two lexical rankings — each leg is its full
+    * oracle nested as a CTE, contributions 1/(60+rank) rounded then
+    * decimal-summed, fused ties broken by doc_id. */
+  private val hybridRrfOracleSql: String =
+    s"""WITH r1 AS ($bm25OracleSql),
+       |r2 AS ($tfidfCosineOracleSql),
+       |contrib AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(38,6)) AS c FROM r1
+       |  UNION ALL
+       |  SELECT q_id, doc_id,
+       |    CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(38,6)) AS c FROM r2
+       |), fused AS (
+       |  SELECT q_id, doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS rrf_score
+       |  FROM contrib GROUP BY 1, 2
+       |)
+       |SELECT q_id, doc_id, rank, rrf_score FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= 10""".stripMargin
+
+  /** Self-retrieval evaluation of the BM25 ranking: relevance =
+    * the query's own source doc; first-relevant rank (0 = missed),
+    * reciprocal rank, hits@10 per query. */
+  private val retrievalMetricsOracleSql: String =
+    s"""WITH r AS ($bm25OracleSql),
+       |base AS (SELECT DISTINCT q_id FROM r),
+       |hits AS (
+       |  SELECT q_id, min(rank) AS frr, count(*) AS h
+       |  FROM r WHERE doc_id = q_id AND rank <= 10 GROUP BY 1
+       |)
+       |SELECT b.q_id,
+       |  coalesce(h.frr, 0) AS first_rel_rank,
+       |  CASE WHEN h.frr IS NOT NULL THEN round(1.0 / h.frr, 6)
+       |       ELSE 0.0 END AS rr,
+       |  coalesce(h.h, 0) AS hits_at_k
+       |FROM base b LEFT JOIN hits h USING (q_id)""".stripMargin
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
     * plain constants, so they inline as SQL array literals — the LSH
@@ -2240,6 +2355,10 @@ object SparkEntry {
       // The persisted-index serve is held to the SAME oracle — the
       // file-pruned path must hash-equal the batch scorer.
       "q_bm25_serve" -> bm25OracleSql,
+
+      "q_tfidf_cosine" -> tfidfCosineOracleSql,
+      "q_hybrid_rrf" -> hybridRrfOracleSql,
+      "q_retrieval_metrics" -> retrievalMetricsOracleSql,
 
       "q_multimodal_meta" ->
         """WITH b AS (

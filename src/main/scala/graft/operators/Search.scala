@@ -121,6 +121,130 @@ object Search {
     scoreStage(matched, k, k1, b)
   }
 
+  /** TF-IDF cosine retrieval: the classic vector-space ranker, the
+    * lexical complement to [[bm25TopK]] (BM25 saturates term
+    * frequency; cosine rewards full-profile similarity) and the
+    * second leg of [[rrfFuse]] hybrid retrieval. Weights are
+    * `tf · (ln((N+1)/(df+1)) + 1)` — the same smoothed idf as
+    * [[TextAnalysis.tfidf]]; query terms unknown to the corpus get
+    * df = 0 (they still count toward the query norm). Scores are
+    * exact-decimal dot products over rounded per-term products,
+    * normalized by both vector norms (norms likewise decimal-summed
+    * over rounded squares), so results are add-order independent and
+    * SQL-oracle-checkable.
+    *
+    * Scale shape mirrors [[bm25TopK]]: one tokenize pass
+    * (checkpointed against its fan-out), query side broadcast, the
+    * corpus never shuffles to meet the queries; the doc-norm join is
+    * the one corpus-sized shuffle beyond the tf aggregate itself.
+    */
+  def tfidfCosineTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, qIdCol: String, qTextCol: String,
+                      k: Int = 10): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFreqs(docs, idCol, textCol).localCheckpoint(false)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint(false)
+    // doc-side weights fan out to the norm agg AND the match join
+    val idfOf = (df: Column) => log((col("n_docs") + 1) / (df + 1)) + 1
+    val wD = tf
+      .join(broadcast(dfreq.join(
+        broadcast(qterms.select("term").distinct()), "term")), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * idfOf(col("df")))
+      .select("term", "doc_id", "w")
+    // ||d|| must cover ALL of the doc's terms, not just the matched
+    // ones — its df join is the full vocabulary (term-partitioned,
+    // dfreq reuses tf's cache), aggregated straight back to doc_id
+    val dnorm = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("w", col("tf") * idfOf(col("df")))
+      .groupBy("doc_id")
+      .agg(sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(38,6)"))
+        .cast("double")).as("dnorm"))
+    val wQ = qterms.join(dfreq, Seq("term"), "left")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wq", idfOf(coalesce(col("df"), lit(0L))))
+      .select("q_id", "term", "wq").localCheckpoint(false)
+    val qnorm = wQ.groupBy("q_id")
+      .agg(sqrt(sum(round(col("wq") * col("wq"), 6).cast("decimal(38,6)"))
+        .cast("double")).as("qnorm"))
+    val dot = wD.join(broadcast(wQ), "term")
+      .withColumn("c", round(col("w") * col("wq"), 6).cast("decimal(38,6)"))
+      .groupBy("q_id", "doc_id").agg(sum("c").as("dot"))
+    val scored = dot.join(dnorm, "doc_id").join(broadcast(qnorm), "q_id")
+      .withColumn("score", round(
+        col("dot").cast("double") / (col("dnorm") * col("qnorm")), 6))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "doc_id", "rank", "score")
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse any
+    * number of (q_id, doc_id, rank) rankings into one list by
+    * `Σ_r 1/(kRrf + rank_r)` — THE standard hybrid-retrieval combiner
+    * (lexical + semantic legs for RAG) because it needs no score
+    * calibration between rankers. A doc absent from a ranker simply
+    * contributes nothing. Contributions are rounded 6dp and
+    * decimal-summed (add-order independent); fused ties break by
+    * doc_id.
+    *
+    * Rankings are ranker-agnostic: [[bm25TopK]], [[tfidfCosineTopK]],
+    * an [[Ann.ivfServe]] result re-keyed to doc ids, anything with
+    * the three columns. Scale shape: a union + one groupBy on
+    * (q_id, doc_id) — inputs are already top-k-per-query sized, so
+    * fusion cost tracks the QUERY batch, never the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 10, kRrf: Int = 60)
+  : DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k > 0 && kRrf > 0, s"k and kRrf must be positive")
+    val contribs = rankings.map { r =>
+      require(Seq("q_id", "doc_id", "rank").forall(r.columns.contains),
+        s"ranking must carry q_id/doc_id/rank, got ${r.columns.mkString(",")}")
+      r.select(col("q_id"), col("doc_id"),
+        round(lit(1.0) / (lit(kRrf) + col("rank")), 6)
+          .cast("decimal(38,6)").as("c"))
+    }
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum("c").cast("double"), 6).as("rrf_score"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "doc_id", "rank", "rrf_score")
+  }
+
+  /** Retrieval quality metrics per query: first relevant rank (0 =
+    * none found), reciprocal rank, and relevant-hit count within the
+    * top `k` — the evaluation dual of the rankers, over any
+    * (q_id, doc_id, rank) result and a (q_id, doc_id) relevance
+    * table. One semi-join + one bounded aggregate; every query in
+    * `results` gets a row (missed queries score 0, so corpus-level
+    * MRR is a plain avg over the output).
+    */
+  def retrievalMetrics(results: DataFrame, relevant: DataFrame,
+                       qIdCol: String, docIdCol: String, k: Int = 10)
+  : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = results.select("q_id").distinct()
+    val hits = results
+      .join(relevant.select(col(qIdCol).as("q_id"),
+        col(docIdCol).as("doc_id")), Seq("q_id", "doc_id"), "left_semi")
+      .filter(col("rank") <= k)
+      .groupBy("q_id")
+      .agg(min("rank").as("first_rel_rank"), count(lit(1)).as("hits_at_k"))
+    base.join(hits, Seq("q_id"), "left")
+      .withColumn("first_rel_rank", coalesce(col("first_rel_rank"), lit(0L)))
+      .withColumn("hits_at_k", coalesce(col("hits_at_k"), lit(0L)))
+      .withColumn("rr", when(col("first_rel_rank") > 0,
+        round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(lit(0.0)))
+      .select("q_id", "first_rel_rank", "rr", "hits_at_k")
+  }
+
   /** Build the persisted retrieval index under `indexRoot`: posting
     * lists `(term, doc_id, tf, dlen)` — doc length DENORMALIZED into
     * each posting so serving never joins a length table —

@@ -73,6 +73,69 @@ class SearchSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("tfidfCosineTopK: an exact distinct-word match scores cosine 1.0 at rank 1") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana pear plum"),
+      (3L, "wolf fox bear")
+    ).toDF("doc_id", "text")
+    // query == doc 1's text; all words distinct so tf == qtf == 1 and
+    // the weight vectors are identical → cosine exactly 1.0
+    val queries = Seq((10L, "apple banana cherry")).toDF("q_id", "q_text")
+    val got = Search.tfidfCosineTopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head == ((1L, 1L, 1.0)))
+    assert(got.map(_._1).toSet == Set(1L, 2L), "doc 3 shares no term")
+  }
+
+  test("tfidfCosineTopK: unknown query terms depress the score via the query norm") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val full = Search.tfidfCosineTopK(docs, "doc_id", "text",
+      Seq((1L, "apple banana")).toDF("q_id", "q_text"),
+      "q_id", "q_text", k = 1).collect().head.getDouble(3)
+    val noisy = Search.tfidfCosineTopK(docs, "doc_id", "text",
+      Seq((1L, "apple banana zzz")).toDF("q_id", "q_text"),
+      "q_id", "q_text", k = 1).collect().head.getDouble(3)
+    assert(full == 1.0 && noisy < full,
+      s"an out-of-vocabulary term must cost norm mass: $noisy !< $full")
+  }
+
+  test("rrfFuse: agreement across rankers outranks a single high rank") {
+    val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("q_id", "doc_id", "rank")
+    val r2 = Seq((1L, 11L, 1L), (1L, 10L, 2L), (1L, 13L, 3L))
+      .toDF("q_id", "doc_id", "rank")
+    val got = Search.rrfFuse(Seq(r1, r2), k = 10).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // docs 10 and 11 each hold {rank1, rank2} → equal fused score,
+    // tie to the lower doc_id; docs 12/13 appear once each
+    assert(got.take(2).map(_._1).toSeq == Seq(10L, 11L))
+    assert(got(0)._3 == got(1)._3)
+    val one = BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val two = BigDecimal(1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(got(0)._3 == (one + two).toDouble)
+    assert(got.map(_._1).toSet == Set(10L, 11L, 12L, 13L))
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq(r1.drop("rank")), k = 10)
+    }
+  }
+
+  test("retrievalMetrics: first-relevant rank, reciprocal rank, and misses") {
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),  // relevant at rank 3
+      (2L, 20L, 1L), (2L, 21L, 2L)                   // nothing relevant
+    ).toDF("q_id", "doc_id", "rank")
+    val rel = Seq((1L, 12L), (1L, 99L), (2L, 77L)).toDF("q", "doc")
+    val got = Search.retrievalMetrics(results, rel, "q", "doc", k = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 0.333333, 1L)))
+    assert(got(2L) == ((0L, 0.0, 0L)), "missed queries still get a row")
+  }
+
   test("persisted index: serve equals the batch scorer row-for-row") {
     val (docs, queries) = corpusAndQueries()
     val root = tmp("bm25idx")
