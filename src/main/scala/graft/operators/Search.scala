@@ -299,6 +299,10 @@ object Search {
     val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint()
     val terms = qterms.select("term").distinct()
       .collect().map(_.getString(0)).toSeq
+    // the pruned posting read feeds both the df derivation and the
+    // match join; deliberately NOT checkpointed — the visible file
+    // scan is the pruning proof (SearchSpec inputFiles), and the
+    // second read covers only the probed terms' files
     val posts = VersionedStore.readValuesStr(spark,
       postingsTable(indexRoot), "term", terms)
     val dfq = posts.groupBy("term").agg(count(lit(1)).as("df"))

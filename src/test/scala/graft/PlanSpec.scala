@@ -337,4 +337,30 @@ class PlanSpec extends AnyFunSuite {
         s"anchors must broadcast:\n$plan")
     }
   }
+
+  test("q_bm25 / q_tfidf_cosine: corpus tokenized once — declared plans read only checkpointed joints") {
+    // the (doc, term, tf) aggregate fans out to four consumers whose
+    // column pruning defeats exchange reuse; without the lazy
+    // localCheckpoint at the tf/dlen/qterms joints the plan held 12
+    // parquet scans (SCALE_NOTES round-7 third session)
+    Seq("q_bm25", "q_tfidf_cosine").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Scan parquet"),
+        s"$q re-scans the corpus instead of reading the checkpointed " +
+          s"tokenize pass:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q: the 1-row stats join must broadcast, not cartesian:\n$plan")
+    }
+  }
+
+  test("rrfFuse: fusion cost is query-shaped — two exchanges over top-k inputs") {
+    import spark.implicits._
+    val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")
+    val r2 = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q_id", "doc_id", "rank")
+    val fused = graft.operators.Search.rrfFuse(Seq(r1, r2), k = 5)
+    assert(countShuffles(fused) <= 2,
+      s"fusion must be one groupBy + one window:\n" +
+        fused.queryExecution.executedPlan.toString)
+  }
 }
