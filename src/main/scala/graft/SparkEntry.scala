@@ -326,6 +326,21 @@ object SparkEntry {
     Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       nCentroids = 16, nProbe = 4, k = 5)
 
+  /** ANN recall audit: the LSH ranking evaluated against the exact
+    * brute-force top-5 as the relevance gold — Search.retrievalMetrics
+    * reused across modalities (first-gold rank / reciprocal rank /
+    * gold hits per anchor). The operational answer to "how much
+    * recall does the LSH path trade for its speed" on THIS corpus,
+    * oracle-checked because both legs are SQL-expressible. */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val lsh = qAnnLsh(s, d).filter(col("query_id") < 20)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val gold = qAnnTopk(s, d)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("rel"))
+    Search.retrievalMetrics(lsh, gold, "q_id", "rel", k = 10)
+  }
+
   /** Full-probe serve from a freshly built persisted SQ8 index: with
     * nProbe = nCentroids every cell is probed, which reduces IVF-SQ8
     * exactly to the quantized brute scan — so this entry rides
@@ -804,6 +819,7 @@ object SparkEntry {
     "q_knn_agreement" -> (qKnnAgreement _),
     "q_ann_sq8" -> (qAnnSq8 _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
     "q_text_quality" -> (qTextQuality _),
@@ -971,7 +987,9 @@ object SparkEntry {
     * reciprocal rank, hits@10 per query. */
   private val retrievalMetricsOracleSql: String =
     s"""WITH r AS ($bm25OracleSql),
-       |base AS (SELECT DISTINCT q_id FROM r),
+       |base AS (SELECT q_id FROM r
+       |         UNION
+       |         SELECT doc_id AS q_id FROM documents WHERE doc_id % 20 = 0),
        |hits AS (
        |  SELECT q_id, min(rank) AS frr, count(*) AS h
        |  FROM r WHERE doc_id = q_id AND rank <= 10 GROUP BY 1
@@ -982,6 +1000,28 @@ object SparkEntry {
        |       ELSE 0.0 END AS rr,
        |  coalesce(h.h, 0) AS hits_at_k
        |FROM base b LEFT JOIN hits h USING (q_id)""".stripMargin
+
+  /** q_ann_topk oracle — also the GOLD set for q_ann_recall, so it
+    * lives in a val both entries share. */
+  private val annTopkOracleSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 20),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |p AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_reduce(list_transform(list_zip(qv, cv),
+      |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(qv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cos_raw
+      |  FROM q JOIN c ON query_id <> neighbor_id
+      |), r AS (
+      |  SELECT query_id, neighbor_id, cos_raw,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
+      |  FROM p
+      |)
+      |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
+      |FROM r WHERE "rank" <= 5""".stripMargin
 
   /** q_ann_lsh oracle: the deterministic md5-derived hyperplanes are
     * plain constants, so they inline as SQL array literals — the LSH
@@ -1930,25 +1970,7 @@ object SparkEntry {
           |SELECT doc_a, doc_b, round(dab / (sqrt(daa) * sqrt(dbb)), 6) AS cosine
           |FROM p WHERE round(dab / (sqrt(daa) * sqrt(dbb)), 6) >= 0.4""".stripMargin,
 
-      "q_ann_topk" ->
-        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-          |           FROM embeddings WHERE vec_id < 20),
-          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
-          |p AS (
-          |  SELECT query_id, neighbor_id,
-          |    list_reduce(list_transform(list_zip(qv, cv),
-          |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
-          |    / (sqrt(list_reduce(list_transform(qv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
-          |     * sqrt(list_reduce(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))) AS cos_raw
-          |  FROM q JOIN c ON query_id <> neighbor_id
-          |), r AS (
-          |  SELECT query_id, neighbor_id, cos_raw,
-          |    row_number() OVER (PARTITION BY query_id
-          |                       ORDER BY cos_raw DESC, neighbor_id) AS "rank"
-          |  FROM p
-          |)
-          |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cosine, "rank"
-          |FROM r WHERE "rank" <= 5""".stripMargin,
+      "q_ann_topk" -> annTopkOracleSql,
 
       // Same cosine/rank machinery as q_ann_topk (raw-double ranking
       // agrees across engines: both fold the dot left-to-right) with
@@ -2006,6 +2028,35 @@ object SparkEntry {
           |FROM r WHERE "rank" <= 10 GROUP BY 1, 2""".stripMargin,
 
       "q_ann_lsh" -> annLshOracle(nPlanes = 8, dim = 64, k = 3),
+
+      // LSH ranking vs the exact top-5 gold: both legs nest as CTEs;
+      // the metrics tail mirrors Search.retrievalMetrics exactly
+      // (base = every anchor in the filtered LSH results, semi-join
+      // on the gold pairs, min-rank/count within k=10, misses get 0).
+      "q_ann_recall" ->
+        s"""WITH lshr AS (${annLshOracle(nPlanes = 8, dim = 64, k = 3)}),
+           |golds AS ($annTopkOracleSql),
+           |res AS (
+           |  SELECT query_id AS q_id, neighbor_id AS doc_id, "rank"
+           |  FROM lshr WHERE query_id < 20
+           |), base AS (SELECT q_id FROM res
+           |            UNION
+           |            SELECT query_id AS q_id FROM golds),
+           |hits AS (
+           |  SELECT r.q_id, min(r."rank") AS frr, count(*) AS h
+           |  FROM res r
+           |  WHERE EXISTS (SELECT 1 FROM golds g
+           |                WHERE g.query_id = r.q_id
+           |                  AND g.neighbor_id = r.doc_id)
+           |    AND r."rank" <= 10
+           |  GROUP BY 1
+           |)
+           |SELECT b.q_id,
+           |  coalesce(h.frr, 0) AS first_rel_rank,
+           |  CASE WHEN h.frr IS NOT NULL THEN round(1.0 / h.frr, 6)
+           |       ELSE 0.0 END AS rr,
+           |  coalesce(h.h, 0) AS hits_at_k
+           |FROM base b LEFT JOIN hits h USING (q_id)""".stripMargin,
 
       "q_ann_sq8" -> annSq8OracleSql,
 

@@ -222,15 +222,18 @@ object Search {
     * none found), reciprocal rank, and relevant-hit count within the
     * top `k` — the evaluation dual of the rankers, over any
     * (q_id, doc_id, rank) result and a (q_id, doc_id) relevance
-    * table. One semi-join + one bounded aggregate; every query in
-    * `results` gets a row (missed queries score 0, so corpus-level
-    * MRR is a plain avg over the output).
+    * table. One semi-join + one bounded aggregate; every query
+    * appearing in the results OR the relevance table gets a row
+    * (the TREC-qrels contract: an anchor the ranker returned NOTHING
+    * for is the worst miss and must be visible as a 0, not absent),
+    * so corpus-level MRR is a plain avg over the output.
     */
   def retrievalMetrics(results: DataFrame, relevant: DataFrame,
                        qIdCol: String, docIdCol: String, k: Int = 10)
   : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val base = results.select("q_id").distinct()
+    val base = results.select("q_id")
+      .union(relevant.select(col(qIdCol).as("q_id"))).distinct()
     val hits = results
       .join(relevant.select(col(qIdCol).as("q_id"),
         col(docIdCol).as("doc_id")), Seq("q_id", "doc_id"), "left_semi")

@@ -127,13 +127,19 @@ class SearchSpec extends AnyFunSuite {
       (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),  // relevant at rank 3
       (2L, 20L, 1L), (2L, 21L, 2L)                   // nothing relevant
     ).toDF("q_id", "doc_id", "rank")
-    val rel = Seq((1L, 12L), (1L, 99L), (2L, 77L)).toDF("q", "doc")
+    // q 3 has a relevance judgment but NO results at all — the
+    // worst miss, and it must surface as a 0 row (qrels contract)
+    val rel = Seq((1L, 12L), (1L, 99L), (2L, 77L), (3L, 30L))
+      .toDF("q", "doc")
     val got = Search.retrievalMetrics(results, rel, "q", "doc", k = 10)
       .collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(got(1L) == ((3L, 0.333333, 1L)))
     assert(got(2L) == ((0L, 0.0, 0L)), "missed queries still get a row")
+    assert(got(3L) == ((0L, 0.0, 0L)),
+      "a judged query with zero results must appear as a zero row")
+    assert(got.size == 3)
   }
 
   test("persisted index: serve equals the batch scorer row-for-row") {
