@@ -605,19 +605,27 @@ object SparkEntry {
   private val bm25Roots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def bm25Root(s: SparkSession, d: String): String =
+    bm25Roots.computeIfAbsent(d, _ => {
+      val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
+        .toString + "/idx"
+      Search.buildTextIndex(s, Tables.documents(s, d), "doc_id", "text", r)
+      r
+    })
+
   /** The persisted-index serve path held to q_bm25's ORACLE: the
     * term-pruned posting read + pruned-read df derivation must
     * reproduce the batch scorer hash-for-hash on the whole corpus. */
-  def qBm25Serve(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val root = bm25Roots.computeIfAbsent(d, _ => {
-      val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
-        .toString + "/idx"
-      Search.buildTextIndex(s, docs, "doc_id", "text", r)
-      r
-    })
-    Search.serveBm25(s, root, bm25Queries(docs), "q_id", "q_text", k = 10)
-  }
+  def qBm25Serve(s: SparkSession, d: String): DataFrame =
+    Search.serveBm25(s, bm25Root(s, d),
+      bm25Queries(Tables.documents(s, d)), "q_id", "q_text", k = 10)
+
+  /** The collect-free bulk path over the same persisted index, held
+    * to the same oracle — proves the corpus-as-queries distributed
+    * join produces the identical ranking. */
+  def qBm25Bulk(s: SparkSession, d: String): DataFrame =
+    Search.bm25TopKFromIndex(s, bm25Root(s, d),
+      bm25Queries(Tables.documents(s, d)), "q_id", "q_text", k = 10)
 
   def qChunk(s: SparkSession, d: String): DataFrame =
     TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
@@ -830,6 +838,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),
+    "q_bm25_bulk" -> (qBm25Bulk _),
     "q_tfidf_cosine" -> (qTfidfCosine _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_retrieval_metrics" -> (qRetrievalMetrics _),
@@ -2406,6 +2415,8 @@ object SparkEntry {
       // The persisted-index serve is held to the SAME oracle — the
       // file-pruned path must hash-equal the batch scorer.
       "q_bm25_serve" -> bm25OracleSql,
+      // The collect-free bulk path over the same index — same oracle.
+      "q_bm25_bulk" -> bm25OracleSql,
 
       "q_tfidf_cosine" -> tfidfCosineOracleSql,
       "q_hybrid_rrf" -> hybridRrfOracleSql,

@@ -316,6 +316,38 @@ object Search {
     scoreStage(matched, k, k1, b)
   }
 
+  /** Bulk BM25 over the persisted index — the corpus-as-queries scale
+    * path. [[serveBm25]] collects the batch's distinct terms to the
+    * driver (right for serving latency, bounded by the batch
+    * vocabulary); this path never collects: query terms meet the
+    * posting table in a distributed equi-join on term, so a batch the
+    * size of the corpus (negative mining, all-pairs relevance audits)
+    * works. Document frequencies derive from the hit postings (every
+    * posting of a matched term is present by construction), the
+    * per-term hit stream is lazily checkpointed against its df/match
+    * fan-out, and no broadcast is hinted — at bulk scale the query
+    * side is NOT small, so AQE picks the join strategy from real
+    * sizes. Results equal [[bm25TopK]] on the indexed corpus
+    * row-for-row (q_bm25_bulk holds it to the same oracle).
+    */
+  def bm25TopKFromIndex(spark: SparkSession, indexRoot: String,
+                        queries: DataFrame, qIdCol: String,
+                        qTextCol: String, k: Int = 10, k1: Double = 1.2,
+                        b: Double = 0.75): DataFrame = {
+    import graft.offline.VersionedStore
+    require(k > 0, s"k must be positive, got $k")
+    val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint(false)
+    val hit = VersionedStore.read(spark, postingsTable(indexRoot))
+      .join(qterms.select("term").distinct(), "term")
+      .localCheckpoint(false)
+    val dfq = hit.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = hit
+      .join(qterms, "term")
+      .join(dfq, "term")
+      .crossJoin(broadcast(VersionedStore.read(spark, statsTable(indexRoot))))
+    scoreStage(matched, k, k1, b)
+  }
+
   /** Refresh the index with a document shard. Replacement-correct and
     * replay-idempotent: postings and doc lengths MERGE by doc_id
     * (old postings of a re-ingested doc are dropped even when the new

@@ -153,6 +153,21 @@ class SearchSpec extends AnyFunSuite {
     assert(batch.nonEmpty && served == batch)
   }
 
+  test("bm25TopKFromIndex: the collect-free bulk path equals batch on a corpus-as-queries batch") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val root = tmp("bm25bulk")
+    Search.buildTextIndex(spark, docs, "doc_id", "text", root)
+    // EVERY doc is a query — the batch serveBm25's driver collect is
+    // not meant for, and the reason the bulk path exists
+    val queries = docs.select($"doc_id".as("q_id"),
+      array_join(slice(split($"text", " "), 1, 8), " ").as("q_text"))
+    val batch = rows(Search.bm25TopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 3))
+    val bulk = rows(Search.bm25TopKFromIndex(spark, root, queries,
+      "q_id", "q_text", k = 3))
+    assert(batch.nonEmpty && bulk == batch)
+  }
+
   test("persisted index: serve opens only the probed terms' posting files") {
     val (docs, _) = corpusAndQueries()
     val root = tmp("bm25prune")
