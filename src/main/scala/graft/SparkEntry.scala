@@ -585,17 +585,22 @@ object SparkEntry {
   }
 
   /** Reciprocal-rank fusion of the BM25 and cosine rankings — hybrid
-    * retrieval without score calibration. */
+    * retrieval without score calibration. The BM25 leg rides the
+    * memoized persisted-index serve (hash-proven equal to the batch
+    * scorer by q_bm25_serve), so the fusion entry doesn't re-pay the
+    * batch tokenize. */
   def qHybridRrf(s: SparkSession, d: String): DataFrame =
-    Search.rrfFuse(Seq(qBm25(s, d), qTfidfCosine(s, d)), k = 10)
+    Search.rrfFuse(Seq(qBm25Serve(s, d), qTfidfCosine(s, d)), k = 10)
 
   /** Retrieval evaluation: every query's source document is its own
     * relevance target (self-retrieval), scored as first-relevant
-    * rank / reciprocal rank / hits@10 per query. */
+    * rank / reciprocal rank / hits@10 per query. Evaluates the
+    * index-served ranking (== the batch ranking, q_bm25_serve). */
   def qRetrievalMetrics(s: SparkSession, d: String): DataFrame = {
     val rel = bm25Queries(Tables.documents(s, d))
       .select(col("q_id"), col("q_id").as("rel_doc"))
-    Search.retrievalMetrics(qBm25(s, d), rel, "q_id", "rel_doc", k = 10)
+    Search.retrievalMetrics(qBm25Serve(s, d), rel, "q_id", "rel_doc",
+      k = 10)
   }
 
   // One persisted text index per (corpus dir, JVM): retrieval serving

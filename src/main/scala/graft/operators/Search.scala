@@ -93,9 +93,15 @@ object Search {
     * posting stream map-side (no corpus shuffle to meet the queries),
     * and the df table — restricted to query terms first, so it is
     * query-vocabulary sized, not corpus-vocabulary sized — also joins
-    * broadcast. The only corpus-sized shuffles are the tf/df
-    * aggregates themselves and the dlen join on doc_id over the
-    * already-matched subset.
+    * broadcast. Join ORDER matters: doc lengths, document
+    * frequencies, and corpus stats all join onto the posting stream
+    * at (doc, term) cardinality BEFORE the query fan-out — the
+    * matched stream multiplies each posting by the queries sharing
+    * its term, and any non-broadcast join placed after that fan-out
+    * would sort/shuffle the multiplied stream (measured 3x on a
+    * worst-case shared-vocabulary corpus). The only corpus-sized
+    * shuffles are the tf/df aggregates themselves and the pre-fan-out
+    * dlen join.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
@@ -114,10 +120,10 @@ object Search {
     val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint(false)
     val dfq = dfreq.join(broadcast(qterms.select("term").distinct()), "term")
     val matched = tf
-      .join(broadcast(qterms), "term")
-      .join(broadcast(dfq), "term")
+      .join(broadcast(dfq), "term") // restricts tf to query terms first
       .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
     scoreStage(matched, k, k1, b)
   }
 
@@ -169,10 +175,17 @@ object Search {
     val qnorm = wQ.groupBy("q_id")
       .agg(sqrt(sum(round(col("wq") * col("wq"), 6).cast("decimal(38,6)"))
         .cast("double")).as("qnorm"))
-    val dot = wD.join(broadcast(wQ), "term")
+    // dnorm joins the doc-side weights at posting cardinality and
+    // rides the fan-out into the aggregate (constant per doc, so
+    // max() recovers it) — joining it onto the (query, doc) pair
+    // stream instead would sort the multiplied rows (bm25TopK's
+    // join-order note)
+    val dot = wD.join(dnorm, "doc_id")
+      .join(broadcast(wQ), "term")
       .withColumn("c", round(col("w") * col("wq"), 6).cast("decimal(38,6)"))
-      .groupBy("q_id", "doc_id").agg(sum("c").as("dot"))
-    val scored = dot.join(dnorm, "doc_id").join(broadcast(qnorm), "q_id")
+      .groupBy("q_id", "doc_id")
+      .agg(sum("c").as("dot"), max("dnorm").as("dnorm"))
+    val scored = dot.join(broadcast(qnorm), "q_id")
       .withColumn("score", round(
         col("dot").cast("double") / (col("dnorm") * col("qnorm")), 6))
     val w = Window.partitionBy("q_id")
@@ -309,10 +322,11 @@ object Search {
     val posts = VersionedStore.readValuesStr(spark,
       postingsTable(indexRoot), "term", terms)
     val dfq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+    // df/stats join BEFORE the query fan-out (see bm25TopK's order note)
     val matched = posts
-      .join(broadcast(qterms), "term")
       .join(broadcast(dfq), "term")
       .crossJoin(broadcast(VersionedStore.read(spark, statsTable(indexRoot))))
+      .join(broadcast(qterms), "term")
     scoreStage(matched, k, k1, b)
   }
 
@@ -341,10 +355,13 @@ object Search {
       .join(qterms.select("term").distinct(), "term")
       .localCheckpoint(false)
     val dfq = hit.groupBy("term").agg(count(lit(1)).as("df"))
+    // df joins the hit stream at posting cardinality BEFORE the query
+    // fan-out (see bm25TopK's order note) — after it, a non-broadcast
+    // join would sort the multiplied stream
     val matched = hit
-      .join(qterms, "term")
       .join(dfq, "term")
       .crossJoin(broadcast(VersionedStore.read(spark, statsTable(indexRoot))))
+      .join(qterms, "term")
     scoreStage(matched, k, k1, b)
   }
 

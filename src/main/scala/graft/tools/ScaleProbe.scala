@@ -321,6 +321,25 @@ object ScaleProbe {
         Tables.documents(spark, d).limit(50)
           .withColumn("doc_id", col("doc_id") + lit(300000000L)),
         "doc_id", "text", bmRoot))
+    // the collect-free bulk path on the same 1%-slice batch: its win
+    // is removing the driver collect, so its cost should track the
+    // serve path's (the 31-word synthetic vocabulary makes both
+    // worst-case — every posting matches; see SCALE_NOTES)
+    time("bm25 bulk (1% slice) xK")(
+      graft.operators.Search.bm25TopKFromIndex(spark, bmRoot,
+        bmQueries, "q_id", "q_text", k = 10).count())
+    // cosine + fusion: the cosine leg re-pays the tokenize/df work,
+    // fusion itself is query-shaped (two exchanges over top-k rows)
+    time("tfidf cosine topk xK")(
+      graft.operators.Search.tfidfCosineTopK(docs, "doc_id", "text",
+        bmQueries, "q_id", "q_text", k = 10).count())
+    time("hybrid rrf (bm25+cosine) xK")({
+      val r1 = graft.operators.Search.bm25TopK(docs, "doc_id", "text",
+        bmQueries, "q_id", "q_text", k = 10)
+      val r2 = graft.operators.Search.tfidfCosineTopK(docs, "doc_id",
+        "text", bmQueries, "q_id", "q_text", k = 10)
+      graft.operators.Search.rrfFuse(Seq(r1, r2), k = 10).count()
+    })
     bmQueries.unpersist()
     docs.unpersist()
     }
