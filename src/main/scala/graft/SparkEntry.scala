@@ -610,6 +610,17 @@ object SparkEntry {
   private val bm25Roots =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Exact phrase lookup: every 50th doc's words 3-6 as the phrase
+    * batch (each guaranteed at least its self-match), occurrence
+    * count + first token position per containing doc. */
+  def qPhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val phrases = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(split(col("text"), " "), 3, 4), " ").as("phrase"))
+    Search.phraseSearch(docs, "doc_id", "text", phrases, "q_id", "phrase")
+  }
+
   private def bm25Root(s: SparkSession, d: String): String =
     bm25Roots.computeIfAbsent(d, _ => {
       val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
@@ -844,6 +855,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_bm25_serve" -> (qBm25Serve _),
     "q_bm25_bulk" -> (qBm25Bulk _),
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_tfidf_cosine" -> (qTfidfCosine _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_retrieval_metrics" -> (qRetrievalMetrics _),
@@ -2422,6 +2434,41 @@ object SparkEntry {
       "q_bm25_serve" -> bm25OracleSql,
       // The collect-free bulk path over the same index — same oracle.
       "q_bm25_bulk" -> bm25OracleSql,
+
+      // Mirrors Search.phraseSearch: raw-split token positions on both
+      // sides (ordinality − 1 == posexplode index; empties filtered
+      // AFTER positions are assigned), diagonal = pos − offset, full
+      // match = every phrase offset hit on one diagonal.
+      "q_phrase_search" ->
+        """WITH tokraw AS (
+          |  SELECT doc_id, unnest(range(len(toks))) AS pos,
+          |         unnest(toks) AS term
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          |        FROM documents)
+          |), tok AS (
+          |  SELECT doc_id, pos, term FROM tokraw WHERE term <> ''
+          |), qraw AS (
+          |  SELECT q_id, unnest(range(len(ptoks))) AS off,
+          |         unnest(ptoks) AS term
+          |  FROM (SELECT doc_id AS q_id,
+          |          (string_split(text, ' '))[3:6] AS ptoks
+          |        FROM documents WHERE doc_id % 50 = 0)
+          |), qtok AS (
+          |  SELECT q_id, off, term FROM qraw WHERE term <> ''
+          |), qlen AS (
+          |  SELECT q_id, count(*) AS qlen FROM qtok GROUP BY 1
+          |), g AS (
+          |  SELECT qt.q_id, tok.doc_id, tok.pos - qt.off AS diag,
+          |    count(*) AS hits
+          |  FROM tok JOIN qtok qt USING (term)
+          |  WHERE tok.pos - qt.off >= 0
+          |  GROUP BY 1, 2, 3
+          |)
+          |SELECT g.q_id, g.doc_id, count(*) AS n_occurrences,
+          |  min(diag) AS first_pos
+          |FROM g JOIN qlen USING (q_id)
+          |WHERE g.hits = qlen.qlen
+          |GROUP BY 1, 2""".stripMargin,
 
       "q_tfidf_cosine" -> tfidfCosineOracleSql,
       "q_hybrid_rrf" -> hybridRrfOracleSql,

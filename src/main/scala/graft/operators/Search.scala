@@ -330,6 +330,48 @@ object Search {
     scoreStage(matched, k, k1, b)
   }
 
+  /** Exact phrase search: for each query phrase, every document
+    * containing it as a CONTIGUOUS token run, with the occurrence
+    * count and first match position (0-based token offset). The
+    * positional-diagonal trick ([[Dedup.overlapSpans]]'s shape
+    * applied to retrieval): tokens carry positions, query terms
+    * carry offsets, and a full phrase match is a (doc, diagonal =
+    * pos − offset) group matching every query offset — so the
+    * whole operator is one equi-join on term plus one aggregate,
+    * never a string scan per (query, doc) pair.
+    *
+    * Scale shape: the corpus tokenizes once (positional explode);
+    * the query side broadcasts. Fan-out is bounded by
+    * Σ_t df_corpus(t) over the phrases' terms — query batches are
+    * small by assumption (this is the lookup dual of the rankers,
+    * not a corpus×corpus operator). Duplicate terms inside a phrase
+    * are handled exactly (each query offset must match on the
+    * diagonal).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   queries: DataFrame, qIdCol: String, qPhraseCol: String)
+  : DataFrame = {
+    val tokens = docs.select(col(idCol).as("doc_id"),
+        posexplode(Fns.words(col(textCol))).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val qtok = queries.select(col(qIdCol).as("q_id"),
+        posexplode(Fns.words(col(qPhraseCol))).as(Seq("off", "term")))
+      .filter(col("term") =!= "")
+      .localCheckpoint(false) // feeds the length table and the join
+    val qlen = qtok.groupBy("q_id").agg(count(lit(1)).as("qlen"))
+    tokens
+      .join(broadcast(qtok), "term")
+      .withColumn("diag", col("pos") - col("off"))
+      .filter(col("diag") >= 0) // a phrase can't start before the doc
+      .groupBy("q_id", "doc_id", "diag")
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(qlen), "q_id")
+      .filter(col("hits") === col("qlen"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min("diag").cast("long").as("first_pos"))
+  }
+
   /** Bulk BM25 over the persisted index — the corpus-as-queries scale
     * path. [[serveBm25]] collects the batch's distinct terms to the
     * driver (right for serving latency, bounded by the batch

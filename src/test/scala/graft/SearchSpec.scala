@@ -102,6 +102,27 @@ class SearchSpec extends AnyFunSuite {
       s"an out-of-vocabulary term must cost norm mass: $noisy !< $full")
   }
 
+  test("phraseSearch: contiguity, occurrence counts, duplicate terms, positions") {
+    val docs = Seq(
+      (1L, "x a b a b y"),    // "a b" twice (pos 1, 3); "a b a" once
+      (2L, "a x b"),          // terms present but NOT contiguous
+      (3L, "a b"),            // exact-doc match at pos 0
+      (4L, "c c c")           // duplicate-term corpus
+    ).toDF("doc_id", "text")
+    val phrases = Seq((10L, "a b"), (20L, "a b a"), (30L, "c c"))
+      .toDF("q_id", "phrase")
+    val got = Search.phraseSearch(docs, "doc_id", "text",
+      phrases, "q_id", "phrase").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((10L, 1L)) == ((2L, 1L)), "two occurrences, first at 1")
+    assert(got((10L, 3L)) == ((1L, 0L)))
+    assert(!got.contains((10L, 2L)), "non-contiguous terms must not match")
+    assert(got((20L, 1L)) == ((1L, 1L)), "duplicate-term phrase exact")
+    assert(got((30L, 4L)) == ((2L, 0L)), "overlapping occurrences both count")
+    assert(got.keySet.map(_._1) == Set(10L, 20L, 30L))
+  }
+
   test("rrfFuse: agreement across rankers outranks a single high rank") {
     val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
       .toDF("q_id", "doc_id", "rank")
