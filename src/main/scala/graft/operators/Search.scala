@@ -154,9 +154,12 @@ object Search {
     val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint(false)
     // doc-side weights fan out to the norm agg AND the match join
     val idfOf = (df: Column) => log((col("n_docs") + 1) / (df + 1)) + 1
+    // df restricted to the query vocabulary — broadcastable, shared
+    // by the doc-side weights and the query-side left join
+    val dfq = dfreq.join(
+      broadcast(qterms.select("term").distinct()), "term")
     val wD = tf
-      .join(broadcast(dfreq.join(
-        broadcast(qterms.select("term").distinct()), "term")), "term")
+      .join(broadcast(dfq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("w", col("tf") * idfOf(col("df")))
       .select("term", "doc_id", "w")
@@ -168,7 +171,12 @@ object Search {
       .groupBy("doc_id")
       .agg(sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(38,6)"))
         .cast("double")).as("dnorm"))
-    val wQ = qterms.join(dfreq, Seq("term"), "left")
+    // left join against the RESTRICTED df table (broadcast right
+    // side) — a left join onto the full corpus-vocabulary dfreq
+    // cannot broadcast its left side and would shuffle the whole
+    // vocabulary to meet a query-sized frame; missing terms still
+    // come out null → df 0
+    val wQ = qterms.join(broadcast(dfq), Seq("term"), "left")
       .crossJoin(broadcast(nDocs))
       .withColumn("wq", idfOf(coalesce(col("df"), lit(0L))))
       .select("q_id", "term", "wq").localCheckpoint(false)
@@ -407,19 +415,25 @@ object Search {
     scoreStage(matched, k, k1, b)
   }
 
-  /** Refresh the index with a document shard. Replacement-correct and
-    * replay-idempotent: postings and doc lengths MERGE by doc_id
-    * (old postings of a re-ingested doc are dropped even when the new
-    * text has fewer terms), and corpus stats update by a shard-shaped
-    * delta — the old lengths of the shard's ids come from a
-    * file-pruned point read of the dlens table, never a corpus scan.
+  /** Refresh the index with a document shard. Replacement-correct,
+    * replay-idempotent, AND crash-window-safe: postings and doc
+    * lengths MERGE by doc_id (old postings of a re-ingested doc are
+    * dropped even when the new text has fewer terms), corpus stats
+    * are recomputed from the dlens head (a doc-count-sized aggregate,
+    * never a corpus text scan), and the commit ORDER makes a replay
+    * after any partial crash converge — see the in-body comment; in
+    * particular a crash between the postings append and the stats
+    * write cannot duplicate postings or strand stale stats.
     *
     * When NONE of the shard's ids already exist (the append-only
     * common case), postings APPEND instead of merging — an append
-    * never rewrites existing files. Term-sorted layout (and thus
-    * serve-side file pruning) degrades as refreshes accumulate; run
-    * [[compactTextIndex]] periodically, exactly like
-    * [[Ann.ivfIndexCompact]].
+    * never rewrites existing files. The MERGE path is honest about
+    * its cost: posting files are TERM-sorted, so their doc_id footer
+    * ranges are wide and a replacement shard's copy-on-write can
+    * rewrite most of the table — replacement-heavy workloads should
+    * batch their updates and [[compactTextIndex]] afterwards, exactly
+    * like [[Ann.ivfIndexCompact]]; the fresh-id streaming path never
+    * pays this.
     *
     * Docs whose text holds no tokens are not indexed; "replace an
     * existing doc with empty text" is a deletion, out of upsert's
@@ -433,31 +447,58 @@ object Search {
     val tf = termFreqs(newDocs, idCol, textCol).localCheckpoint()
     val dlenNew = tf.groupBy("doc_id").agg(sum("tf").as("dlen"))
       .localCheckpoint()
-    val ids = dlenNew.select(col("doc_id").cast("double"))
-      .collect().map(_.getDouble(0)).toSeq
-    if (ids.isEmpty) return // nothing tokenizable — no-op
-    val old = VersionedStore.readValues(spark, dlensTable(indexRoot),
-      "doc_id", ids)
-      .agg(count(lit(1)).as("c"), coalesce(sum("dlen"), lit(0L)).as("s"))
-      .first()
-    val add = dlenNew
-      .agg(count(lit(1)).as("c"), coalesce(sum("dlen"), lit(0L)).as("s"))
-      .first()
-    val prev = VersionedStore.read(spark, statsTable(indexRoot)).first()
+    // dispatch the pruned point read on the id type: string ids go
+    // through the string footer stats (readValuesStr); numeric ids
+    // through the double-scale stats. (Integral ids above 2^53 would
+    // alias on the double scale — unsupported, like every readValues
+    // caller.)
+    val idIsString = dlenNew.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType
+    val oldRows =
+      if (idIsString) {
+        val ids = dlenNew.select(col("doc_id"))
+          .collect().map(_.getString(0)).toSeq
+        if (ids.isEmpty) return // nothing tokenizable — no-op
+        VersionedStore.readValuesStr(spark, dlensTable(indexRoot),
+          "doc_id", ids)
+      } else {
+        val ids = dlenNew.select(col("doc_id").cast("double"))
+          .collect().map(_.getDouble(0)).toSeq
+        if (ids.isEmpty) return // nothing tokenizable — no-op
+        VersionedStore.readValues(spark, dlensTable(indexRoot),
+          "doc_id", ids)
+      }
+    // the append-vs-merge decision reads the PRE-upsert dlens state
+    val wasFresh = oldRows.limit(1).count() == 0L
+    // Commit order is the crash-safety argument (no ledger needed —
+    // every step is idempotent given the steps before it):
+    //   1. dlens MERGE (idempotent). A replay after this commit sees
+    //      the ids present and takes the postings MERGE path, so the
+    //      append fast path can never double-insert.
+    //   2. postings APPEND only when the ids were absent BEFORE step
+    //      1 (fresh shard, no file rewrite); MERGE otherwise
+    //      (replaces by doc_id — idempotent).
+    //   3. stats RECOMPUTED from the dlens head (doc-count-sized
+    //      aggregate, not a corpus scan) — never a read-modify-write
+    //      delta, so a partially-applied predecessor can't strand a
+    //      stale value.
+    // Concurrent upserts to one index are NOT supported (streams
+    // apply batches serially); the postings/dlens merges would
+    // serialize on the version race, but the stats recompute could
+    // read a head missing the racer's dlens merge.
+    VersionedStore.merge(dlenNew, dlensTable(indexRoot),
+      keys = Seq("doc_id"))
     val postings = tf.join(dlenNew, "doc_id")
       .select("term", "doc_id", "tf", "dlen")
-    if (old.getLong(0) == 0L)
+    if (wasFresh)
       VersionedStore.append(postings, postingsTable(indexRoot))
     else
       VersionedStore.merge(postings, postingsTable(indexRoot),
         keys = Seq("doc_id"))
-    VersionedStore.merge(dlenNew, dlensTable(indexRoot),
-      keys = Seq("doc_id"))
-    import spark.implicits._
     VersionedStore.overwrite(
-      Seq((prev.getLong(0) - old.getLong(0) + add.getLong(0),
-        prev.getLong(1) - old.getLong(1) + add.getLong(1)))
-        .toDF("n_docs", "total_len"),
+      VersionedStore.read(spark, dlensTable(indexRoot))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dlen"), lit(0L)).as("total_len")),
       statsTable(indexRoot))
   }
 

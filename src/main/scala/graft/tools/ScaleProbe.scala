@@ -316,18 +316,20 @@ object ScaleProbe {
     time("bm25 serve warm")(
       graft.operators.Search.serveBm25(spark, bmRoot, bmQueries,
         "q_id", "q_text", k = 10).count())
+    // the collect-free bulk path on the same 1%-slice batch: its win
+    // is removing the driver collect, so its cost should track the
+    // serve path's (the 31-word synthetic vocabulary makes both
+    // worst-case — every posting matches; see SCALE_NOTES). Runs
+    // BEFORE the upsert so the serve/bulk rows read the same
+    // freshly-compacted layout.
+    time("bm25 bulk (1% slice) xK")(
+      graft.operators.Search.bm25TopKFromIndex(spark, bmRoot,
+        bmQueries, "q_id", "q_text", k = 10).count())
     time("bm25 index upsert 50 docs")(
       graft.operators.Search.indexUpsert(spark,
         Tables.documents(spark, d).limit(50)
           .withColumn("doc_id", col("doc_id") + lit(300000000L)),
         "doc_id", "text", bmRoot))
-    // the collect-free bulk path on the same 1%-slice batch: its win
-    // is removing the driver collect, so its cost should track the
-    // serve path's (the 31-word synthetic vocabulary makes both
-    // worst-case — every posting matches; see SCALE_NOTES)
-    time("bm25 bulk (1% slice) xK")(
-      graft.operators.Search.bm25TopKFromIndex(spark, bmRoot,
-        bmQueries, "q_id", "q_text", k = 10).count())
     // cosine + fusion: the cosine leg re-pays the tokenize/df work,
     // fusion itself is query-shaped (two exchanges over top-k rows)
     time("tfidf cosine topk xK")(

@@ -240,6 +240,65 @@ class SearchSpec extends AnyFunSuite {
       "q_id", "q_text", k = 5)) == full)
   }
 
+  test("indexUpsert: string-keyed corpora refresh through the string point read") {
+    val v1 = Seq(("docA", "alpha beta gamma"), ("docB", "delta epsilon"))
+      .toDF("doc_id", "text")
+    val shard = Seq(("docB", "omega psi"), ("docC", "zeta eta"))
+      .toDF("doc_id", "text") // one replacement + one fresh id
+    val incRoot = tmp("bm25str")
+    val fullRoot = tmp("bm25str2")
+    Search.buildTextIndex(spark, v1, "doc_id", "text", incRoot)
+    Search.indexUpsert(spark, shard, "doc_id", "text", incRoot)
+    Search.buildTextIndex(spark,
+      Seq(("docA", "alpha beta gamma"), ("docB", "omega psi"),
+        ("docC", "zeta eta")).toDF("doc_id", "text"),
+      "doc_id", "text", fullRoot)
+    val queries = Seq((1L, "alpha"), (2L, "omega"), (3L, "zeta"),
+      (4L, "delta")).toDF("q_id", "q_text")
+    def serve(r: String) = Search.serveBm25(spark, r, queries,
+      "q_id", "q_text", k = 5).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    assert(serve(incRoot) == serve(fullRoot))
+    assert(!serve(incRoot).exists(_._1 == 4L),
+      "docB's old postings must not survive the string-keyed replacement")
+  }
+
+  test("indexUpsert: replay after a partial crash (dlens landed, postings didn't) converges") {
+    import graft.offline.VersionedStore
+    val rest = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val shard = Seq((3L, "epsilon zeta epsilon"))
+      .toDF("doc_id", "text")
+    val incRoot = tmp("bm25crash")
+    val fullRoot = tmp("bm25crash2")
+    Search.buildTextIndex(spark, rest, "doc_id", "text", incRoot)
+    // simulate the crash window: step 1 (the dlens MERGE) committed,
+    // the postings write never happened
+    val dlenShard = shard
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    VersionedStore.merge(dlenShard, s"$incRoot/dlens", Seq("doc_id"))
+    // the at-least-once redelivery: ids are now present, so the
+    // replay must take the (idempotent) MERGE path, not re-append
+    Search.indexUpsert(spark, shard, "doc_id", "text", incRoot)
+    Search.buildTextIndex(spark,
+      Seq((1L, "alpha beta"), (2L, "gamma delta"),
+        (3L, "epsilon zeta epsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", fullRoot)
+    val queries = Seq((1L, "epsilon"), (2L, "alpha")).toDF("q_id", "q_text")
+    assert(rows(Search.serveBm25(spark, incRoot, queries,
+        "q_id", "q_text", k = 5)) ==
+      rows(Search.serveBm25(spark, fullRoot, queries,
+        "q_id", "q_text", k = 5)),
+      "the crash-window replay must converge to the rebuilt index")
+    def stats(r: String) = VersionedStore.read(spark, s"$r/stats")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(stats(incRoot) == stats(fullRoot),
+      "stats recompute from the dlens head, never a stale delta")
+  }
+
   test("indexUpsert: re-ingesting a doc with NEW text replaces its old postings") {
     val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
