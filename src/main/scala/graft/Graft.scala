@@ -20,6 +20,7 @@ import graft.validation.Validation
   *  ValidationService.validate            → Graft.validate
   *  FeatureStatistics                     → Graft.profile
   *  (new) LLM-data pipeline               → Graft.dedup* / ann* / text*
+  *  (new) text retrieval                  → Graft.search*
   *
   * Every method returns a lazy DataFrame plan — callers compose,
   * Catalyst optimizes, nothing executes until an action.
@@ -720,4 +721,64 @@ object Graft {
   /** GPT-style contiguous sequence packing (bin/offset per document). */
   def packSequences(docs: DataFrame, budgetTokens: Long): DataFrame =
     FeatureEng.packSequences(docs, "doc_id", "text", budgetTokens)
+
+  // --- text retrieval ------------------------------------------------
+  // Corpus columns default to (doc_id, text), query batches to
+  // (q_id, q_text) — the same convention as the dedup/text families.
+
+  /** BM25 top-k retrieval of `queries` over `docs`. */
+  def searchBm25(docs: DataFrame, queries: DataFrame, k: Int = 10)
+  : DataFrame =
+    Search.bm25TopK(docs, "doc_id", "text", queries, "q_id", "q_text", k)
+
+  /** TF-IDF cosine retrieval — the vector-space second leg for
+    * [[searchHybrid]]. */
+  def searchCosine(docs: DataFrame, queries: DataFrame, k: Int = 10)
+  : DataFrame =
+    Search.tfidfCosineTopK(docs, "doc_id", "text", queries,
+      "q_id", "q_text", k)
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 and cosine
+    * rankings (or fuse any rankings directly via [[Search.rrfFuse]]). */
+  def searchHybrid(docs: DataFrame, queries: DataFrame, k: Int = 10)
+  : DataFrame =
+    Search.rrfFuse(Seq(searchBm25(docs, queries, k),
+      searchCosine(docs, queries, k)), k)
+
+  /** Exact phrase lookup: occurrence count + first token position per
+    * containing document. Queries carry (q_id, phrase). */
+  def searchPhrase(docs: DataFrame, phrases: DataFrame): DataFrame =
+    Search.phraseSearch(docs, "doc_id", "text", phrases, "q_id", "phrase")
+
+  /** Build / refresh / compact the persisted posting-list index. */
+  def searchIndexBuild(spark: SparkSession, docs: DataFrame,
+                       indexRoot: String, nFiles: Int = 16): Unit =
+    Search.buildTextIndex(spark, docs, "doc_id", "text", indexRoot, nFiles)
+
+  def searchIndexUpsert(spark: SparkSession, shard: DataFrame,
+                        indexRoot: String): Unit =
+    Search.indexUpsert(spark, shard, "doc_id", "text", indexRoot)
+
+  def searchIndexCompact(spark: SparkSession, indexRoot: String,
+                         nFiles: Int = 16): Unit =
+    Search.compactTextIndex(spark, indexRoot, nFiles)
+
+  /** Serve BM25 from the persisted index (file-pruned to the batch's
+    * terms — the low-latency path; query-batch-sized collect). */
+  def searchServe(spark: SparkSession, indexRoot: String,
+                  queries: DataFrame, k: Int = 10): DataFrame =
+    Search.serveBm25(spark, indexRoot, queries, "q_id", "q_text", k)
+
+  /** Collect-free bulk retrieval over the persisted index — the
+    * corpus-as-queries scale path. */
+  def searchBulk(spark: SparkSession, indexRoot: String,
+                 queries: DataFrame, k: Int = 10): DataFrame =
+    Search.bm25TopKFromIndex(spark, indexRoot, queries,
+      "q_id", "q_text", k)
+
+  /** Per-query retrieval metrics (first-relevant rank / reciprocal
+    * rank / hits@k) against a (q_id, doc_id) relevance table. */
+  def searchMetrics(results: DataFrame, relevant: DataFrame,
+                    k: Int = 10): DataFrame =
+    Search.retrievalMetrics(results, relevant, "q_id", "doc_id", k)
 }
