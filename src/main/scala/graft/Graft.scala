@@ -781,4 +781,17 @@ object Graft {
   def searchMetrics(results: DataFrame, relevant: DataFrame,
                     k: Int = 10): DataFrame =
     Search.retrievalMetrics(results, relevant, "q_id", "doc_id", k)
+
+  // --- tokenizer training --------------------------------------------
+
+  /** Train a BPE merge vocabulary over the corpus (one corpus pass,
+    * then vocabulary-sized merge rounds). */
+  def bpeTrain(docs: DataFrame, nMerges: Int,
+               minPairCount: Long = 2L): Bpe.BpeModel =
+    Bpe.train(docs, "doc_id", "text", nMerges, minPairCount)
+
+  /** Encode a corpus with a trained BPE model (word → pieces lookup
+    * join; out-of-vocabulary words fall back to characters). */
+  def bpeEncode(docs: DataFrame, model: Bpe.BpeModel): DataFrame =
+    Bpe.encode(docs, "doc_id", "text", model)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
-import graft.operators.{Analytics, Ann, AsofJoin, Dedup, Dsir, FeatureEng, MultiModal, Search, Sessionize, TextAnalysis, WindowedFeatures}
+import graft.operators.{Analytics, Ann, AsofJoin, Bpe, Dedup, Dsir, FeatureEng, MultiModal, Search, Sessionize, TextAnalysis, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
 import graft.registry.Registry
 import graft.stats.Profiler
@@ -621,6 +621,36 @@ object SparkEntry {
     Search.phraseSearch(docs, "doc_id", "text", phrases, "q_id", "phrase")
   }
 
+  // BPE model per (corpus dir, session): the ENCODE entry reuses it;
+  // q_bpe_merges always trains fresh — it IS the training benchmark
+  // (the q_dedup_clusters convention). Session-checked because the
+  // model's word-piece frame is checkpoint-backed (session-bound).
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, Bpe.BpeModel)]()
+
+  private def bpeModel(s: SparkSession, d: String): Bpe.BpeModel = {
+    val cached = bpeModels.get(d)
+    if (cached != null && (cached._1 eq s) && !s.sparkContext.isStopped)
+      cached._2
+    else {
+      val m = Bpe.train(Tables.documents(s, d), "doc_id", "text",
+        nMerges = 30)
+      bpeModels.put(d, (s, m))
+      m
+    }
+  }
+
+  /** BPE tokenizer training (30 merges) over the corpus — rows-only
+    * (iterative; not SQL-expressible), spec-held to a naive in-memory
+    * reference. */
+  def qBpeMerges(s: SparkSession, d: String): DataFrame =
+    Bpe.train(Tables.documents(s, d), "doc_id", "text", nMerges = 30).rules
+
+  /** Encode the corpus with the trained model (word → pieces lookup
+    * join; OOV falls back to characters). */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame =
+    Bpe.encode(Tables.documents(s, d), "doc_id", "text", bpeModel(s, d))
+
   private def bm25Root(s: SparkSession, d: String): String =
     bm25Roots.computeIfAbsent(d, _ => {
       val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
@@ -856,6 +886,8 @@ object SparkEntry {
     "q_bm25_serve" -> (qBm25Serve _),
     "q_bm25_bulk" -> (qBm25Bulk _),
     "q_phrase_search" -> (qPhraseSearch _),
+    "q_bpe_merges" -> (qBpeMerges _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_tfidf_cosine" -> (qTfidfCosine _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_retrieval_metrics" -> (qRetrievalMetrics _),

@@ -343,6 +343,17 @@ object ScaleProbe {
       graft.operators.Search.rrfFuse(Seq(r1, r2), k = 10).count()
     })
     bmQueries.unpersist()
+    // BPE training: cost = one corpus tokenize + nMerges rounds over
+    // the WORD table (vocab-sized). Under the dup-bomb the word table
+    // is IDENTICAL to ×1 (replication changes counts, not vocabulary),
+    // so training must be ~flat in k — the Heaps'-law shape
+    time("bpe train 30 merges xK")(
+      graft.operators.Bpe.train(docs, "doc_id", "text", nMerges = 30))
+    time("bpe encode xK")({
+      val m = graft.operators.Bpe.train(docs, "doc_id", "text", 30)
+      graft.operators.Bpe.encode(docs, "doc_id", "text", m)
+        .agg(sum(size(col("pieces")))).head()
+    })
     docs.unpersist()
     }
 
