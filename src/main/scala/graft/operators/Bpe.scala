@@ -19,15 +19,24 @@ import graft.functions.Fns
   * iteration lineage (the [[Dedup.clusters]] pattern). Word-internal
   * merges only (the standard word-boundary BPE); pair counts count
   * every adjacent position. Ties break deterministically: highest
-  * count, then lexicographic (left, right) — so training is
-  * reproducible across partitionings and matches the naive reference
-  * implementation in the spec exactly.
+  * count, then (left, right) in UTF-8 BINARY order — Spark's string
+  * comparison, which is code-point order and differs from Java's
+  * UTF-16 compareTo only on ties involving non-BMP characters (the
+  * spec's naive reference compares UTF-8 bytes for exactly this
+  * reason) — so training is reproducible across partitionings and
+  * matches the reference implementation exactly.
   */
 object Bpe {
 
   /** One merged training state: ordered merge rules and the final
     * per-word segmentation (the encode lookup table). */
   final case class BpeModel(rules: DataFrame, wordPieces: DataFrame)
+
+  /** `word` column → single-character symbol array — the untrained
+    * baseline, shared by the initial training state and encode's OOV
+    * fallback so the two can never diverge. */
+  private val charSymsExpr =
+    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
 
   /** Initial state: distinct corpus words with counts, split into
     * single-character symbols. */
@@ -36,8 +45,7 @@ object Bpe {
     docs.select(explode(Fns.words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("syms",
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .withColumn("syms", expr(charSymsExpr))
 
   /** Greedy left-to-right non-overlapping application of ONE merge
     * rule (l, r) -> l||r to a symbol array, as a higher-order fold:
@@ -88,10 +96,11 @@ object Bpe {
         val (l, r, pc) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         rules += ((round + 1, l, r, l + r, pc))
-        val next = state.withColumn("syms",
+        // no unpersist: localCheckpoint blocks aren't CacheManager
+        // entries, the ContextCleaner frees prior rounds' RDDs on GC
+        // (the Dedup.clusters convention)
+        state = state.withColumn("syms",
           applyMerge(col("syms"), l, r)).localCheckpoint()
-        state.unpersist()
-        state = next
         round += 1
       }
     }
@@ -119,8 +128,7 @@ object Bpe {
       .filter(col("word") =!= "")
     words.join(model.wordPieces.select(col("word"), col("syms")),
         Seq("word"), "left")
-      .withColumn("pieces", coalesce(col("syms"), expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")))
+      .withColumn("pieces", coalesce(col("syms"), expr(charSymsExpr)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("word"), col("pieces"))
   }

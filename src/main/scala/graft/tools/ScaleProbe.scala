@@ -347,13 +347,13 @@ object ScaleProbe {
     // the WORD table (vocab-sized). Under the dup-bomb the word table
     // is IDENTICAL to ×1 (replication changes counts, not vocabulary),
     // so training must be ~flat in k — the Heaps'-law shape
-    time("bpe train 30 merges xK")(
+    val bpeM = time("bpe train 30 merges xK")(
       graft.operators.Bpe.train(docs, "doc_id", "text", nMerges = 30))
-    time("bpe encode xK")({
-      val m = graft.operators.Bpe.train(docs, "doc_id", "text", 30)
-      graft.operators.Bpe.encode(docs, "doc_id", "text", m)
-        .agg(sum(size(col("pieces")))).head()
-    })
+    // encode must time the lookup join ONLY — the train row above
+    // already priced the model
+    time("bpe encode xK")(
+      graft.operators.Bpe.encode(docs, "doc_id", "text", bpeM)
+        .agg(sum(size(col("pieces")))).head())
     docs.unpersist()
     }
 

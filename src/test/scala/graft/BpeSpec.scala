@@ -43,6 +43,13 @@ class BpeSpec extends AnyFunSuite {
         .filter(_._2 >= minPairCount)
       if (pairCounts.isEmpty) stop = true
       else {
+        // tie-break in UTF-8 BINARY order (Spark's string comparison
+        // is code-point order; Java's UTF-16 compareTo differs on
+        // ties involving non-BMP characters)
+        implicit val u8: Ordering[String] = (a: String, b: String) =>
+          java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         val ((l, r), pc) = pairCounts.toSeq
           .sortBy { case ((l, r), pc) => (-pc, l, r) }.head
         rules += ((round + 1, l, r, l + r, pc))
