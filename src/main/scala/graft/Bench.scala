@@ -46,7 +46,16 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (pass1.nonEmpty) pass1.values.sum else 0.0
     val total2 = if (pass2.nonEmpty) pass2.values.sum else 0.0
+    // Full-precision line first; the driver's tail capture truncated
+    // this in round 7 (97 queries x 2 passes at full double precision
+    // overflowed the captured tail), losing the totals and ~30 queries.
     println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop_write","queries":${js(pass1)},"value_pass2":$total2,"queries_pass2":${js(pass2)},"sf":"$sfDir"}""")
+    // Compact summary LAST (ms precision, ~25 bytes/query) so a
+    // tail-truncated capture still parses the headline numbers.
+    def ms(v: Double): Double = math.rint(v * 1000) / 1000
+    def jsMs(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","action":"noop_write","queries":${jsMs(pass1)},"value_pass2":${ms(total2)},"queries_pass2":${jsMs(pass2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

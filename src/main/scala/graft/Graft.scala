@@ -759,6 +759,13 @@ object Graft {
                         indexRoot: String): Unit =
     Search.indexUpsert(spark, shard, "doc_id", "text", indexRoot)
 
+  /** Retract documents from the persisted index (tombstone now,
+    * physical sweep at the next [[searchIndexCompact]]); `ids` is a
+    * one-column (doc_id) frame. */
+  def searchIndexDelete(spark: SparkSession, ids: DataFrame,
+                        indexRoot: String): Unit =
+    Search.indexDelete(spark, ids, "doc_id", indexRoot)
+
   def searchIndexCompact(spark: SparkSession, indexRoot: String,
                          nFiles: Int = 16): Unit =
     Search.compactTextIndex(spark, indexRoot, nFiles)

@@ -644,18 +644,29 @@ object SparkEntry {
 
   private def bpeModel(s: SparkSession, d: String): Bpe.BpeModel =
     sessionArtifact(bpeModels, s, d)(
-      Bpe.train(Tables.documents(s, d), "doc_id", "text", nMerges = 30))
+      Bpe.trainBatched(Tables.documents(s, d), "doc_id", "text",
+        nMerges = 30)._1)
 
   /** BPE tokenizer training (30 merges) over the corpus — rows-only
     * (iterative; not SQL-expressible), spec-held to a naive in-memory
-    * reference. */
+    * reference. Declared via the BATCHED trainer (round 8): identical
+    * rules/ranks by construction (exact-batch acceptance rule,
+    * spec-proven equal to the sequential path), a fraction of the
+    * per-merge job-scheduling floor. */
   def qBpeMerges(s: SparkSession, d: String): DataFrame =
-    Bpe.train(Tables.documents(s, d), "doc_id", "text", nMerges = 30).rules
+    Bpe.trainBatched(Tables.documents(s, d), "doc_id", "text",
+      nMerges = 30)._1.rules
 
   /** Encode the corpus with the trained model (word → pieces lookup
-    * join; OOV falls back to characters). */
+    * join; OOV falls back to characters). Declared with the piece
+    * array rendered as a space-joined scalar: the driver's rows-only
+    * checker sorts every column in pandas and crashes on array cells
+    * (round-7 finding), so the declared surface must be scalar-only.
+    * The raw array shape stays available via [[Bpe.encode]]. */
   def qBpeEncode(s: SparkSession, d: String): DataFrame =
     Bpe.encode(Tables.documents(s, d), "doc_id", "text", bpeModel(s, d))
+      .select(col("doc_id"), col("pos"), col("word"),
+        array_join(col("pieces"), " ").as("pieces_str"))
 
   private def bm25Root(s: SparkSession, d: String): String =
     bm25Roots.computeIfAbsent(d, _ => {
@@ -689,6 +700,20 @@ object SparkEntry {
 
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
+
+  /** REAL image-header metadata (round 8): deterministic VALID
+    * PNG/GIF/JPEG/BMP bytes are constructed per doc (one format per
+    * id residue, one residue of non-image bytes), then parsed back by
+    * the ImageMeta codegen expression. The oracle knows the
+    * closed-form dimensions the headers encode — so the byte-level
+    * parser is checked end-to-end against ground truth, including
+    * the NULL quarantine row for non-images. */
+  def qImageMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withPayload = docs.select(col("doc_id"),
+      MultiModal.syntheticImagePayload("doc_id", "text").as("payload"))
+    MultiModal.imageMeta(withPayload, "doc_id", "payload")
+  }
 
   /** Corpus data-card report: composition by source × lang. */
   def qCorpusReport(s: SparkSession, d: String): DataFrame =
@@ -910,6 +935,7 @@ object SparkEntry {
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_image_meta" -> (qImageMeta _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_scores" -> (qDecontamScores _),
@@ -2534,6 +2560,19 @@ object SparkEntry {
           |       WHEN byte_len % 3 = 1 THEN 'png'
           |       ELSE 'webp' END AS format
           |FROM b""".stripMargin,
+
+      // Ground truth for the header PARSER: the synthetic payloads
+      // are valid containers whose dimensions are closed-form in
+      // doc_id, and the non-image residue must come back NULL.
+      "q_image_meta" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+          |       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'bmp' END AS format,
+          |  CASE WHEN doc_id % 5 = 4 THEN NULL
+          |       ELSE doc_id % 613 + 1 END AS width,
+          |  CASE WHEN doc_id % 5 = 4 THEN NULL
+          |       ELSE doc_id % 479 + 1 END AS height
+          |FROM documents""".stripMargin,
 
       // Mirrors TextAnalysis.redactPii: same rule chain, same order,
       // counts taken against the text as each rule saw it (so the

@@ -113,6 +113,87 @@ object MultiModal {
       }
   }
 
+  /** REAL image metadata from binary payloads: container format and
+    * pixel dimensions parsed from PNG/GIF/JPEG/BMP headers by the
+    * [[graft.functions.ImageMeta]] codegen expression — no codec, no
+    * decode, a bounded scan of the leading bytes inside whole-stage
+    * codegen. Unrecognized or truncated payloads yield NULL
+    * format/width/height (the quarantine contract, mirroring
+    * [[graft.sources.Sources]]): at 100 TB a corrupt blob must
+    * surface as a filterable row, never a task failure.
+    *
+    * Scale shape: pure projection over the scan — no shuffle, no
+    * UDF; resolution gates and format-mix stats compose downstream
+    * as ordinary filters/aggregates.
+    */
+  def imageMeta(docs: DataFrame, idCol: String, payloadCol: String)
+  : DataFrame = {
+    val meta = graft.functions.ImageMeta.imageMeta(col(payloadCol))
+    docs.withColumn("_m", meta)
+      .select(col(idCol),
+        col("_m.format").as("format"),
+        col("_m.width").cast("long").as("width"),
+        col("_m.height").cast("long").as("height"))
+  }
+
+  // -- synthetic-but-VALID image payload construction (query fixture)
+
+  private def hexLit(h: String) = unhex(lit(h))
+  private def hex16(c: org.apache.spark.sql.Column) =
+    lpad(hex(c.cast("int")), 4, "0")
+  private def hex32(c: org.apache.spark.sql.Column) =
+    lpad(hex(c.cast("int")), 8, "0")
+  private def be16(c: org.apache.spark.sql.Column) = unhex(hex16(c))
+  private def le16(c: org.apache.spark.sql.Column) = {
+    val h = hex16(c)
+    unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+  }
+  private def be32(c: org.apache.spark.sql.Column) = unhex(hex32(c))
+  private def le32(c: org.apache.spark.sql.Column) = {
+    val h = hex32(c)
+    unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)))
+  }
+
+  /** Deterministic VALID image bytes per row — real headers (PNG
+    * IHDR, GIF89a screen descriptor, JPEG APP0+SOF0 marker chain,
+    * BMP BITMAPINFOHEADER) with dimensions derived from the id, one
+    * format per id residue and one residue of non-image bytes (the
+    * quarantine case). Pure codegen binary concat, so the declared
+    * query's input construction adds no shuffle; the closed-form
+    * dimensions give the DuckDB oracle without an image parser.
+    */
+  def syntheticImagePayload(idCol: String, textCol: String)
+  : org.apache.spark.sql.Column = {
+    val id = col(idCol)
+    val w = (id % 613 + 1).cast("int")
+    val h = (id % 479 + 1).cast("int")
+    val png = concat(
+      hexLit("89504E470D0A1A0A"), // signature
+      hexLit("0000000D"), hexLit("49484452"), // IHDR len + type
+      be32(w), be32(h),
+      hexLit("0806000000"), hexLit("9A768B21")) // bit depth.. + crc
+    val gif = concat(
+      hexLit("474946383961"), // GIF89a
+      le16(w), le16(h), hexLit("F70000"))
+    val jpeg = concat(
+      hexLit("FFD8"), // SOI
+      hexLit("FFE000104A46494600010100000100010000"), // APP0 (len 16)
+      hexLit("FFC00011") /* SOF0, len 17 */, hexLit("08"),
+      be16(h), be16(w),
+      hexLit("03012200021101031101"), // 3 components
+      hexLit("FFD9")) // EOI
+    val bmp = concat(
+      hexLit("424D"), hexLit("3600000000000000"), hexLit("36000000"),
+      hexLit("28000000"), // biSize = 40
+      le32(w), le32(h), hexLit("01001800"))
+    when(id % 5 === 0, png)
+      .when(id % 5 === 1, gif)
+      .when(id % 5 === 2, jpeg)
+      .when(id % 5 === 3, bmp)
+      .otherwise(col(textCol).cast("binary")) // not an image → NULL meta
+  }
+
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates
     * the metadata contract and stays inside whole-stage codegen.

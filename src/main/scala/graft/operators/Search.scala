@@ -39,6 +39,77 @@ object Search {
   private def postingsTable(root: String) = s"$root/postings"
   private def dlensTable(root: String)    = s"$root/dlens"
   private def statsTable(root: String)    = s"$root/stats"
+  private def tombsTable(root: String)    = s"$root/tombstones"
+
+  /** Pending delete tombstones (doc_id rows), or None when no delete
+    * was ever recorded against this index. The table is a MERGE
+    * ledger keyed by doc_id: `deleted = true` rows are live
+    * tombstones, re-ingesting a doc flips its row to false — so
+    * delete/re-add cycles stay one row per doc and every write is
+    * replay-idempotent. */
+  private def pendingTombstones(spark: SparkSession, root: String)
+  : Option[DataFrame] = {
+    import graft.offline.VersionedStore
+    if (VersionedStore.latestVersion(spark, tombsTable(root)) < 0L) None
+    else Some(VersionedStore.read(spark, tombsTable(root))
+      .filter(col("deleted")).select("doc_id"))
+  }
+
+  private def dropTombstoned(spark: SparkSession, root: String,
+                             df: DataFrame): DataFrame =
+    pendingTombstones(spark, root) match {
+      case Some(t) => df.join(t, Seq("doc_id"), "left_anti")
+      case None    => df
+    }
+
+  /** Corpus stats = pure function of the ACTIVE dlens head (doc-count
+    * sized, never a corpus scan) — shared by upsert, delete, and the
+    * compaction sweep so the three can never disagree. */
+  private def recomputeStats(spark: SparkSession, root: String): Unit = {
+    import graft.offline.VersionedStore
+    VersionedStore.overwrite(
+      dropTombstoned(spark, root,
+        VersionedStore.read(spark, dlensTable(root)))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dlen"), lit(0L)).as("total_len")),
+      statsTable(root))
+  }
+
+  /** Delete documents from the persisted index (retraction /
+    * right-to-be-forgotten) WITHOUT a rebuild: a doc_id tombstone
+    * MERGE plus a stats recompute. Serve paths anti-join the pending
+    * tombstones (document frequencies and corpus stats exclude
+    * deleted docs immediately, so ranking equals a rebuild without
+    * them); the posting and dlens ROWS remain on disk until the next
+    * [[compactTextIndex]], which physically sweeps them — the
+    * tombstone-then-sweep shape of every LSM/lakehouse delete,
+    * mirroring [[graft.offline.VersionedStore.merge]]'s copy-on-write
+    * economics: a delete costs O(tombstones), never a posting-table
+    * rewrite at delete time.
+    *
+    * Commit order (replay-idempotent, crash-window-convergent, same
+    * single-writer assumption as [[indexUpsert]]): tombstones MERGE,
+    * then stats recompute — a crash between them leaves stats
+    * counting the deleted docs until any later upsert/delete/compact
+    * recomputes, but serve RESULTS already exclude them (the
+    * anti-join reads tombstones, not stats).
+    *
+    * Deleting an id that was never indexed is a harmless no-op row.
+    * [[indexUpsert]] of a tombstoned id re-activates it (the ledger
+    * row flips to deleted = false).
+    */
+  def indexDelete(spark: SparkSession, ids: DataFrame, idCol: String,
+                  indexRoot: String): Unit = {
+    import graft.offline.VersionedStore
+    val t = ids.select(col(idCol).as("doc_id")).distinct()
+      .withColumn("deleted", lit(true)).localCheckpoint()
+    if (t.limit(1).count() == 0L) return // empty batch — no-op
+    if (VersionedStore.latestVersion(spark, tombsTable(indexRoot)) < 0L)
+      VersionedStore.overwrite(t, tombsTable(indexRoot))
+    else
+      VersionedStore.merge(t, tombsTable(indexRoot), keys = Seq("doc_id"))
+    recomputeStats(spark, indexRoot)
+  }
 
   /** One tokenize pass → (doc_id, term, tf). Docs with NULL/empty
     * text contribute no rows (they can never match a term query). */
@@ -243,7 +314,11 @@ object Search {
     * none found), reciprocal rank, and relevant-hit count within the
     * top `k` — the evaluation dual of the rankers, over any
     * (q_id, doc_id, rank) result and a (q_id, doc_id) relevance
-    * table. One semi-join + one bounded aggregate; every query
+    * table. `qIdCol`/`docIdCol` name the RELEVANCE table's columns
+    * only; the results frame must carry literal q_id/doc_id/rank
+    * columns (rankers in this module do — asserted below, so a
+    * mismatch fails loudly). One semi-join + one bounded aggregate;
+    * every query
     * appearing in the results OR the relevance table gets a row
     * (the TREC-qrels contract: an anchor the ranker returned NOTHING
     * for is the worst miss and must be visible as a 0, not absent),
@@ -253,6 +328,9 @@ object Search {
                        qIdCol: String, docIdCol: String, k: Int = 10)
   : DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(Seq("q_id", "doc_id", "rank").forall(results.columns.contains),
+      s"results must carry q_id/doc_id/rank (qIdCol/docIdCol rename " +
+        s"only the relevance table), got ${results.columns.mkString(",")}")
     val base = results.select("q_id")
       .union(relevant.select(col(qIdCol).as("q_id"))).distinct()
     val hits = results
@@ -326,9 +404,12 @@ object Search {
     // the pruned posting read feeds both the df derivation and the
     // match join; deliberately NOT checkpointed — the visible file
     // scan is the pruning proof (SearchSpec inputFiles), and the
-    // second read covers only the probed terms' files
-    val posts = VersionedStore.readValuesStr(spark,
-      postingsTable(indexRoot), "term", terms)
+    // second read covers only the probed terms' files. Tombstoned
+    // docs drop BEFORE the df derivation so deleted postings never
+    // count toward document frequencies.
+    val posts = dropTombstoned(spark, indexRoot,
+      VersionedStore.readValuesStr(spark,
+        postingsTable(indexRoot), "term", terms))
     val dfq = posts.groupBy("term").agg(count(lit(1)).as("df"))
     // df/stats join BEFORE the query fan-out (see bm25TopK's order note)
     val matched = posts
@@ -401,7 +482,9 @@ object Search {
     import graft.offline.VersionedStore
     require(k > 0, s"k must be positive, got $k")
     val qterms = queryTerms(queries, qIdCol, qTextCol).localCheckpoint(false)
-    val hit = VersionedStore.read(spark, postingsTable(indexRoot))
+    // tombstoned docs drop before df derivation (see serveBm25)
+    val hit = dropTombstoned(spark, indexRoot,
+        VersionedStore.read(spark, postingsTable(indexRoot)))
       .join(qterms.select("term").distinct(), "term")
       .localCheckpoint(false)
     val dfq = hit.groupBy("term").agg(count(lit(1)).as("df"))
@@ -465,6 +548,13 @@ object Search {
         val ids = dlenNew.select(col("doc_id").cast("double"))
           .collect().map(_.getDouble(0)).toSeq
         if (ids.isEmpty) return // nothing tokenizable — no-op
+        // integral ids above 2^53 alias on the double scale, which
+        // would silently corrupt the append-vs-merge decision and the
+        // old-row lookup — fail loudly instead
+        ids.find(d => math.abs(d) > (1L << 53).toDouble).foreach(bad =>
+          throw new IllegalArgumentException(
+            s"indexUpsert: numeric doc_id $bad exceeds 2^53 and cannot " +
+              "be pruned exactly on the double stats scale; use string ids"))
         VersionedStore.readValues(spark, dlensTable(indexRoot),
           "doc_id", ids)
       }
@@ -488,6 +578,13 @@ object Search {
     // read a head missing the racer's dlens merge.
     VersionedStore.merge(dlenNew, dlensTable(indexRoot),
       keys = Seq("doc_id"))
+    // re-ingesting a tombstoned doc re-activates it: flip its ledger
+    // row to deleted = false (idempotent MERGE; ordered before the
+    // stats recompute so step 4 counts it)
+    if (VersionedStore.latestVersion(spark, tombsTable(indexRoot)) >= 0L)
+      VersionedStore.merge(
+        dlenNew.select(col("doc_id")).withColumn("deleted", lit(false)),
+        tombsTable(indexRoot), keys = Seq("doc_id"))
     val postings = tf.join(dlenNew, "doc_id")
       .select("term", "doc_id", "tf", "dlen")
     if (wasFresh)
@@ -495,22 +592,54 @@ object Search {
     else
       VersionedStore.merge(postings, postingsTable(indexRoot),
         keys = Seq("doc_id"))
-    VersionedStore.overwrite(
-      VersionedStore.read(spark, dlensTable(indexRoot))
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum("dlen"), lit(0L)).as("total_len")),
-      statsTable(indexRoot))
+    recomputeStats(spark, indexRoot)
   }
 
   /** Restore the ~one-file-per-term-range layout after upserts (whose
     * MERGE/append files span wide term ranges and erode serve-side
-    * pruning). Mirrors [[Ann.ivfIndexCompact]]. */
+    * pruning), and physically SWEEP tombstoned docs' postings and
+    * lengths out of the table (the compaction half of the
+    * [[indexDelete]] contract — after the sweep the deleted rows are
+    * gone from disk, not merely filtered). Serve results are
+    * identical before and after the sweep; only the bytes and the
+    * anti-join work change. Mirrors [[Ann.ivfIndexCompact]]. */
   def compactTextIndex(spark: SparkSession, indexRoot: String,
                        nFiles: Int = 16): Unit = {
     import graft.offline.VersionedStore
-    VersionedStore.compact(spark, postingsTable(indexRoot), nFiles,
-      sortBy = Seq("term"))
-    VersionedStore.compact(spark, dlensTable(indexRoot),
-      math.max(nFiles / 4, 1), sortBy = Seq("doc_id"))
+    pendingTombstones(spark, indexRoot)
+      .map(_.localCheckpoint()).filter(_.limit(1).count() > 0L) match {
+      case Some(pending) =>
+        // filtered rewrite in the build layout (a compaction IS a
+        // full rewrite, so the sweep rides it for free)
+        val posts = dropTombstoned(spark, indexRoot,
+          VersionedStore.read(spark, postingsTable(indexRoot)))
+          .localCheckpoint()
+        require(posts.limit(1).count() > 0L,
+          "sweep would empty the index (every doc tombstoned) — " +
+            "rebuild with buildTextIndex instead")
+        VersionedStore.overwrite(
+          posts.repartitionByRange(nFiles, col("term"))
+            .sortWithinPartitions("term"),
+          postingsTable(indexRoot))
+        VersionedStore.overwrite(
+          dropTombstoned(spark, indexRoot,
+            VersionedStore.read(spark, dlensTable(indexRoot)))
+            .repartitionByRange(math.max(nFiles / 4, 1), col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+          dlensTable(indexRoot))
+        recomputeStats(spark, indexRoot)
+        // the swept ids' rows are gone from disk — retire their
+        // ledger rows (deleted = false) so serves stop anti-joining
+        // and the next compaction takes the plain path. LAST in the
+        // commit order: a crash anywhere above leaves the tombstones
+        // live and every step idempotent.
+        VersionedStore.merge(pending.withColumn("deleted", lit(false)),
+          tombsTable(indexRoot), keys = Seq("doc_id"))
+      case None =>
+        VersionedStore.compact(spark, postingsTable(indexRoot), nFiles,
+          sortBy = Seq("term"))
+        VersionedStore.compact(spark, dlensTable(indexRoot),
+          math.max(nFiles / 4, 1), sortBy = Seq("doc_id"))
+    }
   }
 }

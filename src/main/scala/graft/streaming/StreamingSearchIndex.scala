@@ -13,11 +13,13 @@ import graft.operators.Search
   * point-read snapshots).
   *
   * Exactly-once by idempotence, with no output hook needed: the
-  * upsert MERGEs postings and doc lengths by doc_id and computes the
-  * corpus-stats delta against the ids' OLD lengths, so a replayed
-  * micro-batch rewrites identical rows and a zero delta — the index
-  * converges to the same state no matter how many times a crash
-  * window re-delivers a batch.
+  * upsert MERGEs postings and doc lengths by doc_id and then
+  * RECOMPUTES the corpus stats from the merged dlens head (no
+  * delta arithmetic — the stats are a pure function of the dlens
+  * table), so a replayed micro-batch rewrites identical rows and
+  * recomputes identical stats — the index converges to the same
+  * state no matter how many times a crash window re-delivers a
+  * batch.
   *
   * The index must be PRE-BUILT ([[Search.buildTextIndex]]), even if
   * from an empty-ish seed — serve-side term pruning relies on the

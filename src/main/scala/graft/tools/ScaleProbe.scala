@@ -34,7 +34,7 @@ object ScaleProbe {
     // events,orders,docs,emb — lets a single section re-run during
     // iteration without paying the full probe
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("events", "orders", "docs", "emb"))
+      .getOrElse(Set("events", "orders", "docs", "emb", "bpe"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -355,6 +355,48 @@ object ScaleProbe {
       graft.operators.Bpe.encode(docs, "doc_id", "text", bpeM)
         .agg(sum(size(col("pieces")))).head())
     docs.unpersist()
+    }
+
+    if (sections("bpe")) {
+    // REALISTIC-VOCABULARY tokenizer training: the sequential trainer
+    // pays ~2 jobs per merge (pair-count argmax + fold), a pure
+    // scheduling floor that makes 32k merges hours of driver time.
+    // The batched trainer (exact-batch acceptance rule, spec-held
+    // equal to sequential) must show rounds << nMerges here — the
+    // evidence the "flat in corpus size" claim extends to real vocab
+    // sizes. Runs on the ×1 corpus: vocabulary, not volume, is the
+    // variable under test.
+    // the raw synthetic corpus has a 31-word vocabulary — only ~89
+    // merges exist and every pair shares neighbors, the worst case
+    // for exact batching. Derive a compound-word corpus (adjacent
+    // word bigrams, ~960 distinct words with Zipf-ish counts and
+    // ~10-char lengths) so the vocabulary under test is
+    // realistic-shaped; same probe-derivation convention as the
+    // dup-bomb and PII rows above.
+    val bdocs = Tables.documents(spark, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("text", expr(
+        "array_join(transform(sequence(0, greatest(size(ws) - 2, 0)), " +
+          "i -> concat(ws[i], '-', ws[i + 1])), ' ')"))
+      .filter(size(col("ws")) >= 2)
+      .select("doc_id", "text").cache()
+    println(s"[scale] bpe corpus rows: ${bdocs.count()}")
+    val nM = args.lift(3).map(_.toInt).getOrElse(1000)
+    val (bm, rounds) = time(s"bpe trainBatched $nM merges")(
+      graft.operators.Bpe.trainBatched(bdocs, "doc_id", "text",
+        nMerges = nM, minPairCount = 2L, maxBatch = 256))
+    val got = bm.rules.count()
+    println(s"[scale] bpe batched: $got merges in $rounds rounds " +
+      f"(${got.toDouble / math.max(rounds, 1)}%.1f merges/round)")
+    // sequential A/B at a size that terminates in minutes: the
+    // per-merge floor extrapolates linearly (verified flat in r7)
+    time("bpe train 100 merges (sequential)")(
+      graft.operators.Bpe.train(bdocs, "doc_id", "text", nMerges = 100,
+        minPairCount = 2L).rules.count())
+    time("bpe trainBatched 100 merges")(
+      graft.operators.Bpe.trainBatched(bdocs, "doc_id", "text",
+        nMerges = 100, minPairCount = 2L, maxBatch = 256)._1.rules.count())
+    bdocs.unpersist()
     }
 
     if (sections("emb")) {

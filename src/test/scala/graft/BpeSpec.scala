@@ -31,8 +31,14 @@ class BpeSpec extends AnyFunSuite {
     val wordCounts = texts.flatMap(t =>
         Option(t).toSeq.flatMap(_.split(" ").filter(_.nonEmpty)))
       .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    // split by CODE POINT, not UTF-16 char — Spark's substring/length
+    // are code-point indexed, so a non-BMP character must be ONE
+    // initial symbol here too, not its two surrogate halves
+    def codePointSyms(w: String): Vector[String] =
+      w.codePoints().toArray.toVector
+        .map(cp => new String(Character.toChars(cp)))
     var st = wordCounts.map { case (w, c) =>
-      (w, c, w.map(_.toString).toVector) }.toSeq
+      (w, c, codePointSyms(w)) }.toSeq
     val rules = Seq.newBuilder[(Int, String, String, String, Long)]
     var round = 0
     var stop = false
@@ -112,6 +118,120 @@ class BpeSpec extends AnyFunSuite {
       assert(gotPieces == wantPieces,
         s"segmentations diverged on round $round: $texts")
     }
+  }
+
+  // ---- batched trainer: must be EXACTLY the sequential algorithm ------
+
+  private def batchedBoth(texts: Seq[String], nMerges: Int,
+                          minPairCount: Long = 2L, maxBatch: Int = 128) = {
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val (model, rounds) = Bpe.trainBatched(docs, "doc_id", "text",
+      nMerges, minPairCount, maxBatch)
+    val gotRules = model.rules.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq.sortBy(_._1)
+    val gotPieces = model.wordPieces.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    val (wantRules, wantPieces) = naiveTrain(texts, nMerges, minPairCount)
+    (rounds, gotRules, wantRules, gotPieces, wantPieces)
+  }
+
+  test("batched: classic corpus matches the sequential reference in fewer rounds") {
+    val texts = Seq("low low low lower lower", "newest newest newest",
+      "newest widest widest")
+    val (rounds, gotRules, wantRules, gotPieces, wantPieces) =
+      batchedBoth(texts, nMerges = 8)
+    assert(gotRules == wantRules)
+    assert(gotPieces == wantPieces)
+    assert(rounds <= gotRules.size, "one round can never emit < 1 rule")
+  }
+
+  test("batched: greedy non-overlap runs survive batching") {
+    val (_, gotRules, wantRules, gotPieces, wantPieces) =
+      batchedBoth(Seq("aaaa aaa aaaa", "abab abab cdcd"), nMerges = 6,
+        minPairCount = 1L)
+    assert(gotRules == wantRules)
+    assert(gotPieces == wantPieces)
+  }
+
+  test("batched: maxBatch=1 degenerates to sequential") {
+    val texts = Seq("low low low lower lower", "newest newest newest")
+    val (rounds, gotRules, wantRules, _, _) =
+      batchedBoth(texts, nMerges = 5, maxBatch = 1)
+    assert(gotRules == wantRules)
+    assert(rounds == gotRules.size)
+  }
+
+  test("batched: random corpora match the reference on 10 layouts") {
+    // small alphabet + repeated words force conflicts, ties, and
+    // created-pair bound hits — the paths where batching could diverge
+    val genWord = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genText = Gen.choose(0, 9).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(2, 7).flatMap(n => Gen.listOfN(n, genText))
+    (1 to 10).foreach { round =>
+      val texts = genCorpus(Gen.Parameters.default, Seed(round * 104729L)).get
+      val (_, gotRules, wantRules, gotPieces, wantPieces) =
+        batchedBoth(texts, nMerges = 8, minPairCount = 1L)
+      assert(gotRules == wantRules, s"rules diverged on round $round: $texts")
+      assert(gotPieces == wantPieces,
+        s"segmentations diverged on round $round: $texts")
+    }
+  }
+
+  test("batched: wide disjoint vocabulary actually batches (rounds << merges)") {
+    // 26 independent two-letter words with distinct letters and
+    // distinct counts: all top pairs are mutually disjoint, so the
+    // exact-batch rule should take many per round
+    val words = ('a' to 'z').grouped(2).zipWithIndex.map { case (cs, i) =>
+      Seq.fill(100 - i)(cs.mkString).mkString(" ") }.toSeq
+    val (rounds, gotRules, wantRules, _, _) =
+      batchedBoth(words, nMerges = 13, minPairCount = 1L)
+    assert(gotRules == wantRules)
+    assert(rounds < gotRules.size,
+      s"expected batching on disjoint vocab, got $rounds rounds for ${gotRules.size} merges")
+  }
+
+  test("batched: merged-string collisions with existing symbols stay exact") {
+    // words that are pure runs ('aaaa') and near-runs ('abab') drive
+    // merges whose merged string equals an ALREADY-EXISTING symbol
+    // (e.g. (aa,aa)→'aaaa' while 'aaaa' was built via (aaa,a)) — the
+    // case where applying a merge INCREASES a pre-existing pair's
+    // count. The collision guard must keep the batch exact.
+    val genWord = Gen.frequency(
+      (3, Gen.choose(1, 12).map("a" * _)),
+      (2, Gen.choose(1, 6).map("ab" * _)),
+      (1, Gen.choose(1, 8).map("b" * _)))
+    val genText = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, genText))
+    (1 to 10).foreach { round =>
+      val texts = genCorpus(Gen.Parameters.default, Seed(round * 15485863L)).get
+      val (_, gotRules, wantRules, gotPieces, wantPieces) =
+        batchedBoth(texts, nMerges = 12, minPairCount = 1L)
+      assert(gotRules == wantRules, s"rules diverged on round $round: $texts")
+      assert(gotPieces == wantPieces,
+        s"segmentations diverged on round $round: $texts")
+    }
+  }
+
+  test("non-BMP characters are single code-point symbols on both sides") {
+    // U+1D552 (𝕒) is a surrogate pair in UTF-16; both the distributed
+    // splitter (Spark substring, code-point indexed) and the naive
+    // reference must treat it as ONE symbol
+    val astral = new String(Character.toChars(0x1D552))
+    val texts = Seq(s"${astral}b${astral}b ${astral}b ${astral}b x${astral}")
+    val (_, gotRules, wantRules, gotPieces, wantPieces) =
+      trainBoth(texts, nMerges = 3, minPairCount = 2L)
+    assert(gotRules == wantRules)
+    assert(gotPieces == wantPieces)
+    assert(gotRules.exists(r => r._2 == astral || r._3 == astral),
+      "the astral char should participate in a merge as one symbol")
+    val (_, bRules, bWant, bPieces, bWantP) =
+      batchedBoth(texts, nMerges = 3, minPairCount = 2L)
+    assert(bRules == bWant && bPieces == bWantP)
   }
 
   test("encode: trained words use their pieces, OOV words fall back to chars") {

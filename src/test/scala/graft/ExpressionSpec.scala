@@ -54,4 +54,99 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out(1L).contains(11.0)) // 1*3 + 2*4, extra element ignored
     assert(out(2L).isEmpty)
   }
+
+  // ---- ImageMeta: hand-built REAL container bytes -------------------
+
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private def be16b(v: Int) = b(v >> 8, v & 0xFF)
+  private def le16b(v: Int) = b(v & 0xFF, v >> 8)
+  private def be32b(v: Int) = b(v >>> 24, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF)
+  private def le32b(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, v >>> 24)
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] =
+    b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+      be32b(13) ++ "IHDR".getBytes ++ be32b(w) ++ be32b(h) ++
+      b(8, 6, 0, 0, 0) ++ be32b(0)
+
+  private def gifBytes(w: Int, h: Int, ver: Char = '9'): Array[Byte] =
+    s"GIF8${ver}a".getBytes ++ le16b(w) ++ le16b(h) ++ b(0xF7, 0, 0)
+
+  private def jpegBytes(w: Int, h: Int, sof: Int, extraSegs: Int)
+  : Array[Byte] = {
+    val app = b(0xFF, 0xE1, 0x00, 0x06) ++ b(1, 2, 3, 4) // len 6
+    val fill = b(0xFF) // fill byte before a marker
+    b(0xFF, 0xD8) ++
+      Array.fill(extraSegs)(app).flatten ++ fill ++
+      b(0xFF, sof, 0x00, 0x0B, 8) ++ be16b(h) ++ be16b(w) ++
+      b(1, 1, 0x11, 0) ++ b(0xFF, 0xD9)
+  }
+
+  private def bmpBytes(w: Int, h: Int): Array[Byte] =
+    "BM".getBytes ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
+      le32b(40) ++ le32b(w) ++ le32b(h) ++ b(1, 0, 24, 0)
+
+  test("ImageMeta parses real PNG/GIF/JPEG/BMP headers, nulls the rest") {
+    import graft.functions.ImageMeta.imageMeta
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> pngBytes(640, 480),
+      2L -> gifBytes(13, 7),
+      3L -> gifBytes(320, 200, ver = '7'),
+      4L -> jpegBytes(1920, 1080, sof = 0xC0, extraSegs = 2),
+      5L -> jpegBytes(33, 44, sof = 0xC2, extraSegs = 0), // progressive
+      6L -> bmpBytes(800, 600),
+      7L -> (bmpBytes(800, 600).take(20)), // truncated BMP
+      8L -> pngBytes(10, 10).take(12), // truncated PNG
+      9L -> "just some text".getBytes, // not an image
+      10L -> Array.empty[Byte],
+      11L -> null,
+      // BMP bottom-up negative height → absolute value
+      12L -> ("BM".getBytes ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
+        le32b(40) ++ le32b(64) ++ le32b(-32) ++ b(1, 0, 24, 0)),
+      // JPEG with a DHT (C4) segment before the SOF — must be skipped
+      13L -> (b(0xFF, 0xD8) ++ b(0xFF, 0xC4, 0x00, 0x04, 0, 0) ++
+        b(0xFF, 0xC1, 0x00, 0x0B, 8) ++ be16b(21) ++ be16b(12) ++
+        b(1, 1, 0x11, 0) ++ b(0xFF, 0xD9)))
+    val df = rows.toDF("id", "payload")
+    val got = df.select(col("id"), imageMeta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getString(1), r.getInt(2), r.getInt(3))))).toMap
+    assert(got(1L).contains(("png", 640, 480)))
+    assert(got(2L).contains(("gif", 13, 7)))
+    assert(got(3L).contains(("gif", 320, 200)))
+    assert(got(4L).contains(("jpeg", 1920, 1080)))
+    assert(got(5L).contains(("jpeg", 33, 44)))
+    assert(got(6L).contains(("bmp", 800, 600)))
+    assert(got(7L).isEmpty)
+    assert(got(8L).isEmpty)
+    assert(got(9L).isEmpty)
+    assert(got(10L).isEmpty)
+    assert(got(11L).isEmpty)
+    assert(got(12L).contains(("bmp", 64, 32)))
+    assert(got(13L).contains(("jpeg", 12, 21)))
+  }
+
+  test("ImageMeta round-trips the synthetic payload builder against closed form") {
+    import graft.operators.MultiModal
+    val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = MultiModal.imageMeta(
+        docs.select(col("doc_id"),
+          MultiModal.syntheticImagePayload("doc_id", "text").as("payload")),
+        "doc_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1), r.getLong(2), r.getLong(3))))).toMap
+    (0L until 40L).foreach { i =>
+      val want = (i % 5) match {
+        case 0 => Some(("png", i % 613 + 1, i % 479 + 1))
+        case 1 => Some(("gif", i % 613 + 1, i % 479 + 1))
+        case 2 => Some(("jpeg", i % 613 + 1, i % 479 + 1))
+        case 3 => Some(("bmp", i % 613 + 1, i % 479 + 1))
+        case _ => None
+      }
+      assert(got(i) == want, s"id $i: got ${got(i)}, want $want")
+    }
+  }
 }

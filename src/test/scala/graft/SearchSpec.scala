@@ -394,4 +394,98 @@ class SearchSpec extends AnyFunSuite {
       "q_id", "q_text", k = 5)) == before,
       "compaction must not change serve results")
   }
+
+  test("indexDelete: serve and bulk equal a rebuild without the deleted docs") {
+    val (docs, queries) = corpusAndQueries()
+    val deadIds = docs.filter($"doc_id" % 9 === 2).select("doc_id")
+    val delRoot = tmp("bm25del")
+    val refRoot = tmp("bm25delref")
+    Search.buildTextIndex(spark, docs, "doc_id", "text", delRoot)
+    Search.indexDelete(spark, deadIds, "doc_id", delRoot)
+    Search.buildTextIndex(spark,
+      docs.join(deadIds, Seq("doc_id"), "left_anti"),
+      "doc_id", "text", refRoot)
+    val want = rows(Search.serveBm25(spark, refRoot, queries,
+      "q_id", "q_text", k = 5))
+    assert(want.nonEmpty)
+    assert(rows(Search.serveBm25(spark, delRoot, queries,
+      "q_id", "q_text", k = 5)) == want,
+      "tombstoned serve must equal the rebuild (df and stats included)")
+    assert(rows(Search.bm25TopKFromIndex(spark, delRoot, queries,
+      "q_id", "q_text", k = 5)) == want,
+      "the bulk path must honor tombstones too")
+    def stats(r: String) = VersionedStore.read(spark, s"$r/stats")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(stats(delRoot) == stats(refRoot),
+      "corpus stats must exclude deleted docs immediately")
+    // replayed delete is a no-op
+    Search.indexDelete(spark, deadIds, "doc_id", delRoot)
+    assert(rows(Search.serveBm25(spark, delRoot, queries,
+      "q_id", "q_text", k = 5)) == want)
+  }
+
+  test("indexDelete: compaction sweeps rows physically and keeps pruning + results") {
+    val (docs, queries) = corpusAndQueries()
+    val deadIds = docs.filter($"doc_id" % 9 === 2).select("doc_id")
+    val root = tmp("bm25sweep")
+    Search.buildTextIndex(spark, docs, "doc_id", "text", root)
+    Search.indexDelete(spark, deadIds, "doc_id", root)
+    val before = rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5))
+    Search.compactTextIndex(spark, root)
+    // physically gone, not merely filtered
+    val deadSet = deadIds.collect().map(_.getLong(0)).toSet
+    val remaining = VersionedStore.read(spark, s"$root/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(remaining.intersect(deadSet).isEmpty,
+      "sweep must remove tombstoned postings from disk")
+    assert(VersionedStore.read(spark, s"$root/dlens")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .intersect(deadSet).isEmpty, "sweep must remove tombstoned dlens")
+    assert(rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5)) == before,
+      "sweep must not change serve results")
+    // pruning preserved after the sweep
+    val allFiles = VersionedStore.read(spark, s"$root/postings")
+      .inputFiles.toSet
+    val statsFiles = VersionedStore.read(spark, s"$root/stats")
+      .inputFiles.toSet
+    val term = docs
+      .select(element_at(split($"text", " "), 1).as("t"))
+      .filter(length($"t") > 0)
+      .first().getString(0)
+    val oneTerm = Seq((1L, term)).toDF("q_id", "q_text")
+    val opened = Search.serveBm25(spark, root, oneTerm, "q_id", "q_text",
+      k = 5).inputFiles.toSet -- statsFiles
+    assert(opened.nonEmpty && opened.size < allFiles.size,
+      "swept layout must still prune a one-term serve")
+    // a second compaction takes the plain path (ledger retired)
+    Search.compactTextIndex(spark, root)
+    assert(rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5)) == before)
+  }
+
+  test("indexDelete: re-ingesting a deleted doc re-activates it") {
+    val v1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta")).toDF("doc_id", "text")
+    val root = tmp("bm25readd")
+    val refRoot = tmp("bm25readdref")
+    Search.buildTextIndex(spark, v1, "doc_id", "text", root)
+    Search.indexDelete(spark, Seq(2L).toDF("doc_id"), "doc_id", root)
+    // re-add with NEW text — must fully resurrect with the new content
+    val readd = Seq((2L, "omega psi")).toDF("doc_id", "text")
+    Search.indexUpsert(spark, readd, "doc_id", "text", root)
+    Search.buildTextIndex(spark,
+      Seq((1L, "alpha beta gamma"), (2L, "omega psi"), (3L, "zeta eta"))
+        .toDF("doc_id", "text"), "doc_id", "text", refRoot)
+    val queries = Seq((10L, "omega alpha"), (11L, "delta epsilon"))
+      .toDF("q_id", "q_text")
+    assert(rows(Search.serveBm25(spark, root, queries,
+      "q_id", "q_text", k = 5)) ==
+      rows(Search.serveBm25(spark, refRoot, queries,
+        "q_id", "q_text", k = 5)))
+    def stats(r: String) = VersionedStore.read(spark, s"$r/stats")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(stats(root) == stats(refRoot))
+  }
 }
