@@ -792,10 +792,16 @@ object Graft {
   // --- tokenizer training --------------------------------------------
 
   /** Train a BPE merge vocabulary over the corpus (one corpus pass,
-    * then vocabulary-sized merge rounds). */
+    * then vocabulary-sized merge rounds). Dispatches by vocabulary
+    * size: small runs take the sequential trainer (2 cheap jobs per
+    * merge), realistic vocabularies the exact BATCHED trainer
+    * ([[Bpe.trainBatched]] — provably identical rules, ~an order of
+    * magnitude fewer rounds; measured crossover is a few hundred
+    * merges, SCALE_NOTES round 8). */
   def bpeTrain(docs: DataFrame, nMerges: Int,
                minPairCount: Long = 2L): Bpe.BpeModel =
-    Bpe.train(docs, "doc_id", "text", nMerges, minPairCount)
+    if (nMerges < 200) Bpe.train(docs, "doc_id", "text", nMerges, minPairCount)
+    else Bpe.trainBatched(docs, "doc_id", "text", nMerges, minPairCount)._1
 
   /** Encode a corpus with a trained BPE model (word → pieces lookup
     * join; out-of-vocabulary words fall back to characters). */

@@ -644,18 +644,18 @@ object SparkEntry {
 
   private def bpeModel(s: SparkSession, d: String): Bpe.BpeModel =
     sessionArtifact(bpeModels, s, d)(
-      Bpe.trainBatched(Tables.documents(s, d), "doc_id", "text",
-        nMerges = 30)._1)
+      Bpe.train(Tables.documents(s, d), "doc_id", "text", nMerges = 30))
 
   /** BPE tokenizer training (30 merges) over the corpus — rows-only
     * (iterative; not SQL-expressible), spec-held to a naive in-memory
-    * reference. Declared via the BATCHED trainer (round 8): identical
-    * rules/ranks by construction (exact-batch acceptance rule,
-    * spec-proven equal to the sequential path), a fraction of the
-    * per-merge job-scheduling floor. */
+    * reference. Declared on the SEQUENTIAL trainer: at 30 merges its
+    * 2-jobs-per-merge floor undercuts the batched trainer's
+    * 3-jobs-per-round trigram work (measured crossover ~a few hundred
+    * merges); [[Bpe.trainBatched]] — spec-proven to produce identical
+    * rules — is the realistic-vocabulary path (19 merges/round on the
+    * probe corpus, SCALE_NOTES round 8). */
   def qBpeMerges(s: SparkSession, d: String): DataFrame =
-    Bpe.trainBatched(Tables.documents(s, d), "doc_id", "text",
-      nMerges = 30)._1.rules
+    Bpe.train(Tables.documents(s, d), "doc_id", "text", nMerges = 30).rules
 
   /** Encode the corpus with the trained model (word → pieces lookup
     * join; OOV falls back to characters). Declared with the piece
@@ -2566,11 +2566,12 @@ object SparkEntry {
       // doc_id, and the non-image residue must come back NULL.
       "q_image_meta" ->
         """SELECT doc_id,
-          |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-          |       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'bmp' END AS format,
-          |  CASE WHEN doc_id % 5 = 4 THEN NULL
+          |  CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+          |       WHEN 2 THEN 'jpeg' WHEN 3 THEN 'bmp'
+          |       WHEN 4 THEN 'webp' END AS format,
+          |  CASE WHEN doc_id % 6 = 5 THEN NULL
           |       ELSE doc_id % 613 + 1 END AS width,
-          |  CASE WHEN doc_id % 5 = 4 THEN NULL
+          |  CASE WHEN doc_id % 6 = 5 THEN NULL
           |       ELSE doc_id % 479 + 1 END AS height
           |FROM documents""".stripMargin,
 

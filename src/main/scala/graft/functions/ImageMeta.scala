@@ -31,6 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP:  "BM", BITMAPINFOHEADER width/height little-endian int32
   *    at offsets 18/22 (height's sign encodes row order — reported
   *    as its absolute value).
+  *  - WebP: RIFF/"WEBP" container; VP8X extended header (24-bit LE
+  *    canvas-1 fields), VP8L lossless (14-bit packed dims behind the
+  *    0x2F signature), or VP8 lossy (16-bit LE dims after the
+  *    9D 01 2A start code) — whichever chunk leads.
   *
   * Output: struct(format string, width int, height int); NULL for
   * payloads that match no signature or are truncated before their
@@ -107,6 +111,30 @@ object ImageMeta {
     // BMP: "BM" + BITMAPINFOHEADER at offset 14 (biSize >= 40)
     if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40L)
       return row("bmp", le32(b, 18), math.abs(le32(b, 22).toInt).toLong)
+    // WebP: RIFF container, first chunk VP8X / VP8L / "VP8 "
+    if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      if (b.length >= 30 &&
+          b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'X')
+        // canvas width/height stored minus one as 24-bit LE
+        return row("webp",
+          (le16(b, 24).toLong | (u8(b, 26).toLong << 16)) + 1L,
+          (le16(b, 27).toLong | (u8(b, 29).toLong << 16)) + 1L)
+      if (b.length >= 25 &&
+          b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == 'L' &&
+          u8(b, 20) == 0x2F) {
+        // 14-bit width-1 then 14-bit height-1, LSB-first bitstream
+        val bits = le32(b, 21)
+        return row("webp", (bits & 0x3FFF) + 1L, ((bits >> 14) & 0x3FFF) + 1L)
+      }
+      if (b.length >= 30 &&
+          b(12) == 'V' && b(13) == 'P' && b(14) == '8' && b(15) == ' ' &&
+          u8(b, 23) == 0x9D && u8(b, 24) == 0x01 && u8(b, 25) == 0x2A)
+        return row("webp", (le16(b, 26) & 0x3FFF).toLong,
+          (le16(b, 28) & 0x3FFF).toLong)
+      return null // unknown leading chunk or truncated
+    }
     // JPEG: marker-segment walk to the first SOFn
     if (u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) {
       var i = 2

@@ -165,20 +165,29 @@ object Bpe {
     *    trigram count through (a,b). (This also covers pairs of two
     *    merged tokens: an "ab·cd" occurrence sits on the pre-round
     *    trigram "b c d" of the (c,d) rule.)
-    * So the round computes pair counts AND per-pair created-pair
-    * bounds (one extra trigram aggregate over the vocabulary-sized
-    * word table), sorts candidates by the sequential order
-    * (count desc, then left, right in binary order) and accepts a
-    * PREFIX while each candidate (1) does not interact with an
-    * already-accepted rule (its left is no accepted rule's right and
-    * vice versa) — its count is then provably what the sequential
-    * argmax would see — and (2) has count STRICTLY above
-    * every accepted rule's created-pair bound — so no pair created
-    * mid-batch can outrank it (ties stop the batch: a created pair
-    * could tie-break-win). The first rejection ends the batch (a
-    * conflicting candidate's decayed count is unknown, so nothing
-    * after it is provably next). Worst case the prefix is a single
-    * pair — plain sequential training, still exact.
+    * So each round computes pair counts, per-pair created-pair
+    * bounds, AND the trigram counts whose boundary pairs both sit in
+    * the top-(maxBatch+1) window (all over the vocabulary-sized word
+    * table), then SIMULATES the sequential argmax on the driver:
+    * conflicting candidates' counts decay by their exact trigram
+    * terms (x == b costs trig(a,b,y); y == a costs trig(x,a,b)), and
+    * a candidate whose decay is NOT provable from trigrams alone —
+    * hit from both sides (4-gram overlap), hit by a rule that was
+    * itself accepted after decaying (its pre-round trigrams
+    * over-count what it still destroys), or touched by an l==r rule
+    * (greedy alternation) — turns UNCERTAIN, tracked by an upper
+    * bound. A pick is accepted only while it STRICTLY beats the
+    * window floor (the +1th raw count — unseen pairs only decay),
+    * every uncertain bound, and every accepted rule's created-pair
+    * ceiling: exactly the comparisons the sequential argmax would
+    * win, so the batch — including its recorded pair_counts, which
+    * are the DECAYED values — is provably the sequential result.
+    * Accepted rules apply in rank-ordered LAYERS (a rule whose right
+    * is some earlier same-layer rule's left starts a new fold pass),
+    * all layers in one projection. A round that can prove nothing
+    * falls back to one global sequential argmax, guaranteeing
+    * progress. Worst case throughout is plain sequential training —
+    * still exact.
     *
     * Returns the model plus the round count (the probe's evidence
     * that batching actually batched).
@@ -233,6 +242,10 @@ object Bpe {
       val symbols = pairs.select(explode(array(col("l"), col("r")))
         .as("sym")).distinct()
       val want = math.min(maxBatch, nMerges - rules.size)
+      // +1 row: the extra row's RAW count is the window floor — every
+      // unseen pair is at or below it (counts only decay mid-batch;
+      // gains are excluded by the collision guard)
+      val lim = want + 1
       val cand = pairs
         .join(cRight, Seq("l", "r"), "left")
         .join(cLeft, Seq("l", "r"), "left")
@@ -244,49 +257,194 @@ object Bpe {
         .withColumn("collides", coalesce(col("collides"), lit(false)))
         .select("l", "r", "pc", "cb", "collides")
         .orderBy(col("pc").desc, col("l"), col("r"))
-        .limit(want)
+        .limit(lim)
         .collect()
       if (cand.isEmpty) done = true
       else {
-        // a candidate (x, y) INTERACTS with an accepted rule (a, b)
-        // only when x == b ("a b y": the merge consumes the b, so
-        // (x, y) occurrences decay) or y == a ("x a b": consumes the
-        // a). Sharing the LEFT symbol (x == a) or the RIGHT symbol
-        // (y == b) changes nothing: an a is consumed only when
-        // followed by b, a b only when preceded by a — so counts
-        // stay exact AND the one-pass combined-map application stays
-        // equal to sequential (no rule's right equals another's left
-        // ⇒ no merge enables or disables another's match).
-        val lefts = scala.collection.mutable.Set.empty[String]
-        val rights = scala.collection.mutable.Set.empty[String]
-        val batch = scala.collection.mutable.ArrayBuffer
-          .empty[(String, String, String)]
-        var maxCb = Long.MinValue
-        var stop = false
-        var i = 0
-        while (i < cand.length && !stop) {
-          val (l, r, pc, cb, collides) = (cand(i).getString(0),
-            cand(i).getString(1), cand(i).getLong(2), cand(i).getLong(3),
-            cand(i).getBoolean(4))
-          if (batch.nonEmpty && (rights(l) || lefts(r) || pc <= maxCb)) {
-            if (sys.env.contains("GRAFT_BPE_DEBUG")) {
-              val why = if (rights(l) || lefts(r)) "conflict" else "cbound"
-              println(s"[bpe] round stop: $why at batch=${batch.size} " +
-                s"cand=($l,$r,pc=$pc) maxCb=$maxCb")
-            }
-            stop = true
-          }
-          else {
-            rules += ((rules.size + 1, l, r, l + r, pc))
-            batch += ((l, r, l + r))
-            lefts += l; rights += r
-            maxCb = math.max(maxCb, cb)
-            if (collides) stop = true
-          }
-          i += 1
+        // Decay-aware driver simulation of the sequential argmax over
+        // the window. A candidate (x, y) INTERACTS with an accepted
+        // rule (a, b) only when x == b ("a b y": the merge consumes
+        // the b, destroying exactly trig(a,b,y) occurrences of
+        // (x, y)) or y == a ("x a b": consumes the a, destroying
+        // trig(x,a,b)); sharing the left (x == a) or right (y == b)
+        // symbol changes NOTHING. So with the trigram counts whose
+        // boundary pairs both sit in the window, the decayed counts
+        // of conflicting candidates are EXACTLY computable — as long
+        // as the destroying rule is PRISTINE (accepted at its raw
+        // count: a rule accepted after decay has lost occurrences,
+        // so its pre-round trigrams over-count what it destroys) and
+        // the candidate has not been hit from BOTH sides (an x-side
+        // and a y-side term can double-count one 4-gram instance).
+        // Candidates outside those provable cases turn UNCERTAIN
+        // (tracked by an upper bound); acceptance requires the pick
+        // to STRICTLY beat the window floor, every uncertain bound,
+        // and every accepted rule's created-pair ceiling — exactly
+        // the comparisons the sequential argmax would win.
+        val subTri = {
+          val wDf = cand.map(r => (r.getString(0), r.getString(1)))
+            .toSeq.toDF("wl", "wr")
+          tris
+            .join(broadcast(wDf),
+              col("s1") === col("wl") && col("s2") === col("wr"),
+              "left_semi")
+            .join(broadcast(wDf),
+              col("s2") === col("wl") && col("s3") === col("wr"),
+              "left_semi")
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+              r.getLong(3)).toMap
         }
-        state = state.withColumn("syms",
-          applyMergeBatch(col("syms"), batch.toSeq)).localCheckpoint()
+        val n = cand.length
+        val lArr = Array.tabulate(n)(cand(_).getString(0))
+        val rArr = Array.tabulate(n)(cand(_).getString(1))
+        val raw = Array.tabulate(n)(cand(_).getLong(2))
+        val cbArr = Array.tabulate(n)(cand(_).getLong(3))
+        val coll = Array.tabulate(n)(cand(_).getBoolean(4))
+        val cur = raw.clone()
+        val uncertain = new Array[Boolean](n)
+        val hi = raw.clone()
+        val accepted = new Array[Boolean](n)
+        val sawDx = new Array[Boolean](n)
+        val sawDy = new Array[Boolean](n)
+        val floor = if (n < lim) minPairCount - 1 else raw(n - 1)
+        // tie-break comparisons in UTF-8 binary order (Spark's sort)
+        def u8(s: String) =
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def u8cmp(a: String, b: String): Int =
+          java.util.Arrays.compareUnsigned(u8(a), u8(b))
+        var maxCb = Long.MinValue
+        // layered application preserving rank order: a rule whose
+        // RIGHT equals a current-layer rule's LEFT must apply in a
+        // LATER pass (the one-pass scan would otherwise consume the
+        // earlier rule's left symbol from the left first)
+        val maxLayers = 6
+        val layers = scala.collection.mutable.ArrayBuffer
+          .empty[Seq[(String, String, String)]]
+        var curLayer = scala.collection.mutable.ArrayBuffer
+          .empty[(String, String, String)]
+        var curLefts = scala.collection.mutable.Set.empty[String]
+        var took = 0
+        var stopRound = false
+        while (took < want && !stopRound) {
+          var best = -1
+          var j = 0
+          while (j < n) {
+            if (!accepted(j) && !uncertain(j) && cur(j) >= minPairCount &&
+                (best < 0 || cur(j) > cur(best) ||
+                  (cur(j) == cur(best) && {
+                    val c1 = u8cmp(lArr(j), lArr(best))
+                    c1 < 0 || (c1 == 0 && u8cmp(rArr(j), rArr(best)) < 0)
+                  }))) best = j
+            j += 1
+          }
+          var maxUncHi = Long.MinValue
+          var u = 0
+          while (u < n) {
+            if (!accepted(u) && uncertain(u) && hi(u) > maxUncHi)
+              maxUncHi = hi(u)
+            u += 1
+          }
+          if (best < 0 || cur(best) <= floor || cur(best) <= maxCb ||
+              cur(best) <= maxUncHi) {
+            if (sys.env.contains("GRAFT_BPE_DEBUG") && took > 0) {
+              val why =
+                if (best < 0) "exhausted"
+                else if (cur(best) <= floor) "floor"
+                else if (cur(best) <= maxCb) "cbound"
+                else "uncertain"
+              println(s"[bpe] round stop: $why at batch=$took")
+            }
+            stopRound = true
+          } else {
+            val needNewLayer = curLefts.contains(rArr(best))
+            if (needNewLayer && layers.size + 1 >= maxLayers) {
+              stopRound = true
+            } else {
+              if (needNewLayer) {
+                layers += curLayer.toSeq
+                curLayer = scala.collection.mutable.ArrayBuffer.empty
+                curLefts = scala.collection.mutable.Set.empty
+              }
+              val (bl, br, bc) = (lArr(best), rArr(best), cur(best))
+              curLayer += ((bl, br, bl + br))
+              curLefts += bl
+              accepted(best) = true
+              took += 1
+              rules += ((rules.size + 1, bl, br, bl + br, bc))
+              maxCb = math.max(maxCb, math.min(bc, cbArr(best)))
+              val tainted = bc < raw(best)
+              val isRun = bl == br
+              var k = 0
+              while (k < n) {
+                if (!accepted(k)) {
+                  if (isRun) {
+                    // greedy alternation makes a run rule's trigram
+                    // decay inexact — touching candidates go opaque
+                    if (lArr(k) == bl || rArr(k) == bl) {
+                      uncertain(k) = true
+                      hi(k) = math.min(hi(k), cur(k))
+                    }
+                  } else {
+                    val dxHit = lArr(k) == br
+                    val dyHit = rArr(k) == bl
+                    if (dxHit || dyHit) {
+                      val dx = if (dxHit)
+                        subTri.getOrElse((bl, br, rArr(k)), 0L) else 0L
+                      val dy = if (dyHit)
+                        subTri.getOrElse((lArr(k), bl, br), 0L) else 0L
+                      if (tainted) {
+                        uncertain(k) = true
+                        hi(k) = math.min(hi(k), cur(k))
+                      } else if (dxHit && dyHit) {
+                        // both sides of ONE rule (the reverse pair):
+                        // overlap bounded by min(dx, dy) 4-grams, so
+                        // at least max(dx, dy) really died
+                        uncertain(k) = true
+                        hi(k) = math.min(hi(k),
+                          cur(k) - math.max(dx, dy))
+                      } else if ((dx > 0L && sawDy(k)) ||
+                                 (dy > 0L && sawDx(k))) {
+                        // cross-rule two-sided history: a 4-gram can
+                        // be counted by both an old and a new term
+                        uncertain(k) = true
+                        hi(k) = math.min(hi(k), cur(k))
+                      } else {
+                        cur(k) -= (dx + dy)
+                        if (cur(k) < 0L) cur(k) = 0L
+                        if (dx > 0L) sawDx(k) = true
+                        if (dy > 0L) sawDy(k) = true
+                      }
+                    }
+                  }
+                }
+                k += 1
+              }
+              // merged string collides with a live symbol: applying
+              // this rule GAINS counts for existing pairs — nothing
+              // after it is provable this round
+              if (coll(best)) stopRound = true
+            }
+          }
+        }
+        if (curLayer.nonEmpty) layers += curLayer.toSeq
+        if (took == 0) {
+          // zero provable progress (e.g. the whole window ties at the
+          // floor) — take ONE exact global argmax like the sequential
+          // trainer, guaranteeing termination
+          val best = pairs
+            .orderBy(col("pc").desc, col("l"), col("r"))
+            .limit(1).collect()(0)
+          val (l, r, pc) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          rules += ((rules.size + 1, l, r, l + r, pc))
+          state = state.withColumn("syms",
+            applyMerge(col("syms"), l, r)).localCheckpoint()
+        } else {
+          // all layers in ONE projection: nested fold passes
+          val newSyms = layers.foldLeft(col("syms"))(
+            (c, layer) => applyMergeBatch(c, layer))
+          state = state.withColumn("syms", newSyms).localCheckpoint()
+        }
         rounds += 1
       }
     }

@@ -187,10 +187,21 @@ object MultiModal {
       hexLit("424D"), hexLit("3600000000000000"), hexLit("36000000"),
       hexLit("28000000"), // biSize = 40
       le32(w), le32(h), hexLit("01001800"))
-    when(id % 5 === 0, png)
-      .when(id % 5 === 1, gif)
-      .when(id % 5 === 2, jpeg)
-      .when(id % 5 === 3, bmp)
+    val le24 = (c: org.apache.spark.sql.Column) => {
+      val hx = lpad(hex(c.cast("int")), 6, "0")
+      unhex(concat(substring(hx, 5, 2), substring(hx, 3, 2),
+        substring(hx, 1, 2)))
+    }
+    val webp = concat(
+      hexLit("52494646"), hexLit("16000000"), // RIFF + size 22
+      hexLit("57454250"), hexLit("56503858"), // WEBP + VP8X
+      hexLit("0A000000"), hexLit("10000000"), // chunk len 10 + flags
+      le24(w - 1), le24(h - 1)) // canvas minus-one, 24-bit LE
+    when(id % 6 === 0, png)
+      .when(id % 6 === 1, gif)
+      .when(id % 6 === 2, jpeg)
+      .when(id % 6 === 3, bmp)
+      .when(id % 6 === 4, webp)
       .otherwise(col(textCol).cast("binary")) // not an image → NULL meta
   }
 

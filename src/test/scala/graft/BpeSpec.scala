@@ -217,6 +217,39 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batched: decay-tracked conflicts match the reference (chain-heavy corpora)") {
+    // two-letter alphabet with long words maximizes x==b / y==a
+    // interactions, reverse pairs (ab vs ba), and tainted-rule
+    // chains — the decay-simulation paths
+    val genWord = Gen.choose(2, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString))
+    val genText = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, genText))
+    (1 to 12).foreach { round =>
+      val texts = genCorpus(Gen.Parameters.default, Seed(round * 7207L)).get
+      val (_, gotRules, wantRules, gotPieces, wantPieces) =
+        batchedBoth(texts, nMerges = 15, minPairCount = 1L, maxBatch = 8)
+      assert(gotRules == wantRules, s"rules diverged on round $round: $texts")
+      assert(gotPieces == wantPieces,
+        s"segmentations diverged on round $round: $texts")
+    }
+  }
+
+  test("batched: recorded pair_counts equal the sequential (decayed) counts") {
+    // a corpus engineered so the second-best pair decays when the
+    // best merges: "xa ab" — merging (a,b) consumes occurrences of
+    // (x,a)'s neighbor pattern "x a b"
+    val texts = Seq(
+      "xab xab xab xab xab",  // (a,b) and (x,a) both frequent, chained
+      "xa xa xa",              // keeps (x,a) alive off the chain
+      "qq qq")                 // filler
+    val (_, gotRules, wantRules, _, _) =
+      batchedBoth(texts, nMerges = 6, minPairCount = 1L)
+    assert(gotRules == wantRules,
+      s"decayed pair_count mismatch: got $gotRules want $wantRules")
+  }
+
   test("non-BMP characters are single code-point symbols on both sides") {
     // U+1D552 (𝕒) is a surrogate pair in UTF-16; both the distributed
     // splitter (Spark substring, code-point indexed) and the naive

@@ -85,6 +85,20 @@ class ExpressionSpec extends AnyFunSuite {
     "BM".getBytes ++ le32b(54) ++ le32b(0) ++ le32b(54) ++
       le32b(40) ++ le32b(w) ++ le32b(h) ++ b(1, 0, 24, 0)
 
+  private def le24b(v: Int) = b(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+  private def webpVp8x(w: Int, h: Int): Array[Byte] =
+    "RIFF".getBytes ++ le32b(22) ++ "WEBPVP8X".getBytes ++ le32b(10) ++
+      b(0x10, 0, 0, 0) ++ le24b(w - 1) ++ le24b(h - 1)
+  private def webpVp8l(w: Int, h: Int): Array[Byte] = {
+    val bits = (w - 1) | ((h - 1) << 14)
+    "RIFF".getBytes ++ le32b(17) ++ "WEBPVP8L".getBytes ++ le32b(5) ++
+      b(0x2F) ++ le32b(bits)
+  }
+  private def webpVp8(w: Int, h: Int): Array[Byte] =
+    "RIFF".getBytes ++ le32b(22) ++ "WEBPVP8 ".getBytes ++ le32b(10) ++
+      b(0x00, 0x00, 0x00) ++ b(0x9D, 0x01, 0x2A) ++
+      le16b(w) ++ le16b(h)
+
   test("ImageMeta parses real PNG/GIF/JPEG/BMP headers, nulls the rest") {
     import graft.functions.ImageMeta.imageMeta
     val rows: Seq[(Long, Array[Byte])] = Seq(
@@ -105,7 +119,13 @@ class ExpressionSpec extends AnyFunSuite {
       // JPEG with a DHT (C4) segment before the SOF — must be skipped
       13L -> (b(0xFF, 0xD8) ++ b(0xFF, 0xC4, 0x00, 0x04, 0, 0) ++
         b(0xFF, 0xC1, 0x00, 0x0B, 8) ++ be16b(21) ++ be16b(12) ++
-        b(1, 1, 0x11, 0) ++ b(0xFF, 0xD9)))
+        b(1, 1, 0x11, 0) ++ b(0xFF, 0xD9)),
+      14L -> webpVp8x(2048, 1024),
+      15L -> webpVp8l(300, 200),
+      16L -> webpVp8(640, 352),
+      // RIFF but not a recognizable WebP chunk
+      17L -> ("RIFF".getBytes ++ le32b(10) ++ "WEBPJUNK".getBytes ++
+        le32b(2) ++ b(0, 0)))
     val df = rows.toDF("id", "payload")
     val got = df.select(col("id"), imageMeta(col("payload")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
@@ -126,6 +146,10 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got(11L).isEmpty)
     assert(got(12L).contains(("bmp", 64, 32)))
     assert(got(13L).contains(("jpeg", 12, 21)))
+    assert(got(14L).contains(("webp", 2048, 1024)))
+    assert(got(15L).contains(("webp", 300, 200)))
+    assert(got(16L).contains(("webp", 640, 352)))
+    assert(got(17L).isEmpty)
   }
 
   test("ImageMeta round-trips the synthetic payload builder against closed form") {
@@ -139,11 +163,12 @@ class ExpressionSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
         else Some((r.getString(1), r.getLong(2), r.getLong(3))))).toMap
     (0L until 40L).foreach { i =>
-      val want = (i % 5) match {
+      val want = (i % 6) match {
         case 0 => Some(("png", i % 613 + 1, i % 479 + 1))
         case 1 => Some(("gif", i % 613 + 1, i % 479 + 1))
         case 2 => Some(("jpeg", i % 613 + 1, i % 479 + 1))
         case 3 => Some(("bmp", i % 613 + 1, i % 479 + 1))
+        case 4 => Some(("webp", i % 613 + 1, i % 479 + 1))
         case _ => None
       }
       assert(got(i) == want, s"id $i: got ${got(i)}, want $want")
