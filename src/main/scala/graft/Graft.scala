@@ -807,4 +807,10 @@ object Graft {
     * join; out-of-vocabulary words fall back to characters). */
   def bpeEncode(docs: DataFrame, model: Bpe.BpeModel): DataFrame =
     Bpe.encode(docs, "doc_id", "text", model)
+
+  /** Encode a corpus including words the training corpus never saw:
+    * unseen words are segmented by replaying the merge rules (the
+    * tokenizer-serving semantics), seen words ride the piece cache. */
+  def bpeEncodeAny(docs: DataFrame, model: Bpe.BpeModel): DataFrame =
+    Bpe.encodeAny(docs, "doc_id", "text", model)
 }

@@ -668,6 +668,19 @@ object SparkEntry {
       .select(col("doc_id"), col("pos"), col("word"),
         array_join(col("pieces"), " ").as("pieces_str"))
 
+  /** Tokenizer SERVING on unseen text (round 8): every corpus word is
+    * prefixed so none is in the training vocabulary, forcing the
+    * rule-replay OOV engine ([[Bpe.encodeAny]]) instead of the piece
+    * cache — rows-only (model-dependent), spec-held to the exact
+    * training-replay property. */
+  def qBpeEncodeOov(s: SparkSession, d: String): DataFrame = {
+    val unseen = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+)", "un$1").as("text"))
+    Bpe.encodeAny(unseen, "doc_id", "text", bpeModel(s, d))
+      .select(col("doc_id"), col("pos"), col("word"),
+        array_join(col("pieces"), " ").as("pieces_str"))
+  }
+
   private def bm25Root(s: SparkSession, d: String): String =
     bm25Roots.computeIfAbsent(d, _ => {
       val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
@@ -929,6 +942,7 @@ object SparkEntry {
     "q_phrase_search" -> (qPhraseSearch _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
+    "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_tfidf_cosine" -> (qTfidfCosine _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_retrieval_metrics" -> (qRetrievalMetrics _),

@@ -476,4 +476,99 @@ object Bpe {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("word"), col("pieces"))
   }
+
+  /** Segment ONE word by REPLAYING the trained merge rules in rank
+    * order, each applied greedily left-to-right — byte-for-byte the
+    * training semantics (the same per-rule fold), so for any word
+    * that was IN the training corpus this reproduces the cached
+    * training segmentation exactly (spec-proven), and for unseen
+    * words it produces what training WOULD have produced had the
+    * word been present with count 0.
+    *
+    * Deliberately NOT the min-rank-present loop some encoders use:
+    * the two differ when a later rule's merged string collides with
+    * an earlier rule's left/right symbol (the min-rank loop would
+    * revisit the earlier rule; sequential training never does), and
+    * the cache this must agree with IS the sequential result. A
+    * symbol-set membership check skips the vast majority of rules in
+    * O(1), so cost is ~O(nRules) hash probes + O(applicable · len)
+    * fold work per DISTINCT word. */
+  def encodeWord(word: String, rules: IndexedSeq[(String, String)])
+  : Vector[String] = {
+    var syms = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    // symbols ever present — false positives only cost a wasted fold
+    val present = scala.collection.mutable.Set.empty[String]
+    syms.foreach(present += _)
+    var ri = 0
+    while (ri < rules.length && syms.length >= 2) {
+      val (l, r) = rules(ri)
+      if (present(l) && present(r)) {
+        var acc = List.empty[String] // reversed
+        var mergedAny = false
+        syms.foreach { s =>
+          if (acc.nonEmpty && acc.head == l && s == r) {
+            acc = (l + r) :: acc.tail
+            mergedAny = true
+          } else acc = s :: acc
+        }
+        if (mergedAny) {
+          syms = acc.reverse.toVector
+          present += (l + r)
+        }
+      }
+      ri += 1
+    }
+    syms
+  }
+
+  /** Encode a corpus INCLUDING words the training corpus never saw:
+    * seen words ride the piece-cache equi-join exactly like
+    * [[encode]]; unseen words are segmented by replaying the merge
+    * ranks ([[encodeWord]]) — the real tokenizer-serving semantics,
+    * instead of [[encode]]'s characters-only OOV fallback.
+    *
+    * Scale shape: the corpus tokenizes once; the piece cache joins
+    * broadcast-ish (vocabulary-sized); only the DISTINCT unseen words
+    * reach the rule engine (mapPartitions over a word-table-sized
+    * frame with the broadcast rank map — the rule table is the model
+    * artifact, driver-bounded like the SQ8 grids and DSIR models),
+    * and their segmentations join back by word. The corpus itself
+    * never shuffles; genuinely imperative work (the per-word merge
+    * loop) touches words, never documents.
+    */
+  def encodeAny(docs: DataFrame, idCol: String, textCol: String,
+                model: BpeModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleSeq: IndexedSeq[(String, String)] =
+      model.rules.select("rank", "left", "right").collect()
+        .sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toIndexedSeq
+    val ranksBc = spark.sparkContext.broadcast(ruleSeq)
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(Fns.words(col(textCol))).as(Seq("pos", "word")))
+      .filter(col("word") =!= "")
+      .localCheckpoint(false) // feeds the join twice below
+    val cached = words.join(
+      model.wordPieces.select(col("word"), col("syms")), Seq("word"), "left")
+    val unseenPieces = cached.filter(col("syms").isNull)
+      .select("word").distinct().as[String]
+      .mapPartitions { it =>
+        val rk = ranksBc.value
+        it.map(w => (w, encodeWord(w, rk)))
+      }.toDF("word", "oov_syms")
+    cached.join(unseenPieces, Seq("word"), "left")
+      .withColumn("pieces", coalesce(col("syms"), col("oov_syms")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("word"), col("pieces"))
+  }
 }

@@ -267,6 +267,65 @@ class BpeSpec extends AnyFunSuite {
     assert(bRules == bWant && bPieces == bWantP)
   }
 
+  test("encodeWord replays training exactly: every trained word re-segments to its cache") {
+    // the strongest property: treating EVERY training word as unseen
+    // must reproduce the training segmentation byte-for-byte —
+    // including on run/collision-prone corpora
+    val corpora = Seq(
+      Seq("low low low lower lower", "newest newest newest",
+        "newest widest widest"),
+      Seq("aaaa aaa aaaa aa a", "abab abab ababab", "bbb bb ab"),
+      Seq("xab xab xab xab xab", "xa xa xa", "qq qq"))
+    corpora.foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val model = Bpe.train(docs, "doc_id", "text", nMerges = 10,
+        minPairCount = 1L)
+      val ruleSeq = model.rules.select("rank", "left", "right").collect()
+        .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+        .toIndexedSeq
+      val cache = model.wordPieces.collect()
+        .map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+      cache.foreach { case (w, want) =>
+        assert(Bpe.encodeWord(w, ruleSeq) == want,
+          s"word '$w': replay ${Bpe.encodeWord(w, ruleSeq)} != cache $want")
+      }
+    }
+  }
+
+  test("encodeAny: unseen words segment by the rules, seen words by the cache") {
+    val train = Seq((1L, "low low low lower lower newest newest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(train, "doc_id", "text", nMerges = 8,
+      minPairCount = 1L)
+    val ruleSeq = model.rules.select("rank", "left", "right").collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+      .toIndexedSeq
+    // "lowest" is UNSEEN but shares structure with trained words —
+    // the rules should merge its "low"/"est"-ish prefixes, where the
+    // chars-only fallback of plain encode() cannot
+    val corpus = Seq((1L, "low lowest zzz")).toDF("doc_id", "text")
+    val got = Bpe.encodeAny(corpus, "doc_id", "text", model).collect()
+      .map(r => r.getString(2) -> r.getSeq[String](3).toVector).toMap
+    val cache = model.wordPieces.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toVector).toMap
+    assert(got("low") == cache("low"), "seen word must use the cache")
+    assert(got("lowest") == Bpe.encodeWord("lowest", ruleSeq))
+    assert(got("lowest").length < "lowest".length,
+      s"rules should merge something in 'lowest', got ${got("lowest")}")
+    assert(got("zzz") == Vector("z", "z", "z"),
+      "no applicable rules → code-point symbols")
+    // fully-seen corpora: encodeAny == encode row-for-row
+    val seenOnly = Seq((9L, "low lower newest")).toDF("doc_id", "text")
+    val a = Bpe.encodeAny(seenOnly, "doc_id", "text", model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getSeq[String](3).toVector)).toSet
+    val e = Bpe.encode(seenOnly, "doc_id", "text", model).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getSeq[String](3).toVector)).toSet
+    assert(a == e)
+  }
+
   test("encode: trained words use their pieces, OOV words fall back to chars") {
     val train = Seq((1L, "alpha alpha alpha beta")).toDF("doc_id", "text")
     val model = Bpe.train(train, "doc_id", "text", nMerges = 4,
