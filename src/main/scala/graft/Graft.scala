@@ -789,6 +789,14 @@ object Graft {
                     k: Int = 10): DataFrame =
     Search.retrievalMetrics(results, relevant, "q_id", "doc_id", k)
 
+  /** Dataset discovery: one descriptor row per child of a corpus
+    * root (versioned tables described manifest-only; parquet by
+    * footers; jsonl/csv enumerated; dataset_manifest.json parsed
+    * with malformed manifests kept in-row). */
+  def catalogDiscover(spark: SparkSession, basePath: String,
+                      countRows: Boolean = false): DataFrame =
+    graft.sources.Catalog.discover(spark, basePath, countRows)
+
   // --- tokenizer training --------------------------------------------
 
   /** Train a BPE merge vocabulary over the corpus (one corpus pass,

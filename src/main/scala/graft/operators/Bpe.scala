@@ -566,7 +566,11 @@ object Bpe {
         val rk = ranksBc.value
         it.map(w => (w, encodeWord(w, rk)))
       }.toDF("word", "oov_syms")
-    cached.join(unseenPieces, Seq("word"), "left")
+    // broadcast hint: post-mapPartitions frames carry no stats, so
+    // the planner would sort-merge (shuffling the CORPUS word
+    // stream); the unseen table is vocabulary-sized — the same
+    // broadcast-side assumption as the piece cache above
+    cached.join(broadcast(unseenPieces), Seq("word"), "left")
       .withColumn("pieces", coalesce(col("syms"), col("oov_syms")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("word"), col("pieces"))

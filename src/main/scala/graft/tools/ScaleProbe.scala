@@ -330,6 +330,21 @@ object ScaleProbe {
         Tables.documents(spark, d).limit(50)
           .withColumn("doc_id", col("doc_id") + lit(300000000L)),
         "doc_id", "text", bmRoot))
+    // retraction at xK: the tombstone write + stats recompute must be
+    // delete-batch-shaped (never a posting rewrite); the tombstoned
+    // serve pays one small anti-join; the sweep rides a compaction
+    time("bm25 delete 1% of docs")(
+      graft.operators.Search.indexDelete(spark,
+        docs.filter(col("doc_id") % 100 === 7).select("doc_id"),
+        "doc_id", bmRoot))
+    time("bm25 serve after delete (tombstoned)")(
+      graft.operators.Search.serveBm25(spark, bmRoot, bmQueries,
+        "q_id", "q_text", k = 10).count())
+    time("bm25 compact+sweep")(
+      graft.operators.Search.compactTextIndex(spark, bmRoot))
+    time("bm25 serve after sweep")(
+      graft.operators.Search.serveBm25(spark, bmRoot, bmQueries,
+        "q_id", "q_text", k = 10).count())
     // cosine + fusion: the cosine leg re-pays the tokenize/df work,
     // fusion itself is query-shaped (two exchanges over top-k rows)
     time("tfidf cosine topk xK")(
