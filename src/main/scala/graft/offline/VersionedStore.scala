@@ -839,7 +839,31 @@ object VersionedStore {
     * a racing writer lands first, the merge is RECOMPUTED against the
     * new head instead of publishing stale content over it.
     */
-  def merge(updates: DataFrame, root: String, keys: Seq[String]): Long = {
+  def merge(updates: DataFrame, root: String, keys: Seq[String]): Long =
+    copyOnWrite(updates, root, keys, insertUpdates = true)
+
+  /** Row deletion by key — the storage-level right-to-be-forgotten
+    * primitive. Copy-on-write exactly like [[merge]] with the SAME
+    * file pruning (numeric range + capped value set, string UTF-8
+    * footer ranges): only files that can hold a deleted key are
+    * rewritten without the matching rows; provably unmatched files
+    * carry by reference. Earlier versions remain readable — deletion
+    * is a new snapshot, so compliance workflows pair this with
+    * [[vacuum]] to retire the pre-deletion versions' files.
+    * `delKeys` carries just the key columns (extra columns ignored);
+    * keys that match nothing are harmless. Refuses to empty the
+    * table (a store invariant — use overwrite for that).
+    */
+  def deleteKeys(delKeys: DataFrame, root: String, keys: Seq[String])
+  : Long = {
+    import org.apache.spark.sql.functions.col
+    copyOnWrite(delKeys.select(keys.map(col): _*), root, keys,
+      insertUpdates = false)
+  }
+
+  private def copyOnWrite(updates: DataFrame, root: String,
+                          keys: Seq[String], insertUpdates: Boolean)
+  : Long = {
     import org.apache.spark.sql.functions.{col, min, max}
     import org.apache.spark.sql.types.{NumericType, TimestampType, StructType, DataType}
     val spark = updates.sparkSession
@@ -946,16 +970,29 @@ object VersionedStore {
           }
         }
       }
+      // pruning proved no file can hold a deleted key → the delete is
+      // a NO-OP; don't burn a version on an empty rewrite
+      if (!insertUpdates && touched.isEmpty) return head
       val updateKeys = updates.select(keys.map(col): _*).distinct()
-      def fullMerged = read(spark, root, head)
-        .join(updateKeys, keys, "left_anti").unionByName(updates)
+      def fullMerged = {
+        val kept = read(spark, root, head)
+          .join(updateKeys, keys, "left_anti")
+        if (insertUpdates) kept.unionByName(updates) else kept
+      }
       val (merged, carry) =
         if (untouched.isEmpty) (fullMerged, None)
         else {
           val survivors =
-            if (touched.isEmpty) updates
-            else readFiles(spark, root, snap, touched)
-              .join(updateKeys, keys, "left_anti").unionByName(updates)
+            if (touched.isEmpty) {
+              // nothing intersects: pure insert for merge; for delete
+              // there is nothing to rewrite at all
+              if (insertUpdates) updates
+              else read(spark, root, head).limit(0)
+            } else {
+              val kept = readFiles(spark, root, snap, touched)
+                .join(updateKeys, keys, "left_anti")
+              if (insertUpdates) kept.unionByName(updates) else kept
+            }
           // union type-widening (e.g. int updates over a long table)
           // would drift the snapshot schema away from the carried
           // files — only carry when the shape is provably unchanged
@@ -987,8 +1024,18 @@ object VersionedStore {
               snap.strStats.filter { case (f, _) => untouchedSet(f) })))
           } else (fullMerged, None)
         }
+      // a delete that leaves no carried file and no surviving row
+      // would commit an empty snapshot (unreadable by invariant) —
+      // refuse loudly. Only reachable on the full-rewrite path, so
+      // the extra count is paid when every file was touched anyway.
+      if (!insertUpdates && carry.isEmpty &&
+          merged.limit(1).count() == 0L)
+        throw new IllegalArgumentException(
+          s"deleteKeys would remove every row of $root — empty " +
+            "snapshots are not representable; use overwrite instead")
       try {
-        return commit(merged, root, "merge", carryPrev = false,
+        return commit(merged, root,
+          if (insertUpdates) "merge" else "delete", carryPrev = false,
           expectedVersion = head + 1, carry = carry)
       } catch {
         case _: CommitConflict => attempt += 1 // recompute vs new head

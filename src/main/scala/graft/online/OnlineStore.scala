@@ -98,6 +98,24 @@ object OnlineStore {
       root, Seq(kb, keyCol))
   }
 
+  /** Remove entities from a published snapshot (the serving-side
+    * right-to-be-forgotten): a pruned copy-on-write DELETE on
+    * (bucket, key) with the snapshot's own hash config — the same
+    * file-pruning shape as [[upsertSnapshot]], so a small key batch
+    * rewrites only its buckets' files. Deleted keys simply stop
+    * resolving in [[pointLookup]]; pair with VersionedStore.vacuum to
+    * retire pre-deletion snapshots. */
+  def deleteSnapshotKeys(keys: DataFrame, root: String): Long = {
+    import graft.offline.VersionedStore
+    val spark = keys.sparkSession
+    val (kb, keyCol, nBuckets) =
+      parseBucketCol(VersionedStore.schemaOf(spark, root))
+    VersionedStore.deleteKeys(
+      keys.select(col(keyCol)).withColumn(kb,
+        pmod(xxhash64(col(keyCol).cast("string")), lit(nBuckets.toLong))),
+      root, Seq(kb, keyCol))
+  }
+
   /** Re-sort a published snapshot by bucket to restore ~per-bucket
     * file pruning after accumulated upserts. */
   def compactSnapshot(spark: SparkSession, root: String,

@@ -780,6 +780,29 @@ object Ann {
       .orderBy("cell")
   }
 
+  /** Remove vectors from a persisted IVF index by id — the
+    * vector-side right-to-be-forgotten (retract PII/copyrighted
+    * embeddings without a rebuild): a copy-on-write DELETE on the
+    * inverted file; centroids stay frozen (removals shrink cells, so
+    * no drift — watch [[ivfIndexStats]] for the opposite problem on
+    * upserts). On the cell-sorted layout the id ranges per file are
+    * wide, so a scattered delete may rewrite most of the inverted
+    * file — batch deletions, then [[ivfIndexCompact]], exactly like
+    * replacement-heavy text-index workloads. Handles the float and
+    * the SQ8 inverted file (whichever exist under the root). */
+  def ivfIndexDelete(ids: DataFrame, indexRoot: String,
+                     idCol: String): Unit = {
+    import graft.offline.VersionedStore
+    val spark = ids.sparkSession
+    val keys = ids.select(col(idCol).as("id"))
+    if (VersionedStore.latestVersion(spark, assignmentTable(indexRoot)) >= 0L)
+      VersionedStore.deleteKeys(keys, assignmentTable(indexRoot), Seq("id"))
+    if (VersionedStore.latestVersion(spark,
+        sq8AssignmentTable(indexRoot)) >= 0L)
+      VersionedStore.deleteKeys(keys, sq8AssignmentTable(indexRoot),
+        Seq("id"))
+  }
+
   /** Refresh an SQ8-compressed persisted index: encode updates with
     * the index's STORED quantization grid (codes must stay comparable
     * to the existing inverted file — re-deriving the grid from the

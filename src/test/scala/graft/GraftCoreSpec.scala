@@ -50,7 +50,7 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     // held to a naive in-memory reference in BpeSpec).
     val known = Set("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_simhash_wide", "q_ann_ivf", "q_dedup_semdedup",
-      "q_bpe_merges", "q_bpe_encode")
+      "q_bpe_merges", "q_bpe_encode", "q_bpe_encode_oov")
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 

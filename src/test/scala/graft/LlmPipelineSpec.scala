@@ -775,6 +775,29 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(after.head.getDouble(2) == 1.0)
   }
 
+  test("ivfIndexDelete: retracted vectors vanish from serving, no retrain, no rebuild") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivfdel").toString + "/idx"
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val seed = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(0.95, 0.05, 0, 0)),
+      (3L, v(0.9, 0.1, 0, 0)), (4L, v(0, 0, 1, 0))
+    ).toDF("vec_id", "embedding")
+    Ann.ivfBuildIndex(seed, "vec_id", "embedding", nCentroids = 2, tmp)
+    val q = seed.filter($"vec_id" === 1L)
+    val before = Ann.ivfServe(spark, tmp, q, "vec_id", "embedding",
+      nProbe = 2, k = 1, excludeSelf = true).collect()
+    assert(before.head.getLong(1) == 2L, "vec 2 is the nearest pre-delete")
+    val t0 = Ann.quantizerTrainings.get()
+    Ann.ivfIndexDelete(Seq(2L).toDF("vec_id"), tmp, "vec_id")
+    assert(Ann.quantizerTrainings.get() == t0, "delete must not retrain")
+    val after = Ann.ivfServe(spark, tmp, q, "vec_id", "embedding",
+      nProbe = 2, k = 2, excludeSelf = true).collect()
+    assert(!after.exists(_.getLong(1) == 2L),
+      s"deleted vector must not serve: ${after.mkString(",")}")
+    assert(after.head.getLong(1) == 3L, "the next neighbor takes over")
+  }
+
   test("ivfIndexStats: per-cell counts and the centroid-drift signal") {
     val tmp = java.nio.file.Files
       .createTempDirectory("ivfstats").toString + "/idx"

@@ -45,6 +45,49 @@ class StoreSpec extends AnyFunSuite {
     assert(v0 == Map(1L -> 10.0, 2L -> 20.0))
   }
 
+  test("VersionedStore: deleteKeys removes rows copy-on-write with file pruning") {
+    val root = tmp("vpdel")
+    VersionedStore.create(
+      (1L to 600L).map(i => (i, i * 1.0)).toDF("id", "v").repartition(4), root)
+    val cv = VersionedStore.compact(spark, root, numFiles = 6,
+      sortBy = Seq("id"))
+    val before = VersionedStore.read(spark, root, cv).inputFiles.toSet
+    assert(before.size == 6)
+    // delete a narrow id range: only intersecting files rewritten
+    val dv = VersionedStore.deleteKeys(
+      (40L to 60L).toDF("id"), root, Seq("id"))
+    val after = VersionedStore.read(spark, root, dv).inputFiles.toSet
+    assert((before intersect after).size >= 4,
+      s"untouched files must carry: ${(before intersect after).size}/6")
+    val got = VersionedStore.read(spark, root, dv)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.size == 579)
+    assert((40L to 60L).forall(i => !got.contains(i)))
+    assert(got(39L) == 39.0 && got(61L) == 61.0)
+    val head = VersionedStore.versions(spark, root).last
+    assert(head.rows == 579L && head.op == "delete")
+    // history intact: the pre-delete snapshot still shows every row
+    assert(VersionedStore.read(spark, root, cv).count() == 600)
+    // keys provably absent everywhere → NO-OP, no version burned
+    val nv = VersionedStore.deleteKeys(
+      Seq(5000L).toDF("id"), root, Seq("id"))
+    assert(nv == dv, "a fully-pruned delete must not commit")
+    // deleting every remaining row would empty the table → refused
+    val err = intercept[IllegalArgumentException](
+      VersionedStore.deleteKeys((1L to 600L).toDF("id"), root, Seq("id")))
+    assert(err.getMessage.contains("every row"))
+    assert(VersionedStore.read(spark, root).count() == 579,
+      "refused delete must leave the table untouched")
+    // string-keyed table (no numeric stats → full COW) stays correct
+    val sroot = tmp("vpdel_s")
+    VersionedStore.create(
+      Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("k", "v"), sroot)
+    VersionedStore.deleteKeys(Seq("b", "zz").toDF("k"), sroot, Seq("k"))
+    assert(VersionedStore.read(spark, sroot)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap ==
+      Map("a" -> 1.0, "c" -> 3.0))
+  }
+
   test("VersionedStore: merge rewrites ONLY files intersecting the update key range") {
     val root = tmp("vpmerge")
     VersionedStore.create(

@@ -128,6 +128,34 @@ class ValidationSpec extends AnyFunSuite {
     assert(VersionedStore.read(spark, root).inputFiles.length <= 8)
   }
 
+  test("deleteSnapshotKeys: retracted entities stop resolving; pruned rewrite; history intact") {
+    import graft.online.OnlineStore
+    import graft.offline.VersionedStore
+    val vectors = (0 until 256)
+      .map(i => (s"u$i", i.toDouble)).toDF("entity_id", "f_a")
+    val root = java.nio.file.Files
+      .createTempDirectory("snapdel").toString + "/snap"
+    val v0 = OnlineStore.publishSnapshot(vectors, root, "entity_id",
+      nBuckets = 32, numFiles = 8)
+    val filesBefore = VersionedStore.read(spark, root).inputFiles.toSet
+    OnlineStore.deleteSnapshotKeys(
+      Seq("u7", "u8", "u9999").toDF("entity_id"), root) // u9999 absent
+    // partial copy-on-write on the numeric bucket, like upserts
+    val filesAfter = VersionedStore.read(spark, root).inputFiles.toSet
+    assert((filesBefore & filesAfter).size >= filesBefore.size - 3,
+      s"delete must carry untouched files: kept " +
+        s"${(filesBefore & filesAfter).size} of ${filesBefore.size}")
+    val got = OnlineStore.pointLookup(spark, root,
+        Seq("u7", "u8", "u3").toDF("entity_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("u3" -> 3.0),
+      s"deleted entities must stop resolving: $got")
+    // the pre-deletion snapshot remains time-travelable (vacuum is
+    // the compliance step that retires it)
+    assert(VersionedStore.read(spark, root, v0).count() == 256)
+    assert(VersionedStore.read(spark, root).count() == 254)
+  }
+
   test("metricGate: thresholds enforced") {
     assert(Validation.metricGate(
       Map("auc" -> 0.91, "pr_auc" -> 0.5), Map("auc" -> 0.9)))
