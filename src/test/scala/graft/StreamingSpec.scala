@@ -546,6 +546,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(v0.count() == 2)
   }
 
+  test("streaming retraction: a takedown stream stops serving across snapshot and text index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.online.OnlineStore
+    import graft.operators.Search
+    // serving snapshot target
+    val snapRoot = java.nio.file.Files
+      .createTempDirectory("sretr").toString + "/snap"
+    OnlineStore.publishSnapshot(
+      Seq(("u1", 1.0), ("u2", 2.0), ("u3", 3.0)).toDF("entity_id", "f_a"),
+      snapRoot, "entity_id", nBuckets = 8, numFiles = 4)
+    val snapIn = MemoryStream[String]
+    val q1 = graft.streaming.StreamingRetraction.startSnapshot(
+      snapIn.toDS().toDF("entity_id"), snapRoot,
+      java.nio.file.Files.createTempDirectory("sretr_ck").toString)
+    snapIn.addData("u2")
+    q1.processAllAvailable()
+    // replay-shaped second batch: same key again + one unknown
+    snapIn.addData("u2", "u404")
+    q1.processAllAvailable()
+    q1.stop()
+    val got = OnlineStore.pointLookup(spark, snapRoot,
+        Seq("u1", "u2", "u3").toDF("entity_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("u1" -> 1.0, "u3" -> 3.0),
+      s"retracted entity must stop resolving: $got")
+    // text-index target
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma"),
+      (3L, "delta beta")).toDF("doc_id", "text")
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("sretr_idx").toString + "/idx"
+    Search.buildTextIndex(spark, docs, "doc_id", "text", idxRoot)
+    val idxIn = MemoryStream[Long]
+    val q2 = graft.streaming.StreamingRetraction.startTextIndex(
+      idxIn.toDS().toDF("doc_id"), "doc_id", idxRoot,
+      java.nio.file.Files.createTempDirectory("sretr_ick").toString)
+    idxIn.addData(2L)
+    q2.processAllAvailable()
+    idxIn.addData(2L) // replay no-ops
+    q2.processAllAvailable()
+    q2.stop()
+    val served = Search.serveBm25(spark, idxRoot,
+        Seq((10L, "alpha")).toDF("q_id", "q_text"), "q_id", "q_text", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(served == Set(1L),
+      s"tombstoned doc must not serve: $served")
+  }
+
   test("frozen quality classifier runs stateless on a stream, equals batch application") {
     implicit val sqlCtx = spark.sqlContext
     val th = graft.operators.TextAnalysis.QualityThresholds(
