@@ -376,7 +376,14 @@ object Bpe {
               val isRun = bl == br
               var k = 0
               while (k < n) {
-                if (!accepted(k)) {
+                // uncertain candidates FREEZE: their cur is no longer
+                // exact, so a later "exact" decay term could
+                // double-count instances the taint source already
+                // destroyed — subtracting would let hi undershoot the
+                // true count and break the acceptance proof. hi stays
+                // as set (decay only shrinks true counts, so a frozen
+                // upper bound remains valid).
+                if (!accepted(k) && !uncertain(k)) {
                   if (isRun) {
                     // greedy alternation makes a run rule's trigram
                     // decay inexact — touching candidates go opaque

@@ -236,6 +236,25 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batched: deep merges over a 3-letter alphabet (uncertain-freeze paths)") {
+    // longer rule chains + larger batches reach the states where
+    // candidates turn UNCERTAIN and must stay frozen (their cur is
+    // no longer exact once a tainted rule touched them)
+    val genWord = Gen.choose(2, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val genText = Gen.choose(1, 7).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(3, 6).flatMap(n => Gen.listOfN(n, genText))
+    (1 to 8).foreach { round =>
+      val texts = genCorpus(Gen.Parameters.default, Seed(round * 33391L)).get
+      val (_, gotRules, wantRules, gotPieces, wantPieces) =
+        batchedBoth(texts, nMerges = 20, minPairCount = 1L, maxBatch = 256)
+      assert(gotRules == wantRules, s"rules diverged on round $round: $texts")
+      assert(gotPieces == wantPieces,
+        s"segmentations diverged on round $round: $texts")
+    }
+  }
+
   test("batched: recorded pair_counts equal the sequential (decayed) counts") {
     // a corpus engineered so the second-best pair decays when the
     // best merges: "xa ab" — merging (a,b) consumes occurrences of
