@@ -56,6 +56,19 @@ object Bench {
     def jsMs(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","action":"noop_write","queries":${jsMs(pass1)},"value_pass2":${ms(total2)},"queries_pass2":${jsMs(pass2)},"sf":"$sfDir"}""")
+    // Round 9: even the compact line (~5 KB at 99 queries) overflows
+    // the driver's ~3.5 KB tail capture, so the cut landed MID-LINE
+    // two rounds running and nothing parsed. Emit per-query data in
+    // sub-KB chunks (a truncated tail loses whole EARLY chunks, never
+    // a partial line), then a totals-only FINAL line under 150 bytes
+    // that survives any tail budget.
+    val names = SparkEntry.queries.keys.toSeq
+    names.grouped(15).zipWithIndex.foreach { case (chunk, i) =>
+      val p1 = chunk.map(n => n -> pass1(n))
+      val p2 = chunk.map(n => n -> pass2(n))
+      println(s"""{"metric":"chunk","part":${i + 1},"queries":${jsMs(p1)},"queries_pass2":${jsMs(p2)}}""")
+    }
+    println(s"""{"metric":"total","value":${ms(total)},"value_pass2":${ms(total2)},"unit":"sec","n":${pass1.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

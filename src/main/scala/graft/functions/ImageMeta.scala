@@ -108,8 +108,15 @@ object ImageMeta {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8))
-    // BMP: "BM" + BITMAPINFOHEADER at offset 14 (biSize >= 40)
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40L)
+    // BMP: "BM" + BITMAPINFOHEADER at offset 14 (biSize >= 40).
+    // "BM" alone is weak — ASCII text starting "BM..." (e.g. "BMW ")
+    // satisfies it and four more printable bytes pass biSize >= 40, so
+    // also require the spec-mandated zero reserved words at offsets
+    // 6-9 and planes == 1 at offset 26, neither of which printable
+    // text can satisfy.
+    if (b.length >= 28 && b(0) == 'B' && b(1) == 'M' &&
+        b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0 &&
+        le32(b, 14) >= 40L && le16(b, 26) == 1)
       return row("bmp", le32(b, 18), math.abs(le32(b, 22).toInt).toLong)
     // WebP: RIFF container, first chunk VP8X / VP8L / "VP8 "
     if (b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&

@@ -206,14 +206,14 @@ object Bpe {
     var rounds = 0
     var done = false
     while (rules.size < nMerges && !done) {
-      val pairs = state
+      val pairsAll = state
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
           "transform(sequence(0, size(syms) - 2), " +
             "i -> struct(syms[i] AS l, syms[i + 1] AS r))")).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("cnt").as("pc"))
-        .filter(col("pc") >= minPairCount)
+      val pairs = pairsAll.filter(col("pc") >= minPairCount)
       val tris = state
         .filter(size(col("syms")) >= 3)
         .select(col("cnt"), explode(expr(
@@ -239,7 +239,17 @@ object Bpe {
       // to "abc" while "abc" was already created via (ab,c)). A
       // flagged rule is still safely ACCEPTED (gains materialize only
       // after its application) but must END its round.
-      val symbols = pairs.select(explode(array(col("l"), col("r")))
+      //
+      // The live-symbol set comes from the UNFILTERED pair table:
+      // with minPairCount > 1 a live symbol whose every adjacency has
+      // count below the threshold would vanish from `pairs` and
+      // escape the guard, letting an undetected collision push a
+      // post-merge count past the created-pair ceiling by up to
+      // minPairCount - 1. (A symbol with NO adjacency at all — only
+      // fully-merged single-symbol words — is safely absent: with no
+      // existing pairs named by it, there is nothing for created
+      // pairs to pool with.)
+      val symbols = pairsAll.select(explode(array(col("l"), col("r")))
         .as("sym")).distinct()
       val want = math.min(maxBatch, nMerges - rules.size)
       // +1 row: the extra row's RAW count is the window floor — every
@@ -313,6 +323,19 @@ object Bpe {
         def u8cmp(a: String, b: String): Int =
           java.util.Arrays.compareUnsigned(u8(a), u8(b))
         var maxCb = Long.MinValue
+        // merged strings accepted THIS round: two same-round rules
+        // producing the SAME merged string (e.g. (a,bc) and (ab,c)
+        // both -> "abc", reachable via word-boundary-divergent
+        // segmentations) pool their created-pair occurrences into one
+        // symbol-string pair, so the true created count can reach the
+        // SUM of their ceilings while maxCb tracks only the max of
+        // per-rule min(bc, cb) terms — a later pick could then be
+        // accepted where the sequential argmax would take the pooled
+        // created pair. Same shape as the live-symbol collision: the
+        // duplicate rule itself is safely accepted (its own count
+        // comparison predates any application), but nothing after it
+        // is provable this round.
+        val acceptedMerged = scala.collection.mutable.Set.empty[String]
         // layered application preserving rank order: a rule whose
         // RIGHT equals a current-layer rule's LEFT must apply in a
         // LATER pass (the one-pass scan would otherwise consume the
@@ -426,10 +449,12 @@ object Bpe {
                 }
                 k += 1
               }
-              // merged string collides with a live symbol: applying
-              // this rule GAINS counts for existing pairs — nothing
-              // after it is provable this round
-              if (coll(best)) stopRound = true
+              // merged string collides with a live symbol (gains for
+              // existing pairs) or duplicates a same-round accepted
+              // rule's merged string (created-pair ceilings pool):
+              // nothing after it is provable this round
+              val dupMerged = !acceptedMerged.add(bl + br)
+              if (coll(best) || dupMerged) stopRound = true
             }
           }
         }

@@ -29,15 +29,48 @@ import graft.operators.{Ann, Search}
   * postings are excluded from serving immediately and swept by the
   * next [[graft.operators.Search.compactTextIndex]]; snapshot and IVF
   * deletes physically rewrite at delete time (pruned).
+  *
+  * One batch shape cannot be applied: a delete that would remove the
+  * LAST remaining rows of a copy-on-write target (empty snapshots are
+  * unrepresentable — VersionedStore.deleteKeys refuses). Left alone
+  * that refusal would permanently fail the stream: every restart
+  * replays the same committed-offset batch and re-throws. Instead the
+  * writers catch exactly that refusal and append the batch's keys to
+  * a `<target>_retraction_deadletter` parquet dir (logged, nothing
+  * silently dropped) so the queue keeps draining; an operator
+  * resolves the dead letters by retiring the table (overwrite /
+  * vacuum), which is the only correct end-state for "delete
+  * everything".
   */
 object StreamingRetraction {
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(StreamingRetraction.getClass)
+
+  /** Dead-letter location for a retraction target. */
+  def deadLetterPath(target: String): String =
+    target.stripSuffix("/") + "_retraction_deadletter"
+
+  private def retractOrDeadLetter(batch: DataFrame, target: String)
+                                 (delete: => Unit): Unit =
+    try delete catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("would remove every row") =>
+        val dl = deadLetterPath(target)
+        batch.write.mode("append").parquet(dl)
+        log.warn(s"retraction batch would empty $target " +
+          s"(${e.getMessage}); keys dead-lettered to $dl")
+    }
 
   /** Retract entities from a published serving snapshot; the incoming
     * frame carries the snapshot's key column. */
   def snapshotWriter(keys: DataFrame, root: String)
   : DataStreamWriter[org.apache.spark.sql.Row] =
     keys.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) { OnlineStore.deleteSnapshotKeys(batch, root); () }
+      if (!batch.isEmpty) retractOrDeadLetter(batch, root) {
+        OnlineStore.deleteSnapshotKeys(batch, root); ()
+      }
       ()
     }
 
@@ -73,7 +106,9 @@ object StreamingRetraction {
   def ivfWriter(ids: DataFrame, idCol: String, indexRoot: String)
   : DataStreamWriter[org.apache.spark.sql.Row] =
     ids.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) { Ann.ivfIndexDelete(batch, indexRoot, idCol) }
+      if (!batch.isEmpty) retractOrDeadLetter(batch, indexRoot) {
+        Ann.ivfIndexDelete(batch, indexRoot, idCol)
+      }
       ()
     }
 

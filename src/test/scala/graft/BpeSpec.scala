@@ -217,6 +217,62 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batched: merged-string collisions stay exact at minPairCount=2") {
+    // the collision guard's live-symbol set must come from the
+    // UNFILTERED pair table: with minPairCount=2 a live symbol whose
+    // every adjacency has count 1 drops out of the thresholded pairs,
+    // and a guard built from them would miss the collision (letting a
+    // post-merge count exceed the created-pair ceiling by up to
+    // minPairCount-1). Same run-heavy generator as the
+    // minPairCount=1 collision test, which masked exactly this.
+    val genWord = Gen.frequency(
+      (3, Gen.choose(1, 12).map("a" * _)),
+      (2, Gen.choose(1, 6).map("ab" * _)),
+      (1, Gen.choose(1, 8).map("b" * _)))
+    val genText = Gen.choose(1, 9).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, genText))
+    (1 to 10).foreach { round =>
+      val texts = genCorpus(Gen.Parameters.default, Seed(round * 49207L)).get
+      val (_, gotRules, wantRules, gotPieces, wantPieces) =
+        batchedBoth(texts, nMerges = 12, minPairCount = 2L)
+      assert(gotRules == wantRules, s"rules diverged on round $round: $texts")
+      assert(gotPieces == wantPieces,
+        s"segmentations diverged on round $round: $texts")
+    }
+  }
+
+  test("batched: same-round rules sharing a merged string stay exact") {
+    // two rules accepted in ONE round can in principle produce the
+    // SAME merged string (e.g. (a,bc) and (ab,c) both -> 'abc'); their
+    // created-pair occurrences then pool, so the per-rule max ceiling
+    // under-counts and a later same-round pick could diverge from the
+    // sequential argmax. The trainer now ends the round at such a
+    // duplicate. This generator piles up words whose segmentations
+    // put the same underlying strings behind different symbol
+    // boundaries (shared substrings + runs + boundary-divergent
+    // prefixes) and runs large batches so any reachable duplicate
+    // lands inside one round.
+    val base = Seq("abc", "ab", "bc", "a", "b", "c", "aab", "abb",
+      "bcc", "aabc", "abcc", "abab", "bcbc", "aabbcc", "cab", "cba")
+    val genWord = Gen.frequency(
+      (4, Gen.oneOf(base)),
+      (2, Gen.choose(2, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))),
+      (1, Gen.choose(1, 6).map("abc" * _)))
+    val genText = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, genWord).map(_.mkString(" ")))
+    val genCorpus = Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, genText))
+    (1 to 10).foreach { round =>
+      val texts = genCorpus(Gen.Parameters.default, Seed(round * 86969L)).get
+      val (_, gotRules, wantRules, gotPieces, wantPieces) =
+        batchedBoth(texts, nMerges = 18, minPairCount = 1L, maxBatch = 256)
+      assert(gotRules == wantRules, s"rules diverged on round $round: $texts")
+      assert(gotPieces == wantPieces,
+        s"segmentations diverged on round $round: $texts")
+    }
+  }
+
   test("batched: decay-tracked conflicts match the reference (chain-heavy corpora)") {
     // two-letter alphabet with long words maximizes x==b / y==a
     // interactions, reverse pairs (ab vs ba), and tainted-rule

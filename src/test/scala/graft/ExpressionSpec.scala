@@ -125,7 +125,13 @@ class ExpressionSpec extends AnyFunSuite {
       16L -> webpVp8(640, 352),
       // RIFF but not a recognizable WebP chunk
       17L -> ("RIFF".getBytes ++ le32b(10) ++ "WEBPJUNK".getBytes ++
-        le32b(2) ++ b(0, 0)))
+        le32b(2) ++ b(0, 0)),
+      // ASCII text starting "BM" — long enough that four printable
+      // bytes at offset 14 pass the biSize >= 40 check; the reserved
+      // bytes / planes guard must reject it (q_image_meta feeds raw
+      // corpus text as the non-image residue)
+      18L -> "BMW models and other text that is plainly not a bitmap"
+        .getBytes)
     val df = rows.toDF("id", "payload")
     val got = df.select(col("id"), imageMeta(col("payload")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
@@ -150,6 +156,7 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got(15L).contains(("webp", 300, 200)))
     assert(got(16L).contains(("webp", 640, 352)))
     assert(got(17L).isEmpty)
+    assert(got(18L).isEmpty, s"'BM'-prefixed text parsed as bmp: ${got(18L)}")
   }
 
   test("ImageMeta round-trips the synthetic payload builder against closed form") {

@@ -593,6 +593,41 @@ class StreamingSpec extends AnyFunSuite {
       s"tombstoned doc must not serve: $served")
   }
 
+  test("streaming retraction: a batch that would empty the target dead-letters instead of crash-looping") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.online.OnlineStore
+    val root = java.nio.file.Files
+      .createTempDirectory("sretr_dl").toString + "/snap"
+    OnlineStore.publishSnapshot(
+      Seq(("u1", 1.0), ("u2", 2.0)).toDF("entity_id", "f_a"),
+      root, "entity_id", nBuckets = 2, numFiles = 1)
+    val in = MemoryStream[String]
+    val q = graft.streaming.StreamingRetraction.startSnapshot(
+      in.toDS().toDF("entity_id"), root,
+      java.nio.file.Files.createTempDirectory("sretr_dlck").toString)
+    // batch 1: delete EVERY remaining key — VersionedStore refuses
+    // (empty snapshots unrepresentable); the writer must dead-letter,
+    // not fail the query
+    in.addData("u1", "u2")
+    q.processAllAvailable()
+    assert(q.isActive, "query died on the empty-table refusal")
+    // batch 2: the stream keeps draining — a normal partial delete
+    // still applies
+    in.addData("u1")
+    q.processAllAvailable()
+    assert(q.isActive)
+    q.stop()
+    val got = OnlineStore.pointLookup(spark, root,
+        Seq("u1", "u2").toDF("entity_id"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("u2"), s"partial delete after dead-letter: $got")
+    // the refused batch's keys are preserved for the operator
+    val dl = spark.read.parquet(
+        graft.streaming.StreamingRetraction.deadLetterPath(root))
+      .select("entity_id").collect().map(_.getString(0)).toSet
+    assert(dl == Set("u1", "u2"), s"dead-letter contents: $dl")
+  }
+
   test("frozen quality classifier runs stateless on a stream, equals batch application") {
     implicit val sqlCtx = spark.sqlContext
     val th = graft.operators.TextAnalysis.QualityThresholds(
