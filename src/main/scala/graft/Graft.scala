@@ -794,8 +794,9 @@ object Graft {
     * footers; jsonl/csv enumerated; dataset_manifest.json parsed
     * with malformed manifests kept in-row). */
   def catalogDiscover(spark: SparkSession, basePath: String,
-                      countRows: Boolean = false): DataFrame =
-    graft.sources.Catalog.discover(spark, basePath, countRows)
+                      countRows: Boolean = false,
+                      maxDepth: Int = 3): DataFrame =
+    graft.sources.Catalog.discover(spark, basePath, countRows, maxDepth)
 
   // --- tokenizer training --------------------------------------------
 
@@ -821,4 +822,29 @@ object Graft {
     * tokenizer-serving semantics), seen words ride the piece cache. */
   def bpeEncodeAny(docs: DataFrame, model: Bpe.BpeModel): DataFrame =
     Bpe.encodeAny(docs, "doc_id", "text", model)
+
+  /** Build the persisted tokenizer store: word counts (the only
+    * corpus statistic BPE needs) as a VersionedStore artifact with an
+    * additive shard ledger, plus the trained rules/segments. */
+  def bpeStoreBuild(docs: DataFrame, root: String, nMerges: Int,
+                    minPairCount: Long = 2L): Unit =
+    Bpe.buildVocabStore(docs, "doc_id", "text", root, nMerges,
+      minPairCount)
+
+  /** Fold one corpus shard's word counts into the store — idempotent
+    * by shardId, no corpus rescan. Retraining is [[bpeStoreRefresh]]'s
+    * decision, on whatever cadence suits. */
+  def bpeStoreUpsert(shard: DataFrame, root: String,
+                     shardId: String): Boolean =
+    Bpe.upsertVocabCounts(shard, "doc_id", "text", root, shardId)
+
+  /** Retrain-vs-keep by token-mass drift against the counts the
+    * current rules were trained on. */
+  def bpeStoreRefresh(spark: SparkSession, root: String,
+                      maxDrift: Double = 0.1): Bpe.VocabRefresh =
+    Bpe.refreshVocab(spark, root, maxDrift)
+
+  /** The stored tokenizer model, for [[bpeEncode]]/[[bpeEncodeAny]]. */
+  def bpeStoreModel(spark: SparkSession, root: String): Bpe.BpeModel =
+    Bpe.vocabModel(spark, root)
 }

@@ -341,6 +341,30 @@ object SparkEntry {
     Search.retrievalMetrics(lsh, gold, "q_id", "rel", k = 10)
   }
 
+  /** IVF recall audit, the q_ann_recall shape for the cell-probing
+    * path: a SEEDED quantizer (centroids = the 16 lowest-id corpus
+    * vectors, zero k-means iterations) makes every stage — corpus
+    * assignment, probe selection, cell-restricted ranking — pure
+    * closed-form vector arithmetic, so the whole pipeline including
+    * the recall metrics replays exactly in the DuckDB oracle. This is
+    * the oracle-checked twin of q_ann_ivf (whose trained quantizer is
+    * not SQL-expressible): it quantifies what recall the nProbe=4
+    * probe trades against the exact gold on THIS corpus, through the
+    * same probeAndRank code the trained path serves with. */
+  def qAnnIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int").as("c_cell"),
+        col("embedding").as("cv"))
+    val ivf = Ann.ivfSearchSeeded(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", centroids, nProbe = 4, k = 5)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val gold = qAnnTopk(s, d)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("rel"))
+    Search.retrievalMetrics(ivf, gold, "q_id", "rel", k = 10)
+  }
+
   /** Full-probe serve from a freshly built persisted SQ8 index: with
     * nProbe = nCentroids every cell is probed, which reduces IVF-SQ8
     * exactly to the quantized brute scan — so this entry rides
@@ -929,6 +953,7 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_recall" -> (qAnnIvfRecall _),
     "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
     "q_text_quality" -> (qTextQuality _),
     "q_clean_filter" -> (qCleanFilter _),
@@ -2171,6 +2196,71 @@ object SparkEntry {
            |       ELSE 0.0 END AS rr,
            |  coalesce(h.h, 0) AS hits_at_k
            |FROM base b LEFT JOIN hits h USING (q_id)""".stripMargin,
+
+      // Seeded-quantizer IVF recall: assignment, probing, cell-
+      // restricted ranking and the metrics tail are all closed-form
+      // (no k-means), so the oracle replays the ENTIRE pipeline. Fold
+      // shapes mirror the Spark side exactly (left-fold dot in zip
+      // order; the centroid half-norm enters as sqrt(ss)*sqrt(ss)/2 —
+      // the same doubles Fns.l2Norm produces — NOT ss/2).
+      "q_ann_ivf_recall" -> {
+        def dot(a: String, b: String) =
+          s"list_reduce(list_transform(list_zip($a, $b), " +
+            s"x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)"
+        def nrm(a: String) =
+          s"sqrt(list_reduce(list_transform($a, " +
+            s"x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))"
+        s"""WITH cen AS (
+           |  SELECT vec_id::INT AS c_cell, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 16),
+           |corp AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |asg0 AS (
+           |  SELECT id, v, c_cell, row_number() OVER (PARTITION BY id
+           |    ORDER BY ${dot("v", "cv")} - ${nrm("cv")} * ${nrm("cv")} / 2
+           |      DESC, c_cell) AS r
+           |  FROM corp CROSS JOIN cen),
+           |asg AS (SELECT id, v, c_cell AS cell FROM asg0 WHERE r = 1),
+           |q AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+           |      WHERE vec_id < 20),
+           |pr0 AS (
+           |  SELECT q.id, q.v AS qv, c_cell,
+           |    row_number() OVER (PARTITION BY q.id
+           |      ORDER BY ${dot("q.v", "cv")} - ${nrm("cv")} * ${nrm("cv")} / 2
+           |        DESC, c_cell) AS pr
+           |  FROM q CROSS JOIN cen),
+           |probes AS (SELECT id AS query_id, qv, c_cell AS cell
+           |           FROM pr0 WHERE pr <= 4),
+           |hit0 AS (
+           |  SELECT p.query_id, a.id AS neighbor_id,
+           |    ${dot("p.qv", "a.v")} / (${nrm("p.qv")} * ${nrm("a.v")})
+           |      AS cos_raw
+           |  FROM probes p JOIN asg a USING (cell)
+           |  WHERE p.query_id <> a.id),
+           |ivfr AS (
+           |  SELECT query_id, neighbor_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id)
+           |    AS "rank"
+           |  FROM hit0),
+           |golds AS ($annTopkOracleSql),
+           |res AS (SELECT query_id AS q_id, neighbor_id AS doc_id, "rank"
+           |        FROM ivfr WHERE "rank" <= 5),
+           |base AS (SELECT q_id FROM res
+           |         UNION SELECT query_id AS q_id FROM golds),
+           |hits AS (
+           |  SELECT r.q_id, min(r."rank") AS frr, count(*) AS h
+           |  FROM res r
+           |  WHERE EXISTS (SELECT 1 FROM golds g
+           |                WHERE g.query_id = r.q_id
+           |                  AND g.neighbor_id = r.doc_id)
+           |    AND r."rank" <= 10
+           |  GROUP BY 1)
+           |SELECT b.q_id,
+           |  coalesce(h.frr, 0) AS first_rel_rank,
+           |  CASE WHEN h.frr IS NOT NULL THEN round(1.0 / h.frr, 6)
+           |       ELSE 0.0 END AS rr,
+           |  coalesce(h.h, 0) AS hits_at_k
+           |FROM base b LEFT JOIN hits h USING (q_id)""".stripMargin
+      },
 
       "q_ann_sq8" -> annSq8OracleSql,
 

@@ -407,6 +407,33 @@ object Ann {
     probeAndRank(qBase, centroidDf, assigned, nProbe, k, excludeSelf)
   }
 
+  /** IVF search against EXPLICIT centroid vectors — no k-means, no
+    * training sample: `centroids` carries (c_cell, cv) and both the
+    * corpus assignment and the probe stage are the same closed-form
+    * L2-argmin arithmetic as the trained path. Two uses: (a) serving
+    * against externally-supplied centroids (a quantizer trained
+    * elsewhere, or domain-defined anchors), and (b) the
+    * oracle-checkable IVF recall audit — with deterministic seed
+    * centroids every stage is plain vector arithmetic, so an
+    * independent SQL engine can replay assignment, probing, ranking,
+    * and the recall metrics exactly (q_ann_ivf_recall), which the
+    * k-means path cannot offer. Same cell-restricted join shape as
+    * [[ivfSearch]]: recall is what the probe trades, and this entry
+    * is how that trade gets MEASURED.
+    */
+  def ivfSearchSeeded(corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      centroids: DataFrame, nProbe: Int, k: Int,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val centroidDf = centroids.select(col("c_cell"), col("cv"))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    val assigned = assignToCentroids(corpus, idCol, vecCol, centroidDf)
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+    probeAndRank(qBase, centroidDf, assigned, nProbe, k, excludeSelf)
+  }
+
   /** The IVF query stage, shared by the in-memory and persisted-index
     * paths: each query ranks the broadcast centroid table to pick its
     * `nProbe` cells (L2 argmin == argmax of dot − |c|²/2), joins its

@@ -43,13 +43,24 @@ object Bpe {
   private val charSymsExpr =
     "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
 
-  /** Initial state: distinct corpus words with counts, split into
-    * single-character symbols. */
-  private def initState(docs: DataFrame, idCol: String, textCol: String)
+  /** Distinct corpus words with occurrence counts — the ONLY corpus
+    * statistic BPE training consumes, and therefore the natural
+    * incremental-maintenance artifact: counts are additive over
+    * shards, so the [[buildVocabStore]] family folds corpus arrivals
+    * into a persisted (word, cnt) table without rescanning anything. */
+  def corpusWordCounts(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame =
     docs.select(explode(Fns.words(col(textCol))).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial state: distinct corpus words with counts, split into
+    * single-character symbols. */
+  private def initState(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = stateFromCounts(corpusWordCounts(docs, idCol, textCol))
+
+  private def stateFromCounts(wordCounts: DataFrame): DataFrame =
+    wordCounts.select(col("word"), col("cnt").cast("long").as("cnt"))
       .withColumn("syms", expr(charSymsExpr))
 
   /** Greedy left-to-right non-overlapping application of ONE merge
@@ -73,12 +84,19 @@ object Bpe {
     * word segmentation — both small (rule-count- and vocabulary-
     * sized). */
   def train(docs: DataFrame, idCol: String, textCol: String,
-            nMerges: Int, minPairCount: Long = 2L): BpeModel = {
+            nMerges: Int, minPairCount: Long = 2L): BpeModel =
+    trainFromCounts(corpusWordCounts(docs, idCol, textCol), nMerges,
+      minPairCount)
+
+  /** [[train]] over a pre-computed (word, cnt) table — the entry the
+    * persisted vocabulary store retrains through (no corpus scan). */
+  def trainFromCounts(wordCounts: DataFrame, nMerges: Int,
+                      minPairCount: Long = 2L): BpeModel = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1")
-    val spark = docs.sparkSession
+    val spark = wordCounts.sparkSession
     import spark.implicits._
-    var state = initState(docs, idCol, textCol).localCheckpoint()
+    var state = stateFromCounts(wordCounts).localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var round = 0
@@ -194,13 +212,24 @@ object Bpe {
     */
   def trainBatched(docs: DataFrame, idCol: String, textCol: String,
                    nMerges: Int, minPairCount: Long = 2L,
-                   maxBatch: Int = 128): (BpeModel, Int) = {
+                   maxBatch: Int = 128,
+                   progress: (Int, Int) => Unit = (_, _) => ())
+  : (BpeModel, Int) =
+    trainBatchedFromCounts(corpusWordCounts(docs, idCol, textCol),
+      nMerges, minPairCount, maxBatch, progress)
+
+  /** [[trainBatched]] over a pre-computed (word, cnt) table. */
+  def trainBatchedFromCounts(wordCounts: DataFrame, nMerges: Int,
+                             minPairCount: Long = 2L,
+                             maxBatch: Int = 128,
+                             progress: (Int, Int) => Unit = (_, _) => ())
+  : (BpeModel, Int) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1")
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
-    val spark = docs.sparkSession
+    val spark = wordCounts.sparkSession
     import spark.implicits._
-    var state = initState(docs, idCol, textCol).localCheckpoint()
+    var state = stateFromCounts(wordCounts).localCheckpoint()
     val rules = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var rounds = 0
@@ -373,9 +402,12 @@ object Bpe {
               val why =
                 if (best < 0) "exhausted"
                 else if (cur(best) <= floor) "floor"
-                else if (cur(best) <= maxCb) "cbound"
-                else "uncertain"
-              println(s"[bpe] round stop: $why at batch=$took")
+                else if (cur(best) < maxCb) "cbound-lt"
+                else if (cur(best) == maxCb) "cbound-eq"
+                else if (cur(best) < maxUncHi) "uncertain-lt"
+                else "uncertain-eq"
+              println(s"[bpe] round stop: $why at batch=$took " +
+                s"cur=${if (best >= 0) cur(best) else -1}")
             }
             stopRound = true
           } else {
@@ -478,6 +510,7 @@ object Bpe {
           state = state.withColumn("syms", newSyms).localCheckpoint()
         }
         rounds += 1
+        progress(rounds, rules.size)
       }
     }
     (BpeModel(
@@ -606,5 +639,141 @@ object Bpe {
       .withColumn("pieces", coalesce(col("syms"), col("oov_syms")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("word"), col("pieces"))
+  }
+
+  // --- persisted vocabulary store (incremental tokenizer upkeep) -----
+  //
+  // The tokenizer-maintenance counterpart of the DSIR count store
+  // (Dsir.scala buildModelStore/upsertModelCounts): BPE training's
+  // only corpus statistic is the (word, cnt) table and counts are
+  // ADDITIVE over shards, so a persisted word-count table plus a
+  // shard ledger turns "a new corpus shard arrived" from a full
+  // corpus retokenize into one shard-sized MERGE. Whether the RULES
+  // must be retrained is then a drift decision against the counts
+  // the current rules were trained on (stored inside the segments
+  // artifact) — the ivfIndexStats retrain-vs-keep pattern.
+
+  def vocabCountsTable(root: String): String = s"$root/word_counts"
+  def vocabAppliedTable(root: String): String = s"$root/applied"
+  def vocabParamsTable(root: String): String = s"$root/params"
+  def vocabRulesTable(root: String): String = s"$root/rules"
+  def vocabSegsTable(root: String): String = s"$root/segments"
+
+  /** Build and PERSIST the tokenizer store under `root`:
+    * `word_counts` (range-partitioned and sorted by word, so shard
+    * merges prune files by footer range), `params`, the shard
+    * `applied` ledger, and the trained `rules` + `segments` (the
+    * model, trained from the counts — segments keep each word's
+    * train-time cnt, which is what drift is measured against). */
+  def buildVocabStore(docs: DataFrame, idCol: String, textCol: String,
+                      root: String, nMerges: Int,
+                      minPairCount: Long = 2L, numFiles: Int = 8): Unit = {
+    import graft.offline.VersionedStore
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = corpusWordCounts(docs, idCol, textCol)
+    VersionedStore.overwrite(
+      counts.repartitionByRange(math.max(1, numFiles), col("word"))
+        .sortWithinPartitions("word"),
+      vocabCountsTable(root))
+    VersionedStore.overwrite(
+      Seq((nMerges.toLong, minPairCount)).toDF("n_merges", "min_pair_count"),
+      vocabParamsTable(root))
+    VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), vocabAppliedTable(root))
+    retrainFromStore(spark, root)
+  }
+
+  /** Fold ONE corpus shard's word counts into the store: a keyed
+    * MERGE on `word` rewriting only the files whose word ranges the
+    * shard touches. `shardId` makes the refresh idempotent — a shard
+    * already in the ledger no-ops, so replayed ingests cannot
+    * double-count (ledger row lands after the counts commit: at-
+    * least-once-with-dedup, the Dsir/incremental-dedup contract).
+    * Returns whether the shard was applied. Rules are NOT retrained
+    * here — call [[refreshVocab]] on whatever cadence suits. */
+  def upsertVocabCounts(shardDocs: DataFrame, idCol: String,
+                        textCol: String, root: String,
+                        shardId: String): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDocs.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, vocabAppliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val shard = corpusWordCounts(shardDocs, idCol, textCol)
+    val cur = VersionedStore.read(spark, vocabCountsTable(root))
+      .withColumnRenamed("cnt", "cnt0")
+    val combined = shard.join(cur, Seq("word"), "left_outer")
+      .select(col("word"),
+        (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
+    VersionedStore.merge(combined, vocabCountsTable(root), Seq("word"))
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      vocabAppliedTable(root))
+    true
+  }
+
+  /** Token-mass drift between the CURRENT counts and the counts the
+    * stored rules were trained on: L1 distance over the word union
+    * (new words and vanished words count fully) normalized by the
+    * current total mass. 0 right after (re)training; approaches the
+    * new-shard mass fraction as unseen-vocabulary shards arrive. */
+  def vocabDrift(spark: SparkSession, root: String): Double = {
+    import graft.offline.VersionedStore
+    val cur = VersionedStore.read(spark, vocabCountsTable(root))
+      .select(col("word"), col("cnt").as("c_now"))
+    val trained = VersionedStore.read(spark, vocabSegsTable(root))
+      .select(col("word"), col("cnt").as("c_train"))
+    val r = cur.join(trained, Seq("word"), "full_outer")
+      .agg(
+        sum(abs(coalesce(col("c_now"), lit(0L)) -
+          coalesce(col("c_train"), lit(0L)))).as("l1"),
+        sum(coalesce(col("c_now"), lit(0L))).as("mass"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  final case class VocabRefresh(drift: Double, retrained: Boolean,
+                                nRules: Long)
+
+  /** Retrain-vs-keep: measure [[vocabDrift]]; above `maxDrift`,
+    * retrain the rules from the STORED counts (no corpus scan — the
+    * store is the corpus statistic) and re-persist rules + segments;
+    * otherwise keep serving the current model. Old rule versions stay
+    * readable (copy-on-write overwrite), so in-flight encodes are
+    * unaffected. */
+  def refreshVocab(spark: SparkSession, root: String,
+                   maxDrift: Double = 0.1): VocabRefresh = {
+    import graft.offline.VersionedStore
+    val drift = vocabDrift(spark, root)
+    if (drift > maxDrift) {
+      retrainFromStore(spark, root)
+      VocabRefresh(drift, retrained = true,
+        VersionedStore.read(spark, vocabRulesTable(root)).count())
+    } else
+      VocabRefresh(drift, retrained = false,
+        VersionedStore.read(spark, vocabRulesTable(root)).count())
+  }
+
+  /** The stored model, for [[encode]]/[[encodeAny]]. */
+  def vocabModel(spark: SparkSession, root: String): BpeModel = {
+    import graft.offline.VersionedStore
+    BpeModel(VersionedStore.read(spark, vocabRulesTable(root)),
+      VersionedStore.read(spark, vocabSegsTable(root)))
+  }
+
+  private def retrainFromStore(spark: SparkSession, root: String): Unit = {
+    import graft.offline.VersionedStore
+    val p = VersionedStore.read(spark, vocabParamsTable(root)).head()
+    val (nMerges, minPc) = (p.getLong(0).toInt, p.getLong(1))
+    val counts = VersionedStore.read(spark, vocabCountsTable(root))
+    // same dispatch as Graft.bpeTrain: sequential below the measured
+    // batching crossover, exact-batched above it
+    val model =
+      if (nMerges < 200) trainFromCounts(counts, nMerges, minPc)
+      else trainBatchedFromCounts(counts, nMerges, minPc)._1
+    VersionedStore.overwrite(model.rules, vocabRulesTable(root))
+    VersionedStore.overwrite(model.wordPieces, vocabSegsTable(root))
   }
 }

@@ -23,6 +23,31 @@ object Sources {
 
   private val CorruptCol = "_corrupt_record"
 
+  /** Idempotently map the `.zst` extension to [[ZstdCodec]] in the
+    * session's Hadoop configuration, so every text-based read
+    * (jsonl/csv, quarantined or strict) decodes `.jsonl.zst` /
+    * `.csv.zst` shards transparently — `.gz` already works through
+    * the stock (pure-Java-capable) GzipCodec. Setting
+    * `io.compression.codecs` REPLACES the ServiceLoader-discovered
+    * list, so the stock codecs are re-listed explicitly alongside
+    * ours. Every reader below calls this; it is also public for
+    * direct spark.read users. */
+  def registerCompressionCodecs(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ours = classOf[ZstdCodec].getName
+    val cur = conf.get("io.compression.codecs", "")
+    if (!cur.contains(ours)) {
+      val stock = Seq(
+        "org.apache.hadoop.io.compress.DefaultCodec",
+        "org.apache.hadoop.io.compress.GzipCodec",
+        "org.apache.hadoop.io.compress.BZip2Codec",
+        "org.apache.hadoop.io.compress.DeflateCodec",
+        "org.apache.hadoop.io.compress.Lz4Codec")
+      val base = if (cur.isEmpty) stock else cur.split(",").toSeq
+      conf.set("io.compression.codecs", (base :+ ours).mkString(","))
+    }
+  }
+
   /** The shared quarantine split: parse PERMISSIVE with a corrupt-
     * record column, materialize once (Spark cannot filter on the
     * corrupt column of an un-materialized scan — SPARK-26228 — and
@@ -46,18 +71,22 @@ object Sources {
     * rows carry `schema`'s columns, corrupt rows the raw offending
     * line. */
   def readJsonlQuarantined(spark: SparkSession, path: String,
-                           schema: StructType): (DataFrame, DataFrame) =
+                           schema: StructType): (DataFrame, DataFrame) = {
+    registerCompressionCodecs(spark)
     quarantined(schema, s => spark.read
       .schema(s)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .json(path))
+  }
 
   /** Read a JSONL corpus, aborting on the first malformed line — the
     * ingestion-gate mode. */
   def readJsonlStrict(spark: SparkSession, path: String,
-                      schema: StructType): DataFrame =
+                      schema: StructType): DataFrame = {
+    registerCompressionCodecs(spark)
     spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+  }
 
   /** Read a CSV sidecar (header expected, schema explicit), same
     * quarantine split as JSONL. `enforceSchema` is OFF: the file's
@@ -65,7 +94,8 @@ object Sources {
     * skipped positionally — a reordered or renamed header fails
     * loudly rather than silently mismapping same-typed columns. */
   def readCsvQuarantined(spark: SparkSession, path: String,
-                         schema: StructType): (DataFrame, DataFrame) =
+                         schema: StructType): (DataFrame, DataFrame) = {
+    registerCompressionCodecs(spark)
     quarantined(schema, s => spark.read
       .schema(s)
       .option("header", "true")
@@ -73,9 +103,21 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .csv(path))
+  }
 
   /** Export as JSONL (one document per line) — the interchange format
     * downstream tokenizer/training jobs read. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Export as zstd-compressed JSONL shards — the wire format big
+    * public corpora distribute in. One frame per file (see
+    * [[ZstdCodec]]): parallelism on the read side comes from the
+    * shard count, so partition the frame to the shard layout you
+    * want before writing. */
+  def writeJsonlZst(df: DataFrame, path: String): Unit = {
+    registerCompressionCodecs(df.sparkSession)
+    df.write.mode("overwrite")
+      .option("compression", classOf[ZstdCodec].getName).json(path)
+  }
 }

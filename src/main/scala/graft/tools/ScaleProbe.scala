@@ -27,6 +27,67 @@ object ScaleProbe {
       }
     }.reduce(_ unionByName _)
 
+  // ---- Zipfian tokenizer-training corpus ------------------------------
+  // A natural-language-shaped synthetic vocabulary: words are 1-4
+  // pronounceable syllables (onset+nucleus+coda), frequent ranks get
+  // SHORTER words (Zipf's law of abbreviation), and word frequency
+  // follows ~1/rank with a floor. This is the realistic counterpart
+  // of the compound-bigram probe corpus (worst case for batching:
+  // tiny base vocabulary, every pair sharing neighbors) — here
+  // thousands of words share syllable prefixes/suffixes but the top
+  // pairs are largely DISJOINT, the shape real tokenizer training
+  // sees. Fully deterministic (hash-mixed, no RNG state).
+  private val zOnsets = Array("b", "br", "ch", "d", "dr", "f", "g",
+    "gr", "h", "k", "l", "m", "n", "p", "pr", "r", "s", "sh", "st",
+    "t", "th", "tr", "v", "w", "y", "z")
+  private val zNuclei = Array("a", "e", "i", "o", "u", "ai", "ea",
+    "ie", "ou", "oo")
+  private val zCodas = Array("", "", "n", "r", "s", "t", "l", "m",
+    "d", "ck", "st", "nd", "ng", "sh")
+
+  def zipfVocab(n: Int): IndexedSeq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    var salt = 0
+    while (seen.size < n) {
+      val r = seen.size
+      var h = scala.util.hashing.MurmurHash3.productHash((r, salt))
+      def next(m: Int): Int = {
+        h = h * 0x9E3779B1 + 0x85EBCA77
+        math.floorMod(h >> 4, m)
+      }
+      val nSyl =
+        if (r < 200) 1 + next(2)
+        else if (r < 5000) 2 + next(2)
+        else 2 + next(3)
+      val sb = new StringBuilder
+      var i = 0
+      while (i < nSyl) {
+        sb ++= zOnsets(next(zOnsets.length))
+        sb ++= zNuclei(next(zNuclei.length))
+        sb ++= zCodas(next(zCodas.length))
+        i += 1
+      }
+      if (!seen.add(sb.toString)) salt += 1
+    }
+    seen.toIndexedSeq
+  }
+
+  /** One corpus row per ≤512-token chunk of each word's Zipfian
+    * repetition count — the trainer re-derives the word-count table
+    * by grouping, so only vocabulary and counts matter, not layout. */
+  def zipfCorpus(spark: SparkSession, nVocab: Int,
+                 freqScale: Long = 300000L): DataFrame = {
+    import spark.implicits._
+    val rows = zipfVocab(nVocab).zipWithIndex.flatMap { case (w, r) =>
+      val cnt = math.max(2L, freqScale / (r + 3))
+      (0L until (cnt + 511) / 512).map { c =>
+        val k = math.min(512L, cnt - c * 512).toInt
+        (r.toLong * 100000L + c, Array.fill(k)(w).mkString(" "))
+      }
+    }
+    spark.createDataset(rows).toDF("doc_id", "text")
+  }
+
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
@@ -412,6 +473,39 @@ object ScaleProbe {
       graft.operators.Bpe.trainBatched(bdocs, "doc_id", "text",
         nMerges = 100, minPairCount = 2L, maxBatch = 256)._1.rules.count())
     bdocs.unpersist()
+    }
+
+    if (sections("bpezipf")) {
+    // ZIPFIAN-VOCABULARY deep training: the compound-corpus probe
+    // above measures batching on a worst-case vocabulary; this one
+    // answers the open question "does merges/round hold (or rise) on
+    // a natural Zipfian vocabulary, at real vocab sizes?" — ≥20k
+    // distinct words, ≥5k merges, milestone wall-times printed every
+    // 500 merges so the per-merge cost curve is visible.
+    val nVocab = args.lift(3).map(_.toInt).getOrElse(25000)
+    val nM = args.lift(4).map(_.toInt).getOrElse(5000)
+    val zdocs = zipfCorpus(spark, nVocab).cache()
+    val toks = zdocs.select(sum(size(split(col("text"), " "))))
+      .head().getLong(0)
+    println(s"[scale] zipf corpus: $nVocab distinct words, $toks tokens")
+    val t0 = System.nanoTime()
+    var lastMile = 0
+    val (zm, zrounds) = graft.operators.Bpe.trainBatched(
+      zdocs, "doc_id", "text", nMerges = nM, minPairCount = 2L,
+      maxBatch = 256,
+      progress = (rounds, rules) => {
+        if (rules / 500 > lastMile) {
+          lastMile = rules / 500
+          println(f"[scale] zipf bpe: $rules%6d merges in $rounds%4d " +
+            f"rounds (${rules.toDouble / rounds}%.1f merges/round) at " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.1f s")
+        }
+      })
+    val zgot = zm.rules.count()
+    println(f"[scale] zipf bpe FINAL: $zgot merges in $zrounds rounds " +
+      f"(${zgot.toDouble / math.max(zrounds, 1)}%.1f merges/round), " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s total")
+    zdocs.unpersist()
     }
 
     if (sections("emb")) {

@@ -325,6 +325,81 @@ class BpeSpec extends AnyFunSuite {
       s"decayed pair_count mismatch: got $gotRules want $wantRules")
   }
 
+  // ---- persisted vocabulary store (incremental maintenance) -----------
+
+  test("vocab store: N shard upserts equal batch counts over the union; replays no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("bpevocab").toString + "/tok"
+    val base = Seq("low low low lower", "newest newest widest")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Bpe.buildVocabStore(base, "doc_id", "text", root, nMerges = 10,
+      minPairCount = 1L)
+    val shard1 = Seq((10L, "low lowest lowest")).toDF("doc_id", "text")
+    val shard2 = Seq((11L, "widest widest newest low")).toDF("doc_id", "text")
+    assert(Bpe.upsertVocabCounts(shard1, "doc_id", "text", root, "s1"))
+    assert(Bpe.upsertVocabCounts(shard2, "doc_id", "text", root, "s2"))
+    // replayed shard must no-op (ledger idempotence)
+    assert(!Bpe.upsertVocabCounts(shard1, "doc_id", "text", root, "s1"))
+    val got = graft.offline.VersionedStore
+      .read(spark, Bpe.vocabCountsTable(root))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Bpe.corpusWordCounts(
+        base.unionByName(shard1).unionByName(shard2), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"stored counts diverge from batch:\n$got\n$want")
+  }
+
+  test("vocab store: refresh keeps below the drift threshold, retrains above it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("bpevocab2").toString + "/tok"
+    val base = (1 to 50).map(i => (i.toLong, "alpha beta gamma alpha"))
+      .toDF("doc_id", "text")
+    Bpe.buildVocabStore(base, "doc_id", "text", root, nMerges = 8,
+      minPairCount = 1L)
+    assert(Bpe.vocabDrift(spark, root) == 0.0)
+    val r0 = Bpe.refreshVocab(spark, root, maxDrift = 0.1)
+    assert(!r0.retrained && r0.drift == 0.0)
+    val rulesV0 = graft.offline.VersionedStore
+      .latestVersion(spark, Bpe.vocabRulesTable(root))
+
+    // a small shard: drift stays under threshold → keep
+    Bpe.upsertVocabCounts(Seq((100L, "alpha beta"))
+      .toDF("doc_id", "text"), "doc_id", "text", root, "small")
+    val r1 = Bpe.refreshVocab(spark, root, maxDrift = 0.1)
+    assert(!r1.retrained && r1.drift > 0.0 && r1.drift < 0.1,
+      s"small shard drift: ${r1.drift}")
+    assert(graft.offline.VersionedStore
+      .latestVersion(spark, Bpe.vocabRulesTable(root)) == rulesV0,
+      "rules must not be rewritten on a keep decision")
+
+    // a vocabulary-shifting shard: drift exceeds → retrain, and the
+    // retrained rules equal batch training over the stored counts
+    val big = (1 to 120).map(i => (200L + i, "zetavolt zetavolt omegaflux"))
+      .toDF("doc_id", "text")
+    Bpe.upsertVocabCounts(big, "doc_id", "text", root, "big")
+    val r2 = Bpe.refreshVocab(spark, root, maxDrift = 0.1)
+    assert(r2.retrained && r2.drift > 0.1, s"big shard drift: ${r2.drift}")
+    assert(Bpe.vocabDrift(spark, root) == 0.0,
+      "drift must reset to zero after retraining")
+    val gotRules = Bpe.vocabModel(spark, root).rules.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    val wantRules = Bpe.trainFromCounts(
+        graft.offline.VersionedStore.read(spark,
+          Bpe.vocabCountsTable(root)), nMerges = 8, minPairCount = 1L)
+      .rules.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      .sortBy(_._1)
+    assert(gotRules == wantRules)
+    // the refreshed model serves through the standard encoder
+    val enc = Bpe.encodeAny(Seq((1L, "zetavolt unseenword"))
+        .toDF("doc_id", "text"), "doc_id", "text",
+        Bpe.vocabModel(spark, root))
+      .collect().map(r => r.getString(2) -> r.getSeq[String](3)).toMap
+    assert(enc.contains("zetavolt") && enc.contains("unseenword"))
+  }
+
   test("non-BMP characters are single code-point symbols on both sides") {
     // U+1D552 (𝕒) is a surrogate pair in UTF-16; both the distributed
     // splitter (Spark substring, code-point indexed) and the naive

@@ -698,6 +698,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(out.map(_._1).distinct.length == 10)
   }
 
+  test("ivfSearchSeeded: full probe equals brute force; fewer probes restrict to cells") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val queries = emb.filter($"vec_id" < 10)
+    val centroids = emb.filter($"vec_id" < 8)
+      .select($"vec_id".cast("int").as("c_cell"), $"embedding".as("cv"))
+    // probing every seeded cell reduces to the exact scan — no
+    // k-means anywhere, so this also holds in a fresh session
+    val out = Ann.ivfSearchSeeded(emb, queries, "vec_id", "embedding",
+        centroids, nProbe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val brute = Ann.bruteTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(out.sorted.sameElements(brute.sorted),
+      "nProbe = nCells seeded IVF must reduce to exact search")
+    // a partial probe: well-formed ranks (1..n contiguous per query),
+    // never self, and never MORE results than the full probe
+    val part = Ann.ivfSearchSeeded(emb, queries, "vec_id", "embedding",
+        centroids, nProbe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(part.nonEmpty && part.forall { case (q, n, _) => q != n })
+    part.groupBy(_._1).foreach { case (q, rows) =>
+      val ranks = rows.map(_._3).sorted.toSeq
+      assert(ranks == (1L to rows.length).toSeq,
+        s"ranks not contiguous for query $q: $ranks")
+      assert(rows.length <= out.count(_._1 == q))
+    }
+  }
+
   test("IVF cache: LRU evict unpersists the evicted assignment; rebuild retrains") {
     // round-5 behavior, previously untested: evicted entries must
     // release their persisted blocks (CacheManager holds them strongly

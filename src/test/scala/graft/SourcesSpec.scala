@@ -65,6 +65,69 @@ class SourcesSpec extends AnyFunSuite {
       Set((1L, "alpha"), (2L, "beta \"quoted\" text"), (3L, "line\nbreak")))
   }
 
+  test("compressed corpora: .jsonl.gz reads transparently, quarantine included") {
+    // hand-build a gzip shard (the wire format, not a Spark write)
+    val f = java.nio.file.Files.createTempFile("srcgz", ".jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    out.write(Seq(
+      """{"doc_id": 1, "text": "compressed one"}""",
+      """{"doc_id": 2 "text": "BAD LINE"}""",
+      """{"doc_id": 3, "text": "compressed three"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+    val (clean, corrupt) =
+      Sources.readJsonlQuarantined(spark, f.toString, docSchema)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(corrupt.collect().map(_.getString(0))
+      .exists(_.contains("BAD LINE")))
+  }
+
+  test("compressed corpora: .jsonl.zst round-trips through the zstd-jni codec") {
+    val docs = Seq((1L, "zstd alpha"), (2L, "zstd \"beta\""),
+      (3L, "zstd line\nbreak")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("srczst")
+      .toString + "/out"
+    Sources.writeJsonlZst(docs.repartition(2), dir)
+    // files actually carry the extension (codec engaged on write)
+    val files = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("part"))
+    assert(files.nonEmpty && files.forall(_.endsWith(".zst")),
+      s"expected .zst shards, got ${files.toSeq}")
+    // and the payload is a real zstd frame (magic 28 B5 2F FD), not
+    // silently-uncompressed text under a .zst name
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".zst")).head
+    val magic = java.nio.file.Files.readAllBytes(first.toPath).take(4)
+    assert((magic(0) & 0xFF) == 0x28 && (magic(1) & 0xFF) == 0xB5 &&
+      (magic(2) & 0xFF) == 0x2F && (magic(3) & 0xFF) == 0xFD,
+      s"not a zstd frame: ${magic.map(b => f"${b & 0xFF}%02X").toSeq}")
+    val (clean, corrupt) =
+      Sources.readJsonlQuarantined(spark, dir, docSchema)
+    assert(corrupt.count() == 0)
+    assert(clean.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "zstd alpha"), (2L, "zstd \"beta\""), (3L, "zstd line\nbreak")))
+  }
+
+  test("compressed corpora: a malformed line inside a .zst shard still quarantines") {
+    import com.github.luben.zstd.ZstdOutputStreamNoFinalizer
+    Sources.registerCompressionCodecs(spark)
+    val f = java.nio.file.Files.createTempFile("srczq", ".jsonl.zst")
+    val z = new ZstdOutputStreamNoFinalizer(
+      java.nio.file.Files.newOutputStream(f))
+    z.write(Seq(
+      """{"doc_id": 7, "text": "fine"}""",
+      """{broken""",
+      """{"doc_id": 9, "text": "also fine"}""")
+      .mkString("\n").getBytes("UTF-8"))
+    z.close()
+    val (clean, corrupt) =
+      Sources.readJsonlQuarantined(spark, f.toString, docSchema)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 9L))
+    assert(corrupt.collect().map(_.getString(0))
+      .exists(_.contains("{broken")))
+  }
+
   test("Catalog.discover classifies children, reads manifests, quarantines bad ones") {
     import graft.offline.VersionedStore
     val base = java.nio.file.Files.createTempDirectory("catalog").toString
@@ -123,5 +186,61 @@ class SourcesSpec extends AnyFunSuite {
     val ids = graft.sources.Catalog.discover(spark, base)
       .collect().map(_.getAs[String]("dataset_id")).toSeq
     assert(ids == ids.sorted)
+  }
+
+  test("Catalog.discover: partitioned layouts are one dataset, namespaces recurse, rows from footers") {
+    val base = java.nio.file.Files.createTempDirectory("catalog2").toString
+    def mkdir(p: String) =
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+
+    // the offline store's own materialization layout:
+    // entity_type=X/event_date=Y — must classify as ONE parquet
+    // dataset with both partition columns, row count from footers
+    val mat = s"$base/feature_mat"
+    (1 to 20).map(i => (i.toLong, i * 1.5,
+        if (i % 2 == 0) "user" else "item", s"2026-0${i % 3 + 1}-01"))
+      .toDF("id", "value", "entity_type", "event_date")
+      .repartition(2)
+      .write.partitionBy("entity_type", "event_date")
+      .mode("overwrite").parquet(mat)
+
+    // a namespace dir holding two nested datasets
+    val ns = s"$base/team_a"
+    val nested1 = s"$ns/events_pq"
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(nested1)
+    val nested2 = s"$ns/corpus_raw"
+    mkdir(nested2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$nested2/p0.jsonl"),
+      "{\"doc_id\":1}\n".getBytes)
+
+    val got = graft.sources.Catalog
+      .discover(spark, base, countRows = true)
+      .collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(got.size == 3, s"datasets found: ${got.keySet}")
+
+    val m = got("feature_mat")
+    assert(m.getAs[String]("kind") == "parquet")
+    assert(m.getAs[String]("partition_cols") == "entity_type,event_date")
+    assert(m.getAs[Long]("est_rows") == 20L,
+      s"footer row sum: ${m.getAs[Long]("est_rows")}")
+    assert(m.getAs[String]("schema_json").contains("entity_type"),
+      "partition columns must appear in the schema")
+
+    val n1 = got("team_a/events_pq")
+    assert(n1.getAs[String]("kind") == "parquet" &&
+      n1.getAs[Long]("est_rows") == 3L &&
+      n1.getAs[String]("partition_cols") == null)
+    assert(got("team_a/corpus_raw").getAs[String]("kind") == "jsonl")
+
+    // depth limit: maxDepth=1 sees only direct children — the
+    // namespace dir degrades to an honest unknown row
+    val shallow = graft.sources.Catalog
+      .discover(spark, base, maxDepth = 1)
+      .collect().map(r => r.getAs[String]("name") ->
+        r.getAs[String]("kind")).toMap
+    assert(shallow("feature_mat") == "parquet")
+    assert(shallow("team_a") == "unknown")
   }
 }
