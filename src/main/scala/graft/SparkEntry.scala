@@ -752,6 +752,21 @@ object SparkEntry {
     MultiModal.imageMeta(withPayload, "doc_id", "payload")
   }
 
+  /** REAL audio/video-header metadata (round 9): deterministic VALID
+    * WAV/FLAC/MP3/MP4 bytes constructed per doc (one format per id
+    * residue, one residue of non-media bytes), parsed back by the
+    * MediaMeta codegen expression — format, sample rate, channels,
+    * duration. The oracle knows the closed-form values the headers
+    * encode, so the byte-level parser (chunk walk, bit-packed
+    * STREAMINFO, frame-header tables, box walk) is checked end-to-end
+    * against ground truth, including the NULL quarantine row. */
+  def qMediaMeta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withPayload = docs.select(col("doc_id"),
+      MultiModal.syntheticMediaPayload("doc_id", "text").as("payload"))
+    MultiModal.mediaMeta(withPayload, "doc_id", "payload")
+  }
+
   /** Corpus data-card report: composition by source × lang. */
   def qCorpusReport(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
@@ -975,6 +990,7 @@ object SparkEntry {
     "q_pack_sequences" -> (qPackSequences _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_meta" -> (qImageMeta _),
+    "q_media_meta" -> (qMediaMeta _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_scores" -> (qDecontamScores _),
@@ -2677,6 +2693,29 @@ object SparkEntry {
           |       ELSE doc_id % 613 + 1 END AS width,
           |  CASE WHEN doc_id % 6 = 5 THEN NULL
           |       ELSE doc_id % 479 + 1 END AS height
+          |FROM documents""".stripMargin,
+
+      // Ground truth for the A/V header parser: same construction-vs-
+      // parse contract as q_image_meta — the synthetic payloads are
+      // valid WAV/FLAC/MP3/MP4 containers whose rates/channels/
+      // durations are closed-form in doc_id; the duration arithmetic
+      // below mirrors the parser's integer division verbatim.
+      "q_media_meta" ->
+        """SELECT doc_id,
+          |  CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+          |       WHEN 2 THEN 'mp3' WHEN 3 THEN 'mp4' END AS format,
+          |  CASE doc_id % 5 WHEN 0 THEN (doc_id % 3 + 1) * 8000
+          |       WHEN 1 THEN 44100 WHEN 2 THEN 44100 END AS sample_rate,
+          |  CASE doc_id % 5 WHEN 0 THEN doc_id % 2 + 1
+          |       WHEN 1 THEN 2 WHEN 2 THEN 2 END AS channels,
+          |  CASE doc_id % 5
+          |       WHEN 0 THEN ((doc_id % 500 + 1) * 2 * (doc_id % 2 + 1)
+          |                    * 1000)
+          |                   // ((doc_id % 3 + 1) * 8000
+          |                      * (doc_id % 2 + 1) * 2)
+          |       WHEN 1 THEN ((doc_id * 441 + 100) * 1000) // 44100
+          |       WHEN 2 THEN ((4 + doc_id % 600) * 8) // 128
+          |       WHEN 3 THEN doc_id * 37 + 500 END AS duration_ms
           |FROM documents""".stripMargin,
 
       // Mirrors TextAnalysis.redactPii: same rule chain, same order,

@@ -205,6 +205,75 @@ object MultiModal {
       .otherwise(col(textCol).cast("binary")) // not an image → NULL meta
   }
 
+  /** REAL audio/video metadata from binary payloads: container
+    * format, sample rate, channel count, and duration parsed from
+    * WAV/FLAC/MP3/MP4 headers by the [[graft.functions.MediaMeta]]
+    * codegen expression — the A/V twin of [[imageMeta]], same
+    * quarantine contract (unrecognized/truncated → NULL columns),
+    * same scale shape (pure projection in the scan stage, payloads
+    * never shuffled). */
+  def mediaMeta(docs: DataFrame, idCol: String, payloadCol: String)
+  : DataFrame = {
+    val meta = graft.functions.MediaMeta.mediaMeta(col(payloadCol))
+    docs.withColumn("_m", meta)
+      .select(col(idCol),
+        col("_m.format").as("format"),
+        col("_m.sample_rate").cast("long").as("sample_rate"),
+        col("_m.channels").cast("long").as("channels"),
+        col("_m.duration_ms").as("duration_ms"))
+  }
+
+  /** Deterministic VALID audio/video bytes per row — real headers
+    * (WAV RIFF chunk chain, FLAC STREAMINFO, MPEG-1 Layer III frame
+    * header, ISO-BMFF ftyp+moov/mvhd) with rates/channels/durations
+    * derived from the id, one format per id residue and one residue
+    * of non-media bytes (the quarantine case). Pure codegen binary
+    * concat; the closed-form fields give the DuckDB oracle without a
+    * media parser — the [[syntheticImagePayload]] convention.
+    */
+  def syntheticMediaPayload(idCol: String, textCol: String)
+  : org.apache.spark.sql.Column = {
+    val id = col(idCol)
+    // WAV: rate 8/16/24 kHz, 1-2 channels, 16-bit PCM, header-only
+    // (data chunk size declared, samples not shipped — the parser's
+    // truncation-tolerant walk is part of what the query checks)
+    val wRate = (id % 3 + 1) * 8000
+    val wCh = (id % 2 + 1).cast("int")
+    val wByteRate = wRate * wCh * 2
+    val wDataLen = (id % 500 + 1) * 2 * wCh
+    val wav = concat(
+      hexLit("52494646"), le32(wDataLen + 36), hexLit("57415645"),
+      hexLit("666D7420"), le32(lit(16)), le16(lit(1)), le16(wCh),
+      le32(wRate), le32(wByteRate), le16(wCh * 2), le16(lit(16)),
+      hexLit("64617461"), le32(wDataLen))
+    // FLAC: 44.1 kHz stereo 16-bit constants bit-packed (0A C4 42 F0),
+    // id-derived 32-bit total-sample count, zero MD5
+    val fSamples = id * 441 + 100
+    val flac = concat(
+      hexLit("664C6143"), hexLit("80000022"),
+      hexLit("10001000000000000000"),
+      hexLit("0AC442F0"), be32(fSamples),
+      hexLit("00000000000000000000000000000000"))
+    // MP3: MPEG-1 Layer III, 128 kbps, 44.1 kHz, stereo (FF FB 90 00)
+    // + id-derived filler so the CBR duration estimate varies
+    val mp3 = concat(hexLit("FFFB9000"),
+      expr(s"cast(repeat(' ', cast($idCol % 600 as int)) as binary)"))
+    // MP4: ftyp(isom) + moov/mvhd v0, timescale 1000, id-derived
+    // duration — so duration_ms is the mvhd duration verbatim
+    val mp4 = concat(
+      hexLit("00000010"), hexLit("66747970"), hexLit("69736F6D"),
+      hexLit("00000000"),
+      hexLit("00000074"), hexLit("6D6F6F76"),
+      hexLit("0000006C"), hexLit("6D766864"), hexLit("00000000"),
+      hexLit("00000000"), hexLit("00000000"), be32(lit(1000)),
+      be32(id * 37 + 500))
+    when(id % 5 === 0, wav)
+      .when(id % 5 === 1, flac)
+      .when(id % 5 === 2, mp3)
+      .when(id % 5 === 3, mp4)
+      .otherwise(col(textCol).cast("binary")) // not media → NULL meta
+  }
+
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates
     * the metadata contract and stays inside whole-stage codegen.

@@ -159,6 +159,121 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got(18L).isEmpty, s"'BM'-prefixed text parsed as bmp: ${got(18L)}")
   }
 
+  // ---- MediaMeta (audio/video headers) -------------------------------
+
+  private def le32x(v: Int) =
+    b(v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF, (v >> 24) & 0xFF)
+  private def be32x(v: Long) = b(((v >> 24) & 0xFF).toInt,
+    ((v >> 16) & 0xFF).toInt, ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+
+  private def wavBytes(rate: Int, ch: Int, dataLen: Int,
+                       junkChunkFirst: Boolean = false): Array[Byte] = {
+    val fmt = "fmt ".getBytes ++ le32x(16) ++ le16b(1) ++ le16b(ch) ++
+      le32x(rate) ++ le32x(rate * ch * 2) ++ le16b(ch * 2) ++ le16b(16)
+    val junk = "JUNK".getBytes ++ le32x(3) ++ b(1, 2, 3, 0) // padded odd
+    val data = "data".getBytes ++ le32x(dataLen)
+    val body = (if (junkChunkFirst) junk else Array.empty[Byte]) ++
+      fmt ++ data
+    "RIFF".getBytes ++ le32x(4 + body.length) ++ "WAVE".getBytes ++ body
+  }
+
+  private def flacBytes(samples: Long): Array[Byte] =
+    "fLaC".getBytes ++ b(0x80, 0, 0, 0x22) ++
+      b(0x10, 0, 0x10, 0, 0, 0, 0, 0, 0, 0) ++
+      b(0x0A, 0xC4, 0x42, 0xF0) ++ be32x(samples) ++ Array.fill(16)(0.toByte)
+
+  private def mp3Bytes(pad: Int, id3: Int = -1): Array[Byte] = {
+    val frame = b(0xFF, 0xFB, 0x90, 0x00) ++ Array.fill(pad)(' '.toByte)
+    if (id3 < 0) frame
+    else "ID3".getBytes ++ b(4, 0, 0) ++
+      b((id3 >> 21) & 0x7F, (id3 >> 14) & 0x7F, (id3 >> 7) & 0x7F,
+        id3 & 0x7F) ++ Array.fill(id3)(0.toByte) ++ frame
+  }
+
+  private def mp4Bytes(timescale: Int, dur: Long,
+                       v1: Boolean = false): Array[Byte] = {
+    val mvhd =
+      if (!v1) be32x(108) ++ "mvhd".getBytes ++ b(0, 0, 0, 0) ++
+        le32x(0) ++ le32x(0) ++ be32x(timescale) ++ be32x(dur)
+      else be32x(120) ++ "mvhd".getBytes ++ b(1, 0, 0, 0) ++
+        Array.fill(16)(0.toByte) ++ be32x(timescale) ++
+        be32x(dur >> 32) ++ be32x(dur & 0xFFFFFFFFL)
+    val moov = be32x(8L + mvhd.length) ++ "moov".getBytes ++ mvhd
+    be32x(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ b(0, 0, 0, 0) ++
+      moov
+  }
+
+  test("MediaMeta parses WAV/FLAC/MP3/MP4 headers, nulls the rest") {
+    import graft.functions.MediaMeta.mediaMeta
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      1L -> wavBytes(16000, 2, 64000),
+      // chunk walk must skip a padded odd-size chunk before fmt
+      2L -> wavBytes(8000, 1, 8000, junkChunkFirst = true),
+      3L -> flacBytes(44100L * 3),
+      4L -> mp3Bytes(pad = 1596),      // 1600 bytes @128kbps = 100 ms
+      5L -> mp3Bytes(pad = 1596, id3 = 200), // ID3v2 tag skipped
+      6L -> mp4Bytes(1000, 2500L),
+      7L -> mp4Bytes(90000, 90000L * 7, v1 = true), // 64-bit mvhd
+      8L -> "RIFFraff text that is not a wave container".getBytes,
+      9L -> wavBytes(16000, 2, 64000).take(20), // truncated before fmt
+      10L -> "plain text".getBytes,
+      11L -> Array.empty[Byte],
+      12L -> null)
+    val df = rows.toDF("id", "payload")
+    val got = df.select(col("id"), mediaMeta(col("payload")).as("m"))
+      .select(col("id"), col("m.format"), col("m.sample_rate"),
+        col("m.channels"), col("m.duration_ms"))
+      .collect()
+      .map { r =>
+        def oi(i: Int) = if (r.isNullAt(i)) None else Some(r.getInt(i))
+        def ol(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        r.getLong(0) ->
+          (if (r.isNullAt(1)) None
+           else Some((r.getString(1), oi(2), oi(3), ol(4))))
+      }.toMap
+    // 64000 bytes at 16000*2*2 B/s = 1000 ms
+    assert(got(1L).contains(("wav", Some(16000), Some(2), Some(1000L))))
+    assert(got(2L).contains(("wav", Some(8000), Some(1), Some(500L))))
+    assert(got(3L).contains(("flac", Some(44100), Some(2), Some(3000L))))
+    assert(got(4L).contains(("mp3", Some(44100), Some(2), Some(100L))))
+    assert(got(5L).contains(("mp3", Some(44100), Some(2), Some(100L))))
+    assert(got(6L).contains(("mp4", None, None, Some(2500L))))
+    assert(got(7L).contains(("mp4", None, None, Some(7000L))))
+    assert(got(8L).isEmpty, s"'RIFF'-prefixed text parsed: ${got(8L)}")
+    assert(got(9L).isEmpty)
+    assert(got(10L).isEmpty)
+    assert(got(11L).isEmpty)
+    assert(got(12L).isEmpty)
+  }
+
+  test("MediaMeta round-trips the synthetic payload builder against closed form") {
+    import graft.operators.MultiModal
+    val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val got = MultiModal.mediaMeta(
+        docs.select(col("doc_id"),
+          MultiModal.syntheticMediaPayload("doc_id", "text").as("payload")),
+        "doc_id", "payload")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getLong(4))))).toMap
+    (0L until 40L).foreach { i =>
+      val want = (i % 5) match {
+        case 0 =>
+          val r = (i % 3 + 1) * 8000
+          Some(("wav", r, i % 2 + 1, (i % 500 + 1) * 1000 / r))
+        case 1 =>
+          Some(("flac", 44100L, 2L, (i * 441 + 100) * 1000 / 44100))
+        case 2 => Some(("mp3", 44100L, 2L, (4 + i % 600) * 8 / 128))
+        case 3 => Some(("mp4", -1L, -1L, i * 37 + 500))
+        case _ => None
+      }
+      assert(got(i) == want, s"doc $i: got ${got(i)}, want $want")
+    }
+  }
+
   test("ImageMeta round-trips the synthetic payload builder against closed form") {
     import graft.operators.MultiModal
     val docs = (0L until 40L).map(i => (i, s"text $i")).toDF("doc_id", "text")

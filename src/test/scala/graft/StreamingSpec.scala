@@ -628,6 +628,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(dl == Set("u1", "u2"), s"dead-letter contents: $dl")
   }
 
+  test("StreamingVocab: micro-batches fold word counts exactly once, refresh retrains on drift") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("svocab").toString + "/tok"
+    val base = Seq((1L, "low low lower"), (2L, "newest widest"))
+      .toDF("doc_id", "text")
+    Bpe.buildVocabStore(base, "doc_id", "text", root, nMerges = 6,
+      minPairCount = 1L)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingVocab.start(
+      in.toDS().toDF("doc_id", "text"), root,
+      java.nio.file.Files.createTempDirectory("svocab_ck").toString,
+      refreshEvery = 2, maxDrift = 0.05)
+    val b1 = Seq((10L, "low newest low"))
+    val b2 = (1 to 40).map(i => (100L + i, "zorblat zorblat quux"))
+    in.addData(b1: _*)
+    q.processAllAvailable() // batch 0: counts fold, no refresh yet
+    val driftMid = Bpe.vocabDrift(spark, root)
+    assert(driftMid > 0.0, "batch-0 counts must register as drift")
+    in.addData(b2: _*)
+    q.processAllAvailable() // batch 1: (1+1)%2==0 → refresh → retrain
+    q.stop()
+    val got = graft.offline.VersionedStore
+      .read(spark, Bpe.vocabCountsTable(root))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Bpe.corpusWordCounts(
+        base.unionByName(b1.toDF("doc_id", "text"))
+          .unionByName(b2.toDF("doc_id", "text")), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"streamed counts diverge:\n$got\n$want")
+    // the shifted vocabulary forced a retrain at the refresh point —
+    // drift against the NEW rules' train-time counts is back to zero
+    assert(Bpe.vocabDrift(spark, root) == 0.0,
+      "refresh at batch 1 must have retrained (drift reset)")
+    // and the served model now segments the new vocabulary
+    val enc = Bpe.encodeAny(Seq((1L, "zorblat")).toDF("doc_id", "text"),
+        "doc_id", "text", Bpe.vocabModel(spark, root))
+      .collect()
+    assert(enc.nonEmpty)
+  }
+
   test("frozen quality classifier runs stateless on a stream, equals batch application") {
     implicit val sqlCtx = spark.sqlContext
     val th = graft.operators.TextAnalysis.QualityThresholds(
