@@ -326,6 +326,20 @@ object SparkEntry {
     Ann.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       nCentroids = 16, nProbe = 4, k = 5)
 
+  /** PQ-compressed exact scan (rows-only: Lloyd codebooks are not
+    * SQL-expressible): m=8 one-byte subspace codes over dim 64 — 32×
+    * less corpus memory/IO than float — ranked by the fused ADC dot.
+    * Spec holds encode and ADC bit-equal to a naive reference and
+    * measures recall vs the exact gold; the declared twin of
+    * q_ann_ivf on the compression axis. */
+  def qAnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val p = Ann.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8,
+      k = 16)
+    Ann.bruteTopKPq(emb, emb.filter(col("vec_id") < 20), "vec_id",
+      "embedding", k = 5, p)
+  }
+
   /** ANN recall audit: the LSH ranking evaluated against the exact
     * brute-force top-5 as the relevance gold — Search.retrievalMetrics
     * reused across modalities (first-gold rank / reciprocal rank /
@@ -965,6 +979,7 @@ object SparkEntry {
     "q_hard_negatives" -> (qHardNegatives _),
     "q_knn_agreement" -> (qKnnAgreement _),
     "q_ann_sq8" -> (qAnnSq8 _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivf" -> (qAnnIvf _),

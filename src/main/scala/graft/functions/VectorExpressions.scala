@@ -245,6 +245,156 @@ case class Sq8Norm(child: Expression, mins: Array[Double],
   : Sq8Norm = copy(child = newChild)
 }
 
+/** Product-quantization encode: the vector splits into `m` subspaces
+  * of `dsub` dims; each subspace stores the index of its nearest
+  * codebook centroid (k ≤ 256 → one byte). m bytes per vector —
+  * dim·4/m× less memory and scan I/O than floats (32× at dim 64,
+  * m 8), the standard billion-vector layout (Jégou et al. 2011).
+  * `codebook` is flattened [j][c][t] → j·k·dsub + c·dsub + t.
+  * Ties and short/ragged inputs are deterministic: argmin takes the
+  * lowest centroid index; missing elements read as 0.
+  */
+case class PqEncode(child: Expression, codebook: Array[Float],
+                    m: Int, k: Int, dsub: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(codebook.length == m * k * dsub, "codebook shape mismatch")
+  require(k <= 256, "PQ codes are one byte per subspace")
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_pq_encode"
+
+  def compute(v: ArrayData): Array[Byte] = {
+    val out = new Array[Byte](m)
+    val n = v.numElements()
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val base = (j * k + c) * dsub
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val i = j * dsub + t
+          val x = if (i < n && !v.isNullAt(i)) v.getFloat(i).toDouble else 0.0
+          val diff = x - codebook(base + t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqenc", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : PqEncode = copy(child = newChild)
+}
+
+/** Fused asymmetric PQ dot: float query · reconstructed PQ code in
+  * one loop over the codebook rows the code selects — the
+  * reconstruction is never materialized (the Sq8Dot contract at 4×
+  * deeper compression).
+  */
+case class PqAdcDot(left: Expression, right: Expression,
+                    codebook: Array[Float], m: Int, k: Int, dsub: Int)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  require(codebook.length == m * k * dsub, "codebook shape mismatch")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_dot"
+
+  def compute(q: ArrayData, code: Array[Byte]): Double = {
+    val n = q.numElements()
+    val mm = math.min(m, code.length)
+    var acc = 0.0
+    var j = 0
+    while (j < mm) {
+      val base = (j * k + (code(j) & 0xFF)) * dsub
+      var t = 0
+      while (t < dsub) {
+        val i = j * dsub + t
+        if (i < n && !q.isNullAt(i))
+          acc += q.getFloat(i).toDouble * codebook(base + t)
+        t += 1
+      }
+      j += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqadc", this, classOf[PqAdcDot].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of the PQ reconstruction — computed once per corpus row at
+  * encode, so query-time ranking divides by a stored scalar (the
+  * Sq8Norm contract).
+  */
+case class PqNorm(child: Expression, codebook: Array[Float],
+                  m: Int, k: Int, dsub: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(codebook.length == m * k * dsub, "codebook shape mismatch")
+  override def inputTypes: Seq[DataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_norm"
+
+  def compute(code: Array[Byte]): Double = {
+    val mm = math.min(m, code.length)
+    var acc = 0.0
+    var j = 0
+    while (j < mm) {
+      val base = (j * k + (code(j) & 0xFF)) * dsub
+      var t = 0
+      while (t < dsub) {
+        val x = codebook(base + t).toDouble
+        acc += x * x
+        t += 1
+      }
+      j += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqnorm", this, classOf[PqNorm].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : PqNorm = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-level entry point for the codegen'd dot product. */
@@ -273,6 +423,21 @@ object VectorExpressions {
               scales: Array[Double]): Column =
     GraftColumnBridge.column(
       Sq8Norm(GraftColumnBridge.expression(code), mins, scales))
+
+  def pqEncode(vec: Column, codebook: Array[Float], m: Int, k: Int,
+               dsub: Int): Column =
+    GraftColumnBridge.column(
+      PqEncode(GraftColumnBridge.expression(vec), codebook, m, k, dsub))
+
+  def pqAdcDot(query: Column, code: Column, codebook: Array[Float],
+               m: Int, k: Int, dsub: Int): Column =
+    GraftColumnBridge.column(PqAdcDot(GraftColumnBridge.expression(query),
+      GraftColumnBridge.expression(code), codebook, m, k, dsub))
+
+  def pqNorm(code: Column, codebook: Array[Float], m: Int, k: Int,
+             dsub: Int): Column =
+    GraftColumnBridge.column(
+      PqNorm(GraftColumnBridge.expression(code), codebook, m, k, dsub))
 
   /** Register the full graft SQL surface in an existing session
     * (kept for source compatibility — see [[GraftSqlFunctions]]). */

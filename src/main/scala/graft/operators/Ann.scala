@@ -221,6 +221,124 @@ object Ann {
         (col("qn") * col("cn")), k)
   }
 
+  /** Product-quantization codebooks (see functions.PqEncode): `m`
+    * subspaces × `k` centroids × `dsub` dims, flattened. One BYTE per
+    * subspace per vector — dim·4/m× less memory and scan I/O than
+    * float32 (32× at dim 64, m 8), the compression tier below SQ8
+    * (4×) on the brute → SQ8 → PQ ladder. */
+  case class PqParams(m: Int, k: Int, dsub: Int, codebook: Array[Float]) {
+    def dim: Int = m * dsub
+  }
+
+  /** Train PQ codebooks: per-subspace Lloyd k-means over a
+    * DETERMINISTIC bounded sample (global ascending-id head — the
+    * cellIndex convention), run on the driver. Like the SQ8 grid and
+    * the DSIR model, the codebook is a driver-bounded artifact
+    * (m·k·dsub floats); only encode and serve are distributed. Init
+    * is evenly-spaced sample points in id order and ties take the
+    * lowest centroid — fully reproducible, no RNG.
+    */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int, k: Int, trainSample: Int = 65536,
+              iters: Int = 10): PqParams = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    require(k >= 1 && k <= 256, "PQ codes are one byte per subspace")
+    val dsub = dim / m
+    val sample = emb.orderBy(col(idCol)).limit(trainSample)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).padTo(dim, 0f).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val codebook = new Array[Float](m * k * dsub)
+    var j = 0
+    while (j < m) {
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(
+        v, j * dsub, (j + 1) * dsub))
+      val centers = lloyd(pts, k, iters)
+      var c = 0
+      while (c < k) {
+        System.arraycopy(centers(c), 0, codebook, (j * k + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    PqParams(m, k, dsub, codebook)
+  }
+
+  private def lloyd(pts: Array[Array[Float]], k: Int, iters: Int)
+  : Array[Array[Float]] = {
+    val n = pts.length
+    val d = pts(0).length
+    // evenly-spaced deterministic init (sample is id-ordered)
+    val centers = Array.tabulate(k)(c =>
+      pts(((c.toLong * n) / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val p = pts(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var t = 0
+          while (t < d) {
+            val diff = p(t).toDouble - centers(c)(t)
+            dist += diff * diff
+            t += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var t = 0
+        while (t < d) { s(t) += p(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < d) {
+            centers(c)(t) = (sums(c)(t) / counts(c)).toFloat
+            t += 1
+          }
+        } // empty cluster keeps its center — deterministic
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** PQ-compressed exact-scan top-k: the corpus holds m bytes per
+    * vector, queries stay float, ranking uses the fused asymmetric
+    * (ADC) dot against the reconstruction — same plan shape as
+    * [[bruteTopKSq8]] (queries broadcast, corpus never shuffles), one
+    * compression tier deeper. Recall trades with m·k; spec-measured
+    * on the test corpus. The cosine denominator uses the stored
+    * reconstruction norm, so scoring touches only bytes + the
+    * broadcast codebook.
+    */
+  def bruteTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, params: PqParams): DataFrame = {
+    import graft.functions.VectorExpressions
+    val p = params
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        VectorExpressions.pqEncode(col(vecCol), p.codebook, p.m, p.k,
+          p.dsub).as("code"))
+      .withColumn("cn",
+        VectorExpressions.pqNorm(col("code"), p.codebook, p.m, p.k, p.dsub))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Fns.l2Norm(col(vecCol)).as("qn"))
+    rankByCosine(q, c,
+      VectorExpressions.pqAdcDot(col("qv"), col("code"), p.codebook,
+        p.m, p.k, p.dsub) / (col("qn") * col("cn")), k)
+  }
+
   /** Sign-bit bucket id from `nPlanes` deterministic hyperplanes.
     * `planeOffset` selects a disjoint plane family, so multi-table
     * LSH callers get independent tables from the same hash scheme.

@@ -698,6 +698,83 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(out.map(_._1).distinct.length == 10)
   }
 
+  test("PQ: encode and ADC dot bit-equal a naive reference; compressed scan keeps recall") {
+    import graft.functions.VectorExpressions
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val (m, kk, dim) = (8, 16, 64)
+    val p = Ann.pqTrain(emb, "vec_id", "embedding", dim, m, kk)
+    val dsub = dim / m
+    assert(p.codebook.length == m * kk * dsub)
+
+    // naive reference, same loop order as the expressions → exact
+    def encNaive(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](m)
+      for (j <- 0 until m) {
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until kk) {
+          val base = (j * kk + c) * dsub
+          var d = 0.0
+          for (t <- 0 until dsub) {
+            val diff = v(j * dsub + t).toDouble - p.codebook(base + t)
+            d += diff * diff
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        out(j) = best.toByte
+      }
+      out
+    }
+    def adcNaive(q: Array[Float], code: Array[Byte]): Double = {
+      var acc = 0.0
+      for (j <- 0 until m) {
+        val base = (j * kk + (code(j) & 0xFF)) * dsub
+        for (t <- 0 until dsub)
+          acc += q(j * dsub + t).toDouble * p.codebook(base + t)
+      }
+      acc
+    }
+
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = emb.select(col("vec_id"),
+        VectorExpressions.pqEncode(col("embedding"), p.codebook, m, kk,
+          dsub).as("code"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    got.foreach { case (id, code) =>
+      assert(code.length == m, "one byte per subspace")
+      assert(code.sameElements(encNaive(vecs(id))),
+        s"encode diverges from naive reference on vec $id")
+    }
+    // ADC scores bit-equal on a query × corpus sample
+    val q0 = vecs(1L)
+    val adcGot = emb.filter($"vec_id" < 30)
+      .select(col("vec_id"),
+        VectorExpressions.pqAdcDot(
+          typedLit(q0.toSeq), // float query column
+          VectorExpressions.pqEncode(col("embedding"), p.codebook, m, kk,
+            dsub), p.codebook, m, kk, dsub).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    adcGot.foreach { case (id, s) =>
+      assert(s == adcNaive(q0, encNaive(vecs(id))),
+        s"ADC diverges from naive reference on vec $id")
+    }
+
+    // recall of the 32×-compressed scan vs the exact gold
+    val queries = emb.filter($"vec_id" < 20)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pq = topSets(Ann.bruteTopKPq(emb, queries, "vec_id",
+      "embedding", k = 10, p))
+    val exact = topSets(Ann.bruteTopK(emb, queries, "vec_id",
+      "embedding", 10))
+    val recall = exact.map { case (q, gold) =>
+      (pq.getOrElse(q, Set.empty) & gold).size.toDouble / gold.size
+    }.sum / exact.size
+    assert(recall >= 0.15, f"PQ recall@10 vs exact = $recall%.3f")
+    info(f"PQ m=$m k=$kk recall@10 vs exact = $recall%.3f")
+  }
+
   test("ivfSearchSeeded: full probe equals brute force; fewer probes restrict to cells") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val queries = emb.filter($"vec_id" < 10)
