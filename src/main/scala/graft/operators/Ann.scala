@@ -862,6 +862,107 @@ object Ann {
       k, excludeSelf)
   }
 
+  private def pqCodebookTable(indexRoot: String) = s"$indexRoot/pq_codebook"
+  private def pqAssignmentTable(indexRoot: String) = s"$indexRoot/assignment_pq"
+
+  /** PQ-compressed persisted IVF index (the FAISS IVFx,PQm shape):
+    * the inverted file stores m BYTES per vector — dim·4/m× less
+    * index storage and probe-scan I/O than float32 (32× at dim 64,
+    * m 8), one compression tier below [[ivfBuildIndexSq8]]. Tables
+    * under `indexRoot`: `centroids`, `pq_codebook` (subspace,
+    * centroid, vals — the driver-bounded Lloyd artifact), and
+    * `assignment_pq` (id, code, cell, nrm) — norms from the PQ
+    * RECONSTRUCTION, so ranking is self-consistent with what serving
+    * can compute (the SQ8 convention).
+    */
+  def ivfBuildIndexPq(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, dim: Int, m: Int, k: Int,
+                      indexRoot: String,
+                      trainSample: Int = 100000): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import graft.functions.VectorExpressions
+    import graft.offline.VersionedStore
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    quantizerTrainings.incrementAndGet()
+    val trained = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(base.orderBy("id").limit(trainSample))
+    val p = pqTrain(corpus, idCol, vecCol, dim, m, k, trainSample)
+    val assigned = trained.transform(base).drop("fv")
+      .select(col("id"),
+        VectorExpressions.pqEncode(col("v"), p.codebook, p.m, p.k,
+          p.dsub).as("code"),
+        col("cell"))
+      .withColumn("nrm",
+        VectorExpressions.pqNorm(col("code"), p.codebook, p.m, p.k,
+          p.dsub))
+    val centroids = trained.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }
+    VersionedStore.overwrite(
+      spark.createDataFrame(centroids.toSeq).toDF("c_cell", "cv"),
+      centroidTable(indexRoot))
+    val cbRows = for (j <- 0 until p.m; c <- 0 until p.k) yield
+      (j, c, java.util.Arrays.copyOfRange(p.codebook,
+        (j * p.k + c) * p.dsub, (j * p.k + c + 1) * p.dsub).toSeq)
+    VersionedStore.overwrite(
+      cbRows.toDF("subspace", "centroid", "vals"),
+      pqCodebookTable(indexRoot))
+    VersionedStore.overwrite(
+      assigned.repartitionByRange(nCentroids, col("cell"))
+        .sortWithinPartitions("cell"),
+      pqAssignmentTable(indexRoot))
+  }
+
+  /** The stored PQ codebook, reassembled. */
+  def pqParamsFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexRoot: String): PqParams = {
+    import graft.offline.VersionedStore
+    val rows = VersionedStore.read(spark, pqCodebookTable(indexRoot))
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    val m = rows.iterator.map(_._1).max + 1
+    val k = rows.iterator.map(_._2).max + 1
+    val dsub = rows.head._3.length
+    val cb = new Array[Float](m * k * dsub)
+    rows.foreach { case (j, c, vals) =>
+      System.arraycopy(vals, 0, cb, (j * k + c) * dsub, dsub)
+    }
+    PqParams(m, k, dsub, cb)
+  }
+
+  /** Serve from a PQ-compressed persisted index: probe like
+    * [[ivfServe]] (including the file-level probed-cell pruning),
+    * rank with the fused asymmetric (ADC) dot. Full-probe parity
+    * with [[bruteTopKPq]] under the same codebook holds exactly
+    * (bruteTopKPq always excludes self — pass excludeSelf = true).
+    */
+  def ivfServePq(spark: org.apache.spark.sql.SparkSession,
+                 indexRoot: String, queries: DataFrame, idCol: String,
+                 vecCol: String, nProbe: Int, k: Int,
+                 excludeSelf: Boolean = false): DataFrame = {
+    import graft.functions.VectorExpressions
+    import graft.offline.VersionedStore
+    val p = pqParamsFromIndex(spark, indexRoot)
+    val centroidDf = VersionedStore.read(spark, centroidTable(indexRoot))
+      .withColumn("cnrm", Fns.l2Norm(col("cv")))
+    val qBase = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", Fns.l2Norm(col("v")))
+    val (cells, probes) = probedCellsAndProbes(qBase, centroidDf, nProbe)
+    val assigned = VersionedStore.readValues(spark,
+      pqAssignmentTable(indexRoot), "cell", cells)
+    rankStage(probes,
+      assigned.select(col("id").as("neighbor_id"), col("code"),
+        col("nrm").as("cn"), col("cell")),
+      VectorExpressions.pqAdcDot(col("qv"), col("code"), p.codebook,
+        p.m, p.k, p.dsub) / (col("qn") * col("cn")),
+      k, excludeSelf)
+  }
+
   /** Nearest existing centroid per update row: (id, v, cell) via the
     * same L2-argmin (argmax of dot − |c|²/2, ties to the lowest cell)
     * the probe stage uses. */
@@ -945,6 +1046,10 @@ object Ann {
     if (VersionedStore.latestVersion(spark,
         sq8AssignmentTable(indexRoot)) >= 0L)
       VersionedStore.deleteKeys(keys, sq8AssignmentTable(indexRoot),
+        Seq("id"))
+    if (VersionedStore.latestVersion(spark,
+        pqAssignmentTable(indexRoot)) >= 0L)
+      VersionedStore.deleteKeys(keys, pqAssignmentTable(indexRoot),
         Seq("id"))
   }
 

@@ -775,6 +775,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     info(f"PQ m=$m k=$kk recall@10 vs exact = $recall%.3f")
   }
 
+  test("IVF-PQ persisted index: full-probe serve equals the PQ brute scan; delete retracts") {
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("ivfpq").toString + "/idx"
+    Ann.ivfBuildIndexPq(emb, "vec_id", "embedding", nCentroids = 8,
+      dim = 64, m = 8, k = 16, indexRoot = root)
+    val queries = emb.filter($"vec_id" < 10)
+    // the stored codebook round-trips, and pqTrain is deterministic —
+    // so the brute scan under the SAME params is the exact oracle
+    val p = Ann.pqParamsFromIndex(spark, root)
+    assert(p.m == 8 && p.k == 16 && p.dsub == 8)
+    val served = Ann.ivfServePq(spark, root, queries, "vec_id",
+        "embedding", nProbe = 8, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val brute = Ann.bruteTopKPq(emb, queries, "vec_id", "embedding",
+        k = 5, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(served.sorted.sameElements(brute.sorted),
+      "full-probe IVF-PQ must reduce to the PQ brute scan")
+    // retraction: delete a served neighbor, it must stop serving
+    val victim = served.head._2
+    Ann.ivfIndexDelete(Seq(victim).toDF("vec_id"), root, "vec_id")
+    val after = Ann.ivfServePq(spark, root, queries, "vec_id",
+        "embedding", nProbe = 8, k = 5, excludeSelf = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(!after.contains(victim), "deleted vector still serves")
+  }
+
   test("ivfSearchSeeded: full probe equals brute force; fewer probes restrict to cells") {
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
     val queries = emb.filter($"vec_id" < 10)
