@@ -535,6 +535,30 @@ object Graft {
     Ann.ivfServeSq8(spark, indexRoot, queries, "vec_id", "embedding",
       nProbe, k, excludeSelf)
 
+  /** Train PQ codebooks + compressed exact scan (32× at dim 64, m 8):
+    * the compression tier below SQ8 — see [[Ann.pqTrain]] /
+    * [[Ann.bruteTopKPq]]. */
+  def annPqTrain(corpus: DataFrame, dim: Int = 64, m: Int = 8,
+                 k: Int = 16): Ann.PqParams =
+    Ann.pqTrain(corpus, "vec_id", "embedding", dim, m, k)
+
+  def annPqSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                  params: Ann.PqParams): DataFrame =
+    Ann.bruteTopKPq(corpus, queries, "vec_id", "embedding", k, params)
+
+  /** PQ-compressed persisted IVF index (FAISS IVF,PQm shape): m bytes
+    * per vector in the inverted file. */
+  def annIvfBuildPq(corpus: DataFrame, nCentroids: Int, indexRoot: String,
+                    dim: Int = 64, m: Int = 8, k: Int = 16): Unit =
+    Ann.ivfBuildIndexPq(corpus, "vec_id", "embedding", nCentroids, dim,
+      m, k, indexRoot)
+
+  def annIvfServePq(spark: SparkSession, indexRoot: String,
+                    queries: DataFrame, nProbe: Int, k: Int,
+                    excludeSelf: Boolean = false): DataFrame =
+    Ann.ivfServePq(spark, indexRoot, queries, "vec_id", "embedding",
+      nProbe, k, excludeSelf)
+
   /** Re-sort a persisted index's inverted file by cell: MERGE upserts
     * write files spanning many cells, which degrades serve-side file
     * pruning until the next compaction. */

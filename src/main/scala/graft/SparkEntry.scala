@@ -227,6 +227,29 @@ object SparkEntry {
   def qDedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(Tables.documents(s, d), "doc_id", "text")
 
+  /** URL-level dedup (round 9): crawl pipelines collapse re-fetched
+    * pages by CANONICAL URL before any content hashing. Four messy
+    * variants per page are constructed closed-form per doc (scheme
+    * case, www, default port, tracking params, param order, trailing
+    * slash) and must collapse to one canonical key; the oracle
+    * replays every canonicalization rule in SQL. */
+  def qUrlDedup(s: SparkSession, d: String): DataFrame = {
+    val base = expr("doc_id div 4")
+    val v = col("doc_id") % 4
+    val url =
+      when(v === 0, concat(lit("https://News.Example.com/articles/"),
+        base, lit("?id="), base, lit("&utm_source=feed")))
+      .when(v === 1, concat(lit("https://news.example.com/articles/"),
+        base, lit("/?id="), base))
+      .when(v === 2, concat(lit("HTTP://www.news.example.com/articles/"),
+        base, lit("?utm_campaign=x&id="), base))
+      .otherwise(concat(lit("https://news.example.com:443/articles/"),
+        base, lit("?id="), base, lit("&fbclid=f"), col("doc_id")))
+    Dedup.dedupByUrl(
+      Tables.documents(s, d).select(col("doc_id"), url.as("url")),
+      "doc_id", "url")
+  }
+
   // maxDf=100: the stop-shingle cap that keeps the per-shingle join
   // fan-out bounded at scale (docs/SCALE_NOTES.md measured 70s → 3.2s
   // at ×10 duplication). Identity-preserving on the gate corpora —
@@ -967,6 +990,7 @@ object SparkEntry {
     "q_normalize" -> (qNormalize _),
     "q_supplier_part" -> (qSupplierPart _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_url_dedup" -> (qUrlDedup _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_dedup_pipeline" -> (qDedupPipeline _),
@@ -2067,6 +2091,57 @@ object SparkEntry {
         """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,
           |       count(*) AS n_docs
           |FROM documents GROUP BY md5(text)""".stripMargin,
+
+      // Every canonicalization rule replayed in SQL: scheme/fragment
+      // strip, host lowercase + www./default-port removal, trailing-
+      // slash trim, tracking-parameter drop, surviving params sorted.
+      "q_url_dedup" ->
+        """WITH urls AS (
+          |  SELECT doc_id,
+          |    CASE doc_id % 4
+          |      WHEN 0 THEN 'https://News.Example.com/articles/' ||
+          |        (doc_id // 4) || '?id=' || (doc_id // 4) ||
+          |        '&utm_source=feed'
+          |      WHEN 1 THEN 'https://news.example.com/articles/' ||
+          |        (doc_id // 4) || '/?id=' || (doc_id // 4)
+          |      WHEN 2 THEN 'HTTP://www.news.example.com/articles/' ||
+          |        (doc_id // 4) || '?utm_campaign=x&id=' || (doc_id // 4)
+          |      ELSE 'https://news.example.com:443/articles/' ||
+          |        (doc_id // 4) || '?id=' || (doc_id // 4) ||
+          |        '&fbclid=f' || doc_id
+          |    END AS url
+          |  FROM documents),
+          |nf AS (
+          |  SELECT doc_id, regexp_replace(regexp_replace(url,
+          |    '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS nu
+          |  FROM urls),
+          |sp AS (
+          |  SELECT doc_id,
+          |    CASE WHEN strpos(nu, '?') > 0
+          |         THEN substr(nu, 1, strpos(nu, '?') - 1) ELSE nu
+          |    END AS hp,
+          |    CASE WHEN strpos(nu, '?') > 0
+          |         THEN substr(nu, strpos(nu, '?') + 1) ELSE ''
+          |    END AS q
+          |  FROM nf),
+          |hs AS (
+          |  SELECT doc_id, split_part(hp, '/', 1) AS host0,
+          |    substr(hp, length(split_part(hp, '/', 1)) + 1) AS path,
+          |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+          |      x -> x <> '' AND NOT regexp_matches(x,
+          |        '^(utm_[^=]*|fbclid|gclid|ref)='))), '&') AS qq
+          |  FROM sp),
+          |canon AS (
+          |  SELECT doc_id,
+          |    regexp_replace(regexp_replace(lower(host0), '^www\.', ''),
+          |      ':(443|80)$', '')
+          |    || regexp_replace(path, '/+$', '')
+          |    || CASE WHEN qq <> '' THEN '?' || qq ELSE '' END
+          |      AS canonical_url
+          |  FROM hs)
+          |SELECT canonical_url, min(doc_id) AS canonical_id,
+          |       count(*) AS n_docs
+          |FROM canon GROUP BY canonical_url""".stripMargin,
 
       "q_dedup_ngram" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -28,6 +28,46 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** Canonical URL key: the dedup identity web-crawl pipelines use
+    * BEFORE any content hashing (the same page is re-fetched under
+    * scheme/case/tracking-parameter/trailing-slash variants — URL
+    * dedup collapses those for free, no text comparison). Rules, in
+    * order: scheme stripped; fragment stripped; host lowercased,
+    * leading `www.` and default `:80`/`:443` ports removed; trailing
+    * slashes trimmed from the path; tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`, `ref`) dropped and the surviving
+    * query parameters SORTED so parameter order cannot split a
+    * group. Pure string/array functions — one projection, and every
+    * rule is portably expressible, so the dedup is oracle-checkable
+    * end to end.
+    */
+  def urlCanonical(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noFrag = regexp_replace(noScheme, "#.*$", "")
+    val parts = split(noFrag, "\\?", 2)
+    val hp = element_at(parts, 1)
+    val q = when(size(parts) > 1, element_at(parts, 2)).otherwise(lit(""))
+    val host0 = substring_index(hp, "/", 1)
+    val pathCol = hp.substr(length(host0) + lit(1), length(hp))
+    val host = regexp_replace(
+      regexp_replace(lower(host0), "^www\\.", ""), ":(443|80)$", "")
+    val pathClean = regexp_replace(pathCol, "/+$", "")
+    val qTerms = filter(split(q, "&"), x =>
+      x =!= "" && !x.rlike("^(utm_[^=]*|fbclid|gclid|ref)="))
+    val qClean = array_join(array_sort(qTerms), "&")
+    concat(host, pathClean,
+      when(qClean =!= "", concat(lit("?"), qClean)).otherwise(lit("")))
+  }
+
+  /** URL-level dedup groups: one row per canonical URL with the
+    * keep-min id and variant count — the [[exact]] contract keyed by
+    * [[urlCanonical]] instead of the content hash. Single shuffle on
+    * the canonical key. */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String)
+  : DataFrame =
+    docs.groupBy(urlCanonical(col(urlCol)).as("canonical_url"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
   /** Exploded (doc_id, shingle_hash) inverted index, built by the
     * codegen'd single-pass ShingleHash expression — distinct 64-bit
     * shingle hashes straight from the text bytes, no intermediate

@@ -574,6 +574,22 @@ object ScaleProbe {
       Ann.semanticDecontam(emb.filter(col("vec_id") % 10 =!= 0),
         Tables.embeddings(spark, d).filter(col("vec_id") % 10 === 0),
         "vec_id", "embedding", 0.3).count())
+    // PQ tier (32×): codebook train is sample-bounded driver work;
+    // encode+scan touches m bytes/vector instead of dim floats — the
+    // number that matters is the compressed scan's growth vs brute
+    val pqp = time("pq train (m=8 k=16, 64k sample)")(
+      Ann.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 8, k = 16))
+    time("pq brute scan 100q xK")(
+      Ann.bruteTopKPq(emb, queries, "vec_id", "embedding", k = 10,
+        pqp).count())
+    val pqRoot = java.nio.file.Files
+      .createTempDirectory("probe_ivfpq").toString + "/idx"
+    time("ivf-pq index build xK (64 cells)")(
+      Ann.ivfBuildIndexPq(emb, "vec_id", "embedding", 64, dim = 64,
+        m = 8, k = 16, indexRoot = pqRoot))
+    time("ivf-pq serve 100q nProbe=4")(
+      Ann.ivfServePq(spark, pqRoot, queries, "vec_id", "embedding",
+        nProbe = 4, k = 10).count())
     queries.unpersist()
     emb.unpersist()
     }

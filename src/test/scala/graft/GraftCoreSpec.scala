@@ -45,11 +45,13 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("oracleSql covers every query (or is intentionally rows-only)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // minhash needs xxhash64, simhash an FNV word fold, ivf and
-    // semdedup a trained KMeans, BPE an iterative argmax-merge loop —
-    // none expressible in portable DuckDB SQL; spec-tested (BPE is
-    // held to a naive in-memory reference in BpeSpec).
+    // semdedup a trained KMeans, PQ its Lloyd codebooks, BPE an
+    // iterative argmax-merge loop — none expressible in portable
+    // DuckDB SQL; spec-tested (BPE is held to a naive in-memory
+    // reference in BpeSpec, PQ encode/ADC to one in LlmPipelineSpec).
     val known = Set("q_dedup_minhash", "q_dedup_simhash",
-      "q_dedup_simhash_wide", "q_ann_ivf", "q_dedup_semdedup",
+      "q_dedup_simhash_wide", "q_ann_ivf", "q_ann_pq",
+      "q_dedup_semdedup",
       "q_bpe_merges", "q_bpe_encode", "q_bpe_encode_oov")
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
