@@ -616,6 +616,15 @@ object SparkEntry {
       "source", Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
         "src3" -> 0.1))
 
+  /** Temperature-based domain mixing at α=0.5 (round 9): shares
+    * derive from the corpus' own per-source token counts (∝ √tokens),
+    * flattening toward small sources; sampling is the same
+    * deterministic md5 filter as q_domain_mix. Fully oracle-replayed
+    * incl. the share derivation. */
+  def qTempMix(s: SparkSession, d: String): DataFrame =
+    FeatureEng.domainMixTemperature(Tables.documents(s, d), "doc_id",
+      "text", "source", alpha = 0.5)
+
   /** CCNet head/middle/tail corpus split by exact lm-score percent
     * rank (terciles). */
   def qPplBuckets(s: SparkSession, d: String): DataFrame =
@@ -1040,6 +1049,7 @@ object SparkEntry {
     "q_quality_filter_frozen" -> (qQualityFilterFrozen _),
     "q_ppl_buckets" -> (qPplBuckets _),
     "q_domain_mix" -> (qDomainMix _),
+    "q_temperature_mix" -> (qTempMix _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_line_dedup" -> (qLineDedup _),
     "q_line_dedup_frozen" -> (qLineDedupFrozen _),
@@ -2522,6 +2532,45 @@ object SparkEntry {
           |  FROM shf, sc
           |)
           |SELECT doc_id, b.source, n_tokens,
+          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |    % 2147483648 % 10000 AS sample_bucket,
+          |  rate_bp
+          |FROM b JOIN r ON b.source = r.source
+          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |    % 2147483648 % 10000 < rate_bp""".stripMargin,
+
+      // The α=0.5 temperature-mix oracle replays the SHARE DERIVATION
+      // too: integer-milli weights (associative sum), 6-dp share
+      // rounding, sqrt for the exponent — the exact determinism
+      // contract documented on FeatureEng.domainMixTemperature.
+      "q_temperature_mix" ->
+        """WITH b AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), ps AS (
+          |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          |  FROM b GROUP BY 1
+          |), pw AS (
+          |  SELECT source, src_tokens,
+          |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000)
+          |      AS BIGINT) AS wgt
+          |  FROM ps
+          |), tw AS (
+          |  SELECT CAST(sum(wgt) AS BIGINT) AS tot_w FROM pw
+          |), sh AS (
+          |  SELECT source, src_tokens,
+          |    round(CAST(wgt AS DOUBLE) / tot_w, 6) AS share
+          |  FROM pw, tw
+          |), sc AS (
+          |  SELECT min(src_tokens / share) AS scale FROM sh
+          |), r AS (
+          |  SELECT source, share,
+          |    CAST(least(10000, floor(sc.scale * share / src_tokens * 10000))
+          |      AS BIGINT) AS rate_bp
+          |  FROM sh, sc
+          |)
+          |SELECT doc_id, b.source, n_tokens, share,
           |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
           |    % 2147483648 % 10000 AS sample_bucket,
           |  rate_bp

@@ -360,6 +360,53 @@ object FeatureEng {
       .select("doc_id", "source", "n_tokens", "sample_bucket", "rate_bp")
   }
 
+  /** Temperature-based domain mixing (the multilingual α-sampling
+    * rule): target share_d ∝ src_tokens_d^α with α ∈ [0, 1] — α=1
+    * keeps natural proportions, α=0 flattens to uniform, 0.5 (the
+    * common default) boosts small domains' SHARE of the budget
+    * without upsampling documents. Shares derive from the corpus'
+    * own token counts in-plan, then the [[domainMix]] machinery
+    * applies unchanged (binding source ~100%, md5-bucket filter,
+    * basis-point floors).
+    *
+    * Determinism across engines (the oracle replays this verbatim):
+    * weights floor to integer millis BEFORE the share division (an
+    * integer sum is associative — a double sum's bits would depend
+    * on aggregation order), shares round to 6 dp, and α = 0.5 routes
+    * through sqrt (IEEE correctly-rounded everywhere; pow's last
+    * ulp is implementation-defined).
+    */
+  def domainMixTemperature(docs: DataFrame, keyCol: String,
+                           textCol: String, srcCol: String,
+                           alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1]: $alpha")
+    val base = docs.select(col(keyCol).as("doc_id"),
+      col(srcCol).as("source"),
+      size(Fns.words(col(textCol))).cast("long").as("n_tokens"))
+    val powCol =
+      if (alpha == 0.5) sqrt(col("src_tokens").cast("double"))
+      else pow(col("src_tokens").cast("double"), lit(alpha))
+    val perSrc = base.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("wgt", floor(powCol * 1000).cast("long"))
+    val totW = perSrc.agg(sum("wgt").as("tot_w"))
+    val shares = perSrc.crossJoin(broadcast(totW))
+      .withColumn("share",
+        round(col("wgt").cast("double") / col("tot_w"), 6))
+    val scale = shares.agg(min(col("src_tokens") / col("share")).as("scale"))
+    val rates = shares.crossJoin(broadcast(scale))
+      .select(col("source"), col("share"),
+        least(lit(10000L),
+          floor(col("scale") * col("share") / col("src_tokens") * 10000))
+          .as("rate_bp"))
+    base.join(broadcast(rates), Seq("source"))
+      .withColumn("sample_bucket",
+        Fns.md5Hash31(col("doc_id").cast("string")) % 10000)
+      .filter(col("sample_bucket") < col("rate_bp"))
+      .select("doc_id", "source", "n_tokens", "share", "sample_bucket",
+        "rate_bp")
+  }
+
   /** DCLM/FineWeb-style SOFT quality filtering: instead of a hard
     * keep/drop threshold, each row survives with probability equal to
     * its `weight` column (a keep probability — e.g. a quality score),
