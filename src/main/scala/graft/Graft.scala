@@ -774,6 +774,14 @@ object Graft {
   def searchPhrase(docs: DataFrame, phrases: DataFrame): DataFrame =
     Search.phraseSearch(docs, "doc_id", "text", phrases, "q_id", "phrase")
 
+  /** Typo-tolerant vocabulary lookup: corpus words within Levenshtein
+    * distance `maxEdits` of each query term, via the SymSpell
+    * deletion-neighborhood join (vocab-sized work, never
+    * queries x vocab). Queries carry a `q` column. */
+  def searchFuzzy(docs: DataFrame, queries: DataFrame,
+                  maxEdits: Int = 1): DataFrame =
+    Search.fuzzySearch(docs, "doc_id", "text", queries, "q", maxEdits)
+
   /** Build / refresh / compact the persisted posting-list index. */
   def searchIndexBuild(spark: SparkSession, docs: DataFrame,
                        indexRoot: String, nFiles: Int = 16): Unit =

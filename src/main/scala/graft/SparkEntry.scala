@@ -705,6 +705,23 @@ object SparkEntry {
     Search.phraseSearch(docs, "doc_id", "text", phrases, "q_id", "phrase")
   }
 
+  /** Fuzzy lookup query batch: the corpus's 20 highest-df vocabulary
+    * words of length >= 4 (ties broken by word), each "typo'd" by
+    * dropping its 2nd character — every query is guaranteed
+    * Levenshtein distance exactly 1 from a real high-df word, and the
+    * derivation is closed-form for the oracle. */
+  def qFuzzySearch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val queries = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(length(col("w")) >= 4)
+      .orderBy(col("df").desc, col("w")).limit(20)
+      .select(concat(col("w").substr(lit(1), lit(1)),
+        col("w").substr(lit(3), length(col("w")))).as("q"))
+    Search.fuzzySearch(docs, "doc_id", "text", queries, "q", maxEdits = 1)
+  }
+
   // BPE model per (corpus dir, session): the ENCODE entry reuses it;
   // q_bpe_merges always trains fresh — it IS the training benchmark
   // (the q_dedup_clusters convention). Session-checked because the
@@ -1028,6 +1045,7 @@ object SparkEntry {
     "q_bm25_serve" -> (qBm25Serve _),
     "q_bm25_bulk" -> (qBm25Bulk _),
     "q_phrase_search" -> (qPhraseSearch _),
+    "q_fuzzy_search" -> (qFuzzySearch _),
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
@@ -2802,6 +2820,26 @@ object SparkEntry {
           |FROM g JOIN qlen USING (q_id)
           |WHERE g.hits = qlen.qlen
           |GROUP BY 1, 2""".stripMargin,
+
+      // Brute-force verify of the SymSpell deletion-neighborhood path:
+      // the oracle may cross-join 20 queries x vocab (sf0.01-sized);
+      // the Spark plan never does — candidates come from the variant
+      // equi-join, then the same levenshtein predicate.
+      "q_fuzzy_search" ->
+        """WITH we AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          |), v AS (
+          |  SELECT w, count(DISTINCT doc_id) AS df FROM we GROUP BY 1
+          |), top20 AS (
+          |  SELECT w FROM v WHERE length(w) >= 4 ORDER BY df DESC, w LIMIT 20
+          |), q AS (
+          |  SELECT DISTINCT concat(substr(w, 1, 1), substr(w, 3)) AS query_term
+          |  FROM top20
+          |)
+          |SELECT q.query_term, v.w AS word,
+          |  CAST(levenshtein(q.query_term, v.w) AS BIGINT) AS dist, v.df
+          |FROM q CROSS JOIN v
+          |WHERE levenshtein(q.query_term, v.w) <= 1""".stripMargin,
 
       "q_tfidf_cosine" -> tfidfCosineOracleSql,
       "q_hybrid_rrf" -> hybridRrfOracleSql,

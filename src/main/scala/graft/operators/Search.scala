@@ -642,4 +642,64 @@ object Search {
           math.max(nFiles / 4, 1), sortBy = Seq("doc_id"))
     }
   }
+
+  // -------------------------------------------------------------------
+  // Fuzzy term search (SymSpell deletion neighborhoods)
+  // -------------------------------------------------------------------
+
+  /** All strings obtainable from `w` by deleting up to `maxEdits`
+    * characters, as a deduplicated array (always includes `w`
+    * itself). Pure `functions._` — codegen'd, no UDF. Fan-out per
+    * word is O(len^maxEdits); maxEdits is 1 or 2 by construction
+    * (require'd), the only values fuzzy lookup uses in practice.
+    */
+  private def deletionVariants(w: Column, maxEdits: Int): Column = {
+    def deletes(c: Column): Column =
+      transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1),
+                    c.substr(i + 1, length(c))))
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"maxEdits must be 1 or 2, got $maxEdits")
+    val d1 = array_union(array(w), deletes(w))
+    if (maxEdits == 1) d1
+    else array_distinct(flatten(transform(d1, v => array_union(array(v), deletes(v)))))
+  }
+
+  /** Fuzzy (typo-tolerant) term lookup: for each query term, every
+    * corpus vocabulary word within Levenshtein distance `maxEdits`,
+    * with its document frequency. The candidate set comes from a
+    * SymSpell-style deletion-neighborhood equi-join (Garbe 2012:
+    * two strings within Damerau-Levenshtein distance e share a
+    * variant when each deletes up to e characters; plain Levenshtein
+    * <= Damerau bounds means recall is complete for the Levenshtein
+    * verify too), so the join work is O(vocab x len^e) index rows
+    * against O(queries x len^e) broadcast rows — never the
+    * O(vocab x queries) brute-force cross product a `levenshtein`
+    * filter alone would cost. At 100 TB the corpus contributes one
+    * word-count shuffle (vocab-sized output, ~sqrt(corpus)); the
+    * variant explode and verify run on the VOCABULARY, and the
+    * query side broadcasts.
+    *
+    * Output: (query_term, word, dist, df), one row per matching
+    * vocabulary word. Verification is exact `levenshtein` — the
+    * deletion join only proposes.
+    */
+  def fuzzySearch(docs: DataFrame, idCol: String, textCol: String,
+                  queries: DataFrame, qCol: String,
+                  maxEdits: Int = 1): DataFrame = {
+    val vocab = docs
+      .select(col(idCol).as("doc_id"), explode(Fns.words(col(textCol))).as("word"))
+      .groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val corpusVariants = vocab.select(col("word"), col("df"),
+      explode(deletionVariants(col("word"), maxEdits)).as("v"))
+    val queryVariants = queries
+      .select(col(qCol).as("query_term")).distinct()
+      .select(col("query_term"),
+        explode(deletionVariants(col("query_term"), maxEdits)).as("v"))
+    corpusVariants
+      .join(broadcast(queryVariants), "v")
+      .select("query_term", "word", "df").distinct()
+      .withColumn("dist", levenshtein(col("query_term"), col("word")).cast("long"))
+      .filter(col("dist") <= maxEdits)
+  }
 }

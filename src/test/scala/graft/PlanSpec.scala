@@ -354,6 +354,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_fuzzy_search: query variants broadcast, no cartesian product") {
+    val df = SparkEntry.queries("q_fuzzy_search")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be the deletion-variant equi-join, " +
+        s"never queries x vocab:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the query-variant side must broadcast:\n$plan")
+  }
+
   test("rrfFuse: fusion cost is query-shaped — two exchanges over top-k inputs") {
     import spark.implicits._
     val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")

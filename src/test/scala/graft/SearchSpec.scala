@@ -488,4 +488,62 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(stats(root) == stats(refRoot))
   }
+
+  /** Brute-force gold for fuzzySearch: every (query, vocab word) pair
+    * within Levenshtein distance maxEdits, with the word's df. */
+  private def fuzzyGold(docs: org.apache.spark.sql.DataFrame,
+                        queries: Seq[String], maxEdits: Int)
+  : Set[(String, String, Long, Long)] = {
+    val vocab = docs
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy("w").agg(countDistinct($"doc_id").as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    (for {
+      q <- queries.distinct; (w, df) <- vocab
+      dist = lev(q, w) if dist <= maxEdits
+    } yield (q, w, dist.toLong, df)).toSet
+  }
+
+  test("fuzzySearch: deletion-neighborhood candidates recover EXACTLY the brute-force levenshtein pairs (e=1 and e=2)") {
+    val docs = Seq(
+      (1L, "grafted spark engine"),
+      (2L, "crafted spark engines"),
+      (3L, "graft sparks engine engine"),
+      (4L, "drafted snark engine"),
+      (5L, "wholly unrelated words"),
+      (6L, "graphed spark enginx")
+    ).toDF("doc_id", "text")
+    for (e <- Seq(1, 2)) {
+      val queries = Seq("grafted", "spark", "engine", "zzzz").toDF("q")
+      val got = Search.fuzzySearch(docs, "doc_id", "text", queries, "q",
+          maxEdits = e)
+        .collect()
+        .map(r => (r.getAs[String]("query_term"), r.getAs[String]("word"),
+          r.getAs[Long]("dist"), r.getAs[Long]("df"))).toSet
+      assert(got == fuzzyGold(docs, Seq("grafted", "spark", "engine", "zzzz"), e),
+        s"maxEdits=$e")
+    }
+  }
+
+  test("fuzzySearch: duplicate query terms collapse; no-match queries emit nothing; e=2 reaches transpositions") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val queries = Seq("alpah", "alpah", "qqqqqq").toDF("q")
+    val got = Search.fuzzySearch(docs, "doc_id", "text", queries, "q",
+        maxEdits = 2)
+      .collect()
+      .map(r => (r.getAs[String]("query_term"), r.getAs[String]("word"),
+        r.getAs[Long]("dist"))).toSet
+    // "alpah" transposes alpha's last two chars: plain levenshtein 2
+    // (two substitutions), reached via the 2-deletion neighborhood
+    // (both sides delete down to "alp").
+    assert(got == Set(("alpah", "alpha", 2L)))
+  }
 }
