@@ -464,6 +464,17 @@ object Graft {
   : DataFrame =
     TextAnalysis.qualityClassifier(docs, "doc_id", "text", th)
 
+  /** MODEL-based quality filter (the DCLM/fastText shape): train a
+    * multinomial Naive Bayes classifier on a small labeled `seed`
+    * frame (doc_id, lbl) and score every document — log_odds + keep
+    * at `threshold`. Training is pure aggregation; the model
+    * broadcasts, so the corpus never shuffles tokens by word. */
+  def qualityModelScore(docs: DataFrame, seed: DataFrame,
+                        alpha: Double = 1.0, threshold: Double = 0.0)
+  : DataFrame =
+    graft.operators.Classify.nbScore(docs, "doc_id", "text",
+      seed, "doc_id", "lbl", alpha, threshold)
+
   /** Ingest a JSONL corpus with quarantine semantics: (clean,
     * corrupt) — malformed lines retained, never silently dropped. */
   def readJsonl(spark: SparkSession, path: String,

@@ -526,6 +526,19 @@ object SparkEntry {
   def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
 
+  /** Model-based quality filter: every 5th doc is the labeled seed,
+    * annotated by the rule-based quality heuristic (quality_score >=
+    * 0.5 — the DCLM shape: a trusted annotator labels a sliver, the
+    * learned model scores everything). NB training is aggregation,
+    * so the oracle replays the entire fit. */
+  def qNbQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val seed = TextAnalysis.quality(docs, "doc_id", "text")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).as("lbl"))
+    operators.Classify.nbScore(docs, "doc_id", "text", seed, "doc_id", "lbl")
+  }
+
   /** Declared WITH the occurrence cap (maxDf = 100): the positional
     * self-join fans out O(occurrences²) per shingle, so an uncapped
     * declaration detonates on any corpus slice with heavily repeated
@@ -1061,6 +1074,7 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontam_scores" -> (qDecontamScores _),
     "q_lm_score" -> (qLmScore _),
+    "q_nb_quality" -> (qNbQuality _),
     "q_overlap_spans" -> (qOverlapSpans _),
     "q_strip_spans" -> (qStripSpans _),
     "q_quality_filter" -> (qQualityFilter _),
@@ -2825,6 +2839,60 @@ object SparkEntry {
       // the oracle may cross-join 20 queries x vocab (sf0.01-sized);
       // the Spark plan never does — candidates come from the variant
       // equi-join, then the same levenshtein predicate.
+      // Replays the WHOLE NB fit: seed labels from the quality
+      // heuristic (q_text_quality's CTE), class-conditional word
+      // counts, add-1 smoothing over the seed vocabulary, prior and
+      // OOV constants — then the scoring join. 6dp-rounded log
+      // ratios summed as exact decimal (the dsir convention).
+      "q_nb_quality" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits
+          |  FROM documents WHERE doc_id % 5 = 0
+          |), seed AS (
+          |  SELECT doc_id,
+          |    round(least(n_words / 100.0, 1.0) *
+          |      (1.0 - round(stop_hits / n_words, 6)), 6) >= 0.5 AS lbl
+          |  FROM b
+          |), we AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          |), sw AS (
+          |  SELECT w,
+          |    sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS c_pos,
+          |    sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS c_neg
+          |  FROM we JOIN seed USING (doc_id) GROUP BY 1
+          |), st AS (
+          |  SELECT sum(c_pos) AS tot_pos, sum(c_neg) AS tot_neg,
+          |         count(*) AS v
+          |  FROM sw
+          |), pr AS (
+          |  SELECT sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+          |         sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+          |  FROM seed
+          |), llr AS (
+          |  SELECT w,
+          |    CAST(round(ln((c_pos + 1.0) / (tot_pos + 1.0 * v)) -
+          |               ln((c_neg + 1.0) / (tot_neg + 1.0 * v)), 6)
+          |         AS DECIMAL(20,6)) AS lr
+          |  FROM sw CROSS JOIN st
+          |), konst AS (
+          |  SELECT
+          |    CAST(round(ln(1.0 / (tot_pos + 1.0 * v)) -
+          |               ln(1.0 / (tot_neg + 1.0 * v)), 6)
+          |         AS DECIMAL(20,6)) AS oov_lr,
+          |    CAST(round(ln(n_pos * 1.0 / n_neg), 6)
+          |         AS DECIMAL(20,6)) AS prior_lr
+          |  FROM st CROSS JOIN pr
+          |)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(prior_lr + sum(coalesce(lr, oov_lr)) AS DOUBLE) AS log_odds,
+          |  (prior_lr + sum(coalesce(lr, oov_lr)))
+          |    >= CAST(0.0 AS DECIMAL(20,6)) AS keep
+          |FROM we LEFT JOIN llr USING (w) CROSS JOIN konst
+          |GROUP BY doc_id, prior_lr, oov_lr""".stripMargin,
+
       "q_fuzzy_search" ->
         """WITH we AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+
+/** Model-based quality filtering: train a multinomial Naive Bayes
+  * text classifier on a small LABELED seed set, then score the whole
+  * corpus — the fastText-classifier shape modern pretraining
+  * pipelines use (DCLM, FineWeb-Edu: a cheap trusted annotator
+  * labels thousands of documents, the learned model filters
+  * billions). The reference has no model-based filter; this is the
+  * engine's supervised complement to the rule-based
+  * [[TextAnalysis.qualityClassifier]] — rules are the annotator,
+  * the NB model generalizes them to one vocabulary-join pass.
+  *
+  * Training IS aggregation (per-word class counts + class priors),
+  * so unlike gradient-trained models the whole fit is declarative,
+  * deterministic, and SQL-replayable — the reason NB is the
+  * classifier an exact correctness gate can hold end-to-end.
+  *
+  * Scale shape: the seed pass shuffles only seed-sized data; the
+  * model (per-word log-likelihood ratios) is SEED-VOCABULARY-sized
+  * and broadcast, so corpus scoring is explode → broadcast join →
+  * one groupBy(doc_id) with map-side combine. The corpus never
+  * shuffles tokens by word.
+  *
+  * Determinism: per-word log ratios are rounded to 6 dp and summed
+  * in exact decimal (the [[Dsir]] convention) — add-order
+  * independent, bit-equal to the DuckDB oracle.
+  */
+object Classify {
+
+  /** Per-word 6dp log-likelihood-ratio model plus the OOV and prior
+    * constants, all exact DECIMAL(20,6) — computed from the seed's
+    * class-conditional word counts with add-`alpha` smoothing over
+    * the seed vocabulary (unseen words get the smoothed-only ratio,
+    * the principled multinomial treatment rather than dropping OOV).
+    */
+  private def model(seedTokens: DataFrame, seed: DataFrame,
+                    labelCol: String, alpha: Double)
+  : (DataFrame, DataFrame) = {
+    val a = lit(alpha)
+    // Feeds BOTH the totals aggregate and the ratio projection —
+    // checkpoint so the seed corpus is tokenized once (lm_score's
+    // duplicated-subtree lesson).
+    val counts = seedTokens
+      .groupBy("w")
+      .agg(sum(when(col("lbl"), 1L).otherwise(0L)).as("c_pos"),
+           sum(when(col("lbl"), 0L).otherwise(1L)).as("c_neg"))
+      .localCheckpoint(false)
+    val totals = counts.agg(sum("c_pos").as("tot_pos"),
+      sum("c_neg").as("tot_neg"), count(lit(1)).as("v"))
+    val priors = seed.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+    val stats = totals.crossJoin(priors)
+      .select(col("tot_pos"), col("tot_neg"), col("v"),
+        round(log(a / (col("tot_pos") + a * col("v"))) -
+              log(a / (col("tot_neg") + a * col("v"))), 6)
+          .cast("decimal(20,6)").as("oov_lr"),
+        round(log(col("n_pos") * lit(1.0) / col("n_neg")), 6)
+          .cast("decimal(20,6)").as("prior_lr"))
+    val llr = counts.crossJoin(broadcast(stats))
+      .select(col("w"),
+        round(log((col("c_pos") + a) / (col("tot_pos") + a * col("v"))) -
+              log((col("c_neg") + a) / (col("tot_neg") + a * col("v"))), 6)
+          .cast("decimal(20,6)").as("lr"))
+    (llr, stats.select("oov_lr", "prior_lr"))
+  }
+
+  /** Train on `seed` (a small (id, boolean label) frame — its text
+    * comes from `docs` by id join) and score EVERY document:
+    * `log_odds` = prior + Σ per-token smoothed log ratio, `keep` =
+    * log_odds >= `threshold`. Documents with NULL text carry no
+    * tokens and are dropped (the lm_score convention); seed rows
+    * must contain both classes (a one-class seed has no likelihood
+    * ratio to learn — the priors/ratios go NULL, not wrong).
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+              seed: DataFrame, seedIdCol: String, seedLabelCol: String,
+              alpha: Double = 1.0, threshold: Double = 0.0): DataFrame = {
+    require(math.abs(threshold) < 1e13,
+      s"threshold must fit DECIMAL(20,6), got $threshold")
+    val seedKeyed = seed.select(col(seedIdCol).as("doc_id"),
+      col(seedLabelCol).as("lbl"))
+    val seedTokens = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(broadcast(seedKeyed), "doc_id")
+      .select(col("lbl"), explode(Fns.words(col("text"))).as("w"))
+    val (llr, konst) = model(seedTokens, seedKeyed, "lbl", alpha)
+    docs.select(col(idCol).as("doc_id"),
+        explode(Fns.words(col(textCol))).as("w"))
+      .join(broadcast(llr), Seq("w"), "left")
+      .crossJoin(broadcast(konst))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (max(col("prior_lr")) +
+          sum(coalesce(col("lr"), col("oov_lr")))).as("lo"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("lo").cast("double").as("log_odds"),
+        (col("lo") >= lit(threshold).cast("decimal(20,6)")).as("keep"))
+  }
+}

@@ -365,6 +365,19 @@ class PlanSpec extends AnyFunSuite {
       s"the query-variant side must broadcast:\n$plan")
   }
 
+  test("q_nb_quality: model broadcast to the corpus scan, corpus tokens never shuffle by word") {
+    val df = SparkEntry.queries("q_nb_quality")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the llr model must broadcast:\n$plan")
+    // shuffles: seed groupBy(w), totals+priors single-partition aggs,
+    // final groupBy(doc_id) — all seed- or doc-sized; the corpus token
+    // stream itself joins the model via broadcast only
+    assert(countShuffles(df) <= 6,
+      s"unexpected shuffle growth:\n$plan")
+  }
+
   test("rrfFuse: fusion cost is query-shaped — two exchanges over top-k inputs") {
     import spark.implicits._
     val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")
