@@ -526,6 +526,113 @@ object SparkEntry {
   def qLmScore(s: SparkSession, d: String): DataFrame =
     TextAnalysis.lmScore(Tables.documents(s, d), "doc_id", "text")
 
+  /** Deterministic synthetic page per doc (the constructed-container
+    * pattern of q_image_meta): title from (source, doc_id), the doc's
+    * text split across two <p> blocks, style/script/comment
+    * boilerplate with embedded tags and comparisons, a content
+    * anchor with an entity, a nav block on every 3rd doc, entities
+    * in the tail. The oracle replays construction AND extraction. */
+  private def syntheticHtml(s: SparkSession, d: String): DataFrame = {
+    val ws = split(coalesce(col("text"), lit("")), " ")
+    val n2 = floor(size(ws) / 2).cast("int")
+    val half1 = array_join(slice(ws, lit(1), n2), " ")
+    val half2 = array_join(slice(ws, n2 + 1, size(ws) - n2), " ")
+    Tables.documents(s, d).select(col("doc_id"), concat(
+      lit("<html><head><title>"), col("source"), lit(" doc "),
+      col("doc_id").cast("string"), lit("</title>"),
+      lit("<style>body { color: #fff; }</style>"),
+      lit("<script>if (1 < 2) { var x = \"<p>\"; }</script>"),
+      lit("</head><body>"),
+      when(col("doc_id") % 3 === 0, lit(
+        "<nav><a href=\"/\">home</a> <a href=\"/about\">about us</a></nav>"))
+        .otherwise(lit("")),
+      lit("<h1>"), col("lang"), lit(" heading</h1>"),
+      lit("<p>"), half1, lit("</p>"),
+      lit("<a href=\"https://example.com/"), col("doc_id").cast("string"),
+      lit("\">click &amp; read more</a>"),
+      // link farm: 3 words but link-dense → q_boilerplate must drop it
+      lit("<p><a href=\"/a\">buy</a> <a href=\"/b\">now</a> <a href=\"/c\">cheap</a></p>"),
+      lit("<!-- hidden <p>not text</p> -->"),
+      lit("<p>"), half2, lit(" &lt;eof&gt;</p>"),
+      lit("</body></html>")).as("html"))
+  }
+
+  def qHtmlExtract(s: SparkSession, d: String): DataFrame =
+    operators.Html.extract(syntheticHtml(s, d), "doc_id", "html")
+
+  def qBoilerplate(s: SparkSession, d: String): DataFrame =
+    operators.Html.mainContent(syntheticHtml(s, d), "doc_id", "html")
+
+  /** Packs the syntheticHtml pages into length-framed WARC segments
+    * (64 segments, records sorted by doc_id, a warcinfo head record
+    * per segment) — the constructed-container pattern again, one
+    * level up: at the archive layer. Every field must be recovered
+    * through [[graft.functions.WarcRecords]]' byte walker, and the
+    * HTTP entity must survive Content-Length slicing byte-for-byte
+    * for the downstream Html chain to hash-match the oracle. */
+  private def syntheticWarc(s: SparkSession, d: String): DataFrame = {
+    val httpPayload = concat(
+      lit("HTTP/1.1 "),
+      when(col("doc_id") % 7 === 0, lit("404 Not Found"))
+        .otherwise(lit("200 OK")),
+      lit("\r\nServer: graft-test\r\nContent-Type: text/html; charset=UTF-8\r\n\r\n"),
+      col("html"))
+    val record = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.com/doc/"),
+      col("doc_id").cast("string"),
+      lit("\r\nWARC-Date: 2026-01-"),
+      lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+      lit("T00:00:00Z\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+      octet_length(httpPayload).cast("string"),
+      lit("\r\n\r\n"), httpPayload, lit("\r\n\r\n"))
+    val info = // 16-byte warcinfo payload, as real crawl files lead with
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 16\r\n\r\nsoftware: graft\n\r\n\r\n"
+    syntheticHtml(s, d)
+      .groupBy(pmod(col("doc_id"), lit(64)).as("seg"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col("doc_id"), record.as("rec")))), x => x("rec")), "").as("recs"))
+      .select(col("seg"), concat(lit(info), col("recs")).cast("binary").as("segment"))
+  }
+
+  /** The whole crawl front end in one plan: WARC walk → HTTP status
+    * gate → block-level boilerplate extraction → length gate, each
+    * drop tagged with the FIRST failing reason (the triage report a
+    * curation run keeps). Still shuffle-free past the fixture packing
+    * — every stage is a scan-side projection over the record stream. */
+  def qCrawlPipeline(s: SparkSession, d: String): DataFrame = {
+    val mc = operators.Html.mainContentCol(col("body"))
+    operators.Warc.records(syntheticWarc(s, d), "seg", "segment")
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("status"), mc.as("mc"))
+      .select(col("doc_id"), col("status"),
+        col("mc.boilerplate_ratio").as("boilerplate_ratio"),
+        when(col("mc.content_text") === "", lit(0L))
+          .otherwise(size(split(col("mc.content_text"), " ")).cast("long"))
+          .as("n_words"))
+      .withColumn("reason",
+        when(col("status") =!= 200, lit("http_error"))
+          .when(col("n_words") < 8, lit("too_short"))
+          .when(col("boilerplate_ratio") > 0.5, lit("boilerplate"))
+          .otherwise(lit("kept")))
+  }
+
+  /** WARC → records → HTTP fields → clean text: the full crawl
+    * ingestion chain. warcinfo head records are filtered by type;
+    * doc identity comes back out of the target URI. */
+  def qWarcExtract(s: SparkSession, d: String): DataFrame =
+    operators.Warc.records(syntheticWarc(s, d), "seg", "segment")
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("bigint")
+          .as("doc_id"),
+        col("warc_date"), col("status"), col("content_type"),
+        operators.Html.titleCol(col("body")).as("title"),
+        length(operators.Html.bodyTextCol(col("body"))).cast("long")
+          .as("n_chars"))
+
   /** Model-based quality filter: every 5th doc is the labeled seed,
     * annotated by the rule-based quality heuristic (quality_score >=
     * 0.5 — the DCLM shape: a trusted annotator labels a sliver, the
@@ -1075,6 +1182,10 @@ object SparkEntry {
     "q_decontam_scores" -> (qDecontamScores _),
     "q_lm_score" -> (qLmScore _),
     "q_nb_quality" -> (qNbQuality _),
+    "q_html_extract" -> (qHtmlExtract _),
+    "q_warc_extract" -> (qWarcExtract _),
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_crawl_pipeline" -> (qCrawlPipeline _),
     "q_overlap_spans" -> (qOverlapSpans _),
     "q_strip_spans" -> (qStripSpans _),
     "q_quality_filter" -> (qQualityFilter _),
@@ -1105,6 +1216,171 @@ object SparkEntry {
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
     * the batch scorer, so both declare the same SQL). */
+  /** The [[operators.Html]] clean chain in DuckDB SQL, applied to
+    * `inner` — generated once here so the three call sites (title,
+    * body, anchor lambda) cannot drift from each other or from the
+    * Spark chain: block strips, comment strip, tag strip, the six
+    * entities (&amp; last), whitespace collapse. */
+  private def htmlCleanSql(inner: String): String =
+    "trim(regexp_replace(replace(replace(replace(replace(replace(replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(" + inner + "," +
+      "'(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g')," +
+      "'(?s)<!--.*?-->', ' ', 'g')," +
+      "'<[^>]*>', ' ', 'g')," +
+      "'&lt;','<'),'&gt;','>'),'&quot;','\"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&')," +
+      "'\\s+', ' ', 'g'))"
+
+  /** The shared CTE chain replaying syntheticHtml's page
+    * construction and Html.extract's regex chains (identical
+    * Java-regex/RE2 subset) — final relation `e(doc_id, title,
+    * body, n_links, link_chars)`. Shared by the q_html_extract and
+    * q_warc_extract oracles so the two cannot drift. */
+  private val htmlOracleCtes: String = {
+    val title = htmlCleanSql("regexp_extract(html, '(?s)<title>(.*?)</title>', 1)")
+    val body = htmlCleanSql(
+      "CASE WHEN regexp_matches(html, '(?s)<body[^>]*>') " +
+        "THEN regexp_extract(html, '(?s)<body[^>]*>(.*?)</body>', 1) " +
+        "ELSE html END")
+    val anchor = htmlCleanSql("a")
+    s"""w AS (
+       |  SELECT doc_id, lang, source,
+       |    string_split(coalesce(text, ''), ' ') AS ws
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>' || source || ' doc ' || doc_id ||
+       |    '</title><style>body { color: #fff; }</style>' ||
+       |    '<script>if (1 < 2) { var x = "<p>"; }</script>' ||
+       |    '</head><body>' ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN '<nav><a href="/">home</a> <a href="/about">about us</a></nav>'
+       |      ELSE '' END ||
+       |    '<h1>' || lang || ' heading</h1>' ||
+       |    '<p>' || array_to_string(ws[1:len(ws)//2], ' ') || '</p>' ||
+       |    '<a href="https://example.com/' || doc_id ||
+       |    '">click &amp; read more</a>' ||
+       |    '<p><a href="/a">buy</a> <a href="/b">now</a> <a href="/c">cheap</a></p>' ||
+       |    '<!-- hidden <p>not text</p> -->' ||
+       |    '<p>' || array_to_string(ws[len(ws)//2+1:len(ws)], ' ') ||
+       |    ' &lt;eof&gt;</p>' ||
+       |    '</body></html>' AS html
+       |  FROM w
+       |), e AS (
+       |  SELECT doc_id,
+       |    $title AS title,
+       |    $body AS body,
+       |    CAST(len(regexp_extract_all(html, '<a[\\s>]')) AS BIGINT)
+       |      AS n_links,
+       |    coalesce(list_sum(list_transform(
+       |      regexp_extract_all(html, '(?s)<a[^>]*>(.*?)</a>', 1),
+       |      a -> length($anchor))), 0) AS link_chars
+       |  FROM h
+       |)""".stripMargin
+  }
+
+  private val htmlExtractOracleSql: String =
+    s"""WITH $htmlOracleCtes
+       |SELECT doc_id, title, body, n_links,
+       |  CAST(length(body) AS BIGINT) AS n_chars,
+       |  CASE WHEN length(body) > 0
+       |    THEN round(link_chars * 1.0 / length(body), 6)
+       |    ELSE 0.0 END AS link_density
+       |FROM e""".stripMargin
+
+  /** The WARC construction is deterministic per doc (uri embeds
+    * doc_id, date/status are doc_id functions, the HTTP entity is
+    * the syntheticHtml page), so the oracle derives the expected
+    * record fields DIRECTLY from `documents` — it never parses WARC
+    * bytes, making it genuinely independent of the byte walker under
+    * test. title/n_chars ride the shared html CTEs: matching them
+    * proves the entity body survived length-framed slicing byte-for-
+    * byte (Content-Length is octet_length, so any framing slip would
+    * shift the body and break the hash). */
+  private val warcExtractOracleSql: String =
+    s"""WITH $htmlOracleCtes
+       |SELECT doc_id,
+       |  '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+       |    || 'T00:00:00Z' AS warc_date,
+       |  CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER)
+       |    AS status,
+       |  'text/html; charset=UTF-8' AS content_type,
+       |  title,
+       |  CAST(length(body) AS BIGINT) AS n_chars
+       |FROM e""".stripMargin
+
+  /** Replays Html.mainContent block-by-block: same pre-strip, same
+    * block regex, same struct fields, same integer-exact density
+    * test — over the shared constructed pages. */
+  private val boilerplateCtes: String = {
+    val b = htmlCleanSql("b")
+    val a = htmlCleanSql("a")
+    s"""$htmlOracleCtes, blk AS (
+       |  SELECT doc_id, list_transform(
+       |    regexp_extract_all(
+       |      regexp_replace(regexp_replace(html,
+       |        '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+       |        '(?s)<!--.*?-->', ' ', 'g'),
+       |      '(?s)<(?:p|li|h[1-6])(?:\\s[^>]*)?>(.*?)</(?:p|li|h[1-6])\\s*>', 1),
+       |    b -> struct_pack(
+       |      text := $b,
+       |      n_chars := length($b),
+       |      n_words := CASE WHEN $b = '' THEN 0
+       |                 ELSE len(string_split($b, ' ')) END,
+       |      link_chars := coalesce(list_sum(list_transform(
+       |        regexp_extract_all(b, '(?s)<a[^>]*>(.*?)</a>', 1),
+       |        a -> length($a))), 0))) AS recs
+       |  FROM h
+       |), cls AS (
+       |  SELECT doc_id, recs,
+       |    list_filter(recs,
+       |      r -> r.n_words >= 3 AND 2*r.link_chars <= r.n_chars) AS content
+       |  FROM blk
+       |)""".stripMargin
+  }
+
+  private val boilerplateOracleSql: String =
+    s"""WITH $boilerplateCtes
+       |SELECT doc_id, CAST(len(recs) AS BIGINT) AS n_blocks,
+       |  CAST(len(content) AS BIGINT) AS n_content,
+       |  array_to_string(list_transform(content, r -> r.text), ' ')
+       |    AS content_text,
+       |  CASE WHEN list_sum(list_transform(recs, r -> r.n_chars)) > 0
+       |    THEN round((list_sum(list_transform(recs, r -> r.n_chars)) -
+       |      coalesce(list_sum(list_transform(content, r -> r.n_chars)), 0))
+       |      * 1.0 / list_sum(list_transform(recs, r -> r.n_chars)), 6)
+       |    ELSE 0.0 END AS boilerplate_ratio
+       |FROM cls""".stripMargin
+
+  /** Replays the full triage: reconstructed status (the oracle never
+    * parses WARC bytes — same stance as warcExtractOracleSql),
+    * shared block CTEs, identical reason precedence. */
+  private val crawlPipelineOracleSql: String =
+    s"""WITH $boilerplateCtes, p AS (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INTEGER)
+       |      AS status,
+       |    CASE WHEN list_sum(list_transform(recs, r -> r.n_chars)) > 0
+       |      THEN round((list_sum(list_transform(recs, r -> r.n_chars)) -
+       |        coalesce(list_sum(list_transform(content, r -> r.n_chars)), 0))
+       |        * 1.0 / list_sum(list_transform(recs, r -> r.n_chars)), 6)
+       |      ELSE 0.0 END AS boilerplate_ratio,
+       |    array_to_string(list_transform(content, r -> r.text), ' ')
+       |      AS content_text
+       |  FROM cls
+       |), p2 AS (
+       |  SELECT doc_id, status, boilerplate_ratio,
+       |    CAST(CASE WHEN content_text = '' THEN 0
+       |         ELSE len(string_split(content_text, ' ')) END AS BIGINT)
+       |      AS n_words
+       |  FROM p
+       |)
+       |SELECT doc_id, status, boilerplate_ratio, n_words,
+       |  CASE WHEN status <> 200 THEN 'http_error'
+       |       WHEN n_words < 8 THEN 'too_short'
+       |       WHEN boilerplate_ratio > 0.5 THEN 'boilerplate'
+       |       ELSE 'kept' END AS reason
+       |FROM p2""".stripMargin
+
   private val bm25OracleSql: String =
     """WITH words AS (
       |  SELECT doc_id, w AS term
@@ -2839,6 +3115,14 @@ object SparkEntry {
       // the oracle may cross-join 20 queries x vocab (sf0.01-sized);
       // the Spark plan never does — candidates come from the variant
       // equi-join, then the same levenshtein predicate.
+      "q_html_extract" -> htmlExtractOracleSql,
+
+      // expected fields derived from `documents` alone — the oracle
+      // never parses WARC bytes (see warcExtractOracleSql's doc).
+      "q_warc_extract" -> warcExtractOracleSql,
+      "q_boilerplate" -> boilerplateOracleSql,
+      "q_crawl_pipeline" -> crawlPipelineOracleSql,
+
       // Replays the WHOLE NB fit: seed labels from the quality
       // heuristic (q_text_quality's CTE), class-conditional word
       // counts, add-1 smoothing over the seed vocabulary, prior and

@@ -1672,6 +1672,81 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 2L, 1.0)))
   }
 
+  test("Html.extract: strips blocks/comments/tags, decodes entities once, counts links") {
+    val page = "<html><head><title> My &amp; Title </title>" +
+      "<style>p { color: red; }</style>" +
+      "<script>if (a < b) { s = \"</p>\"; }</script></head>" +
+      "<body class=\"x\"><h1>Head</h1><p>one two</p>" +
+      "<a href=\"/x\">link text</a><!-- <p>ghost</p> -->" +
+      "<p>three &amp;lt; four</p></body></html>"
+    val out = graft.operators.Html.extract(
+      Seq((1L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head
+    assert(out.getString(1) == "My & Title")
+    // script body (incl. its embedded "</p>" string and the a<b
+    // comparison), style rules, and the comment's ghost paragraph all
+    // gone. "&amp;lt;" must decode exactly ONE level: the &lt; pass
+    // finds no "&lt;" substring in it, then the LAST pass rewrites
+    // &amp; → &, leaving the literal text "&lt;".
+    assert(out.getString(2) == "Head one two link text three &lt; four")
+    assert(out.getLong(3) == 1L) // n_links
+    val nChars = out.getLong(4)
+    assert(nChars == "Head one two link text three &lt; four".length.toLong)
+    assert(out.getDouble(5) ==
+      BigDecimal("link text".length.toDouble / nChars)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("Html.mainContent: keeps content blocks, drops link farms, short blocks, ghost blocks") {
+    val page = "<script>var x = \"<p>\";</script>" + // unclosed <p> in script
+      "<h1>short head</h1>" +                        // 2 words → dropped
+      "<p>one two three four</p>" +                  // content
+      "<p><a href=\"/a\">buy</a> <a href=\"/b\">now</a> <a href=\"/c\">cheap</a></p>" +
+      "<!-- <p>ghost block here</p> -->" +           // comment → never a block
+      "<pre>not a p block</pre>" +                   // <pre> must not match p
+      "<p>five six seven</p>"
+    val r = graft.operators.Html.mainContent(
+      Seq((1L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .collect().head
+    assert(r.getLong(1) == 4L, s"n_blocks: $r")   // h1, p, farm, p
+    assert(r.getLong(2) == 2L)                     // two content paragraphs
+    assert(r.getString(3) == "one two three four five six seven")
+    assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+    // blockless page: zero ratio, empty text
+    val none = graft.operators.Html.mainContent(
+      Seq((2L, "<div>free text only</div>")).toDF("doc_id", "html"),
+      "doc_id", "html").collect().head
+    assert(none.getLong(1) == 0L && none.getString(3) == "" &&
+      none.getDouble(4) == 0.0)
+  }
+
+  test("q_crawl_pipeline: status gate wins over content gates; chain produces keeps") {
+    val out = SparkEntry.queries("q_crawl_pipeline")(spark, TestSpark.sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    val allowed = Set("http_error", "too_short", "boilerplate", "kept")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(allowed(r.getString(4)))
+      if (id % 7 == 0) // constructed 404s: first reason, no matter the content
+        assert(r.getString(4) == "http_error", s"doc $id: $r")
+      else assert(r.getInt(1) == 200, s"doc $id parsed wrong status: $r")
+    }
+    assert(out.exists(_.getString(4) == "kept"), "no doc survived the chain")
+  }
+
+  test("Html.extract: no <body> tag falls back to whole doc; empty page is zero-density") {
+    val docs = Seq(
+      (1L, "plain <b>fragment</b> text"),
+      (2L, "<body></body>")
+    ).toDF("doc_id", "html")
+    val out = graft.operators.Html.extract(docs, "doc_id", "html")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(2) == "plain fragment text")
+    assert(out(2L).getString(2) == "" && out(2L).getLong(4) == 0L)
+    assert(out(2L).getDouble(5) == 0.0)
+  }
+
   test("semanticDecontam: identical vector flags 1.0, orthogonal passes, boundary rounds first") {
     val eval = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
     val corpus = Seq(

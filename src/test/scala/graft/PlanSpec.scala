@@ -378,6 +378,30 @@ class PlanSpec extends AnyFunSuite {
       s"unexpected shuffle growth:\n$plan")
   }
 
+  test("q_html_extract / q_boilerplate: pure codegen projections — zero shuffles") {
+    for (q <- Seq("q_html_extract", "q_boilerplate")) {
+      val df = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+      assert(countShuffles(df) == 0,
+        s"$q must stay in the scan stage:\n" +
+          df.queryExecution.executedPlan.toString)
+      // the regexp chains codegen; only the higher-order array
+      // lambdas (link_chars / block structs) stay interpreted-eval —
+      // still scan-stage projections either way
+      assert(formatted(df).contains("codegen id"),
+        s"$q must codegen its projection spine")
+    }
+  }
+
+  test("q_warc_extract: parse + explode are narrow — only the test-fixture packing shuffles") {
+    val df = SparkEntry.queries("q_warc_extract")(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // one exchange builds the synthetic segments (groupBy seg — fixture,
+    // not operator); the walker + posexplode + Html chain add none
+    assert(countShuffles(df) <= 1, s"warc chain must be narrow:\n$plan")
+    assert(plan.contains("graft_warc_records"), s"walker missing:\n$plan")
+    assert(plan.contains("Generate"), s"posexplode missing:\n$plan")
+  }
+
   test("rrfFuse: fusion cost is query-shaped — two exchanges over top-k inputs") {
     import spark.implicits._
     val r1 = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q_id", "doc_id", "rank")

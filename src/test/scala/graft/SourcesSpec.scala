@@ -243,4 +243,78 @@ class SourcesSpec extends AnyFunSuite {
     assert(shallow("feature_mat") == "parquet")
     assert(shallow("team_a") == "unknown")
   }
+
+  // --- WARC ingestion (graft.functions.WarcRecords / operators.Warc) ---
+
+  private def warcRecord(headers: Seq[(String, String)], content: String): String = {
+    val h = headers.map { case (k, v) => s"$k: $v\r\n" }.mkString
+    val body = content.getBytes("UTF-8")
+    s"WARC/1.0\r\n${h}Content-Length: ${body.length}\r\n\r\n$content\r\n\r\n"
+  }
+
+  private def parseSeg(seg: String) = {
+    val df = Seq((1L, seg.getBytes("UTF-8"))).toDF("seg_id", "segment")
+    graft.operators.Warc.records(df, "seg_id", "segment")
+      .orderBy("rec_idx").collect()
+  }
+
+  test("WARC: length-framed walk survives a body that embeds a WARC version line") {
+    // a regex/split-by-signature implementation desyncs on rec1's
+    // body; the Content-Length walker must not.
+    val evil = "look: WARC/1.0\r\nWARC-Type: response\r\n\r\n is just text"
+    val seg =
+      warcRecord(Seq("WARC-Type" -> "resource",
+        "WARC-Target-URI" -> "https://a.example/x"), evil) +
+      warcRecord(Seq("WARC-Type" -> "resource",
+        "WARC-Target-URI" -> "https://a.example/y"), "second body")
+    val out = parseSeg(seg)
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("body") == evil)
+    assert(out(1).getAs[String]("target_uri") == "https://a.example/y")
+    assert(out(1).getAs[String]("body") == "second body")
+  }
+
+  test("WARC: response records split HTTP payload — status, header override, entity body") {
+    val html = "<html><body>hi</body></html>"
+    val http = s"HTTP/1.1 404 Not Found\r\nContent-Type: text/html; charset=UTF-8\r\nX-Other: y\r\n\r\n$html"
+    val seg = warcRecord(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://a.example/missing",
+      "WARC-Date" -> "2026-02-03T04:05:06Z",
+      "Content-Type" -> "application/http; msgtype=response"), http)
+    val r = parseSeg(seg).head
+    assert(r.getAs[String]("warc_type") == "response")
+    assert(r.getAs[Int]("status") == 404)
+    // HTTP-level Content-Type overrides the WARC-level one
+    assert(r.getAs[String]("content_type") == "text/html; charset=UTF-8")
+    assert(r.getAs[String]("warc_date") == "2026-02-03T04:05:06Z")
+    assert(r.getAs[String]("body") == html)
+  }
+
+  test("WARC: header names are case-insensitive; non-HTTP records keep raw content") {
+    val seg = "WARC/1.0\r\nwarc-type: warcinfo\r\ncontent-type: application/warc-fields\r\n" +
+      "content-length: 16\r\n\r\nsoftware: graft\n\r\n\r\n"
+    val r = parseSeg(seg).head
+    assert(r.getAs[String]("warc_type") == "warcinfo")
+    assert(r.isNullAt(r.fieldIndex("target_uri")))
+    assert(r.isNullAt(r.fieldIndex("status")))
+    assert(r.getAs[String]("content_type") == "application/warc-fields")
+    assert(r.getAs[String]("body") == "software: graft\n")
+  }
+
+  test("WARC: salvage semantics — truncated tail keeps parsed prefix, garbage head is NULL") {
+    val good = warcRecord(Seq("WARC-Type" -> "resource"), "ok")
+    // truncated: declared length runs past the buffer
+    val truncated = good + "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 9999\r\n\r\nshort"
+    val out = parseSeg(truncated)
+    assert(out.length == 1 && out(0).getAs[String]("body") == "ok")
+    // not WARC at all → null array → zero exploded rows
+    assert(parseSeg("HTTP/1.1 200 OK\r\n\r\n").isEmpty)
+    // UTF-8 multibyte body: Content-Length is BYTES, not chars
+    val uni = warcRecord(Seq("WARC-Type" -> "resource"), "héllo wörld ✓") +
+      warcRecord(Seq("WARC-Type" -> "resource"), "after")
+    val u = parseSeg(uni)
+    assert(u.length == 2 && u(0).getAs[String]("body") == "héllo wörld ✓" &&
+      u(1).getAs[String]("body") == "after")
+  }
 }
