@@ -71,8 +71,8 @@ object Html {
     * block (both corners exist in the spec fixtures). A block is
     * content iff it has >= `minWords` words and link_density <= 0.5
     * (compared exactly as 2*link_chars <= n_chars — no float
-    * boundary). Pure array-lambda projection: codegen, zero shuffles,
-    * markup never leaves the scan stage.
+    * boundary). One codegen expression in the scan stage: zero
+    * shuffles, markup never leaves the scan.
     *
     * Output per doc: `n_blocks`, `n_content`, `content_text` (kept
     * blocks, cleaned, joined by one space), `boilerplate_ratio`
@@ -91,8 +91,20 @@ object Html {
 
   /** [[mainContent]] as a single struct-valued column, for pipelines
     * that must carry other per-record fields (e.g. HTTP status from
-    * [[Warc]]) through the same projection. */
-  def mainContentCol(html: Column, minWords: Int = 3): Column = {
+    * [[Warc]]) through the same projection. Computed by the codegen
+    * expression [[graft.functions.HtmlMainContent]] — the
+    * array-lambda chain it replaced ran INTERPRETED per block and
+    * made this the #3 most expensive query of the round-9 close;
+    * [[mainContentColReference]] keeps that chain as the
+    * differential-spec reference. */
+  def mainContentCol(html: Column, minWords: Int = 3): Column =
+    graft.functions.HtmlMainContent.mainContent(html, minWords)
+
+  /** The declarative array-lambda reference implementation of
+    * [[mainContentCol]] — semantically identical by construction
+    * (the codegen expression runs the same Java regexes on the same
+    * String); retained for the differential spec that enforces it. */
+  private[graft] def mainContentColReference(html: Column, minWords: Int = 3): Column = {
     val noHidden = regexp_replace(regexp_replace(html,
       BlockStrip, " "), CommentStrip, " ")
     val recs = transform(regexp_extract_all(noHidden, lit(BlockRe), lit(1)),

@@ -1697,6 +1697,58 @@ class LlmPipelineSpec extends AnyFunSuite {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("HtmlMainContent expression == array-lambda reference chain, adversarial pages included") {
+    // the codegen expression replaced the interpreted lambda chain
+    // for speed; this differential pins them byte-equal on the
+    // corners where a rewrite could drift: mismatched block pairs,
+    // script closed by </style>, UNCLOSED script tag (survives the
+    // pre-strip, killed by the per-block tag strip), escaped
+    // entities (&amp;lt; must decode ONE level), nested anchors,
+    // supplementary chars (length() counts code points, not UTF-16
+    // units), minWords=0 (empty kept blocks still join with spaces),
+    // and a blockless / empty / tabs-and-newlines page.
+    val pages = Seq(
+      "<p>one two three</p><li>four five six</li>",
+      "<p>open para</li><h2>closed by li</p>", // mismatched pairs are legal blocks
+      "<script>var a = \"<p>ghost</p>\";</style><p>after mixed close one two</p>",
+      "<script>no close <p>swallowed one two three</p>",
+      "<p>&amp;lt;escaped&amp;gt; stays seven words here</p>",
+      "<p><a href=\"/x\"><b>bold</b> link</a> plus plain words here</p>",
+      "<p>emoji 😀😀 pair counting four words</p>",
+      "<p>a <a>b</a></p><p></p><p>   </p>", // short + empty + whitespace blocks
+      "<h3>tab\tand\nnewline   collapse test</h3>",
+      "<div>blockless page, free text only</div>",
+      "",
+      "<p><!-- comment inside block --> visible words here</p>")
+    for (minWords <- Seq(0, 3)) {
+      val df = pages.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "html")
+      val fast = df.select($"doc_id",
+        graft.functions.HtmlMainContent.mainContent($"html", minWords).as("mc"))
+      val ref = df.select($"doc_id",
+        graft.operators.Html.mainContentColReference($"html", minWords).as("mc"))
+      val got = fast.select($"doc_id", $"mc.*").collect().map(_.toSeq).toSeq
+      val want = ref.select($"doc_id", $"mc.*").collect().map(_.toSeq).toSeq
+      assert(got == want, s"minWords=$minWords diverged")
+    }
+    // and over the real sf0.001 corpus text wrapped in markup, so the
+    // differential also sees natural text (punctuation, quotes, real
+    // entity-free prose) at volume
+    val corpus = graft.Tables.documents(spark, TestSpark.sfDir)
+      .select($"doc_id", concat(lit("<p>"), coalesce($"text", lit("")),
+        lit("</p><li><a href=\"/x\">"), coalesce($"text", lit("")),
+        lit("</a></li>")).as("html"))
+    val gotC = corpus.select($"doc_id",
+        graft.functions.HtmlMainContent.mainContent($"html", 3).as("mc"))
+      .select($"doc_id", $"mc.*").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val wantC = corpus.select($"doc_id",
+        graft.operators.Html.mainContentColReference($"html", 3).as("mc"))
+      .select($"doc_id", $"mc.*").collect()
+      .map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(gotC.nonEmpty && gotC == wantC, "corpus differential diverged")
+  }
+
   test("Html.mainContent: keeps content blocks, drops link farms, short blocks, ghost blocks") {
     val page = "<script>var x = \"<p>\";</script>" + // unclosed <p> in script
       "<h1>short head</h1>" +                        // 2 words → dropped
