@@ -402,6 +402,37 @@ object SparkEntry {
     Search.retrievalMetrics(ivf, gold, "q_id", "rel", k = 10)
   }
 
+  /** PQ recall audit, the q_ann_ivf_recall trick on the COMPRESSION
+    * axis: a SEEDED codebook (per-subspace centroids = the 16
+    * lowest-id corpus vectors' subvectors, zero Lloyd iterations)
+    * makes encode (strict-argmin, lowest code on ties), the fused
+    * ADC dot, the reconstruction norm, and the ranking pure
+    * closed-form double arithmetic in the SAME accumulation order
+    * the expressions use — so the whole pipeline through
+    * retrievalMetrics replays exactly in DuckDB. The oracle-checked
+    * twin of q_ann_pq (whose Lloyd codebook is not SQL-expressible):
+    * it quantifies the recall the m=8×16-code compression trades
+    * against the exact float gold, through the same
+    * pqEncode/pqAdcDot serving path. */
+  def qAnnPqRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dsub = 8
+    val seeds = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).padTo(64, 0f).toArray)
+    val codebook = new Array[Float](8 * 16 * dsub)
+    for (j <- 0 until 8; c <- 0 until 16)
+      System.arraycopy(seeds(c), j * dsub, codebook, (j * 16 + c) * dsub, dsub)
+    val p = Ann.PqParams(m = 8, k = 16, dsub = dsub, codebook = codebook)
+    val pq = Ann.bruteTopKPq(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, p)
+      .select(col("query_id").as("q_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+    val gold = qAnnTopk(s, d)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("rel"))
+    Search.retrievalMetrics(pq, gold, "q_id", "rel", k = 10)
+  }
+
   /** Full-probe serve from a freshly built persisted SQ8 index: with
     * nProbe = nCentroids every cell is probed, which reduces IVF-SQ8
     * exactly to the quantized brute scan — so this entry rides
@@ -1154,6 +1185,7 @@ object SparkEntry {
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_recall" -> (qAnnIvfRecall _),
+    "q_ann_pq_recall" -> (qAnnPqRecall _),
     "q_ann_ivf_sq8" -> (qAnnIvfSq8 _),
     "q_text_quality" -> (qTextQuality _),
     "q_clean_filter" -> (qCleanFilter _),
@@ -2685,6 +2717,66 @@ object SparkEntry {
            |  coalesce(h.h, 0) AS hits_at_k
            |FROM base b LEFT JOIN hits h USING (q_id)""".stripMargin
       },
+
+      // Seeded-codebook PQ replay: encode = per-subspace strict argmin
+      // (lowest code on ties), reconstruction dot/norm in the same
+      // index-order double accumulation as pqAdcDot/PqNorm, ranking
+      // and metrics as in q_ann_ivf_recall.
+      "q_ann_pq_recall" ->
+        s"""WITH cb AS (
+           |  SELECT vec_id::INT AS c, embedding AS cv
+           |  FROM embeddings WHERE vec_id < 16),
+           |js AS (SELECT j::INT AS j FROM range(8) t(j)),
+           |corp AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |enc0 AS (
+           |  SELECT corp.id, js.j, cb.c, cb.cv,
+           |    row_number() OVER (PARTITION BY corp.id, js.j ORDER BY
+           |      list_reduce(list_transform(
+           |        list_zip(corp.v[js.j*8+1 : js.j*8+8],
+           |                 cb.cv[js.j*8+1 : js.j*8+8]),
+           |        x -> (x[1]::DOUBLE - x[2]::DOUBLE)
+           |           * (x[1]::DOUBLE - x[2]::DOUBLE)),
+           |        (x, y) -> x + y) ASC, cb.c ASC) AS rn
+           |  FROM corp CROSS JOIN js CROSS JOIN cb),
+           |rec AS (
+           |  SELECT id, flatten(list(cv[j*8+1 : j*8+8] ORDER BY j)) AS r
+           |  FROM enc0 WHERE rn = 1 GROUP BY id),
+           |rn AS (
+           |  SELECT id, r,
+           |    sqrt(list_reduce(list_transform(r, x -> x::DOUBLE * x::DOUBLE),
+           |      (x, y) -> x + y)) AS rnorm
+           |  FROM rec),
+           |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           |      WHERE vec_id < 20),
+           |sc AS (
+           |  SELECT q.qid, rn.id,
+           |    list_reduce(list_transform(list_zip(q.qv, rn.r),
+           |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y)
+           |    / (sqrt(list_reduce(list_transform(q.qv,
+           |        x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))
+           |       * rn.rnorm) AS cos_raw
+           |  FROM q JOIN rn ON q.qid <> rn.id),
+           |res AS (
+           |  SELECT qid AS q_id, id AS doc_id, row_number() OVER (
+           |      PARTITION BY qid ORDER BY cos_raw DESC, id) AS "rank"
+           |  FROM sc QUALIFY "rank" <= 5),
+           |golds AS ($annTopkOracleSql),
+           |base AS (SELECT q_id FROM res
+           |         UNION SELECT query_id AS q_id FROM golds),
+           |hits AS (
+           |  SELECT r.q_id, min(r."rank") AS frr, count(*) AS h
+           |  FROM res r
+           |  WHERE EXISTS (SELECT 1 FROM golds g
+           |                WHERE g.query_id = r.q_id
+           |                  AND g.neighbor_id = r.doc_id)
+           |    AND r."rank" <= 10
+           |  GROUP BY 1)
+           |SELECT b.q_id,
+           |  coalesce(h.frr, 0) AS first_rel_rank,
+           |  CASE WHEN h.frr IS NOT NULL THEN round(1.0 / h.frr, 6)
+           |       ELSE 0.0 END AS rr,
+           |  coalesce(h.h, 0) AS hits_at_k
+           |FROM base b LEFT JOIN hits h USING (q_id)""".stripMargin,
 
       "q_ann_sq8" -> annSq8OracleSql,
 
