@@ -95,7 +95,7 @@ object ScaleProbe {
     // events,orders,docs,emb — lets a single section re-run during
     // iteration without paying the full probe
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("events", "orders", "docs", "emb", "bpe"))
+      .getOrElse(Set("events", "orders", "docs", "emb", "bpe", "crawl"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -506,6 +506,52 @@ object ScaleProbe {
       f"(${zgot.toDouble / math.max(zrounds, 1)}%.1f merges/round), " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s total")
     zdocs.unpersist()
+    }
+
+    if (sections("crawl")) {
+    // crawl-ingestion family xK: page construction + every extraction
+    // tier. All scan-stage projections — the probe certifies LINEAR
+    // and measures docs/sec; count() would prune the parse away, so
+    // force full materialization through the noop sink.
+    import graft.operators.{Html, Warc}
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val cdocs = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 1000000L)).cache()
+    val nDocs = cdocs.count()
+    println(s"[scale] crawl documents rows: $nDocs")
+    val pages = cdocs.select(col("doc_id"), concat(
+      lit("<html><head><title>t "), col("doc_id").cast("string"),
+      lit("</title><script>if (1 < 2) { var x = \"<p>\"; }</script></head><body>"),
+      lit("<nav><a href=\"/\">home</a> <a href=\"/a\">about</a></nav><p>"),
+      col("text"),
+      lit("</p><li><a href=\"/b\">buy</a> <a href=\"/c\">now</a></li><p>"),
+      col("text"), lit(" &lt;eof&gt;</p></body></html>")).as("html"))
+    time("html_extract xK")(noop(
+      Html.extract(pages, "doc_id", "html")))
+    time("boilerplate xK (codegen expr)")(noop(
+      Html.mainContent(pages, "doc_id", "html")))
+    time("boilerplate xK (lambda reference)")(noop(
+      pages.select(col("doc_id"),
+        Html.mainContentColReference(col("html")).as("mc"))
+        .select(col("doc_id"), col("mc.*"))))
+    val segs = pages
+      .groupBy(pmod(col("doc_id"), lit(64 * k)).as("seg"))
+      .agg(concat_ws("", collect_list(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.com/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        (octet_length(col("html")) + 44).cast("string"),
+        lit("\r\n\r\nHTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        col("html"), lit("\r\n\r\n")))).cast("binary").as("segment"))
+      .cache()
+    println(s"[scale] warc segments: ${segs.count()}")
+    time("warc walk + html chain xK")(noop(
+      Warc.records(segs, "seg", "segment")
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"), col("status"),
+          length(Html.bodyTextCol(col("body"))).as("n_chars"))))
+    segs.unpersist(); cdocs.unpersist()
     }
 
     if (sections("emb")) {
