@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
-import graft.operators.{Analytics, Ann, AsofJoin, Bpe, Dedup, Dsir, FeatureEng, MultiModal, Search, Sessionize, TextAnalysis, WindowedFeatures}
+import graft.functions.Fns
+import graft.operators.{Analytics, Ann, AsofJoin, Bpe, Dedup, Dsir, FeatureEng, MultiModal, Search, Sessionize, Sketch, TextAnalysis, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
 import graft.registry.Registry
 import graft.stats.Profiler
@@ -981,6 +982,66 @@ object SparkEntry {
     MultiModal.mediaMeta(withPayload, "doc_id", "payload")
   }
 
+  /** Per-source distinct-shingle cardinality via an in-plan
+    * HyperLogLog (round 10): the corpus statistic a 100 TB pipeline
+    * can only afford approximately (distinct n-grams per slice),
+    * with the exact count and the estimator's realized error audited
+    * alongside. Every register derives from the portable md5 family,
+    * so the DuckDB oracle replays the SKETCH itself, not just the
+    * answer. The one-pass mergeable twin is
+    * [[graft.functions.HllSketch]] (spec-proven equal). */
+  def qDistinctHll(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d).select(col("source"),
+      explode(Fns.shingles(col("text"), 3)).as("shingle"))
+    Sketch.hllDistinct(sh, "shingle", Seq("source"), p = 8)
+  }
+
+  /** Pairwise slice-overlap (shingle Jaccard) estimated from KMV
+    * bottom-k sketches — "how much do two corpus slices share"
+    * across all 190 source pairs while touching each row once, the
+    * exact Jaccard audited alongside (round 10). */
+  def qSliceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d).select(col("source"),
+      explode(Fns.shingles(col("text"), 3)).as("shingle"))
+    Sketch.kmvOverlap(sh, "shingle", "source", k = 64)
+  }
+
+  /** Bloom-filter takedown-list membership with the false-positive
+    * audit (round 10): a deterministic ~10% md5-coin takedown list
+    * compiles to a 256-bit / 2-hash filter (deliberately undersized
+    * so the FP branch is exercised and measured); every probe row
+    * surfaces exact vs bloom membership. No false negatives is the
+    * spec-held guarantee; the FP rows are the price of a kilobyte
+    * broadcast replacing a list-sized join side at 100 TB. */
+  def qBloomTakedown(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").cast("string").as("k"))
+    val isDrop = Fns.md5Hash31(concat(lit("takedown:"), col("k"))) % 10 === 0
+    val drops = docs.filter(isDrop).select(col("k"))
+    Sketch.bloomMembership(docs, "k", drops, "k", mBits = 256, kHashes = 2)
+      .withColumn("exact_drop", isDrop)
+      .withColumn("false_positive", col("bloom_hit") && !col("exact_drop"))
+      .select("doc_id", "exact_drop", "bloom_hit", "false_positive")
+  }
+
+  /** Interpolated Kneser-Ney bigram LM trained in-plan, applied as a
+    * per-doc score — the CCNet model family proper, whole fit
+    * oracle-replayed (round 10). */
+  def qKnLm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.knBigramScore(Tables.documents(s, d), "doc_id", "text")
+
+  /** Frame/segment sampling plan over REAL parsed media durations
+    * (round 10): the planning half of video frame extraction — one
+    * row per (payload, sampled instant), durations from the
+    * MediaMeta header walk, grid capped at 16 frames / 1s stride. */
+  def qFrameSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val withPayload = docs.select(col("doc_id"),
+      MultiModal.syntheticMediaPayload("doc_id", "text").as("payload"))
+    MultiModal.frameSampleByTime(withPayload, "doc_id", "payload",
+      intervalMs = 1000L, maxFrames = 16)
+  }
+
   /** Corpus data-card report: composition by source × lang. */
   def qCorpusReport(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
@@ -1243,7 +1304,12 @@ object SparkEntry {
     "q_dsir_sample" -> (qDsirSample _),
     "q_dsir_frozen" -> (qDsirFrozen _),
     "q_winnow" -> (qWinnow _),
-    "q_winnow_pairs" -> (qWinnowPairs _)
+    "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_distinct_hll" -> (qDistinctHll _),
+    "q_slice_overlap" -> (qSliceOverlap _),
+    "q_bloom_takedown" -> (qBloomTakedown _),
+    "q_kn_lm" -> (qKnLm _),
+    "q_frame_sample" -> (qFrameSample _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -3637,7 +3703,175 @@ object SparkEntry {
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |  count(*) AS shared_fps
           |FROM jf a JOIN jf b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+      // Replays the HLL SKETCH itself, register by register: same md5
+      // split (first/second 8 hex chars), same rho via bin+ltrim (no
+      // leading-zero padding in either engine), same harmonic
+      // estimator with the linear-counting branch. The register SUM
+      // is exact in IEEE double (terms are powers of two, total far
+      // inside the 52-bit mantissa), so only ln/alpha arithmetic
+      // needs the 4dp round.
+      "q_distinct_hll" ->
+        """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT source, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w),
+          |h AS (SELECT source, s,
+          |  ('0x' || substr(md5(s), 1, 8))::BIGINT % 256 AS reg_idx,
+          |  33 - length(ltrim(bin(('0x' || substr(md5(s), 9, 8))::BIGINT), '0'))
+          |    AS rho
+          |  FROM sh),
+          |regs AS (SELECT source, reg_idx, max(rho) AS mj FROM h GROUP BY 1, 2),
+          |est AS (SELECT source, count(*) AS n_regs,
+          |    sum(power(2.0, -mj)) AS sum_present
+          |  FROM regs GROUP BY 1),
+          |e2 AS (SELECT source, 256 - n_regs AS zeros,
+          |    (0.7213 / (1 + 1.079 / 256.0)) * 256.0 * 256.0 /
+          |      (sum_present + (256 - n_regs)) AS raw_e
+          |  FROM est),
+          |e3 AS (SELECT source,
+          |    round(CASE WHEN raw_e <= 640.0 AND zeros > 0
+          |      THEN 256.0 * ln(256.0 / zeros) ELSE raw_e END, 4)
+          |    AS hll_estimate
+          |  FROM e2),
+          |ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM sh GROUP BY 1)
+          |SELECT source, n_exact, hll_estimate,
+          |  round((hll_estimate - n_exact) / n_exact, 4) AS rel_err
+          |FROM e3 JOIN ex USING (source)""".stripMargin,
+
+      // KMV bottom-k overlap: md5 hex strings order identically in
+      // both engines (lowercase hex, ASCII), so the bottom-64 per
+      // slice, the union sketch, and the membership counts replay
+      // exactly; jaccard estimates are integer/integer divisions.
+      "q_slice_overlap" ->
+        """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT source AS slice, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w),
+          |keys AS (SELECT DISTINCT slice, md5(s) AS h FROM sh),
+          |sk AS (SELECT slice, h FROM (
+          |    SELECT slice, h, row_number() OVER (PARTITION BY slice ORDER BY h) AS rn
+          |    FROM keys) WHERE rn <= 64),
+          |slices AS (SELECT DISTINCT slice FROM sk),
+          |pf AS (SELECT a.slice AS slice_a, b.slice AS slice_b
+          |  FROM slices a JOIN slices b ON a.slice < b.slice),
+          |uni0 AS (
+          |  SELECT pf.slice_a, pf.slice_b, sk.h
+          |  FROM pf JOIN sk ON sk.slice = pf.slice_a
+          |  UNION
+          |  SELECT pf.slice_a, pf.slice_b, sk.h
+          |  FROM pf JOIN sk ON sk.slice = pf.slice_b),
+          |uni AS (SELECT slice_a, slice_b, h FROM (
+          |    SELECT slice_a, slice_b, h,
+          |      row_number() OVER (PARTITION BY slice_a, slice_b ORDER BY h) AS rn
+          |    FROM uni0) WHERE rn <= 64),
+          |bothc AS (
+          |  SELECT u.slice_a, u.slice_b, count(*) AS n_both
+          |  FROM uni u
+          |  WHERE EXISTS (SELECT 1 FROM sk WHERE sk.slice = u.slice_a AND sk.h = u.h)
+          |    AND EXISTS (SELECT 1 FROM sk WHERE sk.slice = u.slice_b AND sk.h = u.h)
+          |  GROUP BY 1, 2),
+          |denom AS (SELECT slice_a, slice_b, count(*) AS n_union_sk
+          |  FROM uni GROUP BY 1, 2),
+          |sizes AS (SELECT slice, count(*) AS n FROM keys GROUP BY 1),
+          |inter AS (
+          |  SELECT x.slice AS slice_a, y.slice AS slice_b, count(*) AS n_inter
+          |  FROM keys x JOIN keys y ON x.h = y.h AND x.slice < y.slice
+          |  GROUP BY 1, 2)
+          |SELECT d.slice_a, d.slice_b,
+          |  round(coalesce(b.n_both, 0) / d.n_union_sk, 6) AS jaccard_est,
+          |  round(coalesce(i.n_inter, 0) /
+          |    (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard_exact,
+          |  coalesce(i.n_inter, 0) AS n_inter_exact
+          |FROM denom d
+          |LEFT JOIN bothc b USING (slice_a, slice_b)
+          |JOIN sizes sa ON sa.slice = d.slice_a
+          |JOIN sizes sb ON sb.slice = d.slice_b
+          |LEFT JOIN inter i USING (slice_a, slice_b)""".stripMargin,
+
+      // The filter "bitset" replayed as a distinct-position set; a
+      // probe is a might-contain iff BOTH its salted positions are
+      // set. The takedown coin, the salts, and the positions are all
+      // the engine's portable md5 % 2^31 idiom.
+      "q_bloom_takedown" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k FROM documents),
+          |dr AS (SELECT k FROM d WHERE
+          |  ('0x' || substr(md5('takedown:' || k), 1, 8))::BIGINT
+          |    % 2147483648 % 10 = 0),
+          |pos AS (SELECT DISTINCT
+          |    ('0x' || substr(md5('bloom' || i || ':' || k), 1, 8))::BIGINT
+          |      % 2147483648 % 256 AS pos
+          |  FROM dr, (VALUES (0), (1)) t(i)),
+          |pp AS (SELECT doc_id,
+          |    ('0x' || substr(md5('bloom' || i || ':' || k), 1, 8))::BIGINT
+          |      % 2147483648 % 256 AS pos
+          |  FROM d, (VALUES (0), (1)) t(i)),
+          |hits AS (SELECT doc_id, count(*) AS n FROM pp
+          |  JOIN pos USING (pos) GROUP BY 1)
+          |SELECT d.doc_id,
+          |  (('0x' || substr(md5('takedown:' || d.k), 1, 8))::BIGINT
+          |     % 2147483648 % 10 = 0) AS exact_drop,
+          |  coalesce(h.n, 0) = 2 AS bloom_hit,
+          |  (coalesce(h.n, 0) = 2 AND NOT
+          |    (('0x' || substr(md5('takedown:' || d.k), 1, 8))::BIGINT
+          |       % 2147483648 % 10 = 0)) AS false_positive
+          |FROM d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+      // Replays the ENTIRE Kneser-Ney fit: bigram counts, context
+      // totals, forward/preceding continuation counts, bigram-type
+      // total, then P(w2|w1) in the same operation order; the per-doc
+      // avg(-log2 p) is order-dependent → 4dp (lmScore's rule).
+      "q_kn_lm" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |bg0 AS (SELECT doc_id, unnest(list_transform(
+          |    generate_series(1, greatest(len(ws) - 1, 0)),
+          |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bp
+          |  FROM w),
+          |bg AS (SELECT doc_id, bp.w1 AS w1, bp.w2 AS w2 FROM bg0),
+          |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+          |c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+          |  FROM c12 GROUP BY 1),
+          |pr AS (SELECT w2, count(*) AS np FROM c12 GROUP BY 1),
+          |bt AS (SELECT count(*) AS b FROM c12),
+          |model AS (SELECT w1, w2,
+          |    (c12 - 0.75) / c1 + 0.75 * n1f / c1 * (np / b) AS p
+          |  FROM c12 JOIN c1 USING (w1) JOIN pr USING (w2) CROSS JOIN bt),
+          |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+          |    round(avg(-log2(p)), 4) AS kn_score
+          |  FROM bg JOIN model USING (w1, w2) GROUP BY 1)
+          |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams, sc.kn_score
+          |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+      // Durations are the q_media_meta closed forms (the oracle never
+      // parses bytes); the grid is integer arithmetic + an inclusive
+      // generate_series, identical to sequence()+posexplode.
+      "q_frame_sample" ->
+        """WITH m AS (SELECT doc_id,
+          |  CASE doc_id % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+          |       WHEN 2 THEN 'mp3' WHEN 3 THEN 'mp4' END AS format,
+          |  CASE doc_id % 5
+          |       WHEN 0 THEN ((doc_id % 500 + 1) * 2 * (doc_id % 2 + 1)
+          |                    * 1000)
+          |                   // ((doc_id % 3 + 1) * 8000
+          |                      * (doc_id % 2 + 1) * 2)
+          |       WHEN 1 THEN ((doc_id * 441 + 100) * 1000) // 44100
+          |       WHEN 2 THEN ((4 + doc_id % 600) * 8) // 128
+          |       WHEN 3 THEN doc_id * 37 + 500 END AS duration_ms
+          |  FROM documents),
+          |f AS (SELECT doc_id, format,
+          |    least((duration_ms + 999) // 1000, 16) AS n_frames
+          |  FROM m WHERE duration_ms IS NOT NULL AND duration_ms > 0),
+          |g AS (SELECT doc_id, format, n_frames,
+          |    unnest(generate_series(0, (n_frames - 1) * 1000, 1000)) AS ts
+          |  FROM f)
+          |SELECT doc_id, format, n_frames,
+          |  ts // 1000 AS frame_idx, ts AS ts_ms
+          |FROM g""".stripMargin
     )
   }
 }

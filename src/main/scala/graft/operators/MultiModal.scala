@@ -223,6 +223,37 @@ object MultiModal {
         col("_m.duration_ms").as("duration_ms"))
   }
 
+  /** Time-grid frame/segment sampling PLAN over real parsed media
+    * durations: one row per sampled instant — every `intervalMs`
+    * from 0, capped at `maxFrames` — for each payload whose
+    * container header yields a positive duration ([[mediaMeta]]'s
+    * WAV/FLAC/MP3/MP4 walk). This is the planning half of video
+    * frame extraction / audio chunking: downstream, a decoder
+    * (mapPartitions batch contract, [[extractEmbeddings]]'s shape)
+    * seeks each (doc_id, ts_ms) — the plan itself never decodes.
+    *
+    * Scale shape: metadata parse + sequence/posexplode in the scan
+    * stage — no shuffle, no UDF, payload bytes never leave the scan;
+    * the fan-out is bounded by maxFrames per row.
+    */
+  def frameSampleByTime(docs: DataFrame, idCol: String, payloadCol: String,
+                        intervalMs: Long = 1000L, maxFrames: Int = 16)
+  : DataFrame = {
+    require(intervalMs > 0 && maxFrames > 0)
+    val meta = mediaMeta(docs, idCol, payloadCol)
+    // ceil(duration/interval) via exact double floor (durations are
+    // far below 2^52), capped at maxFrames.
+    val nFrames = least(
+      floor((col("duration_ms") + (intervalMs - 1)) / intervalMs).cast("long"),
+      lit(maxFrames.toLong))
+    meta.filter(col("duration_ms").isNotNull && col("duration_ms") > 0)
+      .withColumn("n_frames", nFrames)
+      .select(col(idCol), col("format"), col("n_frames"),
+        posexplode(sequence(lit(0L), (col("n_frames") - 1) * intervalMs,
+          lit(intervalMs))).as(Seq("frame_idx", "ts_ms")))
+      .withColumn("frame_idx", col("frame_idx").cast("long"))
+  }
+
   /** Deterministic VALID audio/video bytes per row — real headers
     * (WAV RIFF chunk chain, FLAC STREAMINFO, MPEG-1 Layer III frame
     * header, ISO-BMFF ftyp+moov/mvhd) with rates/channels/durations

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fns, HllSketch}
+
+/** Mergeable-sketch operators — the statistics a 100 TB corpus can
+  * only afford approximately, each held to an EXACT cross-engine
+  * oracle by deriving every hash from the engine's portable md5
+  * family (so the sketch contents are deterministic; only their
+  * error vs ground truth is probabilistic, and the queries surface
+  * that error as an audited column).
+  *
+  * Three families:
+  *   - HyperLogLog distinct counts ([[hllDistinct]] — the in-plan
+  *     oracle twin of [[graft.functions.HllSketch]]'s one-pass
+  *     aggregate),
+  *   - KMV (bottom-k) slice-overlap / Jaccard estimation
+  *     ([[kmvOverlap]] — "how much do two corpus slices share"
+  *     without an all-pairs or full-join pass),
+  *   - Bloom-filter membership ([[bloomMembership]] — a takedown /
+  *     drop list compiled to a few-KB bitset that BROADCASTS where
+  *     the list itself would shuffle, false positives audited).
+  *
+  * Reference parity: the reference computes only exact statistics
+  * (FeatureStatisticsService); sketches are this engine's beyond-
+  * parity scale surface, same family as SQ8/PQ on the vector side.
+  */
+object Sketch {
+
+  // ---------------------------------------------------------------
+  // HyperLogLog
+  // ---------------------------------------------------------------
+
+  /** h1/h2: the first/second 8 md5 hex chars of the key as 32-bit
+    * unsigned values — the same split the SQL oracle replays with
+    * `('0x' || substr(md5(k), 1, 8))::BIGINT`.
+    */
+  private def h32(key: Column, off: Int): Column =
+    conv(substring(md5(key), off, 8), 16, 10).cast("long")
+
+  /** rho = leading-zero count of the 32-bit h2 + 1, via the binary
+    * string both engines agree on: bin() never left-pads, so
+    * 33 - length(ltrim(bin(h2),'0')) is exact, and h2 = 0 (empty
+    * string after the trim) lands on the 33 cap with no special case.
+    */
+  private def rho32(h2: Column): Column =
+    lit(33) - length(ltrim(bin(h2), "0"))
+
+  /** Distinct-count estimate per group via an IN-PLAN HyperLogLog:
+    * register maxima as a (group, register) aggregate, then the
+    * harmonic estimator with linear-counting correction. This is the
+    * oracle-replayable twin of the one-pass
+    * [[graft.functions.HllSketch]] aggregate (spec-proven equal);
+    * the register shuffle is groups × 2^p rows — negligible — and
+    * both shuffles are map-side combinable.
+    *
+    * Output: group cols, n_exact (audit), hll_estimate, rel_err.
+    * The estimate rounds to 4dp (ln/alpha arithmetic is libm-
+    * adjacent); the register SUM itself is exact in IEEE double —
+    * every term is a power of two ≥ 2^-33 and the total stays under
+    * 2^13, inside the 52-bit mantissa, so summation order cannot
+    * change it.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                  p: Int = HllSketch.DefaultP): DataFrame = {
+    require(p >= 4 && p <= 16)
+    require(groupCols.nonEmpty, "hllDistinct needs at least one group column")
+    val m = 1 << p
+    val g = groupCols.map(col)
+    val key = col(keyCol)
+    val regs = df
+      .select(g :+ (h32(key, 1) % m).as("reg_idx") :+
+        rho32(h32(key, 9)).as("rho"): _*)
+      .groupBy(g :+ col("reg_idx"): _*)
+      .agg(max("rho").as("mj"))
+    val est = regs
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_regs"),
+        sum(pow(lit(2.0), -col("mj"))).as("sum_present"))
+      .withColumn("zeros", lit(m) - col("n_regs"))
+      .withColumn("raw_e",
+        lit(HllSketch.alpha(m)) * lit(m.toDouble) * lit(m.toDouble) /
+          (col("sum_present") + col("zeros").cast("double")))
+      .withColumn("hll_estimate",
+        round(when(col("raw_e") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw_e")), 4))
+    val exact = df.groupBy(g: _*)
+      .agg(countDistinct(key).as("n_exact"))
+    est.join(exact, groupCols)
+      .select(g :+ col("n_exact") :+ col("hll_estimate") :+
+        round((col("hll_estimate") - col("n_exact")) / col("n_exact"), 4)
+          .as("rel_err"): _*)
+  }
+
+  /** The one-pass sketch table: one (group, sketch) row per group via
+    * the [[graft.functions.HllSketch]] aggregate — THIS is the shape
+    * that persists: write it per (shard × slice), and any later
+    * distinct-count over any slice union is [[mergeEstimate]] over
+    * the sketch table, never a corpus rescan.
+    */
+  def hllSketchTable(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                     p: Int = HllSketch.DefaultP): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(HllSketch.sketch(col(keyCol), p).as("sketch"))
+
+  /** Merge persisted sketches (any regrouping) and estimate. */
+  def mergeEstimate(sketches: DataFrame, groupCols: Seq[String],
+                    sketchCol: String = "sketch"): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(HllSketch.merge(col(sketchCol)).as("sketch"))
+      .withColumn("hll_estimate",
+        round(HllSketch.estimateCol(col("sketch")), 4))
+      .drop("sketch")
+
+  // ---------------------------------------------------------------
+  // KMV (bottom-k) slice overlap
+  // ---------------------------------------------------------------
+
+  /** Pairwise slice-overlap estimation via K-minimum-values sketches:
+    * each slice keeps its k lexicographically-smallest md5(key)
+    * values (a uniform sample of the key space — md5 hex orders
+    * identically in Spark and DuckDB); for a pair, the k smallest of
+    * the sketch UNION is a KMV sketch of the union, and the fraction
+    * of those present in BOTH slices' sketches estimates Jaccard
+    * (Beyer et al. 2007). Exact Jaccard rides along as the audit.
+    *
+    * Scale shape: one distinct + one windowed bottom-k per slice
+    * (k rows/slice survive), then all work happens on sketches —
+    * slices × k rows total. The corpus itself is never pair-joined;
+    * estimating overlap of every pair of 1000 shards of a 100 TB
+    * corpus touches each row once. The exact-audit join is the only
+    * corpus-sized pair work and exists for the oracle; production
+    * callers use the estimate alone.
+    */
+  def kmvOverlap(df: DataFrame, keyCol: String, sliceCol: String,
+                 k: Int = 64): DataFrame = {
+    val keys = df.select(col(sliceCol).as("slice"),
+        md5(col(keyCol)).as("h")).distinct()
+    val sk = keys
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("slice").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select("slice", "h")
+    val slices = sk.select("slice").distinct()
+    val pairFrame = slices.as("a").join(slices.as("b"),
+        col("a.slice") < col("b.slice"), "inner")
+      .select(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
+    // Union sketch per pair: k smallest distinct hashes of skA ∪ skB.
+    val unioned = pairFrame
+      .join(sk.select(col("slice").as("slice_a"), col("h")), Seq("slice_a"))
+      .select("slice_a", "slice_b", "h")
+      .union(pairFrame
+        .join(sk.select(col("slice").as("slice_b"), col("h")), Seq("slice_b"))
+        .select("slice_a", "slice_b", "h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("slice_a", "slice_b").orderBy("h")))
+      .filter(col("rn") <= k)
+    val inA = sk.select(col("slice").as("slice_a"), col("h"))
+    val inB = sk.select(col("slice").as("slice_b"), col("h"))
+    val est = unioned
+      .join(inA, Seq("slice_a", "h"), "left_semi").as("ua")
+      .join(inB, Seq("slice_b", "h"), "left_semi")
+      .groupBy("slice_a", "slice_b").agg(count(lit(1)).as("n_both"))
+    val denom = unioned.groupBy("slice_a", "slice_b")
+      .agg(count(lit(1)).as("n_union_sk"))
+    // Exact audit (distinct keys per slice are already materialized).
+    val exact = keys.as("x").join(keys.as("y"),
+        col("x.h") === col("y.h") && col("x.slice") < col("y.slice"))
+      .groupBy(col("x.slice").as("slice_a"), col("y.slice").as("slice_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = keys.groupBy(col("slice")).agg(count(lit(1)).as("n"))
+    denom
+      .join(est, Seq("slice_a", "slice_b"), "left")
+      .na.fill(0L, Seq("n_both"))
+      .join(sizes.select(col("slice").as("slice_a"), col("n").as("n_a")), "slice_a")
+      .join(sizes.select(col("slice").as("slice_b"), col("n").as("n_b")), "slice_b")
+      .join(exact, Seq("slice_a", "slice_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .select(col("slice_a"), col("slice_b"),
+        round(col("n_both").cast("double") / col("n_union_sk"), 6)
+          .as("jaccard_est"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard_exact"),
+        col("n_inter").as("n_inter_exact"))
+  }
+
+  // ---------------------------------------------------------------
+  // Bloom-filter membership
+  // ---------------------------------------------------------------
+
+  /** Bloom positions of one key: kHashes md5 draws (salted by hash
+    * index) into [0, mBits). */
+  def bloomPositions(key: Column, mBits: Int, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map { i =>
+      Fns.md5Hash31(concat(lit(s"bloom$i:"), key)) % mBits
+    }
+
+  /** Membership of every row's key against a DROP LIST compiled to a
+    * Bloom filter, with the exact answer audited alongside: the list
+    * (takedown ids, decontamination keys, a dedup drop set) becomes
+    * a set of ≤ mBits bit positions — kilobytes, broadcast to every
+    * executor — instead of a list-sized join side. No false
+    * negatives by construction (spec-held); false positives are the
+    * rows the filter would over-drop, surfaced per row and
+    * measurable as a rate, which is the engineering dial: at 100 TB
+    * a Bloom pre-filter in the scan stage cuts the exact
+    * anti-join's probe side to bloom-positive rows only, so the
+    * expensive join touches ~(true + FP-rate) of the corpus rather
+    * than all of it.
+    *
+    * In-plan shape (oracle-replayable): drop list → explode kHashes
+    * positions → distinct (the "bitset" as rows, ≤ mBits of them,
+    * auto-broadcast); probe side explodes its kHashes positions and
+    * might-contain is "all kHashes positions present" (count == k
+    * after an inner join). [[bloomBitsetLit]] compiles the same
+    * positions to a literal long-array bitset probed by pure bit
+    * arithmetic — zero joins — for the serving / streaming path.
+    */
+  def bloomMembership(probe: DataFrame, keyCol: String, dropKeys: DataFrame,
+                      dropKeyCol: String, mBits: Int = 2048,
+                      kHashes: Int = 2): DataFrame = {
+    val setPos = dropKeys
+      .select(explode(array(
+        bloomPositions(col(dropKeyCol), mBits, kHashes): _*)).as("pos"))
+      .distinct()
+    val probePos = probe
+      .select(col(keyCol).as("probe_key"),
+        posexplode(array(bloomPositions(col(keyCol), mBits, kHashes): _*))
+          .as(Seq("hash_i", "pos")))
+    val hits = probePos
+      .join(broadcast(setPos), "pos")
+      .groupBy("probe_key")
+      .agg(count(lit(1)).as("n_pos_hit"))
+    probe
+      .join(hits, probe(keyCol) === hits("probe_key"), "left")
+      .drop("probe_key")
+      .withColumn("bloom_hit", coalesce(col("n_pos_hit"), lit(0L)) === kHashes)
+      .drop("n_pos_hit")
+  }
+
+  /** The same Bloom bitset as a literal array<long> Column (built by
+    * one driver-bounded collect of ≤ mBits/64 longs) and a pure-
+    * arithmetic probe — the broadcast-free serving/streaming form:
+    * `probeCol` is usable in any projection, including a stream's.
+    */
+  def bloomBitsetLit(dropKeys: DataFrame, dropKeyCol: String,
+                     mBits: Int, kHashes: Int): Column = {
+    val words = new Array[Long]((mBits + 63) / 64)
+    dropKeys
+      .select(explode(array(
+        bloomPositions(col(dropKeyCol), mBits, kHashes): _*)).as("pos"))
+      .distinct().collect()
+      .foreach { r =>
+        val p = r.getLong(0).toInt
+        words(p >>> 6) |= (1L << (p & 63))
+      }
+    lit(words)
+  }
+
+  /** Pure-projection probe of [[bloomBitsetLit]]'s bitset. */
+  def bloomProbe(bitset: Column, key: Column, mBits: Int,
+                 kHashes: Int): Column =
+    bloomPositions(key, mBits, kHashes)
+      .map { pos =>
+        // shiftright with a COLUMN shift amount: functions.shiftright
+        // only takes a literal Int, so bridge to the Catalyst node.
+        val word = element_at(bitset, (pos / 64).cast("int") + 1)
+        val shifted = GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.ShiftRight(
+            GraftColumnBridge.expression(word),
+            GraftColumnBridge.expression((pos % 64).cast("int"))))
+        shifted.bitwiseAND(1L) === 1L
+      }
+      .reduce(_ && _)
+}

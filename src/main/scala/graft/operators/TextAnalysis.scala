@@ -159,6 +159,65 @@ object TextAnalysis {
         round(avg(-log(col("cnt") / col("tot"))), 4).as("lm_score"))
   }
 
+  /** Interpolated Kneser-Ney BIGRAM language model trained in-plan
+    * and applied as a per-doc quality score — the actual model family
+    * CCNet's KenLM filter uses (here at n=2, trained on the corpus
+    * itself; [[lmScore]] is the unigram little sibling). With
+    * absolute discount D:
+    *
+    *   P(w2|w1) = (c(w1,w2) - D)/c(w1)
+    *            + D · N1+(w1·)/c(w1) · N1+(·w2)/|bigram types|
+    *
+    * — the continuation-probability backoff that makes KN the
+    * strongest count-based smoother. Training IS aggregation: one
+    * bigram explode, counts + the three derived tables from the
+    * bigram-type table (vocabulary-squared bounded, i.e. tiny vs the
+    * corpus), so the ORACLE REPLAYS THE ENTIRE FIT, not just the
+    * application. Score = mean over a doc's bigram positions of
+    * -log2 P, rounded 4dp (the per-doc avg is an order-dependent
+    * double sum — [[lmScore]]'s rule).
+    *
+    * Plan: explode → bigram counts (map-side combinable) →
+    * model-table joins on w1/w2 (bigram-type-sized, never
+    * corpus-sized) → (w1,w2)-keyed join back to the token stream →
+    * per-doc aggregate. Docs with <2 words surface with n_bigrams=0
+    * and NULL score (filterable, never dropped silently).
+    */
+  def knBigramScore(docs: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1)
+    val ids = docs.select(col(idCol).as("doc_id"), Fns.words(col(textCol)).as("ws"))
+    val big = ids
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= 2,
+          transform(sequence(lit(1), size(col("ws")) - 1),
+            i => struct(element_at(col("ws"), i).as("w1"),
+              element_at(col("ws"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // Bigram-type table feeds three derived tables + the total — one
+    // materialization (vocab²-bounded), not three corpus rescans.
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    val c1 = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1plus_fwd"))
+    val prec = c12.groupBy("w2").agg(count(lit(1)).as("n1plus_prec"))
+    val btypes = c12.agg(count(lit(1)).as("b_types"))
+    val model = c12.join(c1, "w1").join(prec, "w2")
+      .crossJoin(broadcast(btypes))
+      .select(col("w1"), col("w2"),
+        ((col("c12") - lit(discount)) / col("c1") +
+          lit(discount) * col("n1plus_fwd") / col("c1") *
+            (col("n1plus_prec") / col("b_types"))).as("p_kn"))
+    val scored = big.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(col("p_kn"))), 4).as("kn_score"))
+    ids.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+  }
+
   /** Thresholds for [[qualityClassifier]] — Gopher/C4-flavored
     * defaults; every bound is explicit so a pipeline's keep/drop
     * policy is reviewable configuration, not code. `maxLmScore`

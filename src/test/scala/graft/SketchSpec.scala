@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fns, HllSketch}
+import graft.operators.{MultiModal, Sketch, TextAnalysis}
+
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def shingleStream: DataFrame =
+    Tables.documents(spark, sf).select(col("source"),
+      explode(Fns.shingles(col("text"), 3)).as("shingle"))
+
+  // -----------------------------------------------------------------
+  // HyperLogLog
+  // -----------------------------------------------------------------
+
+  test("one-pass HllSketchAgg estimate equals the in-plan HLL twin") {
+    val inPlan = Sketch.hllDistinct(shingleStream, "shingle", Seq("source"))
+      .select("source", "hll_estimate")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val onePass = Sketch.mergeEstimate(
+        Sketch.hllSketchTable(shingleStream, "shingle", Seq("source")),
+        Seq("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("hll_estimate")).toMap
+    assert(onePass === inPlan)
+    assert(inPlan.nonEmpty)
+  }
+
+  test("sketch merge of shards equals the direct sketch, register-exact") {
+    val byShard = Sketch.hllSketchTable(
+      shingleStream.withColumn("shard", col("shingle").substr(1, 1)),
+      "shingle", Seq("source", "shard"))
+    val merged = byShard.groupBy("source")
+      .agg(HllSketch.merge(col("sketch")).as("sketch"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    val direct = Sketch.hllSketchTable(shingleStream, "shingle", Seq("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    assert(merged === direct)
+  }
+
+  test("sketch is partitioning-independent (partial-merge path)") {
+    def est(parts: Int): Map[String, Double] =
+      Sketch.mergeEstimate(
+        Sketch.hllSketchTable(shingleStream.repartition(parts),
+          "shingle", Seq("source")), Seq("source"))
+        .collect().map(r => r.getAs[String]("source") ->
+          r.getAs[Double]("hll_estimate")).toMap
+    assert(est(1) === est(13))
+  }
+
+  test("HLL error is within the advertised band on a known cardinality") {
+    // 5000 distinct synthetic keys, p=8 → m=256, stderr ~6.5%; assert
+    // within 4 sigma (26%) — deterministic given the md5 family.
+    val keys = spark.range(5000).select(lit("g").as("g"),
+      concat(lit("key:"), col("id")).as("k"))
+    val est = Sketch.hllDistinct(keys, "k", Seq("g"))
+      .select("hll_estimate").head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.26, s"estimate $est")
+  }
+
+  // -----------------------------------------------------------------
+  // KMV
+  // -----------------------------------------------------------------
+
+  test("KMV: identical slices estimate Jaccard 1, disjoint slices 0") {
+    val a = spark.range(500).select(lit("a").as("slice"),
+      concat(lit("x"), col("id")).as("k"))
+    val b = spark.range(500).select(lit("b").as("slice"),
+      concat(lit("x"), col("id")).as("k"))
+    val c = spark.range(500).select(lit("c").as("slice"),
+      concat(lit("y"), col("id")).as("k"))
+    val out = Sketch.kmvOverlap(a.union(b).union(c), "k", "slice", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(("a", "b")) === ((1.0, 1.0)))
+    assert(out(("a", "c")) === ((0.0, 0.0)))
+    assert(out(("b", "c")) === ((0.0, 0.0)))
+  }
+
+  test("KMV estimate tracks exact Jaccard on partial overlap") {
+    // slice a = 0..999, slice b = 500..1499 → J = 1/3.
+    val a = spark.range(1000).select(lit("a").as("slice"),
+      concat(lit("k"), col("id")).as("k"))
+    val b = spark.range(500, 1500).select(lit("b").as("slice"),
+      concat(lit("k"), col("id")).as("k"))
+    val r = Sketch.kmvOverlap(a.union(b), "k", "slice", k = 128).head()
+    val est = r.getAs[Double]("jaccard_est")
+    val exact = r.getAs[Double]("jaccard_exact")
+    assert(math.abs(exact - 1.0 / 3.0) < 0.001)
+    assert(math.abs(est - exact) < 0.15, s"est $est exact $exact")
+  }
+
+  // -----------------------------------------------------------------
+  // Bloom
+  // -----------------------------------------------------------------
+
+  private def bloomFrame = {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("doc_id").cast("string").as("k"))
+    val isDrop = Fns.md5Hash31(concat(lit("takedown:"), col("k"))) % 10 === 0
+    (docs, docs.filter(isDrop).select(col("k")), isDrop)
+  }
+
+  test("bloom membership has zero false negatives") {
+    val (docs, drops, isDrop) = bloomFrame
+    val out = Sketch.bloomMembership(docs, "k", drops, "k",
+        mBits = 256, kHashes = 2)
+      .withColumn("exact_drop", isDrop)
+    assert(out.filter(col("exact_drop") && !col("bloom_hit")).count() === 0L)
+    // and the filter is not vacuously all-positive
+    assert(out.filter(!col("bloom_hit")).count() > 0L)
+    assert(drops.count() > 0L)
+  }
+
+  test("literal-bitset probe equals the join-based bloom membership") {
+    val (docs, drops, _) = bloomFrame
+    val joined = Sketch.bloomMembership(docs, "k", drops, "k",
+        mBits = 256, kHashes = 2)
+      .select(col("doc_id"), col("bloom_hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bitset = Sketch.bloomBitsetLit(drops, "k", mBits = 256, kHashes = 2)
+    val lit256 = docs.select(col("doc_id"),
+        Sketch.bloomProbe(bitset, col("k"), 256, 2).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(lit256 === joined)
+  }
+
+  // -----------------------------------------------------------------
+  // Kneser-Ney bigram LM
+  // -----------------------------------------------------------------
+
+  test("KN bigram probability matches the closed form on a toy corpus") {
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.knBigramScore(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          Option(r.get(r.fieldIndex("kn_score")))))).toMap
+    // model: c(a,b)=2 c(a,c)=1; c1(a)=3 n1f(a)=2; prec(b)=prec(c)=1; B=2
+    val d = 0.75
+    val pAB = (2 - d) / 3 + d * 2 / 3 * (1.0 / 2)
+    val pAC = (1 - d) / 3 + d * 2 / 3 * (1.0 / 2)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) === ((1L, Some(r4(-math.log(pAB) / math.log(2.0))))))
+    assert(out(2L) === ((1L, Some(r4(-math.log(pAC) / math.log(2.0))))))
+    assert(out(3L) === ((0L, None))) // 1-word doc: no bigrams, NULL score
+  }
+
+  test("KN scores are defined and positive over the corpus") {
+    val out = TextAnalysis.knBigramScore(
+      Tables.documents(spark, sf), "doc_id", "text")
+    assert(out.filter(col("n_bigrams") > 0 &&
+      (col("kn_score").isNull || col("kn_score") <= 0)).count() === 0L)
+    assert(out.count() === Tables.documents(spark, sf).count())
+  }
+
+  // -----------------------------------------------------------------
+  // Frame sampling
+  // -----------------------------------------------------------------
+
+  test("frame sampling grids real parsed durations, capped at maxFrames") {
+    val docs = Tables.documents(spark, sf)
+    val withPayload = docs.select(col("doc_id"),
+      MultiModal.syntheticMediaPayload("doc_id", "text").as("payload"))
+    val out = MultiModal.frameSampleByTime(withPayload, "doc_id", "payload",
+      intervalMs = 1000L, maxFrames = 16)
+    val byDoc = out.groupBy("doc_id", "format", "n_frames")
+      .agg(count(lit(1)).as("n"), max("ts_ms").as("max_ts"),
+        min("ts_ms").as("min_ts"))
+      .collect()
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { r =>
+      val n = r.getAs[Long]("n_frames")
+      assert(n >= 1 && n <= 16)
+      assert(r.getAs[Long]("n") === n)       // one row per grid point
+      assert(r.getAs[Long]("min_ts") === 0L) // grid starts at 0
+      assert(r.getAs[Long]("max_ts") === (n - 1) * 1000L)
+    }
+    // the cap binds for long mp4 durations (id*37+500 > 16s for id>419)
+    assert(byDoc.exists(r => r.getAs[String]("format") == "mp4" &&
+      r.getAs[Long]("n_frames") == 16L))
+    // non-media payload rows never surface
+    val ids = byDoc.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(_ % 5 != 4))
+  }
+}
