@@ -117,6 +117,75 @@ object Sketch {
       .drop("sketch")
 
   // ---------------------------------------------------------------
+  // Persisted sketch store (the incremental / streaming shape)
+  // ---------------------------------------------------------------
+
+  private def sketchTable(root: String) = s"$root/hll_sketches"
+  private def sketchAppliedTable(root: String) = s"$root/hll_applied"
+
+  /** Initialize the persisted sketch store: one (group, sketch) row
+    * per group as a VersionedStore table plus the shard ledger. From
+    * here, distinct-count maintenance is [[upsertSketches]] per
+    * arriving shard — the corpus is never rescanned — and ANY
+    * later slice query is [[readDistinct]] over the sketch table.
+    */
+  def buildSketchStore(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                       root: String, p: Int = HllSketch.DefaultP): Unit = {
+    import graft.offline.VersionedStore
+    val spark = df.sparkSession
+    import spark.implicits._
+    VersionedStore.overwrite(
+      hllSketchTable(df, keyCol, groupCols, p), sketchTable(root))
+    VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), sketchAppliedTable(root))
+  }
+
+  /** Fold one shard's keys into the persisted sketches: a keyed MERGE
+    * on the group columns after a register-max union with the current
+    * rows. Register max is idempotent, so even a replayed shard
+    * cannot corrupt the sketch — the ledger exists to make replays
+    * cheap no-ops and to audit what has been folded (the
+    * at-least-once-with-dedup contract of the other persisted
+    * artifacts, with idempotence as a second safety net the additive
+    * stores don't have). Returns whether the shard was applied.
+    */
+  def upsertSketches(shardDf: DataFrame, keyCol: String,
+                     groupCols: Seq[String], root: String, shardId: String,
+                     p: Int = HllSketch.DefaultP): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDf.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, sketchAppliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val shard = hllSketchTable(shardDf, keyCol, groupCols, p)
+    // Only the groups this shard touches: the keyed MERGE then
+    // rewrites only the files whose group ranges the shard hits.
+    val cur = VersionedStore.read(spark, sketchTable(root))
+      .join(shard.select(groupCols.map(col): _*).distinct(),
+        groupCols, "left_semi")
+    val combined = shard.union(cur.select(shard.columns.map(col): _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(HllSketch.merge(col("sketch")).as("sketch"))
+    VersionedStore.merge(combined, sketchTable(root), groupCols)
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      sketchAppliedTable(root))
+    true
+  }
+
+  /** Distinct-count estimates from the persisted store, re-grouped to
+    * any SUBSET of the stored group columns (sketch union across the
+    * collapsed dimensions — the query that makes the store worth
+    * keeping: per-slice, per-shard-group, or global cardinalities
+    * from kilobytes of registers, zero corpus IO).
+    */
+  def readDistinct(spark: org.apache.spark.sql.SparkSession, root: String,
+                   groupCols: Seq[String]): DataFrame = {
+    import graft.offline.VersionedStore
+    mergeEstimate(VersionedStore.read(spark, sketchTable(root)), groupCols)
+  }
+
+  // ---------------------------------------------------------------
   // KMV (bottom-k) slice overlap
   // ---------------------------------------------------------------
 

@@ -195,4 +195,70 @@ class SketchSpec extends AnyFunSuite {
     val ids = byDoc.map(_.getAs[Long]("doc_id")).toSet
     assert(ids.forall(_ % 5 != 4))
   }
+
+  // -----------------------------------------------------------------
+  // Persisted sketch store + streaming twin
+  // -----------------------------------------------------------------
+
+  test("sketch store: shard upserts equal the direct sketch; replays no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("hllstore").toString + "/sk"
+    val all = shingleStream.localCheckpoint(false)
+    val base = all.filter(length(col("shingle")) % 3 === 0)
+    val s1 = all.filter(length(col("shingle")) % 3 === 1)
+    val s2 = all.filter(length(col("shingle")) % 3 === 2)
+    Sketch.buildSketchStore(base, "shingle", Seq("source"), root)
+    assert(Sketch.upsertSketches(s1, "shingle", Seq("source"), root, "s1"))
+    assert(Sketch.upsertSketches(s2, "shingle", Seq("source"), root, "s2"))
+    // replayed shard: ledger no-op
+    assert(!Sketch.upsertSketches(s1, "shingle", Seq("source"), root, "s1"))
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/hll_sketches")
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    val direct = Sketch.hllSketchTable(all, "shingle", Seq("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    assert(stored === direct, "shard-folded registers must equal direct")
+    // regrouped read: collapsing the source dimension over the STORE
+    // equals collapsing it over the direct sketches
+    val globalEst = Sketch.readDistinct(spark, root, Seq.empty[String])
+      .head().getAs[Double]("hll_estimate")
+    val directGlobal = Sketch.mergeEstimate(
+      Sketch.hllSketchTable(all, "shingle", Seq("source"))
+        .withColumn("g", lit("all")), Seq("g"))
+      .head().getAs[Double]("hll_estimate")
+    assert(globalEst === directGlobal)
+  }
+
+  test("StreamingSketch: micro-batches fold registers exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("hllstream").toString + "/sk"
+    val base = Seq(("src0", "alpha"), ("src0", "beta"), ("src1", "gamma"))
+      .toDF("source", "k")
+    Sketch.buildSketchStore(base, "k", Seq("source"), root)
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingSketch.start(
+      in.toDS().toDF("source", "k"), "k", Seq("source"), root,
+      java.nio.file.Files.createTempDirectory("hllstream_ck").toString)
+    val b1 = Seq(("src0", "delta"), ("src2", "epsilon"))
+    val b2 = (1 to 300).map(i => ("src1", s"key$i"))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/hll_sketches")
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    val direct = Sketch.hllSketchTable(
+        base.unionByName(b1.toDF("source", "k"))
+          .unionByName(b2.toDF("source", "k")), "k", Seq("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    assert(stored === direct, "streamed registers must equal batch")
+  }
 }
