@@ -203,17 +203,24 @@ object Sketch {
     * estimating overlap of every pair of 1000 shards of a 100 TB
     * corpus touches each row once. The exact-audit join is the only
     * corpus-sized pair work and exists for the oracle; production
-    * callers use the estimate alone.
+    * callers pass `audit = false` and get the estimate alone (the
+    * corpus-sized self-join never builds).
     */
   def kmvOverlap(df: DataFrame, keyCol: String, sliceCol: String,
-                 k: Int = 64): DataFrame = {
-    val keys = df.select(col(sliceCol).as("slice"),
+                 k: Int = 64, audit: Boolean = true): DataFrame = {
+    // Lazy checkpoints kill the rescan trap: `sk` feeds five subtrees
+    // (slices, two union legs, two semi-joins) and `keys` three more
+    // on the audit path — without them the corpus-sized distinct
+    // would recompute per subtree (the 12x-rescan lesson).
+    val keys0 = df.select(col(sliceCol).as("slice"),
         md5(col(keyCol)).as("h")).distinct()
+    val keys = if (audit) keys0.localCheckpoint(false) else keys0
     val sk = keys
       .withColumn("rn", row_number().over(
         Window.partitionBy("slice").orderBy("h")))
       .filter(col("rn") <= k)
       .select("slice", "h")
+      .localCheckpoint(false)
     val slices = sk.select("slice").distinct()
     val pairFrame = slices.as("a").join(slices.as("b"),
         col("a.slice") < col("b.slice"), "inner")
@@ -237,15 +244,20 @@ object Sketch {
       .groupBy("slice_a", "slice_b").agg(count(lit(1)).as("n_both"))
     val denom = unioned.groupBy("slice_a", "slice_b")
       .agg(count(lit(1)).as("n_union_sk"))
+    val estimated = denom
+      .join(est, Seq("slice_a", "slice_b"), "left")
+      .na.fill(0L, Seq("n_both"))
+    if (!audit)
+      return estimated.select(col("slice_a"), col("slice_b"),
+        round(col("n_both").cast("double") / col("n_union_sk"), 6)
+          .as("jaccard_est"))
     // Exact audit (distinct keys per slice are already materialized).
     val exact = keys.as("x").join(keys.as("y"),
         col("x.h") === col("y.h") && col("x.slice") < col("y.slice"))
       .groupBy(col("x.slice").as("slice_a"), col("y.slice").as("slice_b"))
       .agg(count(lit(1)).as("n_inter"))
     val sizes = keys.groupBy(col("slice")).agg(count(lit(1)).as("n"))
-    denom
-      .join(est, Seq("slice_a", "slice_b"), "left")
-      .na.fill(0L, Seq("n_both"))
+    estimated
       .join(sizes.select(col("slice").as("slice_a"), col("n").as("n_a")), "slice_a")
       .join(sizes.select(col("slice").as("slice_b"), col("n").as("n_b")), "slice_b")
       .join(exact, Seq("slice_a", "slice_b"), "left")
@@ -263,11 +275,28 @@ object Sketch {
   // ---------------------------------------------------------------
 
   /** Bloom positions of one key: kHashes md5 draws (salted by hash
-    * index) into [0, mBits). */
+    * index) into [0, mBits) — the ORACLE-REPLAYABLE family (md5 is
+    * the engine's portable hash, but it is a cryptographic digest:
+    * ~3 digests/row dominate a scan at tens of millions of rows). */
   def bloomPositions(key: Column, mBits: Int, kHashes: Int): Seq[Column] =
     (0 until kHashes).map { i =>
       Fns.md5Hash31(concat(lit(s"bloom$i:"), key)) % mBits
     }
+
+  /** The PRODUCTION hash family: seed-salted xxhash64 (one cheap
+    * codegen hash per probe, no string building). Not expressible in
+    * portable SQL — spec-held to the same no-false-negative contract
+    * instead of the oracle. Build and probe must use the same family.
+    */
+  def bloomPositionsXx(key: Column, mBits: Int, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map { i =>
+      pmod(xxhash64(lit(i), key), lit(mBits.toLong))
+    }
+
+  private def positionsFor(key: Column, mBits: Int, kHashes: Int,
+                           fast: Boolean): Seq[Column] =
+    if (fast) bloomPositionsXx(key, mBits, kHashes)
+    else bloomPositions(key, mBits, kHashes)
 
   /** Membership of every row's key against a DROP LIST compiled to a
     * Bloom filter, with the exact answer audited alongside: the list
@@ -292,14 +321,14 @@ object Sketch {
     */
   def bloomMembership(probe: DataFrame, keyCol: String, dropKeys: DataFrame,
                       dropKeyCol: String, mBits: Int = 2048,
-                      kHashes: Int = 2): DataFrame = {
+                      kHashes: Int = 2, fast: Boolean = false): DataFrame = {
     val setPos = dropKeys
       .select(explode(array(
-        bloomPositions(col(dropKeyCol), mBits, kHashes): _*)).as("pos"))
+        positionsFor(col(dropKeyCol), mBits, kHashes, fast): _*)).as("pos"))
       .distinct()
     val probePos = probe
       .select(col(keyCol).as("probe_key"),
-        posexplode(array(bloomPositions(col(keyCol), mBits, kHashes): _*))
+        posexplode(array(positionsFor(col(keyCol), mBits, kHashes, fast): _*))
           .as(Seq("hash_i", "pos")))
     val hits = probePos
       .join(broadcast(setPos), "pos")
@@ -318,11 +347,12 @@ object Sketch {
     * `probeCol` is usable in any projection, including a stream's.
     */
   def bloomBitsetLit(dropKeys: DataFrame, dropKeyCol: String,
-                     mBits: Int, kHashes: Int): Column = {
+                     mBits: Int, kHashes: Int,
+                     fast: Boolean = false): Column = {
     val words = new Array[Long]((mBits + 63) / 64)
     dropKeys
       .select(explode(array(
-        bloomPositions(col(dropKeyCol), mBits, kHashes): _*)).as("pos"))
+        positionsFor(col(dropKeyCol), mBits, kHashes, fast): _*)).as("pos"))
       .distinct().collect()
       .foreach { r =>
         val p = r.getLong(0).toInt
@@ -333,8 +363,8 @@ object Sketch {
 
   /** Pure-projection probe of [[bloomBitsetLit]]'s bitset. */
   def bloomProbe(bitset: Column, key: Column, mBits: Int,
-                 kHashes: Int): Column =
-    bloomPositions(key, mBits, kHashes)
+                 kHashes: Int, fast: Boolean = false): Column =
+    positionsFor(key, mBits, kHashes, fast)
       .map { pos =>
         // shiftright with a COLUMN shift amount: functions.shiftright
         // only takes a literal Int, so bridge to the Catalyst node.

@@ -95,7 +95,8 @@ object ScaleProbe {
     // events,orders,docs,emb — lets a single section re-run during
     // iteration without paying the full probe
     val sections = args.lift(2).map(_.split(",").toSet)
-      .getOrElse(Set("events", "orders", "docs", "emb", "bpe", "crawl"))
+      .getOrElse(Set("events", "orders", "docs", "emb", "bpe", "crawl",
+        "sketch"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -552,6 +553,127 @@ object ScaleProbe {
         .select(col("target_uri"), col("status"),
           length(Html.bodyTextCol(col("body"))).as("n_chars"))))
     segs.unpersist(); cdocs.unpersist()
+    }
+
+    if (sections("sketch")) {
+    // sketch family xK: the approximate statistics vs the exact jobs
+    // they replace, on the same replicated corpus. Outputs here are
+    // group-sized (tiny), so count() does NOT prune the aggregation
+    // work being measured.
+    import graft.operators.{Sketch, TextAnalysis}
+    import graft.functions.Fns
+    val sdocs = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 1000000L)).cache()
+    println(s"[scale] sketch documents rows: ${sdocs.count()}")
+    val stream = sdocs.select(col("source"),
+      explode(Fns.shingles(col("text"), 3)).as("shingle"))
+    // the exact job the sketch replaces: per-source distinct shingles
+    time("distinct exact xK")(
+      stream.groupBy("source")
+        .agg(countDistinct("shingle").as("n")).count())
+    // one-pass mergeable sketch + estimate (the 100 TB path)
+    time("distinct hll one-pass xK")(
+      Sketch.mergeEstimate(
+        Sketch.hllSketchTable(stream, "shingle", Seq("source")),
+        Seq("source")).count())
+    // KMV overlap, sketch-only (audit=false: no corpus pair join) —
+    // all 190 source pairs from one pass + k-row sketches
+    time("kmv overlap sketch-only xK")(
+      Sketch.kmvOverlap(stream, "shingle", "source", k = 64,
+        audit = false).count())
+    // exact pairwise overlap — the quadratic job KMV replaces
+    time("pairwise overlap exact xK")(
+      Sketch.kmvOverlap(stream, "shingle", "source", k = 64,
+        audit = true).count())
+    // takedown membership: 10% md5-coin drop list over xK docs
+    val keyed = sdocs.select(col("doc_id"),
+      col("doc_id").cast("string").as("k"))
+    val isDrop = Fns.md5Hash31(concat(lit("takedown:"), col("k"))) % 10 === 0
+    val drops = keyed.filter(isDrop).select(col("k")).cache()
+    println(s"[scale] takedown list rows: ${drops.count()}")
+    // the exact join everyone pays today
+    time("takedown anti-join xK")(
+      keyed.join(drops.withColumnRenamed("k", "dk"),
+        col("k") === col("dk"), "left_anti").count())
+    // bloom pre-filter sized 10 bits/key, then exact verify of the
+    // bloom-positive sliver only — the scan-stage + pruned-join shape
+    val mBits = 1 << 20
+    val bitset = Sketch.bloomBitsetLit(drops, "k", mBits, 3)
+    time("takedown bloom-bitset probe xK")(
+      keyed.select(col("doc_id"),
+        Sketch.bloomProbe(bitset, col("k"), mBits, 3).as("hit"))
+        .filter(col("hit")).count())
+    time("takedown bloom+verify xK")(
+      keyed.filter(Sketch.bloomProbe(bitset, col("k"), mBits, 3))
+        .join(drops.withColumnRenamed("k", "dk"),
+          col("k") === col("dk"), "left_semi").count())
+    // the KN bigram fit + application at xK (model table is
+    // vocab²-bounded; corpus passes are the cost)
+    time("kn bigram lm xK")(
+      TextAnalysis.knBigramScore(sdocs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save())
+    drops.unpersist(); sdocs.unpersist()
+
+    // ---- high-cardinality twins --------------------------------------
+    // The replicated corpus has a degenerate ~31-word vocabulary, so
+    // distinct sets are tiny and every membership list broadcasts —
+    // the regime where exact is cheap. These synthetic twins measure
+    // the regime sketches exist for: millions of distinct keys and a
+    // drop list too big to broadcast.
+    val bigKeys = spark.range(5000000L).select(
+      (col("id") % 20).cast("string").as("source"),
+      concat(lit("key:"), col("id")).as("shingle"))
+    time("distinct exact 5M-card")(
+      bigKeys.groupBy("source")
+        .agg(countDistinct("shingle").as("n")).count())
+    time("distinct hll one-pass 5M-card")(
+      Sketch.mergeEstimate(
+        Sketch.hllSketchTable(bigKeys, "shingle", Seq("source")),
+        Seq("source")).count())
+    // KMV at high cardinality with REAL cross-slice overlap: 5M keys,
+    // each shared by exactly two of 20 slices → the exact pairwise
+    // join has 2.5M matches to shuffle; the sketch path bottom-ks one
+    // pass and joins 64-row sketches
+    val ovKeys = spark.range(5000000L).select(
+      (col("id") % 20).cast("string").as("source"),
+      concat(lit("key:"), (col("id") % 2500000L)).as("shingle"))
+    time("kmv sketch-only 5M-card")(
+      Sketch.kmvOverlap(ovKeys, "shingle", "source", k = 64,
+        audit = false).count())
+    time("pairwise overlap exact 5M-card")(
+      Sketch.kmvOverlap(ovKeys, "shingle", "source", k = 64,
+        audit = true).count())
+    // membership at 10M probes vs a 1M-row list (past any broadcast
+    // threshold: the exact anti-join must shuffle BOTH sides; the
+    // bloom probe stays a scan-stage projection, and bloom+verify
+    // shuffles only the ~true-positive sliver). fast=true is the
+    // production xxhash64 family — the md5 oracle family costs 3
+    // digests/row and is measured alongside for honesty.
+    val bigCorpus = spark.range(10000000L)
+      .select(col("id"), col("id").cast("string").as("k"))
+    val bigDrops = spark.range(1000000L)
+      .select((col("id") * 10).cast("string").as("k")).cache()
+    println(s"[scale] big drop list rows: ${bigDrops.count()}")
+    time("membership anti-join 10Mx1M")(
+      bigCorpus.join(bigDrops.withColumnRenamed("k", "dk"),
+        col("k") === col("dk"), "left_anti").count())
+    val mBits2 = 1 << 24 // 16M bits / 2 MB for 1M keys: ~1% FP at kH=3
+    val bitsetXx = Sketch.bloomBitsetLit(bigDrops, "k", mBits2, 3,
+      fast = true)
+    time("membership bloom probe 10Mx1M (xxh)")(
+      bigCorpus.filter(
+        Sketch.bloomProbe(bitsetXx, col("k"), mBits2, 3, fast = true))
+        .count())
+    time("membership bloom+verify 10Mx1M (xxh)")(
+      bigCorpus.filter(
+        Sketch.bloomProbe(bitsetXx, col("k"), mBits2, 3, fast = true))
+        .join(bigDrops.withColumnRenamed("k", "dk"),
+          col("k") === col("dk"), "left_semi").count())
+    val bitsetMd5 = Sketch.bloomBitsetLit(bigDrops, "k", mBits2, 3)
+    time("membership bloom probe 10Mx1M (md5)")(
+      bigCorpus.filter(Sketch.bloomProbe(bitsetMd5, col("k"), mBits2, 3))
+        .count())
+    bigDrops.unpersist()
     }
 
     if (sections("emb")) {

@@ -123,6 +123,22 @@ class SketchSpec extends AnyFunSuite {
     assert(drops.count() > 0L)
   }
 
+  test("fast (xxhash64) bloom family: zero false negatives, probe == join form") {
+    val (docs, drops, isDrop) = bloomFrame
+    val out = Sketch.bloomMembership(docs, "k", drops, "k",
+        mBits = 256, kHashes = 2, fast = true)
+      .withColumn("exact_drop", isDrop)
+    assert(out.filter(col("exact_drop") && !col("bloom_hit")).count() === 0L)
+    assert(out.filter(!col("bloom_hit")).count() > 0L)
+    val joined = out.select(col("doc_id"), col("bloom_hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bitset = Sketch.bloomBitsetLit(drops, "k", 256, 2, fast = true)
+    val viaBits = docs.select(col("doc_id"),
+        Sketch.bloomProbe(bitset, col("k"), 256, 2, fast = true).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaBits === joined)
+  }
+
   test("literal-bitset probe equals the join-based bloom membership") {
     val (docs, drops, _) = bloomFrame
     val joined = Sketch.bloomMembership(docs, "k", drops, "k",
