@@ -186,6 +186,116 @@ object Sketch {
   }
 
   // ---------------------------------------------------------------
+  // Persisted KMV sketches (overlap queries from the store)
+  // ---------------------------------------------------------------
+
+  private def kmvTable(root: String) = s"$root/kmv_sketches"
+  private def kmvAppliedTable(root: String) = s"$root/kmv_applied"
+
+  /** Bottom-k md5 values per slice as rows (slice, h) — the KMV
+    * sketch in storable form. KMV is mergeable exactly like HLL:
+    * bottom-k of a union is the bottom-k of the concatenated
+    * sketches, and the merge is idempotent — so the same
+    * shard-ledger store pattern applies.
+    */
+  def kmvSketchRows(df: DataFrame, keyCol: String, sliceCol: String,
+                    k: Int): DataFrame =
+    df.select(col(sliceCol).as("slice"), md5(col(keyCol)).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("slice").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select("slice", "h")
+
+  /** Initialize the persisted KMV store (pairs with
+    * [[buildSketchStore]]'s HLL table: together the two sketch
+    * families answer "how many distinct" and "how much shared"
+    * for any slice from kilobytes, no corpus rescan). */
+  def buildKmvStore(df: DataFrame, keyCol: String, sliceCol: String,
+                    root: String, k: Int = 64): Unit = {
+    import graft.offline.VersionedStore
+    val spark = df.sparkSession
+    import spark.implicits._
+    VersionedStore.overwrite(
+      kmvSketchRows(df, keyCol, sliceCol, k), kmvTable(root))
+    VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), kmvAppliedTable(root))
+  }
+
+  /** Fold one shard into the KMV store: per touched slice, re-trim
+    * the union of stored and shard sketch rows to the k smallest —
+    * exactly the bottom-k of the union of underlying key sets
+    * (values below the kept threshold are never displaced by later
+    * arrivals, so folding is order-independent and idempotent).
+    */
+  def upsertKmv(shardDf: DataFrame, keyCol: String, sliceCol: String,
+                root: String, shardId: String, k: Int = 64): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDf.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, kmvAppliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val shard = kmvSketchRows(shardDf, keyCol, sliceCol, k)
+    val cur = VersionedStore.read(spark, kmvTable(root))
+      .join(shard.select("slice").distinct(), Seq("slice"), "left_semi")
+    val combined = shard.union(cur.select("slice", "h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("slice").orderBy("h")))
+      .filter(col("rn") <= k)
+      .select("slice", "h")
+    VersionedStore.merge(combined, kmvTable(root), Seq("slice"))
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      kmvAppliedTable(root))
+    true
+  }
+
+  /** Pairwise Jaccard estimates for ALL slice pairs straight from the
+    * persisted KMV sketches — slices × k rows in, pairs out, the
+    * corpus never read. Same estimator as [[kmvOverlap]]'s
+    * `audit = false` path.
+    */
+  def readOverlap(spark: org.apache.spark.sql.SparkSession, root: String,
+                  k: Int = 64): DataFrame = {
+    import graft.offline.VersionedStore
+    val sk = VersionedStore.read(spark, kmvTable(root))
+      .select("slice", "h").localCheckpoint(false)
+    overlapFromSketches(sk, k)
+  }
+
+  /** The estimator over sketch rows (shared by [[kmvOverlap]] and
+    * [[readOverlap]]). */
+  private def overlapFromSketches(sk: DataFrame, k: Int): DataFrame = {
+    val slices = sk.select("slice").distinct()
+    val pairFrame = slices.as("a").join(slices.as("b"),
+        col("a.slice") < col("b.slice"), "inner")
+      .select(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
+    val unioned = pairFrame
+      .join(sk.select(col("slice").as("slice_a"), col("h")), Seq("slice_a"))
+      .select("slice_a", "slice_b", "h")
+      .union(pairFrame
+        .join(sk.select(col("slice").as("slice_b"), col("h")), Seq("slice_b"))
+        .select("slice_a", "slice_b", "h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("slice_a", "slice_b").orderBy("h")))
+      .filter(col("rn") <= k)
+    val inA = sk.select(col("slice").as("slice_a"), col("h"))
+    val inB = sk.select(col("slice").as("slice_b"), col("h"))
+    val est = unioned
+      .join(inA, Seq("slice_a", "h"), "left_semi")
+      .join(inB, Seq("slice_b", "h"), "left_semi")
+      .groupBy("slice_a", "slice_b").agg(count(lit(1)).as("n_both"))
+    unioned.groupBy("slice_a", "slice_b")
+      .agg(count(lit(1)).as("n_union_sk"))
+      .join(est, Seq("slice_a", "slice_b"), "left")
+      .na.fill(0L, Seq("n_both"))
+      .select(col("slice_a"), col("slice_b"),
+        round(col("n_both").cast("double") / col("n_union_sk"), 6)
+          .as("jaccard_est"))
+  }
+
+  // ---------------------------------------------------------------
   // KMV (bottom-k) slice overlap
   // ---------------------------------------------------------------
 
@@ -221,36 +331,8 @@ object Sketch {
       .filter(col("rn") <= k)
       .select("slice", "h")
       .localCheckpoint(false)
-    val slices = sk.select("slice").distinct()
-    val pairFrame = slices.as("a").join(slices.as("b"),
-        col("a.slice") < col("b.slice"), "inner")
-      .select(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
-    // Union sketch per pair: k smallest distinct hashes of skA ∪ skB.
-    val unioned = pairFrame
-      .join(sk.select(col("slice").as("slice_a"), col("h")), Seq("slice_a"))
-      .select("slice_a", "slice_b", "h")
-      .union(pairFrame
-        .join(sk.select(col("slice").as("slice_b"), col("h")), Seq("slice_b"))
-        .select("slice_a", "slice_b", "h"))
-      .distinct()
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("slice_a", "slice_b").orderBy("h")))
-      .filter(col("rn") <= k)
-    val inA = sk.select(col("slice").as("slice_a"), col("h"))
-    val inB = sk.select(col("slice").as("slice_b"), col("h"))
-    val est = unioned
-      .join(inA, Seq("slice_a", "h"), "left_semi").as("ua")
-      .join(inB, Seq("slice_b", "h"), "left_semi")
-      .groupBy("slice_a", "slice_b").agg(count(lit(1)).as("n_both"))
-    val denom = unioned.groupBy("slice_a", "slice_b")
-      .agg(count(lit(1)).as("n_union_sk"))
-    val estimated = denom
-      .join(est, Seq("slice_a", "slice_b"), "left")
-      .na.fill(0L, Seq("n_both"))
-    if (!audit)
-      return estimated.select(col("slice_a"), col("slice_b"),
-        round(col("n_both").cast("double") / col("n_union_sk"), 6)
-          .as("jaccard_est"))
+    val estimated = overlapFromSketches(sk, k)
+    if (!audit) return estimated
     // Exact audit (distinct keys per slice are already materialized).
     val exact = keys.as("x").join(keys.as("y"),
         col("x.h") === col("y.h") && col("x.slice") < col("y.slice"))
@@ -262,9 +344,7 @@ object Sketch {
       .join(sizes.select(col("slice").as("slice_b"), col("n").as("n_b")), "slice_b")
       .join(exact, Seq("slice_a", "slice_b"), "left")
       .na.fill(0L, Seq("n_inter"))
-      .select(col("slice_a"), col("slice_b"),
-        round(col("n_both").cast("double") / col("n_union_sk"), 6)
-          .as("jaccard_est"),
+      .select(col("slice_a"), col("slice_b"), col("jaccard_est"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard_exact"),
         col("n_inter").as("n_inter_exact"))

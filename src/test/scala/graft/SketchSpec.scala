@@ -247,6 +247,34 @@ class SketchSpec extends AnyFunSuite {
     assert(globalEst === directGlobal)
   }
 
+  test("KMV store: shard upserts equal the direct bottom-k; overlap reads from the store") {
+    val root = java.nio.file.Files
+      .createTempDirectory("kmvstore").toString + "/sk"
+    val all = shingleStream.localCheckpoint(false)
+    val base = all.filter(length(col("shingle")) % 3 === 0)
+    val s1 = all.filter(length(col("shingle")) % 3 === 1)
+    val s2 = all.filter(length(col("shingle")) % 3 === 2)
+    Sketch.buildKmvStore(base, "shingle", "source", root, k = 32)
+    assert(Sketch.upsertKmv(s1, "shingle", "source", root, "s1", k = 32))
+    assert(Sketch.upsertKmv(s2, "shingle", "source", root, "s2", k = 32))
+    assert(!Sketch.upsertKmv(s1, "shingle", "source", root, "s1", k = 32))
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/kmv_sketches").select("slice", "h")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val direct = Sketch.kmvSketchRows(all, "shingle", "source", k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored === direct, "shard-folded bottom-k must equal direct")
+    // overlap straight from the store == the live sketch-only operator
+    val fromStore = Sketch.readOverlap(spark, root, k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val live = Sketch.kmvOverlap(all, "shingle", "source", k = 32,
+        audit = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(fromStore === live)
+  }
+
   test("StreamingSketch: micro-batches fold registers exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
