@@ -1042,6 +1042,40 @@ object SparkEntry {
       intervalMs = 1000L, maxFrames = 16)
   }
 
+  /** Campaign-window revenue via the banded interval join (round 10):
+    * 300 synthetic promo windows (25 nations × 12, id-derived start/
+    * length, overlapping) joined to 15k orders by day WITHOUT the
+    * nested-loop plan a raw BETWEEN join gets — intervals replicate
+    * onto 64-day buckets, points equi-join their bucket, the exact
+    * [lo, hi) predicate filters. Oracle replays window construction
+    * and the range join directly. */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val windows = Tables.nation(s, d)
+      .select(col("n_nationkey"), explode(sequence(lit(0), lit(11))).as("w"))
+      .select((col("n_nationkey") * 12 + col("w")).cast("long").as("window_id"),
+        (col("n_nationkey") * 7 + col("w") * 200).cast("long").as("lo_day"),
+        (col("n_nationkey") * 7 + col("w") * 200 +
+          (col("n_nationkey") % 3 + 1) * 10).cast("long").as("hi_day"))
+    val points = Tables.orders(s, d).select(
+      dec("o_totalprice").as("price"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+        .cast("long").as("day"))
+    operators.RangeJoin.pointInInterval(points, "day", windows,
+        "lo_day", "hi_day", bucket = 64L)
+      .groupBy("window_id", "lo_day", "hi_day")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("sum_price"))
+  }
+
+  /** Per-event-type approximate quantiles from the deterministic
+    * bottom-k-by-md5 uniform sample (round 10): the third sketch leg
+    * — reproducible, mergeable (KMV-style re-trim), oracle-replayed
+    * row by row, with the exact same-definition quantiles audited
+    * alongside. */
+  def qQuantileSketch(s: SparkSession, d: String): DataFrame =
+    Sketch.quantileSketch(Tables.events(s, d), "value", "event_id",
+      Seq("event_type"), k = 256, qs = Seq(0.5, 0.95))
+
   /** Corpus data-card report: composition by source × lang. */
   def qCorpusReport(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
@@ -1309,7 +1343,9 @@ object SparkEntry {
     "q_slice_overlap" -> (qSliceOverlap _),
     "q_bloom_takedown" -> (qBloomTakedown _),
     "q_kn_lm" -> (qKnLm _),
-    "q_frame_sample" -> (qFrameSample _)
+    "q_frame_sample" -> (qFrameSample _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_interval_join" -> (qIntervalJoin _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -3871,7 +3907,64 @@ object SparkEntry {
           |  FROM f)
           |SELECT doc_id, format, n_frames,
           |  ts // 1000 AS frame_idx, ts AS ts_ms
-          |FROM g""".stripMargin
+          |FROM g""".stripMargin,
+
+      // The sample is hash-deterministic (bottom-256 by md5(id)), so
+      // the oracle replays the SAMPLE row-for-row; quantile = value
+      // at sorted index floor(q*(n-1)), ties totally ordered by the
+      // hash. Exact side uses the identical discrete definition over
+      // the full partition. No nulls in events.value, so null-order
+      // divergence cannot bite.
+      "q_quantile_sketch" ->
+        """WITH s AS (SELECT event_type, value AS v,
+          |    md5(CAST(event_id AS VARCHAR)) AS h FROM events),
+          |sk AS (SELECT event_type, v, h FROM (
+          |    SELECT event_type, v, h,
+          |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS srn
+          |    FROM s) WHERE srn <= 256),
+          |r AS (SELECT event_type, v,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+          |    count(*) OVER (PARTITION BY event_type) AS ns
+          |  FROM sk),
+          |est AS (SELECT event_type, max(ns) AS n_sample,
+          |    max(CASE WHEN vr = floor(0.5 * (ns - 1)) + 1 THEN v END)
+          |      AS p50_sample,
+          |    max(CASE WHEN vr = floor(0.95 * (ns - 1)) + 1 THEN v END)
+          |      AS p95_sample
+          |  FROM r GROUP BY 1),
+          |rx AS (SELECT event_type, v,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY v, h) AS vr,
+          |    count(*) OVER (PARTITION BY event_type) AS ns
+          |  FROM s),
+          |ex AS (SELECT event_type, max(ns) AS n_exact,
+          |    max(CASE WHEN vr = floor(0.5 * (ns - 1)) + 1 THEN v END)
+          |      AS p50_exact,
+          |    max(CASE WHEN vr = floor(0.95 * (ns - 1)) + 1 THEN v END)
+          |      AS p95_exact
+          |  FROM rx GROUP BY 1)
+          |SELECT est.event_type, n_sample, p50_sample, p95_sample,
+          |  n_exact, p50_exact, p95_exact
+          |FROM est JOIN ex USING (event_type)""".stripMargin,
+
+      // The oracle replays window construction (constant-arg
+      // generate_series is a plain table function) and expresses the
+      // range join directly — DuckDB's optimizer can do what it
+      // likes; the Spark side must produce identical groups through
+      // the banded equi-join path. Money via the DECIMAL(18,2) idiom.
+      "q_interval_join" ->
+        """WITH w AS (SELECT n_nationkey * 12 + t.w AS window_id,
+          |    n_nationkey * 7 + t.w * 200 AS lo_day,
+          |    n_nationkey * 7 + t.w * 200 + (n_nationkey % 3 + 1) * 10
+          |      AS hi_day
+          |  FROM nation, generate_series(0, 11) t(w)),
+          |p AS (SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+          |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+          |  FROM orders)
+          |SELECT window_id, lo_day, hi_day,
+          |  count(*) AS n_orders,
+          |  CAST(sum(price) AS DOUBLE) AS sum_price
+          |FROM w JOIN p ON p.day >= w.lo_day AND p.day < w.hi_day
+          |GROUP BY 1, 2, 3""".stripMargin
     )
   }
 }

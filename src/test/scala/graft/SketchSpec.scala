@@ -247,6 +247,60 @@ class SketchSpec extends AnyFunSuite {
     assert(globalEst === directGlobal)
   }
 
+  test("quantile sketch: known quantiles exact; k >= n sample equals exact") {
+    // one group, values 0..100 → p50 = 50, p95 = 95 under the
+    // floor(q*(n-1)) definition
+    val df = spark.range(101).select(lit("g").as("g"),
+      col("id").cast("double").as("v"), col("id").as("rid"))
+    val out = Sketch.quantileSketch(df, "v", "rid", Seq("g"),
+      k = 1000, qs = Seq(0.5, 0.95)).head()
+    assert(out.getAs[Double]("p50_exact") === 50.0)
+    assert(out.getAs[Double]("p95_exact") === 95.0)
+    // sample is the whole group when k >= n → estimates == exact
+    assert(out.getAs[Double]("p50_sample") === 50.0)
+    assert(out.getAs[Double]("p95_sample") === 95.0)
+    assert(out.getAs[Long]("n_sample") === 101L)
+  }
+
+  test("quantile sketch sample is mergeable: bottom-k of shard bottom-ks == direct") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type").as("g"), col("value").as("v"),
+        md5(col("event_id").cast("string")).as("h"))
+    def bottomK(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("h")))
+      .filter(col("rn") <= k).select("g", "v", "h")
+    val direct = bottomK(ev, 64).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val shards = Seq(
+      ev.filter(length(col("h")) >= 0 && substring(col("h"), 1, 1) < "8"),
+      ev.filter(substring(col("h"), 1, 1) >= "8"))
+    val merged = bottomK(shards.map(bottomK(_, 64)).reduce(_ union _), 64)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(merged === direct)
+  }
+
+  test("quantile sketch estimates land near exact on the events table") {
+    val out = Sketch.quantileSketch(Tables.events(spark, sf), "value",
+        "event_id", Seq("event_type"), k = 128, qs = Seq(0.5))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Double]("p50_sample")
+      val ex = r.getAs[Double]("p50_exact")
+      val n = r.getAs[Long]("n_exact")
+      // rank error ~1/sqrt(k): compare by RANK proximity via value
+      // spread — generous 4-sigma band on the value scale
+      assert(!est.isNaN && !ex.isNaN)
+      if (n > 200) {
+        val spread = math.abs(ex) + 1.0
+        assert(math.abs(est - ex) < spread,
+          s"${r.getAs[String]("event_type")}: est $est vs exact $ex")
+      }
+    }
+  }
+
   test("KMV store: shard upserts equal the direct bottom-k; overlap reads from the store") {
     val root = java.nio.file.Files
       .createTempDirectory("kmvstore").toString + "/sk"
