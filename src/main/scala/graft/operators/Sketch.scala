@@ -71,7 +71,10 @@ object Sketch {
     val m = 1 << p
     val g = groupCols.map(col)
     val key = col(keyCol)
-    val regs = df
+    // Null keys carry no information and would otherwise propagate a
+    // null register index; drop them (the one-pass aggregate's update
+    // skips nulls — the twins must agree).
+    val regs = df.filter(key.isNotNull)
       .select(g :+ (h32(key, 1) % m).as("reg_idx") :+
         rho32(h32(key, 9)).as("rho"): _*)
       .groupBy(g :+ col("reg_idx"): _*)
@@ -200,7 +203,8 @@ object Sketch {
     */
   def kmvSketchRows(df: DataFrame, keyCol: String, sliceCol: String,
                     k: Int): DataFrame =
-    df.select(col(sliceCol).as("slice"), md5(col(keyCol)).as("h"))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(sliceCol).as("slice"), md5(col(keyCol)).as("h"))
       .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("slice").orderBy("h")))
@@ -322,7 +326,8 @@ object Sketch {
     // (slices, two union legs, two semi-joins) and `keys` three more
     // on the audit path — without them the corpus-sized distinct
     // would recompute per subtree (the 12x-rescan lesson).
-    val keys0 = df.select(col(sliceCol).as("slice"),
+    val keys0 = df.filter(col(keyCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
         md5(col(keyCol)).as("h")).distinct()
     val keys = if (audit) keys0.localCheckpoint(false) else keys0
     val sk = keys
@@ -389,8 +394,10 @@ object Sketch {
         }
       ranked.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
     }
-    val keyed = df.select(g :+ col(valueCol).as("v") :+
-      md5(col(idCol).cast("string")).as("h"): _*)
+    val keyed = df
+      .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(g :+ col(valueCol).as("v") :+
+        md5(col(idCol).cast("string")).as("h"): _*)
     val sample = keyed
       .withColumn("srn", row_number().over(
         Window.partitionBy(g: _*).orderBy(col("h"))))
