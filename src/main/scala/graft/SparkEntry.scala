@@ -1042,6 +1042,22 @@ object SparkEntry {
       intervalMs = 1000L, maxFrames = 16)
   }
 
+  /** K-anonymous data card (round 10): the corpus report with cells
+    * under k=6 docs suppressed (values NULLed, row kept + flagged) —
+    * the disclosure-control rule a published data card needs; k=6 is
+    * chosen so the gate corpus exercises both branches. */
+  def qKanonReport(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusReportKAnon(Tables.documents(s, d), "text",
+      Seq("source", "lang"), k = 6L)
+
+  /** Min-K% probability contamination/memorization triage (round 10):
+    * per doc, mean surprise of its 20% hardest tokens under the
+    * corpus unigram LM — the membership-inference detector statistic,
+    * whole computation oracle-replayed. */
+  def qMinkScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.minkScore(Tables.documents(s, d), "doc_id", "text",
+      topFrac = 0.2)
+
   /** Campaign-window revenue via the banded interval join (round 10):
     * 300 synthetic promo windows (25 nations × 12, id-derived start/
     * length, overlapping) joined to 15k orders by day WITHOUT the
@@ -1345,7 +1361,9 @@ object SparkEntry {
     "q_kn_lm" -> (qKnLm _),
     "q_frame_sample" -> (qFrameSample _),
     "q_quantile_sketch" -> (qQuantileSketch _),
-    "q_interval_join" -> (qIntervalJoin _)
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_mink_score" -> (qMinkScore _),
+    "q_kanon_report" -> (qKanonReport _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -3964,7 +3982,51 @@ object SparkEntry {
           |  count(*) AS n_orders,
           |  CAST(sum(price) AS DOUBLE) AS sum_price
           |FROM w JOIN p ON p.day >= w.lo_day AND p.day < w.hi_day
-          |GROUP BY 1, 2, 3""".stripMargin
+          |GROUP BY 1, 2, 3""".stripMargin,
+
+      // Surprise derives from integer counts (equal counts → equal
+      // surprise within an engine); rank ties break by (word, pos) —
+      // a total order, so the top-20% cut is cross-engine identical.
+      // Trimmed mean rounds 4dp (lmScore's rule). Positions replay
+      // 0-based via the list_transform/struct_pack idiom.
+      "q_mink_score" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |tok0 AS (SELECT doc_id, unnest(list_transform(
+          |    generate_series(1, len(ws)),
+          |    i -> struct_pack(pos := i - 1, w := ws[i]))) AS t
+          |  FROM w),
+          |tok AS (SELECT doc_id, t.pos AS pos, t.w AS w FROM tok0),
+          |freq AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+          |tot AS (SELECT sum(cnt) AS tot FROM freq),
+          |sc AS (SELECT doc_id, pos, tok.w, -ln(cnt / tot) AS surprise
+          |  FROM tok JOIN freq USING (w) CROSS JOIN tot),
+          |rk AS (SELECT doc_id, surprise,
+          |    count(*) OVER (PARTITION BY doc_id) AS n_tokens,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY surprise DESC, w, pos) AS rk
+          |  FROM sc)
+          |SELECT doc_id, max(n_tokens) AS n_tokens,
+          |  count(*) AS n_topk,
+          |  round(avg(surprise), 4) AS mink_score
+          |FROM rk WHERE rk <= ceil(0.2 * n_tokens)
+          |GROUP BY 1""".stripMargin,
+
+      // q_corpus_report's aggregate with the k<6 suppression
+      // projection; suppressed rows keep dims + flag, NULL measures.
+      "q_kanon_report" ->
+        """WITH r AS (SELECT source, lang,
+          |    CAST(count(*) AS BIGINT) AS n_docs,
+          |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+          |    CAST(sum(len(text)) AS BIGINT) AS n_chars,
+          |    round(avg(len(text)), 6) AS avg_chars
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT source, lang,
+          |  CASE WHEN n_docs >= 6 THEN n_docs END AS n_docs,
+          |  CASE WHEN n_docs >= 6 THEN ws_tokens END AS ws_tokens,
+          |  CASE WHEN n_docs >= 6 THEN n_chars END AS n_chars,
+          |  CASE WHEN n_docs >= 6 THEN avg_chars END AS avg_chars,
+          |  n_docs < 6 AS suppressed
+          |FROM r""".stripMargin
     )
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fns
@@ -157,6 +158,46 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         round(avg(-log(col("cnt") / col("tot"))), 4).as("lm_score"))
+  }
+
+  /** Min-K% probability score (Shi et al. 2023's membership-inference
+    * detector, re-expressed over the corpus's own unigram LM): per
+    * document, the MEAN SURPRISE OF ITS k% HARDEST TOKENS — documents
+    * whose worst tokens are still unsurprising are suspiciously
+    * "memorized"/templated (low score); genuinely novel text has a
+    * heavy surprise tail (high score). Complements [[lmScore]] (mean
+    * over ALL tokens): the top-k% trim isolates the tail the mean
+    * dilutes, which is what makes the statistic usable for
+    * contamination triage and dedup-residue hunting at corpus scale.
+    *
+    * Determinism: per-token surprise derives from integer counts
+    * (equal counts → bit-equal surprise within an engine), ranking
+    * ties break by (word, position) — total order, cross-engine
+    * stable; the trimmed mean rounds 4dp ([[lmScore]]'s rule).
+    * Plan: one explode, freq join, one window rank per doc, filter
+    * to ceil(k·n) rows, per-doc aggregate — no extra corpus pass vs
+    * lmScore.
+    */
+  def minkScore(docs: DataFrame, idCol: String, textCol: String,
+                topFrac: Double = 0.2): DataFrame = {
+    require(topFrac > 0 && topFrac <= 1)
+    val words = docs.select(col(idCol).as("doc_id"),
+      posexplode(Fns.words(col(textCol))).as(Seq("pos", "w")))
+    val freq = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val total = freq.agg(sum("cnt").as("tot"))
+    val scored = words.join(freq, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("surprise", -log(col("cnt") / col("tot")))
+      .withColumn("n_tokens",
+        count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("surprise").desc, col("w"), col("pos"))))
+      .filter(col("rk") <= ceil(lit(topFrac) * col("n_tokens")))
+    scored.groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_topk"),
+        round(avg(col("surprise")), 4).as("mink_score"))
   }
 
   /** Interpolated Kneser-Ney BIGRAM language model trained in-plan
@@ -655,6 +696,32 @@ object TextAnalysis {
         sum(size(split(col(textCol), " ")).cast("long")).as("ws_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"),
         round(avg(length(col(textCol))), 6).as("avg_chars"))
+  }
+
+  /** K-ANONYMOUS data card: [[corpusReport]] with small-cell
+    * suppression — any cell describing fewer than `k` documents keeps
+    * its dimension values but NULLs every measure and raises
+    * `suppressed` (the standard statistical-disclosure-control rule:
+    * a "corpus slice of 2 docs from source X in language Y" row can
+    * identify its members' contributions; publishing the cell's
+    * existence without its measures cannot). The row is kept, not
+    * dropped — downstream consumers must see that a cell exists and
+    * was withheld, or sums over published cells silently lie.
+    *
+    * Same single map-side-combinable aggregate as corpusReport; the
+    * suppression is a projection on top.
+    */
+  def corpusReportKAnon(docs: DataFrame, textCol: String,
+                        dims: Seq[String], k: Long): DataFrame = {
+    require(k >= 1)
+    val rep = corpusReport(docs, textCol, dims)
+    val sup = col("n_docs") < k
+    rep.select(dims.map(col) ++ Seq(
+      when(!sup, col("n_docs")).as("n_docs"),
+      when(!sup, col("ws_tokens")).as("ws_tokens"),
+      when(!sup, col("n_chars")).as("n_chars"),
+      when(!sup, col("avg_chars")).as("avg_chars"),
+      sup.as("suppressed")): _*)
   }
 
   /** VOCABULARY DRIFT between two corpus slices — the crawl-over-crawl

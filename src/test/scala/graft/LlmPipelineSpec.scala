@@ -1823,4 +1823,53 @@ class LlmPipelineSpec extends AnyFunSuite {
       "embedding", 0.5).collect().map(_.getLong(0)).toSet
     assert(dead == Set(1L, 3L), s"zero-norm must not flag: $dead")
   }
+
+  test("minkScore: trimmed mean isolates the hard-token tail") {
+    // doc 1: all common words; doc 2: same common prefix + rare tail.
+    // Mean-over-all (lmScore) moves less than the top-20% trim.
+    val docs = Seq(
+      (1L, "a a a a a a a a a b"),
+      (2L, "a a a a a a a a a zzz")).toDF("doc_id", "text")
+    val out = TextAnalysis.minkScore(docs, "doc_id", "text", topFrac = 0.2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_topk"),
+          r.getAs[Double]("mink_score")))).toMap
+    // 10 tokens -> ceil(0.2*10) = 2 hardest per doc
+    assert(out(1L)._1 === 10L && out(1L)._2 === 2L)
+    // doc 2's top-2 = {zzz (cnt 1), a}; doc 1's = {b (cnt 1), a}:
+    // same counts -> same surprises -> equal scores; both dominated
+    // by their rare token
+    assert(out(1L)._3 === out(2L)._3)
+    val freqTot = 20.0
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r4((-math.log(1 / freqTot) + -math.log(18 / freqTot)) / 2)
+    assert(out(1L)._3 === expected)
+  }
+
+  test("minkScore over the corpus: every doc scored, top-k sized ceil(0.2 n)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = TextAnalysis.minkScore(docs, "doc_id", "text").collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens"); val k = r.getAs[Long]("n_topk")
+      assert(k === math.ceil(0.2 * n).toLong, s"doc ${r.get(0)}")
+      assert(r.getAs[Double]("mink_score") > 0)
+    }
+  }
+
+  test("corpusReportKAnon: small cells keep dims + flag, NULL measures; sums honest") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val rep = TextAnalysis.corpusReportKAnon(docs, "text",
+      Seq("source", "lang"), k = 3L)
+    val full = TextAnalysis.corpusReport(docs, "text", Seq("source", "lang"))
+    assert(rep.count() === full.count(), "suppression must not drop rows")
+    val sup = rep.filter(org.apache.spark.sql.functions.col("suppressed"))
+    assert(sup.count() > 0, "k=3 must suppress something on the gate corpus")
+    assert(sup.filter(org.apache.spark.sql.functions.col("n_docs").isNotNull)
+      .count() === 0, "suppressed cells must NULL their measures")
+    val pub = rep.filter(!org.apache.spark.sql.functions.col("suppressed"))
+    assert(pub.filter(org.apache.spark.sql.functions.col("n_docs") < 3)
+      .count() === 0, "published cells must all clear k")
+  }
 }
