@@ -411,4 +411,57 @@ class PlanSpec extends AnyFunSuite {
       s"fusion must be one groupBy + one window:\n" +
         fused.queryExecution.executedPlan.toString)
   }
+
+  // ---- round-10 sketch / range-join / multimodal plans ------------
+
+  test("q_frame_sample: pure scan-stage pipeline — zero exchanges") {
+    assert(countShuffles(SparkEntry.qFrameSample(spark, TestSpark.sfDir)) == 0)
+    val plan = SparkEntry.qFrameSample(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"frame sampling must not join:\n$plan")
+  }
+
+  test("hllSketchTable: one map-side-combinable shuffle to group sketches") {
+    val stream = Tables.documents(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.Fns.shingles(
+            org.apache.spark.sql.functions.col("text"), 3)).as("shingle"))
+    val df = graft.operators.Sketch.hllSketchTable(stream, "shingle",
+      Seq("source"))
+    assert(countShuffles(df) == 1, "sketch build must be one exchange")
+    val plan = df.queryExecution.executedPlan.toString
+    // partial registers accumulate BEFORE the exchange (the 1000-executor
+    // tree-merge contract): a partial_graft_hll_sketch must appear
+    // upstream of the shuffle
+    assert(plan.contains("partial_graft_hll_sketch"),
+      s"no map-side sketch accumulation:\n$plan")
+  }
+
+  test("bloom bitset probe is a pure projection — no joins, no exchanges") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("doc_id").cast("string").as("k"))
+    val bitset = graft.operators.Sketch.bloomBitsetLit(
+      docs.limit(50).select("k"), "k", 256, 2)
+    val probed = docs.select(
+      graft.operators.Sketch.bloomProbe(bitset,
+        org.apache.spark.sql.functions.col("k"), 256, 2).as("hit"))
+    assert(countShuffles(probed) == 0)
+    assert(!probed.queryExecution.executedPlan.toString.contains("Join"))
+  }
+
+  test("q_interval_join: equi-join on buckets, never a nested loop") {
+    val df = SparkEntry.qIntervalJoin(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
+  test("q_kanon_report: suppression costs no extra shuffle over the report") {
+    val base = countShuffles(SparkEntry.qCorpusReport(spark, TestSpark.sfDir))
+    assert(countShuffles(SparkEntry.qKanonReport(spark, TestSpark.sfDir))
+      == base, "k-anon must be a projection on the report aggregate")
+  }
 }
