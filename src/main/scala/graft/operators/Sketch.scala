@@ -382,18 +382,6 @@ object Sketch {
                      qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     require(groupCols.nonEmpty && qs.nonEmpty)
     val g = groupCols.map(col)
-    def pick(prefix: String)(src: DataFrame): DataFrame = {
-      val ranked = src
-        .withColumn("vr", row_number().over(
-          Window.partitionBy(g: _*).orderBy(col("v"), col("h"))))
-        .withColumn("ns", count(lit(1)).over(Window.partitionBy(g: _*)))
-      val aggs = max(col("ns")).as(s"n_$prefix") +:
-        qs.map { q =>
-          max(when(col("vr") === floor(lit(q) * (col("ns") - 1)) + 1,
-            col("v"))).as(s"p${(q * 100).round}_$prefix")
-        }
-      ranked.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
-    }
     val keyed = df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(g :+ col(valueCol).as("v") :+
@@ -403,8 +391,242 @@ object Sketch {
         Window.partitionBy(g: _*).orderBy(col("h"))))
       .filter(col("srn") <= k)
       .drop("srn")
-    pick("sample")(sample)
-      .join(pick("exact")(keyed), groupCols)
+    pickQuantiles(sample, g, qs, "sample")
+      .join(pickQuantiles(keyed, g, qs, "exact"), groupCols)
+  }
+
+  /** Discrete quantiles over a (group cols, v, h) frame: value at
+    * sorted index floor(q·(n-1)), ties broken by the hash — shared by
+    * [[quantileSketch]]'s sample/exact halves and [[readQuantiles]].
+    */
+  private def pickQuantiles(src: DataFrame, g: Seq[Column],
+                            qs: Seq[Double], prefix: String): DataFrame = {
+    val ranked = src
+      .withColumn("vr", row_number().over(
+        Window.partitionBy(g: _*).orderBy(col("v"), col("h"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(g: _*)))
+    val aggs = max(col("ns")).as(s"n_$prefix") +:
+      qs.map { q =>
+        max(when(col("vr") === floor(lit(q) * (col("ns") - 1)) + 1,
+          col("v"))).as(s"p${(q * 100).round}_$prefix")
+      }
+    ranked.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted quantile samples (the third sketch store)
+  // ---------------------------------------------------------------
+
+  private def qsTable(root: String) = s"$root/quantile_sample"
+  private def qsAppliedTable(root: String) = s"$root/quantile_applied"
+
+  /** The storable form of [[quantileSketch]]'s sample: per slice, the
+    * k rows with the smallest md5(id) as (slice, v, h) rows. Bottom-k
+    * by hash is mergeable exactly like KMV — the bottom-k of a union
+    * is the bottom-k of the concatenated parts — so the same
+    * shard-ledger store pattern applies, and the sample stays a
+    * uniform without-replacement draw over the distinct ids ever
+    * ingested (assuming ids are unique across shards, the corpus
+    * contract; a replayed id dedups by the (slice, v, h) distinct).
+    */
+  def quantileSampleRows(df: DataFrame, valueCol: String, idCol: String,
+                         sliceCol: String, k: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select(col(sliceCol).as("slice"), col(valueCol).as("v"),
+        md5(col(idCol).cast("string")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("slice").orderBy("h", "v")))
+      .filter(col("rn") <= k)
+      .select("slice", "v", "h")
+
+  /** Initialize the persisted quantile-sample store — the third leg
+    * of the sketch store family ("how distributed", beside HLL's
+    * "how many distinct" and KMV's "how much shared"): k sample rows
+    * per slice in a VersionedStore table plus the shard ledger. From
+    * here distribution maintenance is [[upsertQuantileSample]] per
+    * arriving shard, and any later quantile read is [[readQuantiles]]
+    * over slices × k stored rows — zero corpus IO.
+    */
+  def buildQuantileStore(df: DataFrame, valueCol: String, idCol: String,
+                         sliceCol: String, root: String,
+                         k: Int = 256): Unit = {
+    import graft.offline.VersionedStore
+    val spark = df.sparkSession
+    import spark.implicits._
+    VersionedStore.overwrite(
+      quantileSampleRows(df, valueCol, idCol, sliceCol, k), qsTable(root))
+    VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), qsAppliedTable(root))
+  }
+
+  /** Fold one shard into the quantile store: union stored and shard
+    * sample rows, re-trim to the k smallest hashes per touched slice
+    * — order-independent and idempotent (the KMV argument: a value
+    * below the kept threshold is never displaced by later arrivals).
+    */
+  def upsertQuantileSample(shardDf: DataFrame, valueCol: String,
+                           idCol: String, sliceCol: String, root: String,
+                           shardId: String, k: Int = 256): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDf.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, qsAppliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val shard = quantileSampleRows(shardDf, valueCol, idCol, sliceCol, k)
+    val cur = VersionedStore.read(spark, qsTable(root))
+      .join(shard.select("slice").distinct(), Seq("slice"), "left_semi")
+    val combined = shard.union(cur.select("slice", "v", "h")).distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("slice").orderBy("h", "v")))
+      .filter(col("rn") <= k)
+      .select("slice", "v", "h")
+    VersionedStore.merge(combined, qsTable(root), Seq("slice"))
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      qsAppliedTable(root))
+    true
+  }
+
+  /** Per-slice approximate quantiles straight from the persisted
+    * sample — the same discrete definition as [[quantileSketch]]'s
+    * sample half, over slices × k rows, the corpus never read. */
+  def readQuantiles(spark: org.apache.spark.sql.SparkSession, root: String,
+                    qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
+    import graft.offline.VersionedStore
+    pickQuantiles(VersionedStore.read(spark, qsTable(root))
+      .select(col("slice"), col("v"), col("h")),
+      Seq(col("slice")), qs, "sample")
+  }
+
+  // ---------------------------------------------------------------
+  // Count-Min sketch (frequency / heavy hitters / join cardinality)
+  // ---------------------------------------------------------------
+
+  /** CM position of one key in row `di` — the portable md5 family, so
+    * the SQL oracle replays every cell. */
+  private def cmPos(key: Column, di: Int, width: Int): Column =
+    Fns.md5Hash31(concat(lit(s"cm$di:"), key)) % width
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) as rows
+    * (di, pos, cnt) [+ group cols]: `depth` hash rows of `width`
+    * cells, each cell the COUNT of keys hashing there — the fourth
+    * sketch leg ("how frequent", beside distinct / shared /
+    * distributed). One corpus pass: explode the depth positions in
+    * the scan stage, then one map-side-combinable groupBy; the sketch
+    * is depth × width rows (kilobytes) regardless of corpus size.
+    * Cells are ADDITIVE — sketches of shards sum cell-wise to the
+    * sketch of the union — so the store pattern is the Dsir additive
+    * ledger, not the idempotent register-max one.
+    */
+  def cmSketchRows(df: DataFrame, keyCol: String, depth: Int, width: Int,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val g = groupCols.map(col)
+    df.filter(col(keyCol).isNotNull)
+      .select(g :+ posexplode(array((0 until depth).map(i =>
+        cmPos(col(keyCol), i, width)): _*)).as(Seq("di", "pos")): _*)
+      .groupBy(g :+ col("di") :+ col("pos"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for a WATCHLIST of keys: each probe's
+    * estimate is the MIN over its depth cells (the CM guarantee:
+    * estimate ≥ true count always — collisions only add). The sketch
+    * broadcasts (≤ depth × width rows), so probing costs no shuffle
+    * of either the corpus or the sketch: at 100 TB, "how often does
+    * each of these 10k terms appear" is answered from kilobytes,
+    * corpus never rescanned.
+    */
+  def cmPointEstimate(sketch: DataFrame, probes: DataFrame,
+                      probeKeyCol: String, depth: Int,
+                      width: Int): DataFrame = {
+    val pp = probes
+      .filter(col(probeKeyCol).isNotNull)
+      .select(col(probeKeyCol).as("probe_key"),
+        posexplode(array((0 until depth).map(i =>
+          cmPos(col(probeKeyCol), i, width)): _*)).as(Seq("di", "pos")))
+    pp.join(broadcast(sketch.select(col("di"), col("pos"), col("cnt"))),
+        Seq("di", "pos"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("probe_key")
+      .agg(min("cnt").as("cm_est"))
+  }
+
+  /** Equi-join OUTPUT-SIZE estimate from two CM sketches: the
+    * AMS-style inner product min over rows of Σ_pos cntA·cntB —
+    * always ≥ the true join size (cross terms from colliding keys
+    * only add). This is the planner's pre-flight number: decide
+    * broadcast-vs-shuffle or flag a fan-out join from two
+    * kilobyte sketches BEFORE paying for the join itself.
+    */
+  def cmJoinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.select(col("di"), col("pos"), col("cnt").as("ca"))
+      .join(skB.select(col("di"), col("pos"), col("cnt").as("cb")),
+        Seq("di", "pos"))
+      .groupBy("di").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("join_size_est"))
+
+  // Persisted CM store (additive → Dsir-style shard ledger).
+  private def cmTable(root: String) = s"$root/cm_sketch"
+  private def cmParamsTable(root: String) = s"$root/cm_params"
+  private def cmAppliedTable(root: String) = s"$root/cm_applied"
+
+  /** Initialize the persisted CM store: the sketch cells as a
+    * VersionedStore table keyed (di, pos), plus params and the shard
+    * ledger. Counts are additive — a replayed shard WOULD
+    * double-count — so the ledger is load-bearing here (the Dsir
+    * count-store contract: at-least-once-with-dedup, ledger row
+    * lands after the cell commit).
+    */
+  def buildCmStore(df: DataFrame, keyCol: String, root: String,
+                   depth: Int = 3, width: Int = 1024): Unit = {
+    import graft.offline.VersionedStore
+    val spark = df.sparkSession
+    import spark.implicits._
+    VersionedStore.overwrite(
+      cmSketchRows(df, keyCol, depth, width), cmTable(root))
+    VersionedStore.overwrite(
+      Seq((depth.toLong, width.toLong)).toDF("depth", "width"),
+      cmParamsTable(root))
+    VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), cmAppliedTable(root))
+  }
+
+  /** Fold one shard's keys into the stored cells additively: a keyed
+    * MERGE on (di, pos) after summing shard counts into current ones.
+    * Replays no-op by the ledger (additive counts have no idempotence
+    * net). Returns whether the shard was applied.
+    */
+  def upsertCm(shardDf: DataFrame, keyCol: String, root: String,
+               shardId: String): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDf.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, cmAppliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val p = VersionedStore.read(spark, cmParamsTable(root)).head()
+    val (depth, width) = (p.getLong(0).toInt, p.getLong(1).toInt)
+    val shard = cmSketchRows(shardDf, keyCol, depth, width)
+    val cur = VersionedStore.read(spark, cmTable(root))
+      .select(col("di"), col("pos"), col("cnt").as("cnt0"))
+    val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
+      .select(col("di"), col("pos"),
+        (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
+    VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      cmAppliedTable(root))
+    true
+  }
+
+  /** Watchlist point estimates straight from the persisted CM store. */
+  def readCmEstimates(spark: org.apache.spark.sql.SparkSession, root: String,
+                      probes: DataFrame, probeKeyCol: String): DataFrame = {
+    import graft.offline.VersionedStore
+    val p = VersionedStore.read(spark, cmParamsTable(root)).head()
+    cmPointEstimate(VersionedStore.read(spark, cmTable(root)),
+      probes, probeKeyCol, p.getLong(0).toInt, p.getLong(1).toInt)
   }
 
   // ---------------------------------------------------------------

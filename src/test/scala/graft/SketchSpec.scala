@@ -359,4 +359,139 @@ class SketchSpec extends AnyFunSuite {
         r.getAs[Array[Byte]]("sketch").toSeq).toMap
     assert(stored === direct, "streamed registers must equal batch")
   }
+
+  // -----------------------------------------------------------------
+  // Count-Min
+  // -----------------------------------------------------------------
+
+  private def ordersKeys: DataFrame = Tables.orders(spark, sf)
+    .select(col("o_custkey").cast("string").as("k"))
+
+  test("CM point estimate is one-sided (>= exact), exact when collision-free") {
+    val probes = ordersKeys.distinct().select(col("k").as("probe_key"))
+    val exact = ordersKeys.groupBy(col("k").as("probe_key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    def run(width: Int): Map[String, (Long, Long)] =
+      Sketch.cmPointEstimate(
+          Sketch.cmSketchRows(ordersKeys, "k", depth = 3, width = width),
+          probes, "probe_key", depth = 3, width = width)
+        .join(exact, Seq("probe_key"))
+        .collect()
+        .map(r => r.getAs[String]("probe_key") ->
+          (r.getAs[Long]("cm_est"), r.getAs[Long]("exact_cnt"))).toMap
+    val tight = run(64) // forced collisions
+    assert(tight.nonEmpty)
+    tight.foreach { case (k, (est, ex)) =>
+      assert(est >= ex, s"$k: CM must never undercount ($est < $ex)")
+    }
+    // with ~150 distinct keys, 3 rows of 2^17 cells are collision-free
+    // w.h.p. → every estimate lands exactly
+    run(131072).foreach { case (k, (est, ex)) =>
+      assert(est === ex, s"$k: collision-free CM must be exact")
+    }
+    // absent probe key → estimate 0 (or a collision's count), never null
+    val ghost = Sketch.cmPointEstimate(
+        Sketch.cmSketchRows(ordersKeys, "k", depth = 3, width = 131072),
+        spark.range(1).select(lit("no-such-key").as("probe_key")),
+        "probe_key", depth = 3, width = 131072).head()
+    assert(ghost.getAs[Long]("cm_est") === 0L)
+  }
+
+  test("CM cells are additive: shard sketches sum to the union sketch") {
+    val all = ordersKeys.localCheckpoint(false)
+    val shards = Seq(all.filter(col("k") % 3 === 0),
+      all.filter(col("k") % 3 === 1), all.filter(col("k") % 3 === 2))
+    def cells(df: DataFrame): Map[(Int, Long), Long] =
+      Sketch.cmSketchRows(df, "k", depth = 3, width = 256).collect()
+        .map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+          r.getAs[Long]("cnt")).toMap
+    val summed = shards.map(cells).reduce { (a, b) =>
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    }
+    assert(summed === cells(all))
+  }
+
+  test("CM join-size estimate >= exact, exact when collision-free") {
+    val a = ordersKeys
+    val b = Tables.lineitem(spark, sf)
+      .select(col("l_suppkey").cast("string").as("k"))
+    val exact = a.join(b, Seq("k")).count()
+    def est(width: Int): Long = Sketch.cmJoinSizeEstimate(
+        Sketch.cmSketchRows(a, "k", depth = 3, width = width),
+        Sketch.cmSketchRows(b, "k", depth = 3, width = width))
+      .head().getAs[Long]("join_size_est")
+    assert(est(64) >= exact, "inner product must never undercount")
+    assert(est(262144) === exact, "collision-free inner product is exact")
+  }
+
+  test("CM store: additive shard upserts equal the direct sketch; replays no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("cmstore").toString + "/sk"
+    val all = ordersKeys.localCheckpoint(false)
+    val base = all.filter(col("k") % 3 === 0)
+    val s1 = all.filter(col("k") % 3 === 1)
+    val s2 = all.filter(col("k") % 3 === 2)
+    Sketch.buildCmStore(base, "k", root, depth = 3, width = 256)
+    assert(Sketch.upsertCm(s1, "k", root, "s1"))
+    assert(Sketch.upsertCm(s2, "k", root, "s2"))
+    assert(!Sketch.upsertCm(s1, "k", root, "s1"),
+      "replayed shard must no-op — additive counts would double")
+    val stored = graft.offline.VersionedStore.read(spark, root + "/cm_sketch")
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    val direct = Sketch.cmSketchRows(all, "k", depth = 3, width = 256)
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(stored === direct, "shard-folded cells must equal direct")
+    // watchlist read straight from the store == live estimates
+    val probes = all.distinct().select(col("k").as("probe_key"))
+    val fromStore = Sketch.readCmEstimates(spark, root, probes, "probe_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val live = Sketch.cmPointEstimate(
+        Sketch.cmSketchRows(all, "k", depth = 3, width = 256),
+        probes, "probe_key", depth = 3, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromStore === live)
+  }
+
+  // -----------------------------------------------------------------
+  // Persisted quantile samples
+  // -----------------------------------------------------------------
+
+  test("quantile store: shard upserts equal the direct bottom-k; reads match the live sketch") {
+    val root = java.nio.file.Files
+      .createTempDirectory("qstore").toString + "/sk"
+    val all = Tables.events(spark, sf).localCheckpoint(false)
+    val base = all.filter(col("event_id") % 3 === 0)
+    val s1 = all.filter(col("event_id") % 3 === 1)
+    val s2 = all.filter(col("event_id") % 3 === 2)
+    Sketch.buildQuantileStore(base, "value", "event_id", "event_type",
+      root, k = 64)
+    assert(Sketch.upsertQuantileSample(s1, "value", "event_id",
+      "event_type", root, "s1", k = 64))
+    assert(Sketch.upsertQuantileSample(s2, "value", "event_id",
+      "event_type", root, "s2", k = 64))
+    assert(!Sketch.upsertQuantileSample(s1, "value", "event_id",
+      "event_type", root, "s1", k = 64), "replayed shard must no-op")
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/quantile_sample")
+      .select("slice", "v", "h").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val direct = Sketch.quantileSampleRows(all, "value", "event_id",
+        "event_type", k = 64).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(stored === direct, "shard-folded bottom-k must equal direct")
+    // quantile read from the store == the live sketch's sample half
+    val fromStore = Sketch.readQuantiles(spark, root, Seq(0.5, 0.95))
+      .collect().map(r => r.getAs[String]("slice") ->
+        (r.getAs[Long]("n_sample"), r.getAs[Double]("p50_sample"),
+          r.getAs[Double]("p95_sample"))).toMap
+    val live = Sketch.quantileSketch(all, "value", "event_id",
+        Seq("event_type"), k = 64, qs = Seq(0.5, 0.95))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_sample"), r.getAs[Double]("p50_sample"),
+          r.getAs[Double]("p95_sample"))).toMap
+    assert(fromStore === live)
+  }
 }
