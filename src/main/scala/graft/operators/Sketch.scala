@@ -503,10 +503,17 @@ object Sketch {
   // Count-Min sketch (frequency / heavy hitters / join cardinality)
   // ---------------------------------------------------------------
 
-  /** CM position of one key in row `di` — the portable md5 family, so
-    * the SQL oracle replays every cell. */
-  private def cmPos(key: Column, di: Int, width: Int): Column =
-    Fns.md5Hash31(concat(lit(s"cm$di:"), key)) % width
+  /** CM position of one key in row `di`. Default is the portable md5
+    * family (the SQL oracle replays every cell); `fast = true` is the
+    * PRODUCTION family — seed-salted xxhash64, one codegen hash per
+    * (row, di) instead of an md5 digest over a built string (the
+    * bloom-family precedent: ~3× cheaper on the 10M-row probe,
+    * spec-held to the same one-sided/additive contracts). Build and
+    * probe must use the same family. */
+  private def cmPos(key: Column, di: Int, width: Int,
+                    fast: Boolean): Column =
+    if (fast) pmod(xxhash64(lit(di), key), lit(width.toLong))
+    else Fns.md5Hash31(concat(lit(s"cm$di:"), key)) % width
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) as rows
     * (di, pos, cnt) [+ group cols]: `depth` hash rows of `width`
@@ -520,12 +527,13 @@ object Sketch {
     * ledger, not the idempotent register-max one.
     */
   def cmSketchRows(df: DataFrame, keyCol: String, depth: Int, width: Int,
-                   groupCols: Seq[String] = Nil): DataFrame = {
+                   groupCols: Seq[String] = Nil,
+                   fast: Boolean = false): DataFrame = {
     require(depth >= 1 && width >= 2)
     val g = groupCols.map(col)
     df.filter(col(keyCol).isNotNull)
       .select(g :+ posexplode(array((0 until depth).map(i =>
-        cmPos(col(keyCol), i, width)): _*)).as(Seq("di", "pos")): _*)
+        cmPos(col(keyCol), i, width, fast)): _*)).as(Seq("di", "pos")): _*)
       .groupBy(g :+ col("di") :+ col("pos"): _*)
       .agg(count(lit(1)).as("cnt"))
   }
@@ -539,13 +547,13 @@ object Sketch {
     * corpus never rescanned.
     */
   def cmPointEstimate(sketch: DataFrame, probes: DataFrame,
-                      probeKeyCol: String, depth: Int,
-                      width: Int): DataFrame = {
+                      probeKeyCol: String, depth: Int, width: Int,
+                      fast: Boolean = false): DataFrame = {
     val pp = probes
       .filter(col(probeKeyCol).isNotNull)
       .select(col(probeKeyCol).as("probe_key"),
         posexplode(array((0 until depth).map(i =>
-          cmPos(col(probeKeyCol), i, width)): _*)).as(Seq("di", "pos")))
+          cmPos(col(probeKeyCol), i, width, fast)): _*)).as(Seq("di", "pos")))
     pp.join(broadcast(sketch.select(col("di"), col("pos"), col("cnt"))),
         Seq("di", "pos"), "left")
       .na.fill(0L, Seq("cnt"))
@@ -580,14 +588,15 @@ object Sketch {
     * lands after the cell commit).
     */
   def buildCmStore(df: DataFrame, keyCol: String, root: String,
-                   depth: Int = 3, width: Int = 1024): Unit = {
+                   depth: Int = 3, width: Int = 1024,
+                   fast: Boolean = false): Unit = {
     import graft.offline.VersionedStore
     val spark = df.sparkSession
     import spark.implicits._
     VersionedStore.overwrite(
-      cmSketchRows(df, keyCol, depth, width), cmTable(root))
+      cmSketchRows(df, keyCol, depth, width, fast = fast), cmTable(root))
     VersionedStore.overwrite(
-      Seq((depth.toLong, width.toLong)).toDF("depth", "width"),
+      Seq((depth.toLong, width.toLong, fast)).toDF("depth", "width", "fast"),
       cmParamsTable(root))
     VersionedStore.overwrite(
       Seq("__init__").toDF("shard_id"), cmAppliedTable(root))
@@ -606,9 +615,11 @@ object Sketch {
     val applied = VersionedStore.read(spark, cmAppliedTable(root))
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
-    val p = VersionedStore.read(spark, cmParamsTable(root)).head()
+    val p = VersionedStore.read(spark, cmParamsTable(root))
+      .select("depth", "width", "fast").head()
     val (depth, width) = (p.getLong(0).toInt, p.getLong(1).toInt)
-    val shard = cmSketchRows(shardDf, keyCol, depth, width)
+    val shard = cmSketchRows(shardDf, keyCol, depth, width,
+      fast = p.getBoolean(2))
     val cur = VersionedStore.read(spark, cmTable(root))
       .select(col("di"), col("pos"), col("cnt").as("cnt0"))
     val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
@@ -624,9 +635,11 @@ object Sketch {
   def readCmEstimates(spark: org.apache.spark.sql.SparkSession, root: String,
                       probes: DataFrame, probeKeyCol: String): DataFrame = {
     import graft.offline.VersionedStore
-    val p = VersionedStore.read(spark, cmParamsTable(root)).head()
+    val p = VersionedStore.read(spark, cmParamsTable(root))
+      .select("depth", "width", "fast").head()
     cmPointEstimate(VersionedStore.read(spark, cmTable(root)),
-      probes, probeKeyCol, p.getLong(0).toInt, p.getLong(1).toInt)
+      probes, probeKeyCol, p.getLong(0).toInt, p.getLong(1).toInt,
+      fast = p.getBoolean(2))
   }
 
   // ---------------------------------------------------------------

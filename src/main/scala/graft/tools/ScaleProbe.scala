@@ -674,6 +674,52 @@ object ScaleProbe {
       bigCorpus.filter(Sketch.bloomProbe(bitsetMd5, col("k"), mBits2, 3))
         .count())
     bigDrops.unpersist()
+
+    // Count-Min at high cardinality: watchlist frequencies over 10M
+    // rows / 500k distinct keys. The exact job groupBys the CORPUS by
+    // key (a 500k-group shuffle that scales with key cardinality)
+    // then joins the watchlist; the CM path pays one additive groupBy
+    // into 3×65536 CELLS — constant-size regardless of cardinality,
+    // map-side combined — and answers every probe from broadcast
+    // cells. At 100 TB the exact path's shuffle grows with the data;
+    // the sketch's stays 200k rows forever.
+    val freqCorpus = spark.range(10000000L).select(
+      concat(lit("key:"), (col("id") % 500000L)).as("k"))
+    val watch = spark.range(10000L)
+      .select(concat(lit("key:"), col("id") * 50).as("probe_key")).cache()
+    println(s"[scale] watchlist rows: ${watch.count()}")
+    time("freq exact groupBy+join 10Mx10k")(
+      freqCorpus.groupBy(col("k").as("probe_key"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(watch, Seq("probe_key"), "left_semi").count())
+    val cmW = 65536
+    val cm = time("cm sketch build 10M (md5, 3x64k cells)")(
+      Sketch.cmSketchRows(freqCorpus, "k", depth = 3, width = cmW)
+        .localCheckpoint())
+    time("cm watchlist probe 10k (md5)")(
+      Sketch.cmPointEstimate(cm, watch, "probe_key", 3, cmW).count())
+    val cmXx = time("cm sketch build 10M (xxh)")(
+      Sketch.cmSketchRows(freqCorpus, "k", depth = 3, width = cmW,
+        fast = true).localCheckpoint())
+    time("cm watchlist probe 10k (xxh)")(
+      Sketch.cmPointEstimate(cmXx, watch, "probe_key", 3, cmW,
+        fast = true).count())
+    // join-size estimate: 5M×5M sides with 50M matches — the exact
+    // pre-flight number costs the very join it is meant to gate; the
+    // CM estimate is two one-pass sketches + a cells-sized join
+    val sideA = spark.range(5000000L).select(
+      concat(lit("key:"), (col("id") % 250000L)).as("k"))
+    val sideB = spark.range(5000000L).select(
+      concat(lit("key:"), (col("id") % 500000L)).as("k"))
+    time("join-size exact 5Mx5M")(
+      sideA.join(sideB, Seq("k")).count())
+    time("join-size cm estimate 5Mx5M (xxh)")(
+      Sketch.cmJoinSizeEstimate(
+        Sketch.cmSketchRows(sideA, "k", depth = 3, width = cmW,
+          fast = true),
+        Sketch.cmSketchRows(sideB, "k", depth = 3, width = cmW,
+          fast = true)).count())
+    watch.unpersist()
     }
 
     if (sections("emb")) {

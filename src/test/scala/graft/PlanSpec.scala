@@ -464,4 +464,29 @@ class PlanSpec extends AnyFunSuite {
     assert(countShuffles(SparkEntry.qKanonReport(spark, TestSpark.sfDir))
       == base, "k-anon must be a projection on the report aggregate")
   }
+
+  test("q_cm_freq: sketch cells broadcast to the probes, never joined by shuffle") {
+    val df = SparkEntry.qCmFreq(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"CM cells must broadcast (they are ≤ depth×width rows):\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"probe must be an equi-join:\n$plan")
+    // exactly 3 data shuffles: the additive cell groupBy, the
+    // per-probe min, and the exact-audit count — nothing probe-shaped
+    // ever shuffles the corpus
+    assert(countShuffles(df) == 3, s"plan:\n$plan")
+  }
+
+  test("q_cm_join_size: estimate cost is sketch-shaped — cells join cells, corpora never meet pre-estimate") {
+    val df = SparkEntry.qCmJoinSize(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // 5 shuffles: two additive cell groupBys, the per-row inner
+    // product regroup, the final min, and the exact-audit join's
+    // aggregate; the only nested loop is the deliberate 1×1 crossJoin
+    // stitching estimate to audit
+    assert(countShuffles(df) == 5, s"plan:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2,
+      s"only the 1×1 estimate/audit stitch may nest:\n$plan")
+  }
 }

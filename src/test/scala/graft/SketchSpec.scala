@@ -397,6 +397,41 @@ class SketchSpec extends AnyFunSuite {
     assert(ghost.getAs[Long]("cm_est") === 0L)
   }
 
+  test("fast (xxhash64) CM family: same one-sided/exactness contracts") {
+    val probes = ordersKeys.distinct().select(col("k").as("probe_key"))
+    val exact = ordersKeys.groupBy(col("k").as("probe_key"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    val tight = Sketch.cmPointEstimate(
+        Sketch.cmSketchRows(ordersKeys, "k", depth = 3, width = 64,
+          fast = true),
+        probes, "probe_key", depth = 3, width = 64, fast = true)
+      .join(exact, Seq("probe_key")).collect()
+    assert(tight.nonEmpty)
+    tight.foreach { r =>
+      assert(r.getAs[Long]("cm_est") >= r.getAs[Long]("exact_cnt"))
+    }
+    Sketch.cmPointEstimate(
+        Sketch.cmSketchRows(ordersKeys, "k", depth = 3, width = 131072,
+          fast = true),
+        probes, "probe_key", depth = 3, width = 131072, fast = true)
+      .join(exact, Seq("probe_key")).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("cm_est") === r.getAs[Long]("exact_cnt"),
+          "collision-free fast CM must be exact")
+      }
+    // the store records the family: a fast-built store probes fast
+    val root = java.nio.file.Files
+      .createTempDirectory("cmfast").toString + "/sk"
+    Sketch.buildCmStore(ordersKeys, "k", root, depth = 3, width = 131072,
+      fast = true)
+    val fromStore = Sketch.readCmEstimates(spark, root, probes, "probe_key")
+      .join(exact, Seq("probe_key")).collect()
+    fromStore.foreach { r =>
+      assert(r.getAs[Long]("cm_est") === r.getAs[Long]("exact_cnt"),
+        "store must probe with the family it was built with")
+    }
+  }
+
   test("CM cells are additive: shard sketches sum to the union sketch") {
     val all = ordersKeys.localCheckpoint(false)
     val shards = Seq(all.filter(col("k") % 3 === 0),
