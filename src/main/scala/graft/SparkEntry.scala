@@ -1135,6 +1135,45 @@ object SparkEntry {
         round(col("join_size_est").cast("double") / col("exact_join_size"), 4))
   }
 
+  /** Pre-flight join planning from CM sketches (round 10): four join
+    * scenarios over the star schema, each decided
+    * broadcast/salt/shuffle from two kilobyte sketches BEFORE the
+    * join runs — nation⋈region (broadcast_b), nation⋈customer
+    * (broadcast_a), orders⋈lineitem (plain shuffle: provably-bounded
+    * skew), and orders⋈lineitem-with-a-hot-key (25% of rows on one
+    * key → the provable hot bound trips the salt rule). The bounds
+    * are exact integer arithmetic (see [[Sketch.cmStats]]), so the
+    * DECISION replays in SQL, not just the inputs; the exact join
+    * size is audited alongside the one-sided AMS estimate. */
+  def qJoinPlan(s: SparkSession, d: String): DataFrame = {
+    def scen(name: String, a: DataFrame, b: DataFrame): DataFrame =
+      Sketch.cmJoinPlan(
+          Sketch.cmSketchRows(a, "k", depth = 3, width = 1024),
+          Sketch.cmSketchRows(b, "k", depth = 3, width = 1024),
+          broadcastRows = 5000L, skewFactor = 8L)
+        .crossJoin(a.join(b, Seq("k"))
+          .agg(count(lit(1)).as("exact_join_size")))
+        .select(lit(name).as("scenario"), col("n_a"), col("n_b"),
+          col("distinct_a_lb"), col("distinct_b_lb"),
+          col("hot_a"), col("hot_b"), col("join_size_est"),
+          col("exact_join_size"), col("strategy"))
+    val lkHot = Tables.lineitem(s, d).select(
+      when(col("l_linenumber") === 1, lit("hot"))
+        .otherwise(col("l_orderkey").cast("string")).as("k"))
+    scen("nation_region",
+        Tables.nation(s, d).select(col("n_regionkey").cast("string").as("k")),
+        Tables.region(s, d).select(col("r_regionkey").cast("string").as("k")))
+      .unionByName(scen("nation_customer",
+        Tables.nation(s, d).select(col("n_nationkey").cast("string").as("k")),
+        Tables.customer(s, d).select(col("c_nationkey").cast("string").as("k"))))
+      .unionByName(scen("orders_lineitem",
+        Tables.orders(s, d).select(col("o_orderkey").cast("string").as("k")),
+        Tables.lineitem(s, d).select(col("l_orderkey").cast("string").as("k"))))
+      .unionByName(scen("orders_lineitem_hotkey",
+        Tables.orders(s, d).select(col("o_orderkey").cast("string").as("k")),
+        lkHot))
+  }
+
   /** Corpus data-card report: composition by source × lang. */
   def qCorpusReport(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
@@ -1406,6 +1445,7 @@ object SparkEntry {
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_cm_freq" -> (qCmFreq _),
     "q_cm_join_size" -> (qCmJoinSize _),
+    "q_join_plan" -> (qJoinPlan _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_mink_score" -> (qMinkScore _),
     "q_kanon_report" -> (qKanonReport _)
@@ -2013,6 +2053,72 @@ object SparkEntry {
       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |  FROM reach GROUP BY src
       |)""".stripMargin
+
+  /** One q_join_plan scenario's CTEs: the two key streams and their
+    * CM cell tables (the q_cm_freq md5 idiom, width 1024) — generated
+    * so the four scenarios cannot drift from each other or from
+    * [[operators.Sketch.cmSketchRows]]. */
+  private def joinPlanCte(i: Int, aSql: String, bSql: String): String =
+    s"""a$i AS ($aSql),
+       |b$i AS ($bSql),
+       |ca$i AS (SELECT t.di,
+       |    ('0x' || substr(md5('cm' || t.di || ':' || k), 1, 8))::BIGINT
+       |      % 2147483648 % 1024 AS pos, count(*) AS cnt
+       |  FROM a$i, (VALUES (0), (1), (2)) t(di) GROUP BY 1, 2),
+       |cb$i AS (SELECT t.di,
+       |    ('0x' || substr(md5('cm' || t.di || ':' || k), 1, 8))::BIGINT
+       |      % 2147483648 % 1024 AS pos, count(*) AS cnt
+       |  FROM b$i, (VALUES (0), (1), (2)) t(di) GROUP BY 1, 2)""".stripMargin
+
+  /** One q_join_plan scenario's SELECT: [[operators.Sketch.cmStats]]'
+    * exact bounds, the AMS estimate, the exact audit, and the
+    * integer-closed strategy CASE ([[operators.Sketch.cmJoinPlan]]'s
+    * rule with broadcastRows=5000, skewFactor=8). */
+  private def joinPlanSelect(i: Int, name: String): String =
+    s"""SELECT '$name' AS scenario, n_a, n_b, distinct_a_lb, distinct_b_lb,
+       |  hot_a, hot_b, join_size_est, exact_join_size,
+       |  CASE WHEN least(n_a, n_b) <= 5000 THEN
+       |         (CASE WHEN n_a <= n_b THEN 'broadcast_a'
+       |               ELSE 'broadcast_b' END)
+       |       WHEN hot_a * distinct_a_lb >= 8 * n_a
+       |         OR hot_b * distinct_b_lb >= 8 * n_b THEN 'shuffle_salted'
+       |       ELSE 'shuffle' END AS strategy
+       |FROM
+       |  (SELECT min(n) AS n_a, min(mx) AS hot_a, max(nnz) AS distinct_a_lb
+       |   FROM (SELECT di, CAST(sum(cnt) AS BIGINT) AS n, max(cnt) AS mx,
+       |           count(*) AS nnz FROM ca$i GROUP BY 1)),
+       |  (SELECT min(n) AS n_b, min(mx) AS hot_b, max(nnz) AS distinct_b_lb
+       |   FROM (SELECT di, CAST(sum(cnt) AS BIGINT) AS n, max(cnt) AS mx,
+       |           count(*) AS nnz FROM cb$i GROUP BY 1)),
+       |  (SELECT min(ip) AS join_size_est FROM (
+       |     SELECT x.di, CAST(sum(x.cnt * y.cnt) AS BIGINT) AS ip
+       |     FROM ca$i x JOIN cb$i y ON x.di = y.di AND x.pos = y.pos
+       |     GROUP BY 1)),
+       |  (SELECT count(*) AS exact_join_size
+       |   FROM a$i JOIN b$i USING (k))""".stripMargin
+
+  private def joinPlanOracle: String = {
+    val scens = Seq(
+      ("nation_region",
+        "SELECT CAST(n_regionkey AS VARCHAR) AS k FROM nation",
+        "SELECT CAST(r_regionkey AS VARCHAR) AS k FROM region"),
+      ("nation_customer",
+        "SELECT CAST(n_nationkey AS VARCHAR) AS k FROM nation",
+        "SELECT CAST(c_nationkey AS VARCHAR) AS k FROM customer"),
+      ("orders_lineitem",
+        "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders",
+        "SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem"),
+      ("orders_lineitem_hotkey",
+        "SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders",
+        "SELECT CASE WHEN l_linenumber = 1 THEN 'hot' " +
+          "ELSE CAST(l_orderkey AS VARCHAR) END AS k FROM lineitem"))
+    val ctes = scens.zipWithIndex
+      .map { case ((_, a, b), i) => joinPlanCte(i, a, b) }.mkString(",\n")
+    val sels = scens.zipWithIndex
+      .map { case ((n, _, _), i) => joinPlanSelect(i, n) }
+      .mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$sels"
+  }
 
   def oracleSql: Map[String, String] = {
     val latestCte =
@@ -4059,6 +4165,13 @@ object SparkEntry {
           |  round(CAST(join_size_est AS DOUBLE) / exact_join_size, 4)
           |    AS overcount_ratio
           |FROM est, ex""".stripMargin,
+
+      // Four scenarios, each replaying BOTH sketches cell-for-cell,
+      // the exact-arithmetic bounds (hot-key upper / distinct lower),
+      // the AMS estimate, the exact join size, and the integer-closed
+      // strategy CASE — the planning DECISION is oracle-checked, not
+      // just its inputs. SQL generated by joinPlanCte/joinPlanSelect.
+      "q_join_plan" -> joinPlanOracle,
 
       // The oracle replays window construction (constant-arg
       // generate_series is a plain table function) and expresses the

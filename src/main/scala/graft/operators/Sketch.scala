@@ -575,6 +575,59 @@ object Sketch {
       .groupBy("di").agg(sum(col("ca") * col("cb")).as("ip"))
       .agg(min("ip").as("join_size_est"))
 
+  /** Exact-arithmetic summary statistics of one CM sketch, each a
+    * PROVABLE bound, not an estimate:
+    *  - `n_rows`: the sketched row count (every depth row sums to it;
+    *    min() is just the safe fold).
+    *  - `hot_bound`: an upper bound on the HOTTEST key's count — for
+    *    any key k and row i, count(k) ≤ cell_i(h_i(k)) ≤ max_pos
+    *    cell_i, so count(k) ≤ min_i(max_pos cell_i). The skew
+    *    detector's input.
+    *  - `distinct_lb`: a lower bound on distinct keys — each row's
+    *    nonzero cells ≤ distinct, so max_i(nnz_i) ≤ distinct.
+    * All integer, so cross-engine exact.
+    */
+  def cmStats(sketch: DataFrame): DataFrame =
+    sketch.groupBy("di")
+      .agg(sum("cnt").as("n"), max("cnt").as("mx"),
+        count(lit(1)).as("nnz"))
+      .agg(min("n").as("n_rows"), min("mx").as("hot_bound"),
+        max("nnz").as("distinct_lb"))
+
+  /** Pre-flight join advisory from two CM sketches — the AQE-style
+    * planning decision taken BEFORE the join runs, from kilobytes:
+    *  - `broadcast_a`/`broadcast_b` when the smaller side fits the
+    *    broadcast budget (rows, the sketch's exact n);
+    *  - `shuffle_salted` when either side's provable hot-key bound
+    *    exceeds `skewFactor` × its average-per-key upper bound
+    *    (hot_bound · distinct_lb ≥ skewFactor · n — integer-closed,
+    *    so the oracle replays the decision exactly);
+    *  - `shuffle` otherwise.
+    * Alongside: the AMS join-size estimate (one-sided ≥ truth, so a
+    * fan-out join is never missed). At 100 TB this row costs two
+    * one-pass constant-size sketches; the decision it informs costs
+    * the cluster hours when wrong.
+    */
+  def cmJoinPlan(skA: DataFrame, skB: DataFrame,
+                 broadcastRows: Long = 5000L,
+                 skewFactor: Long = 8L): DataFrame = {
+    val sa = cmStats(skA).select(col("n_rows").as("n_a"),
+      col("hot_bound").as("hot_a"), col("distinct_lb").as("distinct_a_lb"))
+    val sb = cmStats(skB).select(col("n_rows").as("n_b"),
+      col("hot_bound").as("hot_b"), col("distinct_lb").as("distinct_b_lb"))
+    sa.crossJoin(sb).crossJoin(cmJoinSizeEstimate(skA, skB))
+      .withColumn("strategy",
+        when(least(col("n_a"), col("n_b")) <= broadcastRows,
+          when(col("n_a") <= col("n_b"), lit("broadcast_a"))
+            .otherwise(lit("broadcast_b")))
+        .when(col("hot_a") * col("distinct_a_lb") >=
+                lit(skewFactor) * col("n_a") ||
+              col("hot_b") * col("distinct_b_lb") >=
+                lit(skewFactor) * col("n_b"),
+          lit("shuffle_salted"))
+        .otherwise(lit("shuffle")))
+  }
+
   // Persisted CM store (additive → Dsir-style shard ledger).
   private def cmTable(root: String) = s"$root/cm_sketch"
   private def cmParamsTable(root: String) = s"$root/cm_params"

@@ -489,4 +489,15 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2,
       s"only the 1×1 estimate/audit stitch may nest:\n$plan")
   }
+
+  test("q_join_plan: planning reads cells, never a corpus cartesian") {
+    val df = SparkEntry.qJoinPlan(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"corpora must never cartesian:\n$plan")
+    // exactly the 1-row stitches: stats_a × stats_b × estimate ×
+    // exact-audit = 3 nested loops per scenario, 4 scenarios
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 12,
+      s"only single-row stitches may nest:\n$plan")
+  }
 }

@@ -490,6 +490,72 @@ class SketchSpec extends AnyFunSuite {
     assert(fromStore === live)
   }
 
+  test("cmStats bounds are provable: hot_bound >= true max, distinct_lb <= true distinct") {
+    val keys = ordersKeys.localCheckpoint(false)
+    val trueMax = keys.groupBy("k").count()
+      .agg(max("count")).head().getLong(0)
+    val trueDistinct = keys.select("k").distinct().count()
+    val st = Sketch.cmStats(
+      Sketch.cmSketchRows(keys, "k", depth = 3, width = 128)).head()
+    assert(st.getAs[Long]("n_rows") === keys.count())
+    assert(st.getAs[Long]("hot_bound") >= trueMax)
+    assert(st.getAs[Long]("distinct_lb") <= trueDistinct)
+    // collision-free width: the bounds become tight
+    val tight = Sketch.cmStats(
+      Sketch.cmSketchRows(keys, "k", depth = 3, width = 1 << 20)).head()
+    assert(tight.getAs[Long]("hot_bound") === trueMax)
+    assert(tight.getAs[Long]("distinct_lb") === trueDistinct)
+  }
+
+  test("cmJoinPlan picks broadcast/salt/shuffle on constructed shapes") {
+    import spark.implicits._
+    def sk(df: DataFrame) = Sketch.cmSketchRows(df, "k", 3, 1024)
+    val small = spark.range(100).select(concat(lit("s"), col("id")).as("k"))
+    val big = spark.range(20000)
+      .select(concat(lit("s"), (col("id") % 5000)).as("k"))
+    val skewed = spark.range(20000).select(
+      when(col("id") % 2 === 0, lit("hot"))
+        .otherwise(concat(lit("u"), col("id"))).as("k"))
+    assert(Sketch.cmJoinPlan(sk(small), sk(big), broadcastRows = 1000)
+      .head().getAs[String]("strategy") === "broadcast_a")
+    assert(Sketch.cmJoinPlan(sk(big), sk(small), broadcastRows = 1000)
+      .head().getAs[String]("strategy") === "broadcast_b")
+    assert(Sketch.cmJoinPlan(sk(big), sk(big), broadcastRows = 1000)
+      .head().getAs[String]("strategy") === "shuffle")
+    assert(Sketch.cmJoinPlan(sk(big), sk(skewed), broadcastRows = 1000)
+      .head().getAs[String]("strategy") === "shuffle_salted")
+  }
+
+  test("StreamingCm: micro-batches fold cells additively, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("cmstream").toString + "/sk"
+    val base = Seq("alpha", "beta", "alpha").toDF("k")
+    Sketch.buildCmStore(base, "k", root, depth = 3, width = 256)
+    val in = MemoryStream[String]
+    val q = graft.streaming.StreamingCm.start(
+      in.toDS().toDF("k"), "k", root,
+      java.nio.file.Files.createTempDirectory("cmstream_ck").toString)
+    val b1 = Seq("alpha", "gamma")
+    val b2 = (1 to 300).map(i => s"key${i % 40}")
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/cm_sketch")
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    val direct = Sketch.cmSketchRows(
+        base.unionByName(b1.toDF("k")).unionByName(b2.toDF("k")),
+        "k", depth = 3, width = 256)
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(stored === direct, "streamed cells must equal batch counts")
+  }
+
   // -----------------------------------------------------------------
   // Persisted quantile samples
   // -----------------------------------------------------------------
