@@ -1174,6 +1174,22 @@ object SparkEntry {
         lkHot))
   }
 
+  /** Host-graph PageRank for crawl-quality weighting (round 10): a
+    * deterministic 200-host link graph derived from the documents
+    * table (host = doc_id % 200; 30% of links point at host 0 — the
+    * hub every real crawl has), ranked by 5 fixed-point integer
+    * power iterations ([[operators.LinkGraph]]). Integer micro-unit
+    * arithmetic makes the whole iterative fit bit-reproducible, so
+    * the oracle replays all 5 iterations — an ITERATIVE operator
+    * oracle-checked end-to-end, like q_dedup_clusters. */
+  def qPageRank(s: SparkSession, d: String): DataFrame = {
+    val edges = Tables.documents(s, d).select(
+      (col("doc_id") % 200).cast("long").as("src"),
+      when(col("doc_id") % 10 < 3, lit(0L))
+        .otherwise((col("doc_id") * 31 + 7) % 200).cast("long").as("dst"))
+    operators.LinkGraph.pageRankMicro(edges, nIter = 5)
+  }
+
   /** Corpus data-card report: composition by source × lang. */
   def qCorpusReport(s: SparkSession, d: String): DataFrame =
     TextAnalysis.corpusReport(Tables.documents(s, d), "text",
@@ -1446,6 +1462,7 @@ object SparkEntry {
     "q_cm_freq" -> (qCmFreq _),
     "q_cm_join_size" -> (qCmJoinSize _),
     "q_join_plan" -> (qJoinPlan _),
+    "q_pagerank" -> (qPageRank _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_mink_score" -> (qMinkScore _),
     "q_kanon_report" -> (qKanonReport _)
@@ -2096,6 +2113,40 @@ object SparkEntry {
        |     GROUP BY 1)),
        |  (SELECT count(*) AS exact_join_size
        |   FROM a$i JOIN b$i USING (k))""".stripMargin
+
+  /** q_pagerank's oracle: the 5 power iterations UNROLLED (one
+    * d/c/r CTE triple each), every arithmetic step the same integer
+    * `div`/`//` the Spark operator uses — generated so the
+    * iterations cannot drift from each other. */
+  private def pageRankOracle(nIter: Int): String = {
+    val m = "CAST(1000000000000 AS BIGINT)"
+    val iters = (1 to nIter).map { i =>
+      s"""d$i AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
+         |  FROM r${i - 1} LEFT JOIN outdeg ON node = src
+         |  WHERE outd IS NULL),
+         |c$i AS (SELECT e.dst AS node,
+         |    CAST(sum((85 * r.rank) // (100 * o.outd)) AS BIGINT) AS inflow
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN outdeg o ON e.src = o.src GROUP BY 1),
+         |r$i AS (SELECT nodes.node,
+         |    (15 * $m) // (100 * n) + (85 * dang) // (100 * n)
+         |      + coalesce(inflow, 0) AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
+         |  LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id % 200 AS src,
+       |      CASE WHEN doc_id % 10 < 3 THEN 0
+       |           ELSE (doc_id * 31 + 7) % 200 END AS dst
+       |    FROM documents) WHERE src <> dst),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |outdeg AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, $m // n AS rank FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, rank AS pr_micro FROM r$nIter""".stripMargin
+  }
 
   private def joinPlanOracle: String = {
     val scens = Seq(
@@ -4172,6 +4223,12 @@ object SparkEntry {
       // strategy CASE — the planning DECISION is oracle-checked, not
       // just its inputs. SQL generated by joinPlanCte/joinPlanSelect.
       "q_join_plan" -> joinPlanOracle,
+
+      // All 5 power iterations replay: integer micro-unit ranks make
+      // the iterative fit bit-identical cross-engine (floating-point
+      // PageRank would diverge in summation order). SQL generated by
+      // pageRankOracle — one d/c/r CTE triple per iteration.
+      "q_pagerank" -> pageRankOracle(5),
 
       // The oracle replays window construction (constant-arg
       // generate_series is a plain table function) and expresses the

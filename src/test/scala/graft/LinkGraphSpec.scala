@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LinkGraph
+
+class LinkGraphSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], nIter: Int): Map[Long, Long] =
+    LinkGraph.pageRankMicro(edges.toDF("src", "dst"), nIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("2-cycle is the fixed point: ranks stay exactly mass/2") {
+    // a→b, b→a: contrib = 85·5e11 div 100 = 4.25e11,
+    // base = 15e12 div 200 = 7.5e10, sum = 5e11 — every iteration
+    val r = ranks(Seq((1L, 2L), (2L, 1L)), nIter = 5)
+    assert(r === Map(1L -> 500000000000L, 2L -> 500000000000L))
+  }
+
+  test("dangling node: mass redistributes, hand-computed one iteration") {
+    // a→b, b dangles. r0 = 5e11 each; dang = 5e11;
+    // base = 7.5e10; dang share = 85·5e11 div 200 = 2.125e11;
+    // a gets base+share, b additionally a's full contribution 4.25e11
+    val r = ranks(Seq((1L, 2L)), nIter = 1)
+    assert(r(1L) === 75000000000L + 212500000000L)
+    assert(r(2L) === 75000000000L + 212500000000L + 425000000000L)
+    assert(r(1L) + r(2L) === 1000000000000L, "no mass leak here")
+  }
+
+  test("self-loops and duplicate edges are ignored (simple graph)") {
+    val base = ranks(Seq((1L, 2L), (2L, 1L)), 3)
+    val noisy = ranks(Seq((1L, 2L), (1L, 2L), (2L, 1L), (1L, 1L)), 3)
+    assert(noisy === base)
+  }
+
+  test("hub dominates; mass conserved within the documented floor leak") {
+    // star + chain: everyone links the hub, hub links one spoke
+    val edges = (1L to 20L).map(i => (i, 0L)) :+ (0L, 1L)
+    val r = ranks(edges, 5)
+    assert(r(0L) === r.values.max, "hub must rank highest")
+    val total = r.values.sum
+    // ≤ (n_edges + 2) micro-units lost per iteration to integer floors
+    assert(total <= 1000000000000L &&
+      total >= 1000000000000L - 5 * (edges.size + 2),
+      s"mass $total")
+  }
+
+  test("rank is partitioning-independent (exact integers)") {
+    val edges = (1L to 50L).map(i => (i, (i * 7 + 3) % 50))
+    val a = ranks(edges, 4)
+    val b = LinkGraph.pageRankMicro(
+        edges.toDF("src", "dst").repartition(13), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("q_pagerank shape: host 0 is the hub on the documents graph") {
+    val out = SparkEntry.qPageRank(spark, TestSpark.sfDir)
+      .orderBy(desc("pr_micro")).limit(1).head()
+    assert(out.getLong(0) === 0L)
+  }
+}

@@ -500,4 +500,11 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length == 12,
       s"only single-row stitches may nest:\n$plan")
   }
+
+  test("q_pagerank: iterative joins stay equi-joins — no corpus cartesian") {
+    val df = SparkEntry.qPageRank(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"rank propagation must equi-join on node id:\n$plan")
+  }
 }
