@@ -96,7 +96,7 @@ object ScaleProbe {
     // iteration without paying the full probe
     val sections = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("events", "orders", "docs", "emb", "bpe", "crawl",
-        "sketch"))
+        "sketch", "graph"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -720,6 +720,25 @@ object ScaleProbe {
         Sketch.cmSketchRows(sideB, "k", depth = 3, width = cmW,
           fast = true)).count())
     watch.unpersist()
+    }
+
+    if (sections("graph")) {
+    // PageRank linearity: 5 fixed-point iterations, each one
+    // edge⋈rank equi-join + one groupBy(dst) — cost should scale
+    // with edges, iteration count fixed. Graph shape mirrors
+    // q_pagerank (30% of links on one hub).
+    import graft.operators.LinkGraph
+    def prEdges(nE: Long) = {
+      val hosts = nE / 10
+      spark.range(nE).select(
+        (col("id") % hosts).as("src"),
+        when(col("id") % 10 < 3, lit(0L))
+          .otherwise((col("id") * 31 + 7) % hosts).as("dst"))
+    }
+    time("pagerank 200k edges / 20k hosts (5 iter)")(
+      LinkGraph.pageRankMicro(prEdges(200000L), 5).count())
+    time("pagerank 2M edges / 200k hosts (5 iter)")(
+      LinkGraph.pageRankMicro(prEdges(2000000L), 5).count())
     }
 
     if (sections("emb")) {
