@@ -1182,12 +1182,37 @@ object SparkEntry {
     * arithmetic makes the whole iterative fit bit-reproducible, so
     * the oracle replays all 5 iterations — an ITERATIVE operator
     * oracle-checked end-to-end, like q_dedup_clusters. */
-  def qPageRank(s: SparkSession, d: String): DataFrame = {
-    val edges = Tables.documents(s, d).select(
-      (col("doc_id") % 200).cast("long").as("src"),
-      when(col("doc_id") % 10 < 3, lit(0L))
-        .otherwise((col("doc_id") * 31 + 7) % 200).cast("long").as("dst"))
-    operators.LinkGraph.pageRankMicro(edges, nIter = 5)
+  def qPageRank(s: SparkSession, d: String): DataFrame =
+    operators.LinkGraph.pageRankMicro(hostEdges(s, d), nIter = 5)
+
+  /** TrustRank over the same host graph (round 10): teleport
+    * restricted to 5 trusted seed hosts (node % 40 == 1) — the graph
+    * form of seed-based quality curation. Trust decays through link
+    * distance; a host nothing endorses scores EXACTLY ZERO, the
+    * spam-demotion property uniform PageRank can't give (its uniform
+    * teleport hands every link farm a base rank). Same fixed-point
+    * integer fit, same unrolled-oracle replay. */
+  def qTrustRank(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    val seeds = spark.range(0, 200)
+      .filter(col("id") % 40 === 1).select(col("id").as("node"))
+    operators.LinkGraph.trustRankMicro(hostEdges(s, d), seeds, nIter = 5)
+  }
+
+  /** The deterministic 200-host link graph both rank queries share:
+    * host = doc_id % 200, two link families per doc — one with 30%
+    * of links on hub host 0, one a (17·id+3) generator whose residue
+    * chains traverse the whole host space (so trust propagates
+    * multiple hops instead of dying into the hub). */
+  private def hostEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.select(
+        (col("doc_id") % 200).cast("long").as("src"),
+        when(col("doc_id") % 10 < 3, lit(0L))
+          .otherwise((col("doc_id") * 31 + 7) % 200).cast("long").as("dst"))
+      .unionAll(docs.select(
+        (col("doc_id") % 200).cast("long").as("src"),
+        ((col("doc_id") * 17 + 3) % 200).cast("long").as("dst")))
   }
 
   /** Corpus data-card report: composition by source × lang. */
@@ -1463,6 +1488,7 @@ object SparkEntry {
     "q_cm_join_size" -> (qCmJoinSize _),
     "q_join_plan" -> (qJoinPlan _),
     "q_pagerank" -> (qPageRank _),
+    "q_trustrank" -> (qTrustRank _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_mink_score" -> (qMinkScore _),
     "q_kanon_report" -> (qKanonReport _)
@@ -2114,12 +2140,15 @@ object SparkEntry {
        |  (SELECT count(*) AS exact_join_size
        |   FROM a$i JOIN b$i USING (k))""".stripMargin
 
-  /** q_pagerank's oracle: the 5 power iterations UNROLLED (one
-    * d/c/r CTE triple each), every arithmetic step the same integer
-    * `div`/`//` the Spark operator uses — generated so the
-    * iterations cannot drift from each other. */
-  private def pageRankOracle(nIter: Int): String = {
+  /** q_pagerank / q_trustrank oracle: the 5 power iterations UNROLLED
+    * (one d/c/r CTE triple each), every arithmetic step the same
+    * integer `div`/`//` the Spark operator uses — generated so the
+    * iterations cannot drift from each other or between the two
+    * rank queries. `teleWhere` restricts the teleport set (TrustRank
+    * seeds); None = uniform PageRank (teleport set = all nodes). */
+  private def rankOracle(nIter: Int, teleWhere: Option[String]): String = {
     val m = "CAST(1000000000000 AS BIGINT)"
+    val teleCond = teleWhere.map(w => s" WHERE $w").getOrElse("")
     val iters = (1 to nIter).map { i =>
       s"""d$i AS (SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dang
          |  FROM r${i - 1} LEFT JOIN outdeg ON node = src
@@ -2129,21 +2158,30 @@ object SparkEntry {
          |  FROM e JOIN r${i - 1} r ON e.src = r.node
          |  JOIN outdeg o ON e.src = o.src GROUP BY 1),
          |r$i AS (SELECT nodes.node,
-         |    (15 * $m) // (100 * n) + (85 * dang) // (100 * n)
-         |      + coalesce(inflow, 0) AS rank
-         |  FROM nodes CROSS JOIN nn CROSS JOIN d$i
-         |  LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+         |    CASE WHEN tele.node IS NOT NULL THEN
+         |      (15 * $m) // (100 * nt) + (85 * dang) // (100 * nt)
+         |    ELSE 0 END + coalesce(inflow, 0) AS rank
+         |  FROM nodes CROSS JOIN tn CROSS JOIN d$i
+         |  LEFT JOIN c$i ON nodes.node = c$i.node
+         |  LEFT JOIN tele ON nodes.node = tele.node)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT DISTINCT src, dst FROM (
        |    SELECT doc_id % 200 AS src,
        |      CASE WHEN doc_id % 10 < 3 THEN 0
        |           ELSE (doc_id * 31 + 7) % 200 END AS dst
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT doc_id % 200 AS src, (doc_id * 17 + 3) % 200 AS dst
        |    FROM documents) WHERE src <> dst),
        |nodes AS (SELECT DISTINCT node FROM (
        |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |outdeg AS (SELECT src, count(*) AS outd FROM e GROUP BY 1),
-       |nn AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT node, $m // n AS rank FROM nodes CROSS JOIN nn),
+       |tele AS (SELECT node FROM nodes$teleCond),
+       |tn AS (SELECT count(*) AS nt FROM tele),
+       |r0 AS (SELECT nodes.node,
+       |    CASE WHEN tele.node IS NOT NULL THEN $m // nt ELSE 0 END AS rank
+       |  FROM nodes CROSS JOIN tn
+       |  LEFT JOIN tele ON nodes.node = tele.node),
        |$iters
        |SELECT node, rank AS pr_micro FROM r$nIter""".stripMargin
   }
@@ -4227,8 +4265,10 @@ object SparkEntry {
       // All 5 power iterations replay: integer micro-unit ranks make
       // the iterative fit bit-identical cross-engine (floating-point
       // PageRank would diverge in summation order). SQL generated by
-      // pageRankOracle — one d/c/r CTE triple per iteration.
-      "q_pagerank" -> pageRankOracle(5),
+      // rankOracle — one d/c/r CTE triple per iteration; q_trustrank
+      // differs only in the teleport predicate.
+      "q_pagerank" -> rankOracle(5, None),
+      "q_trustrank" -> rankOracle(5, Some("node % 40 = 1")),
 
       // The oracle replays window construction (constant-arg
       // generate_series is a plain table function) and expresses the

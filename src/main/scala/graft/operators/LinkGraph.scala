@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * worth more training tokens than a link-farm leaf; CommonCrawl
   * publishes exactly this as its host-level ranking).
   *
-  * PageRank here is FIXED-POINT INTEGER arithmetic in micro-units
+  * Ranks here are FIXED-POINT INTEGER arithmetic in micro-units
   * (the Dsir micro-log-ratio precedent): the unit mass is
   * `massMicro` (10^12), damping is an integer percentage, and every
   * per-edge contribution is an integer `div`. Floating-point power
@@ -24,11 +24,13 @@ import org.apache.spark.sql.functions._
   * iterative-join plan, hash-partitionable on node id, lineage cut
   * per iteration by a lazy localCheckpoint exactly like
   * [[Dedup]]'s pointer-jump rounds. Dangling mass (nodes with no
-  * outlinks) is redistributed uniformly, the standard correction.
+  * outlinks) is redistributed to the teleport set, the standard
+  * correction.
   */
 object LinkGraph {
 
-  /** Power-iteration PageRank over an edge table.
+  /** Power-iteration PageRank over an edge table: teleport set =
+    * every node (uniform restart).
     *
     * @param edges      (src, dst) long columns; self-loops dropped,
     *                   duplicate edges collapsed (simple-graph
@@ -40,7 +42,29 @@ object LinkGraph {
     */
   def pageRankMicro(edges: DataFrame, nIter: Int = 5,
                     dampingPct: Int = 85,
-                    massMicro: Long = 1000000000000L): DataFrame = {
+                    massMicro: Long = 1000000000000L): DataFrame =
+    run(edges, None, nIter, dampingPct, massMicro)
+
+  /** TrustRank (Gyöngyi et al. 2004): PageRank with the teleport set
+    * restricted to TRUSTED SEED nodes — the graph form of seed-based
+    * corpus curation (CCNet/DCLM's "looks like the good set", but
+    * propagated along links instead of n-grams). Trust originates
+    * only at seeds and decays through link distance; a host no seed
+    * transitively endorses scores EXACTLY ZERO — the spam-demotion
+    * property uniform PageRank cannot give (its uniform teleport
+    * hands every link farm a base rank).
+    *
+    * @param seeds single long column of trusted node ids (rows
+    *              outside the graph are ignored; duplicates collapse)
+    */
+  def trustRankMicro(edges: DataFrame, seeds: DataFrame, nIter: Int = 5,
+                     dampingPct: Int = 85,
+                     massMicro: Long = 1000000000000L): DataFrame =
+    run(edges, Some(seeds), nIter, dampingPct, massMicro)
+
+  private def run(edges: DataFrame, seedsOpt: Option[DataFrame],
+                  nIter: Int, dampingPct: Int,
+                  massMicro: Long): DataFrame = {
     require(nIter >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
@@ -53,11 +77,21 @@ object LinkGraph {
       .distinct()
       .localCheckpoint(false)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
-    val nDf = nodes.agg(count(lit(1)).as("n"))
+    // teleport set: the seeds present in the graph, or every node
+    val tele = seedsOpt
+      .map(sd => nodes.join(
+        sd.select(col(sd.columns.head).cast("long").as("node")).distinct(),
+        Seq("node"), "left_semi"))
+      .getOrElse(nodes)
+      .localCheckpoint(false)
+    val ntDf = tele.agg(count(lit(1)).as("nt"))
+    val teleFlag = tele.withColumn("is_t", lit(1))
     val d = dampingPct
-    var r = nodes.crossJoin(nDf)
-      .select(col("node"), expr(s"CAST($massMicro AS BIGINT) div n")
-        .as("rank"))
+    val m = s"CAST($massMicro AS BIGINT)"
+    var r = nodes.join(teleFlag, Seq("node"), "left").crossJoin(ntDf)
+      .select(col("node"),
+        when(col("is_t") === 1, expr(s"$m div nt"))
+          .otherwise(lit(0L)).as("rank"))
       .localCheckpoint(false)
     for (_ <- 1 to nIter) {
       val withOut = r.join(outdeg, r("node") === outdeg("src"), "left")
@@ -70,11 +104,14 @@ object LinkGraph {
         .select(col("dst").as("node"),
           expr(s"($d * rank) div (100 * outd)").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
-      r = nodes.crossJoin(nDf).crossJoin(dangDf)
+      r = nodes.join(teleFlag, Seq("node"), "left")
+        .crossJoin(ntDf).crossJoin(dangDf)
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (expr(s"((100 - $d) * CAST($massMicro AS BIGINT)) div (100 * n)") +
-            expr(s"($d * dang) div (100 * n)") +
+          (when(col("is_t") === 1,
+            expr(s"((100 - $d) * $m) div (100 * nt)") +
+              expr(s"($d * dang) div (100 * nt)"))
+            .otherwise(lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("rank"))
         .localCheckpoint(false)
     }

@@ -63,4 +63,38 @@ class LinkGraphSpec extends AnyFunSuite {
       .orderBy(desc("pr_micro")).limit(1).head()
     assert(out.getLong(0) === 0L)
   }
+
+  test("trustRank: hand-computed one iteration, seed-only teleport") {
+    // a→b, seed {a}: r0 = (1e12, 0). a's contribution to b =
+    // 85·1e12 div 100 = 8.5e11; b dangles with rank 0 → dang 0;
+    // base to the single seed = 15e12 div 100 = 1.5e11, 0 to b.
+    val r = LinkGraph.trustRankMicro(
+        Seq((1L, 2L)).toDF("src", "dst"), Seq(1L).toDF("node"), nIter = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 150000000000L, 2L -> 850000000000L))
+  }
+
+  test("trustRank: unendorsed hosts score exactly zero (spam demotion)") {
+    // two disjoint 2-cycles; seeds only in the first — the second
+    // component must hold ZERO trust, while uniform PageRank gives
+    // it a quarter of the mass per node
+    val edges = Seq((1L, 2L), (2L, 1L), (8L, 9L), (9L, 8L))
+    val tr = LinkGraph.trustRankMicro(
+        edges.toDF("src", "dst"), Seq(1L).toDF("node"), nIter = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(tr(8L) === 0L && tr(9L) === 0L)
+    assert(tr(1L) > 0L && tr(2L) > 0L)
+    val pr = ranks(edges, 5)
+    assert(pr(8L) === 250000000000L && pr(9L) === 250000000000L,
+      "uniform teleport hands the disconnected component base rank")
+  }
+
+  test("trustRank: seeds outside the graph are ignored; all-nodes seeds == pageRank") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val withGhost = LinkGraph.trustRankMicro(edges.toDF("src", "dst"),
+        Seq(1L, 2L, 3L, 99L).toDF("node"), 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(withGhost === ranks(edges, 3),
+      "teleport over all graph nodes must reduce to uniform PageRank")
+  }
 }
