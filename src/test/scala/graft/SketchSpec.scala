@@ -556,6 +556,68 @@ class SketchSpec extends AnyFunSuite {
     assert(stored === direct, "streamed cells must equal batch counts")
   }
 
+  test("StreamingKmv: micro-batches re-trim bottom-k exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("kmvstream").toString + "/sk"
+    val base = Seq(("src0", "alpha"), ("src1", "beta")).toDF("slice", "k")
+    Sketch.buildKmvStore(base, "k", "slice", root, k = 16)
+    val in = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingKmv.start(
+      in.toDS().toDF("slice", "k"), "k", "slice", root,
+      java.nio.file.Files.createTempDirectory("kmvstream_ck").toString,
+      k = 16)
+    val b1 = (1 to 40).map(i => ("src0", s"x$i"))
+    val b2 = (1 to 40).map(i => ("src1", s"x$i")) // overlaps src0
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/kmv_sketches").select("slice", "h")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val direct = Sketch.kmvSketchRows(
+        base.unionByName(b1.toDF("slice", "k"))
+          .unionByName(b2.toDF("slice", "k")), "k", "slice", k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(stored === direct, "streamed bottom-k must equal batch")
+    // overlap read sees the streamed shared keys
+    val ov = Sketch.readOverlap(spark, root, k = 16)
+      .filter(col("slice_a") === "src0" && col("slice_b") === "src1")
+      .head().getDouble(2)
+    assert(ov > 0.0, "streamed slices share 40 keys — overlap must show")
+  }
+
+  test("StreamingQuantile: micro-batches fold samples exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("qstream").toString + "/sk"
+    val base = Seq(("a", 1.0, 1L), ("a", 2.0, 2L), ("b", 5.0, 3L))
+      .toDF("slice", "v", "id")
+    Sketch.buildQuantileStore(base, "v", "id", "slice", root, k = 32)
+    val in = MemoryStream[(String, Double, Long)]
+    val q = graft.streaming.StreamingQuantile.start(
+      in.toDS().toDF("slice", "v", "id"), "v", "id", "slice", root,
+      java.nio.file.Files.createTempDirectory("qstream_ck").toString,
+      k = 32)
+    val b1 = (10 to 60).map(i => ("a", i.toDouble, i.toLong))
+    val b2 = (100 to 140).map(i => ("b", i.toDouble, i.toLong))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/quantile_sample")
+      .select("slice", "v", "h").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    val direct = Sketch.quantileSampleRows(
+        base.unionByName(b1.toDF("slice", "v", "id"))
+          .unionByName(b2.toDF("slice", "v", "id")),
+        "v", "id", "slice", k = 32).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(stored === direct, "streamed sample must equal batch bottom-k")
+  }
+
   // -----------------------------------------------------------------
   // Persisted quantile samples
   // -----------------------------------------------------------------
