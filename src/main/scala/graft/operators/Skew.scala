@@ -74,4 +74,44 @@ object Skew {
         sum(col("_n")).as("n"),
         sum(col("_s")).cast("double").as("total"))
   }
+
+  /** Salted equi-join — the executor for [[graft.operators.Sketch
+    * .cmJoinPlan]]'s `shuffle_salted` verdict (AQE's skew handling
+    * covers sort-merge joins it can observe at runtime; this is the
+    * explicit form for when the skew is known UP FRONT from the
+    * sketch bounds, or the join shape AQE won't split).
+    *
+    * The SKEWED side's rows spread over `salts` reducers via a
+    * deterministic content-hash salt (same hazard rule as
+    * [[saltedAgg]]: nondeterministic salts double-count under fetch
+    * replay); the other side replicates `salts`× so every (key,
+    * salt) bucket still sees all its matches. Replication multiplies
+    * the small side's shuffle volume by `salts` — the price of
+    * bounding any single reducer at ~1/salts of the hot key, paid
+    * only when the planner says so.
+    *
+    * Inner-join semantics, exact duplicate preservation: output rows
+    * equal the plain join's (spec-held), in whatever partition order.
+    */
+  def saltedJoin(skewed: DataFrame, skewKey: String, other: DataFrame,
+                 otherKey: String, salts: Int,
+                 saltCols: Seq[String] = Nil): DataFrame = {
+    require(salts >= 2, "salts must be >= 2 (1 is a plain join)")
+    val hashIn: Seq[Column] =
+      if (saltCols.nonEmpty) saltCols.map(skewed(_))
+      else {
+        val ok = skewed.schema.fields.collect {
+          case f if hashable(f.dataType) => skewed(f.name)
+        }.toIndexedSeq
+        require(ok.nonEmpty,
+          "no hashable columns to salt on — pass saltCols explicitly")
+        ok
+      }
+    val l = skewed.withColumn("_salt_l",
+      pmod(xxhash64(hashIn: _*), lit(salts)))
+    val r = other.withColumn("_salt_r",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    l.join(r, l(skewKey) === r(otherKey) && l("_salt_l") === r("_salt_r"))
+      .drop("_salt_l", "_salt_r")
+  }
 }

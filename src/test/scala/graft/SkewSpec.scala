@@ -101,4 +101,40 @@ class SkewSpec extends AnyFunSuite {
     assert(nondet.isEmpty,
       s"nondeterministic expressions in salted plan: $nondet")
   }
+
+  test("saltedJoin == plain join, duplicates preserved, hot key spread") {
+    // skewed fact: one whale key with 5k rows; small dim with dups
+    val fact = ((1 to 5000).map(i => ("whale", i)) ++
+      (1 to 60).map(i => (s"u${i % 20}", i))).toDF("k", "fv")
+    val dim = (Seq(("whale", "w1"), ("whale", "w2")) ++
+      (1 to 20).map(i => (s"u$i", s"d$i"))).toDF("dk", "dv")
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+      .select("k", "fv", "dv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val salted = Skew.saltedJoin(fact, "k", dim, "dk", salts = 8)
+      .select("k", "fv", "dv").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(salted === plain, "salted join must equal the plain join")
+    // the whale's rows actually spread: >1 distinct salt observed
+    val spread = fact.filter(col("k") === "whale")
+      .withColumn("s", pmod(xxhash64(col("k"), col("fv")), lit(8)))
+      .select("s").distinct().count()
+    assert(spread > 1, "content salt must spread the hot key")
+  }
+
+  test("saltedJoin: content salt is deterministic in the plan (replay-safe)") {
+    val fact = (1 to 100).map(i => ("k", i)).toDF("k", "fv")
+    val dim = Seq(("k", "v")).toDF("dk", "dv")
+    val plan = Skew.saltedJoin(fact, "k", dim, "dk", salts = 4)
+      .queryExecution.analyzed
+    val nondet = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e if !e.deterministic => e.getClass.getSimpleName
+      })
+    }.flatten
+    assert(nondet.isEmpty,
+      s"nondeterministic expressions in salted join plan: $nondet")
+  }
 }
