@@ -1199,6 +1199,27 @@ object SparkEntry {
     operators.LinkGraph.trustRankMicro(hostEdges(s, d), seeds, nIter = 5)
   }
 
+  /** Trust-budgeted data selection (round 10): the round-10 capstone
+    * composition — TrustRank host scores ([[qTrustRank]]) joined onto
+    * per-doc token counts, then the token-budget cut
+    * ([[graft.operators.FeatureEng.selectToBudget]]'s scalable
+    * two-stage prefix sum) spends 20k tokens on the most-trusted
+    * hosts' documents first. Zero-trust hosts (160/200) compete only
+    * for leftover budget — the curation decision "which tokens do we
+    * train on, given who we trust" as ONE plan, every stage of it
+    * (graph fit, join, running cut) oracle-replayed. */
+  def qTrustSelect(s: SparkSession, d: String): DataFrame = {
+    val trust = qTrustRank(s, d)
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      (col("doc_id") % 200).cast("long").as("host"),
+      size(split(col("text"), " ")).as("n_words"))
+    FeatureEng.selectToBudget(
+        docs.join(trust, docs("host") === trust("node")),
+        "doc_id", col("pr_micro"), col("n_words"),
+        budgetTokens = 20000L)
+      .withColumnRenamed("score", "trust_micro")
+  }
+
   /** The deterministic 200-host link graph both rank queries share:
     * host = doc_id % 200, two link families per doc — one with 30%
     * of links on hub host 0, one a (17·id+3) generator whose residue
@@ -1489,6 +1510,7 @@ object SparkEntry {
     "q_join_plan" -> (qJoinPlan _),
     "q_pagerank" -> (qPageRank _),
     "q_trustrank" -> (qTrustRank _),
+    "q_trust_select" -> (qTrustSelect _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_mink_score" -> (qMinkScore _),
     "q_kanon_report" -> (qKanonReport _)
@@ -2146,7 +2168,13 @@ object SparkEntry {
     * iterations cannot drift from each other or between the two
     * rank queries. `teleWhere` restricts the teleport set (TrustRank
     * seeds); None = uniform PageRank (teleport set = all nodes). */
-  private def rankOracle(nIter: Int, teleWhere: Option[String]): String = {
+  private def rankOracle(nIter: Int, teleWhere: Option[String]): String =
+    s"""WITH ${rankCtes(nIter, teleWhere)}
+       |SELECT node, rank AS pr_micro FROM r$nIter""".stripMargin
+
+  /** The rank computation as a bare CTE list (`e` … `r<nIter>`), for
+    * composition into larger oracles (q_trust_select). */
+  private def rankCtes(nIter: Int, teleWhere: Option[String]): String = {
     val m = "CAST(1000000000000 AS BIGINT)"
     val teleCond = teleWhere.map(w => s" WHERE $w").getOrElse("")
     val iters = (1 to nIter).map { i =>
@@ -2165,7 +2193,7 @@ object SparkEntry {
          |  LEFT JOIN c$i ON nodes.node = c$i.node
          |  LEFT JOIN tele ON nodes.node = tele.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT src, dst FROM (
+    s"""e AS (SELECT DISTINCT src, dst FROM (
        |    SELECT doc_id % 200 AS src,
        |      CASE WHEN doc_id % 10 < 3 THEN 0
        |           ELSE (doc_id * 31 + 7) % 200 END AS dst
@@ -2182,8 +2210,7 @@ object SparkEntry {
        |    CASE WHEN tele.node IS NOT NULL THEN $m // nt ELSE 0 END AS rank
        |  FROM nodes CROSS JOIN tn
        |  LEFT JOIN tele ON nodes.node = tele.node),
-       |$iters
-       |SELECT node, rank AS pr_micro FROM r$nIter""".stripMargin
+       |$iters""".stripMargin
   }
 
   private def joinPlanOracle: String = {
@@ -4269,6 +4296,29 @@ object SparkEntry {
       // differs only in the teleport predicate.
       "q_pagerank" -> rankOracle(5, None),
       "q_trustrank" -> rankOracle(5, Some("node % 40 = 1")),
+
+      // Composes the full q_trustrank replay with the q_select_budget
+      // running-cut idiom: trust rank is a BIGINT, the cumulative is
+      // a sum of BIGINTs over the (trust desc, doc_id) total order —
+      // the whole curation decision exact on both engines.
+      "q_trust_select" ->
+        s"""WITH ${rankCtes(5, Some("node % 40 = 1"))},
+           |trust AS (SELECT node, rank FROM r5),
+           |dd AS (SELECT doc_id, doc_id % 200 AS host,
+           |    len(string_split(text, ' ')) AS n_tokens
+           |  FROM documents
+           |  WHERE len(string_split(text, ' ')) > 0),
+           |j AS (SELECT doc_id, trust.rank AS score,
+           |    CAST(n_tokens AS BIGINT) AS n_tokens
+           |  FROM dd JOIN trust ON dd.host = trust.node),
+           |cum AS (SELECT doc_id, score, n_tokens,
+           |    CAST(sum(n_tokens) OVER (
+           |      ORDER BY score DESC, doc_id ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS BIGINT) AS cum_tokens
+           |  FROM j)
+           |SELECT doc_id, score AS trust_micro, n_tokens, cum_tokens
+           |FROM cum WHERE cum_tokens <= 20000""".stripMargin,
 
       // The oracle replays window construction (constant-arg
       // generate_series is a plain table function) and expresses the
