@@ -739,6 +739,8 @@ object ScaleProbe {
       LinkGraph.pageRankMicro(prEdges(200000L), 5).count())
     time("pagerank 2M edges / 200k hosts (5 iter)")(
       LinkGraph.pageRankMicro(prEdges(2000000L), 5).count())
+    time("pagerank 20M edges / 2M hosts (5 iter)")(
+      LinkGraph.pageRankMicro(prEdges(20000000L), 5).count())
     }
 
     if (sections("emb")) {
