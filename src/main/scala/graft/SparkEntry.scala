@@ -2155,7 +2155,7 @@ object SparkEntry {
        |  (SELECT min(n) AS n_b, min(mx) AS hot_b, max(nnz) AS distinct_b_lb
        |   FROM (SELECT di, CAST(sum(cnt) AS BIGINT) AS n, max(cnt) AS mx,
        |           count(*) AS nnz FROM cb$i GROUP BY 1)),
-       |  (SELECT min(ip) AS join_size_est FROM (
+       |  (SELECT coalesce(min(ip), 0) AS join_size_est FROM (
        |     SELECT x.di, CAST(sum(x.cnt * y.cnt) AS BIGINT) AS ip
        |     FROM ca$i x JOIN cb$i y ON x.di = y.di AND x.pos = y.pos
        |     GROUP BY 1)),
@@ -4275,7 +4275,7 @@ object SparkEntry {
           |ip AS (SELECT ca.di, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
           |  FROM ca JOIN cb ON ca.di = cb.di AND ca.pos = cb.pos
           |  GROUP BY 1),
-          |est AS (SELECT min(ip) AS join_size_est FROM ip),
+          |est AS (SELECT coalesce(min(ip), 0) AS join_size_est FROM ip),
           |ex AS (SELECT count(*) AS exact_join_size FROM a JOIN b USING (k))
           |SELECT join_size_est, exact_join_size,
           |  round(CAST(join_size_est AS DOUBLE) / exact_join_size, 4)

@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * two runs of the "same" PageRank can disagree in the last ulps and
   * a SQL oracle can never replay it exactly; integer division makes
   * the whole 5-iteration fit bit-reproducible across engines,
-  * partitionings, and reruns — worth the ≤(n_edges + 2) micro-units
-  * of mass the floors leak per iteration (documented, not hidden).
+  * partitionings, and reruns — worth the ≤(n_edges + 2·|teleport
+  * set|) micro-units of mass the floors leak per iteration (one per
+  * per-edge contribution, plus base and dangling-share floors per
+  * teleport node; documented, not hidden).
   *
   * Scale shape: each iteration is one equi-join of the edge table
   * with the current rank vector plus one groupBy(dst) — the classic

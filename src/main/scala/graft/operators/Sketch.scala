@@ -193,7 +193,15 @@ object Sketch {
   // ---------------------------------------------------------------
 
   private def kmvTable(root: String) = s"$root/kmv_sketches"
+  private def kmvParamsTable(root: String) = s"$root/kmv_params"
   private def kmvAppliedTable(root: String) = s"$root/kmv_applied"
+
+  private def kmvK(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Int = {
+    import graft.offline.VersionedStore
+    VersionedStore.read(spark, kmvParamsTable(root))
+      .select("k").head().getLong(0).toInt
+  }
 
   /** Bottom-k md5 values per slice as rows (slice, h) — the KMV
     * sketch in storable form. KMV is mergeable exactly like HLL:
@@ -222,6 +230,12 @@ object Sketch {
     import spark.implicits._
     VersionedStore.overwrite(
       kmvSketchRows(df, keyCol, sliceCol, k), kmvTable(root))
+    // k is a STORE property, not a call-site one: an upsert trimming
+    // to a smaller k would silently discard stored sample rows, a
+    // larger one would leave slices inconsistently sized — so k
+    // freezes at build time and every later fold reads it back
+    // (the cm_params contract)
+    VersionedStore.overwrite(Seq(k.toLong).toDF("k"), kmvParamsTable(root))
     VersionedStore.overwrite(
       Seq("__init__").toDF("shard_id"), kmvAppliedTable(root))
   }
@@ -233,13 +247,14 @@ object Sketch {
     * arrivals, so folding is order-independent and idempotent).
     */
   def upsertKmv(shardDf: DataFrame, keyCol: String, sliceCol: String,
-                root: String, shardId: String, k: Int = 64): Boolean = {
+                root: String, shardId: String): Boolean = {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
     val applied = VersionedStore.read(spark, kmvAppliedTable(root))
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
+    val k = kmvK(spark, root)
     val shard = kmvSketchRows(shardDf, keyCol, sliceCol, k)
     val cur = VersionedStore.read(spark, kmvTable(root))
       .join(shard.select("slice").distinct(), Seq("slice"), "left_semi")
@@ -259,12 +274,12 @@ object Sketch {
     * corpus never read. Same estimator as [[kmvOverlap]]'s
     * `audit = false` path.
     */
-  def readOverlap(spark: org.apache.spark.sql.SparkSession, root: String,
-                  k: Int = 64): DataFrame = {
+  def readOverlap(spark: org.apache.spark.sql.SparkSession,
+                  root: String): DataFrame = {
     import graft.offline.VersionedStore
     val sk = VersionedStore.read(spark, kmvTable(root))
       .select("slice", "h").localCheckpoint(false)
-    overlapFromSketches(sk, k)
+    overlapFromSketches(sk, kmvK(spark, root))
   }
 
   /** The estimator over sketch rows (shared by [[kmvOverlap]] and
@@ -418,6 +433,7 @@ object Sketch {
   // ---------------------------------------------------------------
 
   private def qsTable(root: String) = s"$root/quantile_sample"
+  private def qsParamsTable(root: String) = s"$root/quantile_params"
   private def qsAppliedTable(root: String) = s"$root/quantile_applied"
 
   /** The storable form of [[quantileSketch]]'s sample: per slice, the
@@ -456,6 +472,10 @@ object Sketch {
     import spark.implicits._
     VersionedStore.overwrite(
       quantileSampleRows(df, valueCol, idCol, sliceCol, k), qsTable(root))
+    // k freezes at build time (the cm_params contract) — an upsert
+    // re-trimming to a caller-supplied smaller k would silently
+    // discard stored sample rows
+    VersionedStore.overwrite(Seq(k.toLong).toDF("k"), qsParamsTable(root))
     VersionedStore.overwrite(
       Seq("__init__").toDF("shard_id"), qsAppliedTable(root))
   }
@@ -467,13 +487,15 @@ object Sketch {
     */
   def upsertQuantileSample(shardDf: DataFrame, valueCol: String,
                            idCol: String, sliceCol: String, root: String,
-                           shardId: String, k: Int = 256): Boolean = {
+                           shardId: String): Boolean = {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
     val applied = VersionedStore.read(spark, qsAppliedTable(root))
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
+    val k = VersionedStore.read(spark, qsParamsTable(root))
+      .select("k").head().getLong(0).toInt
     val shard = quantileSampleRows(shardDf, valueCol, idCol, sliceCol, k)
     val cur = VersionedStore.read(spark, qsTable(root))
       .join(shard.select("slice").distinct(), Seq("slice"), "left_semi")
@@ -509,10 +531,15 @@ object Sketch {
     * (row, di) instead of an md5 digest over a built string (the
     * bloom-family precedent: ~3× cheaper on the 10M-row probe,
     * spec-held to the same one-sided/additive contracts). Build and
-    * probe must use the same family. */
+    * probe must use the same family. Both families hash the key's
+    * STRING form — xxhash64 is type-sensitive, so without the cast a
+    * long-keyed build probed with string keys would silently return
+    * 0 for present keys, an undercount breaking the one-sided
+    * contract. */
   private def cmPos(key: Column, di: Int, width: Int,
                     fast: Boolean): Column =
-    if (fast) pmod(xxhash64(lit(di), key), lit(width.toLong))
+    if (fast) pmod(xxhash64(lit(di), key.cast("string")),
+      lit(width.toLong))
     else Fns.md5Hash31(concat(lit(s"cm$di:"), key)) % width
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) as rows
@@ -573,7 +600,9 @@ object Sketch {
       .join(skB.select(col("di"), col("pos"), col("cnt").as("cb")),
         Seq("di", "pos"))
       .groupBy("di").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min("ip").as("join_size_est"))
+      // no overlapping cells ⇒ true join size is provably 0 (a shared
+      // key must collide in EVERY row) — 0, not NULL
+      .agg(coalesce(min("ip"), lit(0L)).as("join_size_est"))
 
   /** Exact-arithmetic summary statistics of one CM sketch, each a
     * PROVABLE bound, not an estimate:

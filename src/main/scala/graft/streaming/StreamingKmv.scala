@@ -21,21 +21,22 @@ import graft.operators.Sketch
 object StreamingKmv {
 
   def writer(rows: DataFrame, keyCol: String, sliceCol: String,
-             root: String,
-             k: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+             root: String): DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
-        Sketch.upsertKmv(batch, keyCol, sliceCol, root, s"batch-$batchId",
-          k = k)
+        Sketch.upsertKmv(batch, keyCol, sliceCol, root, s"batch-$batchId")
         ()
       }
     }
 
-  /** Convenience: start the sink with a checkpoint + trigger. */
+  /** Convenience: start the sink with a checkpoint + trigger. k is a
+    * store property frozen at [[Sketch.buildKmvStore]] time — the
+    * sink reads it back, so a misconfigured stream cannot trim stored
+    * sample rows away. */
   def start(rows: DataFrame, keyCol: String, sliceCol: String,
-            root: String, checkpoint: String, k: Int = 64,
+            root: String, checkpoint: String,
             trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    writer(rows, keyCol, sliceCol, root, k)
+    writer(rows, keyCol, sliceCol, root)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

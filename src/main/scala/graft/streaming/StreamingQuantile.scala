@@ -24,22 +24,24 @@ import graft.operators.Sketch
 object StreamingQuantile {
 
   def writer(rows: DataFrame, valueCol: String, idCol: String,
-             sliceCol: String, root: String,
-             k: Int = 256): DataStreamWriter[org.apache.spark.sql.Row] =
+             sliceCol: String,
+             root: String): DataStreamWriter[org.apache.spark.sql.Row] =
     rows.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
         Sketch.upsertQuantileSample(batch, valueCol, idCol, sliceCol,
-          root, s"batch-$batchId", k = k)
+          root, s"batch-$batchId")
         ()
       }
     }
 
-  /** Convenience: start the sink with a checkpoint + trigger. */
+  /** Convenience: start the sink with a checkpoint + trigger. k is a
+    * store property frozen at [[Sketch.buildQuantileStore]] time —
+    * the sink reads it back, so a misconfigured stream cannot trim
+    * stored sample rows away. */
   def start(rows: DataFrame, valueCol: String, idCol: String,
             sliceCol: String, root: String, checkpoint: String,
-            k: Int = 256,
             trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    writer(rows, valueCol, idCol, sliceCol, root, k)
+    writer(rows, valueCol, idCol, sliceCol, root)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -43,9 +43,10 @@ class LinkGraphSpec extends AnyFunSuite {
     val r = ranks(edges, 5)
     assert(r(0L) === r.values.max, "hub must rank highest")
     val total = r.values.sum
-    // ≤ (n_edges + 2) micro-units lost per iteration to integer floors
+    // floor leak per iteration ≤ edges (per-edge contribution floors)
+    // + 2·nodes (base + dangling-share floors); init leaks ≤ nodes
     assert(total <= 1000000000000L &&
-      total >= 1000000000000L - 5 * (edges.size + 2),
+      total >= 1000000000000L - 5L * (edges.size + 2L * r.size) - r.size,
       s"mass $total")
   }
 

@@ -309,9 +309,9 @@ class SketchSpec extends AnyFunSuite {
     val s1 = all.filter(length(col("shingle")) % 3 === 1)
     val s2 = all.filter(length(col("shingle")) % 3 === 2)
     Sketch.buildKmvStore(base, "shingle", "source", root, k = 32)
-    assert(Sketch.upsertKmv(s1, "shingle", "source", root, "s1", k = 32))
-    assert(Sketch.upsertKmv(s2, "shingle", "source", root, "s2", k = 32))
-    assert(!Sketch.upsertKmv(s1, "shingle", "source", root, "s1", k = 32))
+    assert(Sketch.upsertKmv(s1, "shingle", "source", root, "s1"))
+    assert(Sketch.upsertKmv(s2, "shingle", "source", root, "s2"))
+    assert(!Sketch.upsertKmv(s1, "shingle", "source", root, "s1"))
     val stored = graft.offline.VersionedStore
       .read(spark, root + "/kmv_sketches").select("slice", "h")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
@@ -319,7 +319,7 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(stored === direct, "shard-folded bottom-k must equal direct")
     // overlap straight from the store == the live sketch-only operator
-    val fromStore = Sketch.readOverlap(spark, root, k = 32)
+    val fromStore = Sketch.readOverlap(spark, root)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
       .toMap
     val live = Sketch.kmvOverlap(all, "shingle", "source", k = 32,
@@ -430,6 +430,20 @@ class SketchSpec extends AnyFunSuite {
       assert(r.getAs[Long]("cm_est") === r.getAs[Long]("exact_cnt"),
         "store must probe with the family it was built with")
     }
+  }
+
+  test("fast CM family is key-type stable: long-typed keys == their string form") {
+    // xxhash64 is type-sensitive; cmPos casts to string so a
+    // long-keyed build probed with string keys (or vice versa) can
+    // never undercount
+    def cells(df: DataFrame): Map[(Int, Long), Long] =
+      Sketch.cmSketchRows(df, "k", depth = 2, width = 64, fast = true)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    val longKeys = spark.range(500).select((col("id") % 50).as("k"))
+    val strKeys = spark.range(500)
+      .select((col("id") % 50).cast("string").as("k"))
+    assert(cells(longKeys) === cells(strKeys))
   }
 
   test("CM cells are additive: shard sketches sum to the union sketch") {
@@ -566,8 +580,7 @@ class SketchSpec extends AnyFunSuite {
     val in = MemoryStream[(String, String)]
     val q = graft.streaming.StreamingKmv.start(
       in.toDS().toDF("slice", "k"), "k", "slice", root,
-      java.nio.file.Files.createTempDirectory("kmvstream_ck").toString,
-      k = 16)
+      java.nio.file.Files.createTempDirectory("kmvstream_ck").toString)
     val b1 = (1 to 40).map(i => ("src0", s"x$i"))
     val b2 = (1 to 40).map(i => ("src1", s"x$i")) // overlaps src0
     in.addData(b1: _*); q.processAllAvailable()
@@ -582,7 +595,7 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(stored === direct, "streamed bottom-k must equal batch")
     // overlap read sees the streamed shared keys
-    val ov = Sketch.readOverlap(spark, root, k = 16)
+    val ov = Sketch.readOverlap(spark, root)
       .filter(col("slice_a") === "src0" && col("slice_b") === "src1")
       .head().getDouble(2)
     assert(ov > 0.0, "streamed slices share 40 keys — overlap must show")
@@ -599,8 +612,7 @@ class SketchSpec extends AnyFunSuite {
     val in = MemoryStream[(String, Double, Long)]
     val q = graft.streaming.StreamingQuantile.start(
       in.toDS().toDF("slice", "v", "id"), "v", "id", "slice", root,
-      java.nio.file.Files.createTempDirectory("qstream_ck").toString,
-      k = 32)
+      java.nio.file.Files.createTempDirectory("qstream_ck").toString)
     val b1 = (10 to 60).map(i => ("a", i.toDouble, i.toLong))
     val b2 = (100 to 140).map(i => ("b", i.toDouble, i.toLong))
     in.addData(b1: _*); q.processAllAvailable()
@@ -632,11 +644,11 @@ class SketchSpec extends AnyFunSuite {
     Sketch.buildQuantileStore(base, "value", "event_id", "event_type",
       root, k = 64)
     assert(Sketch.upsertQuantileSample(s1, "value", "event_id",
-      "event_type", root, "s1", k = 64))
+      "event_type", root, "s1"))
     assert(Sketch.upsertQuantileSample(s2, "value", "event_id",
-      "event_type", root, "s2", k = 64))
+      "event_type", root, "s2"))
     assert(!Sketch.upsertQuantileSample(s1, "value", "event_id",
-      "event_type", root, "s1", k = 64), "replayed shard must no-op")
+      "event_type", root, "s1"), "replayed shard must no-op")
     val stored = graft.offline.VersionedStore
       .read(spark, root + "/quantile_sample")
       .select("slice", "v", "h").collect()
