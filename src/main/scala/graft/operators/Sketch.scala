@@ -617,7 +617,9 @@ object Sketch {
     * All integer, so cross-engine exact.
     */
   def cmStats(sketch: DataFrame): DataFrame =
-    sketch.groupBy("di")
+    // explicit zero-count cells (a retractCm residue) are NOT nonzero
+    // cells — counting them would inflate distinct_lb past a bound
+    sketch.filter(col("cnt") > 0).groupBy("di")
       .agg(sum("cnt").as("n"), max("cnt").as("mx"),
         count(lit(1)).as("nnz"))
       .agg(min("n").as("n_rows"), min("mx").as("hot_bound"),
@@ -709,6 +711,48 @@ object Sketch {
         (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
     VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
     VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      cmAppliedTable(root))
+    true
+  }
+
+  /** Retract one previously-ingested shard from the CM store — the
+    * right-to-be-forgotten path the additive sketch UNIQUELY has:
+    * counts subtract EXACTLY (unlike HLL registers / KMV / quantile
+    * bottom-k, which are non-invertible: a register max or a bottom-k
+    * cannot un-see a key, so their takedown path is a rebuild —
+    * cheap, every sketch is one corpus pass — with serve-time
+    * suppression via the bloom takedown filter in the interim), so
+    * after retraction the cells equal a store that never saw the
+    * shard, up to explicit zero-count rows ([[cmStats]] and
+    * [[cmPointEstimate]] treat those as absent). Guarded by the ledger in
+    * reverse: only a shard the ledger shows as APPLIED and not yet
+    * retracted subtracts (retracting twice, or retracting something
+    * never ingested, would push cells negative — refused as a no-op
+    * `false` instead). The retraction ledger row lands after the
+    * cell commit, same at-least-once-with-dedup window as upsert.
+    */
+  def retractCm(shardDf: DataFrame, keyCol: String, root: String,
+                shardId: String): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDf.sparkSession
+    import spark.implicits._
+    val ledger = VersionedStore.read(spark, cmAppliedTable(root))
+    val applied = ledger
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    val retracted = ledger
+      .filter(col("shard_id") === s"retract:$shardId").limit(1).count() > 0
+    if (!applied || retracted) return false
+    val p = VersionedStore.read(spark, cmParamsTable(root))
+      .select("depth", "width", "fast").head()
+    val shard = cmSketchRows(shardDf, keyCol, p.getLong(0).toInt,
+      p.getLong(1).toInt, fast = p.getBoolean(2))
+      .select(col("di"), col("pos"), col("cnt").as("neg"))
+    val cur = VersionedStore.read(spark, cmTable(root))
+    val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
+      .select(col("di"), col("pos"),
+        (coalesce(col("cnt"), lit(0L)) - col("neg")).as("cnt"))
+    VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
+    VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
       cmAppliedTable(root))
     true
   }

@@ -540,6 +540,46 @@ class SketchSpec extends AnyFunSuite {
       .head().getAs[String]("strategy") === "shuffle_salted")
   }
 
+  test("CM retraction: subtracting an ingested shard equals never having seen it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("cmretract").toString + "/sk"
+    val all = ordersKeys.localCheckpoint(false)
+    val base = all.filter(col("k") % 2 === 0)
+    val s1 = all.filter(col("k") % 2 === 1)
+    Sketch.buildCmStore(base, "k", root, depth = 3, width = 256)
+    assert(Sketch.upsertCm(s1, "k", root, "s1"))
+    assert(Sketch.retractCm(s1, "k", root, "s1"))
+    // retracting twice, or a shard never ingested, refuses as no-op
+    assert(!Sketch.retractCm(s1, "k", root, "s1"))
+    assert(!Sketch.retractCm(base, "k", root, "ghost"))
+    def nz(m: Map[(Int, Long), Long]) = m.filter(_._2 > 0)
+    val stored = graft.offline.VersionedStore.read(spark, root + "/cm_sketch")
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    val baseOnly = Sketch.cmSketchRows(base, "k", depth = 3, width = 256)
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(nz(stored) === nz(baseOnly),
+      "post-retraction cells must equal the base-only sketch")
+    assert(stored.values.forall(_ >= 0L), "no negative cells")
+    // estimates and exact bounds read identically to base-only
+    val probes = base.distinct().select(col("k").as("probe_key"))
+    val afterRetract = Sketch.readCmEstimates(spark, root, probes, "probe_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val baseEst = Sketch.cmPointEstimate(
+        Sketch.cmSketchRows(base, "k", depth = 3, width = 256),
+        probes, "probe_key", depth = 3, width = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterRetract === baseEst)
+    val st = Sketch.cmStats(
+      graft.offline.VersionedStore.read(spark, root + "/cm_sketch")).head()
+    val stBase = Sketch.cmStats(
+      Sketch.cmSketchRows(base, "k", depth = 3, width = 256)).head()
+    assert(st.getAs[Long]("n_rows") === stBase.getAs[Long]("n_rows"))
+    assert(st.getAs[Long]("distinct_lb") === stBase.getAs[Long]("distinct_lb"),
+      "zero-count residue must not inflate distinct_lb")
+  }
+
   test("StreamingCm: micro-batches fold cells additively, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
