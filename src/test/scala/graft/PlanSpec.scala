@@ -507,4 +507,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"rank propagation must equi-join on node id:\n$plan")
   }
+
+  test("q_trustrank / q_trust_select: seed teleport and budget cut stay cartesian-free") {
+    // trust flows from a localCheckpoint chain with unknown size
+    // stats, so the small-side broadcast is AQE's runtime conversion,
+    // not a static promise — the static plan must just never cartesian
+    Seq(SparkEntry.qTrustRank(spark, TestSpark.sfDir),
+        SparkEntry.qTrustSelect(spark, TestSpark.sfDir)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    }
+  }
 }
