@@ -96,7 +96,7 @@ object ScaleProbe {
     // iteration without paying the full probe
     val sections = args.lift(2).map(_.split(",").toSet)
       .getOrElse(Set("events", "orders", "docs", "emb", "bpe", "crawl",
-        "sketch", "graph"))
+        "sketch", "graph", "cmstore"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false")
@@ -720,6 +720,31 @@ object ScaleProbe {
         Sketch.cmSketchRows(sideB, "k", depth = 3, width = cmW,
           fast = true)).count())
     watch.unpersist()
+    }
+
+    if (sections("cmstore")) {
+    // CM store lifecycle at 10M rows / 500k keys: build, fold one 1%
+    // shard, retract it exactly, serve a watchlist — the persisted
+    // frequency artifact's full maintenance loop. Costs are
+    // cells-sized (3×64k rows) after the one corpus pass each way.
+    import graft.operators.Sketch
+    val cmRoot = java.nio.file.Files
+      .createTempDirectory("cmstore_probe").toString + "/sk"
+    val keyed = spark.range(10000000L).select(
+      concat(lit("key:"), (col("id") % 500000L)).as("k"),
+      (col("id") % 100).as("shard"))
+    time("cm store build 10M (xxh)")(
+      Sketch.buildCmStore(keyed.filter(col("shard") =!= 0).select("k"),
+        "k", cmRoot, depth = 3, width = 65536, fast = true))
+    val s0 = keyed.filter(col("shard") === 0).select("k")
+    time("cm store upsert 1% shard")(
+      Sketch.upsertCm(s0, "k", cmRoot, "s0"))
+    time("cm store retract 1% shard")(
+      Sketch.retractCm(s0, "k", cmRoot, "s0"))
+    val cmWatch = spark.range(10000L)
+      .select(concat(lit("key:"), col("id") * 50).as("probe_key"))
+    time("cm store watchlist read 10k")(
+      Sketch.readCmEstimates(spark, cmRoot, cmWatch, "probe_key").count())
     }
 
     if (sections("graph")) {
