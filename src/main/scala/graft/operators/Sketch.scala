@@ -691,14 +691,42 @@ object Sketch {
     * Replays no-op by the ledger (additive counts have no idempotence
     * net). Returns whether the shard was applied.
     */
+  /** Ledger rows for one shard, in one Spark job: plain `shardId`
+    * rows are ingests, `retract:shardId` rows are completed
+    * retractions, `retract-intent:shardId:...` rows are in-flight
+    * retraction markers. A shard is CURRENTLY APPLIED iff ingests >
+    * retractions — generation counting, so ingest → retract → ingest
+    * cycles work (each transition appends; nothing is ever edited).
+    */
+  private def cmLedgerRows(spark: org.apache.spark.sql.SparkSession,
+                           root: String, shardId: String): Seq[String] = {
+    import graft.offline.VersionedStore
+    VersionedStore.read(spark, cmAppliedTable(root))
+      .filter(col("shard_id") === shardId ||
+        col("shard_id") === s"retract:$shardId" ||
+        col("shard_id").startsWith(s"retract-intent:$shardId:"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** `retract-intent:`/`retract:` are the ledger's reserved verbs —
+    * a shard named with them could poison another shard's retraction
+    * state, so ingest refuses them up front. */
+  private def requireUnreservedShardId(shardId: String): Unit =
+    require(!shardId.startsWith("retract:") &&
+      !shardId.startsWith("retract-intent:"),
+      s"shard id '$shardId' uses the reserved retraction prefix")
+
   def upsertCm(shardDf: DataFrame, keyCol: String, root: String,
                shardId: String): Boolean = {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
-    val applied = VersionedStore.read(spark, cmAppliedTable(root))
-      .filter(col("shard_id") === shardId).limit(1).count() > 0
-    if (applied) return false
+    requireUnreservedShardId(shardId)
+    val ledger = cmLedgerRows(spark, root, shardId)
+    // currently applied (ingests outnumber retractions) → no-op;
+    // after a completed retraction the same id may ingest again
+    if (ledger.count(_ == shardId) >
+        ledger.count(_ == s"retract:$shardId")) return false
     val p = VersionedStore.read(spark, cmParamsTable(root))
       .select("depth", "width", "fast").head()
     val (depth, width) = (p.getLong(0).toInt, p.getLong(1).toInt)
@@ -722,36 +750,86 @@ object Sketch {
     * cannot un-see a key, so their takedown path is a rebuild —
     * cheap, every sketch is one corpus pass — with serve-time
     * suppression via the bloom takedown filter in the interim), so
-    * after retraction the cells equal a store that never saw the
-    * shard, up to explicit zero-count rows ([[cmStats]] and
-    * [[cmPointEstimate]] treat those as absent). Guarded by the ledger in
-    * reverse: only a shard the ledger shows as APPLIED and not yet
-    * retracted subtracts (retracting twice, or retracting something
-    * never ingested, would push cells negative — refused as a no-op
-    * `false` instead). The retraction ledger row lands after the
-    * cell commit, same at-least-once-with-dedup window as upsert.
+    * after retraction the LATEST version's cells equal a store that
+    * never saw the shard (exhausted cells are deleted; any residue a
+    * crash leaves is zero-count, which [[cmStats]] and
+    * [[cmPointEstimate]] treat as absent). Like
+    * [[graft.offline.VersionedStore.deleteKeys]], this retires
+    * current state only — PRE-retraction snapshots stay readable via
+    * `versionAsOf` until the caller pairs it with `vacuum`, the
+    * compliance convention of every delete path in the engine.
+    *
+    * Replay safety: a double subtraction would push cells NEGATIVE —
+    * an undercount, the forbidden direction for a one-sided sketch —
+    * so unlike upsert the ledger row alone is not enough. The
+    * protocol writes an INTENT row carrying the exact expected
+    * post-retraction total before touching cells, then the cell
+    * merge, then the DONE row. A crashed retraction's retry compares
+    * the store's current total against the intent: already at the
+    * expected total → just finish the ledger; still pre-retraction →
+    * redo the merge; anything else means another writer interleaved
+    * and the call fails LOUDLY (IllegalStateException) instead of
+    * guessing — the single-maintainer-per-store discipline every
+    * ledgered artifact in the engine already assumes. Retracting a
+    * shard that is not currently applied (never ingested, or already
+    * retracted; generation-counted, so ingest→retract→ingest cycles
+    * work) returns false.
     */
   def retractCm(shardDf: DataFrame, keyCol: String, root: String,
                 shardId: String): Boolean = {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
-    val ledger = VersionedStore.read(spark, cmAppliedTable(root))
-    val applied = ledger
-      .filter(col("shard_id") === shardId).limit(1).count() > 0
-    val retracted = ledger
-      .filter(col("shard_id") === s"retract:$shardId").limit(1).count() > 0
-    if (!applied || retracted) return false
+    requireUnreservedShardId(shardId)
+    val ledger = cmLedgerRows(spark, root, shardId)
+    val retracts = ledger.count(_ == s"retract:$shardId")
+    if (ledger.count(_ == shardId) <= retracts) return false
+    val gen = retracts + 1
     val p = VersionedStore.read(spark, cmParamsTable(root))
       .select("depth", "width", "fast").head()
     val shard = cmSketchRows(shardDf, keyCol, p.getLong(0).toInt,
       p.getLong(1).toInt, fast = p.getBoolean(2))
       .select(col("di"), col("pos"), col("cnt").as("neg"))
+      .localCheckpoint(false)
+    def total(): Long = VersionedStore.read(spark, cmTable(root))
+      .filter(col("di") === 0).agg(coalesce(sum("cnt"), lit(0L)))
+      .head().getLong(0)
+    val shardTotal = shard.filter(col("di") === 0)
+      .agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)
+    val intentPrefix = s"retract-intent:$shardId:$gen:"
+    ledger.find(_.startsWith(intentPrefix)) match {
+      case Some(intent) =>            // a prior attempt crashed
+        val exp = intent.stripPrefix(intentPrefix).toLong
+        val cur = total()
+        if (cur == exp) {             // merge landed, DONE row did not
+          VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
+            cmAppliedTable(root))
+          return true
+        }
+        if (cur != exp + shardTotal)  // neither pre nor post state
+          throw new IllegalStateException(
+            s"cm store $root: retraction of '$shardId' found total $cur, " +
+              s"expected $exp (post) or ${exp + shardTotal} (pre) - " +
+              "another writer interleaved; verify or rebuild the store")
+      case None =>
+        VersionedStore.append(
+          Seq(s"$intentPrefix${total() - shardTotal}").toDF("shard_id"),
+          cmAppliedTable(root))
+    }
     val cur = VersionedStore.read(spark, cmTable(root))
     val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
       .select(col("di"), col("pos"),
         (coalesce(col("cnt"), lit(0L)) - col("neg")).as("cnt"))
+      .localCheckpoint(false)
     VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
+    // retire exhausted cells so the latest version literally equals
+    // never-having-ingested (deleteKeys refuses to EMPTY a table; in
+    // that degenerate case the zero rows stay as benign residue)
+    val zeros = combined.filter(col("cnt") === 0L).select("di", "pos")
+    if (!zeros.isEmpty) {
+      try { VersionedStore.deleteKeys(zeros, cmTable(root), Seq("di", "pos")); () }
+      catch { case _: IllegalArgumentException => () }
+    }
     VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
       cmAppliedTable(root))
     true

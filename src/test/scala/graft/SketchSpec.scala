@@ -578,6 +578,23 @@ class SketchSpec extends AnyFunSuite {
     assert(st.getAs[Long]("n_rows") === stBase.getAs[Long]("n_rows"))
     assert(st.getAs[Long]("distinct_lb") === stBase.getAs[Long]("distinct_lb"),
       "zero-count residue must not inflate distinct_lb")
+    // generation counting: the retracted shard may lawfully re-ingest,
+    // and a second retraction of the new generation works too
+    assert(Sketch.upsertCm(s1, "k", root, "s1"),
+      "a completed retraction must allow re-ingest of the same id")
+    val reinstated = graft.offline.VersionedStore
+      .read(spark, root + "/cm_sketch")
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    val full = Sketch.cmSketchRows(all, "k", depth = 3, width = 256)
+      .collect().map(r => (r.getAs[Int]("di"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(nz(reinstated) === nz(full))
+    assert(Sketch.retractCm(s1, "k", root, "s1"))
+    // reserved verb: ingest refuses ids that could poison retraction
+    intercept[IllegalArgumentException] {
+      Sketch.upsertCm(s1, "k", root, "retract:evil")
+    }
   }
 
   test("StreamingCm: micro-batches fold cells additively, exactly once") {
