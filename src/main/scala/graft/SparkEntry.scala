@@ -2156,9 +2156,13 @@ object SparkEntry {
        |   FROM (SELECT di, CAST(sum(cnt) AS BIGINT) AS n, max(cnt) AS mx,
        |           count(*) AS nnz FROM cb$i GROUP BY 1)),
        |  (SELECT coalesce(min(ip), 0) AS join_size_est FROM (
-       |     SELECT x.di, CAST(sum(x.cnt * y.cnt) AS BIGINT) AS ip
-       |     FROM ca$i x JOIN cb$i y ON x.di = y.di AND x.pos = y.pos
-       |     GROUP BY 1)),
+       |     SELECT d.di, coalesce(ov.ip, 0) AS ip
+       |     FROM (SELECT DISTINCT di FROM ca$i
+       |           UNION SELECT DISTINCT di FROM cb$i) d
+       |     LEFT JOIN (
+       |       SELECT x.di, CAST(sum(x.cnt * y.cnt) AS BIGINT) AS ip
+       |       FROM ca$i x JOIN cb$i y ON x.di = y.di AND x.pos = y.pos
+       |       GROUP BY 1) ov ON d.di = ov.di)),
        |  (SELECT count(*) AS exact_join_size
        |   FROM a$i JOIN b$i USING (k))""".stripMargin
 
@@ -4272,9 +4276,13 @@ object SparkEntry {
           |      % 2147483648 % 4096 AS pos,
           |    count(*) AS cb
           |  FROM b, (VALUES (0), (1), (2)) t(di) GROUP BY 1, 2),
-          |ip AS (SELECT ca.di, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
+          |ov AS (SELECT ca.di, CAST(sum(ca.ca * cb.cb) AS BIGINT) AS ip
           |  FROM ca JOIN cb ON ca.di = cb.di AND ca.pos = cb.pos
           |  GROUP BY 1),
+          |ip AS (SELECT d.di, coalesce(ov.ip, 0) AS ip
+          |  FROM (SELECT DISTINCT di FROM ca
+          |        UNION SELECT DISTINCT di FROM cb) d
+          |  LEFT JOIN ov ON d.di = ov.di),
           |est AS (SELECT coalesce(min(ip), 0) AS join_size_est FROM ip),
           |ex AS (SELECT count(*) AS exact_join_size FROM a JOIN b USING (k))
           |SELECT join_size_est, exact_join_size,

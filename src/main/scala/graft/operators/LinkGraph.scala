@@ -86,6 +86,12 @@ object LinkGraph {
         Seq("node"), "left_semi"))
       .getOrElse(nodes)
       .localCheckpoint(false)
+    // A seed set entirely absent from the graph leaves nt = 0, and the
+    // integer div-by-zero would propagate NULL ranks silently through
+    // every iteration — fail loudly instead (empty-graph edge case
+    // lands here too: no nodes means no teleport targets either).
+    require(!tele.isEmpty,
+      "teleport set is empty — no seed node appears in the graph")
     val ntDf = tele.agg(count(lit(1)).as("nt"))
     val teleFlag = tele.withColumn("is_t", lit(1))
     val d = dampingPct

@@ -124,6 +124,7 @@ object Sketch {
   // ---------------------------------------------------------------
 
   private def sketchTable(root: String) = s"$root/hll_sketches"
+  private def sketchParamsTable(root: String) = s"$root/hll_params"
   private def sketchAppliedTable(root: String) = s"$root/hll_applied"
 
   /** Initialize the persisted sketch store: one (group, sketch) row
@@ -139,6 +140,12 @@ object Sketch {
     import spark.implicits._
     VersionedStore.overwrite(
       hllSketchTable(df, keyCol, groupCols, p), sketchTable(root))
+    // p freezes at build time (the kmv_params/cm_params contract): an
+    // upsert sketching at a different p would insert register arrays
+    // of the wrong size for groups new to the store, and the later
+    // cross-group merge would throw AFTER the store is polluted.
+    VersionedStore.overwrite(Seq(p.toLong).toDF("p"),
+      sketchParamsTable(root))
     VersionedStore.overwrite(
       Seq("__init__").toDF("shard_id"), sketchAppliedTable(root))
   }
@@ -153,14 +160,18 @@ object Sketch {
     * stores don't have). Returns whether the shard was applied.
     */
   def upsertSketches(shardDf: DataFrame, keyCol: String,
-                     groupCols: Seq[String], root: String, shardId: String,
-                     p: Int = HllSketch.DefaultP): Boolean = {
+                     groupCols: Seq[String], root: String,
+                     shardId: String): Boolean = {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
     val applied = VersionedStore.read(spark, sketchAppliedTable(root))
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
+    // p is a store property, read back from build time — a per-call p
+    // could insert wrong-size register arrays for new groups
+    val p = VersionedStore.read(spark, sketchParamsTable(root))
+      .select("p").head().getLong(0).toInt
     val shard = hllSketchTable(shardDf, keyCol, groupCols, p)
     // Only the groups this shard touches: the keyed MERGE then
     // rewrites only the files whose group ranges the shard hits.
@@ -595,14 +606,23 @@ object Sketch {
     * broadcast-vs-shuffle or flag a fan-out join from two
     * kilobyte sketches BEFORE paying for the join itself.
     */
-  def cmJoinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
-    skA.select(col("di"), col("pos"), col("cnt").as("ca"))
+  def cmJoinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame = {
+    // Every depth row must contribute an ip to the min — a row with
+    // ZERO overlapping cells proves the true join size is 0 (a shared
+    // key would collide in every row), and dropping it from the min
+    // (the inner join's group-less case) would report a large
+    // estimate where the provable answer is 0. So materialize ip = 0
+    // for overlap-free depth rows via a left join from the depth-row
+    // set; two empty sketches fall through to the outer coalesce.
+    val dis = skA.select(col("di")).union(skB.select(col("di"))).distinct()
+    val overlap = skA.select(col("di"), col("pos"), col("cnt").as("ca"))
       .join(skB.select(col("di"), col("pos"), col("cnt").as("cb")),
         Seq("di", "pos"))
-      .groupBy("di").agg(sum(col("ca") * col("cb")).as("ip"))
-      // no overlapping cells ⇒ true join size is provably 0 (a shared
-      // key must collide in EVERY row) — 0, not NULL
+      .groupBy("di").agg(sum(col("ca") * col("cb")).as("ip0"))
+    dis.join(overlap, Seq("di"), "left")
+      .select(coalesce(col("ip0"), lit(0L)).as("ip"))
       .agg(coalesce(min("ip"), lit(0L)).as("join_size_est"))
+  }
 
   /** Exact-arithmetic summary statistics of one CM sketch, each a
     * PROVABLE bound, not an estimate:
@@ -906,10 +926,15 @@ object Sketch {
       .select(col(keyCol).as("probe_key"),
         posexplode(array(positionsFor(col(keyCol), mBits, kHashes, fast): _*))
           .as(Seq("hash_i", "pos")))
+    // DISTINCT hash indices, not row count: a probe key duplicated d
+    // times contributes d copies of each (hash_i, pos) row, and a
+    // plain count would see d*kHashes hits and miss the === kHashes
+    // test — a false NEGATIVE, the one direction the filter must
+    // never err. Distinct hash_i is invariant to probe multiplicity.
     val hits = probePos
       .join(broadcast(setPos), "pos")
       .groupBy("probe_key")
-      .agg(count(lit(1)).as("n_pos_hit"))
+      .agg(countDistinct(col("hash_i")).as("n_pos_hit"))
     probe
       .join(hits, probe(keyCol) === hits("probe_key"), "left")
       .drop("probe_key")

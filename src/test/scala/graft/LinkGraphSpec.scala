@@ -98,4 +98,14 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(withGhost === ranks(edges, 3),
       "teleport over all graph nodes must reduce to uniform PageRank")
   }
+
+  test("trustRank: a seed set absent from the graph fails loudly") {
+    // nt = 0 would make every integer div NULL and propagate silent
+    // NULL ranks through all iterations — must throw instead
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.trustRankMicro(Seq((1L, 2L)).toDF("src", "dst"),
+        Seq(99L).toDF("node"), nIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("teleport set is empty"))
+  }
 }

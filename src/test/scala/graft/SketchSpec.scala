@@ -139,6 +139,26 @@ class SketchSpec extends AnyFunSuite {
     assert(viaBits === joined)
   }
 
+  test("bloom membership is invariant to probe-key multiplicity") {
+    // a key duplicated d times must still count kHashes DISTINCT
+    // position hits — the count(*) form saw d*kHashes and reported a
+    // false NEGATIVE for every duplicated in-list key
+    val (docs, drops, isDrop) = bloomFrame
+    val dup = docs.union(docs).union(docs)
+    val out = Sketch.bloomMembership(dup, "k", drops, "k",
+        mBits = 256, kHashes = 2)
+      .withColumn("exact_drop", isDrop)
+    assert(out.filter(col("exact_drop") && !col("bloom_hit")).count() === 0L,
+      "duplicated probe keys must not produce false negatives")
+    // verdicts agree row-for-row with the unduplicated run
+    val singles = Sketch.bloomMembership(docs, "k", drops, "k",
+        mBits = 256, kHashes = 2)
+      .select(col("doc_id"), col("bloom_hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.select(col("doc_id"), col("bloom_hit")).collect()
+      .foreach(r => assert(r.getBoolean(1) === singles(r.getLong(0))))
+  }
+
   test("literal-bitset probe equals the join-based bloom membership") {
     val (docs, drops, _) = bloomFrame
     val joined = Sketch.bloomMembership(docs, "k", drops, "k",
@@ -472,6 +492,42 @@ class SketchSpec extends AnyFunSuite {
       .head().getAs[Long]("join_size_est")
     assert(est(64) >= exact, "inner product must never undercount")
     assert(est(262144) === exact, "collision-free inner product is exact")
+  }
+
+  test("CM join-size estimate: an overlap-free depth row proves 0") {
+    // disjoint key sets whose cells never collide at width 4096: at
+    // least one depth row has zero overlapping cells, which PROVES
+    // the join is empty — the inner-join form dropped that row from
+    // the min and reported a large estimate instead of 0
+    val a = Seq("a1", "a2", "a3", "a4", "a5").toDF("k")
+    val b = Seq("b1", "b2", "b3", "b4", "b5").toDF("k")
+    val est = Sketch.cmJoinSizeEstimate(
+        Sketch.cmSketchRows(a, "k", depth = 3, width = 4096),
+        Sketch.cmSketchRows(b, "k", depth = 3, width = 4096))
+      .head().getAs[Long]("join_size_est")
+    assert(est === 0L, s"provably-empty join estimated $est")
+  }
+
+  test("sketch store freezes p at build time; upserts read it back") {
+    // a non-default p: the upsert must sketch its shard at the
+    // STORE's p (read from hll_params), or new groups would get
+    // wrong-size register arrays and poison later merges
+    val root = java.nio.file.Files
+      .createTempDirectory("hllstore-p").toString + "/sk"
+    val all = shingleStream.localCheckpoint(false)
+    val base = all.filter(length(col("shingle")) % 2 === 0)
+    val s1 = all.filter(length(col("shingle")) % 2 === 1)
+    Sketch.buildSketchStore(base, "shingle", Seq("source"), root, p = 6)
+    assert(Sketch.upsertSketches(s1, "shingle", Seq("source"), root, "s1"))
+    val stored = graft.offline.VersionedStore
+      .read(spark, root + "/hll_sketches")
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    val direct = Sketch.hllSketchTable(all, "shingle", Seq("source"), p = 6)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Array[Byte]]("sketch").toSeq).toMap
+    assert(stored === direct,
+      "upsert at the stored p must equal the direct p=6 sketch")
   }
 
   test("CM store: additive shard upserts equal the direct sketch; replays no-op") {
