@@ -57,8 +57,8 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","action":"noop_write","queries":${jsMs(pass1)},"value_pass2":${ms(total2)},"queries_pass2":${jsMs(pass2)},"sf":"$sfDir"}""")
     // Round 9: even the compact line (~5 KB at 99 queries) overflows
-    // the driver's ~3.5 KB tail capture, so the cut landed MID-LINE
-    // two rounds running and nothing parsed. Emit per-query data in
+    // the driver's tail capture, so the cut landed MID-LINE two
+    // rounds running and nothing parsed. Emit per-query data in
     // sub-KB chunks (a truncated tail loses whole EARLY chunks, never
     // a partial line), then a totals-only FINAL line under 150 bytes
     // that survives any tail budget.
@@ -68,6 +68,30 @@ object Bench {
       val p2 = chunk.map(n => n -> pass2(n))
       println(s"""{"metric":"chunk","part":${i + 1},"queries":${jsMs(p1)},"queries_pass2":${jsMs(p2)}}""")
     }
+    // Round 11: the driver keeps only the LAST 2000 bytes of stdout
+    // (measured from BENCH_r10.json), so named per-query maps for 126
+    // queries (~23 bytes each) can never all survive — three rounds
+    // of partial artifacts. Two fixes:
+    //  (1) the COMPLETE artifact goes to a file the round commit
+    //      picks up (full precision, named, both passes);
+    //  (2) the tail gets per-query values for EVERY query as two
+    //      compact vectors ordered by ALPHABETICAL query name
+    //      (names carried once by convention, not per value:
+    //      ~6 bytes/query/pass at 2 dp → both passes + totals fit
+    //      the 2000-byte budget with room to spare).
+    val sorted = names.sorted
+    def ms2(v: Double): Double = math.rint(v * 100) / 100
+    def vec(m: Map[String, Double]): String =
+      sorted.map(n => ms2(m(n))).mkString("[", ",", "]")
+    try {
+      val full = new StringBuilder()
+      full ++= s"""{"metric":"total","value":$total,"value_pass2":$total2,"unit":"sec","action":"noop_write","sf":"$sfDir","queries":${js(pass1)},"queries_pass2":${js(pass2)}}\n"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
+        full.toString.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // cwd may not be the repo root
+    println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":1,"n":${sorted.size},"v":${vec(pass1)}}""")
+    println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":2,"n":${sorted.size},"v":${vec(pass2)}}""")
     println(s"""{"metric":"total","value":${ms(total)},"value_pass2":${ms(total2)},"unit":"sec","n":${pass1.size},"sf":"$sfDir"}""")
     spark.stop()
   }
