@@ -165,6 +165,7 @@ object Sketch {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
+    requireUnreservedNiShardId(shardId)
     val applied = VersionedStore.read(spark, sketchAppliedTable(root))
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
@@ -196,7 +197,17 @@ object Sketch {
   def readDistinct(spark: org.apache.spark.sql.SparkSession, root: String,
                    groupCols: Seq[String]): DataFrame = {
     import graft.offline.VersionedStore
-    mergeEstimate(VersionedStore.read(spark, sketchTable(root)), groupCols)
+    val stored = VersionedStore.read(spark, sketchTable(root))
+    // Serve-time takedown suppression: a registered group's registers
+    // never reach the merge, even when the read regroups — suppression
+    // happens at STORED granularity, where state is separable.
+    val live = pendingTakedown(spark, root, "hll") match {
+      case Some(td) =>
+        val idCols = stored.columns.toSeq.filterNot(_ == "sketch")
+        suppressRows(stored, tdKeyExpr(idCols.map(stored(_))), td)
+      case None => stored
+    }
+    mergeEstimate(live, groupCols)
   }
 
   // ---------------------------------------------------------------
@@ -262,6 +273,7 @@ object Sketch {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
+    requireUnreservedNiShardId(shardId)
     val applied = VersionedStore.read(spark, kmvAppliedTable(root))
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
@@ -288,8 +300,13 @@ object Sketch {
   def readOverlap(spark: org.apache.spark.sql.SparkSession,
                   root: String): DataFrame = {
     import graft.offline.VersionedStore
-    val sk = VersionedStore.read(spark, kmvTable(root))
-      .select("slice", "h").localCheckpoint(false)
+    val stored = VersionedStore.read(spark, kmvTable(root))
+    // takedown suppression at slice granularity (see registerTakedown)
+    val live = pendingTakedown(spark, root, "kmv") match {
+      case Some(td) => suppressRows(stored, col("slice").cast("string"), td)
+      case None => stored
+    }
+    val sk = live.select("slice", "h").localCheckpoint(false)
     overlapFromSketches(sk, kmvK(spark, root))
   }
 
@@ -502,6 +519,7 @@ object Sketch {
     import graft.offline.VersionedStore
     val spark = shardDf.sparkSession
     import spark.implicits._
+    requireUnreservedNiShardId(shardId)
     val applied = VersionedStore.read(spark, qsAppliedTable(root))
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
@@ -527,9 +545,208 @@ object Sketch {
   def readQuantiles(spark: org.apache.spark.sql.SparkSession, root: String,
                     qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame = {
     import graft.offline.VersionedStore
-    pickQuantiles(VersionedStore.read(spark, qsTable(root))
-      .select(col("slice"), col("v"), col("h")),
+    val stored = VersionedStore.read(spark, qsTable(root))
+    // takedown suppression at slice granularity (see registerTakedown)
+    val live = pendingTakedown(spark, root, "quantile") match {
+      case Some(td) => suppressRows(stored, col("slice").cast("string"), td)
+      case None => stored
+    }
+    pickQuantiles(live.select(col("slice"), col("v"), col("h")),
       Seq(col("slice")), qs, "sample")
+  }
+
+  // ---------------------------------------------------------------
+  // Non-invertible store takedown (rebuild + interim suppression)
+  // ---------------------------------------------------------------
+
+  /** Valid `family` values for [[registerTakedown]]: the three
+    * non-invertible sketch stores. CM is NOT here — its cells
+    * subtract exactly via [[retractCm]]. */
+  val NonInvertibleFamilies: Set[String] = Set("hll", "kmv", "quantile")
+
+  private def takedownTable(root: String, family: String) =
+    s"$root/${family}_takedown"
+
+  private def appliedTableFor(root: String, family: String): String =
+    family match {
+      case "hll"      => sketchAppliedTable(root)
+      case "kmv"      => kmvAppliedTable(root)
+      case "quantile" => qsAppliedTable(root)
+      case other => throw new IllegalArgumentException(
+        s"unknown non-invertible sketch family '$other'")
+    }
+
+  /** `takedown:`/`rebuild:` are these ledgers' reserved verbs — a
+    * shard named with them would alias retraction state, so the
+    * idempotent-store upserts refuse them up front (the CM ledger's
+    * requireUnreservedShardId precedent). */
+  private[operators] def requireUnreservedNiShardId(shardId: String): Unit =
+    require(!shardId.startsWith("takedown:") &&
+      !shardId.startsWith("rebuild:"),
+      s"shard id '$shardId' uses a reserved ledger prefix")
+
+  /** The multi-column group identity as one string key (US-separated —
+    * the same trick the dedup band keys use). */
+  private def tdKeyExpr(cols: Seq[Column]): Column =
+    concat_ws("\u0001", cols.map(_.cast("string")): _*)
+
+  private def emptyTakedown(spark: org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    Seq.empty[String].toDF("td_key")
+  }
+
+  /** Register a TAKEDOWN against a non-invertible sketch store
+    * (`family` ∈ hll | kmv | quantile): HLL registers, KMV bottom-k
+    * rows, and quantile samples cannot un-see a key (a register max /
+    * bottom-k survives any subtraction), so their retraction path is
+    * a one-pass REBUILD from the remaining corpus
+    * ([[rebuildSketchStore]] / [[rebuildKmvStore]] /
+    * [[rebuildQuantileStore]]) — and until that lands, every read
+    * ([[readDistinct]] / [[readOverlap]] / [[readQuantiles]])
+    * suppresses the registered group/slice identities at serve time,
+    * so a retracted group is never served from the stale sketch.
+    *
+    * `groups` carries the store's GROUP IDENTITY columns (HLL: the
+    * build-time group columns in order; KMV/quantile: the slice
+    * column) — the granularity at which the stored state is
+    * separable, which is what makes interim suppression EXACT: an
+    * untouched group's registers/rows are byte-identical in the
+    * rebuilt store, and a suppressed group is absent from both. (A
+    * KEY-level takedown cannot be served exactly from a stale
+    * register sketch by construction — register it as the groups the
+    * keys touched, over-suppressing until the rebuild restores them.)
+    *
+    * Ledger protocol (mirrors [[retractCm]]'s rigor, inverted for
+    * idempotent stores): `takedown:<id>` appends to the store's shard
+    * ledger when registered (replays no-op by id), the rebuild
+    * appends `rebuild:<id>` and CLEARS the suppression table — so
+    * ledger history records retraction the way retractCm's
+    * intent/done rows record subtraction. Suppression keys accumulate
+    * across multiple registrations until one rebuild clears them all.
+    */
+  def registerTakedown(groups: DataFrame, root: String, family: String,
+                       takedownId: String): Boolean = {
+    import graft.offline.VersionedStore
+    require(NonInvertibleFamilies(family),
+      s"takedown family must be one of $NonInvertibleFamilies (CM " +
+        "retracts exactly via retractCm)")
+    val spark = groups.sparkSession
+    import spark.implicits._
+    val ledgerTable = appliedTableFor(root, family)
+    val seen = VersionedStore.read(spark, ledgerTable)
+      .filter(col("shard_id") === s"takedown:$takedownId")
+      .limit(1).count() > 0
+    if (seen) return false
+    val keys = groups
+      .select(tdKeyExpr(groups.columns.toSeq.map(groups(_))).as("td_key"))
+      .distinct()
+    // create-or-merge: the table is absent before the first takedown
+    // and EMPTY (a zero-file snapshot read() refuses) after a rebuild
+    // cleared it — both mean "no pending keys to preserve"
+    val tdRoot = takedownTable(root, family)
+    val hasPending =
+      try { VersionedStore.read(spark, tdRoot); true }
+      catch { case _: IllegalArgumentException => false }
+    if (hasPending) VersionedStore.merge(keys, tdRoot, Seq("td_key"))
+    else VersionedStore.overwrite(keys, tdRoot)
+    VersionedStore.append(Seq(s"takedown:$takedownId").toDF("shard_id"),
+      ledgerTable)
+    true
+  }
+
+  /** Pending suppression keys, or None when the store has none (also
+    * tolerates stores built before the takedown table existed). */
+  private def pendingTakedown(spark: org.apache.spark.sql.SparkSession,
+                              root: String,
+                              family: String): Option[DataFrame] =
+    try {
+      import graft.offline.VersionedStore
+      val td = VersionedStore.read(spark, takedownTable(root, family))
+      if (td.limit(1).isEmpty) None else Some(td)
+    } catch {
+      // missing table (store predates takedowns / none registered) or
+      // the zero-file snapshot a rebuild's clear leaves — both are
+      // read()'s require failures, both mean "nothing to suppress"
+      case _: IllegalArgumentException => None
+    }
+
+  /** Serve-time suppression: a Bloom bitset over the takedown keys
+    * probes every stored row IN THE SCAN STAGE (join-free for the
+    * bloom-negative majority — the shape that composes into a 100 TB
+    * scan or a streaming projection), and only bloom-POSITIVE rows
+    * pay the exact broadcast anti-join. No false negatives (bloom's
+    * contract) ⇒ every registered group is caught; the exact verify
+    * on candidates ⇒ no innocent group is over-suppressed. Net:
+    * exact suppression at prefilter cost.
+    */
+  private def suppressRows(rows: DataFrame, identity: Column,
+                           takedown: DataFrame): DataFrame = {
+    val mBits = 4096
+    val kH = 2
+    val bitset = bloomBitsetLit(takedown, "td_key", mBits, kH, fast = true)
+    val flagged = rows.withColumn("__td_cand",
+      bloomProbe(bitset, identity, mBits, kH, fast = true))
+    val clean = flagged.filter(!col("__td_cand")).drop("__td_cand")
+    val verified = flagged.filter(col("__td_cand")).drop("__td_cand")
+      .join(broadcast(takedown.select(col("td_key"))),
+        identity === col("td_key"), "left_anti")
+    clean.union(verified)
+  }
+
+  /** Rebuild the HLL sketch store from the REMAINING corpus (the
+    * caller supplies corpus-minus-retracted — registers cannot
+    * reconstruct it) at the store's frozen p, clear the interim
+    * suppression list, and record `rebuild:<id>` in the ledger. One
+    * corpus pass — the same cost building the store was. The applied-
+    * shard ledger survives: HLL folds are idempotent, so a shard
+    * replayed after a rebuild is harmless either way.
+    */
+  def rebuildSketchStore(remaining: DataFrame, keyCol: String,
+                         groupCols: Seq[String], root: String,
+                         rebuildId: String): Unit = {
+    import graft.offline.VersionedStore
+    val spark = remaining.sparkSession
+    import spark.implicits._
+    val p = VersionedStore.read(spark, sketchParamsTable(root))
+      .select("p").head().getLong(0).toInt
+    VersionedStore.overwrite(
+      hllSketchTable(remaining, keyCol, groupCols, p), sketchTable(root))
+    VersionedStore.overwrite(emptyTakedown(spark), takedownTable(root, "hll"))
+    VersionedStore.append(Seq(s"rebuild:$rebuildId").toDF("shard_id"),
+      sketchAppliedTable(root))
+  }
+
+  /** KMV twin of [[rebuildSketchStore]] (frozen k read back). */
+  def rebuildKmvStore(remaining: DataFrame, keyCol: String,
+                      sliceCol: String, root: String,
+                      rebuildId: String): Unit = {
+    import graft.offline.VersionedStore
+    val spark = remaining.sparkSession
+    import spark.implicits._
+    val k = kmvK(spark, root)
+    VersionedStore.overwrite(
+      kmvSketchRows(remaining, keyCol, sliceCol, k), kmvTable(root))
+    VersionedStore.overwrite(emptyTakedown(spark), takedownTable(root, "kmv"))
+    VersionedStore.append(Seq(s"rebuild:$rebuildId").toDF("shard_id"),
+      kmvAppliedTable(root))
+  }
+
+  /** Quantile twin of [[rebuildSketchStore]] (frozen k read back). */
+  def rebuildQuantileStore(remaining: DataFrame, valueCol: String,
+                           idCol: String, sliceCol: String, root: String,
+                           rebuildId: String): Unit = {
+    import graft.offline.VersionedStore
+    val spark = remaining.sparkSession
+    import spark.implicits._
+    val k = VersionedStore.read(spark, qsParamsTable(root))
+      .select("k").head().getLong(0).toInt
+    VersionedStore.overwrite(
+      quantileSampleRows(remaining, valueCol, idCol, sliceCol, k),
+      qsTable(root))
+    VersionedStore.overwrite(emptyTakedown(spark),
+      takedownTable(root, "quantile"))
+    VersionedStore.append(Seq(s"rebuild:$rebuildId").toDF("shard_id"),
+      qsAppliedTable(root))
   }
 
   // ---------------------------------------------------------------

@@ -267,6 +267,119 @@ class SketchSpec extends AnyFunSuite {
     assert(globalEst === directGlobal)
   }
 
+  // -----------------------------------------------------------------
+  // Non-invertible store takedown: rebuild + interim suppression
+  // -----------------------------------------------------------------
+
+  test("hll takedown: suppressed serve == rebuild serve; ledger records both") {
+    val root = java.nio.file.Files
+      .createTempDirectory("hll-td").toString + "/sk"
+    val all = shingleStream.localCheckpoint(false)
+    val victim = all.select("source").distinct()
+      .orderBy("source").head().getString(0)
+    val remaining = all.filter(col("source") =!= victim)
+    Sketch.buildSketchStore(all, "shingle", Seq("source"), root)
+    def serve(): Map[String, Double] =
+      Sketch.readDistinct(spark, root, Seq("source"))
+        .collect().map(r => r.getAs[String]("source") ->
+          r.getAs[Double]("hll_estimate")).toMap
+    val before = serve()
+    assert(before.contains(victim))
+    // register: interim serve must suppress the group EXACTLY —
+    // untouched groups' registers are byte-identical to a rebuild's
+    assert(Sketch.registerTakedown(
+      Seq(victim).toDF("source"), root, "hll", "td1"))
+    assert(!Sketch.registerTakedown(
+      Seq(victim).toDF("source"), root, "hll", "td1"), "replay must no-op")
+    val suppressed = serve()
+    assert(!suppressed.contains(victim), "registered group still served")
+    assert(suppressed === before - victim)
+    // rebuild from the remaining corpus: serve unchanged (the spec's
+    // ==), suppression list cleared, ledger holds takedown + rebuild
+    Sketch.rebuildSketchStore(remaining, "shingle", Seq("source"),
+      root, "td1")
+    assert(serve() === suppressed,
+      "serve-after-takedown must equal rebuild-serve")
+    val ledger = graft.offline.VersionedStore
+      .read(spark, root + "/hll_applied")
+      .collect().map(_.getString(0)).toSet
+    assert(ledger.contains("takedown:td1") && ledger.contains("rebuild:td1"))
+    // post-rebuild the store is live again: the victim group can
+    // re-ingest and serves normally (suppression really cleared)
+    assert(Sketch.upsertSketches(all.filter(col("source") === victim),
+      "shingle", Seq("source"), root, "victim-back"))
+    assert(serve() === before)
+  }
+
+  test("kmv takedown: suppressed overlap serve == rebuild serve") {
+    val root = java.nio.file.Files
+      .createTempDirectory("kmv-td").toString + "/sk"
+    val all = shingleStream.localCheckpoint(false)
+    val victim = all.select("source").distinct()
+      .orderBy("source").head().getString(0)
+    Sketch.buildKmvStore(all, "shingle", "source", root, k = 32)
+    def serve(): Map[(String, String), Double] =
+      Sketch.readOverlap(spark, root).collect()
+        .map(r => (r.getAs[String]("slice_a"), r.getAs[String]("slice_b")) ->
+          r.getAs[Double]("jaccard_est")).toMap
+    val before = serve()
+    assert(Sketch.registerTakedown(
+      Seq(victim).toDF("slice"), root, "kmv", "td1"))
+    val suppressed = serve()
+    assert(suppressed.keys.forall(p => p._1 != victim && p._2 != victim))
+    assert(suppressed === before.filter(p =>
+      p._1._1 != victim && p._1._2 != victim))
+    Sketch.rebuildKmvStore(all.filter(col("source") =!= victim),
+      "shingle", "source", root, "td1")
+    assert(serve() === suppressed,
+      "serve-after-takedown must equal rebuild-serve")
+  }
+
+  test("quantile takedown: suppressed serve == rebuild serve") {
+    val root = java.nio.file.Files
+      .createTempDirectory("qs-td").toString + "/sk"
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("double").as("v"))
+      .localCheckpoint(false)
+    val victim = docs.select("source").distinct()
+      .orderBy("source").head().getString(0)
+    Sketch.buildQuantileStore(docs, "v", "doc_id", "source", root, k = 64)
+    def serve(): Map[String, (Double, Double)] =
+      Sketch.readQuantiles(spark, root).collect()
+        .map(r => r.getAs[String]("slice") ->
+          (r.getAs[Double]("p50_sample"), r.getAs[Double]("p95_sample")))
+        .toMap
+    val before = serve()
+    assert(before.contains(victim))
+    assert(Sketch.registerTakedown(
+      Seq(victim).toDF("slice"), root, "quantile", "td1"))
+    val suppressed = serve()
+    assert(suppressed === before - victim)
+    Sketch.rebuildQuantileStore(docs.filter(col("source") =!= victim),
+      "v", "doc_id", "source", root, "td1")
+    assert(serve() === suppressed,
+      "serve-after-takedown must equal rebuild-serve")
+  }
+
+  test("takedown guards: CM refused; reserved shard ids refused") {
+    val ex = intercept[IllegalArgumentException] {
+      Sketch.registerTakedown(Seq("x").toDF("k"), "/tmp/nope", "cm", "t")
+    }
+    assert(ex.getMessage.contains("retractCm"))
+    val root = java.nio.file.Files
+      .createTempDirectory("hll-guard").toString + "/sk"
+    Sketch.buildSketchStore(shingleStream, "shingle", Seq("source"), root)
+    intercept[IllegalArgumentException] {
+      Sketch.upsertSketches(shingleStream, "shingle", Seq("source"),
+        root, "takedown:evil")
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.upsertSketches(shingleStream, "shingle", Seq("source"),
+        root, "rebuild:evil")
+    }
+  }
+
   test("quantile sketch: known quantiles exact; k >= n sample equals exact") {
     // one group, values 0..100 → p50 = 50, p95 = 95 under the
     // floor(q*(n-1)) definition
