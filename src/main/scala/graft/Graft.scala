@@ -890,4 +890,288 @@ object Graft {
   /** The stored tokenizer model, for [[bpeEncode]]/[[bpeEncodeAny]]. */
   def bpeStoreModel(spark: SparkSession, root: String): Bpe.BpeModel =
     Bpe.vocabModel(spark, root)
+
+  // --- mergeable sketches ---------------------------------------------
+  // Corpus-scale statistics from kilobytes: distinct (HLL), shared
+  // (KMV), distributed (quantile sample), frequent (Count-Min) — each
+  // with a persisted shard-ledger store and a streaming twin
+  // (graft.streaming.StreamingSketch/Kmv/Quantile/Cm).
+
+  /** Per-group distinct-count estimates in-plan (HLL), exact count
+    * audited alongside. */
+  def distinctEstimate(df: DataFrame, keyCol: String,
+                       groupCols: Seq[String]): DataFrame =
+    Sketch.hllDistinct(df, keyCol, groupCols)
+
+  /** Pairwise slice Jaccard from KMV bottom-k sketches; the corpus is
+    * touched once for all pairs. `audit = false` (production) never
+    * builds the corpus-sized exact join. */
+  def sliceOverlap(df: DataFrame, keyCol: String, sliceCol: String,
+                   k: Int = 64, audit: Boolean = false): DataFrame =
+    Sketch.kmvOverlap(df, keyCol, sliceCol, k, audit)
+
+  /** Per-group approximate quantiles from the deterministic
+    * bottom-k-by-md5 sample (reproducible, mergeable). */
+  def quantileEstimate(df: DataFrame, valueCol: String, idCol: String,
+                       groupCols: Seq[String], k: Int = 256,
+                       qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    Sketch.quantileSketch(df, valueCol, idCol, groupCols, k, qs)
+
+  /** Membership of every probe row against a drop list compiled to a
+    * Bloom filter (kilobytes broadcast instead of a list-sized join
+    * side; zero false negatives, FP rate is the dial). */
+  def bloomTakedown(probe: DataFrame, keyCol: String, dropKeys: DataFrame,
+                    dropKeyCol: String, mBits: Int = 2048,
+                    kHashes: Int = 2, fast: Boolean = true): DataFrame =
+    Sketch.bloomMembership(probe, keyCol, dropKeys, dropKeyCol, mBits,
+      kHashes, fast)
+
+  /** The same drop list as a literal bitset Column + pure-arithmetic
+    * probe — the join-free serving/streaming form. */
+  def bloomBitset(dropKeys: DataFrame, dropKeyCol: String,
+                  mBits: Int = 2048, kHashes: Int = 2,
+                  fast: Boolean = true): Column =
+    Sketch.bloomBitsetLit(dropKeys, dropKeyCol, mBits, kHashes, fast)
+
+  def bloomProbe(bitset: Column, key: Column, mBits: Int = 2048,
+                 kHashes: Int = 2, fast: Boolean = true): Column =
+    Sketch.bloomProbe(bitset, key, mBits, kHashes, fast)
+
+  // --- persisted sketch stores (HLL / KMV / quantile / CM) ------------
+
+  /** HLL store: per-group register sketches + shard ledger; distinct
+    * counts over any regrouping read from kilobytes, zero corpus IO. */
+  def sketchStoreBuild(df: DataFrame, keyCol: String,
+                       groupCols: Seq[String], root: String,
+                       p: Int = graft.functions.HllSketch.DefaultP): Unit =
+    Sketch.buildSketchStore(df, keyCol, groupCols, root, p)
+
+  def sketchStoreUpsert(shard: DataFrame, keyCol: String,
+                        groupCols: Seq[String], root: String,
+                        shardId: String): Boolean =
+    Sketch.upsertSketches(shard, keyCol, groupCols, root, shardId)
+
+  def sketchStoreDistinct(spark: SparkSession, root: String,
+                          groupCols: Seq[String]): DataFrame =
+    Sketch.readDistinct(spark, root, groupCols)
+
+  /** KMV store: bottom-k rows per slice; all-pairs overlap served
+    * from slices × k rows. */
+  def kmvStoreBuild(df: DataFrame, keyCol: String, sliceCol: String,
+                    root: String, k: Int = 64): Unit =
+    Sketch.buildKmvStore(df, keyCol, sliceCol, root, k)
+
+  def kmvStoreUpsert(shard: DataFrame, keyCol: String, sliceCol: String,
+                     root: String, shardId: String): Boolean =
+    Sketch.upsertKmv(shard, keyCol, sliceCol, root, shardId)
+
+  def kmvStoreOverlap(spark: SparkSession, root: String): DataFrame =
+    Sketch.readOverlap(spark, root)
+
+  /** Quantile store: the deterministic sample rows per slice. */
+  def quantileStoreBuild(df: DataFrame, valueCol: String, idCol: String,
+                         sliceCol: String, root: String,
+                         k: Int = 256): Unit =
+    Sketch.buildQuantileStore(df, valueCol, idCol, sliceCol, root, k)
+
+  def quantileStoreUpsert(shard: DataFrame, valueCol: String,
+                          idCol: String, sliceCol: String, root: String,
+                          shardId: String): Boolean =
+    Sketch.upsertQuantileSample(shard, valueCol, idCol, sliceCol, root,
+      shardId)
+
+  def quantileStoreRead(spark: SparkSession, root: String,
+                        qs: Seq[Double] = Seq(0.5, 0.95)): DataFrame =
+    Sketch.readQuantiles(spark, root, qs)
+
+  /** CM store: additive frequency cells under the Dsir shard ledger. */
+  def cmStoreBuild(df: DataFrame, keyCol: String, root: String,
+                   depth: Int = 3, width: Int = 1024,
+                   fast: Boolean = true): Unit =
+    Sketch.buildCmStore(df, keyCol, root, depth, width, fast)
+
+  def cmStoreUpsert(shard: DataFrame, keyCol: String, root: String,
+                    shardId: String): Boolean =
+    Sketch.upsertCm(shard, keyCol, root, shardId)
+
+  /** EXACT retraction of a previously-ingested shard (additive cells
+    * subtract; intent/done crash protocol — see Sketch.retractCm). */
+  def cmStoreRetract(shard: DataFrame, keyCol: String, root: String,
+                     shardId: String): Boolean =
+    Sketch.retractCm(shard, keyCol, root, shardId)
+
+  def cmStoreEstimates(spark: SparkSession, root: String,
+                       probes: DataFrame, probeKeyCol: String): DataFrame =
+    Sketch.readCmEstimates(spark, root, probes, probeKeyCol)
+
+  /** Takedown against a NON-invertible store (hll | kmv | quantile):
+    * registers serve-time suppression until the rebuild lands (CM
+    * retracts exactly instead — [[cmStoreRetract]]). */
+  def sketchTakedown(groups: DataFrame, root: String, family: String,
+                     takedownId: String): Boolean =
+    Sketch.registerTakedown(groups, root, family, takedownId)
+
+  def sketchStoreRebuild(remaining: DataFrame, keyCol: String,
+                         groupCols: Seq[String], root: String,
+                         rebuildId: String): Unit =
+    Sketch.rebuildSketchStore(remaining, keyCol, groupCols, root, rebuildId)
+
+  def kmvStoreRebuild(remaining: DataFrame, keyCol: String,
+                      sliceCol: String, root: String,
+                      rebuildId: String): Unit =
+    Sketch.rebuildKmvStore(remaining, keyCol, sliceCol, root, rebuildId)
+
+  def quantileStoreRebuild(remaining: DataFrame, valueCol: String,
+                           idCol: String, sliceCol: String, root: String,
+                           rebuildId: String): Unit =
+    Sketch.rebuildQuantileStore(remaining, valueCol, idCol, sliceCol,
+      root, rebuildId)
+
+  // --- join planning / execution --------------------------------------
+
+  /** One side's CM sketch for [[joinPlan]] — `fast = true` is the
+    * production (xxhash64) family; both sides must use the same. */
+  def cmSketch(df: DataFrame, keyCol: String, depth: Int = 3,
+               width: Int = 1024, fast: Boolean = true): DataFrame =
+    Sketch.cmSketchRows(df, keyCol, depth, width, fast = fast)
+
+  /** Watchlist point-frequency estimates from a sketch (min over
+    * depth cells; one-sided ≥ exact). */
+  def cmFrequencies(sketch: DataFrame, probes: DataFrame,
+                    probeKeyCol: String, depth: Int = 3,
+                    width: Int = 1024, fast: Boolean = true): DataFrame =
+    Sketch.cmPointEstimate(sketch, probes, probeKeyCol, depth, width, fast)
+
+  /** Pre-flight join advisory from two CM sketches: broadcast / salt /
+    * shuffle + the AMS output-size estimate, decided from kilobytes
+    * BEFORE the join runs. */
+  def joinPlan(skA: DataFrame, skB: DataFrame,
+               broadcastRows: Long = 5000L,
+               skewFactor: Long = 8L): DataFrame =
+    Sketch.cmJoinPlan(skA, skB, broadcastRows, skewFactor)
+
+  /** Salted equi-join — the executor for [[joinPlan]]'s
+    * `shuffle_salted` verdict (deterministic content-hash salt). */
+  def saltedJoin(skewed: DataFrame, skewKey: String, other: DataFrame,
+                 otherKey: String, salts: Int,
+                 saltCols: Seq[String] = Nil): DataFrame =
+    Skew.saltedJoin(skewed, skewKey, other, otherKey, salts, saltCols)
+
+  /** [[joinAuto]]'s result: the executed join plus the decision that
+    * picked it and the pre-flight size estimate (audit trail). */
+  final case class AutoJoin(df: DataFrame, strategy: String,
+                            joinSizeEst: Long)
+
+  /** The advisory→execution loop CLOSED: sketch both sides (one pass
+    * each, kilobyte state), read [[joinPlan]]'s strategy row, and
+    * dispatch it — broadcast_a/broadcast_b hint the small side,
+    * shuffle_salted routes through [[saltedJoin]] with the provably
+    * skewed side salted, shuffle is the plain hash join. Inner join;
+    * output rows equal the plain join's under every strategy
+    * (spec-held), columns a-then-b. Frames must not share column
+    * names (alias before calling — the usual join-surface contract).
+    */
+  def joinAuto(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+               depth: Int = 3, width: Int = 1024,
+               broadcastRows: Long = 5000L, skewFactor: Long = 8L,
+               salts: Int = 8, saltCols: Seq[String] = Nil): AutoJoin = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "joinAuto frames must not share column names — alias first")
+    val skA = Sketch.cmSketchRows(a.select(col(aKey).as("k")), "k",
+      depth, width, fast = true)
+    val skB = Sketch.cmSketchRows(b.select(col(bKey).as("k")), "k",
+      depth, width, fast = true)
+    val plan = Sketch.cmJoinPlan(skA, skB, broadcastRows, skewFactor)
+      .head() // one row — the planning decision is driver-bounded
+    val strategy = plan.getAs[String]("strategy")
+    val cond = a(aKey) === b(bKey)
+    val outCols = (a.columns ++ b.columns).toIndexedSeq.map(col)
+    val joined = strategy match {
+      case "broadcast_a" => broadcast(a).join(b, cond, "inner")
+      case "broadcast_b" => a.join(broadcast(b), cond, "inner")
+      case "shuffle"     => a.join(b, cond, "inner")
+      case "shuffle_salted" =>
+        // salt the side whose provable hot-key bound tripped the rule
+        val aSkewed = plan.getAs[Long]("hot_a") *
+          plan.getAs[Long]("distinct_a_lb") >=
+          skewFactor * plan.getAs[Long]("n_a")
+        val salted =
+          if (aSkewed) Skew.saltedJoin(a, aKey, b, bKey, salts, saltCols)
+          else Skew.saltedJoin(b, bKey, a, aKey, salts, saltCols)
+        salted.select(outCols: _*)
+    }
+    AutoJoin(joined.select(outCols: _*), strategy,
+      plan.getAs[Long]("join_size_est"))
+  }
+
+  // --- link-graph curation --------------------------------------------
+
+  /** Host-graph PageRank in fixed-point integer micro-units
+    * (bit-reproducible iterative fit; edges = (src, dst) longs). */
+  def pageRank(edges: DataFrame, nIter: Int = 5,
+               dampingPct: Int = 85): DataFrame =
+    LinkGraph.pageRankMicro(edges, nIter, dampingPct)
+
+  /** TrustRank: teleport restricted to trusted seed nodes — hosts no
+    * seed transitively endorses score exactly zero. */
+  def trustRank(edges: DataFrame, seeds: DataFrame, nIter: Int = 5,
+                dampingPct: Int = 85): DataFrame =
+    LinkGraph.trustRankMicro(edges, seeds, nIter, dampingPct)
+
+  /** Trust-budgeted data selection: TrustRank host scores joined onto
+    * per-doc token counts, then the prefix-sum budget cut spends
+    * `budgetTokens` on the most-trusted hosts first. `docs` carries
+    * (idCol, hostCol, tokensCol); returns (doc_id, score = trust
+    * micro-units, n_tokens, cum_tokens). */
+  def trustSelect(edges: DataFrame, seeds: DataFrame, docs: DataFrame,
+                  idCol: String, hostCol: String, tokensCol: String,
+                  budgetTokens: Long, nIter: Int = 5): DataFrame = {
+    val trust = trustRank(edges, seeds, nIter)
+    FeatureEng.selectToBudget(
+      docs.join(trust, docs(hostCol) === trust("node")),
+      idCol, trust("pr_micro"), docs(tokensCol), budgetTokens)
+  }
+
+  /** Banded point-in-interval range join (hash-partitionable — never
+    * the nested-loop plan raw BETWEEN gets). */
+  def intervalJoin(points: DataFrame, pointCol: String,
+                   intervals: DataFrame, loCol: String, hiCol: String,
+                   bucket: Long, keys: Seq[String] = Nil): DataFrame =
+    RangeJoin.pointInInterval(points, pointCol, intervals, loCol, hiCol,
+      bucket, keys)
+
+  /** [[intervalJoin]] with the bucket width derived from the interval
+    * data (median interval length — RangeJoin.chooseBucket). */
+  def intervalJoinAuto(points: DataFrame, pointCol: String,
+                       intervals: DataFrame, loCol: String, hiCol: String,
+                       keys: Seq[String] = Nil): DataFrame =
+    RangeJoin.pointInIntervalAuto(points, pointCol, intervals, loCol,
+      hiCol, keys)
+
+  // --- round-10 text/report operators ---------------------------------
+
+  /** Min-K% probability triage (membership-inference statistic): mean
+    * surprise of each doc's hardest `topFrac` tokens. */
+  def minkScores(docs: DataFrame, topFrac: Double = 0.2): DataFrame =
+    TextAnalysis.minkScore(docs, "doc_id", "text", topFrac)
+
+  /** Interpolated Kneser-Ney bigram LM score per doc (trained in-plan
+    * on the same corpus). */
+  def knScores(docs: DataFrame, discount: Double = 0.75): DataFrame =
+    TextAnalysis.knBigramScore(docs, "doc_id", "text", discount)
+
+  /** k-anonymous corpus data card: cells under `k` docs keep dims +
+    * a suppressed flag, measures NULLed. */
+  def corpusReportKAnon(docs: DataFrame, dims: Seq[String],
+                        k: Long): DataFrame =
+    TextAnalysis.corpusReportKAnon(docs, "text", dims, k)
+
+  /** Frame/segment sampling plan over real parsed A/V durations
+    * (scan-stage only; payloads never shuffle). */
+  def frameSamplePlan(docs: DataFrame, intervalMs: Long = 1000L,
+                      maxFrames: Int = 16): DataFrame =
+    MultiModal.frameSampleByTime(
+      MultiModal.withPayload(docs, "doc_id", "text"), "doc_id",
+      "payload", intervalMs, maxFrames)
 }

@@ -50,4 +50,62 @@ object RangeJoin {
       .filter(col(loCol) <= col(pointCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** The data-derived bucket width plus its provable cost: `bucket` =
+    * the MEDIAN interval length (clamped to ≥ 1) from the
+    * deterministic bottom-k-by-md5 sample — the quantile-sketch leg's
+    * sampling idiom, so the choice is reproducible run-to-run — and
+    * `replication` = the exact mean replicas per interval AT that
+    * bucket (each interval lands on floor((hi-1)/b) - floor(lo/b) + 1
+    * buckets), computed over the full interval table in the same
+    * pass. Median is the robust default: too-small buckets replicate
+    * long intervals, too-large ones degrade join selectivity, and
+    * skewed interval-length mixes pull a mean far from where most
+    * intervals live.
+    */
+  final case class BucketChoice(bucket: Long, replication: Double,
+                                nIntervals: Long)
+
+  def chooseBucket(intervals: DataFrame, loCol: String, hiCol: String,
+                   sampleK: Int = 256): BucketChoice = {
+    require(sampleK >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val lens = intervals.filter(col(hiCol) > col(loCol))
+      .select((col(hiCol) - col(loCol)).cast("long").as("len"),
+        col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
+      .localCheckpoint(false) // feeds the sample AND the audit
+    // deterministic uniform sample: bottom-k by md5 of the interval's
+    // content (duplicates collapse — harmless for a width heuristic)
+    val sampled = lens
+      .withColumn("h", md5(concat_ws(":", col("lo"), col("hi"))))
+      .distinct()
+      .withColumn("rn", row_number().over(Window.orderBy("h")))
+      .filter(col("rn") <= sampleK)
+      .select("len", "h")
+    val sample = sampled.orderBy("len", "h").select("len")
+      .collect().map(_.getLong(0))
+    require(sample.nonEmpty, "no non-empty intervals to derive a bucket from")
+    val bucket = math.max(1L, sample(((sample.length - 1) * 0.5).toInt))
+    val audit = lens.agg(
+        count(lit(1)).as("n"),
+        avg(floor((col("hi") - 1) / bucket) - floor(col("lo") / bucket) +
+          1).as("repl"))
+      .head()
+    BucketChoice(bucket, audit.getDouble(1), audit.getLong(0))
+  }
+
+  /** [[pointInInterval]] with the bucket derived from the interval
+    * data itself ([[chooseBucket]]'s median rule) — the zero-dial
+    * form. Callers who need the replication number (the thing to
+    * alert on when a pathological long-interval mix sneaks in) call
+    * [[chooseBucket]] directly and pass its bucket to the manual
+    * overload; the join is identical at any width (spec-held), so
+    * auto vs manual is purely a cost choice.
+    */
+  def pointInIntervalAuto(points: DataFrame, pointCol: String,
+                          intervals: DataFrame, loCol: String,
+                          hiCol: String, keys: Seq[String] = Nil,
+                          sampleK: Int = 256): DataFrame =
+    pointInInterval(points, pointCol, intervals, loCol, hiCol,
+      chooseBucket(intervals, loCol, hiCol, sampleK).bucket, keys)
 }

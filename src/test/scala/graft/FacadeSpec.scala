@@ -1,0 +1,278 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Fns
+import graft.operators.{LinkGraph, RangeJoin, Sketch}
+
+/** The round-10/11 Graft facade surface: every sketch-store / join-
+  * planning / link-graph method delegates correctly (the thin-wrapper
+  * contract — equality with the operator call, or the operator's own
+  * invariant), so users never need `graft.operators.*` imports for
+  * the newest families.
+  */
+class FacadeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+
+  private def shingleStream: DataFrame =
+    docs.select(col("source"),
+      explode(Fns.shingles(col("text"), 3)).as("shingle"))
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/store"
+
+  // --- in-plan sketches ------------------------------------------------
+
+  test("distinctEstimate / sliceOverlap / quantileEstimate delegate") {
+    val d = Graft.distinctEstimate(shingleStream, "shingle", Seq("source"))
+    assert(d.columns.contains("hll_estimate") && d.count() > 0)
+    val o = Graft.sliceOverlap(shingleStream, "shingle", "source")
+    assert(o.columns.toSeq === Seq("slice_a", "slice_b", "jaccard_est"),
+      "production default must be the audit-free path")
+    assert(o.count() > 0)
+    val q = Graft.quantileEstimate(
+      docs.select(col("source"), col("doc_id"),
+        length(col("text")).cast("double").as("v")),
+      "v", "doc_id", Seq("source"))
+    assert(q.columns.contains("p50_sample") && q.count() > 0)
+  }
+
+  test("bloomTakedown and bloomBitset/bloomProbe agree (fast family)") {
+    val d = docs.select(col("doc_id"), col("doc_id").cast("string").as("k"))
+    val drops = d.filter(col("doc_id") % 7 === 0).select("k")
+    val joined = Graft.bloomTakedown(d, "k", drops, "k", mBits = 512)
+      .select(col("doc_id"), col("bloom_hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bits = Graft.bloomBitset(drops, "k", mBits = 512)
+    val probed = d.select(col("doc_id"),
+        Graft.bloomProbe(bits, col("k"), mBits = 512).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probed === joined)
+    assert(joined.values.count(identity) >= drops.count())
+  }
+
+  // --- persisted stores ------------------------------------------------
+
+  test("sketchStore facade: build/upsert/read + takedown/rebuild") {
+    val root = tmpRoot("fc-hll")
+    val all = shingleStream.localCheckpoint(false)
+    Graft.sketchStoreBuild(
+      all.filter(length(col("shingle")) % 2 === 0), "shingle",
+      Seq("source"), root)
+    assert(Graft.sketchStoreUpsert(
+      all.filter(length(col("shingle")) % 2 === 1), "shingle",
+      Seq("source"), root, "s1"))
+    val served = Graft.sketchStoreDistinct(spark, root, Seq("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("hll_estimate")).toMap
+    val direct = Sketch.mergeEstimate(
+        Sketch.hllSketchTable(all, "shingle", Seq("source")), Seq("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("hll_estimate")).toMap
+    assert(served === direct)
+    val victim = served.keys.min
+    assert(Graft.sketchTakedown(Seq(victim).toDF("source"), root,
+      "hll", "t1"))
+    assert(!Graft.sketchStoreDistinct(spark, root, Seq("source"))
+      .collect().map(_.getAs[String]("source")).contains(victim))
+    Graft.sketchStoreRebuild(all.filter(col("source") =!= victim),
+      "shingle", Seq("source"), root, "t1")
+    assert(Graft.sketchStoreDistinct(spark, root, Seq("source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("hll_estimate")).toMap === served - victim)
+  }
+
+  test("kmvStore / quantileStore facade round trips") {
+    val all = shingleStream.localCheckpoint(false)
+    val kroot = tmpRoot("fc-kmv")
+    Graft.kmvStoreBuild(all.filter(length(col("shingle")) % 2 === 0),
+      "shingle", "source", kroot, k = 32)
+    assert(Graft.kmvStoreUpsert(
+      all.filter(length(col("shingle")) % 2 === 1), "shingle", "source",
+      kroot, "s1"))
+    val fromStore = Graft.kmvStoreOverlap(spark, kroot)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    val direct = Graft.sliceOverlap(all, "shingle", "source", k = 32)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(fromStore === direct)
+    val qroot = tmpRoot("fc-qs")
+    val vals = docs.select(col("source"), col("doc_id"),
+      length(col("text")).cast("double").as("v")).localCheckpoint(false)
+    Graft.quantileStoreBuild(vals.filter(col("doc_id") % 2 === 0),
+      "v", "doc_id", "source", qroot, k = 64)
+    assert(Graft.quantileStoreUpsert(vals.filter(col("doc_id") % 2 === 1),
+      "v", "doc_id", "source", qroot, "s1"))
+    val served = Graft.quantileStoreRead(spark, qroot)
+    assert(served.columns.contains("p95_sample") && served.count() > 0)
+  }
+
+  test("cmStore facade: build/upsert/estimates/retract") {
+    val root = tmpRoot("fc-cm")
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_custkey").cast("string").as("k")).localCheckpoint(false)
+    val base = keys.filter(xxhash64(col("k")) % 2 === 0)
+    val shard = keys.filter(xxhash64(col("k")) % 2 =!= 0)
+    Graft.cmStoreBuild(base, "k", root, depth = 3, width = 512)
+    assert(Graft.cmStoreUpsert(shard, "k", root, "s1"))
+    val probes = keys.distinct().select(col("k").as("probe_key"))
+      .limit(20).localCheckpoint(false)
+    val est = Graft.cmStoreEstimates(spark, root, probes, "probe_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = keys.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      assert(e >= exact.getOrElse(k, 0L), "CM must never undercount") }
+    assert(Graft.cmStoreRetract(shard, "k", root, "s1"))
+    val back = Graft.cmStoreEstimates(spark, root, probes, "probe_key")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val baseExact = base.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    back.foreach { case (k, e) =>
+      assert(e >= baseExact.getOrElse(k, 0L)) }
+  }
+
+  // --- join planning / joinAuto ---------------------------------------
+
+  private def plainJoin(a: DataFrame, aKey: String, b: DataFrame,
+                        bKey: String): Set[Seq[Any]] =
+    a.join(b, a(aKey) === b(bKey), "inner")
+      .select((a.columns ++ b.columns).map(col): _*)
+      .collect().map(_.toSeq).toSet
+
+  test("joinAuto dispatches all four strategies, each == the plain join") {
+    val big = spark.range(2000)
+      .select(col("id").as("ak"), (col("id") % 7).as("av"))
+      .localCheckpoint(false)
+    val big2 = spark.range(1500)
+      .select((col("id") % 500).as("bk"), col("id").as("bv"))
+      .localCheckpoint(false)
+    val small = spark.range(40)
+      .select(col("id").as("bk"), (col("id") + 100).as("bv"))
+      .localCheckpoint(false)
+    val small2 = spark.range(30)
+      .select(col("id").as("ak"), (col("id") + 7).as("av"))
+      .localCheckpoint(false)
+    // one key holds 50% of rows → the provable hot bound trips
+    val hot = spark.range(2000)
+      .select(when(col("id") % 2 === 0, lit(3L)).otherwise(col("id"))
+        .as("ak"), col("id").as("av"))
+      .localCheckpoint(false)
+
+    // broadcast_a: a is the small side
+    val ba = Graft.joinAuto(small2, "ak", big2, "bk", broadcastRows = 100)
+    assert(ba.strategy === "broadcast_a")
+    assert(ba.df.collect().map(_.toSeq).toSet ===
+      plainJoin(small2, "ak", big2, "bk"))
+    // broadcast_b: b smaller than a
+    val bb = Graft.joinAuto(big, "ak", small, "bk", broadcastRows = 100)
+    assert(bb.strategy === "broadcast_b")
+    assert(bb.df.collect().map(_.toSeq).toSet ===
+      plainJoin(big, "ak", small, "bk"))
+    // shuffle: both sides over the broadcast budget, no provable skew
+    val sh = Graft.joinAuto(big, "ak", big2, "bk", broadcastRows = 10)
+    assert(sh.strategy === "shuffle")
+    assert(sh.df.collect().map(_.toSeq).toSet ===
+      plainJoin(big, "ak", big2, "bk"))
+    // shuffle_salted: the hot side trips the skew rule
+    val ss = Graft.joinAuto(hot, "ak", big2, "bk", broadcastRows = 10,
+      skewFactor = 4)
+    assert(ss.strategy === "shuffle_salted")
+    assert(ss.df.collect().map(_.toSeq).toSet ===
+      plainJoin(hot, "ak", big2, "bk"))
+    // the pre-flight estimate is one-sided for every scenario
+    assert(ss.joinSizeEst >= ss.df.count())
+    assert(sh.joinSizeEst >= sh.df.count())
+  }
+
+  test("joinAuto salts the RIGHT side when b is the skewed frame") {
+    val flat = spark.range(1200)
+      .select(col("id").as("ak"), (col("id") % 5).as("av"))
+      .localCheckpoint(false)
+    val hotB = spark.range(1200)
+      .select(when(col("id") % 2 === 0, lit(9L)).otherwise(col("id"))
+        .as("bk"), col("id").as("bv"))
+      .localCheckpoint(false)
+    val r = Graft.joinAuto(flat, "ak", hotB, "bk", broadcastRows = 10,
+      skewFactor = 4)
+    assert(r.strategy === "shuffle_salted")
+    assert(r.df.collect().map(_.toSeq).toSet ===
+      plainJoin(flat, "ak", hotB, "bk"))
+    // output column order stays a-then-b even though b was salted
+    assert(r.df.columns.toSeq === Seq("ak", "av", "bk", "bv"))
+  }
+
+  test("joinPlan / cmSketch / cmFrequencies / saltedJoin delegate") {
+    val a = spark.range(300).select(col("id").as("k"))
+    val b = spark.range(900).select((col("id") % 300).as("k"))
+    val plan = Graft.joinPlan(Graft.cmSketch(a, "k"), Graft.cmSketch(b, "k"))
+    assert(plan.count() === 1)
+    val freqs = Graft.cmFrequencies(Graft.cmSketch(b, "k"),
+      a.limit(10).select(col("k").as("probe_key")), "probe_key")
+    assert(freqs.collect().forall(_.getLong(1) >= 3L))
+    val l = spark.range(200).select(col("id").as("lk"), col("id").as("lv"))
+    val r = spark.range(600).select((col("id") % 200).as("rk"),
+      col("id").as("rv"))
+    val salted = Graft.saltedJoin(l, "lk", r, "rk", salts = 4)
+      .select("lk", "lv", "rk", "rv")
+      .collect().map(_.toSeq).toSet
+    assert(salted === plainJoin(l, "lk", r, "rk"))
+  }
+
+  // --- link graph ------------------------------------------------------
+
+  test("pageRank / trustRank / trustSelect delegate") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val pr = Graft.pageRank(edges, nIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === LinkGraph.pageRankMicro(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val tr = Graft.trustRank(edges, Seq(1L).toDF("node"), nIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tr(4L) === 0L, "unendorsed host must hold zero trust")
+    val d = docs.select(col("doc_id"), (col("doc_id") % 4 + 1).as("host"),
+      size(split(col("text"), " ")).as("n_words"))
+    val sel = Graft.trustSelect(edges, Seq(1L).toDF("node"), d,
+      "doc_id", "host", "n_words", budgetTokens = 5000L)
+    assert(sel.count() > 0)
+    assert(sel.agg(max("cum_tokens")).head().getLong(0) <= 5000L)
+  }
+
+  test("intervalJoin / intervalJoinAuto delegate and agree") {
+    val pts = spark.range(500).select(col("id").as("pid"),
+      (col("id") * 3 % 400).as("t"))
+    val ivs = spark.range(40).select(col("id").as("iv_id"),
+      (col("id") * 11 % 350).as("lo"),
+      (col("id") * 11 % 350 + col("id") % 25 + 1).as("hi"))
+    val manual = Graft.intervalJoin(pts, "t", ivs, "lo", "hi", bucket = 16)
+      .select("pid", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Graft.intervalJoinAuto(pts, "t", ivs, "lo", "hi")
+      .select("pid", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === manual && auto.nonEmpty)
+  }
+
+  // --- round-10 text/report operators ----------------------------------
+
+  test("minkScores / knScores / corpusReportKAnon / frameSamplePlan delegate") {
+    assert(Graft.minkScores(docs.limit(50)).columns
+      .contains("mink_score"))
+    assert(Graft.minkScores(docs.limit(50)).count() > 0)
+    val kn = Graft.knScores(docs.limit(50))
+    assert(kn.columns.exists(_.contains("score")) && kn.count() > 0)
+    val card = Graft.corpusReportKAnon(docs, Seq("source", "lang"), k = 3)
+    assert(card.columns.contains("suppressed") && card.count() > 0)
+    val frames = Graft.frameSamplePlan(docs)
+    assert(frames.count() >= 0) // text corpus: no media payloads is fine
+  }
+}
