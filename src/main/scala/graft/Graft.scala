@@ -1161,6 +1161,38 @@ object Graft {
   def knScores(docs: DataFrame, discount: Double = 0.75): DataFrame =
     TextAnalysis.knBigramScore(docs, "doc_id", "text", discount)
 
+  /** Freeze the KN model offline (the CCNet model-artifact shape) for
+    * [[knScoreFrozen]] — the streaming-safe scorer. */
+  def knFreeze(docs: DataFrame, discount: Double = 0.75,
+               maxTypes: Int = 1000000): TextAnalysis.KnModel =
+    TextAnalysis.knFreeze(docs, "doc_id", "text", discount, maxTypes)
+
+  /** Streaming-safe KN scoring against a frozen model: one pure
+    * projection (no explode/join/aggregation) — equals [[knScores]]
+    * on the training corpus. */
+  def knScoreFrozen(docs: DataFrame,
+                    model: TextAnalysis.KnModel): DataFrame =
+    TextAnalysis.knScoreFrozen(docs, "doc_id", "text", model)
+
+  /** Persist the KN bigram-count model as VersionedStore tables
+    * (additive counts + shard ledger + params — the dsirStore
+    * pattern). */
+  def knStoreBuild(docs: DataFrame, root: String,
+                   discount: Double = 0.75): Unit =
+    TextAnalysis.knBuildStore(docs, "doc_id", "text", root, discount)
+
+  /** Fold one corpus shard's bigram counts into the store (replays
+    * no-op by shardId). */
+  def knStoreUpsert(shard: DataFrame, root: String,
+                    shardId: String): Boolean =
+    TextAnalysis.knUpsertCounts(shard, "doc_id", "text", root, shardId)
+
+  /** Freeze the scoring artifact from stored counts — no corpus scan;
+    * equals [[knFreeze]] over the union of every ingested shard. */
+  def knStoreFreeze(spark: SparkSession, root: String,
+                    maxTypes: Int = 1000000): TextAnalysis.KnModel =
+    TextAnalysis.knFreezeFromStore(spark, root, maxTypes)
+
   /** k-anonymous corpus data card: cells under `k` docs keep dims +
     * a suppressed flag, measures NULLed. */
   def corpusReportKAnon(docs: DataFrame, dims: Seq[String],

@@ -228,8 +228,24 @@ object TextAnalysis {
                     discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1)
     val ids = docs.select(col(idCol).as("doc_id"), Fns.words(col(textCol)).as("ws"))
-    val big = ids
-      .select(col("doc_id"),
+    val big = knDocBigrams(ids)
+    // Bigram-type table feeds three derived tables + the total — one
+    // materialization (vocab²-bounded), not three corpus rescans.
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false)
+    val model = knModelFromCounts(c12, discount)
+    val scored = big.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(col("p_kn"))), 4).as("kn_score"))
+    ids.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_bigrams"))
+  }
+
+  /** Per-doc (doc_id, w1, w2) bigram stream from a (doc_id, ws)
+    * frame — shared by the in-plan fit and the count builders. */
+  private def knDocBigrams(ids: DataFrame): DataFrame =
+    ids.select(col("doc_id"),
         explode(when(size(col("ws")) >= 2,
           transform(sequence(lit(1), size(col("ws")) - 1),
             i => struct(element_at(col("ws"), i).as("w1"),
@@ -237,26 +253,156 @@ object TextAnalysis {
           .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // Bigram-type table feeds three derived tables + the total — one
-    // materialization (vocab²-bounded), not three corpus rescans.
-    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint(false)
+
+  /** The whole KN model from the bigram-count table alone: c1,
+    * continuation counts, and the type total all DERIVE from c12, so
+    * c12 is the one statistic that must persist — and it is ADDITIVE
+    * over doc-partitioned shards (bigrams never span documents),
+    * which is what makes the store's shard ledger exact. The
+    * arithmetic here is the single code path every scorer shares:
+    * in-plan, store-frozen, and streaming scores cannot drift. */
+  private def knModelFromCounts(c12: DataFrame,
+                                discount: Double): DataFrame = {
     val c1 = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1plus_fwd"))
     val prec = c12.groupBy("w2").agg(count(lit(1)).as("n1plus_prec"))
     val btypes = c12.agg(count(lit(1)).as("b_types"))
-    val model = c12.join(c1, "w1").join(prec, "w2")
+    c12.join(c1, "w1").join(prec, "w2")
       .crossJoin(broadcast(btypes))
       .select(col("w1"), col("w2"),
         ((col("c12") - lit(discount)) / col("c1") +
           lit(discount) * col("n1plus_fwd") / col("c1") *
             (col("n1plus_prec") / col("b_types"))).as("p_kn"))
-    val scored = big.join(model, Seq("w1", "w2"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log2(col("p_kn"))), 4).as("kn_score"))
-    ids.select("doc_id").join(scored, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_bigrams"))
+  }
+
+  /** The corpus statistic the KN fit needs: the bigram-type count
+    * table (w1, w2, c12). */
+  def knBigramCounts(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame =
+    knDocBigrams(docs.select(col(idCol).as("doc_id"),
+        Fns.words(col(textCol)).as("ws")))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+
+  // ---------------------------------------------------------------
+  // Frozen / persisted KN model (the CCNet model-artifact shape)
+  // ---------------------------------------------------------------
+
+  /** The frozen KN scoring artifact: per bigram type, the exact
+    * p_kn double the in-plan fit computes (same shared arithmetic),
+    * keyed `w1w2`. Driver-bounded by bigram TYPES — the KenLM
+    * model-in-memory shape (CCNet ships the trained model to every
+    * scorer; a vocabulary-capped corpus keeps this far below corpus
+    * scale, and [[knFreeze]]'s `maxTypes` guard fails loudly rather
+    * than silently collecting an unbounded table). */
+  final case class KnModel(discount: Double, keys: Array[String],
+                           probs: Array[Double]) {
+    def asMap: Map[String, Double] = keys.zip(probs).toMap
+  }
+
+  private def knSep = "\u0001"
+
+  private def knCollectModel(c12: DataFrame, discount: Double,
+                             maxTypes: Int): KnModel = {
+    val rows = knModelFromCounts(c12, discount)
+      .select(concat_ws(knSep, col("w1"), col("w2")).as("k"), col("p_kn"))
+      .limit(maxTypes + 1).collect()
+    require(rows.length <= maxTypes,
+      s"KN model exceeds maxTypes=$maxTypes bigram types — raise the " +
+        "cap explicitly or trim the vocabulary first")
+    KnModel(discount, rows.map(_.getString(0)), rows.map(_.getDouble(1)))
+  }
+
+  /** Freeze the KN model straight from a training corpus (no store). */
+  def knFreeze(docs: DataFrame, idCol: String, textCol: String,
+               discount: Double = 0.75, maxTypes: Int = 1000000): KnModel =
+    knCollectModel(knBigramCounts(docs, idCol, textCol), discount, maxTypes)
+
+  // Persisted KN count store (additive → Dsir-style shard ledger).
+  private def knC12Table(root: String) = s"$root/kn_c12"
+  private def knParamsTable(root: String) = s"$root/kn_params"
+  private def knAppliedTable(root: String) = s"$root/kn_applied"
+
+  /** Persist the KN count model: the bigram-type table as a
+    * VersionedStore artifact with the additive shard ledger (the
+    * dsirStore/bpeStore pattern) — a corpus shard updates counts
+    * WITHOUT a corpus rescan, and [[knFreezeFromStore]] derives the
+    * scoring artifact from stored counts alone. */
+  def knBuildStore(docs: DataFrame, idCol: String, textCol: String,
+                   root: String, discount: Double = 0.75): Unit = {
+    import graft.offline.VersionedStore
+    require(discount > 0 && discount < 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    VersionedStore.overwrite(
+      knBigramCounts(docs, idCol, textCol), knC12Table(root))
+    VersionedStore.overwrite(Seq(discount).toDF("discount"),
+      knParamsTable(root))
+    VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), knAppliedTable(root))
+  }
+
+  /** Fold one corpus shard's bigram counts into the store: additive
+    * keyed MERGE on (w1, w2); the ledger is load-bearing (a replayed
+    * additive shard would double-count — the Dsir contract:
+    * at-least-once-with-dedup, ledger row lands after the commit). */
+  def knUpsertCounts(shardDocs: DataFrame, idCol: String, textCol: String,
+                     root: String, shardId: String): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDocs.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, knAppliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val shard = knBigramCounts(shardDocs, idCol, textCol)
+    val cur = VersionedStore.read(spark, knC12Table(root))
+      .withColumnRenamed("c12", "c0")
+    val combined = shard.join(cur, Seq("w1", "w2"), "left_outer")
+      .select(col("w1"), col("w2"),
+        (col("c12") + coalesce(col("c0"), lit(0L))).as("c12"))
+    VersionedStore.merge(combined, knC12Table(root), Seq("w1", "w2"))
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      knAppliedTable(root))
+    true
+  }
+
+  /** Freeze the scoring artifact from the stored counts — no corpus
+    * scan; equals [[knFreeze]] over the union of every ingested shard
+    * (counts are exact longs, the p_kn arithmetic is the one shared
+    * code path). */
+  def knFreezeFromStore(spark: org.apache.spark.sql.SparkSession,
+                        root: String, maxTypes: Int = 1000000): KnModel = {
+    import graft.offline.VersionedStore
+    val discount = VersionedStore.read(spark, knParamsTable(root))
+      .head().getDouble(0)
+    knCollectModel(VersionedStore.read(spark, knC12Table(root)),
+      discount, maxTypes)
+  }
+
+  /** Streaming-safe KN scoring against a FROZEN model: one pure
+    * projection — the bigram keys, probabilities, and the mean
+    * -log2 p all computed by higher-order array functions against a
+    * literal map, no explode, no join, no aggregation (the
+    * qualityFilterFrozen shape, so it runs in a stream's append mode
+    * with zero state). Same output schema as [[knBigramScore]];
+    * bigrams the model never saw are skipped from the mean exactly
+    * as the in-plan scorer's inner join skips them, so on the
+    * training corpus the two agree row-for-row (4dp — the per-doc
+    * mean is the one order-dependent double, [[lmScore]]'s rule). */
+  def knScoreFrozen(docs: DataFrame, idCol: String, textCol: String,
+                    model: KnModel): DataFrame = {
+    val mdl = map_from_arrays(lit(model.keys), lit(model.probs))
+    val ws = Fns.words(col(textCol))
+    val keys2 = when(ws.isNotNull && size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(knSep, element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val probs = filter(transform(keys2, k => element_at(mdl, k)),
+      p => p.isNotNull)
+    docs.select(col(idCol).as("doc_id"),
+      size(probs).cast("long").as("n_bigrams"),
+      when(size(probs) > 0,
+        round(aggregate(probs, lit(0.0d), (a, p) => a - log2(p)) /
+          size(probs), 4)).as("kn_score"))
   }
 
   /** Thresholds for [[qualityClassifier]] — Gopher/C4-flavored

@@ -202,6 +202,61 @@ class SketchSpec extends AnyFunSuite {
     assert(out.count() === Tables.documents(spark, sf).count())
   }
 
+  private def knRows(df: DataFrame): Map[Long, (Long, Option[Any])] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_bigrams"),
+        Option(r.get(r.fieldIndex("kn_score")))))).toMap
+
+  test("frozen KN scorer equals the in-plan fit on the training corpus") {
+    val docs = Tables.documents(spark, sf).localCheckpoint(false)
+    val model = TextAnalysis.knFreeze(docs, "doc_id", "text")
+    val frozen = knRows(TextAnalysis.knScoreFrozen(docs, "doc_id", "text",
+      model))
+    val inPlan = knRows(TextAnalysis.knBigramScore(docs, "doc_id", "text"))
+    assert(frozen === inPlan)
+    // serving on unseen text: unknown bigrams are skipped from the
+    // mean exactly as the in-plan inner join skips them
+    val unseen = Seq((900L, "xqzzy frobnitz blorp")).toDF("doc_id", "text")
+    assert(knRows(TextAnalysis.knScoreFrozen(unseen, "doc_id", "text",
+      model)) === Map(900L -> ((0L, None))))
+  }
+
+  test("KN store: additive shard upserts; store freeze == corpus freeze") {
+    val root = java.nio.file.Files
+      .createTempDirectory("knstore").toString + "/kn"
+    val docs = Tables.documents(spark, sf).localCheckpoint(false)
+    val s0 = docs.filter(col("doc_id") % 3 === 0)
+    val s1 = docs.filter(col("doc_id") % 3 === 1)
+    val s2 = docs.filter(col("doc_id") % 3 === 2)
+    TextAnalysis.knBuildStore(s0, "doc_id", "text", root)
+    assert(TextAnalysis.knUpsertCounts(s1, "doc_id", "text", root, "s1"))
+    assert(TextAnalysis.knUpsertCounts(s2, "doc_id", "text", root, "s2"))
+    assert(!TextAnalysis.knUpsertCounts(s1, "doc_id", "text", root, "s1"),
+      "replayed shard must no-op — additive counts would double")
+    // stored counts == direct counts over the union (bigrams never
+    // span documents, so doc-sharding is exactly additive)
+    val stored = graft.offline.VersionedStore.read(spark, root + "/kn_c12")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val direct = TextAnalysis.knBigramCounts(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(stored === direct)
+    // the frozen artifact from the store == frozen from the corpus
+    val fromStore = TextAnalysis.knFreezeFromStore(spark, root)
+    val fromCorpus = TextAnalysis.knFreeze(docs, "doc_id", "text")
+    assert(fromStore.asMap === fromCorpus.asMap)
+    assert(fromStore.discount === fromCorpus.discount)
+  }
+
+  test("KN freeze maxTypes guard fails loudly, never truncates silently") {
+    val docs = Tables.documents(spark, sf)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.knFreeze(docs, "doc_id", "text", maxTypes = 5)
+    }
+    assert(ex.getMessage.contains("maxTypes"))
+  }
+
   // -----------------------------------------------------------------
   // Frame sampling
   // -----------------------------------------------------------------

@@ -745,6 +745,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
   }
 
+  test("frozen KN scorer runs stateless on a stream, equals batch application") {
+    implicit val sqlCtx = spark.sqlContext
+    // the model artifact comes from an OFFLINE fit; the stream scores
+    // against it as a pure projection (literal map + array lambdas)
+    val train = Seq((10L, "a b"), (11L, "a b"), (12L, "a c"), (13L, "b a"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.TextAnalysis.knFreeze(train, "doc_id", "text")
+    val rows = Seq(
+      (1L, "a b a c"),          // all bigrams known
+      (2L, "a b zz"),           // unknown bigram skipped from the mean
+      (3L, "solo"))             // no bigrams: n=0, NULL score
+    val input = MemoryStream[(Long, String)]
+    // append mode with NO watermark: starting at all proves the plan
+    // carries no stateful aggregation — pure projection end to end
+    val query = graft.operators.TextAnalysis.knScoreFrozen(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("sknscore")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    val streamed = toMapOf(spark.table("sknscore"))
+    query.stop()
+    val batch = toMapOf(graft.operators.TextAnalysis.knScoreFrozen(
+      rows.toDF("doc_id", "text"), "doc_id", "text", model))
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
+    assert(streamed(1L)._1 === 3L)
+    assert(streamed(2L)._1 === 1L, "unknown bigram must be skipped")
+    assert(streamed(3L) === ((0L, None)))
+  }
+
   test("frozen decontamination runs stateless on a stream, equals batch decontaminate") {
     implicit val sqlCtx = spark.sqlContext
     val eval = Seq((100L, "the quick brown fox jumps over lazy dogs"))
