@@ -448,6 +448,21 @@ object Graft {
   def stripSpans(docs: DataFrame, spans: DataFrame): DataFrame =
     Dedup.stripSpans(docs, "doc_id", "text", spans)
 
+  /** Corpus-GLOBAL exact-substring duplicate spans (Lee et al.
+    * ExactSubstr): every occurrence of every duplicated >= minTokens
+    * region except the corpus-wide first — no suffix array, no pair
+    * join, linear in corpus size and independent of duplicate-cluster
+    * fan-out (the scale twin of [[overlapSpans]]' pairwise evidence). */
+  def substrSpans(docs: DataFrame, n: Int = 3,
+                  minTokens: Int = 8): DataFrame =
+    Dedup.exactSubstrSpans(docs, "doc_id", "text", n, minTokens)
+
+  /** The ExactSubstr action: cut all duplicated spans, keeping the
+    * global first occurrence of each region; every doc comes back. */
+  def substrDedup(docs: DataFrame, n: Int = 3,
+                  minTokens: Int = 8): DataFrame =
+    Dedup.exactSubstrDedup(docs, "doc_id", "text", n, minTokens)
+
   /** Gopher-style repetition quality metrics per document. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionMetrics(docs, "doc_id", "text")

@@ -700,6 +700,28 @@ object SparkEntry {
         n = 3, minTokens = 8, maxDf = 100))
   }
 
+  /** Corpus-GLOBAL exact-substring duplicate spans (round 11): the
+    * Lee et al. ExactSubstr family without a suffix array OR a pair
+    * join — one window over the positional gram stream (df +
+    * first-occurrence rank) and a per-doc islands merge find every
+    * occurrence of every duplicated >= 8-token region except the
+    * corpus-wide first. Work is LINEAR in positions — independent of
+    * duplicate-cluster fan-out, the property [[Dedup.overlapSpans]]'s
+    * pairwise join lacks at high df. Whole pipeline replayed in SQL
+    * (raw gram text on the oracle side, the positional-shingle
+    * hash-vs-text convention q_overlap_spans declares). */
+  def qSubstrSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text",
+      n = 3, minTokens = 8)
+
+  /** The ExactSubstr ACTION end-to-end (round 11): global span
+    * detection -> merged cut ranges -> positional token strip; the
+    * first occurrence of each duplicated region survives, every
+    * other copy is cut. Every doc comes back (possibly shortened). */
+  def qSubstrDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSubstrDedup(Tables.documents(s, d), "doc_id", "text",
+      n = 3, minTokens = 8)
+
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5
     * distinct 3-gram shingles with any eval doc. */
@@ -1475,6 +1497,8 @@ object SparkEntry {
     "q_crawl_pipeline" -> (qCrawlPipeline _),
     "q_overlap_spans" -> (qOverlapSpans _),
     "q_strip_spans" -> (qStripSpans _),
+    "q_substr_spans" -> (qSubstrSpans _),
+    "q_substr_dedup" -> (qSubstrDedup _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_quality_filter_frozen" -> (qQualityFilterFrozen _),
     "q_ppl_buckets" -> (qPplBuckets _),
@@ -3440,6 +3464,90 @@ object SparkEntry {
           |  SELECT w.doc_id, i, ws[i] AS t
           |  FROM w JOIN cut_docs USING (doc_id),
           |       unnest(generate_series(1, len(ws))) AS g(i)
+          |), kept AS (
+          |  SELECT tk.doc_id, tk.i, tk.t
+          |  FROM tokens tk
+          |  WHERE NOT EXISTS (SELECT 1 FROM merged mg
+          |                    WHERE mg.doc_id = tk.doc_id
+          |                      AND tk.i >= mg.s AND tk.i < mg.e)
+          |), rebuilt AS (
+          |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text_clean
+          |  FROM kept GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |  CASE WHEN cd.doc_id IS NULL THEN d.text
+          |       ELSE coalesce(r.text_clean, '') END AS text_clean
+          |FROM documents d
+          |LEFT JOIN cut_docs cd ON d.doc_id = cd.doc_id
+          |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
+
+      // Corpus-global ExactSubstr: the oracle replays the whole
+      // detection on raw gram text — positional 3-grams, df +
+      // first-occurrence rank in one window pass, per-doc islands —
+      // and (for the action) the same merged-range strip idiom as
+      // q_strip_spans. (doc_id, pos) is unique, so the global
+      // first-occurrence winner is total-order deterministic.
+      "q_substr_spans" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT doc_id, i AS pos, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+          |  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+          |), m AS (
+          |  SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS df,
+          |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+          |  FROM g
+          |), d AS (SELECT doc_id, pos FROM m WHERE df >= 2 AND rn > 1),
+          |isl AS (
+          |  SELECT doc_id, pos,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+          |      AS island
+          |  FROM d
+          |)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+          |       CAST(count(*) + 2 AS BIGINT) AS span_tokens
+          |FROM isl GROUP BY doc_id, island
+          |HAVING count(*) + 2 >= 8""".stripMargin,
+
+      "q_substr_dedup" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT doc_id, i AS pos, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+          |  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+          |), m AS (
+          |  SELECT doc_id, pos, count(*) OVER (PARTITION BY s) AS df,
+          |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+          |  FROM g
+          |), dd AS (SELECT doc_id, pos FROM m WHERE df >= 2 AND rn > 1),
+          |isl AS (
+          |  SELECT doc_id, pos,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+          |      AS island
+          |  FROM dd
+          |), spans AS (
+          |  SELECT doc_id, min(pos) AS s, min(pos) + count(*) + 2 AS e
+          |  FROM isl GROUP BY doc_id, island
+          |  HAVING count(*) + 2 >= 8
+          |), r2 AS (
+          |  SELECT doc_id, s, e,
+          |    max(e) OVER (PARTITION BY doc_id ORDER BY s
+          |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS maxe
+          |  FROM spans
+          |), r3 AS (
+          |  SELECT doc_id, s, e,
+          |    sum(CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY doc_id ORDER BY s
+          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS island
+          |  FROM r2
+          |), merged AS (
+          |  SELECT doc_id, island, min(s) AS s, max(e) AS e
+          |  FROM r3 GROUP BY 1, 2
+          |), cut_docs AS (SELECT DISTINCT doc_id FROM merged),
+          |tokens AS (
+          |  SELECT w.doc_id, i, ws[i] AS t
+          |  FROM w JOIN cut_docs USING (doc_id),
+          |       unnest(generate_series(1, len(ws))) AS tk(i)
           |), kept AS (
           |  SELECT tk.doc_id, tk.i, tk.t
           |  FROM tokens tk

@@ -990,6 +990,74 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
   }
 
+  /** CORPUS-GLOBAL exact-substring duplicate spans — the suffix-
+    * array-family dedup of Lee et al. 2022 ("Deduplicating Training
+    * Data Makes Language Models Better", ExactSubstr) re-expressed as
+    * relational plans: a maximal duplicated region is a maximal RUN of
+    * positions whose n-token gram occurs elsewhere in the corpus, so
+    * detection needs no suffix array AND no pair enumeration — one
+    * window over the positional gram stream keyed by gram (df + first-
+    * occurrence rank), one per-doc gaps-and-islands merge. Every
+    * occurrence of a duplicated region is reported EXCEPT the
+    * corpus-wide first (min (doc_id, pos) per gram — the whole corpus
+    * keeps exactly one copy of each duplicated region; Lee et al.'s
+    * "remove all but one occurrence" rule, decided globally rather
+    * than per pair).
+    *
+    * vs [[overlapSpans]] (the pairwise twin): overlapSpans enumerates
+    * (doc_a, doc_b) matches — the per-pair evidence, but its inverted-
+    * index self-join is QUADRATIC in a gram's df (a boilerplate line
+    * in 1M docs explodes; the maxDf cap trades recall to contain it).
+    * Here df never multiplies anything: a gram in 1M docs costs 1M
+    * window rows, period — work is positions + duplicated positions,
+    * LINEAR in corpus size and independent of cluster fan-out, which
+    * is the property that survives 100 TB. The price: span evidence
+    * is per occurrence, not per pair (no doc_a column), and the
+    * keep-one winner is the global first occurrence rather than a
+    * per-pair choice.
+    *
+    * Output: (doc_id, start_pos, span_tokens), 1-based token
+    * positions, spans ≥ `minTokens`. Ties in the first-occurrence
+    * rank cannot exist ((doc_id, pos) is unique), so the winner —
+    * and therefore every span — is total-order deterministic.
+    * Gram keys are the same xxhash64 positional shingles as
+    * [[overlapSpans]] (the oracle replays raw gram text; a hash
+    * collision merging two distinct grams is the same vanishing case
+    * that family already declares).
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && minTokens >= n)
+    val sh = positionalShingles(docs, idCol, textCol, n)
+    val wG = Window.partitionBy("s")
+    val marked = sh
+      .withColumn("df", count(lit(1)).over(wG))
+      .withColumn("rn", row_number().over(wG.orderBy("doc_id", "pos")))
+    val dups = marked.filter(col("df") >= 2 && col("rn") > 1)
+      .select("doc_id", "pos")
+    val wD = Window.partitionBy("doc_id").orderBy("pos")
+    dups.withColumn("island", col("pos") - row_number().over(wD))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("start_pos"),
+        (count(lit(1)) + (n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select("doc_id", "start_pos", "span_tokens")
+  }
+
+  /** The ExactSubstr ACTION: cut every [[exactSubstrSpans]] span from
+    * its document (the global first occurrence of each duplicated
+    * region survives by construction — it is never reported as a
+    * span), returning (doc_id, text_clean) for every input document.
+    * Composes [[stripSpans]]' merged-range token filter, so
+    * overlapping spans cut once and span-free docs pass through. */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minTokens: Int = 8): DataFrame =
+    stripSpans(docs, idCol, textCol,
+      exactSubstrSpans(docs, idCol, textCol, n, minTokens)
+        .select(col("doc_id").as("doc_b"), col("start_pos").as("start_b"),
+          col("span_tokens").as("match_len")))
+
   /** The substring-dedup ACTION: remove [[overlapSpans]] matches from
     * each pair's HIGHER doc id (keep-min convention — doc_a keeps its
     * copy, doc_b loses the span), returning (doc_id, text_clean) for

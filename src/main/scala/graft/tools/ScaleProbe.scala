@@ -766,6 +766,24 @@ object ScaleProbe {
       LinkGraph.pageRankMicro(prEdges(2000000L), 5).count())
     time("pagerank 20M edges / 2M hosts (5 iter)")(
       LinkGraph.pageRankMicro(prEdges(20000000L), 5).count())
+    // the x100 point (200M edges / 20M hosts) — run explicitly via
+    // the section filter ("graph100"): it is a multi-minute solo job
+    // that would distort every other section's numbers if bundled
+    if (sections("graph100"))
+      time("pagerank 200M edges / 20M hosts (5 iter)")(
+        LinkGraph.pageRankMicro(prEdges(200000000L), 5).count())
+    }
+    if (sections("graph100") && !sections("graph")) {
+    import graft.operators.LinkGraph
+    def prEdges100(nE: Long) = {
+      val hosts = nE / 10
+      spark.range(nE).select(
+        (col("id") % hosts).as("src"),
+        when(col("id") % 10 < 3, lit(0L))
+          .otherwise((col("id") * 31 + 7) % hosts).as("dst"))
+    }
+    time("pagerank 200M edges / 20M hosts (5 iter)")(
+      LinkGraph.pageRankMicro(prEdges100(200000000L), 5).count())
     }
 
     if (sections("emb")) {

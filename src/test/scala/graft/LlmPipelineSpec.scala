@@ -529,6 +529,76 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(spans.forall(_._5 == 5L), s"unexpected span lengths: $spans")
   }
 
+  test("exactSubstrSpans: global detection, first occurrence exempt") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val docs = Seq(
+      (1L, s"$shared tail1 one"),     // global first occurrence — exempt
+      (2L, s"head2 a $shared"),       // second copy → span at pos 3
+      (3L, s"$shared mid3 x"),        // third copy → span at pos 1
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")) // all unique
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text",
+        n = 3, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((2L, 3L, 10L), (3L, 1L, 10L)),
+      s"expected the two non-first copies only, got $spans")
+  }
+
+  test("exactSubstrSpans: within-doc repetition is a duplicate too") {
+    // second half repeats the first: gram starts 9..14 duplicate
+    // their pos 1..6 twins; the seam grams (7, 8) are unique
+    val docs = Seq((1L, "a b c d e f g h a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text",
+        n = 3, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 9L, 8L)))
+  }
+
+  test("exactSubstrDedup: cuts every copy but the global first; corpus keeps one") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val docs = Seq(
+      (1L, s"$shared tail1 one"),
+      (2L, s"head2 a $shared"),
+      (3L, shared),                    // pure copy → empty after cut
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(docs, "doc_id", "text",
+        n = 3, minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === s"$shared tail1 one", "first occurrence survives")
+    assert(out(2L) === "head2 a", "later copy loses exactly the span")
+    assert(out(3L) === "", "pure copy comes back empty, never dropped")
+    assert(out(4L) === "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")
+    assert(out.size === 4, "every input doc must come back")
+  }
+
+  test("exactSubstrDedup on the corpus: injected exact copies empty, originals intact") {
+    val base = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text")
+    // inject exact copies at higher ids: ALL their grams are
+    // non-first (the full text exists at a smaller doc_id), so
+    // ExactSubstr must empty them entirely while the originals —
+    // every gram a global first unless naturally duplicated — keep
+    // at least their unique material
+    val copies = base.filter(col("doc_id") < 5 &&
+        size(split(col("text"), " ")) >= 8)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      .localCheckpoint(false)
+    val copyIds = copies.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(copyIds.nonEmpty)
+    val docs = base.union(copies).localCheckpoint(false)
+    val cleaned = Dedup.exactSubstrDedup(docs, "doc_id", "text",
+        n = 3, minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    copyIds.foreach { id =>
+      assert(cleaned(id) === "", s"exact copy $id not fully stripped") }
+    copyIds.foreach { id =>
+      assert(cleaned(id - 100000L).nonEmpty,
+        "the original (global first) must keep its text") }
+    assert(cleaned.size === docs.count())
+  }
+
   test("stripSpans: removes matched runs from the higher doc id, merges overlapping cuts") {
     val docs = Seq(
       (4L, "m n o p q GAP1 GAP2 r s t u v"),

@@ -481,13 +481,27 @@ class PlanSpec extends AnyFunSuite {
   test("q_cm_join_size: estimate cost is sketch-shaped — cells join cells, corpora never meet pre-estimate") {
     val df = SparkEntry.qCmJoinSize(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // 5 shuffles: two additive cell groupBys, the per-row inner
-    // product regroup, the final min, and the exact-audit join's
-    // aggregate; the only nested loop is the deliberate 1×1 crossJoin
-    // stitching estimate to audit
-    assert(countShuffles(df) == 5, s"plan:\n$plan")
+    // 8 shuffles: two additive cell groupBys, the per-row inner
+    // product regroup, the final min, the exact-audit join's
+    // aggregate, and the zero-overlap guard's THREE depth-row-set
+    // distincts (two per-side + the union distinct — each over
+    // ≤ depth rows, cost-free; the guard is what proves an
+    // overlap-free depth row as join size 0). The only nested loop
+    // is the deliberate 1×1 crossJoin stitching estimate to audit.
+    assert(countShuffles(df) == 8, s"plan:\n$plan")
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 2,
       s"only the 1×1 estimate/audit stitch may nest:\n$plan")
+  }
+
+  test("q_substr_spans: corpus-global detection is window-shaped — zero joins") {
+    val df = SparkEntry.qSubstrSpans(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // THE ExactSubstr scale property: no pair enumeration anywhere —
+    // df and first-occurrence rank come from ONE gram-keyed window,
+    // islands from a per-doc window; a gram in a million docs costs a
+    // million window rows, never a million² join rows
+    assert(!plan.contains("Join"), s"detection must not join:\n$plan")
+    assert(plan.contains("Window"), s"expected window passes:\n$plan")
   }
 
   test("q_join_plan: planning reads cells, never a corpus cartesian") {
