@@ -68,6 +68,17 @@ object LinkGraph {
                   nIter: Int, dampingPct: Int,
                   massMicro: Long): DataFrame = {
     require(nIter >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    // Deliberately NOT pre-partitioned by src: the ×100 probe (round
+    // 11, 200M edges) A/B'd an explicit repartition(src) before the
+    // lineage cut — localCheckpoint preserves outputPartitioning, so
+    // iterations would skip the e-side join exchange — and it
+    // measured ~2× SLOWER at both 20M (49.5 s vs 25.1 s) and 200M
+    // (218 s vs 145 s): pinning the fit to one static 64-way layout
+    // costs more than AQE re-sizing each iteration's exchanges, and
+    // the per-iteration contribution groupBy(dst) dominates either
+    // way (docs/SCALE_NOTES.md round 11). On a real cluster the
+    // equivalent lever is bucketed edge-table STORAGE, not an
+    // in-plan repartition.
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
