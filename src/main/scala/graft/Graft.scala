@@ -463,6 +463,20 @@ object Graft {
                   minTokens: Int = 8): DataFrame =
     Dedup.exactSubstrDedup(docs, "doc_id", "text", n, minTokens)
 
+  /** Freeze the duplicated-gram artifact for [[substrStripFrozen]]:
+    * minDf = 1 is the dedup-vs-corpus mode (every corpus gram),
+    * minDf >= 2 the boilerplate mode (corpus-internal dups only). */
+  def substrFreeze(docs: DataFrame, n: Int = 3,
+                   minDf: Long = 2L): Array[Long] =
+    Dedup.freezeDupGrams(docs, "doc_id", "text", n, minDf)
+
+  /** Streaming-safe ExactSubstr strip against a frozen gram set: one
+    * pure projection, zero state — the action twin of
+    * [[decontaminateFrozen]]. */
+  def substrStripFrozen(docs: DataFrame, frozenGrams: Array[Long],
+                        n: Int = 3): DataFrame =
+    Dedup.exactSubstrFrozen(docs, "doc_id", "text", frozenGrams, n)
+
   /** Gopher-style repetition quality metrics per document. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionMetrics(docs, "doc_id", "text")

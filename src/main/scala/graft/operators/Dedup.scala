@@ -1058,6 +1058,76 @@ object Dedup {
         .select(col("doc_id").as("doc_b"), col("start_pos").as("start_b"),
           col("span_tokens").as("match_len")))
 
+  /** Freeze the duplicated-gram artifact for [[exactSubstrFrozen]]:
+    * the xxhash64 positional-gram hashes occurring ≥ `minDf` times in
+    * the offline corpus (same hash family as [[exactSubstrSpans]]'
+    * detection, so the two agree on identity). Two dials:
+    * `minDf = 1` freezes EVERY corpus gram — the dedup-vs-corpus
+    * mode, where any stream occurrence is a repeat of something the
+    * corpus already keeps; `minDf ≥ 2` freezes only corpus-internal
+    * duplicates — the boilerplate-removal mode, with a far smaller
+    * artifact. Driver-bounded by qualifying gram TYPES (the
+    * freezeEvalShingles contract — size minDf to what the driver
+    * holds; at minDf = 1 this is the corpus's full gram vocabulary).
+    */
+  def freezeDupGrams(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, minDf: Long = 2L): Array[Long] =
+    positionalShingles(docs, idCol, textCol, n)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("s").collect().map(_.getLong(0))
+
+  /** STREAMING-SAFE ExactSubstr strip against a frozen gram set: one
+    * pure projection — per row, flag each gram start whose hash is in
+    * the frozen set (literal-map probe), cut every token covered by a
+    * flagged gram, reassemble. No explode, no join, no aggregation —
+    * runs in a stream's append mode with zero state (the
+    * decontaminateFrozen shape applied to the ACTION, not just the
+    * score).
+    *
+    * Semantics vs the batch [[exactSubstrDedup]]: the frozen set
+    * stands in for "this region already exists" — no first-occurrence
+    * exemption (the freeze-time corpus already keeps its one copy),
+    * and cuts happen at gram granularity (every flagged-gram token
+    * goes, i.e. the batch policy at minTokens = n). On documents
+    * DISJOINT from the freeze corpus with no internal repetition,
+    * this EQUALS the batch action over corpus ∪ docs restricted to
+    * docs at minTokens = n with minDf = 1 (spec-held); duplicates
+    * arriving twice WITHIN the stream are invisible to the frozen
+    * artifact — the standing frozen-twin contract (state lives in
+    * the offline freeze, refreshed on the caller's cadence).
+    */
+  def exactSubstrFrozen(docs: DataFrame, idCol: String, textCol: String,
+                        frozenGrams: Array[Long], n: Int = 3): DataFrame = {
+    val mdl = map_from_arrays(lit(frozenGrams),
+      lit(Array.fill(frozenGrams.length)(true)))
+    val refs = (0 until n).map(j => s"ws[s - 1 + $j]").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        coalesce(Fns.words(col(textCol)),
+          array().cast("array<string>")).as("ws"))
+      .withColumn("__frz", mdl)
+      // one flag per gram start: is this n-gram in the frozen set
+      .withColumn("flags",
+        when(size(col("ws")) >= n, expr(
+          s"transform(sequence(1, size(ws) - ${n - 1}), " +
+            s"s -> __frz[xxhash64(concat_ws(' ', $refs))] IS NOT NULL)"))
+          .otherwise(array().cast("array<boolean>")))
+      // cut token t iff ANY gram covering it (starts t-n+1..t) is
+      // flagged; with >= 1 gram the start range is always ascending
+      // (lo = max(1, t-n+1) <= min(|flags|, t) = hi), and the empty-
+      // flags guard dodges sequence()'s descending-range trap
+      .withColumn("text_clean", concat_ws(" ", expr(
+        s"""filter(
+           |  transform(ws, (w, i0) ->
+           |    IF(size(flags) >= 1 AND
+           |       exists(sequence(greatest(1, i0 + 1 - ${n - 1}),
+           |                       least(size(flags), i0 + 1)),
+           |              s -> flags[s - 1]), NULL, w)),
+           |  w -> w IS NOT NULL)""".stripMargin)))
+      .select("doc_id", "text_clean")
+  }
+
   /** The substring-dedup ACTION: remove [[overlapSpans]] matches from
     * each pair's HIGHER doc id (keep-min convention — doc_a keeps its
     * copy, doc_b loses the span), returning (doc_id, text_clean) for

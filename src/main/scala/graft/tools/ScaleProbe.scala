@@ -175,6 +175,18 @@ object ScaleProbe {
       Dedup.simhashPairsWide(docs, "doc_id", "text", 6, words = 2).count())
     time("ngram xK (declared maxDf=100)")(
       Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = 100).count())
+    // ExactSubstr on the replicated corpus is the WORST duplication
+    // case — (k-1)/k of all positions are duplicated (every replica
+    // fully repeats its original) — yet the window-shaped plan's work
+    // stays ∝ positions: per-gram df is k×, never k² pair rows. The
+    // x1/xK pair below is the linearity evidence.
+    time("exact-substr spans x1")(
+      Dedup.exactSubstrSpans(Tables.documents(spark, d), "doc_id",
+        "text", 3, 8).count())
+    time("exact-substr spans xK (every gram df>=k)")(
+      Dedup.exactSubstrSpans(docs, "doc_id", "text", 3, 8).count())
+    time("exact-substr dedup ACTION xK")(
+      Dedup.exactSubstrDedup(docs, "doc_id", "text", 3, 8).count())
     // production order: exact dedup FIRST collapses identical copies
     // (k replicas → 1 canonical) before the quadratic-in-dup-cluster
     // pair join — the inverted index then only sees distinct content.

@@ -599,6 +599,57 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(cleaned.size === docs.count())
   }
 
+  test("exactSubstrFrozen: frozen boilerplate grams cut, fresh text kept") {
+    val boiler = "b1 b2 b3 b4 b5 b6"
+    val corpus = Seq(
+      (1L, s"c1 c2 $boiler c3"),
+      (2L, s"c4 $boiler c5 c6"),
+      (3L, "c7 c8 c9 c10 c11")).toDF("doc_id", "text")
+    // minDf=2: only the boilerplate's grams qualify (each appears in
+    // docs 1 and 2); the unique c* grams stay out of the artifact
+    val frozen = Dedup.freezeDupGrams(corpus, "doc_id", "text",
+      n = 3, minDf = 2L)
+    assert(frozen.length === 4, "exactly the 4 boilerplate 3-grams")
+    val stream = Seq(
+      (10L, s"u1 u2 $boiler u3"),
+      (11L, "u4 u5 u6 u7 u8"),
+      (12L, "ab")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrFrozen(stream, "doc_id", "text", frozen,
+        n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) === "u1 u2 u3", "boilerplate cut, fresh tokens kept")
+    assert(out(11L) === "u4 u5 u6 u7 u8")
+    assert(out(12L) === "ab", "short docs pass through")
+  }
+
+  test("exactSubstrFrozen == batch ExactSubstr over corpus ∪ docs (disjoint arrivals)") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val corpus = Seq(
+      (1L, s"c1 c2 $shared c3"),
+      (2L, "c4 c5 c6 c7 c8 c9")).toDF("doc_id", "text")
+    // new docs: copy corpus material + unique filler, no repetition
+    // within or between the arrivals (the declared frozen contract)
+    val arrivals = Seq(
+      (100L, s"u1 $shared u2 u3"),
+      (101L, "c4 c5 c6 v1 v2 v3"),   // 1 corpus gram (c4 c5 c6)
+      (102L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val frozen = Dedup.freezeDupGrams(corpus, "doc_id", "text",
+      n = 3, minDf = 1L) // dedup-vs-corpus mode: every corpus gram
+    val got = Dedup.exactSubstrFrozen(arrivals, "doc_id", "text",
+        frozen, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // batch over the union at minTokens = n (gram granularity), new
+    // ids above corpus ids so corpus occurrences are global firsts
+    val want = Dedup.exactSubstrDedup(corpus.union(arrivals), "doc_id",
+        "text", n = 3, minTokens = 3)
+      .filter(col("doc_id") >= 100L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === want, s"frozen/batch divergence:\n$got\n$want")
+    assert(got(100L) === "u1 u2 u3")
+    assert(got(101L) === "v1 v2 v3")
+    assert(got(102L) === "w1 w2 w3 w4 w5")
+  }
+
   test("stripSpans: removes matched runs from the higher doc id, merges overlapping cuts") {
     val docs = Seq(
       (4L, "m n o p q GAP1 GAP2 r s t u v"),

@@ -778,6 +778,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(3L) === ((0L, None)))
   }
 
+  test("frozen ExactSubstr strip runs stateless on a stream, equals batch application") {
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "b1 b2 b3 b4 b5 b6"
+    val corpus = Seq(
+      (1L, s"c1 c2 $boiler c3"),
+      (2L, s"c4 $boiler c5 c6")).toDF("doc_id", "text")
+    val frozen = graft.operators.Dedup.freezeDupGrams(
+      corpus, "doc_id", "text", n = 3, minDf = 2L)
+    val rows = Seq(
+      (10L, s"u1 u2 $boiler u3"),
+      (11L, "fresh only text here now"),
+      (12L, "x"))
+    val input = MemoryStream[(Long, String)]
+    // append mode with NO watermark: starting at all proves the plan
+    // carries no stateful aggregation — pure projection end to end
+    val query = graft.operators.Dedup.exactSubstrFrozen(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", frozen,
+        n = 3)
+      .writeStream.format("memory").queryName("ssubstr")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("ssubstr").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    query.stop()
+    val batch = graft.operators.Dedup.exactSubstrFrozen(
+        rows.toDF("doc_id", "text"), "doc_id", "text", frozen, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
+    assert(streamed(10L) === "u1 u2 u3")
+    assert(streamed(11L) === "fresh only text here now")
+  }
+
   test("frozen decontamination runs stateless on a stream, equals batch decontaminate") {
     implicit val sqlCtx = spark.sqlContext
     val eval = Seq((100L, "the quick brown fox jumps over lazy dogs"))
