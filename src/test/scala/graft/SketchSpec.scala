@@ -851,6 +851,36 @@ class SketchSpec extends AnyFunSuite {
     assert(stored === direct, "streamed cells must equal batch counts")
   }
 
+  test("StreamingKn: micro-batches fold bigram counts; store freeze == batch freeze") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files
+      .createTempDirectory("knstream").toString + "/kn"
+    val base = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    TextAnalysis.knBuildStore(base, "doc_id", "text", root)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingKn.start(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text", root,
+      java.nio.file.Files.createTempDirectory("knstream_ck").toString)
+    val b1 = Seq((10L, "a b c d"), (11L, "b c"))
+    val b2 = Seq((20L, "c a b"), (21L, "d d d"))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val all = base.unionByName(b1.toDF("doc_id", "text"))
+      .unionByName(b2.toDF("doc_id", "text"))
+    val stored = graft.offline.VersionedStore.read(spark, root + "/kn_c12")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val direct = TextAnalysis.knBigramCounts(all, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(stored === direct, "streamed counts must equal batch counts")
+    // and the artifact derived from streamed state == corpus freeze
+    assert(TextAnalysis.knFreezeFromStore(spark, root).asMap ===
+      TextAnalysis.knFreeze(all, "doc_id", "text").asMap)
+  }
+
   test("StreamingKmv: micro-batches re-trim bottom-k exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
