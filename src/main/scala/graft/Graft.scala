@@ -1111,8 +1111,18 @@ object Graft {
       depth, width, fast = true)
     val skB = Sketch.cmSketchRows(b.select(col(bKey).as("k")), "k",
       depth, width, fast = true)
-    val plan = Sketch.cmJoinPlan(skA, skB, broadcastRows, skewFactor)
-      .head() // one row — the planning decision is driver-bounded
+    // one row — the planning decision is driver-bounded. cmStats
+    // coalesces an empty side to n_rows = 0 (→ broadcast_a/_b), so the
+    // no-row fallback below is belt-and-braces against future stats
+    // changes, not a live path.
+    val planOpt = Sketch.cmJoinPlan(skA, skB, broadcastRows, skewFactor)
+      .collect().headOption
+    if (planOpt.isEmpty) {
+      val outCols0 = (a.columns ++ b.columns).toIndexedSeq.map(col)
+      return AutoJoin(a.join(b, a(aKey) === b(bKey), "inner")
+        .select(outCols0: _*), "shuffle", 0L)
+    }
+    val plan = planOpt.get
     val strategy = plan.getAs[String]("strategy")
     val cond = a(aKey) === b(bKey)
     val outCols = (a.columns ++ b.columns).toIndexedSeq.map(col)

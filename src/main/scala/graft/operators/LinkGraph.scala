@@ -99,10 +99,14 @@ object LinkGraph {
       .localCheckpoint(false)
     // A seed set entirely absent from the graph leaves nt = 0, and the
     // integer div-by-zero would propagate NULL ranks silently through
-    // every iteration — fail loudly instead (empty-graph edge case
-    // lands here too: no nodes means no teleport targets either).
-    require(!tele.isEmpty,
-      "teleport set is empty — no seed node appears in the graph")
+    // every iteration — fail loudly instead. Seeded case only: the
+    // uniform teleport set is empty only for an empty GRAPH, where
+    // every frame is empty and the hazard never evaluates — not worth
+    // an extra job on every pageRank call.
+    seedsOpt.foreach { _ =>
+      require(!tele.isEmpty,
+        "teleport set is empty — no seed node appears in the graph")
+    }
     val ntDf = tele.agg(count(lit(1)).as("nt"))
     val teleFlag = tele.withColumn("is_t", lit(1))
     val d = dampingPct

@@ -69,21 +69,21 @@ object RangeJoin {
   def chooseBucket(intervals: DataFrame, loCol: String, hiCol: String,
                    sampleK: Int = 256): BucketChoice = {
     require(sampleK >= 1)
-    import org.apache.spark.sql.expressions.Window
     val lens = intervals.filter(col(hiCol) > col(loCol))
       .select((col(hiCol) - col(loCol)).cast("long").as("len"),
         col(loCol).cast("long").as("lo"), col(hiCol).cast("long").as("hi"))
       .localCheckpoint(false) // feeds the sample AND the audit
-    // deterministic uniform sample: bottom-k by md5 of the interval's
-    // content (duplicates collapse — harmless for a width heuristic)
-    val sampled = lens
+    // deterministic uniform sample: global bottom-k by md5 of the
+    // interval's content (duplicates collapse — harmless for a width
+    // heuristic). orderBy+limit plans as TakeOrderedAndProject — the
+    // distributed partial top-k — where a global row_number window
+    // would funnel every interval through one partition.
+    val sample = lens
       .withColumn("h", md5(concat_ws(":", col("lo"), col("hi"))))
       .distinct()
-      .withColumn("rn", row_number().over(Window.orderBy("h")))
-      .filter(col("rn") <= sampleK)
-      .select("len", "h")
-    val sample = sampled.orderBy("len", "h").select("len")
-      .collect().map(_.getLong(0))
+      .orderBy("h").limit(sampleK)
+      .select("len")
+      .collect().map(_.getLong(0)).sorted
     require(sample.nonEmpty, "no non-empty intervals to derive a bucket from")
     val bucket = math.max(1L, sample(((sample.length - 1) * 0.5).toInt))
     val audit = lens.agg(

@@ -637,8 +637,26 @@ object Sketch {
       .filter(col("shard_id") === s"takedown:$takedownId")
       .limit(1).count() > 0
     if (seen) return false
+    // The suppression identity must be built in the STORE's column
+    // order — a caller passing HLL group columns in a different order
+    // would register keys no read ever matches, a SILENT compliance
+    // miss. So validate against the stored schema and reorder; the
+    // single-slice families just need one column.
+    val idCols: Seq[String] = family match {
+      case "hll" =>
+        val stored = VersionedStore.read(spark, sketchTable(root))
+          .columns.toSeq.filterNot(_ == "sketch")
+        require(groups.columns.toSet == stored.toSet,
+          s"takedown group columns ${groups.columns.toSeq} must match " +
+            s"the store's group columns $stored")
+        stored
+      case _ =>
+        require(groups.columns.length == 1,
+          s"$family takedown groups carry exactly the slice column")
+        groups.columns.toSeq
+    }
     val keys = groups
-      .select(tdKeyExpr(groups.columns.toSeq.map(groups(_))).as("td_key"))
+      .select(tdKeyExpr(idCols.map(groups(_))).as("td_key"))
       .distinct()
     // create-or-merge: the table is absent before the first takedown
     // and EMPTY (a zero-file snapshot read() refuses) after a rebuild
@@ -856,11 +874,15 @@ object Sketch {
   def cmStats(sketch: DataFrame): DataFrame =
     // explicit zero-count cells (a retractCm residue) are NOT nonzero
     // cells — counting them would inflate distinct_lb past a bound
+    // An all-empty sketch (zero nonzero cells) must report 0, not
+    // NULL: NULL n_rows would slip through cmJoinPlan's least() (which
+    // ignores NULLs) and drive the broadcast pick off a null compare.
     sketch.filter(col("cnt") > 0).groupBy("di")
       .agg(sum("cnt").as("n"), max("cnt").as("mx"),
         count(lit(1)).as("nnz"))
-      .agg(min("n").as("n_rows"), min("mx").as("hot_bound"),
-        max("nnz").as("distinct_lb"))
+      .agg(coalesce(min("n"), lit(0L)).as("n_rows"),
+        coalesce(min("mx"), lit(0L)).as("hot_bound"),
+        coalesce(max("nnz"), lit(0L)).as("distinct_lb"))
 
   /** Pre-flight join advisory from two CM sketches — the AQE-style
     * planning decision taken BEFORE the join runs, from kilobytes:

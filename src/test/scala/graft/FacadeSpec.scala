@@ -211,6 +211,15 @@ class FacadeSpec extends AnyFunSuite {
     assert(r.df.columns.toSeq === Seq("ak", "av", "bk", "bv"))
   }
 
+  test("joinAuto on an empty side broadcasts it (n_rows 0, not NULL)") {
+    val a = spark.range(100).select(col("id").as("ak"))
+      .filter(col("ak") < 0) // empty
+    val b = spark.range(50).select(col("id").as("bk"))
+    val r = Graft.joinAuto(a, "ak", b, "bk")
+    assert(r.strategy === "broadcast_a")
+    assert(r.df.count() === 0L)
+  }
+
   test("joinPlan / cmSketch / cmFrequencies / saltedJoin delegate") {
     val a = spark.range(300).select(col("id").as("k"))
     val b = spark.range(900).select((col("id") % 300).as("k"))

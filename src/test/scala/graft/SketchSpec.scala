@@ -433,6 +433,12 @@ class SketchSpec extends AnyFunSuite {
       Sketch.upsertSketches(shingleStream, "shingle", Seq("source"),
         root, "rebuild:evil")
     }
+    // wrong identity columns would register keys no read ever
+    // matches — a silent compliance miss, refused loudly instead
+    val exCols = intercept[IllegalArgumentException] {
+      Sketch.registerTakedown(Seq("x").toDF("wrong_col"), root, "hll", "t9")
+    }
+    assert(exCols.getMessage.contains("group columns"))
   }
 
   test("quantile sketch: known quantiles exact; k >= n sample equals exact") {
