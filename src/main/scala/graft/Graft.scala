@@ -477,6 +477,52 @@ object Graft {
                         n: Int = 3): DataFrame =
     Dedup.exactSubstrFrozen(docs, "doc_id", "text", frozenGrams, n)
 
+  /** Incremental ExactSubstr: spans of a NEW shard against an
+    * already-kept corpus (its copy is always the keeper) plus
+    * within-shard repeats — the daily-ingest shape. */
+  def substrSpansAgainst(corpusDocs: DataFrame, shardDocs: DataFrame,
+                         n: Int = 3, minTokens: Int = 8): DataFrame =
+    Dedup.exactSubstrSpansAgainst(corpusDocs, shardDocs,
+      "doc_id", "text", n, minTokens)
+
+  /** The incremental action: shard docs with their against-corpus
+    * duplicated spans cut; the corpus is untouched. */
+  def substrDedupAgainst(corpusDocs: DataFrame, shardDocs: DataFrame,
+                         n: Int = 3, minTokens: Int = 8): DataFrame =
+    Dedup.exactSubstrDedupAgainst(corpusDocs, shardDocs,
+      "doc_id", "text", n, minTokens)
+
+  /** Build the persisted ExactSubstr gram store (additive counts +
+    * shard ledger) so incremental detection never rescans the corpus. */
+  def substrStoreBuild(docs: DataFrame, root: String, n: Int = 3): Unit =
+    Dedup.buildSubstrStore(docs, "doc_id", "text", root, n)
+
+  /** Fold one shard's gram counts into the store (ledger-idempotent).
+    * Detect before ingesting. */
+  def substrStoreUpsert(shardDocs: DataFrame, root: String,
+                        shardId: String): Boolean =
+    Dedup.upsertSubstrShard(shardDocs, "doc_id", "text", root, shardId)
+
+  /** Incremental spans served from the store (== [[substrSpansAgainst]]
+    * over every ingested shard, corpus never read). */
+  def substrSpansIncremental(shardDocs: DataFrame, root: String,
+                             minTokens: Int = 8): DataFrame =
+    Dedup.substrSpansIncremental(shardDocs, "doc_id", "text", root,
+      minTokens)
+
+  /** The store-served incremental action. */
+  def substrDedupIncremental(shardDocs: DataFrame, root: String,
+                             minTokens: Int = 8): DataFrame =
+    Dedup.substrDedupIncremental(shardDocs, "doc_id", "text", root,
+      minTokens)
+
+  /** Freeze the [[substrStripFrozen]] artifact from the store — no
+    * corpus scan, bit-equal to [[substrFreeze]] over the ingested
+    * union. */
+  def substrFreezeFromStore(spark: SparkSession, root: String,
+                            minDf: Long = 2L): Array[Long] =
+    Dedup.freezeDupGramsFromStore(spark, root, minDf)
+
   /** Gopher-style repetition quality metrics per document. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionMetrics(docs, "doc_id", "text")

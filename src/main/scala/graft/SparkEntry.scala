@@ -722,6 +722,24 @@ object SparkEntry {
     Dedup.exactSubstrDedup(Tables.documents(s, d), "doc_id", "text",
       n = 3, minTokens = 8)
 
+  /** INCREMENTAL ExactSubstr (round 11): duplicate spans of a new
+    * shard (odd doc_ids) against an already-kept corpus (even
+    * doc_ids) — the daily-ingest shape: the corpus enters as ONE
+    * gram-membership equi-join (its copy is always the keeper;
+    * released data is never retro-edited), within-shard repeats
+    * follow the batch first-occurrence rule shard-locally. Work is
+    * linear in shard positions; [[operators.Dedup.substrSpansIncremental]]
+    * serves the same plan from the persisted additive gram store so
+    * the corpus is never rescanned (spec-proven equal). */
+  def qSubstrIncr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(s, d)
+    Dedup.exactSubstrSpansAgainst(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", n = 3, minTokens = 8)
+  }
+
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5
     * distinct 3-gram shingles with any eval doc. */
@@ -1499,6 +1517,7 @@ object SparkEntry {
     "q_strip_spans" -> (qStripSpans _),
     "q_substr_spans" -> (qSubstrSpans _),
     "q_substr_dedup" -> (qSubstrDedup _),
+    "q_substr_incr" -> (qSubstrIncr _),
     "q_quality_filter" -> (qQualityFilter _),
     "q_quality_filter_frozen" -> (qQualityFilterFrozen _),
     "q_ppl_buckets" -> (qPplBuckets _),
@@ -3564,6 +3583,36 @@ object SparkEntry {
           |FROM documents d
           |LEFT JOIN cut_docs cd ON d.doc_id = cd.doc_id
           |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id""".stripMargin,
+
+      // Incremental ExactSubstr: corpus = even doc_ids (membership
+      // only — its copy is always the keeper), shard = odd doc_ids
+      // (df + first-occurrence rank computed shard-locally), then
+      // the same islands merge.
+      "q_substr_incr" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |g AS (
+          |  SELECT doc_id, i AS pos, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+          |  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+          |), store AS (SELECT DISTINCT s FROM g WHERE doc_id % 2 = 0),
+          |m AS (
+          |  SELECT doc_id, pos, s,
+          |    count(*) OVER (PARTITION BY s) AS df,
+          |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+          |  FROM g WHERE doc_id % 2 = 1
+          |), dd AS (
+          |  SELECT m.doc_id, m.pos
+          |  FROM m LEFT JOIN store ON m.s = store.s
+          |  WHERE store.s IS NOT NULL OR (df >= 2 AND rn > 1)
+          |), isl AS (
+          |  SELECT doc_id, pos,
+          |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+          |      AS island
+          |  FROM dd
+          |)
+          |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+          |       CAST(count(*) + 2 AS BIGINT) AS span_tokens
+          |FROM isl GROUP BY doc_id, island
+          |HAVING count(*) + 2 >= 8""".stripMargin,
 
       "q_quality_filter" -> qualityFilterOracleSql,
 

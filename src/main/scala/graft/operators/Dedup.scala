@@ -1036,6 +1036,17 @@ object Dedup {
       .withColumn("rn", row_number().over(wG.orderBy("doc_id", "pos")))
     val dups = marked.filter(col("df") >= 2 && col("rn") > 1)
       .select("doc_id", "pos")
+    dupPositionsToSpans(dups, n, minTokens)
+  }
+
+  /** Shared islands merge for the ExactSubstr family: duplicate
+    * (doc_id, pos) gram starts → maximal per-doc spans
+    * (start_pos, span_tokens), spans ≥ `minTokens` — the
+    * gaps-and-islands pass both the batch and the incremental
+    * detectors end on, factored so the two cannot drift. */
+  private def dupPositionsToSpans(dups: DataFrame, n: Int,
+                                  minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wD = Window.partitionBy("doc_id").orderBy("pos")
     dups.withColumn("island", col("pos") - row_number().over(wD))
       .groupBy("doc_id", "island")
@@ -1057,6 +1068,179 @@ object Dedup {
       exactSubstrSpans(docs, idCol, textCol, n, minTokens)
         .select(col("doc_id").as("doc_b"), col("start_pos").as("start_b"),
           col("span_tokens").as("match_len")))
+
+  /** INCREMENTAL ExactSubstr detection: duplicate spans of `shardDocs`
+    * measured AGAINST an already-kept corpus plus within the shard
+    * itself — the daily-ingest shape of [[exactSubstrSpans]] (new data
+    * arrives; the released corpus is immutable and must not be
+    * rescanned). A shard gram start is a duplicate iff its n-gram
+    * occurs in the corpus (ANY shard occurrence repeats a region the
+    * corpus already keeps) OR repeats within the shard (the batch
+    * first-occurrence rule, applied shard-locally).
+    *
+    * Semantics vs running the batch detector over corpus ∪ shard and
+    * keeping the shard rows: identical EXCEPT keeper choice — here the
+    * corpus's existing copy is ALWAYS the keeper (keeper stability:
+    * released data is never retro-edited), where the batch global
+    * (doc_id, pos) order could elect a shard doc instead. On shards
+    * whose ids order after the corpus the two coincide exactly
+    * (spec-held).
+    *
+    * Plan shape: the corpus enters as ONE hash equi-join on the gram
+    * key (left-outer onto the shard's positional stream) — linear,
+    * fan-out-free, and partitioned identically to the shard-local
+    * df/rank window that follows, so the join's exchange is reused.
+    * `corpusDocs` is shingled and deduplicated here; at scale use the
+    * persisted gram store ([[substrSpansIncremental]]) so the corpus
+    * is never rescanned.
+    */
+  def exactSubstrSpansAgainst(corpusDocs: DataFrame, shardDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, minTokens: Int = 8): DataFrame =
+    spansAgainstGrams(
+      positionalShingles(corpusDocs, idCol, textCol, n)
+        .select("s").distinct(),
+      shardDocs, idCol, textCol, n, minTokens)
+
+  /** The incremental ACTION: strip every [[exactSubstrSpansAgainst]]
+    * span from its shard document — every shard doc comes back,
+    * duplicated regions cut, the corpus's copies untouched (they are
+    * not even read beyond their gram set). */
+  def exactSubstrDedupAgainst(corpusDocs: DataFrame, shardDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 3, minTokens: Int = 8): DataFrame =
+    stripSpans(shardDocs, idCol, textCol,
+      exactSubstrSpansAgainst(corpusDocs, shardDocs, idCol, textCol,
+        n, minTokens)
+        .select(col("doc_id").as("doc_b"), col("start_pos").as("start_b"),
+          col("span_tokens").as("match_len")))
+
+  private def spansAgainstGrams(corpusGrams: DataFrame,
+                                shardDocs: DataFrame,
+                                idCol: String, textCol: String,
+                                n: Int, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && minTokens >= n)
+    val sh = positionalShingles(shardDocs, idCol, textCol, n)
+    val wG = Window.partitionBy("s")
+    val marked = sh
+      .join(corpusGrams.select(col("s"), lit(true).as("in_corpus")),
+        Seq("s"), "left_outer")
+      .withColumn("df", count(lit(1)).over(wG))
+      .withColumn("rn", row_number().over(wG.orderBy("doc_id", "pos")))
+    val dups = marked
+      .filter(col("in_corpus").isNotNull ||
+        (col("df") >= 2 && col("rn") > 1))
+      .select("doc_id", "pos")
+    dupPositionsToSpans(dups, n, minTokens)
+  }
+
+  // --- persisted ExactSubstr gram store (incremental refresh) -------
+
+  private def substrGramsTable(root: String) = s"$root/grams"
+  private def substrParamsTable(root: String) = s"$root/params"
+  private def substrAppliedTable(root: String) = s"$root/applied"
+
+  /** Build and PERSIST the ExactSubstr gram-count model as
+    * VersionedStore tables under `root`: `grams` (s, df — the
+    * xxhash64 positional-gram key and its corpus occurrence count,
+    * range-laid-out and sorted on s so a refresh MERGE prunes files),
+    * `params` (n) and `applied` (the shard ledger). Counts are
+    * ADDITIVE, so the store refreshes shard-at-a-time
+    * ([[upsertSubstrShard]]) without ever rescanning the corpus —
+    * the Dsir/CM count-store contract applied to the gram vocabulary,
+    * making daily ExactSubstr dedup a join against kilobyte-pruned
+    * store files instead of a full-corpus re-shingle.
+    */
+  def buildSubstrStore(docs: DataFrame, idCol: String, textCol: String,
+                       root: String, n: Int = 3,
+                       filesHint: Int = 32): Unit = {
+    import graft.offline.VersionedStore
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = positionalShingles(docs, idCol, textCol, n)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    VersionedStore.overwrite(
+      grams.repartitionByRange(math.max(1, filesHint), col("s"))
+        .sortWithinPartitions("s"),
+      substrGramsTable(root))
+    VersionedStore.overwrite(Seq(n.toLong).toDF("n"),
+      substrParamsTable(root))
+    VersionedStore.overwrite(Seq("__init__").toDF("shard_id"),
+      substrAppliedTable(root))
+  }
+
+  private def readSubstrN(spark: org.apache.spark.sql.SparkSession,
+                          root: String): Int =
+    graft.offline.VersionedStore.read(spark, substrParamsTable(root))
+      .head().getLong(0).toInt
+
+  /** Fold ONE new shard's gram counts into the store: a keyed MERGE
+    * on `s` rewriting only the files whose key ranges the shard
+    * touches. Idempotent by the ledger (additive counts have no
+    * idempotence net — the Dsir at-least-once-with-dedup contract:
+    * counts commit first, ledger row last). Detect BEFORE ingesting:
+    * run [[substrSpansIncremental]] on a shard before upserting it,
+    * else the shard's own grams read as "already kept" and its first
+    * copies get cut too. Returns whether the shard was applied.
+    */
+  def upsertSubstrShard(shardDocs: DataFrame, idCol: String,
+                        textCol: String, root: String,
+                        shardId: String): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDocs.sparkSession
+    import spark.implicits._
+    val applied = VersionedStore.read(spark, substrAppliedTable(root))
+      .filter(col("shard_id") === shardId).limit(1).count() > 0
+    if (applied) return false
+    val n = readSubstrN(spark, root)
+    val shard = positionalShingles(shardDocs, idCol, textCol, n)
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val cur = VersionedStore.read(spark, substrGramsTable(root))
+      .withColumnRenamed("df", "df0")
+    val combined = shard.join(cur, Seq("s"), "left_outer")
+      .select(col("s"),
+        (col("df") + coalesce(col("df0"), lit(0L))).as("df"))
+    VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
+    VersionedStore.append(Seq(shardId).toDF("shard_id"),
+      substrAppliedTable(root))
+    true
+  }
+
+  /** Incremental detection served FROM the store: spans of
+    * `shardDocs` against every gram ever ingested — bit-equal to
+    * [[exactSubstrSpansAgainst]] over the union of the ingested
+    * shards (membership is all detection needs; df comes along for
+    * [[freezeDupGramsFromStore]]). The corpus itself is never read. */
+  def substrSpansIncremental(shardDocs: DataFrame, idCol: String,
+                             textCol: String, root: String,
+                             minTokens: Int = 8): DataFrame = {
+    val spark = shardDocs.sparkSession
+    spansAgainstGrams(
+      graft.offline.VersionedStore.read(spark, substrGramsTable(root)),
+      shardDocs, idCol, textCol, readSubstrN(spark, root), minTokens)
+  }
+
+  /** The store-served ACTION: [[substrSpansIncremental]] spans cut
+    * from the shard via the shared merged-range strip. */
+  def substrDedupIncremental(shardDocs: DataFrame, idCol: String,
+                             textCol: String, root: String,
+                             minTokens: Int = 8): DataFrame =
+    stripSpans(shardDocs, idCol, textCol,
+      substrSpansIncremental(shardDocs, idCol, textCol, root, minTokens)
+        .select(col("doc_id").as("doc_b"), col("start_pos").as("start_b"),
+          col("span_tokens").as("match_len")))
+
+  /** Freeze the [[exactSubstrFrozen]] artifact straight from the
+    * persisted counts — no corpus scan, bit-equal to
+    * [[freezeDupGrams]] over the union of every ingested shard
+    * (counts are exact additive longs). */
+  def freezeDupGramsFromStore(spark: org.apache.spark.sql.SparkSession,
+                              root: String,
+                              minDf: Long = 2L): Array[Long] =
+    graft.offline.VersionedStore.read(spark, substrGramsTable(root))
+      .filter(col("df") >= minDf)
+      .select("s").collect().map(_.getLong(0))
 
   /** Freeze the duplicated-gram artifact for [[exactSubstrFrozen]]:
     * the xxhash64 positional-gram hashes occurring ≥ `minDf` times in

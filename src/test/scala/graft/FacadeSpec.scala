@@ -284,4 +284,44 @@ class FacadeSpec extends AnyFunSuite {
     val frames = Graft.frameSamplePlan(docs)
     assert(frames.count() >= 0) // text corpus: no media payloads is fine
   }
+
+  test("substr family delegates: spans/dedup, frozen strip, incremental + gram store") {
+    val shared = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
+    val corpus = Seq((1L, s"$shared tail"), (2L, shared))
+      .toDF("doc_id", "text")
+    val spans = Graft.substrSpans(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((2L, 1L, 10L)))
+    val deduped = Graft.substrDedup(corpus).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(deduped(1L) === s"$shared tail" && deduped(2L) === "")
+    val frozen = Graft.substrFreeze(corpus, minDf = 2L)
+    assert(frozen.nonEmpty)
+    val stripped = Graft.substrStripFrozen(
+        Seq((9L, s"x $shared y")).toDF("doc_id", "text"), frozen)
+      .head().getString(1)
+    assert(stripped === "x y")
+    val shard = Seq((10L, s"pre $shared")).toDF("doc_id", "text")
+    assert(Graft.substrSpansAgainst(corpus, shard).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((10L, 2L)))
+    assert(Graft.substrDedupAgainst(corpus, shard)
+      .head().getString(1) === "pre")
+    val root = tmpRoot("facade_substr")
+    Graft.substrStoreBuild(corpus, root)
+    assert(Graft.substrStoreUpsert(
+      Seq((20L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")).toDF("doc_id", "text"),
+      root, "s1"))
+    val incr = Graft.substrSpansIncremental(
+        Seq((30L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 end")).toDF("doc_id", "text"),
+        root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === Set((30L, 1L, 10L)))
+    assert(Graft.substrDedupIncremental(
+        Seq((30L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 end")).toDF("doc_id", "text"),
+        root).head().getString(1) === "end")
+    assert(Graft.substrFreezeFromStore(spark, root, minDf = 1L).toSet ===
+      Graft.substrFreeze(corpus.unionByName(
+          Seq((20L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")).toDF("doc_id", "text")),
+        minDf = 1L).toSet)
+  }
 }

@@ -599,6 +599,103 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(cleaned.size === docs.count())
   }
 
+  test("exactSubstrSpansAgainst: corpus is keeper, shard-local first-occurrence; == batch when ids order after corpus") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val fresh = "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10"
+    val corpus = Seq(
+      (1L, s"$shared tail1 one"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, s"head2 a $shared"),  // repeats the corpus → span at 3
+      (11L, shared),              // pure corpus copy → span at 1
+      (12L, s"$fresh tailA"),     // shard-local first of `fresh` — exempt
+      (13L, s"b $fresh"),         // shard-local repeat → span at 2
+      (14L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12"))
+      .toDF("doc_id", "text")
+    val incr = Dedup.exactSubstrSpansAgainst(corpus, shard,
+        "doc_id", "text", n = 3, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === Set((10L, 3L, 10L), (11L, 1L, 10L), (13L, 2L, 10L)),
+      s"got $incr")
+    // shard ids all order after corpus ids → batch over the union,
+    // restricted to shard docs, is the same set
+    val batch = Dedup.exactSubstrSpans(corpus.union(shard),
+        "doc_id", "text", n = 3, minTokens = 8)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === batch)
+    // and the action strips exactly those spans, corpus untouched
+    val out = Dedup.exactSubstrDedupAgainst(corpus, shard,
+        "doc_id", "text", n = 3, minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) === "head2 a" && out(11L) === "")
+    assert(out(12L) === s"$fresh tailA", "shard-local first survives")
+    assert(out(13L) === "b")
+    assert(out.size === 5, "every shard doc comes back; corpus not in output")
+  }
+
+  test("exactSubstrSpansAgainst: keeper stability — corpus copy wins even when the shard doc would sort first") {
+    val shared = "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"
+    val corpus = Seq((5L, s"$shared c-tail")).toDF("doc_id", "text")
+    val shard = Seq((0L, s"$shared s-tail")).toDF("doc_id", "text")
+    // incremental: the corpus's released copy is ALWAYS the keeper —
+    // the shard doc is flagged although its (doc_id, pos) sorts first
+    val incr = Dedup.exactSubstrSpansAgainst(corpus, shard,
+        "doc_id", "text", n = 3, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr === Set((0L, 1L, 10L)))
+    // batch over the union elects doc 0 (global min) instead — the
+    // documented divergence the scaladoc declares
+    val batch0 = Dedup.exactSubstrSpans(corpus.union(shard),
+        "doc_id", "text", n = 3, minTokens = 8)
+      .filter(col("doc_id") === 0L).count()
+    assert(batch0 === 0L, "batch keeps the globally-first shard doc")
+  }
+
+  test("substr gram store: shard upserts ledger-idempotent; incremental serve == direct; freeze == corpus freeze") {
+    val root = java.nio.file.Files
+      .createTempDirectory("substrstore").toString + "/ss"
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    val bDup = "g1 g2 g3 g4 g5 g6 g7 g8 g9 g10"
+    val corpusA = Seq(
+      (1L, s"$shared tail1 one"),
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))
+      .toDF("doc_id", "text")
+    val shardB = Seq(
+      (20L, s"$bDup mid b1"),
+      (21L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val shardC = Seq(
+      (40L, s"c0 $shared"),        // dup vs A
+      (41L, s"$bDup c-end"),       // dup vs B
+      (42L, "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 z"),
+      (43L, "y h1 h2 h3 h4 h5 h6 h7 h8 h9 h10")) // dup within C
+      .toDF("doc_id", "text")
+    Dedup.buildSubstrStore(corpusA, "doc_id", "text", root, n = 3)
+    assert(Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"))
+    assert(!Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"),
+      "replayed shard must no-op by the ledger")
+    val served = Dedup.substrSpansIncremental(shardC, "doc_id", "text",
+        root, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Dedup.exactSubstrSpansAgainst(corpusA.union(shardB),
+        shardC, "doc_id", "text", n = 3, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served === direct, "store-served spans must equal direct")
+    assert(served.map(_._1) === Set(40L, 41L, 43L))
+    val cleanServed = Dedup.substrDedupIncremental(shardC, "doc_id",
+        "text", root, minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanServed(40L) === "c0" && cleanServed(41L) === "c-end")
+    assert(cleanServed(43L) === "y")
+    assert(cleanServed(42L).nonEmpty, "within-C first keeps its text")
+    // freeze from stored counts == corpus freeze over the union
+    assert(Dedup.freezeDupGramsFromStore(spark, root, minDf = 1L).toSet ===
+      Dedup.freezeDupGrams(corpusA.union(shardB), "doc_id", "text",
+        n = 3, minDf = 1L).toSet)
+  }
+
   test("exactSubstrFrozen: frozen boilerplate grams cut, fresh text kept") {
     val boiler = "b1 b2 b3 b4 b5 b6"
     val corpus = Seq(

@@ -504,6 +504,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window passes:\n$plan")
   }
 
+  test("q_substr_incr: corpus enters as ONE membership equi-join; window reuses its exchange") {
+    val df = SparkEntry.qSubstrIncr(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the incremental scale property: exactly one join — the corpus
+    // gram set left-outer onto the shard's positional stream, hash-
+    // partitioned on the gram key; the shard-local df/rank window
+    // needs the SAME distribution, so the join's exchange is reused
+    // (no extra gram-keyed shuffle between join and window)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length == 1, s"exactly one membership join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("Window"), s"expected window passes:\n$plan")
+  }
+
   test("q_join_plan: planning reads cells, never a corpus cartesian") {
     val df = SparkEntry.qJoinPlan(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString

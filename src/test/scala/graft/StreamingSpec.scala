@@ -811,6 +811,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(11L) === "fresh only text here now")
   }
 
+  test("StreamingSubstr: micro-batches fold gram counts; incremental serve sees every ingested batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("substrstream").toString + "/ss"
+    val shared = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val base = Seq((1L, s"$shared base-tail")).toDF("doc_id", "text")
+    graft.operators.Dedup.buildSubstrStore(base, "doc_id", "text",
+      root, n = 3)
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingSubstr.start(
+      in.toDS().toDF("doc_id", "text"), "doc_id", "text", root,
+      java.nio.file.Files.createTempDirectory("substrstream_ck").toString)
+    val b1 = Seq((10L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 b1-tail"))
+    val b2 = Seq((20L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // a probe shard repeating regions from the base AND each batch is
+    // fully detected against the streamed store, equal to the direct
+    // against-union path
+    val probe = Seq(
+      (100L, s"x $shared"),
+      (101L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10"),
+      (102L, "y r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 z"))
+      .toDF("doc_id", "text")
+    val served = graft.operators.Dedup.substrSpansIncremental(
+        probe, "doc_id", "text", root, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val union = base.unionByName(b1.toDF("doc_id", "text"))
+      .unionByName(b2.toDF("doc_id", "text"))
+    val direct = graft.operators.Dedup.exactSubstrSpansAgainst(
+        union, probe, "doc_id", "text", n = 3, minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served === direct, "streamed store must equal the batch union")
+    assert(served === Set((100L, 2L, 10L), (101L, 1L, 10L),
+      (102L, 2L, 10L)))
+  }
+
   test("frozen decontamination runs stateless on a stream, equals batch decontaminate") {
     implicit val sqlCtx = spark.sqlContext
     val eval = Seq((100L, "the quick brown fox jumps over lazy dogs"))
