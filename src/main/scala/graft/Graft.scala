@@ -523,6 +523,35 @@ object Graft {
                             minDf: Long = 2L): Array[Long] =
     Dedup.freezeDupGramsFromStore(spark, root, minDf)
 
+  /** Train a unigram-LM (SentencePiece-family) subword tokenizer by
+    * Viterbi-EM: corpus scanned once, each round touches only the
+    * distinct-word table. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int,
+                   maxPieceLen: Int = 4, rounds: Int = 3)
+  : operators.Unigram.UnigramModel =
+    operators.Unigram.train(docs, "doc_id", "text", vocabSize,
+      maxPieceLen, rounds)
+
+  /** The frozen unigram scoring artifact (piece → micro-cost),
+    * driver-bounded by the vocabulary. */
+  def unigramFreeze(model: operators.Unigram.UnigramModel)
+  : Map[String, Long] =
+    operators.Unigram.collectCosts(model.vocab)
+
+  /** Viterbi-encode every word of every document against a frozen
+    * cost map — ONE pure projection, no join, no shuffle,
+    * stream-safe. */
+  def unigramEncode(docs: DataFrame, costs: Map[String, Long],
+                    maxPieceLen: Int = 4): DataFrame =
+    operators.Unigram.encodeDocs(docs, "doc_id", "text", costs,
+      maxPieceLen)
+
+  /** Word-level Viterbi encode of a (word, …) frame against a frozen
+    * cost map: pieces + exact micro-cost per word. */
+  def unigramEncodeWords(words: DataFrame, costs: Map[String, Long],
+                         maxPieceLen: Int = 4): DataFrame =
+    operators.Unigram.encodeWords(words, costs, maxPieceLen)
+
   /** Gopher-style repetition quality metrics per document. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionMetrics(docs, "doc_id", "text")

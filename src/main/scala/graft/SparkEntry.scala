@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.offline.OfflineStore
 import graft.online.OnlineStore
 import graft.functions.Fns
-import graft.operators.{Analytics, Ann, AsofJoin, Bpe, Dedup, Dsir, FeatureEng, MultiModal, Search, Sessionize, Sketch, TextAnalysis, WindowedFeatures}
+import graft.operators.{Analytics, Ann, AsofJoin, Bpe, Dedup, Dsir, FeatureEng, MultiModal, Search, Sessionize, Sketch, TextAnalysis, Unigram, WindowedFeatures}
 import graft.operators.WindowedFeatures.dsum
 import graft.registry.Registry
 import graft.stats.Profiler
@@ -960,6 +960,40 @@ object SparkEntry {
         array_join(col("pieces"), " ").as("pieces_str"))
   }
 
+  /** Unigram-LM (SentencePiece-family) Viterbi ENCODE (round 11),
+    * whole pipeline oracle-replayed: seed vocabulary (top-64
+    * substrings ≤ 4 chars + all single characters) → integer-closed
+    * costs ((Σcnt·10^6) div cnt — the oracle cost family,
+    * [[operators.Unigram]]'s md5/xxhash-style split) → per-word
+    * minimum-cost segmentation with the total-order tie-break
+    * (smallest piece start at every position ≡ smallest reversed-
+    * breakpoint sequence — the DP/path-order equivalence UnigramSpec
+    * checks by brute force on random layouts). The oracle enumerates
+    * EVERY segmentation recursively and sorts on (cost, reversed-
+    * breakpoint key) — brute force as ground truth, the q_fuzzy_search
+    * convention. Encode itself is one pure projection (cost table as
+    * a literal map, no join, no shuffle — stream-safe). */
+  def qUnigramEncode(s: SparkSession, d: String): DataFrame = {
+    val wc = Bpe.corpusWordCounts(Tables.documents(s, d),
+      "doc_id", "text")
+    val costs = Unigram.collectCosts(
+      Unigram.integerCosts(Unigram.seedVocab(wc, maxPieceLen = 4,
+        topK = 64)))
+    Unigram.encodeWords(wc.select("word"), costs, maxPieceLen = 4)
+      .select(col("word"), concat_ws(" ", col("pieces")).as("encoded"),
+        col("n_pieces"), col("cost_micro"))
+  }
+
+  /** Unigram tokenizer TRAINING (round 11): 3 Viterbi-EM rounds to a
+    * 96-piece vocabulary — rows-only (ln-based costs are not portably
+    * bit-stable across engines), spec-held to a sequential hard-EM
+    * reference exactly (vocab, counts, AND costs — UnigramSpec). The
+    * corpus is scanned once; each round touches only the
+    * distinct-word table. */
+  def qUnigramTrain(s: SparkSession, d: String): DataFrame =
+    Unigram.train(Tables.documents(s, d), "doc_id", "text",
+      vocabSize = 96, maxPieceLen = 4, rounds = 3).vocab
+
   private def bm25Root(s: SparkSession, d: String): String =
     bm25Roots.computeIfAbsent(d, _ => {
       val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
@@ -1496,6 +1530,8 @@ object SparkEntry {
     "q_bpe_merges" -> (qBpeMerges _),
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
+    "q_unigram_encode" -> (qUnigramEncode _),
+    "q_unigram_train" -> (qUnigramTrain _),
     "q_tfidf_cosine" -> (qTfidfCosine _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_retrieval_metrics" -> (qRetrievalMetrics _),
@@ -3613,6 +3649,62 @@ object SparkEntry {
           |       CAST(count(*) + 2 AS BIGINT) AS span_tokens
           |FROM isl GROUP BY doc_id, island
           |HAVING count(*) + 2 >= 8""".stripMargin,
+
+      // Unigram Viterbi encode: the oracle rebuilds the seed vocab +
+      // integer-closed costs, then BRUTE-FORCES every segmentation of
+      // every distinct word recursively and keeps the (cost,
+      // reversed-breakpoint key) minimum — the exact total order the
+      // Spark DP's smallest-start tie-break induces (proved
+      // empirically in UnigramSpec's random-layout brute-force test).
+      // The key prepends each piece's zero-padded start, so the
+      // finished string reads starts right-to-left; fixed width makes
+      // string order == elementwise numeric order.
+      "q_unigram_encode" ->
+        """WITH RECURSIVE wc AS (
+          |  SELECT w AS word, count(*) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY 1
+          |), cand AS (
+          |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+          |  FROM wc,
+          |       unnest(generate_series(1, len(word))) AS t(i),
+          |       unnest(generate_series(1, 4)) AS u(l)
+          |  WHERE i + l - 1 <= len(word)
+          |  GROUP BY 1
+          |), topk AS (
+          |  SELECT piece, cnt FROM (
+          |    SELECT piece, cnt,
+          |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          |    FROM cand) WHERE rn <= 64
+          |), vocab0 AS (
+          |  SELECT DISTINCT piece, cnt FROM (
+          |    SELECT piece, cnt FROM topk UNION ALL
+          |    SELECT piece, cnt FROM cand WHERE len(piece) = 1)
+          |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab0),
+          |vocab AS (
+          |  SELECT piece, CAST((total * 1000000) // cnt AS BIGINT) AS cost
+          |  FROM vocab0 CROSS JOIN tot
+          |), seg AS (
+          |  SELECT word, 0 AS pos, '' AS enc, 0 AS np,
+          |         CAST(0 AS BIGINT) AS cost, '' AS key
+          |  FROM wc
+          |  UNION ALL
+          |  SELECT s.word, s.pos + len(v.piece),
+          |         CASE WHEN s.pos = 0 THEN v.piece
+          |              ELSE s.enc || ' ' || v.piece END,
+          |         s.np + 1, s.cost + v.cost,
+          |         lpad(CAST(s.pos AS VARCHAR), 2, '0') || ',' || s.key
+          |  FROM seg s JOIN vocab v
+          |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+          |  WHERE s.pos < len(s.word)
+          |), done AS (
+          |  SELECT word, enc, np, cost,
+          |    row_number() OVER (PARTITION BY word ORDER BY cost, key) AS rn
+          |  FROM seg WHERE pos = len(word)
+          |)
+          |SELECT word, enc AS encoded, CAST(np AS BIGINT) AS n_pieces,
+          |       cost AS cost_micro
+          |FROM done WHERE rn = 1""".stripMargin,
 
       "q_quality_filter" -> qualityFilterOracleSql,
 

@@ -1,0 +1,283 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-family) subword tokenizer — the second
+  * of the two standard public tokenizer trainers (Kudo 2018,
+  * "Subword Regularization"; [[Bpe]] is the other): a vocabulary of
+  * variable-length pieces with costs, and encoding = the Viterbi
+  * minimum-cost segmentation of each word. Training here is the
+  * VITERBI-EM (hard-EM) variant: re-segment under the current costs,
+  * re-estimate costs from piece usage, prune to the target size —
+  * each round ONE pure-projection encode over the distinct-word
+  * table plus one vocabulary-sized groupBy (cf. reference
+  * vocab_processor.py's external subword step; the reference ships no
+  * trainer at all — its python pipelines call out to a pre-built
+  * tokenizer).
+  *
+  * Scale shape (the [[Bpe]] contract): the corpus is scanned ONCE
+  * (word counts); every training round and every encode touches only
+  * the DISTINCT-WORD table (vocabulary-sized) or runs as a pure
+  * per-row projection with the cost table broadcast as a literal map
+  * — no shuffle, no join, stream-safe. The Viterbi DP itself is a
+  * higher-order `aggregate` fold (codegen-friendly, no UDF): cost is
+  * O(|word| · maxPieceLen) per word.
+  *
+  * TWO COST FAMILIES (the md5-oracle / xxhash-production split the
+  * sketch family declares, Sketch.scala):
+  *  - [[integerCosts]]: cost = (total·10^6) div cnt — integer-closed,
+  *    so seed → costs → Viterbi → tie-break replays EXACTLY in
+  *    portable SQL (q_unigram_encode's oracle enumerates every
+  *    segmentation and applies the same total order);
+  *  - [[logCosts]]: cost = round(−10^6·ln(cnt/total)) — the true
+  *    negative-log-likelihood in micro-nats (the LinkGraph
+  *    fixed-point precedent), used by the trainer; doubles never
+  *    leave the JVM, so the fit is reproducible but declared
+  *    rows-only (ln is not portably bit-stable across engines).
+  *
+  * Determinism: Viterbi ties break toward the SMALLEST piece start
+  * at every position (⇒ the longest final piece), which equals the
+  * global rule "among minimum-cost segmentations, the one whose
+  * breakpoint sequence read right-to-left is smallest" — total-order
+  * deterministic, and exactly replayable by an oracle that sorts
+  * full paths on (cost, reversed-breakpoint key).
+  */
+object Unigram {
+
+  /** One trained model: the final piece table
+    * (piece, cnt, cost_micro) and the final per-word segmentation
+    * (word, pieces) — both vocabulary-sized. */
+  final case class UnigramModel(vocab: DataFrame, wordPieces: DataFrame,
+                                maxPieceLen: Int)
+
+  /** Unreachable-cost sentinel: Long.MaxValue/4, so INF + INF and
+    * INF + any real piece cost stay far from overflow. */
+  private val Inf = 2305843009213693951L
+
+  // --- seed vocabulary ------------------------------------------------
+
+  /** Candidate pieces: every substring of length 1..`maxPieceLen` of
+    * every corpus word, counted per OCCURRENCE (word count × start
+    * positions). Input is a (word, cnt) table
+    * ([[Bpe.corpusWordCounts]] — the one corpus statistic the whole
+    * family consumes). Output: (piece, cnt), vocabulary-sized. */
+  def candidatePieces(wordCounts: DataFrame, maxPieceLen: Int): DataFrame = {
+    require(maxPieceLen >= 1)
+    wordCounts
+      .select(col("cnt").cast("long").as("cnt"), explode(expr(
+        s"""filter(flatten(transform(sequence(1, length(word)), i ->
+           |  transform(sequence(1, $maxPieceLen), l ->
+           |    IF(i + l - 1 <= length(word),
+           |       substring(word, i, l), NULL)))),
+           |  p -> p IS NOT NULL)""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Seed vocabulary: the `topK` candidates by (cnt desc, piece asc)
+    * UNION every single-character piece (coverage guarantee — any
+    * word over the corpus alphabet stays encodable after any
+    * pruning). The rank runs over the candidate table, which is
+    * vocabulary-sized by construction (the [[Bpe]] rule-table
+    * contract), so the single-partition window is driver-scale work,
+    * not corpus-scale. */
+  def seedVocab(wordCounts: DataFrame, maxPieceLen: Int,
+                topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1)
+    val cand = candidatePieces(wordCounts, maxPieceLen)
+    val top = cand
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece"))))
+      .filter(col("rn") <= topK).drop("rn")
+    top.union(cand.filter(length(col("piece")) === 1)).distinct()
+  }
+
+  // --- the two cost families ------------------------------------------
+
+  /** Integer-closed costs — the ORACLE family: cost_micro =
+    * (Σcnt · 10^6) div cnt. Monotone in frequency, exact in BIGINT,
+    * replayable in portable SQL. Input/output: (piece, cnt) →
+    * (piece, cnt, cost_micro). */
+  def integerCosts(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum("cnt").cast("long").as("total"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        expr("CAST((total * 1000000) DIV cnt AS BIGINT)").as("cost_micro"))
+  }
+
+  /** Negative log-likelihood in micro-nats — the PRODUCTION family:
+    * cost_micro = round(−10^6 · ln(cnt / Σcnt)). */
+  def logCosts(vocab: DataFrame): DataFrame = {
+    val tot = vocab.agg(sum("cnt").cast("double").as("total"))
+    vocab.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        round(lit(-1000000.0d) * log(col("cnt") / col("total")))
+          .cast("long").as("cost_micro"))
+  }
+
+  // --- Viterbi encode -------------------------------------------------
+
+  /** The per-word Viterbi result as ONE expression over `wordRef`
+    * (an SQL fragment naming a non-empty string) against the literal
+    * cost map bound at `mapRef`: a struct (pieces, cost_micro).
+    * Forward DP via `aggregate` (dp[j] = min cost of the length-j
+    * prefix + argmin parent, ties to the smallest parent), the dp
+    * array let-bound through the `transform(array(…))` idiom, then a
+    * bounded backtrack fold. Codegen-friendly end to end — no UDF,
+    * no join, no shuffle. */
+  private def viterbiExpr(wordRef: String, mapRef: String,
+                          maxPieceLen: Int): String = {
+    val inf = s"CAST($Inf AS BIGINT)"
+    // candidate cost of ending prefix j with the piece starting at ii
+    def cand(w: String) =
+      s"element_at(dpacc, ii + 1).c + coalesce(" +
+        s"element_at($mapRef, substring($w, ii + 1, jj - ii)), $inf)"
+    s"""element_at(transform(array(
+       |  aggregate(
+       |    sequence(1, length($wordRef)),
+       |    array(named_struct('c', CAST(0 AS BIGINT), 'p', -1)),
+       |    (dpacc, jj) -> concat(dpacc, array(
+       |      aggregate(
+       |        sequence(greatest(0, jj - $maxPieceLen), jj - 1),
+       |        named_struct('c', $inf, 'p', -1),
+       |        (bb, ii) -> IF(${cand(wordRef)} < bb.c,
+       |          named_struct('c', ${cand(wordRef)}, 'p', ii), bb)))))),
+       |  dparr -> named_struct(
+       |    'pieces',
+       |    aggregate(
+       |      sequence(1, length($wordRef)),
+       |      named_struct('j', length($wordRef),
+       |        'ps', CAST(array() AS ARRAY<STRING>)),
+       |      (st, kk) -> IF(st.j <= 0 OR element_at(dparr, st.j + 1).p < 0,
+       |        st,
+       |        named_struct('j', element_at(dparr, st.j + 1).p,
+       |          'ps', concat(st.ps, array(substring($wordRef,
+       |            element_at(dparr, st.j + 1).p + 1,
+       |            st.j - element_at(dparr, st.j + 1).p))))),
+       |      st -> reverse(st.ps)),
+       |    'cost_micro',
+       |    element_at(dparr, length($wordRef) + 1).c)), 1)""".stripMargin
+  }
+
+  private def costMapLit(costs: Map[String, Long]): Column = {
+    require(costs.nonEmpty, "empty cost model")
+    val ks = costs.keys.toArray.sorted
+    map_from_arrays(typedlit(ks.toSeq), typedlit(ks.map(costs).toSeq))
+  }
+
+  /** Viterbi-encode the `word` column of a (word, …) frame against a
+    * frozen cost map: (word, pieces, n_pieces, cost_micro), other
+    * columns preserved. A word no vocab path covers comes back with
+    * pieces = NULL (impossible under any model this object builds —
+    * single-character pieces always survive — but callers handing a
+    * hand-made map are told, not garbage'd). Empty words are dropped
+    * (`sequence(1, 0)` counts DOWN — the standing guard). */
+  def encodeWords(words: DataFrame, costs: Map[String, Long],
+                  maxPieceLen: Int): DataFrame =
+    words.filter(col("word").isNotNull && col("word") =!= "")
+      .withColumn("__ucm", costMapLit(costs))
+      .withColumn("__uvr", expr(viterbiExpr("word", "__ucm", maxPieceLen)))
+      .withColumn("reachable", col("__uvr.cost_micro") < lit(Inf))
+      .withColumn("pieces",
+        when(col("reachable"), col("__uvr.pieces")))
+      .withColumn("n_pieces",
+        when(col("reachable"), size(col("__uvr.pieces")).cast("long")))
+      .withColumn("cost_micro",
+        when(col("reachable"), col("__uvr.cost_micro")))
+      .drop("__ucm", "__uvr", "reachable")
+
+  /** Doc-level encode as ONE pure projection (stream-safe, the
+    * frozen-scorer contract): every word of every document Viterbi-
+    * segmented in place — (doc_id, n_tokens, encoded). Unreachable
+    * words (impossible with this object's models) contribute their
+    * raw form, so the output is total. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 costs: Map[String, Long], maxPieceLen: Int): DataFrame = {
+    val perWord = viterbiExpr("wrd", "__ucm", maxPieceLen)
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.Fns.words(col(textCol)).as("__uws"))
+      .withColumn("__ucm", costMapLit(costs))
+      .withColumn("__toks", expr(
+        s"""flatten(transform(filter(__uws, wrd -> wrd <> ''), wrd ->
+           |  element_at(transform(array(($perWord)), prr ->
+           |    IF(prr.cost_micro < CAST($Inf AS BIGINT),
+           |       prr.pieces, array(wrd))), 1)))""".stripMargin))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("encoded"))
+  }
+
+  // --- Viterbi-EM trainer ---------------------------------------------
+
+  /** Train a unigram vocabulary by hard (Viterbi) EM: seed with the
+    * `seedTopK` most frequent substrings (+ all single characters),
+    * then `rounds` times — segment the distinct-word table under the
+    * current [[logCosts]], re-count pieces by USAGE (occurrences
+    * weighted by word count), keep the `vocabSize` most used (+ the
+    * single characters, floored at count 1 so their cost stays
+    * finite — the coverage guarantee). Deterministic: every rank
+    * breaks ties on (cnt desc, piece asc); the segmentation itself
+    * is the total-order Viterbi above.
+    *
+    * Each round costs one vocabulary-sized collect (the cost map —
+    * the [[Bpe]] rule-table contract), one pure-projection encode of
+    * the distinct words, and one vocabulary-sized groupBy. The
+    * corpus is never rescanned after the initial word count. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+            vocabSize: Int, maxPieceLen: Int = 4, rounds: Int = 3,
+            seedTopK: Int = 0): UnigramModel = {
+    val wc = Bpe.corpusWordCounts(docs, idCol, textCol)
+      .select(col("word"), col("cnt").cast("long").as("cnt"))
+      .localCheckpoint(false)
+    trainFromCounts(wc, vocabSize, maxPieceLen, rounds, seedTopK)
+  }
+
+  /** [[train]] over a pre-computed (word, cnt) table — the entry a
+    * persisted word-count store (the [[Bpe.buildVocabStore]] family)
+    * retrains through without a corpus scan. */
+  def trainFromCounts(wordCounts: DataFrame, vocabSize: Int,
+                      maxPieceLen: Int = 4, rounds: Int = 3,
+                      seedTopK: Int = 0): UnigramModel = {
+    import org.apache.spark.sql.expressions.Window
+    require(vocabSize >= 1 && rounds >= 1)
+    val seedK = if (seedTopK >= 1) seedTopK else 4 * vocabSize
+    var vocab = seedVocab(wordCounts, maxPieceLen, seedK)
+      .localCheckpoint(false)
+    val singles = vocab.filter(length(col("piece")) === 1)
+      .select("piece").localCheckpoint(false)
+    var round = 0
+    while (round < rounds) {
+      val costs = collectCosts(logCosts(vocab))
+      val usage = wordCounts
+        .join(encodeWords(wordCounts.select("word"), costs, maxPieceLen)
+          .select("word", "pieces"), Seq("word"))
+        .select(col("cnt"), explode(col("pieces")).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("cnt"))
+      val kept = usage
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("piece"))))
+        .filter(col("rn") <= vocabSize).drop("rn")
+      // coverage: single characters survive pruning even at zero
+      // usage (count floored to 1 so ln stays finite)
+      vocab = kept
+        .union(singles.join(usage, Seq("piece"), "left_outer")
+          .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("cnt"))
+          .withColumn("cnt", greatest(col("cnt"), lit(1L))))
+        .groupBy("piece").agg(max("cnt").as("cnt"))
+        .localCheckpoint(false)
+      round += 1
+    }
+    val finalVocab = logCosts(vocab)
+    val segs = encodeWords(wordCounts.select("word"),
+        collectCosts(finalVocab), maxPieceLen)
+      .select("word", "pieces")
+    UnigramModel(finalVocab, segs, maxPieceLen)
+  }
+
+  /** The frozen scoring artifact: piece → cost_micro, driver-bounded
+    * by the vocabulary (the BPE rule-table / frozen-policy
+    * contract). */
+  def collectCosts(vocabCosts: DataFrame): Map[String, Long] =
+    vocabCosts.select("piece", "cost_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+}

@@ -285,6 +285,27 @@ class FacadeSpec extends AnyFunSuite {
     assert(frames.count() >= 0) // text corpus: no media payloads is fine
   }
 
+  test("unigram family delegates: train/freeze/encode round-trip") {
+    val corpus = Seq((1L, "aba ab aba ba b ab aba"),
+      (2L, "ab aba ba ab")).toDF("doc_id", "text")
+    val model = Graft.unigramTrain(corpus, vocabSize = 6,
+      maxPieceLen = 3, rounds = 2)
+    val costs = Graft.unigramFreeze(model)
+    assert(costs.nonEmpty && Set("a", "b").subsetOf(costs.keySet))
+    val enc = Graft.unigramEncode(corpus, costs, maxPieceLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // piece boundaries may differ from word boundaries, but the
+    // characters must round-trip exactly
+    assert(enc(1L).replace(" ", "") ===
+      "aba ab aba ba b ab aba".replace(" ", ""))
+    assert(enc(2L).replace(" ", "") === "ab aba ba ab".replace(" ", ""))
+    val words = Graft.unigramEncodeWords(
+        Seq("aba", "ba").toDF("word"), costs, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("pieces").mkString("")).toMap
+    assert(words === Map("aba" -> "aba", "ba" -> "ba"))
+  }
+
   test("substr family delegates: spans/dedup, frozen strip, incremental + gram store") {
     val shared = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
     val corpus = Seq((1L, s"$shared tail"), (2L, shared))

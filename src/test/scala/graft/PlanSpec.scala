@@ -519,6 +519,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window passes:\n$plan")
   }
 
+  test("q_unigram_encode: the encode itself is joinless — one projection over the word table") {
+    val df = SparkEntry.qUnigramEncode(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the cost model enters as a LITERAL map (driver-bounded vocab),
+    // so the Viterbi DP is a pure projection: the only shuffle is the
+    // word-count groupBy that feeds it; no join anywhere
+    assert(!plan.contains("Join"), s"encode must not join:\n$plan")
+    assert(countShuffles(df) <= 1, s"word-count exchange only:\n$plan")
+  }
+
   test("q_join_plan: planning reads cells, never a corpus cartesian") {
     val df = SparkEntry.qJoinPlan(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString

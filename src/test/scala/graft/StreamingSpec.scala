@@ -811,6 +811,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(11L) === "fresh only text here now")
   }
 
+  test("frozen unigram encode runs stateless on a stream, equals batch encode") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "tok token to oken token tok"),
+      (2L, "token to tok oken")).toDF("doc_id", "text")
+    val model = graft.operators.Unigram.train(corpus, "doc_id", "text",
+      vocabSize = 8, maxPieceLen = 3, rounds = 2)
+    val costs = graft.operators.Unigram.collectCosts(model.vocab)
+    val rows = Seq((10L, "token tok"), (11L, "to oken to"), (12L, ""))
+    val input = MemoryStream[(Long, String)]
+    // append mode, no watermark: the encode plan must be a pure
+    // projection — no join, no aggregation, no state
+    val query = graft.operators.Unigram.encodeDocs(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", costs,
+        maxPieceLen = 3)
+      .writeStream.format("memory").queryName("suni")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("suni").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    query.stop()
+    val batch = graft.operators.Unigram.encodeDocs(
+        rows.toDF("doc_id", "text"), "doc_id", "text", costs,
+        maxPieceLen = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(streamed === batch,
+      s"stream/batch divergence:\n$streamed\n$batch")
+    assert(streamed(12L) === ((0L, "")))
+    streamed.foreach { case (id, (_, enc)) =>
+      val orig = rows.find(_._1 == id).get._2
+      assert(enc.replace(" ", "") === orig.replace(" ", ""), s"doc $id")
+    }
+  }
+
   test("StreamingSubstr: micro-batches fold gram counts; incremental serve sees every ingested batch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files

@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Unigram
+
+/** Unigram (SentencePiece-family) tokenizer held to TWO references:
+  * a sequential Viterbi/hard-EM implementation (the distributed
+  * trainer must match it exactly — the BpeSpec contract), and a
+  * brute-force segmentation ENUMERATOR that scores every path and
+  * sorts on (cost, reversed-breakpoint key) — the total order the
+  * q_unigram_encode oracle uses, so the DP-tie-break ≡ path-order
+  * theorem the oracle rests on is checked here on random inputs, not
+  * just argued. */
+class UnigramSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Inf = Long.MaxValue / 4
+
+  // ---- sequential references -----------------------------------------
+
+  private def refCandidates(wc: Seq[(String, Long)],
+                            maxL: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((w, c) <- wc; i <- 0 until w.length;
+         l <- 1 to maxL if i + l <= w.length)
+      m(w.substring(i, i + l)) += c
+    m.toMap
+  }
+
+  private def refSeed(wc: Seq[(String, Long)], maxL: Int,
+                      topK: Int): Map[String, Long] = {
+    val cand = refCandidates(wc, maxL)
+    val top = cand.toSeq.sortBy { case (p, c) => (-c, p) }.take(topK)
+    (top ++ cand.filter(_._1.length == 1)).toMap
+  }
+
+  private def refIntCosts(v: Map[String, Long]): Map[String, Long] = {
+    val tot = v.values.sum
+    v.map { case (p, c) => p -> (tot * 1000000L) / c }
+  }
+
+  private def refLogCosts(v: Map[String, Long]): Map[String, Long] = {
+    val tot = v.values.sum.toDouble
+    v.map { case (p, c) => p -> math.round(-1e6 * math.log(c / tot)) }
+  }
+
+  /** Forward DP, ties to the smallest piece start — the operator's
+    * declared rule. */
+  private def refViterbi(w: String, costs: Map[String, Long], maxL: Int)
+  : Option[(List[String], Long)] = {
+    val n = w.length
+    val dp = Array.fill(n + 1)((Inf, -1)); dp(0) = (0L, -1)
+    for (j <- 1 to n) {
+      var best = (Inf, -1)
+      for (i <- math.max(0, j - maxL) until j) {
+        val c = dp(i)._1 + costs.getOrElse(w.substring(i, j), Inf)
+        if (c < best._1) best = (c, i)
+      }
+      dp(j) = best
+    }
+    if (dp(n)._1 >= Inf) None
+    else {
+      var j = n
+      val ps = scala.collection.mutable.ListBuffer.empty[String]
+      while (j > 0) { val p = dp(j)._2; w.substring(p, j) +=: ps; j = p }
+      Some((ps.toList, dp(n)._1))
+    }
+  }
+
+  /** Brute force: every segmentation whose pieces are all in the
+    * vocab, minimal (cost, then reversed piece-start sequence) — the
+    * ORACLE's total order. */
+  private def refBrute(w: String, costs: Map[String, Long], maxL: Int)
+  : Option[(List[String], Long)] = {
+    def paths(pos: Int): List[List[Int]] =
+      if (pos == w.length) List(Nil)
+      else (1 to math.min(maxL, w.length - pos)).toList.flatMap { l =>
+        if (costs.contains(w.substring(pos, pos + l)))
+          paths(pos + l).map(pos :: _)
+        else Nil
+      }
+    val all = paths(0)
+    if (all.isEmpty) None
+    else {
+      def cost(starts: List[Int]): Long = {
+        val bounds = starts :+ w.length
+        bounds.sliding(2).map { case List(a, b) =>
+          costs(w.substring(a, b)) }.sum
+      }
+      implicit val seqOrd: Ordering[List[Int]] =
+        Ordering.Implicits.seqOrdering[List, Int]
+      val best = all.map(st => (cost(st), st.reverse, st))
+        .minBy(t => (t._1, t._2))
+      val bounds = best._3 :+ w.length
+      Some((bounds.sliding(2).map { case List(a, b) =>
+        w.substring(a, b) }.toList, best._1))
+    }
+  }
+
+  private def refTrain(wc: Seq[(String, Long)], vocabSize: Int,
+                       maxL: Int, rounds: Int,
+                       seedK: Int): Map[String, Long] = {
+    var vocab = refSeed(wc, maxL, seedK)
+    val singles = vocab.keys.filter(_.length == 1).toSet
+    for (_ <- 1 to rounds) {
+      val costs = refLogCosts(vocab)
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((w, c) <- wc; (ps, _) <- refViterbi(w, costs, maxL);
+           p <- ps) usage(p) += c
+      val kept = usage.toSeq.sortBy { case (p, c) => (-c, p) }
+        .take(vocabSize).toMap
+      vocab = kept ++ singles.filterNot(kept.contains)
+        .map(s => s -> math.max(usage(s), 1L))
+    }
+    vocab
+  }
+
+  private def sparkEncode(words: Seq[String], costs: Map[String, Long],
+                          maxL: Int): Map[String, Option[(List[String], Long)]] =
+    Unigram.encodeWords(words.toDF("word"), costs, maxL)
+      .collect().map { r =>
+        val w = r.getAs[String]("word")
+        val ps = Option(r.getAs[scala.collection.Seq[String]]("pieces"))
+        w -> ps.map(p => (p.toList, r.getAs[Long]("cost_micro")))
+      }.toMap
+
+  // ---- specs -----------------------------------------------------------
+
+  test("encodeWords: hand fixture with a cost tie — smallest start (longest last piece) wins") {
+    // vocab: ab=5, cd=5, abc=7, d=3, a=9, b=9, c=9
+    // "abcd": [ab cd] = 10, [abc d] = 10 — a true tie; the reversed-
+    // breakpoint order prefers last start 2 ([ab cd]) over 3 ([abc d])
+    val costs = Map("ab" -> 5L, "cd" -> 5L, "abc" -> 7L, "d" -> 3L,
+      "a" -> 9L, "b" -> 9L, "c" -> 9L)
+    val got = sparkEncode(Seq("abcd"), costs, 3)("abcd")
+    assert(got === Some((List("ab", "cd"), 10L)))
+    assert(refViterbi("abcd", costs, 3) === got)
+    assert(refBrute("abcd", costs, 3) === got)
+  }
+
+  test("encodeWords: unreachable word yields NULL pieces, reachable neighbors unaffected") {
+    val costs = Map("a" -> 1L, "b" -> 1L) // no 'x'
+    val got = sparkEncode(Seq("ab", "axb"), costs, 2)
+    assert(got("ab") === Some((List("a", "b"), 2L)))
+    assert(got("axb") === None)
+  }
+
+  test("encodeWords: round-trips every corpus word; DP == reference == brute force") {
+    val docs = Tables.documents(spark, TestSpark.sfDir).limit(120)
+    val wc = graft.operators.Bpe.corpusWordCounts(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val costs = refIntCosts(refSeed(wc, 4, 64))
+    val words = wc.map(_._1)
+    val got = sparkEncode(words, costs, 4)
+    words.foreach { w =>
+      val g = got(w)
+      assert(g === refViterbi(w, costs, 4), s"word $w")
+      assert(g === refBrute(w, costs, 4), s"brute mismatch on $w")
+      assert(g.get._1.mkString("") === w, s"round trip of $w")
+    }
+  }
+
+  test("random vocab/cost layouts: DP == brute force on 12 layouts (the oracle's total order)") {
+    val rnd = new scala.util.Random(41)
+    (1 to 12).foreach { layout =>
+      val alpha = "abc"
+      val words = (1 to 12).map(_ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => alpha(rnd.nextInt(3))).mkString)
+      val wc = words.groupBy(identity).map { case (w, g) =>
+        w -> g.size.toLong }.toSeq
+      // random subset of candidates + all singles; SMALL costs so
+      // ties are common — the hostile case for the tie-break theorem
+      val cand = refCandidates(wc, 3)
+      val vocab = cand.filter { case (p, _) =>
+        p.length == 1 || rnd.nextBoolean() }
+      val costs = vocab.map { case (p, _) => p -> (1L + rnd.nextInt(4)) }
+      val got = sparkEncode(words.distinct, costs, 3)
+      words.distinct.foreach { w =>
+        assert(got(w) === refBrute(w, costs, 3),
+          s"layout $layout word $w costs $costs")
+        assert(got(w) === refViterbi(w, costs, 3),
+          s"layout $layout word $w (ref) costs $costs")
+      }
+    }
+  }
+
+  test("seedVocab / integerCosts match the sequential reference") {
+    val wc = Seq(("table", 4L), ("tab", 2L), ("able", 3L), ("be", 5L))
+    val got = Unigram.integerCosts(
+        Unigram.seedVocab(wc.toDF("word", "cnt"), 3, 10))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val vocab = refSeed(wc, 3, 10)
+    val costs = refIntCosts(vocab)
+    assert(got.keySet === vocab.keySet)
+    got.foreach { case (p, (c, cm)) =>
+      assert(c === vocab(p) && cm === costs(p), s"piece $p") }
+  }
+
+  test("trainFromCounts matches the sequential hard-EM reference (vocab, counts, costs)") {
+    val wc = Seq(("spark", 6L), ("sparse", 3L), ("parse", 4L),
+      ("park", 5L), ("are", 7L), ("spa", 2L))
+    val model = Unigram.trainFromCounts(wc.toDF("word", "cnt"),
+      vocabSize = 12, maxPieceLen = 3, rounds = 3, seedTopK = 24)
+    val got = model.vocab.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ref = refTrain(wc, 12, 3, 3, 24)
+    val refCosts = refLogCosts(ref)
+    assert(got.keySet === ref.keySet,
+      s"vocab drift: got ${got.keySet}, ref ${ref.keySet}")
+    got.foreach { case (p, (c, cm)) =>
+      assert(c === ref(p), s"count of $p")
+      assert(cm === refCosts(p), s"cost of $p")
+    }
+    // coverage: every single character of the corpus survives
+    val chars = wc.flatMap(_._1.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(got.keySet))
+    // and the model's segmentations round-trip
+    model.wordPieces.collect().foreach { r =>
+      assert(r.getAs[Seq[String]]("pieces").mkString("") ===
+        r.getString(0))
+    }
+  }
+
+  test("train is deterministic and prunes: tiny vocabSize keeps singles alive") {
+    val docs = Seq((1L, "aa ab aa ba bb aa"), (2L, "ab aa bb aa"))
+      .toDF("doc_id", "text")
+    val m1 = Unigram.train(docs, "doc_id", "text", vocabSize = 3,
+      maxPieceLen = 2, rounds = 2)
+    val m2 = Unigram.train(docs, "doc_id", "text", vocabSize = 3,
+      maxPieceLen = 2, rounds = 2)
+    val v1 = m1.vocab.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val v2 = m2.vocab.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v1 === v2, "same input must train the same model")
+    val pieces = v1.map(_._1)
+    assert(Set("a", "b").subsetOf(pieces), "singles must survive pruning")
+  }
+
+  test("encodeDocs: one projection reassembles word-level encodes; n_tokens consistent") {
+    val docs = Seq((1L, "aa ab ba"), (2L, ""), (3L, "b"))
+      .toDF("doc_id", "text")
+    val costs = Map("a" -> 3L, "b" -> 3L, "aa" -> 4L, "ab" -> 4L)
+    val out = Unigram.encodeDocs(docs, "doc_id", "text", costs, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(out(1L) === ((4L, "aa ab b a")))
+    assert(out(2L) === ((0L, "")))
+    assert(out(3L) === ((1L, "b")))
+  }
+}
