@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass Viterbi segmentation of a single WORD against a frozen
+  * unigram cost table — the native-expression form of
+  * [[graft.operators.Unigram]]'s minimum-cost DP (the
+  * [[HashedGramScore]] precedent: a frozen vocabulary-sized model
+  * rides the expression, lookups hit a real hash map, and the whole
+  * thing stays inside whole-stage codegen as one projection — no
+  * explode, no join, no shuffle, stream-safe).
+  *
+  * Semantics are EXACTLY the operator's declared contract, spec-held
+  * against its sequential reference and brute-force path enumeration
+  * (UnigramSpec): dp[j] = min over i of dp[i] + cost(word[i+1..j]),
+  * ties to the SMALLEST piece start (≡ the smallest reversed-
+  * breakpoint path — the total order the q_unigram_encode oracle
+  * sorts on), pieces limited to `maxPieceLen`, cost in exact long
+  * micros. "Character" means CODE POINT (the [[graft.operators.Bpe]]
+  * convention — Spark's substring is code-point indexed, so a
+  * non-BMP character is one DP position, never two surrogate
+  * halves). A word no vocab path covers returns NULL.
+  *
+  * Why an expression and not the equivalent higher-order `aggregate`
+  * fold: `element_at` on a MapType literal is a LINEAR scan, so a
+  * 2k-piece vocabulary paid ~2k comparisons per DP arc (measured 70 s
+  * for an 11k-row probe corpus); the hash map makes the arc O(1) and
+  * the same probe ~20× faster. Cost is O(|word| · maxPieceLen) arcs
+  * either way.
+  */
+case class UnigramViterbi(child: Expression, pieces: Array[String],
+                          costMicros: Array[Long], maxPieceLen: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(pieces.length == costMicros.length && pieces.nonEmpty &&
+    maxPieceLen >= 1)
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("pieces", ArrayType(StringType, containsNull = false)),
+    StructField("cost_micro", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_viterbi"
+
+  @transient private lazy val model: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), costMicros(i)); i += 1 }
+    m
+  }
+
+  private val Inf = Long.MaxValue / 4
+
+  def compute(word: UTF8String): InternalRow = {
+    val cps = word.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return null
+    val dpCost = new Array[Long](n + 1)
+    val dpParent = new Array[Int](n + 1)
+    dpCost(0) = 0L; dpParent(0) = -1
+    var j = 1
+    while (j <= n) {
+      var bestC = Inf
+      var bestI = -1
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        if (dpCost(i) < Inf) {
+          val c = model.get(new String(cps, i, j - i))
+          if (c != null && dpCost(i) + c < bestC) {
+            bestC = dpCost(i) + c
+            bestI = i
+          }
+        }
+        i += 1
+      }
+      dpCost(j) = bestC; dpParent(j) = bestI
+      j += 1
+    }
+    if (dpCost(n) >= Inf) return null
+    var k = n
+    var cnt = 0
+    while (k > 0) { k = dpParent(k); cnt += 1 }
+    val out = new Array[Any](cnt)
+    k = n
+    var idx = cnt - 1
+    while (k > 0) {
+      val p = dpParent(k)
+      out(idx) = UTF8String.fromString(new String(cps, p, k - p))
+      idx -= 1; k = p
+    }
+    InternalRow(new GenericArrayData(out), dpCost(n))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramViterbi", this,
+      classOf[UnigramViterbi].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      ${ev.isNull} = (${ev.value} == null);""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : UnigramViterbi = copy(child = newChild)
+}
+
+object UnigramViterbi {
+
+  /** Column builder: Viterbi result struct (pieces, cost_micro) of a
+    * word column under a frozen cost map; NULL when no vocab path
+    * covers the word. Model arrays are key-sorted so equal maps build
+    * equal expressions. */
+  def segment(word: Column, costs: Map[String, Long],
+              maxPieceLen: Int): Column = {
+    val sorted = costs.toArray.sortBy(_._1)
+    GraftColumnBridge.column(UnigramViterbi(
+      GraftColumnBridge.expression(word),
+      sorted.map(_._1), sorted.map(_._2), maxPieceLen))
+  }
+}

@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * (word counts); every training round and every encode touches only
   * the DISTINCT-WORD table (vocabulary-sized) or runs as a pure
   * per-row projection with the cost table broadcast as a literal map
-  * — no shuffle, no join, stream-safe. The Viterbi DP itself is a
-  * higher-order `aggregate` fold (codegen-friendly, no UDF): cost is
-  * O(|word| · maxPieceLen) per word.
+  * — no shuffle, no join, stream-safe. The Viterbi DP itself is the
+  * native [[graft.functions.UnigramViterbi]] expression (the
+  * HashedGramScore tier: a custom codegen Expression, not a UDF):
+  * O(|word| · maxPieceLen) arcs per word at O(1) hash-map cost each.
   *
   * TWO COST FAMILIES (the md5-oracle / xxhash-production split the
   * sketch family declares, Sketch.scala):
@@ -50,10 +51,6 @@ object Unigram {
     * (word, pieces) — both vocabulary-sized. */
   final case class UnigramModel(vocab: DataFrame, wordPieces: DataFrame,
                                 maxPieceLen: Int)
-
-  /** Unreachable-cost sentinel: Long.MaxValue/4, so INF + INF and
-    * INF + any real piece cost stay far from overflow. */
-  private val Inf = 2305843009213693951L
 
   // --- seed vocabulary ------------------------------------------------
 
@@ -118,74 +115,30 @@ object Unigram {
 
   // --- Viterbi encode -------------------------------------------------
 
-  /** The per-word Viterbi result as ONE expression over `wordRef`
-    * (an SQL fragment naming a non-empty string) against the literal
-    * cost map bound at `mapRef`: a struct (pieces, cost_micro).
-    * Forward DP via `aggregate` (dp[j] = min cost of the length-j
-    * prefix + argmin parent, ties to the smallest parent), the dp
-    * array let-bound through the `transform(array(…))` idiom, then a
-    * bounded backtrack fold. Codegen-friendly end to end — no UDF,
-    * no join, no shuffle. */
-  private def viterbiExpr(wordRef: String, mapRef: String,
-                          maxPieceLen: Int): String = {
-    val inf = s"CAST($Inf AS BIGINT)"
-    // candidate cost of ending prefix j with the piece starting at ii
-    def cand(w: String) =
-      s"element_at(dpacc, ii + 1).c + coalesce(" +
-        s"element_at($mapRef, substring($w, ii + 1, jj - ii)), $inf)"
-    s"""element_at(transform(array(
-       |  aggregate(
-       |    sequence(1, length($wordRef)),
-       |    array(named_struct('c', CAST(0 AS BIGINT), 'p', -1)),
-       |    (dpacc, jj) -> concat(dpacc, array(
-       |      aggregate(
-       |        sequence(greatest(0, jj - $maxPieceLen), jj - 1),
-       |        named_struct('c', $inf, 'p', -1),
-       |        (bb, ii) -> IF(${cand(wordRef)} < bb.c,
-       |          named_struct('c', ${cand(wordRef)}, 'p', ii), bb)))))),
-       |  dparr -> named_struct(
-       |    'pieces',
-       |    aggregate(
-       |      sequence(1, length($wordRef)),
-       |      named_struct('j', length($wordRef),
-       |        'ps', CAST(array() AS ARRAY<STRING>)),
-       |      (st, kk) -> IF(st.j <= 0 OR element_at(dparr, st.j + 1).p < 0,
-       |        st,
-       |        named_struct('j', element_at(dparr, st.j + 1).p,
-       |          'ps', concat(st.ps, array(substring($wordRef,
-       |            element_at(dparr, st.j + 1).p + 1,
-       |            st.j - element_at(dparr, st.j + 1).p))))),
-       |      st -> reverse(st.ps)),
-       |    'cost_micro',
-       |    element_at(dparr, length($wordRef) + 1).c)), 1)""".stripMargin
-  }
-
-  private def costMapLit(costs: Map[String, Long]): Column = {
-    require(costs.nonEmpty, "empty cost model")
-    val ks = costs.keys.toArray.sorted
-    map_from_arrays(typedlit(ks.toSeq), typedlit(ks.map(costs).toSeq))
-  }
-
   /** Viterbi-encode the `word` column of a (word, …) frame against a
     * frozen cost map: (word, pieces, n_pieces, cost_micro), other
-    * columns preserved. A word no vocab path covers comes back with
-    * pieces = NULL (impossible under any model this object builds —
+    * columns preserved. The DP runs as the native
+    * [[graft.functions.UnigramViterbi]] expression — a real hash map
+    * behind a codegen projection, O(|word|·maxPieceLen) arcs at O(1)
+    * each (an `element_at` literal-map fold pays a LINEAR vocab scan
+    * per arc — ~20× slower at a 2k-piece vocabulary, measured). A
+    * word no vocab path covers comes back with pieces = NULL
+    * (impossible under any model this object builds —
     * single-character pieces always survive — but callers handing a
-    * hand-made map are told, not garbage'd). Empty words are dropped
-    * (`sequence(1, 0)` counts DOWN — the standing guard). */
+    * hand-made map are told, not garbage'd). Empty words are
+    * dropped. */
   def encodeWords(words: DataFrame, costs: Map[String, Long],
-                  maxPieceLen: Int): DataFrame =
+                  maxPieceLen: Int): DataFrame = {
+    require(costs.nonEmpty, "empty cost model")
     words.filter(col("word").isNotNull && col("word") =!= "")
-      .withColumn("__ucm", costMapLit(costs))
-      .withColumn("__uvr", expr(viterbiExpr("word", "__ucm", maxPieceLen)))
-      .withColumn("reachable", col("__uvr.cost_micro") < lit(Inf))
-      .withColumn("pieces",
-        when(col("reachable"), col("__uvr.pieces")))
+      .withColumn("__uvr", graft.functions.UnigramViterbi.segment(
+        col("word"), costs, maxPieceLen))
+      .withColumn("pieces", col("__uvr.pieces"))
       .withColumn("n_pieces",
-        when(col("reachable"), size(col("__uvr.pieces")).cast("long")))
-      .withColumn("cost_micro",
-        when(col("reachable"), col("__uvr.cost_micro")))
-      .drop("__ucm", "__uvr", "reachable")
+        when(col("__uvr").isNotNull, size(col("__uvr.pieces")).cast("long")))
+      .withColumn("cost_micro", col("__uvr.cost_micro"))
+      .drop("__uvr")
+  }
 
   /** Doc-level encode as ONE pure projection (stream-safe, the
     * frozen-scorer contract): every word of every document Viterbi-
@@ -194,15 +147,16 @@ object Unigram {
     * raw form, so the output is total. */
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
                  costs: Map[String, Long], maxPieceLen: Int): DataFrame = {
-    val perWord = viterbiExpr("wrd", "__ucm", maxPieceLen)
+    require(costs.nonEmpty, "empty cost model")
     docs.select(col(idCol).as("doc_id"),
         graft.functions.Fns.words(col(textCol)).as("__uws"))
-      .withColumn("__ucm", costMapLit(costs))
-      .withColumn("__toks", expr(
-        s"""flatten(transform(filter(__uws, wrd -> wrd <> ''), wrd ->
-           |  element_at(transform(array(($perWord)), prr ->
-           |    IF(prr.cost_micro < CAST($Inf AS BIGINT),
-           |       prr.pieces, array(wrd))), 1)))""".stripMargin))
+      .withColumn("__toks", flatten(transform(
+        filter(col("__uws"), w => w =!= lit("")),
+        w => {
+          val r = graft.functions.UnigramViterbi.segment(w, costs,
+            maxPieceLen)
+          when(r.isNotNull, r.getField("pieces")).otherwise(array(w))
+        })))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
         concat_ws(" ", col("__toks")).as("encoded"))
   }
@@ -273,6 +227,21 @@ object Unigram {
       .select("word", "pieces")
     UnigramModel(finalVocab, segs, maxPieceLen)
   }
+
+  /** Retrain from the persisted word-count store
+    * ([[Bpe.buildVocabStore]]'s `word_counts` table — the two
+    * tokenizer families deliberately consume the ONE same corpus
+    * statistic, so one ledger-maintained store serves both): an
+    * incrementally-ingested corpus ([[Bpe.upsertVocabCounts]] /
+    * StreamingVocab) retrains its unigram vocabulary with no corpus
+    * scan. */
+  def trainFromStore(spark: org.apache.spark.sql.SparkSession,
+                     root: String, vocabSize: Int,
+                     maxPieceLen: Int = 4, rounds: Int = 3,
+                     seedTopK: Int = 0): UnigramModel =
+    trainFromCounts(
+      graft.offline.VersionedStore.read(spark, Bpe.vocabCountsTable(root)),
+      vocabSize, maxPieceLen, rounds, seedTopK)
 
   /** The frozen scoring artifact: piece → cost_micro, driver-bounded
     * by the vocabulary (the BPE rule-table / frozen-policy

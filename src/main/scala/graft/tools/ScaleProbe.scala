@@ -488,6 +488,34 @@ object ScaleProbe {
     bdocs.unpersist()
     }
 
+    if (sections("unigram")) {
+    // Unigram Viterbi-EM at a realistic vocabulary: the Zipfian
+    // synthetic corpus (~8k distinct words) trains a 2k-piece vocab
+    // in 3 EM rounds; each round is one pure-projection encode of
+    // the distinct-word table + one vocab-sized groupBy, so the
+    // variable under test is VOCABULARY, not corpus volume. The
+    // encode linearity claim is probed separately: corpus ×1 vs ×K
+    // through the SAME frozen model — a pure projection must scale
+    // linearly with rows and be independent of duplicate structure.
+    val nVocab = args.lift(3).map(_.toInt).getOrElse(8000)
+    val udocs = zipfCorpus(spark, nVocab).cache()
+    println(s"[scale] unigram corpus rows: ${udocs.count()}")
+    val model = time("unigram train 2k vocab, 3 EM rounds")(
+      graft.operators.Unigram.train(udocs, "doc_id", "text",
+        vocabSize = 2000, maxPieceLen = 5, rounds = 3))
+    println(s"[scale] unigram vocab: ${model.vocab.count()} pieces")
+    val costs = graft.operators.Unigram.collectCosts(model.vocab)
+    time("unigram encode x1")(
+      graft.operators.Unigram.encodeDocs(udocs, "doc_id", "text",
+        costs, 5).agg(sum("n_tokens")).head())
+    val udocsK = replicate(udocs, k, Map("doc_id" -> 10000000L)).cache()
+    println(s"[scale] unigram xK rows: ${udocsK.count()}")
+    time(s"unigram encode x$k")(
+      graft.operators.Unigram.encodeDocs(udocsK, "doc_id", "text",
+        costs, 5).agg(sum("n_tokens")).head())
+    udocsK.unpersist(); udocs.unpersist()
+    }
+
     if (sections("bpezipf")) {
     // ZIPFIAN-VOCABULARY deep training: the compound-corpus probe
     // above measures batching on a worst-case vocabulary; this one

@@ -244,6 +244,28 @@ class UnigramSpec extends AnyFunSuite {
     assert(Set("a", "b").subsetOf(pieces), "singles must survive pruning")
   }
 
+  test("trainFromStore: retrains from the shared BPE word-count store == direct train on the union") {
+    val root = java.nio.file.Files
+      .createTempDirectory("unistore").toString + "/vs"
+    val a = Seq((1L, "spark park are spark"), (2L, "parse spa are"))
+      .toDF("doc_id", "text")
+    val b = Seq((10L, "sparse spark are park")).toDF("doc_id", "text")
+    graft.operators.Bpe.buildVocabStore(a, "doc_id", "text", root,
+      nMerges = 5)
+    assert(graft.operators.Bpe.upsertVocabCounts(b, "doc_id", "text",
+      root, "s1"))
+    val fromStore = Unigram.trainFromStore(spark, root, vocabSize = 10,
+        maxPieceLen = 3, rounds = 2)
+      .vocab.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = Unigram.train(a.union(b), "doc_id", "text",
+        vocabSize = 10, maxPieceLen = 3, rounds = 2)
+      .vocab.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromStore === direct,
+      "store-fed training must equal direct training on the union")
+  }
+
   test("encodeDocs: one projection reassembles word-level encodes; n_tokens consistent") {
     val docs = Seq((1L, "aa ab ba"), (2L, ""), (3L, "b"))
       .toDF("doc_id", "text")
