@@ -740,6 +740,40 @@ object SparkEntry {
       "doc_id", "text", n = 3, minTokens = 8)
   }
 
+  /** The PRETRAIN-PIPELINE capstone (round 11): the four standard
+    * stages of a pretraining data build — C4-style quality gate
+    * (q_clean_filter's exact thresholds) → exact dedup with keep-min
+    * canonicalization (q_dedup_exact's identity) → eval-set
+    * decontamination (q_decontaminate's shingle rule) → DCLM
+    * token-budget selection (q_select_budget's two-stage prefix-sum
+    * cut, 20k tokens) — composed as ONE Spark plan whose oracle is
+    * the composition of the four stages' own oracles (the
+    * q_trust_select composition convention). Stage order is the
+    * production order: cheap row-local gates first, the corpus-keyed
+    * dedup shuffle on survivors only, the broadcast decontamination
+    * probe after that, and the vocabulary-sized budget cut last —
+    * each stage shrinks what the next one pays for. */
+  def qPretrainPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(s, d)
+    val clean = TextAnalysis.cleanFilter(docs, "doc_id", "text",
+      minWords = 20, maxWords = 100000, minAvgWordLen = 2.0,
+      maxAvgWordLen = 12.0, maxDigitRatio = 0.3, maxStopwordRatio = 0.12)
+    val sdocs = docs.join(
+      clean.select("doc_id", "n_words", "quality_score"), "doc_id")
+    val winners = Dedup.exact(sdocs, "doc_id", "text")
+      .select(col("canonical_id").as("doc_id"))
+    val dd = sdocs.join(winners, Seq("doc_id"), "left_semi")
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val trainPool = dd.filter(col("doc_id") % 10 =!= 0)
+    val flagged = Dedup.decontaminate(trainPool, "doc_id", "text",
+      evalDocs, "doc_id", "text", n = 3, minOverlap = 5)
+    val train = trainPool.join(flagged.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    FeatureEng.selectToBudget(train, "doc_id", col("quality_score"),
+      col("n_words"), budgetTokens = 20000L)
+  }
+
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5
     * distinct 3-gram shingles with any eval doc. */
@@ -1542,6 +1576,7 @@ object SparkEntry {
     "q_media_meta" -> (qMediaMeta _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_pretrain_pipeline" -> (qPretrainPipeline _),
     "q_decontam_scores" -> (qDecontamScores _),
     "q_lm_score" -> (qLmScore _),
     "q_nb_quality" -> (qNbQuality _),
@@ -3705,6 +3740,63 @@ object SparkEntry {
           |SELECT word, enc AS encoded, CAST(np AS BIGINT) AS n_pieces,
           |       cost AS cost_micro
           |FROM done WHERE rn = 1""".stripMargin,
+
+      // The pretrain-pipeline capstone: each stage's OWN oracle
+      // composed — q_clean_filter's thresholds and score, then
+      // keep-min over md5(text) among survivors (q_dedup_exact's
+      // identity), then the q_decontaminate shingle flag, then
+      // q_select_budget's (score desc, doc_id) running cut at 20k.
+      "q_pretrain_pipeline" ->
+        """WITH b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits,
+          |    len(regexp_extract_all(text, '[0-9]')) AS digits
+          |  FROM documents
+          |), cf AS (
+          |  SELECT doc_id, n_words,
+          |    round(least(n_words / 100.0, 1.0) *
+          |          (1.0 - round(stop_hits / n_words, 6)), 6)
+          |      AS quality_score
+          |  FROM b
+          |  WHERE n_words BETWEEN 20 AND 100000
+          |    AND round((n_chars - (n_words - 1)) / n_words, 6)
+          |        BETWEEN 2.0 AND 12.0
+          |    AND round(digits / n_chars, 6) <= 0.3
+          |    AND round(stop_hits / n_words, 6) <= 0.12
+          |), dd AS (
+          |  SELECT doc_id, n_words, quality_score FROM (
+          |    SELECT cf.doc_id, cf.n_words, cf.quality_score,
+          |      min(cf.doc_id) OVER (PARTITION BY md5(d.text)) AS cid
+          |    FROM cf JOIN documents d USING (doc_id))
+          |  WHERE doc_id = cid
+          |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+          |flag AS (
+          |  SELECT sh.doc_id FROM sh JOIN es USING (s)
+          |  WHERE sh.doc_id % 10 <> 0
+          |  GROUP BY 1 HAVING count(*) >= 5
+          |), train AS (
+          |  SELECT * FROM dd
+          |  WHERE doc_id % 10 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM flag)
+          |), c AS (
+          |  SELECT doc_id, quality_score AS score,
+          |    CAST(n_words AS BIGINT) AS n_tokens,
+          |    CAST(sum(n_words) OVER (
+          |      ORDER BY quality_score DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM train
+          |)
+          |SELECT doc_id, score, n_tokens, cum_tokens
+          |FROM c WHERE cum_tokens <= 20000""".stripMargin,
 
       "q_quality_filter" -> qualityFilterOracleSql,
 

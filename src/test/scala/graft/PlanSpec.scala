@@ -519,6 +519,32 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window passes:\n$plan")
   }
 
+  test("q_pretrain_pipeline: four curation stages, no cartesian anywhere") {
+    // quality gate is row-local; dedup is ONE content-hash groupBy +
+    // semi-join; decontamination probes a BROADCAST eval shingle set
+    // (asserted on q_decontaminate's own plan above — selectToBudget's
+    // lineage-cutting localCheckpoint hides the upstream stages from
+    // THIS plan string); the budget cut is the two-stage prefix sum.
+    // The visible tail and the pre-checkpoint analyzed plan must both
+    // be cartesian-free.
+    val df = SparkEntry.qPretrainPipeline(spark, TestSpark.sfDir)
+    assert(!df.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    // the upstream stages, re-declared without the budget cut so the
+    // whole join graph is visible in one physical plan
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val clean = graft.operators.TextAnalysis.cleanFilter(docs,
+      "doc_id", "text", 20, 100000, 2.0, 12.0, 0.3, 0.12)
+    val sdocs = docs.join(
+      clean.select("doc_id", "n_words", "quality_score"), "doc_id")
+    val winners = graft.operators.Dedup.exact(sdocs, "doc_id", "text")
+      .select(org.apache.spark.sql.functions.col("canonical_id")
+        .as("doc_id"))
+    val dd = sdocs.join(winners, Seq("doc_id"), "left_semi")
+    val plan = dd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+  }
+
   test("q_unigram_encode: the encode itself is joinless — one projection over the word table") {
     val df = SparkEntry.qUnigramEncode(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
