@@ -503,6 +503,13 @@ object Graft {
                         shardId: String): Boolean =
     Dedup.upsertSubstrShard(shardDocs, "doc_id", "text", root, shardId)
 
+  /** Retract a previously-ingested shard from the gram store: exact
+    * count subtraction with the intent/done crash protocol (the
+    * cmRetract contract — every additive count store retracts). */
+  def substrStoreRetract(shardDocs: DataFrame, root: String,
+                         shardId: String): Boolean =
+    Dedup.retractSubstrShard(shardDocs, "doc_id", "text", root, shardId)
+
   /** Incremental spans served from the store (== [[substrSpansAgainst]]
     * over every ingested shard, corpus never read). */
   def substrSpansIncremental(shardDocs: DataFrame, root: String,

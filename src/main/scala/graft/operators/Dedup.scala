@@ -1141,6 +1141,26 @@ object Dedup {
   private def substrParamsTable(root: String) = s"$root/params"
   private def substrAppliedTable(root: String) = s"$root/applied"
 
+  /** Ledger rows for one shard (the [[Sketch.retractCm]] generation
+    * protocol verbatim): plain `shardId` rows are ingests,
+    * `retract:shardId` completed retractions,
+    * `retract-intent:shardId:…` in-flight markers. A shard is
+    * CURRENTLY APPLIED iff ingests > retractions. */
+  private def substrLedgerRows(spark: org.apache.spark.sql.SparkSession,
+                               root: String, shardId: String): Seq[String] = {
+    import graft.offline.VersionedStore
+    VersionedStore.read(spark, substrAppliedTable(root))
+      .filter(col("shard_id") === shardId ||
+        col("shard_id") === s"retract:$shardId" ||
+        col("shard_id").startsWith(s"retract-intent:$shardId:"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private def requireUnreservedSubstrShardId(shardId: String): Unit =
+    require(!shardId.startsWith("retract:") &&
+      !shardId.startsWith("retract-intent:"),
+      s"shard id '$shardId' uses the reserved retraction prefix")
+
   /** Build and PERSIST the ExactSubstr gram-count model as
     * VersionedStore tables under `root`: `grams` (s, df — the
     * xxhash64 positional-gram key and its corpus occurrence count,
@@ -1190,9 +1210,10 @@ object Dedup {
     import graft.offline.VersionedStore
     val spark = shardDocs.sparkSession
     import spark.implicits._
-    val applied = VersionedStore.read(spark, substrAppliedTable(root))
-      .filter(col("shard_id") === shardId).limit(1).count() > 0
-    if (applied) return false
+    requireUnreservedSubstrShardId(shardId)
+    val ledger = substrLedgerRows(spark, root, shardId)
+    if (ledger.count(_ == shardId) >
+        ledger.count(_ == s"retract:$shardId")) return false
     val n = readSubstrN(spark, root)
     val shard = positionalShingles(shardDocs, idCol, textCol, n)
       .groupBy("s").agg(count(lit(1)).as("df"))
@@ -1207,6 +1228,80 @@ object Dedup {
     true
   }
 
+  /** Retract one previously-ingested shard from the gram store — the
+    * right-to-be-forgotten path every additive count store in the
+    * engine carries ([[Sketch.retractCm]]'s protocol verbatim, same
+    * guarantees): gram counts subtract EXACTLY, exhausted grams are
+    * deleted, so the latest version equals a store that never saw the
+    * shard (pre-retraction snapshots stay readable via `versionAsOf`
+    * until the caller vacuums — the engine's compliance convention).
+    * Crash safety: INTENT row (carrying the exact expected
+    * post-retraction total) before the cell merge, DONE row after; a
+    * retried crash compares totals and either finishes the ledger,
+    * redoes the merge, or fails LOUDLY on an interleaved writer.
+    * Retracting a shard not currently applied returns false
+    * (generation-counted, so ingest→retract→ingest cycles work). */
+  def retractSubstrShard(shardDocs: DataFrame, idCol: String,
+                         textCol: String, root: String,
+                         shardId: String): Boolean = {
+    import graft.offline.VersionedStore
+    val spark = shardDocs.sparkSession
+    import spark.implicits._
+    requireUnreservedSubstrShardId(shardId)
+    val ledger = substrLedgerRows(spark, root, shardId)
+    val retracts = ledger.count(_ == s"retract:$shardId")
+    if (ledger.count(_ == shardId) <= retracts) return false
+    val gen = retracts + 1
+    val n = readSubstrN(spark, root)
+    val shard = positionalShingles(shardDocs, idCol, textCol, n)
+      .groupBy("s").agg(count(lit(1)).as("neg"))
+      .localCheckpoint(false)
+    def total(): Long = VersionedStore.read(spark, substrGramsTable(root))
+      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
+    val shardTotal = shard.agg(coalesce(sum("neg"), lit(0L)))
+      .head().getLong(0)
+    val intentPrefix = s"retract-intent:$shardId:$gen:"
+    ledger.find(_.startsWith(intentPrefix)) match {
+      case Some(intent) =>            // a prior attempt crashed
+        val exp = intent.stripPrefix(intentPrefix).toLong
+        val cur = total()
+        if (cur == exp) {             // merge landed, DONE row did not
+          VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
+            substrAppliedTable(root))
+          return true
+        }
+        if (cur != exp + shardTotal)  // neither pre nor post state
+          throw new IllegalStateException(
+            s"substr store $root: retraction of '$shardId' found total " +
+              s"$cur, expected $exp (post) or ${exp + shardTotal} (pre) " +
+              "- another writer interleaved; verify or rebuild the store")
+      case None =>
+        VersionedStore.append(
+          Seq(s"$intentPrefix${total() - shardTotal}").toDF("shard_id"),
+          substrAppliedTable(root))
+    }
+    val cur = VersionedStore.read(spark, substrGramsTable(root))
+      .withColumnRenamed("df", "df0")
+    val combined = shard.join(cur, Seq("s"), "left_outer")
+      .select(col("s"),
+        (coalesce(col("df0"), lit(0L)) - col("neg")).as("df"))
+      .localCheckpoint(false)
+    VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
+    // retire exhausted grams so the store literally never saw them.
+    // deleteKeys refuses to EMPTY a table, so full-retraction residue
+    // can remain as zero-df rows — detection serves by MEMBERSHIP, so
+    // every store read path filters df > 0 to keep that residue
+    // invisible (spec-held: serve-after-full-retraction finds nothing)
+    val zeros = combined.filter(col("df") <= 0L).select("s")
+    if (!zeros.isEmpty) {
+      try { VersionedStore.deleteKeys(zeros, substrGramsTable(root), Seq("s")); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
+      substrAppliedTable(root))
+    true
+  }
+
   /** Incremental detection served FROM the store: spans of
     * `shardDocs` against every gram ever ingested — bit-equal to
     * [[exactSubstrSpansAgainst]] over the union of the ingested
@@ -1216,8 +1311,12 @@ object Dedup {
                              textCol: String, root: String,
                              minTokens: Int = 8): DataFrame = {
     val spark = shardDocs.sparkSession
+    // df > 0: a crash-window zero-count residue row (retraction of
+    // the store's final shard — deleteKeys cannot empty a table) is
+    // NOT membership
     spansAgainstGrams(
-      graft.offline.VersionedStore.read(spark, substrGramsTable(root)),
+      graft.offline.VersionedStore.read(spark, substrGramsTable(root))
+        .filter(col("df") > 0),
       shardDocs, idCol, textCol, readSubstrN(spark, root), minTokens)
   }
 

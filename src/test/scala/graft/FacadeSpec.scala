@@ -344,5 +344,13 @@ class FacadeSpec extends AnyFunSuite {
       Graft.substrFreeze(corpus.unionByName(
           Seq((20L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")).toDF("doc_id", "text")),
         minDf = 1L).toSet)
+    // retraction delegates: the shard's grams subtract exactly
+    assert(Graft.substrStoreRetract(
+      Seq((20L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10")).toDF("doc_id", "text"),
+      root, "s1"))
+    assert(Graft.substrSpansIncremental(
+        Seq((30L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 end")).toDF("doc_id", "text"),
+        root)
+      .count() === 0L)
   }
 }

@@ -696,6 +696,44 @@ class LlmPipelineSpec extends AnyFunSuite {
         n = 3, minDf = 1L).toSet)
   }
 
+  test("substr store retraction: exact subtraction, generation cycles, reserved ids refused") {
+    val root = java.nio.file.Files
+      .createTempDirectory("substrretract").toString + "/ss"
+    val shared = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"
+    val bDup = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+    val corpusA = Seq((1L, s"$shared a-tail")).toDF("doc_id", "text")
+    val shardB = Seq((20L, s"$bDup b-tail")).toDF("doc_id", "text")
+    val probe = Seq(
+      (40L, s"x $shared"),   // dup vs the base corpus
+      (41L, s"y $bDup"))     // dup vs shard B only
+      .toDF("doc_id", "text")
+    Dedup.buildSubstrStore(corpusA, "doc_id", "text", root, n = 3)
+    assert(Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"))
+    def spanDocs() = Dedup.substrSpansIncremental(probe, "doc_id",
+      "text", root, minTokens = 8).collect().map(_.getLong(0)).toSet
+    assert(spanDocs() === Set(40L, 41L))
+    // retract B: probe doc 41 stops matching — the store equals one
+    // that never saw the shard; counts subtracted exactly
+    assert(Dedup.retractSubstrShard(shardB, "doc_id", "text", root, "b"))
+    assert(spanDocs() === Set(40L))
+    assert(Dedup.freezeDupGramsFromStore(spark, root, minDf = 1L).toSet ===
+      Dedup.freezeDupGrams(corpusA, "doc_id", "text", n = 3,
+        minDf = 1L).toSet)
+    // double retraction no-ops; never-ingested shard no-ops
+    assert(!Dedup.retractSubstrShard(shardB, "doc_id", "text", root, "b"))
+    assert(!Dedup.retractSubstrShard(shardB, "doc_id", "text", root,
+      "never-seen"))
+    // generation cycle: re-ingest after retraction applies again
+    assert(Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"))
+    assert(spanDocs() === Set(40L, 41L))
+    // reserved verbs refused up front
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.upsertSubstrShard(shardB, "doc_id", "text", root,
+        "retract:evil")
+    }
+    assert(ex.getMessage.contains("reserved"))
+  }
+
   test("exactSubstrFrozen: frozen boilerplate grams cut, fresh text kept") {
     val boiler = "b1 b2 b3 b4 b5 b6"
     val corpus = Seq(
