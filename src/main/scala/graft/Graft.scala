@@ -559,6 +559,16 @@ object Graft {
                          maxPieceLen: Int = 4): DataFrame =
     operators.Unigram.encodeWords(words, costs, maxPieceLen)
 
+  /** Subword-regularized encode: every word occurrence samples a
+    * segmentation (seeded Gumbel perturb-and-MAP — deterministic per
+    * (seed, doc, occurrence); alpha 0 == exact Viterbi). The
+    * training-data augmentation mode. */
+  def unigramEncodeSampled(docs: DataFrame, costs: Map[String, Long],
+                           maxPieceLen: Int = 4, alphaMicro: Long = 3L,
+                           seed: Long = 0L): DataFrame =
+    operators.Unigram.encodeDocsSampled(docs, "doc_id", "text", costs,
+      maxPieceLen, alphaMicro, seed)
+
   /** Gopher-style repetition quality metrics per document. */
   def repetitionMetrics(docs: DataFrame): DataFrame =
     TextAnalysis.repetitionMetrics(docs, "doc_id", "text")

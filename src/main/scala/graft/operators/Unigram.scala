@@ -149,12 +149,40 @@ object Unigram {
                  costs: Map[String, Long], maxPieceLen: Int): DataFrame = {
     require(costs.nonEmpty, "empty cost model")
     docs.select(col(idCol).as("doc_id"),
-        graft.functions.Fns.words(col(textCol)).as("__uws"))
+        coalesce(graft.functions.Fns.words(col(textCol)),
+          array().cast("array<string>")).as("__uws"))
       .withColumn("__toks", flatten(transform(
         filter(col("__uws"), w => w =!= lit("")),
         w => {
           val r = graft.functions.UnigramViterbi.segment(w, costs,
             maxPieceLen)
+          when(r.isNotNull, r.getField("pieces")).otherwise(array(w))
+        })))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("encoded"))
+  }
+
+  /** SUBWORD-REGULARIZED doc-level encode (Kudo 2018): each word
+    * OCCURRENCE samples a segmentation via seeded Gumbel
+    * perturb-and-MAP ([[graft.functions.UnigramSample]]) — the
+    * training-data augmentation mode: the same corpus encodes
+    * differently under different seeds (epochs), identically under
+    * the same seed (replay-exact, the engine's seeded-draw
+    * contract). alphaMicro = 0 is bit-equal to [[encodeDocs]]
+    * (spec-held); still ONE pure projection, stream-safe. */
+  def encodeDocsSampled(docs: DataFrame, idCol: String, textCol: String,
+                        costs: Map[String, Long], maxPieceLen: Int,
+                        alphaMicro: Long, seed: Long): DataFrame = {
+    require(costs.nonEmpty, "empty cost model")
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(graft.functions.Fns.words(col(textCol)),
+          array().cast("array<string>")).as("__uws"))
+      .withColumn("__toks", flatten(transform(
+        filter(col("__uws"), w => w =!= lit("")),
+        (w, idx) => {
+          val salt = xxhash64(lit(seed), col("doc_id"), idx)
+          val r = graft.functions.UnigramSample.segment(w, salt, costs,
+            maxPieceLen, alphaMicro)
           when(r.isNotNull, r.getField("pieces")).otherwise(array(w))
         })))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),

@@ -304,6 +304,11 @@ class FacadeSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) ->
         r.getAs[scala.collection.Seq[String]]("pieces").mkString("")).toMap
     assert(words === Map("aba" -> "aba", "ba" -> "ba"))
+    // sampled mode delegates; alpha 0 equals the exact encode
+    val s0 = Graft.unigramEncodeSampled(corpus, costs, maxPieceLen = 3,
+        alphaMicro = 0L, seed = 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s0 === enc)
   }
 
   test("substr family delegates: spans/dedup, frozen strip, incremental + gram store") {

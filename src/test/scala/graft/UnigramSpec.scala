@@ -266,8 +266,46 @@ class UnigramSpec extends AnyFunSuite {
       "store-fed training must equal direct training on the union")
   }
 
+  test("encodeDocsSampled: alpha=0 == exact Viterbi; seeded draws deterministic; both tie paths occur") {
+    // "abcd" has TWO equal-cost segmentations ([ab cd] and [abc d])
+    // under this vocab — the clean fixture for sampling: alpha 0 must
+    // always take the Viterbi tie-break, alpha > 0 must visit both
+    val costs = Map("ab" -> 5L, "cd" -> 5L, "abc" -> 7L, "d" -> 3L,
+      "a" -> 9L, "b" -> 9L, "c" -> 9L)
+    val docs = (1L to 200L).map(i => (i, "abcd abcd")).toDF("doc_id", "text")
+    val exact = Unigram.encodeDocs(docs, "doc_id", "text", costs, 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val zero = Unigram.encodeDocsSampled(docs, "doc_id", "text", costs,
+        3, alphaMicro = 0L, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(zero === exact, "alpha = 0 must be bit-equal to Viterbi")
+    def sample(seed: Long) = Unigram.encodeDocsSampled(docs, "doc_id",
+        "text", costs, 3, alphaMicro = 3L, seed = seed)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s1 = sample(7L)
+    assert(s1 === sample(7L), "same seed must replay exactly")
+    assert(s1 !== sample(8L), "different seeds must differ somewhere")
+    // every sampled segmentation is a valid minimum-ish path over the
+    // vocab and round-trips the characters
+    s1.values.foreach { enc =>
+      assert(enc.replace(" ", "") === "abcdabcd")
+      enc.split(" ").foreach(p => assert(costs.contains(p), s"piece $p"))
+    }
+    // with 400 occurrences and a true cost tie, both paths must occur
+    val variants = s1.values.flatMap(_.split(" abcd| (?=ab)").toSeq).toSet
+    val all = s1.values.mkString(" ")
+    assert(all.contains("ab cd") && all.contains("abc d"),
+      s"both tie paths should appear across 400 draws: $variants")
+    // and the two occurrences WITHIN a doc draw independently: some
+    // doc must mix the two variants
+    assert(s1.values.exists(e =>
+      e.matches(".*ab cd.*abc d.*") || e.matches(".*abc d.*ab cd.*")),
+      "per-occurrence salts must decorrelate draws inside one doc")
+  }
+
   test("encodeDocs: one projection reassembles word-level encodes; n_tokens consistent") {
-    val docs = Seq((1L, "aa ab ba"), (2L, ""), (3L, "b"))
+    val docs = Seq((1L, Some("aa ab ba")), (2L, Some("")),
+      (3L, Some("b")), (4L, None))
       .toDF("doc_id", "text")
     val costs = Map("a" -> 3L, "b" -> 3L, "aa" -> 4L, "ab" -> 4L)
     val out = Unigram.encodeDocs(docs, "doc_id", "text", costs, 2)
@@ -276,5 +314,6 @@ class UnigramSpec extends AnyFunSuite {
     assert(out(1L) === ((4L, "aa ab b a")))
     assert(out(2L) === ((0L, "")))
     assert(out(3L) === ((1L, "b")))
+    assert(out(4L) === ((0L, "")), "null text encodes empty, not null")
   }
 }
