@@ -488,6 +488,39 @@ object ScaleProbe {
     bdocs.unpersist()
     }
 
+    if (sections("substrstore")) {
+    // The incremental-ExactSubstr claim end to end at xK: build the
+    // gram store from the base corpus ONCE, then measure the daily
+    // path — one shard ingested additively, a new shard detected
+    // against everything so far with NO corpus rescan — versus the
+    // from-scratch alternative (re-shingling base+shard every day).
+    val base = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 10000000L)).cache()
+    println(s"[scale] substrstore base rows: ${base.count()}  (k=$k)")
+    val sroot = java.nio.file.Files
+      .createTempDirectory("substr_probe").toString + "/ss"
+    time(s"substr store build x$k")(
+      graft.operators.Dedup.buildSubstrStore(base, "doc_id", "text",
+        sroot, n = 3))
+    val shard1 = Tables.documents(spark, d)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .cache()
+    println(s"[scale] substrstore shard rows: ${shard1.count()}")
+    time("substr shard upsert x1")(
+      graft.operators.Dedup.upsertSubstrShard(shard1, "doc_id", "text",
+        sroot, "day1"))
+    val shard2 = Tables.documents(spark, d)
+      .select((col("doc_id") + 910000000L).as("doc_id"), col("text"))
+    time("substr incremental detect (store, no corpus scan)")(
+      graft.operators.Dedup.substrSpansIncremental(shard2, "doc_id",
+        "text", sroot, minTokens = 8).count())
+    time("substr detect from scratch (re-shingle corpus+shard)")(
+      graft.operators.Dedup.exactSubstrSpansAgainst(
+        base.select("doc_id", "text").union(shard1), shard2,
+        "doc_id", "text", n = 3, minTokens = 8).count())
+    shard1.unpersist(); base.unpersist()
+    }
+
     if (sections("unigram")) {
     // Unigram Viterbi-EM at a realistic vocabulary: the Zipfian
     // synthetic corpus (~8k distinct words) trains a 2k-piece vocab
