@@ -3728,7 +3728,7 @@ object SparkEntry {
           |         CASE WHEN s.pos = 0 THEN v.piece
           |              ELSE s.enc || ' ' || v.piece END,
           |         s.np + 1, s.cost + v.cost,
-          |         lpad(CAST(s.pos AS VARCHAR), 2, '0') || ',' || s.key
+          |         lpad(CAST(s.pos AS VARCHAR), 4, '0') || ',' || s.key
           |  FROM seg s JOIN vocab v
           |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
           |  WHERE s.pos < len(s.word)

@@ -1142,24 +1142,30 @@ object Dedup {
   private def substrAppliedTable(root: String) = s"$root/applied"
 
   /** Ledger rows for one shard (the [[Sketch.retractCm]] generation
-    * protocol verbatim): plain `shardId` rows are ingests,
-    * `retract:shardId` completed retractions,
-    * `retract-intent:shardId:…` in-flight markers. A shard is
-    * CURRENTLY APPLIED iff ingests > retractions. */
+    * protocol, extended to the INGEST side): plain `shardId` rows are
+    * completed ingests, `retract:shardId` completed retractions,
+    * `ingest-intent:…`/`retract-intent:…` in-flight markers carrying
+    * the expected post-operation total. A shard is CURRENTLY APPLIED
+    * iff ingests > retractions. */
   private def substrLedgerRows(spark: org.apache.spark.sql.SparkSession,
                                root: String, shardId: String): Seq[String] = {
     import graft.offline.VersionedStore
     VersionedStore.read(spark, substrAppliedTable(root))
       .filter(col("shard_id") === shardId ||
         col("shard_id") === s"retract:$shardId" ||
+        col("shard_id").startsWith(s"ingest-intent:$shardId:") ||
         col("shard_id").startsWith(s"retract-intent:$shardId:"))
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** Reserved verbs refused; additionally NO ':' anywhere in a shard
+    * id — intent rows are colon-framed (`verb:shardId:gen:total`), so
+    * a colon inside an id would let shard 'a:1''s markers parse as
+    * shard 'a''s and corrupt a crash recovery. */
   private def requireUnreservedSubstrShardId(shardId: String): Unit =
-    require(!shardId.startsWith("retract:") &&
-      !shardId.startsWith("retract-intent:"),
-      s"shard id '$shardId' uses the reserved retraction prefix")
+    require(!shardId.contains(":"),
+      s"shard id '$shardId' must not contain ':' (the ledger's frame " +
+        "character)")
 
   /** Build and PERSIST the ExactSubstr gram-count model as
     * VersionedStore tables under `root`: `grams` (s, df — the
@@ -1197,12 +1203,20 @@ object Dedup {
 
   /** Fold ONE new shard's gram counts into the store: a keyed MERGE
     * on `s` rewriting only the files whose key ranges the shard
-    * touches. Idempotent by the ledger (additive counts have no
-    * idempotence net — the Dsir at-least-once-with-dedup contract:
-    * counts commit first, ledger row last). Detect BEFORE ingesting:
-    * run [[substrSpansIncremental]] on a shard before upserting it,
-    * else the shard's own grams read as "already kept" and its first
-    * copies get cut too. Returns whether the shard was applied.
+    * touches. EXACTLY-ONCE, not just at-least-once-with-dedup: the
+    * usual counts-first/ledger-last ordering leaves a crash window
+    * where a replayed shard double-counts — benign for a one-sided
+    * estimator, but this store's df counts are declared EXACT (the
+    * freeze artifact's minDf gate reads them), so ingest runs the
+    * same intent/done protocol as [[retractSubstrShard]]: an INTENT
+    * row carrying the expected post-ingest total lands first, the
+    * merge second, the DONE row last. A replayed crash compares the
+    * store total against the intent and either just finishes the
+    * ledger, redoes the merge, or fails LOUDLY on an interleaved
+    * writer. Detect BEFORE ingesting: run [[substrSpansIncremental]]
+    * on a shard before upserting it, else the shard's own grams read
+    * as "already kept" and its first copies get cut too. Returns
+    * whether the shard was applied.
     */
   def upsertSubstrShard(shardDocs: DataFrame, idCol: String,
                         textCol: String, root: String,
@@ -1212,11 +1226,37 @@ object Dedup {
     import spark.implicits._
     requireUnreservedSubstrShardId(shardId)
     val ledger = substrLedgerRows(spark, root, shardId)
-    if (ledger.count(_ == shardId) >
-        ledger.count(_ == s"retract:$shardId")) return false
+    val ingests = ledger.count(_ == shardId)
+    if (ingests > ledger.count(_ == s"retract:$shardId")) return false
+    val gen = ingests + 1
     val n = readSubstrN(spark, root)
     val shard = positionalShingles(shardDocs, idCol, textCol, n)
       .groupBy("s").agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
+    def total(): Long = VersionedStore.read(spark, substrGramsTable(root))
+      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
+    val shardTotal = shard.agg(coalesce(sum("df"), lit(0L)))
+      .head().getLong(0)
+    val intentPrefix = s"ingest-intent:$shardId:$gen:"
+    ledger.find(_.startsWith(intentPrefix)) match {
+      case Some(intent) =>            // a prior attempt crashed
+        val exp = intent.stripPrefix(intentPrefix).toLong
+        val cur = total()
+        if (cur == exp) {             // merge landed, DONE row did not
+          VersionedStore.append(Seq(shardId).toDF("shard_id"),
+            substrAppliedTable(root))
+          return true
+        }
+        if (cur != exp - shardTotal)  // neither pre nor post state
+          throw new IllegalStateException(
+            s"substr store $root: ingest of '$shardId' found total $cur, " +
+              s"expected $exp (post) or ${exp - shardTotal} (pre) - " +
+              "another writer interleaved; verify or rebuild the store")
+      case None =>
+        VersionedStore.append(
+          Seq(s"$intentPrefix${total() + shardTotal}").toDF("shard_id"),
+          substrAppliedTable(root))
+    }
     val cur = VersionedStore.read(spark, substrGramsTable(root))
       .withColumnRenamed("df", "df0")
     val combined = shard.join(cur, Seq("s"), "left_outer")

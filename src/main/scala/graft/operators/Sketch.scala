@@ -967,13 +967,16 @@ object Sketch {
       .collect().map(_.getString(0)).toSeq
   }
 
-  /** `retract-intent:`/`retract:` are the ledger's reserved verbs —
-    * a shard named with them could poison another shard's retraction
-    * state, so ingest refuses them up front. */
+  /** The ledger frames its rows with ':' (`retract:shardId`,
+    * `retract-intent:shardId:gen:total`), so a shard id containing
+    * ':' anywhere could poison ANOTHER shard's retraction state —
+    * not just the reserved verbs: shard 'a:1''s intent rows parse as
+    * shard 'a''s (startsWith("retract-intent:a:")), and recovery
+    * would read the wrong expected total. Refused up front. */
   private def requireUnreservedShardId(shardId: String): Unit =
-    require(!shardId.startsWith("retract:") &&
-      !shardId.startsWith("retract-intent:"),
-      s"shard id '$shardId' uses the reserved retraction prefix")
+    require(!shardId.contains(":"),
+      s"shard id '$shardId' must not contain ':' (the ledger's frame " +
+        "character)")
 
   def upsertCm(shardDf: DataFrame, keyCol: String, root: String,
                shardId: String): Boolean = {

@@ -95,12 +95,25 @@ object Unigram {
   /** Integer-closed costs — the ORACLE family: cost_micro =
     * (Σcnt · 10^6) div cnt. Monotone in frequency, exact in BIGINT,
     * replayable in portable SQL. Input/output: (piece, cnt) →
-    * (piece, cnt, cost_micro). */
+    * (piece, cnt, cost_micro).
+    *
+    * Guarded against silent Long overflow: Σcnt · 10^6 wraps past
+    * ~9.2e12 total piece occurrences (a multi-terabyte corpus), where
+    * a wrapped-negative cost would make the DP PREFER the rarest
+    * pieces with no error. This family exists for exact SQL replay at
+    * verification scale; production encoding uses [[logCosts]], whose
+    * micro-nat costs stay tiny at any corpus size. */
   def integerCosts(vocab: DataFrame): DataFrame = {
     val tot = vocab.agg(sum("cnt").cast("long").as("total"))
     vocab.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),
-        expr("CAST((total * 1000000) DIV cnt AS BIGINT)").as("cost_micro"))
+        when(col("total") <= Long.MaxValue / 1000000L,
+          expr("CAST((total * 1000000) DIV cnt AS BIGINT)"))
+          .otherwise(raise_error(concat(
+            lit("integerCosts: total piece count "), col("total"),
+            lit(" overflows micro scaling - use logCosts at this " +
+              "corpus size"))))
+          .as("cost_micro"))
   }
 
   /** Negative log-likelihood in micro-nats — the PRODUCTION family:
@@ -140,6 +153,30 @@ object Unigram {
       .drop("__uvr")
   }
 
+  /** The shared doc-level tokenize/assemble projection: words split,
+    * empties dropped, each (word, occurrence-index) segmented by
+    * `perWord` (a struct (pieces, cost_micro) column, NULL =
+    * unreachable → the raw word passes through so the output is
+    * total), pieces flattened to (doc_id, n_tokens, encoded). ONE
+    * implementation so the exact and sampled encodes cannot drift in
+    * tokenization mechanics (UnigramSpec asserts their alpha-0
+    * equality on top). */
+  private def encodeDocsWith(docs: DataFrame, idCol: String,
+                             textCol: String)
+                            (perWord: (Column, Column) => Column)
+  : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(graft.functions.Fns.words(col(textCol)),
+          array().cast("array<string>")).as("__uws"))
+      .withColumn("__toks", flatten(transform(
+        filter(col("__uws"), w => w =!= lit("")),
+        (w, idx) => {
+          val r = perWord(w, idx)
+          when(r.isNotNull, r.getField("pieces")).otherwise(array(w))
+        })))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__toks")).as("encoded"))
+
   /** Doc-level encode as ONE pure projection (stream-safe, the
     * frozen-scorer contract): every word of every document Viterbi-
     * segmented in place — (doc_id, n_tokens, encoded). Unreachable
@@ -148,18 +185,8 @@ object Unigram {
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
                  costs: Map[String, Long], maxPieceLen: Int): DataFrame = {
     require(costs.nonEmpty, "empty cost model")
-    docs.select(col(idCol).as("doc_id"),
-        coalesce(graft.functions.Fns.words(col(textCol)),
-          array().cast("array<string>")).as("__uws"))
-      .withColumn("__toks", flatten(transform(
-        filter(col("__uws"), w => w =!= lit("")),
-        w => {
-          val r = graft.functions.UnigramViterbi.segment(w, costs,
-            maxPieceLen)
-          when(r.isNotNull, r.getField("pieces")).otherwise(array(w))
-        })))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
-        concat_ws(" ", col("__toks")).as("encoded"))
+    encodeDocsWith(docs, idCol, textCol)((w, _) =>
+      graft.functions.UnigramViterbi.segment(w, costs, maxPieceLen))
   }
 
   /** SUBWORD-REGULARIZED doc-level encode (Kudo 2018): each word
@@ -174,19 +201,10 @@ object Unigram {
                         costs: Map[String, Long], maxPieceLen: Int,
                         alphaMicro: Long, seed: Long): DataFrame = {
     require(costs.nonEmpty, "empty cost model")
-    docs.select(col(idCol).as("doc_id"),
-        coalesce(graft.functions.Fns.words(col(textCol)),
-          array().cast("array<string>")).as("__uws"))
-      .withColumn("__toks", flatten(transform(
-        filter(col("__uws"), w => w =!= lit("")),
-        (w, idx) => {
-          val salt = xxhash64(lit(seed), col("doc_id"), idx)
-          val r = graft.functions.UnigramSample.segment(w, salt, costs,
-            maxPieceLen, alphaMicro)
-          when(r.isNotNull, r.getField("pieces")).otherwise(array(w))
-        })))
-      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
-        concat_ws(" ", col("__toks")).as("encoded"))
+    encodeDocsWith(docs, idCol, textCol)((w, idx) =>
+      graft.functions.UnigramSample.segment(w,
+        xxhash64(lit(seed), col("doc_id"), idx), costs,
+        maxPieceLen, alphaMicro))
   }
 
   // --- Viterbi-EM trainer ---------------------------------------------

@@ -726,12 +726,46 @@ class LlmPipelineSpec extends AnyFunSuite {
     // generation cycle: re-ingest after retraction applies again
     assert(Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"))
     assert(spanDocs() === Set(40L, 41L))
-    // reserved verbs refused up front
+    // the ledger frame character is refused anywhere in an id (bans
+    // the reserved verbs AND the 'a' vs 'a:1' intent-collision class)
     val ex = intercept[IllegalArgumentException] {
       Dedup.upsertSubstrShard(shardB, "doc_id", "text", root,
         "retract:evil")
     }
-    assert(ex.getMessage.contains("reserved"))
+    assert(ex.getMessage.contains(":"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "a:1")
+    }
+    assert(ex2.getMessage.contains("frame"))
+  }
+
+  test("substr store ingest is exactly-once: a crashed replay never double-counts") {
+    val root = java.nio.file.Files
+      .createTempDirectory("substrcrash").toString + "/ss"
+    val corpusA = Seq((1L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"))
+      .toDF("doc_id", "text")
+    val shardB = Seq((20L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"))
+      .toDF("doc_id", "text")
+    Dedup.buildSubstrStore(corpusA, "doc_id", "text", root, n = 3)
+    def storeTotal(): Long = graft.offline.VersionedStore
+      .read(spark, root + "/grams")
+      .agg(org.apache.spark.sql.functions.sum("df")).head().getLong(0)
+    val base = storeTotal()
+    // simulate a crash AFTER the merge but BEFORE the done row: apply
+    // the real upsert, then delete its done row so only the intent
+    // survives — exactly the crash-window ledger state
+    assert(Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"))
+    val afterIngest = storeTotal()
+    assert(afterIngest > base)
+    graft.offline.VersionedStore.deleteKeys(
+      Seq("b").toDF("shard_id"), root + "/applied", Seq("shard_id"))
+    // the replay must FINISH (ledger row only), not re-merge
+    assert(Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"))
+    assert(storeTotal() === afterIngest,
+      "replayed ingest after a crash must not double-count")
+    // and a further replay no-ops entirely (done row present)
+    assert(!Dedup.upsertSubstrShard(shardB, "doc_id", "text", root, "b"))
+    assert(storeTotal() === afterIngest)
   }
 
   test("exactSubstrFrozen: frozen boilerplate grams cut, fresh text kept") {
