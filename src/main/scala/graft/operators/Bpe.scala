@@ -686,31 +686,32 @@ object Bpe {
 
   /** Fold ONE corpus shard's word counts into the store: a keyed
     * MERGE on `word` rewriting only the files whose word ranges the
-    * shard touches. `shardId` makes the refresh idempotent — a shard
-    * already in the ledger no-ops, so replayed ingests cannot
-    * double-count (ledger row lands after the counts commit: at-
-    * least-once-with-dedup, the Dsir/incremental-dedup contract).
-    * Returns whether the shard was applied. Rules are NOT retrained
-    * here — call [[refreshVocab]] on whatever cadence suits. */
+    * shard touches, EXACTLY-ONCE under the engine-wide
+    * [[graft.offline.Ledger.ingestOnce]] intent/done protocol (both
+    * tokenizer trainers and the drift measure read these counts as
+    * exact — a crash-replayed double count would silently tilt merge
+    * ranks and unigram costs). Returns whether the shard was applied.
+    * Rules are NOT retrained here — call [[refreshVocab]] on whatever
+    * cadence suits. */
   def upsertVocabCounts(shardDocs: DataFrame, idCol: String,
                         textCol: String, root: String,
                         shardId: String): Boolean = {
-    import graft.offline.VersionedStore
+    import graft.offline.{Ledger, VersionedStore}
     val spark = shardDocs.sparkSession
-    import spark.implicits._
-    val applied = VersionedStore.read(spark, vocabAppliedTable(root))
-      .filter(col("shard_id") === shardId).limit(1).count() > 0
-    if (applied) return false
     val shard = corpusWordCounts(shardDocs, idCol, textCol)
-    val cur = VersionedStore.read(spark, vocabCountsTable(root))
-      .withColumnRenamed("cnt", "cnt0")
-    val combined = shard.join(cur, Seq("word"), "left_outer")
-      .select(col("word"),
-        (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
-    VersionedStore.merge(combined, vocabCountsTable(root), Seq("word"))
-    VersionedStore.append(Seq(shardId).toDF("shard_id"),
-      vocabAppliedTable(root))
-    true
+      .localCheckpoint(false)
+    Ledger.ingestOnce(spark, vocabAppliedTable(root), shardId,
+      () => VersionedStore.read(spark, vocabCountsTable(root))
+        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0),
+      () => shard.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)) {
+      val cur = VersionedStore.read(spark, vocabCountsTable(root))
+        .withColumnRenamed("cnt", "cnt0")
+      val combined = shard.join(cur, Seq("word"), "left_outer")
+        .select(col("word"),
+          (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
+      VersionedStore.merge(combined, vocabCountsTable(root), Seq("word"))
+      ()
+    }
   }
 
   /** Token-mass drift between the CURRENT counts and the counts the

@@ -1141,32 +1141,6 @@ object Dedup {
   private def substrParamsTable(root: String) = s"$root/params"
   private def substrAppliedTable(root: String) = s"$root/applied"
 
-  /** Ledger rows for one shard (the [[Sketch.retractCm]] generation
-    * protocol, extended to the INGEST side): plain `shardId` rows are
-    * completed ingests, `retract:shardId` completed retractions,
-    * `ingest-intent:…`/`retract-intent:…` in-flight markers carrying
-    * the expected post-operation total. A shard is CURRENTLY APPLIED
-    * iff ingests > retractions. */
-  private def substrLedgerRows(spark: org.apache.spark.sql.SparkSession,
-                               root: String, shardId: String): Seq[String] = {
-    import graft.offline.VersionedStore
-    VersionedStore.read(spark, substrAppliedTable(root))
-      .filter(col("shard_id") === shardId ||
-        col("shard_id") === s"retract:$shardId" ||
-        col("shard_id").startsWith(s"ingest-intent:$shardId:") ||
-        col("shard_id").startsWith(s"retract-intent:$shardId:"))
-      .collect().map(_.getString(0)).toSeq
-  }
-
-  /** Reserved verbs refused; additionally NO ':' anywhere in a shard
-    * id — intent rows are colon-framed (`verb:shardId:gen:total`), so
-    * a colon inside an id would let shard 'a:1''s markers parse as
-    * shard 'a''s and corrupt a crash recovery. */
-  private def requireUnreservedSubstrShardId(shardId: String): Unit =
-    require(!shardId.contains(":"),
-      s"shard id '$shardId' must not contain ':' (the ledger's frame " +
-        "character)")
-
   /** Build and PERSIST the ExactSubstr gram-count model as
     * VersionedStore tables under `root`: `grams` (s, df — the
     * xxhash64 positional-gram key and its corpus occurrence count,
@@ -1221,51 +1195,24 @@ object Dedup {
   def upsertSubstrShard(shardDocs: DataFrame, idCol: String,
                         textCol: String, root: String,
                         shardId: String): Boolean = {
-    import graft.offline.VersionedStore
+    import graft.offline.{Ledger, VersionedStore}
     val spark = shardDocs.sparkSession
-    import spark.implicits._
-    requireUnreservedSubstrShardId(shardId)
-    val ledger = substrLedgerRows(spark, root, shardId)
-    val ingests = ledger.count(_ == shardId)
-    if (ingests > ledger.count(_ == s"retract:$shardId")) return false
-    val gen = ingests + 1
     val n = readSubstrN(spark, root)
     val shard = positionalShingles(shardDocs, idCol, textCol, n)
       .groupBy("s").agg(count(lit(1)).as("df"))
       .localCheckpoint(false)
-    def total(): Long = VersionedStore.read(spark, substrGramsTable(root))
-      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
-    val shardTotal = shard.agg(coalesce(sum("df"), lit(0L)))
-      .head().getLong(0)
-    val intentPrefix = s"ingest-intent:$shardId:$gen:"
-    ledger.find(_.startsWith(intentPrefix)) match {
-      case Some(intent) =>            // a prior attempt crashed
-        val exp = intent.stripPrefix(intentPrefix).toLong
-        val cur = total()
-        if (cur == exp) {             // merge landed, DONE row did not
-          VersionedStore.append(Seq(shardId).toDF("shard_id"),
-            substrAppliedTable(root))
-          return true
-        }
-        if (cur != exp - shardTotal)  // neither pre nor post state
-          throw new IllegalStateException(
-            s"substr store $root: ingest of '$shardId' found total $cur, " +
-              s"expected $exp (post) or ${exp - shardTotal} (pre) - " +
-              "another writer interleaved; verify or rebuild the store")
-      case None =>
-        VersionedStore.append(
-          Seq(s"$intentPrefix${total() + shardTotal}").toDF("shard_id"),
-          substrAppliedTable(root))
+    Ledger.ingestOnce(spark, substrAppliedTable(root), shardId,
+      () => VersionedStore.read(spark, substrGramsTable(root))
+        .agg(coalesce(sum("df"), lit(0L))).head().getLong(0),
+      () => shard.agg(coalesce(sum("df"), lit(0L))).head().getLong(0)) {
+      val cur = VersionedStore.read(spark, substrGramsTable(root))
+        .withColumnRenamed("df", "df0")
+      val combined = shard.join(cur, Seq("s"), "left_outer")
+        .select(col("s"),
+          (col("df") + coalesce(col("df0"), lit(0L))).as("df"))
+      VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
+      ()
     }
-    val cur = VersionedStore.read(spark, substrGramsTable(root))
-      .withColumnRenamed("df", "df0")
-    val combined = shard.join(cur, Seq("s"), "left_outer")
-      .select(col("s"),
-        (col("df") + coalesce(col("df0"), lit(0L))).as("df"))
-    VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
-    VersionedStore.append(Seq(shardId).toDF("shard_id"),
-      substrAppliedTable(root))
-    true
   }
 
   /** Retract one previously-ingested shard from the gram store — the
@@ -1287,8 +1234,9 @@ object Dedup {
     import graft.offline.VersionedStore
     val spark = shardDocs.sparkSession
     import spark.implicits._
-    requireUnreservedSubstrShardId(shardId)
-    val ledger = substrLedgerRows(spark, root, shardId)
+    graft.offline.Ledger.requireFrameFree(shardId)
+    val ledger = graft.offline.Ledger.rows(spark,
+      substrAppliedTable(root), shardId)
     val retracts = ledger.count(_ == s"retract:$shardId")
     if (ledger.count(_ == shardId) <= retracts) return false
     val gen = retracts + 1

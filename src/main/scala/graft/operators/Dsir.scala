@@ -185,36 +185,42 @@ object Dsir {
 
   /** Fold ONE new shard's gram counts into the stored model: a keyed
     * MERGE on `bucket` that rewrites only the files whose bucket
-    * ranges the shard touches. `shardId` makes the refresh
-    * idempotent: a shard already in the ledger is a no-op, so a
-    * replayed ingest cannot double-count (the ledger row lands after
-    * the counts commit — a crash between the two re-applies the
-    * shard, so the refresh is at-least-once-with-dedup, same contract
-    * as the incremental dedup state). Target membership of new docs
-    * comes from `isTarget` exactly as at build time.
+    * ranges the shard touches, EXACTLY-once under the engine-wide
+    * intent/done protocol ([[graft.offline.Ledger.ingestOnce]]): a
+    * replayed ingest no-ops by the ledger, and a crash BETWEEN the
+    * counts commit and the ledger row — the window that used to
+    * re-apply the shard — is now recovered by comparing the store's
+    * total mass against the intent row. Target membership of new
+    * docs comes from `isTarget` exactly as at build time.
     */
   def upsertModelCounts(shardDocs: DataFrame, idCol: String,
                         textCol: String, isTarget: Column,
                         root: String, shardId: String): Boolean = {
-    import graft.offline.VersionedStore
+    import graft.offline.{Ledger, VersionedStore}
     val spark = shardDocs.sparkSession
-    import spark.implicits._
-    val applied = VersionedStore.read(spark, appliedTable(root))
-      .filter(col("shard_id") === shardId).limit(1).count() > 0
-    if (applied) return false
     val (nBuckets, _) = readParams(spark, root)
     val shard = bucketCounts(hashedNgramCounts(shardDocs, idCol, textCol,
       nBuckets, Seq("is_target" -> isTarget)))
-    val cur = VersionedStore.read(spark, countsTable(root))
-      .withColumnRenamed("c", "c0").withColumnRenamed("t", "t0")
-    val combined = shard.join(cur, Seq("bucket"), "left_outer")
-      .select(col("bucket"),
-        (col("c") + coalesce(col("c0"), lit(0L))).as("c"),
-        (col("t") + coalesce(col("t0"), lit(0L))).as("t"))
-    VersionedStore.merge(combined, countsTable(root), Seq("bucket"))
-    VersionedStore.append(Seq(shardId).toDF("shard_id"),
-      appliedTable(root))
-    true
+      .localCheckpoint(false)
+    // EXACTLY-once under the engine-wide intent/done ingest protocol
+    // (Ledger.ingestOnce): the importance weights derive from these
+    // counts as exact integers, so the classic crash-window double
+    // count would silently tilt every log-ratio. Total = c + t mass.
+    def massOf(df: DataFrame): Long = df
+      .agg((coalesce(sum("c"), lit(0L)) +
+        coalesce(sum("t"), lit(0L))).as("m")).head().getLong(0)
+    Ledger.ingestOnce(spark, appliedTable(root), shardId,
+      () => massOf(VersionedStore.read(spark, countsTable(root))),
+      () => massOf(shard)) {
+      val cur = VersionedStore.read(spark, countsTable(root))
+        .withColumnRenamed("c", "c0").withColumnRenamed("t", "t0")
+      val combined = shard.join(cur, Seq("bucket"), "left_outer")
+        .select(col("bucket"),
+          (col("c") + coalesce(col("c0"), lit(0L))).as("c"),
+          (col("t") + coalesce(col("t0"), lit(0L))).as("t"))
+      VersionedStore.merge(combined, countsTable(root), Seq("bucket"))
+      ()
+    }
   }
 
   /** Freeze the scoring artifact straight from the persisted counts —

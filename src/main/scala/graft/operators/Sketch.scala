@@ -926,9 +926,8 @@ object Sketch {
   /** Initialize the persisted CM store: the sketch cells as a
     * VersionedStore table keyed (di, pos), plus params and the shard
     * ledger. Counts are additive — a replayed shard WOULD
-    * double-count — so the ledger is load-bearing here (the Dsir
-    * count-store contract: at-least-once-with-dedup, ledger row
-    * lands after the cell commit).
+    * double-count — so ingest runs the engine-wide EXACTLY-once
+    * intent/done protocol ([[graft.offline.Ledger.ingestOnce]]).
     */
   def buildCmStore(df: DataFrame, keyCol: String, root: String,
                    depth: Int = 3, width: Int = 1024,
@@ -980,29 +979,31 @@ object Sketch {
 
   def upsertCm(shardDf: DataFrame, keyCol: String, root: String,
                shardId: String): Boolean = {
-    import graft.offline.VersionedStore
+    import graft.offline.{Ledger, VersionedStore}
     val spark = shardDf.sparkSession
-    import spark.implicits._
-    requireUnreservedShardId(shardId)
-    val ledger = cmLedgerRows(spark, root, shardId)
-    // currently applied (ingests outnumber retractions) → no-op;
-    // after a completed retraction the same id may ingest again
-    if (ledger.count(_ == shardId) >
-        ledger.count(_ == s"retract:$shardId")) return false
     val p = VersionedStore.read(spark, cmParamsTable(root))
       .select("depth", "width", "fast").head()
     val (depth, width) = (p.getLong(0).toInt, p.getLong(1).toInt)
     val shard = cmSketchRows(shardDf, keyCol, depth, width,
-      fast = p.getBoolean(2))
-    val cur = VersionedStore.read(spark, cmTable(root))
-      .select(col("di"), col("pos"), col("cnt").as("cnt0"))
-    val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
-      .select(col("di"), col("pos"),
-        (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
-    VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
-    VersionedStore.append(Seq(shardId).toDF("shard_id"),
-      cmAppliedTable(root))
-    true
+      fast = p.getBoolean(2)).localCheckpoint(false)
+    // EXACTLY-once under the engine-wide intent/done ingest protocol
+    // (Ledger.ingestOnce — same crash-window arithmetic retractCm
+    // already carries, now on the ingest side too): a replayed crash
+    // finishes the ledger or redoes the merge, never double-counts.
+    // Total = the di=0 row mass, retractCm's own evidence column.
+    def mass(df: DataFrame): Long = df.filter(col("di") === 0)
+      .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    Ledger.ingestOnce(spark, cmAppliedTable(root), shardId,
+      () => mass(VersionedStore.read(spark, cmTable(root))),
+      () => mass(shard)) {
+      val cur = VersionedStore.read(spark, cmTable(root))
+        .select(col("di"), col("pos"), col("cnt").as("cnt0"))
+      val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
+        .select(col("di"), col("pos"),
+          (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
+      VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
+      ()
+    }
   }
 
   /** Retract one previously-ingested shard from the CM store — the

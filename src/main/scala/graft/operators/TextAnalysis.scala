@@ -342,27 +342,29 @@ object TextAnalysis {
   }
 
   /** Fold one corpus shard's bigram counts into the store: additive
-    * keyed MERGE on (w1, w2); the ledger is load-bearing (a replayed
-    * additive shard would double-count — the Dsir contract:
-    * at-least-once-with-dedup, ledger row lands after the commit). */
+    * keyed MERGE on (w1, w2), EXACTLY-ONCE under the engine-wide
+    * [[graft.offline.Ledger.ingestOnce]] intent/done protocol (these
+    * counts are declared exact — the KN fit's discount arithmetic
+    * reads them — so the classic counts-first/ledger-last crash
+    * window's silent double-count is not acceptable here). */
   def knUpsertCounts(shardDocs: DataFrame, idCol: String, textCol: String,
                      root: String, shardId: String): Boolean = {
-    import graft.offline.VersionedStore
+    import graft.offline.{Ledger, VersionedStore}
     val spark = shardDocs.sparkSession
-    import spark.implicits._
-    val applied = VersionedStore.read(spark, knAppliedTable(root))
-      .filter(col("shard_id") === shardId).limit(1).count() > 0
-    if (applied) return false
     val shard = knBigramCounts(shardDocs, idCol, textCol)
-    val cur = VersionedStore.read(spark, knC12Table(root))
-      .withColumnRenamed("c12", "c0")
-    val combined = shard.join(cur, Seq("w1", "w2"), "left_outer")
-      .select(col("w1"), col("w2"),
-        (col("c12") + coalesce(col("c0"), lit(0L))).as("c12"))
-    VersionedStore.merge(combined, knC12Table(root), Seq("w1", "w2"))
-    VersionedStore.append(Seq(shardId).toDF("shard_id"),
-      knAppliedTable(root))
-    true
+      .localCheckpoint(false)
+    Ledger.ingestOnce(spark, knAppliedTable(root), shardId,
+      () => VersionedStore.read(spark, knC12Table(root))
+        .agg(coalesce(sum("c12"), lit(0L))).head().getLong(0),
+      () => shard.agg(coalesce(sum("c12"), lit(0L))).head().getLong(0)) {
+      val cur = VersionedStore.read(spark, knC12Table(root))
+        .withColumnRenamed("c12", "c0")
+      val combined = shard.join(cur, Seq("w1", "w2"), "left_outer")
+        .select(col("w1"), col("w2"),
+          (col("c12") + coalesce(col("c0"), lit(0L))).as("c12"))
+      VersionedStore.merge(combined, knC12Table(root), Seq("w1", "w2"))
+      ()
+    }
   }
 
   /** Freeze the scoring artifact from the stored counts — no corpus

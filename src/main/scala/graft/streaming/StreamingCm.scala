@@ -18,14 +18,13 @@ import graft.operators.Sketch
   *
   * Replay safety rests on the shard ledger ALONE here: unlike HLL's
   * register max, additive counts have no idempotence net — a replayed
-  * batch that slipped past the ledger would double-count. That is the
-  * Dsir count-store contract (Dsir.scala upsertModelCounts), write
-  * order included: cells MERGE first, ledger row last, so a restart
-  * replaying a LEDGERED batch no-ops, while a crash INSIDE the
-  * cells-committed/ledger-missing window re-applies that one batch —
-  * at-least-once-with-dedup, the documented family semantics (the
-  * sketch is an estimator with a one-sided error model; a
-  * once-per-crash single-batch overcount stays one-sided).
+  * batch that slipped past the ledger would double-count. Since round
+  * 11 ingest is EXACTLY-once engine-wide
+  * ([[graft.offline.Ledger.ingestOnce]]): an intent row carrying the
+  * expected post-ingest total lands before the cell merge, the done
+  * row after, and a restart inside the old
+  * cells-committed/ledger-missing window recovers by comparing
+  * totals instead of re-applying the batch.
   */
 object StreamingCm {
 

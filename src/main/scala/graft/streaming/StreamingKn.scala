@@ -18,10 +18,10 @@ import graft.operators.TextAnalysis
   * and [[TextAnalysis.knScoreFrozen]] applies it, including inside
   * another stream (the score path is a pure projection).
   *
-  * Replay safety rests on the shard ledger ALONE (the Dsir additive
-  * contract, StreamingCm's scaladoc spells out the crash-window
-  * semantics): cells MERGE first, ledger row last —
-  * at-least-once-with-dedup.
+  * Replay safety: EXACTLY-once by the engine-wide intent/done ingest
+  * protocol ([[graft.offline.Ledger.ingestOnce]]) — a micro-batch
+  * replayed across any crash window either no-ops or completes,
+  * never double-counts.
   */
 object StreamingKn {
 

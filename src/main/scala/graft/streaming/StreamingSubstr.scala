@@ -18,10 +18,11 @@ import graft.operators.Dedup
   * [[Dedup.exactSubstrFrozen]] artifact from the stored counts at
   * any time.
   *
-  * Replay safety rests on the shard ledger ALONE (the Dsir additive
-  * contract, StreamingCm's scaladoc spells out the crash-window
-  * semantics): grams MERGE first, ledger row last —
-  * at-least-once-with-dedup.
+  * Replay safety: EXACTLY-once by the engine-wide intent/done ingest
+  * protocol ([[graft.offline.Ledger.ingestOnce]]) — a micro-batch
+  * replayed across any crash window either no-ops or completes,
+  * never double-counts (spec-held by the deleted-done-row crash
+  * simulation in LlmPipelineSpec).
   */
 object StreamingSubstr {
 

@@ -13,10 +13,11 @@ import graft.operators.Bpe
   * IVF state). The store must be pre-built
   * ([[Bpe.buildVocabStore]]).
   *
-  * Exactly-once by the shard ledger: the shard id is the batch id,
-  * so a crash-window replay of a micro-batch no-ops instead of
-  * double-counting (Dsir's at-least-once-with-dedup contract,
-  * verbatim).
+  * Exactly-once: the shard id is the batch id, and ingest runs the
+  * engine-wide intent/done protocol
+  * ([[graft.offline.Ledger.ingestOnce]]), so a replay no-ops and even
+  * a crash between the counts commit and the ledger row recovers
+  * without double-counting.
   *
   * RETRAINING is deliberately decoupled from ingestion — counts are
   * cheap to fold continuously, rules are expensive to retrain — but

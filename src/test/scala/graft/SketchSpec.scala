@@ -827,6 +827,29 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("cm store ingest is exactly-once: a crashed replay never double-counts") {
+    val root = java.nio.file.Files
+      .createTempDirectory("cmcrash").toString + "/cm"
+    val base = Seq("a", "b", "c").toDF("k")
+    Sketch.buildCmStore(base, "k", root, depth = 3, width = 64)
+    val shard = Seq("a", "a", "d").toDF("k")
+    def mass(): Long = graft.offline.VersionedStore
+      .read(spark, root + "/cm_sketch").filter(col("di") === 0)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    val m0 = mass()
+    assert(Sketch.upsertCm(shard, "k", root, "s1"))
+    val m1 = mass()
+    assert(m1 === m0 + 3)
+    // simulate the crash window: done row deleted, intent row stays
+    graft.offline.VersionedStore.deleteKeys(
+      Seq("s1").toDF("shard_id"), root + "/cm_applied", Seq("shard_id"))
+    assert(Sketch.upsertCm(shard, "k", root, "s1"),
+      "replay must FINISH the crashed ingest")
+    assert(mass() === m1, "crashed replay must not double-count")
+    assert(!Sketch.upsertCm(shard, "k", root, "s1"))
+    assert(mass() === m1)
+  }
+
   test("StreamingCm: micro-batches fold cells additively, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
