@@ -839,6 +839,14 @@ object Graft {
     Dsir.upsertModelCounts(shard, "doc_id", "text", isTarget, root,
       shardId)
 
+  /** Retract a previously-ingested shard (exact count subtraction
+    * under the engine-wide intent/done crash protocol — every
+    * additive count store retracts). */
+  def dsirStoreRetract(shard: DataFrame, isTarget: Column, root: String,
+                       shardId: String): Boolean =
+    Dsir.retractModelCounts(shard, "doc_id", "text", isTarget, root,
+      shardId)
+
   /** Freeze the scoring artifact from the stored counts — no corpus
     * scan; equals the full refit over every ingested shard. */
   def dsirStoreFreeze(spark: SparkSession, root: String): Dsir.DsirModel =
@@ -1001,6 +1009,13 @@ object Graft {
   def bpeStoreUpsert(shard: DataFrame, root: String,
                      shardId: String): Boolean =
     Bpe.upsertVocabCounts(shard, "doc_id", "text", root, shardId)
+
+  /** Retract a previously-ingested shard from the shared word-count
+    * store (exact subtraction, intent/done crash protocol) — both
+    * tokenizer trainers thereafter fit a corpus that never saw it. */
+  def bpeStoreRetract(shard: DataFrame, root: String,
+                      shardId: String): Boolean =
+    Bpe.retractVocabCounts(shard, "doc_id", "text", root, shardId)
 
   /** Retrain-vs-keep by token-mass drift against the counts the
     * current rules were trained on. */
@@ -1317,6 +1332,12 @@ object Graft {
   def knStoreUpsert(shard: DataFrame, root: String,
                     shardId: String): Boolean =
     TextAnalysis.knUpsertCounts(shard, "doc_id", "text", root, shardId)
+
+  /** Retract a previously-ingested shard (exact bigram-count
+    * subtraction, intent/done crash protocol). */
+  def knStoreRetract(shard: DataFrame, root: String,
+                     shardId: String): Boolean =
+    TextAnalysis.knRetractCounts(shard, "doc_id", "text", root, shardId)
 
   /** Freeze the scoring artifact from stored counts — no corpus scan;
     * equals [[knFreeze]] over the union of every ingested shard. */

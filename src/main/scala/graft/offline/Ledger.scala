@@ -87,4 +87,51 @@ object Ledger {
     VersionedStore.append(Seq(shardId).toDF("shard_id"), appliedTable)
     true
   }
+
+  /** Run `merge` (the store's keyed SUBTRACTIVE merge) exactly once
+    * for a previously-ingested `shardId` — the right-to-be-forgotten
+    * side of the protocol ([[graft.operators.Sketch.retractCm]]'s
+    * semantics, shared): a double subtraction would UNDERCOUNT, the
+    * forbidden direction, so the same intent/done recovery applies
+    * with inverted expectations. Returns false when the shard is not
+    * currently applied (never ingested, or already retracted;
+    * generation-counted, so ingest → retract → ingest cycles work).
+    * Retirement of exhausted rows and zero-residue filtering are the
+    * store's job inside `merge` — counts here only prove pre/post. */
+  def retractOnce(spark: SparkSession, appliedTable: String,
+                  shardId: String, total: () => Long,
+                  shardTotal: () => Long)(merge: => Unit): Boolean = {
+    import spark.implicits._
+    requireFrameFree(shardId)
+    val ledger = rows(spark, appliedTable, shardId)
+    val retracts = ledger.count(_ == s"retract:$shardId")
+    if (ledger.count(_ == shardId) <= retracts) return false
+    val gen = retracts + 1
+    val st = shardTotal()
+    val intentPrefix = s"retract-intent:$shardId:$gen:"
+    ledger.find(_.startsWith(intentPrefix)) match {
+      case Some(intent) =>            // a prior attempt crashed
+        val exp = intent.stripPrefix(intentPrefix).toLong
+        val cur = total()
+        if (cur == exp) {             // merge landed, DONE row did not
+          VersionedStore.append(
+            Seq(s"retract:$shardId").toDF("shard_id"), appliedTable)
+          return true
+        }
+        if (cur != exp + st)          // neither pre nor post state
+          throw new IllegalStateException(
+            s"store ledger $appliedTable: retraction of '$shardId' " +
+              s"found total $cur, expected $exp (post) or ${exp + st} " +
+              "(pre) - another writer interleaved; verify or rebuild " +
+              "the store")
+      case None =>
+        VersionedStore.append(
+          Seq(s"$intentPrefix${total() - st}").toDF("shard_id"),
+          appliedTable)
+    }
+    merge
+    VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
+      appliedTable)
+    true
+  }
 }

@@ -714,6 +714,53 @@ object Bpe {
     }
   }
 
+  /** Retract one previously-ingested shard from the word-count store
+    * — the right-to-be-forgotten path every additive count store
+    * carries ([[graft.offline.Ledger.retractOnce]]'s intent/done
+    * crash protocol): word counts subtract exactly and exhausted
+    * words are deleted, so both tokenizer trainers
+    * ([[retrainFromStore]], [[Unigram.trainFromStore]]) thereafter
+    * fit a corpus that never saw the shard. Rules are NOT retrained
+    * here — [[refreshVocab]]'s drift gate will see the mass change. */
+  def retractVocabCounts(shardDocs: DataFrame, idCol: String,
+                         textCol: String, root: String,
+                         shardId: String): Boolean = {
+    import graft.offline.{Ledger, VersionedStore}
+    val spark = shardDocs.sparkSession
+    val shard = corpusWordCounts(shardDocs, idCol, textCol)
+      .select(col("word"), col("cnt").as("neg"))
+      .localCheckpoint(false)
+    Ledger.retractOnce(spark, vocabAppliedTable(root), shardId,
+      () => VersionedStore.read(spark, vocabCountsTable(root))
+        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0),
+      () => shard.agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
+      val cur = VersionedStore.read(spark, vocabCountsTable(root))
+        .withColumnRenamed("cnt", "cnt0")
+      val combined = shard.join(cur, Seq("word"), "left_outer")
+        .select(col("word"),
+          (coalesce(col("cnt0"), lit(0L)) - col("neg")).as("cnt"))
+        .localCheckpoint(false)
+      VersionedStore.merge(combined, vocabCountsTable(root), Seq("word"))
+      val zeros = combined.filter(col("cnt") <= 0L).select("word")
+      if (!zeros.isEmpty) {
+        try {
+          VersionedStore.deleteKeys(zeros, vocabCountsTable(root),
+            Seq("word")); ()
+        } catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
+  /** The store's current counts with full-retraction crash residue
+    * filtered (cnt = 0 rows deleteKeys could not remove are NOT
+    * corpus words) — every counts consumer reads through this. */
+  private[operators] def storeCounts(spark: SparkSession,
+                                     root: String): DataFrame = {
+    import graft.offline.VersionedStore
+    VersionedStore.read(spark, vocabCountsTable(root))
+      .filter(col("cnt") > 0)
+  }
+
   /** Token-mass drift between the CURRENT counts and the counts the
     * stored rules were trained on: L1 distance over the word union
     * (new words and vanished words count fully) normalized by the
@@ -721,7 +768,7 @@ object Bpe {
     * new-shard mass fraction as unseen-vocabulary shards arrive. */
   def vocabDrift(spark: SparkSession, root: String): Double = {
     import graft.offline.VersionedStore
-    val cur = VersionedStore.read(spark, vocabCountsTable(root))
+    val cur = storeCounts(spark, root)
       .select(col("word"), col("cnt").as("c_now"))
     val trained = VersionedStore.read(spark, vocabSegsTable(root))
       .select(col("word"), col("cnt").as("c_train"))
@@ -768,7 +815,7 @@ object Bpe {
     import graft.offline.VersionedStore
     val p = VersionedStore.read(spark, vocabParamsTable(root)).head()
     val (nMerges, minPc) = (p.getLong(0).toInt, p.getLong(1))
-    val counts = VersionedStore.read(spark, vocabCountsTable(root))
+    val counts = storeCounts(spark, root)
     // same dispatch as Graft.bpeTrain: sequential below the measured
     // batching crossover, exact-batched above it
     val model =

@@ -1231,63 +1231,36 @@ object Dedup {
   def retractSubstrShard(shardDocs: DataFrame, idCol: String,
                          textCol: String, root: String,
                          shardId: String): Boolean = {
-    import graft.offline.VersionedStore
+    import graft.offline.{Ledger, VersionedStore}
     val spark = shardDocs.sparkSession
-    import spark.implicits._
-    graft.offline.Ledger.requireFrameFree(shardId)
-    val ledger = graft.offline.Ledger.rows(spark,
-      substrAppliedTable(root), shardId)
-    val retracts = ledger.count(_ == s"retract:$shardId")
-    if (ledger.count(_ == shardId) <= retracts) return false
-    val gen = retracts + 1
     val n = readSubstrN(spark, root)
     val shard = positionalShingles(shardDocs, idCol, textCol, n)
       .groupBy("s").agg(count(lit(1)).as("neg"))
       .localCheckpoint(false)
-    def total(): Long = VersionedStore.read(spark, substrGramsTable(root))
-      .agg(coalesce(sum("df"), lit(0L))).head().getLong(0)
-    val shardTotal = shard.agg(coalesce(sum("neg"), lit(0L)))
-      .head().getLong(0)
-    val intentPrefix = s"retract-intent:$shardId:$gen:"
-    ledger.find(_.startsWith(intentPrefix)) match {
-      case Some(intent) =>            // a prior attempt crashed
-        val exp = intent.stripPrefix(intentPrefix).toLong
-        val cur = total()
-        if (cur == exp) {             // merge landed, DONE row did not
-          VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
-            substrAppliedTable(root))
-          return true
-        }
-        if (cur != exp + shardTotal)  // neither pre nor post state
-          throw new IllegalStateException(
-            s"substr store $root: retraction of '$shardId' found total " +
-              s"$cur, expected $exp (post) or ${exp + shardTotal} (pre) " +
-              "- another writer interleaved; verify or rebuild the store")
-      case None =>
-        VersionedStore.append(
-          Seq(s"$intentPrefix${total() - shardTotal}").toDF("shard_id"),
-          substrAppliedTable(root))
+    Ledger.retractOnce(spark, substrAppliedTable(root), shardId,
+      () => VersionedStore.read(spark, substrGramsTable(root))
+        .agg(coalesce(sum("df"), lit(0L))).head().getLong(0),
+      () => shard.agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
+      val cur = VersionedStore.read(spark, substrGramsTable(root))
+        .withColumnRenamed("df", "df0")
+      val combined = shard.join(cur, Seq("s"), "left_outer")
+        .select(col("s"),
+          (coalesce(col("df0"), lit(0L)) - col("neg")).as("df"))
+        .localCheckpoint(false)
+      VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
+      // retire exhausted grams so the store literally never saw them.
+      // deleteKeys refuses to EMPTY a table, so full-retraction
+      // residue can remain as zero-df rows — detection serves by
+      // MEMBERSHIP, so every store read path filters df > 0 to keep
+      // that residue invisible
+      val zeros = combined.filter(col("df") <= 0L).select("s")
+      if (!zeros.isEmpty) {
+        try {
+          VersionedStore.deleteKeys(zeros, substrGramsTable(root),
+            Seq("s")); ()
+        } catch { case _: IllegalArgumentException => () }
+      }
     }
-    val cur = VersionedStore.read(spark, substrGramsTable(root))
-      .withColumnRenamed("df", "df0")
-    val combined = shard.join(cur, Seq("s"), "left_outer")
-      .select(col("s"),
-        (coalesce(col("df0"), lit(0L)) - col("neg")).as("df"))
-      .localCheckpoint(false)
-    VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
-    // retire exhausted grams so the store literally never saw them.
-    // deleteKeys refuses to EMPTY a table, so full-retraction residue
-    // can remain as zero-df rows — detection serves by MEMBERSHIP, so
-    // every store read path filters df > 0 to keep that residue
-    // invisible (spec-held: serve-after-full-retraction finds nothing)
-    val zeros = combined.filter(col("df") <= 0L).select("s")
-    if (!zeros.isEmpty) {
-      try { VersionedStore.deleteKeys(zeros, substrGramsTable(root), Seq("s")); () }
-      catch { case _: IllegalArgumentException => () }
-    }
-    VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
-      substrAppliedTable(root))
-    true
   }
 
   /** Incremental detection served FROM the store: spans of

@@ -223,6 +223,49 @@ object Dsir {
     }
   }
 
+  /** Retract one previously-ingested shard from the count model —
+    * the right-to-be-forgotten path every additive count store
+    * carries ([[graft.offline.Ledger.retractOnce]]'s intent/done
+    * crash protocol): c and t subtract exactly, exhausted buckets are
+    * deleted, and a model frozen afterwards equals one that never saw
+    * the shard. Membership of the shard's docs comes from `isTarget`
+    * exactly as at ingest time — retraction must mirror the ingest's
+    * own accounting. */
+  def retractModelCounts(shardDocs: DataFrame, idCol: String,
+                         textCol: String, isTarget: Column,
+                         root: String, shardId: String): Boolean = {
+    import graft.offline.{Ledger, VersionedStore}
+    val spark = shardDocs.sparkSession
+    val (nBuckets, _) = readParams(spark, root)
+    val shard = bucketCounts(hashedNgramCounts(shardDocs, idCol, textCol,
+      nBuckets, Seq("is_target" -> isTarget)))
+      .select(col("bucket"), col("c").as("nc"), col("t").as("nt"))
+      .localCheckpoint(false)
+    def massOf(df: DataFrame, cCol: String, tCol: String): Long = df
+      .agg((coalesce(sum(cCol), lit(0L)) +
+        coalesce(sum(tCol), lit(0L))).as("m")).head().getLong(0)
+    Ledger.retractOnce(spark, appliedTable(root), shardId,
+      () => massOf(VersionedStore.read(spark, countsTable(root)), "c", "t"),
+      () => massOf(shard, "nc", "nt")) {
+      val cur = VersionedStore.read(spark, countsTable(root))
+        .withColumnRenamed("c", "c0").withColumnRenamed("t", "t0")
+      val combined = shard.join(cur, Seq("bucket"), "left_outer")
+        .select(col("bucket"),
+          (coalesce(col("c0"), lit(0L)) - col("nc")).as("c"),
+          (coalesce(col("t0"), lit(0L)) - col("nt")).as("t"))
+        .localCheckpoint(false)
+      VersionedStore.merge(combined, countsTable(root), Seq("bucket"))
+      val zeros = combined.filter(col("c") <= 0L && col("t") <= 0L)
+        .select("bucket")
+      if (!zeros.isEmpty) {
+        try {
+          VersionedStore.deleteKeys(zeros, countsTable(root),
+            Seq("bucket")); ()
+        } catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   /** Freeze the scoring artifact straight from the persisted counts —
     * no corpus scan. Bit-equal to [[freezeModel]] over the union of
     * every ingested shard: counts are exact longs, and the log-ratio
@@ -231,8 +274,11 @@ object Dsir {
   def freezeFromStore(spark: org.apache.spark.sql.SparkSession,
                       root: String): DsirModel = {
     val (nBuckets, alpha) = readParams(spark, root)
+    // c > 0 OR t > 0: a full-retraction crash residue row (deleteKeys
+    // cannot empty a table) is NOT a bucket the corpus ever produced
     val lr = lrFromCounts(
-      graft.offline.VersionedStore.read(spark, countsTable(root)),
+      graft.offline.VersionedStore.read(spark, countsTable(root))
+        .filter(col("c") > 0 || col("t") > 0),
       nBuckets, alpha)
     DsirModel(nBuckets, lr.collect().map(r =>
       r.getLong(0) -> r.getDecimal(1).movePointRight(6).longValueExact)

@@ -578,8 +578,8 @@ object Sketch {
 
   /** `takedown:`/`rebuild:` are these ledgers' reserved verbs — a
     * shard named with them would alias retraction state, so the
-    * idempotent-store upserts refuse them up front (the CM ledger's
-    * requireUnreservedShardId precedent). */
+    * idempotent-store upserts refuse them up front (the
+    * [[graft.offline.Ledger.requireFrameFree]] precedent). */
   private[operators] def requireUnreservedNiShardId(shardId: String): Unit =
     require(!shardId.startsWith("takedown:") &&
       !shardId.startsWith("rebuild:"),
@@ -949,33 +949,9 @@ object Sketch {
     * Replays no-op by the ledger (additive counts have no idempotence
     * net). Returns whether the shard was applied.
     */
-  /** Ledger rows for one shard, in one Spark job: plain `shardId`
-    * rows are ingests, `retract:shardId` rows are completed
-    * retractions, `retract-intent:shardId:...` rows are in-flight
-    * retraction markers. A shard is CURRENTLY APPLIED iff ingests >
-    * retractions — generation counting, so ingest → retract → ingest
-    * cycles work (each transition appends; nothing is ever edited).
-    */
-  private def cmLedgerRows(spark: org.apache.spark.sql.SparkSession,
-                           root: String, shardId: String): Seq[String] = {
-    import graft.offline.VersionedStore
-    VersionedStore.read(spark, cmAppliedTable(root))
-      .filter(col("shard_id") === shardId ||
-        col("shard_id") === s"retract:$shardId" ||
-        col("shard_id").startsWith(s"retract-intent:$shardId:"))
-      .collect().map(_.getString(0)).toSeq
-  }
-
-  /** The ledger frames its rows with ':' (`retract:shardId`,
-    * `retract-intent:shardId:gen:total`), so a shard id containing
-    * ':' anywhere could poison ANOTHER shard's retraction state —
-    * not just the reserved verbs: shard 'a:1''s intent rows parse as
-    * shard 'a''s (startsWith("retract-intent:a:")), and recovery
-    * would read the wrong expected total. Refused up front. */
-  private def requireUnreservedShardId(shardId: String): Unit =
-    require(!shardId.contains(":"),
-      s"shard id '$shardId' must not contain ':' (the ledger's frame " +
-        "character)")
+  // Ledger mechanics (rows, frame-character guard, intent/done
+  // recovery) live in graft.offline.Ledger — shared by every
+  // additive count store.
 
   def upsertCm(shardDf: DataFrame, keyCol: String, root: String,
                shardId: String): Boolean = {
@@ -1040,62 +1016,38 @@ object Sketch {
     */
   def retractCm(shardDf: DataFrame, keyCol: String, root: String,
                 shardId: String): Boolean = {
-    import graft.offline.VersionedStore
+    import graft.offline.{Ledger, VersionedStore}
     val spark = shardDf.sparkSession
-    import spark.implicits._
-    requireUnreservedShardId(shardId)
-    val ledger = cmLedgerRows(spark, root, shardId)
-    val retracts = ledger.count(_ == s"retract:$shardId")
-    if (ledger.count(_ == shardId) <= retracts) return false
-    val gen = retracts + 1
     val p = VersionedStore.read(spark, cmParamsTable(root))
       .select("depth", "width", "fast").head()
     val shard = cmSketchRows(shardDf, keyCol, p.getLong(0).toInt,
       p.getLong(1).toInt, fast = p.getBoolean(2))
       .select(col("di"), col("pos"), col("cnt").as("neg"))
       .localCheckpoint(false)
-    def total(): Long = VersionedStore.read(spark, cmTable(root))
-      .filter(col("di") === 0).agg(coalesce(sum("cnt"), lit(0L)))
-      .head().getLong(0)
-    val shardTotal = shard.filter(col("di") === 0)
-      .agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)
-    val intentPrefix = s"retract-intent:$shardId:$gen:"
-    ledger.find(_.startsWith(intentPrefix)) match {
-      case Some(intent) =>            // a prior attempt crashed
-        val exp = intent.stripPrefix(intentPrefix).toLong
-        val cur = total()
-        if (cur == exp) {             // merge landed, DONE row did not
-          VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
-            cmAppliedTable(root))
-          return true
-        }
-        if (cur != exp + shardTotal)  // neither pre nor post state
-          throw new IllegalStateException(
-            s"cm store $root: retraction of '$shardId' found total $cur, " +
-              s"expected $exp (post) or ${exp + shardTotal} (pre) - " +
-              "another writer interleaved; verify or rebuild the store")
-      case None =>
-        VersionedStore.append(
-          Seq(s"$intentPrefix${total() - shardTotal}").toDF("shard_id"),
-          cmAppliedTable(root))
+    Ledger.retractOnce(spark, cmAppliedTable(root), shardId,
+      () => VersionedStore.read(spark, cmTable(root))
+        .filter(col("di") === 0).agg(coalesce(sum("cnt"), lit(0L)))
+        .head().getLong(0),
+      () => shard.filter(col("di") === 0)
+        .agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
+      val cur = VersionedStore.read(spark, cmTable(root))
+      val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
+        .select(col("di"), col("pos"),
+          (coalesce(col("cnt"), lit(0L)) - col("neg")).as("cnt"))
+        .localCheckpoint(false)
+      VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
+      // retire exhausted cells so the latest version literally equals
+      // never-having-ingested (deleteKeys refuses to EMPTY a table;
+      // in that degenerate case the zero rows stay as benign residue
+      // — cmStats/cmPointEstimate treat zero-count cells as absent)
+      val zeros = combined.filter(col("cnt") === 0L).select("di", "pos")
+      if (!zeros.isEmpty) {
+        try {
+          VersionedStore.deleteKeys(zeros, cmTable(root),
+            Seq("di", "pos")); ()
+        } catch { case _: IllegalArgumentException => () }
+      }
     }
-    val cur = VersionedStore.read(spark, cmTable(root))
-    val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
-      .select(col("di"), col("pos"),
-        (coalesce(col("cnt"), lit(0L)) - col("neg")).as("cnt"))
-      .localCheckpoint(false)
-    VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
-    // retire exhausted cells so the latest version literally equals
-    // never-having-ingested (deleteKeys refuses to EMPTY a table; in
-    // that degenerate case the zero rows stay as benign residue)
-    val zeros = combined.filter(col("cnt") === 0L).select("di", "pos")
-    if (!zeros.isEmpty) {
-      try { VersionedStore.deleteKeys(zeros, cmTable(root), Seq("di", "pos")); () }
-      catch { case _: IllegalArgumentException => () }
-    }
-    VersionedStore.append(Seq(s"retract:$shardId").toDF("shard_id"),
-      cmAppliedTable(root))
-    true
   }
 
   /** Watchlist point estimates straight from the persisted CM store. */

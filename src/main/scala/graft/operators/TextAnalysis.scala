@@ -367,16 +367,54 @@ object TextAnalysis {
     }
   }
 
+  /** Retract one previously-ingested shard from the KN count store —
+    * the right-to-be-forgotten path every additive count store
+    * carries ([[graft.offline.Ledger.retractOnce]]'s intent/done
+    * crash protocol): bigram counts subtract exactly, exhausted
+    * bigram types are deleted, and a model frozen afterwards equals
+    * one that never saw the shard. */
+  def knRetractCounts(shardDocs: DataFrame, idCol: String,
+                      textCol: String, root: String,
+                      shardId: String): Boolean = {
+    import graft.offline.{Ledger, VersionedStore}
+    val spark = shardDocs.sparkSession
+    val shard = knBigramCounts(shardDocs, idCol, textCol)
+      .select(col("w1"), col("w2"), col("c12").as("neg"))
+      .localCheckpoint(false)
+    Ledger.retractOnce(spark, knAppliedTable(root), shardId,
+      () => VersionedStore.read(spark, knC12Table(root))
+        .agg(coalesce(sum("c12"), lit(0L))).head().getLong(0),
+      () => shard.agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
+      val cur = VersionedStore.read(spark, knC12Table(root))
+        .withColumnRenamed("c12", "c0")
+      val combined = shard.join(cur, Seq("w1", "w2"), "left_outer")
+        .select(col("w1"), col("w2"),
+          (coalesce(col("c0"), lit(0L)) - col("neg")).as("c12"))
+        .localCheckpoint(false)
+      VersionedStore.merge(combined, knC12Table(root), Seq("w1", "w2"))
+      val zeros = combined.filter(col("c12") <= 0L).select("w1", "w2")
+      if (!zeros.isEmpty) {
+        try {
+          VersionedStore.deleteKeys(zeros, knC12Table(root),
+            Seq("w1", "w2")); ()
+        } catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   /** Freeze the scoring artifact from the stored counts — no corpus
     * scan; equals [[knFreeze]] over the union of every ingested shard
     * (counts are exact longs, the p_kn arithmetic is the one shared
-    * code path). */
+    * code path). Zero-count residue rows (a full-retraction crash
+    * window — deleteKeys cannot empty a table) are NOT bigram types
+    * the corpus has. */
   def knFreezeFromStore(spark: org.apache.spark.sql.SparkSession,
                         root: String, maxTypes: Int = 1000000): KnModel = {
     import graft.offline.VersionedStore
     val discount = VersionedStore.read(spark, knParamsTable(root))
       .head().getDouble(0)
-    knCollectModel(VersionedStore.read(spark, knC12Table(root)),
+    knCollectModel(VersionedStore.read(spark, knC12Table(root))
+        .filter(col("c12") > 0),
       discount, maxTypes)
   }
 

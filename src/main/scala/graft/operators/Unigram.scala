@@ -285,8 +285,7 @@ object Unigram {
                      root: String, vocabSize: Int,
                      maxPieceLen: Int = 4, rounds: Int = 3,
                      seedTopK: Int = 0): UnigramModel =
-    trainFromCounts(
-      graft.offline.VersionedStore.read(spark, Bpe.vocabCountsTable(root)),
+    trainFromCounts(Bpe.storeCounts(spark, root),
       vocabSize, maxPieceLen, rounds, seedTopK)
 
   /** The frozen scoring artifact: piece → cost_micro, driver-bounded

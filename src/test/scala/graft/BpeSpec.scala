@@ -350,6 +350,38 @@ class BpeSpec extends AnyFunSuite {
     assert(got == want, s"stored counts diverge from batch:\n$got\n$want")
   }
 
+  test("vocab store retraction: counts equal never-ingested; both trainers fit the remaining corpus") {
+    val root = java.nio.file.Files
+      .createTempDirectory("bpevretract").toString + "/tok"
+    val base = Seq("low low low lower", "newest newest widest")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    Bpe.buildVocabStore(base, "doc_id", "text", root, nMerges = 10,
+      minPairCount = 1L)
+    val shard = Seq((10L, "low lowest zzz zzz")).toDF("doc_id", "text")
+    assert(Bpe.upsertVocabCounts(shard, "doc_id", "text", root, "s1"))
+    assert(Bpe.retractVocabCounts(shard, "doc_id", "text", root, "s1"))
+    val got = graft.offline.VersionedStore
+      .read(spark, Bpe.vocabCountsTable(root))
+      .filter(org.apache.spark.sql.functions.col("cnt") > 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Bpe.corpusWordCounts(base, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, "retracted store must equal never-ingested")
+    assert(!got.contains("zzz"), "shard-only words must be deleted")
+    // the shared counts serve BOTH tokenizer trainers post-retraction
+    val uniStore = graft.operators.Unigram.trainFromStore(spark, root,
+        vocabSize = 12, maxPieceLen = 3, rounds = 2)
+      .vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniDirect = graft.operators.Unigram.train(base, "doc_id", "text",
+        vocabSize = 12, maxPieceLen = 3, rounds = 2)
+      .vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uniStore === uniDirect)
+    assert(!Bpe.retractVocabCounts(shard, "doc_id", "text", root, "s1"))
+    assert(Bpe.upsertVocabCounts(shard, "doc_id", "text", root, "s1"),
+      "re-ingest after retraction (generation cycle)")
+  }
+
   test("vocab store: refresh keeps below the drift threshold, retrains above it") {
     val root = java.nio.file.Files
       .createTempDirectory("bpevocab2").toString + "/tok"

@@ -190,6 +190,32 @@ class DsirSpec extends AnyFunSuite {
       "incrementally-maintained model must equal the full refit")
   }
 
+  test("dsir count-store retraction: frozen model equals never-ingested; generation cycle works") {
+    val root = java.nio.file.Files.createTempDirectory("dsirretract")
+      .toString + "/model"
+    val bulk = corpus.filter(col("doc_id") < 3)
+    val shard = corpus.filter(col("doc_id") >= 3)
+    Dsir.buildModelStore(bulk, "doc_id", "text", col("is_target"), root,
+      nBuckets = 2048, alpha = 1.0)
+    assert(Dsir.upsertModelCounts(shard, "doc_id", "text",
+      col("is_target"), root, "s1"))
+    assert(Dsir.retractModelCounts(shard, "doc_id", "text",
+      col("is_target"), root, "s1"))
+    assert(Dsir.freezeFromStore(spark, root) ==
+      Dsir.freezeModel(bulk, "doc_id", "text", col("is_target"),
+        2048, 1.0),
+      "retracted store must freeze the never-ingested model")
+    assert(!Dsir.retractModelCounts(shard, "doc_id", "text",
+      col("is_target"), root, "s1"), "double retraction no-ops")
+    assert(!Dsir.retractModelCounts(shard, "doc_id", "text",
+      col("is_target"), root, "never-seen"))
+    assert(Dsir.upsertModelCounts(shard, "doc_id", "text",
+      col("is_target"), root, "s1"), "re-ingest after retraction")
+    assert(Dsir.freezeFromStore(spark, root) ==
+      Dsir.freezeModel(corpus, "doc_id", "text", col("is_target"),
+        2048, 1.0))
+  }
+
   test("StreamingDsir: micro-batch count ingest, replay-safe, freeze == full refit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -285,6 +285,35 @@ class FacadeSpec extends AnyFunSuite {
     assert(frames.count() >= 0) // text corpus: no media payloads is fine
   }
 
+  test("count-store retraction delegates: dsir/kn/bpe upsert -> retract -> never-ingested") {
+    val base = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val shard = Seq((10L, "delta delta alpha")).toDF("doc_id", "text")
+    val isT = col("doc_id") === 1L
+    val dr = tmpRoot("facade_dsir_r")
+    Graft.dsirStoreBuild(base, isT, dr, nBuckets = 256)
+    assert(Graft.dsirStoreUpsert(shard, isT, dr, "s1"))
+    assert(Graft.dsirStoreRetract(shard, isT, dr, "s1"))
+    assert(Graft.dsirStoreFreeze(spark, dr) ==
+      graft.operators.Dsir.freezeModel(base, "doc_id", "text", isT,
+        256, 1.0))
+    val kr = tmpRoot("facade_kn_r")
+    Graft.knStoreBuild(base, kr)
+    assert(Graft.knStoreUpsert(shard, kr, "s1"))
+    assert(Graft.knStoreRetract(shard, kr, "s1"))
+    assert(Graft.knStoreFreeze(spark, kr).asMap ===
+      Graft.knFreeze(base).asMap)
+    val br = tmpRoot("facade_bpe_r")
+    Graft.bpeStoreBuild(base, br, nMerges = 5, minPairCount = 1L)
+    assert(Graft.bpeStoreUpsert(shard, br, "s1"))
+    assert(Graft.bpeStoreRetract(shard, br, "s1"))
+    val counts = graft.offline.VersionedStore
+      .read(spark, graft.operators.Bpe.vocabCountsTable(br))
+      .filter(col("cnt") > 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("delta") && counts("alpha") === 2L)
+  }
+
   test("unigram family delegates: train/freeze/encode round-trip") {
     val corpus = Seq((1L, "aba ab aba ba b ab aba"),
       (2L, "ab aba ba ab")).toDF("doc_id", "text")

@@ -249,6 +249,32 @@ class SketchSpec extends AnyFunSuite {
     assert(fromStore.discount === fromCorpus.discount)
   }
 
+  test("KN store retraction: subtracted counts equal never-ingested; freeze matches") {
+    val root = java.nio.file.Files
+      .createTempDirectory("knretract").toString + "/kn"
+    val base = Seq((1L, "a b c a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val shard = Seq((10L, "a b e f"), (11L, "x y")).toDF("doc_id", "text")
+    TextAnalysis.knBuildStore(base, "doc_id", "text", root)
+    assert(TextAnalysis.knUpsertCounts(shard, "doc_id", "text", root, "s1"))
+    assert(TextAnalysis.knRetractCounts(shard, "doc_id", "text", root, "s1"))
+    val stored = graft.offline.VersionedStore.read(spark, root + "/kn_c12")
+      .filter(col("c12") > 0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val direct = TextAnalysis.knBigramCounts(base, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(stored === direct, "retracted store must equal never-ingested")
+    assert(TextAnalysis.knFreezeFromStore(spark, root).asMap ===
+      TextAnalysis.knFreeze(base, "doc_id", "text").asMap)
+    // generation cycle + double-retract no-op
+    assert(!TextAnalysis.knRetractCounts(shard, "doc_id", "text", root, "s1"))
+    assert(TextAnalysis.knUpsertCounts(shard, "doc_id", "text", root, "s1"))
+    assert(TextAnalysis.knFreezeFromStore(spark, root).asMap ===
+      TextAnalysis.knFreeze(base.unionByName(shard),
+        "doc_id", "text").asMap)
+  }
+
   test("KN freeze maxTypes guard fails loudly, never truncates silently") {
     val docs = Tables.documents(spark, sf)
     val ex = intercept[IllegalArgumentException] {
