@@ -559,6 +559,21 @@ object Graft {
                          maxPieceLen: Int = 4): DataFrame =
     operators.Unigram.encodeWords(words, costs, maxPieceLen)
 
+  /** Retrain the unigram vocabulary from the shared word-count store
+    * and persist it under the same root (serving never refits). */
+  def unigramStoreRefresh(spark: SparkSession, root: String,
+                          vocabSize: Int, maxPieceLen: Int = 4,
+                          rounds: Int = 3)
+  : operators.Unigram.UnigramModel =
+    operators.Unigram.refreshUnigram(spark, root, vocabSize,
+      maxPieceLen, rounds)
+
+  /** The persisted unigram artifact: (costs, maxPieceLen), bit-equal
+    * to the refresh that wrote it. */
+  def unigramStoreModel(spark: SparkSession, root: String)
+  : (Map[String, Long], Int) =
+    operators.Unigram.modelFromStore(spark, root)
+
   /** Subword-regularized encode: every word occurrence samples a
     * segmentation (seeded Gumbel perturb-and-MAP — deterministic per
     * (seed, doc, occurrence); alpha 0 == exact Viterbi). The

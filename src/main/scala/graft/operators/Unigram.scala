@@ -294,4 +294,42 @@ object Unigram {
   def collectCosts(vocabCosts: DataFrame): Map[String, Long] =
     vocabCosts.select("piece", "cost_micro").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  // --- persisted model (rides the shared tokenizer store root) ---------
+
+  private def unigramVocabTable(root: String) = s"$root/unigram_vocab"
+  private def unigramParamsTable(root: String) = s"$root/unigram_params"
+
+  /** Retrain from the shared word-count store AND persist the trained
+    * vocabulary under the same root (`unigram_vocab` + params — the
+    * [[Bpe]] rules/segments precedent): serving then reads a stored
+    * artifact ([[modelFromStore]]) instead of refitting, and the
+    * count store's ledger (ingest/retract) decides WHEN to refresh.
+    * Returns the trained model. */
+  def refreshUnigram(spark: org.apache.spark.sql.SparkSession,
+                     root: String, vocabSize: Int,
+                     maxPieceLen: Int = 4, rounds: Int = 3,
+                     seedTopK: Int = 0): UnigramModel = {
+    import graft.offline.VersionedStore
+    import spark.implicits._
+    val model = trainFromStore(spark, root, vocabSize, maxPieceLen,
+      rounds, seedTopK)
+    VersionedStore.overwrite(model.vocab, unigramVocabTable(root))
+    VersionedStore.overwrite(
+      Seq((vocabSize.toLong, maxPieceLen.toLong, rounds.toLong))
+        .toDF("vocab_size", "max_piece_len", "rounds"),
+      unigramParamsTable(root))
+    model
+  }
+
+  /** The persisted scoring artifact: (costs map, maxPieceLen) straight
+    * from the stored vocabulary — no refit, bit-equal to the
+    * [[refreshUnigram]] that wrote it (exact long micros). */
+  def modelFromStore(spark: org.apache.spark.sql.SparkSession,
+                     root: String): (Map[String, Long], Int) = {
+    import graft.offline.VersionedStore
+    val l = VersionedStore.read(spark, unigramParamsTable(root))
+      .head().getLong(1).toInt
+    (collectCosts(VersionedStore.read(spark, unigramVocabTable(root))), l)
+  }
 }

@@ -338,6 +338,13 @@ class FacadeSpec extends AnyFunSuite {
         alphaMicro = 0L, seed = 1L)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(s0 === enc)
+    // persisted-model delegates: refresh writes, store serves bit-equal
+    val root = tmpRoot("facade_uni_store")
+    Graft.bpeStoreBuild(corpus, root, nMerges = 5, minPairCount = 1L)
+    val m = Graft.unigramStoreRefresh(spark, root, vocabSize = 6,
+      maxPieceLen = 3, rounds = 2)
+    val (servedCosts, servedL) = Graft.unigramStoreModel(spark, root)
+    assert(servedL === 3 && servedCosts === Graft.unigramFreeze(m))
   }
 
   test("substr family delegates: spans/dedup, frozen strip, incremental + gram store") {

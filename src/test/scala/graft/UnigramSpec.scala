@@ -266,6 +266,36 @@ class UnigramSpec extends AnyFunSuite {
       "store-fed training must equal direct training on the union")
   }
 
+  test("refreshUnigram persists the vocab; modelFromStore serves it bit-equal, tracking retraction") {
+    val root = java.nio.file.Files
+      .createTempDirectory("unirefresh").toString + "/tok"
+    val base = Seq((1L, "spark park are spark"), (2L, "parse spa are"))
+      .toDF("doc_id", "text")
+    val shard = Seq((10L, "sparse spark zzz zzz")).toDF("doc_id", "text")
+    graft.operators.Bpe.buildVocabStore(base, "doc_id", "text", root,
+      nMerges = 5, minPairCount = 1L)
+    assert(graft.operators.Bpe.upsertVocabCounts(shard, "doc_id", "text",
+      root, "s1"))
+    val trained = Unigram.refreshUnigram(spark, root, vocabSize = 10,
+      maxPieceLen = 3, rounds = 2)
+    val (served, l) = Unigram.modelFromStore(spark, root)
+    assert(l === 3)
+    assert(served === Unigram.collectCosts(trained.vocab),
+      "stored artifact must be bit-equal to the fit that wrote it")
+    // a retraction changes the counts; the NEXT refresh tracks it
+    assert(graft.operators.Bpe.retractVocabCounts(shard, "doc_id",
+      "text", root, "s1"))
+    val after = Unigram.refreshUnigram(spark, root, vocabSize = 10,
+      maxPieceLen = 3, rounds = 2)
+    val direct = Unigram.train(base, "doc_id", "text", vocabSize = 10,
+      maxPieceLen = 3, rounds = 2)
+    assert(Unigram.collectCosts(after.vocab) ===
+      Unigram.collectCosts(direct.vocab),
+      "post-retraction refresh must fit the never-ingested corpus")
+    assert(Unigram.modelFromStore(spark, root)._1 ===
+      Unigram.collectCosts(after.vocab))
+  }
+
   test("encodeDocsSampled: alpha=0 == exact Viterbi; seeded draws deterministic; both tie paths occur") {
     // "abcd" has TWO equal-cost segmentations ([ab cd] and [abc d])
     // under this vocab — the clean fixture for sampling: alpha 0 must
