@@ -846,6 +846,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sampled unigram encode runs stateless on a stream, draws equal batch draws") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "abcd abcd ab cd abc d"),
+      (2L, "ab abc cd d")).toDF("doc_id", "text")
+    val model = graft.operators.Unigram.train(corpus, "doc_id", "text",
+      vocabSize = 8, maxPieceLen = 3, rounds = 2)
+    val costs = graft.operators.Unigram.collectCosts(model.vocab)
+    val rows = Seq((10L, "abcd abcd"), (11L, "ab cd"))
+    val input = MemoryStream[(Long, String)]
+    // append mode, no watermark: the seeded perturb-and-MAP draw is a
+    // pure projection — same (seed, doc, occurrence) must sample the
+    // same segmentation in a stream as in batch
+    val query = graft.operators.Unigram.encodeDocsSampled(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", costs,
+        maxPieceLen = 3, alphaMicro = 3L, seed = 42L)
+      .writeStream.format("memory").queryName("sunisample")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("sunisample").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    query.stop()
+    val batch = graft.operators.Unigram.encodeDocsSampled(
+        rows.toDF("doc_id", "text"), "doc_id", "text", costs,
+        maxPieceLen = 3, alphaMicro = 3L, seed = 42L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(streamed === batch,
+      s"seeded stream draws must equal batch draws:\n$streamed\n$batch")
+    streamed.foreach { case (id, (_, enc)) =>
+      val orig = rows.find(_._1 == id).get._2
+      assert(enc.replace(" ", "") === orig.replace(" ", ""), s"doc $id")
+    }
+  }
+
   test("StreamingSubstr: micro-batches fold gram counts; incremental serve sees every ingested batch") {
     implicit val sqlCtx = spark.sqlContext
     val root = java.nio.file.Files
