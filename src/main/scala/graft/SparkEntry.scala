@@ -1028,6 +1028,23 @@ object SparkEntry {
     Unigram.train(Tables.documents(s, d), "doc_id", "text",
       vocabSize = 96, maxPieceLen = 4, rounds = 3).vocab
 
+  /** SUBWORD REGULARIZATION over the corpus (round 11): one sampled
+    * segmentation per word occurrence under the trained production
+    * costs (seeded Gumbel perturb-and-MAP, alpha = 0.5 nats in
+    * micro units) — deterministic per (seed, doc, occurrence), so the
+    * "sampled" output is replay-exact; rows-only (Gumbel noise and
+    * ln costs are not portably SQL-stable), spec-held: alpha 0 ==
+    * exact Viterbi bit-for-bit, true cost ties visit both paths,
+    * stream draws == batch draws. */
+  def qUnigramSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val costs = Unigram.collectCosts(
+      Unigram.train(docs, "doc_id", "text", vocabSize = 96,
+        maxPieceLen = 4, rounds = 3).vocab)
+    Unigram.encodeDocsSampled(docs, "doc_id", "text", costs,
+      maxPieceLen = 4, alphaMicro = 500000L, seed = 11L)
+  }
+
   private def bm25Root(s: SparkSession, d: String): String =
     bm25Roots.computeIfAbsent(d, _ => {
       val r = java.nio.file.Files.createTempDirectory("q_bm25_idx")
@@ -1566,6 +1583,7 @@ object SparkEntry {
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_unigram_encode" -> (qUnigramEncode _),
     "q_unigram_train" -> (qUnigramTrain _),
+    "q_unigram_sample" -> (qUnigramSample _),
     "q_tfidf_cosine" -> (qTfidfCosine _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_retrieval_metrics" -> (qRetrievalMetrics _),
