@@ -696,22 +696,14 @@ object Bpe {
   def upsertVocabCounts(shardDocs: DataFrame, idCol: String,
                         textCol: String, root: String,
                         shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
-    val shard = corpusWordCounts(shardDocs, idCol, textCol)
-      .localCheckpoint(false)
-    Ledger.ingestOnce(spark, vocabAppliedTable(root), shardId,
-      () => VersionedStore.read(spark, vocabCountsTable(root))
-        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0),
-      () => shard.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)) {
-      val cur = VersionedStore.read(spark, vocabCountsTable(root))
-        .withColumnRenamed("cnt", "cnt0")
-      val combined = shard.join(cur, Seq("word"), "left_outer")
-        .select(col("word"),
-          (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
-      VersionedStore.merge(combined, vocabCountsTable(root), Seq("word"))
-      ()
-    }
+    Ledger.requireFrameFree(shardId)
+    if (Ledger.isApplied(spark, vocabAppliedTable(root), shardId))
+      return false
+    Ledger.ingestOnce(spark, vocabAppliedTable(root),
+      vocabCountsTable(root), Seq("word"), Seq("cnt"),
+      corpusWordCounts(shardDocs, idCol, textCol), shardId)
   }
 
   /** Retract one previously-ingested shard from the word-count store
@@ -725,30 +717,11 @@ object Bpe {
   def retractVocabCounts(shardDocs: DataFrame, idCol: String,
                          textCol: String, root: String,
                          shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
-    val shard = corpusWordCounts(shardDocs, idCol, textCol)
-      .select(col("word"), col("cnt").as("neg"))
-      .localCheckpoint(false)
-    Ledger.retractOnce(spark, vocabAppliedTable(root), shardId,
-      () => VersionedStore.read(spark, vocabCountsTable(root))
-        .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0),
-      () => shard.agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
-      val cur = VersionedStore.read(spark, vocabCountsTable(root))
-        .withColumnRenamed("cnt", "cnt0")
-      val combined = shard.join(cur, Seq("word"), "left_outer")
-        .select(col("word"),
-          (coalesce(col("cnt0"), lit(0L)) - col("neg")).as("cnt"))
-        .localCheckpoint(false)
-      VersionedStore.merge(combined, vocabCountsTable(root), Seq("word"))
-      val zeros = combined.filter(col("cnt") <= 0L).select("word")
-      if (!zeros.isEmpty) {
-        try {
-          VersionedStore.deleteKeys(zeros, vocabCountsTable(root),
-            Seq("word")); ()
-        } catch { case _: IllegalArgumentException => () }
-      }
-    }
+    Ledger.retractOnce(spark, vocabAppliedTable(root),
+      vocabCountsTable(root), Seq("word"), Seq("cnt"),
+      corpusWordCounts(shardDocs, idCol, textCol), shardId)
   }
 
   /** The store's current counts with full-retraction crash residue

@@ -1195,24 +1195,17 @@ object Dedup {
   def upsertSubstrShard(shardDocs: DataFrame, idCol: String,
                         textCol: String, root: String,
                         shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
+    Ledger.requireFrameFree(shardId)
+    if (Ledger.isApplied(spark, substrAppliedTable(root), shardId))
+      return false // replays answer before any params/shingle work
     val n = readSubstrN(spark, root)
-    val shard = positionalShingles(shardDocs, idCol, textCol, n)
-      .groupBy("s").agg(count(lit(1)).as("df"))
-      .localCheckpoint(false)
-    Ledger.ingestOnce(spark, substrAppliedTable(root), shardId,
-      () => VersionedStore.read(spark, substrGramsTable(root))
-        .agg(coalesce(sum("df"), lit(0L))).head().getLong(0),
-      () => shard.agg(coalesce(sum("df"), lit(0L))).head().getLong(0)) {
-      val cur = VersionedStore.read(spark, substrGramsTable(root))
-        .withColumnRenamed("df", "df0")
-      val combined = shard.join(cur, Seq("s"), "left_outer")
-        .select(col("s"),
-          (col("df") + coalesce(col("df0"), lit(0L))).as("df"))
-      VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
-      ()
-    }
+    Ledger.ingestOnce(spark, substrAppliedTable(root),
+      substrGramsTable(root), Seq("s"), Seq("df"),
+      positionalShingles(shardDocs, idCol, textCol, n)
+        .groupBy("s").agg(count(lit(1)).as("df")),
+      shardId)
   }
 
   /** Retract one previously-ingested shard from the gram store — the
@@ -1231,36 +1224,14 @@ object Dedup {
   def retractSubstrShard(shardDocs: DataFrame, idCol: String,
                          textCol: String, root: String,
                          shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
     val n = readSubstrN(spark, root)
-    val shard = positionalShingles(shardDocs, idCol, textCol, n)
-      .groupBy("s").agg(count(lit(1)).as("neg"))
-      .localCheckpoint(false)
-    Ledger.retractOnce(spark, substrAppliedTable(root), shardId,
-      () => VersionedStore.read(spark, substrGramsTable(root))
-        .agg(coalesce(sum("df"), lit(0L))).head().getLong(0),
-      () => shard.agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
-      val cur = VersionedStore.read(spark, substrGramsTable(root))
-        .withColumnRenamed("df", "df0")
-      val combined = shard.join(cur, Seq("s"), "left_outer")
-        .select(col("s"),
-          (coalesce(col("df0"), lit(0L)) - col("neg")).as("df"))
-        .localCheckpoint(false)
-      VersionedStore.merge(combined, substrGramsTable(root), Seq("s"))
-      // retire exhausted grams so the store literally never saw them.
-      // deleteKeys refuses to EMPTY a table, so full-retraction
-      // residue can remain as zero-df rows — detection serves by
-      // MEMBERSHIP, so every store read path filters df > 0 to keep
-      // that residue invisible
-      val zeros = combined.filter(col("df") <= 0L).select("s")
-      if (!zeros.isEmpty) {
-        try {
-          VersionedStore.deleteKeys(zeros, substrGramsTable(root),
-            Seq("s")); ()
-        } catch { case _: IllegalArgumentException => () }
-      }
-    }
+    Ledger.retractOnce(spark, substrAppliedTable(root),
+      substrGramsTable(root), Seq("s"), Seq("df"),
+      positionalShingles(shardDocs, idCol, textCol, n)
+        .groupBy("s").agg(count(lit(1)).as("df")),
+      shardId)
   }
 
   /** Incremental detection served FROM the store: spans of

@@ -196,31 +196,21 @@ object Dsir {
   def upsertModelCounts(shardDocs: DataFrame, idCol: String,
                         textCol: String, isTarget: Column,
                         root: String, shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
+    Ledger.requireFrameFree(shardId)
+    if (Ledger.isApplied(spark, appliedTable(root), shardId))
+      return false
     val (nBuckets, _) = readParams(spark, root)
-    val shard = bucketCounts(hashedNgramCounts(shardDocs, idCol, textCol,
-      nBuckets, Seq("is_target" -> isTarget)))
-      .localCheckpoint(false)
-    // EXACTLY-once under the engine-wide intent/done ingest protocol
-    // (Ledger.ingestOnce): the importance weights derive from these
-    // counts as exact integers, so the classic crash-window double
-    // count would silently tilt every log-ratio. Total = c + t mass.
-    def massOf(df: DataFrame): Long = df
-      .agg((coalesce(sum("c"), lit(0L)) +
-        coalesce(sum("t"), lit(0L))).as("m")).head().getLong(0)
-    Ledger.ingestOnce(spark, appliedTable(root), shardId,
-      () => massOf(VersionedStore.read(spark, countsTable(root))),
-      () => massOf(shard)) {
-      val cur = VersionedStore.read(spark, countsTable(root))
-        .withColumnRenamed("c", "c0").withColumnRenamed("t", "t0")
-      val combined = shard.join(cur, Seq("bucket"), "left_outer")
-        .select(col("bucket"),
-          (col("c") + coalesce(col("c0"), lit(0L))).as("c"),
-          (col("t") + coalesce(col("t0"), lit(0L))).as("t"))
-      VersionedStore.merge(combined, countsTable(root), Seq("bucket"))
-      ()
-    }
+    // EXACTLY-once under the engine-wide intent/done ingest protocol:
+    // the importance weights derive from these counts as exact
+    // integers, so the classic crash-window double count would
+    // silently tilt every log-ratio. Evidence mass = c + t.
+    Ledger.ingestOnce(spark, appliedTable(root), countsTable(root),
+      Seq("bucket"), Seq("c", "t"),
+      bucketCounts(hashedNgramCounts(shardDocs, idCol, textCol,
+        nBuckets, Seq("is_target" -> isTarget))),
+      shardId)
   }
 
   /** Retract one previously-ingested shard from the count model —
@@ -234,36 +224,14 @@ object Dsir {
   def retractModelCounts(shardDocs: DataFrame, idCol: String,
                          textCol: String, isTarget: Column,
                          root: String, shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
     val (nBuckets, _) = readParams(spark, root)
-    val shard = bucketCounts(hashedNgramCounts(shardDocs, idCol, textCol,
-      nBuckets, Seq("is_target" -> isTarget)))
-      .select(col("bucket"), col("c").as("nc"), col("t").as("nt"))
-      .localCheckpoint(false)
-    def massOf(df: DataFrame, cCol: String, tCol: String): Long = df
-      .agg((coalesce(sum(cCol), lit(0L)) +
-        coalesce(sum(tCol), lit(0L))).as("m")).head().getLong(0)
-    Ledger.retractOnce(spark, appliedTable(root), shardId,
-      () => massOf(VersionedStore.read(spark, countsTable(root)), "c", "t"),
-      () => massOf(shard, "nc", "nt")) {
-      val cur = VersionedStore.read(spark, countsTable(root))
-        .withColumnRenamed("c", "c0").withColumnRenamed("t", "t0")
-      val combined = shard.join(cur, Seq("bucket"), "left_outer")
-        .select(col("bucket"),
-          (coalesce(col("c0"), lit(0L)) - col("nc")).as("c"),
-          (coalesce(col("t0"), lit(0L)) - col("nt")).as("t"))
-        .localCheckpoint(false)
-      VersionedStore.merge(combined, countsTable(root), Seq("bucket"))
-      val zeros = combined.filter(col("c") <= 0L && col("t") <= 0L)
-        .select("bucket")
-      if (!zeros.isEmpty) {
-        try {
-          VersionedStore.deleteKeys(zeros, countsTable(root),
-            Seq("bucket")); ()
-        } catch { case _: IllegalArgumentException => () }
-      }
-    }
+    Ledger.retractOnce(spark, appliedTable(root), countsTable(root),
+      Seq("bucket"), Seq("c", "t"),
+      bucketCounts(hashedNgramCounts(shardDocs, idCol, textCol,
+        nBuckets, Seq("is_target" -> isTarget))),
+      shardId)
   }
 
   /** Freeze the scoring artifact straight from the persisted counts —

@@ -957,29 +957,20 @@ object Sketch {
                shardId: String): Boolean = {
     import graft.offline.{Ledger, VersionedStore}
     val spark = shardDf.sparkSession
+    Ledger.requireFrameFree(shardId)
+    if (Ledger.isApplied(spark, cmAppliedTable(root), shardId))
+      return false // replays answer before the params read
     val p = VersionedStore.read(spark, cmParamsTable(root))
       .select("depth", "width", "fast").head()
-    val (depth, width) = (p.getLong(0).toInt, p.getLong(1).toInt)
-    val shard = cmSketchRows(shardDf, keyCol, depth, width,
-      fast = p.getBoolean(2)).localCheckpoint(false)
     // EXACTLY-once under the engine-wide intent/done ingest protocol
     // (Ledger.ingestOnce — same crash-window arithmetic retractCm
     // already carries, now on the ingest side too): a replayed crash
     // finishes the ledger or redoes the merge, never double-counts.
-    // Total = the di=0 row mass, retractCm's own evidence column.
-    def mass(df: DataFrame): Long = df.filter(col("di") === 0)
-      .agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-    Ledger.ingestOnce(spark, cmAppliedTable(root), shardId,
-      () => mass(VersionedStore.read(spark, cmTable(root))),
-      () => mass(shard)) {
-      val cur = VersionedStore.read(spark, cmTable(root))
-        .select(col("di"), col("pos"), col("cnt").as("cnt0"))
-      val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
-        .select(col("di"), col("pos"),
-          (col("cnt") + coalesce(col("cnt0"), lit(0L))).as("cnt"))
-      VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
-      ()
-    }
+    Ledger.ingestOnce(spark, cmAppliedTable(root), cmTable(root),
+      Seq("di", "pos"), Seq("cnt"),
+      cmSketchRows(shardDf, keyCol, p.getLong(0).toInt,
+        p.getLong(1).toInt, fast = p.getBoolean(2)),
+      shardId)
   }
 
   /** Retract one previously-ingested shard from the CM store — the
@@ -1020,34 +1011,14 @@ object Sketch {
     val spark = shardDf.sparkSession
     val p = VersionedStore.read(spark, cmParamsTable(root))
       .select("depth", "width", "fast").head()
-    val shard = cmSketchRows(shardDf, keyCol, p.getLong(0).toInt,
-      p.getLong(1).toInt, fast = p.getBoolean(2))
-      .select(col("di"), col("pos"), col("cnt").as("neg"))
-      .localCheckpoint(false)
-    Ledger.retractOnce(spark, cmAppliedTable(root), shardId,
-      () => VersionedStore.read(spark, cmTable(root))
-        .filter(col("di") === 0).agg(coalesce(sum("cnt"), lit(0L)))
-        .head().getLong(0),
-      () => shard.filter(col("di") === 0)
-        .agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
-      val cur = VersionedStore.read(spark, cmTable(root))
-      val combined = shard.join(cur, Seq("di", "pos"), "left_outer")
-        .select(col("di"), col("pos"),
-          (coalesce(col("cnt"), lit(0L)) - col("neg")).as("cnt"))
-        .localCheckpoint(false)
-      VersionedStore.merge(combined, cmTable(root), Seq("di", "pos"))
-      // retire exhausted cells so the latest version literally equals
-      // never-having-ingested (deleteKeys refuses to EMPTY a table;
-      // in that degenerate case the zero rows stay as benign residue
-      // — cmStats/cmPointEstimate treat zero-count cells as absent)
-      val zeros = combined.filter(col("cnt") === 0L).select("di", "pos")
-      if (!zeros.isEmpty) {
-        try {
-          VersionedStore.deleteKeys(zeros, cmTable(root),
-            Seq("di", "pos")); ()
-        } catch { case _: IllegalArgumentException => () }
-      }
-    }
+    // exhausted cells are retired by the shared protocol; any
+    // would-empty residue stays as zero rows, which cmStats /
+    // cmPointEstimate already treat as absent
+    Ledger.retractOnce(spark, cmAppliedTable(root), cmTable(root),
+      Seq("di", "pos"), Seq("cnt"),
+      cmSketchRows(shardDf, keyCol, p.getLong(0).toInt,
+        p.getLong(1).toInt, fast = p.getBoolean(2)),
+      shardId)
   }
 
   /** Watchlist point estimates straight from the persisted CM store. */

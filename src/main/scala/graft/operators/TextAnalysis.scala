@@ -349,22 +349,14 @@ object TextAnalysis {
     * window's silent double-count is not acceptable here). */
   def knUpsertCounts(shardDocs: DataFrame, idCol: String, textCol: String,
                      root: String, shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
-    val shard = knBigramCounts(shardDocs, idCol, textCol)
-      .localCheckpoint(false)
-    Ledger.ingestOnce(spark, knAppliedTable(root), shardId,
-      () => VersionedStore.read(spark, knC12Table(root))
-        .agg(coalesce(sum("c12"), lit(0L))).head().getLong(0),
-      () => shard.agg(coalesce(sum("c12"), lit(0L))).head().getLong(0)) {
-      val cur = VersionedStore.read(spark, knC12Table(root))
-        .withColumnRenamed("c12", "c0")
-      val combined = shard.join(cur, Seq("w1", "w2"), "left_outer")
-        .select(col("w1"), col("w2"),
-          (col("c12") + coalesce(col("c0"), lit(0L))).as("c12"))
-      VersionedStore.merge(combined, knC12Table(root), Seq("w1", "w2"))
-      ()
-    }
+    Ledger.requireFrameFree(shardId)
+    if (Ledger.isApplied(spark, knAppliedTable(root), shardId))
+      return false
+    Ledger.ingestOnce(spark, knAppliedTable(root), knC12Table(root),
+      Seq("w1", "w2"), Seq("c12"),
+      knBigramCounts(shardDocs, idCol, textCol), shardId)
   }
 
   /** Retract one previously-ingested shard from the KN count store —
@@ -376,30 +368,11 @@ object TextAnalysis {
   def knRetractCounts(shardDocs: DataFrame, idCol: String,
                       textCol: String, root: String,
                       shardId: String): Boolean = {
-    import graft.offline.{Ledger, VersionedStore}
+    import graft.offline.Ledger
     val spark = shardDocs.sparkSession
-    val shard = knBigramCounts(shardDocs, idCol, textCol)
-      .select(col("w1"), col("w2"), col("c12").as("neg"))
-      .localCheckpoint(false)
-    Ledger.retractOnce(spark, knAppliedTable(root), shardId,
-      () => VersionedStore.read(spark, knC12Table(root))
-        .agg(coalesce(sum("c12"), lit(0L))).head().getLong(0),
-      () => shard.agg(coalesce(sum("neg"), lit(0L))).head().getLong(0)) {
-      val cur = VersionedStore.read(spark, knC12Table(root))
-        .withColumnRenamed("c12", "c0")
-      val combined = shard.join(cur, Seq("w1", "w2"), "left_outer")
-        .select(col("w1"), col("w2"),
-          (coalesce(col("c0"), lit(0L)) - col("neg")).as("c12"))
-        .localCheckpoint(false)
-      VersionedStore.merge(combined, knC12Table(root), Seq("w1", "w2"))
-      val zeros = combined.filter(col("c12") <= 0L).select("w1", "w2")
-      if (!zeros.isEmpty) {
-        try {
-          VersionedStore.deleteKeys(zeros, knC12Table(root),
-            Seq("w1", "w2")); ()
-        } catch { case _: IllegalArgumentException => () }
-      }
-    }
+    Ledger.retractOnce(spark, knAppliedTable(root), knC12Table(root),
+      Seq("w1", "w2"), Seq("c12"),
+      knBigramCounts(shardDocs, idCol, textCol), shardId)
   }
 
   /** Freeze the scoring artifact from the stored counts — no corpus

@@ -298,38 +298,38 @@ object Unigram {
   // --- persisted model (rides the shared tokenizer store root) ---------
 
   private def unigramVocabTable(root: String) = s"$root/unigram_vocab"
-  private def unigramParamsTable(root: String) = s"$root/unigram_params"
 
   /** Retrain from the shared word-count store AND persist the trained
-    * vocabulary under the same root (`unigram_vocab` + params — the
-    * [[Bpe]] rules/segments precedent): serving then reads a stored
-    * artifact ([[modelFromStore]]) instead of refitting, and the
-    * count store's ledger (ingest/retract) decides WHEN to refresh.
-    * Returns the trained model. */
+    * vocabulary under the same root as ONE table (`unigram_vocab`:
+    * piece, cnt, cost_micro, max_piece_len — the params column rides
+    * every row, so the artifact is a SINGLE atomic overwrite; two
+    * tables could tear under a crash between writes and serve costs
+    * against the wrong piece-length bound). Serving then reads the
+    * stored artifact ([[modelFromStore]]) instead of refitting, and
+    * the count store's ledger (ingest/retract) decides WHEN to
+    * refresh. Returns the trained model. */
   def refreshUnigram(spark: org.apache.spark.sql.SparkSession,
                      root: String, vocabSize: Int,
                      maxPieceLen: Int = 4, rounds: Int = 3,
                      seedTopK: Int = 0): UnigramModel = {
     import graft.offline.VersionedStore
-    import spark.implicits._
     val model = trainFromStore(spark, root, vocabSize, maxPieceLen,
       rounds, seedTopK)
-    VersionedStore.overwrite(model.vocab, unigramVocabTable(root))
     VersionedStore.overwrite(
-      Seq((vocabSize.toLong, maxPieceLen.toLong, rounds.toLong))
-        .toDF("vocab_size", "max_piece_len", "rounds"),
-      unigramParamsTable(root))
+      model.vocab.withColumn("max_piece_len", lit(maxPieceLen.toLong)),
+      unigramVocabTable(root))
     model
   }
 
   /** The persisted scoring artifact: (costs map, maxPieceLen) straight
     * from the stored vocabulary — no refit, bit-equal to the
-    * [[refreshUnigram]] that wrote it (exact long micros). */
+    * [[refreshUnigram]] that wrote it (exact long micros; one table,
+    * so a reader can never see torn costs/params). */
   def modelFromStore(spark: org.apache.spark.sql.SparkSession,
                      root: String): (Map[String, Long], Int) = {
     import graft.offline.VersionedStore
-    val l = VersionedStore.read(spark, unigramParamsTable(root))
-      .head().getLong(1).toInt
-    (collectCosts(VersionedStore.read(spark, unigramVocabTable(root))), l)
+    val t = VersionedStore.read(spark, unigramVocabTable(root))
+      .localCheckpoint(false) // pin ONE snapshot for both reads
+    (collectCosts(t), t.select("max_piece_len").head().getLong(0).toInt)
   }
 }
