@@ -996,8 +996,9 @@ object Dedup {
     * relational plans: a maximal duplicated region is a maximal RUN of
     * positions whose n-token gram occurs elsewhere in the corpus, so
     * detection needs no suffix array AND no pair enumeration — one
-    * window over the positional gram stream keyed by gram (df + first-
-    * occurrence rank), one per-doc gaps-and-islands merge. Every
+    * per-gram aggregate over the positional gram stream (df + first
+    * occurrence, map-side combining — [[dupGramStarts]]) joined back,
+    * one per-doc gaps-and-islands merge. Every
     * occurrence of a duplicated region is reported EXCEPT the
     * corpus-wide first (min (doc_id, pos) per gram — the whole corpus
     * keeps exactly one copy of each duplicated region; Lee et al.'s
@@ -1009,9 +1010,11 @@ object Dedup {
     * index self-join is QUADRATIC in a gram's df (a boilerplate line
     * in 1M docs explodes; the maxDf cap trades recall to contain it).
     * Here df never multiplies anything: a gram in 1M docs costs 1M
-    * window rows, period — work is positions + duplicated positions,
-    * LINEAR in corpus size and independent of cluster fan-out, which
-    * is the property that survives 100 TB. The price: span evidence
+    * aggregate input rows, period — work is positions + duplicated
+    * positions, LINEAR in corpus size, independent of cluster
+    * fan-out, and skew-safe (no single task ever holds one gram's
+    * occurrences), which is the property that survives 100 TB. The
+    * price: span evidence
     * is per occurrence, not per pair (no doc_a column), and the
     * keep-one winner is the global first occurrence rather than a
     * per-pair choice.
@@ -1027,6 +1030,47 @@ object Dedup {
     */
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, minTokens: Int = 8): DataFrame = {
+    require(n >= 1 && minTokens >= n)
+    val sh = positionalShingles(docs, idCol, textCol, n)
+    dupPositionsToSpans(dupGramStarts(sh), n, minTokens)
+  }
+
+  /** Duplicate gram starts of a positional-shingle stream: every
+    * (doc_id, pos) whose gram occurs elsewhere, EXCEPT the corpus-wide
+    * first occurrence (min (doc_id, pos) per gram). SKEW-SAFE shape —
+    * `groupBy(s).agg(count, min(struct))` joined back onto the stream
+    * instead of a `Window.partitionBy(s)` df/rank pass: the aggregate
+    * map-side combines (a 10⁷-occurrence boilerplate gram costs each
+    * input partition ONE (s, count, min) record, not 10⁷ rows through
+    * one window task) and the join-back is an equi-join AQE's skew
+    * split can cut, where a window partition is indivisible. Identical
+    * answer (spec-held vs [[exactSubstrSpansWindowed]]): dup ⇔
+    * df ≥ 2 ∧ (doc_id, pos) ≠ first — struct min IS the (doc_id, pos)
+    * lexicographic first, and singleton grams never survive the
+    * df ≥ 2 filter, so the join's build side carries only duplicated
+    * gram keys. */
+  private def dupGramStarts(sh: DataFrame): DataFrame = {
+    val firsts = sh.groupBy("s")
+      .agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
+      .filter(col("df") >= 2)
+      .select("s", "first_occ")
+    sh.join(firsts, Seq("s"))
+      .filter(!(col("doc_id") === col("first_occ.doc_id") &&
+        col("pos") === col("first_occ.pos")))
+      .select("doc_id", "pos")
+  }
+
+  /** The round-11 window-shaped detector, kept as the equality twin
+    * [[dupGramStarts]] is spec-held against (one `Window.partitionBy
+    * (s)` df + first-occurrence-rank pass — same answer, but a hot
+    * gram's occurrences all serialize through one window task, the
+    * 100 TB straggler surface the aggregation shape removes). */
+  private[graft] def exactSubstrSpansWindowed(docs: DataFrame,
+                                              idCol: String,
+                                              textCol: String,
+                                              n: Int = 3,
+                                              minTokens: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1 && minTokens >= n)
     val sh = positionalShingles(docs, idCol, textCol, n)
@@ -1088,8 +1132,9 @@ object Dedup {
     *
     * Plan shape: the corpus enters as ONE hash equi-join on the gram
     * key (left-outer onto the shard's positional stream) — linear,
-    * fan-out-free, and partitioned identically to the shard-local
-    * df/rank window that follows, so the join's exchange is reused.
+    * fan-out-free, and keyed identically to the shard-local
+    * first-occurrence aggregate join that follows, so the two share
+    * one exchange and both are AQE-skew-splittable.
     * `corpusDocs` is shingled and deduplicated here; at scale use the
     * persisted gram store ([[substrSpansIncremental]]) so the corpus
     * is never rescanned.
@@ -1119,18 +1164,32 @@ object Dedup {
                                 shardDocs: DataFrame,
                                 idCol: String, textCol: String,
                                 n: Int, minTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n >= 1 && minTokens >= n)
     val sh = positionalShingles(shardDocs, idCol, textCol, n)
-    val wG = Window.partitionBy("s")
-    val marked = sh
+    // Skew-safe shape (round 12): the corpus-membership join runs on
+    // the PER-GRAM aggregate (one row per distinct shard gram — keys
+    // unique, skew structurally impossible), not on the occurrence
+    // stream. The round-11 form chained two per-occurrence left-outer
+    // SMJs on s in one stage, where a hot gram's occurrences land in
+    // one indivisible partition AND AQE's skew split cannot fire (no
+    // shuffle boundary between the chained joins — probe-verified).
+    // Here the only per-occurrence join is the final join-back onto
+    // gramInfo, which is filtered to interesting grams (usually
+    // broadcast → no stream shuffle at all; when corpus-sized, a
+    // single SMJ whose both children are shuffle stages — exactly the
+    // shape OptimizeSkewedJoin handles).
+    val gramInfo = sh.groupBy("s")
+      .agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("first_occ"))
       .join(corpusGrams.select(col("s"), lit(true).as("in_corpus")),
         Seq("s"), "left_outer")
-      .withColumn("df", count(lit(1)).over(wG))
-      .withColumn("rn", row_number().over(wG.orderBy("doc_id", "pos")))
-    val dups = marked
+      .filter(col("in_corpus").isNotNull || col("df") >= 2)
+      .select("s", "first_occ", "in_corpus")
+    val dups = sh
+      .join(gramInfo, Seq("s"))
       .filter(col("in_corpus").isNotNull ||
-        (col("df") >= 2 && col("rn") > 1))
+        !(col("doc_id") === col("first_occ.doc_id") &&
+          col("pos") === col("first_occ.pos")))
       .select("doc_id", "pos")
     dupPositionsToSpans(dups, n, minTokens)
   }

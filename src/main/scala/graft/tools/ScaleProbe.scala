@@ -549,6 +549,131 @@ object ScaleProbe {
     udocsK.unpersist(); udocs.unpersist()
     }
 
+    if (sections("hotgram")) {
+    // HOT-GRAM straggler probe (round 12): one boilerplate line in
+    // EVERY doc — each of its grams has df = nDocs (default 10M, the
+    // ~10⁷-occurrence case the r11 verdict named). The round-11
+    // window-shaped detector serializes all nDocs occurrences of each
+    // hot gram through ONE window task; the round-12 aggregation
+    // shape (groupBy + min(struct) join-back) map-side combines the
+    // count and lets AQE split the join-back. Same answer (spec-held
+    // equal); this probe measures the wall-clock gap at hot-df scale.
+    // ONE hot gram (the verdict's exact construction): every doc
+    // shares the single 3-gram "b0 b1 b2" and nothing else, so the
+    // window shape must sort all nDocs occurrences of that gram in
+    // ONE task (a window partition is indivisible), while the agg
+    // shape's count/min combine map-side and its join-back spreads
+    // over every partition. minTokens = n so the probe measures
+    // detection, not span-length filtering.
+    // The straggler metric is MAX TASK TIME, not wall (at probe scale
+    // 32 local cores absorb one slow task; on a 1000-executor cluster
+    // the job ends when the hot task does). Measured at two df scales:
+    // the window shape's max task grows ∝ df (one task sorts every
+    // occurrence), the agg shape's stays flat (map-side combine).
+    def maxTask[T](name: String)(f: => T): Unit = {
+      val maxMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          maxMs.updateAndGet(m => math.max(m, te.taskInfo.duration))
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime(); f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      println(f"[scale] $name%-44s wall ${wall}%7.2f s   max task ${maxMs.get / 1e3}%7.2f s")
+    }
+    // Corpus size FIXED (so per-task input volume is constant); only
+    // the hot gram's df varies — every 10th doc vs every doc carries
+    // the boilerplate. Any max-task growth is then the hot KEY, not
+    // data volume.
+    val nDocs = args.lift(3).map(_.toLong).getOrElse(30000000L)
+    for (hotEvery <- Seq(10L, 1L)) {
+      val df = nDocs / hotEvery
+      val hot = spark.range(1, nDocs + 1).select(col("id").as("doc_id"),
+        concat(
+          when(col("id") % hotEvery === 0, lit("b0 b1 b2 u"))
+            .otherwise(concat(lit("c"), col("id").cast("string"),
+              lit("x c"), col("id").cast("string"), lit("y c"),
+              col("id").cast("string"), lit("z u"))),
+          col("id").cast("string"), lit("a u"),
+          col("id").cast("string"), lit("b")).as("text")).cache()
+      println(s"[scale] hotgram docs: ${hot.count()} (ONE gram at df=$df)")
+      maxTask(s"exact-substr AGG shape, one gram df=$df")(
+        Dedup.exactSubstrSpans(hot, "doc_id", "text", 3, 3).count())
+      maxTask(s"exact-substr WINDOW shape, one gram df=$df")(
+        Dedup.exactSubstrSpansWindowed(hot, "doc_id", "text", 3, 3).count())
+      hot.unpersist()
+    }
+    }
+
+    if (sections("hotstore")) {
+    // Store-serve path under the same hot gram (r11 verdict item 6).
+    // The round-12 serve shape joins the store on the PER-GRAM
+    // aggregate (unique keys — unskewable) and joins the verdicts
+    // back onto the occurrence stream. Two measured regimes:
+    //  (a) defaults — gramInfo is shard-bounded and small, so AQE
+    //      broadcasts the join-back at runtime: the stream's only
+    //      s-shuffle is the map-side-combined aggregate (a hot gram
+    //      collapses to one partial row per input partition). Expect
+    //      BroadcastHashJoin in the final plan and a flat max task.
+    //  (b) broadcast disabled (the gramInfo-too-big-to-broadcast
+    //      fallback) — the SMJ chain pipelines into one stage, AQE's
+    //      skew split cannot fire (no shuffle boundary between the
+    //      chained joins), and the hot partition's sort is the
+    //      straggler. Measured honestly; the mitigation at that scale
+    //      is salting the join-back (Skew.saltedJoin).
+    val nDocs = args.lift(3).map(_.toLong).getOrElse(10000000L)
+    def maxTaskH[T](name: String)(f: => T): Unit = {
+      val maxMs = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          maxMs.updateAndGet(m => math.max(m, te.taskInfo.duration))
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime(); f
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      spark.sparkContext.removeSparkListener(l)
+      println(f"[scale] $name%-44s wall ${wall}%7.2f s   max task ${maxMs.get / 1e3}%7.2f s")
+    }
+    val sroot = java.nio.file.Files
+      .createTempDirectory("hotstore_probe").toString + "/ss"
+    time("hotstore build (base corpus)")(
+      Dedup.buildSubstrStore(Tables.documents(spark, d)
+        .select(col("doc_id"),
+          concat(lit("b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 "), col("text"))
+            .as("text")),
+        "doc_id", "text", sroot, n = 3))
+    val shard = spark.range(1, nDocs + 1).select(
+      (col("id") + 900000000L).as("doc_id"),
+      concat(lit("b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 u"),
+        col("id").cast("string"), lit("a u"), col("id").cast("string"),
+        lit("b")).as("text")).cache()
+    println(s"[scale] hotstore shard docs: ${shard.count()}")
+    for (bcast <- Seq(true, false)) {
+      if (!bcast)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val served = Dedup.substrSpansIncremental(shard, "doc_id", "text",
+        sroot, minTokens = 8)
+      // execute THIS query execution's adaptive plan (a .count()
+      // would plan and finalize a different QE)
+      val qe = served.queryExecution
+      maxTaskH(s"store serve, hot df=$nDocs, bcast=$bcast")(
+        qe.executedPlan.execute().count())
+      val finalPlan = qe.executedPlan.toString
+      println(s"[scale] hotstore bcast=$bcast: join-back is " +
+        (if (finalPlan.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+        else "SortMergeJoin") +
+        s", AQE skew marker present: ${finalPlan.contains("skew=true")}")
+      if (!bcast)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+    shard.unpersist()
+    }
+
     if (sections("bpezipf")) {
     // ZIPFIAN-VOCABULARY deep training: the compound-corpus probe
     // above measures batching on a worst-case vocabulary; this one

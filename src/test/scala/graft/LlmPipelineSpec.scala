@@ -555,6 +555,31 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(spans === Set((1L, 9L, 8L)))
   }
 
+  test("exactSubstrSpans: aggregation shape == round-11 window shape (gate corpus + hot gram)") {
+    // The round-12 skew-safe detector (groupBy(s) + min(struct) join
+    // back) must reproduce the window-shaped detector (df/rank over
+    // Window.partitionBy(s)) span for span — on the gate corpus AND
+    // on a synthetic hot-gram corpus where one boilerplate line
+    // appears in every doc (the 100 TB straggler case the rewrite
+    // exists for).
+    def spans(d: org.apache.spark.sql.DataFrame,
+              f: (org.apache.spark.sql.DataFrame, String, String, Int,
+                Int) => org.apache.spark.sql.DataFrame) =
+      f(d, "doc_id", "text", 3, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val corpus = Tables.documents(spark, TestSpark.sfDir)
+    assert(spans(corpus, Dedup.exactSubstrSpans(_, _, _, _, _)) ===
+      spans(corpus, Dedup.exactSubstrSpansWindowed(_, _, _, _, _)))
+    val hot = (1L to 200L).map(i =>
+      (i, s"boiler b1 b2 b3 b4 b5 b6 b7 tail${i}a tail${i}b"))
+      .toDF("doc_id", "text")
+    val agg = spans(hot, Dedup.exactSubstrSpans(_, _, _, _, _))
+    assert(agg === spans(hot, Dedup.exactSubstrSpansWindowed(_, _, _, _, _)))
+    // every copy but doc 1's reported, at the boilerplate's position
+    assert(agg === (2L to 200L).map(i => (i, 1L, 8L)).toSet)
+  }
+
   test("exactSubstrDedup: cuts every copy but the global first; corpus keeps one") {
     val shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
     val docs = Seq(
