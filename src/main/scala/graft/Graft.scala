@@ -530,6 +530,24 @@ object Graft {
                             minDf: Long = 2L): Array[Long] =
     Dedup.freezeDupGramsFromStore(spark, root, minDf)
 
+  /** BOUNDED [[substrStripFrozen]] artifact for the minDf = 1
+    * dedup-vs-corpus mode: the frozen gram set as an mBits-bit Bloom
+    * bitset built from the store (no corpus scan, no driver-side
+    * vocabulary collect — mBits/8 bytes regardless of corpus size). */
+  def substrFreezeBloom(spark: SparkSession, root: String, mBits: Int,
+                        kHashes: Int = 2, minDf: Long = 1L): Array[Long] =
+    Dedup.freezeDupGramsBloom(spark, root, mBits, kHashes, minDf)
+
+  /** Streaming-safe strip against the Bloom-frozen artifact: no false
+    * negatives vs [[substrStripFrozen]] (everything it cuts, this
+    * cuts); false positives over-cut at the Bloom rate — size mBits
+    * to the rate, not the corpus. */
+  def substrStripFrozenBloom(docs: DataFrame, bloomWords: Array[Long],
+                             mBits: Int, kHashes: Int = 2,
+                             n: Int = 3): DataFrame =
+    Dedup.exactSubstrFrozenBloom(docs, "doc_id", "text", bloomWords,
+      mBits, kHashes, n)
+
   /** Train a unigram-LM (SentencePiece-family) subword tokenizer by
     * Viterbi-EM: corpus scanned once, each round touches only the
     * distinct-word table. */

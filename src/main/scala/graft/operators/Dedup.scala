@@ -1342,7 +1342,9 @@ object Dedup {
     * duplicates — the boilerplate-removal mode, with a far smaller
     * artifact. Driver-bounded by qualifying gram TYPES (the
     * freezeEvalShingles contract — size minDf to what the driver
-    * holds; at minDf = 1 this is the corpus's full gram vocabulary).
+    * holds; at minDf = 1 this is the corpus's full gram vocabulary —
+    * use [[freezeDupGramsBloom]] there, whose artifact is mBits/8
+    * bytes regardless of corpus size).
     */
   def freezeDupGrams(docs: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, minDf: Long = 2L): Array[Long] =
@@ -1375,17 +1377,31 @@ object Dedup {
                         frozenGrams: Array[Long], n: Int = 3): DataFrame = {
     val mdl = map_from_arrays(lit(frozenGrams),
       lit(Array.fill(frozenGrams.length)(true)))
+    frozenStripWith(docs, idCol, textCol, n, "__frz", mdl,
+      h => s"__frz[$h] IS NOT NULL")
+  }
+
+  /** Shared skeleton of the frozen-strip twins: per gram start, a
+    * caller-supplied SQL flag over the gram's xxhash64 (the exact-set
+    * map probe or the bloom-bitset probe), then the covered-token cut
+    * and reassembly — one pure projection, stream-safe. `artifact` is
+    * bound to `artifactName` so the flag SQL can reference it. */
+  private def frozenStripWith(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int,
+                              artifactName: String, artifact: Column,
+                              flagSql: String => String): DataFrame = {
     val refs = (0 until n).map(j => s"ws[s - 1 + $j]").mkString(", ")
+    val gramHash = s"xxhash64(concat_ws(' ', $refs))"
     docs
       .select(col(idCol).as("doc_id"),
         coalesce(Fns.words(col(textCol)),
           array().cast("array<string>")).as("ws"))
-      .withColumn("__frz", mdl)
+      .withColumn(artifactName, artifact)
       // one flag per gram start: is this n-gram in the frozen set
       .withColumn("flags",
         when(size(col("ws")) >= n, expr(
           s"transform(sequence(1, size(ws) - ${n - 1}), " +
-            s"s -> __frz[xxhash64(concat_ws(' ', $refs))] IS NOT NULL)"))
+            s"s -> ${flagSql(gramHash)})"))
           .otherwise(array().cast("array<boolean>")))
       // cut token t iff ANY gram covering it (starts t-n+1..t) is
       // flagged; with >= 1 gram the start range is always ascending
@@ -1400,6 +1416,56 @@ object Dedup {
            |              s -> flags[s - 1]), NULL, w)),
            |  w -> w IS NOT NULL)""".stripMargin)))
       .select("doc_id", "text_clean")
+  }
+
+  /** BOUNDED frozen ExactSubstr artifact (round 12 — the r11
+    * verdict's #2): the frozen gram set compiled to a Bloom bitset of
+    * caller-sized `mBits` bits, built from the PERSISTED gram store
+    * with zero corpus scan. This is the minDf = 1 dedup-vs-corpus
+    * mode's scale path: [[freezeDupGramsFromStore]] at minDf = 1
+    * collects the corpus's FULL gram vocabulary to the driver
+    * (unbounded in corpus size); this artifact is mBits/8 bytes no
+    * matter how many grams qualify — size it to the false-positive
+    * rate, not the corpus.
+    *
+    * Hash family: seed-salted xxhash64 over the gram's xxhash64 key
+    * ([[Sketch.bloomPositionsXx]], fast = true) — build and probe
+    * must agree, which [[exactSubstrFrozenBloom]] replays exactly.
+    */
+  def freezeDupGramsBloom(spark: org.apache.spark.sql.SparkSession,
+                          root: String, mBits: Int, kHashes: Int = 2,
+                          minDf: Long = 1L): Array[Long] = {
+    require(mBits >= 64 && kHashes >= 1)
+    Sketch.bloomBitsetWords(
+      graft.offline.VersionedStore.read(spark, substrGramsTable(root))
+        .filter(col("df") >= math.max(minDf, 1L)),
+      "s", mBits, kHashes, fast = true)
+  }
+
+  /** STREAMING-SAFE ExactSubstr strip against a BLOOM-frozen gram
+    * set: [[exactSubstrFrozen]]'s projection with the literal-map
+    * probe replaced by pure bit arithmetic over
+    * [[freezeDupGramsBloom]]'s bitset — still one projection, zero
+    * state, append-mode safe. ONE-SIDED contract (spec-held): a gram
+    * in the frozen set ALWAYS probes true (no false negatives — every
+    * token [[exactSubstrFrozen]] cuts, this cuts), and a false
+    * positive OVER-CUTS at the classic Bloom rate
+    * ≈ (1 - e^(-kHashes·nGrams/mBits))^kHashes — the dedup-direction
+    * error (losing a few extra tokens) a 100 TB stream dedup accepts
+    * in exchange for a fixed-size artifact. */
+  def exactSubstrFrozenBloom(docs: DataFrame, idCol: String,
+                             textCol: String, bloomWords: Array[Long],
+                             mBits: Int, kHashes: Int = 2,
+                             n: Int = 3): DataFrame = {
+    require(bloomWords.length == (mBits + 63) / 64,
+      s"bitset has ${bloomWords.length} words; mBits=$mBits needs " +
+        s"${(mBits + 63) / 64}")
+    frozenStripWith(docs, idCol, textCol, n, "__blm", lit(bloomWords),
+      h => (0 until kHashes).map { i =>
+        val pos = s"pmod(xxhash64($i, $h), CAST($mBits AS BIGINT))"
+        s"((shiftright(element_at(__blm, CAST(($pos) DIV 64 AS INT) + 1), " +
+          s"CAST(($pos) % 64 AS INT)) & 1) = 1)"
+      }.mkString("(", " AND ", ")"))
   }
 
   /** The substring-dedup ACTION: remove [[overlapSpans]] matches from

@@ -1115,7 +1115,15 @@ object Sketch {
     */
   def bloomBitsetLit(dropKeys: DataFrame, dropKeyCol: String,
                      mBits: Int, kHashes: Int,
-                     fast: Boolean = false): Column = {
+                     fast: Boolean = false): Column =
+    lit(bloomBitsetWords(dropKeys, dropKeyCol, mBits, kHashes, fast))
+
+  /** [[bloomBitsetLit]]'s raw long words — for callers that persist
+    * or ship the bitset as a value (the frozen-artifact twins)
+    * rather than inlining it as a literal Column immediately. */
+  def bloomBitsetWords(dropKeys: DataFrame, dropKeyCol: String,
+                       mBits: Int, kHashes: Int,
+                       fast: Boolean = false): Array[Long] = {
     val words = new Array[Long]((mBits + 63) / 64)
     dropKeys
       .select(explode(array(
@@ -1125,7 +1133,7 @@ object Sketch {
         val p = r.getLong(0).toInt
         words(p >>> 6) |= (1L << (p & 63))
       }
-    lit(words)
+    words
   }
 
   /** Pure-projection probe of [[bloomBitsetLit]]'s bitset. */

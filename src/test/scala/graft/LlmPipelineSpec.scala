@@ -844,6 +844,76 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(got(102L) === "w1 w2 w3 w4 w5")
   }
 
+  test("exactSubstrFrozenBloom: zero false negatives vs exact frozen; tiny bitset only over-cuts") {
+    // the artifact's declared source: the persisted gram store
+    val corpus = (1L to 40L).map(i =>
+      (i, s"boil1 boil2 boil3 boil4 c${i}a c${i}b c${i}c")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("bloom_frz").toString + "/ss"
+    Dedup.buildSubstrStore(corpus, "doc_id", "text", root, n = 3)
+    val exact = Dedup.freezeDupGramsFromStore(spark, root, minDf = 1L)
+    val arrivals = Seq(
+      (100L, "u1 u2 boil1 boil2 boil3 boil4 u3"),
+      (101L, "c7a c7b c7c v1 v2 v3"),
+      (102L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val want = Dedup.exactSubstrFrozen(arrivals, "doc_id", "text",
+        exact, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // generous bitset: zero FPs on this corpus → exact equality
+    val mBig = 1 << 18
+    val big = Dedup.freezeDupGramsBloom(spark, root, mBig, kHashes = 2)
+    val gotBig = Dedup.exactSubstrFrozenBloom(arrivals, "doc_id", "text",
+        big, mBig, kHashes = 2, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotBig === want, s"generous-bitset divergence:\n$gotBig\n$want")
+    // tiny bitset: FPs forced — the one-sided contract says every
+    // token the exact artifact cuts is cut here too (kept tokens are
+    // a subsequence of the exact strip's kept tokens), never the
+    // reverse direction
+    val mTiny = 256
+    val tiny = Dedup.freezeDupGramsBloom(spark, root, mTiny, kHashes = 2)
+    val gotTiny = Dedup.exactSubstrFrozenBloom(arrivals, "doc_id", "text",
+        tiny, mTiny, kHashes = 2, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toList
+    def isSubseq(sub: List[String], sup: List[String]): Boolean = {
+      var rest = sup
+      sub.forall { t =>
+        val i = rest.indexOf(t)
+        if (i < 0) false else { rest = rest.drop(i + 1); true }
+      }
+    }
+    for ((id, wantText) <- want)
+      assert(isSubseq(toks(gotTiny(id)), toks(wantText)),
+        s"doc $id: bloom kept a token the exact artifact cut " +
+          s"(false negative): '${gotTiny(id)}' vs '$wantText'")
+  }
+
+  test("exactSubstrFrozenBloom: measured FP over-cut rate within the Bloom bound") {
+    val corpus = (1L to 150L).map(i =>
+      (i, s"k${i}a k${i}b k${i}c k${i}d")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("bloom_fp").toString + "/ss"
+    Dedup.buildSubstrStore(corpus, "doc_id", "text", root, n = 3)
+    val nGrams = graft.offline.VersionedStore.read(spark, s"$root/grams")
+      .count() // 2 grams per 4-token doc
+    val mBits = 4096
+    val k = 2
+    val bloom = Dedup.freezeDupGramsBloom(spark, root, mBits, k)
+    // 2000 single-gram probe docs, none in the freeze corpus: a doc
+    // fully cut == its one gram false-positived
+    val probes = (1L to 2000L).map(i =>
+      (i + 10000L, s"z${i}x z${i}y z${i}z")).toDF("doc_id", "text")
+    val cut = Dedup.exactSubstrFrozenBloom(probes, "doc_id", "text",
+        bloom, mBits, k, n = 3)
+      .filter(col("text_clean") === "").count()
+    val rate = cut.toDouble / 2000
+    val bound = math.pow(1 - math.exp(-k.toDouble * nGrams / mBits), k)
+    assert(rate <= 3 * bound + 0.005,
+      s"FP rate $rate exceeds 3x the Bloom bound $bound " +
+        s"(nGrams=$nGrams, mBits=$mBits, k=$k)")
+  }
+
   test("stripSpans: removes matched runs from the higher doc id, merges overlapping cuts") {
     val docs = Seq(
       (4L, "m n o p q GAP1 GAP2 r s t u v"),

@@ -811,6 +811,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed(11L) === "fresh only text here now")
   }
 
+  test("bloom-frozen ExactSubstr strip runs stateless on a stream, equals batch, no false negatives") {
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "b1 b2 b3 b4 b5 b6"
+    val corpus = Seq(
+      (1L, s"c1 c2 $boiler c3"),
+      (2L, s"c4 $boiler c5 c6")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("bloom_stream").toString + "/ss"
+    graft.operators.Dedup.buildSubstrStore(corpus, "doc_id", "text",
+      root, n = 3)
+    val mBits = 1 << 14
+    val bloom = graft.operators.Dedup.freezeDupGramsBloom(
+      spark, root, mBits, kHashes = 2, minDf = 1L)
+    val rows = Seq(
+      (10L, s"u1 u2 $boiler u3"),
+      (11L, "fresh only text here now"),
+      (12L, "x"))
+    val input = MemoryStream[(Long, String)]
+    // append mode with NO watermark: pure projection end to end —
+    // the bitset is a literal, the probe is bit arithmetic
+    val query = graft.operators.Dedup.exactSubstrFrozenBloom(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", bloom,
+        mBits, kHashes = 2, n = 3)
+      .writeStream.format("memory").queryName("sbloomsubstr")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("sbloomsubstr").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    query.stop()
+    val batch = graft.operators.Dedup.exactSubstrFrozenBloom(
+        rows.toDF("doc_id", "text"), "doc_id", "text", bloom, mBits,
+        kHashes = 2, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
+    // no false negatives: every token the exact artifact cuts, the
+    // bloom artifact cuts — at this generous mBits the two agree
+    val exact = graft.operators.Dedup.freezeDupGramsFromStore(
+      spark, root, minDf = 1L)
+    val want = graft.operators.Dedup.exactSubstrFrozen(
+        rows.toDF("doc_id", "text"), "doc_id", "text", exact, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == want, s"bloom/exact divergence:\n$streamed\n$want")
+  }
+
   test("frozen unigram encode runs stateless on a stream, equals batch encode") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "tok token to oken token tok"),
