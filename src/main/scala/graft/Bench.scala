@@ -83,15 +83,43 @@ object Bench {
     def ms2(v: Double): Double = math.rint(v * 100) / 100
     def vec(m: Map[String, Double]): String =
       sorted.map(n => ms2(m(n))).mkString("[", ",", "]")
+    // Round 12: the artifact carries its own NOISE VERDICT. Three
+    // rounds running the recorded take misstated the engine by 40%+
+    // because box-state noise (unchanged plans disagreeing >2x
+    // between two same-session passes) is invisible to a reader of
+    // one total. A query's plan is identical in pass 1 and pass 2 of
+    // one JVM, so any >2x disagreement between them is noise by
+    // construction — count them, list the worst, and say "quiet"
+    // when there are none. Floor at 0.5 s: sub-second rows flip on
+    // scheduling jitter without meaning anything.
+    val noisy = sorted.filter { n =>
+      val (p1, p2) = (pass1(n), pass2(n))
+      p1 > 0 && p2 > 0 && math.max(p1, p2) >= 0.5 &&
+        math.max(p1, p2) / math.min(p1, p2) > 2.0
+    }
+    val worst = noisy.sortBy(n =>
+      -math.max(pass1(n), pass2(n)) / math.min(pass1(n), pass2(n)))
+      .take(8)
+      .map(n => "\"" + n + "\":" + ms2(math.max(pass1(n), pass2(n)) /
+        math.min(pass1(n), pass2(n))))
+      .mkString("{", ",", "}")
+    val noiseVerdict =
+      if (noisy.isEmpty) "quiet"
+      else s"noisy: ${noisy.size} unchanged plans disagree >2x " +
+        "between same-session passes; per-query minima are the " +
+        "engine, totals overstate it"
+    val noiseLine = s"""{"metric":"noise","verdict":"$noiseVerdict","n_noisy":${noisy.size},"n_queries":${sorted.size},"worst_ratios":$worst}"""
     try {
       val full = new StringBuilder()
       full ++= s"""{"metric":"total","value":$total,"value_pass2":$total2,"unit":"sec","action":"noop_write","sf":"$sfDir","queries":${js(pass1)},"queries_pass2":${js(pass2)}}\n"""
+      full ++= noiseLine + "\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
         full.toString.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // cwd may not be the repo root
     println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":1,"n":${sorted.size},"v":${vec(pass1)}}""")
     println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":2,"n":${sorted.size},"v":${vec(pass2)}}""")
+    println(noiseLine)
     println(s"""{"metric":"total","value":${ms(total)},"value_pass2":${ms(total2)},"unit":"sec","n":${pass1.size},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1227,9 +1227,13 @@ object Graft {
     Skew.saltedJoin(skewed, skewKey, other, otherKey, salts, saltCols)
 
   /** [[joinAuto]]'s result: the executed join plus the decision that
-    * picked it and the pre-flight size estimate (audit trail). */
+    * picked it, the pre-flight size estimate, and WHICH evidence path
+    * produced the decision (`inline_sketch` — two fresh one-pass
+    * sketches — or `cm_store` — kilobytes read from persisted CM
+    * stores, zero corpus scans): the audit trail. */
   final case class AutoJoin(df: DataFrame, strategy: String,
-                            joinSizeEst: Long)
+                            joinSizeEst: Long,
+                            planSource: String = "inline_sketch")
 
   /** The advisory→execution loop CLOSED: sketch both sides (one pass
     * each, kilobyte state), read [[joinPlan]]'s strategy row, and
@@ -1244,13 +1248,51 @@ object Graft {
                depth: Int = 3, width: Int = 1024,
                broadcastRows: Long = 5000L, skewFactor: Long = 8L,
                salts: Int = 8, saltCols: Seq[String] = Nil): AutoJoin = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
-      "joinAuto frames must not share column names — alias first")
+    import org.apache.spark.sql.functions.col
     val skA = Sketch.cmSketchRows(a.select(col(aKey).as("k")), "k",
       depth, width, fast = true)
     val skB = Sketch.cmSketchRows(b.select(col(bKey).as("k")), "k",
       depth, width, fast = true)
+    dispatchAutoJoin(a, aKey, b, bKey, skA, skB, broadcastRows,
+      skewFactor, salts, saltCols, planSource = "inline_sketch")
+  }
+
+  /** [[joinAuto]] fed from PERSISTED CM stores ([[cmStoreBuild]] /
+    * [[cmStoreUpsert]] roots whose sketched key is the join key):
+    * planning reads two kilobyte cell tables — zero corpus scans —
+    * so a join both planned and executed repeatedly (the daily-build
+    * shape) pays the sketch pass once at ingest, not twice per call.
+    * The stores must share (depth, width, fast) — cell positions only
+    * align within one parameter family, and the AMS join-size inner
+    * product is meaningless across families (checked loudly). The
+    * decision and dispatch rules are [[joinAuto]]'s exactly
+    * (facade-spec-held equal on the same data); the audit trail
+    * records `planSource = "cm_store"`. */
+  def joinAutoFromStores(a: DataFrame, aKey: String, b: DataFrame,
+                         bKey: String, rootA: String, rootB: String,
+                         broadcastRows: Long = 5000L,
+                         skewFactor: Long = 8L, salts: Int = 8,
+                         saltCols: Seq[String] = Nil): AutoJoin = {
+    val spark = a.sparkSession
+    val pa = Sketch.readCmParams(spark, rootA)
+    val pb = Sketch.readCmParams(spark, rootB)
+    require(pa == pb,
+      s"CM stores disagree on (depth, width, fast): $rootA has $pa, " +
+        s"$rootB has $pb — join planning needs one parameter family")
+    dispatchAutoJoin(a, aKey, b, bKey,
+      Sketch.readCmSketch(spark, rootA), Sketch.readCmSketch(spark, rootB),
+      broadcastRows, skewFactor, salts, saltCols, planSource = "cm_store")
+  }
+
+  private def dispatchAutoJoin(a: DataFrame, aKey: String, b: DataFrame,
+                               bKey: String, skA: DataFrame,
+                               skB: DataFrame, broadcastRows: Long,
+                               skewFactor: Long, salts: Int,
+                               saltCols: Seq[String],
+                               planSource: String): AutoJoin = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "joinAuto frames must not share column names — alias first")
     // one row — the planning decision is driver-bounded. cmStats
     // coalesces an empty side to n_rows = 0 (→ broadcast_a/_b), so the
     // no-row fallback below is belt-and-braces against future stats
@@ -1260,7 +1302,7 @@ object Graft {
     if (planOpt.isEmpty) {
       val outCols0 = (a.columns ++ b.columns).toIndexedSeq.map(col)
       return AutoJoin(a.join(b, a(aKey) === b(bKey), "inner")
-        .select(outCols0: _*), "shuffle", 0L)
+        .select(outCols0: _*), "shuffle", 0L, planSource)
     }
     val plan = planOpt.get
     val strategy = plan.getAs[String]("strategy")
@@ -1281,7 +1323,7 @@ object Graft {
         salted.select(outCols: _*)
     }
     AutoJoin(joined.select(outCols: _*), strategy,
-      plan.getAs[Long]("join_size_est"))
+      plan.getAs[Long]("join_size_est"), planSource)
   }
 
   // --- link-graph curation --------------------------------------------
@@ -1306,10 +1348,16 @@ object Graft {
   def trustSelect(edges: DataFrame, seeds: DataFrame, docs: DataFrame,
                   idCol: String, hostCol: String, tokensCol: String,
                   budgetTokens: Long, nIter: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val trust = trustRank(edges, seeds, nIter)
+    // LEFT join + trust 0: a doc whose host never appears in the edge
+    // graph scores zero (same as a host no seed endorses) and stays
+    // eligible for leftover budget — an inner join would silently
+    // drop off-graph documents from selection entirely
     FeatureEng.selectToBudget(
-      docs.join(trust, docs(hostCol) === trust("node")),
-      idCol, trust("pr_micro"), docs(tokensCol), budgetTokens)
+      docs.join(trust, docs(hostCol) === trust("node"), "left_outer"),
+      idCol, coalesce(trust("pr_micro"), lit(0L)), docs(tokensCol),
+      budgetTokens)
   }
 
   /** Banded point-in-interval range join (hash-partitionable — never

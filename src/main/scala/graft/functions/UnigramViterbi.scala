@@ -120,8 +120,14 @@ private[functions] object ViterbiDp {
             val arc =
               if (noise == null) c.longValue
               else c.longValue + noise(i, j)
-            if (dpCost(i) + arc < bestC) {
-              bestC = dpCost(i) + arc
+            val s = dpCost(i) + arc
+            // overflow-saturated: a wrapped sum (sign of s disagrees
+            // with both addends') must not silently win the min —
+            // treat it as unreachable (integerCosts bounds total
+            // corpus cost, but a cnt=1 piece near the guard bound
+            // can still push a pathological path past Long range)
+            if (((dpCost(i) ^ s) & (arc ^ s)) >= 0 && s < bestC) {
+              bestC = s
               bestI = i
             }
           }
@@ -148,15 +154,19 @@ private[functions] object ViterbiDp {
 }
 
 /** SUBWORD REGULARIZATION (Kudo 2018 §3.2's practical form): a
-  * SAMPLED segmentation per word OCCURRENCE — seeded Gumbel noise of
-  * scale `alphaMicro` is added to every arc's piece cost and the
-  * perturbed-minimum path wins (perturb-and-MAP). alphaMicro = 0
-  * degenerates to exact Viterbi bit-for-bit (spec-held); larger
-  * alpha spreads probability over near-optimal segmentations — the
-  * training-data augmentation the unigram tokenizer exists to
-  * enable. Exact path-posterior sampling would need
-  * forward-filter/backward-sample; perturb-and-MAP is the standard
-  * one-pass approximation and keeps encode a single projection.
+  * SAMPLED segmentation per word OCCURRENCE — a seeded CENTERED
+  * Gumbel draw of scale `alphaMicro` is SUBTRACTED from every arc's
+  * piece cost and the perturbed-minimum path wins (perturb-and-MAP
+  * for softmax(-cost/alpha): argmin(cost - alpha·Gumbel); centering
+  * removes the per-arc length bias, so paths with more pieces get no
+  * free mean discount). alphaMicro = 0 degenerates to exact Viterbi
+  * bit-for-bit (spec-held); larger alpha spreads probability over
+  * near-optimal segmentations — the training-data augmentation the
+  * unigram tokenizer exists to enable. Exact path-posterior sampling
+  * would need forward-filter/backward-sample (or one draw per PATH);
+  * per-arc perturb-and-MAP is the standard one-pass approximation
+  * that keeps encode a single projection — spec-held to ≈ the
+  * softmax ratios on a two-path fixture.
   *
   * Fully DETERMINISTIC (the engine's seeded-draw contract, the
   * Gumbel-top-k precedent in Dsir): noise = standard Gumbel from
@@ -200,7 +210,18 @@ case class UnigramSample(word: Expression, salt: Expression,
             .hashLong(i.toLong * 131071L + j, saltV)
           // uniform in (0,1) exclusive: top 53 bits, half-ulp offset
           val u = ((h >>> 11) + 0.5) * (1.0 / (1L << 53))
-          math.rint(alphaMicro * -math.log(-math.log(u))).toLong
+          // SUBTRACT the CENTERED Gumbel draw: perturb-and-MAP for
+          // softmax(-cost/alpha) is argmin(cost - alpha*Gumbel);
+          // adding it would mis-weight alternatives (argmax of
+          // +Gumbel is the max-stable direction, spec-held via the
+          // objective's skew). Centering (minus the Euler-Mascheroni
+          // mean 0.5772…) removes the per-arc length bias the raw
+          // draw carries — E[noise] = 0, so a 2-piece path is not
+          // handed 0.577·alpha of free discount over a 1-piece path;
+          // argmin over equal-length alternatives is unchanged
+          // (common shift), and alpha = 0 stays exact Viterbi.
+          -math.rint(alphaMicro *
+            (-math.log(-math.log(u)) - 0.5772156649015329)).toLong
         }
       }
     ViterbiDp.run(w, model, maxPieceLen, noise)

@@ -170,9 +170,21 @@ object Sketch {
       .filter(col("shard_id") === shardId).limit(1).count() > 0
     if (applied) return false
     // p is a store property, read back from build time — a per-call p
-    // could insert wrong-size register arrays for new groups
-    val p = VersionedStore.read(spark, sketchParamsTable(root))
-      .select("p").head().getLong(0).toInt
+    // could insert wrong-size register arrays for new groups. A store
+    // written before p froze has no params table: fail with the
+    // migration story, not the generic no-committed-version require.
+    val p =
+      try VersionedStore.read(spark, sketchParamsTable(root))
+        .select("p").head().getLong(0).toInt
+      catch {
+        case e: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"HLL store at $root predates the frozen-p params table " +
+              s"(${sketchParamsTable(root)} is missing or empty): " +
+              "rebuild it with buildSketchStore/rebuildSketchStore, " +
+              "or backfill the params table with the p it was built at",
+            e)
+      }
     val shard = hllSketchTable(shardDf, keyCol, groupCols, p)
     // Only the groups this shard touches: the keyed MERGE then
     // rewrites only the files whose group ranges the shard hits.
@@ -1019,6 +1031,23 @@ object Sketch {
       cmSketchRows(shardDf, keyCol, p.getLong(0).toInt,
         p.getLong(1).toInt, fast = p.getBoolean(2)),
       shardId)
+  }
+
+  /** The persisted CM sketch cells, zero-count retraction residue
+    * filtered (cmStats/cmPointEstimate already treat it as absent) —
+    * the kilobyte frame planners feed to [[cmJoinPlan]] so repeated
+    * join planning never rescans a corpus. */
+  def readCmSketch(spark: org.apache.spark.sql.SparkSession,
+                   root: String): DataFrame =
+    graft.offline.VersionedStore.read(spark, cmTable(root))
+      .filter(col("cnt") > 0)
+
+  /** The store's frozen (depth, width, fast) parameters. */
+  def readCmParams(spark: org.apache.spark.sql.SparkSession,
+                   root: String): (Int, Int, Boolean) = {
+    val p = graft.offline.VersionedStore.read(spark, cmParamsTable(root))
+      .select("depth", "width", "fast").head()
+    (p.getLong(0).toInt, p.getLong(1).toInt, p.getBoolean(2))
   }
 
   /** Watchlist point estimates straight from the persisted CM store. */

@@ -220,6 +220,47 @@ class FacadeSpec extends AnyFunSuite {
     assert(r.df.count() === 0L)
   }
 
+  test("joinAutoFromStores: store-fed decision == inline-sketch decision, zero corpus scans at plan time") {
+    val big = spark.range(2000)
+      .select(col("id").as("ak"), (col("id") % 7).as("av"))
+      .localCheckpoint(false)
+    val small = spark.range(40)
+      .select(col("id").as("bk"), (col("id") + 100).as("bv"))
+      .localCheckpoint(false)
+    val hot = spark.range(2000)
+      .select(when(col("id") % 2 === 0, lit(3L)).otherwise(col("id"))
+        .as("ak"), col("id").as("av"))
+      .localCheckpoint(false)
+    def root() = java.nio.file.Files
+      .createTempDirectory("cm_joinauto").toString + "/cm"
+    // defaults match joinAuto's inline family (3 x 1024, fast)
+    val (rBig, rSmall, rHot) = (root(), root(), root())
+    Graft.cmStoreBuild(big, "ak", rBig)
+    Graft.cmStoreBuild(small, "bk", rSmall)
+    Graft.cmStoreBuild(hot, "ak", rHot)
+    for (((a, ak, ra), (b, bk, rb), opts) <- Seq(
+      ((big, "ak", rBig), (small, "bk", rSmall), (100L, 8L)),
+      ((hot, "ak", rHot), (small.select(col("bk"), col("bv")), "bk",
+        rSmall), (10L, 4L)))) {
+      val inline = Graft.joinAuto(a, ak, b, bk,
+        broadcastRows = opts._1, skewFactor = opts._2)
+      val stored = Graft.joinAutoFromStores(a, ak, b, bk, ra, rb,
+        broadcastRows = opts._1, skewFactor = opts._2)
+      assert(stored.strategy === inline.strategy)
+      assert(stored.joinSizeEst === inline.joinSizeEst)
+      assert(stored.planSource === "cm_store")
+      assert(inline.planSource === "inline_sketch")
+      assert(stored.df.collect().map(_.toSeq).toSet ===
+        inline.df.collect().map(_.toSeq).toSet)
+    }
+    // parameter-family mismatch is loud, not silently wrong
+    val rNarrow = root()
+    Graft.cmStoreBuild(small, "bk", rNarrow, width = 512)
+    val e = intercept[IllegalArgumentException](
+      Graft.joinAutoFromStores(big, "ak", small, "bk", rBig, rNarrow))
+    assert(e.getMessage.contains("depth, width, fast"))
+  }
+
   test("joinPlan / cmSketch / cmFrequencies / saltedJoin delegate") {
     val a = spark.range(300).select(col("id").as("k"))
     val b = spark.range(900).select((col("id") % 300).as("k"))
@@ -254,6 +295,15 @@ class FacadeSpec extends AnyFunSuite {
       "doc_id", "host", "n_words", budgetTokens = 5000L)
     assert(sel.count() > 0)
     assert(sel.agg(max("cum_tokens")).head().getLong(0) <= 5000L)
+    // off-graph hosts score ZERO but stay eligible for leftover
+    // budget — not silently excluded from selection (round-12 fix)
+    val dOff = docs.limit(20).select(col("doc_id"),
+      (col("doc_id") % 4 + 100).as("host"), // hosts 100.. not in graph
+      size(split(col("text"), " ")).as("n_words"))
+    val selOff = Graft.trustSelect(edges, Seq(1L).toDF("node"), dOff,
+      "doc_id", "host", "n_words", budgetTokens = 100000L)
+    assert(selOff.count() > 0, "off-graph docs must compete for budget")
+    assert(selOff.agg(max("score")).head().getLong(0) === 0L)
   }
 
   test("intervalJoin / intervalJoinAuto delegate and agree") {

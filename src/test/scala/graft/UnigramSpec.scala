@@ -333,6 +333,45 @@ class UnigramSpec extends AnyFunSuite {
       "per-occurrence salts must decorrelate draws inside one doc")
   }
 
+  test("UnigramSample: perturbed objective SUBTRACTS the Gumbel draw; path frequencies track softmax(-cost/alpha)") {
+    import graft.functions.UnigramSample
+    val n = 4000
+    // (1) direction: perturb-and-MAP for softmax(-cost/alpha) is
+    // argmin(cost - alpha*Gumbel), so E[perturbed objective] ≈
+    // cost - 0.577·alpha. A sign inversion (adding the draw) lands
+    // ABOVE cost — the round-11 bug this spec pins down.
+    // objective = cost - alpha*(G - γ): mean ≈ cost (centered), and
+    // SUBTRACTING the right-skewed Gumbel leaves a LEFT-skewed
+    // objective — median sits ≈ 0.21·alpha ABOVE the mean. The
+    // round-11 sign bug (adding the draw) flips the skew: median
+    // below mean. Sharp, deterministic, and exactly the sign.
+    val one = spark.range(n).select(lit("a").as("w"), col("id").as("salt"))
+    val cs = one.select(UnigramSample.segment(col("w"), col("salt"),
+        Map("a" -> 1000000L), 1, alphaMicro = 1000000L)
+        .getField("cost_micro").as("c"))
+    val mean = cs.agg(avg("c")).head().getDouble(0)
+    val median = cs.stat.approxQuantile("c", Array(0.5), 0.0001)(0)
+    assert(math.abs(mean - 1000000.0) < 100000.0,
+      s"centered draw: mean ≈ cost (got $mean)")
+    assert(median - mean > 100000.0,
+      s"subtracted Gumbel leaves a left-skewed objective " +
+        s"(median ≈ mean + 0.21·alpha; got mean=$mean median=$median)")
+    // (2) two-path word "ab": costs 1.0M ([ab]) vs 1.5M ([a b]) at
+    // alpha 0.5M → softmax gives P([ab]) = e^0/(e^0+e^-1) ≈ 0.731;
+    // per-arc centered noise lands ≈ 0.696 (simulated), the declared
+    // approximation (exact softmax needs one draw per PATH, which is
+    // not projection-shaped). Draws are seeded → deterministic.
+    val costs = Map("ab" -> 1000000L, "a" -> 750000L, "b" -> 750000L)
+    val two = spark.range(n).select(lit("ab").as("w"),
+      (col("id") + 90000).as("salt"))
+    val pAb = two.select(concat_ws(" ",
+        UnigramSample.segment(col("w"), col("salt"), costs, 2,
+          alphaMicro = 500000L).getField("pieces")).as("enc"))
+      .filter(col("enc") === "ab").count().toDouble / n
+    assert(math.abs(pAb - 0.731) < 0.08,
+      s"P([ab]) should approximate softmax 0.731, got $pAb")
+  }
+
   test("encodeDocs: one projection reassembles word-level encodes; n_tokens consistent") {
     val docs = Seq((1L, Some("aa ab ba")), (2L, Some("")),
       (3L, Some("b")), (4L, None))
