@@ -774,6 +774,33 @@ object SparkEntry {
       col("n_words"), budgetTokens = 20000L)
   }
 
+  /** The pretrain pipeline THROUGH TOKENIZATION (round 12 — "docs
+    * in, training shards out" as ONE plan): [[qPretrainPipeline]]'s
+    * budget winners are unigram-Viterbi encoded under the corpus-
+    * trained seed-vocab integer costs (q_unigram_encode's exact
+    * model — trained on the FULL corpus, applied to the selection,
+    * the production shape) and the encoded docs are packed into
+    * 512-piece training bins in doc-id order (q_pack_sequences'
+    * arithmetic over PIECE counts). The encode is a pure projection,
+    * so the added stages cost zero extra shuffles beyond the packing
+    * prefix sum; the oracle composes the capstone's four stages, the
+    * brute-force segmentation replay, and the packing cumsum. */
+  def qPretrainTokenize(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val winners = qPretrainPipeline(s, d).select("doc_id")
+    val sel = docs.join(winners, Seq("doc_id"), "left_semi")
+    val wc = Bpe.corpusWordCounts(docs, "doc_id", "text")
+    val costs = Unigram.collectCosts(
+      Unigram.integerCosts(Unigram.seedVocab(wc, maxPieceLen = 4,
+        topK = 64)))
+    val enc = Unigram.encodeDocs(sel, "doc_id", "text", costs,
+      maxPieceLen = 4)
+    FeatureEng.packValues(enc, "doc_id", "n_tokens", budgetTokens = 512L)
+      .withColumnRenamed("n_tokens", "n_pieces")
+      .join(enc.select(col("doc_id"), col("encoded")), Seq("doc_id"))
+      .select("doc_id", "encoded", "n_pieces", "bin", "bin_offset")
+  }
+
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
     * deterministic, 10% of the corpus): training docs sharing >= 5
     * distinct 3-gram shingles with any eval doc. */
@@ -1595,6 +1622,7 @@ object SparkEntry {
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
+    "q_pretrain_tokenize" -> (qPretrainTokenize _),
     "q_decontam_scores" -> (qDecontamScores _),
     "q_lm_score" -> (qLmScore _),
     "q_nb_quality" -> (qNbQuality _),
@@ -3815,6 +3843,123 @@ object SparkEntry {
           |)
           |SELECT doc_id, score, n_tokens, cum_tokens
           |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+
+      // Docs-in-shards-out: the capstone's winners (its own oracle's
+      // CTEs verbatim), each word replayed through the q_unigram_encode
+      // brute-force segmentation total order, reassembled per doc in
+      // word order, then the q_pack_sequences cumsum at 512 pieces.
+      "q_pretrain_tokenize" ->
+        """WITH RECURSIVE b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits,
+          |    len(regexp_extract_all(text, '[0-9]')) AS digits
+          |  FROM documents
+          |), cf AS (
+          |  SELECT doc_id, n_words,
+          |    round(least(n_words / 100.0, 1.0) *
+          |          (1.0 - round(stop_hits / n_words, 6)), 6)
+          |      AS quality_score
+          |  FROM b
+          |  WHERE n_words BETWEEN 20 AND 100000
+          |    AND round((n_chars - (n_words - 1)) / n_words, 6)
+          |        BETWEEN 2.0 AND 12.0
+          |    AND round(digits / n_chars, 6) <= 0.3
+          |    AND round(stop_hits / n_words, 6) <= 0.12
+          |), dd AS (
+          |  SELECT doc_id, n_words, quality_score FROM (
+          |    SELECT cf.doc_id, cf.n_words, cf.quality_score,
+          |      min(cf.doc_id) OVER (PARTITION BY md5(d.text)) AS cid
+          |    FROM cf JOIN documents d USING (doc_id))
+          |  WHERE doc_id = cid
+          |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+          |flag AS (
+          |  SELECT sh.doc_id FROM sh JOIN es USING (s)
+          |  WHERE sh.doc_id % 10 <> 0
+          |  GROUP BY 1 HAVING count(*) >= 5
+          |), train AS (
+          |  SELECT * FROM dd
+          |  WHERE doc_id % 10 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM flag)
+          |), c AS (
+          |  SELECT doc_id,
+          |    CAST(sum(n_words) OVER (
+          |      ORDER BY quality_score DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM train
+          |), winners AS (SELECT doc_id FROM c WHERE cum_tokens <= 20000),
+          |wc AS (
+          |  SELECT w AS word, count(*) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY 1
+          |), cand AS (
+          |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+          |  FROM wc,
+          |       unnest(generate_series(1, len(word))) AS t(i),
+          |       unnest(generate_series(1, 4)) AS u(l)
+          |  WHERE i + l - 1 <= len(word)
+          |  GROUP BY 1
+          |), topk AS (
+          |  SELECT piece, cnt FROM (
+          |    SELECT piece, cnt,
+          |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          |    FROM cand) WHERE rn <= 64
+          |), vocab0 AS (
+          |  SELECT DISTINCT piece, cnt FROM (
+          |    SELECT piece, cnt FROM topk UNION ALL
+          |    SELECT piece, cnt FROM cand WHERE len(piece) = 1)
+          |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab0),
+          |vocab AS (
+          |  SELECT piece, CAST((total * 1000000) // cnt AS BIGINT) AS cost
+          |  FROM vocab0 CROSS JOIN tot
+          |), seg AS (
+          |  SELECT word, 0 AS pos, '' AS enc, 0 AS np,
+          |         CAST(0 AS BIGINT) AS cost, '' AS key
+          |  FROM wc
+          |  UNION ALL
+          |  SELECT s.word, s.pos + len(v.piece),
+          |         CASE WHEN s.pos = 0 THEN v.piece
+          |              ELSE s.enc || ' ' || v.piece END,
+          |         s.np + 1, s.cost + v.cost,
+          |         lpad(CAST(s.pos AS VARCHAR), 4, '0') || ',' || s.key
+          |  FROM seg s JOIN vocab v
+          |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+          |  WHERE s.pos < len(s.word)
+          |), done AS (
+          |  SELECT word, enc, np, cost,
+          |    row_number() OVER (PARTITION BY word ORDER BY cost, key) AS rn
+          |  FROM seg WHERE pos = len(word)
+          |), wd AS (
+          |  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+          |  FROM documents d JOIN winners USING (doc_id)
+          |), tok AS (
+          |  SELECT doc_id, i, ws[i] AS word
+          |  FROM wd, unnest(generate_series(1, len(ws))) t(i)
+          |  WHERE ws[i] <> ''
+          |), docenc AS (
+          |  SELECT t.doc_id,
+          |    string_agg(d.enc, ' ' ORDER BY t.i) AS encoded,
+          |    CAST(sum(d.np) AS BIGINT) AS n_pieces
+          |  FROM tok t JOIN done d ON d.word = t.word AND d.rn = 1
+          |  GROUP BY 1
+          |), r AS (
+          |  SELECT doc_id, encoded, n_pieces,
+          |    CAST(sum(n_pieces) OVER (ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
+          |  FROM docenc
+          |)
+          |SELECT doc_id, encoded, n_pieces,
+          |  CAST((rt - n_pieces) // 512 AS BIGINT) AS bin,
+          |  CAST((rt - n_pieces) % 512 AS BIGINT) AS bin_offset
+          |FROM r""".stripMargin,
 
       "q_quality_filter" -> qualityFilterOracleSql,
 

@@ -253,10 +253,20 @@ object FeatureEng {
     * identical on any cluster layout.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    budgetTokens: Long): DataFrame = {
+                    budgetTokens: Long): DataFrame =
+    packValues(docs.select(col(idCol).as("doc_id"),
+        size(Fns.words(col(textCol))).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", budgetTokens)
+
+  /** [[packSequences]] over a PRECOMPUTED per-doc token count — the
+    * post-tokenizer form (pieces per doc from a subword encode, not
+    * whitespace words): same exact distributed running total, same
+    * bin/offset arithmetic, zero/NULL counts dropped. */
+  def packValues(df: DataFrame, ordCol: String, valCol: String,
+                 budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val toks = docs.select(col(idCol).as("doc_id"),
-        size(Fns.words(col(textCol))).cast("long").as("n_tokens"))
+    val toks = df.select(col(ordCol).as("doc_id"),
+        col(valCol).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0) // NULL text → NULL size → dropped
     runningTotal(toks, "doc_id", "n_tokens")
       .select(col("ord").as("doc_id"), col("val").as("n_tokens"),
