@@ -629,6 +629,25 @@ object Graft {
     graft.operators.Classify.nbScore(docs, "doc_id", "text",
       seed, "doc_id", "lbl", alpha, threshold)
 
+  /** Train the fastText-style LEARNED quality classifier (the DCLM
+    * classifier proper — supervised hashed-n-gram embeddings +
+    * logistic output, Joulin et al. 2017) on a labeled seed
+    * (doc_id, text, lbl): full-batch GD, integer-micro deterministic,
+    * driver state = nBuckets × dim longs. */
+  def ftQualityTrain(seed: DataFrame, nBuckets: Int = 4096,
+                     dim: Int = 8, epochs: Int = 10,
+                     lrMicro: Long = 2000000L)
+  : operators.FtClassify.FtModel =
+    operators.FtClassify.train(seed, "doc_id", "text", "lbl",
+      nBuckets, dim, epochs, lrMicro)
+
+  /** Score a corpus against the FROZEN fastText-style model: the
+    * bilinear classifier collapsed to per-bucket scalars probed by
+    * one codegen projection — no join, no shuffle, stream-safe. */
+  def ftQualityScore(docs: DataFrame,
+                     model: operators.FtClassify.FtModel): DataFrame =
+    operators.FtClassify.scoreFrozen(docs, "doc_id", "text", model)
+
   /** Ingest a JSONL corpus with quarantine semantics: (clean,
     * corrupt) — malformed lines retained, never silently dropped. */
   def readJsonl(spark: SparkSession, path: String,
@@ -918,6 +937,20 @@ object Graft {
   /** GPT-style contiguous sequence packing (bin/offset per document). */
   def packSequences(docs: DataFrame, budgetTokens: Long): DataFrame =
     FeatureEng.packSequences(docs, "doc_id", "text", budgetTokens)
+
+  /** Boundary-aware sequence packing (the Dolma/OLMo data-order
+    * artifact): every (bin × doc) intersection as a segment row —
+    * what a block-diagonal intra-document attention mask is built
+    * from. `docs` carries a precomputed per-doc token count. */
+  def packSegments(docs: DataFrame, countCol: String,
+                   seqLen: Long): DataFrame =
+    FeatureEng.packSegments(docs, "doc_id", countCol, seqLen)
+
+  /** One row per packed sequence: sorted boundary offsets + aligned
+    * doc ids + packed length — the loader-ready mask artifact. */
+  def packMasks(docs: DataFrame, countCol: String,
+                seqLen: Long): DataFrame =
+    FeatureEng.packAttentionMasks(docs, "doc_id", countCol, seqLen)
 
   // --- text retrieval ------------------------------------------------
   // Corpus columns default to (doc_id, text), query batches to

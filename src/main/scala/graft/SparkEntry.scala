@@ -678,6 +678,35 @@ object SparkEntry {
     operators.Classify.nbScore(docs, "doc_id", "text", seed, "doc_id", "lbl")
   }
 
+  // The trained fastText-style model is the frozen OFFLINE artifact —
+  // derive once per (corpus dir, JVM), like the persisted index
+  // roots: repeated invocations time the apply path a stream runs.
+  private val ftModels = new java.util.concurrent.ConcurrentHashMap[
+    String, operators.FtClassify.FtModel]()
+
+  /** fastText-style learned quality classifier (round 12 — the DCLM
+    * classifier proper, one step past q_nb_quality's Naive Bayes):
+    * supervised n-gram-embedding model trained by full-batch GD on
+    * the SAME labeled seed q_nb_quality uses (every 5th doc,
+    * annotated by the quality heuristic), then applied corpus-wide
+    * through the frozen per-bucket-scalar collapse — one codegen
+    * projection (the Dsir HashedGramScore vehicle), stream-safe.
+    * Rows-only (float sigmoid + gradient descent are not portable
+    * SQL); the fit itself is spec-held bit-equal to a sequential
+    * in-memory reference, loss-decreasing, and label-recovering. */
+  def qFtQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = ftModels.computeIfAbsent(d, _ => {
+      val seed = TextAnalysis.quality(docs, "doc_id", "text")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("lbl"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+      operators.FtClassify.train(seed, "doc_id", "text", "lbl",
+        nBuckets = 4096, dim = 8, epochs = 40, lrMicro = 16000000L)
+    })
+    operators.FtClassify.scoreFrozen(docs, "doc_id", "text", model)
+  }
+
   /** Declared WITH the occurrence cap (maxDf = 100): the positional
     * self-join fans out O(occurrences²) per shingle, so an uncapped
     * declaration detonates on any corpus slice with heavily repeated
@@ -1101,6 +1130,22 @@ object SparkEntry {
   def qPackSequences(s: SparkSession, d: String): DataFrame =
     FeatureEng.packSequences(Tables.documents(s, d), "doc_id", "text",
       budgetTokens = 1024L)
+
+  /** BOUNDARY-AWARE sequence packing (round 12 — the Dolma/OLMo
+    * data-order artifact): every (training sequence × document)
+    * intersection as a segment row, so the loader can build
+    * intra-document attention masks (attention must not cross doc
+    * boundaries inside a packed sequence). q_pack_sequences says
+    * which bin a doc STARTS in; this says what exactly is IN each
+    * 1024-token bin — straddling docs come back once per bin touched,
+    * with the doc-token offset each continuation resumes at. Pure
+    * arithmetic over the exact distributed running total; the oracle
+    * replays interval intersection row for row. */
+  def qPackBoundaries(s: SparkSession, d: String): DataFrame =
+    FeatureEng.packSegments(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(Fns.words(col("text"))).as("n_tokens")),
+      "doc_id", "n_tokens", seqLen = 1024L)
 
   def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
     MultiModal.metaColumns(Tables.documents(s, d), "doc_id", "text")
@@ -1616,6 +1661,7 @@ object SparkEntry {
     "q_retrieval_metrics" -> (qRetrievalMetrics _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_pack_boundaries" -> (qPackBoundaries _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_meta" -> (qImageMeta _),
     "q_media_meta" -> (qMediaMeta _),
@@ -1626,6 +1672,7 @@ object SparkEntry {
     "q_decontam_scores" -> (qDecontamScores _),
     "q_lm_score" -> (qLmScore _),
     "q_nb_quality" -> (qNbQuality _),
+    "q_ft_quality" -> (qFtQuality _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_warc_extract" -> (qWarcExtract _),
     "q_boilerplate" -> (qBoilerplate _),
@@ -2937,6 +2984,40 @@ object SparkEntry {
           |  CAST((rt - n_tokens) // 1024 AS BIGINT) AS bin,
           |  CAST((rt - n_tokens) % 1024 AS BIGINT) AS bin_offset
           |FROM r""".stripMargin,
+
+      // Boundary-aware packing: interval intersection of each doc's
+      // global token span [rt-n, rt) with the 1024-token bin grid,
+      // replayed row for row; seg_idx = per-bin rank by offset.
+      "q_pack_boundaries" ->
+        """WITH t AS (
+          |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+          |  FROM documents WHERE text IS NOT NULL
+          |), r AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
+          |  FROM t WHERE n_tokens > 0
+          |), s AS (
+          |  SELECT doc_id, n_tokens, rt,
+          |    unnest(generate_series((rt - n_tokens) // 1024,
+          |                           (rt - 1) // 1024)) AS bin
+          |  FROM r
+          |), seg AS (
+          |  SELECT CAST(bin AS BIGINT) AS bin, doc_id,
+          |    CAST(GREATEST(rt - n_tokens, bin * 1024) - bin * 1024
+          |      AS BIGINT) AS bin_offset,
+          |    CAST(LEAST(rt, (bin + 1) * 1024)
+          |      - GREATEST(rt - n_tokens, bin * 1024) AS BIGINT)
+          |      AS seg_tokens,
+          |    CAST(GREATEST(rt - n_tokens, bin * 1024)
+          |      - (rt - n_tokens) + 1 AS BIGINT) AS doc_tok_start
+          |  FROM s
+          |)
+          |SELECT bin,
+          |  CAST(row_number() OVER (PARTITION BY bin ORDER BY bin_offset)
+          |    - 1 AS BIGINT) AS seg_idx,
+          |  doc_id, bin_offset, seg_tokens, doc_tok_start
+          |FROM seg""".stripMargin,
 
       "q_ranking_aggs" ->
         """WITH g AS (

@@ -275,6 +275,82 @@ object FeatureEng {
           .as("bin_offset"))
   }
 
+  /** Cross-doc SEQUENCE-level packing with document-boundary
+    * segments — the Dolma/OLMo training-data-order artifact:
+    * documents are concatenated in doc-id order into one global
+    * token stream cut into fixed `seqLen` training sequences
+    * ("bins"), and EVERY (bin, document) intersection comes back as
+    * a segment row — where [[packSequences]] answers "which bin does
+    * this doc start in", this answers "what exactly is IN each
+    * sequence", which is what a boundary-aware attention mask needs
+    * (attention must not cross document boundaries inside a packed
+    * sequence; OLMo ablates this as intra-document masking).
+    *
+    * Output, one row per segment: bin, seg_idx (0-based position of
+    * the segment within its bin), doc_id, bin_offset (0-based token
+    * offset of the segment inside the bin — segment starts ARE the
+    * attention-boundary offsets), seg_tokens, doc_tok_start (1-based
+    * token of the doc this segment begins at — straddling docs
+    * continue with doc_tok_start > 1 in the next bin). Segments tile
+    * every bin exactly (spec-held): per bin, bin_offset runs 0,
+    * then cumulative seg_tokens, summing to seqLen (the last bin to
+    * < seqLen); per doc, seg_tokens sums to the doc's count and
+    * doc_tok_start chains contiguously.
+    *
+    * Scale shape: the assignment is pure arithmetic over the exact
+    * distributed [[runningTotal]] (identical on any cluster layout);
+    * the explode emits ≤ 1 + n_tokens/seqLen rows per doc (never a
+    * fan-out join); seg_idx is a per-bin window whose partitions are
+    * bounded by the segments in one sequence (≤ seqLen), so the
+    * window cannot straggle.
+    */
+  def packSegments(df: DataFrame, ordCol: String, valCol: String,
+                   seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val toks = df.select(col(ordCol).as("doc_id"),
+        col(valCol).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val segStart = greatest(col("rt") - col("n_tokens"),
+      col("bin") * seqLen)
+    val segEnd = least(col("rt"), (col("bin") + 1) * seqLen)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin").orderBy("bin_offset")
+    runningTotal(toks, "doc_id", "n_tokens")
+      .select(col("ord").as("doc_id"), col("val").as("n_tokens"),
+        col("running_total").as("rt"))
+      // doc = global token interval [rt - n, rt); bins of width L:
+      // it intersects bins floor((rt-n)/L) .. floor((rt-1)/L)
+      .withColumn("bin", explode(expr(
+        s"sequence((rt - n_tokens) DIV $seqLen, (rt - 1) DIV $seqLen)")))
+      .select(col("bin"), col("doc_id"),
+        (segStart - col("bin") * seqLen).as("bin_offset"),
+        (segEnd - segStart).as("seg_tokens"),
+        (segStart - (col("rt") - col("n_tokens")) + 1).as("doc_tok_start"))
+      .withColumn("seg_idx", (row_number().over(w) - 1).cast("long"))
+      .select("bin", "seg_idx", "doc_id", "bin_offset", "seg_tokens",
+        "doc_tok_start")
+  }
+
+  /** The per-sequence ATTENTION-MASK artifact over [[packSegments]]:
+    * one row per bin with the boundary offsets a block-diagonal
+    * attention mask is built from — `boundaries` = sorted segment
+    * starts (token offsets where attention must reset; boundaries[0]
+    * is always 0), `doc_ids` aligned with them, `n_tokens` the packed
+    * length (== seqLen except the final bin). The loader consumes
+    * this row as-is; nothing downstream re-derives doc extents. */
+  def packAttentionMasks(df: DataFrame, ordCol: String, valCol: String,
+                         seqLen: Long): DataFrame =
+    packSegments(df, ordCol, valCol, seqLen)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_segs"),
+        sort_array(collect_list(struct(col("bin_offset"), col("doc_id"))))
+          .as("segs"),
+        sum("seg_tokens").as("n_tokens"))
+      .select(col("bin"), col("n_segs"),
+        expr("transform(segs, s -> s.bin_offset)").as("boundaries"),
+        expr("transform(segs, s -> s.doc_id)").as("doc_ids"),
+        col("n_tokens"))
+
   /** Deterministic class-balanced sampling for training prep: each
     * row survives iff its key's md5 bucket (0..9999) falls under its
     * class's rate in basis points — downsample the majority class,

@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** fastText-style SUPERVISED quality classifier (Joulin et al. 2017,
+  * "Bag of Tricks for Efficient Text Classification") — the model
+  * family the DCLM pipeline distills its quality filter into (a
+  * fastText classifier over hashed word n-grams), one step past
+  * [[Classify]]'s Naive Bayes: where NB scores tokens independently,
+  * this LEARNS a bucket embedding table E (nBuckets × dim), averages
+  * a document's gram embeddings into a hidden vector, and fits a
+  * logistic output (w, b) — trained here by full-batch gradient
+  * descent with the model on the driver and every corpus-sized
+  * reduction a Spark aggregate.
+  *
+  * Reference behavior: the reference repo trains external quality
+  * classifiers offline and applies them as score columns (the
+  * feature_store python pipelines' model-scoring pattern); the
+  * engine's own precedent is q_nb_quality (train on a labeled seed,
+  * apply corpus-wide). This operator completes the DCLM shape with
+  * the learned-embedding classifier proper.
+  *
+  * DETERMINISM (the engine's integer-micro idiom): every model
+  * number lives in 1e-6 fixed-point longs. Per-row gradient terms are
+  * rounded to micros ONCE, then summed EXACTLY by Spark aggregates
+  * (long addition is associative-commutative → partitioning-
+  * independent), and the driver applies updates with one rounding
+  * rule — so the distributed fit equals a sequential in-memory
+  * reference bit for bit (spec-held), the same contract as
+  * Unigram.trainFromCounts / LinkGraph's fixed-point PageRank.
+  *
+  * SCALE SHAPE: the classifier trains on a LABELED SEED (thousands
+  * of docs — the DCLM/fastText setting), so the per-epoch cost is
+  * two map-side-combinable aggregates over the seed's cached
+  * (doc, bucket, cnt) table: one per-doc reduce for the forward
+  * pass, one per-bucket reduce for the gradient. Driver state is
+  * nBuckets × dim longs (megabytes). Corpus-wide APPLICATION is the
+  * frozen path: per-bucket scalar scores s_f = w·E_f collapse the
+  * bilinear model into exactly [[graft.functions.HashedGramScore]]'s
+  * codegen projection — zero joins, zero shuffles, stream-safe (the
+  * Dsir frozen-scorer vehicle, reused verbatim).
+  *
+  * Gram features are [[Dsir.hashedNgramCounts]]' hashed unigrams +
+  * bigrams (portable md5 buckets), so the trainer, the frozen
+  * scorer, and the spec reference all see identical features.
+  */
+object FtClassify {
+
+  /** The trained artifact: embeddings flattened row-major
+    * (bucket * dim + k), output weights, bias — all 1e-6 micros. */
+  final case class FtModel(nBuckets: Int, dim: Int, emb: Array[Long],
+                           w: Array[Long], bMicro: Long,
+                           lossMicroByEpoch: Seq[Long]) {
+    require(emb.length == nBuckets * dim && w.length == dim)
+
+    /** Collapse to the per-bucket scalar serving artifact:
+      * s_f = round(w·E_f / 1e6) micros — the frozen model is ONE
+      * number per bucket regardless of dim. */
+    def bucketScores: Map[Long, Long] = {
+      val m = Map.newBuilder[Long, Long]
+      var f = 0
+      while (f < nBuckets) {
+        var acc = 0L
+        var k = 0
+        while (k < dim) { acc += w(k) * emb(f * dim + k); k += 1 }
+        m += (f.toLong -> rdiv(acc))
+        f += 1
+      }
+      m.result()
+    }
+  }
+
+  /** Round-half-up division by 1e6 — THE rounding rule every micro
+    * product in this object uses (floorDiv keeps it total-order
+    * deterministic for negatives too). */
+  private def rdiv(x: Long): Long = Math.floorDiv(x + 500000L, 1000000L)
+
+  /** SQL `round()` semantics (HALF_UP — ties away from zero) for the
+    * reference trainer's double terms: `math.round` floors ties for
+    * negatives, SQL does not, and the err·cnt/m term CAN be negative. */
+  private def sqlRound(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Seeded uniform init in (-scale, +scale) micros — xxhash64 of the
+    * flat index, so the init is a pure function of (seed, shape). */
+  private def initMicro(idx: Long, seed: Long, scaleMicro: Long): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashLong(idx, seed)
+    // top 53 bits → uniform in [0,1), then shift to (-1,1)
+    val u = ((h >>> 11) + 0.5) * (1.0 / (1L << 53))
+    math.round((2.0 * u - 1.0) * scaleMicro)
+  }
+
+  /** Train by full-batch GD on `seed` (idCol, textCol, labelCol with
+    * boolean/0-1 labels). Returns the model plus the per-epoch
+    * training loss (micro mean logistic loss) so callers can assert
+    * the fit converges. */
+  def train(seed: DataFrame, idCol: String, textCol: String,
+            labelCol: String, nBuckets: Int = 4096, dim: Int = 8,
+            epochs: Int = 10, lrMicro: Long = 2000000L,
+            seedSalt: Long = 42L): FtModel = {
+    require(nBuckets > 0 && dim > 0 && epochs >= 1 && lrMicro > 0)
+    val spark = seed.sparkSession
+    import spark.implicits._
+    // (doc_id, bucket, cnt, y, m): the epoch-invariant feature table
+    val feats = Dsir.hashedNgramCounts(
+        seed.select(col(idCol).as("doc_id"),
+          col(textCol).as("text"),
+          col(labelCol).cast("boolean").as("y")),
+        "doc_id", "text", nBuckets, Seq("y" -> col("y")))
+      .localCheckpoint(false)
+    val docSizes = feats.groupBy("doc_id", "y")
+      .agg(sum("cnt").as("m"))
+    val pairs = feats.join(docSizes, Seq("doc_id", "y"))
+      .select(col("doc_id"), col("y"), col("bucket"), col("cnt"),
+        col("m"))
+      .localCheckpoint(false)
+    val nDocs = docSizes.count()
+    require(nDocs > 0, "empty training seed")
+
+    val emb = Array.tabulate(nBuckets * dim)(i =>
+      initMicro(i.toLong, seedSalt, 100000L)) // ±0.1
+    // w random too: from w = 0 the bilinear fit sits on a saddle
+    // (grad_E ∝ w) and only w moves in epoch 1 — seeded nonzero init
+    // gives both layers gradient flow immediately (fastText trades
+    // this for many per-example steps; full-batch GD cannot)
+    val w = Array.tabulate(dim)(k =>
+      initMicro(nBuckets.toLong * dim + k, seedSalt, 100000L))
+    var b = 0L
+    // classical momentum (β = 0.9, integer-exact): full-batch GD on
+    // the bilinear model crawls at safe step sizes — the velocity
+    // term converges in ~4× fewer epochs at the same stability
+    // (decayed-lr sweep held on the gate corpus)
+    val vEmb = new Array[Long](nBuckets * dim)
+    val vW = new Array[Long](dim)
+    var vB = 0L
+    val losses = Seq.newBuilder[Long]
+
+    var e = 0
+    while (e < epochs) {
+      // forward: s_f scalars → per-doc logit/error/loss in ONE frame
+      // (checkpointed — it feeds the scalar sums AND the gradient);
+      // each per-doc number is one double round-trip over exact
+      // integer inputs, deterministic per row
+      val sDf = bucketScoresOf(nBuckets, dim, emb, w)
+        .toSeq.toDF("bucket", "s_micro")
+      val bM = b
+      val perDoc = pairs
+        .join(broadcast(sDf), Seq("bucket"))
+        .groupBy("doc_id", "y", "m")
+        .agg(sum(col("cnt") * col("s_micro")).as("sum_s"),
+          collect_list(struct(col("bucket"), col("cnt"))).as("fs"))
+        .withColumn("p_micro", expr(
+          s"CAST(round(1e6 / (1.0 + exp(-((sum_s / m + $bM) / 1e6)))) AS BIGINT)"))
+        .withColumn("err_micro",
+          col("p_micro") - when(col("y"), 1000000L).otherwise(0L))
+        .localCheckpoint(false)
+      // logistic loss in micros: -ln(p) for y=1, -ln(1-p) for y=0,
+      // p clamped a micro off the rails so the log stays finite
+      val sums = perDoc.agg(
+          sum("err_micro").as("err_sum"),
+          sum(expr("""CAST(round(-1e6 * ln(
+                CASE WHEN y THEN greatest(p_micro, 1) / 1e6
+                     ELSE greatest(1000000 - p_micro, 1) / 1e6 END))
+              AS BIGINT)""")).as("loss_sum"))
+        .head()
+      losses += Math.floorDiv(sums.getLong(1), nDocs)
+      // backward: coef_f = Σ_docs∋f cnt·err/m (micros, exact sum of
+      // per-row rounded terms) — the only bucket-sized reduce
+      val coefRows = perDoc
+        .select(col("m"), col("err_micro"), explode(col("fs")).as("f"))
+        .select(col("f.bucket").as("bucket"),
+          expr("CAST(round(CAST(err_micro AS DOUBLE) * f.cnt / m) AS BIGINT)")
+            .as("term"))
+        .groupBy("bucket").agg(sum("term").as("coef"))
+        .collect()
+      val coef = new Array[Long](nBuckets)
+      coefRows.foreach(r => coef(r.getLong(0).toInt) = r.getLong(1))
+      val lrE = decayedLr(lrMicro, e, epochs)
+      applyUpdates(nBuckets, dim, emb, w, coef, lrE, nDocs, vEmb, vW)
+      vB = Math.floorDiv(9L * vB, 10L) +
+        roundDiv(lrE * sums.getLong(0), 1000000L * nDocs)
+      b -= vB
+      e += 1
+    }
+    FtModel(nBuckets, dim, emb, w, b, losses.result())
+  }
+
+  /** fastText's linear learning-rate decay, integer-exact:
+    * lr_e = lr·(epochs - e)/epochs — full-batch GD oscillates at a
+    * fixed step once the logits sharpen; the decay anneals it. */
+  private def decayedLr(lrMicro: Long, e: Int, epochs: Int): Long =
+    math.max(1L, lrMicro * (epochs - e) / epochs)
+
+  /** Round-half-up long division by an arbitrary positive
+    * denominator (the lr-scaled gradient steps: multiply by lr FIRST,
+    * divide ONCE — dividing the raw gradient by nDocs before the lr
+    * multiply truncated every sub-nDocs-micro gradient to zero and
+    * froze slow-moving coordinates). */
+  private def roundDiv(num: Long, den: Long): Long =
+    Math.floorDiv(num + den / 2, den)
+
+  /** One GD step over the shared coef vector — the single code path
+    * both the distributed trainer and the sequential reference apply
+    * (they cannot drift). grad_E_f = coef_f·w/1e6, grad_w =
+    * Σ_f coef_f·E_f/1e6, each scaled by lr/nDocs with ONE rounding. */
+  private def applyUpdates(nBuckets: Int, dim: Int, emb: Array[Long],
+                           w: Array[Long], coef: Array[Long],
+                           lrMicro: Long, nDocs: Long,
+                           vEmb: Array[Long], vW: Array[Long]): Unit = {
+    val gradW = new Array[Long](dim)
+    var f = 0
+    while (f < nBuckets) {
+      var k = 0
+      while (k < dim) {
+        val i = f * dim + k
+        if (coef(f) != 0L) {
+          gradW(k) += rdiv(coef(f) * emb(i))
+          // two-stage (micro-rounded gradient, then lr/nDocs scale):
+          // lr·coef·w in one product can exceed Long range; the
+          // half-micro rounding loss here is 200× finer than the
+          // pre-fix floorDiv-by-nDocs truncation
+          val gE = rdiv(coef(f) * w(k))
+          vEmb(i) = Math.floorDiv(9L * vEmb(i), 10L) +
+            roundDiv(lrMicro * gE, 1000000L * nDocs)
+        } else {
+          vEmb(i) = Math.floorDiv(9L * vEmb(i), 10L)
+        }
+        emb(i) -= vEmb(i)
+        k += 1
+      }
+      f += 1
+    }
+    var k = 0
+    while (k < dim) {
+      vW(k) = Math.floorDiv(9L * vW(k), 10L) +
+        roundDiv(lrMicro * gradW(k), 1000000L * nDocs)
+      w(k) -= vW(k)
+      k += 1
+    }
+  }
+
+  private def bucketScoresOf(nBuckets: Int, dim: Int, emb: Array[Long],
+                             w: Array[Long]): Map[Long, Long] = {
+    val m = Map.newBuilder[Long, Long]
+    var f = 0
+    while (f < nBuckets) {
+      var acc = 0L
+      var k = 0
+      while (k < dim) { acc += w(k) * emb(f * dim + k); k += 1 }
+      m += (f.toLong -> rdiv(acc))
+      f += 1
+    }
+    m.result()
+  }
+
+  /** Corpus-wide scoring against the FROZEN model: the bilinear
+    * classifier collapsed to per-bucket scalars probed by the
+    * [[graft.functions.HashedGramScore]] codegen expression — one
+    * pure projection (no join, no shuffle, stream-safe). Returns
+    * (doc_id, n_grams, z_micro, p_micro, keep); docs with no words
+    * are dropped (no grams → no evidence). */
+  def scoreFrozen(docs: DataFrame, idCol: String, textCol: String,
+                  model: FtModel): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.HashedGramScore.score(col(textCol),
+          model.nBuckets, model.bucketScores).as("sc"))
+      .filter(col("sc.n_grams") > 0)
+      .select(col("doc_id"), col("sc.n_grams").as("n_grams"),
+        (expr("sc.score_micros DIV sc.n_grams") +
+          model.bMicro).as("z_micro"))
+      .withColumn("p_micro",
+        expr("CAST(round(1e6 / (1.0 + exp(-(z_micro / 1e6)))) AS BIGINT)"))
+      .withColumn("keep", col("z_micro") >= 0L)
+
+  /** Sequential in-memory reference trainer — the spec twin: same
+    * features, same integer ops, same rounding, plain Scala loops.
+    * Exists so [[train]]'s distributed aggregates can be held
+    * bit-equal to a fit with no Spark in it. */
+  private[graft] def trainReference(rows: Seq[(Long, Boolean, Seq[(Long, Long)])],
+                                    nBuckets: Int, dim: Int,
+                                    epochs: Int, lrMicro: Long,
+                                    seedSalt: Long): FtModel = {
+    val emb = Array.tabulate(nBuckets * dim)(i =>
+      initMicro(i.toLong, seedSalt, 100000L))
+    val w = Array.tabulate(dim)(k =>
+      initMicro(nBuckets.toLong * dim + k, seedSalt, 100000L))
+    var b = 0L
+    val vEmb = new Array[Long](nBuckets * dim)
+    val vW = new Array[Long](dim)
+    var vB = 0L
+    val nDocs = rows.size.toLong
+    val losses = Seq.newBuilder[Long]
+    var e = 0
+    while (e < epochs) {
+      val s = bucketScoresOf(nBuckets, dim, emb, w)
+      val coef = new Array[Long](nBuckets)
+      var errSum = 0L
+      var lossSum = 0L
+      rows.foreach { case (_, y, fs) =>
+        val m = fs.map(_._2).sum
+        val sumS = fs.map { case (f, c) => c * s(f) }.sum
+        // double division like the SQL plan's `sum_s / m`
+        val z = sumS.toDouble / m + b
+        val p = math.round(1e6 / (1.0 + math.exp(-(z / 1e6))))
+        val err = p - (if (y) 1000000L else 0L)
+        errSum += err
+        lossSum += math.round(-1e6 * math.log(
+          (if (y) math.max(p, 1L) else math.max(1000000L - p, 1L)) / 1e6))
+        fs.foreach { case (f, c) =>
+          coef(f.toInt) += sqlRound(err.toDouble * c / m)
+        }
+      }
+      losses += Math.floorDiv(lossSum, nDocs)
+      val lrE = decayedLr(lrMicro, e, epochs)
+      applyUpdates(nBuckets, dim, emb, w, coef, lrE, nDocs, vEmb, vW)
+      vB = Math.floorDiv(9L * vB, 10L) +
+        roundDiv(lrE * errSum, 1000000L * nDocs)
+      b -= vB
+      e += 1
+    }
+    FtModel(nBuckets, dim, emb, w, b, losses.result())
+  }
+}

@@ -93,4 +93,60 @@ class ClassifySpec extends AnyFunSuite {
         threshold = Double.MaxValue)
     }
   }
+
+  // --- fastText-style learned classifier (FtClassify, round 12) -----
+
+  private def ftFixture = {
+    val good = "good great fine nice solid clear"
+    val bad = "bad awful poor nasty broken murky"
+    ((1L to 40L).map { i =>
+      if (i % 2 == 0) (i, s"$good extra$i filler$i", true)
+      else (i, s"$bad extra$i filler$i", false)
+    }).toDF("doc_id", "text", "lbl")
+  }
+
+  test("ftClassify: distributed fit == sequential reference bit for bit (emb, w, b, losses)") {
+    import graft.operators.{Dsir, FtClassify}
+    val seed = ftFixture
+    val nB = 256; val dim = 4; val ep = 6
+    val got = FtClassify.train(seed, "doc_id", "text", "lbl",
+      nBuckets = nB, dim = dim, epochs = ep)
+    // reference rows: the same hashed features, collected
+    val rows = Dsir.hashedNgramCounts(
+        seed.select(col("doc_id"), col("text"),
+          col("lbl").cast("boolean").as("y")),
+        "doc_id", "text", nB, Seq("y" -> col("y")))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getBoolean(1)))
+      .toSeq.sortBy(_._1._1)
+      .map { case ((id, y), rs) =>
+        (id, y, rs.map(r => (r.getLong(2), r.getLong(3))).toSeq)
+      }
+    val want = FtClassify.trainReference(rows, nB, dim, ep,
+      lrMicro = 2000000L, seedSalt = 42L)
+    assert(got.bMicro === want.bMicro)
+    assert(got.w.toSeq === want.w.toSeq)
+    assert(got.emb.toSeq === want.emb.toSeq)
+    assert(got.lossMicroByEpoch === want.lossMicroByEpoch)
+  }
+
+  test("ftClassify: loss decreases and the frozen scorer separates the fixture") {
+    import graft.operators.FtClassify
+    val seed = ftFixture
+    val model = FtClassify.train(seed, "doc_id", "text", "lbl",
+      nBuckets = 256, dim = 4, epochs = 12)
+    assert(model.lossMicroByEpoch.last < model.lossMicroByEpoch.head,
+      s"loss must decrease: ${model.lossMicroByEpoch}")
+    val scored = FtClassify.scoreFrozen(seed, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val acc = (1L to 40L).count(i => scored(i) == (i % 2 == 0)) / 40.0
+    assert(acc >= 0.9, s"train-set accuracy $acc (model should separate " +
+      s"two disjoint vocabularies)")
+    // unseen docs from the two vocabularies classify by their words
+    val fresh = Seq((100L, "good great fine unseen1"),
+      (101L, "bad awful poor unseen2")).toDF("doc_id", "text")
+    val f = FtClassify.scoreFrozen(fresh, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(f(100L) && !f(101L), s"generalization: $f")
+  }
 }

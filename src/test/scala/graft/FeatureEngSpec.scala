@@ -293,6 +293,65 @@ class FeatureEngSpec extends AnyFunSuite {
       3L -> (1L, 2L), 4L -> (1L, 5L)))
   }
 
+  test("packSegments: hand fixture — straddles chain, bins tile, masks aligned") {
+    // counts 5,3,9,2 at seqLen 4 → stream 1..19, bins [0,4) [4,8)
+    // [8,12) [12,16) [16,19]
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 2L)).toDF("doc_id", "n")
+    val segs = FeatureEng.packSegments(df, "doc_id", "n", 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(segs === Set(
+      (0L, 0L, 1L, 0L, 4L, 1L),  // doc1 tokens 1-4
+      (1L, 0L, 1L, 0L, 1L, 5L),  // doc1 token 5 continues bin 1
+      (1L, 1L, 2L, 1L, 3L, 1L),  // doc2 whole
+      (2L, 0L, 3L, 0L, 4L, 1L),  // doc3 tokens 1-4
+      (3L, 0L, 3L, 0L, 4L, 5L),  // doc3 tokens 5-8
+      (4L, 0L, 3L, 0L, 1L, 9L),  // doc3 token 9
+      (4L, 1L, 4L, 1L, 2L, 1L))) // doc4 whole, final bin short
+    val masks = FeatureEng.packAttentionMasks(df, "doc_id", "n", 4L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[Long](2), r.getSeq[Long](3), r.getLong(4)))
+      .toMap
+    assert(masks(1L) === ((2L, Seq(0L, 1L), Seq(1L, 2L), 4L)))
+    assert(masks(4L) === ((2L, Seq(0L, 1L), Seq(3L, 4L), 3L)))
+    assert(masks.values.forall(_._2.head === 0L),
+      "every bin's first boundary is offset 0")
+  }
+
+  test("packSegments: tiling invariants on the gate corpus") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val segs = FeatureEng.packSegments(docs, "doc_id", "n", 64L).cache()
+    val lastBin = segs.agg(max("bin")).head().getLong(0)
+    // every bin except the last is exactly full; offsets tile
+    val bins = segs.groupBy("bin").agg(sum("seg_tokens").as("tot"),
+        min("bin_offset").as("first"))
+      .collect()
+    bins.foreach { r =>
+      assert(r.getLong(2) === 0L, s"bin ${r.getLong(0)} first offset")
+      if (r.getLong(0) != lastBin)
+        assert(r.getLong(1) === 64L, s"bin ${r.getLong(0)} not full")
+    }
+    // every doc's segments reassemble it: counts sum, starts chain
+    val perDoc = segs.groupBy("doc_id").agg(
+        sum("seg_tokens").as("tot"), min("doc_tok_start").as("first"))
+      .join(docs, "doc_id")
+    assert(perDoc.filter(col("tot") =!= col("n") ||
+      col("first") =!= 1L).count() === 0L)
+    // packSequences is the seg_idx-0-with-doc_tok_start-1 projection
+    // of this (same bin/offset for every doc's first token)
+    val starts = segs.filter(col("doc_tok_start") === 1L)
+      .select(col("doc_id"), col("bin"), col("bin_offset"))
+    val packed = FeatureEng.packSequences(
+      Tables.documents(spark, TestSpark.sfDir), "doc_id", "text", 64L)
+      .select(col("doc_id"), col("bin"), col("bin_offset"))
+    assert(starts.exceptAll(packed).count() === 0L)
+    assert(packed.exceptAll(starts).count() === 0L)
+    segs.unpersist()
+  }
+
   test("registry round-trips view defs through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
     val views = Seq(

@@ -493,30 +493,43 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1×1 estimate/audit stitch may nest:\n$plan")
   }
 
-  test("q_substr_spans: corpus-global detection is window-shaped — zero joins") {
+  test("q_substr_spans: detection is aggregation-shaped — map-side-combined firsts, one equi-join back, no pair enumeration") {
     val df = SparkEntry.qSubstrSpans(spark, TestSpark.sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // THE ExactSubstr scale property: no pair enumeration anywhere —
-    // df and first-occurrence rank come from ONE gram-keyed window,
-    // islands from a per-doc window; a gram in a million docs costs a
-    // million window rows, never a million² join rows
-    assert(!plan.contains("Join"), s"detection must not join:\n$plan")
-    assert(plan.contains("Window"), s"expected window passes:\n$plan")
-  }
-
-  test("q_substr_incr: corpus enters as ONE membership equi-join; window reuses its exchange") {
-    val df = SparkEntry.qSubstrIncr(spark, TestSpark.sfDir)
-    val plan = df.queryExecution.executedPlan.toString
-    // the incremental scale property: exactly one join — the corpus
-    // gram set left-outer onto the shard's positional stream, hash-
-    // partitioned on the gram key; the shard-local df/rank window
-    // needs the SAME distribution, so the join's exchange is reused
-    // (no extra gram-keyed shuffle between join and window)
+    // THE ExactSubstr scale property, round-12 shape: df and first
+    // occurrence come from ONE per-gram aggregate with a PARTIAL
+    // (map-side) phase — a 10⁷-occurrence gram costs each input
+    // partition one combined row, never 10⁷ rows through one window
+    // task — joined back as a single equi-join (AQE-broadcastable /
+    // skew-splittable); islands stay a per-doc window. No pair
+    // enumeration anywhere: a gram in a million docs costs a million
+    // aggregate input rows, never a million² join rows.
     assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
-      .findAllIn(plan).length == 1, s"exactly one membership join:\n$plan")
+      .findAllIn(plan).length == 1, s"exactly the firsts join-back:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
-    assert(plan.contains("Window"), s"expected window passes:\n$plan")
+    assert(plan.contains("partial_min(struct"),
+      s"expected the map-side-combined first-occurrence aggregate:\n$plan")
+    assert(plan.contains("Window"), s"expected the islands window:\n$plan")
+  }
+
+  test("q_substr_incr: membership decided on the per-gram aggregate; two equi-joins, no per-occurrence corpus join") {
+    val df = SparkEntry.qSubstrIncr(spark, TestSpark.sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the incremental scale property, round-12 shape: the corpus gram
+    // set joins the PER-GRAM aggregate (unique keys — unskewable),
+    // and only the verdict table joins back onto the occurrence
+    // stream → exactly two equi-joins, both AQE-manageable; the
+    // round-11 form chained two per-occurrence joins in one stage
+    // where a hot gram was an indivisible partition
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length == 2,
+      s"membership + verdict join-back only:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+    assert(plan.contains("partial_min(struct"),
+      s"expected the map-side-combined shard-firsts aggregate:\n$plan")
+    assert(plan.contains("Window"), s"expected the islands window:\n$plan")
   }
 
   test("q_pretrain_pipeline: four curation stages, no cartesian anywhere") {
