@@ -648,6 +648,17 @@ object Graft {
                      model: operators.FtClassify.FtModel): DataFrame =
     operators.FtClassify.scoreFrozen(docs, "doc_id", "text", model)
 
+  /** Persist / load the trained classifier (ONE atomic VersionedStore
+    * table — the refreshUnigram contract; round-trip bit-equal). */
+  def ftModelSave(spark: SparkSession,
+                  model: operators.FtClassify.FtModel,
+                  root: String): Unit =
+    operators.FtClassify.saveModel(spark, model, root)
+
+  def ftModelLoad(spark: SparkSession,
+                  root: String): operators.FtClassify.FtModel =
+    operators.FtClassify.modelFromStore(spark, root)
+
   /** Ingest a JSONL corpus with quarantine semantics: (clean,
     * corrupt) — malformed lines retained, never silently dropped. */
   def readJsonl(spark: SparkSession, path: String,

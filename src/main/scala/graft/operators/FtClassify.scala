@@ -274,6 +274,56 @@ object FtClassify {
         expr("CAST(round(1e6 / (1.0 + exp(-(z_micro / 1e6)))) AS BIGINT)"))
       .withColumn("keep", col("z_micro") >= 0L)
 
+
+  private def ftModelTable(root: String) = s"$root/ft_model"
+
+  /** PERSIST the trained classifier under `root` as ONE atomic
+    * VersionedStore table (`ft_model`: part, i, k, v_micro — 'emb'
+    * rows carry (bucket, dim-index), 'w' rows the output weights,
+    * 'b' the bias, 'meta' the (nBuckets, dim) shape; a single
+    * overwrite, so a reader can never see weights from one fit and
+    * bias from another — the refreshUnigram one-table contract). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: FtModel, root: String): Unit = {
+    import spark.implicits._
+    val rows =
+      model.emb.zipWithIndex.map { case (v, i) =>
+        ("emb", (i / model.dim).toLong, (i % model.dim).toLong, v)
+      }.toSeq ++
+      model.w.zipWithIndex.map { case (v, k) =>
+        ("w", 0L, k.toLong, v)
+      }.toSeq :+
+      ("b", 0L, 0L, model.bMicro) :+
+      ("meta", model.nBuckets.toLong, model.dim.toLong, 0L)
+    graft.offline.VersionedStore.overwrite(
+      rows.toDF("part", "i", "k", "v_micro"), ftModelTable(root))
+  }
+
+  /** Load the persisted classifier — bit-equal to the [[saveModel]]
+    * input (exact long micros; one table, one snapshot pinned for
+    * every part). The per-epoch training losses are not persisted
+    * (a training-time diagnostic, not a serving artifact). */
+  def modelFromStore(spark: org.apache.spark.sql.SparkSession,
+                     root: String): FtModel = {
+    val t = graft.offline.VersionedStore.read(spark, ftModelTable(root))
+      .localCheckpoint(false) // pin ONE snapshot for all four parts
+    val meta = t.filter(col("part") === "meta")
+      .select("i", "k").head()
+    val nBuckets = meta.getLong(0).toInt
+    val dim = meta.getLong(1).toInt
+    val emb = new Array[Long](nBuckets * dim)
+    t.filter(col("part") === "emb").select("i", "k", "v_micro")
+      .collect()
+      .foreach(r => emb(r.getLong(0).toInt * dim + r.getLong(1).toInt) =
+        r.getLong(2))
+    val w = new Array[Long](dim)
+    t.filter(col("part") === "w").select("k", "v_micro").collect()
+      .foreach(r => w(r.getLong(0).toInt) = r.getLong(1))
+    val b = t.filter(col("part") === "b").select("v_micro")
+      .head().getLong(0)
+    FtModel(nBuckets, dim, emb, w, b, Nil)
+  }
+
   /** Sequential in-memory reference trainer — the spec twin: same
     * features, same integer ops, same rounding, plain Scala loops.
     * Exists so [[train]]'s distributed aggregates can be held

@@ -149,4 +149,25 @@ class ClassifySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(f(100L) && !f(101L), s"generalization: $f")
   }
+
+  test("ftClassify: persisted model round-trips bit-equal; stored scorer == in-memory scorer") {
+    import graft.operators.FtClassify
+    val seed = ftFixture
+    val model = FtClassify.train(seed, "doc_id", "text", "lbl",
+      nBuckets = 128, dim = 4, epochs = 8)
+    val root = java.nio.file.Files
+      .createTempDirectory("ft_store").toString + "/ft"
+    FtClassify.saveModel(spark, model, root)
+    val loaded = FtClassify.modelFromStore(spark, root)
+    assert(loaded.nBuckets === model.nBuckets)
+    assert(loaded.dim === model.dim)
+    assert(loaded.bMicro === model.bMicro)
+    assert(loaded.w.toSeq === model.w.toSeq)
+    assert(loaded.emb.toSeq === model.emb.toSeq)
+    val a = FtClassify.scoreFrozen(seed, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = FtClassify.scoreFrozen(seed, "doc_id", "text", loaded)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
 }

@@ -856,6 +856,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == want, s"bloom/exact divergence:\n$streamed\n$want")
   }
 
+  test("frozen fastText-style scorer runs stateless on a stream, equals batch scores") {
+    implicit val sqlCtx = spark.sqlContext
+    val seed = ((1L to 20L).map { i =>
+      if (i % 2 == 0) (i, "good great fine solid", true)
+      else (i, "bad awful poor broken", false)
+    }).toDF("doc_id", "text", "lbl")
+    val model = graft.operators.FtClassify.train(seed, "doc_id", "text",
+      "lbl", nBuckets = 128, dim = 4, epochs = 8)
+    val rows = Seq((100L, "good great unseen"), (101L, "bad awful unseen"),
+      (102L, ""))
+    val input = MemoryStream[(Long, String)]
+    // append mode, no watermark: the frozen scorer is one codegen
+    // projection (per-bucket scalars + bias) — no join, no state
+    val query = graft.operators.FtClassify.scoreFrozen(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("sftq")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(rows: _*)
+    query.processAllAvailable()
+    val streamed = spark.table("sftq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    query.stop()
+    val batch = graft.operators.FtClassify.scoreFrozen(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4)))
+      .toMap
+    assert(streamed == batch, s"stream/batch divergence:\n$streamed\n$batch")
+    assert(streamed(100L)._2 && !streamed(101L)._2)
+    assert(!streamed.contains(102L), "no-gram docs drop (no evidence)")
+  }
+
   test("frozen unigram encode runs stateless on a stream, equals batch encode") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, "tok token to oken token tok"),
