@@ -549,6 +549,48 @@ object ScaleProbe {
     udocsK.unpersist(); udocs.unpersist()
     }
 
+    if (sections("ftpack")) {
+    // Round-12 families. packSegments: pure arithmetic over the
+    // distributed running total + a bounded explode — must be LINEAR
+    // in docs (x1 vs xK through identical plans). FtClassify: the
+    // train cost story is epochs × two aggregates over the SEED —
+    // probe seed sizes x1/x4/x20 at fixed epochs to show per-epoch
+    // cost is seed-bounded (the corpus-wide cost is the frozen
+    // projection, measured by the bench row).
+    val pdocs = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 1000000L)).cache()
+    println(s"[scale] ftpack documents rows: ${pdocs.count()}")
+    val counts1 = Tables.documents(spark, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val countsK = pdocs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    time("packSegments x1")(
+      FeatureEng.packSegments(counts1, "doc_id", "n", 1024L).count())
+    time(s"packSegments x$k")(
+      FeatureEng.packSegments(countsK, "doc_id", "n", 1024L).count())
+    time(s"packAttentionMasks x$k")(
+      FeatureEng.packAttentionMasks(countsK, "doc_id", "n", 1024L)
+        .count())
+    def seedOf(mul: Int) = {
+      val base = TextAnalysis.quality(
+          Tables.documents(spark, d), "doc_id", "text")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), (col("quality_score") >= 0.5).as("lbl"))
+        .join(Tables.documents(spark, d).select("doc_id", "text"),
+          "doc_id")
+      replicate(base, mul, Map("doc_id" -> 1000000L)).cache()
+    }
+    for (mul <- Seq(1, 4, 20)) {
+      val sd = seedOf(mul)
+      val n = sd.count()
+      time(s"ft train 10 epochs, seed=$n docs")(
+        graft.operators.FtClassify.train(sd, "doc_id", "text", "lbl",
+          nBuckets = 4096, dim = 8, epochs = 10, lrMicro = 16000000L))
+      sd.unpersist()
+    }
+    pdocs.unpersist()
+    }
+
     if (sections("hotgram")) {
     // HOT-GRAM straggler probe (round 12): one boilerplate line in
     // EVERY doc — each of its grams has df = nDocs (default 10M, the
