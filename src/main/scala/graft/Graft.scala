@@ -629,6 +629,15 @@ object Graft {
     graft.operators.Classify.nbScore(docs, "doc_id", "text",
       seed, "doc_id", "lbl", alpha, threshold)
 
+  /** Reliability table for ANY scored-vs-labeled frame: rank-decile
+    * bins (integer-exact, distributed prefix sum — no global sort),
+    * per-bin volume / positive rate / exact score range — the gate
+    * before trusting a learned quality filter's threshold. */
+  def calibration(scored: DataFrame, scoreCol: String, labelCol: String,
+                  nBins: Int = 10): DataFrame =
+    graft.operators.Classify.calibrationReport(scored, scoreCol,
+      labelCol, nBins)
+
   /** Train the fastText-style LEARNED quality classifier (the DCLM
     * classifier proper — supervised hashed-n-gram embeddings +
     * logistic output, Joulin et al. 2017) on a labeled seed

@@ -678,6 +678,27 @@ object SparkEntry {
     operators.Classify.nbScore(docs, "doc_id", "text", seed, "doc_id", "lbl")
   }
 
+  /** Classifier CALIBRATION report (round 12): the NB quality
+    * model's log-odds deciles against the heuristic labels over the
+    * WHOLE corpus — per rank-decile volume, positive rate, and exact
+    * score range (the reliability table that gates trusting a learned
+    * filter's threshold). Bins are integer-exact ranks from the
+    * distributed prefix sum (no global sort), so the entire report —
+    * NB fit, scores, binning, rates — replays in SQL. */
+  def qNbCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+    val seed = q.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), (col("quality_score") >= 0.5).as("lbl"))
+    val scored = operators.Classify.nbScore(docs, "doc_id", "text",
+      seed, "doc_id", "lbl")
+    val labels = q.select(col("doc_id"),
+      (col("quality_score") >= 0.5).as("lbl"))
+    operators.Classify.calibrationReport(
+      scored.select("doc_id", "log_odds").join(labels, "doc_id"),
+      "log_odds", "lbl", nBins = 10)
+  }
+
   // The trained fastText-style model is the frozen OFFLINE artifact —
   // derive once per (corpus dir, JVM), like the persisted index
   // roots: repeated invocations time the apply path a stream runs.
@@ -828,6 +849,30 @@ object SparkEntry {
       .withColumnRenamed("n_tokens", "n_pieces")
       .join(enc.select(col("doc_id"), col("encoded")), Seq("doc_id"))
       .select("doc_id", "encoded", "n_pieces", "bin", "bin_offset")
+  }
+
+  /** The capstone's FINAL artifact (round 12): the tokenized winners
+    * cut into 512-piece training sequences with DOCUMENT-BOUNDARY
+    * segments — [[qPretrainTokenize]]'s piece counts through
+    * [[graft.operators.FeatureEng.packSegments]], so the output rows
+    * ARE the intra-document attention-mask spec (Dolma/OLMo): per
+    * (sequence, document) intersection its offset, length, and the
+    * doc token it resumes at. With q_pretrain_pipeline →
+    * q_pretrain_tokenize → this, the engine's "docs in, training
+    * shards out" chain ends at exactly what a training loader mounts.
+    * Oracle = the tokenize oracle's per-winner piece counts + the
+    * q_pack_boundaries interval-intersection replay. */
+  def qPretrainMasks(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val winners = qPretrainPipeline(s, d).select("doc_id")
+    val sel = docs.join(winners, Seq("doc_id"), "left_semi")
+    val wc = Bpe.corpusWordCounts(docs, "doc_id", "text")
+    val costs = Unigram.collectCosts(
+      Unigram.integerCosts(Unigram.seedVocab(wc, maxPieceLen = 4,
+        topK = 64)))
+    val enc = Unigram.encodeDocs(sel, "doc_id", "text", costs,
+      maxPieceLen = 4)
+    FeatureEng.packSegments(enc, "doc_id", "n_tokens", seqLen = 512L)
   }
 
   /** Decontamination against a pseudo-eval slice (doc_id % 10 == 0 —
@@ -1669,9 +1714,11 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
     "q_pretrain_tokenize" -> (qPretrainTokenize _),
+    "q_pretrain_masks" -> (qPretrainMasks _),
     "q_decontam_scores" -> (qDecontamScores _),
     "q_lm_score" -> (qLmScore _),
     "q_nb_quality" -> (qNbQuality _),
+    "q_nb_calibration" -> (qNbCalibration _),
     "q_ft_quality" -> (qFtQuality _),
     "q_html_extract" -> (qHtmlExtract _),
     "q_warc_extract" -> (qWarcExtract _),
@@ -2446,6 +2493,117 @@ object SparkEntry {
       .mkString("\nUNION ALL\n")
     s"WITH $ctes\n$sels"
   }
+
+  /** The shared "docs in → tokenized winners" CTE chain: the
+    * pretrain capstone's four stages (q_pretrain_pipeline's oracle),
+    * the q_unigram_encode brute-force segmentation replay, and the
+    * per-doc reassembly — composed by BOTH q_pretrain_tokenize's
+    * packing oracle and q_pretrain_masks' boundary-segment oracle so
+    * the two can never drift. Ends at docenc(doc_id, encoded,
+    * n_pieces). */
+  private val pretrainDocencCtes: String =
+    """b AS (
+          |  SELECT doc_id, len(text) AS n_chars,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits,
+          |    len(regexp_extract_all(text, '[0-9]')) AS digits
+          |  FROM documents
+          |), cf AS (
+          |  SELECT doc_id, n_words,
+          |    round(least(n_words / 100.0, 1.0) *
+          |          (1.0 - round(stop_hits / n_words, 6)), 6)
+          |      AS quality_score
+          |  FROM b
+          |  WHERE n_words BETWEEN 20 AND 100000
+          |    AND round((n_chars - (n_words - 1)) / n_words, 6)
+          |        BETWEEN 2.0 AND 12.0
+          |    AND round(digits / n_chars, 6) <= 0.3
+          |    AND round(stop_hits / n_words, 6) <= 0.12
+          |), dd AS (
+          |  SELECT doc_id, n_words, quality_score FROM (
+          |    SELECT cf.doc_id, cf.n_words, cf.quality_score,
+          |      min(cf.doc_id) OVER (PARTITION BY md5(d.text)) AS cid
+          |    FROM cf JOIN documents d USING (doc_id))
+          |  WHERE doc_id = cid
+          |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |sh AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    generate_series(1, greatest(len(ws) - 2, 0)),
+          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
+          |  FROM w
+          |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+          |flag AS (
+          |  SELECT sh.doc_id FROM sh JOIN es USING (s)
+          |  WHERE sh.doc_id % 10 <> 0
+          |  GROUP BY 1 HAVING count(*) >= 5
+          |), train AS (
+          |  SELECT * FROM dd
+          |  WHERE doc_id % 10 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM flag)
+          |), c AS (
+          |  SELECT doc_id,
+          |    CAST(sum(n_words) OVER (
+          |      ORDER BY quality_score DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM train
+          |), winners AS (SELECT doc_id FROM c WHERE cum_tokens <= 20000),
+          |wc AS (
+          |  SELECT w AS word, count(*) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY 1
+          |), cand AS (
+          |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+          |  FROM wc,
+          |       unnest(generate_series(1, len(word))) AS t(i),
+          |       unnest(generate_series(1, 4)) AS u(l)
+          |  WHERE i + l - 1 <= len(word)
+          |  GROUP BY 1
+          |), topk AS (
+          |  SELECT piece, cnt FROM (
+          |    SELECT piece, cnt,
+          |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          |    FROM cand) WHERE rn <= 64
+          |), vocab0 AS (
+          |  SELECT DISTINCT piece, cnt FROM (
+          |    SELECT piece, cnt FROM topk UNION ALL
+          |    SELECT piece, cnt FROM cand WHERE len(piece) = 1)
+          |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab0),
+          |vocab AS (
+          |  SELECT piece, CAST((total * 1000000) // cnt AS BIGINT) AS cost
+          |  FROM vocab0 CROSS JOIN tot
+          |), seg AS (
+          |  SELECT word, 0 AS pos, '' AS enc, 0 AS np,
+          |         CAST(0 AS BIGINT) AS cost, '' AS key
+          |  FROM wc
+          |  UNION ALL
+          |  SELECT s.word, s.pos + len(v.piece),
+          |         CASE WHEN s.pos = 0 THEN v.piece
+          |              ELSE s.enc || ' ' || v.piece END,
+          |         s.np + 1, s.cost + v.cost,
+          |         lpad(CAST(s.pos AS VARCHAR), 4, '0') || ',' || s.key
+          |  FROM seg s JOIN vocab v
+          |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+          |  WHERE s.pos < len(s.word)
+          |), done AS (
+          |  SELECT word, enc, np, cost,
+          |    row_number() OVER (PARTITION BY word ORDER BY cost, key) AS rn
+          |  FROM seg WHERE pos = len(word)
+          |), wd AS (
+          |  SELECT d.doc_id, string_split(d.text, ' ') AS ws
+          |  FROM documents d JOIN winners USING (doc_id)
+          |), tok AS (
+          |  SELECT doc_id, i, ws[i] AS word
+          |  FROM wd, unnest(generate_series(1, len(ws))) t(i)
+          |  WHERE ws[i] <> ''
+          |), docenc AS (
+          |  SELECT t.doc_id,
+          |    string_agg(d.enc, ' ' ORDER BY t.i) AS encoded,
+          |    CAST(sum(d.np) AS BIGINT) AS n_pieces
+          |  FROM tok t JOIN done d ON d.word = t.word AND d.rn = 1
+          |  GROUP BY 1
+          |)""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val latestCte =
@@ -3930,108 +4088,8 @@ object SparkEntry {
       // brute-force segmentation total order, reassembled per doc in
       // word order, then the q_pack_sequences cumsum at 512 pieces.
       "q_pretrain_tokenize" ->
-        """WITH RECURSIVE b AS (
-          |  SELECT doc_id, len(text) AS n_chars,
-          |    len(string_split(text, ' ')) AS n_words,
-          |    len(list_filter(string_split(text, ' '),
-          |        w -> w IN ('the', 'a'))) AS stop_hits,
-          |    len(regexp_extract_all(text, '[0-9]')) AS digits
-          |  FROM documents
-          |), cf AS (
-          |  SELECT doc_id, n_words,
-          |    round(least(n_words / 100.0, 1.0) *
-          |          (1.0 - round(stop_hits / n_words, 6)), 6)
-          |      AS quality_score
-          |  FROM b
-          |  WHERE n_words BETWEEN 20 AND 100000
-          |    AND round((n_chars - (n_words - 1)) / n_words, 6)
-          |        BETWEEN 2.0 AND 12.0
-          |    AND round(digits / n_chars, 6) <= 0.3
-          |    AND round(stop_hits / n_words, 6) <= 0.12
-          |), dd AS (
-          |  SELECT doc_id, n_words, quality_score FROM (
-          |    SELECT cf.doc_id, cf.n_words, cf.quality_score,
-          |      min(cf.doc_id) OVER (PARTITION BY md5(d.text)) AS cid
-          |    FROM cf JOIN documents d USING (doc_id))
-          |  WHERE doc_id = cid
-          |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-          |sh AS (
-          |  SELECT doc_id, unnest(list_distinct(list_transform(
-          |    generate_series(1, greatest(len(ws) - 2, 0)),
-          |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
-          |  FROM w
-          |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-          |flag AS (
-          |  SELECT sh.doc_id FROM sh JOIN es USING (s)
-          |  WHERE sh.doc_id % 10 <> 0
-          |  GROUP BY 1 HAVING count(*) >= 5
-          |), train AS (
-          |  SELECT * FROM dd
-          |  WHERE doc_id % 10 <> 0
-          |    AND doc_id NOT IN (SELECT doc_id FROM flag)
-          |), c AS (
-          |  SELECT doc_id,
-          |    CAST(sum(n_words) OVER (
-          |      ORDER BY quality_score DESC, doc_id ASC
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |      AS BIGINT) AS cum_tokens
-          |  FROM train
-          |), winners AS (SELECT doc_id FROM c WHERE cum_tokens <= 20000),
-          |wc AS (
-          |  SELECT w AS word, count(*) AS cnt
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-          |  WHERE w <> '' GROUP BY 1
-          |), cand AS (
-          |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
-          |  FROM wc,
-          |       unnest(generate_series(1, len(word))) AS t(i),
-          |       unnest(generate_series(1, 4)) AS u(l)
-          |  WHERE i + l - 1 <= len(word)
-          |  GROUP BY 1
-          |), topk AS (
-          |  SELECT piece, cnt FROM (
-          |    SELECT piece, cnt,
-          |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-          |    FROM cand) WHERE rn <= 64
-          |), vocab0 AS (
-          |  SELECT DISTINCT piece, cnt FROM (
-          |    SELECT piece, cnt FROM topk UNION ALL
-          |    SELECT piece, cnt FROM cand WHERE len(piece) = 1)
-          |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab0),
-          |vocab AS (
-          |  SELECT piece, CAST((total * 1000000) // cnt AS BIGINT) AS cost
-          |  FROM vocab0 CROSS JOIN tot
-          |), seg AS (
-          |  SELECT word, 0 AS pos, '' AS enc, 0 AS np,
-          |         CAST(0 AS BIGINT) AS cost, '' AS key
-          |  FROM wc
-          |  UNION ALL
-          |  SELECT s.word, s.pos + len(v.piece),
-          |         CASE WHEN s.pos = 0 THEN v.piece
-          |              ELSE s.enc || ' ' || v.piece END,
-          |         s.np + 1, s.cost + v.cost,
-          |         lpad(CAST(s.pos AS VARCHAR), 4, '0') || ',' || s.key
-          |  FROM seg s JOIN vocab v
-          |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
-          |  WHERE s.pos < len(s.word)
-          |), done AS (
-          |  SELECT word, enc, np, cost,
-          |    row_number() OVER (PARTITION BY word ORDER BY cost, key) AS rn
-          |  FROM seg WHERE pos = len(word)
-          |), wd AS (
-          |  SELECT d.doc_id, string_split(d.text, ' ') AS ws
-          |  FROM documents d JOIN winners USING (doc_id)
-          |), tok AS (
-          |  SELECT doc_id, i, ws[i] AS word
-          |  FROM wd, unnest(generate_series(1, len(ws))) t(i)
-          |  WHERE ws[i] <> ''
-          |), docenc AS (
-          |  SELECT t.doc_id,
-          |    string_agg(d.enc, ' ' ORDER BY t.i) AS encoded,
-          |    CAST(sum(d.np) AS BIGINT) AS n_pieces
-          |  FROM tok t JOIN done d ON d.word = t.word AND d.rn = 1
-          |  GROUP BY 1
-          |), r AS (
+        (s"WITH RECURSIVE $pretrainDocencCtes" +
+          """, r AS (
           |  SELECT doc_id, encoded, n_pieces,
           |    CAST(sum(n_pieces) OVER (ORDER BY doc_id
           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
@@ -4040,7 +4098,39 @@ object SparkEntry {
           |SELECT doc_id, encoded, n_pieces,
           |  CAST((rt - n_pieces) // 512 AS BIGINT) AS bin,
           |  CAST((rt - n_pieces) % 512 AS BIGINT) AS bin_offset
-          |FROM r""".stripMargin,
+          |FROM r""".stripMargin),
+
+      // The capstone's final artifact: q_pretrain_tokenize's piece
+      // counts through the q_pack_boundaries interval-intersection
+      // replay at 512 pieces — the attention-mask segment rows.
+      "q_pretrain_masks" ->
+        (s"WITH RECURSIVE $pretrainDocencCtes" +
+          """, r AS (
+          |  SELECT doc_id, n_pieces,
+          |    CAST(sum(n_pieces) OVER (ORDER BY doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
+          |  FROM docenc WHERE n_pieces > 0
+          |), sx AS (
+          |  SELECT doc_id, n_pieces, rt,
+          |    unnest(generate_series((rt - n_pieces) // 512,
+          |                           (rt - 1) // 512)) AS bin
+          |  FROM r
+          |), seg2 AS (
+          |  SELECT CAST(bin AS BIGINT) AS bin, doc_id,
+          |    CAST(GREATEST(rt - n_pieces, bin * 512) - bin * 512
+          |      AS BIGINT) AS bin_offset,
+          |    CAST(LEAST(rt, (bin + 1) * 512)
+          |      - GREATEST(rt - n_pieces, bin * 512) AS BIGINT)
+          |      AS seg_tokens,
+          |    CAST(GREATEST(rt - n_pieces, bin * 512)
+          |      - (rt - n_pieces) + 1 AS BIGINT) AS doc_tok_start
+          |  FROM sx
+          |)
+          |SELECT bin,
+          |  CAST(row_number() OVER (PARTITION BY bin ORDER BY bin_offset)
+          |    - 1 AS BIGINT) AS seg_idx,
+          |  doc_id, bin_offset, seg_tokens, doc_tok_start
+          |FROM seg2""".stripMargin),
 
       "q_quality_filter" -> qualityFilterOracleSql,
 
@@ -4244,6 +4334,90 @@ object SparkEntry {
           |    >= CAST(0.0 AS DECIMAL(20,6)) AS keep
           |FROM we LEFT JOIN llr USING (w) CROSS JOIN konst
           |GROUP BY doc_id, prior_lr, oov_lr""".stripMargin,
+
+      // Calibration: the SAME NB fit CTEs, its per-doc log-odds kept
+      // as a CTE, heuristic labels over ALL docs, integer-exact rank
+      // deciles (below*10 // (total-1)), per-bin reliability stats.
+      "q_nb_calibration" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits
+          |  FROM documents WHERE doc_id % 5 = 0
+          |), seed AS (
+          |  SELECT doc_id,
+          |    round(least(n_words / 100.0, 1.0) *
+          |      (1.0 - round(stop_hits / n_words, 6)), 6) >= 0.5 AS lbl
+          |  FROM b
+          |), we AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          |), sw AS (
+          |  SELECT w,
+          |    sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS c_pos,
+          |    sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS c_neg
+          |  FROM we JOIN seed USING (doc_id) GROUP BY 1
+          |), st AS (
+          |  SELECT sum(c_pos) AS tot_pos, sum(c_neg) AS tot_neg,
+          |         count(*) AS v
+          |  FROM sw
+          |), pr AS (
+          |  SELECT sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+          |         sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+          |  FROM seed
+          |), llr AS (
+          |  SELECT w,
+          |    CAST(round(ln((c_pos + 1.0) / (tot_pos + 1.0 * v)) -
+          |               ln((c_neg + 1.0) / (tot_neg + 1.0 * v)), 6)
+          |         AS DECIMAL(20,6)) AS lr
+          |  FROM sw CROSS JOIN st
+          |), konst AS (
+          |  SELECT
+          |    CAST(round(ln(1.0 / (tot_pos + 1.0 * v)) -
+          |               ln(1.0 / (tot_neg + 1.0 * v)), 6)
+          |         AS DECIMAL(20,6)) AS oov_lr,
+          |    CAST(round(ln(n_pos * 1.0 / n_neg), 6)
+          |         AS DECIMAL(20,6)) AS prior_lr
+          |  FROM st CROSS JOIN pr
+          |), scored AS (
+          |  SELECT doc_id,
+          |    CAST(prior_lr + sum(coalesce(lr, oov_lr)) AS DOUBLE) AS score
+          |  FROM we LEFT JOIN llr USING (w) CROSS JOIN konst
+          |  GROUP BY doc_id, prior_lr, oov_lr
+          |), ball AS (
+          |  SELECT doc_id,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits
+          |  FROM documents
+          |), lab AS (
+          |  SELECT doc_id,
+          |    round(least(n_words / 100.0, 1.0) *
+          |      (1.0 - round(stop_hits / n_words, 6)), 6) >= 0.5 AS lbl
+          |  FROM ball
+          |), j AS (
+          |  SELECT sc.score, l.lbl
+          |  FROM scored sc JOIN lab l USING (doc_id)
+          |  WHERE l.lbl IS NOT NULL
+          |), cnt AS (SELECT score, count(*) AS c FROM j GROUP BY 1),
+          |rt AS (
+          |  SELECT score,
+          |    CAST(sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+          |      - c AS BIGINT) AS below
+          |  FROM cnt
+          |), tot AS (SELECT count(*) AS total FROM j),
+          |bins AS (
+          |  SELECT j.score, j.lbl,
+          |    CAST(least(rt.below * 10 // (tot.total - 1), 9) AS BIGINT)
+          |      AS bin
+          |  FROM j JOIN rt USING (score) CROSS JOIN tot
+          |)
+          |SELECT bin, count(*) AS n_docs,
+          |  CAST(sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |  round(sum(CASE WHEN lbl THEN 1 ELSE 0 END)
+          |    / CAST(count(*) AS DOUBLE), 6) AS pos_rate,
+          |  min(score) AS score_min, max(score) AS score_max
+          |FROM bins GROUP BY 1""".stripMargin,
 
       "q_fuzzy_search" ->
         """WITH we AS (

@@ -102,4 +102,43 @@ object Classify {
         col("lo").cast("double").as("log_odds"),
         (col("lo") >= lit(threshold).cast("decimal(20,6)")).as("keep"))
   }
+
+  /** CALIBRATION REPORT for a classifier's scores against observed
+    * labels — the reliability-diagram table (is a high-scoring decile
+    * actually mostly positive?): rank-binned, so bin edges are
+    * integer-exact and partition-independent (`bin = below·nBins DIV
+    * (total-1)`, where `below` is the count of strictly-smaller
+    * scores from the same distributed prefix sum q_ppl_buckets uses —
+    * no global sort, no float bin-edge rounding, ties share a bin by
+    * construction). Per bin: volume, positives, positive rate (6 dp),
+    * and the exact score range. A model whose pos_rate is monotone in
+    * bin is well-ORDERED; one whose pos_rate tracks the bin's
+    * sigmoid-mean is well-CALIBRATED — this report is the evidence
+    * either way, and the standard gate before a learned quality
+    * filter's threshold is trusted at corpus scale. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+                        labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val s = scored.select(col(scoreCol).as("score"),
+        col(labelCol).cast("boolean").as("lbl"))
+      .filter(col("score").isNotNull && col("lbl").isNotNull)
+      .localCheckpoint(false) // feeds the rank table AND the join
+    val counts = s.groupBy("score").agg(count(lit(1)).as("cnt"))
+    val rt = graft.operators.FeatureEng.runningTotal(counts, "score", "cnt")
+    val total = s.count()
+    val below = rt.select(col("ord").as("score"),
+      (col("running_total") - col("val")).as("below"))
+    s.join(below, "score")
+      .withColumn("bin",
+        if (total > 1)
+          expr(s"least(below * $nBins DIV ${total - 1}, ${nBins - 1})")
+        else lit(0L))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lbl"), 1L).otherwise(0L)).as("n_pos"),
+        round(sum(when(col("lbl"), 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("pos_rate"),
+        min("score").as("score_min"),
+        max("score").as("score_max"))
+  }
 }

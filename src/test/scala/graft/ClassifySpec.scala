@@ -170,4 +170,35 @@ class ClassifySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(a === b)
   }
+
+  test("calibrationReport: rank-decile bins, ties share a bin, rates and ranges exact") {
+    import graft.operators.Classify
+    // 20 docs, scores 1..20, label = score > 10 (perfectly ordered):
+    // deciles of 2; bins 0-4 all negative, 5-9 all positive
+    val perfect = (1 to 20).map(i => (i.toDouble, i > 10))
+      .toDF("score", "lbl")
+    val rep = Classify.calibrationReport(perfect, "score", "lbl", 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(rep.keySet === (0L to 9L).toSet)
+    assert(rep.values.forall(_._1 === 2L), s"2 docs per decile: $rep")
+    (0L to 4L).foreach(b => assert(rep(b)._3 === 0.0, s"bin $b: $rep"))
+    (5L to 9L).foreach(b => assert(rep(b)._3 === 1.0, s"bin $b: $rep"))
+    assert(rep(0L)._4 === 1.0 && rep(0L)._5 === 2.0)
+    assert(rep(9L)._4 === 19.0 && rep(9L)._5 === 20.0)
+    // tied scores share a bin (rank from strictly-smaller counts)
+    val tied = (Seq.fill(15)((5.0, true)) ++ Seq.fill(5)((1.0, false)))
+      .toDF("score", "lbl")
+    val rep2 = Classify.calibrationReport(tied, "score", "lbl", 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    assert(rep2 === Map(0L -> ((5L, 0.0)), 2L -> ((15L, 1.0))),
+      s"ties collapse to the rank bin of their first member: $rep2")
+    // single-row edge: one bin, no division by zero
+    val one = Seq((7.0, true)).toDF("score", "lbl")
+    val rep3 = Classify.calibrationReport(one, "score", "lbl", 10)
+      .collect()
+    assert(rep3.length === 1 && rep3.head.getLong(0) === 0L)
+  }
 }
