@@ -794,10 +794,16 @@ object SparkEntry {
     * stages of a pretraining data build — C4-style quality gate
     * (q_clean_filter's exact thresholds) → exact dedup with keep-min
     * canonicalization (q_dedup_exact's identity) → eval-set
-    * decontamination (q_decontaminate's shingle rule) → DCLM
-    * token-budget selection (q_select_budget's two-stage prefix-sum
-    * cut, 20k tokens) — composed as ONE Spark plan whose oracle is
-    * the composition of the four stages' own oracles (the
+    * decontamination (q_decontam_scores' graded rule at contam_frac
+    * ≥ 0.8 — near-total eval containment; round 12 moved the gate
+    * from the absolute minOverlap=5 count to the FRACTION because
+    * the synthetic corpus's 31-word vocabulary makes any absolute
+    * shingle-count gate empty the pipeline at sf0.1 — a fraction is
+    * also the production-correct dial: long docs shouldn't be
+    * droppable by 5 incidental shingles) → DCLM token-budget
+    * selection (q_select_budget's two-stage prefix-sum cut, 20k
+    * tokens) — composed as ONE Spark plan whose oracle is the
+    * composition of the four stages' own oracles (the
     * q_trust_select composition convention). Stage order is the
     * production order: cheap row-local gates first, the corpus-keyed
     * dedup shuffle on survivors only, the broadcast decontamination
@@ -816,8 +822,9 @@ object SparkEntry {
     val dd = sdocs.join(winners, Seq("doc_id"), "left_semi")
     val evalDocs = docs.filter(col("doc_id") % 10 === 0)
     val trainPool = dd.filter(col("doc_id") % 10 =!= 0)
-    val flagged = Dedup.decontaminate(trainPool, "doc_id", "text",
-      evalDocs, "doc_id", "text", n = 3, minOverlap = 5)
+    val flagged = Dedup.decontaminationScores(trainPool, "doc_id",
+        "text", evalDocs, "doc_id", "text", n = 3)
+      .filter(col("contam_frac") >= 0.8)
     val train = trainPool.join(flagged.select("doc_id"), Seq("doc_id"),
       "left_anti")
     FeatureEng.selectToBudget(train, "doc_id", col("quality_score"),
@@ -2533,10 +2540,13 @@ object SparkEntry {
           |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
           |  FROM w
           |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-          |flag AS (
-          |  SELECT sh.doc_id FROM sh JOIN es USING (s)
-          |  WHERE sh.doc_id % 10 <> 0
-          |  GROUP BY 1 HAVING count(*) >= 5
+          |tots AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          |ovl AS (
+          |  SELECT sh.doc_id, count(*) AS n_ov
+          |  FROM sh JOIN es USING (s) GROUP BY 1
+          |), flag AS (
+          |  SELECT t.doc_id FROM tots t JOIN ovl o USING (doc_id)
+          |  WHERE t.doc_id % 10 <> 0 AND round(o.n_ov / t.n_sh, 6) >= 0.8
           |), train AS (
           |  SELECT * FROM dd
           |  WHERE doc_id % 10 <> 0
@@ -4063,10 +4073,13 @@ object SparkEntry {
           |    i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS s
           |  FROM w
           |), es AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
-          |flag AS (
-          |  SELECT sh.doc_id FROM sh JOIN es USING (s)
-          |  WHERE sh.doc_id % 10 <> 0
-          |  GROUP BY 1 HAVING count(*) >= 5
+          |tots AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          |ovl AS (
+          |  SELECT sh.doc_id, count(*) AS n_ov
+          |  FROM sh JOIN es USING (s) GROUP BY 1
+          |), flag AS (
+          |  SELECT t.doc_id FROM tots t JOIN ovl o USING (doc_id)
+          |  WHERE t.doc_id % 10 <> 0 AND round(o.n_ov / t.n_sh, 6) >= 0.8
           |), train AS (
           |  SELECT * FROM dd
           |  WHERE doc_id % 10 <> 0

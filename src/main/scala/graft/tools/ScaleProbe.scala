@@ -549,6 +549,52 @@ object ScaleProbe {
     udocsK.unpersist(); udocs.unpersist()
     }
 
+    if (sections("pretrain")) {
+    // The whole "docs in, training shards out" capstone chain
+    // (quality gate → exact dedup → decontamination → token-budget
+    // cut → unigram encode → boundary-aware packing) at ×1 vs ×K,
+    // budget scaled with the corpus so output volume scales too —
+    // the end-to-end linearity evidence for the round-11/12 capstone
+    // family (each stage is probed alone elsewhere; this measures
+    // the composition, including the stage-to-stage semi-joins).
+    import graft.operators.{Bpe, Unigram}
+    def chain(docs: DataFrame, budget: Long): Long = {
+      val clean = TextAnalysis.cleanFilter(docs, "doc_id", "text",
+        20, 100000, 2.0, 12.0, 0.3, 0.12)
+      val sdocs = docs.join(
+        clean.select("doc_id", "n_words", "quality_score"), "doc_id")
+      val keep = Dedup.exact(sdocs, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val dd = sdocs.join(keep, Seq("doc_id"), "left_semi")
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val pool = dd.filter(col("doc_id") % 10 =!= 0)
+      val flagged = Dedup.decontaminationScores(pool, "doc_id",
+          "text", evalDocs, "doc_id", "text", n = 3)
+        .filter(col("contam_frac") >= 0.8)
+      val train = pool.join(flagged.select("doc_id"), Seq("doc_id"),
+        "left_anti")
+      val sel = FeatureEng.selectToBudget(train, "doc_id",
+        col("quality_score"), col("n_words"), budget)
+      val chosen = docs.join(sel.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      val wc = Bpe.corpusWordCounts(docs, "doc_id", "text")
+      val costs = Unigram.collectCosts(
+        Unigram.integerCosts(Unigram.seedVocab(wc, 4, 64)))
+      val enc = Unigram.encodeDocs(chosen, "doc_id", "text", costs, 4)
+      FeatureEng.packSegments(enc, "doc_id", "n_tokens", 512L).count()
+    }
+    val p1 = Tables.documents(spark, d).cache()
+    println(s"[scale] pretrain x1 docs: ${p1.count()}")
+    val n1 = time("pretrain chain x1 (budget 200k)")(chain(p1, 200000L))
+    val pK = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 1000000L)).cache()
+    println(s"[scale] pretrain x$k docs: ${pK.count()}")
+    val nK = time(s"pretrain chain x$k (budget ${200000L * k})")(
+      chain(pK, 200000L * k))
+    println(s"[scale] pretrain segments: x1=$n1 x$k=$nK")
+    p1.unpersist(); pK.unpersist()
+    }
+
     if (sections("ftpack")) {
     // Round-12 families. packSegments: pure arithmetic over the
     // distributed running total + a bounded explode — must be LINEAR

@@ -46,15 +46,17 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // minhash needs xxhash64, simhash an FNV word fold, ivf and
     // semdedup a trained KMeans, PQ its Lloyd codebooks, BPE an
-    // iterative argmax-merge loop, unigram training ln-based EM costs
-    // — none expressible in portable DuckDB SQL; spec-tested (BPE and
+    // iterative argmax-merge loop, unigram training ln-based EM
+    // costs, the fastText-style classifier gradient descent — none
+    // expressible in portable DuckDB SQL; spec-tested (BPE and
     // unigram are held to naive in-memory references in BpeSpec /
-    // UnigramSpec, PQ encode/ADC to one in LlmPipelineSpec).
+    // UnigramSpec, PQ encode/ADC to one in LlmPipelineSpec, the ft
+    // fit to a sequential reference bit for bit in ClassifySpec).
     val known = Set("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_simhash_wide", "q_ann_ivf", "q_ann_pq",
       "q_dedup_semdedup",
       "q_bpe_merges", "q_bpe_encode", "q_bpe_encode_oov",
-      "q_unigram_train", "q_unigram_sample")
+      "q_unigram_train", "q_unigram_sample", "q_ft_quality")
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 
