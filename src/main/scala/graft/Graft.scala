@@ -644,8 +644,8 @@ object Graft {
     * (doc_id, text, lbl): full-batch GD, integer-micro deterministic,
     * driver state = nBuckets × dim longs. */
   def ftQualityTrain(seed: DataFrame, nBuckets: Int = 4096,
-                     dim: Int = 8, epochs: Int = 10,
-                     lrMicro: Long = 2000000L)
+                     dim: Int = 8, epochs: Int = 40,
+                     lrMicro: Long = 16000000L)
   : operators.FtClassify.FtModel =
     operators.FtClassify.train(seed, "doc_id", "text", "lbl",
       nBuckets, dim, epochs, lrMicro)
@@ -971,6 +971,13 @@ object Graft {
   def packMasks(docs: DataFrame, countCol: String,
                 seqLen: Long): DataFrame =
     FeatureEng.packAttentionMasks(docs, "doc_id", countCol, seqLen)
+
+  /** One-row packing-efficiency report (fill rate, straddle count,
+    * segments per sequence) — the padding-waste number a seqLen
+    * decision is made on. */
+  def packEfficiency(docs: DataFrame, countCol: String,
+                     seqLen: Long): DataFrame =
+    FeatureEng.packStats(docs, "doc_id", countCol, seqLen)
 
   // --- text retrieval ------------------------------------------------
   // Corpus columns default to (doc_id, text), query batches to

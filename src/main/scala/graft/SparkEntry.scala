@@ -678,6 +678,40 @@ object SparkEntry {
     operators.Classify.nbScore(docs, "doc_id", "text", seed, "doc_id", "lbl")
   }
 
+  /** TOKENIZER-FIT report (round 12): how well the corpus-trained
+    * unigram seed-vocab model compresses each SOURCE slice — words,
+    * pieces, pieces/word and chars/piece per source (the numbers a
+    * tokenizer/vocab-size decision is made on; a slice whose
+    * pieces/word is an outlier is under-served by the vocabulary).
+    * The encode is the same pure-projection Viterbi as
+    * q_unigram_encode — distinct words encode ONCE, then the
+    * occurrence stream joins the word table (vocabulary-sized,
+    * broadcast) — and the whole report (model, segmentation,
+    * per-slice sums) replays in SQL via the brute-force segmentation
+    * oracle. */
+  def qTokStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wc = Bpe.corpusWordCounts(docs, "doc_id", "text")
+    val costs = Unigram.collectCosts(
+      Unigram.integerCosts(Unigram.seedVocab(wc, maxPieceLen = 4,
+        topK = 64)))
+    val wordNp = Unigram.encodeWords(wc.select("word"), costs,
+      maxPieceLen = 4).select(col("word"), col("n_pieces"))
+    docs.select(col("source"),
+        explode(Fns.words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wordNp), Seq("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_pieces").as("n_pieces"),
+        sum(length(col("word"))).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces") / col("n_words").cast("double"), 6)
+          .as("pieces_per_word"),
+        round(col("n_chars") / col("n_pieces").cast("double"), 6)
+          .as("chars_per_piece"))
+  }
+
   /** Classifier CALIBRATION report (round 12): the NB quality
     * model's log-odds deciles against the heuristic labels over the
     * WHOLE corpus — per rank-decile volume, positive rate, and exact
@@ -1706,6 +1740,7 @@ object SparkEntry {
     "q_bpe_encode" -> (qBpeEncode _),
     "q_bpe_encode_oov" -> (qBpeEncodeOov _),
     "q_unigram_encode" -> (qUnigramEncode _),
+    "q_tok_stats" -> (qTokStats _),
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_sample" -> (qUnigramSample _),
     "q_tfidf_cosine" -> (qTfidfCosine _),
@@ -4144,6 +4179,64 @@ object SparkEntry {
           |    - 1 AS BIGINT) AS seg_idx,
           |  doc_id, bin_offset, seg_tokens, doc_tok_start
           |FROM seg2""".stripMargin),
+
+      // Tokenizer-fit report: the q_unigram_encode vocab + brute-force
+      // segmentation CTEs, each word's piece count joined back onto
+      // the per-source occurrence stream, per-slice compression sums.
+      "q_tok_stats" ->
+        """WITH RECURSIVE wc AS (
+          |  SELECT w AS word, count(*) AS cnt
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |  WHERE w <> '' GROUP BY 1
+          |), cand AS (
+          |  SELECT substr(word, i, l) AS piece, CAST(sum(cnt) AS BIGINT) AS cnt
+          |  FROM wc,
+          |       unnest(generate_series(1, len(word))) AS t(i),
+          |       unnest(generate_series(1, 4)) AS u(l)
+          |  WHERE i + l - 1 <= len(word)
+          |  GROUP BY 1
+          |), topk AS (
+          |  SELECT piece, cnt FROM (
+          |    SELECT piece, cnt,
+          |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          |    FROM cand) WHERE rn <= 64
+          |), vocab0 AS (
+          |  SELECT DISTINCT piece, cnt FROM (
+          |    SELECT piece, cnt FROM topk UNION ALL
+          |    SELECT piece, cnt FROM cand WHERE len(piece) = 1)
+          |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab0),
+          |vocab AS (
+          |  SELECT piece, CAST((total * 1000000) // cnt AS BIGINT) AS cost
+          |  FROM vocab0 CROSS JOIN tot
+          |), seg AS (
+          |  SELECT word, 0 AS pos, 0 AS np, CAST(0 AS BIGINT) AS cost,
+          |         '' AS key
+          |  FROM wc
+          |  UNION ALL
+          |  SELECT s.word, s.pos + len(v.piece), s.np + 1,
+          |         s.cost + v.cost,
+          |         lpad(CAST(s.pos AS VARCHAR), 4, '0') || ',' || s.key
+          |  FROM seg s JOIN vocab v
+          |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+          |  WHERE s.pos < len(s.word)
+          |), done AS (
+          |  SELECT word, np,
+          |    row_number() OVER (PARTITION BY word ORDER BY cost, key) AS rn
+          |  FROM seg WHERE pos = len(word)
+          |), occ AS (
+          |  SELECT source, unnest(string_split(text, ' ')) AS word
+          |  FROM documents
+          |), j AS (
+          |  SELECT o.source, o.word, d.np
+          |  FROM occ o JOIN done d ON d.word = o.word AND d.rn = 1
+          |  WHERE o.word <> ''
+          |)
+          |SELECT source, count(*) AS n_words,
+          |  CAST(sum(np) AS BIGINT) AS n_pieces,
+          |  round(sum(np) / CAST(count(*) AS DOUBLE), 6) AS pieces_per_word,
+          |  round(sum(len(word)) / CAST(sum(np) AS DOUBLE), 6)
+          |    AS chars_per_piece
+          |FROM j GROUP BY 1""".stripMargin,
 
       "q_quality_filter" -> qualityFilterOracleSql,
 

@@ -351,6 +351,29 @@ object FeatureEng {
         expr("transform(segs, s -> s.doc_id)").as("doc_ids"),
         col("n_tokens"))
 
+  /** One-row packing-efficiency report over [[packSegments]]: bin
+    * count, doc count, segment count, straddling docs (continuation
+    * segments — the docs an intra-document mask MUST know about),
+    * packed tokens, fill rate (tokens / bins·seqLen — only the final
+    * bin is ever partial, so this is the padding-waste number a
+    * loader pays), and mean segments per sequence (how many
+    * attention blocks a typical sequence carries). */
+  def packStats(df: DataFrame, ordCol: String, valCol: String,
+                seqLen: Long): DataFrame =
+    packSegments(df, ordCol, valCol, seqLen)
+      .agg(countDistinct("bin").as("n_bins"),
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_segments"),
+        countDistinct(when(col("doc_tok_start") > 1L, col("doc_id")))
+          .as("straddled_docs"),
+        sum("seg_tokens").as("n_tokens"))
+      .select(col("n_bins"), col("n_docs"), col("n_segments"),
+        col("straddled_docs"), col("n_tokens"),
+        round(col("n_tokens") / (col("n_bins") * seqLen).cast("double"),
+          6).as("fill_rate"),
+        round(col("n_segments") / col("n_bins").cast("double"), 6)
+          .as("segs_per_bin"))
+
   /** Deterministic class-balanced sampling for training prep: each
     * row survives iff its key's md5 bucket (0..9999) falls under its
     * class's rate in basis points — downsample the majority class,

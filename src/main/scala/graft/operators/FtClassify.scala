@@ -98,7 +98,7 @@ object FtClassify {
     * the fit converges. */
   def train(seed: DataFrame, idCol: String, textCol: String,
             labelCol: String, nBuckets: Int = 4096, dim: Int = 8,
-            epochs: Int = 10, lrMicro: Long = 2000000L,
+            epochs: Int = 40, lrMicro: Long = 16000000L,
             seedSalt: Long = 42L): FtModel = {
     require(nBuckets > 0 && dim > 0 && epochs >= 1 && lrMicro > 0)
     val spark = seed.sparkSession

@@ -110,7 +110,7 @@ class ClassifySpec extends AnyFunSuite {
     val seed = ftFixture
     val nB = 256; val dim = 4; val ep = 6
     val got = FtClassify.train(seed, "doc_id", "text", "lbl",
-      nBuckets = nB, dim = dim, epochs = ep)
+      nBuckets = nB, dim = dim, epochs = ep, lrMicro = 2000000L)
     // reference rows: the same hashed features, collected
     val rows = Dsir.hashedNgramCounts(
         seed.select(col("doc_id"), col("text"),

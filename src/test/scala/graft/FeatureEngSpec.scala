@@ -352,6 +352,20 @@ class FeatureEngSpec extends AnyFunSuite {
     segs.unpersist()
   }
 
+  test("packStats: fill rate, straddle count and segs/bin from the hand fixture") {
+    // counts 5,3,9,2 at seqLen 4: 5 bins, 7 segments, docs 1 and 3
+    // straddle, 19 tokens over 20 capacity
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 2L)).toDF("doc_id", "n")
+    val r = FeatureEng.packStats(df, "doc_id", "n", 4L).head()
+    assert(r.getLong(0) === 5L)            // n_bins
+    assert(r.getLong(1) === 4L)            // n_docs
+    assert(r.getLong(2) === 7L)            // n_segments
+    assert(r.getLong(3) === 2L)            // straddled docs (1 and 3)
+    assert(r.getLong(4) === 19L)           // tokens
+    assert(r.getDouble(5) === 0.95)        // fill 19/20
+    assert(r.getDouble(6) === 1.4)         // 7 segs / 5 bins
+  }
+
   test("registry round-trips view defs through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("graft_reg").toString
     val views = Seq(
