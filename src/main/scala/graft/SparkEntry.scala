@@ -993,6 +993,23 @@ object SparkEntry {
     FeatureEng.domainMixTemperature(Tables.documents(s, d), "doc_id",
       "text", "source", alpha = 0.5)
 
+  /** DoReMi-style LEARNED domain mixture (round 12): per-domain
+    * excess loss = unigram-LM surprise minus KN-bigram surprise
+    * (both corpus-trained in-plan, integer micros), then 5 steps of
+    * integer multiplicative weights, trajectory-averaged and
+    * ε-smoothed — the ENTIRE fit (both LM fits, the excess table,
+    * every MW iterate) replays in SQL. */
+  def qDoremiWeights(s: SparkSession, d: String): DataFrame =
+    operators.Doremi.domainWeights(Tables.documents(s, d), "doc_id",
+      "text", "source")
+
+  /** The learned mixture APPLIED: q_doremi_weights' shares through
+    * the q_domain_mix rate machinery (largest achievable corpus,
+    * basis-point rates, md5-bucket determinism). */
+  def qDoremiMix(s: SparkSession, d: String): DataFrame =
+    operators.Doremi.domainMixLearned(Tables.documents(s, d), "doc_id",
+      "text", "source")
+
   /** CCNet head/middle/tail corpus split by exact lm-score percent
     * rank (terciles). */
   def qPplBuckets(s: SparkSession, d: String): DataFrame =
@@ -1809,7 +1826,9 @@ object SparkEntry {
     "q_trust_select" -> (qTrustSelect _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_mink_score" -> (qMinkScore _),
-    "q_kanon_report" -> (qKanonReport _)
+    "q_kanon_report" -> (qKanonReport _),
+    "q_doremi_weights" -> (qDoremiWeights _),
+    "q_doremi_mix" -> (qDoremiMix _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -2510,6 +2529,70 @@ object SparkEntry {
        |    CASE WHEN tele.node IS NOT NULL THEN $m // nt ELSE 0 END AS rank
        |  FROM nodes CROSS JOIN tn
        |  LEFT JOIN tele ON nodes.node = tele.node),
+       |$iters""".stripMargin
+  }
+
+  /** q_doremi_weights / q_doremi_mix oracle CTEs: the unigram and KN
+    * fits source-keyed (same arithmetic as the q_lm_score / q_kn_lm
+    * oracles), per-token surprise rounded to integer micros ONCE per
+    * row then summed exactly, excess + the multiplicative-weights
+    * trajectory unrolled one (u, s, w) CTE triple per step — every
+    * update integer, so DuckDB's `//` is Spark's `DIV` exactly. */
+  private def doremiCtes(steps: Int): String = {
+    val iters = (1 to steps).map { i =>
+      s"""u$i AS (SELECT *, (w * factor + 500000) // 1000000 AS u
+         |  FROM w${i - 1}),
+         |s$i AS (SELECT CAST(sum(u) AS BIGINT) AS tu FROM u$i),
+         |w$i AS (SELECT source, n_tokens, n_bigrams, uni_mean_micro,
+         |    kn_mean_micro, excess_micro, factor, k,
+         |    (u * 1000000) // tu AS w,
+         |    traj + (u * 1000000) // tu AS traj
+         |  FROM u$i CROSS JOIN s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""bsrc AS (SELECT doc_id, source, text FROM documents),
+       |we AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM bsrc),
+       |f AS (SELECT w, count(*) AS cnt FROM we GROUP BY 1),
+       |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f),
+       |uni AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CAST(round(-1000000 * log2(cnt * 1.0 / tot))
+       |      AS BIGINT)) AS BIGINT) AS uni_sum
+       |  FROM we JOIN f USING (w) CROSS JOIN t GROUP BY 1),
+       |ww AS (SELECT source, string_split(text, ' ') AS ws FROM bsrc),
+       |bg0 AS (SELECT source, unnest(list_transform(
+       |    generate_series(1, greatest(len(ws) - 1, 0)),
+       |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bp
+       |  FROM ww),
+       |bg AS (SELECT source, bp.w1 AS w1, bp.w2 AS w2 FROM bg0),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f
+       |  FROM c12 GROUP BY 1),
+       |prc AS (SELECT w2, count(*) AS np FROM c12 GROUP BY 1),
+       |bt AS (SELECT count(*) AS b FROM c12),
+       |model AS (SELECT w1, w2,
+       |    (c12 - 0.75) / c1 + 0.75 * n1f / c1 * (np / b) AS p
+       |  FROM c12 JOIN c1 USING (w1) JOIN prc USING (w2) CROSS JOIN bt),
+       |knd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(CAST(round(-1000000 * log2(p)) AS BIGINT))
+       |      AS BIGINT) AS kn_sum
+       |  FROM bg JOIN model USING (w1, w2) GROUP BY 1),
+       |ex AS (SELECT source, n_tokens,
+       |    coalesce(n_bigrams, 0) AS n_bigrams,
+       |    uni_sum // n_tokens AS uni_mean_micro,
+       |    CASE WHEN coalesce(n_bigrams, 0) > 0 THEN kn_sum // n_bigrams
+       |         ELSE uni_sum // n_tokens END AS kn_mean_micro
+       |  FROM uni LEFT JOIN knd USING (source)),
+       |ex2 AS (SELECT *,
+       |    greatest(0, uni_mean_micro - kn_mean_micro) AS excess_micro
+       |  FROM ex),
+       |kk AS (SELECT count(*) AS k FROM ex2),
+       |w0 AS (SELECT source, n_tokens, n_bigrams, uni_mean_micro,
+       |    kn_mean_micro, excess_micro,
+       |    1000000 + (500000 * excess_micro + 500000) // 1000000
+       |      AS factor,
+       |    1000000 // k AS w, CAST(0 AS BIGINT) AS traj, k
+       |  FROM ex2 CROSS JOIN kk),
        |$iters""".stripMargin
   }
 
@@ -3812,6 +3895,50 @@ object SparkEntry {
           |FROM b JOIN r ON b.source = r.source
           |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
           |    % 2147483648 % 10000 < rate_bp""".stripMargin,
+
+      // The DoReMi fit REPLAYED WHOLE: both LM fits (lm/kn oracle
+      // CTEs, source-keyed), the integer excess table, and every
+      // multiplicative-weights iterate unrolled (rankOracle's idiom) —
+      // all-integer updates, so // == Spark's DIV exactly.
+      "q_doremi_weights" ->
+        s"""WITH ${doremiCtes(5)}
+           |SELECT source, n_tokens, n_bigrams, uni_mean_micro,
+           |  kn_mean_micro, excess_micro,
+           |  traj // 5 AS alpha_micro,
+           |  ((1000000 - 10000) * (traj // 5)) // 1000000
+           |    + 10000 // k AS share_micro
+           |FROM w5""".stripMargin,
+
+      // Composition: the learned share table feeds the q_domain_mix
+      // rate derivation verbatim (same double op order, same md5
+      // bucket family).
+      "q_doremi_mix" ->
+        s"""WITH ${doremiCtes(5)},
+           |fin AS (
+           |  SELECT source, n_tokens AS src_tokens,
+           |    ((1000000 - 10000) * (traj // 5)) // 1000000
+           |      + 10000 // k AS share_micro
+           |  FROM w5
+           |), sc AS (
+           |  SELECT min(src_tokens / (share_micro / 1000000.0)) AS scale
+           |  FROM fin
+           |), r AS (
+           |  SELECT source, share_micro,
+           |    CAST(least(10000, floor(sc.scale * (share_micro / 1000000.0)
+           |      / src_tokens * 10000)) AS BIGINT) AS rate_bp
+           |  FROM fin, sc
+           |), dd AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents
+           |)
+           |SELECT doc_id, dd.source, n_tokens, share_micro,
+           |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |    % 2147483648 % 10000 AS sample_bucket,
+           |  rate_bp
+           |FROM dd JOIN r ON dd.source = r.source
+           |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |    % 2147483648 % 10000 < rate_bp""".stripMargin,
 
       // lm CTEs verbatim from q_lm_score; pr = PERCENT_RANK (the Spark
       // side computes |strictly below|/(n-1) by distributed prefix

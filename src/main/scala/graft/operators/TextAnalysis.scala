@@ -244,7 +244,7 @@ object TextAnalysis {
 
   /** Per-doc (doc_id, w1, w2) bigram stream from a (doc_id, ws)
     * frame — shared by the in-plan fit and the count builders. */
-  private def knDocBigrams(ids: DataFrame): DataFrame =
+  private[operators] def knDocBigrams(ids: DataFrame): DataFrame =
     ids.select(col("doc_id"),
         explode(when(size(col("ws")) >= 2,
           transform(sequence(lit(1), size(col("ws")) - 1),
@@ -261,8 +261,8 @@ object TextAnalysis {
     * which is what makes the store's shard ledger exact. The
     * arithmetic here is the single code path every scorer shares:
     * in-plan, store-frozen, and streaming scores cannot drift. */
-  private def knModelFromCounts(c12: DataFrame,
-                                discount: Double): DataFrame = {
+  private[operators] def knModelFromCounts(c12: DataFrame,
+                                           discount: Double): DataFrame = {
     val c1 = c12.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1plus_fwd"))
     val prec = c12.groupBy("w2").agg(count(lit(1)).as("n1plus_prec"))

@@ -2257,4 +2257,62 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(pub.filter(org.apache.spark.sql.functions.col("n_docs") < 3)
       .count() === 0, "published cells must all clear k")
   }
+
+  test("doremi weightsFromExcess: distributed MW trajectory == sequential integer reference") {
+    import graft.operators.Doremi
+    val M = 1000000L
+    val ex = Seq(("a", 2000000L), ("b", 500000L), ("c", 0L), ("d", 3500000L))
+    val eta = 500000L; val steps = 4; val smooth = 10000L
+    // sequential reference: the identical integer update, plain Scala
+    val k = ex.size.toLong
+    val factor = ex.map { case (_, e) => M + (eta * e + 500000L) / M }
+    var w = Array.fill(ex.size)(M / k)
+    val traj = Array.fill(ex.size)(0L)
+    (1 to steps).foreach { _ =>
+      val u = w.zip(factor).map { case (wi, fi) => (wi * fi + 500000L) / M }
+      val tu = u.sum
+      w = u.map(ui => (ui * M) / tu)
+      w.zipWithIndex.foreach { case (wi, i) => traj(i) += wi }
+    }
+    val expect = ex.zipWithIndex.map { case ((s, _), i) =>
+      val alpha = traj(i) / steps
+      s -> ((s, alpha, ((M - smooth) * alpha) / M + smooth / k))
+    }.toMap
+    val got = Doremi.weightsFromExcess(
+        ex.toDF("source", "excess_micro"), eta, steps, smooth)
+      .select("source", "alpha_micro", "share_micro").collect()
+      .map(r => r.getString(0) -> (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got === expect)
+    // monotone: more excess, more share; smoothing keeps a floor
+    val byShare = got.values.toSeq.sortBy(-_._3).map(_._1)
+    assert(byShare === Seq("d", "a", "b", "c"))
+    assert(got("c")._3 >= smooth / k, "smoothing must floor the coldest domain")
+  }
+
+  test("doremi on the corpus: shares sum to ~1e6, rank-aligned with excess; learned mix realizes them") {
+    import graft.operators.Doremi
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val w = Doremi.domainWeights(docs, "doc_id", "text", "source").collect()
+    assert(w.length > 1)
+    val shareSum = w.map(_.getAs[Long]("share_micro")).sum
+    // each domain floors at three points (trajectory avg, smoothing
+    // product, uniform floor) → worst-case deficit 3 micros/domain
+    assert(math.abs(shareSum - 1000000L) <= 3L * w.length,
+      s"shares must sum to 1e6 within flooring: $shareSum")
+    val byExcess = w.sortBy(-_.getAs[Long]("excess_micro")).map(_.getString(0)).toSeq
+    val byShare = w.sortBy(-_.getAs[Long]("share_micro")).map(_.getString(0)).toSeq
+    assert(byExcess === byShare, "share order must follow excess order")
+    // application: every kept row passed its own source's md5 gate,
+    // and the binding (highest-rate) source keeps ~everything
+    val mix = Doremi.domainMixLearned(docs, "doc_id", "text", "source")
+      .collect()
+    assert(mix.nonEmpty)
+    assert(mix.forall(r => r.getAs[Long]("sample_bucket") <
+      r.getAs[Long]("rate_bp")))
+    // deterministic: a rerun is row-identical
+    val again = Doremi.domainMixLearned(docs, "doc_id", "text", "source")
+      .collect()
+    assert(mix.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
 }
