@@ -1010,6 +1010,24 @@ object SparkEntry {
     operators.Doremi.domainMixLearned(Tables.documents(s, d), "doc_id",
       "text", "source")
 
+  /** Distributed corpus-scale k-means (round 12): integer-micro
+    * Lloyd over the full embedding table — md5-seeded init, codegen
+    * argmin assignment, exact-integer centroid updates; the WHOLE
+    * iterative fit (init, every assignment, every update) unrolls in
+    * the SQL oracle. k=8, 3 iterations, dim 64. */
+  def qKmeans(s: SparkSession, d: String): DataFrame =
+    operators.Kmeans.fitAssign(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 8, dim = 64, iters = 3)
+      .withColumnRenamed("id", "vec_id")
+
+  /** Cluster-BALANCED corpus: every k-means cell sampled to a uniform
+    * token share (topic-skew flattening — the cluster-based curation
+    * recipe) through the q_domain_mix rate machinery. */
+  def qKmeansBalance(s: SparkSession, d: String): DataFrame =
+    operators.Kmeans.clusterBalance(Tables.documents(s, d), "doc_id",
+      "text", Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, dim = 64, iters = 3)
+
   /** CCNet head/middle/tail corpus split by exact lm-score percent
     * rank (terciles). */
   def qPplBuckets(s: SparkSession, d: String): DataFrame =
@@ -1828,7 +1846,9 @@ object SparkEntry {
     "q_mink_score" -> (qMinkScore _),
     "q_kanon_report" -> (qKanonReport _),
     "q_doremi_weights" -> (qDoremiWeights _),
-    "q_doremi_mix" -> (qDoremiMix _)
+    "q_doremi_mix" -> (qDoremiMix _),
+    "q_kmeans" -> (qKmeans _),
+    "q_kmeans_balance" -> (qKmeansBalance _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -2594,6 +2614,48 @@ object SparkEntry {
        |    1000000 // k AS w, CAST(0 AS BIGINT) AS traj, k
        |  FROM ex2 CROSS JOIN kk),
        |$iters""".stripMargin
+  }
+
+  /** q_kmeans / q_kmeans_balance oracle CTEs: the distributed Lloyd
+    * fit unrolled — micro vectors, md5-seeded init, one
+    * (assignment, sums, new-centroids, next-table) CTE quadruple per
+    * iteration, ending in `kafin` = the final assignment (vec_id,
+    * cl, dist, rn; rn=1 is the argmin row). All-integer distances
+    * and truncating `//` division == the Spark side exactly. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def assign(name: String, ctable: String) =
+      s"""$name AS (
+         |  SELECT vec_id, vm, cl, dist,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY dist, cl) AS rn
+         |  FROM (SELECT v.vec_id, v.vm, c.cl,
+         |      list_reduce(list_transform(list_zip(v.vm, c.cm),
+         |        z -> (z[1]-z[2])*(z[1]-z[2])), (x,y) -> x+y) AS dist
+         |    FROM kv v CROSS JOIN $ctable c))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${assign(s"ka$i", s"kc${i - 1}")},
+         |ks$i AS (SELECT cl, i, CAST(sum(uv) AS BIGINT) AS sv,
+         |    count(*) AS n
+         |  FROM (SELECT cl, unnest(vm) AS uv,
+         |        unnest(generate_series(1, len(vm))) AS i
+         |      FROM ka$i WHERE rn = 1)
+         |  GROUP BY 1, 2),
+         |kn$i AS (SELECT cl, list(sv // n ORDER BY i) AS cm
+         |  FROM ks$i GROUP BY 1),
+         |kc$i AS (SELECT c.cl, coalesce(n.cm, c.cm) AS cm
+         |  FROM kc${i - 1} c LEFT JOIN kn$i n USING (cl))""".stripMargin
+    }.mkString(",\n")
+    s"""kv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS vm
+       |  FROM embeddings),
+       |ksd AS (SELECT vec_id, vm, row_number() OVER (ORDER BY
+       |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 2147483648, vec_id) AS r
+       |  FROM kv),
+       |kc0 AS (SELECT CAST(r - 1 AS INT) AS cl, vm AS cm
+       |  FROM ksd WHERE r <= $k),
+       |$steps,
+       |${assign("kafin", s"kc$iters")}""".stripMargin
   }
 
   private def joinPlanOracle: String = {
@@ -3937,6 +3999,45 @@ object SparkEntry {
            |    % 2147483648 % 10000 AS sample_bucket,
            |  rate_bp
            |FROM dd JOIN r ON dd.source = r.source
+           |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |    % 2147483648 % 10000 < rate_bp""".stripMargin,
+
+      // The distributed Lloyd fit replayed WHOLE (md5-seeded init,
+      // every assignment, every exact-integer centroid update),
+      // rankOracle's unrolled-iteration idiom on the clustering axis.
+      "q_kmeans" ->
+        s"""WITH ${kmeansCtes(8, 3)}
+           |SELECT vec_id, cl AS cluster, dist AS dist_micro2
+           |FROM kafin WHERE rn = 1""".stripMargin,
+
+      // Composition: the final cluster table feeds the q_domain_mix
+      // rate derivation with uniform target shares (every cell gets
+      // an equal token share — topic-skew flattening).
+      "q_kmeans_balance" ->
+        s"""WITH ${kmeansCtes(8, 3)},
+           |kb AS (
+           |  SELECT d.doc_id, a.cl AS cluster,
+           |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+           |  FROM documents d
+           |  JOIN (SELECT vec_id, cl FROM kafin WHERE rn = 1) a
+           |    ON d.doc_id = a.vec_id
+           |), kps AS (
+           |  SELECT cluster, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+           |    1.0 AS share
+           |  FROM kb GROUP BY 1
+           |), ksc AS (
+           |  SELECT min(src_tokens / share) AS scale FROM kps
+           |), kr AS (
+           |  SELECT cluster,
+           |    CAST(least(10000, floor(ksc.scale * share / src_tokens
+           |      * 10000)) AS BIGINT) AS rate_bp
+           |  FROM kps, ksc
+           |)
+           |SELECT doc_id, kb.cluster, n_tokens,
+           |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |    % 2147483648 % 10000 AS sample_bucket,
+           |  rate_bp
+           |FROM kb JOIN kr ON kb.cluster = kr.cluster
            |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            |    % 2147483648 % 10000 < rate_bp""".stripMargin,
 

@@ -395,6 +395,73 @@ case class PqNorm(child: Expression, codebook: Array[Float],
   : PqNorm = copy(child = newChild)
 }
 
+/** Nearest centroid over an INTEGER-MICRO vector (`array<bigint>`):
+  * argmin over `k` centroids of the exact squared L2 distance, ties
+  * to the LOWEST cluster id (strict-less keeps the first winner).
+  * All arithmetic is long — the distance a SQL oracle replays
+  * bit-for-bit (no float accumulation order to match). Output is a
+  * (cluster, dist_micro2) struct; a ragged or null-element vector
+  * yields null (callers filter — never a silent wrong cluster).
+  *
+  * This is the CORPUS-SCALE assignment step of [[graft.operators
+  * .Kmeans]]'s distributed Lloyd: one tight codegen loop per row over
+  * the broadcast-inlined centroid table (k·dim longs), no join.
+  */
+case class NearestCentroidMicro(child: Expression,
+                                centroids: Array[Long], k: Int, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.length == k * dim, "centroids must be k*dim flat")
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist_micro2",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid"
+
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (v.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    var best = 0
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var acc = 0L
+      i = 0
+      while (i < dim) {
+        val diff = v.getLong(i) - centroids(off + i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestD)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroidMicro].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : NearestCentroidMicro = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-level entry point for the codegen'd dot product. */
@@ -438,6 +505,11 @@ object VectorExpressions {
              dsub: Int): Column =
     GraftColumnBridge.column(
       PqNorm(GraftColumnBridge.expression(code), codebook, m, k, dsub))
+
+  def nearestCentroid(vm: Column, centroids: Array[Long], k: Int,
+                      dim: Int): Column =
+    GraftColumnBridge.column(NearestCentroidMicro(
+      GraftColumnBridge.expression(vm), centroids, k, dim))
 
   /** Register the full graft SQL surface in an existing session
     * (kept for source compatibility — see [[GraftSqlFunctions]]). */

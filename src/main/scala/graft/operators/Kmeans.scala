@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DISTRIBUTED corpus-scale k-means over an embedding column — the
+  * clustering artifact cluster-based curation consumes (SemDeDup
+  * prunes within k-means cells, Abbas et al. 2023; cluster-balanced
+  * selection flattens topic skew, the MiniPile/DCLM recipe). The
+  * engine already owns two SAMPLE-trained Lloyd variants (the IVF
+  * coarse quantizer and the PQ codebooks in [[Ann]] — driver-bounded
+  * models for ANN serving); this operator is the third tier: the FIT
+  * ITSELF is distributed, every assignment + centroid update runs as
+  * Spark aggregates over the full corpus, so the cluster table is a
+  * corpus artifact, not a sample approximation.
+  *
+  * DETERMINISM (the engine's fixed-point idiom): vectors round to
+  * 1e-6 micro longs ONCE (pure per-row function); distances are
+  * exact integer squared-L2 (no float accumulation order); argmin
+  * ties break to the lowest cluster id; centroid updates are exact
+  * long sums (associative — partitioning-independent) divided by
+  * exact counts (floor). Init is the k vectors with the smallest
+  * md5(vec_id) (total order, tie on id) — no RNG, no sample. Every
+  * step replays in SQL, so the whole iterative fit is oracle-checked
+  * end-to-end (the q_pagerank/q_dedup_clusters precedent).
+  *
+  * SCALE SHAPE: per iteration, assignment is ONE codegen projection
+  * (the [[graft.functions.VectorExpressions.nearestCentroid]]
+  * expression probes the k·dim-long centroid table inlined as a
+  * literal — no join, no shuffle) and the update is ONE map-side-
+  * combinable aggregate (k·dim partial rows per input partition —
+  * a hot cluster costs nothing extra). Driver state is k·dim longs
+  * per iteration (kilobytes). The corpus-sized frame is
+  * localCheckpointed once and reused across iterations.
+  */
+object Kmeans {
+
+  /** A fitted model: flat row-major (cluster*dim + i) micro
+    * centroids. */
+  final case class KmModel(k: Int, dim: Int, centroids: Array[Long]) {
+    require(centroids.length == k * dim)
+  }
+
+  /** Integer-micro view of a float-array embedding column: each
+    * component rounds HALF-UP to 1e-6 micros — the one rounding this
+    * operator ever applies to input data. */
+  def microVec(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000000).cast("long"))
+
+  /** Deterministic init: the k vectors with the smallest
+    * md5Hash31(vec_id), ties on vec_id; cluster c = position c in
+    * that order. A distributed bottom-k (TakeOrderedAndProject —
+    * never a global sort). */
+  def init(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+           dim: Int): KmModel =
+    initFromVm(emb.select(col(idCol).as("id"),
+      microVec(col(vecCol)).as("vm")), k, dim)
+
+  /** Init over a frame ALREADY carrying (id, vm) micro vectors —
+    * [[fit]] calls this so the corpus is micro-rounded exactly once. */
+  private def initFromVm(vmDf: DataFrame, k: Int, dim: Int): KmModel = {
+    val rows = vmDf
+      .filter(size(col("vm")) === dim)
+      .orderBy(graft.functions.Fns.md5Hash31(col("id").cast("string")),
+        col("id"))
+      .limit(k)
+      .select("vm").collect()
+    require(rows.length == k, s"need at least $k vectors of dim $dim")
+    val flat = new Array[Long](k * dim)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Long](0)
+      var i = 0
+      while (i < dim) { flat(c * dim + i) = v(i); i += 1 }
+    }
+    KmModel(k, dim, flat)
+  }
+
+  /** Lloyd iterations over the full corpus. Per iteration: codegen
+    * argmin assignment against the literal centroid table, then one
+    * (cluster, dim-index)-keyed exact-integer aggregate; an empty
+    * cluster keeps its previous centroid (deterministic — the SQL
+    * oracle's LEFT JOIN/coalesce mirrors it). */
+  def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+          dim: Int, iters: Int): KmModel = {
+    require(iters >= 0)
+    val vm = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("vm"))
+      .filter(size(col("vm")) === dim)
+      .localCheckpoint(false) // one corpus materialization, reused per iter
+    var model = initFromVm(vm, k, dim)
+    var it = 0
+    while (it < iters) {
+      val sums = assignVm(vm, model)
+        .select(col("cluster"), posexplode(col("vm")).as(Seq("i", "v")))
+        .groupBy("cluster", "i")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .collect()
+      val next = model.centroids.clone() // empty cluster keeps centroid
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val i = r.getInt(1)
+        // TRUNCATING division (Java long /): micro sums can be
+        // negative, and DuckDB's integer `//` truncates toward zero —
+        // floorDiv would drift one micro on negative dimensions.
+        next(c * dim + i) = r.getLong(2) / r.getLong(3)
+      }
+      model = KmModel(k, dim, next)
+      it += 1
+    }
+    model
+  }
+
+  /** `vm` must already carry (id, vm) micro vectors. */
+  private def assignVm(vm: DataFrame, model: KmModel): DataFrame =
+    vm.withColumn("nc", graft.functions.VectorExpressions
+        .nearestCentroid(col("vm"), model.centroids, model.k, model.dim))
+      .filter(col("nc").isNotNull)
+      .select(col("id"), col("vm"), col("nc.cluster").as("cluster"),
+        col("nc.dist_micro2").as("dist_micro2"))
+
+  /** Assignment under a fitted model: (id, cluster, dist_micro2) —
+    * one codegen projection, stream-safe (the frozen-scorer shape). */
+  def assign(emb: DataFrame, idCol: String, vecCol: String,
+             model: KmModel): DataFrame =
+    assignVm(emb.select(col(idCol).as("id"),
+        microVec(col(vecCol)).as("vm"))
+      .filter(size(col("vm")) === model.dim), model)
+      .drop("vm")
+
+  /** The packaged fit+assign: (id, cluster, dist_micro2) after
+    * `iters` Lloyd rounds. */
+  def fitAssign(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                dim: Int, iters: Int): DataFrame =
+    assign(emb, idCol, vecCol, fit(emb, idCol, vecCol, k, dim, iters))
+
+  /** CLUSTER-BALANCED corpus: flatten topic skew by sampling every
+    * k-means cell to a uniform token share — [[FeatureEng.domainMix]]'s
+    * rate machinery (largest achievable corpus, basis-point rates,
+    * md5-bucket determinism) with the learned cluster as the domain.
+    * `docs` joins `emb` on id (broadcast-eligible rate table; the
+    * cluster column rides the one equi-join). */
+  def clusterBalance(docs: DataFrame, docIdCol: String, textCol: String,
+                     emb: DataFrame, embIdCol: String, vecCol: String,
+                     k: Int, dim: Int, iters: Int): DataFrame = {
+    val clusters = fitAssign(emb, embIdCol, vecCol, k, dim, iters)
+      .select(col("id").as("doc_id"), col("cluster"))
+    val joined = docs.select(col(docIdCol).as("doc_id"), col(textCol).as("text"))
+      .join(clusters, "doc_id")
+      .withColumn("cl", concat(lit("c"), col("cluster")))
+    FeatureEng.domainMix(joined, "doc_id", "text", "cl",
+        (0 until k).map(c => s"c$c" -> 1.0).toMap)
+      .withColumnRenamed("source", "cl")
+      .withColumn("cluster", substring(col("cl"), 2, 10).cast("int"))
+      .select("doc_id", "cluster", "n_tokens", "sample_bucket", "rate_bp")
+  }
+}

@@ -296,4 +296,28 @@ class ExpressionSpec extends AnyFunSuite {
       assert(got(i) == want, s"id $i: got ${got(i)}, want $want")
     }
   }
+
+  test("NearestCentroidMicro: exact integer argmin, ties to lowest id, ragged → null") {
+    import graft.functions.VectorExpressions
+    // centroids: c0=(0,0), c1=(10,0), c2=(5,5)
+    val cents = Array(0L, 0L, 10L, 0L, 5L, 5L)
+    val rows = Seq(
+      (1L, Seq(1L, 0L)),   // nearest c0 (d=1 vs 81 vs 41)
+      (2L, Seq(9L, 0L)),   // nearest c1 (d=81 vs 1 vs 41)
+      (3L, Seq(5L, 0L)),   // TIE c0/c1 (both 25) → lowest id c0
+      (4L, Seq(5L, 4L)),   // nearest c2 (41 vs 41 vs 1) — tie c0/c1 beaten
+      (5L, Seq(1L, 2L, 3L))) // ragged → null
+    val out = rows.toDF("id", "vm")
+      .select(col("id"),
+        VectorExpressions.nearestCentroid(col("vm"), cents, 3, 2).as("nc"))
+      .select(col("id"), col("nc.cluster"), col("nc.dist_micro2"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getLong(2)))))
+      .toMap
+    assert(out(1L) === Some((0, 1L)))
+    assert(out(2L) === Some((1, 1L)))
+    assert(out(3L) === Some((0, 25L)))
+    assert(out(4L) === Some((2, 1L)))
+    assert(out(5L) === None)
+  }
 }

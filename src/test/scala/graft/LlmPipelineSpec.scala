@@ -2315,4 +2315,37 @@ class LlmPipelineSpec extends AnyFunSuite {
       .collect()
     assert(mix.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
+
+  test("kmeans: Lloyd objective non-increasing, deterministic, every vector assigned") {
+    import graft.operators.Kmeans
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val n = emb.count()
+    def totalDist(iters: Int): Long =
+      Kmeans.fitAssign(emb, "vec_id", "embedding", k = 4, dim = 64,
+          iters = iters)
+        .agg(sum("dist_micro2")).head().getLong(0)
+    val d0 = totalDist(0)
+    val d3 = totalDist(3)
+    assert(d3 <= d0, s"Lloyd must not worsen the objective: $d0 -> $d3")
+    val a = Kmeans.fitAssign(emb, "vec_id", "embedding", 4, 64, 3)
+    assert(a.count() === n, "every vector must be assigned")
+    assert(a.select("cluster").distinct().count() >= 2,
+      "the fit must actually separate the corpus")
+    val b = Kmeans.fitAssign(emb, "vec_id", "embedding", 4, 64, 3)
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      b.collect().map(_.toString).sorted.toSeq, "fit must be deterministic")
+  }
+
+  test("kmeans clusterBalance: every kept row passed its cluster gate; binding cell keeps ~all") {
+    import graft.operators.Kmeans
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val out = Kmeans.clusterBalance(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", k = 4, dim = 64, iters = 2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("sample_bucket") <
+      r.getAs[Long]("rate_bp")))
+    assert(out.map(_.getAs[Long]("rate_bp")).max === 10000L,
+      "the binding cluster must keep everything (largest achievable corpus)")
+  }
 }
