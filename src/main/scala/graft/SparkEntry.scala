@@ -762,6 +762,36 @@ object SparkEntry {
     operators.FtClassify.scoreFrozen(docs, "doc_id", "text", model)
   }
 
+  private val ftMcModels = new java.util.concurrent.ConcurrentHashMap[
+    String, operators.FtClassify.FtMcModel]()
+
+  /** fastText-style MULTICLASS language ID (round 12 — fastText's
+    * actual flagship task, the softmax twin of q_ft_quality): C-class
+    * hashed-n-gram classifier trained by full-batch GD on a labeled
+    * seed (every 5th doc with its `lang` column as the label; NOTE
+    * the synthetic corpus's lang labels are near-independent of its
+    * shared-vocabulary text — a full multinomial NB measures ~0.40
+    * corpus accuracy vs a 0.44 majority baseline — so corpus
+    * accuracy here is the data's ceiling, and the LEARNING proof
+    * lives in the disjoint-vocabulary fixture spec, which the model
+    * separates at ≥0.9), applied corpus-wide through the frozen per-bucket
+    * C-scalar collapse — ONE gram pass for all classes
+    * (HashedGramScoreMulti), stream-safe. Rows-only (softmax GD is
+    * not portable SQL); the fit is spec-held bit-equal to a
+    * sequential in-memory reference and loss-decreasing, argmax ties
+    * to the lowest class index. */
+  def qFtLangid(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val model = ftMcModels.computeIfAbsent(d, _ => {
+      val seed = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      operators.FtClassify.trainMc(seed, "doc_id", "text", "lang",
+        nBuckets = 4096, dim = 8, epochs = 40, lrMicro = 16000000L)
+    })
+    operators.FtClassify.scoreFrozenMc(docs, "doc_id", "text", model)
+      .select("doc_id", "n_grams", "pred_idx", "pred_label")
+  }
+
   /** Declared WITH the occurrence cap (maxDf = 100): the positional
     * self-join fans out O(occurrences²) per shingle, so an uncapped
     * declaration detonates on any corpus slice with heavily repeated
@@ -1848,7 +1878,8 @@ object SparkEntry {
     "q_doremi_weights" -> (qDoremiWeights _),
     "q_doremi_mix" -> (qDoremiMix _),
     "q_kmeans" -> (qKmeans _),
-    "q_kmeans_balance" -> (qKmeansBalance _)
+    "q_kmeans_balance" -> (qKmeansBalance _),
+    "q_ft_langid" -> (qFtLangid _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal

@@ -72,6 +72,70 @@ case class HashedGramScore(child: Expression, nBuckets: Int,
   : HashedGramScore = copy(child = newChild)
 }
 
+/** The C-class twin of [[HashedGramScore]]: ONE gram pass accumulates
+  * C frozen per-bucket scores simultaneously (text → (n_grams,
+  * array of C micro sums)) — the serving shape of a frozen MULTICLASS
+  * linear bag-of-hashed-ngrams model (fastText-style langid /
+  * multi-way quality tiers). Same md5 bucket math, same
+  * absent-bucket-is-neutral contract, exact long accumulation per
+  * class.
+  */
+case class HashedGramScoreMulti(child: Expression, nBuckets: Int,
+                                nClasses: Int, buckets: Array[Long],
+                                microsFlat: Array[Long])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nBuckets > 0 && nClasses > 0 &&
+    microsFlat.length == buckets.length * nClasses)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("score_micros", org.apache.spark.sql.types.ArrayType(
+      LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_hashed_gram_score_multi"
+
+  // java.lang.Integer values: a missing key must surface as null
+  // (Scala's unboxing would silently turn it into offset 0 — a WRONG
+  // bucket, not a neutral one)
+  @transient private lazy val model: java.util.HashMap[java.lang.Long, java.lang.Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Integer](
+      buckets.length * 2)
+    var i = 0
+    while (i < buckets.length) {
+      m.put(buckets(i), Int.box(i * nClasses)); i += 1
+    }
+    m
+  }
+
+  def compute(s: UTF8String): InternalRow = {
+    var nGrams = 0L
+    val micros = new Array[Long](nClasses)
+    HashedGramScore.foreachBucket(s, nBuckets) { b =>
+      nGrams += 1
+      val off = model.get(b)
+      if (off != null) {
+        val o = off.intValue()
+        var c = 0
+        while (c < nClasses) { micros(c) += microsFlat(o + c); c += 1 }
+      }
+    }
+    InternalRow(nGrams,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(micros))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramScorerMulti", this,
+      classOf[HashedGramScoreMulti].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : HashedGramScoreMulti = copy(child = newChild)
+}
+
 object HashedGramScore {
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
@@ -140,6 +204,17 @@ object HashedGramScore {
   def buckets(text: Column, nBuckets: Int): Column =
     GraftColumnBridge.column(HashedGramBuckets(
       GraftColumnBridge.expression(text), nBuckets))
+
+  /** `(n_grams, array of C score_micros)` struct column for a frozen
+    * multiclass (bucket → C micros) model — ONE gram pass for all C
+    * classes. */
+  def scoreMulti(text: Column, nBuckets: Int, nClasses: Int,
+                 model: Map[Long, Array[Long]]): Column = {
+    val sorted = model.toArray.sortBy(_._1)
+    GraftColumnBridge.column(HashedGramScoreMulti(
+      GraftColumnBridge.expression(text), nBuckets, nClasses,
+      sorted.map(_._1), sorted.flatMap(_._2)))
+  }
 }
 
 /** text → array of md5 hash buckets of every unigram and bigram

@@ -324,6 +324,304 @@ object FtClassify {
     FtModel(nBuckets, dim, emb, w, b, Nil)
   }
 
+  // ---------------------------------------------------------------
+  // MULTICLASS (softmax) variant — fastText's actual output layer,
+  // the langid shape: C classes share the bucket embedding table,
+  // each class owns an output vector + bias. Same integer-micro
+  // determinism contract as the binary trainer; serving collapses to
+  // C per-bucket scalars probed by HashedGramScoreMulti in ONE gram
+  // pass.
+  // ---------------------------------------------------------------
+
+  /** The trained multiclass artifact: labels sorted ascending (class
+    * c = labels(c)), emb row-major (bucket*dim + k), w row-major
+    * (class*dim + k), per-class bias — all 1e-6 micros. */
+  final case class FtMcModel(nBuckets: Int, dim: Int,
+                             labels: Array[String], emb: Array[Long],
+                             w: Array[Long], bMicro: Array[Long],
+                             lossMicroByEpoch: Seq[Long]) {
+    require(emb.length == nBuckets * dim &&
+      w.length == labels.length * dim && bMicro.length == labels.length)
+    def nClasses: Int = labels.length
+
+    /** Per-bucket per-class scalars s_cf = round(w_c·E_f / 1e6) — the
+      * frozen serving artifact (C numbers per bucket). */
+    def bucketScoresMc: Map[Long, Array[Long]] =
+      FtClassify.bucketScoresMcOf(nBuckets, dim, labels.length, emb, w)
+  }
+
+  private[operators] def bucketScoresMcOf(nBuckets: Int, dim: Int,
+                                          nC: Int, emb: Array[Long],
+                                          w: Array[Long])
+  : Map[Long, Array[Long]] = {
+    val m = Map.newBuilder[Long, Array[Long]]
+    var f = 0
+    while (f < nBuckets) {
+      val s = new Array[Long](nC)
+      var c = 0
+      while (c < nC) {
+        var acc = 0L
+        var k = 0
+        while (k < dim) { acc += w(c * dim + k) * emb(f * dim + k); k += 1 }
+        s(c) = rdiv(acc)
+        c += 1
+      }
+      m += (f.toLong -> s)
+      f += 1
+    }
+    m.result()
+  }
+
+  /** Train the C-class softmax classifier by full-batch GD on `seed`
+    * (labelCol is a string class label; classes = distinct labels,
+    * sorted). Every corpus-sized reduction is a Spark aggregate;
+    * per-row softmax terms are single deterministic double
+    * round-trips over exact integer inputs (java.lang.Math — the
+    * engine both plans run on), and the update step is the SHARED
+    * integer code path of [[trainMcReference]], so the distributed
+    * fit is bit-equal to the sequential one (spec-held). */
+  def trainMc(seed: DataFrame, idCol: String, textCol: String,
+              labelCol: String, nBuckets: Int = 4096, dim: Int = 8,
+              epochs: Int = 40, lrMicro: Long = 16000000L,
+              seedSalt: Long = 42L): FtMcModel = {
+    require(nBuckets > 0 && dim > 0 && epochs >= 1 && lrMicro > 0)
+    val spark = seed.sparkSession
+    import spark.implicits._
+    val labels = seed.select(col(labelCol).cast("string"))
+      .na.drop().distinct().as[String].collect().sorted
+    val nC = labels.length
+    require(nC >= 2, s"need at least 2 classes, got ${labels.toSeq}")
+    val labelIdx = labels.zipWithIndex.toMap
+    val yCol = labels.zipWithIndex.tail
+      .foldLeft(lit(0)) { case (acc, (l, i)) =>
+        when(col(labelCol).cast("string") === l, lit(i)).otherwise(acc)
+      }
+    val feats = Dsir.hashedNgramCounts(
+        seed.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+          yCol.as("y")),
+        "doc_id", "text", nBuckets, Seq("y" -> col("y")))
+      .localCheckpoint(false)
+    val docSizes = feats.groupBy("doc_id", "y").agg(sum("cnt").as("m"))
+    val pairs = feats.join(docSizes, Seq("doc_id", "y"))
+      .select(col("doc_id"), col("y"), col("bucket"), col("cnt"), col("m"))
+      .localCheckpoint(false)
+    val nDocs = docSizes.count()
+    require(nDocs > 0, "empty training seed")
+
+    val emb = Array.tabulate(nBuckets * dim)(i =>
+      initMicro(i.toLong, seedSalt, 100000L))
+    val w = Array.tabulate(nC * dim)(i =>
+      initMicro(nBuckets.toLong * dim + i, seedSalt, 100000L))
+    val b = new Array[Long](nC)
+    val vEmb = new Array[Long](nBuckets * dim)
+    val vW = new Array[Long](nC * dim)
+    val vB = new Array[Long](nC)
+    val losses = Seq.newBuilder[Long]
+
+    var e = 0
+    while (e < epochs) {
+      val sRows = bucketScoresMcOf(nBuckets, dim, nC, emb, w).toSeq
+        .map { case (f, arr) => (f, arr.toSeq) }
+      val sDf = sRows.toDF("bucket", "s_arr")
+      val bLits = b.clone()
+      // forward: per-class weighted score sums, then the softmax
+      // round-trip per row (exact integer inputs → one double chain)
+      val sumCols = (0 until nC).map(c =>
+        sum(col("cnt") * element_at(col("s_arr"), c + 1)).as(s"ss$c"))
+      val zExprs = (0 until nC).map(c =>
+        s"((ss$c / m + ${bLits(c)}) / 1e6)")
+      val mxExpr = s"greatest(${zExprs.mkString(", ")})"
+      val seExpr = (0 until nC).map(c => s"exp(${zExprs(c)} - mx)")
+        .mkString(" + ")
+      var perDoc = pairs.join(broadcast(sDf), Seq("bucket"))
+        .groupBy("doc_id", "y", "m")
+        .agg(sumCols.head,
+          (sumCols.tail :+
+            collect_list(struct(col("bucket"), col("cnt"))).as("fs")): _*)
+        .withColumn("mx", expr(mxExpr))
+        .withColumn("se", expr(seExpr))
+      (0 until nC).foreach { c =>
+        perDoc = perDoc.withColumn(s"p$c", expr(
+            s"CAST(round(1e6 * exp(${zExprs(c)} - mx) / se) AS BIGINT)"))
+          .withColumn(s"err$c",
+            col(s"p$c") - when(col("y") === c, 1000000L).otherwise(0L))
+      }
+      val pyExpr = (0 until nC).map(c =>
+        s"WHEN y = $c THEN p$c").mkString("CASE ", " ", " END")
+      perDoc = perDoc.localCheckpoint(false)
+      val aggs = perDoc.agg(
+          sum(expr(s"""CAST(round(-1e6 * ln(greatest($pyExpr, 1) / 1e6))
+                AS BIGINT)""")).as("loss_sum"),
+          (0 until nC).map(c => sum(col(s"err$c")).as(s"es$c")): _*)
+        .head()
+      losses += Math.floorDiv(aggs.getLong(0), nDocs)
+      val errSums = (0 until nC).map(c => aggs.getLong(1 + c)).toArray
+      // backward: per-(bucket, class) coefficients in one reduce
+      val coefCols = (0 until nC).map(c =>
+        sum(expr(s"CAST(round(CAST(err$c AS DOUBLE) * f.cnt / m) AS BIGINT)"))
+          .as(s"c$c"))
+      val coefRows = perDoc
+        .select((col("m") +: (0 until nC).map(c => col(s"err$c"))) :+
+          explode(col("fs")).as("f"): _*)
+        .groupBy(col("f.bucket").as("bucket"))
+        .agg(coefCols.head, coefCols.tail: _*)
+        .collect()
+      val coef = Array.fill(nC)(new Array[Long](nBuckets))
+      coefRows.foreach { r =>
+        val f = r.getLong(0).toInt
+        var c = 0
+        while (c < nC) { coef(c)(f) = r.getLong(1 + c); c += 1 }
+      }
+      val lrE = decayedLr(lrMicro, e, epochs)
+      applyUpdatesMc(nBuckets, dim, nC, emb, w, b, coef, errSums, lrE,
+        nDocs, vEmb, vW, vB)
+      e += 1
+    }
+    FtMcModel(nBuckets, dim, labels, emb, w, b, losses.result())
+  }
+
+  /** One multiclass GD step — THE shared code path of the
+    * distributed and sequential fits. grad_E_f(k) = rdiv(Σ_c
+    * coef_cf·w_ck) (one rounding of the class-summed product),
+    * grad_w_ck = Σ_f rdiv(coef_cf·E_fk), biases from the error sums;
+    * momentum β=0.9 and the two-stage lr/nDocs scaling exactly as
+    * the binary [[applyUpdates]]. */
+  private def applyUpdatesMc(nBuckets: Int, dim: Int, nC: Int,
+                             emb: Array[Long], w: Array[Long],
+                             b: Array[Long], coef: Array[Array[Long]],
+                             errSums: Array[Long], lrMicro: Long,
+                             nDocs: Long, vEmb: Array[Long],
+                             vW: Array[Long], vB: Array[Long]): Unit = {
+    val gradW = new Array[Long](nC * dim)
+    var f = 0
+    while (f < nBuckets) {
+      var any = false
+      var c = 0
+      while (c < nC && !any) { any = coef(c)(f) != 0L; c += 1 }
+      var k = 0
+      while (k < dim) {
+        val i = f * dim + k
+        if (any) {
+          var accE = 0L
+          c = 0
+          while (c < nC) {
+            val cf = coef(c)(f)
+            if (cf != 0L) {
+              gradW(c * dim + k) += rdiv(cf * emb(i))
+              accE += cf * w(c * dim + k)
+            }
+            c += 1
+          }
+          vEmb(i) = Math.floorDiv(9L * vEmb(i), 10L) +
+            roundDiv(lrMicro * rdiv(accE), 1000000L * nDocs)
+        } else {
+          vEmb(i) = Math.floorDiv(9L * vEmb(i), 10L)
+        }
+        emb(i) -= vEmb(i)
+        k += 1
+      }
+      f += 1
+    }
+    var c = 0
+    while (c < nC) {
+      var k = 0
+      while (k < dim) {
+        val i = c * dim + k
+        vW(i) = Math.floorDiv(9L * vW(i), 10L) +
+          roundDiv(lrMicro * gradW(i), 1000000L * nDocs)
+        w(i) -= vW(i)
+        k += 1
+      }
+      vB(c) = Math.floorDiv(9L * vB(c), 10L) +
+        roundDiv(lrMicro * errSums(c), 1000000L * nDocs)
+      b(c) -= vB(c)
+      c += 1
+    }
+  }
+
+  /** Corpus-wide multiclass scoring against the FROZEN model: C
+    * per-bucket scalars probed by [[graft.functions
+    * .HashedGramScoreMulti]] in ONE gram pass — a pure projection
+    * (no join, no shuffle, stream-safe). Returns (doc_id, n_grams,
+    * z_micro array, pred_idx, pred_label); argmax ties break to the
+    * LOWEST class index (deterministic). Docs with no words drop. */
+  def scoreFrozenMc(docs: DataFrame, idCol: String, textCol: String,
+                    model: FtMcModel): DataFrame = {
+    val nC = model.nClasses
+    val labelArr = array(model.labels.map(lit(_)): _*)
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.HashedGramScore.scoreMulti(col(textCol),
+          model.nBuckets, nC, model.bucketScoresMc).as("sc"))
+      .filter(col("sc.n_grams") > 0)
+      .select(col("doc_id"), col("sc.n_grams").as("n_grams"),
+        expr((0 until nC).map(c =>
+            s"element_at(sc.score_micros, ${c + 1}) DIV sc.n_grams" +
+              s" + ${model.bMicro(c)}")
+          .mkString("array(", ", ", ")")).as("z_micro"))
+      // argmax, ties to the lowest index: array_position finds the
+      // FIRST occurrence of the max
+      .withColumn("pred_idx",
+        (array_position(col("z_micro"), array_max(col("z_micro"))) - 1)
+          .cast("int"))
+      .withColumn("pred_label",
+        element_at(labelArr, col("pred_idx") + 1))
+  }
+
+  /** Sequential in-memory multiclass reference — the spec twin of
+    * [[trainMc]]: same features, same double round-trips
+    * (java.lang.Math), same shared [[applyUpdatesMc]] step. rows =
+    * (doc_id, y, Seq(bucket -> cnt)). */
+  private[graft] def trainMcReference(
+      rows: Seq[(Long, Int, Seq[(Long, Long)])], labels: Array[String],
+      nBuckets: Int, dim: Int, epochs: Int, lrMicro: Long,
+      seedSalt: Long): FtMcModel = {
+    val nC = labels.length
+    val emb = Array.tabulate(nBuckets * dim)(i =>
+      initMicro(i.toLong, seedSalt, 100000L))
+    val w = Array.tabulate(nC * dim)(i =>
+      initMicro(nBuckets.toLong * dim + i, seedSalt, 100000L))
+    val b = new Array[Long](nC)
+    val vEmb = new Array[Long](nBuckets * dim)
+    val vW = new Array[Long](nC * dim)
+    val vB = new Array[Long](nC)
+    val nDocs = rows.size.toLong
+    val losses = Seq.newBuilder[Long]
+    var e = 0
+    while (e < epochs) {
+      val s = bucketScoresMcOf(nBuckets, dim, nC, emb, w)
+      val coef = Array.fill(nC)(new Array[Long](nBuckets))
+      val errSums = new Array[Long](nC)
+      var lossSum = 0L
+      rows.foreach { case (_, y, fs) =>
+        val m = fs.map(_._2).sum
+        val z = Array.tabulate(nC) { c =>
+          val sumS = fs.map { case (f, cnt) => cnt * s(f)(c) }.sum
+          (sumS.toDouble / m + b(c)) / 1e6
+        }
+        val mx = z.max
+        val es = z.map(zc => math.exp(zc - mx))
+        val se = es.foldLeft(0.0)(_ + _)
+        val p = es.map(ec => math.round(1e6 * ec / se))
+        var c = 0
+        while (c < nC) {
+          val err = p(c) - (if (y == c) 1000000L else 0L)
+          errSums(c) += err
+          fs.foreach { case (f, cnt) =>
+            coef(c)(f.toInt) += sqlRound(err.toDouble * cnt / m)
+          }
+          c += 1
+        }
+        lossSum += math.round(-1e6 * math.log(math.max(p(y), 1L) / 1e6))
+      }
+      losses += Math.floorDiv(lossSum, nDocs)
+      val lrE = decayedLr(lrMicro, e, epochs)
+      applyUpdatesMc(nBuckets, dim, nC, emb, w, b, coef, errSums, lrE,
+        nDocs, vEmb, vW, vB)
+      e += 1
+    }
+    FtMcModel(nBuckets, dim, labels, emb, w, b, losses.result())
+  }
+
   /** Sequential in-memory reference trainer — the spec twin: same
     * features, same integer ops, same rounding, plain Scala loops.
     * Exists so [[train]]'s distributed aggregates can be held

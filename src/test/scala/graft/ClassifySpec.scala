@@ -201,4 +201,63 @@ class ClassifySpec extends AnyFunSuite {
       .collect()
     assert(rep3.length === 1 && rep3.head.getLong(0) === 0L)
   }
+
+  // --- multiclass (softmax) fastText variant — the langid shape ----
+
+  private def ftMcFixture = {
+    val vocab = Map("aa" -> "alpha apple arrow anchor attic",
+      "bb" -> "berry basket bridge bottle bramble",
+      "cc" -> "cedar candle copper canyon cricket")
+    ((1L to 45L).map { i =>
+      val l = Seq("aa", "bb", "cc")((i % 3).toInt)
+      (i, s"${vocab(l)} extra$i filler$i", l)
+    }).toDF("doc_id", "text", "lang")
+  }
+
+  test("ftClassify multiclass: distributed softmax fit == sequential reference bit for bit") {
+    import graft.operators.{Dsir, FtClassify}
+    val seed = ftMcFixture
+    val nB = 256; val dim = 4; val ep = 6
+    val got = FtClassify.trainMc(seed, "doc_id", "text", "lang",
+      nBuckets = nB, dim = dim, epochs = ep, lrMicro = 2000000L)
+    val labels = Array("aa", "bb", "cc")
+    val idx = labels.zipWithIndex.toMap
+    val rows = Dsir.hashedNgramCounts(
+        seed.select(col("doc_id"), col("text"), col("lang").as("y")),
+        "doc_id", "text", nB, Seq("y" -> col("y")))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .toSeq.sortBy(_._1._1)
+      .map { case ((id, y), rs) =>
+        (id, idx(y), rs.map(r => (r.getLong(2), r.getLong(3))).toSeq)
+      }
+    val want = FtClassify.trainMcReference(rows, labels, nB, dim, ep,
+      lrMicro = 2000000L, seedSalt = 42L)
+    assert(got.labels.toSeq === want.labels.toSeq)
+    assert(got.bMicro.toSeq === want.bMicro.toSeq)
+    assert(got.w.toSeq === want.w.toSeq)
+    assert(got.emb.toSeq === want.emb.toSeq)
+    assert(got.lossMicroByEpoch === want.lossMicroByEpoch)
+  }
+
+  test("ftClassify multiclass: loss decreases; frozen one-pass scorer recovers all three classes") {
+    import graft.operators.FtClassify
+    val seed = ftMcFixture
+    val model = FtClassify.trainMc(seed, "doc_id", "text", "lang",
+      nBuckets = 256, dim = 4, epochs = 15)
+    assert(model.lossMicroByEpoch.last < model.lossMicroByEpoch.head,
+      s"loss must decrease: ${model.lossMicroByEpoch}")
+    val scored = FtClassify.scoreFrozenMc(seed, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val acc = (1L to 45L).count(i =>
+      scored(i) == Seq("aa", "bb", "cc")((i % 3).toInt)) / 45.0
+    assert(acc >= 0.9, s"train accuracy $acc over 3 disjoint vocabularies")
+    // unseen docs classify by their vocabulary; null text drops
+    val fresh = Seq((100L, "alpha apple unseen"),
+      (101L, "berry basket unseen"), (102L, "cedar candle unseen"),
+      (103L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val f = FtClassify.scoreFrozenMc(fresh, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(f === Map(100L -> "aa", 101L -> "bb", 102L -> "cc"))
+  }
 }
