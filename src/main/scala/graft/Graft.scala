@@ -668,6 +668,101 @@ object Graft {
                   root: String): operators.FtClassify.FtModel =
     operators.FtClassify.modelFromStore(spark, root)
 
+  // ---- multiclass fastText (langid shape, round 12) ---------------
+
+  /** Train the C-class softmax hashed-n-gram classifier (labels =
+    * distinct values of `labelCol`, sorted) — [[ftQualityTrain]]'s
+    * softmax twin, spec-held bit-equal to a sequential reference. */
+  def ftLangidTrain(seed: DataFrame, labelCol: String,
+                    nBuckets: Int = 4096, dim: Int = 8,
+                    epochs: Int = 40,
+                    lrMicro: Long = 16000000L)
+  : operators.FtClassify.FtMcModel =
+    operators.FtClassify.trainMc(seed, "doc_id", "text", labelCol,
+      nBuckets, dim, epochs, lrMicro)
+
+  /** Score a corpus against the FROZEN multiclass model: ONE gram
+    * pass for all C classes (argmax ties to lowest class index) —
+    * no join, no shuffle, stream-safe. */
+  def ftLangidScore(docs: DataFrame,
+                    model: operators.FtClassify.FtMcModel): DataFrame =
+    operators.FtClassify.scoreFrozenMc(docs, "doc_id", "text", model)
+
+  /** Persist / load the multiclass classifier (ONE atomic
+    * VersionedStore table; round-trip bit-equal). */
+  def ftMcModelSave(spark: SparkSession,
+                    model: operators.FtClassify.FtMcModel,
+                    root: String): Unit =
+    operators.FtClassify.saveModelMc(spark, model, root)
+
+  def ftMcModelLoad(spark: SparkSession,
+                    root: String): operators.FtClassify.FtMcModel =
+    operators.FtClassify.modelMcFromStore(spark, root)
+
+  // ---- DoReMi-style learned domain mixture (round 12) --------------
+
+  /** Learn per-domain mixture weights by integer multiplicative
+    * weights over in-plan LM excess loss — returns one row per
+    * domain with (excess_micro, alpha_micro, share_micro); the whole
+    * fit is oracle-replayable integer arithmetic. */
+  def doremiWeights(docs: DataFrame, srcCol: String = "source",
+                    etaMicro: Long = 500000L, steps: Int = 5,
+                    smoothMicro: Long = 10000L): DataFrame =
+    operators.Doremi.domainWeights(docs, "doc_id", "text", srcCol,
+      etaMicro, steps, smoothMicro)
+
+  /** The multiplicative-weights trajectory over ANY per-domain
+    * excess table (source, excess_micro) — the pluggable update
+    * half of [[doremiWeights]]. */
+  def doremiFromExcess(excess: DataFrame, etaMicro: Long = 500000L,
+                       steps: Int = 5,
+                       smoothMicro: Long = 10000L): DataFrame =
+    operators.Doremi.weightsFromExcess(excess, etaMicro, steps,
+      smoothMicro)
+
+  /** Apply the learned mixture through the domainMix rate machinery
+    * (largest achievable corpus, md5-bucket determinism). */
+  def doremiMix(docs: DataFrame, srcCol: String = "source",
+                etaMicro: Long = 500000L, steps: Int = 5,
+                smoothMicro: Long = 10000L): DataFrame =
+    operators.Doremi.domainMixLearned(docs, "doc_id", "text", srcCol,
+      etaMicro, steps, smoothMicro)
+
+  // ---- distributed corpus-scale k-means (round 12) ------------------
+
+  /** Fit the integer-micro Lloyd model over the full embedding
+    * corpus (md5-seeded init, codegen assignment, exact-integer
+    * updates — fully oracle-replayable). */
+  def kmeansFit(emb: DataFrame, k: Int, dim: Int, iters: Int = 3,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding")
+  : operators.Kmeans.KmModel =
+    operators.Kmeans.fit(emb, idCol, vecCol, k, dim, iters)
+
+  /** Assign vectors under a fitted model — one codegen projection
+    * (no join, no shuffle, stream-safe). */
+  def kmeansAssign(emb: DataFrame, model: operators.Kmeans.KmModel,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    operators.Kmeans.assign(emb, idCol, vecCol, model)
+
+  /** Sample every k-means cell to a uniform token share —
+    * topic-skew flattening through the domainMix rate machinery. */
+  def kmeansBalance(docs: DataFrame, emb: DataFrame, k: Int, dim: Int,
+                    iters: Int = 3): DataFrame =
+    operators.Kmeans.clusterBalance(docs, "doc_id", "text", emb,
+      "vec_id", "embedding", k, dim, iters)
+
+  /** Persist / load the fitted model (ONE atomic VersionedStore
+    * table; round-trip bit-equal). */
+  def kmeansSave(spark: SparkSession, model: operators.Kmeans.KmModel,
+                 root: String): Unit =
+    operators.Kmeans.saveModel(spark, model, root)
+
+  def kmeansLoad(spark: SparkSession,
+                 root: String): operators.Kmeans.KmModel =
+    operators.Kmeans.modelFromStore(spark, root)
+
   /** Ingest a JSONL corpus with quarantine semantics: (clean,
     * corrupt) — malformed lines retained, never silently dropped. */
   def readJsonl(spark: SparkSession, path: String,

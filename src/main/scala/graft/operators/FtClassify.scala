@@ -567,6 +567,64 @@ object FtClassify {
         element_at(labelArr, col("pred_idx") + 1))
   }
 
+  private def ftMcTable(root: String) = s"$root/ft_mc_model"
+
+  /** PERSIST the multiclass classifier under `root` as ONE atomic
+    * VersionedStore table (`ft_mc_model`: part, i, k, v_micro, s —
+    * 'emb' rows (bucket, dim-index), 'w' rows (class, dim-index),
+    * 'b' rows (class), 'label' rows carry the class string in `s`,
+    * 'meta' the (nBuckets, dim) shape; one overwrite, the
+    * [[saveModel]] contract). */
+  def saveModelMc(spark: org.apache.spark.sql.SparkSession,
+                  model: FtMcModel, root: String): Unit = {
+    import spark.implicits._
+    val none: Option[String] = None
+    val rows =
+      model.emb.zipWithIndex.map { case (v, i) =>
+        ("emb", (i / model.dim).toLong, (i % model.dim).toLong, v, none)
+      }.toSeq ++
+      model.w.zipWithIndex.map { case (v, i) =>
+        ("w", (i / model.dim).toLong, (i % model.dim).toLong, v, none)
+      }.toSeq ++
+      model.bMicro.zipWithIndex.map { case (v, c) =>
+        ("b", c.toLong, 0L, v, none)
+      }.toSeq ++
+      model.labels.zipWithIndex.map { case (l, c) =>
+        ("label", c.toLong, 0L, 0L, Some(l))
+      }.toSeq :+
+      ("meta", model.nBuckets.toLong, model.dim.toLong, 0L, none)
+    graft.offline.VersionedStore.overwrite(
+      rows.toDF("part", "i", "k", "v_micro", "s"), ftMcTable(root))
+  }
+
+  /** Load the persisted multiclass classifier — bit-equal to the
+    * [[saveModelMc]] input (per-epoch losses are a training-time
+    * diagnostic, not persisted). */
+  def modelMcFromStore(spark: org.apache.spark.sql.SparkSession,
+                       root: String): FtMcModel = {
+    val t = graft.offline.VersionedStore.read(spark, ftMcTable(root))
+      .localCheckpoint(false) // pin ONE snapshot for all five parts
+    val meta = t.filter(col("part") === "meta").select("i", "k").head()
+    val nBuckets = meta.getLong(0).toInt
+    val dim = meta.getLong(1).toInt
+    val labels = t.filter(col("part") === "label")
+      .select("i", "s").collect()
+      .sortBy(_.getLong(0)).map(_.getString(1))
+    val nC = labels.length
+    val emb = new Array[Long](nBuckets * dim)
+    t.filter(col("part") === "emb").select("i", "k", "v_micro").collect()
+      .foreach(r => emb(r.getLong(0).toInt * dim + r.getLong(1).toInt) =
+        r.getLong(2))
+    val w = new Array[Long](nC * dim)
+    t.filter(col("part") === "w").select("i", "k", "v_micro").collect()
+      .foreach(r => w(r.getLong(0).toInt * dim + r.getLong(1).toInt) =
+        r.getLong(2))
+    val b = new Array[Long](nC)
+    t.filter(col("part") === "b").select("i", "v_micro").collect()
+      .foreach(r => b(r.getLong(0).toInt) = r.getLong(1))
+    FtMcModel(nBuckets, dim, labels, emb, w, b, Nil)
+  }
+
   /** Sequential in-memory multiclass reference — the spec twin of
     * [[trainMc]]: same features, same double round-trips
     * (java.lang.Math), same shared [[applyUpdatesMc]] step. rows =

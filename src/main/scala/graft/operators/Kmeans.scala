@@ -132,6 +132,39 @@ object Kmeans {
                 dim: Int, iters: Int): DataFrame =
     assign(emb, idCol, vecCol, fit(emb, idCol, vecCol, k, dim, iters))
 
+  private def kmTable(root: String) = s"$root/kmeans_model"
+
+  /** PERSIST the fitted model under `root` as ONE atomic
+    * VersionedStore table (`kmeans_model`: part, i, k, v — 'c' rows
+    * carry (cluster, dim-index, centroid micro), 'meta' the (k, dim)
+    * shape; single overwrite so a reader can never see centroids
+    * from two fits — the refreshUnigram one-table contract). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+                model: KmModel, root: String): Unit = {
+    import spark.implicits._
+    val rows = model.centroids.zipWithIndex.map { case (v, i) =>
+      ("c", (i / model.dim).toLong, (i % model.dim).toLong, v)
+    }.toSeq :+ ("meta", model.k.toLong, model.dim.toLong, 0L)
+    graft.offline.VersionedStore.overwrite(
+      rows.toDF("part", "i", "k", "v"), kmTable(root))
+  }
+
+  /** Load the persisted model — bit-equal to the [[saveModel]]
+    * input (exact micros, one pinned snapshot). */
+  def modelFromStore(spark: org.apache.spark.sql.SparkSession,
+                     root: String): KmModel = {
+    val t = graft.offline.VersionedStore.read(spark, kmTable(root))
+      .localCheckpoint(false) // pin ONE snapshot for both parts
+    val meta = t.filter(col("part") === "meta").select("i", "k").head()
+    val k = meta.getLong(0).toInt
+    val dim = meta.getLong(1).toInt
+    val flat = new Array[Long](k * dim)
+    t.filter(col("part") === "c").select("i", "k", "v").collect()
+      .foreach(r =>
+        flat(r.getLong(0).toInt * dim + r.getLong(1).toInt) = r.getLong(2))
+    KmModel(k, dim, flat)
+  }
+
   /** CLUSTER-BALANCED corpus: flatten topic skew by sampling every
     * k-means cell to a uniform token share — [[FeatureEng.domainMix]]'s
     * rate machinery (largest achievable corpus, basis-point rates,

@@ -444,4 +444,55 @@ class FacadeSpec extends AnyFunSuite {
         root)
       .count() === 0L)
   }
+
+  test("round-12 family delegates: doremi / kmeans (+store) / ft multiclass (+store)") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+
+    // doremi: facade == operator, pluggable excess path agrees
+    val w = Graft.doremiWeights(docs).collect()
+    assert(w.nonEmpty && w.forall(_.getAs[Long]("share_micro") > 0))
+    val viaExcess = Graft.doremiFromExcess(
+        graft.operators.Doremi.domainExcess(docs, "doc_id", "text",
+          "source"))
+      .select("source", "share_micro").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w.map(r => r.getString(0) ->
+      r.getAs[Long]("share_micro")).toMap === viaExcess)
+    val mix = Graft.doremiMix(docs)
+    assert(mix.count() > 0)
+
+    // kmeans: fit → save → load bit-equal; assignment via the loaded
+    // model matches the direct one
+    val km = Graft.kmeansFit(emb, k = 4, dim = 64, iters = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("km_store").toString
+    Graft.kmeansSave(spark, km, s"$tmp/km")
+    val kmLoaded = Graft.kmeansLoad(spark, s"$tmp/km")
+    assert(kmLoaded.k === km.k && kmLoaded.dim === km.dim)
+    assert(kmLoaded.centroids.toSeq === km.centroids.toSeq)
+    val a1 = Graft.kmeansAssign(emb, km).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Graft.kmeansAssign(emb, kmLoaded).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+    assert(Graft.kmeansBalance(docs, emb, k = 4, dim = 64).count() > 0)
+
+    // multiclass ft: train → save → load bit-equal; stored scorer ==
+    // in-memory scorer
+    val seed = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mc = Graft.ftLangidTrain(seed, "lang", nBuckets = 256, dim = 4,
+      epochs = 4)
+    Graft.ftMcModelSave(spark, mc, s"$tmp/ftmc")
+    val mcLoaded = Graft.ftMcModelLoad(spark, s"$tmp/ftmc")
+    assert(mcLoaded.labels.toSeq === mc.labels.toSeq)
+    assert(mcLoaded.emb.toSeq === mc.emb.toSeq)
+    assert(mcLoaded.w.toSeq === mc.w.toSeq)
+    assert(mcLoaded.bMicro.toSeq === mc.bMicro.toSeq)
+    val s1 = Graft.ftLangidScore(docs, mc).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    val s2 = Graft.ftLangidScore(docs, mcLoaded).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(s1 === s2)
+  }
 }

@@ -1121,4 +1121,60 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
     assert(outIds() == got, "replay must not change the out table")
   }
+
+  test("frozen kmeans assignment is stateless on a stream: streamed == batch, across batches") {
+    import graft.operators.Kmeans
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val model = Kmeans.fit(emb, "vec_id", "embedding", k = 4, dim = 64,
+      iters = 2)
+    val batch = Kmeans.assign(emb, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2)))
+      .toMap
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Kmeans.assign(input.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", model)
+      .writeStream.format("memory").queryName("km_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("km_stream").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(streamed === batch,
+      "frozen assignment must be batch-identical on a stream")
+  }
+
+  test("frozen multiclass ft scorer is stateless on a stream: streamed == batch") {
+    import graft.operators.FtClassify
+    implicit val sqlCtx = spark.sqlContext
+    val seed = (1L to 30L).map { i =>
+      val l = Seq("aa", "bb", "cc")((i % 3).toInt)
+      val t = Map("aa" -> "alpha apple arrow", "bb" -> "berry basket bridge",
+        "cc" -> "cedar candle copper")(l)
+      (i, s"$t tail$i", l)
+    }
+    val model = FtClassify.trainMc(seed.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", "lang", nBuckets = 128, dim = 4, epochs = 8)
+    val batch = FtClassify.scoreFrozenMc(
+        seed.toDF("doc_id", "text", "lang"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = FtClassify.scoreFrozenMc(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .select("doc_id", "pred_label")
+      .writeStream.format("memory").queryName("ftmc_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(seed.map(r => (r._1, r._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ftmc_stream").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed === batch)
+  }
 }
