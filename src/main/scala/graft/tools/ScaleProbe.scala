@@ -1072,6 +1072,46 @@ object ScaleProbe {
       LinkGraph.pageRankMicro(prEdges100(200000000L), 5).count())
     }
 
+    // round-12 families: kmeans fit growth (corpus × iters), doremi
+    // excess-fit growth (two scans; the MW loop is domains-sized),
+    // ft-multiclass frozen scoring growth (train is seed-bounded)
+    if (sections("round12")) {
+    import graft.operators.{Doremi, FtClassify, Kmeans}
+    val emb1 = Tables.embeddings(spark, d).cache()
+    println(s"[scale] kmeans emb rows x1: ${emb1.count()}")
+    val m1 = time("kmeans fit x1 (k=8, 3 iters)")(
+      Kmeans.fit(emb1, "vec_id", "embedding", 8, 64, 3))
+    time("kmeans assign x1")(
+      Kmeans.assign(emb1, "vec_id", "embedding", m1).count())
+    val embK = replicate(Tables.embeddings(spark, d), k,
+      Map("vec_id" -> 10000000L)).cache()
+    println(s"[scale] kmeans emb rows xK: ${embK.count()}")
+    val mK = time(s"kmeans fit x$k (k=8, 3 iters)")(
+      Kmeans.fit(embK, "vec_id", "embedding", 8, 64, 3))
+    time(s"kmeans assign x$k")(
+      Kmeans.assign(embK, "vec_id", "embedding", mK).count())
+    embK.unpersist(); emb1.unpersist()
+
+    val docs1 = Tables.documents(spark, d).cache(); docs1.count()
+    time("doremi weights x1")(
+      Doremi.domainWeights(docs1, "doc_id", "text", "source").count())
+    val docsK = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 10000000L)).cache()
+    println(s"[scale] doremi docs rows xK: ${docsK.count()}")
+    time(s"doremi weights x$k")(
+      Doremi.domainWeights(docsK, "doc_id", "text", "source").count())
+
+    val seed = docs1.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val mc = time("ft mc train (seed, 40 epochs)")(
+      FtClassify.trainMc(seed, "doc_id", "text", "lang"))
+    time("ft mc frozen score x1")(
+      FtClassify.scoreFrozenMc(docs1, "doc_id", "text", mc).count())
+    time(s"ft mc frozen score x$k")(
+      FtClassify.scoreFrozenMc(docsK, "doc_id", "text", mc).count())
+    docsK.unpersist(); docs1.unpersist()
+    }
+
     if (sections("emb")) {
     // embeddings xK: unique vec ids, duplicated vectors — the blocked
     // equi-join's O(n²) work grows k², so this curve is the honest cost
