@@ -395,6 +395,51 @@ case class PqNorm(child: Expression, codebook: Array[Float],
   : PqNorm = copy(child = newChild)
 }
 
+/** `array<float>` → `array<bigint>` 1e-6 fixed-point view: each
+  * component rounds HALF-UP (away from zero — SQL round semantics,
+  * so the DuckDB oracle's `round(x::DOUBLE * 1e6)` matches exactly).
+  * The codegen replacement for `transform(v, x -> round(x*1e6))` —
+  * higher-order lambdas are CodegenFallback and would interpret the
+  * hot path AND break whole-stage codegen for everything downstream
+  * (the PlaneSignBucket lesson, on the quantization axis). Null
+  * elements and null arrays propagate as null.
+  */
+case class MicroVec(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType)
+  override def prettyName: String = "graft_micro_vec"
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = v.getFloat(i).toDouble * 1000000.0
+        out(i) = if (x >= 0) math.floor(x + 0.5).toLong
+                 else math.ceil(x - 0.5).toLong
+      } // else: stays null (SQL round(null) = null)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("microVec", this,
+      classOf[MicroVec].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : MicroVec = copy(child = newChild)
+}
+
 /** Nearest centroid over an INTEGER-MICRO vector (`array<bigint>`):
   * argmin over `k` centroids of the exact squared L2 distance, ties
   * to the LOWEST cluster id (strict-less keeps the first winner).
@@ -510,6 +555,9 @@ object VectorExpressions {
                       dim: Int): Column =
     GraftColumnBridge.column(NearestCentroidMicro(
       GraftColumnBridge.expression(vm), centroids, k, dim))
+
+  def microVec(vec: Column): Column =
+    GraftColumnBridge.column(MicroVec(GraftColumnBridge.expression(vec)))
 
   /** Register the full graft SQL surface in an existing session
     * (kept for source compatibility — see [[GraftSqlFunctions]]). */

@@ -43,9 +43,11 @@ object Kmeans {
 
   /** Integer-micro view of a float-array embedding column: each
     * component rounds HALF-UP to 1e-6 micros — the one rounding this
-    * operator ever applies to input data. */
+    * operator ever applies to input data. Codegen (the MicroVec
+    * expression): a `transform` lambda here would interpret the hot
+    * path and break whole-stage codegen for the assignment chain. */
   def microVec(vec: Column): Column =
-    transform(vec, x => round(x.cast("double") * 1000000).cast("long"))
+    graft.functions.VectorExpressions.microVec(vec)
 
   /** Deterministic init: the k vectors with the smallest
     * md5Hash31(vec_id), ties on vec_id; cluster c = position c in
