@@ -531,7 +531,8 @@ object TextAnalysis {
   def qualityClassifierFrozen(docs: DataFrame, idCol: String,
                               textCol: String, vocab: Map[String, Long],
                               totalTokens: Long, oovCount: Long = 1L,
-                              th: QualityThresholds = QualityThresholds())
+                              th: QualityThresholds = QualityThresholds(),
+                              keepText: Boolean = false)
   : DataFrame = {
     require(totalTokens > 0, "totalTokens must be positive")
     val t = col(textCol)
@@ -570,10 +571,14 @@ object TextAnalysis {
             w => -log(coalesce(element_at(vocabMap, w), lit(oovCount))
               / lit(totalTokens.toDouble))),
           lit(0.0), (acc, x) => acc + x) / size(col("ws")), 4))
-    attachDecision(sig, th)
-      .select("doc_id", "n_words", "avg_word_len", "stopword_ratio",
-        "alpha_ratio", "top_word_ratio", "distinct_word_ratio",
-        "top_bigram_ratio", "lm_score", "drop_reason", "keep")
+    val cols = Seq("doc_id", "n_words", "avg_word_len", "stopword_ratio",
+      "alpha_ratio", "top_word_ratio", "distinct_word_ratio",
+      "top_bigram_ratio", "lm_score", "drop_reason", "keep")
+    val out = attachDecision(sig, th)
+    // keepText: curation chains (e.g. the streaming curate pipeline)
+    // need the gated text downstream; the default output is unchanged
+    if (keepText) out.select((cols.map(col) :+ col("_text").as("text")): _*)
+    else out.select(cols.map(col): _*)
   }
 
   /** CCNet-style perplexity bucketing: each document's EXACT percent

@@ -56,7 +56,8 @@ class GraftCoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_dedup_simhash_wide", "q_ann_ivf", "q_ann_pq",
       "q_dedup_semdedup",
       "q_bpe_merges", "q_bpe_encode", "q_bpe_encode_oov",
-      "q_unigram_train", "q_unigram_sample", "q_ft_quality")
+      "q_unigram_train", "q_unigram_sample", "q_ft_quality",
+      "q_ft_langid") // softmax GD — same class as q_ft_quality
     assert(noOracle.subsetOf(known), s"missing oracle for: $noOracle")
   }
 

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1120,6 +1121,64 @@ class StreamingSpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
     assert(outIds() == got, "replay must not change the out table")
+  }
+
+  test("streaming curate chain: quality gate -> first-arrival dedup -> decontam drop == batch chain") {
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.streaming.{StreamingCurate, StreamingDedup}
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, TestSpark.sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // duplicates of the first 5 docs under higher ids + one fresh doc
+    val dups = base.take(5).zipWithIndex.map { case ((_, t), i) =>
+      (100000L + i, t)
+    }
+    val b1 = base.toSeq
+    val b2 = dups.toSeq :+ ((200000L,
+      base.head._2 + " genuinely new tail content"))
+    val all = (b1 ++ b2).toDF("doc_id", "text")
+
+    // frozen artifacts, shared by both executions
+    val docsDf = b1.toDF("doc_id", "text")
+    val (vocab, total) = TextAnalysis.freezeVocabulary(docsDf, "doc_id",
+      "text", topK = 100000)
+    val th = TextAnalysis.QualityThresholds(minWords = 10L)
+    val evalShingles = Dedup.freezeEvalShingles(
+      docsDf.filter(col("doc_id") % 10 === 3), "text", n = 3)
+
+    // batch chain with the same frozen policies
+    val kept = TextAnalysis.qualityClassifierFrozen(all, "doc_id",
+        "text", vocab, total, th = th, keepText = true)
+      .filter(col("keep")).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dedupKept = kept.groupBy(r => StreamingDedup.fingerprint(r._2))
+      .values.map(_.minBy(_._1)).toSeq
+    val contaminated = Dedup.decontaminateFrozen(
+        dedupKept.toDF("doc_id", "text"), "doc_id", "text",
+        evalShingles, n = 3, minOverlap = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = dedupKept.filterNot(r => contaminated(r._1))
+      .map(_._1).toSet
+    assert(expect.nonEmpty && expect.size < (b1 ++ b2).size,
+      "fixture must exercise every stage")
+
+    // streamed chain, arrivals in id order (batch keep-min == first)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCurate.curate(
+        input.toDF().toDF("doc_id", "text"), vocab, total, th,
+        evalShingles, shingleN = 3, minOverlap = 1L)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate_stream").collect()
+      .map(_.getLong(0)).toSet
+    assert(streamed === expect,
+      "streamed curation must equal the batch chain under id-ordered arrivals")
   }
 
   test("frozen kmeans assignment is stateless on a stream: streamed == batch, across batches") {
