@@ -1050,6 +1050,17 @@ object SparkEntry {
         "embedding", k = 8, dim = 64, iters = 3)
       .withColumnRenamed("id", "vec_id")
 
+  /** SemDeDup with the corpus-fit clusters (round 12): the first
+    * semantic-dedup query whose ENTIRE pipeline — Lloyd fit, cell
+    * assignment, blocking, exact cosine, threshold — replays in the
+    * oracle (q_dedup_semdedup's sample-trained quantizer keeps it
+    * rows-only; this one's clustering is the integer Lloyd). Same
+    * declared threshold as q_dedup_embedding, so recall vs the exact
+    * all-pairs gold is directly readable from the two row counts. */
+  def qKmeansDedup(s: SparkSession, d: String): DataFrame =
+    operators.Kmeans.semdedupPairs(Tables.embeddings(s, d), "vec_id",
+      "embedding", k = 8, dim = 64, iters = 3, threshold = 0.4)
+
   /** Cluster-BALANCED corpus: every k-means cell sampled to a uniform
     * token share (topic-skew flattening — the cluster-based curation
     * recipe) through the q_domain_mix rate machinery. */
@@ -1879,6 +1890,7 @@ object SparkEntry {
     "q_doremi_mix" -> (qDoremiMix _),
     "q_kmeans" -> (qKmeans _),
     "q_kmeans_balance" -> (qKmeansBalance _),
+    "q_kmeans_dedup" -> (qKmeansDedup _),
     "q_ft_langid" -> (qFtLangid _)
   )
 
@@ -4071,6 +4083,29 @@ object SparkEntry {
            |FROM kb JOIN kr ON kb.cluster = kr.cluster
            |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            |    % 2147483648 % 10000 < rate_bp""".stripMargin,
+
+      // SemDeDup end-to-end: the Lloyd replay feeds the
+      // q_dedup_embedding pair/cosine idiom, blocked by the learned
+      // cell — the whole semantic-dedup pipeline in ONE oracle.
+      "q_kmeans_dedup" ->
+        s"""WITH ${kmeansCtes(8, 3)},
+           |kdf AS (SELECT vec_id, cl FROM kafin WHERE rn = 1),
+           |kdp AS (
+           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.cl AS cluster,
+           |    list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+           |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) AS dab,
+           |    list_reduce(list_transform(ea.embedding,
+           |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) AS daa,
+           |    list_reduce(list_transform(eb.embedding,
+           |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) AS dbb
+           |  FROM kdf a JOIN kdf b ON a.cl = b.cl AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |)
+           |SELECT doc_a, doc_b, cluster,
+           |  round(dab / (sqrt(daa) * sqrt(dbb)), 6) AS cosine
+           |FROM kdp
+           |WHERE round(dab / (sqrt(daa) * sqrt(dbb)), 6) >= 0.4""".stripMargin,
 
       // lm CTEs verbatim from q_lm_score; pr = PERCENT_RANK (the Spark
       // side computes |strictly below|/(n-1) by distributed prefix

@@ -134,6 +134,42 @@ object Kmeans {
                 dim: Int, iters: Int): DataFrame =
     assign(emb, idCol, vecCol, fit(emb, idCol, vecCol, k, dim, iters))
 
+  /** SemDeDup with the corpus-fit clusters (Abbas et al. 2023's
+    * actual recipe: k-means cells, exact cosine within a cell) —
+    * near-duplicate pairs = same Lloyd cell AND cosine ≥ threshold.
+    * Unlike [[Dedup.embeddingSemdedup]] (whose sample-trained MLlib
+    * quantizer makes it rows-only), this variant's clustering is the
+    * fully-replayable integer Lloyd, so the WHOLE semantic-dedup
+    * pipeline — fit, assignment, blocking, cosine, threshold — is
+    * oracle-checked end-to-end. Precision 1.0 (exact cosine); recall
+    * = the co-located fraction, the SemDeDup trade. Work n²/cells in
+    * the blocked self-join; a hot cell is the inherent SemDeDup skew
+    * surface (AQE skew-split applies — it is a plain equi-join). */
+  def semdedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, dim: Int, iters: Int,
+                    threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
+    val model = fit(emb, idCol, vecCol, k, dim, iters)
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"),
+        graft.functions.VectorExpressions.nearestCentroid(
+          microVec(col(vecCol)), model.centroids, model.k, model.dim)
+          .as("nc"))
+      .filter(col("nc").isNotNull)
+      .select(col("id"), col("v"), col("nrm"),
+        col("nc.cluster").as("cluster"))
+    val a = base.select(col("id").as("doc_a"), col("v").as("va"),
+      col("nrm").as("nrm_a"), col("cluster"))
+    val b = base.select(col("id").as("doc_b"), col("v").as("vb"),
+      col("nrm").as("nrm_b"), col("cluster"))
+    a.join(b, "cluster")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("cosine",
+        round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("doc_a", "doc_b", "cluster", "cosine")
+  }
+
   private def kmTable(root: String) = s"$root/kmeans_model"
 
   /** PERSIST the fitted model under `root` as ONE atomic

@@ -2336,6 +2336,29 @@ class LlmPipelineSpec extends AnyFunSuite {
       b.collect().map(_.toString).sorted.toSeq, "fit must be deterministic")
   }
 
+  test("kmeans semdedupPairs: k=1 == exact all-pairs; k>1 is a subset with identical cosines") {
+    import graft.operators.{Dedup, Kmeans}
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val gold = Dedup.embeddingCosine(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    // one cell = no blocking loss: the whole pipeline equals the
+    // exact all-pairs scan, cosine for cosine
+    val one = Kmeans.semdedupPairs(emb, "vec_id", "embedding",
+        k = 1, dim = 64, iters = 1, threshold = 0.4)
+      .collect().map(r => key(r) -> r.getDouble(3)).toMap
+    assert(one === gold, "k=1 must equal embeddingCosine exactly")
+    // k>1: precision 1.0 (subset of gold, same cosine); recall = the
+    // co-located fraction (must be nonzero on the gate corpus)
+    val blocked = Kmeans.semdedupPairs(emb, "vec_id", "embedding",
+        k = 4, dim = 64, iters = 2, threshold = 0.4)
+      .collect().map(r => key(r) -> r.getDouble(3)).toMap
+    assert(blocked.nonEmpty)
+    blocked.foreach { case (p, c) =>
+      assert(gold.get(p).contains(c), s"pair $p must be in gold with cosine $c")
+    }
+  }
+
   test("kmeans clusterBalance: every kept row passed its cluster gate; binding cell keeps ~all") {
     import graft.operators.Kmeans
     val docs = Tables.documents(spark, TestSpark.sfDir)
