@@ -1074,6 +1074,15 @@ object SparkEntry {
   def qPplBuckets(s: SparkSession, d: String): DataFrame =
     TextAnalysis.perplexityBuckets(Tables.documents(s, d), "doc_id", "text")
 
+  /** CCNet's actual PER-LANGUAGE perplexity split (round 12): the
+    * head/middle/tail terciles computed within each language — a
+    * fluent minority-language doc must not land in the tail because
+    * the corpus is mostly English. Percent rank windows over the
+    * (lang, score) COUNT table (vocabulary-scale), never the corpus. */
+  def qCcnetBuckets(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.perplexityBucketsByLang(Tables.documents(s, d),
+      "doc_id", "text", "lang")
+
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
 
@@ -1891,7 +1900,8 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_kmeans_balance" -> (qKmeansBalance _),
     "q_kmeans_dedup" -> (qKmeansDedup _),
-    "q_ft_langid" -> (qFtLangid _)
+    "q_ft_langid" -> (qFtLangid _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -4106,6 +4116,42 @@ object SparkEntry {
            |  round(dab / (sqrt(daa) * sqrt(dbb)), 6) AS cosine
            |FROM kdp
            |WHERE round(dab / (sqrt(daa) * sqrt(dbb)), 6) >= 0.4""".stripMargin,
+
+      // lm CTEs verbatim from q_lm_score; per-lang rank windows over
+      // the (lang, score) count table; pr lateral-safe via a CTE.
+      "q_ccnet_buckets" ->
+        """WITH we AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+          |), f AS (SELECT w, count(*) AS cnt FROM we GROUP BY 1),
+          |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM f),
+          |sc AS (
+          |  SELECT doc_id, round(avg(-ln(cnt * 1.0 / tot)), 4) AS lm_score
+          |  FROM we JOIN f USING (w) CROSS JOIN t GROUP BY 1
+          |), sl AS (
+          |  SELECT d.doc_id, d.lang, sc.lm_score
+          |  FROM documents d JOIN sc USING (doc_id)
+          |), cn AS (
+          |  SELECT lang, lm_score, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM sl GROUP BY 1, 2
+          |), rk AS (
+          |  SELECT lang, lm_score,
+          |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY lm_score
+          |      ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS below,
+          |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+          |  FROM cn
+          |), pr AS (
+          |  SELECT doc_id, sl.lang, sl.lm_score,
+          |    round(CASE WHEN n_lang > 1
+          |          THEN below / CAST(n_lang - 1 AS DOUBLE)
+          |          ELSE 0.0 END, 6) AS pr
+          |  FROM sl JOIN rk ON sl.lang = rk.lang
+          |    AND sl.lm_score = rk.lm_score
+          |)
+          |SELECT doc_id, lang, lm_score, pr,
+          |  CASE WHEN pr < (1.0 / 3) THEN 'head'
+          |       WHEN pr < (2.0 / 3) THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM pr""".stripMargin,
 
       // lm CTEs verbatim from q_lm_score; pr = PERCENT_RANK (the Spark
       // side computes |strictly below|/(n-1) by distributed prefix

@@ -617,6 +617,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("lm_score"), col("pr"), col("ppl_bucket"))
   }
 
+  /** CCNet's ACTUAL corpus partition: perplexity head/middle/tail
+    * WITHIN EACH LANGUAGE (the pipeline buckets per-language — a
+    * fluent Spanish doc must not land in the tail because the corpus
+    * is mostly English). Per-doc lm_score as [[lmScore]]; percent
+    * rank is per-group: pr = |strictly below within lang| /
+    * (n_lang − 1), ties share a pr.
+    *
+    * Scale shape: the corpus reduces to a (lang, lm_score) COUNT
+    * table (map-side combinable, bounded by langs × distinct scores
+    * — vocabulary-scale, not corpus-scale); the per-lang running
+    * total is a window over THAT table (partitions are
+    * distinct-score-sized — no corpus row ever crosses a window),
+    * joined back broadcast-style. One corpus scan beyond the LM fit.
+    */
+  def perplexityBucketsByLang(docs: DataFrame, idCol: String,
+                              textCol: String, langCol: String,
+                              loCut: Double = 1.0 / 3,
+                              hiCut: Double = 2.0 / 3): DataFrame = {
+    require(0 <= loCut && loCut <= hiCut && hiCut <= 1.0,
+      s"cuts must satisfy 0 <= lo <= hi <= 1, got [$loCut, $hiCut]")
+    val scores = lmScore(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang")), "doc_id")
+      .localCheckpoint(false) // feeds the counts AND the rank join
+    val counts = scores.groupBy("lang", "lm_score")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("lm_score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = counts
+      .withColumn("below", sum("cnt").over(w) - col("cnt"))
+      .withColumn("n_lang",
+        sum("cnt").over(Window.partitionBy("lang")))
+    scores.join(ranked, Seq("lang", "lm_score"))
+      .withColumn("pr", round(
+        when(col("n_lang") > 1L,
+          col("below") / (col("n_lang") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("ppl_bucket",
+        when(col("pr") < loCut, "head")
+          .when(col("pr") < hiCut, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("lm_score"), col("pr"),
+        col("ppl_bucket"))
+  }
+
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation), and the
     * chars/4 heuristic LLM-token estimate.

@@ -2258,6 +2258,32 @@ class LlmPipelineSpec extends AnyFunSuite {
       .count() === 0, "published cells must all clear k")
   }
 
+  test("perplexityBucketsByLang: terciles per language; a minority-lang doc is ranked within its own lang") {
+    import graft.operators.TextAnalysis
+    // lang B's vocabulary is rarer corpus-wide (higher surprise), so a
+    // GLOBAL split would push all of B into the tail; the per-lang
+    // split must bucket each language against itself
+    val docs = ((1L to 30L).map(i => (i, "the the the common words here", "aa")) ++
+      Seq((101L, "rare1 rare2", "bb"), (102L, "rare1 rare3", "bb"),
+        (103L, "rare2 rare3", "bb"), (104L, "rare4 rare5", "bb"),
+        (105L, "rare4 rare6", "bb"), (106L, "rare5 rare6", "bb")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBucketsByLang(docs, "doc_id",
+      "text", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(4))).toMap
+    val bBuckets = out.filter(_._2._1 == "bb").values.map(_._2).toSet
+    assert(bBuckets.contains("head"),
+      s"minority lang must have its own head: $out")
+    // global split for contrast: all bb docs are global tail
+    val global = TextAnalysis.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((101L to 106L).forall(i => global(i) == "tail"),
+      s"fixture precondition: bb is the global tail: $global")
+    // identical scores within a lang share a bucket (ties share pr)
+    val aa = out.filter(_._2._1 == "aa").values.map(_._2).toSet
+    assert(aa === Set("head"), "all-tied lang collapses to pr 0 = head")
+  }
+
   test("doremi weightsFromExcess: distributed MW trajectory == sequential integer reference") {
     import graft.operators.Doremi
     val M = 1000000L
