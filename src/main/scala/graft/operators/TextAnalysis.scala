@@ -649,7 +649,9 @@ object TextAnalysis {
       .withColumn("below", sum("cnt").over(w) - col("cnt"))
       .withColumn("n_lang",
         sum("cnt").over(Window.partitionBy("lang")))
-    scores.join(ranked, Seq("lang", "lm_score"))
+    // ranked is (lang × distinct score)-sized — vocabulary scale by
+    // construction, so the join back to the corpus broadcasts
+    scores.join(broadcast(ranked), Seq("lang", "lm_score"))
       .withColumn("pr", round(
         when(col("n_lang") > 1L,
           col("below") / (col("n_lang") - 1).cast("double"))
