@@ -2675,7 +2675,7 @@ object SparkEntry {
     * iteration, ending in `kafin` = the final assignment (vec_id,
     * cl, dist, rn; rn=1 is the argmin row). All-integer distances
     * and truncating `//` division == the Spark side exactly. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int = 64): String = {
     def assign(name: String, ctable: String) =
       s"""$name AS (
          |  SELECT vec_id, vm, cl, dist,
@@ -2700,7 +2700,7 @@ object SparkEntry {
     }.mkString(",\n")
     s"""kv AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS vm
-       |  FROM embeddings),
+       |  FROM embeddings WHERE len(embedding) = $dim),
        |ksd AS (SELECT vec_id, vm, row_number() OVER (ORDER BY
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |      % 2147483648, vec_id) AS r

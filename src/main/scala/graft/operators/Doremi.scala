@@ -36,7 +36,18 @@ import org.apache.spark.sql.functions._
   * (first-order equal to exp(η·excess), the classic Arora-Hazan-Kale
   * MW variant) so every iterate is INTEGER arithmetic and the SQL
   * oracle replays the whole trajectory step by step. No exp/pow
-  * whose last ulp could differ across engines touches any decision.
+  * touches the update loop itself. RESIDUAL cross-engine risk,
+  * declared: the per-token surprise micro is round(-1e6·log2(cnt/
+  * tot)) and log2 is a transcendental whose last ulp may differ
+  * between the JVM and DuckDB libm — a value within ~1 ulp (≈1e-9
+  * relative) of a half-micro boundary could round apart and, because
+  * it feeds integer state, flip the whole table. The exposure is
+  * bounded by DISTINCT model inputs, not tokens (surprise is a pure
+  * function of (cnt, tot) / the KN count tuple — hundreds to
+  * thousands of distinct values per corpus), so the flip probability
+  * is ~1e-6-scale per corpus; the same class of risk every
+  * round()-over-double oracle in this engine already carries, noted
+  * here because the amplification is table-wide rather than row-wide.
   *
   * SCALE SHAPE: two corpus scans (token stream + bigram stream, the
   * same scans the two LM fits already cost — both map-side-combining
@@ -114,6 +125,14 @@ object Doremi {
                         smoothMicro: Long = 10000L): DataFrame = {
     require(etaMicro > 0 && steps >= 1 && smoothMicro >= 0 &&
       smoothMicro <= M)
+    // loud, not silent: the loop's working columns would clobber (and
+    // the final drop delete) same-named caller columns — the joinAuto
+    // refuse-shared-names contract
+    val reserved = Set("factor", "w", "traj", "u", "tot_u", "k",
+      "alpha_micro", "share_micro")
+    val clash = excess.columns.toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"excess table must not carry reserved columns $clash — rename them")
     val k = excess.agg(count(lit(1)).as("k"))
     var cur = excess.crossJoin(broadcast(k))
       .withColumn("factor",
@@ -162,26 +181,20 @@ object Doremi {
                        srcCol: String, etaMicro: Long = 500000L,
                        steps: Int = 5, smoothMicro: Long = 10000L)
   : DataFrame = {
-    val weights = domainWeights(docs, idCol, textCol, srcCol,
-      etaMicro, steps, smoothMicro)
+    // the learned share table through THE shared rate machinery
+    // (FeatureEng.mixRates/mixApply — one code path with
+    // q_domain_mix / q_temperature_mix / cluster balance)
+    val perSrc = domainWeights(docs, idCol, textCol, srcCol,
+        etaMicro, steps, smoothMicro)
       .select(col("source"), col("n_tokens").as("src_tokens"),
-        col("share_micro"))
-    val scale = weights
-      .agg(min(col("src_tokens") / (col("share_micro") / lit(M.toDouble)))
-        .as("scale"))
-    val rates = weights.crossJoin(broadcast(scale))
-      .select(col("source"), col("share_micro"),
-        least(lit(10000L),
-          floor(col("scale") * (col("share_micro") / lit(M.toDouble)) /
-            col("src_tokens") * 10000)).as("rate_bp"))
-    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"),
-        size(graft.functions.Fns.words(col(textCol))).cast("long")
-          .as("n_tokens"))
-      .join(broadcast(rates), Seq("source"))
-      .withColumn("sample_bucket",
-        graft.functions.Fns.md5Hash31(col("doc_id").cast("string")) % 10000)
-      .filter(col("sample_bucket") < col("rate_bp"))
-      .select("doc_id", "source", "n_tokens", "share_micro",
-        "sample_bucket", "rate_bp")
+        col("share_micro"),
+        (col("share_micro") / lit(M.toDouble)).as("share"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(srcCol).as("source"),
+      size(graft.functions.Fns.words(col(textCol))).cast("long")
+        .as("n_tokens"))
+    FeatureEng.mixApply(base, FeatureEng.mixRates(perSrc),
+      Seq("doc_id", "source", "n_tokens", "share_micro",
+        "sample_bucket", "rate_bp"))
   }
 }

@@ -456,18 +456,37 @@ object FeatureEng {
       .agg(sum("n_tokens").as("src_tokens"))
       .withColumn("share", shareCol)
       .filter(col("share").isNotNull && col("share") > 0)
+    mixApply(base, mixRates(perSrc),
+      Seq("doc_id", "source", "n_tokens", "sample_bucket", "rate_bp"))
+  }
+
+  /** THE rate derivation every mixing operator shares (hand-picked,
+    * temperature, DoReMi-learned, cluster-balanced — one code path,
+    * so the q_domain_mix oracle idiom cannot de-sync across callers):
+    * scale = min(src_tokens / share) — the largest corpus achievable
+    * with no upsampling — and rate_bp = least(10000, floor(scale ·
+    * share / src_tokens · 1e4)). `perSrc` must carry (source,
+    * src_tokens, share); extra columns ride through. */
+  private[operators] def mixRates(perSrc: DataFrame): DataFrame = {
     val scale = perSrc.agg(min(col("src_tokens") / col("share")).as("scale"))
-    val rates = perSrc.crossJoin(broadcast(scale))
-      .select(col("source"),
+    perSrc.crossJoin(broadcast(scale))
+      .select(perSrc.columns.map(col) :+
         least(lit(10000L),
           floor(col("scale") * col("share") / col("src_tokens") * 10000))
-          .as("rate_bp"))
+          .as("rate_bp"): _*)
+  }
+
+  /** THE md5-gate application every mixing operator shares: the
+    * (|sources|-row) rate table broadcasts onto the (doc_id, source,
+    * n_tokens) base, a doc survives iff its deterministic md5 bucket
+    * clears its source's rate. */
+  private[operators] def mixApply(base: DataFrame, rates: DataFrame,
+                                  outCols: Seq[String]): DataFrame =
     base.join(broadcast(rates), Seq("source"))
       .withColumn("sample_bucket",
         Fns.md5Hash31(col("doc_id").cast("string")) % 10000)
       .filter(col("sample_bucket") < col("rate_bp"))
-      .select("doc_id", "source", "n_tokens", "sample_bucket", "rate_bp")
-  }
+      .select(outCols.head, outCols.tail: _*)
 
   /** Temperature-based domain mixing (the multilingual α-sampling
     * rule): target share_d ∝ src_tokens_d^α with α ∈ [0, 1] — α=1
@@ -502,18 +521,10 @@ object FeatureEng {
     val shares = perSrc.crossJoin(broadcast(totW))
       .withColumn("share",
         round(col("wgt").cast("double") / col("tot_w"), 6))
-    val scale = shares.agg(min(col("src_tokens") / col("share")).as("scale"))
-    val rates = shares.crossJoin(broadcast(scale))
-      .select(col("source"), col("share"),
-        least(lit(10000L),
-          floor(col("scale") * col("share") / col("src_tokens") * 10000))
-          .as("rate_bp"))
-    base.join(broadcast(rates), Seq("source"))
-      .withColumn("sample_bucket",
-        Fns.md5Hash31(col("doc_id").cast("string")) % 10000)
-      .filter(col("sample_bucket") < col("rate_bp"))
-      .select("doc_id", "source", "n_tokens", "share", "sample_bucket",
-        "rate_bp")
+      .select("source", "src_tokens", "share")
+    mixApply(base, mixRates(shares),
+      Seq("doc_id", "source", "n_tokens", "share", "sample_bucket",
+        "rate_bp"))
   }
 
   /** DCLM/FineWeb-style SOFT quality filtering: instead of a hard

@@ -387,17 +387,22 @@ object FtClassify {
     require(nBuckets > 0 && dim > 0 && epochs >= 1 && lrMicro > 0)
     val spark = seed.sparkSession
     import spark.implicits._
-    val labels = seed.select(col(labelCol).cast("string"))
-      .na.drop().distinct().as[String].collect().sorted
+    // null-labeled rows are DROPPED, not trained: the when/otherwise
+    // index fold would otherwise default them to class 0 and silently
+    // corrupt that class's weights (and the sequential reference
+    // cannot even represent a null label, so the bit-equal contract
+    // would be vacuous for exactly the rows the fold mislabels)
+    val labeled = seed.filter(col(labelCol).isNotNull)
+    val labels = labeled.select(col(labelCol).cast("string"))
+      .distinct().as[String].collect().sorted
     val nC = labels.length
     require(nC >= 2, s"need at least 2 classes, got ${labels.toSeq}")
-    val labelIdx = labels.zipWithIndex.toMap
     val yCol = labels.zipWithIndex.tail
       .foldLeft(lit(0)) { case (acc, (l, i)) =>
         when(col(labelCol).cast("string") === l, lit(i)).otherwise(acc)
       }
     val feats = Dsir.hashedNgramCounts(
-        seed.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        labeled.select(col(idCol).as("doc_id"), col(textCol).as("text"),
           yCol.as("y")),
         "doc_id", "text", nBuckets, Seq("y" -> col("y")))
       .localCheckpoint(false)

@@ -214,13 +214,19 @@ object Kmeans {
                      k: Int, dim: Int, iters: Int): DataFrame = {
     val clusters = fitAssign(emb, embIdCol, vecCol, k, dim, iters)
       .select(col("id").as("doc_id"), col("cluster"))
-    val joined = docs.select(col(docIdCol).as("doc_id"), col(textCol).as("text"))
+    // the cluster IS the source (no string round-trip): uniform
+    // shares through THE shared rate machinery
+    val base = docs.select(col(docIdCol).as("doc_id"),
+        col(textCol).as("text"))
       .join(clusters, "doc_id")
-      .withColumn("cl", concat(lit("c"), col("cluster")))
-    FeatureEng.domainMix(joined, "doc_id", "text", "cl",
-        (0 until k).map(c => s"c$c" -> 1.0).toMap)
-      .withColumnRenamed("source", "cl")
-      .withColumn("cluster", substring(col("cl"), 2, 10).cast("int"))
-      .select("doc_id", "cluster", "n_tokens", "sample_bucket", "rate_bp")
+      .select(col("doc_id"), col("cluster").as("source"),
+        size(graft.functions.Fns.words(col("text"))).cast("long")
+          .as("n_tokens"))
+    val perSrc = base.groupBy("source")
+      .agg(sum("n_tokens").as("src_tokens"))
+      .withColumn("share", lit(1.0))
+    FeatureEng.mixApply(base, FeatureEng.mixRates(perSrc),
+        Seq("doc_id", "source", "n_tokens", "sample_bucket", "rate_bp"))
+      .withColumnRenamed("source", "cluster")
   }
 }
