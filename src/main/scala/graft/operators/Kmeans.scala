@@ -146,9 +146,10 @@ object Kmeans {
     * the blocked self-join; a hot cell is the inherent SemDeDup skew
     * surface (AQE skew-split applies — it is a plain equi-join). */
   def semdedupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int, dim: Int, iters: Int,
-                    threshold: Double): DataFrame = {
+                    k: Int, dim: Int, iters: Int, threshold: Double,
+                    nBlocks: Int = 16): DataFrame = {
     import graft.functions.VectorExpressions.dotF
+    require(nBlocks >= 1)
     val model = fit(emb, idCol, vecCol, k, dim, iters)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"),
@@ -157,17 +158,32 @@ object Kmeans {
           .as("nc"))
       .filter(col("nc").isNotNull)
       .select(col("id"), col("v"), col("nrm"),
-        col("nc.cluster").as("cluster"))
-    val a = base.select(col("id").as("doc_a"), col("v").as("va"),
-      col("nrm").as("nrm_a"), col("cluster"))
-    val b = base.select(col("id").as("doc_b"), col("v").as("vb"),
-      col("nrm").as("nrm_b"), col("cluster"))
-    a.join(b, "cluster")
-      .filter(col("doc_a") < col("doc_b"))
+        col("nc.cluster").as("cluster"),
+        pmod(hash(col("id")), lit(nBlocks)).as("blk"))
+    // Triangular block pairing WITHIN each cell ([[Dedup
+    // .embeddingCosine]]'s idiom with the cell in the composite key):
+    // a hot cell is a skew surface a plain cluster-keyed self-join
+    // cannot escape — both sides share the hot partition, so AQE's
+    // skew split (which must duplicate ONE side) never applies
+    // (probe-verified). Blocking spreads each cell's n²/2 compares
+    // over nBlocks²/2 equi-join buckets; each unordered pair meets in
+    // exactly one bucket.
+    val partners = array((0 until nBlocks).map(lit(_)): _*)
+    val a = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("nrm_a"), col("cluster"), col("blk").as("blk_a"),
+      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrm_b"), col("cluster"),
+      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
+      col("blk").as("blk_b"))
+    a.join(b, Seq("cluster", "blk_a", "blk_b"))
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
       .withColumn("cosine",
         round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
-      .select("doc_a", "doc_b", "cluster", "cosine")
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("cluster"), col("cosine"))
   }
 
   private def kmTable(root: String) = s"$root/kmeans_model"

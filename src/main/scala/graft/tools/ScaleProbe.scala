@@ -1112,6 +1112,49 @@ object ScaleProbe {
     docsK.unpersist(); docs1.unpersist()
     }
 
+    // SemDeDup's inherent skew surface: the within-cell pair scan is
+    // quadratic in CELL size (not corpus size) — measure the cell²
+    // law on a synthetic hot cell and report whether the cluster
+    // equi-join skew-splits under AQE
+    if (sections("hotcell")) {
+    import graft.operators.Kmeans
+    import org.apache.spark.sql.DataFrame
+    def corpus(nHot: Int, nCold: Int): DataFrame = {
+      import spark.implicits._
+      val rows = (0 until nHot).map { i =>
+        // tight cluster around e_0: every pair's cosine ~1
+        val v = Array.tabulate(64)(j =>
+          if (j == 0) 1f else (((i * 31 + j) % 97) - 48) * 1e-4f)
+        (i.toLong, v)
+      } ++ (0 until nCold).map { i =>
+        val v = Array.tabulate(64)(j => math.sin(i * 0.7 + j).toFloat)
+        ((nHot + i).toLong, v)
+      }
+      spark.createDataset(rows.toSeq).toDF("vec_id", "embedding")
+    }
+    Seq(("defaults", "10485760"), ("no-broadcast", "-1"))
+      .foreach { case (regime, thresh) =>
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+      Seq((2000, 2000), (6000, 6000)).foreach { case (h, c) =>
+        val emb = corpus(h, c).cache(); emb.count()
+        val pairs = Kmeans.semdedupPairs(emb, "vec_id", "embedding",
+          k = 8, dim = 64, iters = 2, threshold = 0.999)
+        val n = time(s"kmeans semdedup [$regime] hot=$h cold=$c")(
+          pairs.count())
+        val plan = pairs.queryExecution.executedPlan.toString
+        val join =
+          if (plan.contains("BroadcastHashJoin")) "BHJ"
+          else if (plan.contains("SortMergeJoin")) "SMJ"
+          else if (plan.contains("ShuffledHashJoin")) "SHJ"
+          else "?"
+        println(s"[scale] hotcell [$regime] pairs=$n join=$join " +
+          s"skewHandled=${plan.contains("skewed=true") || plan.contains("Skew")}")
+        emb.unpersist()
+      }
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+
     if (sections("emb")) {
     // embeddings xK: unique vec ids, duplicated vectors — the blocked
     // equi-join's O(n²) work grows k², so this curve is the honest cost
