@@ -1831,30 +1831,50 @@ object Dedup {
     * PERSISTED by the shared IVF cache — both self-join sides read
     * the cached assignment, so the prediction never recomputes,
     * unlike the uncached fan-out projections ngram/winnow had to
-    * repartition for), per-cell triangular equi-join on the cell
-    * key — the biggest cell bounds the worst task, and AQE's skew
-    * split applies to the join's exchanges.
+    * repartition for), per-cell TRIANGULAR-BLOCKED equi-join on the
+    * composite (cell, block-pair) key — a hot cell's compares spread
+    * over nBlocks²/2 buckets instead of serializing through one task
+    * (AQE's skew split can never fix a SELF-join's hot key: both
+    * sides share the hot partition — hotcell probe, round 12).
     */
   def embeddingSemdedup(emb: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, nCells: Int,
-                        trainSample: Int = 100000): DataFrame = {
+                        trainSample: Int = 100000,
+                        nBlocks: Int = 16): DataFrame = {
     import graft.functions.VectorExpressions.dotF
+    require(nBlocks >= 1)
     // nCells=1: no quantizer (KMeans needs k >= 2) — a constant cell
     // sends every pair through the same join/cosine path, which is
-    // the exact-equivalence oracle mode (and a single-bucket O(n²)
-    // join: test scale only)
+    // the exact-equivalence oracle mode
     val assigned =
       if (nCells <= 1)
         emb.select(col(idCol).as("id"), col(vecCol).as("v"),
           lit(0).as("cell"), Fns.l2Norm(col(vecCol)).as("nrm"))
       else Ann.cellIndex(emb, idCol, vecCol, nCells, trainSample).assigned
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+    // Triangular block pairing WITHIN each cell (embeddingCosine's
+    // idiom on the composite (cell, blk_a, blk_b) key): a hot cell is
+    // a SELF-join skew — both sides share the hot partition, so AQE's
+    // skew split (which must duplicate ONE side) can never fire on it
+    // (hotcell probe, SCALE_NOTES round 12). Blocking spreads each
+    // cell's n²/2 compares over nBlocks²/2 equi-join buckets; each
+    // unordered pair meets exactly once.
+    val based = assigned.withColumn("blk",
+      pmod(hash(col("id")), lit(nBlocks)))
+    val partners = array((0 until nBlocks).map(lit(_)): _*)
+    val a = based.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("nrm_a"), col("cell"), col("blk").as("blk_a"),
+      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
+    val b = based.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrm_b"), col("cell"),
+      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
+      col("blk").as("blk_b"))
+    a.join(b, Seq("cell", "blk_a", "blk_b"))
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
       .withColumn("cosine",
-        round(dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
+        round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("cosine"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
   }
 
   /** The packaged embedding dedup KEEP LIST — the vector analogue of
