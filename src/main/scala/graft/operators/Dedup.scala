@@ -1955,8 +1955,29 @@ object Dedup {
         dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("b.id").as("id")).distinct()
-    val dropNew = drops(assignedNew.as("a").join(assignedNew.as("b"),
-      col("a.cell") === col("b.cell") && col("a.id") < col("b.id")))
+    // batch self-pairs: triangular-blocked within the cell (the
+    // embeddingSemdedup idiom — a hot cell in the batch is a
+    // SELF-join skew AQE cannot split); the larger id of each
+    // qualifying pair drops, matching the keep-min rule
+    val nBlocks = 16
+    val basedNew = assignedNew.withColumn("blk",
+      pmod(hash(col("id")), lit(nBlocks)))
+    val partners = array((0 until nBlocks).map(lit(_)): _*)
+    val aSide = basedNew.select(col("id").as("id_a"), col("v").as("va"),
+      col("nrm").as("nrm_a"), col("cell"), col("blk").as("blk_a"),
+      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
+    val bSide = basedNew.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrm_b"), col("cell"),
+      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
+      col("blk").as("blk_b"))
+    val dropNew = aSide.join(bSide, Seq("cell", "blk_a", "blk_b"))
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(greatest(col("id_a"), col("id_b")).as("id")).distinct()
+    // state × batch is a TWO-table join — one side duplicable, so
+    // AQE's skew split genuinely applies here; left unblocked
     val dropOld = drops(state.as("a").join(assignedNew.as("b"),
       col("a.cell") === col("b.cell")))
     val survivors = assignedNew.select(col("id"))
