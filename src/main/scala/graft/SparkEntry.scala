@@ -1061,6 +1061,17 @@ object SparkEntry {
     operators.Kmeans.semdedupPairs(Tables.embeddings(s, d), "vec_id",
       "embedding", k = 8, dim = 64, iters = 3, threshold = 0.4)
 
+  /** In-Context-Pretraining data order (round 12, Shi et al. 2023):
+    * documents concatenated cluster-major / centroid-distance-minor
+    * (related docs land in the same training sequences) and cut into
+    * 512-token bins by the exact distributed running total — the
+    * whole artifact (Lloyd fit, assignment, composite order, cut)
+    * replays in SQL. */
+  def qIncontextPack(s: SparkSession, d: String): DataFrame =
+    operators.Kmeans.inContextPack(Tables.documents(s, d), "doc_id",
+      "text", Tables.embeddings(s, d), "vec_id", "embedding",
+      k = 8, dim = 64, iters = 3, seqLen = 512L)
+
   /** Cluster-BALANCED corpus: every k-means cell sampled to a uniform
     * token share (topic-skew flattening — the cluster-based curation
     * recipe) through the q_domain_mix rate machinery. */
@@ -1901,7 +1912,8 @@ object SparkEntry {
     "q_kmeans_balance" -> (qKmeansBalance _),
     "q_kmeans_dedup" -> (qKmeansDedup _),
     "q_ft_langid" -> (qFtLangid _),
-    "q_ccnet_buckets" -> (qCcnetBuckets _)
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_incontext_pack" -> (qIncontextPack _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -4093,6 +4105,34 @@ object SparkEntry {
            |FROM kb JOIN kr ON kb.cluster = kr.cluster
            |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            |    % 2147483648 % 10000 < rate_bp""".stripMargin,
+
+      // In-Context-Pretraining order: the Lloyd replay feeds the
+      // composite-ord arithmetic and the pack cumsum (the oracle may
+      // use a plain window; the engine's two-stage prefix sum is
+      // value-equal by construction).
+      "q_incontext_pack" ->
+        s"""WITH ${kmeansCtes(8, 3)},
+           |kic AS (SELECT vec_id, cl, dist FROM kafin WHERE rn = 1),
+           |kid AS (
+           |  SELECT d.doc_id,
+           |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           |    k.cl, k.dist
+           |  FROM documents d JOIN kic k ON d.doc_id = k.vec_id
+           |), kio AS (
+           |  SELECT doc_id, n_tokens, cl,
+           |    CAST(cl AS BIGINT) * ${1L << 48}
+           |      + least(dist // 67108864, ${(1L << 20) - 1}) * ${1L << 28}
+           |      + doc_id AS ord
+           |  FROM kid WHERE n_tokens > 0
+           |), kir AS (
+           |  SELECT *, CAST(sum(n_tokens) OVER (ORDER BY ord
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
+           |  FROM kio
+           |)
+           |SELECT doc_id, CAST(cl AS INT) AS cluster, n_tokens,
+           |  (rt - n_tokens) // 512 AS bin,
+           |  (rt - n_tokens) % 512 AS bin_offset
+           |FROM kir""".stripMargin,
 
       // SemDeDup end-to-end: the Lloyd replay feeds the
       // q_dedup_embedding pair/cosine idiom, blocked by the learned

@@ -186,6 +186,55 @@ object Kmeans {
         col("cluster"), col("cosine"))
   }
 
+  /** IN-CONTEXT-PRETRAINING data order (Shi et al. 2023: packing
+    * RELATED documents into the same training sequences beats random
+    * order — the model learns cross-document reasoning): documents
+    * are concatenated cluster-major (same Lloyd cell = semantically
+    * related), centroid-distance-minor within the cell, id
+    * tie-broken, then cut into `seqLen`-token bins by the exact
+    * distributed running total ([[FeatureEng.packValues]] — no
+    * global sort window).
+    *
+    * The order is ONE composite long — cluster·2^48 + min(dist_micro2
+    * / 2^26, 2^20−1)·2^28 + id — so the existing single-column
+    * prefix-sum machinery applies unchanged and the whole artifact
+    * (fit, assignment, order, cut) replays in SQL. Contract: ids
+    * must fit 28 bits (enforced in-plan via raise_error — re-key
+    * larger corpora); the distance quantization only coarsens the
+    * WITHIN-cell order (far tail ties broken by id), never cluster
+    * adjacency. Max composite ≈ k·2^48 < 2^53, so the running
+    * total's double-cast ordering stays exact.
+    *
+    * Output: (doc_id, cluster, n_tokens, bin, bin_offset) — which
+    * training sequence each doc starts in and where; feed the same
+    * order through packSegments for the boundary/mask artifact.
+    */
+  def inContextPack(docs: DataFrame, docIdCol: String, textCol: String,
+                    emb: DataFrame, embIdCol: String, vecCol: String,
+                    k: Int, dim: Int, iters: Int,
+                    seqLen: Long): DataFrame = {
+    val assigned = fitAssign(emb, embIdCol, vecCol, k, dim, iters)
+      .select(col("id").as("doc_id"), col("cluster"),
+        col("dist_micro2"))
+    val base = docs.select(col(docIdCol).as("doc_id"),
+        size(graft.functions.Fns.words(col(textCol))).cast("long")
+          .as("n_tokens"))
+      .join(assigned, "doc_id")
+      .withColumn("doc_id", when(col("doc_id") < (1L << 28),
+        col("doc_id")).otherwise(expr(
+        "raise_error('inContextPack: doc ids must fit 28 bits — re-key')")))
+      .withColumn("ord",
+        col("cluster").cast("long") * (1L << 48) +
+          least(expr("dist_micro2 DIV 67108864"),
+            lit((1L << 20) - 1)) * (1L << 28) +
+          col("doc_id"))
+    // packValues' doc_id column carries the composite ord — decode
+    FeatureEng.packValues(base, "ord", "n_tokens", seqLen)
+      .select(pmod(col("doc_id"), lit(1L << 28)).as("doc_id"),
+        expr(s"doc_id DIV ${1L << 48}").cast("int").as("cluster"),
+        col("n_tokens"), col("bin"), col("bin_offset"))
+  }
+
   private def kmTable(root: String) = s"$root/kmeans_model"
 
   /** PERSIST the fitted model under `root` as ONE atomic

@@ -2385,6 +2385,34 @@ class LlmPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("inContextPack: cluster-contiguous order, exact bin arithmetic, deterministic") {
+    import graft.operators.Kmeans
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val out = Kmeans.inContextPack(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", k = 4, dim = 64, iters = 2,
+        seqLen = 256L)
+      .collect()
+      .sortBy(r => (r.getLong(3), r.getLong(4))) // (bin, bin_offset)
+    assert(out.nonEmpty)
+    // the concatenation order is cluster-major: walking the packed
+    // stream, the cluster id never decreases
+    val clusters = out.map(_.getInt(1))
+    assert(clusters.zip(clusters.tail).forall { case (a, b) => a <= b },
+      "related (same-cluster) docs must be adjacent in the stream")
+    // exact tiling: each doc starts where the previous ended (mod 256)
+    var pos = 0L
+    out.foreach { r =>
+      assert(r.getLong(3) === pos / 256 && r.getLong(4) === pos % 256,
+        s"doc ${r.getLong(0)} must start at stream position $pos")
+      pos += r.getLong(2)
+    }
+    val again = Kmeans.inContextPack(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", 4, 64, 2, 256L).collect()
+    assert(out.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
   test("kmeans clusterBalance: every kept row passed its cluster gate; binding cell keeps ~all") {
     import graft.operators.Kmeans
     val docs = Tables.documents(spark, TestSpark.sfDir)
