@@ -753,6 +753,22 @@ object Graft {
     operators.Kmeans.clusterBalance(docs, "doc_id", "text", emb,
       "vec_id", "embedding", k, dim, iters)
 
+  /** SemDeDup end-to-end over the corpus-fit Lloyd cells —
+    * triangular-blocked within-cell exact-cosine pairs (the whole
+    * pipeline oracle-replayable). */
+  def kmeansDedup(emb: DataFrame, k: Int, dim: Int, iters: Int,
+                  threshold: Double): DataFrame =
+    operators.Kmeans.semdedupPairs(emb, "vec_id", "embedding", k, dim,
+      iters, threshold)
+
+  /** In-Context-Pretraining data order: related (same-cell) docs
+    * adjacent, cut into seqLen-token bins by the exact distributed
+    * running total. */
+  def inContextPack(docs: DataFrame, emb: DataFrame, k: Int, dim: Int,
+                    iters: Int, seqLen: Long): DataFrame =
+    operators.Kmeans.inContextPack(docs, "doc_id", "text", emb,
+      "vec_id", "embedding", k, dim, iters, seqLen)
+
   /** Persist / load the fitted model (ONE atomic VersionedStore
     * table; round-trip bit-equal). */
   def kmeansSave(spark: SparkSession, model: operators.Kmeans.KmModel,

@@ -1094,6 +1094,13 @@ object SparkEntry {
     TextAnalysis.perplexityBucketsByLang(Tables.documents(s, d),
       "doc_id", "text", "lang")
 
+  /** Zipf-fit corpus health report (round 12): OLS of ln(count) on
+    * ln(rank) over the word frequency table — slope ≈ −1 is
+    * language-shaped; the whole fit (total-order rank, per-row micro
+    * terms, exact sums, shared closed form) replays in SQL. */
+  def qZipfFit(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.zipfFit(Tables.documents(s, d), "doc_id", "text")
+
   def qTfidf(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text", topK = 5)
 
@@ -1913,7 +1920,8 @@ object SparkEntry {
     "q_kmeans_dedup" -> (qKmeansDedup _),
     "q_ft_langid" -> (qFtLangid _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
-    "q_incontext_pack" -> (qIncontextPack _)
+    "q_incontext_pack" -> (qIncontextPack _),
+    "q_zipf_fit" -> (qZipfFit _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -4105,6 +4113,42 @@ object SparkEntry {
            |FROM kb JOIN kr ON kb.cluster = kr.cluster
            |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            |    % 2147483648 % 10000 < rate_bp""".stripMargin,
+
+      // Zipf fit: rank/term/sum arithmetic mirrored row-for-row; the
+      // closed-form slope/intercept/R2 expressions are the SAME
+      // strings the Spark plan compiles (TextAnalysis.zipf*Sql).
+      "q_zipf_fit" ->
+        s"""WITH we AS (
+           |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+           |), f AS (SELECT w, count(*) AS cnt FROM we GROUP BY 1),
+           |rk AS (
+           |  SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, w)
+           |    AS BIGINT) AS rank
+           |  FROM f
+           |), tm AS (
+           |  SELECT CAST(round(1e6 * ln(rank)) AS BIGINT) AS xm,
+           |    CAST(round(1e6 * ln(cnt)) AS BIGINT) AS ym,
+           |    CAST(round(1e6 * ln(rank) * ln(cnt)) AS BIGINT) AS xym,
+           |    CAST(round(1e6 * ln(rank) * ln(rank)) AS BIGINT) AS xxm,
+           |    CAST(round(1e6 * ln(cnt) * ln(cnt)) AS BIGINT) AS yym,
+           |    cnt
+           |  FROM rk
+           |), sm AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS v,
+           |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           |    CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy,
+           |    CAST(sum(xym) AS BIGINT) AS sxy,
+           |    CAST(sum(xxm) AS BIGINT) AS sxx,
+           |    CAST(sum(yym) AS BIGINT) AS syy,
+           |    CAST(min(cnt) AS BIGINT) AS mincnt,
+           |    CAST(max(cnt) AS BIGINT) AS maxcnt
+           |  FROM tm
+           |)
+           |SELECT v AS vocab, n_tokens,
+           |  ${graft.operators.TextAnalysis.zipfSlopeSql} AS slope,
+           |  ${graft.operators.TextAnalysis.zipfInterceptSql} AS intercept,
+           |  ${graft.operators.TextAnalysis.zipfR2Sql} AS r2
+           |FROM sm""".stripMargin,
 
       // In-Context-Pretraining order: the Lloyd replay feeds the
       // composite-ord arithmetic and the pack cumsum (the oracle may

@@ -664,6 +664,78 @@ object TextAnalysis {
         col("ppl_bucket"))
   }
 
+  /** ZIPF-FIT corpus health report (one row): OLS of ln(count) on
+    * ln(rank) over the word frequency table — natural text fits a
+    * power law with slope ≈ −1 (Zipf 1949); a templated/synthetic/
+    * deduplication-damaged corpus shows a slope far from −1 or a low
+    * R², making this the "is the corpus language-shaped" gate next
+    * to q_tok_stats and q_corpus_report.
+    *
+    * DETERMINISM (the engine's exact-sum idiom): rank is a total
+    * order (count desc, word asc); each per-row OLS term (ln r,
+    * ln c, their products) is ONE double round-trip over exact
+    * integers, rounded to micros per row, then summed EXACTLY as
+    * longs; the closed-form slope/intercept/R² derive from the six
+    * exact sums at the end with one shared expression text, so the
+    * oracle replays bit-for-bit. Degenerate fits (V = 1, or zero
+    * variance) surface as NULLs, never NaN.
+    *
+    * Scale shape: one corpus scan to the vocabulary-sized frequency
+    * table (map-side combinable); the rank window runs over THAT
+    * table (vocabulary ~ corpus^0.5, Heaps' law — documented
+    * SinglePartition over a model-sized frame, the freezeVocabulary
+    * precedent); the report is one aggregate row.
+    */
+  def zipfFit(docs: DataFrame, idCol: String, textCol: String)
+  : DataFrame = {
+    val freq = docs.select(explode(Fns.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w")))
+        .cast("long"))
+    val sums = ranked.select(
+        expr("CAST(round(1e6 * ln(rank)) AS BIGINT)").as("xm"),
+        expr("CAST(round(1e6 * ln(cnt)) AS BIGINT)").as("ym"),
+        expr("CAST(round(1e6 * ln(rank) * ln(cnt)) AS BIGINT)").as("xym"),
+        expr("CAST(round(1e6 * ln(rank) * ln(rank)) AS BIGINT)").as("xxm"),
+        expr("CAST(round(1e6 * ln(cnt) * ln(cnt)) AS BIGINT)").as("yym"),
+        col("cnt"))
+      .agg(count(lit(1)).as("v"), sum("cnt").as("n_tokens"),
+        sum("xm").as("sx"), sum("ym").as("sy"), sum("xym").as("sxy"),
+        sum("xxm").as("sxx"), sum("yym").as("yym_sum"),
+        min("cnt").as("mincnt"), max("cnt").as("maxcnt"))
+      .withColumnRenamed("yym_sum", "syy")
+    sums.select(col("v").as("vocab"), col("n_tokens"),
+      expr(zipfSlopeSql).as("slope"),
+      expr(zipfInterceptSql).as("intercept"),
+      expr(zipfR2Sql).as("r2"))
+  }
+
+  /** The closed-form OLS expressions over the six exact sums — ONE
+    * text shared verbatim by the Spark plan and the DuckDB oracle
+    * (they cannot drift). */
+  // Degeneracy guards test the EXACT integer sources (v, the count
+  // range), never the micro sums — per-row rounding leaves ≤1e-6
+  // residues that would sneak a zero-variance fit past a sum-based
+  // zero test and report a garbage residue ratio as R².
+  private[graft] val zipfSlopeSql: String =
+    """CASE WHEN v <= 1 THEN NULL
+      |ELSE round((v * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+      |  / (v * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6)), 6) END"""
+      .stripMargin.replace("\n", " ")
+  private[graft] val zipfInterceptSql: String =
+    """CASE WHEN v <= 1 THEN NULL
+      |ELSE round((sy / 1e6 - ((v * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+      |  / (v * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))) * (sx / 1e6)) / v,
+      |  6) END""".stripMargin.replace("\n", " ")
+  private[graft] val zipfR2Sql: String =
+    """CASE WHEN v <= 1 OR mincnt = maxcnt THEN NULL
+      |ELSE round((v * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+      |  * (v * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+      |  / ((v * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
+      |   * (v * (syy / 1e6) - (sy / 1e6) * (sy / 1e6))), 6) END"""
+      .stripMargin.replace("\n", " ")
+
   /** Token counting: whitespace tokens, a BPE-ish regex token count
     * (letter runs / digit runs / single punctuation), and the
     * chars/4 heuristic LLM-token estimate.

@@ -2258,6 +2258,33 @@ class LlmPipelineSpec extends AnyFunSuite {
       .count() === 0, "published cells must all clear k")
   }
 
+  test("zipfFit: a power-law corpus fits slope ~ -1 with high R2; flat and degenerate corpora are flagged") {
+    import graft.operators.TextAnalysis
+    // true Zipf corpus: word_r appears floor(1000/r) times
+    val zipf = (1 to 50).flatMap(r => Seq.fill(1000 / r)(s"w$r"))
+    val zdoc = Seq((1L, zipf.mkString(" "))).toDF("doc_id", "text")
+    val zfit = TextAnalysis.zipfFit(zdoc, "doc_id", "text").head()
+    assert(zfit.getAs[Long]("vocab") === 50L)
+    val slope = zfit.getAs[Double]("slope")
+    val r2 = zfit.getAs[Double]("r2")
+    assert(slope < -0.9 && slope > -1.1, s"Zipf corpus slope: $slope")
+    assert(r2 > 0.99, s"Zipf corpus R2: $r2")
+    // flat corpus: every word equally frequent → zero y-variance →
+    // R2 NULL (guarded, never NaN), slope exactly 0
+    val flat = Seq((1L, (1 to 40).map(i => s"u$i u$i u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ffit = TextAnalysis.zipfFit(flat, "doc_id", "text").head()
+    // per-row micro rounding leaves ≤1e-6-scale residue in the sums
+    assert(math.abs(ffit.getAs[Double]("slope")) <= 1e-5,
+      s"flat corpus slope: ${ffit.getAs[Double]("slope")}")
+    assert(ffit.isNullAt(ffit.fieldIndex("r2")),
+      "zero variance must surface as NULL, not NaN")
+    // single word: no rank variance → all NULL
+    val one = Seq((1L, "solo solo solo")).toDF("doc_id", "text")
+    val ofit = TextAnalysis.zipfFit(one, "doc_id", "text").head()
+    assert(ofit.isNullAt(ofit.fieldIndex("slope")))
+  }
+
   test("perplexityBucketsByLang: terciles per language; a minority-lang doc is ranked within its own lang") {
     import graft.operators.TextAnalysis
     // lang B's vocabulary is rarer corpus-wide (higher surprise), so a
