@@ -875,6 +875,16 @@ object SparkEntry {
     * each stage shrinks what the next one pays for. */
   def qPretrainPipeline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    FeatureEng.selectToBudget(pretrainTrainPool(s, d), "doc_id",
+      col("quality_score"), col("n_words"), budgetTokens = 20000L)
+  }
+
+  /** Capstone stages 1-3 (quality gate → exact dedup → graded
+    * decontamination) — the shared prefix of [[qPretrainPipeline]]'s
+    * budget cut and [[qPretrainMix]]'s learned-mix gate. Returns the
+    * decontaminated pool (doc_id, …, n_words, quality_score). */
+  private def pretrainTrainPool(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val docs = Tables.documents(s, d)
     val clean = TextAnalysis.cleanFilter(docs, "doc_id", "text",
       minWords = 20, maxWords = 100000, minAvgWordLen = 2.0,
@@ -889,9 +899,30 @@ object SparkEntry {
     val flagged = Dedup.decontaminationScores(trainPool, "doc_id",
         "text", evalDocs, "doc_id", "text", n = 3)
       .filter(col("contam_frac") >= 0.8)
-    val train = trainPool.join(flagged.select("doc_id"), Seq("doc_id"),
-      "left_anti")
-    FeatureEng.selectToBudget(train, "doc_id", col("quality_score"),
+    trainPool.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
+  }
+
+  /** The capstone with a LEARNED-MIX stage (round 12 — the full
+    * 2025-era build in one plan): stages 1-3 as
+    * [[pretrainTrainPool]], then the DoReMi-learned per-source rates
+    * (q_doremi_weights' exact fit, q_domain_mix's rate machinery)
+    * gate the pool, then the 20k-token budget cut spends the budget
+    * on the highest-quality docs OF THE LEARNED MIXTURE. Oracle =
+    * the capstone's stage oracles + the full DoReMi replay + the
+    * rate filter + the budget window, composed. */
+  def qPretrainMix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(s, d)
+    val pool = pretrainTrainPool(s, d)
+    val perSrc = operators.Doremi
+      .domainWeights(docs, "doc_id", "text", "source")
+      .select(col("source"), col("n_tokens").as("src_tokens"),
+        (col("share_micro") / lit(1000000.0)).as("share"))
+    val base = pool.select("doc_id", "n_words", "quality_score")
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val gated = FeatureEng.mixApply(base, FeatureEng.mixRates(perSrc),
+      Seq("doc_id", "n_words", "quality_score"))
+    FeatureEng.selectToBudget(gated, "doc_id", col("quality_score"),
       col("n_words"), budgetTokens = 20000L)
   }
 
@@ -1921,7 +1952,8 @@ object SparkEntry {
     "q_ft_langid" -> (qFtLangid _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_incontext_pack" -> (qIncontextPack _),
-    "q_zipf_fit" -> (qZipfFit _)
+    "q_zipf_fit" -> (qZipfFit _),
+    "q_pretrain_mix" -> (qPretrainMix _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -2761,7 +2793,12 @@ object SparkEntry {
     * packing oracle and q_pretrain_masks' boundary-segment oracle so
     * the two can never drift. Ends at docenc(doc_id, encoded,
     * n_pieces). */
-  private val pretrainDocencCtes: String =
+  /** Capstone stages 1-3 as a bare CTE chain (quality gate → exact
+    * dedup → graded decontamination), ending at `train(doc_id,
+    * n_words, quality_score)` — the shared prefix of the budget cut
+    * ([[pretrainDocencCtes]]) and the learned-mix variant
+    * (q_pretrain_mix). */
+  private val pretrainTrainCtes: String =
     """b AS (
           |  SELECT doc_id, len(text) AS n_chars,
           |    len(string_split(text, ' ')) AS n_words,
@@ -2804,7 +2841,11 @@ object SparkEntry {
           |  SELECT * FROM dd
           |  WHERE doc_id % 10 <> 0
           |    AND doc_id NOT IN (SELECT doc_id FROM flag)
-          |), c AS (
+          |)""".stripMargin
+
+  private val pretrainDocencCtes: String =
+    pretrainTrainCtes + """,
+          |c AS (
           |  SELECT doc_id,
           |    CAST(sum(n_words) OVER (
           |      ORDER BY quality_score DESC, doc_id ASC
@@ -4554,6 +4595,45 @@ object SparkEntry {
           |)
           |SELECT doc_id, score, n_tokens, cum_tokens
           |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+
+      // The capstone with the LEARNED-MIX stage: stages 1-3 (the
+      // shared pretrainTrainCtes), the FULL DoReMi replay
+      // (doremiCtes — no CTE name collisions with the capstone
+      // chain), the q_domain_mix rate filter over the pool, then the
+      // budget window. Every stage's own oracle, composed.
+      "q_pretrain_mix" ->
+        (s"WITH $pretrainTrainCtes,\n${doremiCtes(5)}," +
+          """
+          |mfin AS (
+          |  SELECT source, n_tokens AS src_tokens,
+          |    ((1000000 - 10000) * (traj // 5)) // 1000000
+          |      + 10000 // k AS share_micro
+          |  FROM w5
+          |), msc AS (
+          |  SELECT min(src_tokens / (share_micro / 1000000.0)) AS scale
+          |  FROM mfin
+          |), mr AS (
+          |  SELECT source,
+          |    CAST(least(10000, floor(msc.scale * (share_micro / 1000000.0)
+          |      / src_tokens * 10000)) AS BIGINT) AS rate_bp
+          |  FROM mfin, msc
+          |), mixed AS (
+          |  SELECT train.doc_id, train.n_words, train.quality_score
+          |  FROM train JOIN documents d USING (doc_id)
+          |  JOIN mr ON d.source = mr.source
+          |  WHERE ('0x' || substr(md5(CAST(train.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      % 2147483648 % 10000 < rate_bp
+          |), mc2 AS (
+          |  SELECT doc_id, quality_score AS score,
+          |    CAST(n_words AS BIGINT) AS n_tokens,
+          |    CAST(sum(n_words) OVER (
+          |      ORDER BY quality_score DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_tokens
+          |  FROM mixed
+          |)
+          |SELECT doc_id, score, n_tokens, cum_tokens
+          |FROM mc2 WHERE cum_tokens <= 20000""".stripMargin),
 
       // Docs-in-shards-out: the capstone's winners (its own oracle's
       // CTEs verbatim), each word replayed through the q_unigram_encode

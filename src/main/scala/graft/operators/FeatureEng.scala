@@ -467,7 +467,7 @@ object FeatureEng {
     * with no upsampling — and rate_bp = least(10000, floor(scale ·
     * share / src_tokens · 1e4)). `perSrc` must carry (source,
     * src_tokens, share); extra columns ride through. */
-  private[operators] def mixRates(perSrc: DataFrame): DataFrame = {
+  private[graft] def mixRates(perSrc: DataFrame): DataFrame = {
     val scale = perSrc.agg(min(col("src_tokens") / col("share")).as("scale"))
     perSrc.crossJoin(broadcast(scale))
       .select(perSrc.columns.map(col) :+
@@ -480,7 +480,7 @@ object FeatureEng {
     * (|sources|-row) rate table broadcasts onto the (doc_id, source,
     * n_tokens) base, a doc survives iff its deterministic md5 bucket
     * clears its source's rate. */
-  private[operators] def mixApply(base: DataFrame, rates: DataFrame,
+  private[graft] def mixApply(base: DataFrame, rates: DataFrame,
                                   outCols: Seq[String]): DataFrame =
     base.join(broadcast(rates), Seq("source"))
       .withColumn("sample_bucket",
