@@ -918,8 +918,8 @@ object SparkEntry {
       .domainWeights(docs, "doc_id", "text", "source")
       .select(col("source"), col("n_tokens").as("src_tokens"),
         (col("share_micro") / lit(1000000.0)).as("share"))
-    val base = pool.select("doc_id", "n_words", "quality_score")
-      .join(docs.select("doc_id", "source"), "doc_id")
+    // the pool already carries source (sdocs-derived) — no re-join
+    val base = pool.select("doc_id", "n_words", "quality_score", "source")
     val gated = FeatureEng.mixApply(base, FeatureEng.mixRates(perSrc),
       Seq("doc_id", "n_words", "quality_score"))
     FeatureEng.selectToBudget(gated, "doc_id", col("quality_score"),
@@ -4181,8 +4181,8 @@ object SparkEntry {
            |    CAST(sum(xym) AS BIGINT) AS sxy,
            |    CAST(sum(xxm) AS BIGINT) AS sxx,
            |    CAST(sum(yym) AS BIGINT) AS syy,
-           |    CAST(min(cnt) AS BIGINT) AS mincnt,
-           |    CAST(max(cnt) AS BIGINT) AS maxcnt
+           |    CAST(min(ym) AS BIGINT) AS minym,
+           |    CAST(max(ym) AS BIGINT) AS maxym
            |  FROM tm
            |)
            |SELECT v AS vocab, n_tokens,

@@ -1723,29 +1723,52 @@ object Dedup {
                       threshold: Double, nBlocks: Int = 16): DataFrame = {
     import graft.functions.VectorExpressions.dotF
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Fns.l2Norm(col(vecCol)).as("nrm"),
-      pmod(hash(col(idCol)), lit(nBlocks)).as("blk"))
-    val partners = array((0 until nBlocks).map(lit(_)): _*)
-    // Triangular block pairing over unordered keys {i ≤ j}: the A side
-    // covers buckets (blk, j ≥ blk), the B side (i ≤ blk, blk) — each
-    // unordered row pair meets in exactly ONE bucket, so no duplicate
-    // dot products and half the replication of the full B×B grid. The
-    // diagonal bucket (i, i) self-pairs a block; the id inequality
-    // there keeps each pair once.
-    val left = base.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("nrm_a"), col("blk").as("blk_a"),
-      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
-    val right = base.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nrm_b"),
-      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
-      col("blk").as("blk_b"))
-    left.join(right, Seq("blk_a", "blk_b"))
-      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+      Fns.l2Norm(col(vecCol)).as("nrm"))
+    blockedSelfPairs(base, Nil, nBlocks)
       .withColumn("cosine",
         round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
+  }
+
+  /** THE triangular-blocked SELF-pairing — one code path for every
+    * all-pairs vector scan (embeddingCosine, embeddingSemdedup and
+    * its incremental batch, Kmeans.semdedupPairs — four former
+    * copies). `df` must carry (id, v, nrm) plus `keyCols`; each
+    * UNORDERED same-key pair comes back exactly once as (keyCols…,
+    * id_a, va, nrm_a, id_b, vb, nrm_b) with NO id order guaranteed —
+    * callers normalize with least/greatest.
+    *
+    * Why blocked: a hot key in a SELF-join lives in the hot partition
+    * of BOTH sides, so AQE's skew split (which must duplicate one
+    * side) can never fire (hotcell probe, SCALE_NOTES round 12). The
+    * A side covers buckets (blk, j ≥ blk), the B side (i ≤ blk, blk):
+    * each pair meets in exactly ONE of the nBlocks·(nBlocks+1)/2
+    * buckets; the diagonal keeps a pair once via the id inequality.
+    *
+    * COST, declared: each side replicates ~(nBlocks+1)/2× into the
+    * shuffle — the classic all-pairs replication trade. Right when
+    * pair volume dominates (it always does at corpus scale: output
+    * is quadratic in key-group size); for tiny or known-unskewed
+    * inputs pass nBlocks = 1 to opt out (the measured default-regime
+    * overhead at probe scale is the scheduling floor, ~0.5 s).
+    */
+  private[graft] def blockedSelfPairs(df: DataFrame, keyCols: Seq[String],
+                                      nBlocks: Int): DataFrame = {
+    require(nBlocks >= 1)
+    val based = df.withColumn("blk", pmod(hash(col("id")), lit(nBlocks)))
+    val partners = array((0 until nBlocks).map(lit(_)): _*)
+    val a = based.select(keyCols.map(col) ++ Seq(col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("nrm_a"), col("blk").as("blk_a"),
+      explode(filter(partners, j => j >= col("blk"))).as("blk_b")): _*)
+    val b = based.select(keyCols.map(col) ++ Seq(col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nrm_b"),
+      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
+      col("blk").as("blk_b")): _*)
+    a.join(b, keyCols ++ Seq("blk_a", "blk_b"))
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+      .drop("blk_a", "blk_b")
   }
 
   /** Embedding near-dup pairs via multi-table sign-LSH candidates plus
@@ -1851,25 +1874,10 @@ object Dedup {
         emb.select(col(idCol).as("id"), col(vecCol).as("v"),
           lit(0).as("cell"), Fns.l2Norm(col(vecCol)).as("nrm"))
       else Ann.cellIndex(emb, idCol, vecCol, nCells, trainSample).assigned
-    // Triangular block pairing WITHIN each cell (embeddingCosine's
-    // idiom on the composite (cell, blk_a, blk_b) key): a hot cell is
-    // a SELF-join skew — both sides share the hot partition, so AQE's
-    // skew split (which must duplicate ONE side) can never fire on it
-    // (hotcell probe, SCALE_NOTES round 12). Blocking spreads each
-    // cell's n²/2 compares over nBlocks²/2 equi-join buckets; each
-    // unordered pair meets exactly once.
-    val based = assigned.withColumn("blk",
-      pmod(hash(col("id")), lit(nBlocks)))
-    val partners = array((0 until nBlocks).map(lit(_)): _*)
-    val a = based.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("nrm_a"), col("cell"), col("blk").as("blk_a"),
-      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
-    val b = based.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nrm_b"), col("cell"),
-      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
-      col("blk").as("blk_b"))
-    a.join(b, Seq("cell", "blk_a", "blk_b"))
-      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+    // within-cell pairs via THE shared blocked self-pairing (a hot
+    // cell is a self-join skew AQE cannot split — see
+    // blockedSelfPairs)
+    blockedSelfPairs(assigned, Seq("cell"), nBlocks)
       .withColumn("cosine",
         round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
@@ -1929,7 +1937,8 @@ object Dedup {
                                    vecCol: String, indexRoot: String,
                                    threshold: Double,
                                    beforeRegister: DataFrame => Unit =
-                                     _ => ())
+                                     _ => (),
+                                   nBlocks: Int = 16)
   : DataFrame = {
     import graft.functions.VectorExpressions.dotF
     import graft.offline.VersionedStore
@@ -1955,23 +1964,10 @@ object Dedup {
         dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("b.id").as("id")).distinct()
-    // batch self-pairs: triangular-blocked within the cell (the
-    // embeddingSemdedup idiom — a hot cell in the batch is a
-    // SELF-join skew AQE cannot split); the larger id of each
-    // qualifying pair drops, matching the keep-min rule
-    val nBlocks = 16
-    val basedNew = assignedNew.withColumn("blk",
-      pmod(hash(col("id")), lit(nBlocks)))
-    val partners = array((0 until nBlocks).map(lit(_)): _*)
-    val aSide = basedNew.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("nrm_a"), col("cell"), col("blk").as("blk_a"),
-      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
-    val bSide = basedNew.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nrm_b"), col("cell"),
-      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
-      col("blk").as("blk_b"))
-    val dropNew = aSide.join(bSide, Seq("cell", "blk_a", "blk_b"))
-      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+    // batch self-pairs via THE shared blocked self-pairing (a hot
+    // cell in the batch is a self-join skew AQE cannot split); the
+    // larger id of each qualifying pair drops — the keep-min rule
+    val dropNew = blockedSelfPairs(assignedNew, Seq("cell"), nBlocks)
       .withColumn("cosine", round(
         dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)

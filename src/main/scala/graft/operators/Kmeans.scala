@@ -142,14 +142,15 @@ object Kmeans {
     * fully-replayable integer Lloyd, so the WHOLE semantic-dedup
     * pipeline — fit, assignment, blocking, cosine, threshold — is
     * oracle-checked end-to-end. Precision 1.0 (exact cosine); recall
-    * = the co-located fraction, the SemDeDup trade. Work n²/cells in
-    * the blocked self-join; a hot cell is the inherent SemDeDup skew
-    * surface (AQE skew-split applies — it is a plain equi-join). */
+    * = the co-located fraction, the SemDeDup trade. Work n²/cells; a
+    * hot cell is a SELF-join skew AQE can never split (both sides
+    * share the hot partition — hotcell probe), so the pair scan runs
+    * through [[Dedup.blockedSelfPairs]]' triangular blocking on the
+    * composite (cluster, block-pair) key. */
   def semdedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, iters: Int, threshold: Double,
                     nBlocks: Int = 16): DataFrame = {
     import graft.functions.VectorExpressions.dotF
-    require(nBlocks >= 1)
     val model = fit(emb, idCol, vecCol, k, dim, iters)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"),
@@ -158,26 +159,8 @@ object Kmeans {
           .as("nc"))
       .filter(col("nc").isNotNull)
       .select(col("id"), col("v"), col("nrm"),
-        col("nc.cluster").as("cluster"),
-        pmod(hash(col("id")), lit(nBlocks)).as("blk"))
-    // Triangular block pairing WITHIN each cell ([[Dedup
-    // .embeddingCosine]]'s idiom with the cell in the composite key):
-    // a hot cell is a skew surface a plain cluster-keyed self-join
-    // cannot escape — both sides share the hot partition, so AQE's
-    // skew split (which must duplicate ONE side) never applies
-    // (probe-verified). Blocking spreads each cell's n²/2 compares
-    // over nBlocks²/2 equi-join buckets; each unordered pair meets in
-    // exactly one bucket.
-    val partners = array((0 until nBlocks).map(lit(_)): _*)
-    val a = base.select(col("id").as("id_a"), col("v").as("va"),
-      col("nrm").as("nrm_a"), col("cluster"), col("blk").as("blk_a"),
-      explode(filter(partners, j => j >= col("blk"))).as("blk_b"))
-    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nrm_b"), col("cluster"),
-      explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
-      col("blk").as("blk_b"))
-    a.join(b, Seq("cluster", "blk_a", "blk_b"))
-      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
+        col("nc.cluster").as("cluster"))
+    Dedup.blockedSelfPairs(base, Seq("cluster"), nBlocks)
       .withColumn("cosine",
         round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
@@ -220,9 +203,10 @@ object Kmeans {
         size(graft.functions.Fns.words(col(textCol))).cast("long")
           .as("n_tokens"))
       .join(assigned, "doc_id")
-      .withColumn("doc_id", when(col("doc_id") < (1L << 28),
+      .withColumn("doc_id", when(col("doc_id") >= 0L &&
+        col("doc_id") < (1L << 28),
         col("doc_id")).otherwise(expr(
-        "raise_error('inContextPack: doc ids must fit 28 bits — re-key')")))
+        "raise_error('inContextPack: doc ids must fit 28 bits (non-negative) — re-key')")))
       .withColumn("ord",
         col("cluster").cast("long") * (1L << 48) +
           least(expr("dist_micro2 DIV 67108864"),

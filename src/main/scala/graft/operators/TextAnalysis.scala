@@ -702,9 +702,8 @@ object TextAnalysis {
         col("cnt"))
       .agg(count(lit(1)).as("v"), sum("cnt").as("n_tokens"),
         sum("xm").as("sx"), sum("ym").as("sy"), sum("xym").as("sxy"),
-        sum("xxm").as("sxx"), sum("yym").as("yym_sum"),
-        min("cnt").as("mincnt"), max("cnt").as("maxcnt"))
-      .withColumnRenamed("yym_sum", "syy")
+        sum("xxm").as("sxx"), sum("yym").as("syy"),
+        min("ym").as("minym"), max("ym").as("maxym"))
     sums.select(col("v").as("vocab"), col("n_tokens"),
       expr(zipfSlopeSql).as("slope"),
       expr(zipfInterceptSql).as("intercept"),
@@ -714,10 +713,13 @@ object TextAnalysis {
   /** The closed-form OLS expressions over the six exact sums — ONE
     * text shared verbatim by the Spark plan and the DuckDB oracle
     * (they cannot drift). */
-  // Degeneracy guards test the EXACT integer sources (v, the count
-  // range), never the micro sums — per-row rounding leaves ≤1e-6
-  // residues that would sneak a zero-variance fit past a sum-based
-  // zero test and report a garbage residue ratio as R².
+  // Degeneracy guards test the EXACT integer sources — v for the
+  // rank axis, the MICRO-y range (min(ym) = max(ym)) for the count
+  // axis: counts that differ but round to the same micro ln value
+  // are zero-variance in the regression's actual y-space, so a
+  // raw-count range test would let a garbage residue ratio through
+  // as R² (and a sum-based zero test fails the other way — per-row
+  // rounding leaves ≤1e-6 residues in the sums).
   private[graft] val zipfSlopeSql: String =
     """CASE WHEN v <= 1 THEN NULL
       |ELSE round((v * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
@@ -729,7 +731,7 @@ object TextAnalysis {
       |  / (v * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))) * (sx / 1e6)) / v,
       |  6) END""".stripMargin.replace("\n", " ")
   private[graft] val zipfR2Sql: String =
-    """CASE WHEN v <= 1 OR mincnt = maxcnt THEN NULL
+    """CASE WHEN v <= 1 OR minym = maxym THEN NULL
       |ELSE round((v * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
       |  * (v * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
       |  / ((v * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
