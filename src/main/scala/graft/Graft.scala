@@ -779,6 +779,19 @@ object Graft {
                  root: String): operators.Kmeans.KmModel =
     operators.Kmeans.modelFromStore(spark, root)
 
+  /** The INGEST-TIME curation chain as one streaming pipeline:
+    * frozen-vocabulary quality gate → first-arrival exact dedup →
+    * frozen-shingle decontamination drop — every decision a
+    * versioned frozen artifact (spec-held equal to the batch chain
+    * under id-ordered arrivals). */
+  def curateStream(docs: DataFrame, vocab: Map[String, Long],
+                   totalTokens: Long,
+                   th: TextAnalysis.QualityThresholds,
+                   evalShingles: Array[Long], shingleN: Int,
+                   minOverlap: Long = 1L): DataFrame =
+    graft.streaming.StreamingCurate.curate(docs, vocab, totalTokens,
+      th, evalShingles, shingleN, minOverlap)
+
   /** Ingest a JSONL corpus with quarantine semantics: (clean,
     * corrupt) — malformed lines retained, never silently dropped. */
   def readJsonl(spark: SparkSession, path: String,

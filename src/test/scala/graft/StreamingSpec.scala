@@ -1125,7 +1125,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming curate chain: quality gate -> first-arrival dedup -> decontam drop == batch chain") {
     import graft.operators.{Dedup, TextAnalysis}
-    import graft.streaming.{StreamingCurate, StreamingDedup}
+    import graft.streaming.StreamingDedup
     implicit val sqlCtx = spark.sqlContext
     val base = Tables.documents(spark, TestSpark.sfDir)
       .select("doc_id", "text").collect()
@@ -1163,9 +1163,10 @@ class StreamingSpec extends AnyFunSuite {
     assert(expect.nonEmpty && expect.size < (b1 ++ b2).size,
       "fixture must exercise every stage")
 
-    // streamed chain, arrivals in id order (batch keep-min == first)
+    // streamed chain via the FACADE, arrivals in id order (batch
+    // keep-min == first-arrival)
     val input = MemoryStream[(Long, String)]
-    val q = StreamingCurate.curate(
+    val q = Graft.curateStream(
         input.toDF().toDF("doc_id", "text"), vocab, total, th,
         evalShingles, shingleN = 3, minOverlap = 1L)
       .writeStream.format("memory").queryName("curate_stream")
