@@ -1103,6 +1103,14 @@ object SparkEntry {
       "text", Tables.embeddings(s, d), "vec_id", "embedding",
       k = 8, dim = 64, iters = 3, seqLen = 512L)
 
+  /** The SemDeDup ACTION (round 12): keep-min over q_kmeans_dedup's
+    * oracle-checked pairs — a vector survives unless a smaller-id
+    * vector pairs with it in its cell. Detection → action parity,
+    * the q_substr_spans → q_substr_dedup convention. */
+  def qKmeansKeeplist(s: SparkSession, d: String): DataFrame =
+    operators.Kmeans.semdedupKeepList(Tables.embeddings(s, d), "vec_id",
+      "embedding", k = 8, dim = 64, iters = 3, threshold = 0.4)
+
   /** Cluster-BALANCED corpus: every k-means cell sampled to a uniform
     * token share (topic-skew flattening — the cluster-based curation
     * recipe) through the q_domain_mix rate machinery. */
@@ -1953,7 +1961,8 @@ object SparkEntry {
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_incontext_pack" -> (qIncontextPack _),
     "q_zipf_fit" -> (qZipfFit _),
-    "q_pretrain_mix" -> (qPretrainMix _)
+    "q_pretrain_mix" -> (qPretrainMix _),
+    "q_kmeans_keeplist" -> (qKmeansKeeplist _)
   )
 
   /** Shared by q_bm25 and q_bm25_serve (the serve path must hash-equal
@@ -4190,6 +4199,29 @@ object SparkEntry {
            |  ${graft.operators.TextAnalysis.zipfInterceptSql} AS intercept,
            |  ${graft.operators.TextAnalysis.zipfR2Sql} AS r2
            |FROM sm""".stripMargin,
+
+      // The SemDeDup ACTION: the q_kmeans_dedup pair replay feeds a
+      // keep-min anti-join (doc_b of any qualifying pair drops).
+      "q_kmeans_keeplist" ->
+        s"""WITH ${kmeansCtes(8, 3)},
+           |kdf AS (SELECT vec_id, cl FROM kafin WHERE rn = 1),
+           |kdp AS (
+           |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           |    list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+           |      x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) AS dab,
+           |    list_reduce(list_transform(ea.embedding,
+           |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) AS daa,
+           |    list_reduce(list_transform(eb.embedding,
+           |      x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) AS dbb
+           |  FROM kdf a JOIN kdf b ON a.cl = b.cl AND a.vec_id < b.vec_id
+           |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+           |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+           |), kdrop AS (
+           |  SELECT DISTINCT doc_b FROM kdp
+           |  WHERE round(dab / (sqrt(daa) * sqrt(dbb)), 6) >= 0.4
+           |)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT doc_b FROM kdrop)""".stripMargin,
 
       // In-Context-Pretraining order: the Lloyd replay feeds the
       // composite-ord arithmetic and the pack cumsum (the oracle may

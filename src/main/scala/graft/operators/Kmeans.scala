@@ -219,6 +219,21 @@ object Kmeans {
         col("n_tokens"), col("bin"), col("bin_offset"))
   }
 
+  /** The dedup ACTION over [[semdedupPairs]]: keep-min — a vector
+    * survives unless a smaller-id vector pairs with it at or above
+    * `threshold` in its cell (the [[Dedup.embeddingKeepList]] drop
+    * rule over the oracle-checked corpus-fit pairs). Returns the
+    * surviving ids; the drop list is pair-bounded and broadcasts. */
+  def semdedupKeepList(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, dim: Int, iters: Int, threshold: Double,
+                       nBlocks: Int = 16): DataFrame = {
+    val drops = semdedupPairs(emb, idCol, vecCol, k, dim, iters,
+        threshold, nBlocks)
+      .select(col("doc_b").as(idCol)).distinct()
+    emb.select(col(idCol))
+      .join(broadcast(drops), Seq(idCol), "left_anti")
+  }
+
   private def kmTable(root: String) = s"$root/kmeans_model"
 
   /** PERSIST the fitted model under `root` as ONE atomic

@@ -2440,6 +2440,25 @@ class LlmPipelineSpec extends AnyFunSuite {
       again.map(_.toString).sorted.toSeq)
   }
 
+  test("kmeans semdedupKeepList: survivors = ids minus pair-losers; every drop has a smaller kept partner") {
+    import graft.operators.Kmeans
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val pairs = Kmeans.semdedupPairs(emb, "vec_id", "embedding",
+        k = 4, dim = 64, iters = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = Kmeans.semdedupKeepList(emb, "vec_id", "embedding",
+        k = 4, dim = 64, iters = 2, threshold = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val losers = pairs.map(_._2).toSet
+    assert(kept === all -- losers, "keep list must be ids minus doc_b losers")
+    // every dropped id pairs with a SMALLER id (keep-min justification)
+    (all -- kept).foreach { d =>
+      assert(pairs.exists { case (a, b) => b == d && a < d },
+        s"dropped $d must have a smaller-id partner")
+    }
+  }
+
   test("kmeans clusterBalance: every kept row passed its cluster gate; binding cell keeps ~all") {
     import graft.operators.Kmeans
     val docs = Tables.documents(spark, TestSpark.sfDir)
