@@ -397,6 +397,15 @@ object FtClassify {
       .distinct().as[String].collect().sorted
     val nC = labels.length
     require(nC >= 2, s"need at least 2 classes, got ${labels.toSeq}")
+    // Practical class-count ceiling: the label-index fold and the
+    // per-class column set grow O(C); z_c is bound ONCE as a
+    // materialized column below (so no expression is O(C^2)), but at
+    // hundreds of classes the generated code for one projection still
+    // approaches the JVM's 64KB method limit. 256 covers fastText's
+    // real langid shape (~170 languages) with margin.
+    require(nC <= 256,
+      s"trainMc supports at most 256 classes (codegen method-size " +
+        s"ceiling); got $nC")
     val yCol = labels.zipWithIndex.tail
       .foldLeft(lit(0)) { case (acc, (l, i)) =>
         when(col(labelCol).cast("string") === l, lit(i)).otherwise(acc)
@@ -433,21 +442,29 @@ object FtClassify {
       // round-trip per row (exact integer inputs → one double chain)
       val sumCols = (0 until nC).map(c =>
         sum(col("cnt") * element_at(col("s_arr"), c + 1)).as(s"ss$c"))
-      val zExprs = (0 until nC).map(c =>
-        s"((ss$c / m + ${bLits(c)}) / 1e6)")
-      val mxExpr = s"greatest(${zExprs.mkString(", ")})"
-      val seExpr = (0 until nC).map(c => s"exp(${zExprs(c)} - mx)")
-        .mkString(" + ")
+      // z_c is bound ONCE as a materialized column and referenced by
+      // name everywhere after (mx, se, p_c, the loss CASE) — the
+      // expression text stays O(C), not O(C^2) as it would if each
+      // z inlined into every consumer (at ~100+ classes the inlined
+      // form's expression tree hits codegen method-size limits).
+      // Same double chain, same deterministic value.
       var perDoc = pairs.join(broadcast(sDf), Seq("bucket"))
         .groupBy("doc_id", "y", "m")
         .agg(sumCols.head,
           (sumCols.tail :+
             collect_list(struct(col("bucket"), col("cnt"))).as("fs")): _*)
-        .withColumn("mx", expr(mxExpr))
-        .withColumn("se", expr(seExpr))
+      (0 until nC).foreach { c =>
+        perDoc = perDoc.withColumn(s"z$c",
+          expr(s"((ss$c / m + ${bLits(c)}) / 1e6)"))
+      }
+      perDoc = perDoc
+        .withColumn("mx",
+          greatest((0 until nC).map(c => col(s"z$c")): _*))
+        .withColumn("se", (0 until nC).map(c =>
+          exp(col(s"z$c") - col("mx"))).reduce(_ + _))
       (0 until nC).foreach { c =>
         perDoc = perDoc.withColumn(s"p$c", expr(
-            s"CAST(round(1e6 * exp(${zExprs(c)} - mx) / se) AS BIGINT)"))
+            s"CAST(round(1e6 * exp(z$c - mx) / se) AS BIGINT)"))
           .withColumn(s"err$c",
             col(s"p$c") - when(col("y") === c, 1000000L).otherwise(0L))
       }

@@ -55,8 +55,22 @@ object Kmeans {
     * never a global sort). */
   def init(emb: DataFrame, idCol: String, vecCol: String, k: Int,
            dim: Int): KmModel =
-    initFromVm(emb.select(col(idCol).as("id"),
-      microVec(col(vecCol)).as("vm")), k, dim)
+    initFromVm(vmProjection(emb, idCol, vecCol, dim), k, dim)
+
+  /** The shared (id, vm) projection + validity filter: wrong-dim
+    * vectors AND vectors carrying null components are excluded HERE,
+    * so [[initFromVm]] and assignment see the same population
+    * (NearestCentroidMicro already excludes null-component vectors;
+    * without this filter init would silently seed a centroid from a
+    * vector whose null components unbox to 0). The `exists` lambda is
+    * CodegenFallback, but this projection runs once per fit (it is
+    * localCheckpointed) — never in the per-row serving path, where
+    * the expression's own null exclusion carries the contract. */
+  private def vmProjection(emb: DataFrame, idCol: String,
+                           vecCol: String, dim: Int): DataFrame =
+    emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("vm"))
+      .filter(size(col("vm")) === dim &&
+        !exists(col("vm"), _.isNull))
 
   /** Init over a frame ALREADY carrying (id, vm) micro vectors —
     * [[fit]] calls this so the corpus is micro-rounded exactly once. */
@@ -85,8 +99,7 @@ object Kmeans {
   def fit(emb: DataFrame, idCol: String, vecCol: String, k: Int,
           dim: Int, iters: Int): KmModel = {
     require(iters >= 0)
-    val vm = emb.select(col(idCol).as("id"), microVec(col(vecCol)).as("vm"))
-      .filter(size(col("vm")) === dim)
+    val vm = vmProjection(emb, idCol, vecCol, dim)
       .localCheckpoint(false) // one corpus materialization, reused per iter
     var model = initFromVm(vm, k, dim)
     var it = 0
@@ -196,6 +209,13 @@ object Kmeans {
                     emb: DataFrame, embIdCol: String, vecCol: String,
                     k: Int, dim: Int, iters: Int,
                     seqLen: Long): DataFrame = {
+    // k·2^48 must stay under 2^53 for the running total's
+    // double-cast ordering to be exact — the same enforced-contract
+    // treatment as the 28-bit doc-id guard (silent Long/double drift
+    // at larger k would corrupt bin assignments with no error).
+    require(k >= 1 && k <= 32,
+      s"inContextPack: k must be in [1, 32] (k*2^48 < 2^53 keeps the " +
+        s"composite order exact in the prefix sum's double cast); got $k")
     val assigned = fitAssign(emb, embIdCol, vecCol, k, dim, iters)
       .select(col("id").as("doc_id"), col("cluster"),
         col("dist_micro2"))
@@ -223,7 +243,12 @@ object Kmeans {
     * survives unless a smaller-id vector pairs with it at or above
     * `threshold` in its cell (the [[Dedup.embeddingKeepList]] drop
     * rule over the oracle-checked corpus-fit pairs). Returns the
-    * surviving ids; the drop list is pair-bounded and broadcasts. */
+    * surviving ids. No broadcast hint: on exactly the high-duplication
+    * corpora SemDeDup targets, the distinct drop list scales with the
+    * CORPUS (every duplicate is a doc_b), not with pairs per cell —
+    * a forced broadcast would blow the driver there. AQE broadcasts
+    * it when the runtime size qualifies and shuffles safely when it
+    * doesn't. */
   def semdedupKeepList(emb: DataFrame, idCol: String, vecCol: String,
                        k: Int, dim: Int, iters: Int, threshold: Double,
                        nBlocks: Int = 16): DataFrame = {
@@ -231,7 +256,7 @@ object Kmeans {
         threshold, nBlocks)
       .select(col("doc_b").as(idCol)).distinct()
     emb.select(col(idCol))
-      .join(broadcast(drops), Seq(idCol), "left_anti")
+      .join(drops, Seq(idCol), "left_anti")
   }
 
   private def kmTable(root: String) = s"$root/kmeans_model"
