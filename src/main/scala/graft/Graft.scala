@@ -204,6 +204,14 @@ object Graft {
   def dedupMinhash(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4)
   : DataFrame = Dedup.minhashLsh(docs, "doc_id", "text", n, k, bands)
 
+  /** The oracle-replayable MinHash family (portable md5 hashes +
+    * built-in exact-Jaccard verify) — audit twin of [[dedupMinhash]];
+    * returns VERIFIED pairs (doc_a, doc_b, n_bands, jaccard). */
+  def dedupMinhashMd5(docs: DataFrame, n: Int = 3, k: Int = 16,
+                      bands: Int = 4, threshold: Double = 0.8)
+  : DataFrame =
+    Dedup.minhashMd5Pairs(docs, "doc_id", "text", n, k, bands, threshold)
+
   def dedupSimhash(docs: DataFrame, maxHamming: Int = 6): DataFrame =
     Dedup.simhashPairs(docs, "doc_id", "text", maxHamming)
 

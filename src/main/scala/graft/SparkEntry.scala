@@ -287,6 +287,63 @@ object SparkEntry {
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 16, bands = 4)
 
+  /** The ORACLE-REPLAYABLE MinHash family (portable md5 signatures +
+    * band keys + exact verify) — closes the flagship near-dup
+    * recipe's rows-only gap; q_dedup_minhash above stays the
+    * xxhash64 production family, spec-held to the same recall
+    * contract. */
+  def qMinhashMd5(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashMd5Pairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, k = 16, bands = 4, threshold = 0.8)
+
+  /** DuckDB replay of [[qMinhashMd5]], generated for k/bands: every
+    * min-hash draw is ('0x' || substr(md5('mh'||d||':'||s),
+    * 1+8q, 8))::BIGINT % 2^31 (4 draws per digest, matching
+    * MinHashMd5's byte extraction), band keys the md5Hash31 of the
+    * same concat_ws string Spark builds. */
+  private def minhashMd5OracleSql(n: Int, k: Int, bands: Int,
+                                  threshold: Double): String = {
+    val rows = k / bands
+    def draw(expr: String, d: Int, q: Int): String =
+      s"('0x' || substr(md5('mh$d:' || $expr), ${1 + 8 * q}, 8))::BIGINT % 2147483648"
+    val mins = (0 until k).map(i =>
+      s"min(${draw("s", i / 4, i % 4)}) AS mh_$i").mkString(",\n|    ")
+    val bandSelects = (0 until bands).map { b =>
+      val parts = (s"'band$b'" +: (0 until rows).map(r =>
+        s"mh_${b * rows + r}")).mkString(", ")
+      s"SELECT doc_id, $b AS band, ('0x' || substr(md5(concat_ws(',', $parts)), 1, 8))::BIGINT % 2147483648 AS key FROM mh"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+       |    i -> concat_ws(' ', ${(0 until n).map(j => s"ws[i+$j]").mkString(", ")})))) AS s
+       |  FROM w
+       |), mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id
+       |), bk AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |cm AS (
+       |  SELECT c.doc_a, c.doc_b, c.n_bands, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_a, doc_b, n_bands,
+       |       round(common / (x.sz + y.sz - common), 6) AS jaccard
+       |FROM cm JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+       |WHERE round(common / (x.sz + y.sz - common), 6) >= $threshold""".stripMargin
+  }
+
   def qDedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
       maxHamming = 6)
@@ -1852,6 +1909,7 @@ object SparkEntry {
     "q_dedup_keeplist" -> (qDedupKeeplist _),
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_md5" -> (qMinhashMd5 _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_wide" -> (qDedupSimhashWide _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -3595,6 +3653,9 @@ object SparkEntry {
           |SELECT canonical_url, min(doc_id) AS canonical_id,
           |       count(*) AS n_docs
           |FROM canon GROUP BY canonical_url""".stripMargin,
+
+      "q_minhash_md5" ->
+        minhashMd5OracleSql(n = 3, k = 16, bands = 4, threshold = 0.8),
 
       "q_dedup_ngram" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -174,6 +174,158 @@ object ShingleHash {
   def overlapCount(text: Column, n: Int, frozen: Seq[Long]): Column =
     GraftColumnBridge.column(
       ShingleOverlap(GraftColumnBridge.expression(text), n, frozen))
+
+  def shingleStrings(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      ShingleStrings(GraftColumnBridge.expression(text), n))
+
+  def minhashMd5(text: Column, n: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      MinHashMd5(GraftColumnBridge.expression(text), n, k))
+
+  /** Distinct n-word shingle STRINGS of `s`, first-occurrence order —
+    * the portable (SQL-replayable) twin of [[distinctShingleHashes]]:
+    * words are the single-space split INCLUDING empties (exactly
+    * `string_split(text, ' ')` / `split(text, ' ')`), shingles the
+    * space-join of n consecutive words (exactly
+    * `concat_ws(' ', ws[i], …)`).
+    */
+  def distinctShingleStrings(s: UTF8String, n: Int)
+  : java.util.LinkedHashSet[String] = {
+    val words = s.toString.split(" ", -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    if (words.length < n) return seen
+    var j = 0
+    while (j <= words.length - n) {
+      val sb = new java.lang.StringBuilder(words(j))
+      var m = 1
+      while (m < n) { sb.append(' ').append(words(j + m)); m += 1 }
+      seen.add(sb.toString)
+      j += 1
+    }
+    seen
+  }
+}
+
+/** Distinct n-word shingles as STRINGS — the oracle-replayable twin
+  * of [[ShingleHash]] (identical split + join semantics to the SQL
+  * `list_distinct(list_transform(generate_series(…), i ->
+  * concat_ws(' ', ws[i], …)))` chain), as one codegen pass instead of
+  * three interpreted higher-order lambdas. Feeds the md5 dedup
+  * family's exact-Jaccard verify, where the shingle VALUES must
+  * replay in portable SQL (the hashed family's FNV/murmur values
+  * cannot).
+  */
+case class ShingleStrings(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_strings"
+
+  def compute(s: UTF8String): ArrayData = {
+    val seen = ShingleHash.distinctShingleStrings(s, n)
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) {
+      out(m) = UTF8String.fromString(it.next()); m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleStrings", this,
+      classOf[ShingleStrings].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : ShingleStrings = copy(child = newChild)
+}
+
+/** PORTABLE-md5 MinHash signature: text → array of k min-hashes over
+  * the distinct n-word shingle strings, where hash i of shingle s is
+  * the engine's replayable md5 draw
+  * `('0x' || substr(md5('mh' || (i DIV 4) || ':' || s),
+  * 1 + 8*(i % 4), 8))::BIGINT % 2147483648` — four 31-bit values per
+  * digest (one digest covers 4 hash indices, the [[graft.operators
+  * .Sketch]] h1/h2 offset idiom widened), so the per-shingle cost is
+  * ceil(k/4) digests, not k. Texts with fewer than n words return an
+  * EMPTY array (the SQL side has no shingle rows to aggregate —
+  * filter on size(sig) = k).
+  *
+  * This is the ORACLE family of the engine's two-family dedup hash
+  * contract (the bloom/CM precedent): [[ShingleHash]]+xxhash64 is
+  * the production family (faster, not SQL-portable), this one makes
+  * every min-hash, band key, candidate pair and verify replayable in
+  * DuckDB. One codegen pass per row; the MessageDigest is
+  * thread-local.
+  */
+case class MinHashMd5(child: Expression, n: Int, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1 && k >= 1)
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_md5"
+
+  def compute(s: UTF8String): ArrayData = {
+    val seen = ShingleHash.distinctShingleStrings(s, n)
+    if (seen.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill[Long](k)(Long.MaxValue)
+    val md = MinHashMd5.digests.get()
+    val nd = (k + 3) / 4
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val sh = it.next()
+      var d = 0
+      while (d < nd) {
+        md.reset()
+        val bytes = md.digest(
+          ("mh" + d + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var q = 0
+        while (q < 4 && d * 4 + q < k) {
+          val off = q * 4
+          // first 8 hex chars at offset = 4 digest bytes, read as an
+          // unsigned 32-bit value; % 2^31 == & 0x7fffffff for it
+          val v = ((bytes(off) & 0xffL) << 24) |
+            ((bytes(off + 1) & 0xffL) << 16) |
+            ((bytes(off + 2) & 0xffL) << 8) |
+            (bytes(off + 3) & 0xffL)
+          val h = v & 0x7fffffffL
+          val i = d * 4 + q
+          if (h < mins(i)) mins(i) = h
+          q += 1
+        }
+        d += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashMd5", this,
+      classOf[MinHashMd5].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : MinHashMd5 = copy(child = newChild)
+}
+
+object MinHashMd5 {
+  private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
 }
 
 /** Count of a text's distinct n-word shingles that fall in a FROZEN

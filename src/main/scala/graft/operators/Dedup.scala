@@ -208,6 +208,101 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Portable-md5 MinHash signatures: (doc_id, sig) where sig is the
+    * k-long min-hash array of [[graft.functions.MinHashMd5]] — ONE
+    * codegen projection per doc (no explode, no shuffle; the k mins
+    * fold inside the row loop). Docs with fewer than n words carry no
+    * signature and are dropped, mirroring the SQL side's empty
+    * shingle set. */
+  def minhashMd5Signatures(docs: DataFrame, idCol: String,
+                           textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHash.minhashMd5(col(textCol), n, k)
+          .as("sig"))
+      .filter(size(col("sig")) === k)
+
+  /** md5 LSH band keys per doc: (doc_id, band, key), key =
+    * md5Hash31(concat_ws(',', 'band'||b, sig slice)) — the exact
+    * string the oracle rebuilds from its mh_i columns. */
+  private[operators] def minhashMd5BandKeys(sigs: DataFrame, k: Int,
+                                            bands: Int): DataFrame = {
+    require(bands >= 1 && k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    sigs.select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          val parts = lit(s"band$b") +: (0 until rows).map(r =>
+            element_at(col("sig"), b * rows + r + 1))
+          struct(lit(b).as("band"),
+            Fns.md5Hash31(concat_ws(",", parts: _*)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+  }
+
+  /** MinHash+LSH near-dup pairs, ORACLE-REPLAYABLE end-to-end — the
+    * portable-md5 family of the engine's two-family dedup-hash
+    * contract (the bloom/CM precedent in [[Sketch]]): signatures,
+    * band keys, candidate pairs AND the exact-Jaccard verify all
+    * derive from md5 over shingle STRINGS, so the whole pipeline —
+    * the most-used near-dup recipe in LLM curation — replays in
+    * DuckDB SQL. [[minhashLsh]] (xxhash64) remains the production
+    * family: same algorithm, faster hashes, spec-held to the same
+    * recall contract (every exact-duplicate pair collides on ALL
+    * bands in both families — J=1 recall is 1.0 by construction; at
+    * J ≥ t recall is the usual 1-(1-t^r)^b curve per family's
+    * independent draws).
+    *
+    * Output: verified pairs (doc_a, doc_b, n_bands, jaccard) with
+    * exact shingle-set jaccard ≥ `threshold` — precision 1.0.
+    *
+    * SCALE SHAPE: signatures are one codegen projection (no explode
+    * — the k mins fold per row); candidates an equi-join on
+    * (band, key) + a map-side-combinable count; the verify shingle
+    * index is built ONLY for candidate docs (left_semi first), and
+    * one explicit repartition(doc_id) makes the sizes aggregate and
+    * both verify join sides ReusedExchange readers of a single
+    * exchange. Degenerate corpora (thousands of byte-identical docs)
+    * make a band key a hot SELF-join key, which AQE cannot split —
+    * route such corpora through exact-hash dedup first
+    * ([[Dedup.pipeline]]'s stage order), which removes identical
+    * copies before any LSH join.
+    */
+  def minhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.8): DataFrame = {
+    val banded = minhashMd5BandKeys(
+      minhashMd5Signatures(docs, idCol, textCol, n, k), k, bands)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleStrings(
+          col("text"), n)).as("s"))
+      .repartition(col("doc_id"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")),
+        Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b", "n_bands")
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_bands", "jaccard")
+  }
+
   /** Per-doc 64-bit SimHash signatures via the single-pass codegen'd
     * SimHash64 expression — no explode, no shuffle, one loop per row.
     */

@@ -45,6 +45,54 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(!cand.contains((1L, 3L)) || !cand.contains((2L, 3L)))
   }
 
+  test("minhashMd5Pairs: verified near-dups surface, distant docs do not, short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k m"),
+      (3L, "q r s t u v w x y z a0 a1"),
+      (4L, "a b")                       // < n words → no signature
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashMd5Pairs(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, threshold = 0.5).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys == Set((1L, 2L)))
+    assert(pairs.forall(_.getDouble(3) >= 0.5))
+  }
+
+  test("minhash two-family recall contract: md5 pairs == xxhash64-verified pairs on the gate corpus; J=1 recall 1.0 in both") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val t = 0.8
+    // exact ground truth at the declared threshold (uncapped)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, t, maxDf = 0)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // md5 family: precision 1.0 — every emitted pair IS an exact pair,
+    // with the identical jaccard value
+    val md5Pairs = Dedup.minhashMd5Pairs(docs, "doc_id", "text",
+        3, 16, 4, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    md5Pairs.foreach { case (k, j) =>
+      assert(exact.get(k).contains(j), s"md5 pair $k not exact or jaccard drifted") }
+    // xxhash64 production family: same candidates-then-verify recipe
+    val xxVerified = Dedup.minhashLsh(docs, "doc_id", "text", 3, 16, 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(k => exact.get(k).exists(_ >= t))
+    // J=1 (byte-identical shingle sets) collide on ALL bands in BOTH
+    // families — recall 1.0 by construction
+    val exactDups = exact.filter(_._2 == 1.0).keySet
+    exactDups.foreach { k =>
+      assert(md5Pairs.contains(k), s"md5 family missed exact dup $k")
+      assert(xxVerified.contains(k), s"xxhash64 family missed exact dup $k")
+    }
+    // on the gate corpus the two families' verified sets agree — the
+    // recall contract the production family is held to (deterministic:
+    // both families are RNG-free, so this is a fixture fact, not luck)
+    assert(md5Pairs.keySet == xxVerified,
+      s"families disagree: md5-only=${md5Pairs.keySet -- xxVerified} " +
+        s"xx-only=${xxVerified -- md5Pairs.keySet}")
+  }
+
   test("simhashPairs: near-identical docs collide, distant do not") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
