@@ -754,6 +754,16 @@ object Graft {
                    vecCol: String = "embedding"): DataFrame =
     operators.Kmeans.assign(emb, idCol, vecCol, model)
 
+  /** LARGE-k assignment: two-level coarse-probe argmin — the scale
+    * tier when k·dim per row is the wall (still one codegen
+    * projection; full probe bit-equal to [[kmeansAssign]]). */
+  def kmeansAssignTiered(emb: DataFrame, model: operators.Kmeans.KmModel,
+                         nCoarse: Int, nProbe: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    operators.Kmeans.assignTiered(emb, idCol, vecCol, model, nCoarse,
+      nProbe)
+
   /** Sample every k-means cell to a uniform token share —
     * topic-skew flattening through the domainMix rate machinery. */
   def kmeansBalance(docs: DataFrame, emb: DataFrame, k: Int, dim: Int,

@@ -507,6 +507,129 @@ case class NearestCentroidMicro(child: Expression,
   : NearestCentroidMicro = copy(child = newChild)
 }
 
+/** TWO-LEVEL nearest-centroid over an integer-micro vector — the
+  * large-k assignment tier of [[graft.operators.Kmeans]] (the
+  * Ann.ivfSearch pattern applied to Lloyd assignment): the k
+  * centroids are themselves clustered into `nCoarse` cells
+  * (driver-side, k·dim longs); per row, the expression probes the
+  * `nProbe` nearest coarse centers (exact integer L2) and runs the
+  * exact argmin only over the member centroids of those cells —
+  * O(nCoarse·dim + nProbe·(k/nCoarse)·dim) per row instead of
+  * O(k·dim). At nProbe = nCoarse the scan covers every centroid and
+  * the result is BIT-EQUAL to [[NearestCentroidMicro]] (spec-held):
+  * ties break to the lowest cluster id via the explicit (dist, id)
+  * comparison, so scan order cannot change the winner. At partial
+  * probe the assignment is approximate (the true nearest may live in
+  * an unprobed cell) but the returned distance is always the exact
+  * distance to the returned cluster.
+  *
+  * `members`/`memberOffsets` is the CSR inverted list: cell g's
+  * member centroid ids are members[memberOffsets(g) until
+  * memberOffsets(g+1)), ascending.
+  */
+case class NearestCentroidTiered(child: Expression,
+                                 centroids: Array[Long], k: Int, dim: Int,
+                                 coarse: Array[Long], nCoarse: Int,
+                                 memberOffsets: Array[Int],
+                                 members: Array[Int], nProbe: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.length == k * dim, "centroids must be k*dim flat")
+  require(coarse.length == nCoarse * dim, "coarse must be nCoarse*dim flat")
+  require(memberOffsets.length == nCoarse + 1 && members.length == k,
+    "members must be a CSR list over all k centroids")
+  require(nProbe >= 1 && nProbe <= nCoarse)
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist_micro2",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_nearest_centroid_tiered"
+
+  def compute(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (v.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (v.isNullAt(i)) return null
+      i += 1
+    }
+    val vv = new Array[Long](dim)
+    i = 0
+    while (i < dim) { vv(i) = v.getLong(i); i += 1 }
+    // 1. exact L2 to every coarse center; keep the nProbe best by
+    // (dist, cell id) — insertion into a tiny sorted buffer
+    val probeCell = new Array[Int](nProbe)
+    val probeDist = Array.fill[Long](nProbe)(Long.MaxValue)
+    var g = 0
+    while (g < nCoarse) {
+      val off = g * dim
+      var acc = 0L
+      i = 0
+      while (i < dim) {
+        val diff = vv(i) - coarse(off + i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < probeDist(nProbe - 1)) {
+        var p = nProbe - 1
+        while (p > 0 && probeDist(p - 1) > acc) {
+          probeDist(p) = probeDist(p - 1); probeCell(p) = probeCell(p - 1)
+          p -= 1
+        }
+        probeDist(p) = acc; probeCell(p) = g
+      }
+      g += 1
+    }
+    // 2. exact argmin within the probed cells' members; explicit
+    // (dist, id) tie-break so scan order never changes the winner
+    var best = -1
+    var bestD = Long.MaxValue
+    var p = 0
+    while (p < nProbe) {
+      if (probeDist(p) != Long.MaxValue) {
+        val cell = probeCell(p)
+        var m = memberOffsets(cell)
+        val end = memberOffsets(cell + 1)
+        while (m < end) {
+          val c = members(m)
+          val off = c * dim
+          var acc = 0L
+          i = 0
+          while (i < dim) {
+            val diff = vv(i) - centroids(off + i)
+            acc += diff * diff
+            i += 1
+          }
+          if (acc < bestD || (acc == bestD && c < best)) {
+            bestD = acc; best = c
+          }
+          m += 1
+        }
+      }
+      p += 1
+    }
+    if (best < 0) null // every probed cell empty — no assignment
+    else org.apache.spark.sql.catalyst.InternalRow(best, bestD)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidTiered", this,
+      classOf[NearestCentroidTiered].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : NearestCentroidTiered = copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Column-level entry point for the codegen'd dot product. */
@@ -555,6 +678,14 @@ object VectorExpressions {
                       dim: Int): Column =
     GraftColumnBridge.column(NearestCentroidMicro(
       GraftColumnBridge.expression(vm), centroids, k, dim))
+
+  def nearestCentroidTiered(vm: Column, centroids: Array[Long], k: Int,
+                            dim: Int, coarse: Array[Long], nCoarse: Int,
+                            memberOffsets: Array[Int], members: Array[Int],
+                            nProbe: Int): Column =
+    GraftColumnBridge.column(NearestCentroidTiered(
+      GraftColumnBridge.expression(vm), centroids, k, dim, coarse,
+      nCoarse, memberOffsets, members, nProbe))
 
   def microVec(vec: Column): Column =
     GraftColumnBridge.column(MicroVec(GraftColumnBridge.expression(vec)))

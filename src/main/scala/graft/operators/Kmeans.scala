@@ -132,6 +132,125 @@ object Kmeans {
       .select(col("id"), col("vm"), col("nc.cluster").as("cluster"),
         col("nc.dist_micro2").as("dist_micro2"))
 
+  /** Coarse quantizer over a fitted model's OWN centroids — the
+    * driver-side half of the large-k assignment tier. The k centroids
+    * (k·dim longs — kilobytes to a few MB, driver-sized by
+    * construction) are clustered with the SAME deterministic integer
+    * Lloyd the corpus fit uses: md5-bottom-nCoarse init on the
+    * cluster id, exact long squared-L2 with ties to the lowest id,
+    * exact sums with truncating division, empty cells keep their
+    * centroid. Members come back as a CSR inverted list with
+    * ascending ids per cell. */
+  final case class TieredIndex(coarse: Array[Long], nCoarse: Int,
+                               memberOffsets: Array[Int],
+                               members: Array[Int])
+
+  private def md5h31(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+  }
+
+  def tieredIndex(model: KmModel, nCoarse: Int,
+                  coarseIters: Int = 5): TieredIndex = {
+    val (k, dim, cs) = (model.k, model.dim, model.centroids)
+    require(nCoarse >= 1 && nCoarse <= k,
+      s"nCoarse must be in [1, k=$k]; got $nCoarse")
+    // deterministic init: bottom-nCoarse centroid ids by md5 draw
+    val seedIds = (0 until k)
+      .sortBy(c => (md5h31(c.toString), c)).take(nCoarse)
+    val coarse = new Array[Long](nCoarse * dim)
+    seedIds.zipWithIndex.foreach { case (c, g) =>
+      System.arraycopy(cs, c * dim, coarse, g * dim, dim)
+    }
+    val assignOf = new Array[Int](k)
+    def assignAll(): Unit = {
+      var c = 0
+      while (c < k) {
+        var best = 0
+        var bestD = Long.MaxValue
+        var g = 0
+        while (g < nCoarse) {
+          var acc = 0L
+          var i = 0
+          while (i < dim) {
+            val diff = cs(c * dim + i) - coarse(g * dim + i)
+            acc += diff * diff
+            i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = g }
+          g += 1
+        }
+        assignOf(c) = best
+        c += 1
+      }
+    }
+    var it = 0
+    while (it < coarseIters) {
+      assignAll()
+      val sums = new Array[Long](nCoarse * dim)
+      val counts = new Array[Long](nCoarse)
+      var c = 0
+      while (c < k) {
+        val g = assignOf(c)
+        counts(g) += 1
+        var i = 0
+        while (i < dim) { sums(g * dim + i) += cs(c * dim + i); i += 1 }
+        c += 1
+      }
+      var g = 0
+      while (g < nCoarse) {
+        if (counts(g) > 0) {
+          var i = 0
+          // truncating division — the corpus fit's negative-micro rule
+          while (i < dim) {
+            coarse(g * dim + i) = sums(g * dim + i) / counts(g); i += 1
+          }
+        } // empty cell keeps its center
+        g += 1
+      }
+      it += 1
+    }
+    assignAll() // final membership under the final coarse centers
+    val offsets = new Array[Int](nCoarse + 1)
+    (0 until k).foreach(c => offsets(assignOf(c) + 1) += 1)
+    (1 to nCoarse).foreach(g => offsets(g) += offsets(g - 1))
+    val members = new Array[Int](k)
+    val cursor = offsets.clone()
+    var c = 0
+    while (c < k) { // ascending c → ascending ids per cell
+      members(cursor(assignOf(c))) = c
+      cursor(assignOf(c)) += 1
+      c += 1
+    }
+    TieredIndex(coarse, nCoarse, offsets, members)
+  }
+
+  /** LARGE-k assignment: two-level probe through [[tieredIndex]] —
+    * O(nCoarse·dim + nProbe·(k/nCoarse)·dim) per row instead of the
+    * exact [[assign]]'s O(k·dim) (at SemDeDup-paper scale, k ~ 10⁴-10⁵
+    * cells, the exact scan IS the job — ScaleProbe `bigk`). Still ONE
+    * codegen projection, no join, stream-safe. At nProbe = nCoarse
+    * the result is bit-equal to [[assign]] (spec-held); at partial
+    * probe the cluster is approximate but dist_micro2 is always the
+    * exact distance to the returned cluster. */
+  def assignTiered(emb: DataFrame, idCol: String, vecCol: String,
+                   model: KmModel, nCoarse: Int, nProbe: Int,
+                   coarseIters: Int = 5): DataFrame = {
+    val idx = tieredIndex(model, nCoarse, coarseIters)
+    emb.select(col(idCol).as("id"),
+        microVec(col(vecCol)).as("vm"))
+      .filter(size(col("vm")) === model.dim)
+      .withColumn("nc", graft.functions.VectorExpressions
+        .nearestCentroidTiered(col("vm"), model.centroids, model.k,
+          model.dim, idx.coarse, idx.nCoarse, idx.memberOffsets,
+          idx.members, nProbe))
+      .filter(col("nc").isNotNull)
+      .select(col("id"), col("nc.cluster").as("cluster"),
+        col("nc.dist_micro2").as("dist_micro2"))
+  }
+
   /** Assignment under a fitted model: (id, cluster, dist_micro2) —
     * one codegen projection, stream-safe (the frozen-scorer shape). */
   def assign(emb: DataFrame, idCol: String, vecCol: String,

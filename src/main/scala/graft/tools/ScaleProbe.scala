@@ -1155,6 +1155,42 @@ object ScaleProbe {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
+    // Large-k assignment wall (r12 verdict #2): exact NearestCentroid
+    // is O(k·dim) per row — measure the wall at k 256→4096 on a xK
+    // corpus, then the two-level tier (nCoarse=64, nProbe 4/8) on the
+    // same model, with the agreement fraction vs exact. The model is
+    // init-only (bottom-k md5 seeds): assignment cost depends only on
+    // k·dim, not on how converged the centroids are.
+    if (sections("bigk")) {
+    import graft.operators.Kmeans
+    val emb = replicate(Tables.embeddings(spark, d), k,
+      Map("vec_id" -> 10000000L)).cache()
+    println(s"[scale] bigk emb rows: ${emb.count()}  (k=$k replicas)")
+    Seq(256, 1024, 4096).foreach { bigK =>
+      val model = Kmeans.init(emb, "vec_id", "embedding", bigK, 64)
+      time(s"assign exact k=$bigK")(
+        Kmeans.assign(emb, "vec_id", "embedding", model).count())
+      if (bigK == 4096) {
+        Seq(4, 8).foreach { nProbe =>
+          time(s"assign tiered k=$bigK nCoarse=64 nProbe=$nProbe")(
+            Kmeans.assignTiered(emb, "vec_id", "embedding", model,
+              nCoarse = 64, nProbe = nProbe).count())
+        }
+        val ex = Kmeans.assign(emb, "vec_id", "embedding", model)
+          .select(col("id"), col("cluster").as("c_exact"))
+        val ti = Kmeans.assignTiered(emb, "vec_id", "embedding", model,
+            nCoarse = 64, nProbe = 8)
+          .select(col("id"), col("cluster").as("c_tier"))
+        val n = ex.count()
+        val same = ex.join(ti, "id")
+          .filter(col("c_exact") === col("c_tier")).count()
+        println(s"[scale] bigk agreement nProbe=8: $same/$n " +
+          f"(${same.toDouble / n}%.4f)")
+      }
+    }
+    emb.unpersist()
+    }
+
     if (sections("emb")) {
     // embeddings xK: unique vec ids, duplicated vectors — the blocked
     // equi-join's O(n²) work grows k², so this curve is the honest cost

@@ -2437,6 +2437,44 @@ class LlmPipelineSpec extends AnyFunSuite {
       b.collect().map(_.toString).sorted.toSeq, "fit must be deterministic")
   }
 
+  test("kmeans assignTiered: full probe == exact assign bit for bit; partial probe never beats exact and stays self-consistent") {
+    import graft.operators.Kmeans
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val model = Kmeans.fit(emb, "vec_id", "embedding", k = 8, dim = 64,
+      iters = 2)
+    val exact = Kmeans.assign(emb, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // full probe: every centroid scanned — bit-equal to the exact path
+    val full = Kmeans.assignTiered(emb, "vec_id", "embedding", model,
+        nCoarse = 4, nProbe = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(full == exact)
+    // partial probe: same row set; the exact distance to the RETURNED
+    // cluster (verified against the model driver-side), and never
+    // closer than the true nearest
+    val part = Kmeans.assignTiered(emb, "vec_id", "embedding", model,
+        nCoarse = 4, nProbe = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(part.keySet == exact.keySet)
+    val vm = emb.select(col("vec_id"),
+        graft.functions.VectorExpressions.microVec(col("embedding"))
+          .as("vm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    part.foreach { case (id, (c, d)) =>
+      val v = vm(id)
+      var acc = 0L
+      (0 until model.dim).foreach { i =>
+        val diff = v(i) - model.centroids(c * model.dim + i)
+        acc += diff * diff
+      }
+      assert(acc == d, s"tiered dist for $id is not the exact distance")
+      assert(d >= exact(id)._2, s"tiered beat exact for $id")
+    }
+    val agree = part.count { case (id, (c, _)) => exact(id)._1 == c }
+    assert(agree.toDouble / part.size >= 0.5,
+      s"nProbe=1 agreement ${agree}/${part.size} collapsed")
+  }
+
   test("kmeans semdedupPairs: k=1 == exact all-pairs; k>1 is a subset with identical cosines") {
     import graft.operators.{Dedup, Kmeans}
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
