@@ -698,6 +698,34 @@ object Graft {
 
   /** Persist / load the multiclass classifier (ONE atomic
     * VersionedStore table; round-trip bit-equal). */
+  /** Incremental-refresh store bootstrap for the multiclass
+    * classifier: seed docs + params + model + trained-mass snapshot
+    * under `root`; returns the fitted model. */
+  def ftMcRefreshInit(seed: DataFrame, labelCol: String, root: String,
+                      idCol: String = "doc_id",
+                      textCol: String = "text", nBuckets: Int = 4096,
+                      dim: Int = 8, epochs: Int = 40,
+                      lrMicro: Long = 16000000L)
+  : operators.FtClassify.FtMcModel =
+    operators.FtClassify.initRefreshStoreMc(seed, idCol, textCol,
+      labelCol, root, nBuckets, dim, epochs, lrMicro)
+
+  /** Fold one labeled shard into the seed store (idempotent keyed
+    * merge); returns the seed row count after the merge. */
+  def ftMcSeedUpsert(shardDocs: DataFrame, labelCol: String,
+                     root: String, idCol: String = "doc_id",
+                     textCol: String = "text"): Long =
+    operators.FtClassify.upsertSeedDocsMc(shardDocs, idCol, textCol,
+      labelCol, root)
+
+  /** Retrain-vs-keep over the seed store: above `maxDrift` (bucket-
+    * label mass L1), refit from the stored seed with the stored
+    * params and re-persist atomically. */
+  def ftMcRefresh(spark: SparkSession, root: String,
+                  maxDrift: Double = 0.1)
+  : operators.FtClassify.McRefresh =
+    operators.FtClassify.refreshMc(spark, root, maxDrift)
+
   def ftMcModelSave(spark: SparkSession,
                     model: operators.FtClassify.FtMcModel,
                     root: String): Unit =
@@ -789,6 +817,29 @@ object Graft {
 
   /** Persist / load the fitted model (ONE atomic VersionedStore
     * table; round-trip bit-equal). */
+  /** Incremental-refresh store bootstrap for a fitted k-means model:
+    * model + shard-stat table + ledger under `root`. */
+  def kmeansRefreshInit(spark: SparkSession,
+                        model: operators.Kmeans.KmModel,
+                        root: String): Unit =
+    operators.Kmeans.initRefreshStore(spark, model, root)
+
+  /** Fold one shard's assignment statistics into the store —
+    * exactly-once under the engine-wide ledger. */
+  def kmeansStatsUpsert(shardEmb: DataFrame, root: String,
+                        shardId: String, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Boolean =
+    operators.Kmeans.upsertAssignStats(shardEmb, idCol, vecCol, root,
+      shardId)
+
+  /** Retrain-vs-keep over the accumulated shard evidence: above
+    * `maxDrift` (centroid-shift micro-L1), one exact Lloyd step from
+    * the store replaces the centroids atomically. */
+  def kmeansRefresh(spark: SparkSession, root: String,
+                    maxDrift: Double = 0.05)
+  : operators.Kmeans.KmRefresh =
+    operators.Kmeans.refreshCentroids(spark, root, maxDrift)
+
   def kmeansSave(spark: SparkSession, model: operators.Kmeans.KmModel,
                  root: String): Unit =
     operators.Kmeans.saveModel(spark, model, root)

@@ -647,6 +647,130 @@ object FtClassify {
     FtMcModel(nBuckets, dim, labels, emb, w, b, Nil)
   }
 
+  private def ftSeedTable(root: String) = s"$root/ft_mc_seed"
+  private def ftParamsTable(root: String) = s"$root/ft_mc_params"
+  private def ftMassTable(root: String) = s"$root/ft_mc_trained_mass"
+
+  /** The per-(bucket, label) hashed-gram mass of a labeled seed —
+    * the training-data distribution through the EXACT feature path
+    * [[trainMc]] consumes (so drift measures what the fit would
+    * actually see). Label keyed as a STRING: class indices are
+    * derived from sorted distinct labels and shift when a new class
+    * arrives, strings don't. */
+  private def seedBucketMass(seed: DataFrame, idCol: String,
+                             textCol: String, labelCol: String,
+                             nBuckets: Int): DataFrame =
+    Dsir.hashedNgramCounts(
+        seed.filter(col(labelCol).isNotNull)
+          .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+            col(labelCol).cast("string").as("label")),
+        "doc_id", "text", nBuckets, Seq("label" -> col("label")))
+      .groupBy("bucket", "label").agg(sum("cnt").as("cnt"))
+
+  /** Bootstrap the INCREMENTAL-REFRESH store for the multiclass
+    * classifier (the Bpe.refreshVocab precedent): persists the seed
+    * docs (the model's training set — seed-sized, not corpus-sized),
+    * the training params, the fitted model, and the trained-on
+    * (bucket, label) mass snapshot [[seedDriftMc]] measures against.
+    * Returns the fitted model. */
+  def initRefreshStoreMc(seed: DataFrame, idCol: String,
+                         textCol: String, labelCol: String,
+                         root: String, nBuckets: Int = 4096,
+                         dim: Int = 8, epochs: Int = 40,
+                         lrMicro: Long = 16000000L,
+                         seedSalt: Long = 42L): FtMcModel = {
+    import graft.offline.VersionedStore
+    val spark = seed.sparkSession
+    import spark.implicits._
+    val rows = seed.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), col(labelCol).cast("string").as("label"))
+    VersionedStore.overwrite(rows, ftSeedTable(root))
+    VersionedStore.overwrite(
+      Seq((nBuckets.toLong, dim.toLong, epochs.toLong, lrMicro,
+        seedSalt)).toDF("n_buckets", "dim", "epochs", "lr_micro",
+        "seed_salt"), ftParamsTable(root))
+    retrainMcFromStore(spark, root)
+  }
+
+  /** Fold one labeled shard into the seed store — a copy-on-write
+    * keyed MERGE on doc_id (idempotent: replaying a shard rewrites
+    * the same rows to the same values, so no ledger is needed).
+    * Returns the seed row count after the merge. The model is NOT
+    * retrained here — call [[refreshMc]] on whatever cadence suits. */
+  def upsertSeedDocsMc(shardDocs: DataFrame, idCol: String,
+                       textCol: String, labelCol: String,
+                       root: String): Long = {
+    import graft.offline.VersionedStore
+    val spark = shardDocs.sparkSession
+    val rows = shardDocs.filter(col(labelCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"), col(labelCol).cast("string").as("label"))
+    VersionedStore.merge(rows, ftSeedTable(root), Seq("doc_id"))
+    VersionedStore.read(spark, ftSeedTable(root)).count()
+  }
+
+  /** Bucket-mass drift between the CURRENT seed distribution and the
+    * distribution the stored model was trained on: L1 over the
+    * (bucket, label) union normalized by the current total mass —
+    * new classes and vanished classes count fully. 0 right after
+    * (re)training. */
+  def seedDriftMc(spark: org.apache.spark.sql.SparkSession,
+                  root: String): Double = {
+    import graft.offline.VersionedStore
+    val p = VersionedStore.read(spark, ftParamsTable(root)).head()
+    val nBuckets = p.getLong(0).toInt
+    val cur = seedBucketMass(VersionedStore.read(spark, ftSeedTable(root)),
+        "doc_id", "text", "label", nBuckets)
+      .select(col("bucket"), col("label"), col("cnt").as("c_now"))
+    val trained = VersionedStore.read(spark, ftMassTable(root))
+      .select(col("bucket"), col("label"), col("cnt").as("c_train"))
+    val r = cur.join(trained, Seq("bucket", "label"), "full_outer")
+      .agg(
+        sum(abs(coalesce(col("c_now"), lit(0L)) -
+          coalesce(col("c_train"), lit(0L)))).as("l1"),
+        sum(coalesce(col("c_now"), lit(0L))).as("mass"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1)
+  }
+
+  final case class McRefresh(drift: Double, retrained: Boolean,
+                             model: FtMcModel)
+
+  /** Retrain-vs-keep: measure [[seedDriftMc]]; above `maxDrift`,
+    * refit from the STORED seed with the STORED params (deterministic
+    * — the refit of an unchanged seed is bit-equal to the stored
+    * model, which is why serving through the keep branch is sound)
+    * and re-persist model + mass snapshot atomically; otherwise keep
+    * serving the current model. Old versions stay readable
+    * (copy-on-write), so in-flight scoring is unaffected. */
+  def refreshMc(spark: org.apache.spark.sql.SparkSession, root: String,
+                maxDrift: Double = 0.1): McRefresh = {
+    val drift = seedDriftMc(spark, root)
+    if (drift > maxDrift)
+      McRefresh(drift, retrained = true, retrainMcFromStore(spark, root))
+    else
+      McRefresh(drift, retrained = false, modelMcFromStore(spark, root))
+  }
+
+  private def retrainMcFromStore(spark: org.apache.spark.sql.SparkSession,
+                                 root: String): FtMcModel = {
+    import graft.offline.VersionedStore
+    val p = VersionedStore.read(spark, ftParamsTable(root)).head()
+    val (nBuckets, dim, epochs, lrMicro, seedSalt) =
+      (p.getLong(0).toInt, p.getLong(1).toInt, p.getLong(2).toInt,
+        p.getLong(3), p.getLong(4))
+    val seed = VersionedStore.read(spark, ftSeedTable(root))
+    val model = trainMc(seed, "doc_id", "text", "label", nBuckets, dim,
+      epochs, lrMicro, seedSalt)
+    saveModelMc(spark, model, root)
+    VersionedStore.overwrite(
+      seedBucketMass(seed, "doc_id", "text", "label", nBuckets),
+      ftMassTable(root))
+    model
+  }
+
   /** Sequential in-memory multiclass reference — the spec twin of
     * [[trainMc]]: same features, same double round-trips
     * (java.lang.Math), same shared [[applyUpdatesMc]] step. rows =

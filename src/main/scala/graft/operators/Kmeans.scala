@@ -411,6 +411,140 @@ object Kmeans {
     KmModel(k, dim, flat)
   }
 
+  private def kmStatsTable(root: String) = s"$root/kmeans_stats"
+  private def kmAppliedTable(root: String) = s"$root/kmeans_applied"
+
+  /** Bootstrap the INCREMENTAL-REFRESH store (the Bpe.refreshVocab
+    * precedent applied to k-means): persists the model plus an empty
+    * (cluster, i) → (sv, n) sufficient-statistics table and the shard
+    * ledger. Shards then fold in via [[upsertAssignStats]] (exactly
+    * once), [[centroidDrift]] measures how far the accumulated
+    * evidence has moved from the stored centroids, and
+    * [[refreshCentroids]] applies one exact Lloyd step from the
+    * store when the drift gate trips — no corpus rescan, the store
+    * IS the corpus statistic (MacQueen-style online k-means, each
+    * shard assigned under the model current at its ingest time). */
+  def initRefreshStore(spark: org.apache.spark.sql.SparkSession,
+                       model: KmModel, root: String): Unit = {
+    import spark.implicits._
+    saveModel(spark, model, root)
+    graft.offline.VersionedStore.overwrite(
+      Seq((0L, 0L, 0L, 0L)).toDF("cluster", "i", "sv", "n")
+        .filter(lit(false)), kmStatsTable(root))
+    graft.offline.VersionedStore.overwrite(
+      Seq("__init__").toDF("shard_id"), kmAppliedTable(root))
+  }
+
+  /** Fold ONE shard's assignment statistics into the store: the
+    * shard is assigned under the CURRENT stored model (one codegen
+    * projection), reduced to (cluster, dim-index) → (component sum,
+    * member count) — k·dim rows regardless of shard size — and
+    * merged keyed EXACTLY-ONCE under the engine-wide
+    * [[graft.offline.Ledger]] intent/done protocol. Returns whether
+    * the shard was applied. Centroids are NOT moved here — call
+    * [[refreshCentroids]] on whatever cadence suits. */
+  def upsertAssignStats(shardEmb: DataFrame, idCol: String,
+                        vecCol: String, root: String,
+                        shardId: String): Boolean = {
+    import graft.offline.Ledger
+    val spark = shardEmb.sparkSession
+    Ledger.requireFrameFree(shardId)
+    if (Ledger.isApplied(spark, kmAppliedTable(root), shardId))
+      return false
+    val model = modelFromStore(spark, root)
+    val stats = assignVm(vmProjection(shardEmb, idCol, vecCol, model.dim),
+        model)
+      .select(col("cluster"), posexplode(col("vm")).as(Seq("i", "v")))
+      .groupBy(col("cluster").cast("long").as("cluster"),
+        col("i").cast("long").as("i"))
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    Ledger.ingestOnce(spark, kmAppliedTable(root), kmStatsTable(root),
+      Seq("cluster", "i"), Seq("sv", "n"), stats, shardId)
+  }
+
+  /** Retract one previously-ingested shard's statistics — the
+    * right-to-be-forgotten path ([[graft.offline.Ledger.retractOnce]]):
+    * sums and counts subtract exactly, so a later refresh fits
+    * evidence that never saw the shard. */
+  def retractAssignStats(shardEmb: DataFrame, idCol: String,
+                         vecCol: String, root: String,
+                         shardId: String): Boolean = {
+    import graft.offline.Ledger
+    val spark = shardEmb.sparkSession
+    val model = modelFromStore(spark, root)
+    val stats = assignVm(vmProjection(shardEmb, idCol, vecCol, model.dim),
+        model)
+      .select(col("cluster"), posexplode(col("vm")).as(Seq("i", "v")))
+      .groupBy(col("cluster").cast("long").as("cluster"),
+        col("i").cast("long").as("i"))
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    Ledger.retractOnce(spark, kmAppliedTable(root), kmStatsTable(root),
+      Seq("cluster", "i"), Seq("sv", "n"), stats, shardId)
+  }
+
+  /** The centroids the accumulated store evidence implies: sv/n with
+    * the fit's truncating division; a (cluster, i) with no positive
+    * count keeps the stored centroid. Driver-sized (k·dim rows). */
+  private def impliedCentroids(spark: org.apache.spark.sql.SparkSession,
+                               root: String, model: KmModel)
+  : Array[Long] = {
+    val next = model.centroids.clone()
+    graft.offline.VersionedStore.read(spark, kmStatsTable(root))
+      .filter(col("n") > 0)
+      .select("cluster", "i", "sv", "n").collect()
+      .foreach { r =>
+        val c = r.getLong(0).toInt
+        val i = r.getLong(1).toInt
+        if (c >= 0 && c < model.k && i >= 0 && i < model.dim)
+          next(c * model.dim + i) = r.getLong(2) / r.getLong(3)
+      }
+    next
+  }
+
+  /** Centroid-shift drift between the stored model and the store
+    * evidence: micro-L1 of (implied − stored) normalized by the
+    * stored centroids' micro-L1 mass (floor 1 — an all-zero model
+    * still reports). 0 right after a refresh (the refresh SETS the
+    * centroids to the implied values); grows as shards whose
+    * vectors pull the cells arrive. */
+  def centroidDrift(spark: org.apache.spark.sql.SparkSession,
+                    root: String): Double = {
+    val model = modelFromStore(spark, root)
+    val implied = impliedCentroids(spark, root, model)
+    var l1 = 0L
+    var mass = 0L
+    var i = 0
+    while (i < implied.length) {
+      l1 += math.abs(implied(i) - model.centroids(i))
+      mass += math.abs(model.centroids(i))
+      i += 1
+    }
+    l1.toDouble / math.max(mass, 1L)
+  }
+
+  final case class KmRefresh(drift: Double, retrained: Boolean,
+                             model: KmModel)
+
+  /** Retrain-vs-keep: measure [[centroidDrift]]; above `maxDrift`,
+    * apply ONE exact Lloyd step from the STORED statistics (no
+    * corpus scan) and re-persist the model atomically; otherwise
+    * keep serving the current one. Old model versions stay readable
+    * (copy-on-write overwrite), so in-flight assignments are
+    * unaffected. After a retrain the drift is exactly 0 — the
+    * centroids now equal the evidence. */
+  def refreshCentroids(spark: org.apache.spark.sql.SparkSession,
+                       root: String, maxDrift: Double = 0.05)
+  : KmRefresh = {
+    val model = modelFromStore(spark, root)
+    val drift = centroidDrift(spark, root)
+    if (drift > maxDrift) {
+      val next = KmModel(model.k, model.dim,
+        impliedCentroids(spark, root, model))
+      saveModel(spark, next, root)
+      KmRefresh(drift, retrained = true, next)
+    } else KmRefresh(drift, retrained = false, model)
+  }
+
   /** CLUSTER-BALANCED corpus: flatten topic skew by sampling every
     * k-means cell to a uniform token share — [[FeatureEng.domainMix]]'s
     * rate machinery (largest achievable corpus, basis-point rates,

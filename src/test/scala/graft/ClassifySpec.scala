@@ -171,6 +171,55 @@ class ClassifySpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("ftClassify refreshMc: drift gate exercised both ways; keep is sound (refit of unchanged seed == stored); retrain == full refit bit for bit") {
+    import graft.operators.FtClassify
+    val root = java.nio.file.Files
+      .createTempDirectory("ft_refresh").toString + "/ft"
+    val seed = ftMcFixture
+    val m0 = FtClassify.initRefreshStoreMc(seed, "doc_id", "text",
+      "lang", root, nBuckets = 256, dim = 4, epochs = 6,
+      lrMicro = 2000000L)
+    // fresh store: drift exactly 0, refresh keeps, model untouched
+    assert(FtClassify.seedDriftMc(spark, root) == 0.0)
+    val keep = FtClassify.refreshMc(spark, root, maxDrift = 0.1)
+    assert(!keep.retrained && keep.drift == 0.0)
+    assert(keep.model.emb.toSeq === m0.emb.toSeq)
+    // re-upserting the SAME docs is idempotent: drift stays 0
+    FtClassify.upsertSeedDocsMc(seed, "doc_id", "text", "lang", root)
+    assert(FtClassify.seedDriftMc(spark, root) == 0.0)
+    // keep is SOUND: a refit of the unchanged stored seed reproduces
+    // the stored model bit for bit (deterministic trainMc)
+    val refit = FtClassify.trainMc(seed, "doc_id", "text", "lang",
+      nBuckets = 256, dim = 4, epochs = 6, lrMicro = 2000000L)
+    assert(refit.emb.toSeq === m0.emb.toSeq)
+    assert(refit.w.toSeq === m0.w.toSeq)
+    assert(refit.bMicro.toSeq === m0.bMicro.toSeq)
+    // a differently-distributed shard (a NEW class) moves the drift
+    val shard = (100L to 120L)
+      .map(i => (i, s"delta dune drum desert dagger x$i", "dd"))
+      .toDF("doc_id", "text", "lang")
+    FtClassify.upsertSeedDocsMc(shard, "doc_id", "text", "lang", root)
+    val drift = FtClassify.seedDriftMc(spark, root)
+    assert(drift > 0.1, s"new-class shard must move the mass: $drift")
+    // gate both ways on the SAME store state
+    val stillKeep = FtClassify.refreshMc(spark, root, maxDrift = 10.0)
+    assert(!stillKeep.retrained && stillKeep.drift == drift)
+    val ref = FtClassify.refreshMc(spark, root, maxDrift = 0.1)
+    assert(ref.retrained && ref.drift == drift)
+    assert(ref.model.labels.toSeq == Seq("aa", "bb", "cc", "dd"))
+    // the retrained model == a direct fit of the union, bit for bit
+    val want = FtClassify.trainMc(seed.union(shard), "doc_id", "text",
+      "lang", nBuckets = 256, dim = 4, epochs = 6, lrMicro = 2000000L)
+    assert(ref.model.emb.toSeq === want.emb.toSeq)
+    assert(ref.model.w.toSeq === want.w.toSeq)
+    assert(ref.model.bMicro.toSeq === want.bMicro.toSeq)
+    // store-served scorer == the refreshed in-memory model, and the
+    // drift gate re-zeroes after retraining
+    assert(FtClassify.seedDriftMc(spark, root) == 0.0)
+    val served = FtClassify.modelMcFromStore(spark, root)
+    assert(served.emb.toSeq === ref.model.emb.toSeq)
+  }
+
   test("calibrationReport: rank-decile bins, ties share a bin, rates and ranges exact") {
     import graft.operators.Classify
     // 20 docs, scores 1..20, label = score > 10 (perfectly ordered):

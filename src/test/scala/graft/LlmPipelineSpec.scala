@@ -2475,6 +2475,54 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"nProbe=1 agreement ${agree}/${part.size} collapsed")
   }
 
+  test("kmeans refreshCentroids: exactly-once shard stats, drift gate both ways, retrain == one exact Lloyd step from the store, retraction restores") {
+    import graft.operators.Kmeans
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val model = Kmeans.fit(emb, "vec_id", "embedding", k = 4, dim = 64,
+      iters = 1)
+    val root = java.nio.file.Files
+      .createTempDirectory("km_refresh").toString + "/km"
+    Kmeans.initRefreshStore(spark, model, root)
+    // empty store: no evidence → drift 0, refresh keeps
+    assert(Kmeans.centroidDrift(spark, root) == 0.0)
+    // ingest the corpus as a shard — exactly once (replay is a no-op)
+    assert(Kmeans.upsertAssignStats(emb, "vec_id", "embedding", root,
+      "shard-1"))
+    assert(!Kmeans.upsertAssignStats(emb, "vec_id", "embedding", root,
+      "shard-1"))
+    val drift = Kmeans.centroidDrift(spark, root)
+    assert(drift > 0.0, "one more Lloyd step over a 1-iter fit must move")
+    // gate both ways on the same store state
+    val keep = Kmeans.refreshCentroids(spark, root, maxDrift = 1e9)
+    assert(!keep.retrained && keep.drift == drift)
+    assert(keep.model.centroids.toSeq == model.centroids.toSeq)
+    val ref = Kmeans.refreshCentroids(spark, root, maxDrift = 0.0)
+    assert(ref.retrained && ref.drift == drift)
+    // the retrained centroids ARE one exact Lloyd step: fit with one
+    // more iteration reproduces them bit for bit (same init, same
+    // assignment, same exact sums and truncating division)
+    val want = Kmeans.fit(emb, "vec_id", "embedding", k = 4, dim = 64,
+      iters = 2)
+    assert(ref.model.centroids.toSeq == want.centroids.toSeq)
+    // after the retrain the evidence equals the model: drift 0
+    assert(Kmeans.centroidDrift(spark, root) == 0.0)
+    // retraction: the shard's stats subtract exactly; with the
+    // evidence gone the drift gate reads the stored model unmoved.
+    // NOTE the stats were ingested under the ORIGINAL model — retract
+    // must replay that assignment, so retract BEFORE new ingests in
+    // real use; here the store model changed but retraction is keyed
+    // by the same shard frame re-assigned under the CURRENT model,
+    // so this exercises the subtract path on a fresh store instead.
+    val root2 = java.nio.file.Files
+      .createTempDirectory("km_refresh2").toString + "/km"
+    Kmeans.initRefreshStore(spark, model, root2)
+    assert(Kmeans.upsertAssignStats(emb, "vec_id", "embedding", root2,
+      "s1"))
+    assert(Kmeans.retractAssignStats(emb, "vec_id", "embedding", root2,
+      "s1"))
+    assert(Kmeans.centroidDrift(spark, root2) == 0.0)
+  }
+
   test("kmeans semdedupPairs: k=1 == exact all-pairs; k>1 is a subset with identical cosines") {
     import graft.operators.{Dedup, Kmeans}
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
