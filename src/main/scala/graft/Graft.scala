@@ -877,6 +877,14 @@ object Graft {
                         hiCut: Double = 2.0 / 3): DataFrame =
     TextAnalysis.perplexityBuckets(docs, "doc_id", "text", loCut, hiCut)
 
+  /** CCNet END-TO-END: lang-id → per-language KN LM → per-language
+    * perplexity terciles → head+middle keep, one plan. */
+  def ccnetPipeline(docs: DataFrame, discount: Double = 0.75,
+                    loCut: Double = 1.0 / 3,
+                    hiCut: Double = 2.0 / 3): DataFrame =
+    TextAnalysis.ccnetPipeline(docs, "doc_id", "text", discount,
+      loCut, hiCut)
+
   /** Derive the frozen scoring artifact (top-K word counts + exact
     * corpus total) for [[qualityFilterFrozen]]. */
   def freezeVocabulary(docs: DataFrame, topK: Int)

@@ -1190,6 +1190,14 @@ object SparkEntry {
     TextAnalysis.perplexityBucketsByLang(Tables.documents(s, d),
       "doc_id", "text", "lang")
 
+  /** CCNet END-TO-END capstone (round 13): heuristic lang-id →
+    * per-language in-plan KN bigram LM → per-language perplexity
+    * terciles → head+middle keep, ONE plan; the oracle composes
+    * q_lang_id + q_kn_lm (per lang) + q_ccnet_buckets' rank
+    * arithmetic and replays every stage. */
+  def qCcnetPipeline(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.ccnetPipeline(Tables.documents(s, d), "doc_id", "text")
+
   /** Zipf-fit corpus health report (round 12): OLS of ln(count) on
     * ln(rank) over the word frequency table — slope ≈ −1 is
     * language-shaped; the whole fit (total-order rank, per-row micro
@@ -2017,6 +2025,7 @@ object SparkEntry {
     "q_kmeans_dedup" -> (qKmeansDedup _),
     "q_ft_langid" -> (qFtLangid _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_ccnet_pipeline" -> (qCcnetPipeline _),
     "q_incontext_pack" -> (qIncontextPack _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_pretrain_mix" -> (qPretrainMix _),
@@ -4370,6 +4379,68 @@ object SparkEntry {
           |       WHEN pr < (2.0 / 3) THEN 'middle'
           |       ELSE 'tail' END AS ppl_bucket
           |FROM pr""".stripMargin,
+
+      // Composed from the q_lang_id hit/CASE chain (language
+      // assignment), the q_kn_lm fit CTEs with `lang` riding every
+      // key (a separate KN model per predicted language), and the
+      // q_ccnet_buckets rank idiom over (lang, kn_score) — the whole
+      // capstone replays, ending at the head+middle keep gate.
+      "q_ccnet_pipeline" ->
+        """WITH h AS (
+          |  SELECT doc_id,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('el', 'los'))) AS hits_es,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('le', 'les'))) AS hits_fr,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('der', 'und'))) AS hits_de,
+          |    len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS hits_en
+          |  FROM documents
+          |), lg AS (
+          |  SELECT doc_id,
+          |    CASE
+          |      WHEN hits_es > 0 AND hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_en THEN 'es'
+          |      WHEN hits_fr > 0 AND hits_fr >= hits_es AND hits_fr >= hits_de AND hits_fr >= hits_en THEN 'fr'
+          |      WHEN hits_de > 0 AND hits_de >= hits_es AND hits_de >= hits_fr AND hits_de >= hits_en THEN 'de'
+          |      WHEN hits_en > 0 AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+          |      ELSE 'und'
+          |    END AS lang
+          |  FROM h
+          |), w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |bg0 AS (SELECT doc_id, unnest(list_transform(
+          |    generate_series(1, greatest(len(ws) - 1, 0)),
+          |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS bp
+          |  FROM w),
+          |bg AS (SELECT b.doc_id, lg.lang, bp.w1 AS w1, bp.w2 AS w2
+          |  FROM bg0 b JOIN lg USING (doc_id)),
+          |c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2, 3),
+          |c1 AS (SELECT lang, w1, sum(c12) AS c1, count(*) AS n1f
+          |  FROM c12 GROUP BY 1, 2),
+          |prc AS (SELECT lang, w2, count(*) AS np FROM c12 GROUP BY 1, 2),
+          |bt AS (SELECT lang, count(*) AS b FROM c12 GROUP BY 1),
+          |model AS (SELECT lang, w1, w2,
+          |    (c12 - 0.75) / c1 + 0.75 * n1f / c1 * (np / b) AS p
+          |  FROM c12 JOIN c1 USING (lang, w1) JOIN prc USING (lang, w2)
+          |    JOIN bt USING (lang)),
+          |sc AS (SELECT doc_id, lang, count(*) AS n_bigrams,
+          |    round(avg(-log2(p)), 4) AS kn_score
+          |  FROM bg JOIN model USING (lang, w1, w2) GROUP BY 1, 2),
+          |cn AS (SELECT lang, kn_score, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM sc GROUP BY 1, 2),
+          |rk AS (SELECT lang, kn_score,
+          |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY kn_score
+          |      ROWS UNBOUNDED PRECEDING) - cnt AS BIGINT) AS below,
+          |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+          |  FROM cn),
+          |pr AS (SELECT doc_id, sc.lang, sc.n_bigrams, sc.kn_score,
+          |    round(CASE WHEN n_lang > 1
+          |          THEN below / CAST(n_lang - 1 AS DOUBLE)
+          |          ELSE 0.0 END, 6) AS pr
+          |  FROM sc JOIN rk ON sc.lang = rk.lang
+          |    AND sc.kn_score = rk.kn_score)
+          |SELECT doc_id, lang, n_bigrams, kn_score, pr,
+          |  CASE WHEN pr < (1.0 / 3) THEN 'head'
+          |       WHEN pr < (2.0 / 3) THEN 'middle'
+          |       ELSE 'tail' END AS ppl_bucket
+          |FROM pr
+          |WHERE pr < (2.0 / 3)""".stripMargin,
 
       // lm CTEs verbatim from q_lm_score; pr = PERCENT_RANK (the Spark
       // side computes |strictly below|/(n-1) by distributed prefix

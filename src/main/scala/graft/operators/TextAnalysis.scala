@@ -49,12 +49,16 @@ object TextAnalysis {
     * the operator shape is what matters: swap the stopword lists for
     * real fastText-style wordlists in production.)
     */
+  /** The one stopword-list table [[langId]] and [[ccnetPipeline]]
+    * share — a drifting copy would silently split the two language
+    * assignments. */
+  private val langIdSets = Seq(
+    "es" -> Seq("el", "los"), "fr" -> Seq("le", "les"),
+    "de" -> Seq("der", "und"), "en" -> Seq("the", "a"))
+
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = Fns.words(col(textCol))
-    val langSets = Seq(
-      "es" -> Seq("el", "los"), "fr" -> Seq("le", "les"),
-      "de" -> Seq("der", "und"), "en" -> Seq("the", "a"))
-    val hitCols = langSets.map { case (l, stops) =>
+    val hitCols = langIdSets.map { case (l, stops) =>
       l -> countIn(ws, stops)
     }
     val base = docs.select(
@@ -662,6 +666,99 @@ object TextAnalysis {
           .otherwise("tail"))
       .select(col("doc_id"), col("lang"), col("lm_score"), col("pr"),
         col("ppl_bucket"))
+  }
+
+  /** CCNet END-TO-END (Wenzek et al. 2020's actual pipeline shape,
+    * the capstone over q_lang_id + q_kn_lm + q_ccnet_buckets):
+    * heuristic language ID → a PER-LANGUAGE interpolated Kneser-Ney
+    * bigram LM trained in-plan (every count table keyed by the
+    * predicted language — a separate LM per language, exactly
+    * CCNet's per-language KenLM models) → per-language perplexity
+    * terciles → keep head + middle. ONE declarative plan; every
+    * stage replays in the oracle (the language assignment, the whole
+    * per-lang KN fit, the rank arithmetic, the keep gate).
+    *
+    * Docs with fewer than 2 words have no bigrams, hence no
+    * perplexity, hence no rank — they are DROPPED here (declared:
+    * CCNet length-gates before its LM; route such docs through
+    * [[qualityFilter]]'s explicit minWords gate if they need a
+    * decision). 'und'-language docs form their own LM group rather
+    * than polluting a real language's perplexity distribution.
+    *
+    * Scale shape: the LM fit is the same vocabulary²-bounded
+    * aggregate family as [[knBigramScore]] with `lang` riding every
+    * key (counts map-side combine; model joins are bigram-type-sized);
+    * the tercile ranks run over the (lang, kn_score) COUNT table —
+    * vocabulary-scale windows, no corpus row crosses one (the
+    * [[perplexityBucketsByLang]] shape); the rank table broadcasts
+    * back. Output: (doc_id, lang, n_bigrams, kn_score, pr,
+    * ppl_bucket) for kept docs.
+    */
+  def ccnetPipeline(docs: DataFrame, idCol: String, textCol: String,
+                    discount: Double = 0.75, loCut: Double = 1.0 / 3,
+                    hiCut: Double = 2.0 / 3): DataFrame = {
+    require(discount > 0 && discount < 1)
+    require(0 <= loCut && loCut <= hiCut && hiCut <= 1.0,
+      s"cuts must satisfy 0 <= lo <= hi <= 1, got [$loCut, $hiCut]")
+    // one corpus scan: words + language hits together
+    val ws = Fns.words(col(textCol))
+    val hitCols = langIdSets.map { case (l, stops) =>
+      l -> countIn(ws, stops) }
+    val pred = hitCols.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
+      when(col(s"hits_$l") > 0 &&
+           hitCols.map(_._1).filter(_ != l)
+             .map(o => col(s"hits_$l") >= col(s"hits_$o"))
+             .reduce(_ && _), l).otherwise(acc)
+    }
+    val ids = docs.select(
+        (col(idCol).as("doc_id") +: ws.as("ws") +:
+          hitCols.map { case (l, c) => c.as(s"hits_$l") }): _*)
+      .withColumn("lang", pred)
+      .select("doc_id", "ws", "lang")
+    // per-language KN fit: lang rides every model key
+    val big = knDocBigrams(ids.select(col("doc_id"), col("ws")))
+      .join(ids.select(col("doc_id"), col("lang")), "doc_id")
+    val c12 = big.groupBy("lang", "w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(false) // feeds 3 derived tables + the total
+    val c1 = c12.groupBy("lang", "w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1plus_fwd"))
+    val prc = c12.groupBy("lang", "w2")
+      .agg(count(lit(1)).as("n1plus_prec"))
+    val btypes = c12.groupBy("lang").agg(count(lit(1)).as("b_types"))
+    val model = c12.join(c1, Seq("lang", "w1"))
+      .join(prc, Seq("lang", "w2"))
+      .join(btypes, "lang")
+      .select(col("lang"), col("w1"), col("w2"),
+        ((col("c12") - lit(discount)) / col("c1") +
+          lit(discount) * col("n1plus_fwd") / col("c1") *
+            (col("n1plus_prec") / col("b_types"))).as("p_kn"))
+    val scored = big.join(model, Seq("lang", "w1", "w2"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log2(col("p_kn"))), 4).as("kn_score"))
+      .localCheckpoint(false) // feeds the counts AND the rank join
+    // per-language terciles over the (lang, kn_score) COUNT table
+    val counts = scored.groupBy("lang", "kn_score")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy("kn_score")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = counts
+      .withColumn("below", sum("cnt").over(w) - col("cnt"))
+      .withColumn("n_lang",
+        sum("cnt").over(Window.partitionBy("lang")))
+    scored.join(broadcast(ranked), Seq("lang", "kn_score"))
+      .withColumn("pr", round(
+        when(col("n_lang") > 1L,
+          col("below") / (col("n_lang") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("ppl_bucket",
+        when(col("pr") < loCut, "head")
+          .when(col("pr") < hiCut, "middle")
+          .otherwise("tail"))
+      .filter(col("ppl_bucket") =!= "tail") // the CCNet keep
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("kn_score"), col("pr"), col("ppl_bucket"))
   }
 
   /** ZIPF-FIT corpus health report (one row): OLS of ln(count) on

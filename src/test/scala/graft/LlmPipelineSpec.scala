@@ -45,6 +45,31 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(!cand.contains((1L, 3L)) || !cand.contains((2L, 3L)))
   }
 
+  test("ccnetPipeline: keep == the non-tail of the full per-lang ranking; short docs drop; langs well-formed") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    // hiCut=1.0 keeps EVERYTHING that can be ranked — the full
+    // ranked universe the default gate filters
+    val all = TextAnalysis.ccnetPipeline(docs, "doc_id", "text",
+        hiCut = 1.0).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    val kept = TextAnalysis.ccnetPipeline(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(4),
+        r.getString(5)))
+    // the keep gate IS pr < 2/3 over the same ranking
+    val wantKeep = all.filter(_._2._2 < 2.0 / 3).keySet
+    assert(kept.map(_._1).toSet == wantKeep)
+    kept.foreach { case (id, lang, pr, bucket) =>
+      assert(all(id)._1 == lang && all(id)._2 == pr)
+      assert(bucket == (if (pr < 1.0 / 3) "head" else "middle"))
+      assert(Set("en", "es", "fr", "de", "und")(lang))
+    }
+    // docs with < 2 words have no bigrams → never ranked, never kept
+    val short = docs.filter(size(split(col("text"), " ")) < 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._1).toSet.intersect(short).isEmpty)
+  }
+
   test("minhashMd5Pairs: verified near-dups surface, distant docs do not, short docs drop") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),
