@@ -815,6 +815,14 @@ object Graft {
     operators.Kmeans.inContextPack(docs, "doc_id", "text", emb,
       "vec_id", "embedding", k, dim, iters, seqLen)
 
+  /** [[inContextPack]] for arbitrary-keyed corpora: md5-dense-rank
+    * re-key + decode join-back lifts the 28-bit id contract. */
+  def inContextPackRekeyed(docs: DataFrame, emb: DataFrame, k: Int,
+                           dim: Int, iters: Int,
+                           seqLen: Long): DataFrame =
+    operators.Kmeans.inContextPackRekeyed(docs, "doc_id", "text", emb,
+      "vec_id", "embedding", k, dim, iters, seqLen)
+
   /** Persist / load the fitted model (ONE atomic VersionedStore
     * table; round-trip bit-equal). */
   /** Incremental-refresh store bootstrap for a fitted k-means model:

@@ -243,6 +243,40 @@ object FeatureEng {
       .select("ord", "val", "running_total")
   }
 
+  /** Dense 0-based GLOBAL rank of arbitrary-typed ids in
+    * (md5Hash31(id), id) order — the generic re-key: any id domain
+    * (string, negative, sparse 64-bit) maps to a dense [0, n)
+    * contract a composite-long order can carry, deterministically
+    * and WITHOUT a global sort. md5 makes the bucketing uniform by
+    * construction (equal-width cuts of the 31-bit hash space — no
+    * quantile pass, no skew), one tiny driver job turns per-bucket
+    * counts into literal offsets, and a per-bucket window finishes
+    * the within-bucket rank ([[runningTotal]]'s shape with the hash
+    * as the order). Ids must be distinct (they are a key); the rank
+    * order is the md5 order, NOT the id order — callers that need
+    * an order-preserving re-key on numeric ids should rank through
+    * [[runningTotal]] instead. Returns (id, rid). */
+  def md5DenseRank(df: DataFrame, idCol: String,
+                   buckets: Int = 64): DataFrame = {
+    require(buckets >= 1)
+    val width = (1L << 31) / buckets + 1 // h < 2^31 → bkt < buckets
+    val hashed = df.select(col(idCol).as("id"))
+      .withColumn("h", Fns.md5Hash31(col("id").cast("string")))
+      .withColumn("bkt", expr(s"h DIV $width").cast("int"))
+      .localCheckpoint(false) // feeds the counts AND the rank window
+    val perB = hashed.groupBy("bkt").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets)
+      .scanLeft(0L)((acc, b) => acc + perB.getOrElse(b, 0L))
+    val offArr = array(offsets.take(buckets).map(lit(_)): _*)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bkt").orderBy(col("h"), col("id"))
+    hashed
+      .withColumn("rid", element_at(offArr, col("bkt") + 1) +
+        row_number().over(wB) - 1)
+      .select(col("id"), col("rid"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in
     * doc-id order into one global token stream cut into fixed
     * `budgetTokens` bins; each document is assigned the bin and

@@ -335,25 +335,77 @@ object Kmeans {
     require(k >= 1 && k <= 32,
       s"inContextPack: k must be in [1, 32] (k*2^48 < 2^53 keeps the " +
         s"composite order exact in the prefix sum's double cast); got $k")
+    packOrd(clusteredBase(docs, docIdCol, textCol, emb, embIdCol,
+        vecCol, k, dim, iters)
+        .withColumn("rid", col("doc_id")), seqLen)
+      .withColumnRenamed("rid", "doc_id")
+  }
+
+  /** [[inContextPack]] for ARBITRARY-keyed corpora — lifts the
+    * 28-bit id contract: the (doc, cluster, distance) base is keyed
+    * through [[FeatureEng.md5DenseRank]] (dense [0, n) ranks in md5
+    * order — any id type, no global sort), packed on the composite
+    * order, and DECODED back to the original ids by a join on the
+    * rank table. The clustering fit is IDENTICAL to the direct path
+    * (the original ids seed the init — re-keying touches only the
+    * packing key), so on corpora whose ids already satisfy the
+    * 28-bit contract the output equals [[inContextPack]] whenever
+    * the within-cell (cluster, quantized-distance) order is strict —
+    * the id term is only a tie-break, and the two paths tie-break in
+    * different (both deterministic) orders. The direct form with its
+    * raise_error contract remains for compliant corpora (one join
+    * cheaper). */
+  def inContextPackRekeyed(docs: DataFrame, docIdCol: String,
+                           textCol: String, emb: DataFrame,
+                           embIdCol: String, vecCol: String,
+                           k: Int, dim: Int, iters: Int, seqLen: Long,
+                           rankBuckets: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 32,
+      s"inContextPackRekeyed: k must be in [1, 32]; got $k")
+    val base = clusteredBase(docs, docIdCol, textCol, emb, embIdCol,
+      vecCol, k, dim, iters)
+    val key = FeatureEng.md5DenseRank(base.select("doc_id"), "doc_id",
+        rankBuckets)
+      .withColumnRenamed("id", "doc_id")
+      .localCheckpoint(false) // feeds the encode AND the decode join
+    packOrd(base.join(key, "doc_id").drop("doc_id"), seqLen)
+      .join(key, "rid").drop("rid")
+      .select("doc_id", "cluster", "n_tokens", "bin", "bin_offset")
+  }
+
+  /** The shared (doc_id, n_tokens, cluster, dist_micro2) base both
+    * packing forms consume — fit + assignment + the token-count
+    * join, original ids untouched. */
+  private def clusteredBase(docs: DataFrame, docIdCol: String,
+                            textCol: String, emb: DataFrame,
+                            embIdCol: String, vecCol: String,
+                            k: Int, dim: Int, iters: Int): DataFrame = {
     val assigned = fitAssign(emb, embIdCol, vecCol, k, dim, iters)
       .select(col("id").as("doc_id"), col("cluster"),
         col("dist_micro2"))
-    val base = docs.select(col(docIdCol).as("doc_id"),
+    docs.select(col(docIdCol).as("doc_id"),
         size(graft.functions.Fns.words(col(textCol))).cast("long")
           .as("n_tokens"))
       .join(assigned, "doc_id")
-      .withColumn("doc_id", when(col("doc_id") >= 0L &&
-        col("doc_id") < (1L << 28),
-        col("doc_id")).otherwise(expr(
-        "raise_error('inContextPack: doc ids must fit 28 bits (non-negative) — re-key')")))
+  }
+
+  /** The shared composite-order packing body: guard the 28-bit rank,
+    * build ord = cluster·2^48 + distQ·2^28 + rid, cut by the exact
+    * distributed running total, decode (rid, cluster) back out. */
+  private def packOrd(base: DataFrame, seqLen: Long): DataFrame = {
+    val guarded = base
+      .withColumn("rid", when(col("rid") >= 0L &&
+        col("rid") < (1L << 28),
+        col("rid")).otherwise(expr(
+        "raise_error('inContextPack: doc keys must fit 28 bits (non-negative) — re-key')")))
       .withColumn("ord",
         col("cluster").cast("long") * (1L << 48) +
           least(expr("dist_micro2 DIV 67108864"),
             lit((1L << 20) - 1)) * (1L << 28) +
-          col("doc_id"))
+          col("rid"))
     // packValues' doc_id column carries the composite ord — decode
-    FeatureEng.packValues(base, "ord", "n_tokens", seqLen)
-      .select(pmod(col("doc_id"), lit(1L << 28)).as("doc_id"),
+    FeatureEng.packValues(guarded, "ord", "n_tokens", seqLen)
+      .select(pmod(col("doc_id"), lit(1L << 28)).as("rid"),
         expr(s"doc_id DIV ${1L << 48}").cast("int").as("cluster"),
         col("n_tokens"), col("bin"), col("bin_offset"))
   }

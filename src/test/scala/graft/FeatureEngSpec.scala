@@ -405,4 +405,29 @@ class FeatureEngSpec extends AnyFunSuite {
     assert(otherSeed != thisSeed, "independent seeds must draw different panels")
     out.unpersist()
   }
+
+  test("md5DenseRank: a permutation of [0, n) in exact (md5, id) order, for long and string ids") {
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+    }
+    // long ids, including negative and huge — sparse, unordered
+    val longIds = Seq(-9000000000L, 0L, 7L, 1L << 40, 12345L, -1L, 99L)
+    val gotL = FeatureEng.md5DenseRank(
+        longIds.toDF("doc_id"), "doc_id", buckets = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wantL = longIds.sortBy(i => (md5h(i.toString), i))
+      .zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
+    assert(gotL == wantL)
+    // string ids through the same machinery
+    val strIds = Seq("alpha", "beta", "Gamma", "δδ", "", "zzz")
+    val gotS = FeatureEng.md5DenseRank(
+        strIds.toDF("doc_id"), "doc_id", buckets = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantS = strIds.sortBy(s => (md5h(s), s))
+      .zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
+    assert(gotS == wantS)
+  }
 }

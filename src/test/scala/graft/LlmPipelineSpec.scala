@@ -2548,6 +2548,52 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(Kmeans.centroidDrift(spark, root2) == 0.0)
   }
 
+  test("inContextPackRekeyed: == direct path on compliant ids (strict-order fixture); arbitrary ids round-trip where direct raises") {
+    import graft.operators.Kmeans
+    // two clusters; within-cluster offsets spaced so the quantized
+    // distances are strictly ordered (gaps >> 2^26 micro²) — the id
+    // term never tie-breaks, so both key orders pack identically
+    val offs = Seq(0.0, 0.02, 0.08, 0.2, 0.5, 1.0)
+    val vecs = (0 until 12).map { i =>
+      val cl = i / 6
+      (i.toLong, Array.tabulate(64)(j =>
+        if (j == cl) (1.0 + offs(i % 6)).toFloat else 0f))
+    }
+    val emb = spark.createDataset(vecs).toDF("vec_id", "embedding")
+    val docs = (0 until 12).map(i => (i.toLong, ("tok " * (i + 3)).trim))
+      .toDF("doc_id", "text")
+    val (k, dim, iters, seqLen) = (2, 64, 2, 16L)
+    // precondition the equality claim rests on: strict (cluster,
+    // dist_q) order across the fixture
+    val a = Kmeans.fitAssign(emb, "vec_id", "embedding", k, dim, iters)
+      .select(col("cluster"), expr("dist_micro2 DIV 67108864")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(a.distinct.length == a.length, s"fixture must have strict order: ${a.toSeq}")
+    val direct = Kmeans.inContextPack(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", k, dim, iters, seqLen)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val rekeyed = Kmeans.inContextPackRekeyed(docs, "doc_id", "text",
+        emb, "vec_id", "embedding", k, dim, iters, seqLen)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rekeyed == direct)
+    // arbitrary keys: negative and way past 2^28 — the direct path
+    // raises its contract error, the rekeyed path round-trips every
+    // id exactly once
+    val shift = (c: org.apache.spark.sql.Column) => (c - 3L) * (1L << 36)
+    val docsBig = docs.withColumn("doc_id", shift(col("doc_id")))
+    val embBig = emb.withColumn("vec_id", shift(col("vec_id")))
+    val out = Kmeans.inContextPackRekeyed(docsBig, "doc_id", "text",
+        embBig, "vec_id", "embedding", k, dim, iters, seqLen).collect()
+    assert(out.map(_.getLong(0)).sorted.toSeq ==
+      (0 until 12).map(i => (i.toLong - 3L) * (1L << 36)).sorted)
+    intercept[Exception] {
+      Kmeans.inContextPack(docsBig, "doc_id", "text", embBig, "vec_id",
+        "embedding", k, dim, iters, seqLen).collect()
+    }
+  }
+
   test("kmeans semdedupPairs: k=1 == exact all-pairs; k>1 is a subset with identical cosines") {
     import graft.operators.{Dedup, Kmeans}
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
