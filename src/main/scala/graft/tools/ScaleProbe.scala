@@ -595,6 +595,61 @@ object ScaleProbe {
     p1.unpersist(); pK.unpersist()
     }
 
+    // q_pretrain_mix's composition at ×1 vs ×K with PER-STAGE rows
+    // and walls (r12 verdict #7): each stage's input should shrink
+    // down the chain, and the DoReMi fit+MW-loop stage should stay
+    // ~flat beyond its two corpus scans (the loop only touches the
+    // domains-count table).
+    if (sections("pretrainmix")) {
+    import graft.operators.Doremi
+    def mixChain(docs: DataFrame, budget: Long, tag: String): Unit = {
+      val nDocs = docs.count()
+      val clean = TextAnalysis.cleanFilter(docs, "doc_id", "text",
+        20, 100000, 2.0, 12.0, 0.3, 0.12)
+      val sdocs = docs.join(
+        clean.select("doc_id", "n_words", "quality_score"), "doc_id")
+        .cache()
+      val nClean = time(s"mix[$tag] 1 quality gate")(sdocs.count())
+      val keep = Dedup.exact(sdocs, "doc_id", "text")
+        .select(col("canonical_id").as("doc_id"))
+      val dd = sdocs.join(keep, Seq("doc_id"), "left_semi").cache()
+      val nDd = time(s"mix[$tag] 2 exact dedup")(dd.count())
+      val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+      val pool = dd.filter(col("doc_id") % 10 =!= 0)
+      val flagged = Dedup.decontaminationScores(pool, "doc_id", "text",
+          evalDocs, "doc_id", "text", n = 3)
+        .filter(col("contam_frac") >= 0.8)
+      val train = pool.join(flagged.select("doc_id"), Seq("doc_id"),
+        "left_anti").cache()
+      val nTrain = time(s"mix[$tag] 3 decontam")(train.count())
+      val rates = time(s"mix[$tag] 4 doremi fit + rates") {
+        val perSrc = Doremi
+          .domainWeights(docs, "doc_id", "text", "source")
+          .select(col("source"), col("n_tokens").as("src_tokens"),
+            (col("share_micro") / lit(1000000.0)).as("share"))
+        FeatureEng.mixRates(perSrc).cache().localCheckpoint(true)
+      }
+      val gated = FeatureEng.mixApply(
+        train.select("doc_id", "n_words", "quality_score", "source"),
+        rates, Seq("doc_id", "n_words", "quality_score")).cache()
+      val nGated = time(s"mix[$tag] 5 learned-mix gate")(gated.count())
+      val nSel = time(s"mix[$tag] 6 budget cut")(
+        FeatureEng.selectToBudget(gated, "doc_id",
+          col("quality_score"), col("n_words"), budget).count())
+      println(s"[scale] mix[$tag] stage rows: docs=$nDocs " +
+        s"clean=$nClean dedup=$nDd train=$nTrain gated=$nGated " +
+        s"selected=$nSel")
+      sdocs.unpersist(); dd.unpersist(); train.unpersist()
+      gated.unpersist()
+    }
+    val m1 = Tables.documents(spark, d).cache(); m1.count()
+    mixChain(m1, 20000L, "x1")
+    val mK = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 1000000L)).cache(); mK.count()
+    mixChain(mK, 20000L * k, s"x$k")
+    m1.unpersist(); mK.unpersist()
+    }
+
     if (sections("ftpack")) {
     // Round-12 families. packSegments: pure arithmetic over the
     // distributed running total + a bounded explode — must be LINEAR
