@@ -815,6 +815,14 @@ object Graft {
     operators.Kmeans.inContextPack(docs, "doc_id", "text", emb,
       "vec_id", "embedding", k, dim, iters, seqLen)
 
+  /** Quality-curriculum order: corpus packed highest-quality-first
+    * into seqLen-token bins by the exact distributed running total
+    * (docs must carry a [0,1] score and a token count). */
+  def curriculumPack(docs: DataFrame, scoreCol: String, tokCol: String,
+                     seqLen: Long): DataFrame =
+    operators.FeatureEng.curriculumPack(docs, "doc_id", scoreCol,
+      tokCol, seqLen)
+
   /** [[inContextPack]] for arbitrary-keyed corpora: md5-dense-rank
     * re-key + decode join-back lifts the 28-bit id contract. */
   def inContextPackRekeyed(docs: DataFrame, emb: DataFrame, k: Int,

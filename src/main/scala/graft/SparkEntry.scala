@@ -1424,6 +1424,19 @@ object SparkEntry {
     FeatureEng.packSequences(Tables.documents(s, d), "doc_id", "text",
       budgetTokens = 1024L)
 
+  /** QUALITY-CURRICULUM order (round 13): the corpus packed
+    * highest-quality-first — q_quality's composite score drives the
+    * composite-long order, cut into 512-token bins by the exact
+    * running total; the whole schedule (score, order, cut) replays
+    * in SQL. */
+  def qCurriculumPack(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.quality(Tables.documents(s, d), "doc_id",
+        "text")
+      .select(col("doc_id"), col("quality_score"), col("n_words"))
+    FeatureEng.curriculumPack(q, "doc_id", "quality_score", "n_words",
+      seqLen = 512L)
+  }
+
   /** BOUNDARY-AWARE sequence packing (round 12 — the Dolma/OLMo
     * data-order artifact): every (training sequence × document)
     * intersection as a segment row, so the loader can build
@@ -1956,6 +1969,7 @@ object SparkEntry {
     "q_retrieval_metrics" -> (qRetrievalMetrics _),
     "q_chunk" -> (qChunk _),
     "q_pack_sequences" -> (qPackSequences _),
+    "q_curriculum_pack" -> (qCurriculumPack _),
     "q_pack_boundaries" -> (qPackBoundaries _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_meta" -> (qImageMeta _),
@@ -3508,6 +3522,38 @@ object SparkEntry {
 
       // Oracle cumsum is one global window; the Spark side distributes
       // it (literal-pinned buckets + offsets) — values must agree.
+      // q_quality's score formula feeds the (10^6 - qmicro)*2^28 + id
+      // composite order; cumsum idiom as q_pack_sequences. round() is
+      // half-away-from-zero in both engines and both compute it on
+      // the SAME 6dp-rounded score double.
+      "q_curriculum_pack" ->
+        """WITH b AS (
+          |  SELECT doc_id,
+          |    len(string_split(text, ' ')) AS n_words,
+          |    len(list_filter(string_split(text, ' '),
+          |        w -> w IN ('the', 'a'))) AS stop_hits
+          |  FROM documents
+          |), q AS (
+          |  SELECT doc_id, CAST(n_words AS BIGINT) AS n_tokens,
+          |    round(least(n_words / 100.0, 1.0) *
+          |          (1.0 - round(stop_hits / n_words, 6)), 6) AS q_score
+          |  FROM b WHERE n_words > 0
+          |), o AS (
+          |  SELECT doc_id, q_score, n_tokens,
+          |    (1000000 - CAST(round(q_score * 1e6) AS BIGINT))
+          |      * 268435456 + doc_id AS ord
+          |  FROM q WHERE q_score IS NOT NULL
+          |), r AS (
+          |  SELECT doc_id, q_score, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY ord
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rt
+          |  FROM o
+          |)
+          |SELECT doc_id, q_score, n_tokens,
+          |  CAST((rt - n_tokens) // 512 AS BIGINT) AS bin,
+          |  CAST((rt - n_tokens) % 512 AS BIGINT) AS bin_offset
+          |FROM r""".stripMargin,
+
       "q_pack_sequences" ->
         """WITH t AS (
           |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens

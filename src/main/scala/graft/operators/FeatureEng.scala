@@ -309,6 +309,49 @@ object FeatureEng {
           .as("bin_offset"))
   }
 
+  /** QUALITY-CURRICULUM data order (curriculum learning, Bengio et
+    * al. 2009, applied to pretraining data: present the cleanest
+    * documents first and let the tail of the schedule carry the
+    * noisy mass): documents are concatenated HIGHEST-quality-first
+    * (score descending, id ascending within a tie) into one global
+    * token stream cut into `seqLen`-token bins — the
+    * [[packSequences]] arithmetic with a quality-major composite
+    * order instead of id order.
+    *
+    * The order is ONE composite long — (10⁶ − round(score·10⁶))·2^28
+    * + doc_id — so the exact distributed [[runningTotal]] applies
+    * unchanged and the whole artifact replays in SQL. Contracts,
+    * enforced in-plan via raise_error (never silently wrong): score
+    * ∈ [0, 1] (6dp — the engine's quality-score convention), ids
+    * non-negative under 2^28 (re-key larger corpora through
+    * [[md5DenseRank]]). Max composite ≈ 10⁶·2^28 ≈ 2^48 < 2^53, so
+    * the running total's double-cast ordering stays exact. NULL
+    * scores and non-positive token counts drop (nothing to
+    * schedule). Output: (doc_id, q_score, n_tokens, bin, bin_offset).
+    */
+  def curriculumPack(docs: DataFrame, idCol: String, scoreCol: String,
+                     tokCol: String, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+        col(scoreCol).as("q"), col(tokCol).cast("long").as("n_tokens"))
+      .filter(col("q").isNotNull && col("n_tokens") > 0)
+      .withColumn("qmicro", round(col("q") * 1e6).cast("long"))
+      .withColumn("qmicro", when(col("qmicro") >= 0L &&
+        col("qmicro") <= 1000000L, col("qmicro")).otherwise(expr(
+        "raise_error('curriculumPack: score must be in [0, 1]')")))
+      .withColumn("rid", when(col("doc_id") >= 0L &&
+        col("doc_id") < (1L << 28), col("doc_id")).otherwise(expr(
+        "raise_error('curriculumPack: doc ids must fit 28 bits (non-negative) — re-key')")))
+      .withColumn("ord",
+        (lit(1000000L) - col("qmicro")) * (1L << 28) + col("rid"))
+    // packValues' doc_id column carries the composite ord — decode
+    packValues(base, "ord", "n_tokens", seqLen)
+      .select(pmod(col("doc_id"), lit(1L << 28)).as("doc_id"),
+        round((lit(1000000L) - expr(s"doc_id DIV ${1L << 28}")) / 1e6, 6)
+          .as("q_score"),
+        col("n_tokens"), col("bin"), col("bin_offset"))
+  }
+
   /** Cross-doc SEQUENCE-level packing with document-boundary
     * segments — the Dolma/OLMo training-data-order artifact:
     * documents are concatenated in doc-id order into one global

@@ -406,6 +406,31 @@ class FeatureEngSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("curriculumPack: exact quality-major order and bin arithmetic from a hand fixture; contract errors loud") {
+    val docs = Seq((1L, 0.9, 100L), (2L, 0.2, 300L), (3L, 0.9, 50L),
+      (4L, 0.55, 512L), (5L, 1.0, 10L), (6L, 0.0, 7L))
+      .toDF("doc_id", "q", "n")
+    val out = FeatureEng.curriculumPack(docs, "doc_id", "q", "n", 512L)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // order: q desc, id asc → 5, 1, 3, 4, 2, 6; starts 0, 10, 110,
+    // 160, 672, 972 → (bin, offset) by hand
+    assert(out == Set(
+      (5L, 1.0, 10L, 0L, 0L), (1L, 0.9, 100L, 0L, 10L),
+      (3L, 0.9, 50L, 0L, 110L), (4L, 0.55, 512L, 0L, 160L),
+      (2L, 0.2, 300L, 1L, 160L), (6L, 0.0, 7L, 1L, 460L)))
+    intercept[Exception] { // score out of [0, 1]
+      FeatureEng.curriculumPack(Seq((1L, 1.2, 5L)).toDF("doc_id", "q", "n"),
+        "doc_id", "q", "n", 512L).collect()
+    }
+    intercept[Exception] { // id past 28 bits
+      FeatureEng.curriculumPack(
+        Seq((1L << 29, 0.5, 5L)).toDF("doc_id", "q", "n"),
+        "doc_id", "q", "n", 512L).collect()
+    }
+  }
+
   test("md5DenseRank: a permutation of [0, n) in exact (md5, id) order, for long and string ids") {
     def md5h(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
