@@ -696,8 +696,6 @@ object Graft {
                     model: operators.FtClassify.FtMcModel): DataFrame =
     operators.FtClassify.scoreFrozenMc(docs, "doc_id", "text", model)
 
-  /** Persist / load the multiclass classifier (ONE atomic
-    * VersionedStore table; round-trip bit-equal). */
   /** Incremental-refresh store bootstrap for the multiclass
     * classifier: seed docs + params + model + trained-mass snapshot
     * under `root`; returns the fitted model. */
@@ -726,6 +724,8 @@ object Graft {
   : operators.FtClassify.McRefresh =
     operators.FtClassify.refreshMc(spark, root, maxDrift)
 
+  /** Persist / load the multiclass classifier (ONE atomic
+    * VersionedStore table; round-trip bit-equal). */
   def ftMcModelSave(spark: SparkSession,
                     model: operators.FtClassify.FtMcModel,
                     root: String): Unit =
@@ -831,8 +831,6 @@ object Graft {
     operators.Kmeans.inContextPackRekeyed(docs, "doc_id", "text", emb,
       "vec_id", "embedding", k, dim, iters, seqLen)
 
-  /** Persist / load the fitted model (ONE atomic VersionedStore
-    * table; round-trip bit-equal). */
   /** Incremental-refresh store bootstrap for a fitted k-means model:
     * model + shard-stat table + ledger under `root`. */
   def kmeansRefreshInit(spark: SparkSession,
@@ -848,6 +846,12 @@ object Graft {
     operators.Kmeans.upsertAssignStats(shardEmb, idCol, vecCol, root,
       shardId)
 
+  /** Retract one ingested shard's statistics (replays the RECORDED
+    * ingest-time rows — exact even after refreshes moved the model). */
+  def kmeansStatsRetract(spark: SparkSession, root: String,
+                         shardId: String): Boolean =
+    operators.Kmeans.retractAssignStats(spark, root, shardId)
+
   /** Retrain-vs-keep over the accumulated shard evidence: above
     * `maxDrift` (centroid-shift micro-L1), one exact Lloyd step from
     * the store replaces the centroids atomically. */
@@ -856,6 +860,8 @@ object Graft {
   : operators.Kmeans.KmRefresh =
     operators.Kmeans.refreshCentroids(spark, root, maxDrift)
 
+  /** Persist / load the fitted model (ONE atomic VersionedStore
+    * table; round-trip bit-equal). */
   def kmeansSave(spark: SparkSession, model: operators.Kmeans.KmModel,
                  root: String): Unit =
     operators.Kmeans.saveModel(spark, model, root)

@@ -2842,7 +2842,8 @@ object SparkEntry {
     }.mkString(",\n")
     s"""kv AS (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS vm
-       |  FROM embeddings WHERE len(embedding) = $dim),
+       |  FROM embeddings WHERE len(embedding) = $dim
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
        |ksd AS (SELECT vec_id, vm, row_number() OVER (ORDER BY
        |    ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
        |      % 2147483648, vec_id) AS r

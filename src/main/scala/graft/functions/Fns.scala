@@ -17,6 +17,18 @@ object Fns {
     (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 2147483648L)
       .as("md5hash31")
 
+  /** The driver-side scalar twin of [[md5Hash31]] — the SAME 31-bit
+    * draw (first 8 md5 hex chars = first 4 digest bytes, unsigned,
+    * & 0x7fffffff) for code that hashes off-plan (deterministic
+    * inits, driver-side Lloyd seeding). One definition so the
+    * column and scalar forms cannot drift. */
+  def md5Hash31Of(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+  }
+
   /** Categorical hash-bucketing (criteo-style): md5-based bucket in
     * [0, nBuckets). Empty / null values map to bucket 0.
     */

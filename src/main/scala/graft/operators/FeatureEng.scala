@@ -336,7 +336,10 @@ object FeatureEng {
         col(scoreCol).as("q"), col(tokCol).cast("long").as("n_tokens"))
       .filter(col("q").isNotNull && col("n_tokens") > 0)
       .withColumn("qmicro", round(col("q") * 1e6).cast("long"))
-      .withColumn("qmicro", when(col("qmicro") >= 0L &&
+      // NaN must hit the guard too: round(NaN*1e6).cast(long) is 0 in
+      // Spark, which would silently schedule the doc as quality 0.0
+      .withColumn("qmicro", when(!isnan(col("q")) &&
+        col("qmicro") >= 0L &&
         col("qmicro") <= 1000000L, col("qmicro")).otherwise(expr(
         "raise_error('curriculumPack: score must be in [0, 1]')")))
       .withColumn("rid", when(col("doc_id") >= 0L &&

@@ -682,10 +682,8 @@ object FtClassify {
     import graft.offline.VersionedStore
     val spark = seed.sparkSession
     import spark.implicits._
-    val rows = seed.filter(col(labelCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"), col(labelCol).cast("string").as("label"))
-    VersionedStore.overwrite(rows, ftSeedTable(root))
+    VersionedStore.overwrite(
+      seedRows(seed, idCol, textCol, labelCol), ftSeedTable(root))
     VersionedStore.overwrite(
       Seq((nBuckets.toLong, dim.toLong, epochs.toLong, lrMicro,
         seedSalt)).toDF("n_buckets", "dim", "epochs", "lr_micro",
@@ -703,12 +701,24 @@ object FtClassify {
                        root: String): Long = {
     import graft.offline.VersionedStore
     val spark = shardDocs.sparkSession
-    val rows = shardDocs.filter(col(labelCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(textCol).as("text"), col(labelCol).cast("string").as("label"))
-    VersionedStore.merge(rows, ftSeedTable(root), Seq("doc_id"))
+    VersionedStore.merge(seedRows(shardDocs, idCol, textCol, labelCol),
+      ftSeedTable(root), Seq("doc_id"))
     VersionedStore.read(spark, ftSeedTable(root)).count()
   }
+
+  /** The one seed-row projection both store writers share: the id
+    * keeps its ORIGINAL type (string ids are first-class — a cast
+    * would null them, breaking merge idempotence and collapsing the
+    * fit); a NULL id fails loudly in-plan rather than corrupting the
+    * keyed merge. */
+  private def seedRows(docs: DataFrame, idCol: String, textCol: String,
+                       labelCol: String): DataFrame =
+    docs.filter(col(labelCol).isNotNull)
+      .select(when(col(idCol).isNotNull, col(idCol)).otherwise(expr(
+          "raise_error('ft seed store: doc ids must be non-null')"))
+          .as("doc_id"),
+        col(textCol).as("text"),
+        col(labelCol).cast("string").as("label"))
 
   /** Bucket-mass drift between the CURRENT seed distribution and the
     * distribution the stored model was trained on: L1 over the

@@ -145,12 +145,8 @@ object Kmeans {
                                memberOffsets: Array[Int],
                                members: Array[Int])
 
-  private def md5h31(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
-  }
+  private def md5h31(s: String): Long =
+    graft.functions.Fns.md5Hash31Of(s)
 
   def tieredIndex(model: KmModel, nCoarse: Int,
                   coarseIters: Int = 5): TieredIndex = {
@@ -484,17 +480,39 @@ object Kmeans {
       Seq((0L, 0L, 0L, 0L)).toDF("cluster", "i", "sv", "n")
         .filter(lit(false)), kmStatsTable(root))
     graft.offline.VersionedStore.overwrite(
+      Seq(("__init__", 0L, 0L, 0L, 0L))
+        .toDF("shard_id", "cluster", "i", "sv", "n")
+        .filter(lit(false)), kmShardStatsTable(root))
+    graft.offline.VersionedStore.overwrite(
       Seq("__init__").toDF("shard_id"), kmAppliedTable(root))
   }
+
+  private def kmShardStatsTable(root: String) = s"$root/kmeans_shard_stats"
+
+  /** One shard's (cluster, i) → (sv, n) sufficient statistics under
+    * `model` — the single derivation [[upsertAssignStats]] records
+    * and [[retractAssignStats]] replays. */
+  private def shardStats(shardEmb: DataFrame, idCol: String,
+                         vecCol: String, model: KmModel): DataFrame =
+    assignVm(vmProjection(shardEmb, idCol, vecCol, model.dim), model)
+      .select(col("cluster"), posexplode(col("vm")).as(Seq("i", "v")))
+      .groupBy(col("cluster").cast("long").as("cluster"),
+        col("i").cast("long").as("i"))
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
 
   /** Fold ONE shard's assignment statistics into the store: the
     * shard is assigned under the CURRENT stored model (one codegen
     * projection), reduced to (cluster, dim-index) → (component sum,
     * member count) — k·dim rows regardless of shard size — and
     * merged keyed EXACTLY-ONCE under the engine-wide
-    * [[graft.offline.Ledger]] intent/done protocol. Returns whether
-    * the shard was applied. Centroids are NOT moved here — call
-    * [[refreshCentroids]] on whatever cadence suits. */
+    * [[graft.offline.Ledger]] intent/done protocol. The shard's own
+    * stat rows are RECORDED (keyed merge on (shard_id, cluster, i) —
+    * idempotent, written before the ledger ingest so a crash replay
+    * rewrites the same rows) so a later [[retractAssignStats]]
+    * subtracts EXACTLY what was added even after refreshes have
+    * moved the model. Returns whether the shard was applied.
+    * Centroids are NOT moved here — call [[refreshCentroids]] on
+    * whatever cadence suits. */
   def upsertAssignStats(shardEmb: DataFrame, idCol: String,
                         vecCol: String, root: String,
                         shardId: String): Boolean = {
@@ -504,34 +522,31 @@ object Kmeans {
     if (Ledger.isApplied(spark, kmAppliedTable(root), shardId))
       return false
     val model = modelFromStore(spark, root)
-    val stats = assignVm(vmProjection(shardEmb, idCol, vecCol, model.dim),
-        model)
-      .select(col("cluster"), posexplode(col("vm")).as(Seq("i", "v")))
-      .groupBy(col("cluster").cast("long").as("cluster"),
-        col("i").cast("long").as("i"))
-      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val stats = shardStats(shardEmb, idCol, vecCol, model)
+      .localCheckpoint(false) // one computation for record + ingest
+    graft.offline.VersionedStore.merge(
+      stats.withColumn("shard_id", lit(shardId))
+        .select("shard_id", "cluster", "i", "sv", "n"),
+      kmShardStatsTable(root), Seq("shard_id", "cluster", "i"))
     Ledger.ingestOnce(spark, kmAppliedTable(root), kmStatsTable(root),
       Seq("cluster", "i"), Seq("sv", "n"), stats, shardId)
   }
 
   /** Retract one previously-ingested shard's statistics — the
     * right-to-be-forgotten path ([[graft.offline.Ledger.retractOnce]]):
-    * sums and counts subtract exactly, so a later refresh fits
-    * evidence that never saw the shard. */
-  def retractAssignStats(shardEmb: DataFrame, idCol: String,
-                         vecCol: String, root: String,
-                         shardId: String): Boolean = {
+    * the subtraction replays the RECORDED ingest-time rows (not a
+    * re-assignment — the stored model may have moved since the
+    * ingest), so sums and counts subtract exactly and a later
+    * refresh fits evidence that never saw the shard. */
+  def retractAssignStats(spark: org.apache.spark.sql.SparkSession,
+                         root: String, shardId: String): Boolean = {
     import graft.offline.Ledger
-    val spark = shardEmb.sparkSession
-    val model = modelFromStore(spark, root)
-    val stats = assignVm(vmProjection(shardEmb, idCol, vecCol, model.dim),
-        model)
-      .select(col("cluster"), posexplode(col("vm")).as(Seq("i", "v")))
-      .groupBy(col("cluster").cast("long").as("cluster"),
-        col("i").cast("long").as("i"))
-      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val recorded = graft.offline.VersionedStore
+      .read(spark, kmShardStatsTable(root))
+      .filter(col("shard_id") === shardId)
+      .select("cluster", "i", "sv", "n")
     Ledger.retractOnce(spark, kmAppliedTable(root), kmStatsTable(root),
-      Seq("cluster", "i"), Seq("sv", "n"), stats, shardId)
+      Seq("cluster", "i"), Seq("sv", "n"), recorded, shardId)
   }
 
   /** The centroids the accumulated store evidence implies: sv/n with

@@ -56,21 +56,27 @@ object TextAnalysis {
     "es" -> Seq("el", "los"), "fr" -> Seq("le", "les"),
     "de" -> Seq("der", "und"), "en" -> Seq("the", "a"))
 
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = Fns.words(col(textCol))
-    val hitCols = langIdSets.map { case (l, stops) =>
-      l -> countIn(ws, stops)
-    }
-    val base = docs.select(
-      (col(idCol).as("doc_id") +: hitCols.map { case (l, c) => c.as(s"hits_$l") }): _*)
-    val pred = hitCols.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
+  /** The stopword-hit columns (one per language, named hits_<lang>)
+    * and the priority fold over them — the ONE language-assignment
+    * code path [[langId]] and [[ccnetPipeline]] share. */
+  private def langHitCols(ws: Column): Seq[(String, Column)] =
+    langIdSets.map { case (l, stops) => l -> countIn(ws, stops) }
+
+  private def langPredCol: Column = {
+    val ls = langIdSets.map(_._1)
+    ls.foldRight(lit("und"): Column) { (l, acc) =>
       when(col(s"hits_$l") > 0 &&
-           hitCols.map(_._1).filter(_ != l)
+           ls.filter(_ != l)
              .map(o => col(s"hits_$l") >= col(s"hits_$o"))
              .reduce(_ && _), l).otherwise(acc)
     }
-    base.withColumn("pred_lang", pred)
   }
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        (col(idCol).as("doc_id") +: langHitCols(Fns.words(col(textCol)))
+          .map { case (l, c) => c.as(s"hits_$l") }): _*)
+      .withColumn("pred_lang", langPredCol)
 
   /** Gopher-style REPETITION metrics per document — the quality
     * signals a pretraining filter thresholds to drop degenerate
@@ -266,17 +272,29 @@ object TextAnalysis {
     * arithmetic here is the single code path every scorer shares:
     * in-plan, store-frozen, and streaming scores cannot drift. */
   private[operators] def knModelFromCounts(c12: DataFrame,
-                                           discount: Double): DataFrame = {
-    val c1 = c12.groupBy("w1")
+                                           discount: Double,
+                                           groupCols: Seq[String] = Nil)
+  : DataFrame = {
+    val c1 = c12.groupBy((groupCols :+ "w1").map(col): _*)
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1plus_fwd"))
-    val prec = c12.groupBy("w2").agg(count(lit(1)).as("n1plus_prec"))
-    val btypes = c12.agg(count(lit(1)).as("b_types"))
-    c12.join(c1, "w1").join(prec, "w2")
-      .crossJoin(broadcast(btypes))
-      .select(col("w1"), col("w2"),
+    val prec = c12.groupBy((groupCols :+ "w2").map(col): _*)
+      .agg(count(lit(1)).as("n1plus_prec"))
+    val joined = c12.join(c1, groupCols :+ "w1")
+      .join(prec, groupCols :+ "w2")
+    // one model per group (e.g. per language — CCNet's shape) when
+    // groupCols is non-empty; the ungrouped form broadcasts the one
+    // scalar type total
+    val withTotal =
+      if (groupCols.isEmpty)
+        joined.crossJoin(broadcast(c12.agg(count(lit(1)).as("b_types"))))
+      else
+        joined.join(c12.groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as("b_types")), groupCols)
+    withTotal.select(
+      (groupCols.map(col) :+ col("w1") :+ col("w2") :+
         ((col("c12") - lit(discount)) / col("c1") +
           lit(discount) * col("n1plus_fwd") / col("c1") *
-            (col("n1plus_prec") / col("b_types"))).as("p_kn"))
+            (col("n1plus_prec") / col("b_types"))).as("p_kn")): _*)
   }
 
   /** The corpus statistic the KN fit needs: the bigram-type count
@@ -700,39 +718,23 @@ object TextAnalysis {
     require(discount > 0 && discount < 1)
     require(0 <= loCut && loCut <= hiCut && hiCut <= 1.0,
       s"cuts must satisfy 0 <= lo <= hi <= 1, got [$loCut, $hiCut]")
-    // one corpus scan: words + language hits together
+    // one corpus scan: words + language hits together — the SHARED
+    // langHitCols/langPredCol assignment (a drifting copy would
+    // silently split this pipeline's languages from q_lang_id's)
     val ws = Fns.words(col(textCol))
-    val hitCols = langIdSets.map { case (l, stops) =>
-      l -> countIn(ws, stops) }
-    val pred = hitCols.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
-      when(col(s"hits_$l") > 0 &&
-           hitCols.map(_._1).filter(_ != l)
-             .map(o => col(s"hits_$l") >= col(s"hits_$o"))
-             .reduce(_ && _), l).otherwise(acc)
-    }
     val ids = docs.select(
         (col(idCol).as("doc_id") +: ws.as("ws") +:
-          hitCols.map { case (l, c) => c.as(s"hits_$l") }): _*)
-      .withColumn("lang", pred)
+          langHitCols(ws).map { case (l, c) => c.as(s"hits_$l") }): _*)
+      .withColumn("lang", langPredCol)
       .select("doc_id", "ws", "lang")
-    // per-language KN fit: lang rides every model key
+    // per-language KN fit: lang rides every model key, through the
+    // ONE shared knModelFromCounts arithmetic
     val big = knDocBigrams(ids.select(col("doc_id"), col("ws")))
       .join(ids.select(col("doc_id"), col("lang")), "doc_id")
     val c12 = big.groupBy("lang", "w1", "w2")
       .agg(count(lit(1)).as("c12"))
       .localCheckpoint(false) // feeds 3 derived tables + the total
-    val c1 = c12.groupBy("lang", "w1")
-      .agg(sum("c12").as("c1"), count(lit(1)).as("n1plus_fwd"))
-    val prc = c12.groupBy("lang", "w2")
-      .agg(count(lit(1)).as("n1plus_prec"))
-    val btypes = c12.groupBy("lang").agg(count(lit(1)).as("b_types"))
-    val model = c12.join(c1, Seq("lang", "w1"))
-      .join(prc, Seq("lang", "w2"))
-      .join(btypes, "lang")
-      .select(col("lang"), col("w1"), col("w2"),
-        ((col("c12") - lit(discount)) / col("c1") +
-          lit(discount) * col("n1plus_fwd") / col("c1") *
-            (col("n1plus_prec") / col("b_types"))).as("p_kn"))
+    val model = knModelFromCounts(c12, discount, Seq("lang"))
     val scored = big.join(model, Seq("lang", "w1", "w2"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"),

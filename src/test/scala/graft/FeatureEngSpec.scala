@@ -429,6 +429,12 @@ class FeatureEngSpec extends AnyFunSuite {
         Seq((1L << 29, 0.5, 5L)).toDF("doc_id", "q", "n"),
         "doc_id", "q", "n", 512L).collect()
     }
+    intercept[Exception] { // NaN score: round(NaN*1e6) casts to 0L —
+      // must hit the contract, not schedule silently as quality 0
+      FeatureEng.curriculumPack(
+        Seq((1L, Double.NaN, 5L)).toDF("doc_id", "q", "n"),
+        "doc_id", "q", "n", 512L).collect()
+    }
   }
 
   test("md5DenseRank: a permutation of [0, n) in exact (md5, id) order, for long and string ids") {

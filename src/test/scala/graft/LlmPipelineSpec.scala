@@ -2531,21 +2531,15 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(ref.model.centroids.toSeq == want.centroids.toSeq)
     // after the retrain the evidence equals the model: drift 0
     assert(Kmeans.centroidDrift(spark, root) == 0.0)
-    // retraction: the shard's stats subtract exactly; with the
-    // evidence gone the drift gate reads the stored model unmoved.
-    // NOTE the stats were ingested under the ORIGINAL model — retract
-    // must replay that assignment, so retract BEFORE new ingests in
-    // real use; here the store model changed but retraction is keyed
-    // by the same shard frame re-assigned under the CURRENT model,
-    // so this exercises the subtract path on a fresh store instead.
-    val root2 = java.nio.file.Files
-      .createTempDirectory("km_refresh2").toString + "/km"
-    Kmeans.initRefreshStore(spark, model, root2)
-    assert(Kmeans.upsertAssignStats(emb, "vec_id", "embedding", root2,
-      "s1"))
-    assert(Kmeans.retractAssignStats(emb, "vec_id", "embedding", root2,
-      "s1"))
-    assert(Kmeans.centroidDrift(spark, root2) == 0.0)
+    // retraction AFTER the refresh moved the model: the subtraction
+    // replays the RECORDED ingest-time stats (re-assigning under the
+    // refreshed model would subtract different masses and corrupt
+    // the store) — the evidence empties exactly, drift stays 0, and
+    // the shard becomes ingestable again
+    assert(Kmeans.retractAssignStats(spark, root, "shard-1"))
+    assert(Kmeans.centroidDrift(spark, root) == 0.0)
+    assert(Kmeans.upsertAssignStats(emb, "vec_id", "embedding", root,
+      "shard-1"), "a retracted shard must be ingestable again")
   }
 
   test("inContextPackRekeyed: == direct path on compliant ids (strict-order fixture); arbitrary ids round-trip where direct raises") {
