@@ -270,14 +270,24 @@ object Dedup {
   def minhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.8): DataFrame = {
+    // repartition(band, key): the signature+banding projection feeds
+    // BOTH self-join sides — one explicit exchange on the join key
+    // makes the second side a ReusedExchange reader (the ngramJaccard
+    // / winnowPairs precedent), so the k-min md5 signatures compute
+    // ONCE, and the self-join arrives pre-partitioned.
     val banded = minhashMd5BandKeys(
-      minhashMd5Signatures(docs, idCol, textCol, n, k), k, bands)
+        minhashMd5Signatures(docs, idCol, textCol, n, k), k, bands)
+      .repartition(col("band"), col("key"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
+      // pair-bounded; three consumers (both candIds legs + the verify
+      // join) — materialize once instead of recomputing the whole
+      // candidate subtree per consumer
+      .localCheckpoint(false)
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
