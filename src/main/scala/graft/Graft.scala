@@ -204,6 +204,18 @@ object Graft {
   def dedupMinhash(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4)
   : DataFrame = Dedup.minhashLsh(docs, "doc_id", "text", n, k, bands)
 
+  /** Gram-projection near-dup embedding vectors (feature-hashing
+    * signed projection — integer-exact, one codegen pass per doc);
+    * cast `gv` to array<float> to feed the ANN tier. */
+  def gramVectors(docs: DataFrame, n: Int = 3, dim: Int = 16): DataFrame =
+    Dedup.gramProjectVectors(docs, "doc_id", "text", n, dim)
+
+  /** Near-dup pairs over the gram-projection vectors (exact integer
+    * dots, 6dp cosine, triangular-blocked pair scan). */
+  def gramPairs(docs: DataFrame, n: Int = 3, dim: Int = 16,
+                threshold: Double = 0.9): DataFrame =
+    Dedup.gramProjectPairs(docs, "doc_id", "text", n, dim, threshold)
+
   /** The oracle-replayable MinHash family (portable md5 hashes +
     * built-in exact-Jaccard verify) — audit twin of [[dedupMinhash]];
     * returns VERIFIED pairs (doc_a, doc_b, n_bands, jaccard). */

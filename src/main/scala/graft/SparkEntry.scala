@@ -296,6 +296,70 @@ object SparkEntry {
     Dedup.minhashMd5Pairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.8)
 
+  /** GRAM-PROJECTION near-dup embedding (round 13): the doc vectors
+    * themselves, one 31-bit md5 draw per distinct shingle → ±1 per
+    * dimension, exact integer sums — surfaced as dim columns so the
+    * oracle replays component-for-component. */
+  def qGramvec(s: SparkSession, d: String): DataFrame =
+    Dedup.gramProjectVectors(Tables.documents(s, d), "doc_id", "text",
+        n = 3, dim = 16)
+      .select(col("doc_id") +: (1 to 16).map(j =>
+        element_at(col("gv"), j).as(s"g${j - 1}")): _*)
+
+  /** Near-dup pairs over the gram-projection vectors: exact integer
+    * dots, 6dp cosine, threshold 0.9 — the whole embedding + pair
+    * scan replays in SQL (q_dedup_embedding's quadratic-oracle
+    * precedent; the scale path feeds the vectors to LSH/ANN). */
+  def qGramvecPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.gramProjectPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, dim = 16, threshold = 0.9)
+
+  /** Shared CTEs: distinct string shingles → one md5 draw per
+    * shingle → the dim signed sums per doc. */
+  private def gramvecCtes(n: Int, dim: Int): String = {
+    val sums = (0 until dim).map(j =>
+      s"CAST(sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS g$j")
+      .mkString(",\n|    ")
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
+       |    i -> concat_ws(' ', ${(0 until n).map(j => s"ws[i+$j]").mkString(", ")})))) AS s
+       |  FROM w
+       |), hs AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('gp:' || s), 1, 8))::BIGINT % 2147483648 AS h
+       |  FROM sh
+       |), gv AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hs GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private def gramvecOracleSql(n: Int, dim: Int): String =
+    s"""WITH ${gramvecCtes(n, dim)}
+       |SELECT doc_id, ${(0 until dim).map(j => s"g$j").mkString(", ")}
+       |FROM gv""".stripMargin
+
+  private def gramvecPairsOracleSql(n: Int, dim: Int,
+                                    threshold: Double): String = {
+    def dot(x: String, y: String) = (0 until dim).map(j =>
+      s"$x.g$j * $y.g$j").mkString(" + ")
+    s"""WITH ${gramvecCtes(n, dim)},
+       |nz AS (SELECT * FROM gv WHERE ${dot("gv", "gv")} > 0),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    (${dot("a", "b")}) AS dab,
+       |    (${dot("a", "a")}) AS daa,
+       |    (${dot("b", "b")}) AS dbb
+       |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       round(dab / (sqrt(daa) * sqrt(dbb)), 6) AS cosine
+       |FROM p WHERE round(dab / (sqrt(daa) * sqrt(dbb)), 6) >= $threshold""".stripMargin
+  }
+
   /** DuckDB replay of [[qMinhashMd5]], generated for k/bands: every
     * min-hash draw is ('0x' || substr(md5('mh'||d||':'||s),
     * 1+8q, 8))::BIGINT % 2^31 (4 draws per digest, matching
@@ -1931,6 +1995,8 @@ object SparkEntry {
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_md5" -> (qMinhashMd5 _),
+    "q_gramvec" -> (qGramvec _),
+    "q_gramvec_pairs" -> (qGramvecPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_simhash_wide" -> (qDedupSimhashWide _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -3712,6 +3778,11 @@ object SparkEntry {
 
       "q_minhash_md5" ->
         minhashMd5OracleSql(n = 3, k = 16, bands = 4, threshold = 0.8),
+
+      "q_gramvec" -> gramvecOracleSql(n = 3, dim = 16),
+
+      "q_gramvec_pairs" ->
+        gramvecPairsOracleSql(n = 3, dim = 16, threshold = 0.9),
 
       "q_dedup_ngram" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -183,6 +183,10 @@ object ShingleHash {
     GraftColumnBridge.column(
       MinHashMd5(GraftColumnBridge.expression(text), n, k))
 
+  def gramProject(text: Column, n: Int, dim: Int): Column =
+    GraftColumnBridge.column(
+      GramProject(GraftColumnBridge.expression(text), n, dim))
+
   /** Distinct n-word shingle STRINGS of `s`, first-occurrence order —
     * the portable (SQL-replayable) twin of [[distinctShingleHashes]]:
     * words are the single-space split INCLUDING empties (exactly
@@ -326,6 +330,70 @@ object MinHashMd5 {
   private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** GRAM-PROJECTION near-dup embedding: text → a dim-long integer
+  * vector, component j = Σ over the doc's DISTINCT n-word shingles s
+  * of sign_j(s), where sign_j(s) = +1 if bit j of the portable
+  * 31-bit md5 draw of 'gp:'||s is set, else −1 — the feature-hashing
+  * signed random projection (Charikar 2002's dense SimHash form /
+  * Achlioptas 2003 ±1 projections / Weinberger 2009 hashing trick):
+  * cosine over these vectors concentrates around the shingle-set
+  * resemblance, so near-duplicate text gets near-parallel vectors.
+  * The modern "learned near-dup embedding" recipe (RETSim) serves
+  * its model through exactly this ANN-over-doc-vectors shape; this
+  * is the model-free, ORACLE-REPLAYABLE instance — one md5 draw per
+  * shingle yields all dim ≤ 31 signs, integer sums are exact in any
+  * engine, and the vectors feed the existing ANN tier (cast to
+  * float — components are small integers, float-exact) for IVF/SQ8
+  * serving.
+  *
+  * One codegen pass per row, no explode; texts with fewer than n
+  * words return an EMPTY array (filter on size = dim).
+  */
+case class GramProject(child: Expression, n: Int, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1 && dim >= 1 && dim <= 31,
+    "dim must be in [1, 31] (signs come from one 31-bit md5 draw)")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_project"
+
+  def compute(s: UTF8String): ArrayData = {
+    val seen = ShingleHash.distinctShingleStrings(s, n)
+    if (seen.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val acc = new Array[Long](dim)
+    val md = MinHashMd5.digests.get()
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val sh = it.next()
+      md.reset()
+      val bytes = md.digest(
+        ("gp:" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 4 digest bytes, unsigned, & 0x7fffffff — Fns.md5Hash31
+      val h = (((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+        ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)) & 0x7fffffffL
+      var j = 0
+      while (j < dim) {
+        acc(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)
+        j += 1
+      }
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramProject", this,
+      classOf[GramProject].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : GramProject = copy(child = newChild)
 }
 
 /** Count of a text's distinct n-word shingles that fall in a FROZEN

@@ -313,6 +313,55 @@ object Dedup {
       .select("doc_a", "doc_b", "n_bands", "jaccard")
   }
 
+  /** GRAM-PROJECTION document vectors: (doc_id, gv) — the
+    * feature-hashing signed-projection near-dup embedding
+    * ([[graft.functions.GramProject]]), ONE codegen pass per doc.
+    * Integer components (exact in any engine); cast `gv` to
+    * array<float> to feed the ANN serving tier (components are small
+    * integers — float-exact) — the RETSim-style
+    * near-dup-embedding-into-ANN recipe with a model-free,
+    * oracle-replayable projection. Docs with fewer than n words
+    * carry no vector and drop. */
+  def gramProjectVectors(docs: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         dim: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHash.gramProject(col(textCol), n, dim)
+          .as("gv"))
+      .filter(size(col("gv")) === dim)
+
+  /** Near-dup pairs over the gram-projection vectors: exact integer
+    * dot products (dim-term codegen expression — no float folding,
+    * no accumulation order), cosine = dot / (√n2_a·√n2_b) rounded
+    * 6dp, threshold filter. The pair scan runs through the
+    * triangular [[blockedSelfPairs]] (self-join hot keys are
+    * un-splittable by AQE); zero-vectors (every sign cancelled — no
+    * direction) are declared dropped. Precision exact by
+    * construction; this is the moderate-threshold oracle twin — at
+    * scale feed [[gramProjectVectors]] (cast float) into
+    * [[embeddingCosineLsh]] or the ANN tier for candidate
+    * generation. */
+  def gramProjectPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, dim: Int = 16,
+                       threshold: Double = 0.9,
+                       nBlocks: Int = 16): DataFrame = {
+    val selfDot: Column => Column = v =>
+      (1 to dim).map(j => element_at(v, j) * element_at(v, j))
+        .reduce(_ + _)
+    val base = gramProjectVectors(docs, idCol, textCol, n, dim)
+      .select(col("doc_id").as("id"), col("gv").as("v"),
+        selfDot(col("gv")).as("n2"))
+      .filter(col("n2") > 0) // zero vector: no direction, no cosine
+      .withColumn("nrm", sqrt(col("n2")))
+    val dot = (1 to dim).map(j =>
+      element_at(col("va"), j) * element_at(col("vb"), j)).reduce(_ + _)
+    blockedSelfPairs(base, Seq(), nBlocks)
+      .withColumn("cosine", round(dot / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
+  }
+
   /** Per-doc 64-bit SimHash signatures via the single-pass codegen'd
     * SimHash64 expression — no explode, no shuffle, one loop per row.
     */

@@ -70,6 +70,36 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(kept.map(_._1).toSet.intersect(short).isEmpty)
   }
 
+  test("gramProject: near-dups near-parallel, disjoint docs not; vectors distill into the ANN float tier") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q"), // one word off
+      (3L, "q r s t u v w x y z z1 z2 z3 z4 z5 z6"),
+      (4L, "a b")                              // < n words → drops
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.gramProjectPairs(docs, "doc_id", "text",
+        n = 3, dim = 16, threshold = 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got $pairs")
+    // the vectors feed the existing float ANN machinery losslessly:
+    // components are small integers, so the float cast is exact and
+    // the float-side cosine ranks doc 2 as doc 1's nearest neighbor
+    val fv = Dedup.gramProjectVectors(docs, "doc_id", "text", 3, 16)
+      .select(col("doc_id"), col("gv").cast("array<float>").as("fv"))
+    import graft.functions.VectorExpressions.dotF
+    val top = fv.as("a").join(fv.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .filter(col("a.doc_id") === 1L)
+      .select(col("b.doc_id"),
+        (dotF(col("a.fv"), col("b.fv")) /
+          (sqrt(dotF(col("a.fv"), col("a.fv"))) *
+            sqrt(dotF(col("b.fv"), col("b.fv"))))).as("c"))
+      .orderBy(col("c").desc).head()
+    assert(top.getLong(0) == 2L)
+    intercept[IllegalArgumentException] { // one md5 draw = 31 signs max
+      Dedup.gramProjectVectors(docs, "doc_id", "text", 3, 32)
+    }
+  }
+
   test("minhashMd5Pairs: verified near-dups surface, distant docs do not, short docs drop") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l"),
