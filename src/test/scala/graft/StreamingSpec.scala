@@ -1210,6 +1210,38 @@ class StreamingSpec extends AnyFunSuite {
       "frozen assignment must be batch-identical on a stream")
   }
 
+  test("gram-projection and md5-minhash signatures are stateless on a stream: streamed == batch, across batches") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val batchGv = Dedup.gramProjectVectors(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val batchMh = Dedup.minhashMd5Signatures(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q1 = Dedup.gramProjectVectors(df, "doc_id", "text", 3, 16)
+      .writeStream.format("memory").queryName("gv_stream")
+      .outputMode(OutputMode.Append()).start()
+    val q2 = Dedup.minhashMd5Signatures(df, "doc_id", "text", 3, 16)
+      .writeStream.format("memory").queryName("mh_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toSeq: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    input.addData(b2.toSeq: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val sGv = spark.table("gv_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sMh = spark.table("mh_stream").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sGv === batchGv, "gram vectors must be batch-identical")
+    assert(sMh === batchMh, "minhash signatures must be batch-identical")
+  }
+
   test("frozen multiclass ft scorer is stateless on a stream: streamed == batch") {
     import graft.operators.FtClassify
     implicit val sqlCtx = spark.sqlContext
