@@ -300,11 +300,13 @@ object SparkEntry {
     * themselves, one 31-bit md5 draw per distinct shingle → ±1 per
     * dimension, exact integer sums — surfaced as dim columns so the
     * oracle replays component-for-component. */
-  def qGramvec(s: SparkSession, d: String): DataFrame =
+  def qGramvec(s: SparkSession, d: String): DataFrame = {
+    val dim = 16 // the one width the projection, columns, and oracle share
     Dedup.gramProjectVectors(Tables.documents(s, d), "doc_id", "text",
-        n = 3, dim = 16)
-      .select(col("doc_id") +: (1 to 16).map(j =>
+        n = 3, dim = dim)
+      .select(col("doc_id") +: (1 to dim).map(j =>
         element_at(col("gv"), j).as(s"g${j - 1}")): _*)
+  }
 
   /** Near-dup pairs over the gram-projection vectors: exact integer
     * dots, 6dp cosine, threshold 0.9 — the whole embedding + pair

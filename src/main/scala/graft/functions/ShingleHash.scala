@@ -295,14 +295,7 @@ case class MinHashMd5(child: Expression, n: Int, k: Int)
           ("mh" + d + ":" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         var q = 0
         while (q < 4 && d * 4 + q < k) {
-          val off = q * 4
-          // first 8 hex chars at offset = 4 digest bytes, read as an
-          // unsigned 32-bit value; % 2^31 == & 0x7fffffff for it
-          val v = ((bytes(off) & 0xffL) << 24) |
-            ((bytes(off + 1) & 0xffL) << 16) |
-            ((bytes(off + 2) & 0xffL) << 8) |
-            (bytes(off + 3) & 0xffL)
-          val h = v & 0x7fffffffL
+          val h = MinHashMd5.head31(bytes, q * 4)
           val i = d * 4 + q
           if (h < mins(i)) mins(i) = h
           q += 1
@@ -330,6 +323,16 @@ object MinHashMd5 {
   private[functions] val digests: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
+
+  /** Four digest bytes at `off`, big-endian unsigned, & 0x7fffffff —
+    * the ONE JVM assembly of the engine's portable 31-bit SQL draw
+    * `('0x' || substr(md5hex, 1+2*off, 8))::BIGINT % 2147483648`,
+    * shared by every md5-derived expression so the families cannot
+    * drift from each other or from the oracle idiom. */
+  private[functions] def head31(bytes: Array[Byte], off: Int): Long =
+    (((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+      ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)) &
+      0x7fffffffL
 }
 
 /** GRAM-PROJECTION near-dup embedding: text → a dim-long integer
@@ -371,9 +374,7 @@ case class GramProject(child: Expression, n: Int, dim: Int)
       md.reset()
       val bytes = md.digest(
         ("gp:" + sh).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 4 digest bytes, unsigned, & 0x7fffffff — Fns.md5Hash31
-      val h = (((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
-        ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)) & 0x7fffffffL
+      val h = MinHashMd5.head31(bytes, 0)
       var j = 0
       while (j < dim) {
         acc(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L)

@@ -345,18 +345,26 @@ object Dedup {
                        n: Int = 3, dim: Int = 16,
                        threshold: Double = 0.9,
                        nBlocks: Int = 16): DataFrame = {
-    val selfDot: Column => Column = v =>
-      (1 to dim).map(j => element_at(v, j) * element_at(v, j))
-        .reduce(_ + _)
+    // dots run through the ONE fused dotF loop on the float-exact
+    // cast (components are bounded by the doc's shingle count, and a
+    // 16-term sum of their products stays far under 2^53 — every dot
+    // is integer-valued and EXACT in the double fold, so the integer
+    // SQL oracle replays bit-for-bit). The A/B that picked this
+    // shape: a 2·dim-node element_at chain cost ~3.8 µs/pair at
+    // sf0.1 (48.6 s); the fused loop + a localCheckpoint that
+    // computes the md5 projection once cut it to the
+    // q_dedup_embedding regime.
     val base = gramProjectVectors(docs, idCol, textCol, n, dim)
-      .select(col("doc_id").as("id"), col("gv").as("v"),
-        selfDot(col("gv")).as("n2"))
+      .select(col("doc_id").as("id"),
+        col("gv").cast("array<float>").as("v"))
+      .withColumn("n2", graft.functions.VectorExpressions
+        .dotF(col("v"), col("v")))
       .filter(col("n2") > 0) // zero vector: no direction, no cosine
       .withColumn("nrm", sqrt(col("n2")))
-    val dot = (1 to dim).map(j =>
-      element_at(col("va"), j) * element_at(col("vb"), j)).reduce(_ + _)
+      .localCheckpoint(false) // vectors once, not per join side
     blockedSelfPairs(base, Seq(), nBlocks)
-      .withColumn("cosine", round(dot / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("cosine", round(graft.functions.VectorExpressions
+        .dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cosine") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
