@@ -819,6 +819,15 @@ object Graft {
     operators.Kmeans.semdedupPairs(emb, "vec_id", "embedding", k, dim,
       iters, threshold)
 
+  /** [[kmeansDedup]]'s pair detection at LARGE k: the blocking
+    * cluster comes from the two-level assignment tier; full probe
+    * bit-equal, partial probe keeps exact-cosine precision. */
+  def kmeansDedupTiered(emb: DataFrame, k: Int, dim: Int, iters: Int,
+                        threshold: Double, nCoarse: Int,
+                        nProbe: Int): DataFrame =
+    operators.Kmeans.semdedupPairsTiered(emb, "vec_id", "embedding",
+      k, dim, iters, threshold, nCoarse, nProbe)
+
   /** In-Context-Pretraining data order: related (same-cell) docs
     * adjacent, cut into seqLen-token bins by the exact distributed
     * running total. */

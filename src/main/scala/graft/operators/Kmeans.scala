@@ -278,13 +278,47 @@ object Kmeans {
   def semdedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, dim: Int, iters: Int, threshold: Double,
                     nBlocks: Int = 16): DataFrame = {
-    import graft.functions.VectorExpressions.dotF
     val model = fit(emb, idCol, vecCol, k, dim, iters)
+    semdedupScan(emb, idCol, vecCol,
+      graft.functions.VectorExpressions.nearestCentroid(
+        microVec(col(vecCol)), model.centroids, model.k, model.dim),
+      threshold, nBlocks)
+  }
+
+  /** [[semdedupPairs]] with the LARGE-k assignment tier: the
+    * blocking cluster comes from [[assignTiered]]'s two-level probe
+    * instead of the exact O(k·dim) argmin — at SemDeDup-paper k
+    * (10⁴-10⁵ cells) the exact assignment IS the job (ScaleProbe
+    * `bigk`). At nProbe = nCoarse the blocking is bit-equal to the
+    * exact path, so the pair set is IDENTICAL (spec-held); at
+    * partial probe a vector may block into a near-instead-of-nearest
+    * cell, shifting which pairs co-locate — recall moves, but every
+    * EMITTED pair still carries its exact cosine ≥ threshold
+    * (precision 1.0 regardless of blocking, the SemDeDup trade
+    * dialed one step further). */
+  def semdedupPairsTiered(emb: DataFrame, idCol: String, vecCol: String,
+                          k: Int, dim: Int, iters: Int,
+                          threshold: Double, nCoarse: Int, nProbe: Int,
+                          nBlocks: Int = 16): DataFrame = {
+    val model = fit(emb, idCol, vecCol, k, dim, iters)
+    val idx = tieredIndex(model, nCoarse)
+    semdedupScan(emb, idCol, vecCol,
+      graft.functions.VectorExpressions.nearestCentroidTiered(
+        microVec(col(vecCol)), model.centroids, model.k, model.dim,
+        idx.coarse, idx.nCoarse, idx.memberOffsets, idx.members, nProbe),
+      threshold, nBlocks)
+  }
+
+  /** The ONE cell-blocked exact-cosine pair scan both assignment
+    * tiers feed: (cluster from `ncCol`) → triangular blocked
+    * self-pairs → exact cosine → threshold. */
+  private def semdedupScan(emb: DataFrame, idCol: String,
+                           vecCol: String, ncCol: Column,
+                           threshold: Double, nBlocks: Int): DataFrame = {
+    import graft.functions.VectorExpressions.dotF
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(dotF(col(vecCol), col(vecCol))).as("nrm"),
-        graft.functions.VectorExpressions.nearestCentroid(
-          microVec(col(vecCol)), model.centroids, model.k, model.dim)
-          .as("nc"))
+        ncCol.as("nc"))
       .filter(col("nc").isNotNull)
       .select(col("id"), col("v"), col("nrm"),
         col("nc.cluster").as("cluster"))

@@ -2530,6 +2530,30 @@ class LlmPipelineSpec extends AnyFunSuite {
       s"nProbe=1 agreement ${agree}/${part.size} collapsed")
   }
 
+  test("semdedupPairsTiered: full probe == exact pair set; partial probe keeps precision 1.0") {
+    import graft.operators.{Dedup, Kmeans}
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val t = 0.985
+    val exact = Kmeans.semdedupPairs(emb, "vec_id", "embedding",
+        k = 8, dim = 64, iters = 2, threshold = t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    val full = Kmeans.semdedupPairsTiered(emb, "vec_id", "embedding",
+        k = 8, dim = 64, iters = 2, threshold = t, nCoarse = 4,
+        nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(full == exact)
+    // partial probe: every emitted pair is a true >= t pair (exact
+    // cosine — precision 1.0 whatever the blocking did)
+    val gold = Dedup.embeddingCosine(emb, "vec_id", "embedding", t)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val part = Kmeans.semdedupPairsTiered(emb, "vec_id", "embedding",
+        8, 64, 2, t, nCoarse = 4, nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(part.subsetOf(gold), s"tiered emitted a non-pair: ${part -- gold}")
+  }
+
   test("kmeans refreshCentroids: exactly-once shard stats, drift gate both ways, retrain == one exact Lloyd step from the store, retraction restores") {
     import graft.operators.Kmeans
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
