@@ -495,4 +495,54 @@ class FacadeSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(s1 === s2)
   }
+
+  test("round-13 facades delegate: md5 minhash, gram vectors, tiered assign/dedup, refresh stores, ccnet, curriculum, rekeyed pack") {
+    import graft.operators.{Dedup, FtClassify, Kmeans, TextAnalysis}
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    // dedup families delegate with identical outputs
+    assert(Graft.dedupMinhashMd5(docs, threshold = 0.8).collect().toSet
+      == Dedup.minhashMd5Pairs(docs, "doc_id", "text", 3, 16, 4, 0.8)
+        .collect().toSet)
+    assert(Graft.gramPairs(docs, threshold = 0.9).collect().toSet
+      == Dedup.gramProjectPairs(docs, "doc_id", "text", 3, 16, 0.9)
+        .collect().toSet)
+    assert(Graft.gramVectors(docs).count()
+      == Dedup.gramProjectVectors(docs, "doc_id", "text", 3, 16).count())
+    // tiered assignment / dedup: full probe == the exact facades
+    val km = Graft.kmeansFit(emb, k = 4, dim = 64, iters = 2)
+    assert(Graft.kmeansAssignTiered(emb, km, nCoarse = 2, nProbe = 2)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      == Graft.kmeansAssign(emb, km).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    assert(Graft.kmeansDedupTiered(emb, 4, 64, 2, 0.985, 2, 2)
+        .collect().toSet
+      == Graft.kmeansDedup(emb, 4, 64, 2, 0.985).collect().toSet)
+    // refresh stores round-trip through the facades
+    val tmp = java.nio.file.Files.createTempDirectory("r13fac").toString
+    Graft.kmeansRefreshInit(spark, km, s"$tmp/km")
+    assert(Graft.kmeansStatsUpsert(emb, s"$tmp/km", "s1"))
+    val kr = Graft.kmeansRefresh(spark, s"$tmp/km", maxDrift = 0.0)
+    assert(kr.retrained || kr.drift == 0.0)
+    assert(Graft.kmeansStatsRetract(spark, s"$tmp/km", "s1"))
+    val seed = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val m0 = Graft.ftMcRefreshInit(seed, "lang", s"$tmp/ft",
+      nBuckets = 256, dim = 4, epochs = 3)
+    assert(Graft.ftMcSeedUpsert(seed, "lang", s"$tmp/ft") > 0)
+    val fr = Graft.ftMcRefresh(spark, s"$tmp/ft")
+    assert(!fr.retrained && fr.model.emb.toSeq === m0.emb.toSeq)
+    // one-plan pipelines delegate
+    assert(Graft.ccnetPipeline(docs).collect().toSet
+      == TextAnalysis.ccnetPipeline(docs, "doc_id", "text")
+        .collect().toSet)
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality_score"), col("n_words"))
+    assert(Graft.curriculumPack(q, "quality_score", "n_words", 512L)
+        .collect().toSet
+      == graft.operators.FeatureEng.curriculumPack(q, "doc_id",
+        "quality_score", "n_words", 512L).collect().toSet)
+    assert(Graft.inContextPackRekeyed(docs, emb, k = 2, dim = 64,
+      iters = 1, seqLen = 256L).count() > 0)
+  }
 }
