@@ -1210,6 +1210,34 @@ object ScaleProbe {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
+    // Round-13 near-dup families: (a) the two-family MinHash hash
+    // cost — the md5 ORACLE family's signature projection vs the
+    // xxhash64 production family's whole candidate pipeline (the
+    // declared "production = xxhash64" claim, with numbers); (b) the
+    // gram-projection vector cost (linear — one codegen pass) vs the
+    // quadratic pair scan (the declared oracle-twin law; the scale
+    // path is LSH/ANN over the vectors).
+    if (sections("neardup")) {
+    val nd1 = Tables.documents(spark, d).cache(); nd1.count()
+    val ndK = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 1000000L)).cache()
+    println(s"[scale] neardup docs xK: ${ndK.count()}")
+    Seq(("x1", nd1), (s"x$k", ndK)).foreach { case (tag, dd) =>
+      time(s"neardup[$tag] md5 minhash signatures")(
+        Dedup.minhashMd5Signatures(dd, "doc_id", "text", 3, 16).count())
+      time(s"neardup[$tag] xxhash64 minhash candidates")(
+        Dedup.minhashLsh(dd, "doc_id", "text", 3, 16, 4).count())
+      time(s"neardup[$tag] md5 minhash verified pairs")(
+        Dedup.minhashMd5Pairs(dd, "doc_id", "text", 3, 16, 4, 0.8)
+          .count())
+      time(s"neardup[$tag] gram vectors")(
+        Dedup.gramProjectVectors(dd, "doc_id", "text", 3, 16).count())
+    }
+    time("neardup[x1] gram pairs (quadratic twin)")(
+      Dedup.gramProjectPairs(nd1, "doc_id", "text", 3, 16, 0.9).count())
+    nd1.unpersist(); ndK.unpersist()
+    }
+
     // Large-k assignment wall (r12 verdict #2): exact NearestCentroid
     // is O(k·dim) per row — measure the wall at k 256→4096 on a xK
     // corpus, then the two-level tier (nCoarse=64, nProbe 4/8) on the
