@@ -204,6 +204,11 @@ object Graft {
   def dedupMinhash(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4)
   : DataFrame = Dedup.minhashLsh(docs, "doc_id", "text", n, k, bands)
 
+  /** Soft dedup: 1/multiplicity basis-point loss weights instead of
+    * hard removal (SoftDeDup 2024). */
+  def softDedupWeights(docs: DataFrame): DataFrame =
+    Dedup.softDedupWeights(docs, "doc_id", "text")
+
   /** Gram-projection near-dup embedding vectors (feature-hashing
     * signed projection — integer-exact, one codegen pass per doc);
     * cast `gv` to array<float> to feed the ANN tier. */

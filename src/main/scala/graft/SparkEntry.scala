@@ -296,6 +296,11 @@ object SparkEntry {
     Dedup.minhashMd5Pairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, k = 16, bands = 4, threshold = 0.8)
 
+  /** SOFT dedup (round 13 — SoftDeDup 2024): per-doc 1/multiplicity
+    * loss weights in integer basis points instead of hard removal. */
+  def qSoftDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.softDedupWeights(Tables.documents(s, d), "doc_id", "text")
+
   /** GRAM-PROJECTION near-dup embedding (round 13): the doc vectors
     * themselves, one 31-bit md5 draw per distinct shingle → ±1 per
     * dimension, exact integer sums — surfaced as dim columns so the
@@ -1997,6 +2002,7 @@ object SparkEntry {
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_md5" -> (qMinhashMd5 _),
+    "q_soft_dedup" -> (qSoftDedup _),
     "q_gramvec" -> (qGramvec _),
     "q_gramvec_pairs" -> (qGramvecPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -3780,6 +3786,15 @@ object SparkEntry {
 
       "q_minhash_md5" ->
         minhashMd5OracleSql(n = 3, k = 16, bands = 4, threshold = 0.8),
+
+      "q_soft_dedup" ->
+        """WITH c AS (
+          |  SELECT md5(text) AS content_hash,
+          |    CAST(count(*) AS BIGINT) AS n_copies
+          |  FROM documents GROUP BY 1
+          |)
+          |SELECT doc_id, n_copies, 10000 // n_copies AS weight_bp
+          |FROM documents d JOIN c ON md5(d.text) = c.content_hash""".stripMargin,
 
       "q_gramvec" -> gramvecOracleSql(n = 3, dim = 16),
 

@@ -28,6 +28,28 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** SOFT dedup (SoftDeDup, He et al. 2024: DOWNWEIGHT duplicated
+    * content in the training loss instead of dropping it — removal
+    * discards the unique tail of mostly-duplicated documents, while
+    * a 1/multiplicity weight keeps every document visible at the
+    * same effective token budget): per doc, the exact-content copy
+    * count and the integer basis-point loss weight
+    * `10000 DIV n_copies` (truncating — the engine's basis-point
+    * rate convention, and DuckDB `//` parity). One content-hash
+    * aggregate + one join back; compose with [[clusters]] to weight
+    * by NEAR-dup multiplicity instead (the cluster id replaces the
+    * content hash — same shape). */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val copies = docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.select(col(idCol).as("doc_id"),
+        md5(col(textCol)).as("content_hash"))
+      .join(copies, "content_hash")
+      .select(col("doc_id"), col("n_copies"),
+        expr("10000 DIV n_copies").as("weight_bp"))
+  }
+
   /** Canonical URL key: the dedup identity web-crawl pipelines use
     * BEFORE any content hashing (the same page is re-fetched under
     * scheme/case/tracking-parameter/trailing-slash variants — URL
