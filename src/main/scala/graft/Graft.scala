@@ -841,6 +841,14 @@ object Graft {
     operators.Kmeans.inContextPack(docs, "doc_id", "text", emb,
       "vec_id", "embedding", k, dim, iters, seqLen)
 
+  /** Length-bucketed batching: exact-rank length buckets, md5-order
+    * batches within each bucket — the dynamic-batching loader
+    * artifact. */
+  def lengthBatches(docs: DataFrame, nBuckets: Int = 8,
+                    batchSize: Int = 32): DataFrame =
+    operators.FeatureEng.lengthBatches(docs, "doc_id", "text",
+      nBuckets, batchSize)
+
   /** Quality-curriculum order: corpus packed highest-quality-first
     * into seqLen-token bins by the exact distributed running total
     * (docs must carry a [0,1] score and a token count). */

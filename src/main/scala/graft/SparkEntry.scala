@@ -301,6 +301,13 @@ object SparkEntry {
   def qSoftDedup(s: SparkSession, d: String): DataFrame =
     Dedup.softDedupWeights(Tables.documents(s, d), "doc_id", "text")
 
+  /** LENGTH-BUCKETED BATCHING (round 13): exact-rank length buckets,
+    * md5-order batches within each bucket — the dynamic-batching
+    * loader artifact, every stage SQL-replayed. */
+  def qLengthBatch(s: SparkSession, d: String): DataFrame =
+    FeatureEng.lengthBatches(Tables.documents(s, d), "doc_id", "text",
+      nBuckets = 8, batchSize = 32)
+
   /** GRAM-PROJECTION near-dup embedding (round 13): the doc vectors
     * themselves, one 31-bit md5 draw per distinct shingle → ±1 per
     * dimension, exact integer sums — surfaced as dim columns so the
@@ -2003,6 +2010,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_md5" -> (qMinhashMd5 _),
     "q_soft_dedup" -> (qSoftDedup _),
+    "q_length_batch" -> (qLengthBatch _),
     "q_gramvec" -> (qGramvec _),
     "q_gramvec_pairs" -> (qGramvecPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -3795,6 +3803,37 @@ object SparkEntry {
           |)
           |SELECT doc_id, n_copies, 10000 // n_copies AS weight_bp
           |FROM documents d JOIN c ON md5(d.text) = c.content_hash""".stripMargin,
+
+      // exact-rank buckets via the prefix sum over the length COUNT
+      // table; per-bucket md5-order rank (the engine's sub-bucketed
+      // rank equals the global per-bucket (h, id) rank, property-held)
+      "q_length_batch" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), cnt AS (SELECT n_tokens, count(*) AS c FROM t GROUP BY 1),
+          |rt AS (
+          |  SELECT n_tokens,
+          |    CAST(sum(c) OVER (ORDER BY n_tokens
+          |      ROWS UNBOUNDED PRECEDING) - c AS BIGINT) AS below
+          |  FROM cnt
+          |), tot AS (SELECT count(*) AS total FROM t),
+          |b AS (
+          |  SELECT doc_id, t.n_tokens,
+          |    CAST(below * 8 // total AS INT) AS len_bucket,
+          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          |      % 2147483648 AS h
+          |  FROM t JOIN rt USING (n_tokens) CROSS JOIN tot
+          |), r AS (
+          |  SELECT doc_id, n_tokens, len_bucket,
+          |    row_number() OVER (PARTITION BY len_bucket
+          |      ORDER BY h, doc_id) - 1 AS rid
+          |  FROM b
+          |)
+          |SELECT doc_id, n_tokens, len_bucket,
+          |  rid // 32 AS batch_idx, rid % 32 AS batch_pos
+          |FROM r""".stripMargin,
 
       "q_gramvec" -> gramvecOracleSql(n = 3, dim = 16),
 

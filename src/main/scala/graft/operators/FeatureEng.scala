@@ -277,6 +277,76 @@ object FeatureEng {
       .select(col("id"), col("rid"))
   }
 
+  /** [[md5DenseRank]] WITHIN groups: dense [0, n_g) ranks per
+    * `groupCols` value in (md5, id) order. Same uniform equal-width
+    * hash bucketing; the per-(group, bucket) offsets come from a
+    * prefix-sum window over the (group, bucket) COUNT table — group
+    * count × `buckets` rows, model-sized, never the corpus — joined
+    * back broadcast-style, so no driver literal is needed and the
+    * shape stays fully distributed. Returns (groupCols…, id, rid). */
+  def md5DenseRankBy(df: DataFrame, idCol: String,
+                     groupCols: Seq[String],
+                     buckets: Int = 64): DataFrame = {
+    require(buckets >= 1 && groupCols.nonEmpty)
+    val width = (1L << 31) / buckets + 1
+    val hashed = df.select((groupCols.map(col) :+ col(idCol).as("id")): _*)
+      .withColumn("h", Fns.md5Hash31(col("id").cast("string")))
+      .withColumn("bkt", expr(s"h DIV $width").cast("int"))
+      .localCheckpoint(false) // feeds the counts AND the rank window
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy("bkt")
+      .rowsBetween(Long.MinValue, 0)
+    val offsets = hashed.groupBy((groupCols :+ "bkt").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+      .withColumn("off", sum("c").over(wOff) - col("c"))
+      .select((groupCols :+ "bkt" :+ "off").map(col): _*)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy((groupCols :+ "bkt").map(col): _*)
+      .orderBy(col("h"), col("id"))
+    hashed.join(broadcast(offsets), groupCols :+ "bkt")
+      .withColumn("rid", col("off") + row_number().over(wRank) - 1)
+      .select((groupCols :+ "id" :+ "rid").map(col): _*)
+  }
+
+  /** LENGTH-BUCKETED BATCHING — the dynamic-batching loader artifact
+    * (padding waste in a batch is batchSize·max_len − Σ len; batching
+    * similar-length docs together is the standard fix): docs are cut
+    * into `nBuckets` length buckets by EXACT rank (the runningTotal
+    * prefix sum over the length COUNT table — ties share a bucket,
+    * so equal-length docs always batch together), then grouped into
+    * `batchSize`-doc batches within each bucket in md5 order — which
+    * doubles as the in-bucket shuffle training wants, and replays in
+    * SQL. Output: (doc_id, n_tokens, len_bucket, batch_idx,
+    * batch_pos) with batch_idx dense per bucket and batch_pos ∈
+    * [0, batchSize). Every stage is a count-table aggregate, a
+    * bounded window, or a broadcast join-back — no corpus-sized
+    * window partition (the md5 sub-bucketing bounds each rank window
+    * to ~n_bucket/rankBuckets rows). */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    nBuckets: Int = 8, batchSize: Int = 32,
+                    rankBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1 && batchSize >= 1)
+    val t = docs.select(col(idCol).as("doc_id"),
+        size(Fns.words(col(textCol))).cast("long").as("n_tokens"))
+      .localCheckpoint(false) // feeds the counts AND the bucket join
+    val counts = t.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+    val rt = runningTotal(counts, "n_tokens", "cnt")
+    val total = t.count()
+    val below = rt.select(col("ord").as("n_tokens"),
+      (col("running_total") - col("val")).as("below"))
+    val bucketed = t.join(broadcast(below), "n_tokens")
+      .withColumn("len_bucket",
+        expr(s"below * $nBuckets DIV $total").cast("int"))
+    val ranked = md5DenseRankBy(
+        bucketed.select("len_bucket", "doc_id"), "doc_id",
+        Seq("len_bucket"), rankBuckets)
+      .withColumnRenamed("id", "doc_id")
+    bucketed.join(ranked, Seq("len_bucket", "doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("len_bucket"),
+        expr(s"rid DIV $batchSize").as("batch_idx"),
+        pmod(col("rid"), lit(batchSize.toLong)).as("batch_pos"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in
     * doc-id order into one global token stream cut into fixed
     * `budgetTokens` bins; each document is assigned the bin and

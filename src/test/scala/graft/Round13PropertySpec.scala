@@ -88,6 +88,54 @@ class Round13PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5DenseRankBy: per-group bijection onto [0, n_g) in (md5, id) order for arbitrary groupings") {
+    val genRows = Gen.listOfN(150, Gen.zip(Gen.choose(0, 5),
+      Gen.choose(-1000000L, 1000000L))).map(_.distinct)
+    for (round <- 1 to 4) {
+      val rows = genRows(p, Seed(round * 15731L)).get
+        .groupBy(_._2).map(_._2.head).toSeq // unique ids across groups
+      val got = FeatureEng.md5DenseRankBy(rows.toDF("g", "id"), "id",
+          Seq("g"), buckets = 1 + round * 5)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val want = rs.map(_._2).sortBy(i => (md5h(i.toString), i))
+          .zipWithIndex.map { case (id, r) => (g, id) -> r.toLong }.toMap
+        want.foreach { case (k, r) =>
+          assert(got(k) == r, s"round $round group $g rank") }
+      }
+    }
+  }
+
+  test("lengthBatches: equal lengths share a bucket; per bucket the batches are dense, full except the last, positions in range") {
+    val genDocs = Gen.listOfN(120, Gen.choose(1, 40))
+    for (round <- 1 to 4) {
+      val bs = 8
+      val rows = genDocs(p, Seed(round * 27791L)).get.zipWithIndex
+        .map { case (n, i) => (i.toLong, ("w " * n).trim) }
+      val out = FeatureEng.lengthBatches(rows.toDF("doc_id", "text"),
+          "doc_id", "text", nBuckets = 4, batchSize = bs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getLong(4)))
+      assert(out.length == rows.length)
+      // equal token counts never split across buckets
+      out.groupBy(_._2).foreach { case (_, rs) =>
+        assert(rs.map(_._3).distinct.length == 1) }
+      out.groupBy(_._3).foreach { case (b, rs) =>
+        val batches = rs.groupBy(_._4)
+        val maxIdx = batches.keys.max
+        assert(batches.keySet == (0L to maxIdx).toSet, s"bucket $b dense")
+        batches.foreach { case (idx, docs) =>
+          assert(docs.map(_._5).toSet ==
+            (0L until docs.length.toLong).toSet, "positions dense")
+          if (idx < maxIdx)
+            assert(docs.length == bs, s"non-final batch $idx full")
+        }
+      }
+    }
+  }
+
   test("minhashMd5Pairs: precision 1.0 on random dup-heavy corpora — every emitted pair is an exact >= t pair with the identical jaccard") {
     val vocab = ('a' to 'z').map(_.toString)
     val genDoc = Gen.listOfN(12, Gen.choose(0, 25)).map(
