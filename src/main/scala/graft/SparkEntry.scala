@@ -3796,13 +3796,15 @@ object SparkEntry {
         minhashMd5OracleSql(n = 3, k = 16, bands = 4, threshold = 0.8),
 
       "q_soft_dedup" ->
-        """WITH c AS (
-          |  SELECT md5(text) AS content_hash,
-          |    CAST(count(*) AS BIGINT) AS n_copies
-          |  FROM documents GROUP BY 1
+        """WITH h AS (
+          |  SELECT doc_id, coalesce(md5(text), 'null') AS content_hash
+          |  FROM documents
+          |), c AS (
+          |  SELECT content_hash, CAST(count(*) AS BIGINT) AS n_copies
+          |  FROM h GROUP BY 1
           |)
           |SELECT doc_id, n_copies, 10000 // n_copies AS weight_bp
-          |FROM documents d JOIN c ON md5(d.text) = c.content_hash""".stripMargin,
+          |FROM h JOIN c USING (content_hash)""".stripMargin,
 
       // exact-rank buckets via the prefix sum over the length COUNT
       // table; per-bucket md5-order rank (the engine's sub-bucketed

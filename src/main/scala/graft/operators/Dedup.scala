@@ -35,17 +35,23 @@ object Dedup {
     * same effective token budget): per doc, the exact-content copy
     * count and the integer basis-point loss weight
     * `10000 DIV n_copies` (truncating — the engine's basis-point
-    * rate convention, and DuckDB `//` parity). One content-hash
-    * aggregate + one join back; compose with [[clusters]] to weight
-    * by NEAR-dup multiplicity instead (the cluster id replaces the
-    * content hash — same shape). */
+    * rate convention, and DuckDB `//` parity). NULL-text docs form
+    * their OWN copy group (the hash coalesces to a non-hex sentinel
+    * — an inner join on a null hash would silently drop them,
+    * breaking the every-doc-weighted contract). One content-hash
+    * aggregate + one join back over a single checkpointed hash
+    * projection (the text is scanned and hashed ONCE, not per
+    * consumer); compose with [[clusters]] to weight by NEAR-dup
+    * multiplicity instead (the cluster id replaces the content hash
+    * — same shape). */
   def softDedupWeights(docs: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    val copies = docs.groupBy(md5(col(textCol)).as("content_hash"))
+    val hashed = docs.select(col(idCol).as("doc_id"),
+        coalesce(md5(col(textCol)), lit("null")).as("content_hash"))
+      .localCheckpoint(false) // one scan+hash for counts AND join
+    val copies = hashed.groupBy("content_hash")
       .agg(count(lit(1)).as("n_copies"))
-    docs.select(col(idCol).as("doc_id"),
-        md5(col(textCol)).as("content_hash"))
-      .join(copies, "content_hash")
+    hashed.join(copies, "content_hash")
       .select(col("doc_id"), col("n_copies"),
         expr("10000 DIV n_copies").as("weight_bp"))
   }

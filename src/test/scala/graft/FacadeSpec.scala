@@ -544,5 +544,12 @@ class FacadeSpec extends AnyFunSuite {
         "quality_score", "n_words", 512L).collect().toSet)
     assert(Graft.inContextPackRekeyed(docs, emb, k = 2, dim = 64,
       iters = 1, seqLen = 256L).count() > 0)
+    // late-round facades: soft dedup + length batching delegate
+    assert(Graft.softDedupWeights(docs).collect().toSet
+      == Dedup.softDedupWeights(docs, "doc_id", "text").collect().toSet)
+    assert(Graft.lengthBatches(docs, nBuckets = 4, batchSize = 16)
+        .collect().toSet
+      == graft.operators.FeatureEng.lengthBatches(docs, "doc_id",
+        "text", 4, 16).collect().toSet)
   }
 }

@@ -20,12 +20,12 @@ class Round13PropertySpec extends AnyFunSuite {
 
   private val p = Gen.Parameters.default
 
-  private def md5h(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
-  }
+  // the CANONICAL scalar draw — an independent byte-level reference
+  // already lives in FeatureEngSpec's md5DenseRank test; here the
+  // properties pin ORDER/bijection contracts, which must track the
+  // one definition, not a private copy that could go stale
+  private def md5h(s: String): Long =
+    graft.functions.Fns.md5Hash31Of(s)
 
   test("md5DenseRank: bijection onto [0, n) in (md5, id) order for arbitrary long id sets") {
     val genIds = Gen.listOfN(120, Gen.choose(Long.MinValue / 2,
@@ -44,8 +44,12 @@ class Round13PropertySpec extends AnyFunSuite {
   test("softDedupWeights: weights partition the corpus — every doc one row, weight_bp == 10000 DIV copies, groups consistent") {
     val genDocs = Gen.listOfN(150, Gen.choose(0, 25)).map(_.zipWithIndex)
     for (round <- 1 to 5) {
+      // two NULL-text docs per round: they must form their OWN copy
+      // group, not silently vanish through a null-keyed join
       val rows = genDocs(p, Seed(round * 104729L)).get
-        .map { case (pool, i) => (i.toLong, s"content number $pool") }
+        .map { case (pool, i) => (i.toLong, s"content number $pool") } ++
+        Seq((100001L, null.asInstanceOf[String]),
+          (100002L, null.asInstanceOf[String]))
       val byText = rows.groupBy(_._2).map { case (t, rs) => t -> rs.size }
       val got = Dedup.softDedupWeights(rows.toDF("doc_id", "text"),
           "doc_id", "text")
