@@ -113,7 +113,7 @@ object Search {
 
   /** One tokenize pass → (doc_id, term, tf). Docs with NULL/empty
     * text contribute no rows (they can never match a term query). */
-  private def termFreqs(docs: DataFrame, idCol: String, textCol: String)
+  private[graft] def termFreqs(docs: DataFrame, idCol: String, textCol: String)
   : DataFrame =
     docs.select(col(idCol).as("doc_id"),
         explode(Fns.words(col(textCol))).as("term"))
@@ -121,26 +121,45 @@ object Search {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** Query bag-of-words: DISTINCT (q_id, term). */
-  private def queryTerms(queries: DataFrame, qIdCol: String,
+  private[graft] def queryTerms(queries: DataFrame, qIdCol: String,
                          qTextCol: String): DataFrame =
     queries.select(col(qIdCol).as("q_id"),
         explode(Fns.words(col(qTextCol))).as("term"))
       .filter(col("term") =!= "")
       .distinct()
 
-  /** Shared scoring tail: `matched` must carry (q_id, doc_id, tf,
-    * dlen, df) plus broadcastable scalar columns n_docs / total_len.
-    * Output: (q_id, doc_id, rank, score). */
-  private def scoreStage(matched: DataFrame, k: Int, k1: Double,
-                         b: Double): DataFrame = {
+  /** Per-(term, doc) BM25 contribution, computed BEFORE the query
+    * fan-out: the contribution depends only on (tf, dlen, df,
+    * corpus stats) — never on the query — so computing it per
+    * (q, term, doc) TRIPLE wastes fanout× the decimal math and ships
+    * wide rows through the fan-out join (at sf0.1 the 30 Zipf-head
+    * query terms match ~every posting and 250 queries fan 116k
+    * postings into 6.8M triples — fanout ≈ 58×; at real query-batch
+    * scale the saved decimal math and narrower shuffle rows grow
+    * with that factor, though at sf0.1 the wall is checkpoint-/
+    * stage-overhead-bound and measures neutral). `matched` must
+    * carry (term, doc_id,
+    * tf, dlen, df, n_docs, total_len). Output: (term, doc_id,
+    * contrib) — the value is bit-identical to the post-fan-out form
+    * (same inputs, same expression), so every oracle replays
+    * unchanged. */
+  private def contribStage(matched: DataFrame, k1: Double,
+                           b: Double): DataFrame = {
     val avgdl = col("total_len").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val tfc = (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dlen") / avgdl))
-    val contrib = round(idf * tfc, 6).cast("decimal(38,6)")
-    val agg = matched
-      .withColumn("contrib", contrib)
+    matched
+      .withColumn("contrib", round(idf * tfc, 6).cast("decimal(38,6)"))
+      .select("term", "doc_id", "contrib")
+  }
+
+  /** Shared ranking tail over the fanned (q_id, doc_id, contrib)
+    * stream: exact-decimal per-pair sums, top-k by (score desc,
+    * doc_id). Output: (q_id, doc_id, rank, score). */
+  private def rankStage(fanned: DataFrame, k: Int): DataFrame = {
+    val agg = fanned
       .groupBy("q_id", "doc_id")
       .agg(round(sum("contrib").cast("double"), 6).as("score"))
     val w = Window.partitionBy("q_id")
@@ -194,8 +213,8 @@ object Search {
       .join(broadcast(dfq), "term") // restricts tf to query terms first
       .join(dlen, "doc_id")
       .crossJoin(broadcast(stats))
-      .join(broadcast(qterms), "term")
-    scoreStage(matched, k, k1, b)
+    rankStage(contribStage(matched, k1, b)
+      .join(broadcast(qterms), "term"), k)
   }
 
   /** TF-IDF cosine retrieval: the classic vector-space ranker, the
@@ -415,8 +434,8 @@ object Search {
     val matched = posts
       .join(broadcast(dfq), "term")
       .crossJoin(broadcast(VersionedStore.read(spark, statsTable(indexRoot))))
-      .join(broadcast(qterms), "term")
-    scoreStage(matched, k, k1, b)
+    rankStage(contribStage(matched, k1, b)
+      .join(broadcast(qterms), "term"), k)
   }
 
   /** Exact phrase search: for each query phrase, every document
@@ -494,8 +513,9 @@ object Search {
     val matched = hit
       .join(dfq, "term")
       .crossJoin(broadcast(VersionedStore.read(spark, statsTable(indexRoot))))
-      .join(qterms, "term")
-    scoreStage(matched, k, k1, b)
+    // bulk path: the query side is NOT small — no broadcast hint, AQE
+    // picks the fan-out join strategy from real sizes (as before)
+    rankStage(contribStage(matched, k1, b).join(qterms, "term"), k)
   }
 
   /** Refresh the index with a document shard. Replacement-correct,
