@@ -221,6 +221,13 @@ object Graft {
                 threshold: Double = 0.9): DataFrame =
     Dedup.gramProjectPairs(docs, "doc_id", "text", n, dim, threshold)
 
+  /** The oracle-replayable SimHash family (portable md5 sign bits +
+    * pigeonhole banding + exact popcount hamming) — audit twin of
+    * [[dedupSimhash]]. */
+  def dedupSimhashMd5(docs: DataFrame, dim: Int = 31,
+                      maxHamming: Int = 2): DataFrame =
+    Dedup.simhashMd5Pairs(docs, "doc_id", "text", dim, maxHamming)
+
   /** The oracle-replayable MinHash family (portable md5 hashes +
     * built-in exact-Jaccard verify) — audit twin of [[dedupMinhash]];
     * returns VERIFIED pairs (doc_a, doc_b, n_bands, jaccard). */

@@ -328,13 +328,46 @@ object SparkEntry {
     Dedup.gramProjectPairs(Tables.documents(s, d), "doc_id", "text",
       n = 3, dim = 16, threshold = 0.9)
 
+  /** Portable-md5 SimHash family (round 13): signature = the sign
+    * pattern of the n=1 gram projection, pigeonhole banding, exact
+    * popcount hamming — the second near-dup recipe oracle-checked
+    * end-to-end (q_dedup_simhash stays the 64-bit FNV production
+    * family). */
+  def qSimhashMd5(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashMd5Pairs(
+      Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+      "doc_id", "text", dim = 31, maxHamming = 1)
+
+  private def simhashMd5OracleSql(dim: Int, maxHamming: Int): String = {
+    val nBands = maxHamming + 1
+    val widths = (0 until nBands).map(b =>
+      dim / nBands + (if (b < dim % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sigExpr = (0 until dim).map(j =>
+      s"(CASE WHEN g$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until nBands).map { b =>
+      s"SELECT doc_id, sig, $b AS band, (sig // ${1L << offsets(b)}) % ${1L << widths(b)} AS key FROM sg"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH ${gramvecCtes(1, dim, " WHERE doc_id % 5 = 0")},
+       |sg AS (SELECT doc_id, $sigExpr AS sig FROM gv),
+       |bk AS (
+       |  $bandSelects
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
+  }
+
   /** Shared CTEs: distinct string shingles → one md5 draw per
     * shingle → the dim signed sums per doc. */
-  private def gramvecCtes(n: Int, dim: Int): String = {
+  private def gramvecCtes(n: Int, dim: Int,
+                          where: String = ""): String = {
     val sums = (0 until dim).map(j =>
       s"CAST(sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS g$j")
       .mkString(",\n|    ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents$where),
        |sh AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
        |    generate_series(1, greatest(len(ws) - ${n - 1}, 0)),
@@ -2009,6 +2042,7 @@ object SparkEntry {
     "q_dedup_pipeline" -> (qDedupPipeline _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_minhash_md5" -> (qMinhashMd5 _),
+    "q_simhash_md5" -> (qSimhashMd5 _),
     "q_soft_dedup" -> (qSoftDedup _),
     "q_length_batch" -> (qLengthBatch _),
     "q_gramvec" -> (qGramvec _),
@@ -3794,6 +3828,9 @@ object SparkEntry {
 
       "q_minhash_md5" ->
         minhashMd5OracleSql(n = 3, k = 16, bands = 4, threshold = 0.8),
+
+      "q_simhash_md5" ->
+        simhashMd5OracleSql(dim = 31, maxHamming = 1),
 
       "q_soft_dedup" ->
         """WITH h AS (

@@ -445,6 +445,68 @@ object Dedup {
       .distinct()                           // survivors shuffle
   }
 
+  /** Portable-md5 SimHash signatures: (doc_id, sig) where bit j of
+    * the dim-bit signature is the SIGN of the n=1 gram projection's
+    * component j (a positive sum of the per-distinct-word ±1 draws —
+    * Charikar's construction with the engine's replayable 31-bit md5
+    * hash as the bit source). One codegen pass per row; every doc has
+    * a signature (a text always splits to ≥1 word). */
+  def simhashMd5Signatures(docs: DataFrame, idCol: String,
+                           textCol: String, dim: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        graft.functions.ShingleHash.gramProject(col(textCol), 1, dim)
+          .as("gv"))
+      .filter(size(col("gv")) === dim)
+      .withColumn("sig", (0 until dim).map(j =>
+        when(element_at(col("gv"), j + 1) > 0, lit(1L << j))
+          .otherwise(lit(0L))).reduce(_ + _))
+      .select("doc_id", "sig")
+
+  /** SimHash near-dup pairs, ORACLE-REPLAYABLE end-to-end — the
+    * portable-md5 family of [[simhashPairs]] (the q_minhash_md5
+    * precedent applied to the second near-dup recipe): the dim-bit
+    * signature, the pigeonhole banding (maxHamming+1 segments — a
+    * pair within maxHamming bits ALWAYS collides on an untouched
+    * band, recall 1.0 by construction for the declared radius), and
+    * the exact popcount hamming filter all replay in integer SQL.
+    * The 64-bit FNV [[simhashPairs]] stays the production family:
+    * wider signatures → more selective band keys at corpus scale;
+    * byte-identical texts collide at hamming 0 in BOTH families by
+    * construction. Candidate generation is a band-key equi-join —
+    * never an all-pairs scan. */
+  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+                      dim: Int = 24, maxHamming: Int = 3): DataFrame = {
+    require(dim >= 2 && dim <= 31, s"dim must be in [2, 31], got $dim")
+    require(maxHamming >= 0 && maxHamming < dim,
+      s"maxHamming must be in [0, $dim), got $maxHamming")
+    val nBands = maxHamming + 1
+    val widths = (0 until nBands).map(b =>
+      dim / nBands + (if (b < dim % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    // repartition(band, key): the signature projection feeds both
+    // self-join sides — one exchange shares it (the minhashMd5Pairs
+    // reuse shape)
+    val banded = simhashMd5Signatures(docs, idCol, textCol, dim)
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), offsets(b))
+              .bitwiseAND((1L << widths(b)) - 1).as("key"))): _*))
+          .as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: only
+      .distinct()                           // survivors shuffle
+  }
+
   /** Wide-SimHash near-dup pairs: `words` independent 64-bit
     * signatures concatenated into a 64·words-bit signature, banded
     * into maxHamming+1 segments. Same pigeonhole recall guarantee as

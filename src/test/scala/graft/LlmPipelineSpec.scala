@@ -148,6 +148,40 @@ class LlmPipelineSpec extends AnyFunSuite {
         s"xx-only=${xxVerified -- md5Pairs.keySet}")
   }
 
+  test("simhashMd5Pairs banding recall: EVERY pair within maxHamming found (vs brute force); exact dups at hamming 0 in both families") {
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    val (dim, h) = (31, 2)
+    val sigs = Dedup.simhashMd5Signatures(docs, "doc_id", "text", dim)
+      .localCheckpoint(false)
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("ham"))
+      .filter(col("ham") <= h)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val banded = Dedup.simhashMd5Pairs(docs, "doc_id", "text", dim, h)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(banded == brute,
+      s"pigeonhole must recover exactly the brute-force set: " +
+        s"missing=${(brute.keySet -- banded.keySet).take(3)} " +
+        s"extra=${(banded.keySet -- brute.keySet).take(3)}")
+    // byte-identical texts: hamming 0 in BOTH families by construction
+    val twin = docs.limit(1).select(lit(999999L).as("doc_id"),
+      col("text"))
+    val withTwin = docs.select("doc_id", "text").union(twin)
+    val origId = docs.limit(1).select("doc_id").head().getLong(0)
+    val md5Pair = Dedup.simhashMd5Pairs(withTwin, "doc_id", "text",
+        dim, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(md5Pair.contains((origId, 999999L)))
+    val fnvPair = Dedup.simhashPairs(withTwin, "doc_id", "text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fnvPair.contains((origId, 999999L)))
+  }
+
   test("simhashPairs: near-identical docs collide, distant do not") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
