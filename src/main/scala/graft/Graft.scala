@@ -704,14 +704,20 @@ object Graft {
 
   /** Train the C-class softmax hashed-n-gram classifier (labels =
     * distinct values of `labelCol`, sorted) — [[ftQualityTrain]]'s
-    * softmax twin, spec-held bit-equal to a sequential reference. */
+    * softmax twin, spec-held bit-equal to a sequential reference.
+    * Class-count ceiling: at most `maxClasses` (default 256) distinct
+    * labels — the per-class column set grows O(C) and the generated
+    * projection code grows toward the JVM's 64KB method-size limit
+    * (an estimate; Spark degrades off codegen rather than failing).
+    * Label spaces beyond 256 opt in by raising `maxClasses`. */
   def ftLangidTrain(seed: DataFrame, labelCol: String,
                     nBuckets: Int = 4096, dim: Int = 8,
                     epochs: Int = 40,
-                    lrMicro: Long = 16000000L)
+                    lrMicro: Long = 16000000L,
+                    maxClasses: Int = 256)
   : operators.FtClassify.FtMcModel =
     operators.FtClassify.trainMc(seed, "doc_id", "text", labelCol,
-      nBuckets, dim, epochs, lrMicro)
+      nBuckets, dim, epochs, lrMicro, maxClasses = maxClasses)
 
   /** Score a corpus against the FROZEN multiclass model: ONE gram
     * pass for all C classes (argmax ties to lowest class index) —
@@ -1102,6 +1108,21 @@ object Graft {
   : org.apache.spark.sql.Dataset[MultiModal.MediaEmbedding] =
     MultiModal.extractEmbeddings(
       MultiModal.withPayload(docs, "doc_id", "text"), dim, batchSize)
+
+  /** Per-image perceptual signatures (aHash + dHash) from REAL pixel
+    * decode of uncompressed containers (24-bit BMP / PPM P6) — one
+    * codegen projection, unparseable payloads dropped (quarantine). */
+  def imagePHash(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame =
+    MultiModal.imagePHashSignatures(docs, idCol, payloadCol)
+
+  /** IMAGE near-duplicate pairs: aHash + pigeonhole row-group
+    * banding (recall 1.0 at the radius by construction), exact
+    * popcount filter; `maxHamming` ∈ [1, 7]. */
+  def imageNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                        payloadCol: String = "payload",
+                        maxHamming: Int = 2): DataFrame =
+    MultiModal.imageNearDupPairs(docs, idCol, payloadCol, maxHamming)
 
   def tokenCounts(docs: DataFrame): DataFrame =
     TextAnalysis.tokenCount(docs, "doc_id", "text")

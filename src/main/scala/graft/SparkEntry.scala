@@ -1596,6 +1596,151 @@ object SparkEntry {
     MultiModal.mediaMeta(withPayload, "doc_id", "payload")
   }
 
+  private def syntheticPixelPayloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.SyntheticImage
+        .syntheticImage(col("doc_id").cast("long"), col("text"))
+        .as("payload"))
+
+  /** IMAGE PERCEPTUAL SIGNATURES from real pixel decode (round 14):
+    * deterministic VALID pixel images are constructed per doc (24-bit
+    * BMP bottom-up/top-down and PPM P6 containers, grayscale pixels
+    * closed-form in the id, one quarantine residue of raw text), then
+    * DECODED BACK — header walk, stride, row order, RGB triplets — by
+    * the ImagePHash codegen expression into the box-mean 8×8 aHash
+    * and nearest-sample 9×8 dHash. The oracle derives both signatures
+    * from the construction arithmetic alone (never parsing a byte),
+    * so the byte-level pixel decoder is checked end-to-end per doc,
+    * including the NULL quarantine drop. */
+  def qImageAhash(s: SparkSession, d: String): DataFrame = {
+    val sig = MultiModal.imagePHashSignatures(
+      syntheticPixelPayloads(s, d), "doc_id", "payload")
+    sig.select(col("doc_id") +: col("width") +: col("height") +:
+      ((0 until 8).map(i =>
+        element_at(col("arows"), i + 1).cast("long").as(s"a$i")) ++
+       (0 until 8).map(i =>
+         element_at(col("drows"), i + 1).cast("long").as(s"d$i"))): _*)
+  }
+
+  /** IMAGE NEAR-DUP pairs (round 14) — multimodal dedup through the
+    * engine's pigeonhole-banding recipe: aHash signatures from real
+    * pixel decode, banded by maxHamming+1 groups of grid rows
+    * (recall 1.0 by construction at the radius), exact popcount
+    * filter. Construction plants near-identical variant groups (4
+    * ids per base image, one perturbed grid cell each), so the pair
+    * set exercises both the recall and the precision side; the
+    * oracle replays construction → decode → hash → banding →
+    * hamming, all in portable integer SQL. */
+  def qImageNeardup(s: SparkSession, d: String): DataFrame =
+    MultiModal.imageNearDupPairs(
+      syntheticPixelPayloads(s, d), "doc_id", "payload", maxHamming = 2)
+
+  /** Shared oracle CTEs for the image perceptual-hash family: replay
+    * the SyntheticImage pixel formula (never the bytes), the 8×8
+    * box-mean grid, the cell-vs-mean threshold, and the per-grid-row
+    * aHash bytes a0..a7 — all truncating integer arithmetic, ending
+    * in a CTE `sig(doc_id, a0..a7)`. */
+  private def imageAhashOracleCtes: String = {
+    val pivotA = (0 until 8).map(i =>
+      s"max(CASE WHEN gy = $i THEN arow END) AS a$i").mkString(", ")
+    s"""ids AS (
+       |  SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v
+       |  FROM documents WHERE doc_id % 11 <> 7 AND text IS NOT NULL
+       |), dims AS (
+       |  SELECT doc_id, v, 8 * (1 + gid % 3) AS w,
+       |         8 * (1 + gid % 2) AS h, gid % 251 + 1 AS m
+       |  FROM ids
+       |), xs AS (
+       |  SELECT doc_id, v, w, h, m,
+       |         unnest(generate_series(0, w - 1)) AS x
+       |  FROM dims
+       |), px AS (
+       |  SELECT doc_id, (x * 8) // w AS gx, (y * 8) // h AS gy,
+       |    (m * (3 + 7 * x + 11 * y) +
+       |     CASE WHEN v > 0 AND (x * 8) // w = (3 * v) % 8
+       |               AND (y * 8) // h = (5 * v) % 8
+       |          THEN 128 ELSE 0 END) % 256 AS p
+       |  FROM (SELECT doc_id, v, w, h, m, x,
+       |          unnest(generate_series(0, h - 1)) AS y FROM xs)
+       |), cell AS (
+       |  SELECT doc_id, gx, gy, sum(p) // count(*) AS c
+       |  FROM px GROUP BY doc_id, gx, gy
+       |), mn AS (
+       |  SELECT doc_id, sum(c) // 64 AS mean FROM cell GROUP BY doc_id
+       |), ar AS (
+       |  SELECT doc_id, gy, CAST(sum(CASE WHEN c > mean
+       |    THEN 1 << gx ELSE 0 END) AS BIGINT) AS arow
+       |  FROM cell JOIN mn USING (doc_id) GROUP BY doc_id, gy
+       |), sig AS (
+       |  SELECT doc_id, $pivotA FROM ar GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** q_image_ahash oracle: the aHash CTEs plus the 9×8
+    * nearest-sample dHash grid (sampled pixels re-derived from the
+    * SAME closed-form formula) → per-doc signature row bytes. */
+  private def imageAhashOracleSql: String = {
+    val pivotD = (0 until 8).map(i =>
+      s"max(CASE WHEN gy = $i THEN drow END) AS d$i").mkString(", ")
+    s"""WITH $imageAhashOracleCtes,
+       |dg AS (
+       |  SELECT doc_id, gy, gx9,
+       |    (m * (3 + 7 * ((gx9 * w) // 9) + 11 * ((gy * h) // 8)) +
+       |     CASE WHEN v > 0
+       |               AND (((gx9 * w) // 9) * 8) // w = (3 * v) % 8
+       |               AND (((gy * h) // 8) * 8) // h = (5 * v) % 8
+       |          THEN 128 ELSE 0 END) % 256 AS sample
+       |  FROM (SELECT doc_id, v, w, h, m, gy,
+       |          unnest(generate_series(0, 8)) AS gx9
+       |        FROM (SELECT doc_id, v, w, h, m,
+       |                unnest(generate_series(0, 7)) AS gy FROM dims))
+       |), db AS (
+       |  SELECT doc_id, gy, gx9 AS gx, sample,
+       |    lead(sample) OVER (PARTITION BY doc_id, gy ORDER BY gx9) AS nxt
+       |  FROM dg
+       |), dr AS (
+       |  SELECT doc_id, gy, CAST(sum(CASE WHEN sample > nxt
+       |    THEN 1 << gx ELSE 0 END) AS BIGINT) AS drow
+       |  FROM db WHERE gx < 8 GROUP BY doc_id, gy
+       |), dsig AS (
+       |  SELECT doc_id, $pivotD FROM dr GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST(w AS BIGINT) AS width,
+       |  CAST(h AS BIGINT) AS height,
+       |  a0, a1, a2, a3, a4, a5, a6, a7, d0, d1, d2, d3, d4, d5, d6, d7
+       |FROM dims JOIN sig USING (doc_id) JOIN dsig USING (doc_id)""".stripMargin
+  }
+
+  /** q_image_neardup oracle: aHash row bytes → maxHamming+1
+    * row-group band keys → band equi-join candidates → exact
+    * per-row popcount hamming ≤ maxHamming. Mirrors
+    * [[MultiModal.imageNearDupPairs]]'s widths/offsets arithmetic. */
+  private def imageNeardupOracleSql(maxHamming: Int): String = {
+    val nBands = maxHamming + 1
+    val widths = (0 until nBands).map(b =>
+      8 / nBands + (if (b < 8 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (0 until widths(b)).map(j =>
+        s"a${offsets(b) + j} * ${1L << (8 * j)}").mkString(" + ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n|  UNION ALL ")
+    val ham = (0 until 8).map(i =>
+      s"bit_count(xor(x.a$i, y.a$i))").mkString(" + ")
+    s"""WITH $imageAhashOracleCtes,
+       |bk AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
+       |FROM cand JOIN sig x ON doc_a = x.doc_id
+       |  JOIN sig y ON doc_b = y.doc_id
+       |WHERE $ham <= $maxHamming""".stripMargin
+  }
+
   /** Per-source distinct-shingle cardinality via an in-plan
     * HyperLogLog (round 10): the corpus statistic a 100 TB pipeline
     * can only afford approximately (distinct n-grams per slice),
@@ -2090,6 +2235,8 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_image_meta" -> (qImageMeta _),
     "q_media_meta" -> (qMediaMeta _),
+    "q_image_ahash" -> (qImageAhash _),
+    "q_image_neardup" -> (qImageNeardup _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
@@ -5475,6 +5622,19 @@ object SparkEntry {
           |       WHEN 2 THEN ((4 + doc_id % 600) * 8) // 128
           |       WHEN 3 THEN doc_id * 37 + 500 END AS duration_ms
           |FROM documents""".stripMargin,
+
+      // Ground truth for the pixel DECODER: both signatures derived
+      // from the SyntheticImage construction arithmetic alone — the
+      // oracle never parses a byte, while the engine path must
+      // genuinely decode the BMP/PPM container it is handed
+      // (header walk, stride, bottom-up vs top-down rows, and the
+      // quarantine NULL for the non-image residue).
+      "q_image_ahash" -> imageAhashOracleSql,
+
+      // The banding and the hamming filter replayed on top of the
+      // same signature CTEs — the end-to-end multimodal near-dup
+      // contract (construction → decode → hash → banding → pairs).
+      "q_image_neardup" -> imageNeardupOracleSql(maxHamming = 2),
 
       // Mirrors TextAnalysis.redactPii: same rule chain, same order,
       // counts taken against the text as each rule saw it (so the

@@ -328,6 +328,10 @@ object FeatureEng {
     require(nBuckets >= 1 && batchSize >= 1)
     val t = docs.select(col(idCol).as("doc_id"),
         size(Fns.words(col(textCol))).cast("long").as("n_tokens"))
+      // null-text docs drop (packValues' rule): a NULL n_tokens group
+      // would sort NULLS FIRST in Spark's runningTotal but NULLS LAST
+      // in the DuckDB oracle, shifting every real doc's `below`
+      .filter(col("n_tokens").isNotNull)
       .localCheckpoint(false) // feeds the counts AND the bucket join
     val counts = t.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
     val rt = runningTotal(counts, "n_tokens", "cnt")
@@ -407,8 +411,12 @@ object FeatureEng {
       .filter(col("q").isNotNull && col("n_tokens") > 0)
       .withColumn("qmicro", round(col("q") * 1e6).cast("long"))
       // NaN must hit the guard too: round(NaN*1e6).cast(long) is 0 in
-      // Spark, which would silently schedule the doc as quality 0.0
+      // Spark, which would silently schedule the doc as quality 0.0.
+      // The RAW score is guarded alongside the rounded qmicro: a
+      // score marginally outside [0,1] (e.g. 1.0000004) rounds back
+      // into range and would otherwise pass the declared contract
       .withColumn("qmicro", when(!isnan(col("q")) &&
+        col("q") >= 0.0 && col("q") <= 1.0 &&
         col("qmicro") >= 0L &&
         col("qmicro") <= 1000000L, col("qmicro")).otherwise(expr(
         "raise_error('curriculumPack: score must be in [0, 1]')")))

@@ -383,8 +383,9 @@ object FtClassify {
   def trainMc(seed: DataFrame, idCol: String, textCol: String,
               labelCol: String, nBuckets: Int = 4096, dim: Int = 8,
               epochs: Int = 40, lrMicro: Long = 16000000L,
-              seedSalt: Long = 42L): FtMcModel = {
+              seedSalt: Long = 42L, maxClasses: Int = 256): FtMcModel = {
     require(nBuckets > 0 && dim > 0 && epochs >= 1 && lrMicro > 0)
+    require(maxClasses >= 2)
     val spark = seed.sparkSession
     import spark.implicits._
     // null-labeled rows are DROPPED, not trained: the when/otherwise
@@ -401,11 +402,15 @@ object FtClassify {
     // per-class column set grow O(C); z_c is bound ONCE as a
     // materialized column below (so no expression is O(C^2)), but at
     // hundreds of classes the generated code for one projection still
-    // approaches the JVM's 64KB method limit. 256 covers fastText's
-    // real langid shape (~170 languages) with margin.
-    require(nC <= 256,
-      s"trainMc supports at most 256 classes (codegen method-size " +
-        s"ceiling); got $nC")
+    // grows toward the JVM's 64KB method limit (an ESTIMATE, not a
+    // measured wall — Spark also falls back off codegen gracefully).
+    // The default 256 covers fastText's real langid shape (~170
+    // languages) with margin; larger label spaces opt in knowingly
+    // by raising `maxClasses`.
+    require(nC <= maxClasses,
+      s"trainMc supports at most $maxClasses classes by default " +
+        s"(codegen method-size estimate — raise maxClasses to opt " +
+        s"in); got $nC")
     val yCol = labels.zipWithIndex.tail
       .foldLeft(lit(0)) { case (acc, (l, i)) =>
         when(col(labelCol).cast("string") === l, lit(i)).otherwise(acc)

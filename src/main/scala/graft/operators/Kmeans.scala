@@ -544,7 +544,14 @@ object Kmeans {
     * idempotent, written before the ledger ingest so a crash replay
     * rewrites the same rows) so a later [[retractAssignStats]]
     * subtracts EXACTLY what was added even after refreshes have
-    * moved the model. Returns whether the shard was applied.
+    * moved the model. The recorded set is the FULL k·dim grid,
+    * zero-filled for clusters the shard left empty: a crash between
+    * the record merge and the ledger ingest followed by a
+    * [[refreshCentroids]] means the replay re-assigns under a MOVED
+    * model, whose stat rows can cover a different key subset — the
+    * grid makes the replay overwrite every key, so no stale
+    * first-attempt row can survive to poison a later retraction.
+    * Returns whether the shard was applied.
     * Centroids are NOT moved here — call [[refreshCentroids]] on
     * whatever cadence suits. */
   def upsertAssignStats(shardEmb: DataFrame, idCol: String,
@@ -556,7 +563,15 @@ object Kmeans {
     if (Ledger.isApplied(spark, kmAppliedTable(root), shardId))
       return false
     val model = modelFromStore(spark, root)
-    val stats = shardStats(shardEmb, idCol, vecCol, model)
+    val grid = spark.range(model.k.toLong * model.dim)
+      .select(expr(s"id DIV ${model.dim}").as("cluster"),
+        pmod(col("id"), lit(model.dim.toLong)).as("i"))
+    val stats = grid.join(
+        shardStats(shardEmb, idCol, vecCol, model), Seq("cluster", "i"),
+        "left_outer")
+      .select(col("cluster"), col("i"),
+        coalesce(col("sv"), lit(0L)).as("sv"),
+        coalesce(col("n"), lit(0L)).as("n"))
       .localCheckpoint(false) // one computation for record + ingest
     graft.offline.VersionedStore.merge(
       stats.withColumn("shard_id", lit(shardId))

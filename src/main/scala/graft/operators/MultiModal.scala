@@ -305,6 +305,93 @@ object MultiModal {
       .otherwise(col(textCol).cast("binary")) // not media → NULL meta
   }
 
+  /** Per-image perceptual signatures from REAL pixel decode: one
+    * [[graft.functions.ImagePHash]] codegen projection per payload —
+    * uncompressed-container parse (24-bit BMP / binary PPM), box-mean
+    * 8×8 aHash, nearest-sample 9×8 dHash — emitted as the 8
+    * non-negative grid-row bytes of each signature (the banding and
+    * oracle form) plus the packed 64-bit longs (the production form).
+    * Unparseable/truncated/too-small payloads are DROPPED (the NULL
+    * quarantine contract — filter upstream to inspect them).
+    *
+    * Scale shape: one O(W·H) decode per payload inside the scan
+    * stage; payload bytes never shuffle — only the 16 signature
+    * bytes and dimensions leave the projection.
+    */
+  def imagePHashSignatures(docs: DataFrame, idCol: String,
+                           payloadCol: String): DataFrame = {
+    val ph = graft.functions.ImagePHash.imagePHash(col(payloadCol))
+    docs.withColumn("_p", ph)
+      .filter(col("_p").isNotNull)
+      .select(col(idCol).as("doc_id"),
+        col("_p.format").as("format"),
+        col("_p.width").cast("long").as("width"),
+        col("_p.height").cast("long").as("height"),
+        col("_p.arows").as("arows"), col("_p.ahash").as("ahash"),
+        col("_p.drows").as("drows"), col("_p.dhash").as("dhash"))
+  }
+
+  /** IMAGE near-duplicate pairs — the multimodal member of the
+    * engine's near-dup family (the [[Dedup.simhashMd5Pairs]] recipe
+    * with a perceptual signature instead of a text signature): aHash
+    * per image, pigeonhole banding over `maxHamming + 1` GROUPS OF
+    * GRID ROWS (a pair within `maxHamming` bit flips touches at most
+    * `maxHamming` row groups, so at least one group's bytes match
+    * exactly — recall 1.0 by construction at the declared radius),
+    * then the exact 64-bit popcount hamming filter for precision.
+    * Band keys concatenate each group's row bytes (≤ 3 rows ⇒ ≤ 24
+    * bits, non-negative), so candidate generation is a band-key
+    * equi-join — never an all-pairs scan — and the whole chain
+    * (construction → decode → hash → banding → hamming) replays in
+    * portable integer SQL: q_image_neardup's oracle checks the
+    * byte-level pixel decoder END-TO-END.
+    *
+    * `maxHamming` ∈ [1, 7]: ≥ 8 would need more groups than grid
+    * rows; 0 would put all 8 row bytes in one 64-bit key (use exact
+    * dedup for identity). Default 2 ≈ the classic "aHash distance
+    * ≤ a few bits" near-identical threshold.
+    *
+    * 100 TB shape: the signature projection feeds both self-join
+    * sides through ONE repartition exchange (the simhashMd5Pairs
+    * reuse shape); candidates are bounded by band-key collisions.
+    * Row-byte band keys are 8–24 bits — at corpus scale beyond ~10⁷
+    * images, re-band the SAME signatures through
+    * [[Dedup.simhashPairsWide]]-style wider keys, or pre-partition
+    * by a coarse key (format, resolution bucket) first.
+    */
+  def imageNearDupPairs(docs: DataFrame, idCol: String,
+                        payloadCol: String, maxHamming: Int = 2)
+  : DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"maxHamming must be in [1, 7], got $maxHamming")
+    val nBands = maxHamming + 1
+    // row-group widths: 8 grid rows split as evenly as possible
+    val widths = (0 until nBands).map(b =>
+      8 / nBands + (if (b < 8 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sigs = imagePHashSignatures(docs, idCol, payloadCol)
+      .select("doc_id", "arows", "ahash")
+    val banded = sigs.select(col("doc_id"), col("ahash"),
+        explode(array((0 until nBands).map { b =>
+          val key = (0 until widths(b)).map(j =>
+            element_at(col("arows"), offsets(b) + j + 1).cast("long") *
+              (1L << (8 * j))).reduce(_ + _)
+          struct(lit(b).as("band"), key.as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming) // before distinct: only
+      .distinct()                           // survivors shuffle
+  }
+
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates
     * the metadata contract and stays inside whole-stage codegen.

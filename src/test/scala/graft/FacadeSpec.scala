@@ -335,6 +335,20 @@ class FacadeSpec extends AnyFunSuite {
     assert(frames.count() >= 0) // text corpus: no media payloads is fine
   }
 
+  test("imagePHash / imageNearDupPairs delegate") {
+    val withPayload = docs.limit(120).select(col("doc_id"),
+      graft.functions.SyntheticImage
+        .syntheticImage(col("doc_id").cast("long"), col("text"))
+        .as("payload"))
+    val sig = Graft.imagePHash(withPayload)
+    assert(sig.columns.toSeq === Seq("doc_id", "format", "width",
+      "height", "arows", "ahash", "drows", "dhash"))
+    assert(sig.count() > 0)
+    val pairs = Graft.imageNearDupPairs(withPayload, maxHamming = 2)
+    assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "hamming"))
+    assert(pairs.count() >= 0)
+  }
+
   test("count-store retraction delegates: dsir/kn/bpe upsert -> retract -> never-ingested") {
     val base = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
       .toDF("doc_id", "text")

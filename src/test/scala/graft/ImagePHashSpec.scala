@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ImagePHash, SyntheticImage}
+import graft.operators.MultiModal
+
+/** Image perceptual-hash family (round 14): the pixel decoder is
+  * checked against HAND-BUILT container bytes and a test-local
+  * reference hash (not the SyntheticImage generator, so a shared bug
+  * cannot cancel out), container invariance (BMP bottom-up, BMP
+  * top-down, and PPM of the same pixels hash identically), the
+  * quarantine NULLs, and the banded pair scan against a brute-force
+  * all-pairs hamming reference (the pigeonhole recall contract). */
+class ImagePHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- test-local reference: grids + hashes from a pixel accessor --
+  private def refHash(pix: (Int, Int) => Int, w: Int, h: Int)
+  : (Array[Int], Array[Int]) = {
+    val sums = Array.fill(64)(0L); val counts = Array.fill(64)(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = (y * 8 / h) * 8 + (x * 8 / w)
+      sums(c) += pix(x, y); counts(c) += 1
+    }
+    val cells = Array.tabulate(64)(i => (sums(i) / counts(i)).toInt)
+    val mean = cells.map(_.toLong).sum / 64
+    val arows = Array.fill(8)(0)
+    for (i <- 0 until 64 if cells(i) > mean) arows(i / 8) |= 1 << (i % 8)
+    val drows = Array.fill(8)(0)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val a = pix(gx * w / 9, gy * h / 8)
+      val b = pix((gx + 1) * w / 9, gy * h / 8)
+      if (a > b) drows(gy) |= 1 << gx
+    }
+    (arows, drows)
+  }
+
+  // ---- hand byte-builders (independent of SyntheticImage.build) ----
+  private def bmp(pix: (Int, Int) => Int, w: Int, h: Int,
+                  topDown: Boolean): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'; le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, if (topDown) -h else h)
+    le16(26, 1); le16(28, 24); le32(30, 0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val fileRow = if (topDown) y else h - 1 - y
+      val o = 54 + fileRow * stride + x * 3
+      val p = pix(x, y).toByte
+      out(o) = p; out(o + 1) = p; out(o + 2) = p
+    }
+    out
+  }
+
+  private def ppm(pix: (Int, Int) => Int, w: Int, h: Int,
+                  comment: Boolean = false): Array[Byte] = {
+    val hdr = (if (comment) s"P6\n# a comment line\n$w $h\n255\n"
+               else s"P6\n$w $h\n255\n").getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + w * h * 3)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = hdr.length + (y * w + x) * 3
+      val p = pix(x, y).toByte
+      out(o) = p; out(o + 1) = p; out(o + 2) = p
+    }
+    out
+  }
+
+  private def hashOf(payloads: Seq[Array[Byte]])
+  : Map[Int, Option[(Seq[Int], Seq[Int], Long, Long)]] = {
+    val df = payloads.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("id", "payload")
+    df.select(col("id"),
+        ImagePHash.imagePHash(col("payload")).as("ph"))
+      .collect().map { r =>
+        r.getInt(0) -> Option(r.getStruct(1)).map { s =>
+          (s.getSeq[Int](3), s.getSeq[Int](5), s.getLong(4), s.getLong(6))
+        }
+      }.toMap
+  }
+
+  test("decoder matches the reference hash; containers are invariant") {
+    val w = 9; val h = 16 // stride 28 → one BMP pad byte per row
+    val pix = (x: Int, y: Int) => (x * 29 + y * 53 + 7) % 256
+    val (ea, ed) = refHash(pix, w, h)
+    val got = hashOf(Seq(
+      bmp(pix, w, h, topDown = false),
+      bmp(pix, w, h, topDown = true),
+      ppm(pix, w, h),
+      ppm(pix, w, h, comment = true)))
+    for (i <- 0 to 3) {
+      val Some((ar, dr, ah, dh)) = got(i)
+      assert(ar == ea.toSeq, s"payload $i arows")
+      assert(dr == ed.toSeq, s"payload $i drows")
+      // packed longs are exactly the row bytes
+      assert(ah == ea.zipWithIndex.map { case (r, j) =>
+        r.toLong << (8 * j) }.reduce(_ | _))
+      assert(dh == ed.zipWithIndex.map { case (r, j) =>
+        r.toLong << (8 * j) }.reduce(_ | _))
+    }
+  }
+
+  test("quarantine: truncation, depth, compression, size, non-images → NULL") {
+    val pix = (x: Int, y: Int) => (x + y) % 256
+    val good = bmp(pix, 8, 8, topDown = false)
+    val truncated = good.take(good.length - 1)
+    val bpp32 = good.clone(); bpp32(28) = 32
+    val compressed = good.clone(); compressed(30) = 1 // BI_RLE8
+    val tooSmall = bmp(pix, 8, 8, topDown = false).clone()
+    tooSmall(18) = 7 // width 7 < the 8×8 grid
+    val ppmWide = ppm(pix, 8, 8)
+    // maxval 999 → 2-byte samples, unsupported
+    val ppm16 = ("P6\n8 8\n999\n" + "x" * 400).getBytes("US-ASCII")
+    val text = "BMW makes cars, not bitmaps P6 either".getBytes
+    val got = hashOf(Seq(good, truncated, bpp32, compressed, tooSmall,
+      ppmWide, ppm16, text))
+    assert(got(0).isDefined && got(5).isDefined)
+    for (i <- Seq(1, 2, 3, 4, 6, 7))
+      assert(got(i).isEmpty, s"payload $i should be quarantined")
+  }
+
+  test("near-identical pair collides at radius 2; opposite images don't") {
+    val base = (x: Int, y: Int) => if ((x / 2 + y / 2) % 2 == 0) 200 else 40
+    // one grid cell (16×16 → 2×2 blocks) brightened: ≤ a few bits off
+    val near = (x: Int, y: Int) =>
+      if (x / 2 == 3 && y / 2 == 5) 255 else base(x, y)
+    val inverse = (x: Int, y: Int) => 240 - base(x, y)
+    val docs = Seq(
+      (0L, bmp(base, 16, 16, topDown = false)),
+      (1L, bmp(near, 16, 16, topDown = false)),
+      (2L, bmp(inverse, 16, 16, topDown = false))
+    ).toDF("doc_id", "payload")
+    val pairs = MultiModal
+      .imageNearDupPairs(docs, "doc_id", "payload", maxHamming = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"planted near-dup missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"inverse image paired: $pairs")
+  }
+
+  test("banded pairs == brute-force hamming pairs (pigeonhole recall)") {
+    val ids = (0L until 240L).filter(_ % 11 != 7)
+    val docs = ids.map(id =>
+      (id, SyntheticImage.build(id, null))).toDF("doc_id", "payload")
+    val sigs = MultiModal
+      .imagePHashSignatures(docs, "doc_id", "payload")
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toMap
+    assert(sigs.size == ids.size) // every non-quarantine id decodes
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 2
+    } yield (a, b)).toSet
+    val got = MultiModal
+      .imageNearDupPairs(docs, "doc_id", "payload", maxHamming = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // the construction actually plants work: some variant pairs exist
+    assert(expected.nonEmpty)
+  }
+
+  test("dHash: ramps set gradient bits exactly; aHash splits by mean") {
+    val up = (x: Int, y: Int) => x * 13 % 251
+    val down = (x: Int, y: Int) => 250 - x * 13 % 251
+    val got = hashOf(Seq(
+      ppm(up, 16, 8), ppm(down, 16, 8)))
+    val Some((_, drUp, _, _)) = got(0)
+    val Some((_, drDown, _, _)) = got(1)
+    // x*13%251 is strictly increasing for x in [0,16): samples too
+    assert(drUp.forall(_ == 0), s"increasing ramp: $drUp")
+    assert(drDown.forall(_ == 255), s"decreasing ramp: $drDown")
+    // aHash of a half-dark half-bright image: exactly the bright half
+    val half = (x: Int, y: Int) => if (y < 8) 10 else 240
+    val Some((ar, _, _, _)) = hashOf(Seq(ppm(half, 16, 16)))(0)
+    assert(ar.take(4).forall(_ == 0) && ar.drop(4).forall(_ == 255), ar)
+  }
+
+  test("SyntheticImage: formats per residue, signature matches closed form") {
+    val ids = (0L until 120L).filter(_ % 11 != 7)
+    val docs = ids.map(id =>
+      (id, SyntheticImage.build(id, null))).toDF("doc_id", "payload")
+    val got = docs.select(col("doc_id"),
+        ImagePHash.imagePHash(col("payload")).as("ph"))
+      .select(col("doc_id"), col("ph.format").as("f"),
+        col("ph.arows").as("ar"), col("ph.drows").as("dr"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Int](2), r.getSeq[Int](3))).toList
+    assert(got.size == ids.size)
+    got.foreach { case (id, f, ar, dr) =>
+      assert(f == (if (id % 7 == 6) "ppm" else "bmp"), s"id=$id fmt=$f")
+      val gid = id / 4
+      val w = 8 * (1 + (gid % 3).toInt); val h = 8 * (1 + (gid % 2).toInt)
+      val (ea, ed) = refHash(SyntheticImage.pixel(id, _, _), w, h)
+      assert(ar == ea.toSeq && dr == ed.toSeq, s"id=$id")
+    }
+    // quarantine residue with text payload decodes to NULL
+    val q = Seq((7L, SyntheticImage.build(7L,
+      org.apache.spark.unsafe.types.UTF8String.fromString("plain text"))))
+      .toDF("doc_id", "payload")
+    assert(MultiModal.imagePHashSignatures(q, "doc_id", "payload").count() == 0)
+  }
+}

@@ -1242,6 +1242,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(sMh === batchMh, "minhash signatures must be batch-identical")
   }
 
+  test("image perceptual signatures are stateless on a stream: streamed == batch") {
+    import graft.functions.SyntheticImage
+    import graft.operators.MultiModal
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 60L)
+      .map(id => (id, SyntheticImage.build(id,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"t$id"))))
+    val docs = rows.toDF("doc_id", "payload")
+    val batch = MultiModal
+      .imagePHashSignatures(docs, "doc_id", "payload")
+      .select("doc_id", "ahash", "dhash")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MultiModal
+      .imagePHashSignatures(input.toDF().toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .select("doc_id", "ahash", "dhash")
+      .writeStream.format("memory").queryName("img_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("img_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch,
+      "image signatures must be batch-identical on a stream")
+  }
+
   test("frozen multiclass ft scorer is stateless on a stream: streamed == batch") {
     import graft.operators.FtClassify
     implicit val sqlCtx = spark.sqlContext
