@@ -295,7 +295,18 @@ object Kmeans {
     * cell, shifting which pairs co-locate — recall moves, but every
     * EMITTED pair still carries its exact cosine ≥ threshold
     * (precision 1.0 regardless of blocking, the SemDeDup trade
-    * dialed one step further). */
+    * dialed one step further).
+    *
+    * MEASURED pair recall vs the exact-blocking pair set (ScaleProbe
+    * `tierrecall`, ×10 corpus = 20k vecs, nCoarse = 64, thr 0.4):
+    * k=1024 → 0.952 / 0.990 / 1.000 at nProbe 4 / 8 / 16;
+    * k=4096 → 0.988 / 0.996 / 0.999 — with 0-1.4k EXTRA true
+    * ≥-threshold pairs the exact blocking had split across cells,
+    * and the pair-scan wall cut 2-3×. nProbe = 16 at nCoarse = 64
+    * is the keep-the-recall default; the spec pins a 0.9 floor at
+    * (k=32, nCoarse=8, nProbe=4) on the gate corpus (at 500 vecs
+    * the exact pair set is 13 pairs — nProbe=2 there drops to 0.69,
+    * the small-corpus tail the ×10 grid does not show). */
   def semdedupPairsTiered(emb: DataFrame, idCol: String, vecCol: String,
                           k: Int, dim: Int, iters: Int,
                           threshold: Double, nCoarse: Int, nProbe: Int,

@@ -1274,6 +1274,63 @@ object ScaleProbe {
     emb.unpersist()
     }
 
+    // Tier QUALITY (r13 verdict #2): semdedupPairsTiered ships a
+    // speed dial (nProbe) whose pair-level recall was asserted to
+    // "move" but never measured. Grid over (bigK, nProbe) at fixed
+    // nCoarse=64 on the xK corpus: pair recall vs the exact-blocking
+    // pair set (identical fit — the integer Lloyd is deterministic,
+    // so the re-fit inside each call reproduces the same model),
+    // EXTRA pairs the tier gains (pairs the exact blocking split
+    // across cells — still true >= threshold pairs, so they are
+    // bonus recall vs the all-pairs gold, not errors), and the
+    // row-level assignment agreement alongside.
+    if (sections("tierrecall")) {
+    import graft.operators.Kmeans
+    val emb = replicate(Tables.embeddings(spark, d), k,
+      Map("vec_id" -> 10000000L)).cache()
+    println(s"[scale] tierrecall emb rows: ${emb.count()}  (k=$k replicas)")
+    val thr = 0.4
+    Seq(1024, 4096).foreach { bigK =>
+      val exact = time(s"semdedup exact pairs k=$bigK")(
+        Kmeans.semdedupPairs(emb, "vec_id", "embedding", bigK, 64,
+            iters = 1, threshold = thr)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      println(s"[scale] tierrecall k=$bigK exact pairs: ${exact.size}")
+      val model = Kmeans.fit(emb, "vec_id", "embedding", bigK, 64, 1)
+      val ex = Kmeans.assign(emb, "vec_id", "embedding", model)
+        .select(col("id"), col("cluster").as("c_exact"))
+      Seq(4, 8, 16).foreach { nProbe =>
+        val tiered = time(s"semdedup tiered k=$bigK nProbe=$nProbe")(
+          Kmeans.semdedupPairsTiered(emb, "vec_id", "embedding", bigK,
+              64, iters = 1, threshold = thr, nCoarse = 64, nProbe)
+            .select("doc_a", "doc_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet)
+        val hit = (tiered intersect exact).size
+        val ti = Kmeans.assignTiered(emb, "vec_id", "embedding", model,
+            nCoarse = 64, nProbe = nProbe)
+          .select(col("id"), col("cluster").as("c_tier"))
+        val n = ex.count()
+        val same = ex.join(ti, "id")
+          .filter(col("c_exact") === col("c_tier")).count()
+        println(f"[scale] tierrecall k=$bigK nCoarse=64 nProbe=$nProbe: " +
+          f"pair recall $hit/${exact.size} " +
+          f"(${if (exact.isEmpty) 1.0 else hit.toDouble / exact.size}%.4f) " +
+          f"extra ${(tiered diff exact).size} " +
+          f"assign agree ${same.toDouble / n}%.4f")
+      }
+      // full probe: bit-equal blocking → identical pair set (sanity)
+      val full = Kmeans.semdedupPairsTiered(emb, "vec_id", "embedding",
+          bigK, 64, iters = 1, threshold = thr, nCoarse = 64,
+          nProbe = 64)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[scale] tierrecall k=$bigK full-probe identical: " +
+        s"${full == exact}")
+    }
+    emb.unpersist()
+    }
+
     if (sections("emb")) {
     // embeddings xK: unique vec ids, duplicated vectors — the blocked
     // equi-join's O(n²) work grows k², so this curve is the honest cost

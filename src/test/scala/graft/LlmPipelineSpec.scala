@@ -2588,6 +2588,30 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(part.subsetOf(gold), s"tiered emitted a non-pair: ${part -- gold}")
   }
 
+  test("semdedupPairsTiered partial-probe pair recall: >= 0.9 floor at the documented dials on the gate corpus") {
+    // the quality number behind the speed dial (ScaleProbe tierrecall
+    // measured 0.95-1.00 across the (k, nProbe) grid at x10 scale;
+    // this pins a deterministic floor in-gate so a regression in the
+    // coarse quantizer or the probe order cannot land silently)
+    import graft.operators.Kmeans
+    val emb = Tables.embeddings(spark, TestSpark.sfDir)
+    val t = 0.4
+    val exact = Kmeans.semdedupPairs(emb, "vec_id", "embedding",
+        k = 32, dim = 64, iters = 2, threshold = t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tiered = Kmeans.semdedupPairsTiered(emb, "vec_id", "embedding",
+        k = 32, dim = 64, iters = 2, threshold = t, nCoarse = 8,
+        nProbe = 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must produce pairs")
+    val recall = (tiered intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      f"partial-probe pair recall $recall%.4f under the 0.9 floor " +
+        f"(${(tiered intersect exact).size}/${exact.size})")
+  }
+
   test("kmeans refreshCentroids: exactly-once shard stats, drift gate both ways, retrain == one exact Lloyd step from the store, retraction restores") {
     import graft.operators.Kmeans
     val emb = Tables.embeddings(spark, TestSpark.sfDir)
