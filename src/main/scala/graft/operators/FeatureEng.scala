@@ -243,6 +243,14 @@ object FeatureEng {
       .select("ord", "val", "running_total")
   }
 
+  /** Derived rank-bucket count: max(64, ⌈n / 2²²⌉) capped at 2¹⁶ —
+    * ≤ 4M-row single-task windows through n ≈ 2.7×10¹¹, the driver
+    * offset-literal array capped at 65,536 entries (the
+    * [[md5DenseRank]] scale bound). */
+  private def derivedRankBuckets(n: Long): Int =
+    math.min(1L << 16, math.max(64L, (n + (1L << 22) - 1) / (1L << 22)))
+      .toInt
+
   /** Dense 0-based GLOBAL rank of arbitrary-typed ids in
     * (md5Hash31(id), id) order — the generic re-key: any id domain
     * (string, negative, sparse 64-bit) maps to a dense [0, n)
@@ -255,20 +263,34 @@ object FeatureEng {
     * as the order). Ids must be distinct (they are a key); the rank
     * order is the md5 order, NOT the id order — callers that need
     * an order-preserving re-key on numeric ids should rank through
-    * [[runningTotal]] instead. Returns (id, rid). */
+    * [[runningTotal]] instead. Returns (id, rid).
+    *
+    * SCALE BOUND — the single-task window depth is n / buckets (each
+    * per-bucket rank window sorts its bucket's rows in ONE task; md5
+    * makes the buckets uniform, probe-confirmed, so the depth has no
+    * skew tail). The rid output is INDEPENDENT of `buckets` (the
+    * global (md5, id) rank is what it is; bucketing is only the
+    * parallel decomposition — property-spec-held), so the default
+    * `buckets = 0` DERIVES the count from one cheap job over the
+    * already-checkpointed hash projection: max(64, ⌈n / 2²²⌉) capped
+    * at 65,536 (the driver offset-literal array is the binding
+    * constraint) — ≤ 4M-row windows through n ≈ 2.7×10¹¹ ids, and a
+    * documented ~n/65,536 depth beyond. Pass `buckets` explicitly to
+    * skip the count job or to override the depth/width trade. */
   def md5DenseRank(df: DataFrame, idCol: String,
-                   buckets: Int = 64): DataFrame = {
-    require(buckets >= 1)
-    val width = (1L << 31) / buckets + 1 // h < 2^31 → bkt < buckets
-    val hashed = df.select(col(idCol).as("id"))
+                   buckets: Int = 0): DataFrame = {
+    require(buckets >= 0)
+    val hashed0 = df.select(col(idCol).as("id"))
       .withColumn("h", Fns.md5Hash31(col("id").cast("string")))
-      .withColumn("bkt", expr(s"h DIV $width").cast("int"))
       .localCheckpoint(false) // feeds the counts AND the rank window
+    val nB = if (buckets > 0) buckets else derivedRankBuckets(hashed0.count())
+    val width = (1L << 31) / nB + 1 // h < 2^31 → bkt < buckets
+    val hashed = hashed0.withColumn("bkt", expr(s"h DIV $width").cast("int"))
     val perB = hashed.groupBy("bkt").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until buckets)
+    val offsets = (0 until nB)
       .scanLeft(0L)((acc, b) => acc + perB.getOrElse(b, 0L))
-    val offArr = array(offsets.take(buckets).map(lit(_)): _*)
+    val offArr = array(offsets.take(nB).map(lit(_)): _*)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("bkt").orderBy(col("h"), col("id"))
     hashed
@@ -283,16 +305,24 @@ object FeatureEng {
     * prefix-sum window over the (group, bucket) COUNT table — group
     * count × `buckets` rows, model-sized, never the corpus — joined
     * back broadcast-style, so no driver literal is needed and the
-    * shape stays fully distributed. Returns (groupCols…, id, rid). */
+    * shape stays fully distributed. Returns (groupCols…, id, rid).
+    *
+    * Window depth is n_g / buckets for the LARGEST group (see
+    * [[md5DenseRank]]'s scale bound); `buckets = 0` derives from the
+    * TOTAL row count — conservative when groups are many (per-group
+    * windows only get shallower) — with the same [64, 65,536] range,
+    * which also bounds the broadcast offset table to groups × 65,536
+    * rows. */
   def md5DenseRankBy(df: DataFrame, idCol: String,
                      groupCols: Seq[String],
-                     buckets: Int = 64): DataFrame = {
-    require(buckets >= 1 && groupCols.nonEmpty)
-    val width = (1L << 31) / buckets + 1
-    val hashed = df.select((groupCols.map(col) :+ col(idCol).as("id")): _*)
+                     buckets: Int = 0): DataFrame = {
+    require(buckets >= 0 && groupCols.nonEmpty)
+    val hashed0 = df.select((groupCols.map(col) :+ col(idCol).as("id")): _*)
       .withColumn("h", Fns.md5Hash31(col("id").cast("string")))
-      .withColumn("bkt", expr(s"h DIV $width").cast("int"))
       .localCheckpoint(false) // feeds the counts AND the rank window
+    val nB = if (buckets > 0) buckets else derivedRankBuckets(hashed0.count())
+    val width = (1L << 31) / nB + 1
+    val hashed = hashed0.withColumn("bkt", expr(s"h DIV $width").cast("int"))
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy("bkt")
       .rowsBetween(Long.MinValue, 0)
