@@ -948,6 +948,19 @@ object Graft {
 
   /** CCNet END-TO-END: lang-id → per-language KN LM → per-language
     * perplexity terciles → head+middle keep, one plan. */
+  /** [[ccnetPipeline]] with the PRODUCTION language assigner — the
+    * frozen ft-multiclass scorer's argmax label in place of the
+    * stopword heuristic, feeding the identical per-language KN +
+    * tercile + keep body (spec-held row-equal on the docs where the
+    * two assigners agree). */
+  def ccnetPipelineFt(docs: DataFrame,
+                      model: operators.FtClassify.FtMcModel,
+                      discount: Double = 0.75,
+                      loCut: Double = 1.0 / 3,
+                      hiCut: Double = 2.0 / 3): DataFrame =
+    TextAnalysis.ccnetPipelineFt(docs, "doc_id", "text", model,
+      discount, loCut, hiCut)
+
   def ccnetPipeline(docs: DataFrame, discount: Double = 0.75,
                     loCut: Double = 1.0 / 3,
                     hiCut: Double = 2.0 / 3): DataFrame =

@@ -727,8 +727,45 @@ object TextAnalysis {
           langHitCols(ws).map { case (l, c) => c.as(s"hits_$l") }): _*)
       .withColumn("lang", langPredCol)
       .select("doc_id", "ws", "lang")
-    // per-language KN fit: lang rides every model key, through the
-    // ONE shared knModelFromCounts arithmetic
+    ccnetFromIds(ids, discount, loCut, hiCut)
+  }
+
+  /** [[ccnetPipeline]] with the PRODUCTION language assigner: the
+    * frozen fastText-multiclass scorer
+    * ([[FtClassify.scoreFrozenMc]]'s argmax label — CCNet's actual
+    * langid is a fastText model, not a stopword heuristic) in place
+    * of the in-plan heuristic, feeding the IDENTICAL per-language
+    * KN fit + tercile + keep body (the declared-twin pattern every
+    * frozen scorer follows: spec-held row-equal to the heuristic
+    * pipeline on the docs where the two assigners agree — restrict
+    * to the agreeing subset and the pipelines are the same function).
+    * The scorer is ONE gram-pass projection; its labels join the
+    * word projection on doc_id (one keyed shuffle the heuristic path
+    * avoids — the price of a pluggable assigner). Docs the scorer
+    * drops (no words) are dropped here too, matching the <2-word
+    * drop downstream. */
+  def ccnetPipelineFt(docs: DataFrame, idCol: String, textCol: String,
+                      model: FtClassify.FtMcModel,
+                      discount: Double = 0.75, loCut: Double = 1.0 / 3,
+                      hiCut: Double = 2.0 / 3): DataFrame = {
+    require(discount > 0 && discount < 1)
+    require(0 <= loCut && loCut <= hiCut && hiCut <= 1.0,
+      s"cuts must satisfy 0 <= lo <= hi <= 1, got [$loCut, $hiCut]")
+    val pred = FtClassify.scoreFrozenMc(docs, idCol, textCol, model)
+      .select(col("doc_id"), col("pred_label").as("lang"))
+    val ids = docs.select(col(idCol).as("doc_id"),
+        Fns.words(col(textCol)).as("ws"))
+      .join(pred, "doc_id")
+    ccnetFromIds(ids, discount, loCut, hiCut)
+  }
+
+  /** The ONE CCNet body both language assigners feed: per-language
+    * KN fit (lang rides every model key through the shared
+    * [[knModelFromCounts]] arithmetic), per-language perplexity
+    * terciles over the (lang, kn_score) COUNT table, head+middle
+    * keep. `ids` = (doc_id, ws, lang). */
+  private def ccnetFromIds(ids: DataFrame, discount: Double,
+                           loCut: Double, hiCut: Double): DataFrame = {
     val big = knDocBigrams(ids.select(col("doc_id"), col("ws")))
       .join(ids.select(col("doc_id"), col("lang")), "doc_id")
     val c12 = big.groupBy("lang", "w1", "w2")

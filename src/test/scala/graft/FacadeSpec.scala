@@ -550,6 +550,9 @@ class FacadeSpec extends AnyFunSuite {
     assert(Graft.ccnetPipeline(docs).collect().toSet
       == TextAnalysis.ccnetPipeline(docs, "doc_id", "text")
         .collect().toSet)
+    assert(Graft.ccnetPipelineFt(docs, m0).collect().toSet
+      == TextAnalysis.ccnetPipelineFt(docs, "doc_id", "text", m0)
+        .collect().toSet)
     val q = TextAnalysis.quality(docs, "doc_id", "text")
       .select(col("doc_id"), col("quality_score"), col("n_words"))
     assert(Graft.curriculumPack(q, "quality_score", "n_words", 512L)

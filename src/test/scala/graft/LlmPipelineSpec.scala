@@ -70,6 +70,41 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(kept.map(_._1).toSet.intersect(short).isEmpty)
   }
 
+  test("ccnetPipelineFt: the frozen ft-langid twin equals the heuristic pipeline on the agreeing subset") {
+    import graft.operators.FtClassify
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    // bootstrap the production assigner ON the heuristic's labels
+    // (CCNet's own shape: fastText langid trained on a labeled seed)
+    val heur = TextAnalysis.langId(docs, "doc_id", "text")
+      .select(col("doc_id"), col("pred_lang"))
+    val seed = docs.select("doc_id", "text").join(heur, "doc_id")
+    val model = FtClassify.trainMc(seed, "doc_id", "text", "pred_lang",
+      nBuckets = 512, dim = 4, epochs = 10)
+    val pred = FtClassify.scoreFrozenMc(docs, "doc_id", "text", model)
+      .select(col("doc_id"), col("pred_label"))
+    val joined = heur.join(pred, "doc_id")
+    val nAll = joined.count()
+    val agreeIds = joined
+      .filter(col("pred_lang") === col("pred_label"))
+      .select("doc_id")
+    val nAgree = agreeIds.count()
+    // trained on the heuristic's own labels, the scorer should mostly
+    // reproduce them — the twin is meaningful, not vacuous
+    assert(nAgree.toDouble / nAll >= 0.7,
+      s"assigners agree on only $nAgree/$nAll docs")
+    // on the agreeing subset the two pipelines are the SAME function
+    // of (doc_id, ws, lang) — row-identical end to end
+    val sub = docs.join(agreeIds, "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getString(5))).toSet
+    val a = rows(TextAnalysis.ccnetPipeline(sub, "doc_id", "text"))
+    val b = rows(TextAnalysis.ccnetPipelineFt(sub, "doc_id", "text", model))
+    assert(a == b, s"twin diverged: onlyHeur=${(a -- b).take(3)} " +
+      s"onlyFt=${(b -- a).take(3)}")
+    assert(a.nonEmpty)
+  }
+
   test("gramProject: near-dups near-parallel, disjoint docs not; vectors distill into the ANN float tier") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
