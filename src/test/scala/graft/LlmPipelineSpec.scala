@@ -217,6 +217,65 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(fnvPair.contains((origId, 999999L)))
   }
 
+  test("simhash two-family recall contract: wide production family re-anchored to the md5 oracle family on the gate corpus") {
+    // the minhash two-family precedent (md5 == xxhash64-verified)
+    // applied to SimHash: q_simhash_md5's pairs are ORACLE-checked;
+    // this ties the wide-FNV production family (q_dedup_simhash_wide)
+    // to that anchored ground truth. (1) byte-identical texts pair at
+    // hamming 0 in BOTH families by construction; (2) every
+    // oracle-family pair whose WIDE hamming is within the production
+    // radius is found by the production family (its banding is
+    // brute-held on its own signature, so this is the cross-family
+    // recall statement, measured not assumed).
+    import graft.functions.{Fns, SimHash64}
+    val docs = Tables.documents(spark, TestSpark.sfDir)
+    // (1) planted byte-identical twins (the gate corpus carries no
+    // natural exact dups): id+10⁶ twins of two real docs
+    val twinBase = docs.select("doc_id", "text").limit(2)
+    val twins = twinBase.select((col("doc_id") + 1000000L).as("doc_id"),
+      col("text"))
+    val withTwins = docs.select("doc_id", "text").union(twins)
+    val dupPairs = twinBase.select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val md5H0 = Dedup.simhashMd5Pairs(withTwins, "doc_id", "text",
+        dim = 31, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wideH0 = Dedup.simhashPairsWide(withTwins, "doc_id", "text",
+        maxHamming = 0, words = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    dupPairs.foreach { p =>
+      assert(md5H0.contains(p), s"md5 family missed exact dup $p")
+      assert(wideH0.contains(p), s"wide family missed exact dup $p")
+    }
+    // (2) oracle-family pairs at the declared (31, 1) dial, re-scored
+    // on the wide signature: those within the production radius MUST
+    // be production-family pairs
+    val wideRadius = 12
+    val oraclePairs = Dedup.simhashMd5Pairs(docs, "doc_id", "text",
+        dim = 31, maxHamming = 1)
+      .select("doc_a", "doc_b")
+    val sigs = docs.select($"doc_id",
+      SimHash64.simhash64($"text", 0).as("s0"),
+      SimHash64.simhash64($"text", 1).as("s1"))
+    val inRadius = oraclePairs
+      .join(sigs.select($"doc_id".as("doc_a"), $"s0".as("a0"),
+        $"s1".as("a1")), "doc_a")
+      .join(sigs.select($"doc_id".as("doc_b"), $"s0".as("b0"),
+        $"s1".as("b1")), "doc_b")
+      .filter((Fns.hamming64($"a0", $"b0") +
+        Fns.hamming64($"a1", $"b1")) <= wideRadius)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inRadius.nonEmpty,
+      "some oracle-anchored pairs must fall inside the wide radius")
+    val widePairs = Dedup.simhashPairsWide(docs, "doc_id", "text",
+        maxHamming = wideRadius, words = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inRadius.subsetOf(widePairs),
+      s"production family missed oracle-anchored pairs: " +
+        s"${(inRadius -- widePairs).take(5)}")
+  }
+
   test("simhashPairs: near-identical docs collide, distant do not") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p"),
