@@ -5,12 +5,15 @@ import org.apache.spark.sql.SparkSession
   * decode + codegen JIT), then the measured run — steady-state
   * throughput, which is what a long-lived cluster job sees.
   *
-  * Emits TWO measured passes in one JVM ("queries" = pass 1, same
-  * methodology as every prior round; "queries_pass2" = an immediate
-  * re-measure of the already-warm query). Round 6 saw seven untouched
-  * queries jump 3-5x simultaneously across rounds; a same-session A/B
-  * is the only way to separate box noise from regression (cross-round
-  * wall-clock on this infra varies 2-4x on unchanged code).
+  * Emits THREE measured passes in one JVM ("queries" = pass 1, same
+  * methodology as every prior round; passes 2-3 = immediate
+  * re-measures of the already-warm query). Round 6 saw seven
+  * untouched queries jump 3-5x simultaneously across rounds; a
+  * same-session A/B is the only way to separate box noise from
+  * regression (cross-round wall-clock on this infra varies 2-4x on
+  * unchanged code), and the round-13 verdict showed two passes still
+  * leave 17-33 noisy rows per take — the third pass (round 14)
+  * tightens the per-query min the headline is built from.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,24 +41,28 @@ object Bench {
       val t = try { once(fn); once(fn) } catch { case _: Throwable => -1.0 }
       name -> t
     }
-    val pass2 = SparkEntry.queries.map { case (name, fn) =>
-      val t = try once(fn) catch { case _: Throwable => -1.0 }
-      name -> t
+    def rePass(): Map[String, Double] = SparkEntry.queries.map {
+      case (name, fn) =>
+        val t = try once(fn) catch { case _: Throwable => -1.0 }
+        name -> t
     }
+    val pass2 = rePass()
+    val pass3 = rePass()
+    val passes = Seq(pass1, pass2, pass3)
     def js(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (pass1.nonEmpty) pass1.values.sum else 0.0
     val total2 = if (pass2.nonEmpty) pass2.values.sum else 0.0
+    val total3 = if (pass3.nonEmpty) pass3.values.sum else 0.0
     // Full-precision line first; the driver's tail capture truncated
     // this in round 7 (97 queries x 2 passes at full double precision
     // overflowed the captured tail), losing the totals and ~30 queries.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop_write","queries":${js(pass1)},"value_pass2":$total2,"queries_pass2":${js(pass2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop_write","queries":${js(pass1)},"value_pass2":$total2,"queries_pass2":${js(pass2)},"value_pass3":$total3,"queries_pass3":${js(pass3)},"sf":"$sfDir"}""")
     // Compact summary LAST (ms precision, ~25 bytes/query) so a
     // tail-truncated capture still parses the headline numbers.
     def ms(v: Double): Double = math.rint(v * 1000) / 1000
     def jsMs(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","action":"noop_write","queries":${jsMs(pass1)},"value_pass2":${ms(total2)},"queries_pass2":${jsMs(pass2)},"sf":"$sfDir"}""")
     // Round 9: even the compact line (~5 KB at 99 queries) overflows
     // the driver's tail capture, so the cut landed MID-LINE two
     // rounds running and nothing parsed. Emit per-query data in
@@ -66,19 +73,21 @@ object Bench {
     names.grouped(15).zipWithIndex.foreach { case (chunk, i) =>
       val p1 = chunk.map(n => n -> pass1(n))
       val p2 = chunk.map(n => n -> pass2(n))
-      println(s"""{"metric":"chunk","part":${i + 1},"queries":${jsMs(p1)},"queries_pass2":${jsMs(p2)}}""")
+      val p3 = chunk.map(n => n -> pass3(n))
+      println(s"""{"metric":"chunk","part":${i + 1},"queries":${jsMs(p1)},"queries_pass2":${jsMs(p2)},"queries_pass3":${jsMs(p3)}}""")
     }
     // Round 11: the driver keeps only the LAST 2000 bytes of stdout
-    // (measured from BENCH_r10.json), so named per-query maps for 126
-    // queries (~23 bytes each) can never all survive — three rounds
-    // of partial artifacts. Two fixes:
+    // (measured from BENCH_r10.json), so named per-query maps can
+    // never all survive — three rounds of partial artifacts. Two
+    // fixes:
     //  (1) the COMPLETE artifact goes to a file the round commit
-    //      picks up (full precision, named, both passes);
-    //  (2) the tail gets per-query values for EVERY query as two
-    //      compact vectors ordered by ALPHABETICAL query name
-    //      (names carried once by convention, not per value:
-    //      ~6 bytes/query/pass at 2 dp → both passes + totals fit
-    //      the 2000-byte budget with room to spare).
+    //      picks up (full precision, named, all passes);
+    //  (2) the tail gets per-query values as compact vectors ordered
+    //      by ALPHABETICAL query name (names carried once by
+    //      convention, not per value: ~6 bytes/query/pass at 2 dp).
+    //      The per-query MIN vector — the headline's basis — is
+    //      emitted LAST among the vectors so the tail budget keeps
+    //      it even when the earlier pass vectors are cut.
     val sorted = names.sorted
     def ms2(v: Double): Double = math.rint(v * 100) / 100
     def vec(m: Map[String, Double]): String =
@@ -87,41 +96,44 @@ object Bench {
     // rounds running the recorded take misstated the engine by 40%+
     // because box-state noise (unchanged plans disagreeing >2x
     // between two same-session passes) is invisible to a reader of
-    // one total. A query's plan is identical in pass 1 and pass 2 of
+    // one total. A query's plan is identical across the passes of
     // one JVM, so any >2x disagreement between them is noise by
     // construction — count them, list the worst, and say "quiet"
     // when there are none. Floor at 0.5 s: sub-second rows flip on
     // scheduling jitter without meaning anything.
-    val noisy = sorted.filter { n =>
-      val (p1, p2) = (pass1(n), pass2(n))
-      p1 > 0 && p2 > 0 && math.max(p1, p2) >= 0.5 &&
-        math.max(p1, p2) / math.min(p1, p2) > 2.0
+    def ratio(n: String): Double = {
+      val ok = passes.map(_(n)).filter(_ > 0)
+      if (ok.size < 2) 1.0 else ok.max / ok.min
     }
-    val worst = noisy.sortBy(n =>
-      -math.max(pass1(n), pass2(n)) / math.min(pass1(n), pass2(n)))
+    val noisy = sorted.filter { n =>
+      val ok = passes.map(_(n)).filter(_ > 0)
+      ok.size >= 2 && ok.max >= 0.5 && ratio(n) > 2.0
+    }
+    val worst = noisy.sortBy(n => -ratio(n))
       .take(8)
-      .map(n => "\"" + n + "\":" + ms2(math.max(pass1(n), pass2(n)) /
-        math.min(pass1(n), pass2(n))))
+      .map(n => "\"" + n + "\":" + ms2(ratio(n)))
       .mkString("{", ",", "}")
     val noiseVerdict =
       if (noisy.isEmpty) "quiet"
       else s"noisy: ${noisy.size} unchanged plans disagree >2x " +
-        "between same-session passes; per-query minima are the " +
+        "across same-session passes; per-query minima are the " +
         "engine, totals overstate it"
     val noiseLine = s"""{"metric":"noise","verdict":"$noiseVerdict","n_noisy":${noisy.size},"n_queries":${sorted.size},"worst_ratios":$worst}"""
-    // Round 13: the HEADLINE total is the per-query min over the two
+    // Round 13: the HEADLINE total is the per-query min over the
     // same-session passes — the engine, not the box. A query's plan
-    // is identical in both passes of one JVM, so min(p1, p2) is the
-    // tightest noise-free estimate either pass can give; the plain
+    // is identical in every pass of one JVM, so the min is the
+    // tightest noise-free estimate any pass can give; the plain
     // pass sums (kept alongside for continuity) have overstated the
-    // engine by 40%+ four rounds running whenever the box was noisy.
-    val totalMin = sorted.map { n =>
-      val (p1, p2) = (pass1(n), pass2(n))
-      if (p1 > 0 && p2 > 0) math.min(p1, p2) else math.max(p1, p2)
-    }.filter(_ > 0).sum
+    // engine by 40%+ whenever the box was noisy. Round 14: min over
+    // THREE passes (first-JIT tails that survived two).
+    val minPass: Map[String, Double] = sorted.map { n =>
+      val ok = passes.map(_(n)).filter(_ > 0)
+      n -> (if (ok.nonEmpty) ok.min else passes.map(_(n)).max)
+    }.toMap
+    val totalMin = minPass.values.filter(_ > 0).sum
     try {
       val full = new StringBuilder()
-      full ++= s"""{"metric":"total","value":$total,"value_pass2":$total2,"total_min":$totalMin,"unit":"sec","action":"noop_write","sf":"$sfDir","queries":${js(pass1)},"queries_pass2":${js(pass2)}}\n"""
+      full ++= s"""{"metric":"total","value":$total,"value_pass2":$total2,"value_pass3":$total3,"total_min":$totalMin,"unit":"sec","action":"noop_write","sf":"$sfDir","queries":${js(pass1)},"queries_pass2":${js(pass2)},"queries_pass3":${js(pass3)},"queries_min":${js(minPass)}}\n"""
       full ++= noiseLine + "\n"
       java.nio.file.Files.write(
         java.nio.file.Paths.get("docs/BENCH_full_latest.json"),
@@ -129,8 +141,10 @@ object Bench {
     } catch { case _: Throwable => () } // cwd may not be the repo root
     println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":1,"n":${sorted.size},"v":${vec(pass1)}}""")
     println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":2,"n":${sorted.size},"v":${vec(pass2)}}""")
+    println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":3,"n":${sorted.size},"v":${vec(pass3)}}""")
+    println(s"""{"metric":"qv","order":"alphabetical query names","unit":"sec 2dp","pass":"min","n":${sorted.size},"v":${vec(minPass)}}""")
     println(noiseLine)
-    println(s"""{"metric":"total","value":${ms(total)},"value_pass2":${ms(total2)},"total_min":${ms(totalMin)},"headline":"total_min","unit":"sec","n":${pass1.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"value_pass2":${ms(total2)},"value_pass3":${ms(total3)},"total_min":${ms(totalMin)},"headline":"total_min","unit":"sec","n":${pass1.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
