@@ -1137,6 +1137,20 @@ object Graft {
                         maxHamming: Int = 2): DataFrame =
     MultiModal.imageNearDupPairs(docs, idCol, payloadCol, maxHamming)
 
+  /** Per-payload audio energy-hash signatures from REAL PCM decode
+    * (WAV chunk walk, 16-bit samples, exact mono mix) — one codegen
+    * projection, unparseable payloads dropped (quarantine). */
+  def audioPHash(docs: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): DataFrame =
+    MultiModal.audioPHashSignatures(docs, idCol, payloadCol)
+
+  /** AUDIO near-duplicate pairs through the same row-group
+    * pigeonhole body as [[imageNearDupPairs]]; `maxHamming` ∈ [1, 7]. */
+  def audioNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                        payloadCol: String = "payload",
+                        maxHamming: Int = 2): DataFrame =
+    MultiModal.audioNearDupPairs(docs, idCol, payloadCol, maxHamming)
+
   def tokenCounts(docs: DataFrame): DataFrame =
     TextAnalysis.tokenCount(docs, "doc_id", "text")
 

@@ -1635,6 +1635,40 @@ object SparkEntry {
     MultiModal.imageNearDupPairs(
       syntheticPixelPayloads(s, d), "doc_id", "payload", maxHamming = 2)
 
+  private def syntheticWavPayloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.SyntheticWav
+        .syntheticWav(col("doc_id").cast("long"), col("text"))
+        .as("payload"))
+
+  /** AUDIO PERCEPTUAL SIGNATURES from real PCM decode (round 14, the
+    * A/V twin of q_image_ahash): deterministic VALID WAV payloads —
+    * RIFF chunk chain, fmt, interleaved 16-bit PCM samples
+    * closed-form in the id, mono and stereo, one quarantine residue —
+    * are DECODED BACK by the AudioPHash codegen expression into the
+    * 64-frame energy hash. The oracle derives the signature from the
+    * construction arithmetic alone (never parsing a byte), checking
+    * the chunk walk, the sample decode, the exact mono mix, and the
+    * frame-energy threshold end-to-end per doc. */
+  def qAudioAhash(s: SparkSession, d: String): DataFrame = {
+    val sig = MultiModal.audioPHashSignatures(
+      syntheticWavPayloads(s, d), "doc_id", "payload")
+    sig.select(col("doc_id") +: col("sample_rate") +: col("channels") +:
+      col("n_samples") +:
+      (0 until 8).map(i =>
+        element_at(col("arows"), i + 1).cast("long").as(s"a$i")): _*)
+  }
+
+  /** AUDIO NEAR-DUP pairs (round 14): energy-hash signatures through
+    * the SAME row-group pigeonhole body as q_image_neardup
+    * (MultiModal.rowBandedPairs); construction plants 4-variant
+    * groups (one amplified frame each), the oracle replays
+    * construction → decode → hash → banding → hamming in integer
+    * SQL. */
+  def qAudioNeardup(s: SparkSession, d: String): DataFrame =
+    MultiModal.audioNearDupPairs(
+      syntheticWavPayloads(s, d), "doc_id", "payload", maxHamming = 2)
+
   /** Shared oracle CTEs for the image perceptual-hash family: replay
     * the SyntheticImage pixel formula (never the bytes), the 8×8
     * box-mean grid, the cell-vs-mean threshold, and the per-grid-row
@@ -1711,11 +1745,13 @@ object SparkEntry {
        |FROM dims JOIN sig USING (doc_id) JOIN dsig USING (doc_id)""".stripMargin
   }
 
-  /** q_image_neardup oracle: aHash row bytes → maxHamming+1
-    * row-group band keys → band equi-join candidates → exact
-    * per-row popcount hamming ≤ maxHamming. Mirrors
-    * [[MultiModal.imageNearDupPairs]]'s widths/offsets arithmetic. */
-  private def imageNeardupOracleSql(maxHamming: Int): String = {
+  /** The ONE row-group banding + hamming oracle tail both perceptual
+    * families share (the [[MultiModal.rowBandedPairs]] arithmetic in
+    * SQL): appends to any CTE block ending in `sig(doc_id, a0..a7)`
+    * the maxHamming+1 row-group band keys, the band equi-join
+    * candidates, and the exact per-row popcount filter. */
+  private def rowBandPairsOracleSql(sigCtes: String, maxHamming: Int)
+  : String = {
     val nBands = maxHamming + 1
     val widths = (0 until nBands).map(b =>
       8 / nBands + (if (b < 8 % nBands) 1 else 0))
@@ -1727,7 +1763,7 @@ object SparkEntry {
     }.mkString("\n|  UNION ALL ")
     val ham = (0 until 8).map(i =>
       s"bit_count(xor(x.a$i, y.a$i))").mkString(" + ")
-    s"""WITH $imageAhashOracleCtes,
+    s"""WITH $sigCtes,
        |bk AS (
        |  $bandSelects
        |), cand AS (
@@ -1740,6 +1776,50 @@ object SparkEntry {
        |  JOIN sig y ON doc_b = y.doc_id
        |WHERE $ham <= $maxHamming""".stripMargin
   }
+
+  /** Shared oracle CTEs for the audio energy-hash family: replay the
+    * SyntheticWav sample formula (never the bytes), the 64-frame
+    * energy aggregation with the exact mono mix (stereo duplicates
+    * the sample, so mix == sample), the mean threshold, and the 8
+    * signature row bytes — ending in `sig(doc_id, a0..a7)`. */
+  private def audioAhashOracleCtes: String = {
+    val pivotA = (0 until 8).map(i =>
+      s"max(CASE WHEN gy = $i THEN arow END) AS a$i").mkString(", ")
+    s"""ids AS (
+       |  SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v
+       |  FROM documents WHERE doc_id % 11 <> 7 AND text IS NOT NULL
+       |), par AS (
+       |  SELECT doc_id, v, 4 + gid % 5 AS spf, gid % 509 + 1 AS m,
+       |         gid % 2 + 1 AS ch, 8000 * (1 + gid % 3) AS rate
+       |  FROM ids
+       |), sm AS (
+       |  SELECT doc_id, t // spf AS f,
+       |    CASE WHEN v > 0 AND t // spf = (7 * v) % 64
+       |         THEN ((m * (t + 11)) % 4096 - 2048) * 8
+       |         ELSE (m * (t + 11)) % 4096 - 2048 END AS s
+       |  FROM (SELECT doc_id, v, spf, m,
+       |          unnest(generate_series(0, 64 * spf - 1)) AS t
+       |        FROM par)
+       |), e AS (
+       |  SELECT doc_id, f, sum(abs(s)) AS en FROM sm GROUP BY doc_id, f
+       |), mn AS (
+       |  SELECT doc_id, sum(en) // 64 AS mean FROM e GROUP BY doc_id
+       |), ar AS (
+       |  SELECT doc_id, f // 8 AS gy, CAST(sum(CASE WHEN en > mean
+       |    THEN 1 << (f % 8) ELSE 0 END) AS BIGINT) AS arow
+       |  FROM e JOIN mn USING (doc_id) GROUP BY doc_id, f // 8
+       |), sig AS (
+       |  SELECT doc_id, $pivotA FROM ar GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  private def audioAhashOracleSql: String =
+    s"""WITH $audioAhashOracleCtes
+       |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+       |  CAST(ch AS BIGINT) AS channels,
+       |  CAST(64 * spf AS BIGINT) AS n_samples,
+       |  a0, a1, a2, a3, a4, a5, a6, a7
+       |FROM par JOIN sig USING (doc_id)""".stripMargin
 
   /** Per-source distinct-shingle cardinality via an in-plan
     * HyperLogLog (round 10): the corpus statistic a 100 TB pipeline
@@ -2237,6 +2317,8 @@ object SparkEntry {
     "q_media_meta" -> (qMediaMeta _),
     "q_image_ahash" -> (qImageAhash _),
     "q_image_neardup" -> (qImageNeardup _),
+    "q_audio_ahash" -> (qAudioAhash _),
+    "q_audio_neardup" -> (qAudioNeardup _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
@@ -5634,7 +5716,17 @@ object SparkEntry {
       // The banding and the hamming filter replayed on top of the
       // same signature CTEs — the end-to-end multimodal near-dup
       // contract (construction → decode → hash → banding → pairs).
-      "q_image_neardup" -> imageNeardupOracleSql(maxHamming = 2),
+      "q_image_neardup" ->
+        rowBandPairsOracleSql(imageAhashOracleCtes, maxHamming = 2),
+
+      // Ground truth for the PCM decoder (the image family's audio
+      // twin): the signature derived from the SyntheticWav sample
+      // formula alone — chunk walk, interleaved samples, exact mono
+      // mix, frame energies all checked end-to-end per doc.
+      "q_audio_ahash" -> audioAhashOracleSql,
+
+      "q_audio_neardup" ->
+        rowBandPairsOracleSql(audioAhashOracleCtes, maxHamming = 2),
 
       // Mirrors TextAnalysis.redactPii: same rule chain, same order,
       // counts taken against the text as each rule saw it (so the

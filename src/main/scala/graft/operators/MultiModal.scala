@@ -361,16 +361,28 @@ object MultiModal {
     */
   def imageNearDupPairs(docs: DataFrame, idCol: String,
                         payloadCol: String, maxHamming: Int = 2)
-  : DataFrame = {
+  : DataFrame =
+    rowBandedPairs(imagePHashSignatures(docs, idCol, payloadCol)
+      .select("doc_id", "arows", "ahash"), maxHamming)
+
+  /** The ONE row-group pigeonhole pair body both perceptual-hash
+    * modalities feed (image aHash / audio energy hash): `sigs` =
+    * (doc_id, arows array of 8 non-negative row bytes, ahash = the
+    * packed 64-bit long). `maxHamming + 1` groups of signature rows
+    * become band keys (≤ 3 rows ⇒ ≤ 24 bits, non-negative — the
+    * DuckDB-portable form); a pair within the radius always shares
+    * an untouched group (recall 1.0 by construction); the exact
+    * 64-bit popcount filters for precision. One repartition exchange
+    * feeds both self-join sides. */
+  private[operators] def rowBandedPairs(sigs: DataFrame,
+                                        maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming must be in [1, 7], got $maxHamming")
     val nBands = maxHamming + 1
-    // row-group widths: 8 grid rows split as evenly as possible
+    // row-group widths: 8 signature rows split as evenly as possible
     val widths = (0 until nBands).map(b =>
       8 / nBands + (if (b < 8 % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val sigs = imagePHashSignatures(docs, idCol, payloadCol)
-      .select("doc_id", "arows", "ahash")
     val banded = sigs.select(col("doc_id"), col("ahash"),
         explode(array((0 until nBands).map { b =>
           val key = (0 until widths(b)).map(j =>
@@ -391,6 +403,41 @@ object MultiModal {
       .filter(col("hamming") <= maxHamming) // before distinct: only
       .distinct()                           // survivors shuffle
   }
+
+  /** Per-payload AUDIO perceptual signatures from REAL PCM decode:
+    * one [[graft.functions.AudioPHash]] codegen projection per
+    * payload — RIFF/WAVE chunk walk, 16-bit PCM samples, exact
+    * integer mono mix — into the 64-frame ENERGY HASH (frame energy
+    * = Σ|sample|, one bit per frame: is the frame louder than the
+    * truncated mean — aHash's construction on the time axis), as 8
+    * non-negative row bytes + the packed 64-bit long. Unparseable /
+    * truncated / non-PCM payloads are DROPPED (the NULL quarantine
+    * contract). Scale shape: one O(n_samples) decode per payload in
+    * the scan stage; only the 8-byte signature leaves. */
+  def audioPHashSignatures(docs: DataFrame, idCol: String,
+                           payloadCol: String): DataFrame = {
+    val ph = graft.functions.AudioPHash.audioPHash(col(payloadCol))
+    docs.withColumn("_p", ph)
+      .filter(col("_p").isNotNull)
+      .select(col(idCol).as("doc_id"),
+        col("_p.sample_rate").cast("long").as("sample_rate"),
+        col("_p.channels").cast("long").as("channels"),
+        col("_p.n_samples").cast("long").as("n_samples"),
+        col("_p.arows").as("arows"), col("_p.ahash").as("ahash"))
+  }
+
+  /** AUDIO near-duplicate pairs — [[imageNearDupPairs]]' A/V twin
+    * through the SAME [[rowBandedPairs]] pigeonhole body: energy-hash
+    * signatures from real PCM decode, maxHamming+1 row-group band
+    * keys (recall 1.0 at the radius by construction), exact popcount
+    * filter. The whole chain — construction → decode → frame
+    * energies → threshold → banding → hamming — replays in portable
+    * integer SQL (q_audio_neardup's oracle). */
+  def audioNearDupPairs(docs: DataFrame, idCol: String,
+                        payloadCol: String, maxHamming: Int = 2)
+  : DataFrame =
+    rowBandedPairs(audioPHashSignatures(docs, idCol, payloadCol)
+      .select("doc_id", "arows", "ahash"), maxHamming)
 
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates

@@ -349,6 +349,20 @@ class FacadeSpec extends AnyFunSuite {
     assert(pairs.count() >= 0)
   }
 
+  test("audioPHash / audioNearDupPairs delegate") {
+    val withPayload = docs.limit(120).select(col("doc_id"),
+      graft.functions.SyntheticWav
+        .syntheticWav(col("doc_id").cast("long"), col("text"))
+        .as("payload"))
+    val sig = Graft.audioPHash(withPayload)
+    assert(sig.columns.toSeq === Seq("doc_id", "sample_rate",
+      "channels", "n_samples", "arows", "ahash"))
+    assert(sig.count() > 0)
+    val pairs = Graft.audioNearDupPairs(withPayload, maxHamming = 2)
+    assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "hamming"))
+    assert(pairs.count() >= 0)
+  }
+
   test("count-store retraction delegates: dsir/kn/bpe upsert -> retract -> never-ingested") {
     val base = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
       .toDF("doc_id", "text")

@@ -1274,6 +1274,37 @@ class StreamingSpec extends AnyFunSuite {
       "image signatures must be batch-identical on a stream")
   }
 
+  test("audio energy-hash signatures are stateless on a stream: streamed == batch") {
+    import graft.functions.SyntheticWav
+    import graft.operators.MultiModal
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 60L)
+      .map(id => (id, SyntheticWav.build(id,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"t$id"))))
+    val docs = rows.toDF("doc_id", "payload")
+    val batch = MultiModal
+      .audioPHashSignatures(docs, "doc_id", "payload")
+      .select("doc_id", "ahash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MultiModal
+      .audioPHashSignatures(input.toDF().toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .select("doc_id", "ahash")
+      .writeStream.format("memory").queryName("aud_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("aud_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch,
+      "audio signatures must be batch-identical on a stream")
+  }
+
   test("frozen multiclass ft scorer is stateless on a stream: streamed == batch") {
     import graft.operators.FtClassify
     implicit val sqlCtx = spark.sqlContext
