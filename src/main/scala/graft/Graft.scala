@@ -1175,6 +1175,17 @@ object Graft {
                   minShared: Long = 2L, maxDf: Long = 100L): DataFrame =
     Dedup.winnowPairs(docs, "doc_id", "text", k, w, minShared, maxDf)
 
+  /** Multi-epoch data recipe (data-constrained regime): fill a token
+    * budget with source-epoch units — epoch 1 of every source before
+    * any epoch 2 — the straddling unit truncated to a deterministic
+    * md5-order doc prefix, per-epoch loss weights on the integer
+    * decay chain (w₁ = 10000 bp, wₑ₊₁ = wₑ·decayBp DIV 10000). */
+  def epochSchedule(docs: DataFrame, budgetTokens: Long,
+                    maxEpochs: Int = 4, decayBp: Long = 5000L,
+                    srcCol: String = "source"): DataFrame =
+    FeatureEng.epochSchedule(docs, "doc_id", "text", srcCol,
+      budgetTokens, maxEpochs, decayBp)
+
   /** Dolma-style domain mixing: downsample sources to target token
     * shares (rates derived from actual counts, deterministic md5
     * application, no upsampling). */

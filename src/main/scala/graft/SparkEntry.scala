@@ -1635,6 +1635,18 @@ object SparkEntry {
     MultiModal.imageNearDupPairs(
       syntheticPixelPayloads(s, d), "doc_id", "payload", maxHamming = 2)
 
+  /** MULTI-EPOCH DATA RECIPE (round 14, Muennighoff et al. 2023's
+    * data-constrained regime): fill a 50k-token budget with
+    * source-epoch units — epoch 1 of every source, then epoch 2, … —
+    * the straddling unit truncated to the md5-order doc prefix, each
+    * epoch's loss weight on the integer decay chain (10000, 5000,
+    * 2500 bp at decayBp=5000). At sf0.01 the budget lands mid-epoch-2
+    * (full epoch 1 + a partial second pass); at sf0.1 it lands
+    * mid-epoch-1 — the SAME oracle replays both shapes. */
+  def qEpochSchedule(s: SparkSession, d: String): DataFrame =
+    FeatureEng.epochSchedule(Tables.documents(s, d), "doc_id", "text",
+      "source", budgetTokens = 50000L, maxEpochs = 3, decayBp = 5000L)
+
   private def syntheticWavPayloads(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(col("doc_id"),
       graft.functions.SyntheticWav
@@ -2319,6 +2331,7 @@ object SparkEntry {
     "q_image_neardup" -> (qImageNeardup _),
     "q_audio_ahash" -> (qAudioAhash _),
     "q_audio_neardup" -> (qAudioNeardup _),
+    "q_epoch_schedule" -> (qEpochSchedule _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
@@ -5727,6 +5740,54 @@ object SparkEntry {
 
       "q_audio_neardup" ->
         rowBandPairsOracleSql(audioAhashOracleCtes, maxHamming = 2),
+
+      // Replays the whole recipe: per-source totals, the (epoch,
+      // source)-ordered unit prefix, the full-unit joins, the ONE
+      // straddling unit's md5-order inclusive token prefix, and the
+      // integer weight decay chain (10000/5000/2500 bp).
+      "q_epoch_schedule" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |  WHERE text IS NOT NULL
+          |    AND len(string_split(text, ' ')) > 0
+          |), per AS (
+          |  SELECT source, sum(n_tokens) AS t_src FROM t GROUP BY source
+          |), units AS (
+          |  SELECT source, t_src, e AS epoch
+          |  FROM per CROSS JOIN
+          |    (SELECT unnest(generate_series(1, 3)) AS e)
+          |), sch AS (
+          |  SELECT source, t_src, epoch,
+          |    sum(t_src) OVER (ORDER BY epoch, source
+          |      ROWS UNBOUNDED PRECEDING) - t_src AS strt
+          |  FROM units
+          |), fullu AS (
+          |  SELECT source, epoch FROM sch WHERE strt + t_src <= 50000
+          |), partu AS (
+          |  SELECT source, epoch, 50000 - strt AS remaining
+          |  FROM sch WHERE strt < 50000 AND strt + t_src > 50000
+          |), fd AS (
+          |  SELECT doc_id, t.source, n_tokens, epoch
+          |  FROM t JOIN fullu USING (source)
+          |), pp AS (
+          |  SELECT doc_id, t.source, n_tokens, epoch, remaining,
+          |    sum(n_tokens) OVER (PARTITION BY t.source
+          |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+          |        1, 8))::BIGINT % 2147483648, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS pe
+          |  FROM t JOIN partu USING (source)
+          |), pd AS (
+          |  SELECT doc_id, source, n_tokens, epoch
+          |  FROM pp WHERE pe <= remaining
+          |), allrows AS (
+          |  SELECT * FROM fd UNION ALL SELECT * FROM pd
+          |)
+          |SELECT doc_id, source, n_tokens, epoch,
+          |  CAST(CASE epoch WHEN 1 THEN 10000 WHEN 2 THEN 5000
+          |       ELSE 2500 END AS BIGINT) AS weight_bp
+          |FROM allrows""".stripMargin,
 
       // Mirrors TextAnalysis.redactPii: same rule chain, same order,
       // counts taken against the text as each rule saw it (so the

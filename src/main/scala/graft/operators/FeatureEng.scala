@@ -611,6 +611,93 @@ object FeatureEng {
       .filter(col("strata_rank") <= k)
   }
 
+  /** MULTI-EPOCH DATA RECIPE (the data-constrained regime, Muennighoff
+    * et al. 2023: when the budget exceeds the corpus, REPEAT sources —
+    * but repeated epochs carry diminishing value, so each epoch's loss
+    * weight decays): fill a global token `budgetTokens` with
+    * source-epoch units in (epoch asc, source asc) order — epoch 1 of
+    * every source before any epoch 2 — truncating THE one straddling
+    * unit to a deterministic md5-order document prefix. Output: one
+    * row per SCHEDULED repetition (doc_id, source, n_tokens, epoch,
+    * weight_bp), where weight_bp follows the integer decay chain
+    * w₁ = 10000, wₑ₊₁ = wₑ·decayBp DIV 10000 (the [[Dedup
+    * .softDedupWeights]] basis-point convention — loss weights, not
+    * sampling probabilities, so the schedule is reproducible
+    * row-for-row).
+    *
+    * Policy, precisely (every branch oracle-replayed): per-source
+    * totals T_s from one aggregate; unit (s, e) starts at the exact
+    * prefix sum over units ordered (e, source); a unit wholly inside
+    * the budget ships every doc of s; the unit straddling the budget
+    * ships the docs of s whose within-source token prefix — in
+    * (md5Hash31(doc_id), doc_id) order, INCLUSIVE — fits the
+    * remainder (the straddling doc is excluded); units starting at or
+    * past the budget are dropped. Zero-token and NULL-text docs never
+    * schedule.
+    *
+    * Scale shape: the schedule table is |sources|·maxEpochs rows — a
+    * documented model-sized SinglePartition window (the zipfFit
+    * precedent) that broadcasts back; full units are broadcast joins
+    * against the one checkpointed token projection; the ONLY deep
+    * prefix runs over the single straddling source, through
+    * [[md5DenseRank]] (bucketed, no global sort) and [[runningTotal]]
+    * (bucketed offsets) — never a corpus-sized window partition.
+    */
+  def epochSchedule(docs: DataFrame, idCol: String, textCol: String,
+                    srcCol: String, budgetTokens: Long,
+                    maxEpochs: Int = 4, decayBp: Long = 5000L)
+  : DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(maxEpochs >= 1 && maxEpochs <= 16,
+      s"maxEpochs must be in [1, 16], got $maxEpochs")
+    require(decayBp >= 0 && decayBp <= 10000,
+      s"decayBp must be in [0, 10000], got $decayBp")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source"),
+        size(Fns.words(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint(false) // feeds totals, full joins, the prefix
+    val units = toks.groupBy("source").agg(sum("n_tokens").as("t_src"))
+      .crossJoin(spark.range(1, maxEpochs + 1)
+        .select(col("id").as("epoch"))) // long: the oracle's BIGINT
+    // |sources|·maxEpochs rows: model-sized SinglePartition, declared
+    val wU = org.apache.spark.sql.expressions.Window
+      .orderBy("epoch", "source")
+      .rowsBetween(Long.MinValue, 0)
+    val sched = units
+      .withColumn("start", sum("t_src").over(wU) - col("t_src"))
+      .localCheckpoint(false) // one schedule for full + partial + join
+    val fullU = sched
+      .filter(col("start") + col("t_src") <= budgetTokens)
+      .select("source", "epoch")
+    val partU = sched
+      .filter(col("start") < budgetTokens &&
+        col("start") + col("t_src") > budgetTokens)
+      .select(col("source"), col("epoch"),
+        (lit(budgetTokens) - col("start")).as("remaining"))
+    val fullDocs = toks.join(broadcast(fullU), Seq("source"))
+      .select("doc_id", "source", "n_tokens", "epoch")
+    // the one straddling unit: md5-order token prefix within source
+    val pToks = toks.join(broadcast(partU), Seq("source"))
+    val pRank = md5DenseRank(pToks.select("doc_id"), "doc_id", 64)
+      .withColumnRenamed("id", "doc_id")
+    val pWithRank = pToks.join(pRank, "doc_id")
+    val pPrefix = runningTotal(
+        pWithRank.select(col("rid"), col("n_tokens")), "rid", "n_tokens")
+      .select(col("ord").as("rid"), col("running_total"))
+    val partDocs = pWithRank.join(pPrefix, "rid")
+      .filter(col("running_total") <= col("remaining"))
+      .select("doc_id", "source", "n_tokens", "epoch")
+    val weights = Iterator.iterate(10000L)(w => w * decayBp / 10000)
+      .take(maxEpochs).toSeq
+    val weightCol = (1 to maxEpochs)
+      .foldRight(lit(0L): org.apache.spark.sql.Column)((e, acc) =>
+        when(col("epoch") === e, lit(weights(e - 1))).otherwise(acc))
+    fullDocs.unionByName(partDocs)
+      .withColumn("weight_bp", weightCol)
+  }
+
   /** Dolma/Pile-style DOMAIN MIXING: downsample each source to a
     * target share of the output TOKEN budget. Per-source token counts
     * come from one aggregate; the binding source (smallest

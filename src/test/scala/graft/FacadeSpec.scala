@@ -363,6 +363,16 @@ class FacadeSpec extends AnyFunSuite {
     assert(pairs.count() >= 0)
   }
 
+  test("epochSchedule delegates") {
+    val got = Graft.epochSchedule(docs, budgetTokens = 3000L,
+      maxEpochs = 2)
+    assert(got.columns.toSeq === Seq("doc_id", "source", "n_tokens",
+      "epoch", "weight_bp"))
+    assert(got.collect().toSet ==
+      graft.operators.FeatureEng.epochSchedule(docs, "doc_id", "text",
+        "source", 3000L, 2).collect().toSet)
+  }
+
   test("count-store retraction delegates: dsir/kn/bpe upsert -> retract -> never-ingested") {
     val base = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
       .toDF("doc_id", "text")

@@ -461,4 +461,47 @@ class FeatureEngSpec extends AnyFunSuite {
       .zipWithIndex.map { case (id, r) => id -> r.toLong }.toMap
     assert(gotS == wantS)
   }
+
+  test("epochSchedule: unit order, straddling prefix, decay chain, edge budgets — hand fixture") {
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) & 0x7fffffffL
+    }
+    // source A: docs 1 (3 tok), 2 (5 tok) = 8; source B: doc 3 (4 tok)
+    // = 4. Unit order: (1,A)=8, (1,B)=4, (2,A)=8, (2,B)4, (3,A), (3,B)
+    val docs = Seq(
+      (1L, "a b c", "A"), (2L, "d e f g h", "A"), (3L, "x y z w", "B"),
+      (4L, null.asInstanceOf[String], "A") // NULL text → dropped
+    ).toDF("doc_id", "text", "source")
+    def sched(budget: Long, maxE: Int = 3, decay: Long = 5000L) =
+      FeatureEng.epochSchedule(docs, "doc_id", "text", "source",
+          budget, maxE, decay)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // budget 17: (1,A) full @8, (1,B) full @12, (2,A) straddles
+    // (12+8>17, remaining 5): A-docs in (md5, id) order — prefix fits
+    // docs until inclusive token sum > 5
+    val aOrder = Seq(1L -> 3L, 2L -> 5L)
+      .sortBy { case (id, _) => (md5h(id.toString), id) }
+    val prefixDocs = aOrder.scanLeft(0L)(_ + _._2).zip(aOrder)
+      .collect { case (before, (id, t)) if before + t <= 5L => id }
+    val want17 = Set((1L, 1L, 10000L), (2L, 1L, 10000L),
+      (3L, 1L, 10000L)) ++ prefixDocs.map(id => (id, 2L, 5000L)).toSet
+    assert(sched(17L) == want17)
+    // budget >= 3 epochs of everything: every doc 3 times, decayed
+    val wantAll = (for (e <- 1 to 3; id <- Seq(1L, 2L, 3L)) yield
+      (id, e.toLong, Seq(10000L, 5000L, 2500L)(e - 1))).toSet
+    assert(sched(1000L) == wantAll)
+    // budget smaller than the first unit: md5-prefix of (1, A) only
+    val want2 = aOrder.scanLeft(0L)(_ + _._2).zip(aOrder)
+      .collect { case (before, (id, t)) if before + t <= 3L => id }
+      .map(id => (id, 1L, 10000L)).toSet
+    assert(sched(3L) == want2)
+    // integer decay chain truncates: 10000, 3333, 1110 (3333²//10⁴)
+    val w = sched(1000L, maxE = 3, decay = 3333L)
+      .groupBy(_._2).view.mapValues(_.head._3).toMap
+    assert(w == Map(1L -> 10000L, 2L -> 3333L, 3L -> 1110L))
+  }
 }
