@@ -247,7 +247,7 @@ object FeatureEng {
     * ≤ 4M-row single-task windows through n ≈ 2.7×10¹¹, the driver
     * offset-literal array capped at 65,536 entries (the
     * [[md5DenseRank]] scale bound). */
-  private def derivedRankBuckets(n: Long): Int =
+  private[graft] def derivedRankBuckets(n: Long): Int =
     math.min(1L << 16, math.max(64L, (n + (1L << 22) - 1) / (1L << 22)))
       .toInt
 
@@ -444,9 +444,12 @@ object FeatureEng {
       // Spark, which would silently schedule the doc as quality 0.0.
       // The RAW score is guarded alongside the rounded qmicro: a
       // score marginally outside [0,1] (e.g. 1.0000004) rounds back
-      // into range and would otherwise pass the declared contract
+      // into range and would otherwise pass the declared contract.
+      // A 1e-9 tolerance keeps ulp-level blend noise (0.3+0.3+0.4 =
+      // 1.0000000000000002) from aborting a job — quarantine doctrine
+      // — while real out-of-range scores (4e-7 and up) still raise
       .withColumn("qmicro", when(!isnan(col("q")) &&
-        col("q") >= 0.0 && col("q") <= 1.0 &&
+        col("q") >= -1e-9 && col("q") <= 1.0 + 1e-9 &&
         col("qmicro") >= 0L &&
         col("qmicro") <= 1000000L, col("qmicro")).otherwise(expr(
         "raise_error('curriculumPack: score must be in [0, 1]')")))

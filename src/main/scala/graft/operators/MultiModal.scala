@@ -4,16 +4,22 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads are opaque BINARY
-  * columns with typed metadata alongside. Decode / feature-extract
-  * runs partition-wise over batches (the Scala analogue of
-  * mapInPandas): one decoder instantiation per partition, streaming
-  * iterator, no driver collect.
+  * columns with typed metadata alongside.
   *
-  * The byte-level decode itself is a STUB — the image/audio codecs
-  * are not in this container — producing deterministic metadata from
-  * the payload bytes. The Spark-side plumbing (schema, binary column,
-  * partition-wise batch shape, typed output) is real and tested; swap
-  * `StubDecoder.decode` for a real codec binding in production.
+  * REAL byte-level paths (no codec library needed — public container
+  * layouts, all codegen expressions): [[imageMeta]]/[[mediaMeta]]
+  * parse headers; [[imagePHashSignatures]]/[[audioPHashSignatures]]
+  * DECODE uncompressed pixels (24-bit BMP, PPM P6) and PCM samples
+  * (WAV) into perceptual signatures feeding [[rowBandedPairs]]
+  * near-dup banding.
+  *
+  * The ONLY stub left is the learned-model seam: [[StubDecoder]] /
+  * [[extractEmbeddings]] run the partition-wise batch shape (the
+  * Scala analogue of mapInPandas — one model instantiation per
+  * partition, streaming iterator, no driver collect) with a
+  * deterministic fake forward pass; swap in a real inference binding
+  * in production. Compressed-codec decode (JPEG/MP3/H.264) rides the
+  * same seam.
   */
 object MultiModal {
 

@@ -1295,8 +1295,7 @@ object ScaleProbe {
     // skew check at the derived width: uniform by construction, but
     // measured — a max/mean ratio far from 1 would mean the 31-bit
     // md5 cut is NOT uniform and the window depth has a hot tail
-    val nB = math.min(1L << 16,
-      math.max(64L, (n + (1L << 22) - 1) / (1L << 22))).toInt
+    val nB = FeatureEng.derivedRankBuckets(n) // the ONE derivation
     val width = (1L << 31) / nB + 1
     val per = ids
       .withColumn("h", graft.functions.Fns.md5Hash31(col("id")))
@@ -1339,6 +1338,8 @@ object ScaleProbe {
       val model = Kmeans.fit(emb, "vec_id", "embedding", bigK, 64, 1)
       val ex = Kmeans.assign(emb, "vec_id", "embedding", model)
         .select(col("id"), col("cluster").as("c_exact"))
+        .cache() // loop-invariant: one materialization for 3 nProbe dials
+      val n = ex.count()
       Seq(4, 8, 16).foreach { nProbe =>
         val tiered = time(s"semdedup tiered k=$bigK nProbe=$nProbe")(
           Kmeans.semdedupPairsTiered(emb, "vec_id", "embedding", bigK,
@@ -1349,7 +1350,6 @@ object ScaleProbe {
         val ti = Kmeans.assignTiered(emb, "vec_id", "embedding", model,
             nCoarse = 64, nProbe = nProbe)
           .select(col("id"), col("cluster").as("c_tier"))
-        val n = ex.count()
         val same = ex.join(ti, "id")
           .filter(col("c_exact") === col("c_tier")).count()
         println(f"[scale] tierrecall k=$bigK nCoarse=64 nProbe=$nProbe: " +
@@ -1366,6 +1366,7 @@ object ScaleProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[scale] tierrecall k=$bigK full-probe identical: " +
         s"${full == exact}")
+      ex.unpersist()
     }
     emb.unpersist()
     }
