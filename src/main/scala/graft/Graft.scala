@@ -1151,6 +1151,24 @@ object Graft {
                         maxHamming: Int = 2): DataFrame =
     MultiModal.audioNearDupPairs(docs, idCol, payloadCol, maxHamming)
 
+  /** Per-frame fingerprints from a video frame stream (consecutive
+    * uncompressed BMP frames): one codegen walk per payload,
+    * malformed streams dropped whole (quarantine). */
+  def videoFrameHashes(docs: DataFrame, idCol: String = "doc_id",
+                       payloadCol: String = "payload",
+                       maxFrames: Int = 64): DataFrame =
+    MultiModal.videoFrameHashes(docs, idCol, payloadCol, maxFrames)
+
+  /** VIDEO near-duplicate pairs: df-capped inverted-index join on
+    * exact frame fingerprints, shared-count ≥ minShared (the
+    * winnowPairs shape on the video axis). */
+  def videoNearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                        payloadCol: String = "payload",
+                        minShared: Long = 2L, maxDf: Long = 100L,
+                        maxFrames: Int = 64): DataFrame =
+    MultiModal.videoNearDupPairs(docs, idCol, payloadCol, minShared,
+      maxDf, maxFrames)
+
   def tokenCounts(docs: DataFrame): DataFrame =
     TextAnalysis.tokenCount(docs, "doc_id", "text")
 

@@ -1681,6 +1681,74 @@ object SparkEntry {
     MultiModal.audioNearDupPairs(
       syntheticWavPayloads(s, d), "doc_id", "payload", maxHamming = 2)
 
+  private def syntheticVideoPayloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.SyntheticVideo
+        .syntheticVideo(col("doc_id").cast("long"), col("text"))
+        .as("payload"))
+
+  /** VIDEO FRAME FINGERPRINTS (round 14): deterministic VALID frame
+    * streams — 3-5 consecutive 8×8 24-bit BMP frames, pixels
+    * closed-form in (id, frame) — walked and hashed per frame by the
+    * ImageFrameHashes codegen expression; the oracle derives every
+    * frame's signature keys from the construction arithmetic alone,
+    * checking the frame walk (consumed-length arithmetic), the pixel
+    * decode, and the per-frame aHash end-to-end. */
+  def qVideoFrames(s: SparkSession, d: String): DataFrame =
+    MultiModal.videoFrameHashes(
+        syntheticVideoPayloads(s, d), "doc_id", "payload")
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("k1"), col("k2"))
+
+  /** VIDEO NEAR-DUP pairs (round 14): shared-footage detection via
+    * exact frame-fingerprint overlap — per-video distinct frame
+    * hashes, df-capped inverted-index join, shared-count threshold
+    * (the winnowPairs shape on the video axis). Construction plants
+    * 4-variant groups sharing all-but-one frame; the oracle replays
+    * construction → walk → hash → inverted join → count. */
+  def qVideoNeardup(s: SparkSession, d: String): DataFrame =
+    MultiModal.videoNearDupPairs(
+      syntheticVideoPayloads(s, d), "doc_id", "payload",
+      minShared = 2L, maxDf = 20L)
+
+  /** Shared oracle CTEs for the video frame-fingerprint family:
+    * replay the SyntheticVideo pixel formula per (doc, frame) — at
+    * 8×8 each aHash grid cell IS one pixel — ending in
+    * `vsig(doc_id, f, k1, k2)`. */
+  private def videoFramesOracleCtes: String =
+    s"""ids AS (
+       |  SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v
+       |  FROM documents WHERE doc_id % 11 <> 7 AND text IS NOT NULL
+       |), par AS (
+       |  SELECT doc_id, v, gid % 251 + 1 AS m, 3 + gid % 3 AS nf
+       |  FROM ids
+       |), fr AS (
+       |  SELECT doc_id, f,
+       |    CASE WHEN v > 0 AND f = v % nf THEN m * 53 + v * 91 + 7
+       |         ELSE m + 37 * f END AS mult
+       |  FROM (SELECT doc_id, v, m, nf,
+       |          unnest(generate_series(0, nf - 1)) AS f FROM par)
+       |), px AS (
+       |  SELECT doc_id, f, x, y,
+       |    (mult * (3 + 7 * x + 11 * y)) % 256 AS p
+       |  FROM (SELECT doc_id, f, mult, x,
+       |          unnest(generate_series(0, 7)) AS y
+       |        FROM (SELECT doc_id, f, mult,
+       |                unnest(generate_series(0, 7)) AS x FROM fr))
+       |), vmn AS (
+       |  SELECT doc_id, f, sum(p) // 64 AS mean
+       |  FROM px GROUP BY doc_id, f
+       |), vr AS (
+       |  SELECT doc_id, f, y, CAST(sum(CASE WHEN p > mean
+       |    THEN 1 << x ELSE 0 END) AS BIGINT) AS rb
+       |  FROM px JOIN vmn USING (doc_id, f) GROUP BY doc_id, f, y
+       |), vsig AS (
+       |  SELECT doc_id, f,
+       |    ${(0 until 4).map(y => s"max(CASE WHEN y = $y THEN rb END) * ${1L << (8 * y)}").mkString(" + ")} AS k1,
+       |    ${(4 until 8).map(y => s"max(CASE WHEN y = $y THEN rb END) * ${1L << (8 * (y - 4))}").mkString(" + ")} AS k2
+       |  FROM vr GROUP BY doc_id, f
+       |)""".stripMargin
+
   /** Shared oracle CTEs for the image perceptual-hash family: replay
     * the SyntheticImage pixel formula (never the bytes), the 8×8
     * box-mean grid, the cell-vs-mean threshold, and the per-grid-row
@@ -2332,6 +2400,8 @@ object SparkEntry {
     "q_audio_ahash" -> (qAudioAhash _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_epoch_schedule" -> (qEpochSchedule _),
+    "q_video_frames" -> (qVideoFrames _),
+    "q_video_neardup" -> (qVideoNeardup _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
@@ -5740,6 +5810,32 @@ object SparkEntry {
 
       "q_audio_neardup" ->
         rowBandPairsOracleSql(audioAhashOracleCtes, maxHamming = 2),
+
+      // Ground truth for the frame WALK + per-frame hash: every
+      // frame's signature keys derived from the construction
+      // arithmetic alone (8×8 frames: grid cell == pixel).
+      "q_video_frames" ->
+        s"""WITH $videoFramesOracleCtes
+           |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, k1, k2
+           |FROM vsig""".stripMargin,
+
+      // The df-capped inverted-index join + shared-count threshold
+      // replayed on the same per-frame signatures.
+      "q_video_neardup" ->
+        s"""WITH $videoFramesOracleCtes,
+           |fp AS (SELECT DISTINCT doc_id, k1, k2 FROM vsig),
+           |rare AS (
+           |  SELECT k1, k2 FROM fp GROUP BY k1, k2
+           |  HAVING count(*) <= 20
+           |), capped AS (
+           |  SELECT doc_id, k1, k2 FROM fp JOIN rare USING (k1, k2)
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(count(*) AS BIGINT) AS shared_frames
+           |FROM capped a JOIN capped b
+           |  ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2
+           |HAVING count(*) >= 2""".stripMargin,
 
       // Replays the whole recipe: per-source totals, the (epoch,
       // source)-ordered unit prefix, the full-unit joins, the ONE

@@ -105,7 +105,7 @@ object ImagePHash {
   /** Decoded-image view: gray value at image coordinates (top-left
     * origin) computed straight off the payload bytes — no pixel
     * buffer is ever materialized, the two grid passes read in place. */
-  private final class Gray(b: Array[Byte], val w: Int, val h: Int,
+  private[functions] final class Gray(b: Array[Byte], val w: Int, val h: Int,
                            pixOff: Int, stride: Int, topDown: Boolean,
                            bgr: Boolean, val format: String) {
     def apply(x: Int, y: Int): Int = {
@@ -116,22 +116,72 @@ object ImagePHash {
     }
   }
 
-  private def openBmp(b: Array[Byte]): Gray = {
-    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
-    val pixOff = le32(b, 10)
-    if (le32(b, 14) < 40) return null // biSize: BITMAPINFOHEADER+
-    val w = le32(b, 18)
-    val hRaw = le32(b, 22)
+  /** One BMP frame decoded at `off` inside a (possibly multi-frame)
+    * payload; `consumed` = header + pixel bytes, so consecutive
+    * frames concatenate with no gap (the frame-stream layout
+    * [[ImageFrameHashes]] walks). */
+  private[functions] final case class BmpFrame(g: Gray, consumed: Int)
+
+  private[functions] def openBmpAt(b: Array[Byte], off: Int): BmpFrame = {
+    if (b.length - off < 54 || b(off) != 'B' || b(off + 1) != 'M')
+      return null
+    val pixOff = le32(b, off + 10)
+    if (le32(b, off + 14) < 40) return null // biSize: BITMAPINFOHEADER+
+    val w = le32(b, off + 18)
+    val hRaw = le32(b, off + 22)
     val topDown = hRaw < 0
     val h = math.abs(hRaw)
-    if (le16(b, 26) != 1) return null // planes
-    if (le16(b, 28) != 24) return null // only uncompressed 24-bit
-    if (le32(b, 30) != 0) return null // BI_RGB
+    if (le16(b, off + 26) != 1) return null // planes
+    if (le16(b, off + 28) != 24) return null // only uncompressed 24-bit
+    if (le32(b, off + 30) != 0) return null // BI_RGB
     if (w < 8 || h < 8 || w > (1 << 14) || h > (1 << 14)) return null
     val stride = (w * 3 + 3) & ~3
-    if (pixOff < 54 || pixOff.toLong + stride.toLong * h > b.length)
+    if (pixOff < 54 ||
+        off.toLong + pixOff + stride.toLong * h > b.length)
       return null // truncated pixel data → quarantine
-    new Gray(b, w, h, pixOff, stride, topDown, bgr = true, "bmp")
+    BmpFrame(new Gray(b, w, h, off + pixOff, stride, topDown,
+      bgr = true, "bmp"), pixOff + stride * h)
+  }
+
+  private def openBmp(b: Array[Byte]): Gray = {
+    val f = openBmpAt(b, 0)
+    if (f == null) null else f.g
+  }
+
+  /** The box-mean 8×8 aHash of a decoded view: (row bytes, packed
+    * long) — shared by the single-image hash and the frame walk. */
+  private[functions] def ahashOf(g: Gray): (Array[Int], Long) = {
+    val w = g.w; val h = g.h
+    val sums = new Array[Long](64)
+    val counts = new Array[Int](64)
+    var y = 0
+    while (y < h) {
+      val gy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = gy * 8 + x * 8 / w
+        sums(c) += g(x, y); counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = new Array[Int](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) {
+      cells(i) = (sums(i) / counts(i)).toInt // every cell non-empty
+      total += cells(i)
+      i += 1
+    }
+    val mean = total / 64
+    val arows = new Array[Int](8)
+    var ahash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) { arows(i / 8) |= 1 << (i % 8); ahash |= 1L << i }
+      i += 1
+    }
+    (arows, ahash)
   }
 
   private def openPpm(b: Array[Byte]): Gray = {
@@ -179,36 +229,8 @@ object ImagePHash {
     if (g == null) g = openPpm(b)
     if (g == null) return null
     val w = g.w; val h = g.h
-    // aHash: one pass accumulating the 8×8 box sums
-    val sums = new Array[Long](64)
-    val counts = new Array[Int](64)
-    var y = 0
-    while (y < h) {
-      val gy = y * 8 / h
-      var x = 0
-      while (x < w) {
-        val c = gy * 8 + x * 8 / w
-        sums(c) += g(x, y); counts(c) += 1
-        x += 1
-      }
-      y += 1
-    }
-    val cells = new Array[Int](64)
-    var total = 0L
-    var i = 0
-    while (i < 64) {
-      cells(i) = (sums(i) / counts(i)).toInt // every cell non-empty: w,h >= 8
-      total += cells(i)
-      i += 1
-    }
-    val mean = total / 64
-    val arows = new Array[Int](8)
-    var ahash = 0L
-    i = 0
-    while (i < 64) {
-      if (cells(i) > mean) { arows(i / 8) |= 1 << (i % 8); ahash |= 1L << i }
-      i += 1
-    }
+    // aHash: one pass accumulating the 8×8 box sums (shared helper)
+    val (arows, ahash) = ahashOf(g)
     // dHash: 9×8 nearest-sample grid, horizontal gradients
     val drows = new Array[Int](8)
     var dhash = 0L
@@ -358,5 +380,192 @@ object SyntheticImage {
       }
       out
     }
+  }
+}
+
+/** FRAME-FINGERPRINT extraction for VIDEO near-dup dedup: the
+  * payload is an uncompressed FRAME STREAM — consecutive 24-bit BMP
+  * images back to back (each frame self-describing: header + pixel
+  * bytes, no gaps; compressed video rides the codec seam like every
+  * other compressed format) — and each frame yields its box-mean
+  * 8×8 aHash ([[ImagePHash]]'s construction, shared code) in ONE
+  * bounded pass inside whole-stage codegen.
+  *
+  * Output: array of (frame_idx, ahash, k1, k2) — ahash is the packed
+  * 64-bit signature; k1/k2 pack signature rows 0-3 and 4-7 into two
+  * NON-NEGATIVE ≤ 2³²-bit longs, the portable join keys the
+  * inverted-index pair scan (and its DuckDB oracle) equi-joins on
+  * (a full 64-bit key could go negative — the rowBandedPairs
+  * portability rule).
+  *
+  * NULL (quarantine) for: payloads whose first bytes are not a valid
+  * frame, any malformed/truncated frame mid-stream, trailing bytes
+  * after the last frame, or more than `maxFrames` frames — a corrupt
+  * stream surfaces as a filterable row, never a task failure and
+  * never a silently half-hashed video.
+  */
+case class ImageFrameHashes(child: Expression, maxFrames: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ImageFrameHashes.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_image_frame_hashes"
+
+  def compute(bytes: Array[Byte]): GenericArrayData =
+    ImageFrameHashes.parse(bytes, maxFrames)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageFrameHashes.parse(input.asInstanceOf[Array[Byte]], maxFrames)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("imageFrameHashes", this,
+      classOf[ImageFrameHashes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageFrameHashes =
+    copy(child = newChild)
+}
+
+object ImageFrameHashes {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("ahash", LongType, nullable = false),
+    StructField("k1", LongType, nullable = false),
+    StructField("k2", LongType, nullable = false))),
+    containsNull = false)
+
+  /** Column wrapper: frame-stream payload → frame-hash array (or null). */
+  def imageFrameHashes(payload: Column, maxFrames: Int = 64): Column =
+    GraftColumnBridge.column(ImageFrameHashes(
+      GraftColumnBridge.expression(payload), maxFrames))
+
+  def parse(b: Array[Byte], maxFrames: Int): GenericArrayData = {
+    if (b == null || b.length < 54) return null
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var off = 0
+    while (off < b.length) {
+      if (out.size >= maxFrames) return null // over-long stream
+      val f = ImagePHash.openBmpAt(b, off)
+      if (f == null) return null // malformed/truncated frame
+      val (arows, ahash) = ImagePHash.ahashOf(f.g)
+      var k1 = 0L; var k2 = 0L
+      var j = 0
+      while (j < 4) {
+        k1 |= arows(j).toLong << (8 * j)
+        k2 |= arows(j + 4).toLong << (8 * j)
+        j += 1
+      }
+      out += InternalRow(out.size, ahash, k1, k2)
+      off += f.consumed
+    }
+    if (out.isEmpty) null else new GenericArrayData(out.toArray)
+  }
+}
+
+/** Deterministic VALID frame-stream bytes per row — the video query
+  * fixture ([[SyntheticImage]]'s convention, one dimension up):
+  * `F = 3 + gid % 3` consecutive 8×8 24-bit BMP frames, every field
+  * closed-form in the id so the DuckDB oracle derives each frame's
+  * signature from the construction arithmetic alone:
+  *
+  *   - quarantine residue: `id % 11 == 7` → the raw text bytes
+  *   - `gid = id / 4`, `v = id % 4`, `m = gid % 251 + 1`
+  *   - frame f's gray pixel `p(f,x,y) = ((m + 37f)·(3 + 7x + 11y))
+  *     % 256`, EXCEPT the variant's replaced frame — `v > 0` swaps
+  *     frame `v % F` for the pattern `((m·53 + v·91 + 7)·(3 + 7x +
+  *     11y)) % 256` — so same-gid videos share F−1 exact frames (a
+  *     re-encode/edit of the same footage), while distinct gids
+  *     share frames only by hash coincidence.
+  */
+case class SyntheticVideo(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_synthetic_video"
+
+  def compute(id: Long, text: UTF8String): Array[Byte] =
+    SyntheticVideo.build(id, text)
+
+  override protected def nullSafeEval(id: Any, text: Any): Any =
+    SyntheticVideo.build(id.asInstanceOf[Long],
+      text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("syntheticVideo", this,
+      classOf[SyntheticVideo].getName)
+    nullSafeCodeGen(ctx, ev, (idc, tc) => s"""
+      ${ev.value} = $ref.compute($idc, $tc);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SyntheticVideo =
+    copy(left = newLeft, right = newRight)
+}
+
+object SyntheticVideo {
+
+  /** Column wrapper: (id, text) → deterministic frame-stream payload. */
+  def syntheticVideo(id: Column, text: Column): Column =
+    GraftColumnBridge.column(SyntheticVideo(
+      GraftColumnBridge.expression(id), GraftColumnBridge.expression(text)))
+
+  def nFrames(id: Long): Int = 3 + ((id / 4) % 3).toInt
+
+  /** The closed-form gray value of frame f — the ONE formula the
+    * generator, the spec, and the DuckDB oracle share. */
+  def pixel(id: Long, f: Int, x: Int, y: Int): Int = {
+    val gid = id / 4; val v = id % 4
+    val m = (gid % 251).toInt + 1
+    val mult =
+      if (v > 0 && f == (v % nFrames(id)).toInt) m * 53 + v.toInt * 91 + 7
+      else m + 37 * f
+    (mult * (3 + 7 * x + 11 * y)) % 256
+  }
+
+  def build(id: Long, text: UTF8String): Array[Byte] = {
+    if (id % 11 == 7) // quarantine residue: raw text bytes
+      return if (text == null) null else text.getBytes
+    val frames = nFrames(id)
+    val stride = 24 // 8 px × 3 bytes, already 4-aligned
+    val frameLen = 54 + stride * 8
+    val out = new Array[Byte](frames * frameLen)
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    var f = 0
+    while (f < frames) {
+      val base = f * frameLen
+      out(base) = 'B'; out(base + 1) = 'M'
+      le32(base + 2, frameLen); le32(base + 10, 54)
+      le32(base + 14, 40); le32(base + 18, 8); le32(base + 22, 8)
+      le16(base + 26, 1); le16(base + 28, 24); le32(base + 30, 0)
+      var y = 0
+      while (y < 8) {
+        val o0 = base + 54 + (7 - y) * stride // bottom-up rows
+        var x = 0
+        while (x < 8) {
+          val p = pixel(id, f, x, y).toByte
+          val o = o0 + x * 3
+          out(o) = p; out(o + 1) = p; out(o + 2) = p
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    out
   }
 }

@@ -380,7 +380,7 @@ object MultiModal {
     * an untouched group (recall 1.0 by construction); the exact
     * 64-bit popcount filters for precision. One repartition exchange
     * feeds both self-join sides. */
-  private[operators] def rowBandedPairs(sigs: DataFrame,
+  private[graft] def rowBandedPairs(sigs: DataFrame,
                                         maxHamming: Int): DataFrame = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming must be in [1, 7], got $maxHamming")
@@ -444,6 +444,73 @@ object MultiModal {
   : DataFrame =
     rowBandedPairs(audioPHashSignatures(docs, idCol, payloadCol)
       .select("doc_id", "arows", "ahash"), maxHamming)
+
+  /** Per-frame fingerprints from a VIDEO frame stream (consecutive
+    * uncompressed 24-bit BMP frames — compressed video rides the
+    * codec seam): one [[graft.functions.ImageFrameHashes]] codegen
+    * walk per payload → one row per frame with its aHash and the two
+    * non-negative packed join keys (k1 = signature rows 0-3, k2 =
+    * rows 4-7). Malformed/truncated/over-long streams are DROPPED
+    * whole (the NULL quarantine contract — a half-hashed video must
+    * never silently under-count shared frames).
+    *
+    * Scale shape: one O(total pixels) decode per payload inside the
+    * scan; only (doc_id, frame_idx, 24 bytes of hash keys) leave —
+    * the frame fan-out is bounded by `maxFrames`. */
+  def videoFrameHashes(docs: DataFrame, idCol: String,
+                       payloadCol: String, maxFrames: Int = 64)
+  : DataFrame = {
+    require(maxFrames >= 1)
+    docs.withColumn("_f", graft.functions.ImageFrameHashes
+        .imageFrameHashes(col(payloadCol), maxFrames))
+      .filter(col("_f").isNotNull)
+      .select(col(idCol).as("doc_id"), explode(col("_f")).as("fh"))
+      .select(col("doc_id"), col("fh.frame_idx").as("frame_idx"),
+        col("fh.ahash").as("ahash"), col("fh.k1").as("k1"),
+        col("fh.k2").as("k2"))
+  }
+
+  /** VIDEO near-duplicate pairs — the frame-fingerprint recipe
+    * (shared footage detection: a re-encode, edit, or clip of the
+    * same video shares exact frame hashes): per-video DISTINCT frame
+    * fingerprints, a df-capped inverted-index equi-join on the
+    * fingerprint (the [[Dedup.winnowPairs]] shape — fingerprints
+    * shared by more than `maxDf` videos are dropped from candidate
+    * generation, bounding the hot-key blowup from boilerplate frames
+    * like black/title cards), then a pair survives with the count of
+    * shared distinct fingerprints ≥ `minShared`. Matching is exact
+    * (hamming 0 per frame — the standard fingerprint-join recipe);
+    * near-frame matching composes by feeding the per-frame hashes
+    * through [[rowBandedPairs]] instead. The whole chain replays in
+    * integer SQL (q_video_neardup's oracle).
+    *
+    * 100 TB shape: one decode pass in the scan, one repartition on
+    * the fingerprint shared by the df-cap and both self-join sides,
+    * candidates bounded by maxDf²-ish per fingerprint — never an
+    * all-pairs scan over videos. */
+  def videoNearDupPairs(docs: DataFrame, idCol: String,
+                        payloadCol: String, minShared: Long = 2L,
+                        maxDf: Long = 100L, maxFrames: Int = 64)
+  : DataFrame = {
+    require(minShared >= 1)
+    val fps = videoFrameHashes(docs, idCol, payloadCol, maxFrames)
+      .select("doc_id", "k1", "k2").distinct()
+      .repartition(col("k1"), col("k2")) // one exchange, three consumers
+    val joinSide =
+      if (maxDf <= 0) fps
+      else {
+        val rare = fps.groupBy("k1", "k2").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("k1", "k2")
+        fps.join(rare, Seq("k1", "k2"))
+      }
+    joinSide.as("a")
+      .join(joinSide.as("b"),
+        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
 
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates

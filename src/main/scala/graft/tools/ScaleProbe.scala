@@ -1274,6 +1274,46 @@ object ScaleProbe {
     emb.unpersist()
     }
 
+    // Perceptual-hash families (round 14): decode cost is the scan
+    // (one codegen walk per payload, only 8-24 signature bytes
+    // leave), pairs are band-key equi-joins. Measure decode
+    // throughput and the pair scans on xK replicated payload corpora
+    // — the decode should scale linearly with payload bytes and the
+    // pair walls with band collisions, never with n².
+    if (sections("phash")) {
+    import graft.functions.{SyntheticImage, SyntheticVideo, SyntheticWav}
+    import graft.operators.MultiModal
+    val docs = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 10000000L))
+    val img = docs.select(col("doc_id"), SyntheticImage
+        .syntheticImage(col("doc_id").cast("long"), col("text"))
+        .as("payload")).cache()
+    println(s"[scale] phash payload rows: ${img.count()}  (k=$k replicas)")
+    time("image decode+ahash xK")(
+      MultiModal.imagePHashSignatures(img, "doc_id", "payload").count())
+    time("image neardup pairs xK (h=2)")(
+      MultiModal.imageNearDupPairs(img, "doc_id", "payload", 2).count())
+    img.unpersist()
+    val aud = docs.select(col("doc_id"), SyntheticWav
+        .syntheticWav(col("doc_id").cast("long"), col("text"))
+        .as("payload")).cache()
+    aud.count()
+    time("audio decode+ehash xK")(
+      MultiModal.audioPHashSignatures(aud, "doc_id", "payload").count())
+    time("audio neardup pairs xK (h=2)")(
+      MultiModal.audioNearDupPairs(aud, "doc_id", "payload", 2).count())
+    aud.unpersist()
+    val vid = docs.select(col("doc_id"), SyntheticVideo
+        .syntheticVideo(col("doc_id").cast("long"), col("text"))
+        .as("payload")).cache()
+    vid.count()
+    time("video frame walk xK")(
+      MultiModal.videoFrameHashes(vid, "doc_id", "payload").count())
+    time("video neardup pairs xK (shared>=2)")(
+      MultiModal.videoNearDupPairs(vid, "doc_id", "payload", 2L).count())
+    vid.unpersist()
+    }
+
     // md5DenseRank at scale (r13 verdict #3): the generic re-key's
     // single-task window depth is n/buckets — confirm the derived
     // bucket count holds it at ~4M, the md5 bucketing is skewless

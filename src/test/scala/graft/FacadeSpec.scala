@@ -363,6 +363,20 @@ class FacadeSpec extends AnyFunSuite {
     assert(pairs.count() >= 0)
   }
 
+  test("videoFrameHashes / videoNearDupPairs delegate") {
+    val withPayload = docs.limit(120).select(col("doc_id"),
+      graft.functions.SyntheticVideo
+        .syntheticVideo(col("doc_id").cast("long"), col("text"))
+        .as("payload"))
+    val fh = Graft.videoFrameHashes(withPayload)
+    assert(fh.columns.toSeq === Seq("doc_id", "frame_idx", "ahash",
+      "k1", "k2"))
+    assert(fh.count() > 0)
+    val pairs = Graft.videoNearDupPairs(withPayload, minShared = 2L)
+    assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "shared_frames"))
+    assert(pairs.count() >= 0)
+  }
+
   test("epochSchedule delegates") {
     val got = Graft.epochSchedule(docs, budgetTokens = 3000L,
       maxEpochs = 2)

@@ -185,6 +185,89 @@ class ImagePHashSpec extends AnyFunSuite {
     assert(ar.take(4).forall(_ == 0) && ar.drop(4).forall(_ == 255), ar)
   }
 
+  test("frame walk: hand-built streams hash per frame; malformed streams quarantine whole") {
+    import graft.functions.ImageFrameHashes
+    val pix1 = (x: Int, y: Int) => (x * 31 + y * 17 + 3) % 256
+    val pix2 = (x: Int, y: Int) => (x * 13 + y * 41 + 9) % 256
+    val f1 = bmp(pix1, 8, 8, topDown = false)
+    val f2 = bmp(pix2, 8, 8, topDown = true) // mixed row orders walk fine
+    def k12(pix: (Int, Int) => Int): (Long, Long) = {
+      val (ar, _) = refHash(pix, 8, 8)
+      ((0 until 4).map(j => ar(j).toLong << (8 * j)).reduce(_ | _),
+       (0 until 4).map(j => ar(j + 4).toLong << (8 * j)).reduce(_ | _))
+    }
+    val got = Seq((0, f1 ++ f2), (1, f1 ++ f2.take(f2.length - 1)),
+        (2, f1 ++ "trailing garbage".getBytes), (3, f1))
+      .toDF("id", "payload")
+      .select(col("id"),
+        ImageFrameHashes.imageFrameHashes(col("payload"), 64).as("f"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[
+        org.apache.spark.sql.Row](1))).toMap
+    val frames = got(0).get
+    assert(frames.size == 2)
+    assert((frames(0).getLong(2), frames(0).getLong(3)) == k12(pix1))
+    assert((frames(1).getLong(2), frames(1).getLong(3)) == k12(pix2))
+    assert(got(1).isEmpty, "truncated second frame must quarantine whole")
+    assert(got(2).isEmpty, "trailing garbage must quarantine whole")
+    assert(got(3).get.size == 1)
+    // over-long stream quarantines
+    val many = Array.fill(3)(f1).flatten
+    val capped = Seq((0, many)).toDF("id", "payload")
+      .select(ImageFrameHashes.imageFrameHashes(col("payload"), 2).as("f"))
+      .head()
+    assert(capped.isNullAt(0))
+  }
+
+  test("videoNearDupPairs: shared-footage pairs, df-capped; SyntheticVideo matches closed form") {
+    import graft.functions.SyntheticVideo
+    import graft.operators.MultiModal
+    // hand fixture: A and B share 2 frames, C shares none. The seed
+    // must MULTIPLY the spatial term — aHash is invariant to a
+    // constant brightness offset (it thresholds against its own
+    // mean), so additive seeds would collapse every frame to one
+    // fingerprint
+    val p = (seed: Int) => (x: Int, y: Int) =>
+      ((seed * 29 + 13) * (x * 7 + y * 11 + 3)) % 256
+    def stream(seeds: Int*) =
+      seeds.map(s0 => bmp(p(s0), 8, 8, topDown = false))
+        .reduce(_ ++ _)
+    val docs = Seq(
+      (0L, stream(1, 2, 3)), (1L, stream(1, 2, 9)), (2L, stream(4, 5, 6))
+    ).toDF("doc_id", "payload")
+    val pairs = MultiModal
+      .videoNearDupPairs(docs, "doc_id", "payload", minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.keySet == Set((0L, 1L)), s"got $pairs")
+    assert(pairs((0L, 1L)) == 2L)
+    // SyntheticVideo: per-frame keys match the closed-form pixels;
+    // same-gid variants share exactly nf - 1 frames with the base
+    val ids = (0L until 120L).filter(_ % 11 != 7)
+    val vd = ids.map(id => (id, SyntheticVideo.build(id, null)))
+      .toDF("doc_id", "payload")
+    val fh = MultiModal.videoFrameHashes(vd, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    ids.foreach { id =>
+      (0 until SyntheticVideo.nFrames(id)).foreach { f =>
+        val (ar, _) = refHash(SyntheticVideo.pixel(id, f, _, _), 8, 8)
+        val want = (
+          (0 until 4).map(j => ar(j).toLong << (8 * j)).reduce(_ | _),
+          (0 until 4).map(j => ar(j + 4).toLong << (8 * j)).reduce(_ | _))
+        assert(fh((id, f)) == want, s"id=$id f=$f")
+      }
+    }
+    val vPairs = MultiModal
+      .videoNearDupPairs(vd, "doc_id", "payload", minShared = 2L,
+        maxDf = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // v=0 and each v>0 variant of one gid share nf-1 >= 2 frames
+    val planted = ids.filter(_ % 4 == 0).flatMap { base =>
+      (1L to 3L).map(v => (base, base + v)).filter(p => ids.contains(p._2))
+    }.toSet
+    planted.foreach(p => assert(vPairs.contains(p), s"missing $p"))
+  }
+
   test("SyntheticImage: formats per residue, signature matches closed form") {
     val ids = (0L until 120L).filter(_ % 11 != 7)
     val docs = ids.map(id =>
