@@ -169,29 +169,55 @@ object Dedup {
     */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, minShared: Long = 2L,
-                  maxDf: Long = 100L): DataFrame = {
-    // repartition(fp): the md5-heavy winnow projection feeds three
-    // consumers (both self-join sides + the df cap); one explicit
-    // exchange on fp lets them all share a single computation via
-    // ReusedExchange instead of recomputing the fingerprints per
-    // consumer (same-session A/B at sf0.1: 5.4s → 3.0s, identical
-    // pairs). Scale shape unchanged: this is the one shuffle the
-    // inverted-index join needs anyway.
-    val fps = TextAnalysis.winnow(docs, idCol, textCol, k, w)
-      .repartition(col("fp"))
+                  maxDf: Long = 100L): DataFrame =
+    invertedIndexPairs(TextAnalysis.winnow(docs, idCol, textCol, k, w),
+      Seq("fp"), minShared, maxDf, "shared_fps")
+
+  /** The ONE df-capped inverted-index pair body every
+    * shared-fingerprint detector feeds ([[winnowPairs]] on text
+    * minima, [[MultiModal.videoNearDupPairs]] on frame hashes):
+    * `fps` = (doc_id, keyCols…); candidates come from the key
+    * equi-join, never an all-pairs scan; keys shared by more than
+    * `maxDf` docs are dropped from candidate generation (bounding
+    * hot-key fan-out from boilerplate); a pair survives with the
+    * shared-key count ≥ `minShared`.
+    *
+    * The leading repartition on the key is deliberate: the upstream
+    * fingerprint projection feeds three consumers (both self-join
+    * sides + the df cap), and one explicit exchange lets them share
+    * a single computation via ReusedExchange instead of recomputing
+    * per consumer (same-session A/B at sf0.1: 5.4s → 3.0s, identical
+    * pairs) — it is also the one shuffle the inverted-index join
+    * needs anyway. `dedupPerDoc` collapses duplicate (doc, key) rows
+    * AFTER that exchange (hash partitioning on the key already
+    * clusters the dedup keys, so no second shuffle) for callers
+    * whose shared-count semantics are over DISTINCT keys per doc. */
+  private[graft] def invertedIndexPairs(fps: DataFrame,
+                                        keyCols: Seq[String],
+                                        minShared: Long, maxDf: Long,
+                                        sharedCol: String,
+                                        dedupPerDoc: Boolean = false)
+  : DataFrame = {
+    val parted = fps.repartition(keyCols.map(col): _*)
+    val base =
+      if (dedupPerDoc) parted.dropDuplicates("doc_id" +: keyCols)
+      else parted
     val joinSide =
-      if (maxDf <= 0) fps
+      if (maxDf <= 0) base
       else {
-        val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select("fp")
-        fps.join(rare, "fp")
+        val rare = base.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(keyCols.map(col): _*)
+        base.join(rare, keyCols)
       }
     joinSide.as("a")
-      .join(joinSide.as("b"), col("a.fp") === col("b.fp") &&
-                        col("a.doc_id") < col("b.doc_id"))
+      .join(joinSide.as("b"),
+        keyCols.map(kc => col(s"a.$kc") === col(s"b.$kc"))
+          .reduce(_ && _) && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_fps"))
-      .filter(col("shared_fps") >= minShared)
+      .agg(count(lit(1)).as(sharedCol))
+      .filter(col(sharedCol) >= minShared)
   }
 
   /** MinHash signature + LSH banding candidate pairs.

@@ -479,13 +479,18 @@ object MultiModal {
     * generation, bounding the hot-key blowup from boilerplate frames
     * like black/title cards), then a pair survives with the count of
     * shared distinct fingerprints ≥ `minShared`. Matching is exact
-    * (hamming 0 per frame — the standard fingerprint-join recipe);
-    * near-frame matching composes by feeding the per-frame hashes
-    * through [[rowBandedPairs]] instead. The whole chain replays in
-    * integer SQL (q_video_neardup's oracle).
+    * (hamming 0 per frame — the standard fingerprint-join recipe).
+    * Near-frame matching composes through [[rowBandedPairs]] by
+    * unpacking k1/k2 back into the 8 signature row bytes and keying
+    * rows by FRAME (e.g. `doc_id·maxFrames + frame_idx` as the
+    * banded id), then aggregating the surviving frame pairs per
+    * video pair — the per-frame signature carries everything that
+    * composition needs. The whole exact chain replays in integer SQL
+    * (q_video_neardup's oracle).
     *
-    * 100 TB shape: one decode pass in the scan, one repartition on
-    * the fingerprint shared by the df-cap and both self-join sides,
+    * 100 TB shape: one decode pass in the scan, ONE exchange on the
+    * fingerprint (shared by the per-doc dedup, the df-cap, and both
+    * self-join sides — the [[Dedup.invertedIndexPairs]] body),
     * candidates bounded by maxDf²-ish per fingerprint — never an
     * all-pairs scan over videos. */
   def videoNearDupPairs(docs: DataFrame, idCol: String,
@@ -493,23 +498,13 @@ object MultiModal {
                         maxDf: Long = 100L, maxFrames: Int = 64)
   : DataFrame = {
     require(minShared >= 1)
-    val fps = videoFrameHashes(docs, idCol, payloadCol, maxFrames)
-      .select("doc_id", "k1", "k2").distinct()
-      .repartition(col("k1"), col("k2")) // one exchange, three consumers
-    val joinSide =
-      if (maxDf <= 0) fps
-      else {
-        val rare = fps.groupBy("k1", "k2").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select("k1", "k2")
-        fps.join(rare, Seq("k1", "k2"))
-      }
-    joinSide.as("a")
-      .join(joinSide.as("b"),
-        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_frames"))
-      .filter(col("shared_frames") >= minShared)
+    // ahash IS (k1, k2) bijectively — one join key; the oracle keeps
+    // the k1/k2 split only for signed-SQL portability
+    Dedup.invertedIndexPairs(
+      videoFrameHashes(docs, idCol, payloadCol, maxFrames)
+        .select("doc_id", "ahash"),
+      Seq("ahash"), minShared, maxDf, "shared_frames",
+      dedupPerDoc = true)
   }
 
   /** Columnar (codegen) twin of the stub decode for the oracle path:

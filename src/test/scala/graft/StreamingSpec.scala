@@ -1305,6 +1305,38 @@ class StreamingSpec extends AnyFunSuite {
       "audio signatures must be batch-identical on a stream")
   }
 
+  test("video frame fingerprints are stateless on a stream: streamed == batch") {
+    import graft.functions.SyntheticVideo
+    import graft.operators.MultiModal
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 60L)
+      .map(id => (id, SyntheticVideo.build(id,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"t$id"))))
+    val docs = rows.toDF("doc_id", "payload")
+    val batch = MultiModal
+      .videoFrameHashes(docs, "doc_id", "payload")
+      .select("doc_id", "frame_idx", "ahash")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = MultiModal
+      .videoFrameHashes(input.toDF().toDF("doc_id", "payload"),
+        "doc_id", "payload")
+      .select("doc_id", "frame_idx", "ahash")
+      .writeStream.format("memory").queryName("vid_stream")
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vid_stream").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "video frame fingerprints must be batch-identical on a stream")
+  }
+
   test("frozen multiclass ft scorer is stateless on a stream: streamed == batch") {
     import graft.operators.FtClassify
     implicit val sqlCtx = spark.sqlContext
