@@ -1169,6 +1169,22 @@ object Graft {
     MultiModal.videoNearDupPairs(docs, idCol, payloadCol, minShared,
       maxDf, maxFrames)
 
+  /** Persisted perceptual-signature store: fold a shard's (doc_id,
+    * ahash) signatures into one atomic keyed table (idempotent
+    * merge; first shard bootstraps). Returns the store row count. */
+  def phashStoreUpsert(sigs: DataFrame, root: String): Long =
+    MultiModal.phashStoreUpsert(sigs, root)
+
+  /** Serve near-dup candidates for new signatures against the frozen
+    * store (two-table pigeonhole banding, recall 1.0 at the radius). */
+  def phashServe(querySigs: DataFrame, root: String,
+                 maxHamming: Int = 2): DataFrame =
+    MultiModal.phashServeNearDups(querySigs, root, maxHamming)
+
+  /** Right-to-be-forgotten for the signature store. */
+  def phashStoreDelete(docIds: DataFrame, root: String): Long =
+    MultiModal.phashStoreDelete(docIds, root)
+
   def tokenCounts(docs: DataFrame): DataFrame =
     TextAnalysis.tokenCount(docs, "doc_id", "text")
 

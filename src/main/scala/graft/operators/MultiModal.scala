@@ -507,6 +507,83 @@ object MultiModal {
       dedupPerDoc = true)
   }
 
+  private def phashTable(root: String) = s"$root/phash_signatures"
+
+  /** PERSISTED perceptual-signature store — incremental multimodal
+    * dedup at 100 TB: decode each arriving shard ONCE
+    * ([[imagePHashSignatures]] / [[audioPHashSignatures]] /
+    * [[videoFrameHashes]] — any (doc_id, ahash) signature source),
+    * fold the signatures into ONE atomic
+    * [[graft.offline.VersionedStore]] table keyed by doc_id (merge is
+    * idempotent — a replayed shard rewrites the same rows, the seed
+    * store precedent), and serve new payloads against the FROZEN
+    * store without ever re-decoding the corpus. NULL ids fail loudly
+    * in-plan rather than corrupting the keyed merge. Returns the
+    * store row count after the merge. */
+  def phashStoreUpsert(sigs: DataFrame, root: String): Long = {
+    import graft.offline.VersionedStore
+    val spark = sigs.sparkSession
+    val rows = sigs.select(
+      when(col("doc_id").isNotNull, col("doc_id")).otherwise(expr(
+        "raise_error('phash store: doc ids must be non-null')"))
+        .as("doc_id"),
+      col("ahash").cast("long").as("ahash"))
+    // first shard bootstraps the table; merge thereafter
+    if (VersionedStore.latestVersion(spark, phashTable(root)) < 0L)
+      VersionedStore.overwrite(rows, phashTable(root))
+    else
+      VersionedStore.merge(rows, phashTable(root), Seq("doc_id"))
+    VersionedStore.read(spark, phashTable(root)).count()
+  }
+
+  /** Right-to-be-forgotten for the signature store: remove the given
+    * doc ids ([[graft.offline.VersionedStore.deleteKeys]] — pruned
+    * copy-on-write, earlier versions retired via vacuum). */
+  def phashStoreDelete(docIds: DataFrame, root: String): Long =
+    graft.offline.VersionedStore.deleteKeys(
+      docIds.select(col("doc_id")), phashTable(root), Seq("doc_id"))
+
+  /** Serve near-duplicate candidates for NEW payloads against the
+    * frozen signature store: the same maxHamming+1 row-group
+    * pigeonhole banding as [[rowBandedPairs]] (recall 1.0 at the
+    * radius by construction), but as a TWO-TABLE equi-join — query
+    * signatures × stored signatures — so AQE's skew handling applies
+    * (a two-table hot key is one-side-duplicable, unlike the
+    * self-join case) and a small query batch broadcasts. Output:
+    * (query_id, match_id, hamming ≤ maxHamming); a stored doc
+    * re-submitted as a query matches itself at hamming 0 (filter
+    * upstream if unwanted). */
+  def phashServeNearDups(querySigs: DataFrame, root: String,
+                         maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"maxHamming must be in [1, 7], got $maxHamming")
+    val spark = querySigs.sparkSession
+    val store = graft.offline.VersionedStore
+      .read(spark, phashTable(root))
+    val nBands = maxHamming + 1
+    val widths = (0 until nBands).map(b =>
+      8 / nBands + (if (b < 8 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def banded(df: DataFrame, idAlias: String, hashAlias: String)
+    : DataFrame =
+      df.select(col("doc_id").as(idAlias),
+          col("ahash").cast("long").as(hashAlias),
+          explode(array((0 until nBands).map { b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("ahash"), 8 * offsets(b))
+                .bitwiseAND((1L << (8 * widths(b))) - 1).as("key"))
+          }: _*)).as("bk"))
+        .select(col(idAlias), col(hashAlias),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    banded(querySigs.select("doc_id", "ahash"), "query_id", "q_hash")
+      .join(banded(store, "match_id", "s_hash"), Seq("band", "key"))
+      .select(col("query_id"), col("match_id"),
+        bit_count(col("q_hash").bitwiseXOR(col("s_hash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates
     * the metadata contract and stays inside whole-stage codegen.

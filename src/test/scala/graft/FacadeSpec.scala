@@ -377,6 +377,23 @@ class FacadeSpec extends AnyFunSuite {
     assert(pairs.count() >= 0)
   }
 
+  test("phash store facades delegate") {
+    val root = tmpRoot("facade_phash")
+    val sigs = graft.operators.MultiModal.imagePHashSignatures(
+      docs.limit(60).select(col("doc_id"),
+        graft.functions.SyntheticImage
+          .syntheticImage(col("doc_id").cast("long"), col("text"))
+          .as("payload")), "doc_id", "payload")
+    val n = Graft.phashStoreUpsert(sigs, root)
+    assert(n > 0 && Graft.phashStoreUpsert(sigs, root) == n)
+    val served = Graft.phashServe(sigs.select("doc_id", "ahash"), root)
+    assert(served.columns.toSeq ===
+      Seq("query_id", "match_id", "hamming"))
+    assert(served.count() >= n) // every stored doc self-matches at 0
+    assert(Graft.phashStoreDelete(
+      sigs.select("doc_id").limit(1), root) >= 0)
+  }
+
   test("epochSchedule delegates") {
     val got = Graft.epochSchedule(docs, budgetTokens = 3000L,
       maxEpochs = 2)

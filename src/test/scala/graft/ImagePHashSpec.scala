@@ -268,6 +268,47 @@ class ImagePHashSpec extends AnyFunSuite {
     planted.foreach(p => assert(vPairs.contains(p), s"missing $p"))
   }
 
+  test("phash store: idempotent upsert, frozen serve at the radius, delete forgets") {
+    import graft.functions.SyntheticImage
+    val root = java.nio.file.Files
+      .createTempDirectory("phash_store").toString + "/store"
+    val ids1 = (0L until 80L).filter(_ % 11 != 7)
+    val ids2 = (80L until 160L).filter(_ % 11 != 7)
+    def sigsOf(ids: Seq[Long]) = MultiModal.imagePHashSignatures(
+      ids.map(id => (id, SyntheticImage.build(id, null)))
+        .toDF("doc_id", "payload"), "doc_id", "payload")
+    val n1 = MultiModal.phashStoreUpsert(sigsOf(ids1), root)
+    assert(n1 == ids1.size)
+    // replayed shard: keyed merge is idempotent
+    assert(MultiModal.phashStoreUpsert(sigsOf(ids1), root) == n1)
+    val n2 = MultiModal.phashStoreUpsert(sigsOf(ids2), root)
+    assert(n2 == ids1.size + ids2.size)
+    // frozen serve == the banded pair scan's contract: brute-force
+    // reference over (query × store) signatures
+    val qIds = ids1.take(20)
+    val qSigs = sigsOf(qIds).select("doc_id", "ahash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allSigs = sigsOf(ids1 ++ ids2).select("doc_id", "ahash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      (q, qs) <- qSigs.toSeq; (m, ms) <- allSigs.toSeq
+      if java.lang.Long.bitCount(qs ^ ms) <= 2
+    } yield (q, m)).toSet
+    val got = MultiModal.phashServeNearDups(
+        sigsOf(qIds).select("doc_id", "ahash"), root, maxHamming = 2)
+      .select("query_id", "match_id").as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.exists(p => p._1 != p._2), "fixture must plant matches")
+    // right-to-be-forgotten: deleted ids stop matching
+    val victim = ids2.head
+    MultiModal.phashStoreDelete(Seq(victim).toDF("doc_id"), root)
+    val after = MultiModal.phashServeNearDups(
+        sigsOf(qIds).select("doc_id", "ahash"), root, maxHamming = 2)
+      .select("match_id").as[Long].collect().toSet
+    assert(!after.contains(victim), "deleted doc still served")
+  }
+
   test("SyntheticImage: formats per residue, signature matches closed form") {
     val ids = (0L until 120L).filter(_ % 11 != 7)
     val docs = ids.map(id =>
