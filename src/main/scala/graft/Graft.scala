@@ -1169,6 +1169,19 @@ object Graft {
     MultiModal.videoNearDupPairs(docs, idCol, payloadCol, minShared,
       maxDf, maxFrames)
 
+  /** Near-frame video matching: frames paired within maxHamming
+    * bits through the shared pigeonhole banding on frame-keyed ids,
+    * aggregated per video pair — catches re-encodes exact
+    * fingerprint matching misses. */
+  def videoNearDupPairsBanded(docs: DataFrame,
+                              idCol: String = "doc_id",
+                              payloadCol: String = "payload",
+                              maxHamming: Int = 2,
+                              minShared: Long = 2L,
+                              maxFrames: Int = 64): DataFrame =
+    MultiModal.videoNearDupPairsBanded(docs, idCol, payloadCol,
+      maxHamming, minShared, maxFrames)
+
   /** Persisted perceptual-signature store: fold a shard's (doc_id,
     * ahash) signatures into one atomic keyed table (idempotent
     * merge; first shard bootstraps). Returns the store row count. */

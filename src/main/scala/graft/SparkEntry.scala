@@ -1711,11 +1711,22 @@ object SparkEntry {
       syntheticVideoPayloads(s, d), "doc_id", "payload",
       minShared = 2L, maxDf = 20L)
 
-  /** Shared oracle CTEs for the video frame-fingerprint family:
+  /** NEAR-FRAME video matching (round 14): frames paired within
+    * hamming 2 through the SAME row-group pigeonhole body on
+    * frame-keyed ids, aggregated per video pair — the banded
+    * composition the exact-match recipe's docstring describes, as an
+    * oracle-checked query (the oracle reuses the one shared banding
+    * tail on frame-keyed signatures). */
+  def qVideoFuzzy(s: SparkSession, d: String): DataFrame =
+    MultiModal.videoNearDupPairsBanded(
+      syntheticVideoPayloads(s, d), "doc_id", "payload",
+      maxHamming = 2, minShared = 2L)
+
+  /** Shared oracle prefix for the video frame-fingerprint family:
     * replay the SyntheticVideo pixel formula per (doc, frame) — at
-    * 8×8 each aHash grid cell IS one pixel — ending in
-    * `vsig(doc_id, f, k1, k2)`. */
-  private def videoFramesOracleCtes: String =
+    * 8×8 each aHash grid cell IS one pixel — ending in the
+    * per-(doc, frame, grid-row) byte table `vr`. */
+  private def videoFramePrefixCtes: String =
     s"""ids AS (
        |  SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v
        |  FROM documents WHERE doc_id % 11 <> 7 AND text IS NOT NULL
@@ -1742,12 +1753,28 @@ object SparkEntry {
        |  SELECT doc_id, f, y, CAST(sum(CASE WHEN p > mean
        |    THEN 1 << x ELSE 0 END) AS BIGINT) AS rb
        |  FROM px JOIN vmn USING (doc_id, f) GROUP BY doc_id, f, y
-       |), vsig AS (
+       |)""".stripMargin
+
+  /** …ending in `vsig(doc_id, f, k1, k2)` (the exact-match keys). */
+  private def videoFramesOracleCtes: String =
+    s"""$videoFramePrefixCtes, vsig AS (
        |  SELECT doc_id, f,
        |    ${(0 until 4).map(y => s"max(CASE WHEN y = $y THEN rb END) * ${1L << (8 * y)}").mkString(" + ")} AS k1,
        |    ${(4 until 8).map(y => s"max(CASE WHEN y = $y THEN rb END) * ${1L << (8 * (y - 4))}").mkString(" + ")} AS k2
        |  FROM vr GROUP BY doc_id, f
        |)""".stripMargin
+
+  /** …ending in `sig(doc_id, a0..a7)` with FRAME-KEYED ids
+    * (doc_id·64 + f) — feeds the shared row-group banding tail for
+    * the near-frame (fuzzy) video recipe. */
+  private def videoFuzzySigCtes: String = {
+    val pivotA = (0 until 8).map(y =>
+      s"max(CASE WHEN y = $y THEN rb END) AS a$y").mkString(", ")
+    s"""$videoFramePrefixCtes, sig AS (
+       |  SELECT doc_id * 64 + f AS doc_id, $pivotA
+       |  FROM vr GROUP BY doc_id, f
+       |)""".stripMargin
+  }
 
   /** Shared oracle CTEs for the image perceptual-hash family: replay
     * the SyntheticImage pixel formula (never the bytes), the 8×8
@@ -2402,6 +2429,7 @@ object SparkEntry {
     "q_epoch_schedule" -> (qEpochSchedule _),
     "q_video_frames" -> (qVideoFrames _),
     "q_video_neardup" -> (qVideoNeardup _),
+    "q_video_fuzzy" -> (qVideoFuzzy _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
@@ -5836,6 +5864,21 @@ object SparkEntry {
            |  ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
            |GROUP BY 1, 2
            |HAVING count(*) >= 2""".stripMargin,
+
+      // The near-frame recipe: the ONE shared banding tail runs on
+      // frame-keyed signatures (fid = doc_id·64 + f), then frame
+      // pairs aggregate per cross-video pair.
+      "q_video_fuzzy" ->
+        s"""WITH fpairs AS (
+           |${rowBandPairsOracleSql(videoFuzzySigCtes, maxHamming = 2)}
+           |)
+           |SELECT va AS doc_a, vb AS doc_b,
+           |  CAST(count(DISTINCT fa) AS BIGINT) AS shared_frames
+           |FROM (SELECT doc_a AS fa, doc_a // 64 AS va,
+           |        doc_b // 64 AS vb FROM fpairs)
+           |WHERE va < vb
+           |GROUP BY va, vb
+           |HAVING count(DISTINCT fa) >= 2""".stripMargin,
 
       // Replays the whole recipe: per-source totals, the (epoch,
       // source)-ordered unit prefix, the full-unit joins, the ONE

@@ -507,6 +507,51 @@ object MultiModal {
       dedupPerDoc = true)
   }
 
+  /** NEAR-FRAME video matching — the banded composition
+    * [[videoNearDupPairs]]'s docstring describes, as a first-class
+    * operator: each frame becomes a row keyed by
+    * `fid = doc_id·maxFrames + frame_idx` with its signature row
+    * bytes unpacked from the packed hash, the ONE
+    * [[rowBandedPairs]] pigeonhole body pairs FRAMES within
+    * `maxHamming` bits (recall 1.0 at the radius — catches
+    * re-encodes/brightness-curve edits exact matching misses), and
+    * the surviving frame pairs aggregate per video pair: a video
+    * pair ships when ≥ `minShared` DISTINCT frames of the lower-id
+    * video near-match some frame of the higher-id one. Same-video
+    * frame pairs are excluded. Ids must be non-negative and fit
+    * `2⁶³/maxFrames` (raise_error-enforced); frame keys of a
+    * cross-video pair always order with the video ids, so the
+    * banding's doc_a < doc_b convention captures every cross pair.
+    * The whole chain replays in integer SQL (q_video_fuzzy's
+    * oracle). */
+  def videoNearDupPairsBanded(docs: DataFrame, idCol: String,
+                              payloadCol: String, maxHamming: Int = 2,
+                              minShared: Long = 2L, maxFrames: Int = 64)
+  : DataFrame = {
+    require(minShared >= 1)
+    val maxId = Long.MaxValue / maxFrames
+    val fh = videoFrameHashes(docs, idCol, payloadCol, maxFrames)
+      .withColumn("vid", when(col("doc_id") >= 0L &&
+        col("doc_id") < maxId, col("doc_id")).otherwise(expr(
+        s"raise_error('videoNearDupPairsBanded: doc ids must be in [0, $maxId)')")))
+    val frameSigs = fh.select(
+      (col("vid") * maxFrames + col("frame_idx")).as("doc_id"),
+      array((0 until 8).map(j =>
+        shiftrightunsigned(col("ahash"), 8 * j)
+          .bitwiseAND(255L).cast("int")): _*).as("arows"),
+      col("ahash"))
+    rowBandedPairs(frameSigs, maxHamming)
+      .select(expr(s"doc_a DIV $maxFrames").as("va"),
+        col("doc_a").as("fa"),
+        expr(s"doc_b DIV $maxFrames").as("vb"))
+      .filter(col("va") < col("vb")) // cross-video pairs only
+      .groupBy("va", "vb")
+      .agg(countDistinct("fa").as("shared_frames"))
+      .select(col("va").as("doc_a"), col("vb").as("doc_b"),
+        col("shared_frames"))
+      .filter(col("shared_frames") >= minShared)
+  }
+
   private def phashTable(root: String) = s"$root/phash_signatures"
 
   /** PERSISTED perceptual-signature store — incremental multimodal

@@ -375,6 +375,9 @@ class FacadeSpec extends AnyFunSuite {
     val pairs = Graft.videoNearDupPairs(withPayload, minShared = 2L)
     assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "shared_frames"))
     assert(pairs.count() >= 0)
+    val fuzzy = Graft.videoNearDupPairsBanded(withPayload, minShared = 2L)
+    assert(fuzzy.columns.toSeq === Seq("doc_a", "doc_b", "shared_frames"))
+    assert(fuzzy.count() >= pairs.count()) // superset of uncapped-exact-ish
   }
 
   test("phash store facades delegate") {

@@ -268,6 +268,62 @@ class ImagePHashSpec extends AnyFunSuite {
     planted.foreach(p => assert(vPairs.contains(p), s"missing $p"))
   }
 
+  test("videoNearDupPairsBanded: catches per-frame drift exact matching misses; superset of uncapped exact") {
+    import graft.functions.SyntheticVideo
+    import graft.operators.MultiModal
+    val base = (seed: Int) => (x: Int, y: Int) =>
+      ((seed * 29 + 13) * (x * 7 + y * 11 + 3)) % 256
+    // every frame of B drifts one grid cell from A's — a re-encode /
+    // brightness-curve edit: zero EXACT frame matches, three near
+    // ones. The drift forces cell (3,5) ACROSS the frame's mean (to
+    // 0 if it was bright, 255 if dark), so that bit is guaranteed to
+    // flip; the mean itself moves by ≤ 4 units, so only
+    // mean-adjacent cells can drift along — hamming stays small
+    val drift = (seed: Int) => {
+      val b = base(seed)
+      val cells = for (y <- 0 until 8; x <- 0 until 8) yield b(x, y)
+      val mean = cells.map(_.toLong).sum / 64
+      val bright = b(3, 5) > mean
+      (x: Int, y: Int) =>
+        if (x == 3 && y == 5) (if (bright) 0 else 255) else b(x, y)
+    }
+    def stream(pixes: ((Int, Int) => Int)*) =
+      pixes.map(px => bmp(px, 8, 8, topDown = false)).reduce(_ ++ _)
+    val docs = Seq(
+      (0L, stream(base(1), base(2), base(3))),
+      (1L, stream(drift(1), drift(2), drift(3))),
+      (2L, stream(base(7), base(8), base(9)))
+    ).toDF("doc_id", "payload")
+    val exact = MultiModal
+      .videoNearDupPairs(docs, "doc_id", "payload", minShared = 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!exact.contains((0L, 1L)), "drifted frames must not match exactly")
+    val fuzzy = MultiModal
+      .videoNearDupPairsBanded(docs, "doc_id", "payload",
+        maxHamming = 3, minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(fuzzy.keySet.contains((0L, 1L)), s"fuzzy missed drift: $fuzzy")
+    assert(fuzzy((0L, 1L)) == 3L, "all three drifted frames should near-match")
+    assert(!fuzzy.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated video paired: $fuzzy")
+    // contract: fuzzy at any radius ⊇ the UNCAPPED exact pair set
+    // (an exactly-equal frame pair is within every radius)
+    val ids = (0L until 120L).filter(_ % 11 != 7)
+    val vd = ids.map(id => (id, SyntheticVideo.build(id, null)))
+      .toDF("doc_id", "payload")
+    val exactAll = MultiModal
+      .videoNearDupPairs(vd, "doc_id", "payload", minShared = 2L,
+        maxDf = 0L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fuzzyAll = MultiModal
+      .videoNearDupPairsBanded(vd, "doc_id", "payload",
+        maxHamming = 1, minShared = 2L)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exactAll.subsetOf(fuzzyAll),
+      s"fuzzy lost exact pairs: ${(exactAll -- fuzzyAll).take(5)}")
+  }
+
   test("phash store: idempotent upsert, frozen serve at the radius, delete forgets") {
     import graft.functions.SyntheticImage
     val root = java.nio.file.Files
