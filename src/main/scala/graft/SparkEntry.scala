@@ -1720,7 +1720,7 @@ object SparkEntry {
   def qVideoFuzzy(s: SparkSession, d: String): DataFrame =
     MultiModal.videoNearDupPairsBanded(
       syntheticVideoPayloads(s, d), "doc_id", "payload",
-      maxHamming = 2, minShared = 2L)
+      maxHamming = 2, minShared = 2L, maxDf = 20L)
 
   /** Shared oracle prefix for the video frame-fingerprint family:
     * replay the SyntheticVideo pixel formula per (doc, frame) — at
@@ -1770,9 +1770,16 @@ object SparkEntry {
   private def videoFuzzySigCtes: String = {
     val pivotA = (0 until 8).map(y =>
       s"max(CASE WHEN y = $y THEN rb END) AS a$y").mkString(", ")
-    s"""$videoFramePrefixCtes, sig AS (
+    val aCols = (0 until 8).map(y => s"a$y").mkString(", ")
+    s"""$videoFramePrefixCtes, sig0 AS (
        |  SELECT doc_id * 64 + f AS doc_id, $pivotA
        |  FROM vr GROUP BY doc_id, f
+       |), rare AS (
+       |  SELECT $aCols FROM (
+       |    SELECT DISTINCT doc_id // 64 AS vid, $aCols FROM sig0)
+       |  GROUP BY $aCols HAVING count(*) <= 20
+       |), sig AS (
+       |  SELECT sig0.* FROM sig0 JOIN rare USING ($aCols)
        |)""".stripMargin
   }
 
@@ -5873,12 +5880,13 @@ object SparkEntry {
            |${rowBandPairsOracleSql(videoFuzzySigCtes, maxHamming = 2)}
            |)
            |SELECT va AS doc_a, vb AS doc_b,
-           |  CAST(count(DISTINCT fa) AS BIGINT) AS shared_frames
-           |FROM (SELECT doc_a AS fa, doc_a // 64 AS va,
+           |  CAST(least(count(DISTINCT fa), count(DISTINCT fb))
+           |    AS BIGINT) AS shared_frames
+           |FROM (SELECT doc_a AS fa, doc_b AS fb, doc_a // 64 AS va,
            |        doc_b // 64 AS vb FROM fpairs)
            |WHERE va < vb
            |GROUP BY va, vb
-           |HAVING count(DISTINCT fa) >= 2""".stripMargin,
+           |HAVING least(count(DISTINCT fa), count(DISTINCT fb)) >= 2""".stripMargin,
 
       // Replays the whole recipe: per-source totals, the (epoch,
       // source)-ordered unit prefix, the full-unit joins, the ONE

@@ -813,6 +813,11 @@ object VersionedStore {
   def overwrite(df: DataFrame, root: String): Long =
     commit(df, root, "overwrite", carryPrev = false)
 
+  /** Total row count of the latest snapshot — pure manifest metadata
+    * (the per-commit footer-stats sum), no Spark job, no data read. */
+  def rowCount(spark: SparkSession, root: String): Long =
+    readManifest(spark, root, latestVersion(spark, root)).rows
+
   /** MERGE (upsert) by key: rows in `updates` replace current rows
     * with the same key tuple; unmatched update rows are inserted.
     * Copy-on-write over the TOUCHED files only: the manifest's

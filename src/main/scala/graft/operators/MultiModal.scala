@@ -369,19 +369,19 @@ object MultiModal {
                         payloadCol: String, maxHamming: Int = 2)
   : DataFrame =
     rowBandedPairs(imagePHashSignatures(docs, idCol, payloadCol)
-      .select("doc_id", "arows", "ahash"), maxHamming)
+      .select("doc_id", "ahash"), maxHamming)
 
-  /** The ONE row-group pigeonhole pair body both perceptual-hash
-    * modalities feed (image aHash / audio energy hash): `sigs` =
-    * (doc_id, arows array of 8 non-negative row bytes, ahash = the
-    * packed 64-bit long). `maxHamming + 1` groups of signature rows
-    * become band keys (≤ 3 rows ⇒ ≤ 24 bits, non-negative — the
-    * DuckDB-portable form); a pair within the radius always shares
-    * an untouched group (recall 1.0 by construction); the exact
-    * 64-bit popcount filters for precision. One repartition exchange
-    * feeds both self-join sides. */
-  private[graft] def rowBandedPairs(sigs: DataFrame,
-                                        maxHamming: Int): DataFrame = {
+  /** The ONE band-key derivation every pigeonhole consumer shares
+    * ([[rowBandedPairs]]' self-join and [[phashServeNearDups]]'
+    * two-table serve — a banding-scheme change lands in exactly one
+    * place): `maxHamming + 1` groups of the signature's 8 row bytes
+    * become (band, key) structs — keys ≤ 4 bytes ⇒ ≤ 32 bits,
+    * carried as non-negative longs (the DuckDB-portable form; the
+    * oracle derives the IDENTICAL keys from the row bytes, since
+    * byte j of the packed hash IS signature row j). */
+  private def bandedExplode(ahash: org.apache.spark.sql.Column,
+                            maxHamming: Int)
+  : org.apache.spark.sql.Column = {
     require(maxHamming >= 1 && maxHamming <= 7,
       s"maxHamming must be in [1, 7], got $maxHamming")
     val nBands = maxHamming + 1
@@ -389,13 +389,24 @@ object MultiModal {
     val widths = (0 until nBands).map(b =>
       8 / nBands + (if (b < 8 % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(ahash, 8 * offsets(b))
+          .bitwiseAND((1L << (8 * widths(b))) - 1).as("key"))
+    }: _*))
+  }
+
+  /** The ONE row-group pigeonhole pair body both perceptual-hash
+    * modalities feed (image aHash / audio energy hash): `sigs` =
+    * (doc_id, ahash = the packed 64-bit signature; extra columns
+    * ignored). A pair within the radius always shares an untouched
+    * band-key group (recall 1.0 by construction); the exact 64-bit
+    * popcount filters for precision. One repartition exchange feeds
+    * both self-join sides. */
+  private[graft] def rowBandedPairs(sigs: DataFrame,
+                                        maxHamming: Int): DataFrame = {
     val banded = sigs.select(col("doc_id"), col("ahash"),
-        explode(array((0 until nBands).map { b =>
-          val key = (0 until widths(b)).map(j =>
-            element_at(col("arows"), offsets(b) + j + 1).cast("long") *
-              (1L << (8 * j))).reduce(_ + _)
-          struct(lit(b).as("band"), key.as("key"))
-        }: _*)).as("bk"))
+        bandedExplode(col("ahash"), maxHamming).as("bk"))
       .select(col("doc_id"), col("ahash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
       .repartition(col("band"), col("key"))
@@ -443,7 +454,7 @@ object MultiModal {
                         payloadCol: String, maxHamming: Int = 2)
   : DataFrame =
     rowBandedPairs(audioPHashSignatures(docs, idCol, payloadCol)
-      .select("doc_id", "arows", "ahash"), maxHamming)
+      .select("doc_id", "ahash"), maxHamming)
 
   /** Per-frame fingerprints from a VIDEO frame stream (consecutive
     * uncompressed 24-bit BMP frames — compressed video rides the
@@ -516,9 +527,13 @@ object MultiModal {
     * `maxHamming` bits (recall 1.0 at the radius — catches
     * re-encodes/brightness-curve edits exact matching misses), and
     * the surviving frame pairs aggregate per video pair: a video
-    * pair ships when ≥ `minShared` DISTINCT frames of the lower-id
-    * video near-match some frame of the higher-id one. Same-video
-    * frame pairs are excluded. Ids must be non-negative and fit
+    * pair ships when the SYMMETRIC shared count — the smaller of
+    * the two sides' distinct near-matched frame counts, so the
+    * result cannot depend on which video drew the lower id — is
+    * ≥ `minShared`. Frames whose exact signature appears in more
+    * than `maxDf` videos are dropped first (the boilerplate-frame
+    * guard the exact recipe uses). Same-video frame pairs are
+    * excluded. Ids must be non-negative and fit
     * `2⁶³/maxFrames` (raise_error-enforced); frame keys of a
     * cross-video pair always order with the video ids, so the
     * banding's doc_a < doc_b convention captures every cross pair.
@@ -526,7 +541,8 @@ object MultiModal {
     * oracle). */
   def videoNearDupPairsBanded(docs: DataFrame, idCol: String,
                               payloadCol: String, maxHamming: Int = 2,
-                              minShared: Long = 2L, maxFrames: Int = 64)
+                              minShared: Long = 2L, maxDf: Long = 100L,
+                              maxFrames: Int = 64)
   : DataFrame = {
     require(minShared >= 1)
     val maxId = Long.MaxValue / maxFrames
@@ -534,19 +550,37 @@ object MultiModal {
       .withColumn("vid", when(col("doc_id") >= 0L &&
         col("doc_id") < maxId, col("doc_id")).otherwise(expr(
         s"raise_error('videoNearDupPairsBanded: doc ids must be in [0, $maxId)')")))
-    val frameSigs = fh.select(
+    // df-cap BEFORE banding (the exact recipe's boilerplate guard,
+    // applied here too): frames whose EXACT signature appears in
+    // more than maxDf videos — black frames, title cards — are
+    // dropped from candidate generation. The cap is on exact hashes;
+    // near-identical-but-distinct boilerplate at extreme multiplicity
+    // would additionally need band-key capping (not offered — at
+    // that scale pre-partition by a coarse content key first).
+    val capped =
+      if (maxDf <= 0) fh
+      else {
+        val rare = fh.select("vid", "ahash").distinct()
+          .groupBy("ahash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("ahash")
+        fh.join(rare, Seq("ahash"))
+      }
+    val frameSigs = capped.select(
       (col("vid") * maxFrames + col("frame_idx")).as("doc_id"),
-      array((0 until 8).map(j =>
-        shiftrightunsigned(col("ahash"), 8 * j)
-          .bitwiseAND(255L).cast("int")): _*).as("arows"),
       col("ahash"))
+    // SYMMETRIC shared count — min of the distinct matched frames on
+    // each side — so whether a pair ships cannot depend on which
+    // video drew the lower id (one frame of B matching two frames of
+    // A counts once, whichever side is "a")
     rowBandedPairs(frameSigs, maxHamming)
       .select(expr(s"doc_a DIV $maxFrames").as("va"),
         col("doc_a").as("fa"),
-        expr(s"doc_b DIV $maxFrames").as("vb"))
+        expr(s"doc_b DIV $maxFrames").as("vb"),
+        col("doc_b").as("fb"))
       .filter(col("va") < col("vb")) // cross-video pairs only
       .groupBy("va", "vb")
-      .agg(countDistinct("fa").as("shared_frames"))
+      .agg(least(countDistinct("fa"), countDistinct("fb"))
+        .as("shared_frames"))
       .select(col("va").as("doc_a"), col("vb").as("doc_b"),
         col("shared_frames"))
       .filter(col("shared_frames") >= minShared)
@@ -556,15 +590,20 @@ object MultiModal {
 
   /** PERSISTED perceptual-signature store — incremental multimodal
     * dedup at 100 TB: decode each arriving shard ONCE
-    * ([[imagePHashSignatures]] / [[audioPHashSignatures]] /
-    * [[videoFrameHashes]] — any (doc_id, ahash) signature source),
-    * fold the signatures into ONE atomic
-    * [[graft.offline.VersionedStore]] table keyed by doc_id (merge is
-    * idempotent — a replayed shard rewrites the same rows, the seed
-    * store precedent), and serve new payloads against the FROZEN
-    * store without ever re-decoding the corpus. NULL ids fail loudly
-    * in-plan rather than corrupting the keyed merge. Returns the
-    * store row count after the merge. */
+    * ([[imagePHashSignatures]] / [[audioPHashSignatures]] — any
+    * source whose (doc_id, ahash) rows are UNIQUE per doc_id; video
+    * frame sources must key by frame first, `doc_id·maxFrames +
+    * frame_idx`, the [[videoNearDupPairsBanded]] convention — a
+    * multi-row-per-id upsert would break the keyed invariant), fold
+    * the signatures into ONE atomic [[graft.offline.VersionedStore]]
+    * table keyed by doc_id (merge is idempotent — a replayed shard
+    * rewrites the same rows, the seed store precedent), and serve
+    * new payloads against the FROZEN store without ever re-decoding
+    * the corpus. The first shard bootstraps through the ATOMIC
+    * `create` — a concurrent bootstrap loses with CommitConflict and
+    * falls back to merge, so no racer's rows are ever silently
+    * replaced. NULL ids fail loudly in-plan. Returns the store row
+    * count after the merge (manifest metadata — no table scan). */
   def phashStoreUpsert(sigs: DataFrame, root: String): Long = {
     import graft.offline.VersionedStore
     val spark = sigs.sparkSession
@@ -573,12 +612,18 @@ object MultiModal {
         "raise_error('phash store: doc ids must be non-null')"))
         .as("doc_id"),
       col("ahash").cast("long").as("ahash"))
-    // first shard bootstraps the table; merge thereafter
     if (VersionedStore.latestVersion(spark, phashTable(root)) < 0L)
-      VersionedStore.overwrite(rows, phashTable(root))
+      try VersionedStore.create(rows, phashTable(root))
+      catch {
+        // a racer claimed version 0 between the check and the commit
+        // (CommitConflict from the pinned create, or the create's own
+        // already-exists guard) — fold into the winner's table instead
+        case _: VersionedStore.CommitConflict | _: IllegalArgumentException =>
+          VersionedStore.merge(rows, phashTable(root), Seq("doc_id"))
+      }
     else
       VersionedStore.merge(rows, phashTable(root), Seq("doc_id"))
-    VersionedStore.read(spark, phashTable(root)).count()
+    VersionedStore.rowCount(spark, phashTable(root))
   }
 
   /** Right-to-be-forgotten for the signature store: remove the given
@@ -605,19 +650,11 @@ object MultiModal {
     val spark = querySigs.sparkSession
     val store = graft.offline.VersionedStore
       .read(spark, phashTable(root))
-    val nBands = maxHamming + 1
-    val widths = (0 until nBands).map(b =>
-      8 / nBands + (if (b < 8 % nBands) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
     def banded(df: DataFrame, idAlias: String, hashAlias: String)
     : DataFrame =
       df.select(col("doc_id").as(idAlias),
           col("ahash").cast("long").as(hashAlias),
-          explode(array((0 until nBands).map { b =>
-            struct(lit(b).as("band"),
-              shiftrightunsigned(col("ahash"), 8 * offsets(b))
-                .bitwiseAND((1L << (8 * widths(b))) - 1).as("key"))
-          }: _*)).as("bk"))
+          bandedExplode(col("ahash").cast("long"), maxHamming).as("bk"))
         .select(col(idAlias), col(hashAlias),
           col("bk.band").as("band"), col("bk.key").as("key"))
     banded(querySigs.select("doc_id", "ahash"), "query_id", "q_hash")
