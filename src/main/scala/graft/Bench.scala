@@ -91,7 +91,7 @@ object Bench {
     val sorted = names.sorted
     def ms2(v: Double): Double = math.rint(v * 100) / 100
     def vec(m: Map[String, Double]): String =
-      sorted.map(n => ms2(m(n))).mkString("[", ",", "]")
+      sorted.map(n => ms2(m.getOrElse(n, -1.0))).mkString("[", ",", "]")
     // Round 12: the artifact carries its own NOISE VERDICT. Three
     // rounds running the recorded take misstated the engine by 40%+
     // because box-state noise (unchanged plans disagreeing >2x
@@ -126,9 +126,11 @@ object Bench {
     // pass sums (kept alongside for continuity) have overstated the
     // engine by 40%+ whenever the box was noisy. Round 14: min over
     // THREE passes (first-JIT tails that survived two).
-    val minPass: Map[String, Double] = sorted.map { n =>
+    // all-failed queries are OMITTED (not a -1.0 sentinel) so
+    // consumers summing queries_min directly match total_min
+    val minPass: Map[String, Double] = sorted.flatMap { n =>
       val ok = passes.map(_(n)).filter(_ > 0)
-      n -> (if (ok.nonEmpty) ok.min else passes.map(_(n)).max)
+      if (ok.nonEmpty) Some(n -> ok.min) else None
     }.toMap
     val totalMin = minPass.values.filter(_ > 0).sum
     try {

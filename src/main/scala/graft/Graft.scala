@@ -1178,9 +1178,11 @@ object Graft {
                               payloadCol: String = "payload",
                               maxHamming: Int = 2,
                               minShared: Long = 2L,
+                              maxDf: Long = 100L,
                               maxFrames: Int = 64): DataFrame =
     MultiModal.videoNearDupPairsBanded(docs, idCol, payloadCol,
-      maxHamming, minShared, maxFrames)
+      maxHamming = maxHamming, minShared = minShared,
+      maxDf = maxDf, maxFrames = maxFrames)
 
   /** Persisted perceptual-signature store: fold a shard's (doc_id,
     * ahash) signatures into one atomic keyed table (idempotent

@@ -212,7 +212,12 @@ object ImagePHash {
       d += 1
     }
     if (i >= b.length) return null
-    i += 1 // the single whitespace byte after maxval
+    // the single separator byte after maxval MUST be whitespace
+    // (P6 spec) — anything else means the header is malformed and
+    // decoding would read pixel data shifted by the bad byte
+    if (b(i) != ' ' && b(i) != '\t' && b(i) != '\n' && b(i) != '\r')
+      return null
+    i += 1
     val (w, h, maxVal) = (dims(0), dims(1), dims(2))
     if (maxVal < 1 || maxVal > 255) return null // 2-byte samples: no
     if (w < 8 || h < 8 || w > (1 << 14) || h > (1 << 14)) return null

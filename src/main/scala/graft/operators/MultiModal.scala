@@ -327,9 +327,15 @@ object MultiModal {
   def imagePHashSignatures(docs: DataFrame, idCol: String,
                            payloadCol: String): DataFrame = {
     val ph = graft.functions.ImagePHash.imagePHash(col(payloadCol))
-    docs.withColumn("_p", ph)
+    // explode(array(decode)) is a deliberate generator barrier: a
+    // plain withColumn+filter lets the optimizer push the quarantine
+    // predicate BELOW the projection, re-invoking the O(W·H) decode
+    // in the Filter condition — a 2× decode per row. Predicates on
+    // generator output are never pushed through Generate, so the
+    // decode runs exactly ONCE per payload (PlanSpec pins this).
+    docs.select(col(idCol).as("_id"), explode(array(ph)).as("_p"))
       .filter(col("_p").isNotNull)
-      .select(col(idCol).as("doc_id"),
+      .select(col("_id").as("doc_id"),
         col("_p.format").as("format"),
         col("_p.width").cast("long").as("width"),
         col("_p.height").cast("long").as("height"),
@@ -405,7 +411,17 @@ object MultiModal {
     * both self-join sides. */
   private[graft] def rowBandedPairs(sigs: DataFrame,
                                         maxHamming: Int): DataFrame = {
-    val banded = sigs.select(col("doc_id"), col("ahash"),
+    // DECODE ONCE: materialize the signature projection (16 B/doc)
+    // before the fan-out. The repartition-reuse shape alone does NOT
+    // survive AQE — its broadcast conversion re-plans one self-join
+    // side and defeats ReuseExchange, shipping plans that re-run the
+    // scan→decode subtree per side (2-5× the dominant payload-decode
+    // cost at media scale). A lazy localCheckpoint pins ONE decode
+    // pass; every consumer reads the tiny ExistingRDD (the
+    // minhashMd5Pairs precedent). PlanSpec gates the scan count.
+    val sig = sigs.select(col("doc_id"), col("ahash"))
+      .localCheckpoint(false)
+    val banded = sig.select(col("doc_id"), col("ahash"),
         bandedExplode(col("ahash"), maxHamming).as("bk"))
       .select(col("doc_id"), col("ahash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
@@ -434,9 +450,11 @@ object MultiModal {
   def audioPHashSignatures(docs: DataFrame, idCol: String,
                            payloadCol: String): DataFrame = {
     val ph = graft.functions.AudioPHash.audioPHash(col(payloadCol))
-    docs.withColumn("_p", ph)
+    // generator barrier — see [[imagePHashSignatures]]: keeps the
+    // quarantine filter ABOVE the decode so PCM parses once per row
+    docs.select(col(idCol).as("_id"), explode(array(ph)).as("_p"))
       .filter(col("_p").isNotNull)
-      .select(col(idCol).as("doc_id"),
+      .select(col("_id").as("doc_id"),
         col("_p.sample_rate").cast("long").as("sample_rate"),
         col("_p.channels").cast("long").as("channels"),
         col("_p.n_samples").cast("long").as("n_samples"),
@@ -472,10 +490,14 @@ object MultiModal {
                        payloadCol: String, maxFrames: Int = 64)
   : DataFrame = {
     require(maxFrames >= 1)
-    docs.withColumn("_f", graft.functions.ImageFrameHashes
-        .imageFrameHashes(col(payloadCol), maxFrames))
-      .filter(col("_f").isNotNull)
-      .select(col(idCol).as("doc_id"), explode(col("_f")).as("fh"))
+    // explode the decode DIRECTLY: a generator's input evaluates once
+    // per row, and explode skips NULL/empty arrays — which IS the
+    // whole-stream quarantine contract. The former withColumn+filter
+    // shape let the optimizer push the NULL check below the
+    // projection, re-running the O(total pixels) frame walk twice.
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.ImageFrameHashes
+          .imageFrameHashes(col(payloadCol), maxFrames)).as("fh"))
       .select(col("doc_id"), col("fh.frame_idx").as("frame_idx"),
         col("fh.ahash").as("ahash"), col("fh.k1").as("k1"),
         col("fh.k2").as("k2"))
@@ -510,10 +532,15 @@ object MultiModal {
   : DataFrame = {
     require(minShared >= 1)
     // ahash IS (k1, k2) bijectively — one join key; the oracle keeps
-    // the k1/k2 split only for signed-SQL portability
+    // the k1/k2 split only for signed-SQL portability.
+    // localCheckpoint: the frame-hash projection feeds FIVE plan
+    // consumers downstream (per-video dedup, df-cap build, df-cap
+    // semi-join, both self-join sides) and AQE's broadcast
+    // conversion defeats exchange reuse — pin ONE frame-stream
+    // decode pass (24 B/frame) and let every consumer read it.
     Dedup.invertedIndexPairs(
       videoFrameHashes(docs, idCol, payloadCol, maxFrames)
-        .select("doc_id", "ahash"),
+        .select("doc_id", "ahash").localCheckpoint(false),
       Seq("ahash"), minShared, maxDf, "shared_frames",
       dedupPerDoc = true)
   }
@@ -546,10 +573,15 @@ object MultiModal {
   : DataFrame = {
     require(minShared >= 1)
     val maxId = Long.MaxValue / maxFrames
+    // decode once: the frame hashes feed the df-cap build, its
+    // semi-join, and (through rowBandedPairs' own checkpoint) the
+    // banding — pin the single frame-stream decode pass here
     val fh = videoFrameHashes(docs, idCol, payloadCol, maxFrames)
       .withColumn("vid", when(col("doc_id") >= 0L &&
         col("doc_id") < maxId, col("doc_id")).otherwise(expr(
         s"raise_error('videoNearDupPairsBanded: doc ids must be in [0, $maxId)')")))
+      .select("vid", "frame_idx", "ahash")
+      .localCheckpoint(false)
     // df-cap BEFORE banding (the exact recipe's boilerplate guard,
     // applied here too): frames whose EXACT signature appears in
     // more than maxDf videos — black frames, title cards — are

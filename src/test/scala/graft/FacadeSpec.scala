@@ -378,6 +378,16 @@ class FacadeSpec extends AnyFunSuite {
     val fuzzy = Graft.videoNearDupPairsBanded(withPayload, minShared = 2L)
     assert(fuzzy.columns.toSeq === Seq("doc_a", "doc_b", "shared_frames"))
     assert(fuzzy.count() >= pairs.count()) // superset of uncapped-exact-ish
+    // non-default maxFrames/maxDf must bind to the RIGHT params — an
+    // Int-to-Long widening once silently bound maxFrames to maxDf
+    // (r14 ADVICE); facade == operator with every dial non-default
+    val fz2 = Graft.videoNearDupPairsBanded(withPayload,
+      maxHamming = 1, minShared = 1L, maxDf = 7L, maxFrames = 5)
+    val op2 = graft.operators.MultiModal.videoNearDupPairsBanded(
+      withPayload, "doc_id", "payload",
+      maxHamming = 1, minShared = 1L, maxDf = 7L, maxFrames = 5)
+    assert(fz2.count() == op2.count())
+    assert(fz2.except(op2).isEmpty && op2.except(fz2).isEmpty)
   }
 
   test("phash store facades delegate") {

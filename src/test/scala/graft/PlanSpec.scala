@@ -586,6 +586,45 @@ class PlanSpec extends AnyFunSuite {
       s"rank propagation must equi-join on node id:\n$plan")
   }
 
+  test("perceptual signatures: the payload decode runs exactly ONCE per row") {
+    // the quarantine filter must sit ABOVE the decode projection
+    // (the explode(array(decode)) generator barrier): a pushed-down
+    // NULL check re-invokes the O(payload-bytes) decode inside the
+    // Filter condition — a 2× decode per row on the dominant cost
+    // term at media scale. Gate: the decode expression appears
+    // exactly once in the physical plan.
+    Seq(
+      ("graft_image_phash", SparkEntry.qImageAhash(spark, TestSpark.sfDir)),
+      ("graft_audio_phash", SparkEntry.qAudioAhash(spark, TestSpark.sfDir)),
+      ("graft_image_frame_hashes", SparkEntry.qVideoFrames(spark, TestSpark.sfDir))
+    ).foreach { case (fn, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(fn.r.findAllIn(plan).length == 1,
+        s"$fn must be invoked once per row:\n$plan")
+    }
+  }
+
+  test("perceptual pair queries: ONE decode pass — every consumer reads the checkpointed signatures") {
+    // AQE's broadcast conversion defeats ReuseExchange on the banded
+    // self-join, so without the signature localCheckpoint the shipped
+    // plans re-ran scan→decode 2-5× (r14 verdict). Gate: after
+    // materialization, the final adaptive plan scans NO parquet —
+    // both join sides (and the video df-cap) read the ExistingRDD.
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      ("q_image_neardup", SparkEntry.qImageNeardup(spark, TestSpark.sfDir)),
+      ("q_audio_neardup", SparkEntry.qAudioNeardup(spark, TestSpark.sfDir)),
+      ("q_video_neardup", SparkEntry.qVideoNeardup(spark, TestSpark.sfDir)),
+      ("q_video_fuzzy", SparkEntry.qVideoFuzzy(spark, TestSpark.sfDir))
+    ).foreach { case (n, df) =>
+      df.count() // materialize: lazy checkpoint + final adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$n must read the checkpointed signatures:\n$plan")
+      assert(!plan.contains("Scan parquet"),
+        s"$n re-scans the corpus past the checkpoint:\n$plan")
+    }
+  }
+
   test("q_trustrank / q_trust_select: seed teleport and budget cut stay cartesian-free") {
     // trust flows from a localCheckpoint chain with unknown size
     // stats, so the small-side broadcast is AQE's runtime conversion,
