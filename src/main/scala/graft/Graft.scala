@@ -1137,6 +1137,15 @@ object Graft {
                         maxHamming: Int = 2): DataFrame =
     MultiModal.imageNearDupPairs(docs, idCol, payloadCol, maxHamming)
 
+  /** WIDE-SIGNATURE image near-dup pairs for corpora past ~10⁷
+    * payloads: 128-bit aHash ‖ dHash banding with 40-48-bit band
+    * keys, pair radius = COMBINED hamming over both hash words;
+    * `maxHamming` ∈ [1, 15]. */
+  def imageNearDupPairsWide(docs: DataFrame, idCol: String = "doc_id",
+                            payloadCol: String = "payload",
+                            maxHamming: Int = 2): DataFrame =
+    MultiModal.imageNearDupPairsWide(docs, idCol, payloadCol, maxHamming)
+
   /** Per-payload audio energy-hash signatures from REAL PCM decode
     * (WAV chunk walk, 16-bit samples, exact mono mix) — one codegen
     * projection, unparseable payloads dropped (quarantine). */

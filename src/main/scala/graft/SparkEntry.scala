@@ -1635,6 +1635,16 @@ object SparkEntry {
     MultiModal.imageNearDupPairs(
       syntheticPixelPayloads(s, d), "doc_id", "payload", maxHamming = 2)
 
+  /** WIDE-SIGNATURE image near-dup pairs (round 15) — the scale move
+    * past ~10⁷ images: banding over the 128-bit aHash ‖ dHash
+    * signature with 40-48-bit band keys and the COMBINED popcount
+    * radius. Same construction, same decoded signatures — the oracle
+    * replays both hash grids and the wide banding arithmetic in
+    * portable integer SQL. */
+  def qImageNeardupWide(s: SparkSession, d: String): DataFrame =
+    MultiModal.imageNearDupPairsWide(
+      syntheticPixelPayloads(s, d), "doc_id", "payload", maxHamming = 2)
+
   /** MULTI-EPOCH DATA RECIPE (round 14, Muennighoff et al. 2023's
     * data-constrained regime): fill a 50k-token budget with
     * source-epoch units — epoch 1 of every source, then epoch 2, … —
@@ -1824,14 +1834,15 @@ object SparkEntry {
        |)""".stripMargin
   }
 
-  /** q_image_ahash oracle: the aHash CTEs plus the 9×8
-    * nearest-sample dHash grid (sampled pixels re-derived from the
-    * SAME closed-form formula) → per-doc signature row bytes. */
-  private def imageAhashOracleSql: String = {
+  /** The 9×8 nearest-sample dHash grid CTEs (sampled pixels
+    * re-derived from the SAME closed-form formula), ending in
+    * `dsig(doc_id, d0..d7)` — shared by q_image_ahash and the
+    * wide-signature banding oracle. Appends to
+    * [[imageAhashOracleCtes]] (needs its `dims`). */
+  private def imageDhashOracleCtes: String = {
     val pivotD = (0 until 8).map(i =>
       s"max(CASE WHEN gy = $i THEN drow END) AS d$i").mkString(", ")
-    s"""WITH $imageAhashOracleCtes,
-       |dg AS (
+    s"""dg AS (
        |  SELECT doc_id, gy, gx9,
        |    (m * (3 + 7 * ((gx9 * w) // 9) + 11 * ((gy * h) // 8)) +
        |     CASE WHEN v > 0
@@ -1852,12 +1863,18 @@ object SparkEntry {
        |  FROM db WHERE gx < 8 GROUP BY doc_id, gy
        |), dsig AS (
        |  SELECT doc_id, $pivotD FROM dr GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  /** q_image_ahash oracle: the aHash CTEs plus the dHash grid →
+    * per-doc signature row bytes. */
+  private def imageAhashOracleSql: String =
+    s"""WITH $imageAhashOracleCtes,
+       |$imageDhashOracleCtes
        |SELECT doc_id, CAST(w AS BIGINT) AS width,
        |  CAST(h AS BIGINT) AS height,
        |  a0, a1, a2, a3, a4, a5, a6, a7, d0, d1, d2, d3, d4, d5, d6, d7
        |FROM dims JOIN sig USING (doc_id) JOIN dsig USING (doc_id)""".stripMargin
-  }
 
   /** The ONE row-group banding + hamming oracle tail both perceptual
     * families share (the [[MultiModal.rowBandedPairs]] arithmetic in
@@ -1888,6 +1905,42 @@ object SparkEntry {
        |SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
        |FROM cand JOIN sig x ON doc_a = x.doc_id
        |  JOIN sig y ON doc_b = y.doc_id
+       |WHERE $ham <= $maxHamming""".stripMargin
+  }
+
+  /** The 128-bit twin of [[rowBandPairsOracleSql]]
+    * ([[MultiModal.rowBandedPairsWide]]'s arithmetic in SQL):
+    * appends to a CTE block ending in `sig16(doc_id, a0..a7,
+    * d0..d7)` the `max(maxHamming+1, 3)` row groups over the 16
+    * signature bytes (≤ 6-byte keys — the same width derivation as
+    * the operator), the band equi-join candidates, and the exact
+    * COMBINED popcount filter over both hash words. */
+  private def rowBandPairsWideOracleSql(sigCtes: String,
+                                        maxHamming: Int): String = {
+    val nBands = math.max(maxHamming + 1, 3)
+    val widths = (0 until nBands).map(b =>
+      16 / nBands + (if (b < 16 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def rb(j: Int) = if (j < 8) s"a$j" else s"d${j - 8}"
+    val bandSelects = (0 until nBands).map { b =>
+      val key = (0 until widths(b)).map(j =>
+        s"${rb(offsets(b) + j)} * ${1L << (8 * j)}").mkString(" + ")
+      s"SELECT doc_id, $b AS band, $key AS key FROM sig16"
+    }.mkString("\n|  UNION ALL ")
+    val ham = ((0 until 8).map(i => s"bit_count(xor(x.a$i, y.a$i))") ++
+               (0 until 8).map(i => s"bit_count(xor(x.d$i, y.d$i))"))
+      .mkString(" + ")
+    s"""WITH $sigCtes,
+       |bk AS (
+       |  $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+       |    AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
+       |FROM cand JOIN sig16 x ON doc_a = x.doc_id
+       |  JOIN sig16 y ON doc_b = y.doc_id
        |WHERE $ham <= $maxHamming""".stripMargin
   }
 
@@ -2431,6 +2484,7 @@ object SparkEntry {
     "q_media_meta" -> (qMediaMeta _),
     "q_image_ahash" -> (qImageAhash _),
     "q_image_neardup" -> (qImageNeardup _),
+    "q_image_neardup_wide" -> (qImageNeardupWide _),
     "q_audio_ahash" -> (qAudioAhash _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_epoch_schedule" -> (qEpochSchedule _),
@@ -5836,6 +5890,17 @@ object SparkEntry {
       // contract (construction → decode → hash → banding → pairs).
       "q_image_neardup" ->
         rowBandPairsOracleSql(imageAhashOracleCtes, maxHamming = 2),
+
+      // The 128-bit wide-banding twin: both hash grids re-derived
+      // from the construction formula, the ≤6-byte row-group keys,
+      // and the combined popcount radius — one CTE block ending in
+      // sig16(doc_id, a0..a7, d0..d7).
+      "q_image_neardup_wide" ->
+        rowBandPairsWideOracleSql(
+          s"""$imageAhashOracleCtes,
+             |$imageDhashOracleCtes, sig16 AS (
+             |  SELECT * FROM sig JOIN dsig USING (doc_id)
+             |)""".stripMargin, maxHamming = 2),
 
       // Ground truth for the PCM decoder (the image family's audio
       // twin): the signature derived from the SyntheticWav sample

@@ -377,6 +377,71 @@ object MultiModal {
     rowBandedPairs(imagePHashSignatures(docs, idCol, payloadCol)
       .select("doc_id", "ahash"), maxHamming)
 
+  /** WIDE-SIGNATURE image near-dup pairs — the documented scale move
+    * for corpora past ~10⁷ payloads, where [[imageNearDupPairs]]'
+    * 8-24-bit band keys stop selecting: the 128-bit signature
+    * aHash ‖ dHash (16 row bytes) is banded into
+    * `max(maxHamming+1, 3)` row groups of ≤ 6 bytes each, so every
+    * band key carries 40-48 bits at the default radius — ~10⁵× the
+    * selectivity — and a pair ships when the COMBINED hamming
+    * distance (aHash bits + dHash bits) is within `maxHamming`.
+    * Recall 1.0 at the combined radius by the same pigeonhole
+    * argument (`maxHamming` flips touch at most `maxHamming` groups;
+    * the 3-group floor keeps keys ≤ 48 bits — non-negative longs,
+    * the DuckDB-portable rule — while still leaving one group
+    * untouched at radius ≤ 2 with nBands = 3). Combining both
+    * hashes also tightens precision: brightness-plane collisions
+    * that alias under aHash alone separate under the gradient dHash.
+    * The whole chain replays in portable integer SQL
+    * (q_image_neardup_wide's oracle). `maxHamming` ∈ [1, 15]. */
+  def imageNearDupPairsWide(docs: DataFrame, idCol: String,
+                            payloadCol: String, maxHamming: Int = 2)
+  : DataFrame =
+    rowBandedPairsWide(imagePHashSignatures(docs, idCol, payloadCol)
+      .select("doc_id", "ahash", "dhash"), maxHamming)
+
+  /** The 128-bit twin of [[rowBandedPairs]]: `sigs` = (doc_id,
+    * ahash, dhash — two packed 64-bit signature words = 16 row
+    * bytes). Row groups never let a key exceed 6 bytes; group bytes
+    * may span the ahash/dhash word boundary (the key stitches the
+    * two words' bytes — byte j of the signature is byte j%8 of word
+    * j/8). Same decode-once localCheckpoint as the narrow body. */
+  private[graft] def rowBandedPairsWide(sigs: DataFrame,
+                                        maxHamming: Int): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 15,
+      s"maxHamming must be in [1, 15], got $maxHamming")
+    val nBands = math.max(maxHamming + 1, 3)
+    val widths = (0 until nBands).map(b =>
+      16 / nBands + (if (b < 16 % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def byteAt(j: Int) = {
+      val word = if (j < 8) col("ahash") else col("dhash")
+      shiftrightunsigned(word, 8 * (j % 8)).bitwiseAND(255L)
+    }
+    val sig = sigs.select(col("doc_id"), col("ahash"), col("dhash"))
+      .localCheckpoint(false)
+    val banded = sig.select(col("doc_id"), col("ahash"), col("dhash"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            (0 until widths(b)).map(j =>
+              byteAt(offsets(b) + j) * (1L << (8 * j)))
+              .reduce(_ + _).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(col("band"), col("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))) +
+         bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** The ONE band-key derivation every pigeonhole consumer shares
     * ([[rowBandedPairs]]' self-join and [[phashServeNearDups]]'
     * two-table serve — a banding-scheme change lands in exactly one

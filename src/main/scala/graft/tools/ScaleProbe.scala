@@ -1314,6 +1314,49 @@ object ScaleProbe {
     vid.unpersist()
     }
 
+    // Band-key collision curve, narrow vs wide (r14 verdict #2): the
+    // 8-24-bit narrow keys flood as the corpus grows — measure the
+    // generated candidate pairs (Σ per-band Σ per-key C(n,2), the
+    // equi-join's actual work) for both schemes on the SAME decoded
+    // signatures, plus the end-to-end pair-scan walls.
+    if (sections("wideband")) {
+    import graft.functions.SyntheticImage
+    import graft.operators.MultiModal
+    val docs = replicate(Tables.documents(spark, d), k,
+      Map("doc_id" -> 10000000L))
+    val img = docs.select(col("doc_id"), SyntheticImage
+        .syntheticImage(col("doc_id").cast("long"), col("text"))
+        .as("payload"))
+    val sig = MultiModal.imagePHashSignatures(img, "doc_id", "payload")
+      .select("doc_id", "ahash", "dhash").cache()
+    println(s"[scale] wideband images: ${sig.count()}  (k=$k replicas)")
+    def candPairs(label: String, bandKeys: Seq[org.apache.spark.sql.Column])
+    : Unit = {
+      val total = bandKeys.map { kc =>
+        sig.groupBy(kc.as("key")).agg(count(lit(1)).as("c"))
+          .agg(sum(expr("c * (c - 1) DIV 2")).cast("long"))
+          .head.getLong(0)
+      }.sum
+      println(s"[scale] wideband candidates $label: $total")
+    }
+    // narrow (h=2): 3 row groups of the 8 aHash bytes → 24/24/16 bits
+    candPairs("narrow-24bit", Seq(
+      col("ahash").bitwiseAND(0xFFFFFFL),
+      shiftrightunsigned(col("ahash"), 24).bitwiseAND(0xFFFFFFL),
+      shiftrightunsigned(col("ahash"), 48).bitwiseAND(0xFFFFL)))
+    // wide (h=2): 3 groups of the 16 aHash‖dHash bytes → 48/40/40 bits
+    candPairs("wide-48bit", Seq(
+      col("ahash").bitwiseAND(0xFFFFFFFFFFFFL),
+      shiftrightunsigned(col("ahash"), 48).bitwiseAND(0xFFFFL) +
+        col("dhash").bitwiseAND(0xFFFFFFL) * lit(65536L),
+      shiftrightunsigned(col("dhash"), 24).bitwiseAND(0xFFFFFFFFFFL)))
+    time("image neardup pairs xK narrow (h=2)")(
+      MultiModal.imageNearDupPairs(img, "doc_id", "payload", 2).count())
+    time("image neardup pairs xK wide (h=2)")(
+      MultiModal.imageNearDupPairsWide(img, "doc_id", "payload", 2).count())
+    sig.unpersist()
+    }
+
     // md5DenseRank at scale (r13 verdict #3): the generic re-key's
     // single-task window depth is n/buckets — confirm the derived
     // bucket count holds it at ~4M, the md5 bucketing is skewless

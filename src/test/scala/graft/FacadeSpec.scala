@@ -347,6 +347,9 @@ class FacadeSpec extends AnyFunSuite {
     val pairs = Graft.imageNearDupPairs(withPayload, maxHamming = 2)
     assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "hamming"))
     assert(pairs.count() >= 0)
+    val wide = Graft.imageNearDupPairsWide(withPayload, maxHamming = 2)
+    assert(wide.columns.toSeq === Seq("doc_a", "doc_b", "hamming"))
+    assert(wide.count() <= pairs.count()) // combined radius tightens
   }
 
   test("audioPHash / audioNearDupPairs delegate") {

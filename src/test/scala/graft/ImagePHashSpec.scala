@@ -169,6 +169,38 @@ class ImagePHashSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("wide banded pairs == brute-force COMBINED hamming pairs (128-bit pigeonhole recall)") {
+    val ids = (0L until 240L).filter(_ % 11 != 7)
+    val docs = ids.map(id =>
+      (id, SyntheticImage.build(id, null))).toDF("doc_id", "payload")
+    val sigs = MultiModal
+      .imagePHashSignatures(docs, "doc_id", "payload")
+      .select("doc_id", "ahash", "dhash")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, a, d) => id -> (a, d) }.toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (h <- Seq(1, 2, 4)) { // exercises the 3-band floor AND h+1 bands
+      val expected = (for {
+        a <- ids; b <- ids if a < b
+        if ham(sigs(a)._1, sigs(b)._1) + ham(sigs(a)._2, sigs(b)._2) <= h
+      } yield (a, b)).toSet
+      val got = MultiModal
+        .imageNearDupPairsWide(docs, "doc_id", "payload", maxHamming = h)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"h=$h missing=${expected -- got} extra=${got -- expected}")
+    }
+    // the combined radius is a SUBSET of the aHash-only radius at the
+    // same h (dHash distance can only add bits) — the precision claim
+    val narrow = MultiModal
+      .imageNearDupPairs(docs, "doc_id", "payload", maxHamming = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val wide2 = MultiModal
+      .imageNearDupPairsWide(docs, "doc_id", "payload", maxHamming = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(wide2.subsetOf(narrow))
+  }
+
   test("dHash: ramps set gradient bits exactly; aHash splits by mean") {
     val up = (x: Int, y: Int) => x * 13 % 251
     val down = (x: Int, y: Int) => 250 - x * 13 % 251

@@ -612,6 +612,7 @@ class PlanSpec extends AnyFunSuite {
     // both join sides (and the video df-cap) read the ExistingRDD.
     Seq[(String, org.apache.spark.sql.DataFrame)](
       ("q_image_neardup", SparkEntry.qImageNeardup(spark, TestSpark.sfDir)),
+      ("q_image_neardup_wide", SparkEntry.qImageNeardupWide(spark, TestSpark.sfDir)),
       ("q_audio_neardup", SparkEntry.qAudioNeardup(spark, TestSpark.sfDir)),
       ("q_video_neardup", SparkEntry.qVideoNeardup(spark, TestSpark.sfDir)),
       ("q_video_fuzzy", SparkEntry.qVideoFuzzy(spark, TestSpark.sfDir))
