@@ -1146,6 +1146,18 @@ object Graft {
                             maxHamming: Int = 2): DataFrame =
     MultiModal.imageNearDupPairsWide(docs, idCol, payloadCol, maxHamming)
 
+  /** MEDIA CURATION MANIFEST in one plan: decode once, gate on HTTP
+    * status and resolution, near-dup keep-min over the survivors,
+    * every doc tagged with its FIRST failing reason (`http_error` /
+    * `not_image` / `low_res` / `near_dup` / `kept`). */
+  def imageKeepManifest(docs: DataFrame, idCol: String = "doc_id",
+                        statusCol: String = "status",
+                        payloadCol: String = "payload",
+                        minPixels: Long = 128L,
+                        maxHamming: Int = 2): DataFrame =
+    MultiModal.imageKeepManifest(docs, idCol, statusCol, payloadCol,
+      minPixels = minPixels, maxHamming = maxHamming)
+
   /** Per-payload audio energy-hash signatures from REAL PCM decode
     * (WAV chunk walk, 16-bit samples, exact mono mix) — one codegen
     * projection, unparseable payloads dropped (quarantine). */

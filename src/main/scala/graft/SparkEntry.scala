@@ -1645,6 +1645,63 @@ object SparkEntry {
     MultiModal.imageNearDupPairsWide(
       syntheticPixelPayloads(s, d), "doc_id", "payload", maxHamming = 2)
 
+  /** An image-crawl WARC fixture: the SAME closed-form SyntheticImage
+    * payloads (BMP/PPM pixel images + the raw-text quarantine
+    * residue) wrapped as HTTP response entities in Content-Length-
+    * framed WARC records — status 404 for the doc_id % 13 == 3
+    * residue, 200 otherwise — packed ~16 records per binary segment
+    * behind a warcinfo head. BINARY end-to-end: every textual frame
+    * piece is cast to binary before concat so the pixel bytes are
+    * never re-encoded. */
+  private def syntheticMediaWarc(s: SparkSession, d: String): DataFrame = {
+    def bin(c: org.apache.spark.sql.Column) = c.cast("binary")
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val payload = graft.functions.SyntheticImage
+      .syntheticImage(col("doc_id").cast("long"), col("text"))
+    val statusLine = when(col("doc_id") % 13 === 3,
+      lit("HTTP/1.1 404 Not Found")).otherwise(lit("HTTP/1.1 200 OK"))
+    val httpPayload = concat(
+      bin(concat(statusLine,
+        lit("\r\nContent-Type: application/octet-stream\r\nContent-Length: "),
+        octet_length(payload).cast("string"), lit("\r\n\r\n"))),
+      payload)
+    val record = concat(
+      bin(concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://img.example.com/media/"),
+        col("doc_id").cast("string"),
+        lit("\r\nWARC-Date: 2026-02-"),
+        lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        lit("T00:00:00Z\r\nContent-Type: application/http; msgtype=response\r\nContent-Length: "),
+        octet_length(httpPayload).cast("string"), lit("\r\n\r\n"))),
+      httpPayload, bin(lit("\r\n\r\n")))
+    val info =
+      "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 16\r\n\r\nsoftware: graft\n\r\n\r\n"
+    docs.groupBy(pmod(col("doc_id"), lit(64)).as("seg"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(
+          col("doc_id"), record.as("rec")))), x => x("rec")),
+        bin(lit(info)), (acc, x) => concat(acc, x)).as("segment"))
+  }
+
+  /** MEDIA CURATION CAPSTONE (round 15) — "media in, clean media
+    * out" as ONE plan: WARC walk → image payload split → real pixel
+    * decode (ONCE — the checkpointed projection) → HTTP status gate
+    * → resolution gate → pigeonhole near-dup keep-min → per-doc
+    * manifest tagged with the FIRST failing reason. The oracle
+    * composes the stage oracles: the SyntheticImage construction
+    * arithmetic (never parsing a byte), the closed-form status, the
+    * dims gate, and the ONE shared banding SQL tail restricted to
+    * gate survivors. */
+  def qMediaPipeline(s: SparkSession, d: String): DataFrame =
+    MultiModal.imageKeepManifest(
+      operators.Warc.records(syntheticMediaWarc(s, d), "seg", "segment")
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "(\\d+)$", 1).cast("bigint")
+            .as("doc_id"),
+          col("status"), col("body").cast("binary").as("payload")),
+      "doc_id", "status", "payload", minPixels = 128L, maxHamming = 2)
+
   /** MULTI-EPOCH DATA RECIPE (round 14, Muennighoff et al. 2023's
     * data-constrained regime): fill a 50k-token budget with
     * source-epoch units — epoch 1 of every source, then epoch 2, … —
@@ -1882,7 +1939,17 @@ object SparkEntry {
     * the maxHamming+1 row-group band keys, the band equi-join
     * candidates, and the exact per-row popcount filter. */
   private def rowBandPairsOracleSql(sigCtes: String, maxHamming: Int)
-  : String = {
+  : String =
+    s"""WITH $sigCtes,
+       |${rowBandPairsOracleCtes(maxHamming)}
+       |SELECT doc_a, doc_b, hamming FROM prs""".stripMargin
+
+  /** The banding tail as COMPOSABLE CTEs (ending in `prs(doc_a,
+    * doc_b, hamming)`) so pipeline oracles can consume the pair set
+    * mid-query; `sigName` points at any CTE shaped (doc_id,
+    * a0..a7) — the media pipeline restricts it to gate survivors. */
+  private def rowBandPairsOracleCtes(maxHamming: Int,
+                                     sigName: String = "sig"): String = {
     val nBands = maxHamming + 1
     val widths = (0 until nBands).map(b =>
       8 / nBands + (if (b < 8 % nBands) 1 else 0))
@@ -1890,22 +1957,22 @@ object SparkEntry {
     val bandSelects = (0 until nBands).map { b =>
       val key = (0 until widths(b)).map(j =>
         s"a${offsets(b) + j} * ${1L << (8 * j)}").mkString(" + ")
-      s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+      s"SELECT doc_id, $b AS band, $key AS key FROM $sigName"
     }.mkString("\n|  UNION ALL ")
     val ham = (0 until 8).map(i =>
       s"bit_count(xor(x.a$i, y.a$i))").mkString(" + ")
-    s"""WITH $sigCtes,
-       |bk AS (
+    s"""bk AS (
        |  $bandSelects
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
        |    AND a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
-       |FROM cand JOIN sig x ON doc_a = x.doc_id
-       |  JOIN sig y ON doc_b = y.doc_id
-       |WHERE $ham <= $maxHamming""".stripMargin
+       |), prs AS (
+       |  SELECT doc_a, doc_b, CAST($ham AS BIGINT) AS hamming
+       |  FROM cand JOIN $sigName x ON doc_a = x.doc_id
+       |    JOIN $sigName y ON doc_b = y.doc_id
+       |  WHERE $ham <= $maxHamming
+       |)""".stripMargin
   }
 
   /** The 128-bit twin of [[rowBandPairsOracleSql]]
@@ -1943,6 +2010,38 @@ object SparkEntry {
        |  JOIN sig16 y ON doc_b = y.doc_id
        |WHERE $ham <= $maxHamming""".stripMargin
   }
+
+  /** q_media_pipeline oracle: the image-signature CTEs, the
+    * closed-form status/quarantine residues, the resolution gate,
+    * and the shared banding tail over gate SURVIVORS — the doc_b
+    * side of every surviving pair drops as near_dup, everything
+    * else first-fail-tags in gate order. `dims` only covers
+    * decodable docs, so the LEFT JOIN leaves width/height NULL on
+    * exactly the quarantine rows — the operator's contract. */
+  private def mediaPipelineOracleSql: String =
+    s"""WITH $imageAhashOracleCtes,
+       |surv AS (
+       |  SELECT doc_id FROM dims
+       |  WHERE doc_id % 13 <> 3 AND w * h >= 128
+       |), ssig AS (
+       |  SELECT sig.* FROM sig JOIN surv USING (doc_id)
+       |),
+       |${rowBandPairsOracleCtes(maxHamming = 2, sigName = "ssig")},
+       |dup AS (SELECT DISTINCT doc_b AS doc_id FROM prs)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN d.doc_id % 13 = 3 THEN 404 ELSE 200 END
+       |    AS BIGINT) AS status,
+       |  CAST(dims.w AS BIGINT) AS width,
+       |  CAST(dims.h AS BIGINT) AS height,
+       |  CASE WHEN d.doc_id % 13 = 3 THEN 'http_error'
+       |       WHEN d.doc_id % 11 = 7 THEN 'not_image'
+       |       WHEN dims.w * dims.h < 128 THEN 'low_res'
+       |       WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+       |       ELSE 'kept' END AS reason
+       |FROM documents d
+       |LEFT JOIN dims ON d.doc_id = dims.doc_id
+       |LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |WHERE d.text IS NOT NULL""".stripMargin
 
   /** Shared oracle CTEs for the audio energy-hash family: replay the
     * SyntheticWav sample formula (never the bytes), the 64-frame
@@ -2485,6 +2584,7 @@ object SparkEntry {
     "q_image_ahash" -> (qImageAhash _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_image_neardup_wide" -> (qImageNeardupWide _),
+    "q_media_pipeline" -> (qMediaPipeline _),
     "q_audio_ahash" -> (qAudioAhash _),
     "q_audio_neardup" -> (qAudioNeardup _),
     "q_epoch_schedule" -> (qEpochSchedule _),
@@ -5901,6 +6001,11 @@ object SparkEntry {
              |$imageDhashOracleCtes, sig16 AS (
              |  SELECT * FROM sig JOIN dsig USING (doc_id)
              |)""".stripMargin, maxHamming = 2),
+
+      // The media curation capstone: stage oracles composed — the
+      // construction arithmetic, closed-form status, the dims gate,
+      // and the ONE banding tail over survivors.
+      "q_media_pipeline" -> mediaPipelineOracleSql,
 
       // Ground truth for the PCM decoder (the image family's audio
       // twin): the signature derived from the SyntheticWav sample

@@ -400,6 +400,53 @@ object MultiModal {
     rowBandedPairsWide(imagePHashSignatures(docs, idCol, payloadCol)
       .select("doc_id", "ahash", "dhash"), maxHamming)
 
+  /** MEDIA CURATION MANIFEST — the "media in, clean media out"
+    * composition as ONE plan (the q_crawl_pipeline convention on the
+    * image axis): decode every payload ONCE (generator barrier;
+    * quarantined rows are KEPT as NULL-signature rows so they can be
+    * tagged), gate on HTTP status and resolution, near-dup the
+    * survivors through the ONE [[rowBandedPairs]] pigeonhole body,
+    * and tag every input doc with its FIRST failing reason —
+    * `http_error` → `not_image` → `low_res` → `near_dup` → `kept`.
+    * The near-dup drop rule is the keepList convention: the
+    * higher-id side (`doc_b`) of every surviving pair drops, the
+    * lower-id side stays kept.
+    *
+    * 100 TB shape: payload bytes never leave the scan stage — the
+    * ONE decoded projection (id, status, dims, 8-byte signature) is
+    * localCheckpoint-pinned and feeds the gate filter, the pair
+    * scan, and the final tagging join; candidates are band-key
+    * bounded; the output manifest is the per-doc triage artifact a
+    * curation run keeps. Input: one row per fetched doc with an
+    * orderable id, an HTTP status, and the raw payload bytes. */
+  def imageKeepManifest(docs: DataFrame, idCol: String,
+                        statusCol: String, payloadCol: String,
+                        minPixels: Long = 128L, maxHamming: Int = 2)
+  : DataFrame = {
+    val ph = graft.functions.ImagePHash.imagePHash(col(payloadCol))
+    val dec = docs.select(col(idCol).as("doc_id"),
+        col(statusCol).cast("long").as("status"),
+        explode(array(ph)).as("_p"))
+      .select(col("doc_id"), col("status"),
+        col("_p.width").cast("long").as("width"),
+        col("_p.height").cast("long").as("height"),
+        col("_p.ahash").as("ahash"))
+      .localCheckpoint(false)
+    val surv = dec.filter(col("status") === 200L &&
+      col("ahash").isNotNull &&
+      col("width") * col("height") >= minPixels)
+    val dup = rowBandedPairs(surv.select("doc_id", "ahash"), maxHamming)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("_dup", lit(true))
+    dec.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("width"), col("height"),
+        when(col("status") =!= 200L, lit("http_error"))
+          .when(col("ahash").isNull, lit("not_image"))
+          .when(col("width") * col("height") < minPixels, lit("low_res"))
+          .when(col("_dup"), lit("near_dup"))
+          .otherwise(lit("kept")).as("reason"))
+  }
+
   /** The 128-bit twin of [[rowBandedPairs]]: `sigs` = (doc_id,
     * ahash, dhash — two packed 64-bit signature words = 16 row
     * bytes). Row groups never let a key exceed 6 bytes; group bytes

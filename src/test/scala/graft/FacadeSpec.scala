@@ -350,6 +350,11 @@ class FacadeSpec extends AnyFunSuite {
     val wide = Graft.imageNearDupPairsWide(withPayload, maxHamming = 2)
     assert(wide.columns.toSeq === Seq("doc_a", "doc_b", "hamming"))
     assert(wide.count() <= pairs.count()) // combined radius tightens
+    val manifest = Graft.imageKeepManifest(
+      withPayload.withColumn("status", lit(200)))
+    assert(manifest.columns.toSeq ===
+      Seq("doc_id", "status", "width", "height", "reason"))
+    assert(manifest.count() == withPayload.count()) // every doc tagged
   }
 
   test("audioPHash / audioNearDupPairs delegate") {

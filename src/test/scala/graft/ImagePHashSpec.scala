@@ -201,6 +201,32 @@ class ImagePHashSpec extends AnyFunSuite {
     assert(wide2.subsetOf(narrow))
   }
 
+  test("imageKeepManifest: first-fail reasons, NULL dims on quarantine, keep-min dup side") {
+    val imgA = SyntheticImage.build(4L, null)  // 16×16 = 256 px
+    val rows = Seq[(Long, Int, Array[Byte])](
+      (10L, 200, imgA),                        // kept (min of dup group)
+      (11L, 200, imgA),                        // identical → near_dup
+      (20L, 404, SyntheticImage.build(8L, null)),  // valid image, but 404
+      (21L, 404, "junk-bytes".getBytes("UTF-8")),  // 404 beats not_image
+      (30L, 200, "junk-bytes".getBytes("UTF-8")),  // not_image
+      (40L, 200, SyntheticImage.build(0L, null)),  // 8×8 = 64 px → low_res
+      (50L, 200, SyntheticImage.build(16L, null))) // 16×8 = 128 px → kept
+    val got = MultiModal.imageKeepManifest(
+        rows.toDF("doc_id", "status", "payload"),
+        "doc_id", "status", "payload", minPixels = 128L, maxHamming = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getString(4))))
+      .toMap
+    assert(got(10L) == ((200L, Some(16L), Some(16L), "kept")))
+    assert(got(11L) == ((200L, Some(16L), Some(16L), "near_dup")))
+    assert(got(20L) == ((404L, Some(24L), Some(8L), "http_error")))
+    assert(got(21L) == ((404L, None, None, "http_error")))
+    assert(got(30L) == ((200L, None, None, "not_image")))
+    assert(got(40L) == ((200L, Some(8L), Some(8L), "low_res")))
+    assert(got(50L) == ((200L, Some(16L), Some(8L), "kept")))
+    assert(got.size == rows.size)
+  }
+
   test("dHash: ramps set gradient bits exactly; aHash splits by mean") {
     val up = (x: Int, y: Int) => x * 13 % 251
     val down = (x: Int, y: Int) => 250 - x * 13 % 251

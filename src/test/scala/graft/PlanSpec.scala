@@ -615,7 +615,8 @@ class PlanSpec extends AnyFunSuite {
       ("q_image_neardup_wide", SparkEntry.qImageNeardupWide(spark, TestSpark.sfDir)),
       ("q_audio_neardup", SparkEntry.qAudioNeardup(spark, TestSpark.sfDir)),
       ("q_video_neardup", SparkEntry.qVideoNeardup(spark, TestSpark.sfDir)),
-      ("q_video_fuzzy", SparkEntry.qVideoFuzzy(spark, TestSpark.sfDir))
+      ("q_video_fuzzy", SparkEntry.qVideoFuzzy(spark, TestSpark.sfDir)),
+      ("q_media_pipeline", SparkEntry.qMediaPipeline(spark, TestSpark.sfDir))
     ).foreach { case (n, df) =>
       df.count() // materialize: lazy checkpoint + final adaptive plan
       val plan = df.queryExecution.executedPlan.toString
