@@ -1217,6 +1217,21 @@ object Graft {
                  maxHamming: Int = 2): DataFrame =
     MultiModal.phashServeNearDups(querySigs, root, maxHamming)
 
+  /** Publish the band-key-bucketed serving layout of the signature
+    * store (one row per stored band key, bucket-sorted files) so
+    * small serve batches prune at the file level. */
+  def phashPublishServeIndex(spark: SparkSession, root: String,
+                             maxHamming: Int = 2, nBuckets: Int = 256,
+                             numFiles: Int = 64): Long =
+    MultiModal.phashPublishServeIndex(spark, root, maxHamming,
+      nBuckets, numFiles)
+
+  /** [[phashServe]] with file-level pruning against a published
+    * serve index — files opened ∝ the batch's band-key spread. */
+  def phashServePruned(querySigs: DataFrame, root: String,
+                       maxHamming: Int = 2): DataFrame =
+    MultiModal.phashServeNearDupsPruned(querySigs, root, maxHamming)
+
   /** Right-to-be-forgotten for the signature store. */
   def phashStoreDelete(docIds: DataFrame, root: String): Long =
     MultiModal.phashStoreDelete(docIds, root)

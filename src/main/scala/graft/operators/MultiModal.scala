@@ -810,6 +810,88 @@ object MultiModal {
       .distinct()
   }
 
+  private def phashServeTable(root: String, maxHamming: Int) =
+    s"$root/phash_serve_h$maxHamming"
+  private def bandBucketColName(nBuckets: Int) =
+    s"__graft_bandbucket_$nBuckets"
+
+  /** Publish a BAND-KEY-BUCKETED serving layout of the signature
+    * store, so small serve batches open only the files their band
+    * keys collide with (the [[graft.online.OnlineStore]]
+    * publishSnapshot shape applied to the pigeonhole index): each
+    * stored signature explodes into its `maxHamming + 1` (band, key)
+    * rows — one row PER BAND is the price of correct pruning, since
+    * a within-radius match can land on any band — each row gains a
+    * stable hash bucket of (band, key), and the table lays out
+    * sorted by bucket (~contiguous bucket ranges per file, tight
+    * footer stats). The bucket config travels in the bucket column's
+    * NAME and the radius in the table path, so serving needs no
+    * out-of-band config. Storage is nBands × 28 B/doc — at 10⁹ docs
+    * and h=2, ~84 GB, still tiny next to the payloads. Re-publish
+    * after store upserts (the compactSnapshot convention — the index
+    * is a snapshot, not a log). */
+  def phashPublishServeIndex(spark: SparkSession, root: String,
+                             maxHamming: Int = 2, nBuckets: Int = 256,
+                             numFiles: Int = 64): Long = {
+    import graft.offline.VersionedStore
+    require(nBuckets > 0 && numFiles > 0,
+      "nBuckets/numFiles must be positive")
+    val bb = bandBucketColName(nBuckets)
+    val banded = VersionedStore.read(spark, phashTable(root))
+      .select(col("doc_id"), col("ahash").cast("long").as("ahash"),
+        bandedExplode(col("ahash").cast("long"), maxHamming).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn(bb,
+        pmod(xxhash64(col("band"), col("key")), lit(nBuckets.toLong)))
+      .repartitionByRange(numFiles, col(bb))
+      .sortWithinPartitions(bb)
+    VersionedStore.overwrite(banded, phashServeTable(root, maxHamming))
+  }
+
+  /** [[phashServeNearDups]] with FILE-LEVEL pruning against a
+    * [[phashPublishServeIndex]] layout — the small-batch serve mode:
+    * the query batch's distinct (band, key) buckets (computed with
+    * the index's own hash config, parsed from its schema) prune the
+    * index read via manifest footer stats, so files opened ∝ the
+    * batch's band-key spread, not table size; then the same banded
+    * equi-join + exact popcount. Result contract identical to the
+    * full-scan serve (spec-held). Keep the full-scan path for large
+    * batches — past ~nBuckets distinct band keys the batch touches
+    * every bucket anyway and the collect-to-driver bucket set buys
+    * nothing. */
+  def phashServeNearDupsPruned(querySigs: DataFrame, root: String,
+                               maxHamming: Int = 2): DataFrame = {
+    import graft.offline.VersionedStore
+    require(maxHamming >= 1 && maxHamming <= 7,
+      s"maxHamming must be in [1, 7], got $maxHamming")
+    val spark = querySigs.sparkSession
+    val table = phashServeTable(root, maxHamming)
+    val bb = VersionedStore.schemaOf(spark, table).fieldNames
+      .find(_.startsWith("__graft_bandbucket_"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table is not a phashPublishServeIndex layout"))
+    val nBuckets = bb.stripPrefix("__graft_bandbucket_").toLong
+    val q = querySigs.select(col("doc_id").as("query_id"),
+        col("ahash").cast("long").as("q_hash"),
+        bandedExplode(col("ahash").cast("long"), maxHamming).as("bk"))
+      .select(col("query_id"), col("q_hash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .localCheckpoint() // small batch: one decode for buckets + join
+    val buckets = q.select(
+        pmod(xxhash64(col("band"), col("key")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getLong(0).toDouble).toSeq
+    VersionedStore.readValues(spark, table, bb, buckets)
+      .select(col("doc_id").as("match_id"),
+        col("ahash").as("s_hash"), col("band"), col("key"))
+      .join(broadcast(q), Seq("band", "key"))
+      .select(col("query_id"), col("match_id"),
+        bit_count(col("q_hash").bitwiseXOR(col("s_hash"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Columnar (codegen) twin of the stub decode for the oracle path:
     * identical output computed as pure SQL functions — demonstrates
     * the metadata contract and stays inside whole-stage codegen.

@@ -411,6 +411,12 @@ class FacadeSpec extends AnyFunSuite {
     assert(served.columns.toSeq ===
       Seq("query_id", "match_id", "hamming"))
     assert(served.count() >= n) // every stored doc self-matches at 0
+    Graft.phashPublishServeIndex(spark, root, nBuckets = 32, numFiles = 8)
+    val pruned = Graft.phashServePruned(
+      sigs.select("doc_id", "ahash"), root)
+    assert(pruned.columns.toSeq ===
+      Seq("query_id", "match_id", "hamming"))
+    assert(pruned.count() == served.count()) // same contract, pruned read
     assert(Graft.phashStoreDelete(
       sigs.select("doc_id").limit(1), root) >= 0)
   }

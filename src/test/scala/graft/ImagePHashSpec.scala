@@ -421,6 +421,33 @@ class ImagePHashSpec extends AnyFunSuite {
         sigsOf(qIds).select("doc_id", "ahash"), root, maxHamming = 2)
       .select("match_id").as[Long].collect().toSet
     assert(!after.contains(victim), "deleted doc still served")
+
+    // ---- band-key-bucketed serve index: pruned == full scan, and a
+    // tiny batch opens a strict FILE subset of the index ----
+    MultiModal.phashPublishServeIndex(spark, root, maxHamming = 2,
+      nBuckets = 64, numFiles = 16)
+    val fullServe = MultiModal.phashServeNearDups(
+        sigsOf(qIds).select("doc_id", "ahash"), root, maxHamming = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val prunedServe = MultiModal.phashServeNearDupsPruned(
+        sigsOf(qIds).select("doc_id", "ahash"), root, maxHamming = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(prunedServe == fullServe,
+      s"missing=${(fullServe -- prunedServe).take(3)} " +
+        s"extra=${(prunedServe -- fullServe).take(3)}")
+    val indexFiles = graft.offline.VersionedStore
+      .read(spark, root + "/phash_serve_h2").inputFiles.length
+    val one = MultiModal.phashServeNearDupsPruned(
+      sigsOf(ids1.take(1)).select("doc_id", "ahash"), root,
+      maxHamming = 2)
+    one.count()
+    // one query = 3 band keys → ≤ 3 buckets of 64 → a strict subset
+    // of the sorted layout's files (files opened ∝ batch, not table)
+    assert(one.inputFiles.length < indexFiles && one.inputFiles.length <= 4,
+      s"pruning lost: ${one.inputFiles.length} of $indexFiles files")
+    // empty batch: empty result, no crash
+    assert(MultiModal.phashServeNearDupsPruned(
+      sigsOf(Nil).select("doc_id", "ahash"), root, 2).count() == 0)
   }
 
   test("SyntheticImage: formats per residue, signature matches closed form") {
