@@ -37,11 +37,19 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val pass1 = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b — targeted solo re-measure of a few
+    // queries (band re-pinning) without paying the full sweep
+    val queries = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(list) =>
+        val keep = list.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => keep(n) }
+      case None => SparkEntry.queries
+    }
+    val pass1 = queries.map { case (name, fn) =>
       val t = try { once(fn); once(fn) } catch { case _: Throwable => -1.0 }
       name -> t
     }
-    def rePass(): Map[String, Double] = SparkEntry.queries.map {
+    def rePass(): Map[String, Double] = queries.map {
       case (name, fn) =>
         val t = try once(fn) catch { case _: Throwable => -1.0 }
         name -> t
