@@ -1205,6 +1205,17 @@ object Graft {
       maxHamming = maxHamming, minShared = minShared,
       maxDf = maxDf, maxFrames = maxFrames)
 
+  /** SHARED-SEGMENT video alignment: maximal runs of consecutive
+    * exact-fingerprint-aligned frames at a constant index offset
+    * (gaps-and-islands over the df-capped match set) — one row per
+    * segment (doc_a, doc_b, a_start, b_start, seg_len ≥ minLen). */
+  def videoSharedSegments(docs: DataFrame, idCol: String = "doc_id",
+                          payloadCol: String = "payload",
+                          minLen: Long = 2L, maxDf: Long = 100L,
+                          maxFrames: Int = 64): DataFrame =
+    MultiModal.videoSharedSegments(docs, idCol, payloadCol,
+      minLen = minLen, maxDf = maxDf, maxFrames = maxFrames)
+
   /** Persisted perceptual-signature store: fold a shard's (doc_id,
     * ahash) signatures into one atomic keyed table (idempotent
     * merge; first shard bootstraps). Returns the store row count. */

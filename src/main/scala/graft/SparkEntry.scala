@@ -1778,6 +1778,19 @@ object SparkEntry {
       syntheticVideoPayloads(s, d), "doc_id", "payload",
       minShared = 2L, maxDf = 20L)
 
+  /** SHARED-SEGMENT video alignment (round 15): WHERE two videos
+    * overlap — maximal runs of consecutive exact-fingerprint-aligned
+    * frames at a constant index offset (gaps-and-islands over the
+    * df-capped match set), one row per segment with its start frames
+    * and length. The fixture's variant groups share all-but-one
+    * frame, so perturbation position splits runs; the oracle replays
+    * construction → frame hashes → df-cap → matches → islands in
+    * portable SQL. */
+  def qVideoSegments(s: SparkSession, d: String): DataFrame =
+    MultiModal.videoSharedSegments(
+      syntheticVideoPayloads(s, d), "doc_id", "payload",
+      minLen = 2L, maxDf = 20L)
+
   /** NEAR-FRAME video matching (round 14): frames paired within
     * hamming 2 through the SAME row-group pigeonhole body on
     * frame-keyed ids, aggregated per video pair — the banded
@@ -2591,6 +2604,7 @@ object SparkEntry {
     "q_video_frames" -> (qVideoFrames _),
     "q_video_neardup" -> (qVideoNeardup _),
     "q_video_fuzzy" -> (qVideoFuzzy _),
+    "q_video_segments" -> (qVideoSegments _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pretrain_pipeline" -> (qPretrainPipeline _),
@@ -6040,6 +6054,33 @@ object SparkEntry {
            |FROM capped a JOIN capped b
            |  ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
            |GROUP BY 1, 2
+           |HAVING count(*) >= 2""".stripMargin,
+
+      // Shared-segment alignment: the frame-hash CTEs, the df-cap,
+      // exact matches, then gaps-and-islands (fa − row_number per
+      // (pair, offset)) — maximal consecutive aligned runs.
+      "q_video_segments" ->
+        s"""WITH $videoFramesOracleCtes,
+           |rare AS (
+           |  SELECT k1, k2
+           |  FROM (SELECT DISTINCT doc_id, k1, k2 FROM vsig)
+           |  GROUP BY k1, k2 HAVING count(*) <= 20
+           |), capped AS (
+           |  SELECT doc_id, f, k1, k2 FROM vsig JOIN rare USING (k1, k2)
+           |), m AS (
+           |  SELECT a.doc_id AS doc_a, a.f AS fa, b.doc_id AS doc_b,
+           |    b.f - a.f AS off
+           |  FROM capped a JOIN capped b
+           |    ON a.k1 = b.k1 AND a.k2 = b.k2 AND a.doc_id < b.doc_id
+           |), isl AS (
+           |  SELECT doc_a, doc_b, off, fa, fa - row_number()
+           |    OVER (PARTITION BY doc_a, doc_b, off ORDER BY fa) AS g
+           |  FROM m
+           |)
+           |SELECT doc_a, doc_b, CAST(min(fa) AS BIGINT) AS a_start,
+           |  CAST(min(fa) + off AS BIGINT) AS b_start,
+           |  CAST(count(*) AS BIGINT) AS seg_len
+           |FROM isl GROUP BY doc_a, doc_b, off, g
            |HAVING count(*) >= 2""".stripMargin,
 
       // The near-frame recipe: the ONE shared banding tail runs on

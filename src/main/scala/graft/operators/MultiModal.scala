@@ -730,6 +730,64 @@ object MultiModal {
       .filter(col("shared_frames") >= minShared)
   }
 
+  /** SHARED-SEGMENT video alignment — WHERE two videos overlap, not
+    * just that they do: exact frame-fingerprint matches (df-capped,
+    * the [[videoNearDupPairs]] guard) become (doc_a, fa, doc_b, fb)
+    * rows, and maximal runs of consecutive aligned frames — same
+    * frame-index OFFSET, fa advancing by 1 — group into segments by
+    * the gaps-and-islands rule (fa − row_number per (pair, offset)
+    * is constant within a run, the overlapSpans shape on the frame
+    * axis). Output one row per shared segment of length ≥ `minLen`:
+    * (doc_a, doc_b, a_start, b_start, seg_len) — the artifact a
+    * clip-detection / shot-reuse report needs (a re-broadcast with
+    * an inserted ad break shows as TWO segments at different
+    * offsets; a trimmed re-upload as one shorter segment at a
+    * nonzero offset).
+    *
+    * 100 TB shape: one frame-stream decode (checkpointed), matches
+    * bounded by the df-cap equi-join (never all-pairs over videos),
+    * then ONE shuffle on (pair, offset) that the island window AND
+    * the segment aggregate both ride (hash clustering on a subset
+    * of the group keys satisfies the aggregate — no second
+    * exchange). The whole chain replays in portable SQL
+    * (q_video_segments' oracle). */
+  def videoSharedSegments(docs: DataFrame, idCol: String,
+                          payloadCol: String, minLen: Long = 2L,
+                          maxDf: Long = 100L, maxFrames: Int = 64)
+  : DataFrame = {
+    require(minLen >= 1)
+    val fh = videoFrameHashes(docs, idCol, payloadCol, maxFrames)
+      .select("doc_id", "frame_idx", "ahash")
+      .localCheckpoint(false)
+    val capped =
+      if (maxDf <= 0) fh
+      else {
+        val rare = fh.select("doc_id", "ahash").distinct()
+          .groupBy("ahash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("ahash")
+        fh.join(rare, Seq("ahash"))
+      }
+    // one row per cross-video frame match; (doc_a, doc_b, off, fa) is
+    // unique by construction (frame_idx is unique per doc), so no
+    // dedup pass is needed before the island window
+    val m = capped.as("a")
+      .join(capped.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"),
+        col("a.frame_idx").cast("long").as("fa"),
+        col("b.doc_id").as("doc_b"),
+        (col("b.frame_idx") - col("a.frame_idx")).cast("long").as("off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "off").orderBy("fa")
+    m.withColumn("isl", col("fa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "off", "isl")
+      .agg(min("fa").as("a_start"), count(lit(1)).as("seg_len"))
+      .filter(col("seg_len") >= minLen)
+      .select(col("doc_a"), col("doc_b"), col("a_start"),
+        (col("a_start") + col("off")).as("b_start"), col("seg_len"))
+  }
+
   private def phashTable(root: String) = s"$root/phash_signatures"
 
   /** PERSISTED perceptual-signature store — incremental multimodal

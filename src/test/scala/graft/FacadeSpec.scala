@@ -396,6 +396,10 @@ class FacadeSpec extends AnyFunSuite {
       maxHamming = 1, minShared = 1L, maxDf = 7L, maxFrames = 5)
     assert(fz2.count() == op2.count())
     assert(fz2.except(op2).isEmpty && op2.except(fz2).isEmpty)
+    val segs = Graft.videoSharedSegments(withPayload, minLen = 2L)
+    assert(segs.columns.toSeq ===
+      Seq("doc_a", "doc_b", "a_start", "b_start", "seg_len"))
+    assert(segs.count() >= 0)
   }
 
   test("phash store facades delegate") {

@@ -276,6 +276,33 @@ class ImagePHashSpec extends AnyFunSuite {
     assert(capped.isNullAt(0))
   }
 
+  test("videoSharedSegments: island runs at constant offset; an inserted break splits segments") {
+    import graft.operators.MultiModal
+    val p = (seed: Int) => (x: Int, y: Int) =>
+      ((seed * 29 + 13) * (x * 7 + y * 11 + 3)) % 256
+    def stream(seeds: Int*) =
+      seeds.map(s0 => bmp(p(s0), 8, 8, topDown = false)).reduce(_ ++ _)
+    val docs = Seq(
+      (0L, stream(1, 2, 3, 4, 5)),
+      (1L, stream(9, 2, 3, 4, 8)),  // shares A[1..3] aligned
+      (2L, stream(2, 3, 4)),        // A/B's middle run, offset −1
+      (3L, stream(1, 2, 99, 3, 4))  // A with an inserted break frame
+    ).toDF("doc_id", "payload")
+    val got = MultiModal.videoSharedSegments(docs, "doc_id", "payload",
+        minLen = 2L, maxDf = 0L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (0L, 1L, 1L, 1L, 3L),  // aligned middle run
+      (0L, 2L, 1L, 0L, 3L),  // trimmed re-upload: nonzero offset
+      (1L, 2L, 1L, 0L, 3L),
+      (0L, 3L, 0L, 0L, 2L),  // before the inserted break
+      (0L, 3L, 2L, 3L, 2L),  // after it — offset shifted by +1
+      (1L, 3L, 2L, 3L, 2L),  // the break also cuts B∩D to one run
+      (2L, 3L, 1L, 3L, 2L))  // single-frame overlaps are filtered
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("videoNearDupPairs: shared-footage pairs, df-capped; SyntheticVideo matches closed form") {
     import graft.functions.SyntheticVideo
     import graft.operators.MultiModal

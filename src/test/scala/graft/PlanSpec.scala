@@ -616,7 +616,8 @@ class PlanSpec extends AnyFunSuite {
       ("q_audio_neardup", SparkEntry.qAudioNeardup(spark, TestSpark.sfDir)),
       ("q_video_neardup", SparkEntry.qVideoNeardup(spark, TestSpark.sfDir)),
       ("q_video_fuzzy", SparkEntry.qVideoFuzzy(spark, TestSpark.sfDir)),
-      ("q_media_pipeline", SparkEntry.qMediaPipeline(spark, TestSpark.sfDir))
+      ("q_media_pipeline", SparkEntry.qMediaPipeline(spark, TestSpark.sfDir)),
+      ("q_video_segments", SparkEntry.qVideoSegments(spark, TestSpark.sfDir))
     ).foreach { case (n, df) =>
       df.count() // materialize: lazy checkpoint + final adaptive plan
       val plan = df.queryExecution.executedPlan.toString
@@ -625,6 +626,19 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("Scan parquet"),
         s"$n re-scans the corpus past the checkpoint:\n$plan")
     }
+  }
+
+  test("q_video_segments: the segment aggregate rides the island window's exchange") {
+    // the groupBy keys (pair, offset, island) are a SUPERSET of the
+    // window's partition keys, so hash clustering on (pair, offset)
+    // already satisfies the aggregate — no exchange may appear keyed
+    // on the island column
+    val df = SparkEntry.qVideoSegments(spark, TestSpark.sfDir)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!"Exchange hashpartitioning\\([^)]*isl".r
+        .findFirstIn(plan).isDefined,
+      s"segment aggregate re-shuffled on the island key:\n$plan")
   }
 
   test("q_trustrank / q_trust_select: seed teleport and budget cut stay cartesian-free") {
