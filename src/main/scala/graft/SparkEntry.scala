@@ -1070,6 +1070,22 @@ object SparkEntry {
     trainPool.join(flagged.select("doc_id"), Seq("doc_id"), "left_anti")
   }
 
+  /** DATA-CONSTRAINED PRETRAIN capstone (round 15 — Muennighoff et
+    * al. 2023 applied to the CURATED pool): stages 1-3 of the
+    * pretrain capstone (quality gate → exact dedup keep-min → graded
+    * decontamination) produce the clean pool, and when that pool is
+    * SMALLER than the token budget — the data-constrained regime
+    * curation itself creates — the multi-epoch recipe schedules
+    * repeated passes with integer-decay loss weights instead of a
+    * one-epoch budget cut: epoch 1 of every source, then epoch 2, …
+    * the straddling unit truncated to the md5-order doc prefix.
+    * Oracle = the capstone's stage oracles + the epoch-schedule
+    * replay over the pool, composed. */
+  def qDataconPretrain(s: SparkSession, d: String): DataFrame =
+    FeatureEng.epochSchedule(pretrainTrainPool(s, d), "doc_id",
+      "text", "source", budgetTokens = 50000L, maxEpochs = 3,
+      decayBp = 5000L)
+
   /** The capstone with a LEARNED-MIX stage (round 12 — the full
     * 2025-era build in one plan): stages 1-3 as
     * [[pretrainTrainPool]], then the DoReMi-learned per-source rates
@@ -2674,6 +2690,7 @@ object SparkEntry {
     "q_incontext_pack" -> (qIncontextPack _),
     "q_zipf_fit" -> (qZipfFit _),
     "q_pretrain_mix" -> (qPretrainMix _),
+    "q_datacon_pretrain" -> (qDataconPretrain _),
     "q_kmeans_keeplist" -> (qKmeansKeeplist _)
   )
 
@@ -5487,6 +5504,56 @@ object SparkEntry {
           |)
           |SELECT doc_id, score, n_tokens, cum_tokens
           |FROM c WHERE cum_tokens <= 20000""".stripMargin,
+
+      // Data-constrained pretrain: stages 1-3 (the shared
+      // pretrainTrainCtes) then the epoch-schedule replay over the
+      // POOL — per-source totals, the (epoch, source)-ordered unit
+      // prefix, full-unit joins, the ONE straddling unit's md5-order
+      // inclusive token prefix, the integer decay chain.
+      "q_datacon_pretrain" ->
+        (s"WITH $pretrainTrainCtes," +
+          """
+          |pool AS (
+          |  SELECT t.doc_id, d.source,
+          |    CAST(t.n_words AS BIGINT) AS n_tokens
+          |  FROM train t JOIN documents d USING (doc_id)
+          |  WHERE t.n_words > 0
+          |), eper AS (
+          |  SELECT source, sum(n_tokens) AS t_src FROM pool GROUP BY source
+          |), eunits AS (
+          |  SELECT source, t_src, e AS epoch
+          |  FROM eper CROSS JOIN
+          |    (SELECT unnest(generate_series(1, 3)) AS e)
+          |), esch AS (
+          |  SELECT source, t_src, epoch,
+          |    sum(t_src) OVER (ORDER BY epoch, source
+          |      ROWS UNBOUNDED PRECEDING) - t_src AS strt
+          |  FROM eunits
+          |), efullu AS (
+          |  SELECT source, epoch FROM esch WHERE strt + t_src <= 50000
+          |), epartu AS (
+          |  SELECT source, epoch, 50000 - strt AS remaining
+          |  FROM esch WHERE strt < 50000 AND strt + t_src > 50000
+          |), efd AS (
+          |  SELECT doc_id, pool.source, n_tokens, epoch
+          |  FROM pool JOIN efullu USING (source)
+          |), epp AS (
+          |  SELECT doc_id, pool.source, n_tokens, epoch, remaining,
+          |    sum(n_tokens) OVER (PARTITION BY pool.source
+          |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+          |        1, 8))::BIGINT % 2147483648, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS pe
+          |  FROM pool JOIN epartu USING (source)
+          |), epd AS (
+          |  SELECT doc_id, source, n_tokens, epoch
+          |  FROM epp WHERE pe <= remaining
+          |), eall AS (
+          |  SELECT * FROM efd UNION ALL SELECT * FROM epd
+          |)
+          |SELECT doc_id, source, n_tokens, epoch,
+          |  CAST(CASE epoch WHEN 1 THEN 10000 WHEN 2 THEN 5000
+          |       ELSE 2500 END AS BIGINT) AS weight_bp
+          |FROM eall""".stripMargin),
 
       // The capstone with the LEARNED-MIX stage: stages 1-3 (the
       // shared pretrainTrainCtes), the FULL DoReMi replay
