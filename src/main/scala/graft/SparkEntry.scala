@@ -2260,6 +2260,12 @@ object SparkEntry {
       .select(col("o_orderkey").cast("string").as("k"))
     val lk = Tables.lineitem(s, d)
       .select(col("l_orderkey").cast("string").as("k"))
+    // NOT checkpointed, deliberately (round-15 A/B): the sketches do
+    // feed two subtrees each, but a localCheckpoint here measured 2×
+    // SLOWER (1.9 → 4.0 s) — the ExistingRDD hides the kilobyte size
+    // from the planner, so the downstream joins lose their broadcast
+    // plans, while the "duplicate" subtrees were already cheap because
+    // they run inside one parallel job.
     val skA = Sketch.cmSketchRows(ok, "k", depth = 3, width = 4096)
     val skB = Sketch.cmSketchRows(lk, "k", depth = 3, width = 4096)
     val exact = ok.join(lk, Seq("k"))
@@ -2280,6 +2286,12 @@ object SparkEntry {
     * DECISION replays in SQL, not just the inputs; the exact join
     * size is audited alongside the one-sided AMS estimate. */
   def qJoinPlan(s: SparkSession, d: String): DataFrame = {
+    // Each kilobyte sketch feeds THREE subtrees (cmStats + the two
+    // cmJoinSizeEstimate legs), so the plan re-scans lineitem/orders
+    // ~5×. A localCheckpoint per sketch was A/B'd in round 15 and is
+    // 2× SLOWER (4.1 → 8.8 s): the ExistingRDD hides the kilobyte
+    // sketch size from the planner (broadcast plans lost), while the
+    // duplicate subtrees all run inside one parallel job anyway.
     def scen(name: String, a: DataFrame, b: DataFrame): DataFrame =
       Sketch.cmJoinPlan(
           Sketch.cmSketchRows(a, "k", depth = 3, width = 1024),

@@ -29,10 +29,20 @@ import graft.functions.Fns
   * split on single space, drop empties ([[graft.functions.Fns.words]]).
   *
   * Determinism: per-term contributions are rounded to 6dp and summed
-  * as DECIMAL(38,6) — add-order independent — then the total is
-  * rounded back to a double, so scores (and the doc_id-tie-broken
-  * ranks) are reproducible across partitionings and match a SQL
-  * oracle exactly.
+  * EXACTLY — add-order independent — then the total is rounded back
+  * to a double, so scores (and the doc_id-tie-broken ranks) are
+  * reproducible across partitionings and match a SQL oracle exactly.
+  * The exact sum is carried as integer MICROS (a 6dp-rounded
+  * non-negative double d is the nearest double to its decimal value
+  * N/1e6, so `d*1e6+0.5` floors to exactly N): value-identical to
+  * the previous decimal(38,6) accumulation, but the aggregate buffer
+  * is a codegen long instead of a per-row BigDecimal — measured 8.8
+  * → 5.6 s on the 6.8M-row cosine dot aggregate and 4.2 → 3.1 s on
+  * the BM25 score aggregate at sf0.1 (round-15 RetrievalProbe2,
+  * zero row diff). Domain bound: a group's micro sum must stay
+  * under 2^53 for the exact double conversion (score mass ≤ 9e9 per
+  * (query, doc) — far above any real score; same 2^53 contract as
+  * [[indexUpsert]]'s numeric ids).
   */
 object Search {
 
@@ -151,17 +161,18 @@ object Search {
     val tfc = (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dlen") / avgdl))
     matched
-      .withColumn("contrib", round(idf * tfc, 6).cast("decimal(38,6)"))
+      .withColumn("contrib", (round(idf * tfc, 6) * 1e6 + 0.5).cast("long"))
       .select("term", "doc_id", "contrib")
   }
 
   /** Shared ranking tail over the fanned (q_id, doc_id, contrib)
-    * stream: exact-decimal per-pair sums, top-k by (score desc,
-    * doc_id). Output: (q_id, doc_id, rank, score). */
+    * stream: exact integer-micro per-pair sums (value-identical to
+    * the former decimal(38,6) sums — see the object doc), top-k by
+    * (score desc, doc_id). Output: (q_id, doc_id, rank, score). */
   private def rankStage(fanned: DataFrame, k: Int): DataFrame = {
     val agg = fanned
       .groupBy("q_id", "doc_id")
-      .agg(round(sum("contrib").cast("double"), 6).as("score"))
+      .agg(round(sum("contrib").cast("double") / 1e6, 6).as("score"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id"))
     agg.withColumn("rank", row_number().over(w).cast("long"))
@@ -224,9 +235,10 @@ object Search {
     * `tf · (ln((N+1)/(df+1)) + 1)` — the same smoothed idf as
     * [[TextAnalysis.tfidf]]; query terms unknown to the corpus get
     * df = 0 (they still count toward the query norm). Scores are
-    * exact-decimal dot products over rounded per-term products,
-    * normalized by both vector norms (norms likewise decimal-summed
-    * over rounded squares), so results are add-order independent and
+    * exact dot products over 6dp-rounded per-term products (summed
+    * as integer micros — see the object doc), normalized by both
+    * vector norms (norms likewise micro-summed over rounded
+    * squares), so results are add-order independent and
     * SQL-oracle-checkable.
     *
     * Scale shape mirrors [[bm25TopK]]: one tokenize pass
@@ -259,8 +271,8 @@ object Search {
     val dnorm = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .withColumn("w", col("tf") * idfOf(col("df")))
       .groupBy("doc_id")
-      .agg(sqrt(sum(round(col("w") * col("w"), 6).cast("decimal(38,6)"))
-        .cast("double")).as("dnorm"))
+      .agg(sqrt(sum((round(col("w") * col("w"), 6) * 1e6 + 0.5).cast("long"))
+        .cast("double") / 1e6).as("dnorm"))
     // left join against the RESTRICTED df table (broadcast right
     // side) — a left join onto the full corpus-vocabulary dfreq
     // cannot broadcast its left side and would shuffle the whole
@@ -271,8 +283,8 @@ object Search {
       .withColumn("wq", idfOf(coalesce(col("df"), lit(0L))))
       .select("q_id", "term", "wq").localCheckpoint(false)
     val qnorm = wQ.groupBy("q_id")
-      .agg(sqrt(sum(round(col("wq") * col("wq"), 6).cast("decimal(38,6)"))
-        .cast("double")).as("qnorm"))
+      .agg(sqrt(sum((round(col("wq") * col("wq"), 6) * 1e6 + 0.5).cast("long"))
+        .cast("double") / 1e6).as("qnorm"))
     // dnorm joins the doc-side weights at posting cardinality and
     // rides the fan-out into the aggregate (constant per doc, so
     // max() recovers it) — joining it onto the (query, doc) pair
@@ -280,12 +292,12 @@ object Search {
     // join-order note)
     val dot = wD.join(dnorm, "doc_id")
       .join(broadcast(wQ), "term")
-      .withColumn("c", round(col("w") * col("wq"), 6).cast("decimal(38,6)"))
+      .withColumn("c", (round(col("w") * col("wq"), 6) * 1e6 + 0.5).cast("long"))
       .groupBy("q_id", "doc_id")
       .agg(sum("c").as("dot"), max("dnorm").as("dnorm"))
     val scored = dot.join(broadcast(qnorm), "q_id")
       .withColumn("score", round(
-        col("dot").cast("double") / (col("dnorm") * col("qnorm")), 6))
+        (col("dot").cast("double") / 1e6) / (col("dnorm") * col("qnorm")), 6))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
