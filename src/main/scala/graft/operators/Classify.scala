@@ -27,8 +27,10 @@ import graft.functions.Fns
   * shuffles tokens by word.
   *
   * Determinism: per-word log ratios are rounded to 6 dp and summed
-  * in exact decimal (the [[Dsir]] convention) — add-order
-  * independent, bit-equal to the DuckDB oracle.
+  * exactly as integer micros (the [[Dsir]] convention — the 6dp
+  * decimal model values convert to exact longs on the vocabulary-
+  * sized table, so the corpus aggregate is a codegen long add) —
+  * add-order independent, bit-equal to the DuckDB oracle.
   */
 object Classify {
 
@@ -90,17 +92,31 @@ object Classify {
       .join(broadcast(seedKeyed), "doc_id")
       .select(col("lbl"), explode(Fns.words(col("text"))).as("w"))
     val (llr, konst) = model(seedTokens, seedKeyed, "lbl", alpha)
+    // Score accumulation in exact integer MICROS (the Dsir
+    // importanceWeights / scoreFrozen shape): the 6dp-exact decimal
+    // ratios convert to exact longs ONCE on the vocabulary-sized
+    // model table, the corpus-token-stream aggregate then updates a
+    // codegen long instead of a precision-20 BigDecimal per token,
+    // and the long→double/1e6 conversion plus the micro-vs-micro
+    // threshold compare are value-identical to the decimal forms
+    // (micro sums stay far under 2^53: |log_odds| ≤ 9e9).
+    val llrm = llr.withColumn("lrm",
+      (col("lr") * lit(1000000L)).cast("long")).drop("lr")
+    val konstm = konst.select(
+      (col("oov_lr") * lit(1000000L)).cast("long").as("oov_lrm"),
+      (col("prior_lr") * lit(1000000L)).cast("long").as("prior_lrm"))
     docs.select(col(idCol).as("doc_id"),
         explode(Fns.words(col(textCol))).as("w"))
-      .join(broadcast(llr), Seq("w"), "left")
-      .crossJoin(broadcast(konst))
+      .join(broadcast(llrm), Seq("w"), "left")
+      .crossJoin(broadcast(konstm))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        (max(col("prior_lr")) +
-          sum(coalesce(col("lr"), col("oov_lr")))).as("lo"))
+        (max(col("prior_lrm")) +
+          sum(coalesce(col("lrm"), col("oov_lrm")))).as("lom"))
       .select(col("doc_id"), col("n_tokens"),
-        col("lo").cast("double").as("log_odds"),
-        (col("lo") >= lit(threshold).cast("decimal(20,6)")).as("keep"))
+        (col("lom").cast("double") / 1e6).as("log_odds"),
+        (col("lom") >= (lit(threshold).cast("decimal(20,6)") *
+          lit(1000000L)).cast("long")).as("keep"))
   }
 
   /** CALIBRATION REPORT for a classifier's scores against observed

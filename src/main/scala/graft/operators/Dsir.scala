@@ -116,11 +116,23 @@ object Dsir {
                         alpha: Double = 1.0): DataFrame = {
     val (f, lr) = countsAndRatios(docs, idCol, textCol, isTarget,
       nBuckets, alpha)
-    f.join(broadcast(lr), Seq("bucket"))
+    // The dot product accumulates in exact integer MICROS, not
+    // decimal: lr is an exact 6dp decimal, so lr·1e6 is an exact
+    // long (derived once on the ≤ nBuckets-row model table), and
+    // Σ cnt·lr_micros is the exact decimal sum scaled by 1e6 — but
+    // the per-(doc, bucket)-row aggregate update is a codegen long
+    // add instead of a precision-33 BigDecimal add (the round-15
+    // retrieval-ranker lesson; [[scoreFrozen]] already computes this
+    // exact shape, which is why the two stay bit-equal). The final
+    // long→double/1e6 equals the decimal cast whenever the micro sum
+    // is under 2^53 (|weight| ≤ 9e9 — the engine-wide 2^53 contract).
+    val lrm = lr.withColumn("lrm",
+      (col("lr") * lit(1000000L)).cast("long"))
+    f.join(broadcast(lrm), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_grams"),
-        sum(col("cnt").cast("decimal(12,0)") * col("lr"))
-          .cast("double").as("dsir_weight"))
+        (sum(col("cnt") * col("lrm")).cast("double") / 1e6)
+          .as("dsir_weight"))
   }
 
   /** A frozen DSIR model: the per-bucket log ratios in exact 1e-6

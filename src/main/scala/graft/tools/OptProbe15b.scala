@@ -1,0 +1,145 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables}
+import graft.operators.{Bpe, Dedup, FeatureEng, TextAnalysis, Unigram}
+
+/** Round-15 probes, part 2: pretrain capstones and the 2-3 s band
+  * (phrase search, winnow pairs, top-ngrams, strip spans, frozen
+  * quality filter, doremi mix, unigram sample, trust select).
+  * Stage inputs are eagerly checkpointed so timings are marginal.
+  */
+object OptProbe15b {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[oprobeb] $name%-46s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val which = if (args.length > 1) args(1) else "all"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val docs = Tables.documents(spark, d)
+
+    if (which == "all" || which == "pretrain") {
+      time("q_pretrain_pipeline (1st)") { noop(SparkEntry.qPretrainPipeline(spark, d)) }
+      time("q_pretrain_pipeline (2nd)") { noop(SparkEntry.qPretrainPipeline(spark, d)) }
+      val winners = SparkEntry.qPretrainPipeline(spark, d).select("doc_id")
+        .localCheckpoint(true)
+      println(s"[oprobeb] winner rows = ${winners.count()}")
+      val wc0 = Bpe.corpusWordCounts(docs, "doc_id", "text")
+      time("corpusWordCounts (agg+collect-free)") { noop(wc0) }
+      val wc = wc0.localCheckpoint(true)
+      val costs = time("seedVocab+integerCosts+collectCosts") {
+        Unigram.collectCosts(
+          Unigram.integerCosts(Unigram.seedVocab(wc, maxPieceLen = 4,
+            topK = 64)))
+      }
+      val sel = docs.join(winners, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      println(s"[oprobeb] sel rows = ${sel.count()}")
+      val enc0 = Unigram.encodeDocs(sel, "doc_id", "text", costs,
+        maxPieceLen = 4)
+      time("encodeDocs over winners (noop)") { noop(enc0) }
+      val enc = enc0.localCheckpoint(true)
+      time("packValues window") {
+        noop(FeatureEng.packValues(enc, "doc_id", "n_tokens",
+          budgetTokens = 512L))
+      }
+      time("q_pretrain_tokenize full (1st)") { noop(SparkEntry.qPretrainTokenize(spark, d)) }
+      time("q_pretrain_tokenize full (2nd)") { noop(SparkEntry.qPretrainTokenize(spark, d)) }
+      time("q_pretrain_masks full") { noop(SparkEntry.qPretrainMasks(spark, d)) }
+      time("q_pretrain_mix full (1st)") { noop(SparkEntry.qPretrainMix(spark, d)) }
+      time("q_pretrain_mix full (2nd)") { noop(SparkEntry.qPretrainMix(spark, d)) }
+    }
+
+    if (which == "all" || which == "band23") {
+      // warm each, then measure the warm pass
+      for (q <- Seq("q_phrase_search", "q_winnow_pairs", "q_top_ngrams",
+          "q_strip_spans", "q_quality_filter_frozen", "q_doremi_mix",
+          "q_unigram_sample", "q_trust_select", "q_bpe_merges")) {
+        val fn = SparkEntry.queries(q)
+        time(s"$q (1st)") { noop(fn(spark, d)) }
+        time(s"$q (2nd)") { noop(fn(spark, d)) }
+      }
+    }
+
+    if (which == "all" || which == "phrase") {
+      // phrase search stage split
+      val queries = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(split(col("text"), " "), 3, 4), " ").as("phrase"))
+      val tokens = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .filter(col("term") =!= "")
+      time("phrase: tokens posexplode (noop)") { noop(tokens) }
+      val tokCk = tokens.localCheckpoint(true)
+      val qtok = queries.select(col("q_id"),
+          posexplode(split(col("phrase"), " ")).as(Seq("off", "term")))
+        .filter(col("term") =!= "").localCheckpoint(true)
+      val qlen = qtok.groupBy("q_id").agg(count(lit(1)).as("qlen"))
+        .localCheckpoint(true)
+      val fanned = tokCk.join(broadcast(qtok), "term")
+        .withColumn("diag", col("pos") - col("off"))
+        .filter(col("diag") >= 0)
+      time("phrase: fan-out join (noop)") { noop(fanned) }
+      println(s"[oprobeb] phrase fanned rows = ${fanned.count()}")
+      val hits = fanned.groupBy("q_id", "doc_id", "diag")
+        .agg(count(lit(1)).as("hits"))
+      time("phrase: diag agg") { noop(hits) }
+      val out = hits.join(broadcast(qlen), "q_id")
+        .filter(col("hits") === col("qlen"))
+        .groupBy("q_id", "doc_id")
+        .agg(count(lit(1)).as("n_occurrences"),
+          min("diag").cast("long").as("first_pos"))
+      time("phrase: tail") { noop(out) }
+      time("phrase: shipped two-agg chain (warm)") {
+        noop(fanned.groupBy("q_id", "doc_id", "diag")
+          .agg(count(lit(1)).as("hits"))
+          .join(broadcast(qlen), "q_id")
+          .filter(col("hits") === col("qlen"))
+          .groupBy("q_id", "doc_id")
+          .agg(count(lit(1)).as("n_occurrences"),
+            min("diag").cast("long").as("first_pos")))
+      }
+      // single-shuffle variant: one groupBy (q_id, doc_id), in-row
+      // multiplicity count over the sorted diag list
+      def onePass(): DataFrame = {
+        val diags = fanned.groupBy("q_id", "doc_id")
+          .agg(sort_array(collect_list(col("diag"))).as("ds"))
+          .join(broadcast(qlen), "q_id")
+        // runs of equal diag with length == qlen are occurrences.
+        // multiplicity <= qlen by construction, so a run starting at
+        // 0-based i has length qlen iff ds[i] == ds[i+qlen-1] (O(n)).
+        diags
+          .withColumn("occ", filter(
+            transform(col("ds"), (v, i) =>
+              when((i === 0 || element_at(col("ds"), i) =!= v) &&
+                i + col("qlen") <= size(col("ds")) &&
+                element_at(col("ds"), (i + col("qlen")).cast("int")) === v,
+                v)),
+            v => v.isNotNull))
+          .filter(size(col("occ")) > 0)
+          .select(col("q_id"), col("doc_id"),
+            size(col("occ")).cast("long").as("n_occurrences"),
+            element_at(col("occ"), 1).cast("long").as("first_pos"))
+      }
+      time("phrase: one-shuffle variant (1st)") { noop(onePass()) }
+      time("phrase: one-shuffle variant (2nd)") { noop(onePass()) }
+      val d1 = out.exceptAll(onePass()).count() + onePass().exceptAll(out).count()
+      println(s"[oprobeb] phrase shipped-vs-onepass diff rows = $d1")
+    }
+
+    spark.stop()
+  }
+}
