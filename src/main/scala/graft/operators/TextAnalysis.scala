@@ -523,8 +523,8 @@ object TextAnalysis {
     * shard); unseen words fall back to `oovCount`. The vocabulary
     * inlines as a map literal, so size it like a model artifact
     * (top-K words + OOV), not a full open vocabulary. Repetition
-    * signals compute per-row from the words array (O(distinct ×
-    * words) per doc — fine at document sizes). Signal formulas and
+    * signals compute per-row from the words array (sorted-run
+    * multiplicity, O(n log n) per doc — see [[maxMultiplicity]]). Signal formulas and
     * rounding mirror the batch operators; the decision CASE is
     * literally shared, so frozen(batch-vocab) == batch on every
     * signal except lm_score's summation order (both round to 4dp —
@@ -549,6 +549,21 @@ object TextAnalysis {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (top, total)
   }
+
+  /** Most-frequent-element multiplicity of a string-array column as
+    * the longest equal run of the SORTED array — value-identical to
+    * `array_max(transform(array_distinct(a), v -> size(filter(a,
+    * x -> x = v))))` (NULL on NULL/empty input like array_max over
+    * an empty transform) but O(n log n) per row instead of
+    * O(distinct · n): the round-15 A/B measured the bigram
+    * multiplicity scan 1.5 → 0.45 s at sf0.1, zero row diff. */
+  private def maxMultiplicity(arr: String): Column =
+    expr(s"aggregate(array_sort($arr), " +
+      "named_struct('prev', cast(null as string), 'run', 0, 'mx', 0), " +
+      "(s, x) -> named_struct('prev', x, " +
+      "'run', IF(x <=> s.prev, s.run + 1, 1), " +
+      "'mx', greatest(s.mx, IF(x <=> s.prev, s.run + 1, 1))), " +
+      "s -> IF(s.mx = 0, cast(null as int), s.mx))")
 
   def qualityClassifierFrozen(docs: DataFrame, idCol: String,
                               textCol: String, vocab: Map[String, Long],
@@ -578,15 +593,13 @@ object TextAnalysis {
         round(col("stop_hits") / col("n_words"), 6))
       .withColumn("alpha_ratio", round(col("alphas") / col("n_chars"), 6))
       .withColumn("top_word_ratio", round(coalesce(
-        expr("array_max(transform(array_distinct(ws), " +
-          "w -> size(filter(ws, x -> x = w))))") / col("n_words"),
+        maxMultiplicity("ws") / col("n_words"),
         lit(0.0)), 6))
       .withColumn("distinct_word_ratio", round(coalesce(
         expr("size(array_distinct(ws))") / col("n_words"), lit(0.0)), 6))
       .withColumn("bg", bg)
       .withColumn("top_bigram_ratio", round(coalesce(
-        expr("array_max(transform(array_distinct(bg), " +
-          "b -> size(filter(bg, x -> x = b))))") / size(col("bg")),
+        maxMultiplicity("bg") / size(col("bg")),
         lit(0.0)), 6))
       .withColumn("lm_score", round(
         aggregate(transform(col("ws"),

@@ -140,6 +140,40 @@ object OptProbe15b {
       println(s"[oprobeb] phrase shipped-vs-onepass diff rows = $d1")
     }
 
+    if (which == "all" || which == "frozen") {
+      val base = docs.select(col("doc_id"),
+          split(col("text"), " ").as("ws"))
+        .withColumn("bg", when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws) - 2), " +
+            "i -> concat_ws(' ', ws[i], ws[i + 1]))"))
+          .otherwise(array().cast("array<string>")))
+        .localCheckpoint(true)
+      println(s"[oprobeb] frozen base rows = ${base.count()}")
+      val quadW = expr("array_max(transform(array_distinct(ws), " +
+        "w -> size(filter(ws, x -> x = w))))")
+      val quadB = expr("array_max(transform(array_distinct(bg), " +
+        "b -> size(filter(bg, x -> x = b))))")
+      def runMax(arr: String) =
+        expr(s"aggregate(array_sort($arr), " +
+          "named_struct('prev', cast(null as string), 'run', 0, 'mx', 0), " +
+          "(s, x) -> named_struct('prev', x, " +
+          "'run', IF(x <=> s.prev, s.run + 1, 1), " +
+          "'mx', greatest(s.mx, IF(x <=> s.prev, s.run + 1, 1))), " +
+          "s -> IF(s.mx = 0, cast(null as int), s.mx))")
+      val qa = base.select(col("doc_id"), quadW.as("mw"), quadB.as("mb"))
+      val qb = base.select(col("doc_id"), runMax("ws").as("mw"),
+        runMax("bg").as("mb"))
+      time("freq: quadratic filter-count (1st)") { noop(qa) }
+      time("freq: quadratic filter-count (2nd)") { noop(qa) }
+      time("freq: sorted run-length (1st)") { noop(qb) }
+      time("freq: sorted run-length (2nd)") { noop(qb) }
+      val dq = qa.exceptAll(qb).count() + qb.exceptAll(qa).count()
+      println(s"[oprobeb] frozen quad-vs-runlen diff rows = $dq")
+      time("q_quality_filter_frozen shipped (warm)") {
+        noop(SparkEntry.queries("q_quality_filter_frozen")(spark, d))
+      }
+    }
+
     spark.stop()
   }
 }
