@@ -174,6 +174,57 @@ object OptProbe15b {
       }
     }
 
+    if (which == "all" || which == "micro") {
+      // guarded fast 6dp micro rounding vs round(x,6) on the fanned
+      // cosine stream: floor(x*1e6+0.5) except within 1e-3 of the
+      // half-micro boundary, where BigDecimal HALF_UP still decides.
+      val tf = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      val queries = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(split(col("text"), " "), 1, 8), " ").as("q_text"))
+      val qterms = queries.select(col("q_id"),
+          explode(split(col("q_text"), " ")).as("term"))
+        .filter(col("term") =!= "").distinct().localCheckpoint(true)
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
+      val idfOf = (c: org.apache.spark.sql.Column) =>
+        log((col("n_docs") + 1) / (c + 1)) + 1
+      val dfq = dfreq.join(broadcast(qterms.select("term").distinct()), "term")
+      val wD = tf.join(broadcast(dfq), "term").crossJoin(broadcast(nDocs))
+        .withColumn("w", col("tf") * idfOf(col("df")))
+        .select("term", "doc_id", "w").localCheckpoint(true)
+      val wQ = qterms.join(broadcast(dfq), Seq("term"), "left")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("wq", idfOf(coalesce(col("df"), lit(0L))))
+        .select("q_id", "term", "wq").localCheckpoint(true)
+      val fanned = wD.join(broadcast(wQ), "term").localCheckpoint(true)
+      println(s"[oprobeb] micro fanned rows = ${fanned.count()}")
+      val x = col("w") * col("wq")
+      val slow = fanned
+        .withColumn("cm", (round(x, 6) * 1e6 + 0.5).cast("long"))
+        .groupBy("q_id", "doc_id").agg(sum("cm").as("dot"))
+      val scaled = x * 1e6
+      val guarded = when(abs(scaled - floor(scaled) - 0.5) < 1e-3,
+        (round(x, 6) * 1e6 + 0.5).cast("long"))
+        .otherwise(floor(scaled + 0.5))
+      val fast = fanned
+        .withColumn("cm", guarded)
+        .groupBy("q_id", "doc_id").agg(sum("cm").as("dot"))
+      time("micro: round-always (1st)") { noop(slow) }
+      time("micro: round-always (2nd)") { noop(slow) }
+      time("micro: guarded floor (1st)") { noop(fast) }
+      time("micro: guarded floor (2nd)") { noop(fast) }
+      val dm = slow.exceptAll(fast).count() + fast.exceptAll(slow).count()
+      println(s"[oprobeb] micro slow-vs-guarded diff rows = $dm")
+      val nGuard = fanned.filter(abs(scaled - floor(scaled) - 0.5) < 1e-3)
+        .count()
+      println(s"[oprobeb] micro guard-band rows = $nGuard")
+    }
+
     spark.stop()
   }
 }
