@@ -416,10 +416,10 @@ object Dedup {
       .filter(col("n2") > 0) // zero vector: no direction, no cosine
       .withColumn("nrm", sqrt(col("n2")))
       .localCheckpoint(false) // vectors once, not per join side
-    blockedSelfPairs(base, Seq(), nBlocks)
-      .withColumn("cosine", round(graft.functions.VectorExpressions
-        .dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cosine") >= threshold)
+    roundedCosineAtLeast(blockedSelfPairs(base, Seq(), nBlocks),
+        graft.functions.VectorExpressions
+          .dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")),
+        threshold)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
   }
@@ -2002,10 +2002,9 @@ object Dedup {
     import graft.functions.VectorExpressions.dotF
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Fns.l2Norm(col(vecCol)).as("nrm"))
-    blockedSelfPairs(base, Nil, nBlocks)
-      .withColumn("cosine",
-        round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cosine") >= threshold)
+    roundedCosineAtLeast(blockedSelfPairs(base, Nil, nBlocks),
+        dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")),
+        threshold)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
   }
@@ -2032,6 +2031,27 @@ object Dedup {
     * inputs pass nBlocks = 1 to opt out (the measured default-regime
     * overhead at probe scale is the scheduling floor, ~0.5 s).
     */
+  /** `cosine = round(raw, 6); keep cosine >= threshold` with a cheap
+    * conservative prefilter, so the per-pair BigDecimal `round`
+    * (Spark's double round builds a BigDecimal from Double.toString
+    * PER ROW) runs only on pairs that can possibly survive:
+    * round(x, 6) moves x by at most 5e-7 plus a half-ulp, so any
+    * pair with raw < threshold − 1e-6 cannot round to ≥ threshold.
+    * The final filter is the UNCHANGED exact predicate (Catalyst
+    * combines the two filters keeping the cheap one first, and And
+    * short-circuits), so the kept pairs and their cosine values are
+    * identical — the prefilter only skips the rounding work on the
+    * ~all pairs nowhere near the threshold (the pair scan is
+    * quadratic; survivors are not). */
+  private[operators] def roundedCosineAtLeast(pairs: DataFrame,
+                                              raw: Column,
+                                              threshold: Double)
+  : DataFrame =
+    pairs
+      .filter(raw >= threshold - 1e-6)
+      .withColumn("cosine", round(raw, 6))
+      .filter(col("cosine") >= threshold)
+
   private[graft] def blockedSelfPairs(df: DataFrame, keyCols: Seq[String],
                                       nBlocks: Int): DataFrame = {
     require(nBlocks >= 1)
@@ -2044,7 +2064,26 @@ object Dedup {
       col("v").as("vb"), col("nrm").as("nrm_b"),
       explode(filter(partners, i => i <= col("blk"))).as("blk_a"),
       col("blk").as("blk_b")): _*)
-    a.join(b, keyCols ++ Seq("blk_a", "blk_b"))
+    // The pair join is OUTPUT-dominated: kilobytes of vectors fan out
+    // to a quadratic pair stream inside the join stage, so AQE's
+    // byte-based partition coalescing (which only sees the tiny
+    // shuffle INPUT) folds it to ~one partition and serializes the
+    // whole scan — the round-15 bench measured q_gramvec_pairs flat
+    // from 8 to 32 cores for exactly this reason. Repartitioning both
+    // sides by the join key with an EXPLICIT count (user-specified
+    // repartitions are exempt from AQE coalescing) pins the pair
+    // stage at the session shuffle-partition knob; the join reuses
+    // the partitioning, so the exchange count is unchanged. Effective
+    // parallelism is still capped by the nBlocks·(nBlocks+1)/2
+    // triangular keys — size nBlocks to the cluster, as before.
+    val jk = keyCols ++ Seq("blk_a", "blk_b")
+    val nPart =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val (ar, br) =
+      if (nBlocks == 1) (a, b)
+      else (a.repartition(nPart, jk.map(col): _*),
+            b.repartition(nPart, jk.map(col): _*))
+    ar.join(br, jk)
       .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
       .drop("blk_a", "blk_b")
   }
@@ -2080,12 +2119,11 @@ object Dedup {
         col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b")).distinct()
-    pairs
-      .join(base.toDF("doc_a", "va", "norm_a"), "doc_a")
-      .join(base.toDF("doc_b", "vb", "norm_b"), "doc_b")
-      .withColumn("cosine",
-        round(dotF(col("va"), col("vb")) / (col("norm_a") * col("norm_b")), 6))
-      .filter(col("cosine") >= threshold)
+    roundedCosineAtLeast(pairs
+        .join(base.toDF("doc_a", "va", "norm_a"), "doc_a")
+        .join(base.toDF("doc_b", "vb", "norm_b"), "doc_b"),
+        dotF(col("va"), col("vb")) / (col("norm_a") * col("norm_b")),
+        threshold)
       .select("doc_a", "doc_b", "cosine")
   }
 
@@ -2155,10 +2193,9 @@ object Dedup {
     // within-cell pairs via THE shared blocked self-pairing (a hot
     // cell is a self-join skew AQE cannot split — see
     // blockedSelfPairs)
-    blockedSelfPairs(assigned, Seq("cell"), nBlocks)
-      .withColumn("cosine",
-        round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cosine") >= threshold)
+    roundedCosineAtLeast(blockedSelfPairs(assigned, Seq("cell"), nBlocks),
+        dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")),
+        threshold)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("cosine"))
   }
@@ -2237,18 +2274,18 @@ object Dedup {
     val state = VersionedStore
       .readValues(spark, Ann.assignmentTable(indexRoot), "cell", cells)
       .join(newEmb.select(col(idCol).as("id")), Seq("id"), "left_anti")
-    def drops(cand: DataFrame): DataFrame = cand
-      .withColumn("cosine", round(
-        dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6))
-      .filter(col("cosine") >= threshold)
+    def drops(cand: DataFrame): DataFrame =
+      roundedCosineAtLeast(cand,
+        dotF(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")),
+        threshold)
       .select(col("b.id").as("id")).distinct()
     // batch self-pairs via THE shared blocked self-pairing (a hot
     // cell in the batch is a self-join skew AQE cannot split); the
     // larger id of each qualifying pair drops — the keep-min rule
-    val dropNew = blockedSelfPairs(assignedNew, Seq("cell"), nBlocks)
-      .withColumn("cosine", round(
-        dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cosine") >= threshold)
+    val dropNew = roundedCosineAtLeast(
+        blockedSelfPairs(assignedNew, Seq("cell"), nBlocks),
+        dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")),
+        threshold)
       .select(greatest(col("id_a"), col("id_b")).as("id")).distinct()
     // state × batch is a TWO-table join — one side duplicable, so
     // AQE's skew split genuinely applies here; left unblocked

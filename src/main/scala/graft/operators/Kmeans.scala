@@ -333,10 +333,10 @@ object Kmeans {
       .filter(col("nc").isNotNull)
       .select(col("id"), col("v"), col("nrm"),
         col("nc.cluster").as("cluster"))
-    Dedup.blockedSelfPairs(base, Seq("cluster"), nBlocks)
-      .withColumn("cosine",
-        round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cosine") >= threshold)
+    Dedup.roundedCosineAtLeast(
+        Dedup.blockedSelfPairs(base, Seq("cluster"), nBlocks),
+        dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")),
+        threshold)
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
         col("cluster"), col("cosine"))

@@ -46,6 +46,38 @@ import graft.functions.Fns
   */
 object Search {
 
+  /** Exact integer micros of `round(x, 6)` for a NON-NEGATIVE double
+    * column with x < 1e5 away from ties — value-identical to
+    * `(round(x, 6) * 1e6 + 0.5).cast("long")` (the round-15 recovery
+    * identity) but BigDecimal-free on the hot path: Spark's `round`
+    * on a double runs `BigDecimal(Double.toString(x)).setScale(6,
+    * HALF_UP)` PER ROW, measured at ~40% of the fanned retrieval
+    * aggregates (round-15 RetrievalProbe2 variant C).
+    *
+    * Fast path: `floor(x·1e6 + 0.5)` in pure codegen double/long
+    * arithmetic. It is taken only when BOTH (a) x·1e6 < 1e10 and
+    * (b) the fractional part of x·1e6 is at least 1e-3 away from the
+    * 0.5 half-up tie; otherwise the exact BigDecimal expression runs
+    * (`when` short-circuits, so the slow branch never evaluates on
+    * fast rows). Identity proof outside the band: HALF_UP rounds the
+    * SHORTEST-REPR decimal s of x with |s − x| ≤ ulp(x)/2, and the
+    * two double ops (x·1e6, then +0.5) each add ≤ ulp/2 — for
+    * x·1e6 < 1e10 the combined error is < 1e-5 micros, 100× inside
+    * the 1e-3 guard, so floor(x·1e6 + 0.5) and the exact
+    * floor(s·1e6 + 0.5) bracket no integer and agree; an EXACT tie
+    * (s·1e6 a half-integer) always lands inside the band and takes
+    * the BigDecimal branch. MicrosRound6Spec sweeps the tie
+    * neighborhood against the reference expression.
+    */
+  private[graft] def micros6(x: Column): Column = {
+    val xm = x * 1e6
+    // floor() on a double returns LongType; the subtraction promotes
+    // back to double, so tie is the distance to the half-up boundary
+    val tie = abs(xm - floor(xm) - 0.5)
+    when(xm < 1e10 && tie > 1e-3, floor(xm + 0.5))
+      .otherwise((round(x, 6) * 1e6 + 0.5).cast("long"))
+  }
+
   private def postingsTable(root: String) = s"$root/postings"
   private def dlensTable(root: String)    = s"$root/dlens"
   private def statsTable(root: String)    = s"$root/stats"
@@ -161,22 +193,46 @@ object Search {
     val tfc = (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dlen") / avgdl))
     matched
-      .withColumn("contrib", (round(idf * tfc, 6) * 1e6 + 0.5).cast("long"))
+      .withColumn("contrib", micros6(idf * tfc))
       .select("term", "doc_id", "contrib")
+      // partition the POSTING-sized contrib stream by doc_id so the
+      // fanned (q_id, doc_id) aggregate in rankStage needs NO
+      // exchange (hash(doc_id) clusters every (q, doc) group): one
+      // cheap shuffle of ~Σdf rows replaces a shuffle of the
+      // fanout×-multiplied partial-aggregate stream, and the explicit
+      // partition count keeps the output-dominated fan-out stage at
+      // full parallelism (AQE's byte-based coalescing would fold the
+      // kilobyte exchange to ~1 partition and serialize the fan-out —
+      // the round-15 flat 8c/32c scaling). The count is the session
+      // shuffle-partition knob, so cluster deployments scale it with
+      // their config, not a constant.
+      .repartition(shufflePartitions(matched), col("doc_id"))
   }
+
+  /** The session shuffle-partition count — the one scale-adaptive
+    * partition knob every deployment already tunes. */
+  private def shufflePartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
   /** Shared ranking tail over the fanned (q_id, doc_id, contrib)
     * stream: exact integer-micro per-pair sums (value-identical to
     * the former decimal(38,6) sums — see the object doc), top-k by
-    * (score desc, doc_id). Output: (q_id, doc_id, rank, score). */
+    * (score desc, doc_id). Ranking compares the LONG micro sums —
+    * score = nearest-double(sum/1e6) is strictly increasing and
+    * injective in the micro sum (sums stay under 2^53), so
+    * (score desc, doc_id) and (sum desc, doc_id) are the same
+    * permutation — and the double score is materialized only for
+    * the ≤ k survivors per query instead of every (q, doc) group.
+    * Output: (q_id, doc_id, rank, score). */
   private def rankStage(fanned: DataFrame, k: Int): DataFrame = {
     val agg = fanned
       .groupBy("q_id", "doc_id")
-      .agg(round(sum("contrib").cast("double") / 1e6, 6).as("score"))
+      .agg(sum("contrib").as("sm"))
     val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("sm").desc, col("doc_id"))
     agg.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .withColumn("score", round(col("sm").cast("double") / 1e6, 6))
       .select("q_id", "doc_id", "rank", "score")
   }
 
@@ -260,48 +316,72 @@ object Search {
     // by the doc-side weights and the query-side left join
     val dfq = dfreq.join(
       broadcast(qterms.select("term").distinct()), "term")
-    val wD = tf
+    // Per-(term, doc) micro product, computed BEFORE the query
+    // fan-out: the query-side weight wq = idf(df) is a function of
+    // the TERM alone (every query hitting a term joins the same df),
+    // so round(w·wq, 6) is constant across the queries sharing the
+    // term — rounding here runs once per POSTING instead of once per
+    // fanned (q, term, doc) triple (58× fewer at sf0.1), and the
+    // fanned stream carries one long instead of two doubles. The
+    // product keeps the former association order (tf·idf)·idf, so
+    // every value is bit-identical to the per-triple form. The
+    // doc_id repartition mirrors contribStage: the fanned
+    // (q_id, doc_id) aggregate then needs NO exchange, and the
+    // explicit count keeps the output-dominated fan-out at full
+    // parallelism (AQE would coalesce the kilobyte exchange to ~1
+    // partition and serialize it).
+    val cD = tf
       .join(broadcast(dfq), "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("w", col("tf") * idfOf(col("df")))
-      .select("term", "doc_id", "w")
+      .withColumn("c", micros6(col("w") * idfOf(col("df"))))
+      .select("term", "doc_id", "c")
+      .repartition(shufflePartitions(tf), col("doc_id"))
     // ||d|| must cover ALL of the doc's terms, not just the matched
     // ones — its df join is the full vocabulary (term-partitioned,
     // dfreq reuses tf's cache), aggregated straight back to doc_id
     val dnorm = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
       .withColumn("w", col("tf") * idfOf(col("df")))
       .groupBy("doc_id")
-      .agg(sqrt(sum((round(col("w") * col("w"), 6) * 1e6 + 0.5).cast("long"))
+      .agg(sqrt(sum(micros6(col("w") * col("w")))
         .cast("double") / 1e6).as("dnorm"))
     // left join against the RESTRICTED df table (broadcast right
     // side) — a left join onto the full corpus-vocabulary dfreq
     // cannot broadcast its left side and would shuffle the whole
     // vocabulary to meet a query-sized frame; missing terms still
-    // come out null → df 0
+    // come out null → df 0. (Feeds only the query norm; unknown
+    // terms never reach the dot stream — they match no posting.)
     val wQ = qterms.join(broadcast(dfq), Seq("term"), "left")
       .crossJoin(broadcast(nDocs))
       .withColumn("wq", idfOf(coalesce(col("df"), lit(0L))))
-      .select("q_id", "term", "wq").localCheckpoint(false)
+      .select("q_id", "term", "wq")
     val qnorm = wQ.groupBy("q_id")
-      .agg(sqrt(sum((round(col("wq") * col("wq"), 6) * 1e6 + 0.5).cast("long"))
+      .agg(sqrt(sum(micros6(col("wq") * col("wq")))
         .cast("double") / 1e6).as("qnorm"))
-    // dnorm joins the doc-side weights at posting cardinality and
+    // dnorm joins the doc-side products at posting cardinality and
     // rides the fan-out into the aggregate (constant per doc, so
     // max() recovers it) — joining it onto the (query, doc) pair
     // stream instead would sort the multiplied rows (bm25TopK's
     // join-order note)
-    val dot = wD.join(dnorm, "doc_id")
-      .join(broadcast(wQ), "term")
-      .withColumn("c", (round(col("w") * col("wq"), 6) * 1e6 + 0.5).cast("long"))
+    val dot = cD.join(dnorm, "doc_id")
+      .join(broadcast(qterms), "term")
       .groupBy("q_id", "doc_id")
       .agg(sum("c").as("dot"), max("dnorm").as("dnorm"))
+    // Rank on the exact integer micros of the rounded score
+    // (micros6 ≡ (round(score, 6)·1e6 + 0.5).cast(long), see its
+    // doc): nearest-double(N/1e6) is strictly increasing and
+    // injective in N, so (score desc, doc_id) and (sm desc, doc_id)
+    // are the same permutation, and the double score materializes
+    // only for the ≤ k survivors — round(x, 6) and cast(N)/1e6 both
+    // produce the nearest double of the same 6dp decimal.
     val scored = dot.join(broadcast(qnorm), "q_id")
-      .withColumn("score", round(
-        (col("dot").cast("double") / 1e6) / (col("dnorm") * col("qnorm")), 6))
+      .withColumn("sm", micros6(
+        (col("dot").cast("double") / 1e6) / (col("dnorm") * col("qnorm"))))
     val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("sm").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
+      .withColumn("score", col("sm").cast("double") / 1e6)
       .select("q_id", "doc_id", "rank", "score")
   }
 
