@@ -1,12 +1,30 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scalar feature-store functions, all pure `functions._` compositions
   * so they stay inside whole-stage codegen (no UDFs).
   */
 object Fns {
+
+  /** Keyed repartition PINNED at the session shuffle-partition count:
+    * row placement is identical to `repartition(cols…)`, but the
+    * explicit count makes the exchange exempt from AQE's byte-based
+    * partition coalescing. Use at the exchange feeding an
+    * OUTPUT-DOMINATED stage — the self-join fan-outs behind the
+    * near-dup detectors multiply kilobytes of keys into quadratic
+    * pair streams, so AQE (which only sees the tiny shuffle INPUT)
+    * folds them to ~one partition and serializes the whole scan:
+    * round 16 measured q_gramvec_pairs flat from 8 to 32 cores, and
+    * 9× faster once pinned. The count comes from
+    * `spark.sql.shuffle.partitions` — the knob every deployment
+    * already scales with its cluster — so this is not a local-mode
+    * constant. */
+  def pinnedRepartition(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      cols: _*)
 
   /** Deterministic 31-bit hash of an md5 hex prefix — the reference's
     * schema/categorical hash: `int(md5(key)[:8], 16) % 2^31`.

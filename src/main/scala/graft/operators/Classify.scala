@@ -83,8 +83,13 @@ object Classify {
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
               seed: DataFrame, seedIdCol: String, seedLabelCol: String,
               alpha: Double = 1.0, threshold: Double = 0.0): DataFrame = {
-    require(math.abs(threshold) < 1e13,
-      s"threshold must fit DECIMAL(20,6), got $threshold")
+    // 9.2e12 = Long.MaxValue / 1e6 rounded down: the threshold is
+    // compared in long MICROS, and a wider value would overflow the
+    // decimal→long cast to NULL (making `keep` silently NULL-valued)
+    // instead of failing loudly here
+    require(math.abs(threshold) <= 9.2e12,
+      s"threshold must fit the long-micros scale (|t| <= 9.2e12), " +
+        s"got $threshold")
     val seedKeyed = seed.select(col(seedIdCol).as("doc_id"),
       col(seedLabelCol).as("lbl"))
     val seedTokens = docs

@@ -2077,12 +2077,10 @@ object Dedup {
     // parallelism is still capped by the nBlocks·(nBlocks+1)/2
     // triangular keys — size nBlocks to the cluster, as before.
     val jk = keyCols ++ Seq("blk_a", "blk_b")
-    val nPart =
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val (ar, br) =
       if (nBlocks == 1) (a, b)
-      else (a.repartition(nPart, jk.map(col): _*),
-            b.repartition(nPart, jk.map(col): _*))
+      else (graft.functions.Fns.pinnedRepartition(a, jk.map(col): _*),
+            graft.functions.Fns.pinnedRepartition(b, jk.map(col): _*))
     ar.join(br, jk)
       .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
       .drop("blk_a", "blk_b")

@@ -206,13 +206,8 @@ object Search {
       // the round-15 flat 8c/32c scaling). The count is the session
       // shuffle-partition knob, so cluster deployments scale it with
       // their config, not a constant.
-      .repartition(shufflePartitions(matched), col("doc_id"))
+      .transform(Fns.pinnedRepartition(_, col("doc_id")))
   }
-
-  /** The session shuffle-partition count — the one scale-adaptive
-    * partition knob every deployment already tunes. */
-  private def shufflePartitions(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
 
   /** Shared ranking tail over the fanned (q_id, doc_id, contrib)
     * stream: exact integer-micro per-pair sums (value-identical to
@@ -336,7 +331,7 @@ object Search {
       .withColumn("w", col("tf") * idfOf(col("df")))
       .withColumn("c", micros6(col("w") * idfOf(col("df"))))
       .select("term", "doc_id", "c")
-      .repartition(shufflePartitions(tf), col("doc_id"))
+      .transform(Fns.pinnedRepartition(_, col("doc_id")))
     // ||d|| must cover ALL of the doc's terms, not just the matched
     // ones — its df join is the full vocabulary (term-partitioned,
     // dfreq reuses tf's cache), aggregated straight back to doc_id

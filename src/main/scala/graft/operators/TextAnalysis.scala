@@ -556,7 +556,14 @@ object TextAnalysis {
     * x -> x = v))))` (NULL on NULL/empty input like array_max over
     * an empty transform) but O(n log n) per row instead of
     * O(distinct · n): the round-15 A/B measured the bigram
-    * multiplicity scan 1.5 → 0.45 s at sf0.1, zero row diff. */
+    * multiplicity scan 1.5 → 0.45 s at sf0.1, zero row diff.
+    *
+    * PRECONDITION: array elements must be non-null. The old form's
+    * `x = v` filter drops null elements (counts them 0) while the
+    * sorted-run `<=>` would count a null run — current callers (words
+    * from Fns.words, bigrams from concat_ws over those words) can
+    * never produce null elements, but a future caller with nullable
+    * elements must null-guard before calling. */
   private def maxMultiplicity(arr: String): Column =
     expr(s"aggregate(array_sort($arr), " +
       "named_struct('prev', cast(null as string), 'run', 0, 'mx', 0), " +

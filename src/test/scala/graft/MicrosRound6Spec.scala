@@ -71,4 +71,18 @@ class MicrosRound6Spec extends AnyFunSuite {
       .select(Search.micros6(col("x")).as("m")).collect()
     assert(r.exists(_.isNullAt(0)) && r.exists(!_.isNullAt(0)))
   }
+
+  test("score-mass canary: max per-(q,doc) micro sum far below 2^53") {
+    // Search's long-micro accumulation is exact only while a group's
+    // micro sum stays under 2^53 (the documented contract). The max
+    // group sum in the whole corpus IS the max top-1 score, which the
+    // ranker output carries — so this asserts the real margin and
+    // fails loudly on a scale-up long before a silent wrap.
+    Seq("q_bm25", "q_tfidf_cosine").foreach { q =>
+      val mx = SparkEntry.queries(q)(spark, TestSpark.sfDir)
+        .agg(max(col("score"))).head().getDouble(0)
+      assert(mx * 1e6 < (1L << 53) / 1e3.toDouble,
+        s"$q max score $mx leaves under 1000x headroom to 2^53 micros")
+    }
+  }
 }
