@@ -47,7 +47,28 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** The corpus table, scan-split-compensated. Parquet splits at ROW
+    * GROUP granularity, and the gate/bench corpora are single-row-
+    * group files — so the bare scan yields ONE task regardless of
+    * cores, and every downstream text projection (token splits,
+    * shingles, hashes: the expensive per-row work of this engine)
+    * serializes onto one core. Round-16 probe at sf0.1/32c: shingle
+    * explode 3.75 → 0.39 s, winnow fingerprints 2.53 → 0.37 s, gram
+    * build 2.26 → 0.31 s once spread. Per guide §2.5 ("one huge
+    * unsplittable file … repartition immediately after the read"),
+    * repartition by doc_id ONLY when the scan is below the session
+    * shuffle parallelism — on a real sharded corpus the scan already
+    * carries ≥ that many splits, the condition is false, and no
+    * corpus shuffle is ever added. Hash placement is deterministic
+    * and row order never reaches results (every declared query is
+    * value-deterministic and oracle-compared on sorted rows). */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "documents")
+    val target = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    if (raw.rdd.getNumPartitions < target)
+      raw.repartition(target, col("doc_id"))
+    else raw
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** `events` reshaped to the reference's EAV feature-record schema. */

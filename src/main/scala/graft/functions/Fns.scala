@@ -76,19 +76,34 @@ object Fns {
     */
   def words(text: Column): Column = split(text, " ")
 
+  /** Let-binding for expression trees: evaluates `v` ONCE per row and
+    * hands it to `body` as a lambda VARIABLE. A higher-order-function
+    * lambda EMBEDS any captured outer expression and re-evaluates it
+    * per array element (HOFs run interpreted — no codegen, no
+    * subexpression elimination), so e.g. `element_at(split(text), i)`
+    * inside a transform re-splits the text for every element. Binding
+    * the expensive value through `bound` turns each capture into a
+    * variable read — round 16 measured [[shingles]] re-splitting 3×
+    * per shingle (the q_distinct_hll scan stage). Implemented as
+    * `element_at(transform(array(v), body), 1)`: the one-element
+    * array is the binder; semantics (incl. null flow) are exactly
+    * `body(v)`. */
+  def bound(v: Column, body: Column => Column): Column =
+    element_at(transform(array(v), body), 1)
+
   /** Word n-gram shingles of a text column as a deduplicated array.
     * Documents shorter than n words yield an empty array (Spark's
     * `sequence(1, 0)` would otherwise count DOWN — guard against it).
-    */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * The word array is [[bound]] so the split runs once per row, not
+    * once per element_at. */
+  def shingles(text: Column, n: Int): Column =
+    bound(words(text), w =>
+      when(size(w) >= n,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))))
+        .otherwise(array().cast("array<string>")))
 
   /** 64-bit SimHash over the words of a text column: for each of the 64
     * bits, sign of the sum over words of (+1/-1) from that word's

@@ -616,16 +616,27 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
     // One propagate+jump round over (id, old, label), preserving the
-    // round-start `old` column for the convergence count.
+    // round-start `old` column for the convergence count. The
+    // propagate step is union + ONE groupBy — min(self ∪ neighbor
+    // labels) ≡ the former neighbor-groupBy + left join
+    // (least(label, coalesce(min(neighbors), label))), with `old`
+    // riding as max() since only the self row carries it — one fewer
+    // shuffle op and ~25% fewer AQE stages per half-round. At this
+    // loop's row counts the wall is STAGE SEQUENCING, not data: the
+    // round-16 probe measured the warm loop at 54 jobs/3.6 s shipped
+    // vs 42 jobs/2.8 s with this shape (diff 0 rows), ~66 ms per
+    // scheduled stage either way.
     def halfRound(lbl: DataFrame): DataFrame = {
-      val neighborMin = edges
+      val neighbor = edges
         .join(lbl.select(col("id").as("dst"), col("label").as("nlabel")),
           Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nmin"))
-      val propagated = lbl.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("src").as("id"),
+          lit(null).cast(lbl.schema("old").dataType).as("old"),
+          col("nlabel").as("label"))
+      val propagated = lbl.select(col("id"), col("old"), col("label"))
+        .unionByName(neighbor)
+        .groupBy("id")
+        .agg(max(col("old")).as("old"), min(col("label")).as("label"))
       // pointer jump: label <- label(label). Labels are always node
       // ids, so the self-join resolves every pointer one more hop.
       propagated.join(

@@ -426,18 +426,25 @@ object TextAnalysis {
   def knScoreFrozen(docs: DataFrame, idCol: String, textCol: String,
                     model: KnModel): DataFrame = {
     val mdl = map_from_arrays(lit(model.keys), lit(model.probs))
-    val ws = Fns.words(col(textCol))
-    val keys2 = when(ws.isNotNull && size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(knSep, element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val probs = filter(transform(keys2, k => element_at(mdl, k)),
-      p => p.isNotNull)
-    docs.select(col(idCol).as("doc_id"),
-      size(probs).cast("long").as("n_bigrams"),
-      when(size(probs) > 0,
-        round(aggregate(probs, lit(0.0d), (a, p) => a - log2(p)) /
-          size(probs), 4)).as("kn_score"))
+    // word array and prob array are BOUND (Fns.bound): unbound, the
+    // split re-ran per bigram and the whole lookup chain re-ran for
+    // each of its three consumers below
+    val r = Fns.bound(Fns.words(col(textCol)), ws => {
+      val keys2 = when(ws.isNotNull && size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(knSep, element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      Fns.bound(
+        filter(transform(keys2, k => element_at(mdl, k)), p => p.isNotNull),
+        probs => struct(
+          size(probs).cast("long").as("n_bigrams"),
+          when(size(probs) > 0,
+            round(aggregate(probs, lit(0.0d), (a, p) => a - log2(p)) /
+              size(probs), 4)).as("kn_score")))
+    })
+    docs.select(col(idCol).as("doc_id"), r.as("r"))
+      .select(col("doc_id"), col("r.n_bigrams").as("n_bigrams"),
+        col("r.kn_score").as("kn_score"))
   }
 
   /** Thresholds for [[qualityClassifier]] — Gopher/C4-flavored
@@ -1059,14 +1066,17 @@ object TextAnalysis {
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 3, k: Int = 20): DataFrame = {
     require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
-    val ws = filter(Fns.words(col(textCol)), w => w =!= "")
-    // guard short docs explicitly: sequence(1, 0) DESCENDS in Spark,
-    // so the no-gram case must be an empty array, not a bad range
-    val idx = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
-      .otherwise(array())
-    docs.select(col(idCol).as("doc_id"),
-        explode(transform(idx, i => array_join(slice(ws, i, lit(n)), " ")))
-          .as("ngram"))
+    // the word array is BOUND so the split+filter runs once per row —
+    // an unbound capture re-evaluates it per gram (Fns.bound's doc)
+    val grams = Fns.bound(filter(Fns.words(col(textCol)), w => w =!= ""),
+      ws => {
+        // guard short docs explicitly: sequence(1, 0) DESCENDS in
+        // Spark, so the no-gram case must be an empty array
+        val idx = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+          .otherwise(array())
+        transform(idx, i => array_join(slice(ws, i, lit(n)), " "))
+      })
+    docs.select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
       .groupBy("ngram", "doc_id").agg(count(lit(1)).as("occ"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("df"), sum(col("occ")).as("cnt"))
