@@ -1216,9 +1216,14 @@ class LlmPipelineSpec extends AnyFunSuite {
     assert(batch.nonEmpty && viaFrozen == batch,
       s"frozen/batch divergence: ${viaFrozen.size} vs ${batch.size} rows")
     // the frozen path is one projection: no join, no agg, no exchange
+    // beyond the loader's scan-split repartition (REPARTITION_BY_NUM
+    // — the PlanSpec countShuffles convention, round 16)
     val plan = Dedup.decontaminateFrozen(docs, "doc_id", "text",
       frozen, n = 3).queryExecution.executedPlan.toString
-    assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+    val operatorExchanges =
+      "Exchange".r.findAllIn(plan).length -
+        ", REPARTITION_BY_NUM".r.findAllIn(plan).length
+    assert(!plan.contains("Join") && operatorExchanges == 0 &&
       !plan.contains("Aggregate"),
       s"frozen decontamination must be a pure projection:\n$plan")
   }
